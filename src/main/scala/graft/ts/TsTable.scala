@@ -1,0 +1,173 @@
+package graft.ts
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DateType, StructField, StructType, TimestampType}
+
+import java.sql.Timestamp
+
+/** A time-partitioned, time-sorted Parquet dataset.
+  *
+  * Spark-native analogue of the reference's `TsTable` (afiedler/tstables:
+  * an HDF5 subtree of daily partitions, each a PyTables table of
+  * timestamp-sorted rows — `tstables/tstable.py`, class `TsTable`;
+  * reconstructed from public docs, `/root/reference` was empty at build
+  * time, see SURVEY.md §0). The reference's guarantees map as:
+  *
+  *   - daily HDF5 group per date            → Hive partition dir `p_date=YYYY-MM-DD`
+  *   - rows sorted by ts within a partition → `sortWithinPartitions` at write time,
+  *                                            so Parquet row-group min/max stats give
+  *                                            the same contiguous-slice skipping the
+  *                                            reference gets from bisecting sorted rows
+  *   - manual date-range pruning in
+  *     `read_range`                         → Catalyst `PruneFileSourcePartitions` on the
+  *                                            `p_date` predicate (verified in TsTableSpec
+  *                                            via the physical plan's PartitionFilters)
+  *   - append monotonicity (`ValueError` on
+  *     time regression)                     → cheap min/max guard job, IllegalArgumentException
+  *
+  * Scale notes (target: 1000-executor cluster, 100 TB):
+  *   - one shuffle per append, keyed by day, so each day lands in one task and
+  *     one sorted file; for days larger than an executor's comfortable file size,
+  *     use `append(df, filesPerDay > 1)` which range-partitions within the day by ts,
+  *     keeping per-file sortedness and bounded file sizes.
+  *   - reads are shuffle-free: partition pruning (directory level) + predicate
+  *     pushdown (row-group level) both happen in the scan.
+  *   - min/max are aggregate-only jobs over footer-stat-friendly columns.
+  */
+final class TsTable private (
+    val spark: SparkSession,
+    val path: String,
+    val tsCol: String,
+    private val storedSchema: StructType) {
+
+  import TsTable._
+
+  /** Full table as a DataFrame (data columns only; partition column dropped). */
+  def toDF: DataFrame = raw.drop(PartCol)
+
+  /** Raw frame including the `p_date` partition column. */
+  def raw: DataFrame =
+    spark.read.schema(withPartCol(storedSchema)).parquet(path)
+
+  /** Closed-interval time-range read: rows with `start <= ts <= end`
+    * (the reference filters `timestamp >= start & timestamp <= end`).
+    * Emits an explicit predicate on the partition column so Catalyst prunes
+    * day directories, and the ts predicate is pushed to the Parquet scan
+    * where sorted row-groups make it a stats-level skip.
+    */
+  def readRange(start: Timestamp, end: Timestamp): DataFrame = {
+    val sd = new java.sql.Date(start.getTime)
+    val ed = new java.sql.Date(end.getTime)
+    raw
+      .where(col(PartCol).between(lit(sd), lit(ed)) &&
+        col(tsCol).between(lit(start), lit(end)))
+      .drop(PartCol)
+  }
+
+  /** Earliest timestamp, None if empty. Near-metadata-only: min/max come from
+    * Parquet footer statistics during the scan. */
+  def minDt: Option[Timestamp] =
+    Option(toDF.agg(min(col(tsCol))).head.getAs[Timestamp](0))
+
+  /** Latest timestamp, None if empty. */
+  def maxDt: Option[Timestamp] =
+    Option(toDF.agg(max(col(tsCol))).head.getAs[Timestamp](0))
+
+  /** Ordered bulk append, mirroring the reference's contract:
+    *   - the incoming batch must not reach back before the stored `maxDt`
+    *     (duplicates of the boundary instant are allowed, regression is not);
+    *   - null timestamps are rejected;
+    *   - rows are split across daily partitions (created on demand by the
+    *     Parquet writer) and each partition's file(s) are sorted by ts.
+    *
+    * Input-batch sortedness is NOT required (a DataFrame has no row order);
+    * the write path establishes the sorted-within-partition invariant itself.
+    *
+    * @param filesPerDay >1 range-splits heavy days into several ts-sorted
+    *                    files (each file still covers a contiguous ts slice).
+    */
+  def append(batch: DataFrame, filesPerDay: Int = 1): Unit = {
+    require(filesPerDay >= 1, "filesPerDay must be >= 1")
+    val names = batch.schema.fieldNames.toSeq
+    require(names.contains(tsCol), s"batch is missing ts column '$tsCol'")
+    require(names.toSet == storedSchema.fieldNames.toSet,
+      s"batch columns ${names.mkString(",")} != table columns ${storedSchema.fieldNames.mkString(",")}")
+
+    val stats = batch.agg(
+      min(col(tsCol)), count(lit(1)), count(col(tsCol))).head
+    if (stats.getLong(1) == 0L) return // empty batch: no-op
+    if (stats.getLong(1) != stats.getLong(2))
+      throw new IllegalArgumentException(s"append: null values in '$tsCol'")
+    val batchMin = stats.getAs[Timestamp](0)
+    maxDt.foreach { cur =>
+      if (batchMin.before(cur))
+        throw new IllegalArgumentException(
+          s"append: batch min ts $batchMin precedes stored max ts $cur " +
+            "(the table is append-ordered; out-of-order appends are rejected)")
+    }
+
+    val withDate = batch
+      .select(storedSchema.fieldNames.map(col).toSeq: _*) // canonical column order
+      .withColumn(PartCol, to_date(col(tsCol)))
+    val placed =
+      if (filesPerDay == 1) withDate.repartition(col(PartCol))
+      else withDate.repartitionByRange(
+        col(PartCol), col(tsCol)) // bounded file sizes on heavy days
+    placed
+      .sortWithinPartitions(col(PartCol), col(tsCol))
+      .write.mode("append").partitionBy(PartCol).parquet(path)
+  }
+
+  def schema: StructType = storedSchema
+}
+
+object TsTable {
+  /** Hive partition column: one directory per UTC day, like the reference's
+    * one HDF5 group per day (`yYYYY/mMM/dDD`). */
+  val PartCol = "p_date"
+  private val SchemaFile = "_ts_schema.json" // leading '_' → invisible to Spark's file index
+
+  private def withPartCol(s: StructType): StructType =
+    StructType(s.fields :+ StructField(PartCol, DateType, nullable = true))
+
+  /** Create a new (empty) table: persists the declared schema so the table
+    * can be reopened before any data lands (the reference stores the
+    * PyTables description at `create_ts` time). */
+  def create(spark: SparkSession, path: String, schema: StructType,
+             tsCol: String = "ts"): TsTable = {
+    require(schema.fieldNames.contains(tsCol), s"schema must contain '$tsCol'")
+    require(schema(tsCol).dataType == TimestampType,
+      s"'$tsCol' must be TimestampType, got ${schema(tsCol).dataType}")
+    require(!schema.fieldNames.contains(PartCol),
+      s"'$PartCol' is reserved for the partition column")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, SchemaFile), true)
+    try out.write((schema.json + "\n" + tsCol + "\n").getBytes("UTF-8"))
+    finally out.close()
+    new TsTable(spark, path, tsCol, schema)
+  }
+
+  /** Attach to an existing table; schema comes from the stored descriptor
+    * (or, for plain partitioned-Parquet dirs, from the footers) — the
+    * analogue of `get_timeseries` needing no description. */
+  def open(spark: SparkSession, path: String, tsCol: String = "ts"): TsTable = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new Path(dir, SchemaFile)
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val Array(schemaJson, storedTsCol) = text.trim.split("\n", 2)
+      new TsTable(spark, path, storedTsCol.trim,
+        DataType.fromJson(schemaJson).asInstanceOf[StructType])
+    } else {
+      val inferred = spark.read.parquet(path).schema
+      val dataSchema = StructType(inferred.filterNot(_.name == PartCol))
+      new TsTable(spark, path, tsCol, dataSchema)
+    }
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import graft.ts.TsTable
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Round-trip suite mirroring the reference's own unittest coverage
+  * (SURVEY.md §5.1): append within/across partitions, gap days, range reads,
+  * min/max, reattach, monotonicity rejection, empty results. */
+class TsTableSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("value", DoubleType)))
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private def mkRows(rows: Seq[(String, Long, Double)]) = {
+    val data = rows.map { case (ts0, u, v) => Row(t(ts0), u, v) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), schema)
+  }
+
+  private def freshDir() = Files.createTempDirectory("tstable_spec").toString
+
+  test("create + append + readRange round-trip within one partition") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows(Seq(
+      ("2024-03-01 10:00:00", 1L, 1.0),
+      ("2024-03-01 11:00:00", 2L, 2.0),
+      ("2024-03-01 12:00:00", 3L, 3.0))))
+    val got = tab.readRange(t("2024-03-01 10:30:00"), t("2024-03-01 12:00:00"))
+      .orderBy("ts").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(2L, 3L)) // closed interval includes 12:00
+    assert(got.head.schema.fieldNames.toSeq == Seq("ts", "user_id", "value"))
+  }
+
+  test("append spanning multiple days creates daily partitions; gap days ok") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows(Seq(
+      ("2024-03-01 23:59:59", 1L, 1.0),
+      ("2024-03-02 00:00:01", 2L, 2.0),
+      ("2024-03-05 08:00:00", 3L, 3.0)))) // gap: 03-03, 03-04 absent
+    val parts = new java.io.File(dir).listFiles.map(_.getName).filter(_.startsWith("p_date="))
+    assert(parts.toSet == Set("p_date=2024-03-01", "p_date=2024-03-02", "p_date=2024-03-05"))
+    assert(tab.toDF.count() == 3)
+    // range covering the gap returns only real rows
+    val mid = tab.readRange(t("2024-03-02 00:00:00"), t("2024-03-04 23:59:59")).collect()
+    assert(mid.map(_.getLong(1)).toSeq == Seq(2L))
+  }
+
+  test("partition pruning: readRange plan keeps a p_date PartitionFilter") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows(Seq(
+      ("2024-03-01 10:00:00", 1L, 1.0), ("2024-03-02 10:00:00", 2L, 2.0),
+      ("2024-03-03 10:00:00", 3L, 3.0), ("2024-03-04 10:00:00", 4L, 4.0))))
+    val df = tab.readRange(t("2024-03-02 00:00:00"), t("2024-03-03 23:00:00"))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters"), physical)
+    assert(physical.contains(TsTable.PartCol), physical)
+    assert(df.collect().map(_.getLong(1)).sorted.toSeq == Seq(2L, 3L))
+    // and the scan really skipped the pruned directories
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+    assert(scanned <= 2, s"expected <=2 files scanned, got $scanned")
+  }
+
+  test("min/max dt, empty table, reattach via open") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    assert(tab.minDt.isEmpty && tab.maxDt.isEmpty)
+    assert(tab.toDF.count() == 0) // empty table readable thanks to stored schema
+    tab.append(mkRows(Seq(
+      ("2024-03-01 10:00:00", 1L, 1.0), ("2024-03-09 10:00:00", 2L, 2.0))))
+    val re = TsTable.open(spark, dir)
+    assert(re.tsCol == "ts" && re.schema == schema)
+    assert(re.minDt.contains(t("2024-03-01 10:00:00")))
+    assert(re.maxDt.contains(t("2024-03-09 10:00:00")))
+  }
+
+  test("monotonicity: appends reaching before stored max are rejected; boundary dup ok") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows(Seq(("2024-03-02 10:00:00", 1L, 1.0))))
+    intercept[IllegalArgumentException] {
+      tab.append(mkRows(Seq(("2024-03-02 09:00:00", 2L, 2.0))))
+    }
+    // duplicate of the boundary instant is allowed (reference allows >= max)
+    tab.append(mkRows(Seq(("2024-03-02 10:00:00", 3L, 3.0))))
+    assert(tab.toDF.count() == 2)
+  }
+
+  test("null ts and schema mismatch rejected; empty append is a no-op") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(null, 1L, 1.0))), schema)
+    intercept[IllegalArgumentException] { tab.append(withNull) }
+    intercept[IllegalArgumentException] {
+      tab.append(mkRows(Seq(("2024-03-01 00:00:00", 1L, 1.0))).drop("value"))
+    }
+    tab.append(mkRows(Seq.empty)) // no-op
+    assert(tab.toDF.count() == 0)
+  }
+
+  test("empty range result has correct columns and zero rows") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows(Seq(("2024-03-01 10:00:00", 1L, 1.0))))
+    val got = tab.readRange(t("2025-01-01 00:00:00"), t("2025-01-02 00:00:00"))
+    assert(got.columns.toSeq == Seq("ts", "user_id", "value"))
+    assert(got.count() == 0)
+  }
+
+  test("files within a day partition are ts-sorted (write-side invariant)") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    // deliberately unsorted input batch: DataFrames carry no order; the
+    // write path must establish sortedness itself
+    tab.append(mkRows(Seq(
+      ("2024-03-01 12:00:00", 3L, 3.0),
+      ("2024-03-01 10:00:00", 1L, 1.0),
+      ("2024-03-01 11:00:00", 2L, 2.0))))
+    val file = new java.io.File(dir, "p_date=2024-03-01").listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    val rows = spark.read.parquet(file.getPath).select("ts").collect().map(_.getTimestamp(0))
+    assert(rows.toSeq == rows.sortBy(_.getTime).toSeq)
+  }
+}
