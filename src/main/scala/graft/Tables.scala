@@ -12,7 +12,14 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else {
+      // orders/lineitem timestamps are parquet TIMESTAMP(MILLIS, no-tz);
+      // Spark 4 would infer TIMESTAMP_NTZ, which breaks unix_micros and
+      // comparisons against the (LTZ) events.ts. Session TZ is pinned UTC,
+      // so reading them as instants is lossless and matches DuckDB.
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   /** events.ts is physically Parquet TIMESTAMP(NANOS), which Spark rejects
     * outright (PARQUET_TYPE_ILLEGAL). Read it as an int64 nanos column via

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — the time-series hallmark operator the reference's
+  * users reach via `pandas.merge_asof` after `read_range` (SURVEY.md §2 B3).
+  *
+  * For each left row, attach the single most recent right row whose time is
+  * at-or-before the left row's time, matching on an equi-key. Unmatched left
+  * rows keep null right columns (left-outer semantics, like `merge_asof`).
+  *
+  * Implementation is scale-first: union both sides tagged, one shuffle on the
+  * key, one sort by (time, side), and a running `last(_, ignoreNulls)` window
+  * — O(n log n) per key and a single exchange, instead of the quadratic
+  * range-condition theta join a naive translation would produce. At 100 TB
+  * this is the same shape as a sort-merge join: shuffle by key, merge sorted
+  * runs; skewed keys can be salted upstream like any SMJ.
+  *
+  * Determinism: if the right side can hold several rows with the same
+  * (key, time), pre-dedupe it (e.g. `max_by` on a unique column) — any
+  * engine's as-of semantics are arbitrary under such ties.
+  */
+object AsOfJoin {
+
+  def backward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"column overlap not supported: $overlap")
+
+    val lStruct = struct(left.columns.map(col).toSeq: _*)
+    val rStruct = struct(right.columns.map(col).toSeq: _*)
+    val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
+
+    val lTagged = left.select(
+      col(leftKey).as("_k"), col(leftTime).cast("timestamp").as("_t"),
+      lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rType).as("_r"))
+    val rTagged = right.select(
+      col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
+      lit(0).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+
+    // Right rows sort before left rows at the same instant (_side 0 < 1), so
+    // a right row at exactly t is visible to a left row at t ("at-or-before").
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lTagged.unionByName(rTagged)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(col("_l.*"), col("_m.*"))
+  }
+}

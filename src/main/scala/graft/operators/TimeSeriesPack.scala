@@ -67,10 +67,114 @@ object TimeSeriesPack extends QueryPack {
         .readRange(ts("2024-01-08 00:00:00"), ts("2024-01-22 00:00:00")))
   }
 
+  /** B2 projection + non-time predicate; both pushed to the parquet scan. */
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .where(col("event_type") === "purchase" && col("value") > 50)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** B8 date/time scalars: hourly bucketing via date_trunc. */
+  def scalarDatetime(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("hour")).as("hour_us"), col("n"), col("sum_value"))
+      .orderBy(col("hour_us"))
+
+  /** B10 tumbling window aggregation (batch form of the streaming shape —
+    * identical semantics; streaming execution is exercised in TsStreamSpec). */
+  def windowTumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("ws_us"), col("event_type"))
+
+  /** B10 session window (10-min gap) per user; events merge while the gap to
+    * the previous event is strictly less than the gap duration. */
+  def windowSession(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+
+  /** B5 moving aggregates: 10-row trailing avg + 1-hour trailing time-range
+    * sum per user (range frame needs a numeric ordering → unix_micros). */
+  def windowMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRows = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+    val wRange = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts"))).rangeBetween(-3600000000L, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        (Det.dsumDec(col("value")).over(wRows).cast("double") /
+          count(lit(1)).over(wRows)).as("mavg10"),
+        Det.dsumDec(col("value")).over(wRange).cast("double").as("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  /** B5 analytic lag: per-user deltas between consecutive events. */
+  def windowDelta(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+        lag(col("event_id"), 1).over(w).as("prev_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** B3 backward as-of join: each event → most recent order of the same
+    * customer at-or-before the event time. Right side pre-deduped per
+    * (custkey, orderdate) with max_by — the testdata has 32 duplicate pairs
+    * and any engine's as-of pick among exact-tie rows is arbitrary. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ordersDedup = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    AsOfJoin.backward(
+      Tables.events(s, dir).select("event_id", "user_id", "ts"),
+      ordersDedup, leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("order_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** B3 range/interval join: same-user event pairs at most 1 hour apart
+    * (strictly forward). Equi-key on user_id keeps this a sort-merge join
+    * with a range post-filter — per-key bounded, no cartesian blowup. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+    val a = e.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+    val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    a.join(b, col("user_id") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_read_range" -> readRange,
     "q_min_max_dt" -> minMaxDt,
-    "q_append_roundtrip" -> appendRoundtrip)
+    "q_append_roundtrip" -> appendRoundtrip,
+    "q_filter_project" -> filterProject,
+    "q_scalar_datetime" -> scalarDatetime,
+    "q_window_tumbling" -> windowTumbling,
+    "q_window_session" -> windowSession,
+    "q_window_moving_avg" -> windowMovingAvg,
+    "q_window_delta" -> windowDelta,
+    "q_asof_join" -> asofJoin,
+    "q_range_join" -> rangeJoin)
 
   def oracles: Map[String, String] = Map(
     // date_trunc('microseconds', …) on the DuckDB side: events.ts physically
@@ -86,5 +190,59 @@ object TimeSeriesPack extends QueryPack {
     "q_append_roundtrip" ->
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) BETWEEN TIMESTAMP '2024-01-08 00:00:00' AND TIMESTAMP '2024-01-22 00:00:00'
-         |ORDER BY event_id""".stripMargin)
+         |ORDER BY event_id""".stripMargin,
+    "q_filter_project" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase' AND value > 50 ORDER BY event_id""".stripMargin,
+    "q_scalar_datetime" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_tumbling" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS ws_us,
+        |event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // gaps-and-islands with a STRICT < gap test: Spark merges sessions only
+    // while the inter-event gap is < gapDuration (windows [t, t+gap) overlap)
+    "q_window_session" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events),
+        |m AS (SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                     < INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_s FROM e),
+        |i AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, epoch_us(min(ts)) AS sess_start_us, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM i GROUP BY user_id, sid ORDER BY user_id, sess_start_us""".stripMargin,
+    "q_window_moving_avg" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value FROM events)
+        |SELECT event_id,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS mavg10,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts
+        |     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
+        |FROM e ORDER BY event_id""".stripMargin,
+    "q_window_delta" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value FROM events)
+        |SELECT event_id, user_id,
+        |value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
+        |lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
+        |FROM e ORDER BY event_id""".stripMargin,
+    "q_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+        |                  arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |epoch_us(o.o_orderdate) AS order_ts_us
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND date_trunc('microseconds', e.ts) >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts FROM events)
+        |SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY a_id, b_id""".stripMargin)
 }

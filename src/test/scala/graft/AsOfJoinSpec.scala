@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val lSchema = StructType(Seq(
+    StructField("l_id", LongType), StructField("k", LongType),
+    StructField("t", TimestampType)))
+  private val rSchema = StructType(Seq(
+    StructField("rk", LongType), StructField("rt", TimestampType),
+    StructField("rv", DoubleType)))
+
+  test("backward as-of: latest at-or-before per key, nulls when none") {
+    val left = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 10L, t("2024-01-01 10:00:00")),
+      Row(2L, 10L, t("2024-01-01 12:00:00")),
+      Row(3L, 20L, t("2024-01-01 09:00:00")), // before any right row for k=20
+      Row(4L, 30L, t("2024-01-01 09:00:00")) // key with no right rows at all
+    )), lSchema)
+    val right = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(10L, t("2024-01-01 09:30:00"), 1.0),
+      Row(10L, t("2024-01-01 11:00:00"), 2.0),
+      Row(10L, t("2024-01-01 12:00:00"), 3.0), // exact tie with l_id=2 → matches ("at-or-before")
+      Row(20L, t("2024-01-01 10:00:00"), 4.0)
+    )), rSchema)
+    val got = AsOfJoin.backward(left, right, "k", "rk", "t", "rt")
+      .orderBy("l_id").collect()
+    assert(got.map(r => (r.getLong(0), Option(r.get(5)))).toSeq == Seq(
+      (1L, Some(1.0)), (2L, Some(3.0)), (3L, None), (4L, None)))
+    // matched right timestamps travel along
+    assert(got(1).getTimestamp(4) == t("2024-01-01 12:00:00"))
+  }
+
+  test("as-of result row count always equals left row count") {
+    val left = Tables.events(spark, sf0001).select("event_id", "user_id", "ts")
+    val right = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val joined = AsOfJoin.backward(left, right,
+      "user_id", "o_custkey", "ts", "o_orderdate")
+    assert(joined.count() == left.count())
+  }
+}
