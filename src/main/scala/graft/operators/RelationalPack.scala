@@ -1,0 +1,237 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface (SURVEY.md §2 B3–B8): the computation the reference's
+  * users do in pandas after `read_range`, re-expressed as declarative Spark
+  * plans so Catalyst handles pushdown, join strategy and AQE.
+  *
+  * Scale notes per query are on each member; the common themes:
+  *   - dimension tables are broadcast (no shuffle of the fact side);
+  *   - aggregations are partial+final (map-side combine) by construction;
+  *   - sort order for oracle determinism is applied AFTER aggregation, on
+  *     already-small results, so it never adds a fact-table-wide sort.
+  */
+object RelationalPack extends QueryPack {
+
+  /** B3 broadcast equi-join: fact orders ⋈ broadcast(customer). At 100 TB the
+    * customer dim stays far under the broadcast threshold per executor; no
+    * shuffle of orders. */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** B3 multi-way join, TPC-H Q5 shape adapted to the available columns:
+    * revenue per ASIA nation for 1996 orders. lineitem⋈orders shuffles on
+    * orderkey; customer/nation/region are broadcast. */
+  def joinMultiway(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("n_name"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  private val BigOrder = 450000.0
+
+  /** B3 left-semi: customers with at least one big order (EXISTS). */
+  def semiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).where(col("o_totalprice") > BigOrder),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** B3 left-anti: customers with no big order (NOT EXISTS). */
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).where(col("o_totalprice") > BigOrder),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** B4 TPC-H Q1 shape: multi-aggregate pricing summary. Partial aggregation
+    * reduces 600k rows to 6 groups map-side; the shuffle moves only
+    * per-partition partials. */
+  def aggPricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Det.dsum(disc).as("sum_disc_price"),
+        Det.dsum(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (Det.dsumDec(col("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** B4 exact distinct count per group. */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** B4 rollup over nation × order priority (grouping-set nulls are folded to
+    * 'ALL' on both sides so null-ordering dialects can't diverge). */
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("nation"), col("priority"))
+
+  /** B5 ranking: top-3 orders per customer (row_number with a unique
+    * tie-break key). */
+  def windowTopnPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** B6 global top-k: Spark plans TakeOrderedAndProject — per-partition
+    * top-k then a k-row merge on the driver, no global sort. The sort key
+    * covers every emitted column: (l_orderkey, l_linenumber) is NOT unique
+    * in the testdata, so equal rows must be interchangeable. */
+  def topk(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+
+  /** B7 set operations: one tagged result exercising INTERSECT and EXCEPT. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def users(t: String) = ev.where(col("event_type") === t)
+      .select(col("user_id")).distinct()
+    val inter = users("purchase").intersect(users("view"))
+      .select(col("user_id"), lit("purchase_and_view").as("op"))
+    val diff = users("purchase").except(users("error"))
+      .select(col("user_id"), lit("purchase_no_error").as("op"))
+    inter.unionAll(diff).orderBy(col("op"), col("user_id"))
+  }
+
+  /** B8 JSON extraction: typed field out of the props JSON string. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("k"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_broadcast" -> joinBroadcast,
+    "q_join_multiway" -> joinMultiway,
+    "q_semi_join" -> semiJoin,
+    "q_anti_join" -> antiJoin,
+    "q_agg_pricing_summary" -> aggPricingSummary,
+    "q_agg_distinct" -> aggDistinct,
+    "q_agg_rollup" -> aggRollup,
+    "q_window_topn_per_group" -> windowTopnPerGroup,
+    "q_topk" -> topk,
+    "q_set_ops" -> setOps,
+    "q_json_extract" -> jsonExtract)
+
+  def oracles: Map[String, String] = Map(
+    "q_join_broadcast" ->
+      """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_multiway" ->
+      """SELECT n_name,
+        |CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        |count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |coalesce(o_orderpriority, 'ALL') AS priority,
+        |count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderpriority)
+        |ORDER BY nation, priority""".stripMargin,
+    "q_window_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
+    "q_set_ops" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT user_id, 'purchase_and_view' AS op FROM (
+        |  SELECT user_id FROM u WHERE event_type = 'purchase'
+        |  INTERSECT SELECT user_id FROM u WHERE event_type = 'view')
+        |UNION ALL
+        |SELECT user_id, 'purchase_no_error' AS op FROM (
+        |  SELECT user_id FROM u WHERE event_type = 'purchase'
+        |  EXCEPT SELECT user_id FROM u WHERE event_type = 'error')
+        |ORDER BY op, user_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+}
