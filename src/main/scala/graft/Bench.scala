@@ -10,15 +10,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm-up: absorb JVM/codegen/session start-up outside the measured
+    // window, then run queries in a FIXED (sorted) order so per-query
+    // numbers are comparable round over round.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    try SparkEntry.queries(names.head)(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => errs += s"$name: ${e.getClass.getSimpleName}" }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val errJson = errs.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

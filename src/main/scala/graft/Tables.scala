@@ -10,24 +10,40 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session confs the fixture parquet files require. Deliberately session-
+    * wide and NOT restored: `ParquetFileFormat` re-reads both keys from the
+    * session conf when it builds per-file readers at EXECUTION time (it
+    * overwrites any per-read `.option(...)` into the hadoopConf), so a
+    * save/restore around the eager `spark.read` would make later actions on
+    * the returned (lazy) DataFrame throw. Setting both keys together on
+    * every load keeps schema behavior order-independent across loaders.
+    *
+    *  - inferTimestampNTZ=false: orders/lineitem timestamps are parquet
+    *    TIMESTAMP(MILLIS, no-tz); Spark 4 would infer TIMESTAMP_NTZ, which
+    *    breaks unix_micros and comparisons against the (LTZ) events.ts.
+    *    Session TZ is pinned UTC, so reading them as instants is lossless
+    *    and matches DuckDB.
+    *  - nanosAsLong=true: events.ts is physically TIMESTAMP(NANOS), which
+    *    Spark rejects outright (PARQUET_TYPE_ILLEGAL); read as int64 ns.
+    */
+  def init(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
     else {
-      // orders/lineitem timestamps are parquet TIMESTAMP(MILLIS, no-tz);
-      // Spark 4 would infer TIMESTAMP_NTZ, which breaks unix_micros and
-      // comparisons against the (LTZ) events.ts. Session TZ is pinned UTC,
-      // so reading them as instants is lossless and matches DuckDB.
-      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      init(spark)
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
 
-  /** events.ts is physically Parquet TIMESTAMP(NANOS), which Spark rejects
-    * outright (PARQUET_TYPE_ILLEGAL). Read it as an int64 nanos column via
-    * the legacy conf and convert to a µs TimestampType — the generated
-    * values carry only µs resolution (SURVEY.md §1.4.4), so `ns / 1000`
-    * (floor, matching DuckDB's epoch_us) loses nothing. */
+  /** events.ts arrives as int64 nanos (see init); convert to a µs
+    * TimestampType — the generated values carry only µs resolution
+    * (SURVEY.md §1.4.4), so `ns / 1000` (floor, matching DuckDB's epoch_us)
+    * loses nothing. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    init(spark)
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: `/` would go through double and lose µs at 1.7e18 ns
       .select("event_id", "ts", "user_id", "event_type", "value", "props")

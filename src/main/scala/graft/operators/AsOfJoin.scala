@@ -31,6 +31,9 @@ object AsOfJoin {
 
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column overlap not supported: $overlap")
+    val reserved = Set("_k", "_t", "_side", "_l", "_r", "_m")
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns clash with reserved names: $clash")
 
     val lStruct = struct(left.columns.map(col).toSeq: _*)
     val rStruct = struct(right.columns.map(col).toSeq: _*)
@@ -40,9 +43,16 @@ object AsOfJoin {
     val lTagged = left.select(
       col(leftKey).as("_k"), col(leftTime).cast("timestamp").as("_t"),
       lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rType).as("_r"))
-    val rTagged = right.select(
-      col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
-      lit(0).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+    // Null-key/null-time right rows can never be a valid as-of match
+    // (DuckDB ASOF JOIN never matches NULLs); drop them up front so a
+    // null-keyed LEFT row — which Window.partitionBy would group with
+    // null-keyed right rows — stays unmatched instead of picking one up.
+    // Null-keyed/timed left rows are kept, unmatched (left-outer semantics).
+    val rTagged = right
+      .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
+        lit(0).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
 
     // Right rows sort before left rows at the same instant (_side 0 < 1), so
     // a right row at exactly t is visible to a left row at t ("at-or-before").

@@ -24,4 +24,13 @@ object Det {
 
   /** SQL fragment mirroring dsum for the DuckDB oracle. */
   def dsumSql(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** 6-decimal variant for terms with 6 true decimal digits (2dp × 2dp × 2dp
+    * products like extendedprice·(1−discount)·(1+tax)). At scale 4 such a
+    * term lands on exact .xxxx50 half-way ties, which Spark (HALF_UP on the
+    * shortest decimal repr) and DuckDB (rounds the raw binary double) break
+    * differently; scale 6 is lossless for the data, so no tie can occur. */
+  def dsum6(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
+
+  def dsum6Sql(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
 }

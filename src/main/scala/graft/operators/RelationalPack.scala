@@ -75,7 +75,7 @@ object RelationalPack extends QueryPack {
         Det.dsum(col("l_quantity")).as("sum_qty"),
         Det.dsum(col("l_extendedprice")).as("sum_base_price"),
         Det.dsum(disc).as("sum_disc_price"),
-        Det.dsum(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        Det.dsum6(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"),
         (Det.dsumDec(col("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -189,7 +189,7 @@ object RelationalPack extends QueryPack {
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
         |CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+        |CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
         |count(*) AS n
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'

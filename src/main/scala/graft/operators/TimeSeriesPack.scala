@@ -5,7 +5,6 @@ import graft.ts.TsTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.nio.file.Files
 import java.sql.Timestamp
 
 /** Time-series operators: the reference's own surface (read_range, min/max,
@@ -56,7 +55,16 @@ object TimeSeriesPack extends QueryPack {
     * hash-checks the storage layer end-to-end (partition split, sort,
     * schema persistence, closed-interval read). */
   def appendRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val store = Files.createTempDirectory("graft_tstable_rt").toString
+    // Deterministic per-input store path, wiped before reuse — repeated
+    // invocations (bench warm-up, verify, tests) must not accumulate temp
+    // dirs, and the result DataFrame is lazy so the store has to outlive
+    // this call (the driver materializes it later).
+    val store = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_tstable_rt_${dir.hashCode.toHexString}").toString
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     val ev = Tables.events(s, dir)
     val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
     val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")

@@ -58,10 +58,14 @@ final class TsTable private (
     * where sorted row-groups make it a stats-level skip.
     */
   def readRange(start: Timestamp, end: Timestamp): DataFrame = {
-    val sd = new java.sql.Date(start.getTime)
-    val ed = new java.sql.Date(end.getTime)
+    // Day bounds are computed IN-PLAN via to_date on the timestamp literal,
+    // so they resolve under the session timezone (pinned UTC) — the same
+    // rule that wrote p_date. A driver-side `new java.sql.Date(millis)`
+    // would go through the JVM default TZ and could exclude the boundary
+    // partition on hosts west of UTC. Both foldable, so partition pruning
+    // still sees constant bounds (asserted in TsTableSpec).
     raw
-      .where(col(PartCol).between(lit(sd), lit(ed)) &&
+      .where(col(PartCol).between(to_date(lit(start)), to_date(lit(end))) &&
         col(tsCol).between(lit(start), lit(end)))
       .drop(PartCol)
   }
@@ -96,10 +100,12 @@ final class TsTable private (
       s"batch columns ${names.mkString(",")} != table columns ${storedSchema.fieldNames.mkString(",")}")
 
     val stats = batch.agg(
-      min(col(tsCol)), count(lit(1)), count(col(tsCol))).head
+      min(col(tsCol)), count(lit(1)), count(col(tsCol)),
+      countDistinct(to_date(col(tsCol)))).head
     if (stats.getLong(1) == 0L) return // empty batch: no-op
     if (stats.getLong(1) != stats.getLong(2))
       throw new IllegalArgumentException(s"append: null values in '$tsCol'")
+    val nDays = stats.getLong(3)
     val batchMin = stats.getAs[Timestamp](0)
     maxDt.foreach { cur =>
       if (batchMin.before(cur))
@@ -111,10 +117,15 @@ final class TsTable private (
     val withDate = batch
       .select(storedSchema.fieldNames.map(col).toSeq: _*) // canonical column order
       .withColumn(PartCol, to_date(col(tsCol)))
+    // filesPerDay=1: hash-shuffle by day, one task → one sorted file per day.
+    // filesPerDay>1: range-shuffle on (day, ts) into nDays·filesPerDay slots,
+    // so a heavy day splits into ~filesPerDay files, each a contiguous
+    // ts slice (range partitioning keeps per-file sortedness). This is the
+    // 100 TB write path: no single task ever funnels a whole heavy day.
     val placed =
       if (filesPerDay == 1) withDate.repartition(col(PartCol))
       else withDate.repartitionByRange(
-        col(PartCol), col(tsCol)) // bounded file sizes on heavy days
+        (nDays * filesPerDay).toInt.max(1), col(PartCol), col(tsCol))
     placed
       .sortWithinPartitions(col(PartCol), col(tsCol))
       .write.mode("append").partitionBy(PartCol).parquet(path)

@@ -120,6 +120,24 @@ class TsTableSpec extends SparkSpec {
     assert(got.count() == 0)
   }
 
+  test("filesPerDay > 1 splits a heavy day into several ts-sorted files") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    val heavy = (0 until 2000).map { i =>
+      (f"2024-03-01 ${i / 600}%02d:${(i / 10) % 60}%02d:${i % 10}%02d", i.toLong, i.toDouble)
+    } ++ Seq(("2024-03-02 00:00:00", 9999L, 0.0)) // a light second day
+    tab.append(mkRows(heavy), filesPerDay = 4)
+    val files = new java.io.File(dir, "p_date=2024-03-01").listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 2, s"heavy day should split, got ${files.length} file(s)")
+    // each file is still internally ts-sorted (per-file contiguous slices)
+    files.foreach { f =>
+      val ts = spark.read.parquet(f.getPath).select("ts").collect().map(_.getTimestamp(0))
+      assert(ts.toSeq == ts.sortBy(_.getTime).toSeq, s"unsorted file ${f.getName}")
+    }
+    assert(tab.toDF.count() == 2001)
+  }
+
   test("files within a day partition are ts-sorted (write-side invariant)") {
     val dir = freshDir()
     val tab = TsTable.create(spark, dir, schema)
