@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-data-pipeline operators
+  * (SURVEY.md §2 B9). Everything here is builtin Catalyst expressions —
+  * higher-order array functions, no UDFs — so the whole pipeline stays
+  * inside whole-stage codegen and survives predicate pushdown.
+  */
+object TextFns {
+
+  /** Whitespace tokenizer; leading/trailing space safe. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Canonical normalization for exact dedup: collapse runs of whitespace,
+    * trim, lowercase. (DuckDB mirror: lower(trim(regexp_replace(x, '\s+',
+    * ' ', 'g'))).) */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Distinct word 3-gram shingles of a text column — the unit of the
+    * near-dup Jaccard (SURVEY.md §2 B9). Docs with < 3 tokens get an empty
+    * set (the `when` guard matters: sequence(1, n) with n < 1 would count
+    * DOWN and explode). */
+  def shingles3(text: Column): Column = {
+    val tk = tokens(text)
+    when(size(tk) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(tk) - 2),
+        i => concat_ws(" ",
+          element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))))
+  }
+
+  /** Exact Jaccard similarity of two set-valued (distinct-element) array
+    * columns, as double. int/int sizes → one IEEE division, deterministic
+    * cross-engine. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Sum of element lengths of a string-array column (total token chars). */
+  def totalLen(arr: Column): Column =
+    aggregate(arr, lit(0), (acc, x) => acc + length(x))
+}

@@ -1,0 +1,209 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{TextFns, VectorFns}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2 B9; the driver
+  * brief's named extension): dedup (exact, near, minhash, simhash), text
+  * analysis (stats, quality, token frequencies), similarity search (exact
+  * and LSH ANN), and multimodal binary-column plumbing — all on the
+  * `documents` / `embeddings` fixtures.
+  *
+  * Scale themes: dedup/text queries are single-shuffle hash aggregations
+  * with map-side combine; near-dup is candidate-generation + verify (never
+  * all-pairs — see NearDedup); similarity search broadcasts the probe side
+  * and scans the corpus once (see SimilaritySearch). Zero UDFs anywhere:
+  * tokenizing, shingling, hashing, and vector math are all builtin
+  * higher-order Catalyst expressions inside whole-stage codegen.
+  */
+object LlmPack extends QueryPack {
+
+  private val Tau = 0.8 // near-dup Jaccard threshold (planted pairs ≥ 0.95, noise ≤ 0.06)
+
+  /** B9 exact dedup: group by sha2 of whitespace-normalized text, keep the
+    * smallest doc_id as the representative. The hash itself never appears in
+    * the output, so engines only need injectivity, not identical hex. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(sha2(TextFns.normalize(col("text")), 256))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  /** B9 near-dup via deterministic prefix filtering (100% recall by the
+    * pigeonhole argument — NearDedup.prefixFilter), verified with exact
+    * 3-gram Jaccard, so it hash-matches the all-pairs oracle. */
+  def dedupNear(s: SparkSession, dir: String): DataFrame =
+    NearDedup.prefixFilter(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text", partCol = "lang", tau = Tau)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** B9 near-dup via MinHash + banded LSH. Probabilistic recall, but at
+    * 32 bands × 4 rows a τ=0.8 pair is missed with p ≈ 5e-8 (and the
+    * fixture's planted pairs at J ≥ 0.95 with p ≈ 1e-23), so it shares the
+    * all-pairs oracle; the false-negative risk is quantified in NearDedup. */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    NearDedup.minhashLsh(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text", partCol = "lang", tau = Tau)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** B9 document fingerprints: SimHash-64 over token hashes + an exact
+    * content hash. No oracle (DuckDB has no xxhash64); LlmPackSpec asserts
+    * determinism and the near-dup Hamming property. */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), NearDedup.simhash64(col("text")).as("simhash"),
+        xxhash64(TextFns.normalize(col("text"))).as("content_hash"))
+      .orderBy(col("doc_id"))
+
+  /** B9 text stats per language: doc/char/token counts. All aggregates are
+    * exact integer sums; the averages are single IEEE divisions of those
+    * exact ints, so no rounding is needed for cross-engine hashing. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(TextFns.tokens(col("text")))
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(nTok).as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .select(col("lang"), col("n_docs"), col("total_chars"), col("total_tokens"),
+        (col("total_chars").cast("double") / col("n_docs")).as("avg_chars"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("avg_tokens"),
+        col("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  /** B9 per-document quality signals: token counts, type/token ratio,
+    * stopword ratio, mean token length, and a blended score. Per-row IEEE
+    * arithmetic over exact ints, identical op order on both sides. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextFns.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tk).as("n_tokens"),
+        size(array_distinct(tk)).as("n_uniq"),
+        size(filter(tk, t => t.isin("a", "the"))).as("n_stop"),
+        TextFns.totalLen(tk).as("tok_chars"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("n_uniq").cast("double") / col("n_tokens")).as("uniq_ratio"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("tok_chars").cast("double") / col("n_tokens")).as("avg_tok_len"))
+      .withColumn("score",
+        lit(0.4) * col("uniq_ratio") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** B9 corpus token frequencies: explode → hash agg (map-side combine
+    * collapses to vocabulary size before the shuffle) → top-20. */
+  def tokenTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+
+  /** B9 exact similarity search: top-10 cosine neighbors of vec_id=0,
+    * probe broadcast, one corpus pass (SimilaritySearch.bruteForceTopK). */
+  def simTopk(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.bruteForceTopK(Tables.embeddings(s, dir),
+      idCol = "vec_id", vecCol = "embedding", probeId = 0L, k = 10)
+
+  /** B9 approximate similarity search: multi-table hyperplane LSH with
+    * exact rerank. No oracle (plan-time literal planes aren't expressible
+    * in portable SQL); AnnSpec measures recall on clustered data. */
+  def simAnn(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.lshTopK(Tables.embeddings(s, dir),
+      idCol = "vec_id", vecCol = "embedding", probeId = 0L, k = 10, dim = 64)
+
+  /** B9 multimodal plumbing: documents' text bytes treated as an opaque
+    * binary payload with typed metadata — the schema/partitioning shape an
+    * image/audio column takes (decode itself is stubbed: see
+    * graft.multimodal.Multimodal + MultimodalSpec). */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val blob = col("text").cast("binary")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(blob).as("n_bytes"),
+        sha2(blob, 256).as("sha"),
+        substring(base64(blob), 1, 16).as("b64_head"))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_near" -> dedupNear,
+    "q_dedup_minhash" -> dedupMinhash,
+    "q_doc_fingerprint" -> docFingerprint,
+    "q_text_stats" -> textStats,
+    "q_quality_score" -> qualityScore,
+    "q_token_topk" -> tokenTopk,
+    "q_sim_topk" -> simTopk,
+    "q_sim_ann" -> simAnn,
+    "q_multimodal_meta" -> multimodalMeta)
+
+  private val tokSql = "string_split_regex(trim(text), '\\s+')"
+  private val nearDupOracle =
+    s"""WITH tk AS (SELECT doc_id, lang, $tokSql AS t FROM documents),
+       |s AS (SELECT doc_id, lang,
+       |        list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+       |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |      FROM tk),
+       |j AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / len(list_distinct(a.sh || b.sh)) AS jaccard
+       |      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |      WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+       |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= $Tau
+       |ORDER BY a_id, b_id""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
+        |GROUP BY sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_near" -> nearDupOracle,
+    "q_dedup_minhash" -> nearDupOracle,
+    "q_text_stats" ->
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+         |sum(len($tokSql)) AS total_tokens,
+         |CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+         |CAST(sum(len($tokSql)) AS DOUBLE) / count(*) AS avg_tokens,
+         |count(DISTINCT source) AS n_sources
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_quality_score" ->
+      s"""WITH q AS (SELECT doc_id, lang,
+         |  len($tokSql) AS n_tokens,
+         |  len(list_distinct($tokSql)) AS n_uniq,
+         |  len(list_filter($tokSql, t -> t IN ('a', 'the'))) AS n_stop,
+         |  list_sum(list_transform($tokSql, t -> length(t))) AS tok_chars
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, n_tokens,
+         |  CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |  CAST(tok_chars AS DOUBLE) / n_tokens AS avg_tok_len
+         |  FROM q)
+         |SELECT doc_id, lang, n_tokens, uniq_ratio, stop_ratio, avg_tok_len,
+         |0.4 * uniq_ratio + 0.3 * (1.0 - stop_ratio)
+         |  + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS score
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_token_topk" ->
+      s"""SELECT tok, count(*) AS n
+         |FROM (SELECT unnest($tokSql) AS tok FROM documents)
+         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "q_sim_topk" ->
+      """WITH p AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id, round(list_dot_product(v, p)
+        |  / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(p, p))), 6) AS sim
+        |FROM e, p ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, sha256(text) AS sha,
+        |substring(to_base64(text::BLOB), 1, 16) AS b64_head
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over a corpus — the one B9 operator whose naive
+  * form is quadratic. Two scale-first designs, both ending in the same exact
+  * verification so their outputs agree with the all-pairs oracle:
+  *
+  *  1. `prefixFilter`: AllPairs/PPJoin-style prefix filtering (Bayardo et
+  *     al., WWW'07; Xiao et al., WWW'08 — public algorithms). Shingles are
+  *     globally ordered by document frequency (rarest first); a pair with
+  *     Jaccard ≥ τ MUST share a shingle inside each side's first
+  *     `n − ⌈τ·n⌉ + 1` shingles (pigeonhole), so joining on prefix shingles
+  *     has 100% recall BY CONSTRUCTION — deterministic, hence oracle-able —
+  *     while candidate buckets are keyed by RARE shingles (bounded fan-out).
+  *  2. `minhashLsh`: classic MinHash signatures + banded LSH (Broder '97;
+  *     MMDS ch.3). Probabilistic recall: with 32 bands × 4 rows a true pair
+  *     at J = 0.8 is missed with p = (1−0.8⁴)³² ≈ 4.8e-8, at J ≥ 0.95
+  *     p ≈ 1e-23. The signature is data-independent (seed-free xxhash64),
+  *     so results are deterministic for a given corpus.
+  *
+  * Shared final stage: exact Jaccard on the candidate pairs only.
+  *
+  * 100 TB notes: the df table (step 1) is a vocabulary-bounded aggregate;
+  * the candidate join shuffles on shingle/band keys whose bucket sizes are
+  * bounded (rare-prefix resp. 4-row band collisions), never all-pairs; the
+  * verify join is candidate-cardinality, not corpus². Skewed hot shingles
+  * are exactly what the df-ordering avoids putting in prefixes.
+  */
+object NearDedup {
+
+  /** Exact near-dup pairs (Jaccard ≥ tau on word 3-grams, within `partCol`
+    * groups) via prefix filtering. Output: a_id, b_id, jaccard. */
+  def prefixFilter(docs: DataFrame, idCol: String, textCol: String,
+                   partCol: String, tau: Double): DataFrame = {
+    val sets = docs
+      .select(col(idCol).as("id"), col(partCol).as("part"),
+        TextFns.shingles3(col(textCol)).as("sh"))
+      .where(size(col("sh")) > 0)
+
+    // Global shingle document-frequency — a small, vocabulary-bounded agg.
+    val df = sets.select(explode(col("sh")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+
+    // Rank each doc's shingles rarest-first; keep the pigeonhole prefix.
+    val ranked = sets
+      .select(col("id"), col("part"), size(col("sh")).as("n"),
+        explode(col("sh")).as("sh"))
+      .join(df, "sh")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))))
+    val prefix = ranked
+      .where(col("rn") <= col("n") - ceil(col("n") * lit(tau)) + 1)
+      .select(col("id"), col("part"), col("n"), col("sh"))
+
+    // Candidate pairs: prefix-shingle equality + the size bound
+    // τ·|A| ≤ |B| ≤ |A|/τ implied by J ≥ τ (cheap extra prune).
+    val a = prefix.select(col("id").as("a_id"), col("part"),
+      col("n").as("a_n"), col("sh"))
+    val b = prefix.select(col("id").as("b_id"), col("part").as("b_part"),
+      col("n").as("b_n"), col("sh").as("b_sh"))
+    val cand = a.join(b,
+        col("sh") === col("b_sh") && col("part") === col("b_part") &&
+          col("a_id") < col("b_id") &&
+          col("b_n") >= ceil(col("a_n") * lit(tau)) &&
+          col("b_n") <= floor(col("a_n") / lit(tau)))
+      .select(col("a_id"), col("b_id")).distinct()
+
+    verify(cand, sets, tau)
+  }
+
+  /** Near-dup pairs via MinHash + banded LSH (numHashes = bands·rowsPerBand).
+    * Same output shape as prefixFilter.
+    *
+    * Signature layout: explode shingles → ONE hash aggregate with k
+    * `min(xxhash64(i, shingle))` buffers. Everything is codegen'd (a nested
+    * higher-order-function formulation is interpreted and ~1000× slower:
+    * CollapseProject re-inlines the shingle expression into every band row),
+    * and partial aggregation collapses each doc to one k-long buffer before
+    * the shuffle, so shuffle volume is signature-sized (k·8 B/doc), not
+    * shingle-sized. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 partCol: String, tau: Double,
+                 bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val sets = docs
+      .select(col(idCol).as("id"), col(partCol).as("part"),
+        TextFns.shingles3(col(textCol)).as("sh"))
+      .where(size(col("sh")) > 0)
+
+    val k = bands * rowsPerBand
+    // sig_i = min over shingles of xxhash64(i, shingle): k independent
+    // permutation surrogates from one seed-free hash family.
+    val sigCols = (0 until k).map(i => min(xxhash64(lit(i), col("t"))).as(s"s$i"))
+    val sig = sets
+      .select(col("id"), col("part"), explode(col("sh")).as("t"))
+      .groupBy(col("id"), col("part"))
+      .agg(sigCols.head, sigCols.tail: _*)
+
+    // One row per (doc, band); band key hashes the band's signature slice.
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bh"))
+    }
+    val banded = sig
+      .select(col("id"), col("part"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("id"), col("part"), col("x.band").as("band"), col("x.bh").as("bh"))
+
+    val a = banded.select(col("id").as("a_id"), col("part"), col("band"), col("bh"))
+    val b = banded.select(col("id").as("b_id"), col("part").as("b_part"),
+      col("band").as("b_band"), col("bh").as("b_bh"))
+    val cand = a.join(b,
+        col("band") === col("b_band") && col("bh") === col("b_bh") &&
+          col("part") === col("b_part") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+
+    verify(cand, sets, tau)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs; only candidates — never
+    * the corpus cross product — reach this join. */
+  private def verify(cand: DataFrame, sets: DataFrame, tau: Double): DataFrame = {
+    val aSets = sets.select(col("id").as("a_id"), col("sh").as("a_sh"))
+    val bSets = sets.select(col("id").as("b_id"), col("sh").as("b_sh"))
+    cand.join(aSets, "a_id").join(bSets, "b_id")
+      .withColumn("jaccard", TextFns.jaccard(col("a_sh"), col("b_sh")))
+      .where(col("jaccard") >= tau)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** SimHash fingerprint (Charikar '02) of the token multiset: 64 per-bit
+    * majority votes over xxhash64 token hashes, packed into a long. Docs
+    * within small Hamming distance are near-duplicates. Deterministic;
+    * no cross-engine oracle (DuckDB lacks xxhash64) — covered by ScalaTest.
+    */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(TextFns.tokens(text), t => xxhash64(t))
+    // vote[b] = Σ tokens (bit b set ? +1 : −1); fingerprint bit b = vote>0
+    val votes = transform(sequence(lit(0), lit(63)), b =>
+      aggregate(hashes, lit(0),
+        // call_function: the shiftright Scala wrapper only takes Int bits,
+        // but here the bit index is a lambda variable
+        (acc, h) => acc + when(
+          call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(votes, lit(0L),
+      (acc, v) => shiftleft(acc, 1).bitwiseOR(when(v > 0, 1L).otherwise(0L)))
+  }
+}

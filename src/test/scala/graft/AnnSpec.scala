@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.SimilaritySearch
+import org.apache.spark.sql.functions._
+
+/** LSH ANN quality: on clustered data (where ANN is meaningful — on
+  * isotropic random vectors no sublinear method can beat a scan), the
+  * hyperplane-LSH path must recover most of the exact top-k while scanning
+  * only a fraction of the corpus. */
+class AnnSpec extends SparkSpec {
+
+  private val dim = 16
+
+  private def clustered(nClusters: Int, perCluster: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield {
+      val v = centers(c).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+      ((c * perCluster + i).toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("hyperplane LSH recall >= 0.7 vs exact top-10 on clustered vectors") {
+    val emb = clustered(10, 50).cache()
+    val exact = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = SimilaritySearch.lshTopK(emb, "vec_id", "embedding", 0L, 10, dim)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size / 10.0
+    assert(recall >= 0.7, s"recall $recall; exact=$exact approx=$approx")
+    emb.unpersist()
+  }
+
+  test("LSH candidate set is a strict subset of the corpus (bucket pruning happens)") {
+    val emb = clustered(10, 50)
+    // count rows surviving the bucket filter by running the same plan minus top-k
+    val probeKeyed = SimilaritySearch.lshTopK(emb, "vec_id", "embedding", 0L, 499, dim)
+    val nCand = probeKeyed.count()
+    assert(nCand < 499, s"LSH scanned the whole corpus ($nCand candidates)")
+    assert(nCand > 10, "degenerate bucketing")
+  }
+}
