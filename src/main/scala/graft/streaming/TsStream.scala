@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.ts.TsTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming face of the engine (SURVEY.md §2 B10).
+  *
+  * The reference is batch-only, but its ordered-append contract IS a stream
+  * sink contract: each microbatch must start at-or-after the stored max
+  * timestamp. `appendSink` enforces exactly that — `TsTable.append` runs
+  * per microbatch inside `foreachBatch`, so a time-regressing batch fails
+  * the streaming query the same way the reference's `append` raises
+  * `ValueError`.
+  *
+  * Everything here composes builtin Structured Streaming operators —
+  * incremental hash aggregation with watermark-based state eviction — so
+  * the same code runs on a real cluster with executors holding only
+  * watermark-bounded state. Batch/stream parity (same plan shapes, same
+  * results) is proven in TsStreamSpec by replaying the events fixture
+  * through a MemoryStream in chunks and comparing against the batch
+  * equivalents in TimeSeriesPack.
+  */
+object TsStream {
+
+  /** Streaming source over a TsTable/Parquet directory. Schema must be
+    * declared (streaming sources don't infer). */
+  def source(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling (slide == width) or sliding event-time window aggregation with
+    * watermark-based late-data drop and state eviction. */
+  def windowedCounts(df: DataFrame, tsCol: String, width: String,
+                     slide: Option[String] = None,
+                     watermark: String = "1 hour"): DataFrame = {
+    val win = slide.fold(window(col(tsCol), width))(s => window(col(tsCol), width, s))
+    df.withWatermark(tsCol, watermark)
+      .groupBy(win)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Session windows (gap-based) per key with watermark eviction. */
+  def sessionCounts(df: DataFrame, tsCol: String, keyCol: String, gap: String,
+                    watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n"))
+
+  /** Ordered streaming sink: lands each microbatch in `table` through the
+    * monotonic-append guard. The TsTable write path does its own day
+    * shuffle + within-partition sort, so files stay ts-sorted regardless of
+    * microbatch layout. */
+  def appendSink(stream: DataFrame, table: TsTable, checkpointDir: String,
+                 filesPerDay: Int = 1): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        table.append(batch, filesPerDay)
+      }
+
+  /** Run a write until no more input is available, then stop (batch-style
+    * drain; the production analogue is a continuous trigger). */
+  def drain(w: DataStreamWriter[Row]): Unit = {
+    val q: StreamingQuery = w.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+}
