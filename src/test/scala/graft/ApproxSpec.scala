@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** B4 no-oracle item: approx_count_distinct (HLL++) error bound vs exact.
+  * Nondeterministic across engines, so no DuckDB oracle — the contract here
+  * is the published HLL++ relative-standard-deviation bound. */
+class ApproxSpec extends SparkSpec {
+
+  test("approx_count_distinct stays within 3x rsd of exact on events") {
+    val ev = Tables.events(spark, sf001)
+    val rsd = 0.05
+    val r = ev.agg(
+      countDistinct(col("user_id")).as("exact_users"),
+      approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+      countDistinct(col("event_id")).as("exact_ids"),
+      approx_count_distinct(col("event_id"), rsd).as("approx_ids")).head
+    def relErr(exact: Long, approx: Long) = math.abs(approx - exact).toDouble / exact
+    // 3 sigma: P(outside) < 0.3%, and the inputs/seed are fixed so this is
+    // deterministic in practice
+    assert(relErr(r.getLong(0), r.getLong(1)) <= 3 * rsd,
+      s"user_id: exact=${r.getLong(0)} approx=${r.getLong(1)}")
+    assert(relErr(r.getLong(2), r.getLong(3)) <= 3 * rsd,
+      s"event_id: exact=${r.getLong(2)} approx=${r.getLong(3)}")
+  }
+
+  test("grouped approx distinct tracks exact per group") {
+    val ev = Tables.events(spark, sf001)
+    val rows = ev.groupBy(col("event_type")).agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.05).as("approx")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (e, a) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(a - e).toDouble / e <= 0.15, s"${r.getString(0)}: $e vs $a")
+    }
+  }
+}

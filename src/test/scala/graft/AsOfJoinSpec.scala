@@ -38,6 +38,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(1).getTimestamp(4) == t("2024-01-01 12:00:00"))
   }
 
+  test("null keys never match (left stays unmatched, null right rows dropped)") {
+    val left = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, null, t("2024-01-01 10:00:00")), // null key
+      Row(2L, 10L, null), // null time
+      Row(3L, 10L, t("2024-01-01 10:00:00"))
+    )), lSchema)
+    val right = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(null, t("2024-01-01 09:00:00"), 9.0), // null-key right: never a match
+      Row(10L, null, 8.0), // null-time right: never a match
+      Row(10L, t("2024-01-01 09:30:00"), 1.0)
+    )), rSchema)
+    val got = AsOfJoin.backward(left, right, "k", "rk", "t", "rt")
+      .orderBy("l_id").collect()
+    assert(got.length == 3) // left-outer: every left row survives
+    assert(got.map(r => (r.getLong(0), Option(r.get(5)))).toSeq == Seq(
+      (1L, None), (2L, None), (3L, Some(1.0))))
+  }
+
+  test("reserved internal column names are rejected") {
+    import spark.implicits._
+    val bad = Seq((1L, "x")).toDF("_k", "v")
+    val ok = Seq((1L, t("2024-01-01 00:00:00"))).toDF("id", "rt")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(bad, ok, "_k", "id", "v", "rt")
+    }
+  }
+
   test("as-of result row count always equals left row count") {
     val left = Tables.events(spark, sf0001).select("event_id", "user_id", "ts")
     val right = Tables.orders(spark, sf0001)
