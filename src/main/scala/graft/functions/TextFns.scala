@@ -41,4 +41,11 @@ object TextFns {
   /** Sum of element lengths of a string-array column (total token chars). */
   def totalLen(arr: Column): Column =
     aggregate(arr, lit(0), (acc, x) => acc + length(x))
+
+  /** GPT-2-style pre-tokenization: letter runs, digit runs, or single
+    * non-alnum marks — the unit a BPE tokenizer would merge from. Same
+    * regex runs on the DuckDB side (`regexp_extract_all`). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
 }

@@ -121,6 +121,61 @@ object LlmPack extends QueryPack {
     SimilaritySearch.lshTopK(Tables.embeddings(s, dir),
       idCol = "vec_id", vecCol = "embedding", probeId = 0L, k = 10, dim = 64)
 
+  /** Per-language stopword seed profiles (Cavnar–Trenkle-style profile
+    * scoring, collapsed to its word-level core): public high-frequency
+    * function words. Sorted by lang so plans and oracles enumerate
+    * identically. */
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "ein", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "pas"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
+
+  /** B9 language ID: score each doc against every profile (stopword-hit
+    * count — one codegen'd pass, profiles are plan-time literals), predict
+    * the argmax (ties → lexicographically greatest lang, zero hits →
+    * 'und'). The fixture's text is synthetic, so predictions are mostly
+    * 'en'/'und' — the contract here is the deterministic scoring pipeline,
+    * which the oracle replays in SQL. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextFns.tokens(lower(col("text")))
+    val scored = array(LangProfiles.map { case (l, ws) =>
+      struct(size(filter(tk, t => t.isin(ws: _*))).as("hits"), lit(l).as("lang"))
+    }: _*)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), array_max(scored).as("best"))
+      .select(col("doc_id"),
+        when(col("best.hits") === 0, "und").otherwise(col("best.lang")).as("lang_pred"),
+        col("best.hits").as("hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** B9 token counting, BPE-ish: GPT-2-style pre-tokens (letter runs, digit
+    * runs, punctuation marks) next to whitespace tokens, per language. */
+  def tokenBpe(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFns.tokens(col("text")))).as("total_ws_tokens"),
+        sum(size(TextFns.bpeTokens(col("text")))).as("total_bpe_tokens"))
+      .orderBy(col("lang"))
+
+  /** B9 embedding-cosine near-dup: LSH-bucketed candidates + exact verify
+    * (SimilaritySearch.cosinePairs). τ=0.45 is what this isotropic fixture
+    * supports; no oracle (probabilistic recall) — AnnSpec covers it. */
+  def dedupEmbed(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.cosinePairs(Tables.embeddings(s, dir),
+      idCol = "vec_id", vecCol = "embedding", tau = 0.45, dim = 64)
+
+  /** B9 rolling-hash fingerprints (winnowing/MOSS — NearDedup.winnow). No
+    * oracle (xxhash64); LlmPackSpec asserts the shared-substring guarantee. */
+  def fingerprintWinnow(s: SparkSession, dir: String): DataFrame =
+    NearDedup.winnow(Tables.documents(s, dir), idCol = "doc_id",
+        textCol = "text")
+      .select(col("doc_id"), col("fps"))
+      .orderBy(col("doc_id"))
+
   /** B9 multimodal plumbing: documents' text bytes treated as an opaque
     * binary payload with typed metadata — the schema/partitioning shape an
     * image/audio column takes (decode itself is stubbed: see
@@ -145,6 +200,10 @@ object LlmPack extends QueryPack {
     "q_token_topk" -> tokenTopk,
     "q_sim_topk" -> simTopk,
     "q_sim_ann" -> simAnn,
+    "q_lang_id" -> langId,
+    "q_token_bpe" -> tokenBpe,
+    "q_dedup_embed" -> dedupEmbed,
+    "q_fingerprint_winnow" -> fingerprintWinnow,
     "q_multimodal_meta" -> multimodalMeta)
 
   private val tokSql = "string_split_regex(trim(text), '\\s+')"
@@ -202,6 +261,26 @@ object LlmPack extends QueryPack {
         |SELECT vec_id, round(list_dot_product(v, p)
         |  / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(p, p))), 6) AS sim
         |FROM e, p ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_lang_id" -> {
+      val profileRows = LangProfiles.map { case (l, ws) =>
+        s"('$l', [${ws.map(w => s"'$w'").mkString(", ")}])"
+      }.mkString(",\n|    ")
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |sc AS (SELECT doc_id, p.lang,
+         |    len(list_filter(t, x -> list_contains(p.words, x))) AS hits
+         |  FROM tk, (VALUES $profileRows) p(lang, words)),
+         |r AS (SELECT doc_id, lang, hits,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+         |  FROM sc)
+         |SELECT doc_id, CASE WHEN hits = 0 THEN 'und' ELSE lang END AS lang_pred, hits
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+    "q_token_bpe" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |sum(len($tokSql)) AS total_ws_tokens,
+         |sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS total_bpe_tokens
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, sha256(text) AS sha,
         |substring(to_base64(text::BLOB), 1, 16) AS b64_head

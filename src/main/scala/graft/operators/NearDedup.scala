@@ -130,6 +130,43 @@ object NearDedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    * SIGMOD'03, the MOSS algorithm): rolling k-gram hashes, keep the min of
+    * every w-wide window. Any shared substring of length ≥ k+w−1 between two
+    * docs yields a shared fingerprint; density ≈ 2/(w+1). Deterministic
+    * (xxhash64) but not DuckDB-expressible → LlmPackSpec.
+    *
+    * Shape: one O(len) k-gram pass per row, explode, codegen'd window-min
+    * partitioned by doc, then a same-key aggregate (exchange reused — one
+    * shuffle total, keyed by doc id: embarrassingly parallel at any scale).
+    * Output: (doc_id, fps sorted array<long>). */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 8, w: Int = 16): DataFrame = {
+    // Normalize ONCE per doc, then explode gram POSITIONS and hash per
+    // exploded row. The Generate boundary matters: hashing an array built
+    // by a higher-order function would re-evaluate the normalize regex per
+    // element (CollapseProject inlines it into the lambda) — O(len²) per
+    // doc; here normalize is a materialized column and each row does O(k)
+    // substring+hash work.
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextFns.normalize(col(textCol)).as("norm"))
+    val exploded = base
+      .select(col("doc_id"), col("norm"),
+        (length(col("norm")) - (k - 1)).as("n"))
+      .select(col("doc_id"), col("n"),
+        posexplode(sequence(lit(1), greatest(col("n"), lit(0)))).as(Seq("pos", "i")),
+        col("norm"))
+      .select(col("doc_id"), col("n"), col("pos"),
+        xxhash64(substr(col("norm"), col("i"), lit(k))).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    exploded
+      .withColumn("wmin", min(col("h")).over(win))
+      .where(col("pos") <= greatest(col("n") - w, lit(0))) // full windows only
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("wmin"))).as("fps"))
+  }
+
   /** SimHash fingerprint (Charikar '02) of the token multiset: 64 per-bit
     * majority votes over xxhash64 token hashes, packed into a long. Docs
     * within small Hamming distance are near-duplicates. Deterministic;

@@ -39,27 +39,30 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** bits[j] = sign of ⟨v, plane_j⟩; keys[l] packs table l's bits. Planes are
+    * seeded at plan time and embedded as literals → deterministic. */
+  private def hyperplaneKeys(vec: org.apache.spark.sql.Column, dim: Int,
+                             tables: Int, planesPerTable: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(tables * planesPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
+    val bits = transform(typedLit(planes),
+      w => when(VectorFns.dot(vec, w) > 0, 1L).otherwise(0L))
+    transform(sequence(lit(0), lit(tables - 1)), l =>
+      aggregate(slice(bits, l * planesPerTable + 1, lit(planesPerTable)),
+        // tag with the table index so equal bit patterns in different
+        // tables can't collide through arrays_overlap / equi-joins
+        l.cast("long") * (1L << planesPerTable),
+        (acc, x) => shiftleft(acc, 1).bitwiseOR(x)))
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH + exact rerank. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               probeId: Long, k: Int, dim: Int,
               tables: Int = 8, planesPerTable: Int = 8,
               seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(tables * planesPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
-    val planesLit = typedLit(planes)
-
-    // bits[j] = sign of ⟨v, plane_j⟩; keys[l] packs table l's bits.
-    def keysOf(vec: org.apache.spark.sql.Column) = {
-      val bits = transform(planesLit,
-        w => when(VectorFns.dot(vec, w) > 0, 1L).otherwise(0L))
-      transform(sequence(lit(0), lit(tables - 1)), l =>
-        aggregate(slice(bits, l * planesPerTable + 1, lit(planesPerTable)),
-          // tag with the table index so equal bit patterns in different
-          // tables can't collide through arrays_overlap
-          l.cast("long") * (1L << planesPerTable),
-          (acc, x) => shiftleft(acc, 1).bitwiseOR(x)))
-    }
+    def keysOf(vec: org.apache.spark.sql.Column) =
+      hyperplaneKeys(vec, dim, tables, planesPerTable, seed)
 
     val v = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
@@ -73,5 +76,31 @@ object SimilaritySearch {
         round(VectorFns.cosine(col("v"), col("p")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Embedding-cosine near-dup: all pairs with cosine ≥ tau, found through
+    * LSH bucket collisions (candidate generation) + exact-cosine verify —
+    * the dense-vector sibling of NearDedup.minhashLsh, and like it never
+    * all-pairs: the self-join is on (table, bucket) keys, so only vectors
+    * agreeing on some table's sign pattern ever meet. Recall is
+    * probabilistic (tune tables/planesPerTable to the target tau); no
+    * cross-engine oracle — AnnSpec measures recall against brute force. */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                  tau: Double, dim: Int,
+                  tables: Int = 16, planesPerTable: Int = 4,
+                  seed: Long = 42L): DataFrame = {
+    val v = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("key",
+        explode(hyperplaneKeys(col("v"), dim, tables, planesPerTable, seed)))
+    val a = v.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("key"))
+    val b = v.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+      col("key").as("b_key"))
+    a.join(b, col("key") === col("b_key") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_v"), col("b_v")).distinct()
+      .withColumn("sim", round(VectorFns.cosine(col("a_v"), col("b_v")), 6))
+      .where(col("sim") >= tau)
+      .select(col("a_id"), col("b_id"), col("sim"))
+      .orderBy(col("a_id"), col("b_id"))
   }
 }

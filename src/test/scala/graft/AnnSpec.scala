@@ -36,6 +36,26 @@ class AnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("cosinePairs: finds the high-cosine pairs of clustered data, precision 1.0") {
+    import spark.implicits._
+    val emb = clustered(10, 20).cache()
+    val tau = 0.8
+    // brute-force truth (test-only; operators never do all-pairs)
+    val v = emb.select(col("vec_id").as("a_id"), col("embedding").cast("array<double>").as("a_v"))
+    val w = emb.select(col("vec_id").as("b_id"), col("embedding").cast("array<double>").as("b_v"))
+    val truth = v.crossJoin(w).where(col("a_id") < col("b_id"))
+      .withColumn("sim", round(graft.functions.VectorFns.cosine(col("a_v"), col("b_v")), 6))
+      .where(col("sim") >= tau)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size > 50) // same-cluster pairs are high-cosine
+    val got = SimilaritySearch.cosinePairs(emb, "vec_id", "embedding", tau, dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth)) // exact verify => no false positives
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall (${got.size}/${truth.size})")
+    emb.unpersist()
+  }
+
   test("LSH candidate set is a strict subset of the corpus (bucket pruning happens)") {
     val emb = clustered(10, 50)
     // count rows surviving the bucket filter by running the same plan minus top-k

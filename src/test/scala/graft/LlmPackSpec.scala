@@ -54,6 +54,50 @@ class LlmPackSpec extends SparkSpec {
     assert(ham(s1(1L), s1(2L)) <= 8) // one-token edit => few bit flips
   }
 
+  test("winnowing: shared substring of length >= k+w-1 implies shared fingerprint") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog by the riverbank"
+    val docs = Seq(
+      (1L, s"unrelated prefix text here $shared and some suffix"),
+      (2L, s"totally different beginning $shared with another ending"),
+      (3L, "no overlap with the others at all in this document text body")
+    ).toDF("doc_id", "text")
+    val fps = NearDedup.winnow(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty) // shared 61-char substring
+    // density ~ 2/(w+1): fingerprints are a small fraction of the k-grams
+    assert(fps(1L).size < 20)
+    // determinism
+    val again = NearDedup.winnow(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(again == fps)
+  }
+
+  test("language ID: predicts the profile language on real-language text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and looked at the dog that was in the garden"),
+      (2L, "el perro corre en el parque y la casa de los vecinos es grande"),
+      (3L, "der hund ist von dem haus und das kind ist nicht hier"),
+      (4L, "le chat est dans les jardins et un oiseau est pas loin de la maison"),
+      (5L, "xyzzy plugh qwerty asdf") // no profile hits anywhere
+    ).toDF("doc_id", "text")
+    // langId reads Tables.documents, so exercise the scoring core directly
+    val tk = graft.functions.TextFns.tokens(lower(col("text")))
+    val scored = docs.select(col("doc_id"), array_max(array(
+      Seq("de" -> Seq("der", "die", "und", "das", "ist", "von", "ein", "nicht"),
+        "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that"),
+        "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se"),
+        "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "pas"),
+        "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不")).map { case (l, ws) =>
+        struct(size(filter(tk, t => t.isin(ws: _*))).as("hits"), lit(l).as("lang"))
+      }: _*)).as("best"))
+      .select(col("doc_id"),
+        when(col("best.hits") === 0, "und").otherwise(col("best.lang")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scored == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "und"))
+  }
+
   test("token top-k and text stats agree with direct recomputation") {
     val stats = LlmPack.textStats(spark, sf0001).collect()
     assert(stats.length == 5) // 5 langs
