@@ -91,11 +91,16 @@ object NearDedup {
       .where(size(col("sh")) > 0)
 
     val k = bands * rowsPerBand
-    // sig_i = min over shingles of xxhash64(i, shingle): k independent
-    // permutation surrogates from one seed-free hash family.
-    val sigCols = (0 until k).map(i => min(xxhash64(lit(i), col("t"))).as(s"s$i"))
+    // sig_i = min over shingles of hash_i(shingle): k independent
+    // permutation surrogates from one seed-free hash family. The variable-
+    // length shingle STRING is hashed exactly once per row (`h`); the k
+    // per-permutation hashes then mix the fixed 8-byte long — k× cheaper
+    // than re-hashing the string k times, identical independence properties
+    // (xxhash64(i, ·) over a 64-bit input is still a seed-free family).
+    val sigCols = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"s$i"))
     val sig = sets
       .select(col("id"), col("part"), explode(col("sh")).as("t"))
+      .select(col("id"), col("part"), xxhash64(col("t")).as("h"))
       .groupBy(col("id"), col("part"))
       .agg(sigCols.head, sigCols.tail: _*)
 

@@ -89,15 +89,21 @@ object SimilaritySearch {
                   tau: Double, dim: Int,
                   tables: Int = 16, planesPerTable: Int = 4,
                   seed: Long = 42L): DataFrame = {
-    val v = emb.select(col(idCol).as("vec_id"),
+    val base = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
-      .withColumn("key",
-        explode(hyperplaneKeys(col("v"), dim, tables, planesPerTable, seed)))
-    val a = v.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("key"))
-    val b = v.select(col("vec_id").as("b_id"), col("v").as("b_v"),
-      col("key").as("b_key"))
-    a.join(b, col("key") === col("b_key") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_v"), col("b_v")).distinct()
+    // Candidate generation shuffles IDS ONLY: dragging the dim-wide vectors
+    // through the bucket self-join + distinct would move candidate-count ×
+    // vector-size bytes (the dominant cost measured at sf0.1); the exact
+    // vectors are re-joined afterwards at deduped-candidate cardinality.
+    val keyed = base.select(col("vec_id"),
+      explode(hyperplaneKeys(col("v"), dim, tables, planesPerTable, seed)).as("key"))
+    val cand = keyed.select(col("vec_id").as("a_id"), col("key"))
+      .join(keyed.select(col("vec_id").as("b_id"), col("key").as("b_key")),
+        col("key") === col("b_key") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(base.select(col("vec_id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(base.select(col("vec_id").as("b_id"), col("v").as("b_v")), "b_id")
       .withColumn("sim", round(VectorFns.cosine(col("a_v"), col("b_v")), 6))
       .where(col("sim") >= tau)
       .select(col("a_id"), col("b_id"), col("sim"))
