@@ -49,6 +49,14 @@ object Tables {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
+  /** SQL entry point (SURVEY.md §3.3): register every fixture table as a
+    * temp view so the entire query surface is reachable through
+    * `spark.sql(...)`. Planning is identical to the DataFrame path —
+    * Catalyst sees the same logical plans — this is pure name registration
+    * (SqlSurfaceSpec asserts DataFrame/SQL result equality). */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -169,12 +169,13 @@ object LlmPack extends QueryPack {
       idCol = "vec_id", vecCol = "embedding", tau = 0.45, dim = 64)
 
   /** B9 rolling-hash fingerprints (winnowing/MOSS — NearDedup.winnow). No
-    * oracle (xxhash64); LlmPackSpec asserts the shared-substring guarantee. */
+    * oracle (xxhash64); LlmPackSpec asserts the shared-substring guarantee.
+    * One scalar (doc_id, fp) row per fingerprint so the driver's rows-only
+    * comparator can sort the result. */
   def fingerprintWinnow(s: SparkSession, dir: String): DataFrame =
     NearDedup.winnow(Tables.documents(s, dir), idCol = "doc_id",
         textCol = "text")
-      .select(col("doc_id"), col("fps"))
-      .orderBy(col("doc_id"))
+      .orderBy(col("doc_id"), col("fp"))
 
   /** B9 multimodal plumbing: documents' text bytes treated as an opaque
     * binary payload with typed metadata — the schema/partitioning shape an
@@ -228,9 +229,13 @@ object LlmPack extends QueryPack {
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_near" -> nearDupOracle,
     "q_dedup_minhash" -> nearDupOracle,
+    // Raw integer sum() in DuckDB returns HUGEINT, which the driver's pandas
+    // bridge materializes as float64 while Spark emits int64 — values equal,
+    // hashes different. Every integer sum below is therefore CAST to BIGINT.
     "q_text_stats" ->
-      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-         |sum(len($tokSql)) AS total_tokens,
+      s"""SELECT lang, count(*) AS n_docs,
+         |CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |CAST(sum(len($tokSql)) AS BIGINT) AS total_tokens,
          |CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
          |CAST(sum(len($tokSql)) AS DOUBLE) / count(*) AS avg_tokens,
          |count(DISTINCT source) AS n_sources
@@ -278,8 +283,8 @@ object LlmPack extends QueryPack {
     },
     "q_token_bpe" ->
       s"""SELECT lang, count(*) AS n_docs,
-         |sum(len($tokSql)) AS total_ws_tokens,
-         |sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS total_bpe_tokens
+         |CAST(sum(len($tokSql)) AS BIGINT) AS total_ws_tokens,
+         |CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, sha256(text) AS sha,

@@ -45,6 +45,16 @@ object NearDedup {
     val df = sets.select(explode(col("sh")).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
 
+    // Prefix/size bounds use ε-guarded rounding: n·τ in binary doubles can
+    // land a hair ABOVE an exactly-integral true value (τ=0.8 is inexact),
+    // and a spurious ceil round-up would shrink the pigeonhole prefix (or
+    // tighten the size bound) by one — a potential missed true pair. The ε
+    // only ever widens the bounds (more candidates, never fewer), so recall
+    // stays 100% and the exact verify step keeps precision exact. |ulp error|
+    // of n·τ is ~1e-13·n, so ε=1e-6 is orders of magnitude above the error
+    // and below the 1-integer grid for any corpus-plausible n.
+    val Eps = 1e-6
+
     // Rank each doc's shingles rarest-first; keep the pigeonhole prefix.
     val ranked = sets
       .select(col("id"), col("part"), size(col("sh")).as("n"),
@@ -53,7 +63,7 @@ object NearDedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))))
     val prefix = ranked
-      .where(col("rn") <= col("n") - ceil(col("n") * lit(tau)) + 1)
+      .where(col("rn") <= col("n") - ceil(col("n") * lit(tau) - Eps) + 1)
       .select(col("id"), col("part"), col("n"), col("sh"))
 
     // Candidate pairs: prefix-shingle equality + the size bound
@@ -65,8 +75,8 @@ object NearDedup {
     val cand = a.join(b,
         col("sh") === col("b_sh") && col("part") === col("b_part") &&
           col("a_id") < col("b_id") &&
-          col("b_n") >= ceil(col("a_n") * lit(tau)) &&
-          col("b_n") <= floor(col("a_n") / lit(tau)))
+          col("b_n") >= ceil(col("a_n") * lit(tau) - Eps) &&
+          col("b_n") <= floor(col("a_n") / lit(tau) + Eps))
       .select(col("a_id"), col("b_id")).distinct()
 
     verify(cand, sets, tau)
@@ -142,9 +152,12 @@ object NearDedup {
     * (xxhash64) but not DuckDB-expressible → LlmPackSpec.
     *
     * Shape: one O(len) k-gram pass per row, explode, codegen'd window-min
-    * partitioned by doc, then a same-key aggregate (exchange reused — one
+    * partitioned by doc, then a same-key distinct (exchange reused — one
     * shuffle total, keyed by doc id: embarrassingly parallel at any scale).
-    * Output: (doc_id, fps sorted array<long>). */
+    * Output: one (doc_id, fp) row per distinct fingerprint — scalar columns
+    * only, so any downstream comparator can sort/hash the result (an
+    * array<long> column is not comparable in the driver's pandas bridge).
+    * Docs shorter than k normalized chars emit no rows. */
   def winnow(docs: DataFrame, idCol: String, textCol: String,
              k: Int = 8, w: Int = 16): DataFrame = {
     // Normalize ONCE per doc, then explode gram POSITIONS and hash per
@@ -158,26 +171,37 @@ object NearDedup {
     val exploded = base
       .select(col("doc_id"), col("norm"),
         (length(col("norm")) - (k - 1)).as("n"))
+      // n >= 1 guard: sequence(1, 0) counts DOWN to [1, 0], which would leak
+      // a partial (< k chars) gram for docs shorter than k — breaking the
+      // "shared fingerprint ⇒ shared k-gram" guarantee for short docs.
+      .where(col("n") >= 1)
       .select(col("doc_id"), col("n"),
-        posexplode(sequence(lit(1), greatest(col("n"), lit(0)))).as(Seq("pos", "i")),
+        posexplode(sequence(lit(1), col("n"))).as(Seq("pos", "i")),
         col("norm"))
       .select(col("doc_id"), col("n"), col("pos"),
         xxhash64(substr(col("norm"), col("i"), lit(k))).as("h"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     exploded
-      .withColumn("wmin", min(col("h")).over(win))
+      .withColumn("fp", min(col("h")).over(win))
       .where(col("pos") <= greatest(col("n") - w, lit(0))) // full windows only
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("wmin"))).as("fps"))
+      .select(col("doc_id"), col("fp")).distinct()
   }
 
   /** SimHash fingerprint (Charikar '02) of the token multiset: 64 per-bit
     * majority votes over xxhash64 token hashes, packed into a long. Docs
     * within small Hamming distance are near-duplicates. Deterministic;
     * no cross-engine oracle (DuckDB lacks xxhash64) — covered by ScalaTest.
-    */
-  def simhash64(text: Column): Column = {
+    *
+    * One native codegen'd pass per row (org.apache.spark.sql.graft
+    * .SimHash64); bit-identical to the HOF formulation below, which is kept
+    * only as the semantic cross-check in HashExprSpec — never in a query
+    * path (64 interpreted passes over the token hashes per row). */
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.graft.HashExprs.simhash64(TextFns.tokens(text))
+
+  /** Pre-r3 interpreted HOF formulation — HashExprSpec cross-check only. */
+  private[graft] def simhash64Hof(text: Column): Column = {
     val hashes = transform(TextFns.tokens(text), t => xxhash64(t))
     // vote[b] = Σ tokens (bit b set ? +1 : −1); fingerprint bit b = vote>0
     val votes = transform(sequence(lit(0), lit(63)), b =>

@@ -88,6 +88,19 @@ object RelationalPack extends QueryPack {
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** B4 approximate distinct count per group (HyperLogLog++): the sketch is
+    * mergeable, so the plan is partial+final aggregation with fixed-size
+    * (not cardinality-size) shuffle state — the 100 TB alternative to
+    * countDistinct's expand+two-phase shuffle. Deterministic for a given
+    * dataset (seed-free HLL), but approximate → no DuckDB oracle; the error
+    * bound is asserted in ApproxSpec and the driver records a rows check. */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** B4 rollup over nation × order priority (grouping-set nulls are folded to
     * 'ALL' on both sides so null-ordering dialects can't diverge). */
   def aggRollup(s: SparkSession, dir: String): DataFrame =
@@ -151,6 +164,7 @@ object RelationalPack extends QueryPack {
     "q_anti_join" -> antiJoin,
     "q_agg_pricing_summary" -> aggPricingSummary,
     "q_agg_distinct" -> aggDistinct,
+    "q_approx_distinct" -> aggApproxDistinct,
     "q_agg_rollup" -> aggRollup,
     "q_window_topn_per_group" -> windowTopnPerGroup,
     "q_topk" -> topk,

@@ -39,21 +39,22 @@ object SimilaritySearch {
       .limit(k)
   }
 
-  /** bits[j] = sign of ⟨v, plane_j⟩; keys[l] packs table l's bits. Planes are
-    * seeded at plan time and embedded as literals → deterministic. */
+  /** bits[j] = sign of ⟨v, plane_j⟩; keys[l] = (l << b) | table l's bits —
+    * the table-index tag means keys from different tables can never collide
+    * through arrays_overlap / equi-joins. Planes are seeded at plan time and
+    * baked into a native codegen Expression (one fused loop nest per row —
+    * the pre-r3 HOF formulation ran every projection as an interpreted
+    * lambda), so results are deterministic. `expandBits` additionally emits
+    * each table key's radius-1 Hamming neighbors (multiprobe — see
+    * HyperplaneKeys). */
   private def hyperplaneKeys(vec: org.apache.spark.sql.Column, dim: Int,
-                             tables: Int, planesPerTable: Int, seed: Long) = {
+                             tables: Int, planesPerTable: Int, seed: Long,
+                             expandBits: Boolean = false) = {
     val rnd = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] =
       Seq.fill(tables * planesPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
-    val bits = transform(typedLit(planes),
-      w => when(VectorFns.dot(vec, w) > 0, 1L).otherwise(0L))
-    transform(sequence(lit(0), lit(tables - 1)), l =>
-      aggregate(slice(bits, l * planesPerTable + 1, lit(planesPerTable)),
-        // tag with the table index so equal bit patterns in different
-        // tables can't collide through arrays_overlap / equi-joins
-        l.cast("long") * (1L << planesPerTable),
-        (acc, x) => shiftleft(acc, 1).bitwiseOR(x)))
+    org.apache.spark.sql.graft.VectorExprs.hyperplaneKeys(
+      vec, planes, planesPerTable, expandBits)
   }
 
   /** Approximate top-k via multi-table hyperplane LSH + exact rerank. */
@@ -78,29 +79,54 @@ object SimilaritySearch {
       .limit(k)
   }
 
-  /** Embedding-cosine near-dup: all pairs with cosine ≥ tau, found through
-    * LSH bucket collisions (candidate generation) + exact-cosine verify —
-    * the dense-vector sibling of NearDedup.minhashLsh, and like it never
-    * all-pairs: the self-join is on (table, bucket) keys, so only vectors
-    * agreeing on some table's sign pattern ever meet. Recall is
-    * probabilistic (tune tables/planesPerTable to the target tau); no
-    * cross-engine oracle — AnnSpec measures recall against brute force. */
-  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-                  tau: Double, dim: Int,
-                  tables: Int = 16, planesPerTable: Int = 4,
-                  seed: Long = 42L): DataFrame = {
+  /** Candidate pairs for `cosinePairs` (exposed so AnnSpec can assert the
+    * candidate-volume bound directly): vectors whose sign signature agrees
+    * on ≥ b−1 of some table's b hyperplanes. One side emits plain table
+    * keys, the other the radius-1 multiprobe expansion, so an equi-join on
+    * the key matches exactly Hamming(sig_a, sig_b) ≤ 1 per table.
+    *
+    * Scale math (b = 13 planes, T = 12 tables, radius-1 probing): a random
+    * (near-orthogonal) pair collides in a table with p = (1+b)/2ᵇ = 14/8192,
+    * so expected candidate volume ≈ T·14/8192 ≈ 2% of N²/2 — genuinely
+    * subquadratic-with-small-constant, vs the pre-r3 tuning (16 tables × 4
+    * planes) whose ≈ N²/2 candidates were all-pairs with a constant. A
+    * cosine-τ pair survives with per-table q = pᵇ + b·pᵇ⁻¹(1−p) where
+    * p = 1 − arccos(τ)/π; across 12 tables that is ≈ 95% at τ = 0.8 and
+    * rises steeply with τ (≈ 100% at τ ≥ 0.9) — AnnSpec asserts both the
+    * recall and the candidate-fraction ceiling. */
+  def cosineCandidates(emb: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, tables: Int = 12, planesPerTable: Int = 13,
+                       seed: Long = 42L): DataFrame = {
     val base = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
     // Candidate generation shuffles IDS ONLY: dragging the dim-wide vectors
     // through the bucket self-join + distinct would move candidate-count ×
     // vector-size bytes (the dominant cost measured at sf0.1); the exact
     // vectors are re-joined afterwards at deduped-candidate cardinality.
-    val keyed = base.select(col("vec_id"),
+    val plain = base.select(col("vec_id").as("a_id"),
       explode(hyperplaneKeys(col("v"), dim, tables, planesPerTable, seed)).as("key"))
-    val cand = keyed.select(col("vec_id").as("a_id"), col("key"))
-      .join(keyed.select(col("vec_id").as("b_id"), col("key").as("b_key")),
-        col("key") === col("b_key") && col("a_id") < col("b_id"))
+    val probed = base.select(col("vec_id").as("b_id"),
+      explode(hyperplaneKeys(col("v"), dim, tables, planesPerTable, seed,
+        expandBits = true)).as("b_key"))
+    plain.join(probed, col("key") === col("b_key") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
+  }
+
+  /** Embedding-cosine near-dup: all pairs with cosine ≥ tau, found through
+    * LSH bucket collisions (candidate generation) + exact-cosine verify —
+    * the dense-vector sibling of NearDedup.minhashLsh, and like it never
+    * all-pairs: the self-join is on (table, bucket) keys, so only vectors
+    * agreeing (up to 1 bit, via multiprobe) on some table's sign pattern
+    * ever meet. Recall is probabilistic (tune tables/planesPerTable to the
+    * target tau); no cross-engine oracle — AnnSpec measures recall against
+    * brute force and bounds the candidate fraction. */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                  tau: Double, dim: Int,
+                  tables: Int = 12, planesPerTable: Int = 13,
+                  seed: Long = 42L): DataFrame = {
+    val base = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cand = cosineCandidates(emb, idCol, vecCol, dim, tables, planesPerTable, seed)
     cand
       .join(base.select(col("vec_id").as("a_id"), col("v").as("a_v")), "a_id")
       .join(base.select(col("vec_id").as("b_id"), col("v").as("b_v")), "b_id")

@@ -86,13 +86,23 @@ final class TsTable private (
     *   - rows are split across daily partitions (created on demand by the
     *     Parquet writer) and each partition's file(s) are sorted by ts.
     *
-    * Input-batch sortedness is NOT required (a DataFrame has no row order);
-    * the write path establishes the sorted-within-partition invariant itself.
+    * Input-batch sortedness is NOT required by default (a DataFrame has no
+    * logical row order); the write path establishes the sorted-within-
+    * partition invariant itself. `strict = true` restores the reference's
+    * contract — tstables' `append` raises `ValueError` on an unsorted input
+    * batch — interpreted over the batch's PHYSICAL row order (what a user
+    * gets reading an ordered file): within every input partition, rows must
+    * be ts-non-decreasing, and partition boundaries must not interleave.
+    * Costs one extra validation pass; leave it off when the input carries no
+    * meaningful order.
     *
     * @param filesPerDay >1 range-splits heavy days into several ts-sorted
     *                    files (each file still covers a contiguous ts slice).
+    * @param strict      reject batches that are not ts-sorted in physical
+    *                    row order (reference ValueError parity).
     */
-  def append(batch: DataFrame, filesPerDay: Int = 1): Unit = {
+  def append(batch: DataFrame, filesPerDay: Int = 1, strict: Boolean = false): Unit = {
+    if (strict) requireSortedBatch(batch)
     require(filesPerDay >= 1, "filesPerDay must be >= 1")
     val names = batch.schema.fieldNames.toSeq
     require(names.contains(tsCol), s"batch is missing ts column '$tsCol'")
@@ -130,6 +140,49 @@ final class TsTable private (
       .sortWithinPartitions(col(PartCol), col(tsCol))
       .write.mode("append").partitionBy(PartCol).parquet(path)
   }
+
+  /** Strict-mode validation (reference ValueError parity, SURVEY §5.2.4
+    * property (c)): the batch must be ts-sorted in physical row order.
+    * Within-partition order is checked distributed (lag over
+    * (partition-id, physical position)); cross-partition interleaving is
+    * checked on the driver over the numPartitions-row (pid, min, max)
+    * summary — never the data itself. */
+  private def requireSortedBatch(batch: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val ordered = batch.select(col(tsCol).as("__ts"),
+      spark_partition_id().as("__pid"),
+      monotonically_increasing_id().as("__mid"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__mid"))
+    val unsortedWithin = ordered
+      .withColumn("__prev", lag(col("__ts"), 1).over(w))
+      .where(col("__prev") > col("__ts"))
+      .limit(1).count() > 0
+    if (unsortedWithin)
+      throw new IllegalArgumentException(
+        s"append(strict): batch rows are not sorted by '$tsCol' in row order")
+    val spans = ordered.groupBy(col("__pid"))
+      .agg(min(col("__ts")).as("lo"), max(col("__ts")).as("hi"))
+      .orderBy(col("__pid"))
+      .collect() // numPartitions rows
+    spans.sliding(2).foreach {
+      case Array(a, b) =>
+        if (b.getTimestamp(1) != null && a.getTimestamp(2) != null &&
+            b.getTimestamp(1).before(a.getTimestamp(2)))
+          throw new IllegalArgumentException(
+            s"append(strict): partition ${b.getInt(0)} starts at ${b.getTimestamp(1)} " +
+              s"before partition ${a.getInt(0)} ends at ${a.getTimestamp(2)}")
+      case _ => ()
+    }
+  }
+
+  /** Register the table under `name` for `spark.sql` access. The view keeps
+    * the `p_date` partition column so SQL range queries can write the same
+    * pruning predicate `readRange` emits:
+    * {{{ SELECT ... WHERE p_date BETWEEN to_date(:a) AND to_date(:b)
+    *     AND ts BETWEEN :a AND :b }}}
+    * (partition pruning fires on the p_date conjunct exactly as in the
+    * DataFrame path — asserted in SqlSurfaceSpec). */
+  def registerView(name: String): Unit = raw.createOrReplaceTempView(name)
 
   def schema: StructType = storedSchema
 }

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -72,10 +72,132 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd multi-table random-hyperplane LSH keys (Charikar,
+  * STOC'02) for a dense vector.
+  *
+  * For `T = planes.length / planesPerTable` tables of `b = planesPerTable`
+  * sign bits each:
+  *
+  *   bit_j  = ⟨vec, planes(j)⟩ > 0
+  *   key_l  = (l << b) | bits of table l   (table-index tag ⇒ keys from
+  *                                          different tables can never
+  *                                          collide in an equi-join)
+  *
+  * With `expandBits = true` (multiprobe, Lv et al., VLDB'07 — the classic
+  * probing-sequence idea reduced to radius 1), each table additionally
+  * emits the b keys at Hamming distance 1 in the bit positions (the tag
+  * bits are never flipped, so probes stay inside their table). Joining
+  * plain keys on one side against expanded keys on the other matches every
+  * pair whose table signature differs in ≤ 1 bit — multiplying per-table
+  * recall several-fold while candidate volume grows only (b+1)/2ᵇ.
+  *
+  * The pre-r3 formulation (`transform(typedLit(planes), w => ...)` +
+  * `aggregate(slice(...))`) evaluated every plane projection as an
+  * interpreted higher-order lambda — T·b interpreted dot products per row.
+  * Here the plane matrix is a codegen reference object and the whole key
+  * computation is one fused loop nest inside whole-stage codegen.
+  */
+case class HyperplaneKeys(child: Expression, planes: Seq[Seq[Double]],
+                          planesPerTable: Int, expandBits: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(planes.nonEmpty && planes.length % planesPerTable == 0,
+    s"${planes.length} planes not divisible into tables of $planesPerTable")
+
+  private val dim = planes.head.length
+  private val numTables = planes.length / planesPerTable
+  private val keysPerTable = if (expandBits) planesPerTable + 1 else 1
+
+  @transient private lazy val flat: Array[Double] = planes.flatten.toArray
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hyperplane_keys"
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    val keys = new Array[Long](numTables * keysPerTable)
+    val b = planesPerTable
+    var pos = 0
+    var l = 0
+    while (l < numTables) {
+      var key = l.toLong
+      var j = 0
+      while (j < b) {
+        val off = (l * b + j) * dim
+        val m = math.min(dim, v.numElements())
+        var s = 0.0
+        var d = 0
+        while (d < m) {
+          if (!v.isNullAt(d)) s += flat(off + d) * v.getDouble(d)
+          d += 1
+        }
+        key = (key << 1) | (if (s > 0) 1L else 0L)
+        j += 1
+      }
+      keys(pos) = key; pos += 1
+      if (expandBits) {
+        var j = 0
+        while (j < b) { keys(pos) = key ^ (1L << j); pos += 1; j += 1 }
+      }
+      l += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.addReferenceObj("planes", flat, "double[]")
+      val keys = ctx.freshName("keys")
+      val pos = ctx.freshName("pos")
+      val l = ctx.freshName("l")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val key = ctx.freshName("key")
+      val off = ctx.freshName("off")
+      val b = planesPerTable
+      val expandCode = if (expandBits)
+        s"for (int $j = 0; $j < $b; $j++) { $keys[$pos++] = $key ^ (1L << $j); }"
+      else ""
+      s"""
+         |long[] $keys = new long[${numTables * keysPerTable}];
+         |int $pos = 0;
+         |int $m = java.lang.Math.min($dim, $a.numElements());
+         |for (int $l = 0; $l < $numTables; $l++) {
+         |  long $key = (long) $l;
+         |  for (int $j = 0; $j < $b; $j++) {
+         |    int $off = ($l * $b + $j) * $dim;
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $m; $d++) {
+         |      if (!$a.isNullAt($d)) $s += $p[$off + $d] * $a.getDouble($d);
+         |    }
+         |    $key = ($key << 1) | (($s > 0) ? 1L : 0L);
+         |  }
+         |  $keys[$pos++] = $key;
+         |  $expandCode
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneKeys =
+    copy(child = newChild)
+}
+
 /** Column-level face of the native expressions (the only place that needs
   * the private[sql] bridge). */
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def hyperplaneKeys(vec: Column, planes: Seq[Seq[Double]],
+                     planesPerTable: Int, expandBits: Boolean = false): Column =
+    ExpressionUtils.column(HyperplaneKeys(
+      ExpressionUtils.expression(vec), planes, planesPerTable, expandBits))
 }

@@ -56,6 +56,20 @@ class AnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("cosinePairs candidate volume is subquadratic: < 5% of all pairs on isotropic data") {
+    // On the (isotropic) embeddings fixture a random pair should collide in
+    // a table with p = (1+b)/2^b, so candidates ≈ T·13/4096 ≈ 3.8% of N²/2.
+    // This pins the subquadratic claim to a measured ceiling — the pre-r3
+    // tuning (16 tables × 4 planes) produced ≈ 50% here, i.e. all-pairs
+    // with a constant.
+    val emb = Tables.embeddings(spark, sf001)
+    val n = emb.count()
+    val nCand = SimilaritySearch.cosineCandidates(emb, "vec_id", "embedding", 64).count()
+    val frac = nCand.toDouble / (n.toDouble * (n - 1) / 2)
+    assert(frac < 0.05, s"candidate fraction $frac ($nCand pairs of n=$n)")
+    assert(nCand > 0, "degenerate bucketing: no candidates at all")
+  }
+
   test("LSH candidate set is a strict subset of the corpus (bucket pruning happens)") {
     val emb = clustered(10, 50)
     // count rows surviving the bucket filter by running the same plan minus top-k

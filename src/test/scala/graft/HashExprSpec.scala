@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.NearDedup
+import org.apache.spark.sql.functions._
+
+/** Native SimHash64 / HyperplaneKeys expressions vs their interpreted HOF
+  * formulations: values must agree bit-for-bit, and the native forms must
+  * actually run inside whole-stage codegen (the entire point of having
+  * them). */
+class HashExprSpec extends SparkSpec {
+
+  test("native simhash64 == HOF simhash64 bit-for-bit on the documents fixture") {
+    val d = Tables.documents(spark, sf0001)
+      .select(NearDedup.simhash64(col("text")).as("native"),
+        NearDedup.simhash64Hof(col("text")).as("hof"))
+    assert(d.where(col("native") =!= col("hof")).count() == 0)
+    assert(d.count() == 500)
+  }
+
+  test("simhash64 edge cases: empty and null-ish token arrays") {
+    import spark.implicits._
+    val d = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("id", "text")
+    val got = d.select(col("id"), NearDedup.simhash64(col("text")).as("s"),
+        NearDedup.simhash64Hof(col("text")).as("hs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (_, s, hs) => assert(s == hs) }
+  }
+
+  test("simhash64 runs inside whole-stage codegen") {
+    val d = Tables.documents(spark, sf0001)
+      .select(NearDedup.simhash64(col("text")).as("s"))
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"simhash not codegen-fused:\n$plan")
+  }
+
+  test("hyperplane keys: tag isolates tables; expandBits emits the radius-1 ball") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VectorExprs
+    val planes = Seq(
+      Seq(1.0, 0.0), Seq(0.0, 1.0), // table 0
+      Seq(-1.0, 0.0), Seq(0.0, -1.0)) // table 1
+    val df = Seq((1L, Seq(3.0, -2.0))).toDF("id", "v")
+    val plain = df.select(VectorExprs.hyperplaneKeys(col("v"), planes, 2).as("k"))
+      .head.getSeq[Long](0)
+    // v = (3,-2): table0 bits = (1,0) -> key (0<<2)|0b10 = 2
+    //             table1 bits = (0,1) -> key (1<<2)|0b01 = 5
+    assert(plain == Seq(2L, 5L))
+    val expanded = df.select(
+        VectorExprs.hyperplaneKeys(col("v"), planes, 2, expandBits = true).as("k"))
+      .head.getSeq[Long](0)
+    // per table: key, key^1, key^2 — tag bits never flipped
+    assert(expanded == Seq(2L, 3L, 0L, 5L, 4L, 7L))
+  }
+}

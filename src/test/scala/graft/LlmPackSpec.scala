@@ -62,15 +62,21 @@ class LlmPackSpec extends SparkSpec {
       (2L, s"totally different beginning $shared with another ending"),
       (3L, "no overlap with the others at all in this document text body")
     ).toDF("doc_id", "text")
-    val fps = NearDedup.winnow(docs, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def collectFps = NearDedup.winnow(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).toSet }
+    val fps = collectFps
     assert(fps(1L).intersect(fps(2L)).nonEmpty) // shared 61-char substring
     // density ~ 2/(w+1): fingerprints are a small fraction of the k-grams
     assert(fps(1L).size < 20)
     // determinism
-    val again = NearDedup.winnow(docs, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
-    assert(again == fps)
+    assert(collectFps == fps)
+  }
+
+  test("winnowing: docs shorter than k emit no (possibly-partial-gram) fingerprints") {
+    import spark.implicits._
+    val docs = Seq((1L, "tiny"), (2L, ""), (3L, "  a  b  ")).toDF("doc_id", "text")
+    assert(NearDedup.winnow(docs, "doc_id", "text").count() == 0)
   }
 
   test("language ID: predicts the profile language on real-language text") {

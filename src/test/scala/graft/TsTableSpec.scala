@@ -111,6 +111,39 @@ class TsTableSpec extends SparkSpec {
     assert(tab.toDF.count() == 0)
   }
 
+  test("strict append: unsorted physical row order rejected (reference ValueError parity)") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    // sorted batch (order preserved across parallelize's 2 partitions): ok
+    tab.append(mkRows(Seq(
+      ("2024-03-01 10:00:00", 1L, 1.0),
+      ("2024-03-01 11:00:00", 2L, 2.0),
+      ("2024-03-01 12:00:00", 3L, 3.0),
+      ("2024-03-01 13:00:00", 4L, 4.0))), strict = true)
+    assert(tab.toDF.count() == 4)
+    // within-partition regression: rejected before any write
+    intercept[IllegalArgumentException] {
+      tab.append(mkRows(Seq(
+        ("2024-03-02 12:00:00", 5L, 5.0),
+        ("2024-03-02 10:00:00", 6L, 6.0))), strict = true)
+    }
+    // cross-partition interleave: each half sorted, but partition 2 starts
+    // before partition 1 ends
+    intercept[IllegalArgumentException] {
+      tab.append(mkRows(Seq(
+        ("2024-03-02 10:00:00", 5L, 5.0),
+        ("2024-03-02 12:00:00", 6L, 6.0),
+        ("2024-03-02 11:00:00", 7L, 7.0),
+        ("2024-03-02 13:00:00", 8L, 8.0))), strict = true)
+    }
+    assert(tab.toDF.count() == 4) // nothing from the rejected batches landed
+    // default mode still accepts unsorted input (documented deviation)
+    tab.append(mkRows(Seq(
+      ("2024-03-02 12:00:00", 9L, 9.0),
+      ("2024-03-02 10:00:00", 10L, 10.0))))
+    assert(tab.toDF.count() == 6)
+  }
+
   test("empty range result has correct columns and zero rows") {
     val dir = freshDir()
     val tab = TsTable.create(spark, dir, schema)
