@@ -99,6 +99,24 @@ object LlmPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** B9 repetition quality filter (the Gopher/C4-style repeated-n-gram
+    * rule): fraction of a doc's word 3-grams that are duplicates —
+    * high-repetition docs are boilerplate/spam candidates. Per-row only
+    * (no shuffle at all before the determinism sort): total trigrams from
+    * the token count, distinct trigrams from the shingle set, one IEEE
+    * division — identical op order in the DuckDB oracle. */
+  def qualityRepetition(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(TextFns.tokens(col("text")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        greatest(nTok - 2, lit(0)).as("n_tri"),
+        size(TextFns.shingles3(col("text"))).as("n_tri_distinct"))
+      .withColumn("dup_frac",
+        when(col("n_tri") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("n_tri_distinct").cast("double") / col("n_tri")))
+      .orderBy(col("doc_id"))
+  }
+
   /** B9 corpus token frequencies: explode → hash agg (map-side combine
     * collapses to vocabulary size before the shuffle) → top-20. */
   def tokenTopk(s: SparkSession, dir: String): DataFrame =
@@ -198,6 +216,7 @@ object LlmPack extends QueryPack {
     "q_doc_fingerprint" -> docFingerprint,
     "q_text_stats" -> textStats,
     "q_quality_score" -> qualityScore,
+    "q_quality_repetition" -> qualityRepetition,
     "q_token_topk" -> tokenTopk,
     "q_sim_topk" -> simTopk,
     "q_sim_ann" -> simAnn,
@@ -256,6 +275,17 @@ object LlmPack extends QueryPack {
          |0.4 * uniq_ratio + 0.3 * (1.0 - stop_ratio)
          |  + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS score
          |FROM r ORDER BY doc_id""".stripMargin,
+    "q_quality_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $tokSql AS t FROM documents),
+         |g AS (SELECT doc_id, lang,
+         |        greatest(len(t) - 2, 0) AS n_tri,
+         |        len(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+         |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS n_tri_distinct
+         |      FROM tk)
+         |SELECT doc_id, lang, n_tri, n_tri_distinct,
+         |CASE WHEN n_tri = 0 THEN 0.0
+         |     ELSE 1.0 - CAST(n_tri_distinct AS DOUBLE) / n_tri END AS dup_frac
+         |FROM g ORDER BY doc_id""".stripMargin,
     "q_token_topk" ->
       s"""SELECT tok, count(*) AS n
          |FROM (SELECT unnest($tokSql) AS tok FROM documents)

@@ -151,21 +151,28 @@ object NearDedup {
     * docs yields a shared fingerprint; density ≈ 2/(w+1). Deterministic
     * (xxhash64) but not DuckDB-expressible → LlmPackSpec.
     *
-    * Shape: one O(len) k-gram pass per row, explode, codegen'd window-min
-    * partitioned by doc, then a same-key distinct (exchange reused — one
-    * shuffle total, keyed by doc id: embarrassingly parallel at any scale).
-    * Output: one (doc_id, fp) row per distinct fingerprint — scalar columns
-    * only, so any downstream comparator can sort/hash the result (an
-    * array<long> column is not comparable in the driver's pandas bridge).
+    * Shape: ONE native codegen'd kernel call per document
+    * (org.apache.spark.sql.graft.WinnowFingerprints — rolling k-gram
+    * hashes + monotonic-deque window minimum, O(len) per doc), then a
+    * small explode of the per-doc fingerprint array. Zero shuffles: at
+    * 100 TB the fingerprint stage is a pure scan. (The pre-r3 pipeline
+    * exploded one row per CHARACTER and ran a doc-keyed window-min over
+    * them — same values, but O(len) shuffled rows per doc and a full
+    * window exchange; kept as `winnowExploded` for the parity spec.)
+    * Output: one (doc_id, fp) row per distinct fingerprint — scalar
+    * columns only, so any downstream comparator can sort/hash the result.
     * Docs shorter than k normalized chars emit no rows. */
   def winnow(docs: DataFrame, idCol: String, textCol: String,
-             k: Int = 8, w: Int = 16): DataFrame = {
-    // Normalize ONCE per doc, then explode gram POSITIONS and hash per
-    // exploded row. The Generate boundary matters: hashing an array built
-    // by a higher-order function would re-evaluate the normalize regex per
-    // element (CollapseProject inlines it into the lambda) — O(len²) per
-    // doc; here normalize is a materialized column and each row does O(k)
-    // substring+hash work.
+             k: Int = 8, w: Int = 16): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        org.apache.spark.sql.graft.HashExprs.winnowFingerprints(
+          TextFns.normalize(col(textCol)), k, w).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  /** Pre-r3 explode+window formulation — parity cross-check only
+    * (LlmPackSpec asserts it matches the native kernel row-for-row). */
+  private[graft] def winnowExploded(docs: DataFrame, idCol: String, textCol: String,
+                                    k: Int = 8, w: Int = 16): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
       TextFns.normalize(col(textCol)).as("norm"))
     val exploded = base

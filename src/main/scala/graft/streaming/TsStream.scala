@@ -53,6 +53,18 @@ object TsStream {
       .select(col(keyCol), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n"))
 
+  /** Streaming exact dedup (B9 × B10): drop rows whose `keyCols` were
+    * already seen, keeping only watermark-bounded dedup state — the
+    * streaming face of LlmPack.dedupExact. `dropDuplicatesWithinWatermark`
+    * evicts keys once the event-time watermark passes them, so executor
+    * state stays bounded by the watermark horizon instead of growing with
+    * the corpus (the unbounded-state `dropDuplicates` is exactly what a
+    * 100 TB stream cannot afford). */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, watermark: String,
+                           keyCols: String*): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
+
   /** Ordered streaming sink: lands each microbatch in `table` through the
     * monotonic-append guard. The TsTable write path does its own day
     * shuffle + within-partition sort, so files stay ts-sorted regardless of

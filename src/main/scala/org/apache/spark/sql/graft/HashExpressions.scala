@@ -94,8 +94,119 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Winnowing kernel (Schleimer/Wilkerson/Aiken, SIGMOD'03): k-gram rolling
+  * hashes + sliding-window minimum via a monotonic deque — O(len) per
+  * document, shared verbatim by interpreted eval and generated code (the
+  * codegen path calls this object through a codegen reference). */
+object WinnowKernel extends Serializable { // shipped to tasks as a codegen reference object
+  private val Seed = 42L // builtin xxhash64's default seed
+
+  /** Distinct, ascending window-min fingerprints of `norm`'s k-grams over
+    * w-wide windows (full windows only; a doc with fewer than w grams but
+    * ≥ 1 gram contributes the min of what exists — one window). Empty for
+    * docs shorter than k chars. Matches the exploded
+    * min-over(rowsBetween(0, w-1)) formulation value-for-value. */
+  def fingerprints(norm: org.apache.spark.unsafe.types.UTF8String,
+                   k: Int, w: Int): Array[Long] = {
+    // One pass to find code-point byte offsets, then each k-gram hash reads
+    // its byte range in place — calling substring(i, i+k) per gram would
+    // re-scan from byte 0 every time (UTF-8 is variable-width): O(len²).
+    // hashUnsafeBytes over the same byte range == hashUTF8String of the
+    // substring (both hash the raw UTF-8 bytes; parity asserted in
+    // LlmPackSpec against the builtin-xxhash64 exploded formulation).
+    val nBytes = norm.numBytes()
+    val base = norm.getBaseObject
+    val off = norm.getBaseOffset
+    val charOff = new Array[Int](nBytes + 1)
+    var len = 0
+    var b = 0
+    while (b < nBytes) {
+      charOff(len) = b
+      b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + b))
+      len += 1
+    }
+    charOff(len) = nBytes
+    val n = len - (k - 1)
+    if (n < 1) return Array.emptyLongArray
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      h(i) = XXH64.hashUnsafeBytes(base, off + charOff(i),
+        charOff(i + k) - charOff(i), Seed)
+      i += 1
+    }
+    val lastStart = math.max(n - w, 0)
+    val out = new Array[Long](lastStart + 1)
+    val dq = new Array[Int](n)
+    var head = 0; var tail = 0; var e = -1; var m = 0
+    var pos = 0
+    while (pos <= lastStart) {
+      val end = math.min(pos + w - 1, n - 1)
+      while (e < end) {
+        e += 1
+        while (tail > head && h(dq(tail - 1)) >= h(e)) tail -= 1
+        dq(tail) = e; tail += 1
+      }
+      while (dq(head) < pos) head += 1
+      out(m) = h(dq(head)); m += 1
+      pos += 1
+    }
+    val trimmed = java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(trimmed)
+    var uniq = 0
+    i = 0
+    while (i < m) {
+      if (i == 0 || trimmed(i) != trimmed(i - 1)) { trimmed(uniq) = trimmed(i); uniq += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(trimmed, uniq)
+  }
+}
+
+/** Native winnowing fingerprints over a (pre-normalized) string column:
+  * array<long> of distinct window-min k-gram hashes. Replaces a
+  * per-character posexplode + window-min + re-aggregate pipeline — which
+  * materializes O(len) rows per document and shuffles them through a
+  * doc-keyed window — with one O(len) kernel call per row inside
+  * whole-stage codegen: at 100 TB the fingerprint stage becomes a pure
+  * scan (zero shuffles before the caller's own aggregation). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(k >= 1 && w >= 1, s"k=$k and w=$w must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(in: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      WinnowKernel.fingerprints(
+        in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val kernel = ctx.addReferenceObj("winnowKernel", WinnowKernel,
+        WinnowKernel.getClass.getName)
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $kernel.fingerprints($a, $k, $w));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** Column-level face. */
 object HashExprs {
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+
+  def winnowFingerprints(norm: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowFingerprints(
+      ExpressionUtils.expression(norm), k, w))
 }

@@ -79,6 +79,16 @@ class LlmPackSpec extends SparkSpec {
     assert(NearDedup.winnow(docs, "doc_id", "text").count() == 0)
   }
 
+  test("winnowing: native kernel matches the explode+window formulation on the fixture") {
+    val docs = Tables.documents(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = rows(NearDedup.winnow(docs, "doc_id", "text"))
+    val exploded = rows(NearDedup.winnowExploded(docs, "doc_id", "text"))
+    assert(native == exploded)
+    assert(native.nonEmpty)
+  }
+
   test("language ID: predicts the profile language on real-language text") {
     import spark.implicits._
     val docs = Seq(

@@ -109,6 +109,27 @@ class TsStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("streaming dedup: duplicate keys dropped, state evicted past the watermark") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = TsStream.dedupWithinWatermark(ms.toDF(), "ts", "30 minutes", "event_id")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      def step(evs: Ev*): Unit = { ms.addData(evs.toSeq); q.processAllAvailable() }
+      step(ev(1, "2024-01-01 09:00:00"), ev(2, "2024-01-01 09:10:00"))
+      step(ev(1, "2024-01-01 09:05:00")) // dup of live key: dropped
+      step(ev(3, "2024-01-01 12:00:00")) // watermark → 11:30, keys 1,2 evicted
+      step(ev(1, "2024-01-01 12:10:00")) // key 1 re-admitted: state was evicted
+      step(ev(9, "2024-01-01 15:00:00")) // flush
+      val ids = spark.table("stream_dedup").collect().map(_.getLong(0)).toSeq
+      assert(ids.count(_ == 1L) == 2) // once live, once after eviction
+      assert(ids.count(_ == 2L) == 1)
+      assert(ids.contains(3L))
+    } finally q.stop()
+  }
+
   test("streaming file source over a TsTable directory") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ts_stream_src").toString
