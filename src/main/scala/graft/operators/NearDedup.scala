@@ -107,16 +107,23 @@ object NearDedup {
     // per-permutation hashes then mix the fixed 8-byte long — k× cheaper
     // than re-hashing the string k times, identical independence properties
     // (xxhash64(i, ·) over a 64-bit input is still a seed-free family).
-    val sigCols = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"s$i"))
+    // The whole signature is ONE imperative aggregate with an Array[Long]
+    // buffer (MinHashSignature): bit-identical to k separate
+    // min(xxhash64(lit(i), h)) agg columns, but without the k-buffer
+    // generated aggregate whose janino compilation dominated this query's
+    // cost. Partial aggregation still collapses each doc to one k-long
+    // buffer before the shuffle.
     val sig = sets
       .select(col("id"), col("part"), explode(col("sh")).as("t"))
       .select(col("id"), col("part"), xxhash64(col("t")).as("h"))
       .groupBy(col("id"), col("part"))
-      .agg(sigCols.head, sigCols.tail: _*)
+      .agg(org.apache.spark.sql.graft.AggExprs
+        .minhashSignature(col("h"), k).as("sig"))
 
     // One row per (doc, band); band key hashes the band's signature slice.
     val bandStructs = (0 until bands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}"))
+      val slice = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bh"))
     }
     val banded = sig

@@ -33,6 +33,23 @@ class HashExprSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), s"simhash not codegen-fused:\n$plan")
   }
 
+  test("imperative minhash signature == declarative min(xxhash64(i, h)) columns") {
+    import org.apache.spark.sql.graft.AggExprs
+    val k = 16
+    val hashed = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val imperative = hashed.groupBy(col("doc_id"))
+      .agg(AggExprs.minhashSignature(col("h"), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val declCols = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"s$i"))
+    val declarative = hashed.groupBy(col("doc_id"))
+      .agg(declCols.head, declCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toSeq).toMap
+    assert(imperative == declarative)
+    assert(imperative.size == 500)
+  }
+
   test("hyperplane keys: tag isolates tables; expandBits emits the radius-1 ball") {
     import spark.implicits._
     import org.apache.spark.sql.graft.VectorExprs

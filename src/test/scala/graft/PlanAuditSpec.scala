@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{RelationalPack, TimeSeriesPack}
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audit: the properties that make these queries scale are
+  * asserted, not assumed. Each check reads the executed plan the way
+  * `.explain("formatted")` renders it; a regression that silently turns a
+  * broadcast join into a shuffle join, drops a pushed filter, or sneaks a
+  * cartesian product into a query fails here, at sf0.001 cost. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("no query plans a CartesianProduct (broadcast-probe cross joins excepted by construction)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = plan(fn(spark, sf0001))
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$p")
+    }
+  }
+
+  test("filter+projection reach the parquet scan (PushedFilters, pruned ReadSchema)") {
+    val p = plan(TimeSeriesPack.filterProject(spark, sf0001))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]].*"), // non-empty list
+      s"no filters pushed:\n$p")
+  }
+
+  test("dimension joins broadcast the small side; top-k plans TakeOrderedAndProject") {
+    assert(plan(RelationalPack.joinBroadcast(spark, sf0001))
+      .contains("BroadcastHashJoin"))
+    assert(plan(RelationalPack.joinMultiway(spark, sf0001))
+      .contains("BroadcastHashJoin"))
+    assert(plan(RelationalPack.topk(spark, sf0001))
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("semi/anti joins plan as joins, not subquery re-scans") {
+    assert(plan(RelationalPack.semiJoin(spark, sf0001)).contains("LeftSemi"))
+    assert(plan(RelationalPack.antiJoin(spark, sf0001)).contains("LeftAnti"))
+  }
+
+  test("executed plans run inside whole-stage codegen (AQE final plans)") {
+    // AQE shows codegen stages only once the final plan materializes, so
+    // execute first; a representative read, agg and join query each.
+    Seq("q_filter_project", "q_agg_pricing_summary", "q_join_broadcast")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf0001)
+        df.collect() // count() would execute a DIFFERENT (re-planned) query
+        val p = plan(df)
+        // '*(n)' prefixes mark operators fused into a WholeStageCodegen stage
+        assert(p.contains("*(1)"), s"$name has no codegen stage:\n$p")
+      }
+  }
+}
