@@ -139,6 +139,14 @@ object LlmPack extends QueryPack {
     SimilaritySearch.lshTopK(Tables.embeddings(s, dir),
       idCol = "vec_id", vecCol = "embedding", probeId = 0L, k = 10, dim = 64)
 
+  /** B9 approximate similarity search, IVF variant: sample-trained coarse
+    * quantizer, cell-pruned scan, exact rerank. No oracle (data-dependent
+    * centroids aren't expressible in portable SQL); AnnSpec measures
+    * recall and the scanned fraction. */
+  def simIvf(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.ivfTopK(Tables.embeddings(s, dir),
+      idCol = "vec_id", vecCol = "embedding", probeId = 0L, k = 10, dim = 64)
+
   /** Per-language stopword seed profiles (Cavnar–Trenkle-style profile
     * scoring, collapsed to its word-level core): public high-frequency
     * function words. Sorted by lang so plans and oracles enumerate
@@ -220,6 +228,7 @@ object LlmPack extends QueryPack {
     "q_token_topk" -> tokenTopk,
     "q_sim_topk" -> simTopk,
     "q_sim_ann" -> simAnn,
+    "q_sim_ivf" -> simIvf,
     "q_lang_id" -> langId,
     "q_token_bpe" -> tokenBpe,
     "q_dedup_embed" -> dedupEmbed,

@@ -79,6 +79,82 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** IVF coarse-quantizer training: Lloyd's k-means on a BOUNDED,
+    * deterministically-chosen sample (first `sampleN` vectors by id),
+    * entirely on the driver. This is the standard IVF architecture — the
+    * quantizer trains on a sample at INDEX-BUILD time, then cell assignment
+    * and search are fully distributed; the driver never sees more than
+    * `sampleN` rows regardless of corpus size. Deterministic: fixed sample
+    * order, fixed iteration count, ties toward the lower index. */
+  private[graft] def trainCentroids(emb: DataFrame, idCol: String,
+      vecCol: String, cells: Int, sampleN: Int, iters: Int): Seq[Seq[Double]] = {
+    val sample = emb
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.length >= cells, s"sample ${sample.length} < cells $cells")
+    val dim = sample.head.length
+    var centroids = Array.tabulate(cells)(i => sample(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cells)(new Array[Double](dim))
+      val counts = new Array[Int](cells)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < cells) {
+          var d = 0.0; var t = 0
+          while (t < dim) { val x = v(t) - centroids(j)(t); d += x * x; t += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        var t = 0
+        while (t < dim) { sums(best)(t) += v(t); t += 1 }
+      }
+      centroids = Array.tabulate(cells) { j =>
+        if (counts(j) == 0) centroids(j) // empty cell keeps its centroid
+        else { val c = new Array[Double](dim)
+          var t = 0
+          while (t < dim) { c(t) = sums(j)(t) / counts(j); t += 1 }
+          c }
+      }
+      it += 1
+    }
+    centroids.map(_.toSeq).toSeq
+  }
+
+  /** Approximate top-k via IVF (inverted-file) cells + exact rerank — the
+    * second ANN scale path next to `lshTopK`. Vectors are assigned to their
+    * nearest coarse centroid (one native codegen'd distance loop per row);
+    * a probe scans only the vectors in its `nProbe` nearest cells, then
+    * exact-cosine reranks. At 100 TB the cell column is what you PARTITION
+    * the corpus by, so a probe's scan prunes to nProbe/cells of the data at
+    * the file-listing level — here the cell filter is applied post-scan,
+    * the honest equivalent without a materialized index. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              probeId: Long, k: Int, dim: Int,
+              cells: Int = 16, nProbe: Int = 4,
+              sampleN: Int = 512, iters: Int = 5): DataFrame = {
+    val centroids = trainCentroids(emb, idCol, vecCol, cells, sampleN, iters)
+    def cellOf(vec: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.VectorExprs.nearestCentroids(vec, centroids, 1)(0)
+    val v = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val probe = v.where(col("vec_id") === probeId)
+      .select(col("v").as("p"),
+        org.apache.spark.sql.graft.VectorExprs
+          .nearestCentroids(col("v"), centroids, nProbe).as("p_cells"))
+    v.where(col("vec_id") =!= probeId)
+      .withColumn("cell", cellOf(col("v")))
+      .crossJoin(broadcast(probe))
+      .where(array_contains(col("p_cells"), col("cell"))) // cell pruning
+      .select(col("vec_id"),
+        round(VectorFns.cosine(col("v"), col("p")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Candidate pairs for `cosinePairs` (exposed so AnnSpec can assert the
     * candidate-volume bound directly): vectors whose sign signature agrees
     * on ≥ b−1 of some table's b hyperplanes. One side emits plain table

@@ -189,6 +189,101 @@ case class HyperplaneKeys(child: Expression, planes: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
+/** Native codegen'd nearest-centroid probe for IVF-style ANN: the
+  * `nProbe` centroid indices closest (squared L2) to the input vector,
+  * nearest first. The centroid matrix is a plan-time constant (trained
+  * from a bounded sample at index-build time), embedded as a codegen
+  * reference object — one fused distance loop per row, no per-centroid
+  * interpreted lambdas. Ties break toward the lower centroid index, so
+  * assignment is deterministic. */
+case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
+                            nProbe: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(centroids.nonEmpty && nProbe >= 1 && nProbe <= centroids.length,
+    s"nProbe=$nProbe must be in [1, ${centroids.length}]")
+
+  private val dim = centroids.head.length
+  private val c = centroids.length
+
+  @transient private lazy val flat: Array[Double] = centroids.flatten.toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nearest_centroids"
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    val m = math.min(dim, v.numElements())
+    val bestIdx = new Array[Int](nProbe)
+    val bestD = Array.fill(nProbe)(Double.MaxValue)
+    var j = 0
+    while (j < c) {
+      var d = 0.0
+      var t = 0
+      while (t < m) {
+        if (!v.isNullAt(t)) {
+          val diff = v.getDouble(t) - flat(j * dim + t)
+          d += diff * diff
+        }
+        t += 1
+      }
+      // insertion into the small sorted top-nProbe arrays (strict <:
+      // equal distances keep the earlier/lower centroid index)
+      var p = nProbe - 1
+      if (d < bestD(p)) {
+        while (p > 0 && d < bestD(p - 1)) {
+          bestD(p) = bestD(p - 1); bestIdx(p) = bestIdx(p - 1); p -= 1
+        }
+        bestD(p) = d; bestIdx(p) = j
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestIdx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cm = ctx.addReferenceObj("centroids", flat, "double[]")
+      val bi = ctx.freshName("bestIdx")
+      val bd = ctx.freshName("bestD")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val m = ctx.freshName("m")
+      val d = ctx.freshName("d")
+      val df = ctx.freshName("diff")
+      val p = ctx.freshName("p")
+      s"""
+         |int $m = java.lang.Math.min($dim, $a.numElements());
+         |int[] $bi = new int[$nProbe];
+         |double[] $bd = new double[$nProbe];
+         |java.util.Arrays.fill($bd, Double.MAX_VALUE);
+         |for (int $j = 0; $j < $c; $j++) {
+         |  double $d = 0.0;
+         |  for (int $t = 0; $t < $m; $t++) {
+         |    if (!$a.isNullAt($t)) {
+         |      double $df = $a.getDouble($t) - $cm[$j * $dim + $t];
+         |      $d += $df * $df;
+         |    }
+         |  }
+         |  int $p = $nProbe - 1;
+         |  if ($d < $bd[$p]) {
+         |    while ($p > 0 && $d < $bd[$p - 1]) {
+         |      $bd[$p] = $bd[$p - 1]; $bi[$p] = $bi[$p - 1]; $p--;
+         |    }
+         |    $bd[$p] = $d; $bi[$p] = $j;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bi);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 /** Column-level face of the native expressions (the only place that needs
   * the private[sql] bridge). */
 object VectorExprs {
@@ -200,4 +295,8 @@ object VectorExprs {
                      planesPerTable: Int, expandBits: Boolean = false): Column =
     ExpressionUtils.column(HyperplaneKeys(
       ExpressionUtils.expression(vec), planes, planesPerTable, expandBits))
+
+  def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    ExpressionUtils.column(NearestCentroids(
+      ExpressionUtils.expression(vec), centroids, nProbe))
 }

@@ -56,6 +56,32 @@ class AnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("IVF recall >= 0.7 vs exact top-10 on clustered vectors; probe scans a fraction of cells") {
+    val emb = clustered(10, 50).cache()
+    val exact = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = SimilaritySearch.ivfTopK(emb, "vec_id", "embedding", 0L, 10, dim,
+        cells = 10, nProbe = 3, sampleN = 200)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size / 10.0
+    assert(recall >= 0.7, s"recall $recall; exact=$exact approx=$approx")
+    // candidate set = vectors in the probe's 3 of 10 cells — a strict
+    // subset of the corpus (run the same plan with k = corpus size)
+    val scanned = SimilaritySearch.ivfTopK(emb, "vec_id", "embedding", 0L, 499, dim,
+      cells = 10, nProbe = 3, sampleN = 200).count()
+    assert(scanned < 499 * 3 / 4, s"IVF scanned $scanned of 499 — cells not pruning")
+    assert(scanned > 10, "degenerate cells")
+    emb.unpersist()
+  }
+
+  test("IVF centroid training is deterministic") {
+    val emb = clustered(5, 40)
+    val a = SimilaritySearch.trainCentroids(emb, "vec_id", "embedding", 5, 100, 5)
+    val b = SimilaritySearch.trainCentroids(emb, "vec_id", "embedding", 5, 100, 5)
+    assert(a == b)
+    assert(a.length == 5 && a.head.length == dim)
+  }
+
   test("cosinePairs candidate volume is subquadratic: < 5% of all pairs on isotropic data") {
     // On the (isotropic) embeddings fixture a random pair should collide in
     // a table with p = (1+b)/2^b, so candidates ≈ T·13/4096 ≈ 3.8% of N²/2.
