@@ -189,7 +189,11 @@ object LlmPack extends QueryPack {
 
   /** B9 embedding-cosine near-dup: LSH-bucketed candidates + exact verify
     * (SimilaritySearch.cosinePairs). τ=0.45 is what this isotropic fixture
-    * supports; no oracle (probabilistic recall) — AnnSpec covers it. */
+    * supports (max pairwise cosine ≈ 0.51); LSH table count / planes are
+    * derived from τ so near-threshold recall stays ≥~90% (the r3 fixed
+    * constants recalled ~30% here). No oracle (probabilistic recall) —
+    * AnnSpec asserts recall vs brute force at this exact τ on this
+    * fixture. */
   def dedupEmbed(s: SparkSession, dir: String): DataFrame =
     SimilaritySearch.cosinePairs(Tables.embeddings(s, dir),
       idCol = "vec_id", vecCol = "embedding", tau = 0.45, dim = 64)

@@ -188,21 +188,65 @@ object SimilaritySearch {
       .select(col("a_id"), col("b_id")).distinct()
   }
 
+  /** Derive (tables, planesPerTable) hitting `targetRecall` for a pair at
+    * cosine EXACTLY tau (recall rises steeply above tau), under radius-1
+    * multiprobe. Per-table collision probability for a cosine-τ pair with b
+    * planes is q = pᵇ + b·pᵇ⁻¹(1−p), p = 1 − arccos(τ)/π (Charikar '02);
+    * union recall over T tables is 1 − (1−q)ᵀ. More planes per table = more
+    * selective buckets (random-pair collisions shrink as (1+b)/2ᵇ) but more
+    * tables needed for the same recall, so: pick the LARGEST b whose
+    * required T fits `maxTables` — minimal candidate volume at bounded key
+    * cost. Fixed defaults cannot do this job: the r3 constants (12×13) gave
+    * ~95% recall at τ=0.8 but ~30% at τ=0.45 (near-threshold pairs silently
+    * dropped — caught by round-3 advice), because q collapses as τ → 0.5. */
+  private[graft] def lshParamsFor(tau: Double, targetRecall: Double = 0.9,
+                                  maxTables: Int = 96,
+                                  maxRandomHit: Double = 0.02): (Int, Int) = {
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1), got $tau")
+    val p = 1.0 - math.acos(tau) / math.Pi
+    def tablesFor(b: Int): Long = { // tables needed for targetRecall at exactly tau
+      val q = math.pow(p, b) + b * math.pow(p, b - 1) * (1 - p)
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-q)).toLong.max(1L)
+    }
+    def randomHit(b: Int, t: Long): Double = // union collision of a cosine≈0 pair
+      1.0 - math.pow(1.0 - (1.0 + b) / math.pow(2.0, b), t.toDouble)
+    // Cheapest-first: the SMALLEST b (fewest keys ≈ T·(b+1)) whose required
+    // table count fits AND whose random-pair collision stays subquadratic.
+    // Near τ→0.5 no b can reach maxRandomHit within the table budget (sign-
+    // LSH's separation vanishes there); then take the most selective b that
+    // still fits — candidates grow, recall does not silently drop.
+    val feasible = (4 to 24).map(b => (b, tablesFor(b))).filter(_._2 <= maxTables)
+    val (b, t) = feasible
+      .find { case (b0, t0) => randomHit(b0, t0) <= maxRandomHit }
+      .orElse(feasible.lastOption) // largest feasible b = fewest candidates
+      .getOrElse((4, maxTables.toLong))
+    (t.toInt, b)
+  }
+
   /** Embedding-cosine near-dup: all pairs with cosine ≥ tau, found through
     * LSH bucket collisions (candidate generation) + exact-cosine verify —
     * the dense-vector sibling of NearDedup.minhashLsh, and like it never
     * all-pairs: the self-join is on (table, bucket) keys, so only vectors
     * agreeing (up to 1 bit, via multiprobe) on some table's sign pattern
-    * ever meet. Recall is probabilistic (tune tables/planesPerTable to the
-    * target tau); no cross-engine oracle — AnnSpec measures recall against
-    * brute force and bounds the candidate fraction. */
+    * ever meet. Recall is probabilistic and CONTROLLED: unless the caller
+    * pins (tables, planesPerTable), they are derived from tau via
+    * `lshParamsFor` so ≥~90% of exactly-at-threshold pairs survive at any
+    * tau — e.g. τ=0.8 → (10, 13) with ~1.7% random-pair candidates, and
+    * τ=0.45 (near the τ→0.5 LSH limit, where no sign-LSH separates well) →
+    * (80, 13) with ~13% — still subquadratic, and the honest price of a
+    * low threshold. No cross-engine oracle — AnnSpec measures recall
+    * against brute force at both τ=0.8 (clustered) and τ=0.45 (the
+    * isotropic fixture) and bounds the candidate fraction. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   tau: Double, dim: Int,
-                  tables: Int = 12, planesPerTable: Int = 13,
+                  tables: Int = -1, planesPerTable: Int = -1,
                   seed: Long = 42L): DataFrame = {
+    val (t, b) =
+      if (tables > 0 && planesPerTable > 0) (tables, planesPerTable)
+      else lshParamsFor(tau)
     val base = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
-    val cand = cosineCandidates(emb, idCol, vecCol, dim, tables, planesPerTable, seed)
+    val cand = cosineCandidates(emb, idCol, vecCol, dim, t, b, seed)
     cand
       .join(base.select(col("vec_id").as("a_id"), col("v").as("a_v")), "a_id")
       .join(base.select(col("vec_id").as("b_id"), col("v").as("b_v")), "b_id")

@@ -42,7 +42,11 @@ object TimeSeriesPack extends QueryPack {
         .where(col("ts").between(lit(RangeLo).cast("timestamp"),
           lit(RangeHi).cast("timestamp"))))
 
-  /** A5 min_dt / max_dt (+ total count): metadata-cheap full-table agg. */
+  /** A5 min_dt / max_dt (+ total count) over the raw (non-TsTable) events
+    * parquet: a plain full-table agg, as the count() forces a scan anyway.
+    * The O(one-edge-partition) reference contract lives in
+    * `TsTable.minDt/maxDt` (edge p_date directory pruning — asserted in
+    * TsTableSpec), which is also what the append guard calls. */
   def minMaxDt(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).agg(
       unix_micros(min(col("ts"))).as("min_ts_us"),
@@ -95,6 +99,19 @@ object TimeSeriesPack extends QueryPack {
   def windowTumbling(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("ws_us"), col("event_type"))
+
+  /** B10 sliding window aggregation (1-hour window every 15 minutes; batch
+    * form of the streaming shape, like q_window_tumbling). Each event lands
+    * in exactly 4 windows — all of `bucket15(ts) − k·15min, k ∈ 0..3` start
+    * at-or-before ts and end strictly after it, which is what lets the
+    * DuckDB oracle enumerate them with a 4-row VALUES join. */
+  def windowSliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
       .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
         col("n"), col("sum_value"))
@@ -178,6 +195,7 @@ object TimeSeriesPack extends QueryPack {
     "q_filter_project" -> filterProject,
     "q_scalar_datetime" -> scalarDatetime,
     "q_window_tumbling" -> windowTumbling,
+    "q_window_sliding" -> windowSliding,
     "q_window_session" -> windowSession,
     "q_window_moving_avg" -> windowMovingAvg,
     "q_window_delta" -> windowDelta,
@@ -210,6 +228,17 @@ object TimeSeriesPack extends QueryPack {
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS ws_us,
         |event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Sliding windows: every event belongs to exactly 4 of the 15-min-step,
+    // 1-hour windows (k = 0..3 steps back from its 15-min bucket — all four
+    // contain ts, see windowSliding). time_bucket's origin (2000-01-01) is
+    // 15-min aligned with Spark's epoch alignment, so bucket edges agree —
+    // already proven by the tumbling oracle.
+    "q_window_sliding" ->
+      """WITH e AS (SELECT event_type, value, date_trunc('microseconds', ts) AS ts FROM events)
+        |SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes') AS ws_us,
+        |event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM e, (VALUES (0),(1),(2),(3)) t(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // gaps-and-islands with a STRICT < gap test: Spark merges sessions only
     // while the inter-event gap is < gapDuration (windows [t, t+gap) overlap)
     "q_window_session" ->

@@ -34,13 +34,17 @@ import java.sql.Timestamp
   *     keeping per-file sortedness and bounded file sizes.
   *   - reads are shuffle-free: partition pruning (directory level) + predicate
   *     pushdown (row-group level) both happen in the scan.
-  *   - min/max are aggregate-only jobs over footer-stat-friendly columns.
+  *   - min/max read ONLY the edge day-partition (driver-side directory
+  *     listing picks it; sortedness of p_date vs ts makes that exact), so
+  *     the append monotonicity guard is O(one partition) — the reference's
+  *     O(1) edge-row contract, not an O(table) scan.
   */
 final class TsTable private (
     val spark: SparkSession,
     val path: String,
     val tsCol: String,
-    private val storedSchema: StructType) {
+    private val storedSchema: StructType,
+    val writeOptions: TsWriteOptions) {
 
   import TsTable._
 
@@ -70,14 +74,49 @@ final class TsTable private (
       .drop(PartCol)
   }
 
-  /** Earliest timestamp, None if empty. Near-metadata-only: min/max come from
-    * Parquet footer statistics during the scan. */
-  def minDt: Option[Timestamp] =
-    Option(toDF.agg(min(col(tsCol))).head.getAs[Timestamp](0))
+  /** ISO date strings of the table's `p_date=` partition directories, from a
+    * driver-side file listing — METADATA ONLY, the exact analogue of the
+    * reference enumerating its daily HDF5 groups. O(#partitions), never
+    * O(rows). Empty for attached non-partitioned layouts. */
+  private def partitionDates: Seq[String] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(PartCol + "=") &&
+        n.length == PartCol.length + 11) // p_date=YYYY-MM-DD; skips HIVE_DEFAULT
+      .map(_.substring(PartCol.length + 1))
+      .toSeq
+  }
 
-  /** Latest timestamp, None if empty. */
+  /** The first/last day-partition as a frame, or the whole table when no
+    * partition directories exist (attached plain layout). Because
+    * `p_date = to_date(ts)` (UTC) by construction, the lexicographically
+    * max/min ISO date directory is guaranteed to contain the global
+    * max/min ts — the same sortedness argument that lets the reference read
+    * only an edge partition for `min_dt`/`max_dt`. Package-visible so
+    * TsTableSpec can assert the pruned plan. */
+  private[graft] def edgeSlice(last: Boolean): DataFrame = {
+    val dates = partitionDates
+    if (dates.isEmpty) toDF
+    else raw.where(col(PartCol) === to_date(lit(if (last) dates.max else dates.min)))
+      .drop(PartCol)
+  }
+
+  /** Earliest timestamp, None if empty. O(one partition), like the
+    * reference's first-row-of-first-partition read: a directory listing
+    * picks the edge day, the aggregate scans only that day's file(s) (and
+    * within them, Parquet footer min/max stats). */
+  def minDt: Option[Timestamp] =
+    Option(edgeSlice(last = false).agg(min(col(tsCol))).head.getAs[Timestamp](0))
+
+  /** Latest timestamp, None if empty. O(one partition) — see `minDt`. This
+    * is also the append monotonicity guard, so appends cost O(edge
+    * partition), not O(table). */
   def maxDt: Option[Timestamp] =
-    Option(toDF.agg(max(col(tsCol))).head.getAs[Timestamp](0))
+    Option(edgeSlice(last = true).agg(max(col(tsCol))).head.getAs[Timestamp](0))
 
   /** Ordered bulk append, mirroring the reference's contract:
     *   - the incoming batch must not reach back before the stored `maxDt`
@@ -102,13 +141,26 @@ final class TsTable private (
     *                    row order (reference ValueError parity).
     */
   def append(batch: DataFrame, filesPerDay: Int = 1, strict: Boolean = false): Unit = {
-    if (strict) requireSortedBatch(batch)
     require(filesPerDay >= 1, "filesPerDay must be >= 1")
     val names = batch.schema.fieldNames.toSeq
     require(names.contains(tsCol), s"batch is missing ts column '$tsCol'")
     require(names.toSet == storedSchema.fieldNames.toSet,
       s"batch columns ${names.mkString(",")} != table columns ${storedSchema.fieldNames.mkString(",")}")
+    // Schema checks above run FIRST so a malformed batch gets the intended
+    // message, not an AnalysisException out of the strict-mode window query.
+    if (strict) {
+      val pinned = batch.persist()
+      try appendValidated(pinned, filesPerDay, strict = true)
+      finally pinned.unpersist()
+    } else appendValidated(batch, filesPerDay, strict = false)
+  }
 
+  /** Strict mode evaluates the batch three times (order validation, stats,
+    * write); the caller-facing `append` persists it first so the row order
+    * VALIDATED is the row order WRITTEN even for nondeterministic or
+    * re-shuffled sources (and the input is computed once, not thrice). */
+  private def appendValidated(batch: DataFrame, filesPerDay: Int, strict: Boolean): Unit = {
+    if (strict) requireSortedBatch(batch)
     val stats = batch.agg(
       min(col(tsCol)), count(lit(1)), count(col(tsCol)),
       countDistinct(to_date(col(tsCol)))).head
@@ -136,9 +188,13 @@ final class TsTable private (
       if (filesPerDay == 1) withDate.repartition(col(PartCol))
       else withDate.repartitionByRange(
         (nDays * filesPerDay).toInt.max(1), col(PartCol), col(tsCol))
-    placed
+    val writer = placed
       .sortWithinPartitions(col(PartCol), col(tsCol))
-      .write.mode("append").partitionBy(PartCol).parquet(path)
+      .write.mode("append")
+      .option("compression", writeOptions.codec)
+    writeOptions.rowGroupBytes.foreach(b => writer.option("parquet.block.size", b.toString))
+    writeOptions.maxRecordsPerFile.foreach(n => writer.option("maxRecordsPerFile", n.toString))
+    writer.partitionBy(PartCol).parquet(path)
   }
 
   /** Strict-mode validation (reference ValueError parity, SURVEY §5.2.4
@@ -187,6 +243,43 @@ final class TsTable private (
   def schema: StructType = storedSchema
 }
 
+/** Write-side sizing/compression knobs — the analogue of the reference's
+  * `create_ts(..., filters=, expectedrows_per_partition=, chunkshape=)`
+  * surface (`[pub: tstables/__init__.py — create_ts signature]`), declared
+  * once at create time and applied to every subsequent append:
+  *
+  *   - `codec`: Parquet compression codec (reference: `Filters(complib=…)`);
+  *     any codec Spark's Parquet writer knows — snappy, zstd, gzip, lz4, none.
+  *   - `rowGroupBytes`: `parquet.block.size`, the row-group target — the I/O
+  *     granularity of a scan and the unit of min/max-stats skipping
+  *     (reference: `chunkshape`). At 100 TB, bigger row groups = fewer
+  *     footer entries + larger sequential reads; smaller = finer predicate
+  *     skipping on ts.
+  *   - `maxRecordsPerFile`: caps rows per output file (reference:
+  *     `expectedrows_per_partition` bounding a partition's table size);
+  *     complements `append(filesPerDay)` — filesPerDay shapes the SHUFFLE,
+  *     this caps the FILES no matter how rows land.
+  */
+final case class TsWriteOptions(
+    codec: String = "snappy",
+    rowGroupBytes: Option[Long] = None,
+    maxRecordsPerFile: Option[Long] = None) {
+  private[ts] def encode: String =
+    s"codec=$codec;rowGroupBytes=${rowGroupBytes.getOrElse("")};" +
+      s"maxRecordsPerFile=${maxRecordsPerFile.getOrElse("")}"
+}
+
+object TsWriteOptions {
+  private[ts] def decode(line: String): TsWriteOptions = {
+    val kv = line.split(";").iterator.map(_.split("=", 2))
+      .collect { case Array(k, v) if v.nonEmpty => k -> v }.toMap
+    TsWriteOptions(
+      codec = kv.getOrElse("codec", "snappy"),
+      rowGroupBytes = kv.get("rowGroupBytes").map(_.toLong),
+      maxRecordsPerFile = kv.get("maxRecordsPerFile").map(_.toLong))
+  }
+}
+
 object TsTable {
   /** Hive partition column: one directory per UTC day, like the reference's
     * one HDF5 group per day (`yYYYY/mMM/dDD`). */
@@ -196,11 +289,13 @@ object TsTable {
   private def withPartCol(s: StructType): StructType =
     StructType(s.fields :+ StructField(PartCol, DateType, nullable = true))
 
-  /** Create a new (empty) table: persists the declared schema so the table
-    * can be reopened before any data lands (the reference stores the
-    * PyTables description at `create_ts` time). */
+  /** Create a new (empty) table: persists the declared schema (and write
+    * options) so the table can be reopened before any data lands (the
+    * reference stores the PyTables description + filters at `create_ts`
+    * time). */
   def create(spark: SparkSession, path: String, schema: StructType,
-             tsCol: String = "ts"): TsTable = {
+             tsCol: String = "ts",
+             writeOptions: TsWriteOptions = TsWriteOptions()): TsTable = {
     require(schema.fieldNames.contains(tsCol), s"schema must contain '$tsCol'")
     require(schema(tsCol).dataType == TimestampType,
       s"'$tsCol' must be TimestampType, got ${schema(tsCol).dataType}")
@@ -210,14 +305,17 @@ object TsTable {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
     val out = fs.create(new Path(dir, SchemaFile), true)
-    try out.write((schema.json + "\n" + tsCol + "\n").getBytes("UTF-8"))
+    try out.write((schema.json + "\n" + tsCol + "\n" + writeOptions.encode + "\n")
+      .getBytes("UTF-8"))
     finally out.close()
-    new TsTable(spark, path, tsCol, schema)
+    new TsTable(spark, path, tsCol, schema, writeOptions)
   }
 
-  /** Attach to an existing table; schema comes from the stored descriptor
-    * (or, for plain partitioned-Parquet dirs, from the footers) — the
-    * analogue of `get_timeseries` needing no description. */
+  /** Attach to an existing table; schema + write options come from the
+    * stored descriptor (or, for plain partitioned-Parquet dirs, from the
+    * footers + defaults) — the analogue of `get_timeseries` needing no
+    * description. Round-2-era descriptors without an options line decode to
+    * the defaults. */
   def open(spark: SparkSession, path: String, tsCol: String = "ts"): TsTable = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -225,13 +323,14 @@ object TsTable {
     if (fs.exists(metaPath)) {
       val in = fs.open(metaPath)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val Array(schemaJson, storedTsCol) = text.trim.split("\n", 2)
-      new TsTable(spark, path, storedTsCol.trim,
-        DataType.fromJson(schemaJson).asInstanceOf[StructType])
+      val lines = text.trim.split("\n")
+      val opts = if (lines.length >= 3) TsWriteOptions.decode(lines(2)) else TsWriteOptions()
+      new TsTable(spark, path, lines(1).trim,
+        DataType.fromJson(lines(0)).asInstanceOf[StructType], opts)
     } else {
       val inferred = spark.read.parquet(path).schema
       val dataSchema = StructType(inferred.filterNot(_.name == PartCol))
-      new TsTable(spark, path, tsCol, dataSchema)
+      new TsTable(spark, path, tsCol, dataSchema, TsWriteOptions())
     }
   }
 }

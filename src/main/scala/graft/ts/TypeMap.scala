@@ -19,7 +19,7 @@ object TypeMap {
     * "UInt32Col", "Float64Col", "BoolCol", "StringCol". Accepts the
     * class-style names with or without the "Col" suffix, case-insensitive. */
   def sparkTypeFor(pyTablesType: String): DataType =
-    pyTablesType.trim.stripSuffix("Col").stripSuffix("col").toLowerCase match {
+    pyTablesType.trim.toLowerCase.stripSuffix("col") match {
       case "int8"                => ByteType
       case "int16"               => ShortType
       case "int32"               => IntegerType

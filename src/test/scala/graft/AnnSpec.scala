@@ -96,6 +96,50 @@ class AnnSpec extends SparkSpec {
     assert(nCand > 0, "degenerate bucketing: no candidates at all")
   }
 
+  test("cosinePairs at low tau (0.45, isotropic fixture): recall >= 0.85 vs brute force") {
+    // Round-3 advice: the fixed (12, 13) tuning recalled ~30% of the
+    // fixture's near-threshold pairs (per-table collision ~2.9% at τ=0.45).
+    // Params are now derived from tau (lshParamsFor), which pins ~90%
+    // recall AT the threshold; this runs the real q_dedup_embed call shape
+    // against the real fixture and the exact all-pairs truth.
+    val emb = Tables.embeddings(spark, sf001).cache()
+    val tau = 0.45
+    val v = emb.select(col("vec_id").as("a_id"), col("embedding").cast("array<double>").as("a_v"))
+    val w = emb.select(col("vec_id").as("b_id"), col("embedding").cast("array<double>").as("b_v"))
+    val truth = v.crossJoin(w).where(col("a_id") < col("b_id"))
+      .withColumn("sim", round(graft.functions.VectorFns.cosine(col("a_v"), col("b_v")), 6))
+      .where(col("sim") >= tau)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 10, s"fixture should have >=10 pairs at tau=$tau, got ${truth.size}")
+    val got = SimilaritySearch.cosinePairs(emb, "vec_id", "embedding", tau, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth)) // exact verify => no false positives
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.85, s"recall $recall (${got.size}/${truth.size})")
+    emb.unpersist()
+  }
+
+  test("lshParamsFor: recall model holds and candidate volume stays bounded") {
+    // derived params must promise >= target recall at the exact threshold
+    for (tau <- Seq(0.45, 0.6, 0.8, 0.9)) {
+      val (t, b) = SimilaritySearch.lshParamsFor(tau, targetRecall = 0.9)
+      val p = 1.0 - math.acos(tau) / math.Pi
+      val q = math.pow(p, b) + b * math.pow(p, b - 1) * (1 - p)
+      val recall = 1.0 - math.pow(1.0 - q, t)
+      assert(recall >= 0.9, s"tau=$tau -> ($t, $b): modeled recall $recall")
+      assert(t <= 96, s"tau=$tau: $t tables exceeds the cost cap")
+      // random (cosine~0) pairs must stay subquadratic: union collision < 20%
+      val rand = 1.0 - math.pow(1.0 - (1.0 + b) / math.pow(2.0, b), t)
+      assert(rand < 0.2, s"tau=$tau -> ($t, $b): random-pair collision $rand")
+    }
+    // higher tau is easier: fewer tables, no worse random-pair exposure
+    def rand(tb: (Int, Int)) =
+      1.0 - math.pow(1.0 - (1.0 + tb._2) / math.pow(2.0, tb._2), tb._1.toDouble)
+    val lo = SimilaritySearch.lshParamsFor(0.45)
+    val hi = SimilaritySearch.lshParamsFor(0.9)
+    assert(hi._1 <= lo._1 && rand(hi) <= rand(lo), s"lo=$lo hi=$hi")
+  }
+
   test("LSH candidate set is a strict subset of the corpus (bucket pruning happens)") {
     val emb = clustered(10, 50)
     // count rows surviving the bucket filter by running the same plan minus top-k

@@ -144,6 +144,56 @@ class TsTableSpec extends SparkSpec {
     assert(tab.toDF.count() == 6)
   }
 
+  test("minDt/maxDt scan ONLY the edge day-partition (reference O(1) contract)") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows((1 to 9).map(d => (f"2024-03-0$d%d 10:00:00", d.toLong, d.toDouble))))
+    assert(tab.minDt.contains(t("2024-03-01 10:00:00")))
+    assert(tab.maxDt.contains(t("2024-03-09 10:00:00")))
+    // the slice the guard aggregates over is partition-pruned to ONE day
+    for ((last, day) <- Seq(false -> "2024-03-01", true -> "2024-03-09")) {
+      val slice = tab.edgeSlice(last)
+      val plan = slice.queryExecution.executedPlan
+      assert(plan.toString.contains("PartitionFilters"), plan.toString)
+      slice.collect()
+      val scanned = plan.collectLeaves()
+        .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+      assert(scanned == 1, s"edgeSlice(last=$last) scanned $scanned files, expected 1")
+      assert(slice.select("user_id").head.getLong(0) ==
+        (if (last) 9L else 1L))
+    }
+    // and therefore the append monotonicity guard is O(edge partition) too:
+    // a conforming append still works, a regressing one is still rejected
+    tab.append(mkRows(Seq(("2024-03-10 00:00:00", 10L, 10.0))))
+    intercept[IllegalArgumentException] {
+      tab.append(mkRows(Seq(("2024-03-05 00:00:00", 11L, 11.0))))
+    }
+  }
+
+  test("write knobs: codec + maxRecordsPerFile are applied and survive reopen") {
+    import graft.ts.TsWriteOptions
+    val dir = freshDir()
+    val opts = TsWriteOptions(codec = "zstd", rowGroupBytes = Some(1L << 20),
+      maxRecordsPerFile = Some(100L))
+    val tab = TsTable.create(spark, dir, schema, writeOptions = opts)
+    tab.append(mkRows((0 until 350).map(i =>
+      (f"2024-03-01 ${i / 60}%02d:${i % 60}%02d:00", i.toLong, i.toDouble))))
+    val files = new java.io.File(dir, "p_date=2024-03-01").listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.forall(_.getName.contains(".zstd.")),
+      s"expected zstd codec in ${files.map(_.getName).toSeq}")
+    assert(files.length >= 4, // 350 rows / 100-row cap
+      s"maxRecordsPerFile=100 should split 350 rows into >=4 files, got ${files.length}")
+    // options persisted in the descriptor: a reopened handle keeps writing zstd
+    val re = TsTable.open(spark, dir)
+    assert(re.writeOptions == opts)
+    re.append(mkRows(Seq(("2024-03-02 00:00:00", 999L, 0.0))))
+    val day2 = new java.io.File(dir, "p_date=2024-03-02").listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(day2.forall(_.getName.contains(".zstd.")))
+    assert(re.toDF.count() == 351)
+  }
+
   test("empty range result has correct columns and zero rows") {
     val dir = freshDir()
     val tab = TsTable.create(spark, dir, schema)

@@ -24,8 +24,12 @@ class TypeMapSpec extends SparkSpec {
     assert(TypeMap.sparkTypeFor("BoolCol") == BooleanType)
     assert(TypeMap.sparkTypeFor("StringCol") == StringType)
     assert(TypeMap.sparkTypeFor("timestamp") == TimestampType)
-    // case/suffix-insensitive
+    // case/suffix-insensitive — including all-caps/mixed-case suffixes
+    // (round-3 advice: the suffix strip must come AFTER lowercasing)
     assert(TypeMap.sparkTypeFor("int64") == LongType)
+    assert(TypeMap.sparkTypeFor("INT64COL") == LongType)
+    assert(TypeMap.sparkTypeFor("Int64COL") == LongType)
+    assert(TypeMap.sparkTypeFor(" uint64col ") == DecimalType(20, 0))
     intercept[IllegalArgumentException] { TypeMap.sparkTypeFor("ComplexCol") }
   }
 
