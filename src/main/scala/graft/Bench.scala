@@ -12,9 +12,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: absorb JVM/codegen/session start-up outside the measured
     // window, then run queries in a FIXED (sorted) order so per-query
-    // numbers are comparable round over round.
+    // numbers are comparable round over round. The warm-up is a DEDICATED
+    // throwaway (the flagship entry query at sf0.001), never one of the
+    // measured queries — warming with names.head flattered that query's
+    // own number relative to the cold ones (r4 advice).
     val names = SparkEntry.queries.keys.toSeq.sorted
-    try SparkEntry.queries(names.head)(spark, sfDir).count()
+    try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.map { name =>

@@ -161,17 +161,23 @@ object SimilaritySearch {
     * keys, the other the radius-1 multiprobe expansion, so an equi-join on
     * the key matches exactly Hamming(sig_a, sig_b) ≤ 1 per table.
     *
-    * Scale math (b = 13 planes, T = 12 tables, radius-1 probing): a random
-    * (near-orthogonal) pair collides in a table with p = (1+b)/2ᵇ = 14/8192,
-    * so expected candidate volume ≈ T·14/8192 ≈ 2% of N²/2 — genuinely
-    * subquadratic-with-small-constant, vs the pre-r3 tuning (16 tables × 4
-    * planes) whose ≈ N²/2 candidates were all-pairs with a constant. A
-    * cosine-τ pair survives with per-table q = pᵇ + b·pᵇ⁻¹(1−p) where
-    * p = 1 − arccos(τ)/π; across 12 tables that is ≈ 95% at τ = 0.8 and
-    * rises steeply with τ (≈ 100% at τ ≥ 0.9) — AnnSpec asserts both the
-    * recall and the candidate-fraction ceiling. */
+    * `tables`/`planesPerTable` are REQUIRED — there is no safe fixed
+    * default: the r3 constants (12×13) gave ~95% recall at τ=0.8 but ~30%
+    * at τ=0.45 (per-table collision collapses as τ→0.5). Derive them from
+    * the target threshold with `lshParamsFor(tau)` (what `cosinePairs`
+    * does) unless you have measured reasons to pin them.
+    *
+    * Scale math (radius-1 probing, b planes, T tables): a random
+    * (near-orthogonal) pair collides in a table with p = (1+b)/2ᵇ (e.g.
+    * 14/8192 at b=13), so expected candidate volume ≈ 1−(1−(1+b)/2ᵇ)ᵀ of
+    * N²/2 — ≈2% at (12, 13), genuinely subquadratic-with-small-constant,
+    * vs the pre-r3 tuning (16 tables × 4 planes) whose ≈ N²/2 candidates
+    * were all-pairs with a constant. A cosine-τ pair survives with
+    * per-table q = pᵇ + b·pᵇ⁻¹(1−p) where p = 1 − arccos(τ)/π; union
+    * recall over T tables is 1−(1−q)ᵀ — AnnSpec asserts both the recall
+    * and the candidate-fraction ceiling. */
   def cosineCandidates(emb: DataFrame, idCol: String, vecCol: String,
-                       dim: Int, tables: Int = 12, planesPerTable: Int = 13,
+                       dim: Int, tables: Int, planesPerTable: Int,
                        seed: Long = 42L): DataFrame = {
     val base = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
@@ -192,11 +198,14 @@ object SimilaritySearch {
     * cosine EXACTLY tau (recall rises steeply above tau), under radius-1
     * multiprobe. Per-table collision probability for a cosine-τ pair with b
     * planes is q = pᵇ + b·pᵇ⁻¹(1−p), p = 1 − arccos(τ)/π (Charikar '02);
-    * union recall over T tables is 1 − (1−q)ᵀ. More planes per table = more
-    * selective buckets (random-pair collisions shrink as (1+b)/2ᵇ) but more
-    * tables needed for the same recall, so: pick the LARGEST b whose
-    * required T fits `maxTables` — minimal candidate volume at bounded key
-    * cost. Fixed defaults cannot do this job: the r3 constants (12×13) gave
+    * union recall over T tables is 1 − (1−q)ᵀ. Selection is
+    * CHEAPEST-FIRST: the SMALLEST b (fewest keys ≈ T·(b+1)) whose required
+    * table count fits `maxTables` AND whose random-pair collision stays
+    * under `maxRandomHit`; near the τ→0.5 sign-LSH limit, where no b meets
+    * `maxRandomHit` within the table budget, fall back to the LARGEST
+    * feasible b (most selective buckets that still hit the recall target) —
+    * candidates grow, recall never silently drops. Fixed defaults cannot do
+    * this job: the r3 constants (12×13) gave
     * ~95% recall at τ=0.8 but ~30% at τ=0.45 (near-threshold pairs silently
     * dropped — caught by round-3 advice), because q collapses as τ → 0.5. */
   private[graft] def lshParamsFor(tau: Double, targetRecall: Double = 0.9,
@@ -241,8 +250,13 @@ object SimilaritySearch {
                   tau: Double, dim: Int,
                   tables: Int = -1, planesPerTable: Int = -1,
                   seed: Long = 42L): DataFrame = {
+    // Pin both or neither: a half-pinned call would silently re-derive BOTH
+    // from tau, ignoring the one the caller set.
+    require((tables > 0) == (planesPerTable > 0),
+      s"pin both tables and planesPerTable or neither (got tables=$tables, " +
+        s"planesPerTable=$planesPerTable)")
     val (t, b) =
-      if (tables > 0 && planesPerTable > 0) (tables, planesPerTable)
+      if (tables > 0) (tables, planesPerTable)
       else lshParamsFor(tau)
     val base = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))

@@ -85,9 +85,14 @@ final class TsTable private (
     else fs.listStatus(dir).iterator
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .filter(n => n.startsWith(PartCol + "=") &&
-        n.length == PartCol.length + 11) // p_date=YYYY-MM-DD; skips HIVE_DEFAULT
+      .filter(n => n.startsWith(PartCol + "="))
       .map(_.substring(PartCol.length + 1))
+      // The suffix must PARSE as a date, not merely be 10 chars long: a
+      // 10-char junk suffix (`p_date=garbage123`) would null out under
+      // to_date() in edgeSlice's equality filter, making the edge slice
+      // empty — and an empty maxDt silently disables the append
+      // monotonicity guard. Skips HIVE_DEFAULT_PARTITION too.
+      .filter(DateDirRe.matches)
       .toSeq
   }
 
@@ -109,14 +114,28 @@ final class TsTable private (
     * reference's first-row-of-first-partition read: a directory listing
     * picks the edge day, the aggregate scans only that day's file(s) (and
     * within them, Parquet footer min/max stats). */
-  def minDt: Option[Timestamp] =
-    Option(edgeSlice(last = false).agg(min(col(tsCol))).head.getAs[Timestamp](0))
+  def minDt: Option[Timestamp] = edgeAgg(last = false, min)
 
   /** Latest timestamp, None if empty. O(one partition) — see `minDt`. This
     * is also the append monotonicity guard, so appends cost O(edge
     * partition), not O(table). */
-  def maxDt: Option[Timestamp] =
-    Option(edgeSlice(last = true).agg(max(col(tsCol))).head.getAs[Timestamp](0))
+  def maxDt: Option[Timestamp] = edgeAgg(last = true, max)
+
+  /** Edge-partition aggregate with a correctness fallback: if the edge
+    * slice aggregates to null while partition directories EXIST (a leftover
+    * empty edge dir from an aborted write — directory present, no data
+    * files), fall back to the full-table aggregate rather than report the
+    * table empty. Returning None here would silently disable the append
+    * monotonicity guard (`maxDt.foreach` skips validation on None), so the
+    * fallback trades one bounded full scan in a pathological layout for a
+    * guard that can never be wrong. */
+  private def edgeAgg(last: Boolean,
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Option[Timestamp] = {
+    val edge = Option(edgeSlice(last).agg(f(col(tsCol))).head.getAs[Timestamp](0))
+    if (edge.isEmpty && partitionDates.nonEmpty)
+      Option(toDF.agg(f(col(tsCol))).head.getAs[Timestamp](0))
+    else edge
+  }
 
   /** Ordered bulk append, mirroring the reference's contract:
     *   - the incoming batch must not reach back before the stored `maxDt`
@@ -285,6 +304,7 @@ object TsTable {
     * one HDF5 group per day (`yYYYY/mMM/dDD`). */
   val PartCol = "p_date"
   private val SchemaFile = "_ts_schema.json" // leading '_' → invisible to Spark's file index
+  private val DateDirRe = "\\d{4}-\\d{2}-\\d{2}".r
 
   private def withPartCol(s: StructType): StructType =
     StructType(s.fields :+ StructField(PartCol, DateType, nullable = true))

@@ -90,7 +90,8 @@ class AnnSpec extends SparkSpec {
     // with a constant.
     val emb = Tables.embeddings(spark, sf001)
     val n = emb.count()
-    val nCand = SimilaritySearch.cosineCandidates(emb, "vec_id", "embedding", 64).count()
+    val nCand = SimilaritySearch.cosineCandidates(emb, "vec_id", "embedding", 64,
+      tables = 12, planesPerTable = 13).count()
     val frac = nCand.toDouble / (n.toDouble * (n - 1) / 2)
     assert(frac < 0.05, s"candidate fraction $frac ($nCand pairs of n=$n)")
     assert(nCand > 0, "degenerate bucketing: no candidates at all")
