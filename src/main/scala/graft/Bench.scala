@@ -15,7 +15,11 @@ object Bench {
     // numbers are comparable round over round. The warm-up is a DEDICATED
     // throwaway (the flagship entry query at sf0.001), never one of the
     // measured queries — warming with names.head flattered that query's
-    // own number relative to the cold ones (r4 advice).
+    // own number relative to the cold ones (r4 advice). Note: the warm-up
+    // runs at sf0.001, so when benching another sfDir that dir's FIRST-TOUCH
+    // costs (file listing, scan-plan codegen) still land in the first
+    // measured query — an accepted trade-off vs warming with a real query
+    // (r5 advice).
     val names = SparkEntry.queries.keys.toSeq.sorted
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }

@@ -225,10 +225,17 @@ object SimilaritySearch {
     // LSH's separation vanishes there); then take the most selective b that
     // still fits — candidates grow, recall does not silently drop.
     val feasible = (4 to 24).map(b => (b, tablesFor(b))).filter(_._2 <= maxTables)
+    // No b in 4..24 reaches targetRecall within maxTables → REFUSE rather
+    // than silently return params whose modeled recall is below target (the
+    // pre-r6 getOrElse did exactly that for targetRecall near 1.0 — r5
+    // ADVICE). Callers wanting best-effort can lower targetRecall or raise
+    // maxTables explicitly.
+    require(feasible.nonEmpty,
+      s"lshParamsFor: no planesPerTable in 4..24 reaches recall=$targetRecall " +
+        s"at tau=$tau within maxTables=$maxTables; lower targetRecall or raise maxTables")
     val (b, t) = feasible
       .find { case (b0, t0) => randomHit(b0, t0) <= maxRandomHit }
-      .orElse(feasible.lastOption) // largest feasible b = fewest candidates
-      .getOrElse((4, maxTables.toLong))
+      .getOrElse(feasible.last) // largest feasible b = fewest candidates
     (t.toInt, b)
   }
 
@@ -242,7 +249,7 @@ object SimilaritySearch {
     * `lshParamsFor` so ≥~90% of exactly-at-threshold pairs survive at any
     * tau — e.g. τ=0.8 → (10, 13) with ~1.7% random-pair candidates, and
     * τ=0.45 (near the τ→0.5 LSH limit, where no sign-LSH separates well) →
-    * (80, 13) with ~13% — still subquadratic, and the honest price of a
+    * (79, 13) with ~13% — still subquadratic, and the honest price of a
     * low threshold. No cross-engine oracle — AnnSpec measures recall
     * against brute force at both τ=0.8 (clustered) and τ=0.45 (the
     * isotropic fixture) and bounds the candidate fraction. */

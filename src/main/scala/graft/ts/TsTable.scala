@@ -103,12 +103,13 @@ final class TsTable private (
     * max/min ts — the same sortedness argument that lets the reference read
     * only an edge partition for `min_dt`/`max_dt`. Package-visible so
     * TsTableSpec can assert the pruned plan. */
-  private[graft] def edgeSlice(last: Boolean): DataFrame = {
-    val dates = partitionDates
+  private[graft] def edgeSlice(last: Boolean): DataFrame =
+    edgeSliceOf(partitionDates, last)
+
+  private def edgeSliceOf(dates: Seq[String], last: Boolean): DataFrame =
     if (dates.isEmpty) toDF
     else raw.where(col(PartCol) === to_date(lit(if (last) dates.max else dates.min)))
       .drop(PartCol)
-  }
 
   /** Earliest timestamp, None if empty. O(one partition), like the
     * reference's first-row-of-first-partition read: a directory listing
@@ -124,17 +125,24 @@ final class TsTable private (
   /** Edge-partition aggregate with a correctness fallback: if the edge
     * slice aggregates to null while partition directories EXIST (a leftover
     * empty edge dir from an aborted write — directory present, no data
-    * files), fall back to the full-table aggregate rather than report the
+    * files), step INWARD to the next partition date rather than report the
     * table empty. Returning None here would silently disable the append
-    * monotonicity guard (`maxDt.foreach` skips validation on None), so the
-    * fallback trades one bounded full scan in a pathological layout for a
-    * guard that can never be wrong. */
+    * monotonicity guard (`maxDt.foreach` skips validation on None); each
+    * inward step costs one partition scan, so a persistent junk edge dir
+    * costs O(empty dirs), never the pre-r6 full-table aggregate (r5
+    * ADVICE). One `partitionDates` listing serves the whole walk. */
   private def edgeAgg(last: Boolean,
       f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Option[Timestamp] = {
-    val edge = Option(edgeSlice(last).agg(f(col(tsCol))).head.getAs[Timestamp](0))
-    if (edge.isEmpty && partitionDates.nonEmpty)
-      Option(toDF.agg(f(col(tsCol))).head.getAs[Timestamp](0))
-    else edge
+    val ordered = { // edge-first walk order
+      val d = partitionDates.sorted
+      if (last) d.reverse else d
+    }
+    if (ordered.isEmpty)
+      return Option(toDF.agg(f(col(tsCol))).head.getAs[Timestamp](0))
+    ordered.iterator
+      .map(d => Option(edgeSliceOf(Seq(d), last).agg(f(col(tsCol)))
+        .head.getAs[Timestamp](0)))
+      .collectFirst { case Some(t) => t }
   }
 
   /** Ordered bulk append, mirroring the reference's contract:
