@@ -29,6 +29,11 @@ object Tables {
   def init(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // INT64 micros, not the INT96 default: INT96 timestamps cannot carry
+    // parquet filter pushdown (ParquetFilters rejects them), so every
+    // engine-written timestamp column would lose row-group stats skipping
+    // (see TsTable.appendValidated).
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -79,6 +79,33 @@ object TimeSeriesPack extends QueryPack {
         .readRange(ts("2024-01-08 00:00:00"), ts("2024-01-22 00:00:00")))
   }
 
+  /** A3+A4 through the `graft-ts` DataSource V2 connector (the path a user
+    * who never touches the TsTable facade takes): events up to 2024-01-10 →
+    * two `df.write.format("graft-ts").mode("append")` jobs (the second
+    * exercises the stored-max guard against real data) → a closed-interval
+    * ts-range read through `spark.read.format("graft-ts")`, where the
+    * connector derives day-partition pruning from the ts predicate alone
+    * (GraftTsSourceSpec asserts the plan shape; this key hash-checks the
+    * values end-to-end against the raw events oracle). */
+  def v2Roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = new java.io.File(
+      sys.props("java.io.tmpdir"), // driver-local tmp: fine under local[*]; a real cluster needs a shared dir
+      s"graft_tsv2_rt_${dir.hashCode.toHexString}").toString
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val ev = Tables.events(s, dir).where(col("ts") < lit("2024-01-10 00:00:00").cast("timestamp"))
+    TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cutoff = lit("2024-01-05 00:00:00").cast("timestamp")
+    ev.where(col("ts") < cutoff).write.format("graft-ts").mode("append").save(store)
+    ev.where(col("ts") >= cutoff).write.format("graft-ts").mode("append").save(store)
+    eventsProjection(
+      s.read.format("graft-ts").load(store)
+        .where(col("ts").between(
+          lit("2024-01-03 00:00:00").cast("timestamp"),
+          lit("2024-01-08 00:00:00").cast("timestamp"))))
+  }
+
   /** B2 projection + non-time predicate; both pushed to the parquet scan. */
   def filterProject(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -192,6 +219,7 @@ object TimeSeriesPack extends QueryPack {
     "q_read_range" -> readRange,
     "q_min_max_dt" -> minMaxDt,
     "q_append_roundtrip" -> appendRoundtrip,
+    "q_ts_v2_roundtrip" -> v2Roundtrip,
     "q_filter_project" -> filterProject,
     "q_scalar_datetime" -> scalarDatetime,
     "q_window_tumbling" -> windowTumbling,
@@ -216,6 +244,10 @@ object TimeSeriesPack extends QueryPack {
     "q_append_roundtrip" ->
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) BETWEEN TIMESTAMP '2024-01-08 00:00:00' AND TIMESTAMP '2024-01-22 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+    "q_ts_v2_roundtrip" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-08 00:00:00'
          |ORDER BY event_id""".stripMargin,
     "q_filter_project" ->
       """SELECT event_id, user_id, value FROM events

@@ -1,0 +1,194 @@
+package graft.sources
+
+import graft.ts.TsTable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DateType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.time.ZoneId
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** `graft-ts`: the TsTable storage contract as a DataSource V2 connector.
+  *
+  * The `graft.ts.TsTable` facade enforces the reference's append contract
+  * (`[pub: tstables/tstable.py — append raises ValueError on out-of-order
+  * rows]`) only for callers that use the facade; a plain
+  * `df.write.parquet(path)` could corrupt a store silently. This connector
+  * moves the contract to the CONNECTOR level, where Spark's planner applies
+  * it to every access path:
+  *
+  *   - `spark.read.format("graft-ts").load(path)` — reads resolve to the
+  *     builtin V2 parquet scan ([[GraftTsScanBuilder]]), so column pruning,
+  *     parquet predicate pushdown and whole-stage codegen are identical to a
+  *     native parquet read. The `p_date` partitioning is an IMPLEMENTATION
+  *     DETAIL the connector hides: the exposed schema has data columns only,
+  *     and time predicates on the ts column are translated into partition
+  *     filters internally (`derivedDateBounds`) — users never mention
+  *     `p_date`, yet day-directory pruning still happens (asserted in
+  *     GraftTsSourceSpec).
+  *   - `df.write.format("graft-ts").mode("append").save(path)` — appends go
+  *     through [[GraftTsWriteBuilder]], which (a) validates the batch schema,
+  *     (b) has the ENGINE establish the sort/placement invariant via
+  *     `RequiresDistributionAndOrdering` (a range shuffle on ts + per-task
+  *     ascending sort — the V2-native form of `TsTable.append`'s
+  *     repartition + sortWithinPartitions), and (c) rejects rows that reach
+  *     back before the stored max ts per row, at write time. Out-of-order
+  *     appends FAIL, whatever API issued them.
+  *
+  * Table creation stays explicit (`TsTable.create`), mirroring the
+  * reference's `create_ts`; the connector opens existing stores (or plain
+  * date-partitioned parquet dirs) via `TsTable.open`'s descriptor rules.
+  *
+  * 100 TB notes: reads are the stock distributed parquet scan over a
+  * partition-pruned file listing; writes are one range shuffle keyed by ts
+  * (contiguous time slices per task — heavy days split across tasks, quiet
+  * days share one), then task-local sequential parquet writes committed by
+  * driver-side renames of `_tmp-` staged files (invisible to concurrent
+  * readers until commit).
+  */
+final class GraftTsDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-ts"
+
+  // Schema always comes from the store descriptor (or parquet footers for
+  // attached plain layouts) — a user-supplied schema could silently widen
+  // the write contract.
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def pathOf(options: JMap[String, String]): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft-ts: a single 'path' is required (load(path) / save(path))")
+    p
+  }
+
+  private def open(options: JMap[String, String]): TsTable =
+    TsTable.open(SparkSession.active, pathOf(options),
+      Option(options.get("tsCol")).getOrElse("ts"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    open(options).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val t = open(properties)
+    new GraftTsV2Table(SparkSession.active, t)
+  }
+}
+
+/** One graft-ts store as a V2 Table: reads via the parquet V2 scan with
+  * connector-derived partition pruning, writes via the ordered-append
+  * enforcing [[GraftTsWriteBuilder]]. */
+final class GraftTsV2Table(spark: SparkSession, ts: TsTable)
+    extends Table with SupportsRead with SupportsWrite {
+
+  // The connector's timestamp encoding is INT64 micros (see
+  // TsTable.appendValidated: INT96 is deprecated and unfilterable). The V2
+  // parquet ScanBuilder decides ts-filter convertibility from THIS session
+  // conf, so pin it at table resolution; per-file read still adapts to
+  // whatever encoding each file actually has.
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+  override def name(): String = s"graft-ts `${ts.path}`"
+
+  /** Data columns only — `p_date` is connector-internal (see companion
+    * scaladoc). */
+  override def schema(): StructType = ts.schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  /** Partition-aware file listing rooted at the store; `p_date` resolves as
+    * DateType through the user-specified schema, so directory values never
+    * go through inference. A fresh Table (every `load()`) gets a fresh
+    * listing; writes invalidate the shared FileStatusCache via
+    * `refreshByPath` at commit. */
+  private[sources] lazy val fileIndex: PartitioningAwareFileIndex =
+    new InMemoryFileIndex(spark, Seq(new Path(ts.path)), Map.empty[String, String],
+      Some(StructType(ts.schema.fields :+
+        StructField(TsTable.PartCol, DateType, nullable = true))),
+      FileStatusCache.getOrCreate(spark), None, None)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftTsScanBuilder(spark, fileIndex, ts.schema, ts.schema, options,
+      ts.tsCol)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftTsWriteBuilder(spark, ts, info)
+}
+
+/** The stock V2 parquet ScanBuilder plus one graft-ts twist: pushed-down
+  * time predicates on the ts column are mirrored as `p_date` bounds before
+  * the partition/data filter split, so day-directory pruning fires even
+  * though `p_date` is not part of the visible schema. Sound because
+  * `p_date = to_date(ts)` (session zone) by write-path construction: a ts
+  * bound IMPLIES the corresponding date bound, and the synthesized filter
+  * only ever removes partitions that cannot match. */
+final class GraftTsScanBuilder(
+    spark: SparkSession, fileIndex: PartitioningAwareFileIndex,
+    schema: StructType, dataSchema: StructType,
+    options: CaseInsensitiveStringMap, tsCol: String)
+  extends ParquetScanBuilder(spark, fileIndex, schema, dataSchema, options) {
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    super.pushFilters(
+      filters ++ GraftTsScanBuilder.derivedDateBounds(
+        filters, tsCol, spark.sessionState.conf.sessionLocalTimeZone))
+}
+
+object GraftTsScanBuilder {
+
+  /** For each top-level conjunct of shape `ts <cmp> literal` (either
+    * operand order), emit the implied bound on `p_date`. Conservative:
+    * unrecognized shapes contribute nothing (no pruning, never wrong). */
+  private[sources] def derivedDateBounds(
+      filters: Seq[Expression], tsCol: String, zone: String): Seq[Expression] = {
+    val zoneId = ZoneId.of(zone)
+    val pDate = AttributeReference(TsTable.PartCol, DateType, nullable = true)()
+    def day(us: Long): Literal = Literal(DateTimeUtils.microsToDays(us, zoneId), DateType)
+    def isTs(e: Expression): Boolean = e match {
+      case a: AttributeReference =>
+        a.name.equalsIgnoreCase(tsCol) && a.dataType == TimestampType
+      case _ => false
+    }
+    filters.flatMap {
+      // ts at-or-after L ⇒ the day of L or later (strict > still includes
+      // L's own day — later rows that day qualify).
+      case GreaterThanOrEqual(a, Literal(us: Long, TimestampType)) if isTs(a) =>
+        Seq(GreaterThanOrEqual(pDate, day(us)))
+      case GreaterThan(a, Literal(us: Long, TimestampType)) if isTs(a) =>
+        Seq(GreaterThanOrEqual(pDate, day(us)))
+      case LessThanOrEqual(a, Literal(us: Long, TimestampType)) if isTs(a) =>
+        Seq(LessThanOrEqual(pDate, day(us)))
+      case LessThan(a, Literal(us: Long, TimestampType)) if isTs(a) =>
+        Seq(LessThanOrEqual(pDate, day(us)))
+      case EqualTo(a, Literal(us: Long, TimestampType)) if isTs(a) =>
+        Seq(EqualTo(pDate, day(us)))
+      // literal-first variants
+      case GreaterThanOrEqual(Literal(us: Long, TimestampType), a) if isTs(a) =>
+        Seq(LessThanOrEqual(pDate, day(us)))
+      case GreaterThan(Literal(us: Long, TimestampType), a) if isTs(a) =>
+        Seq(LessThanOrEqual(pDate, day(us)))
+      case LessThanOrEqual(Literal(us: Long, TimestampType), a) if isTs(a) =>
+        Seq(GreaterThanOrEqual(pDate, day(us)))
+      case LessThan(Literal(us: Long, TimestampType), a) if isTs(a) =>
+        Seq(GreaterThanOrEqual(pDate, day(us)))
+      case EqualTo(Literal(us: Long, TimestampType), a) if isTs(a) =>
+        Seq(EqualTo(pDate, day(us)))
+      case _ => Seq.empty
+    }
+  }
+}

@@ -187,6 +187,14 @@ final class TsTable private (
     * VALIDATED is the row order WRITTEN even for nondeterministic or
     * re-shuffled sources (and the input is computed once, not thrice). */
   private def appendValidated(batch: DataFrame, filesPerDay: Int, strict: Boolean): Unit = {
+    // µs-instant physical encoding: INT96 (Spark's parquet default) is
+    // deprecated AND unfilterable — ParquetFilters cannot build row-group
+    // predicates over INT96, so the sorted-row-group stats-skipping this
+    // table's read path depends on silently degrades to post-scan
+    // filtering. INT64 micros is the lossless match for the table's data
+    // model. Session-wide for the same reason as Tables.init: the parquet
+    // writer re-reads session conf at execution time.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     if (strict) requireSortedBatch(batch)
     val stats = batch.agg(
       min(col(tsCol)), count(lit(1)), count(col(tsCol)),
