@@ -187,13 +187,14 @@ object LlmPack extends QueryPack {
         sum(size(TextFns.bpeTokens(col("text")))).as("total_bpe_tokens"))
       .orderBy(col("lang"))
 
-  /** B9 embedding-cosine near-dup: LSH-bucketed candidates + exact verify
-    * (SimilaritySearch.cosinePairs). τ=0.45 is what this isotropic fixture
-    * supports (max pairwise cosine ≈ 0.51); LSH table count / planes are
-    * derived from τ so near-threshold recall stays ≥~90% (the r3 fixed
-    * constants recalled ~30% here). No oracle (probabilistic recall) —
-    * AnnSpec asserts recall vs brute force at this exact τ on this
-    * fixture. */
+  /** B9 embedding-cosine near-dup (SimilaritySearch.cosinePairs — size-
+    * adaptive). τ=0.45 is what this isotropic fixture supports (max
+    * pairwise cosine ≈ 0.51). At fixture scale the operator dispatches to
+    * the exact broadcast all-pairs plan (cheaper than LSH key generation
+    * below ~8k vectors, recall exactly 1), so since r6 the key carries a
+    * full DuckDB hash oracle; above the crossover the same call runs
+    * τ-derived LSH candidates + exact verify, whose recall/candidate
+    * bounds AnnSpec asserts at this exact τ. */
   def dedupEmbed(s: SparkSession, dir: String): DataFrame =
     SimilaritySearch.cosinePairs(Tables.embeddings(s, dir),
       idCol = "vec_id", vecCol = "embedding", tau = 0.45, dim = 64)
@@ -303,6 +304,18 @@ object LlmPack extends QueryPack {
       s"""SELECT tok, count(*) AS n
          |FROM (SELECT unnest($tokSql) AS tok FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    // Same cosine formulation as q_sim_topk (proven hash-parity); the
+    // threshold compares the ROUNDED sim on both sides, mirroring the Spark
+    // plan (round → filter). Valid because dedupEmbed dispatches to the
+    // exact all-pairs plan at fixture scale — recall is 1, not probabilistic.
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |        round(list_dot_product(a.v, b.v)
+        |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, sim FROM s WHERE sim >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_sim_topk" ->
       """WITH p AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0)

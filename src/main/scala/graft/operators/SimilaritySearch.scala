@@ -239,20 +239,72 @@ object SimilaritySearch {
     (t.toInt, b)
   }
 
-  /** Embedding-cosine near-dup: all pairs with cosine ≥ tau, found through
-    * LSH bucket collisions (candidate generation) + exact-cosine verify —
-    * the dense-vector sibling of NearDedup.minhashLsh, and like it never
-    * all-pairs: the self-join is on (table, bucket) keys, so only vectors
-    * agreeing (up to 1 bit, via multiprobe) on some table's sign pattern
-    * ever meet. Recall is probabilistic and CONTROLLED: unless the caller
-    * pins (tables, planesPerTable), they are derived from tau via
-    * `lshParamsFor` so ≥~90% of exactly-at-threshold pairs survive at any
-    * tau — e.g. τ=0.8 → (10, 13) with ~1.7% random-pair candidates, and
-    * τ=0.45 (near the τ→0.5 LSH limit, where no sign-LSH separates well) →
-    * (79, 13) with ~13% — still subquadratic, and the honest price of a
-    * low threshold. No cross-engine oracle — AnnSpec measures recall
-    * against brute force at both τ=0.8 (clustered) and τ=0.45 (the
-    * isotropic fixture) and bounds the candidate fraction. */
+  /** Exact all-pairs cosine join: every pair with (6dp-rounded) cosine ≥
+    * tau, via a broadcast nested-loop self-join — one corpus pass per
+    * broadcast batch, zero shuffles, 100% recall by construction (hence
+    * oracle-able). This is the RIGHT plan below the LSH crossover (see
+    * `cosinePairs`): generating LSH candidate keys costs ~T·(b+1) plane
+    * projections per vector (≈1100 pair-dot equivalents at the τ=0.45
+    * parameterization), so until the corpus is several times that size the
+    * exact join does less arithmetic AND skips the key-explode shuffles.
+    * Only the guarded dispatch below uses it — never call it on an
+    * unbounded corpus. */
+  private[graft] def bruteForcePairs(emb: DataFrame, idCol: String,
+                                     vecCol: String, tau: Double): DataFrame = {
+    // Norms hoisted out of the pair loop: ‖v‖ once per ROW instead of twice
+    // per PAIR cuts 2/3 of the arithmetic. IEEE-identical to the per-pair
+    // cosine (same subexpression, same inputs), so oracle parity holds.
+    // A small corpus usually sits in one parquet file = one input split; an
+    // explicit fan-out keeps the O(N²/2) pair loop on all cores instead of
+    // one task (REPARTITION_BY_NUM, so AQE won't coalesce it back).
+    val slots = emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val a = emb.select(col(idCol).as("a_id"),
+        col(vecCol).cast("array<double>").as("a_v"))
+      .withColumn("a_n", VectorFns.l2norm(col("a_v")))
+      .repartition(slots)
+    val b = emb.select(col(idCol).as("b_id"),
+        col(vecCol).cast("array<double>").as("b_v"))
+      .withColumn("b_n", VectorFns.l2norm(col("b_v")))
+    a.crossJoin(broadcast(b)).where(col("a_id") < col("b_id"))
+      .withColumn("sim",
+        round(VectorFns.dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")), 6))
+      .where(col("sim") >= tau)
+      .select(col("a_id"), col("b_id"), col("sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Corpora at or below this row count dispatch to `bruteForcePairs`.
+    * Crossover math at the τ=0.45 parameterization (79 tables × 13 planes,
+    * radius-1 probing): LSH spends ~T·b = 1027 plane projections per vector
+    * plus exact verification of ~13-16% of all pairs, so exact all-pairs
+    * (N/2 dots per vector) does comparable arithmetic until N ≈ 2·T·b/0.15
+    * ≈ 8–16k — while paying zero shuffles instead of three. 8192 keeps the
+    * broadcast side ≤ ~4 MB at 64 dims. */
+  private[graft] val ExactPairsMaxRows = 8192L
+
+  /** Embedding-cosine near-dup: all pairs with cosine ≥ tau. ADAPTIVE, the
+    * same way Spark picks broadcast-vs-shuffle joins by size:
+    *
+    *   - corpus ≤ `ExactPairsMaxRows` (counted once, driver-side) → exact
+    *     broadcast all-pairs (`bruteForcePairs`): cheaper than LSH key
+    *     generation at this size, zero shuffles, recall exactly 1 — which
+    *     is what lets q_dedup_embed carry a DuckDB hash oracle.
+    *   - larger corpora → LSH bucket collisions (candidate generation) +
+    *     exact-cosine verify — the dense-vector sibling of
+    *     NearDedup.minhashLsh, never all-pairs: the self-join is on
+    *     (table, bucket) keys, so only vectors agreeing (up to 1 bit, via
+    *     multiprobe) on some table's sign pattern ever meet. Recall is
+    *     probabilistic and CONTROLLED: unless the caller pins
+    *     (tables, planesPerTable), they are derived from tau via
+    *     `lshParamsFor` so ≥~90% of exactly-at-threshold pairs survive at
+    *     any tau — e.g. τ=0.8 → (10, 13) with ~1.7% random-pair
+    *     candidates, τ=0.45 (near the τ→0.5 sign-LSH limit) → (79, 13)
+    *     with ~13% — still subquadratic, the honest price of a low
+    *     threshold.
+    *
+    * Pinning (tables, planesPerTable) forces the LSH path regardless of
+    * size (how AnnSpec exercises it on the small fixtures; recall measured
+    * there at both τ=0.8 clustered and τ=0.45 isotropic). */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   tau: Double, dim: Int,
                   tables: Int = -1, planesPerTable: Int = -1,
@@ -262,9 +314,10 @@ object SimilaritySearch {
     require((tables > 0) == (planesPerTable > 0),
       s"pin both tables and planesPerTable or neither (got tables=$tables, " +
         s"planesPerTable=$planesPerTable)")
-    val (t, b) =
-      if (tables > 0) (tables, planesPerTable)
-      else lshParamsFor(tau)
+    val pinned = tables > 0
+    if (!pinned && emb.count() <= ExactPairsMaxRows)
+      return bruteForcePairs(emb, idCol, vecCol, tau)
+    val (t, b) = if (pinned) (tables, planesPerTable) else lshParamsFor(tau)
     val base = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
     val cand = cosineCandidates(emb, idCol, vecCol, dim, t, b, seed)

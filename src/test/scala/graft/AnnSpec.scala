@@ -48,12 +48,38 @@ class AnnSpec extends SparkSpec {
       .where(col("sim") >= tau)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(truth.size > 50) // same-cluster pairs are high-cosine
-    val got = SimilaritySearch.cosinePairs(emb, "vec_id", "embedding", tau, dim)
+    // pin the τ-derived params: unpinned, this small corpus would dispatch
+    // to the exact path and stop exercising LSH at all
+    val (tT, tB) = SimilaritySearch.lshParamsFor(tau)
+    val got = SimilaritySearch.cosinePairs(emb, "vec_id", "embedding", tau, dim,
+        tables = tT, planesPerTable = tB)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.subsetOf(truth)) // exact verify => no false positives
     val recall = got.size.toDouble / truth.size
     assert(recall >= 0.9, s"recall $recall (${got.size}/${truth.size})")
     emb.unpersist()
+  }
+
+  test("cosinePairs dispatch: exact broadcast plan below the crossover, LSH above") {
+    val emb = Tables.embeddings(spark, sf001) // 500 rows << ExactPairsMaxRows
+    val auto = SimilaritySearch.cosinePairs(emb, "vec_id", "embedding", 0.45, dim)
+    // exact path: a broadcast nested-loop self-join, no LSH explode anywhere
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("graft_hyperplane"), plan)
+    // and it IS exact: equals the all-pairs truth
+    val v = emb.select(col("vec_id").as("a_id"), col("embedding").cast("array<double>").as("a_v"))
+    val w = emb.select(col("vec_id").as("b_id"), col("embedding").cast("array<double>").as("b_v"))
+    val truth = v.crossJoin(w).where(col("a_id") < col("b_id"))
+      .withColumn("sim", round(graft.functions.VectorFns.cosine(col("a_v"), col("b_v")), 6))
+      .where(col("sim") >= 0.45)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"exact path diverged: missing=${truth -- got} extra=${got -- truth}")
+    // pinned params force the LSH path even on a small corpus
+    val pinnedPlan = SimilaritySearch.cosinePairs(emb, "vec_id", "embedding", 0.45, dim,
+      tables = 12, planesPerTable = 13).queryExecution.executedPlan.toString
+    assert(pinnedPlan.contains("graft_hyperplane"), pinnedPlan)
   }
 
   test("IVF recall >= 0.7 vs exact top-10 on clustered vectors; probe scans a fraction of cells") {
@@ -112,7 +138,11 @@ class AnnSpec extends SparkSpec {
       .where(col("sim") >= tau)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(truth.size >= 10, s"fixture should have >=10 pairs at tau=$tau, got ${truth.size}")
-    val got = SimilaritySearch.cosinePairs(emb, "vec_id", "embedding", tau, 64)
+    // pinned to the τ-derived params so the LSH path (not the small-corpus
+    // exact dispatch) is what's measured here
+    val (lT, lB) = SimilaritySearch.lshParamsFor(tau)
+    val got = SimilaritySearch.cosinePairs(emb, "vec_id", "embedding", tau, 64,
+        tables = lT, planesPerTable = lB)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.subsetOf(truth)) // exact verify => no false positives
     val recall = got.size.toDouble / truth.size
