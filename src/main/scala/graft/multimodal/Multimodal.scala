@@ -18,11 +18,21 @@ case class AssetFeatures(asset_id: Long, width: Int, height: Int,
 /** Multimodal-column plumbing (driver brief: "multimodal columns").
   *
   * The Spark side — schema, typed Encoders, partition-level batch shape,
-  * frame sampling — is real and tested (MultimodalSpec). The codec itself is
-  * a STUB: this container has no image/audio libraries, so `decodeStub`
-  * derives deterministic fake dimensions/features from the payload bytes.
-  * Swapping in a real codec changes ONLY the body of `decodeStub`; every
-  * Spark-facing signature stays as is.
+  * frame sampling — is real and tested (MultimodalSpec). Since r6 the codec
+  * is real too, for the two formats a pure-JVM decoder can own without
+  * external libraries (none exist in this container):
+  *
+  *   - BMP (`BM` magic): BITMAPINFOHEADER dims; for uncompressed 24-bpp
+  *     payloads the features are a 16-bin luminance histogram over the
+  *     actual pixels — a genuine decode→feature-extract pass.
+  *   - WAV (`RIFF…WAVE` magic): fmt/data chunk walk; width = frame count,
+  *     height = channel count; features = 16-bin amplitude histogram over
+  *     the 16-bit PCM samples.
+  *   - anything else falls back to `decodeStub`'s deterministic
+  *     payload-derived pseudo-features (the pre-r6 behavior), so opaque
+  *     modalities still flow through the same pipeline. A production build
+  *     would swap the stub arm for a JPEG/PNG/MP3 library; every
+  *     Spark-facing signature stays as is.
   *
   * Scale notes: `featurize` is `mapPartitions` — the Scala analogue of
   * `mapInPandas` — so per-partition codec state (a decoder instance, a GPU
@@ -31,6 +41,102 @@ case class AssetFeatures(asset_id: Long, width: Int, height: Int,
   * (`substring` on binary inside `transform`) and stays in codegen.
   */
 object Multimodal {
+
+  /** Real decode for the formats we own, stub for the rest. Deterministic:
+    * pure function of the payload bytes on any executor. */
+  private[multimodal] def decode(payload: Array[Byte]): (Int, Int, Array[Float]) =
+    if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
+      decodeBmp(payload)
+    else if (payload.length >= 12 && hasAscii(payload, 0, "RIFF") &&
+      hasAscii(payload, 8, "WAVE"))
+      decodeWav(payload)
+    else decodeStub(payload)
+
+  private def hasAscii(p: Array[Byte], off: Int, s: String): Boolean =
+    s.indices.forall(i => p(off + i) == s.charAt(i).toByte)
+
+  private def u16(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+  private def i32(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+      ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+
+  /** BITMAPFILEHEADER(14) + BITMAPINFOHEADER: width @18, height @22 (may be
+    * negative = top-down), bpp @28, compression @30, pixel data @ the
+    * offset stored @10; 24-bpp rows are 4-byte padded. Histogram bins are
+    * integer luminance (BT.601 weights, integer arithmetic) → 16 bins. */
+  private[multimodal] def decodeBmp(p: Array[Byte]): (Int, Int, Array[Float]) = {
+    require(p.length >= 54, s"BMP truncated: ${p.length} bytes < 54-byte headers")
+    val width = i32(p, 18)
+    val heightRaw = i32(p, 22)
+    val height = math.abs(heightRaw)
+    val bpp = u16(p, 28)
+    val compression = i32(p, 30)
+    val dataOff = i32(p, 10)
+    val hist = new Array[Float](16)
+    if (bpp == 24 && compression == 0 && width > 0 && height > 0) {
+      val rowBytes = ((width * 3 + 3) / 4) * 4
+      require(p.length >= dataOff + rowBytes.toLong * height,
+        s"BMP truncated: expected ${dataOff + rowBytes.toLong * height} bytes, got ${p.length}")
+      var y = 0
+      while (y < height) {
+        var x = 0
+        val row = dataOff + y * rowBytes
+        while (x < width) {
+          val b = p(row + x * 3) & 0xff
+          val g = p(row + x * 3 + 1) & 0xff
+          val r = p(row + x * 3 + 2) & 0xff
+          val lum = (r * 299 + g * 587 + b * 114) / 1000
+          hist(lum >> 4) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (width.toLong * height).toFloat
+      var i = 0
+      while (i < 16) { hist(i) /= n; i += 1 }
+    }
+    (width, height, hist)
+  }
+
+  /** RIFF chunk walk: `fmt ` gives channels @+2 / bits-per-sample @+14,
+    * `data` holds the samples. width = PCM frames, height = channels;
+    * features = 16-bin histogram of the unsigned-shifted 16-bit samples. */
+  private[multimodal] def decodeWav(p: Array[Byte]): (Int, Int, Array[Float]) = {
+    var off = 12
+    var channels = 0
+    var bits = 0
+    var frames = 0
+    val hist = new Array[Float](16)
+    var sampleCount = 0L
+    while (off + 8 <= p.length) {
+      val size = i32(p, off + 4)
+      require(size >= 0 && off + 8 + size <= p.length,
+        s"WAV chunk at $off overruns payload (${p.length} bytes)")
+      if (hasAscii(p, off, "fmt ")) {
+        require(size >= 16, s"WAV fmt chunk too small: $size")
+        channels = u16(p, off + 10)
+        bits = u16(p, off + 22)
+      } else if (hasAscii(p, off, "data") && bits == 16 && channels > 0) {
+        frames = size / (channels * 2)
+        var i = off + 8
+        val end = off + 8 + size - 1
+        while (i < end) {
+          val s = (u16(p, i).toShort.toInt + 32768) >> 12 // 0..15
+          hist(s) += 1f
+          sampleCount += 1
+          i += 2
+        }
+      }
+      off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+    }
+    require(channels > 0, "WAV: no fmt chunk found")
+    if (sampleCount > 0) {
+      var i = 0
+      while (i < 16) { hist(i) /= sampleCount.toFloat; i += 1 }
+    }
+    (frames, channels, hist)
+  }
 
   /** Canonical multimodal frame from any binary column: opaque payload +
     * metadata derived WITHOUT decoding (length, content hash). */
@@ -44,10 +150,11 @@ object Multimodal {
       length(col(payloadCol).cast("binary")).cast("long").as("n_bytes"),
       sha2(col(payloadCol).cast("binary"), 256).as("content_sha"))
 
-  /** STUB decode — deterministic fake in lieu of a real codec (none in this
-    * container). Dims come from a stable hash of the payload; "features" are
-    * a 16-dim byte-histogram projection. Deterministic: same payload, same
-    * output, on any executor. */
+  /** Fallback decode for modalities without a pure-JVM codec (JPEG, PNG,
+    * MP3, raw text payloads): deterministic payload-derived pseudo-features.
+    * Dims come from a stable hash of the payload; "features" are a 16-dim
+    * byte-histogram projection. Deterministic: same payload, same output,
+    * on any executor. */
   private[multimodal] def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val h = java.util.Arrays.hashCode(payload)
     val width = 16 + math.floorMod(h, 1024)
@@ -65,9 +172,9 @@ object Multimodal {
   def featurize(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // real impl: open codec/device handle here, once per task
+      // heavier codecs would open their handle here, once per task
       it.map { a =>
-        val (w, h, feat) = decodeStub(a.payload)
+        val (w, h, feat) = decode(a.payload)
         AssetFeatures(a.asset_id, w, h, a.payload.length.toLong, feat)
       }
     }

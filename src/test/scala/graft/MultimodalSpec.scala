@@ -41,6 +41,84 @@ class MultimodalSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  /** Hand-assembled 24-bpp bottom-up BMP. */
+  private def bmp(width: Int, height: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = ((width * 3 + 3) / 4) * 4
+    val dataOff = 54
+    val total = dataOff + rowBytes * height
+    val p = new Array[Byte](total)
+    def put16(i: Int, v: Int): Unit = { p(i) = v.toByte; p(i + 1) = (v >> 8).toByte }
+    def put32(i: Int, v: Int): Unit = (0 until 4).foreach(k => p(i + k) = (v >> (8 * k)).toByte)
+    p(0) = 'B'; p(1) = 'M'
+    put32(2, total); put32(10, dataOff)
+    put32(14, 40) // BITMAPINFOHEADER size
+    put32(18, width); put32(22, height)
+    put16(26, 1) // planes
+    put16(28, 24) // bpp
+    put32(30, 0) // BI_RGB
+    for (y <- 0 until height; x <- 0 until width) {
+      val (r, g, b) = rgb(x, y)
+      val o = dataOff + y * rowBytes + x * 3
+      p(o) = b.toByte; p(o + 1) = g.toByte; p(o + 2) = r.toByte
+    }
+    p
+  }
+
+  /** Hand-assembled 16-bit PCM WAV. */
+  private def wav(channels: Int, sampleRate: Int, samples: Seq[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val total = 44 + dataSize
+    val p = new Array[Byte](total)
+    def putA(i: Int, s: String): Unit = s.indices.foreach(k => p(i + k) = s.charAt(k).toByte)
+    def put16(i: Int, v: Int): Unit = { p(i) = v.toByte; p(i + 1) = (v >> 8).toByte }
+    def put32(i: Int, v: Int): Unit = (0 until 4).foreach(k => p(i + k) = (v >> (8 * k)).toByte)
+    putA(0, "RIFF"); put32(4, total - 8); putA(8, "WAVE")
+    putA(12, "fmt "); put32(16, 16)
+    put16(20, 1) // PCM
+    put16(22, channels); put32(24, sampleRate)
+    put32(28, sampleRate * channels * 2); put16(32, channels * 2); put16(34, 16)
+    putA(36, "data"); put32(40, dataSize)
+    samples.indices.foreach(k => put16(44 + k * 2, samples(k) & 0xffff))
+    p
+  }
+
+  test("BMP codec: real dims and a luminance histogram from actual pixels") {
+    import spark.implicits._
+    // 3x2: left column pure black (lum 0 -> bin 0), rest pure white (bin 15)
+    val img = bmp(3, 2, (x, _) => if (x == 0) (0, 0, 0) else (255, 255, 255))
+    val assets = Seq(Asset(7L, "image", "image/bmp", img)).toDS()
+    val f = Multimodal.featurize(assets).head()
+    assert(f.width == 3 && f.height == 2)
+    assert(math.abs(f.features(0) - 2f / 6f) < 1e-6) // 2 of 6 pixels black
+    assert(math.abs(f.features(15) - 4f / 6f) < 1e-6) // 4 of 6 white
+    assert(math.abs(f.features.sum - 1f) < 1e-6)
+  }
+
+  test("WAV codec: frames/channels from the chunk walk, amplitude histogram from samples") {
+    import spark.implicits._
+    // stereo, 4 frames: all-zero samples land in bin (0+32768)>>12 = 8
+    val audio = wav(2, 8000, Seq.fill[Short](8)(0))
+    val loud = wav(1, 8000, Seq[Short](Short.MinValue, Short.MaxValue))
+    val assets = Seq(
+      Asset(1L, "audio", "audio/wav", audio),
+      Asset(2L, "audio", "audio/wav", loud)).toDS()
+    val out = Multimodal.featurize(assets).collect().sortBy(_.asset_id)
+    assert(out(0).width == 4 && out(0).height == 2) // 8 samples / 2 channels
+    assert(math.abs(out(0).features(8) - 1f) < 1e-6)
+    assert(out(1).width == 2 && out(1).height == 1)
+    assert(math.abs(out(1).features(0) - 0.5f) < 1e-6) // min-amplitude sample
+    assert(math.abs(out(1).features(15) - 0.5f) < 1e-6) // max-amplitude sample
+  }
+
+  test("unknown modalities keep the deterministic stub fallback") {
+    import spark.implicits._
+    val blob = "not an image".getBytes("UTF-8")
+    val a = Multimodal.featurize(Seq(Asset(9L, "text", "text/plain", blob)).toDS()).head()
+    val b = Multimodal.featurize(Seq(Asset(9L, "text", "text/plain", blob)).toDS()).head()
+    assert(a.width == b.width && a.features.toSeq == b.features.toSeq)
+    assert(math.abs(a.features.sum - 1f) < 1e-3)
+  }
+
   test("frame sampling slices payloads with builtin expressions") {
     import spark.implicits._
     val df = Seq((1L, Array.range(0, 100).map(_.toByte))).toDF("id", "payload")
