@@ -24,14 +24,29 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** @param saltBuckets skew recipe for hot keys (one instrument carrying a
+    *   large share of the left stream): when > 1, LEFT rows of a key are
+    *   spread over `saltBuckets` sub-partitions by a deterministic hash of
+    *   their time, and RIGHT rows are replicated into every bucket, so the
+    *   window runs per (key, salt) with each hot key's sort split
+    *   `saltBuckets` ways. Results are provably identical to the unsalted
+    *   plan: an as-of match depends only on the right rows at-or-before the
+    *   left row, and every bucket holds ALL right rows of its key
+    *   (AsOfJoinSpec asserts row-for-row equality on a hot-key fixture).
+    *   The price is a `saltBuckets`× right-side replication — the right
+    *   recipe when the left stream dwarfs the right (events vs orders,
+    *   trades vs dimension updates). When both sides are huge AND hot, a
+    *   partitioned time-range merge is the answer, not salting. */
   def backward(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      saltBuckets: Int = 1): DataFrame = {
 
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column overlap not supported: $overlap")
-    val reserved = Set("_k", "_t", "_side", "_l", "_r", "_m")
+    val reserved = Set("_k", "_t", "_side", "_l", "_r", "_m", "_salt")
     val clash = (left.columns ++ right.columns).toSet.intersect(reserved)
     require(clash.isEmpty, s"input columns clash with reserved names: $clash")
 
@@ -56,13 +71,28 @@ object AsOfJoin {
 
     // Right rows sort before left rows at the same instant (_side 0 < 1), so
     // a right row at exactly t is visible to a left row at t ("at-or-before").
-    val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t").asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    lTagged.unionByName(rTagged)
-      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
-      .where(col("_side") === 1)
-      .select(col("_l.*"), col("_m.*"))
+    if (saltBuckets == 1) {
+      val w = Window.partitionBy(col("_k"))
+        .orderBy(col("_t").asc, col("_side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lTagged.unionByName(rTagged)
+        .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+        .where(col("_side") === 1)
+        .select(col("_l.*"), col("_m.*"))
+    } else {
+      // Deterministic left spread (hash of the row's own time — stable
+      // under retries); right rows fan out to every bucket.
+      val lSalted = lTagged.withColumn("_salt",
+        pmod(xxhash64(col("_t")), lit(saltBuckets.toLong)).cast("int"))
+      val rSalted = rTagged.withColumn("_salt",
+        explode(sequence(lit(0), lit(saltBuckets - 1))))
+      val w = Window.partitionBy(col("_k"), col("_salt"))
+        .orderBy(col("_t").asc, col("_side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lSalted.unionByName(rSalted)
+        .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+        .where(col("_side") === 1)
+        .select(col("_l.*"), col("_m.*"))
+    }
   }
 }

@@ -73,4 +73,34 @@ class AsOfJoinSpec extends SparkSpec {
       "user_id", "o_custkey", "ts", "o_orderdate")
     assert(joined.count() == left.count())
   }
+
+  test("salted as-of: identical results on a hot key, window keyed by (key, salt)") {
+    import spark.implicits._
+    // one pathologically hot key: 5000 of 5050 left rows on key 1
+    val left = ((0 until 5000).map(i => (i.toLong, 1L, t("2024-01-01 00:00:00").toLocalDateTime.plusSeconds(i.toLong))) ++
+      (0 until 50).map(i => (10000L + i, 2L + i % 7, t("2024-01-01 00:00:00").toLocalDateTime.plusSeconds(i.toLong))))
+      .map { case (id, k, ldt) => (id, k, java.sql.Timestamp.valueOf(ldt)) }
+      .toDF("l_id", "k", "lt")
+    val right = (0 until 200).map(i =>
+        (i.toLong, 1L + i % 9, java.sql.Timestamp.valueOf(
+          t("2024-01-01 00:00:00").toLocalDateTime.plusSeconds(i.toLong * 20))))
+      .toDF("r_id", "rk", "rt")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    val plain = AsOfJoin.backward(left, right, "k", "rk", "lt", "rt")
+    val salted = AsOfJoin.backward(left, right, "k", "rk", "lt", "rt", saltBuckets = 8)
+    assert(key(salted) == key(plain)) // provable equivalence, checked anyway
+    // the hot key's window really is split: the exchange hashes (_k, _salt)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), plan)
+    assert("hashpartitioning\\(_k#\\d+L?, _salt".r.findFirstIn(plan).nonEmpty, plan)
+    // and the per-bucket share of the hot key is bounded: no bucket holds
+    // more than ~1/4 of its rows at 8 buckets (deterministic hash spread)
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val spread = salted.where(col("k") === 1)
+      .withColumn("_b", pmod(xxhash64(col("lt").cast("timestamp")), lit(8L)))
+      .groupBy("_b").count().collect().map(_.getLong(1))
+    assert(spread.length == 8 && spread.max < 5000 / 4, spread.mkString(","))
+  }
 }
