@@ -95,4 +95,38 @@ object AsOfJoin {
         .select(col("_l.*"), col("_m.*"))
     }
   }
+
+  /** Same semantics as `backward`, planned as the custom partitioned-merge
+    * operator (org.apache.spark.sql.graft.BackwardAsOf): one hash exchange
+    * per SIDE on its key, per-side sorts of the narrow original rows, then
+    * a streaming two-pointer merge with O(1) state — no null-padded union
+    * rows and no window aggregation state. Registered through
+    * `spark.sql.extensions=graft.plans.GraftExtensions` or transparently
+    * via `experimental.extraStrategies` on first use in a session. */
+  def backwardMerged(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"column overlap not supported: $overlap")
+    val spark = left.sparkSession
+    import org.apache.spark.sql.graft.{BackwardAsOf, BackwardAsOfStrategy, PlanBridge}
+    if (!spark.experimental.extraStrategies.contains(BackwardAsOfStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ BackwardAsOfStrategy
+    // Times normalized to TimestampType up front (the exec merges on raw
+    // micros); right nulls dropped here — they can never match (same rule
+    // as the union+window path).
+    val l = left.withColumn(leftTime, col(leftTime).cast("timestamp"))
+    val r = right.withColumn(rightTime, col(rightTime).cast("timestamp"))
+      .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
+    val lPlan = PlanBridge.analyzed(l)
+    val rPlan = PlanBridge.analyzed(r)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column '$n' not found"))
+    PlanBridge.ofRows(spark, BackwardAsOf(lPlan, rPlan,
+      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(lPlan, leftTime), attr(rPlan, rightTime)))
+  }
 }

@@ -200,6 +200,26 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** B3 as-of join through the custom partitioned-merge operator
+    * (org.apache.spark.sql.graft.BackwardAsOf — logical node + strategy +
+    * streaming-merge exec): same semantics and ORACLE as q_asof_join, but
+    * planned as one exchange per side, per-side sorts, and a two-pointer
+    * merge with O(1) state instead of union+window (AsOfMergeSpec asserts
+    * the plan shape). */
+  def asofJoinMerged(s: SparkSession, dir: String): DataFrame = {
+    val ordersDedup = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    AsOfJoin.backwardMerged(
+      Tables.events(s, dir).select("event_id", "user_id", "ts"),
+      ordersDedup, leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("order_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** B3 range/interval join: same-user event pairs at most 1 hour apart
     * (strictly forward). Equi-key on user_id keeps this a sort-merge join
     * with a range post-filter — per-key bounded, no cartesian blowup. */
@@ -228,7 +248,18 @@ object TimeSeriesPack extends QueryPack {
     "q_window_moving_avg" -> windowMovingAvg,
     "q_window_delta" -> windowDelta,
     "q_asof_join" -> asofJoin,
+    "q_asof_join_merged" -> asofJoinMerged,
     "q_range_join" -> rangeJoin)
+
+  private val asofOracleSql =
+    """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+      |                  arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      |           FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+      |epoch_us(o.o_orderdate) AS order_ts_us
+      |FROM events e ASOF LEFT JOIN o
+      |  ON e.user_id = o.o_custkey AND date_trunc('microseconds', e.ts) >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
     // date_trunc('microseconds', …) on the DuckDB side: events.ts physically
@@ -298,15 +329,8 @@ object TimeSeriesPack extends QueryPack {
         |value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
         |lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
         |FROM e ORDER BY event_id""".stripMargin,
-    "q_asof_join" ->
-      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
-        |                  arg_max(o_totalprice, o_orderkey) AS o_totalprice
-        |           FROM orders GROUP BY 1, 2)
-        |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
-        |epoch_us(o.o_orderdate) AS order_ts_us
-        |FROM events e ASOF LEFT JOIN o
-        |  ON e.user_id = o.o_custkey AND date_trunc('microseconds', e.ts) >= o.o_orderdate
-        |ORDER BY e.event_id""".stripMargin,
+    "q_asof_join" -> asofOracleSql,
+    "q_asof_join_merged" -> asofOracleSql, // same semantics, custom-exec plan
     "q_range_join" ->
       """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts FROM events)
         |SELECT a.event_id AS a_id, b.event_id AS b_id,

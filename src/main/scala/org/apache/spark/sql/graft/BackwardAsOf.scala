@@ -1,0 +1,140 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Backward as-of join as a first-class Catalyst operator — the
+  * partitioned-merge strategy from SURVEY §4 (deferred #1), the preference-
+  * order (c) escape hatch the brief prescribes for whole-operator semantics:
+  * a custom logical node, a planner Strategy, and a streaming-merge physical
+  * exec, injectable via `SparkSessionExtensions`
+  * (graft.plans.GraftExtensions) or picked up transparently by
+  * `AsOfJoin.backwardMerged`.
+  *
+  * Relationship to the union+window formulation (AsOfJoin.backward): both
+  * are one shuffle per side on the key. The union plan then sorts
+  * NULL-PADDED COMBINED rows (every row carries both sides' struct slots,
+  * half of them null) and runs a windowed `last(_, ignoreNulls)` that
+  * buffers per frame; this exec sorts each side's own (narrow) rows and
+  * two-pointer-merges them in one streaming pass per partition — no padded
+  * union rows, no window state, right side consumed exactly once. Same
+  * exchange count, strictly less data through the sorts and no per-frame
+  * aggregation work.
+  *
+  * Semantics are identical to `AsOfJoin.backward` (asserted row-for-row in
+  * AsOfMergeSpec): for each left row, the single right row with the same
+  * key and the greatest time at-or-before the left time; unmatched left
+  * rows keep null right columns; null left keys/times never match; the
+  * right side must be pre-filtered of null keys/times (the facade does).
+  */
+case class BackwardAsOf(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): BackwardAsOf =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[BackwardAsOf]] as [[BackwardAsOfExec]]. */
+object BackwardAsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case BackwardAsOf(l, r, lk, rk, lt, rt) =>
+      BackwardAsOfExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Streaming per-partition merge: children are hash-clustered by key and
+  * sorted by (key, time) — EnsureRequirements inserts the exchanges/sorts —
+  * then each partition pair is merged with two pointers, holding at most
+  * ONE buffered right row (the latest at-or-before match of the current
+  * key). O(|L| + |R|) per partition after the sorts, O(1) state. */
+case class BackwardAsOfExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // upcast before binding: bindReference of an Attribute-typed value
+    // would cast its BoundReference result back to Attribute and throw
+    val lk = BindReferences.bindReference(leftKey: Expression, left.output)
+    val lt = BindReferences.bindReference(leftTime: Expression, left.output)
+    val rk = BindReferences.bindReference(rightKey: Expression, right.output)
+    val rt = BindReferences.bindReference(rightTime: Expression, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val nRight = right.output.size
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val rBuf = rIter.buffered
+      val nullRight = new GenericInternalRow(nRight)
+      val joined = new JoinedRow
+      // downstream exchanges serialize UnsafeRow; flatten the JoinedRow view
+      val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outAttrs, outAttrs)
+      var held: InternalRow = null
+      var heldKey: Any = null
+      lIter.map { l =>
+        val k = lk.eval(l)
+        val t = lt.eval(l)
+        if (k == null || t == null) toUnsafe(joined(l, nullRight))
+        else {
+          if (heldKey == null || keyOrd.compare(heldKey, k) != 0) {
+            held = null; heldKey = k
+          }
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rkv = rk.eval(rBuf.head)
+            val c = keyOrd.compare(rkv, k)
+            if (c < 0) { rBuf.next() } // smaller keys: discard
+            else if (c == 0 &&
+              rt.eval(rBuf.head).asInstanceOf[Long] <= t.asInstanceOf[Long]) {
+              held = rBuf.next().copy() // newest at-or-before so far
+            } else advancing = false
+          }
+          toUnsafe(joined(l, if (held != null) held else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BackwardAsOfExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** private[sql] bridges the graft facade needs: Dataset from a logical
+  * plan, analyzed plan access. */
+object PlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.BackwardAsOfExec
+
+import java.sql.Timestamp
+
+/** The partitioned-merge as-of operator (custom LogicalPlan + Strategy +
+  * SparkPlan, SURVEY §4 deferred #1): semantics must equal the union+window
+  * formulation row-for-row; the plan must be the custom exec with one
+  * exchange per side and no Window node. */
+class AsOfMergeSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private def events: DataFrame =
+    Tables.events(spark, sf0001).select("event_id", "user_id", "ts")
+
+  private def orders: DataFrame =
+    Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] =
+    df.orderBy("event_id").collect()
+      .map(r => (0 until r.length).map(i => r.get(i))).toSeq
+
+  test("merged as-of equals the union+window formulation on the fixture") {
+    val viaWindow = AsOfJoin.backward(events, orders,
+      "user_id", "o_custkey", "ts", "o_orderdate")
+    val viaMerge = AsOfJoin.backwardMerged(events, orders,
+      "user_id", "o_custkey", "ts", "o_orderdate")
+    assert(viaMerge.columns.toSeq == viaWindow.columns.toSeq)
+    assert(canon(viaMerge) == canon(viaWindow))
+  }
+
+  test("merged as-of handles edges: boundary tie, no match, null left key/time") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Option(10L), Option(t("2024-01-01 10:00:00"))), // exact-tie match
+      (2L, Option(10L), Option(t("2024-01-01 09:00:00"))), // before any right
+      (3L, Option(99L), Option(t("2024-01-01 12:00:00"))), // key with no right rows
+      (4L, None: Option[Long], Option(t("2024-01-01 12:00:00"))), // null key
+      (5L, Option(10L), None: Option[Timestamp])) // null time
+      .toDF("l_id", "k", "lt")
+    val right = Seq(
+      (100L, 10L, t("2024-01-01 10:00:00")),
+      (101L, 10L, t("2024-01-01 11:30:00")))
+      .toDF("r_id", "rk", "rt")
+    val got = AsOfJoin.backwardMerged(left, right, "k", "rk", "lt", "rt")
+      .orderBy("l_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)))).toSeq
+    assert(got == Seq(
+      (1L, Some(100L)), (2L, None), (3L, None), (4L, None), (5L, None)))
+  }
+
+  test("the plan is the custom exec: no Window, exchanges keyed per side") {
+    val q = AsOfJoin.backwardMerged(events, orders,
+      "user_id", "o_custkey", "ts", "o_orderdate")
+    q.collect()
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s +: unwrap(s.plan)
+        case other => other +: other.children.flatMap(unwrap)
+      }
+    val nodes = unwrap(q.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BackwardAsOfExec]),
+      s"custom exec not planned:\n${q.queryExecution.executedPlan}")
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      "union+window shape leaked into the merged plan")
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("hashpartitioning(user_id"), planStr)
+    assert(planStr.contains("hashpartitioning(o_custkey"), planStr)
+  }
+
+  test("extension entry point injects the strategy into a fresh session") {
+    val session = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      // a session with the extension plans BackwardAsOf WITHOUT the facade's
+      // experimental-strategies fallback
+      import org.apache.spark.sql.graft.{BackwardAsOf, PlanBridge}
+      import session.implicits._
+      val l = Seq((1L, 5L, t("2024-01-02 00:00:00"))).toDF("l_id", "k", "lt")
+      val r = Seq((9L, 5L, t("2024-01-01 00:00:00"))).toDF("r_id", "rk", "rt")
+      val lp = PlanBridge.analyzed(l)
+      val rp = PlanBridge.analyzed(r)
+      def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+        p.output.find(_.name == n).get
+      val out = PlanBridge.ofRows(session, BackwardAsOf(lp, rp,
+        attr(lp, "k"), attr(rp, "rk"), attr(lp, "lt"), attr(rp, "rt")))
+      assert(out.collect().map(_.getLong(3)).toSeq == Seq(9L))
+    } finally () // shared context: do not stop the session
+  }
+}
