@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators — the stage of an LLM training-data
+  * pipeline that comes AFTER per-doc analysis (LlmPack) and dedup
+  * (NearDedup): select (filter chain), subsample (stratified), and pack
+  * documents into fixed token budgets. All three are single-shuffle or
+  * shuffle-free per stratum and carry full DuckDB oracles.
+  *
+  * Scale notes per operator are on the methods; the common theme: strata
+  * (language here) are the parallelism unit for the order-dependent ops,
+  * and the hash-based sampler is the fully-parallel alternative where
+  * reproducible systematic spacing isn't required.
+  */
+object PipelinePack extends QueryPack {
+
+  /** Per-language keep-every-kth sampling rates; unlisted strata use
+    * `DefaultEvery`. Plan-time literals, enumerated identically in the
+    * oracle. */
+  private val SampleEvery: Seq[(String, Int)] =
+    Seq("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 4, "zh" -> 5)
+  private val DefaultEvery = 4
+
+  /** B9+ stratified SYSTEMATIC sampling: within each stratum (language),
+    * rank docs by id and keep ranks ≡ 1 (mod k) — reproducible, evenly
+    * spaced, exact per-stratum rate 1/k. One shuffle (the per-stratum
+    * window). The window serializes each stratum into one task, which is
+    * the honest cost of systematic spacing; at corpus scale prefer
+    * `hashSample` (below) — fully parallel, no ordering — unless exact
+    * systematic spacing is a requirement. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val everyExpr: Column = SampleEvery.foldRight(lit(DefaultEvery)) {
+      case ((l, k), acc) => when(col("lang") === l, lit(k)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("every", everyExpr)
+      .where(pmod(col("rn"), col("every")) === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The scale-path sampler: deterministic hash-Bernoulli (keep when
+    * xxhash64(id) mod 10000 < rate·10000). No ordering, no shuffle, no
+    * per-stratum serialization — a pure narrow filter; rate holds in
+    * expectation rather than exactly. xxhash64 has no DuckDB twin, so
+    * this is spec-covered (PipelinePackSpec) instead of oracle-checked. */
+  def hashSample(docs: DataFrame, idCol: String, rate: Double): DataFrame = {
+    require(rate > 0 && rate <= 1, s"rate must be in (0,1], got $rate")
+    docs.where(pmod(xxhash64(col(idCol)), lit(10000L)) < lit((rate * 10000).toLong))
+  }
+
+  /** B9+ quality filter chain (the C4/Gopher-style corpus gate, composed
+    * from the engine's own per-doc signals): token-count window, type/token
+    * ratio floor, mean-token-length band, repeated-trigram ceiling. A pure
+    * narrow pipeline — every predicate is per-row over codegen'd HOF
+    * expressions, zero shuffles before the determinism sort. Survivors
+    * carry their signals so downstream stages (sampling, packing) can
+    * stratify on them. */
+  def corpusFilter(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextFns.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tk).as("n_tokens"),
+        size(array_distinct(tk)).as("n_uniq"),
+        TextFns.totalLen(tk).as("tok_chars"),
+        greatest(size(tk) - 2, lit(0)).as("n_tri"),
+        size(TextFns.shingles3(col("text"))).as("n_tri_distinct"))
+      .where(col("n_tokens").between(8, 2000))
+      .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_tokens"))
+      .withColumn("avg_tok_len", col("tok_chars").cast("double") / col("n_tokens"))
+      .withColumn("dup_frac",
+        when(col("n_tri") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("n_tri_distinct").cast("double") / col("n_tri")))
+      .where(col("uniq_ratio") >= 0.3 &&
+        col("avg_tok_len").between(2.0, 14.0) &&
+        col("dup_frac") <= 0.6)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("uniq_ratio"), col("avg_tok_len"), col("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val PackBudget = 2048 // tokens per packed training sequence
+
+  /** B9+ sequence packing (GPT-style concatenate-then-chop): within each
+    * stratum, documents are laid out end-to-end in doc_id order; a doc's
+    * `seq_no` is the PackBudget-sized chunk its first token lands in, and
+    * `offset` its start position in the stratum's token stream. One
+    * running-sum window per stratum — same parallelism story as
+    * `sampleStratified` (strata in parallel, each sequential; a two-phase
+    * distributed prefix sum lifts that at corpus scale: per-partition token
+    * subtotals are a tiny driver-side list, each partition then adds its
+    * prefix offset locally). */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_no", floor(col("offset") / PackBudget))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_stratified" -> sampleStratified,
+    "q_corpus_filter" -> corpusFilter,
+    "q_pack_sequences" -> packSequences)
+
+  private val tokSql = "string_split_regex(trim(text), '\\s+')"
+
+  def oracles: Map[String, String] = Map(
+    "q_sample_stratified" -> {
+      val rateRows = SampleEvery.map { case (l, k) => s"('$l', $k)" }.mkString(", ")
+      s"""WITH r AS (SELECT doc_id, lang, n_chars,
+         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |k AS (SELECT r.*, coalesce(v.every, $DefaultEvery) AS every
+         |  FROM r LEFT JOIN (VALUES $rateRows) v(lang, every) ON r.lang = v.lang)
+         |SELECT doc_id, lang, n_chars FROM k
+         |WHERE rn % every = 1 ORDER BY doc_id""".stripMargin
+    },
+    "q_corpus_filter" ->
+      s"""WITH q AS (SELECT doc_id, lang,
+         |  len($tokSql) AS n_tokens,
+         |  len(list_distinct($tokSql)) AS n_uniq,
+         |  list_sum(list_transform($tokSql, t -> length(t))) AS tok_chars,
+         |  greatest(len($tokSql) - 2, 0) AS n_tri,
+         |  len(list_distinct(list_transform(range(1, greatest(len($tokSql) - 1, 1)),
+         |    i -> $tokSql[i] || ' ' || $tokSql[i+1] || ' ' || $tokSql[i+2]))) AS n_tri_distinct
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang, n_tokens,
+         |  CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+         |  CAST(tok_chars AS DOUBLE) / n_tokens AS avg_tok_len,
+         |  CASE WHEN n_tri = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(n_tri_distinct AS DOUBLE) / n_tri END AS dup_frac
+         |  FROM q WHERE n_tokens BETWEEN 8 AND 2000)
+         |SELECT doc_id, lang, n_tokens, uniq_ratio, avg_tok_len, dup_frac
+         |FROM f
+         |WHERE uniq_ratio >= 0.3 AND avg_tok_len BETWEEN 2.0 AND 14.0
+         |  AND dup_frac <= 0.6
+         |ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len($tokSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |o AS (SELECT doc_id, lang, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS "offset"
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens, "offset",
+         |CAST(floor("offset" / $PackBudget) AS BIGINT) AS seq_no
+         |FROM o ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.PipelinePack
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators: sampling spacing/rates, filter-chain
+  * composition, packing invariants. */
+class PipelinePackSpec extends SparkSpec {
+
+  test("stratified systematic sampling: exact per-stratum spacing and rate") {
+    val out = PipelinePack.sampleStratified(spark, sf001)
+    val docs = Tables.documents(spark, sf001)
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every stratum sampled at ceil(n/k) exactly (ranks 1, k+1, 2k+1, ...)
+    val every = Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 4, "zh" -> 5)
+    for ((lang, n) <- perLang) {
+      val k = every.getOrElse(lang, 4)
+      assert(sampled.getOrElse(lang, 0L) == (n + k - 1) / k,
+        s"$lang: ${sampled.get(lang)} of $n at 1/$k")
+    }
+    // deterministic across plans
+    assert(out.collect().toSeq == PipelinePack.sampleStratified(spark, sf001).collect().toSeq)
+  }
+
+  test("hash sampler: deterministic, rate within tolerance, no shuffle") {
+    val docs = Tables.documents(spark, sf001)
+    val s1 = PipelinePack.hashSample(docs, "doc_id", 0.3)
+    val n = s1.count().toDouble / docs.count()
+    assert(n > 0.2 && n < 0.4, s"empirical rate $n for 0.3")
+    assert(s1.collect().length == PipelinePack.hashSample(docs, "doc_id", 0.3).count())
+    // narrow plan: no exchange anywhere
+    assert(!s1.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("corpus filter: survivors satisfy every gate; non-trivial pass rate") {
+    val out = PipelinePack.corpusFilter(spark, sf001).collect()
+    assert(out.nonEmpty, "filter chain rejected the whole fixture")
+    assert(out.length < 500, "filter chain rejected nothing")
+    out.foreach { r =>
+      val nTok = r.getInt(2)
+      assert(nTok >= 8 && nTok <= 2000)
+      assert(r.getDouble(3) >= 0.3) // uniq_ratio
+      assert(r.getDouble(4) >= 2.0 && r.getDouble(4) <= 14.0) // avg_tok_len
+      assert(r.getDouble(5) <= 0.6) // dup_frac
+    }
+  }
+
+  test("sequence packing: offsets are a contiguous token layout per stratum") {
+    val rows = PipelinePack.packSequences(spark, sf001)
+      .orderBy("lang", "doc_id").collect()
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      var expected = 0L
+      rs.foreach { r =>
+        assert(r.getLong(3) == expected, s"$lang doc ${r.getLong(0)} offset")
+        assert(r.getLong(4) == expected / 2048) // seq_no = chunk of start
+        expected += r.getLong(2)
+      }
+    }
+  }
+}
