@@ -52,19 +52,29 @@ object NearDedup {
     * branches each re-scan the shingle explode — at corpus scale persist
     * `sets` (or accept the double scan: it is narrow, shuffle-free work,
     * while the skew it removes is a stalled-reducer failure mode).
-    * NearDedupSpec asserts the plan shape on a deliberately hot corpus. */
-  private[graft] def rankedByDf(sets: DataFrame, hotDf: Int): DataFrame = {
+    *
+    * Below `maxBroadcastVocab` distinct shingles (counted once, driver
+    * side — same adaptive dispatch as SimilaritySearch.cosinePairs), the
+    * WHOLE df table broadcasts instead: one scan, zero shuffle joins, and
+    * skew is moot because no shingle-keyed exchange exists at all.
+    * NearDedupSpec asserts both plan shapes on a deliberately hot corpus. */
+  private[graft] def rankedByDf(sets: DataFrame, hotDf: Int,
+                                maxBroadcastVocab: Long = 500000L): DataFrame = {
     val exploded = sets
       .select(col("id"), col("part"), size(col("sh")).as("n"),
         explode(col("sh")).as("sh"))
     // Global shingle document-frequency — a vocabulary-bounded agg.
     val df = exploded.select(col("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
-    val viaHead = exploded.join(broadcast(df.where(col("df") >= hotDf)), "sh")
-    val viaTail = exploded.join(df.where(col("df") < hotDf), "sh")
-    viaHead.unionByName(viaTail)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))))
+    val rn = row_number().over(
+      Window.partitionBy(col("id")).orderBy(col("df"), col("sh")))
+    if (df.count() <= maxBroadcastVocab)
+      exploded.join(broadcast(df), "sh").withColumn("rn", rn)
+    else {
+      val viaHead = exploded.join(broadcast(df.where(col("df") >= hotDf)), "sh")
+      val viaTail = exploded.join(df.where(col("df") < hotDf), "sh")
+      viaHead.unionByName(viaTail).withColumn("rn", rn)
+    }
   }
 
   /** Exact near-dup pairs (Jaccard ≥ tau on word 3-grams, within `partCol`

@@ -1,18 +1,65 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graft.BackwardAsOfStrategy
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.{BackwardAsOfStrategy, DotProduct, MinHashSignature, SimHash64, WinnowFingerprints}
 
 /** Catalyst extension entry point for the engine's custom operators —
   * deploy with
   * {{{ spark.sql.extensions=graft.plans.GraftExtensions }}}
-  * (or `SparkSession.builder.withExtensions(new GraftExtensions)`). Injects
-  * the planner strategy for the partitioned-merge backward as-of join
-  * (org.apache.spark.sql.graft.BackwardAsOf). `AsOfJoin.backwardMerged`
-  * also self-registers the strategy through
-  * `spark.experimental.extraStrategies` for sessions built without the
-  * extension, so the facade works either way. */
+  * (or `SparkSession.builder.withExtensions(new GraftExtensions)`). Injects:
+  *
+  *   - the planner strategy for the partitioned-merge backward as-of join
+  *     (org.apache.spark.sql.graft.BackwardAsOf). `AsOfJoin.backwardMerged`
+  *     also self-registers it through `spark.experimental.extraStrategies`
+  *     for sessions built without the extension, so the facade works
+  *     either way;
+  *   - SQL names for the engine's native expressions, so the full custom
+  *     surface is reachable from pure SQL:
+  *     `graft_dot(a, b)`, `graft_simhash64(token_hashes)`,
+  *     `graft_winnow(text, k, w)` (k, w literal ints), and the
+  *     `graft_minhash(hash_col, k)` aggregate (k literal int).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def register(ext: SparkSessionExtensions, name: String, usage: String)(
+      builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((FunctionIdentifier(name),
+      new ExpressionInfo("graft", name, usage), builder))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => BackwardAsOfStrategy)
+    register(ext, "graft_dot",
+      "graft_dot(a, b) - codegen'd dot product of two array<double>") {
+      case Seq(a, b) => DotProduct(a, b)
+      case args => throw new IllegalArgumentException(
+        s"graft_dot takes 2 arguments, got ${args.length}")
+    }
+    register(ext, "graft_simhash64",
+      "graft_simhash64(hashes) - SimHash fingerprint of an array<bigint> of token hashes") {
+      case Seq(h) => SimHash64(h)
+      case args => throw new IllegalArgumentException(
+        s"graft_simhash64 takes 1 argument, got ${args.length}")
+    }
+    register(ext, "graft_winnow",
+      "graft_winnow(text, k, w) - winnowing fingerprints (k-gram size, window w)") {
+      case Seq(t, k, w) =>
+        WinnowFingerprints(t, litInt(k, "k"), litInt(w, "w"))
+      case args => throw new IllegalArgumentException(
+        s"graft_winnow takes 3 arguments, got ${args.length}")
+    }
+    register(ext, "graft_minhash",
+      "graft_minhash(hash, k) - aggregate: k-permutation minhash signature of a bigint column") {
+      case Seq(h, k) => MinHashSignature(h, litInt(k, "k"))
+      case args => throw new IllegalArgumentException(
+        s"graft_minhash takes 2 arguments, got ${args.length}")
+    }
+  }
 }

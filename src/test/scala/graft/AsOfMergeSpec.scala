@@ -79,6 +79,11 @@ class AsOfMergeSpec extends SparkSpec {
   }
 
   test("extension entry point injects the strategy into a fresh session") {
+    val shared = spark // realize the shared session BEFORE clearing defaults
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    // now getOrCreate really constructs a new session (same SparkContext)
+    // with ONLY the extension applied — no experimental-strategies fallback
     val session = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
@@ -87,6 +92,7 @@ class AsOfMergeSpec extends SparkSpec {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     try {
+      assert(session ne shared, "getOrCreate returned the shared session")
       // a session with the extension plans BackwardAsOf WITHOUT the facade's
       // experimental-strategies fallback
       import org.apache.spark.sql.graft.{BackwardAsOf, PlanBridge}
@@ -100,6 +106,27 @@ class AsOfMergeSpec extends SparkSpec {
       val out = PlanBridge.ofRows(session, BackwardAsOf(lp, rp,
         attr(lp, "k"), attr(rp, "rk"), attr(lp, "lt"), attr(rp, "rt")))
       assert(out.collect().map(_.getLong(3)).toSeq == Seq(9L))
-    } finally () // shared context: do not stop the session
+      // the extension also SQL-registers the native expressions
+      assert(session.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+        .head.getDouble(0) == 11.0)
+      assert(session.sql("SELECT graft_simhash64(array(xxhash64('a'), xxhash64('b')))")
+        .head.getLong(0) ==
+        session.sql("SELECT graft_simhash64(array(xxhash64('a'), xxhash64('b')))")
+          .head.getLong(0))
+      assert(session.sql("SELECT size(graft_winnow('abcdefghijklmnopqrstuvwxyz', 4, 4))")
+        .head.getInt(0) > 0)
+      val sig = session.sql(
+        "SELECT graft_minhash(h, 8) FROM (SELECT xxhash64(x) AS h FROM (VALUES ('a'), ('b'), ('c')) t(x))")
+        .head.getSeq[Long](0)
+      assert(sig.length == 8)
+      // literal-argument validation surfaces as an error, not silence
+      intercept[Exception] {
+        session.sql("SELECT graft_winnow('abc', length('ab'), 4)").collect()
+      }
+    } finally {
+      // restore the suite-wide session; never stop the shared context
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+    }
   }
 }

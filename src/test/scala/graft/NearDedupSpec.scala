@@ -47,7 +47,8 @@ class NearDedupSpec extends SparkSpec {
 
   test("rankedByDf: hot shingles take the broadcast branch, plan has no hot-key shuffle join") {
     val docs = skewed(100)
-    val ranked = NearDedup.rankedByDf(sets(docs), hotDf = 10)
+    // maxBroadcastVocab=0 forces the at-scale head/tail split branch
+    val ranked = NearDedup.rankedByDf(sets(docs), hotDf = 10, maxBroadcastVocab = 0L)
     ranked.collect() // materialize so AQE finalizes the plan
     val joins = collectJoins(ranked.queryExecution.executedPlan)
     // the head branch is a broadcast hash join...
@@ -56,6 +57,16 @@ class NearDedupSpec extends SparkSpec {
     // ...whose build side filters df >= hotDf (the hot head)
     assert(bhj.exists(_.toString.contains(">= 10")),
       s"broadcast build side is not the df>=hotDf head:\n${bhj.mkString("\n")}")
+  }
+
+  test("rankedByDf: small vocabulary broadcasts whole — only broadcast joins in the plan") {
+    val docs = skewed(100)
+    val ranked = NearDedup.rankedByDf(sets(docs), hotDf = 10) // default: vocab fits
+    ranked.collect()
+    val joins = collectJoins(ranked.queryExecution.executedPlan)
+    assert(joins.nonEmpty)
+    assert(joins.forall(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"non-broadcast join in small-vocab plan:\n${joins.mkString("\n")}")
   }
 
   test("rankedByDf ranking is identical to the naive single-join formulation") {
@@ -68,10 +79,13 @@ class NearDedupSpec extends SparkSpec {
           .orderBy(col("df"), col("sh"))))
     def key(df: DataFrame) = df.select("id", "sh", "df", "rn")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
-    assert(key(NearDedup.rankedByDf(s, hotDf = 5)) == key(naive))
-    // degenerate thresholds: everything-hot and everything-cold agree too
-    assert(key(NearDedup.rankedByDf(s, hotDf = 1)) == key(naive))
-    assert(key(NearDedup.rankedByDf(s, hotDf = Int.MaxValue)) == key(naive))
+    val expected = key(naive)
+    // both dispatch branches agree with the naive formulation
+    assert(key(NearDedup.rankedByDf(s, hotDf = 5)) == expected) // whole-vocab broadcast
+    assert(key(NearDedup.rankedByDf(s, hotDf = 5, maxBroadcastVocab = 0L)) == expected)
+    // degenerate split thresholds: everything-hot and everything-cold agree too
+    assert(key(NearDedup.rankedByDf(s, hotDf = 1, maxBroadcastVocab = 0L)) == expected)
+    assert(key(NearDedup.rankedByDf(s, hotDf = Int.MaxValue, maxBroadcastVocab = 0L)) == expected)
   }
 
   test("prefixFilter on the skewed corpus: exact result, all planted pairs found") {
