@@ -150,6 +150,37 @@ class AnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("materialized IVF index: partition-pruned scan, recall vs exact, reopen-deterministic") {
+    import graft.operators.IvfIndex
+    val emb = clustered(10, 50).cache()
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    IvfIndex.build(emb, "vec_id", "embedding", path, cells = 10, sampleN = 200)
+    val probe = emb.where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val q = IvfIndex.topK(spark, path, probe, k = 10, nProbe = 3)
+    val got = q.collect().map(_.getLong(0)).toSet
+    // the scan is partition-pruned at the FILE level: of the 10 cell dirs,
+    // only the probe's 3 are listed/read
+    val plan = q.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters"), plan.toString)
+    val scanned = plan.collectLeaves()
+      .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+    val totalFiles = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .map(d => d.listFiles().count(_.getName.startsWith("part-"))).sum
+    assert(scanned > 0 && scanned < totalFiles,
+      s"scanned $scanned of $totalFiles files — cell dirs not pruned")
+    // quality: same bar as the post-scan IVF path
+    val exact = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(got).size >= 7, s"recall ${exact.intersect(got).size}/10")
+    // reopened index answers identically (centroids round-trip the sidecar)
+    val again = IvfIndex.topK(spark, path, probe, k = 10, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == got)
+    emb.unpersist()
+  }
+
   test("lshParamsFor: recall model holds and candidate volume stays bounded") {
     // derived params must promise >= target recall at the exact threshold
     for (tau <- Seq(0.45, 0.6, 0.8, 0.9)) {
