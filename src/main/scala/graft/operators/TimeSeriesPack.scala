@@ -62,7 +62,9 @@ object TimeSeriesPack extends QueryPack {
     // Deterministic per-input store path, wiped before reuse — repeated
     // invocations (bench warm-up, verify, tests) must not accumulate temp
     // dirs, and the result DataFrame is lazy so the store has to outlive
-    // this call (the driver materializes it later).
+    // this call (the driver materializes it later). Driver-local tmp is
+    // fine under the local[*] driver contract; a real cluster run would
+    // pass a shared (DFS) path here instead.
     val store = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_tstable_rt_${dir.hashCode.toHexString}").toString

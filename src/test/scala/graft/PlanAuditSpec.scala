@@ -42,6 +42,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan(RelationalPack.antiJoin(spark, sf0001)).contains("LeftAnti"))
   }
 
+  test("V2 connector range read: ts predicate derives partition AND pushed filters") {
+    val p = plan(TimeSeriesPack.v2Roundtrip(spark, sf0001))
+    // connector-derived day pruning (p_date never appears in the query)
+    assert(p.contains("PartitionFilters: [(p_date"), p)
+    // and the ts bound reaches the parquet row-group level (INT64 micros
+    // encoding — INT96 would silently drop these)
+    assert("PushedFilters: \\[[^\\]]*ts".r.findFirstIn(p).nonEmpty,
+      s"ts not pushed to parquet:\n$p")
+  }
+
+  test("corpus filter is narrow: the only exchange is the determinism sort") {
+    val p = plan(graft.operators.PipelinePack.corpusFilter(spark, sf0001))
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange (final sort), got $exchanges:\n$p")
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("stratified sampling/packing: one stratum-window shuffle plus the sort") {
+    for (q <- Seq(graft.operators.PipelinePack.sampleStratified(spark, sf0001),
+      graft.operators.PipelinePack.packSequences(spark, sf0001))) {
+      val p = plan(q)
+      val exchanges = "Exchange ".r.findAllIn(p).length
+      assert(exchanges == 2, s"expected window + sort exchanges, got $exchanges:\n$p")
+      assert(p.contains("hashpartitioning(lang"), p)
+    }
+  }
+
   test("executed plans run inside whole-stage codegen (AQE final plans)") {
     // AQE shows codegen stages only once the final plan materializes, so
     // execute first; a representative read, agg and join query each.
