@@ -1,11 +1,22 @@
 package graft.streaming
 
 import graft.ts.TsTable
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.Row
+
+/** One keyed observation for [[TsStream.deltasPerKey]]. */
+case class KeyedPoint(key: Long, ts: java.sql.Timestamp, value: Double)
+
+/** [[TsStream.deltasPerKey]] output: the point plus its delta/gap to the
+  * previous point of the same key (None for a key's first point). */
+case class PointDelta(key: Long, ts: java.sql.Timestamp, value: Double,
+                      delta: Option[Double], gap_us: Option[Long])
+
+/** Per-key carry-forward state: the last seen (ts in epoch µs, value). */
+case class LastPoint(lastTsUs: Long, lastValue: Double)
 
 /** Structured-Streaming face of the engine (SURVEY.md §2 B10).
   *
@@ -64,6 +75,52 @@ object TsStream {
                            keyCols: String*): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.toSeq)
+
+  /** Streaming per-key deltas — the stream face of
+    * TimeSeriesPack.windowDelta, and the engine's custom-state showcase
+    * (`flatMapGroupsWithState`): `lag()` does not exist in streaming, so
+    * the previous point of each key is CARRIED AS STATE — one tiny
+    * (ts, value) record per live key, evicted through an event-time
+    * timeout once a key has been idle past `idleHorizonMs` beyond the
+    * watermark, so executor state is bounded by the live-key set, not the
+    * stream's history.
+    *
+    * Ordering semantics: rows are processed in event-time order WITHIN a
+    * microbatch (sorted here; Spark hands the group iterator over in
+    * arrival order), and across batches in arrival order — the contract of
+    * any streaming delta. Late rows beyond the watermark are dropped
+    * before the state function runs. */
+  def deltasPerKey(points: Dataset[KeyedPoint], watermark: String = "1 hour",
+                   idleHorizonMs: Long = 3600000L): Dataset[PointDelta] = {
+    import points.sparkSession.implicits._
+    points.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, it: Iterator[KeyedPoint], state: GroupState[LastPoint]) =>
+          if (state.hasTimedOut) { // idle key: drop the carried point
+            state.remove(); Iterator.empty
+          } else {
+            // full µs precision: getTime is ms-truncated, the engine's ts
+            // resolution is µs (SURVEY §1.4.4)
+            def us(t: java.sql.Timestamp): Long =
+              (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+            val pts = it.toArray.sortBy(p => us(p.ts))
+            var last = state.getOption
+            val out = pts.map { p =>
+              val d = last.map(s => p.value - s.lastValue)
+              val g = last.map(s => us(p.ts) - s.lastTsUs)
+              last = Some(LastPoint(us(p.ts), p.value))
+              PointDelta(key, p.ts, p.value, d, g)
+            }
+            last.foreach { s =>
+              state.update(s)
+              // evict once the watermark passes the key's last point by
+              // the idle horizon (timeout clock is in ms)
+              state.setTimeoutTimestamp(s.lastTsUs / 1000L + idleHorizonMs)
+            }
+            out.iterator
+          })
+  }
 
   /** Ordered streaming sink: lands each microbatch in `table` through the
     * monotonic-append guard. The TsTable write path does its own day

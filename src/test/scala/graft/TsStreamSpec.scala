@@ -130,6 +130,73 @@ class TsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom-state deltas: stream equals batch lag() on chunked in-order replay") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.{KeyedPoint, PointDelta}
+    val rows = Tables.events(spark, sf0001)
+      .select($"user_id".as("key"), $"ts", $"value").as[KeyedPoint]
+      .collect().sortBy(_.ts.getTime)
+    val ms = MemoryStream[KeyedPoint]
+    // horizon >> the fixture's month span: parity here is vs plain lag();
+    // eviction semantics have their own test below
+    val q = TsStream.deltasPerKey(ms.toDS(), watermark = "1 hour",
+        idleHorizonMs = 10L * 365 * 24 * 3600 * 1000)
+      .writeStream.format("memory").queryName("stream_deltas")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length / 5).max(1)).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      // flush: a far-future point advances the watermark past everything
+      ms.addData(Seq(KeyedPoint(999999L, t("2024-12-31 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("stream_deltas").as[PointDelta].collect()
+        .filter(_.key != 999999L)
+        .map(p => (p.key, p.ts.getTime, p.value, p.delta.map(d => math.round(d * 1e4)),
+          p.gap_us)).toSet
+      // batch truth: lag() per key over the same rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"key").orderBy($"ts")
+      val want = rows.toSeq.toDF("key", "ts", "value")
+        .withColumn("delta", $"value" - lag($"value", 1).over(w))
+        .withColumn("gap_us", unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2),
+          Option(r.get(3)).map(d => math.round(d.asInstanceOf[Double] * 1e4)),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(4).mkString(";")} extra=${(got -- want).take(4).mkString(";")} sizes=${got.size}/${want.size}")
+      assert(got.exists(_._4.isDefined)) // deltas actually produced
+    } finally q.stop()
+  }
+
+  test("custom-state deltas: idle keys are evicted, then restart cleanly") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.KeyedPoint
+    val ms = MemoryStream[KeyedPoint]
+    def kp(k: Long, ts: String, v: Double) = KeyedPoint(k, t(ts), v)
+    // short idle horizon so eviction is observable
+    val q = TsStream.deltasPerKey(ms.toDS(), watermark = "10 minutes",
+        idleHorizonMs = 10L * 60 * 1000)
+      .writeStream.format("memory").queryName("delta_evict")
+      .outputMode("append").start()
+    try {
+      def step(ps: KeyedPoint*): Unit = { ms.addData(ps.toSeq); q.processAllAvailable() }
+      step(kp(1, "2024-01-01 09:00:00", 10.0))
+      step(kp(1, "2024-01-01 09:05:00", 12.0)) // delta 2.0 (state carried)
+      step(kp(2, "2024-01-01 12:00:00", 1.0)) // watermark jumps; key 1 times out
+      step(kp(1, "2024-01-01 12:30:00", 99.0)) // key 1 restarts: no stale delta
+      val rows = spark.table("delta_evict")
+        .select($"key", $"value", $"delta").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), Option(r.get(2)))).toSet
+      assert(rows.contains((1L, 10.0, None)))
+      assert(rows.contains((1L, 12.0, Some(2.0))))
+      // after eviction the key starts fresh — NOT delta = 99.0 - 12.0
+      assert(rows.contains((1L, 99.0, None)), rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming file source over a TsTable directory") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ts_stream_src").toString
