@@ -5,7 +5,10 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Materialized IVF index: the at-scale form of `SimilaritySearch.ivfTopK`.
+/** Materialized IVF index: the at-scale form of `SimilaritySearch.ivfTopK`
+  * (inverted-file architecture per Jégou/Douze/Schmid, "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011 — the coarse-
+  * quantizer/inverted-list layer, without PQ compression).
   *
   * `ivfTopK` trains a coarse quantizer and prunes candidate cells
   * POST-SCAN — correct, but every query still reads the whole corpus (the

@@ -155,7 +155,7 @@ final case class GraftTsWriterFactory(
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftTsDataWriter(path, queryId, conf.value, factory, schema, tsIdx,
-      storedMaxUs, ZoneId.of(zone), partitionId)
+      storedMaxUs, ZoneId.of(zone), partitionId, taskId)
 }
 
 /** Task-side writer: one sorted parquet file per day encountered. Rows
@@ -164,7 +164,7 @@ final case class GraftTsWriterFactory(
 final class GraftTsDataWriter(
     path: String, queryId: String, conf: Configuration,
     factory: OutputWriterFactory, schema: StructType, tsIdx: Int,
-    storedMaxUs: Option[Long], zone: ZoneId, partitionId: Int)
+    storedMaxUs: Option[Long], zone: ZoneId, partitionId: Int, taskId: Long)
   extends DataWriter[InternalRow] {
 
   private val ctx = new TaskAttemptContextImpl(conf,
@@ -200,7 +200,11 @@ final class GraftTsDataWriter(
     closeCurrent()
     curDay = day
     val dir = s"$path/${TsTable.PartCol}=${LocalDate.ofEpochDay(day.toLong)}"
-    val base = f"$queryId-p$partitionId%05d-c$fileSeq%03d${factory.getFileExtension(ctx)}"
+    // taskId in the name: under speculative execution two ATTEMPTS of the
+    // same partition stage concurrently — names must never collide (only
+    // the committed attempt's files get renamed; commit coordination picks
+    // exactly one winner)
+    val base = f"$queryId-p$partitionId%05d-t$taskId-c$fileSeq%03d${factory.getFileExtension(ctx)}"
     fileSeq += 1
     val tmp = s"$dir/_tmp-$base"
     cur = factory.newInstance(tmp, schema, ctx)
