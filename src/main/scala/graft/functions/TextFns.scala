@@ -21,20 +21,22 @@ object TextFns {
 
   /** Distinct word 3-gram shingles of a text column — the unit of the
     * near-dup Jaccard (SURVEY.md §2 B9). Docs with < 3 tokens get an empty
-    * set (the `when` guard matters: sequence(1, n) with n < 1 would count
-    * DOWN and explode). */
-  def shingles3(text: Column): Column = {
+    * set. Since r6 this is a native codegen'd kernel
+    * (org.apache.spark.sql.graft.Shingles3): the HOF formulation below,
+    * though already the fast HOF shape, still ran its lambdas interpreted —
+    * ~0.5 ms/doc, the dominant cost of every near-dup query. */
+  def shingles3(text: Column): Column =
+    org.apache.spark.sql.graft.TextExprs.shingles3(text)
+
+  /** Pre-r6 higher-order-function formulation — parity cross-check only
+    * (LlmPackSpec asserts the native kernel matches it row-for-row).
+    * zip_with over the array and its 1-/2-shifted slices: the lambdas
+    * receive ELEMENTS, so the split regex evaluates O(1) times per doc;
+    * zip_with pads the shorter side with null and concat null-propagates,
+    * so trailing partial windows (and docs with < 3 tokens) drop out in
+    * the filter. */
+  private[graft] def shingles3Hof(text: Column): Column = {
     val tk = tokens(text)
-    // zip_with over the array and its 1-/2-shifted slices: the lambdas
-    // receive ELEMENTS, so the split regex evaluates O(1) times per doc.
-    // (An index-lambda formulation — transform(sequence(...), i =>
-    // element_at(tk, i)...) — re-evaluates `tk` per element because
-    // common-subexpression elimination does not hoist loop-invariant
-    // subtrees out of higher-order-function lambdas: O(n) regex splits
-    // per doc, measured 30× slower on the documents fixture.)
-    // zip_with pads the shorter side with null and concat null-propagates,
-    // so trailing partial windows (and docs with < 3 tokens) drop out in
-    // the filter — same output as before, including the empty-array case.
     val pairs = zip_with(tk, slice(tk, lit(2), size(tk)), (a, b) => concat(a, lit(" "), b))
     val tris = zip_with(pairs, slice(tk, lit(3), size(tk)), (p, c) => concat(p, lit(" "), c))
     array_distinct(filter(tris, x => x.isNotNull))

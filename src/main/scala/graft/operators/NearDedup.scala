@@ -53,13 +53,16 @@ object NearDedup {
     * `sets` (or accept the double scan: it is narrow, shuffle-free work,
     * while the skew it removes is a stalled-reducer failure mode).
     *
-    * Below `maxBroadcastVocab` distinct shingles (counted once, driver
-    * side — same adaptive dispatch as SimilaritySearch.cosinePairs), the
-    * WHOLE df table broadcasts instead: one scan, zero shuffle joins, and
-    * skew is moot because no shingle-keyed exchange exists at all.
-    * NearDedupSpec asserts both plan shapes on a deliberately hot corpus. */
+    * Below `maxBroadcastVocab` distinct shingles, the WHOLE df table is
+    * aggregated ONCE (a limit-bounded driver collect — same adaptive
+    * dispatch shape as SimilaritySearch.cosinePairs) and re-enters the
+    * plan as a driver-local relation under a broadcast hint: the big
+    * exploded side then never shuffles on the shingle key AT ALL, and the
+    * aggregate is not recomputed per branch. Skew is moot — no
+    * shingle-keyed exchange exists. NearDedupSpec asserts both plan shapes
+    * on a deliberately hot corpus. */
   private[graft] def rankedByDf(sets: DataFrame, hotDf: Int,
-                                maxBroadcastVocab: Long = 500000L): DataFrame = {
+                                maxBroadcastVocab: Int = 500000): DataFrame = {
     val exploded = sets
       .select(col("id"), col("part"), size(col("sh")).as("n"),
         explode(col("sh")).as("sh"))
@@ -68,9 +71,13 @@ object NearDedup {
       .groupBy("sh").agg(count(lit(1)).as("df"))
     val rn = row_number().over(
       Window.partitionBy(col("id")).orderBy(col("df"), col("sh")))
-    if (df.count() <= maxBroadcastVocab)
-      exploded.join(broadcast(df), "sh").withColumn("rn", rn)
-    else {
+    // one bounded job decides the branch AND feeds the broadcast
+    val vocab = df.limit(maxBroadcastVocab + 1).collect()
+    if (vocab.length <= maxBroadcastVocab) {
+      val local = sets.sparkSession.createDataFrame(
+        java.util.Arrays.asList(vocab: _*), df.schema)
+      exploded.join(broadcast(local), "sh").withColumn("rn", rn)
+    } else {
       val viaHead = exploded.join(broadcast(df.where(col("df") >= hotDf)), "sh")
       val viaTail = exploded.join(df.where(col("df") < hotDf), "sh")
       viaHead.unionByName(viaTail).withColumn("rn", rn)

@@ -38,6 +38,27 @@ class LlmPackSpec extends SparkSpec {
     assert(viaMinhash == truth) // p(miss) ~ 5e-8 at tau, ~1e-23 for planted pairs
   }
 
+  test("native shingles3 kernel matches the HOF formulation row-for-row") {
+    import spark.implicits._
+    // fixture text plus adversarial whitespace/token edges
+    val edges = Seq(
+      "", " ", "   ", "a", "a b", "a b c", " a b c ", "a  b\tc",
+      "\ta b c", "a b c\t", "a b c d e", "a b a b a b", "ä ö ü ß é",
+      "x\ny\r\nz w", "a " + "b " * 50 + "c").zipWithIndex
+      .map { case (t, i) => (10000L + i, t) }
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .union(edges.toDF("doc_id", "text"))
+    def rows(c: org.apache.spark.sql.Column) = docs
+      .select(col("doc_id"), c.as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val native = rows(TextFns.shingles3(col("text")))
+    val hof = rows(TextFns.shingles3Hof(col("text")))
+    assert(native.keySet == hof.keySet)
+    for ((k, v) <- native)
+      assert(v == hof(k), s"doc $k: native=$v hof=${hof(k)}")
+  }
+
   test("simhash: deterministic; near-duplicates closer in Hamming space than unrelated docs") {
     import spark.implicits._
     val docs = Seq(

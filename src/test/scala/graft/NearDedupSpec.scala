@@ -48,7 +48,7 @@ class NearDedupSpec extends SparkSpec {
   test("rankedByDf: hot shingles take the broadcast branch, plan has no hot-key shuffle join") {
     val docs = skewed(100)
     // maxBroadcastVocab=0 forces the at-scale head/tail split branch
-    val ranked = NearDedup.rankedByDf(sets(docs), hotDf = 10, maxBroadcastVocab = 0L)
+    val ranked = NearDedup.rankedByDf(sets(docs), hotDf = 10, maxBroadcastVocab = 0)
     ranked.collect() // materialize so AQE finalizes the plan
     val joins = collectJoins(ranked.queryExecution.executedPlan)
     // the head branch is a broadcast hash join...
@@ -82,10 +82,10 @@ class NearDedupSpec extends SparkSpec {
     val expected = key(naive)
     // both dispatch branches agree with the naive formulation
     assert(key(NearDedup.rankedByDf(s, hotDf = 5)) == expected) // whole-vocab broadcast
-    assert(key(NearDedup.rankedByDf(s, hotDf = 5, maxBroadcastVocab = 0L)) == expected)
+    assert(key(NearDedup.rankedByDf(s, hotDf = 5, maxBroadcastVocab = 0)) == expected)
     // degenerate split thresholds: everything-hot and everything-cold agree too
-    assert(key(NearDedup.rankedByDf(s, hotDf = 1, maxBroadcastVocab = 0L)) == expected)
-    assert(key(NearDedup.rankedByDf(s, hotDf = Int.MaxValue, maxBroadcastVocab = 0L)) == expected)
+    assert(key(NearDedup.rankedByDf(s, hotDf = 1, maxBroadcastVocab = 0)) == expected)
+    assert(key(NearDedup.rankedByDf(s, hotDf = Int.MaxValue, maxBroadcastVocab = 0)) == expected)
   }
 
   test("prefixFilter on the skewed corpus: exact result, all planted pairs found") {
