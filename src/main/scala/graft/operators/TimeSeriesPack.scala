@@ -123,6 +123,35 @@ object TimeSeriesPack extends QueryPack {
       .select(unix_micros(col("hour")).as("hour_us"), col("n"), col("sum_value"))
       .orderBy(col("hour_us"))
 
+  /** B5 OHLC resampling — the canonical tick-data downsample the
+    * reference's users run via `read_range(...)` → pandas
+    * `resample().ohlc()` (`[pub: tstables README — tick-data use case]`):
+    * per (4-hour bucket, event_type), the first/max/min/last `value`.
+    * Open/close are pinned with row_number over the (ts, event_id) order —
+    * a deterministic tiebreak both engines replay identically — then one
+    * hash aggregation; the two window passes share a single (bucket, type)
+    * shuffle. */
+  def resampleOhlc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.events(s, dir).select(col("event_type"),
+      unix_micros(window(col("ts"), "4 hours").getField("start")).as("b_us"),
+      col("ts"), col("event_id"), col("value"))
+    val asc = Window.partitionBy(col("b_us"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val desc = Window.partitionBy(col("b_us"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    base
+      .withColumn("rna", row_number().over(asc))
+      .withColumn("rnd", row_number().over(desc))
+      .groupBy(col("b_us"), col("event_type"))
+      .agg(max(when(col("rna") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rnd") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy(col("b_us"), col("event_type"))
+  }
+
   /** B10 tumbling window aggregation (batch form of the streaming shape —
     * identical semantics; streaming execution is exercised in TsStreamSpec). */
   def windowTumbling(s: SparkSession, dir: String): DataFrame =
@@ -244,6 +273,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_v2_roundtrip" -> v2Roundtrip,
     "q_filter_project" -> filterProject,
     "q_scalar_datetime" -> scalarDatetime,
+    "q_resample_ohlc" -> resampleOhlc,
     "q_window_tumbling" -> windowTumbling,
     "q_window_sliding" -> windowSliding,
     "q_window_session" -> windowSession,
@@ -289,6 +319,23 @@ object TimeSeriesPack extends QueryPack {
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // 4h buckets: time_bucket's 2000-01-01 origin and Spark's epoch origin
+    // agree for intervals dividing a day (same alignment argument as the
+    // tumbling oracle below).
+    "q_resample_ohlc" ->
+      """WITH e AS (SELECT event_type,
+        |  epoch_us(time_bucket(INTERVAL '4 hours', date_trunc('microseconds', ts))) AS b_us,
+        |  date_trunc('microseconds', ts) AS ts, event_id, value FROM events),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY b_us, event_type ORDER BY ts, event_id) AS rna,
+        |  row_number() OVER (PARTITION BY b_us, event_type ORDER BY ts DESC, event_id DESC) AS rnd
+        |  FROM e)
+        |SELECT b_us, event_type,
+        |max(CASE WHEN rna = 1 THEN value END) AS open,
+        |max(value) AS high, min(value) AS low,
+        |max(CASE WHEN rnd = 1 THEN value END) AS close,
+        |count(*) AS n
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_window_tumbling" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS ws_us,
         |event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
