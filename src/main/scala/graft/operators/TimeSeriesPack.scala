@@ -152,6 +152,34 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("b_us"), col("event_type"))
   }
 
+  /** B5 gap-fill resampling — the other half of the reference users'
+    * pandas `resample()` workflow: a REGULAR hourly grid per user spanning
+    * that user's [min ts, max ts], each grid point carrying the
+    * last-observation-carried-forward value (pandas `ffill`). Grid points
+    * before a user's first observation stay null. Plan shape: per-user
+    * bounds agg (one shuffle), grid via `explode(sequence(...))` (narrow),
+    * left join of hourly last-values, one per-user ordered window for the
+    * carry-forward — every stage distributes by user. Within-hour pick is
+    * `max_by(value, ts)`; the fixture has no (user, ts) duplicates, so the
+    * pick is deterministic on both engines. */
+  def resampleFfill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val obs = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(max_by(col("value"), col("ts")).as("v_obs"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "hour"), "left")
+      .withColumn("value", last(col("v_obs"), ignoreNulls = true).over(w))
+      .select(col("user_id"), unix_micros(col("hour")).as("hour_us"), col("value"))
+      .orderBy(col("user_id"), col("hour_us"))
+  }
+
   /** B10 tumbling window aggregation (batch form of the streaming shape —
     * identical semantics; streaming execution is exercised in TsStreamSpec). */
   def windowTumbling(s: SparkSession, dir: String): DataFrame =
@@ -274,6 +302,7 @@ object TimeSeriesPack extends QueryPack {
     "q_filter_project" -> filterProject,
     "q_scalar_datetime" -> scalarDatetime,
     "q_resample_ohlc" -> resampleOhlc,
+    "q_resample_ffill" -> resampleFfill,
     "q_window_tumbling" -> windowTumbling,
     "q_window_sliding" -> windowSliding,
     "q_window_session" -> windowSession,
@@ -336,6 +365,19 @@ object TimeSeriesPack extends QueryPack {
         |max(CASE WHEN rnd = 1 THEN value END) AS close,
         |count(*) AS n
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_resample_ffill" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events),
+        |b AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |             date_trunc('hour', max(ts)) AS h1 FROM e GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+        |o AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+        |             arg_max(value, ts) AS v_obs FROM e GROUP BY 1, 2),
+        |j AS (SELECT g.user_id, g.hour, o.v_obs
+        |      FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.hour = o.hour)
+        |SELECT user_id, epoch_us(hour) AS hour_us,
+        |last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+        |  ROWS UNBOUNDED PRECEDING) AS value
+        |FROM j ORDER BY user_id, hour_us""".stripMargin,
     "q_window_tumbling" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS ws_us,
         |event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
