@@ -1,0 +1,228 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical / reshaping surface (SURVEY.md §2 B4–B5 widening): the
+  * descriptive-statistics, percentile, binning, pivot and running-total
+  * workflows the reference's users run in pandas (`df.corr()`,
+  * `df.quantile()`, `pd.cut` + `value_counts`, `pivot_table`, `cumsum`)
+  * after `read_range` — re-expressed as single-pass declarative Spark
+  * aggregations.
+  *
+  * Cross-engine determinism strategy (QueryPack rules):
+  *   - every order-sensitive double sum accumulates in exact DECIMAL
+  *     (Det.scala) — moments included: corr/covar/stddev are derived from
+  *     DECIMAL-exact power sums with the IDENTICAL double formula on both
+  *     sides, instead of each engine's own one-pass co-moment kernel whose
+  *     ulp-level results differ by summation order;
+  *   - percentiles use Spark's exact `percentile` (sort + linear
+  *     interpolation at rank (n−1)·p), the same definition as DuckDB/ANSI
+  *     `percentile_cont`, and are rounded to 4dp;
+  *   - histogram bin edges are computed with the same literal floor
+  *     arithmetic on both sides (DuckDB 1.0 has no `width_bucket`).
+  */
+object StatsPack extends QueryPack {
+
+  /** B4+ descriptive statistics per group: corr / covar_samp / stddev_samp
+    * of (l_quantity, l_extendedprice) by returnflag, derived from
+    * DECIMAL-exact power sums (Σx, Σy, Σxy, Σx², Σy²) in ONE pass with full
+    * map-side combine — the textbook "moments, then algebra" layout that is
+    * also how the builtin one-pass kernels behave at scale (fixed-size
+    * state, no second pass). decimal(28,4) is lossless for 2dp×2dp products
+    * and holds ~1e24, far past the 100 TB row count × 1.1e10 max term.
+    * StatsPackSpec asserts the derived values match Spark's builtin
+    * corr/covar_samp/stddev_samp to 1e-9. */
+  def statsCorr(s: SparkSession, dir: String): DataFrame = {
+    def d28(c: Column) = sum(c.cast("decimal(28,4)")).cast("double")
+    val (x, y) = (col("l_quantity"), col("l_extendedprice"))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), d28(x).as("sx"), d28(y).as("sy"),
+        d28(x * y).as("sxy"), d28(x * x).as("sxx"), d28(y * y).as("syy"))
+      .withColumn("nd", col("n").cast("double"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("sx") / col("nd"), 6).as("mean_qty"),
+        round(col("sy") / col("nd"), 6).as("mean_price"),
+        round((col("sxy") - col("sx") * col("sy") / col("nd")) /
+          (col("nd") - 1.0), 6).as("covar_qp"),
+        round(sqrt((col("syy") - col("sy") * col("sy") / col("nd")) /
+          (col("nd") - 1.0)), 6).as("stddev_price"),
+        round((col("sxy") - col("sx") * col("sy") / col("nd")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("nd")) *
+            sqrt(col("syy") - col("sy") * col("sy") / col("nd"))), 6)
+          .as("corr_qp"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** B4+ exact percentiles per group (pandas `groupby().quantile()`):
+    * Spark's `percentile` sorts each group's values and linearly
+    * interpolates at rank (n−1)·p — identical to ANSI `percentile_cont`.
+    * Exact percentiles shuffle the full value multiset per group (that is
+    * their definition); the bounded-memory 100 TB variant is
+    * `approx_percentile` (t-digest sketch, mergeable map-side state),
+    * asserted within 1% of these exact values in StatsPackSpec. */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    val v = col("value")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(percentile(v, lit(0.25)), 4).as("p25"),
+        round(percentile(v, lit(0.5)), 4).as("p50"),
+        round(percentile(v, lit(0.75)), 4).as("p75"),
+        round(percentile(v, lit(0.9)), 4).as("p90"))
+      .orderBy(col("event_type"))
+  }
+
+  private[graft] val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** B4+ pivot (pandas `pivot_table`): events reshaped to one row per day ×
+    * one count column per event type. `pivot` with an EXPLICIT value list —
+    * at 100 TB the implicit form first runs a distinct scan to discover
+    * values and caps at 10k columns; pinning the list keeps this a single
+    * hash aggregation (grouping key = day, pivot key folded into the
+    * aggregate buffer), no extra pass. */
+  def pivot(s: SparkSession, dir: String): DataFrame = {
+    val day = unix_micros(date_trunc("day", col("ts"))).as("day_us")
+    val counts = EventTypes.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"n_$t"))
+    Tables.events(s, dir)
+      .select(day, col("event_type"))
+      .groupBy(col("day_us"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("day_us") +: counts: _*)
+      .withColumn("n_total", EventTypes.map(t => col(s"n_$t")).reduce(_ + _))
+      .orderBy(col("day_us"))
+  }
+
+  private val HistLo = 900.0
+  private val HistW = 5205.0 // (105000 − 900) / 20 buckets
+  private val HistBuckets = 20
+
+  /** B4+ fixed-width histogram (pandas `pd.cut` + `value_counts`): bucket =
+    * clamp(floor((x − lo)/w)). The same literal floor arithmetic runs on
+    * both engines (DuckDB 1.0 lacks `width_bucket`; Spark's is the same
+    * math) so edge values land identically. A pure narrow map + 20-group
+    * aggregate — the number of output rows is bounded by the bucket count,
+    * not the data. */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    val b = least(greatest(floor((col("l_extendedprice") - HistLo) / HistW), lit(0.0)),
+      lit((HistBuckets - 1).toDouble)).cast("long")
+    Tables.lineitem(s, dir)
+      .select(b.as("bucket"), col("l_extendedprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .withColumn("lo", col("bucket").cast("double") * HistW + HistLo)
+      .withColumn("hi", col("lo") + HistW)
+      .select(col("bucket"), col("lo"), col("hi"), col("n"), col("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
+  /** B5+ running total (pandas `resample('D').sum().cumsum()`): daily order
+    * revenue and its cumulative sum, both DECIMAL-exact so the running sum
+    * is order-insensitive and bit-identical cross-engine. The cumulative
+    * window is a single partition BY CONSTRUCTION of the date domain (≤ a
+    * few thousand day rows after the first aggregate), so the "global
+    * window" here is bounded by the calendar, not the 100 TB row count. */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("day_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .groupBy(unix_micros(date_trunc("day", col("o_orderdate"))).as("day_us"))
+      .agg(Det.dsumDec(col("o_totalprice")).as("rev_dec"), count(lit(1)).as("n_orders"))
+      .withColumn("cum_rev", sum(col("rev_dec")).over(w).cast("double"))
+      .select(col("day_us"), col("rev_dec").cast("double").as("day_rev"),
+        col("n_orders"), col("cum_rev"))
+      .orderBy(col("day_us"))
+  }
+
+  private val TestMax = "0ccd" // 3277/65536 ≈ 5% of the md5 space
+  private val ValMax = "1999"  // 6553/65536 ≈ next 5%
+
+  /** B9+ deterministic train/val/test split assignment: split by the first
+    * 16 bits of md5(doc_id) against fixed hex thresholds (lexicographic
+    * compare on lowercase hex = numeric compare). Pure narrow map — no
+    * shuffle, no state, reproducible on any engine that has md5 (unlike
+    * xxhash64, which is why PipelinePack.hashSample is spec-only while this
+    * key carries a full oracle); adding docs never reassigns existing ones. */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    val h4 = substring(md5(col("doc_id").cast("string")), 1, 4)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), h4.as("h4"))
+      .withColumn("split",
+        when(col("h4") < TestMax, "test")
+          .when(col("h4") < ValMax, "val")
+          .otherwise("train"))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_corr" -> statsCorr,
+    "q_percentiles" -> percentiles,
+    "q_pivot" -> pivot,
+    "q_histogram" -> histogram,
+    "q_window_running" -> windowRunning,
+    "q_split_assign" -> splitAssign)
+
+  def oracles: Map[String, String] = Map(
+    "q_stats_corr" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM m)
+        |SELECT l_returnflag, n,
+        |round(sx / nd, 6) AS mean_qty,
+        |round(sy / nd, 6) AS mean_price,
+        |round((sxy - sx * sy / nd) / (nd - 1.0), 6) AS covar_qp,
+        |round(sqrt((syy - sy * sy / nd) / (nd - 1.0)), 6) AS stddev_price,
+        |round((sxy - sx * sy / nd) /
+        |  (sqrt(sxx - sx * sx / nd) * sqrt(syy - sy * sy / nd)), 6) AS corr_qp
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 4) AS p25,
+        |round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS p50,
+        |round(percentile_cont(0.75) WITHIN GROUP (ORDER BY value), 4) AS p75,
+        |round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 4) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_pivot" -> {
+      val cols = EventTypes.map(t =>
+        s"count(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(",\n|")
+      s"""SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+         |$cols,
+         |count(*) AS n_total
+         |FROM events GROUP BY 1 ORDER BY day_us""".stripMargin
+    },
+    "q_histogram" ->
+      s"""WITH b AS (SELECT CAST(least(greatest(
+         |    floor((l_extendedprice - $HistLo) / $HistW), 0.0), ${HistBuckets - 1}.0) AS BIGINT)
+         |    AS bucket, l_extendedprice
+         |  FROM lineitem)
+         |SELECT bucket,
+         |CAST(bucket AS DOUBLE) * $HistW + $HistLo AS lo,
+         |CAST(bucket AS DOUBLE) * $HistW + $HistLo + $HistW AS hi,
+         |count(*) AS n,
+         |${Det.dsumSql("l_extendedprice")} AS sum_price
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_window_running" ->
+      """WITH d AS (SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec,
+        |  count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT day_us, CAST(rev_dec AS DOUBLE) AS day_rev, n_orders,
+        |CAST(sum(rev_dec) OVER (ORDER BY day_us
+        |  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev
+        |FROM d ORDER BY day_us""".stripMargin,
+    "q_split_assign" ->
+      s"""SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h4,
+         |CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$TestMax' THEN 'test'
+         |     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$ValMax' THEN 'val'
+         |     ELSE 'train' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.StatsPack
+import org.apache.spark.sql.functions._
+
+/** Statistics pack: the scaladoc claims that are NOT covered by the DuckDB
+  * hash oracle — builtin-kernel parity of the moment-derived stats, the
+  * sketch-vs-exact percentile bound, split determinism/rates, histogram
+  * conservation. */
+class StatsPackSpec extends SparkSpec {
+
+  test("moment-derived corr/covar/stddev match Spark's builtin kernels") {
+    val derived = StatsPack.statsCorr(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    val builtin = Tables.lineitem(spark, sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        stddev_samp(col("l_extendedprice")).as("sd"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("cr"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(derived.keySet == builtin.keySet)
+    for ((flag, (cv, sd, cr)) <- builtin) {
+      val (dcv, dsd, dcr) = derived(flag)
+      // moment algebra vs one-pass co-moments: equal well past the 6dp the
+      // oracle emits (abs for covar/stddev which are O(1e3..1e4))
+      assert(math.abs(dcv - cv) / math.abs(cv) < 1e-9, s"$flag covar $dcv vs $cv")
+      assert(math.abs(dsd - sd) / sd < 1e-9, s"$flag stddev $dsd vs $sd")
+      assert(math.abs(dcr - cr) < 1e-6, s"$flag corr $dcr vs $cr")
+    }
+  }
+
+  test("approx_percentile (t-digest) lands within 1% of the exact percentiles") {
+    val exact = StatsPack.percentiles(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(5)))
+      .toMap
+    val approx = Tables.events(spark, sf001)
+      .groupBy(col("event_type"))
+      .agg(approx_percentile(col("value"), lit(0.25), lit(10000)).as("a25"),
+        approx_percentile(col("value"), lit(0.5), lit(10000)).as("a50"),
+        approx_percentile(col("value"), lit(0.9), lit(10000)).as("a90"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    for ((t, (p25, p50, p90)) <- exact) {
+      val (a25, a50, a90) = approx(t)
+      assert(math.abs(a25 - p25) / p25 < 0.01, s"$t p25 $a25 vs $p25")
+      assert(math.abs(a50 - p50) / p50 < 0.01, s"$t p50 $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 < 0.01, s"$t p90 $a90 vs $p90")
+    }
+  }
+
+  test("split assignment: deterministic, narrow plan, rates near 5/5/90") {
+    val out = StatsPack.splitAssign(spark, sf001)
+    // no shuffle before the determinism sort: the assignment itself is a map
+    val noSort = Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 4).as("h4"))
+    assert(!noSort.queryExecution.executedPlan.toString.contains("Exchange"))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    // 500 docs, p=0.05 → sd ≈ 4.9; accept ±4 sd
+    assert(math.abs(counts.getOrElse("test", 0L) - 0.05 * n) < 20, counts.toString)
+    assert(math.abs(counts.getOrElse("val", 0L) - 0.05 * n) < 20, counts.toString)
+    // re-running yields the identical assignment (no rng, no state)
+    assert(out.collect().toSeq == StatsPack.splitAssign(spark, sf001).collect().toSeq)
+  }
+
+  test("histogram: buckets conserve rows and sum, edges tile the range") {
+    val rows = StatsPack.histogram(spark, sf001).collect()
+    val li = Tables.lineitem(spark, sf001)
+    assert(rows.map(_.getLong(3)).sum == li.count())
+    val total = li.agg(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"))
+      .head().getDouble(0)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - total) < 1e-4)
+    for (r <- rows) assert(r.getDouble(2) - r.getDouble(1) == 5205.0)
+    // every price actually falls inside its bucket (clamped edges aside)
+    val mis = StatsPack.histogram(spark, sf001)
+      .where(col("bucket").between(1, 18) &&
+        (col("lo") > col("sum_price") / col("n") || col("hi") < col("sum_price") / col("n")))
+      .count()
+    assert(mis == 0, "a bucket's mean price fell outside its own edges")
+  }
+
+  test("pivot: per-type columns reconcile with the plain group-by counts") {
+    val piv = StatsPack.pivot(spark, sf001)
+    val byType = Tables.events(spark, sf001).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sums = piv.agg(
+      sum("n_click"), sum("n_error"), sum("n_purchase"),
+      sum("n_signup"), sum("n_view"), sum("n_total")).head()
+    assert(sums.getLong(0) == byType("click"))
+    assert(sums.getLong(1) == byType("error"))
+    assert(sums.getLong(2) == byType("purchase"))
+    assert(sums.getLong(3) == byType("signup"))
+    assert(sums.getLong(4) == byType("view"))
+    assert(sums.getLong(5) == byType.values.sum)
+  }
+
+  test("running total: last cum_rev equals the DECIMAL-exact grand total") {
+    val rows = StatsPack.windowRunning(spark, sf001).collect()
+    val grand = Tables.orders(spark, sf001)
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"))
+      .head().getDouble(0)
+    assert(rows.last.getDouble(3) == grand)
+    // monotone non-decreasing (prices are positive)
+    val cums = rows.map(_.getDouble(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+  }
+}
