@@ -132,6 +132,18 @@ object LlmPack extends QueryPack {
     SimilaritySearch.bruteForceTopK(Tables.embeddings(s, dir),
       idCol = "vec_id", vecCol = "embedding", probeId = 0L, k = 10)
 
+  private val KnnProbes = 16L // probe set: vec_id < 16
+  private val KnnK = 3
+
+  /** B9 batch exact kNN join: top-3 cosine neighbors for EACH probe
+    * (vec_id < 16) in one corpus pass — probes broadcast, per-group top-k
+    * via the k-bounded TopKByScore aggregate (SimilaritySearch.knnJoin). */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    SimilaritySearch.knnJoin(emb, emb.where(col("vec_id") < KnnProbes),
+      idCol = "vec_id", vecCol = "embedding", k = KnnK)
+  }
+
   /** B9 approximate similarity search: multi-table hyperplane LSH with
     * exact rerank. No oracle (plan-time literal planes aren't expressible
     * in portable SQL); AnnSpec measures recall on clustered data. */
@@ -232,6 +244,7 @@ object LlmPack extends QueryPack {
     "q_quality_repetition" -> qualityRepetition,
     "q_token_topk" -> tokenTopk,
     "q_sim_topk" -> simTopk,
+    "q_knn_join" -> knnJoin,
     "q_sim_ann" -> simAnn,
     "q_sim_ivf" -> simIvf,
     "q_lang_id" -> langId,
@@ -316,6 +329,21 @@ object LlmPack extends QueryPack {
         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT a_id, b_id, sim FROM s WHERE sim >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
+    // Same dot/(norm·norm) formulation as q_sim_topk; ranking happens on
+    // the ROUNDED sim on both sides so float-tie order can't diverge.
+    "q_knn_join" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id < 16),
+        |s AS (SELECT probe_id, vec_id,
+        |        round(list_dot_product(v, p)
+        |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(p, p))), 6) AS sim
+        |      FROM e, p WHERE vec_id <> probe_id),
+        |r AS (SELECT probe_id, vec_id, sim,
+        |        row_number() OVER (PARTITION BY probe_id
+        |                           ORDER BY sim DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id, sim
+        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     "q_sim_topk" ->
       """WITH p AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0)

@@ -39,6 +39,46 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Batch exact kNN join: for EVERY probe row, its k nearest corpus
+    * neighbors by cosine (self-matches excluded) — the retrieval /
+    * hard-negative-mining shape, i.e. `bruteForceTopK` for a probe SET in
+    * one corpus pass instead of a pass per probe.
+    *
+    * Plan shape, back to front:
+    *   - probes are broadcast: the corpus never shuffles for the join;
+    *   - norms are hoisted per ROW (corpus and probe side each), not
+    *     recomputed per pair — same trick as `bruteForcePairs`, and
+    *     IEEE-identical to the per-pair cosine so oracle parity holds;
+    *   - per-group top-k runs as `TopKByScore`, a TypedImperativeAggregate
+    *     with k-BOUNDED heap state: each partition reduces to ≤ k entries
+    *     per probe map-side and the shuffle moves probes × partitions × k
+    *     (sim, id) pairs. The window formulation (row_number ≤ k) would
+    *     shuffle all probes × N scored candidates — the difference between
+    *     a merge of heaps and a sort of the corpus at 100 TB.
+    *
+    * Ties at the (6dp-rounded) similarity break by ascending vec_id — a
+    * total order, shared with the oracle's ORDER BY. */
+  def knnJoin(corpus: DataFrame, probes: DataFrame, idCol: String,
+              vecCol: String, k: Int): DataFrame = {
+    val v = corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", VectorFns.l2norm(col("v")))
+    val p = probes.select(col(idCol).as("probe_id"),
+        col(vecCol).cast("array<double>").as("p"))
+      .withColumn("np", VectorFns.l2norm(col("p")))
+    v.crossJoin(broadcast(p))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorFns.dot(col("v"), col("p")) / (col("nv") * col("np")), 6).as("sim"))
+      .groupBy(col("probe_id"))
+      .agg(org.apache.spark.sql.graft.TopKAggExprs
+        .topKByScore(col("sim"), col("vec_id"), k).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.vec_id").as("vec_id"), col("col.sim").as("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** bits[j] = sign of ⟨v, plane_j⟩; keys[l] = (l << b) | table l's bits —
     * the table-index tag means keys from different tables can never collide
     * through arrays_overlap / equi-joins. Planes are seeded at plan time and
