@@ -266,6 +266,80 @@ final class TsTable private (
     }
   }
 
+  /** Data files of one partition directory — skips `_`/`.`-prefixed entries
+    * (success markers, schema descriptor, in-flight compaction temp). */
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Path] =
+    fs.listStatus(dir).iterator
+      .filter(_.isFile)
+      .map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .toSeq
+
+  /** Compact one day partition's files down to `targetFiles` ts-sorted files
+    * (each covering a contiguous ts slice, via range partitioning — the same
+    * per-file sortedness invariant the append path writes).
+    *
+    * WHY: every `append` that touches a day adds at least one file to it, so
+    * a day fed by many small batches (the streaming `foreachBatch` sink is
+    * the worst case: one file per micro-batch) accumulates files whose
+    * per-file open/footer cost eventually dominates `readRange` — the
+    * classic small-files problem. The reference never meets it (HDF5 rows
+    * append in place to ONE table per day — `[pub: tstables/tstable.py —
+    * append]`); a Parquet table needs this explicit maintenance op instead.
+    *
+    * Mechanics: rewrite the day into `_compact_tmp_<date>` under the table
+    * root (`_` prefix → invisible to Spark's file index), then swap: delete
+    * the old data files, move the new ones in. The swap is file-granular and
+    * NOT transactional for concurrent readers — run it in a maintenance
+    * window (a table format with snapshot isolation is what lifts that
+    * restriction; out of scope here). A crash before the swap leaves only a
+    * re-runnable invisible temp dir; a crash mid-swap is detectable (temp
+    * dir still present) and re-runnable after restoring from it.
+    *
+    * Cost: one read + one write of the single day being compacted — never
+    * O(table). Returns false (no-op) if the partition is missing or already
+    * at or under `targetFiles`.
+    */
+  def compact(date: String, targetFiles: Int = 1): Boolean = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    require(DateDirRe.matches(date), s"date must be YYYY-MM-DD, got '$date'")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDir = new Path(root, s"$PartCol=$date")
+    if (!fs.exists(partDir)) return false
+    val oldFiles = dataFiles(fs, partDir)
+    if (oldFiles.length <= targetFiles) return false
+    // Same µs-instant encoding rationale as appendValidated.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val tmp = new Path(root, s"_compact_tmp_$date")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val day = raw.where(col(PartCol) === to_date(lit(date))).drop(PartCol)
+    val writer = day
+      .repartitionByRange(targetFiles, col(tsCol))
+      .sortWithinPartitions(col(tsCol))
+      .write.mode("overwrite")
+      .option("compression", writeOptions.codec)
+    writeOptions.rowGroupBytes.foreach(b => writer.option("parquet.block.size", b.toString))
+    writer.parquet(tmp.toString) // materializes BEFORE any old file is touched
+    val newFiles = dataFiles(fs, tmp)
+    oldFiles.foreach(f => fs.delete(f, false))
+    newFiles.foreach(f => fs.rename(f, new Path(partDir, f.getName)))
+    fs.delete(tmp, true)
+    true
+  }
+
+  /** Compact every day partition holding more than `targetFiles` data files;
+    * returns the dates rewritten. Driver-side listing picks the candidates
+    * (O(#partitions) metadata), each rewrite costs one day. */
+  def compactAll(targetFiles: Int = 1): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partitionDates.sorted.filter { d =>
+      dataFiles(fs, new Path(root, s"$PartCol=$d")).length > targetFiles &&
+        compact(d, targetFiles)
+    }
+  }
+
   /** Register the table under `name` for `spark.sql` access. The view keeps
     * the `p_date` partition column so SQL range queries can write the same
     * pruning predicate `readRange` emits:
