@@ -209,6 +209,51 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("user_id"), col("hour_us"))
   }
 
+  /** B5 linear-interpolation resampling — pandas `resample('h').mean()
+    * .interpolate()`: the same per-user hourly grid as `resampleFfill`, but
+    * a gap hour takes the time-weighted line between its neighboring
+    * OBSERVED hours, v = v_prev + (v_next − v_prev)·(h − h_prev)/(h_next −
+    * h_prev). No extrapolation: hours before the first / after the last
+    * observation stay null (only possible at grid edges by construction of
+    * the [min, max] span). Plan shape: the ffill stages plus one extra
+    * backward window (first following observation) sharing the same
+    * per-user shuffle; the interpolation itself is a per-row IEEE
+    * expression written identically in the oracle; the interpolated branch
+    * is quantized with floor(x·1e6 + 0.5)/1e6 rather than round() — the two
+    * engines' round() disagree on boundary doubles (Spark rounds the
+    * shortest decimal repr, DuckDB the raw binary — the Det.dsum6 story),
+    * while the floor form is the same IEEE ops on both sides, hence
+    * bit-identical. */
+  def resampleInterp(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val obs = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(max_by(col("value"), col("ts")).as("v_obs"))
+    val back = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsHour = when(col("v_obs").isNotNull, col("hour"))
+    val frac = (unix_micros(col("hour")) - unix_micros(col("ph"))).cast("double") /
+      (unix_micros(col("nh")) - unix_micros(col("ph"))).cast("double")
+    grid.join(obs, Seq("user_id", "hour"), "left")
+      .withColumn("pv", last(col("v_obs"), ignoreNulls = true).over(back))
+      .withColumn("ph", last(obsHour, ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v_obs"), ignoreNulls = true).over(fwd))
+      .withColumn("nh", first(obsHour, ignoreNulls = true).over(fwd))
+      .withColumn("value",
+        when(col("v_obs").isNotNull, col("v_obs"))
+          .when(col("pv").isNull || col("nv").isNull, lit(null).cast("double"))
+          .otherwise(floor((col("pv") + (col("nv") - col("pv")) * frac) * 1e6 + 0.5) / 1e6))
+      .select(col("user_id"), unix_micros(col("hour")).as("hour_us"), col("value"))
+      .orderBy(col("user_id"), col("hour_us"))
+  }
+
   /** B10 tumbling window aggregation (batch form of the streaming shape —
     * identical semantics; streaming execution is exercised in TsStreamSpec). */
   def windowTumbling(s: SparkSession, dir: String): DataFrame =
@@ -333,6 +378,7 @@ object TimeSeriesPack extends QueryPack {
     "q_scalar_datetime" -> scalarDatetime,
     "q_resample_ohlc" -> resampleOhlc,
     "q_resample_ffill" -> resampleFfill,
+    "q_resample_interp" -> resampleInterp,
     "q_window_tumbling" -> windowTumbling,
     "q_window_sliding" -> windowSliding,
     "q_window_session" -> windowSession,
@@ -414,6 +460,34 @@ object TimeSeriesPack extends QueryPack {
         |last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
         |  ROWS UNBOUNDED PRECEDING) AS value
         |FROM j ORDER BY user_id, hour_us""".stripMargin,
+    "q_resample_interp" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events),
+        |b AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |             date_trunc('hour', max(ts)) AS h1 FROM e GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+        |o AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+        |             arg_max(value, ts) AS v_obs FROM e GROUP BY 1, 2),
+        |j AS (SELECT g.user_id, g.hour, o.v_obs
+        |      FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.hour = o.hour),
+        |w AS (SELECT user_id, hour, v_obs,
+        |  last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS UNBOUNDED PRECEDING) AS pv,
+        |  last_value(CASE WHEN v_obs IS NOT NULL THEN hour END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY hour ROWS UNBOUNDED PRECEDING) AS ph,
+        |  first_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN v_obs IS NOT NULL THEN hour END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j)
+        |SELECT user_id, epoch_us(hour) AS hour_us,
+        |CASE WHEN v_obs IS NOT NULL THEN v_obs
+        |     WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |     ELSE floor((pv + (nv - pv) *
+        |       (CAST(epoch_us(hour) - epoch_us(ph) AS DOUBLE)
+        |        / CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE))) * 1e6 + 0.5) / 1e6
+        |END AS value
+        |FROM w ORDER BY user_id, hour_us""".stripMargin,
     "q_window_tumbling" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS ws_us,
         |event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
