@@ -114,6 +114,37 @@ object RelationalPack extends QueryPack {
         col("n"), col("sum_price"))
       .orderBy(col("nation"), col("priority"))
 
+  /** B4 cube: all four grouping sets over nation × priority (rollup's
+    * sibling — rollup emits the 3 hierarchical sets, cube adds the
+    * priority-only marginals). Same null-folding discipline. Spark plans
+    * one Expand + single hash aggregation, not one pass per set. */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("nation"), col("priority"))
+
+  /** B5 distribution ranking: percent_rank / cume_dist / ntile(4) of each
+    * order's totalprice within its priority class. The window ORDER BY ends
+    * in the unique o_orderkey, so ranks (and hence the emitted doubles —
+    * both engines compute (rank−1)/(n−1) and peers/n from identical ints)
+    * are fully deterministic. One shuffle on the partition key. */
+  def windowRankStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** B5 ranking: top-3 orders per customer (row_number with a unique
     * tie-break key). */
   def windowTopnPerGroup(s: SparkSession, dir: String): DataFrame = {
@@ -166,6 +197,8 @@ object RelationalPack extends QueryPack {
     "q_agg_distinct" -> aggDistinct,
     "q_approx_distinct" -> aggApproxDistinct,
     "q_agg_rollup" -> aggRollup,
+    "q_agg_cube" -> aggCube,
+    "q_window_rank_stats" -> windowRankStats,
     "q_window_topn_per_group" -> windowTopnPerGroup,
     "q_topk" -> topk,
     "q_set_ops" -> setOps,
@@ -222,6 +255,24 @@ object RelationalPack extends QueryPack {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, o_orderpriority)
         |ORDER BY nation, priority""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |coalesce(o_orderpriority, 'ALL') AS priority,
+        |count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, o_orderpriority)
+        |ORDER BY nation, priority""".stripMargin,
+    "q_window_rank_stats" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |percent_rank() OVER w AS pr,
+        |cume_dist() OVER w AS cd,
+        |CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_window_topn_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -108,9 +108,9 @@ object TimeSeriesPack extends QueryPack {
           lit("2024-01-08 00:00:00").cast("timestamp"))))
   }
 
-  /** A3+ maintenance round-trip: 4 days of events land via three ordered
-    * appends whose cut points fall MID-day (so interior days accumulate two
-    * files each — the small-files pattern a streaming sink produces), then
+  /** A3+ maintenance round-trip: 2 days of events land via three ordered
+    * appends whose cut points fall MID-day (so each day accumulates two
+    * files — the small-files pattern a streaming sink produces), then
     * `compactAll(1)` rewrites each multi-file day to one ts-sorted file, and
     * the full range reads back out. The oracle is the same slice of raw
     * events, so this hash-checks that compaction is content-preserving
@@ -123,18 +123,18 @@ object TimeSeriesPack extends QueryPack {
     val p = new org.apache.hadoop.fs.Path(store)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-03 00:00:00").cast("timestamp")
     val ev = Tables.events(s, dir).where(col("ts") < hi)
     val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
-    val cut1 = lit("2024-01-02 12:00:00").cast("timestamp")
-    val cut2 = lit("2024-01-03 12:00:00").cast("timestamp")
+    val cut1 = lit("2024-01-01 12:00:00").cast("timestamp")
+    val cut2 = lit("2024-01-02 12:00:00").cast("timestamp")
     t.append(ev.where(col("ts") < cut1))
     t.append(ev.where(col("ts") >= cut1 && col("ts") < cut2))
     t.append(ev.where(col("ts") >= cut2))
     t.compactAll(targetFiles = 1)
     eventsProjection(
       TsTable.open(s, store)
-        .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
+        .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")))
   }
 
   /** B2 projection + non-time predicate; both pushed to the parquet scan. */
@@ -417,11 +417,11 @@ object TimeSeriesPack extends QueryPack {
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-08 00:00:00'
          |ORDER BY event_id""".stripMargin,
-    // readRange's closed upper bound at exactly 2024-01-05T00:00 admits no
+    // readRange's closed upper bound at exactly 2024-01-03T00:00 admits no
     // extra rows: the store was built from ts strictly below that instant.
     "q_ts_compact" ->
       s"""SELECT $eventsProjectionSql FROM events
-         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-03 00:00:00'
          |ORDER BY event_id""".stripMargin,
     "q_filter_project" ->
       """SELECT event_id, user_id, value FROM events

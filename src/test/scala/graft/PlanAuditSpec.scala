@@ -69,6 +69,43 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pivot reads the input once; both stacked aggregations combine map-side") {
+    val p = plan(graft.operators.StatsPack.pivot(spark, sf0001))
+    // explicit value list → no values-discovery job, ONE scan feeding the
+    // standard two-level plan: (day, type) count, then pivotfirst over day —
+    // each with a partial stage, so shuffles carry per-group state only
+    assert("FileScan".r.findAllIn(p).length == 1, s"expected one scan:\n$p")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_pivotfirst"), p)
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 3, s"expected 2 agg + 1 sort exchanges, got $exchanges:\n$p")
+  }
+
+  test("cube/rollup plan a single Expand + one aggregation, dims broadcast") {
+    for (q <- Seq(RelationalPack.aggCube(spark, sf0001),
+        RelationalPack.aggRollup(spark, sf0001))) {
+      val p = plan(q)
+      assert("Expand".r.findAllIn(p).length == 1, s"expected one Expand:\n$p")
+      assert(p.contains("BroadcastHashJoin"), p)
+    }
+  }
+
+  test("moment-stats aggregate partially before the 3-group shuffle") {
+    val p = plan(graft.operators.StatsPack.statsCorr(spark, sf0001))
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
+  test("knn join: probes broadcast, corpus side never exchange-partitioned before scoring") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val p = plan(graft.operators.SimilaritySearch.knnJoin(
+      emb, emb.where(org.apache.spark.sql.functions.col("vec_id") < 4),
+      idCol = "vec_id", vecCol = "embedding", k = 3))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the only hash exchange is the probes×k-bounded aggregate + final sort
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$p")
+  }
+
   test("executed plans run inside whole-stage codegen (AQE final plans)") {
     // AQE shows codegen stages only once the final plan materializes, so
     // execute first; a representative read, agg and join query each.
