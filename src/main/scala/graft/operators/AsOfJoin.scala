@@ -96,6 +96,52 @@ object AsOfJoin {
     }
   }
 
+  /** Forward as-of join — `pandas.merge_asof(direction='forward')`: for
+    * each left row, the single EARLIEST right row whose time is at-or-AFTER
+    * the left row's time, matching on an equi-key; unmatched left rows keep
+    * null right columns. Same union-tag single-shuffle shape as `backward`,
+    * mirrored: the running window looks forward (current row → unbounded
+    * following) and right rows sort AFTER left rows at the same instant
+    * (so an exactly-simultaneous right row is still "at-or-after" and
+    * matches). The `backward` salt recipe applies symmetrically if a hot
+    * key ever needs it. */
+  def forward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"column overlap not supported: $overlap")
+    val reserved = Set("_k", "_t", "_side", "_l", "_r", "_m")
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns clash with reserved names: $clash")
+
+    val lStruct = struct(left.columns.map(col).toSeq: _*)
+    val rStruct = struct(right.columns.map(col).toSeq: _*)
+    val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
+
+    val lTagged = left.select(
+      col(leftKey).as("_k"), col(leftTime).cast("timestamp").as("_t"),
+      lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rType).as("_r"))
+    val rTagged = right
+      .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
+        lit(0).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+
+    // Left rows sort before right rows at the same instant (_side desc:
+    // 1 before 0), so a right row at exactly t stays inside a left row's
+    // forward frame.
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lTagged.unionByName(rTagged)
+      .withColumn("_m", first(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(col("_l.*"), col("_m.*"))
+  }
+
   /** Same semantics as `backward`, planned as the custom partitioned-merge
     * operator (org.apache.spark.sql.graft.BackwardAsOf): one hash exchange
     * per SIDE on its key, per-side sorts of the narrow original rows, then

@@ -51,6 +51,17 @@ object LlmPack extends QueryPack {
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** B9 dedup clustering: the near-dup PAIR list folded into per-doc
+    * cluster labels (smallest reachable doc_id) via distributed min-label
+    * propagation — the step that turns pair detection into canonical-doc
+    * selection (NearDedup.clusterPairs). Oracle: recursive-CTE reachability
+    * over the same all-pairs scores. */
+  def dedupCluster(s: SparkSession, dir: String): DataFrame =
+    NearDedup.clusterPairs(
+      NearDedup.prefixFilter(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text", partCol = "lang", tau = Tau))
+      .orderBy(col("doc_id"))
+
   /** B9 document fingerprints: SimHash-64 over token hashes + an exact
     * content hash. No oracle (DuckDB has no xxhash64); LlmPackSpec asserts
     * determinism and the near-dup Hamming property. */
@@ -238,6 +249,7 @@ object LlmPack extends QueryPack {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_near" -> dedupNear,
     "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_cluster" -> dedupCluster,
     "q_doc_fingerprint" -> docFingerprint,
     "q_text_stats" -> textStats,
     "q_quality_score" -> qualityScore,
@@ -254,8 +266,11 @@ object LlmPack extends QueryPack {
     "q_multimodal_meta" -> multimodalMeta)
 
   private val tokSql = "string_split_regex(trim(text), '\\s+')"
-  private val nearDupOracle =
-    s"""WITH tk AS (SELECT doc_id, lang, $tokSql AS t FROM documents),
+  /** Shared CTE chain producing the exact all-pairs 3-gram-Jaccard scores
+    * (`j`) — the oracle core for q_dedup_near / q_dedup_minhash and the
+    * pair source for q_dedup_cluster's recursive component search. */
+  private val nearDupCtes =
+    s"""tk AS (SELECT doc_id, lang, $tokSql AS t FROM documents),
        |s AS (SELECT doc_id, lang,
        |        list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
@@ -264,7 +279,10 @@ object LlmPack extends QueryPack {
        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |          / len(list_distinct(a.sh || b.sh)) AS jaccard
        |      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |      WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+       |      WHERE len(a.sh) > 0 AND len(b.sh) > 0)""".stripMargin
+
+  private val nearDupOracle =
+    s"""WITH $nearDupCtes
        |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= $Tau
        |ORDER BY a_id, b_id""".stripMargin
 
@@ -275,6 +293,19 @@ object LlmPack extends QueryPack {
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_near" -> nearDupOracle,
     "q_dedup_minhash" -> nearDupOracle,
+    // Reachability closure over the pair graph (UNION dedups → terminates),
+    // then min reachable id per node = the component's canonical label.
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+         |pr AS (SELECT a_id, b_id FROM j WHERE jaccard >= $Tau),
+         |e AS (SELECT a_id AS u, b_id AS v FROM pr
+         |      UNION ALL SELECT b_id, a_id FROM pr),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT u, u FROM e
+         |  UNION
+         |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node)
+         |SELECT node AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     // Raw integer sum() in DuckDB returns HUGEINT, which the driver's pandas
     // bridge materializes as float64 while Spark emits int64 — values equal,
     // hashes different. Every integer sum below is therefore CAST to BIGINT.

@@ -353,6 +353,26 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** B3 forward as-of join (`merge_asof(direction='forward')`): each view
+    * event matched to the same user's next purchase at-or-after it — the
+    * attribution/conversion-lag shape. Purchases pre-deduped per (user, ts)
+    * (as-of picks among exact ties are arbitrary). */
+  def asofJoinForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("event_id")).as("p_event_id"),
+        max_by(col("value"), col("event_id")).as("p_value"))
+    AsOfJoin.forward(views, purchases,
+      leftKey = "user_id", rightKey = "p_user",
+      leftTime = "ts", rightTime = "p_ts")
+      .select(col("event_id"), col("user_id"), col("p_event_id"),
+        col("p_value"), unix_micros(col("p_ts")).as("p_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** B3 range/interval join: same-user event pairs at most 1 hour apart
     * (strictly forward). Equi-key on user_id keeps this a sort-merge join
     * with a range post-filter — per-key bounded, no cartesian blowup. */
@@ -386,6 +406,7 @@ object TimeSeriesPack extends QueryPack {
     "q_window_delta" -> windowDelta,
     "q_asof_join" -> asofJoin,
     "q_asof_join_merged" -> asofJoinMerged,
+    "q_asof_join_fwd" -> asofJoinForward,
     "q_range_join" -> rangeJoin)
 
   private val asofOracleSql =
@@ -532,6 +553,16 @@ object TimeSeriesPack extends QueryPack {
         |FROM e ORDER BY event_id""".stripMargin,
     "q_asof_join" -> asofOracleSql,
     "q_asof_join_merged" -> asofOracleSql, // same semantics, custom-exec plan
+    "q_asof_join_fwd" ->
+      """WITH v AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS p_user, date_trunc('microseconds', ts) AS p_ts,
+        |             max(event_id) AS p_event_id, arg_max(value, event_id) AS p_value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT v.event_id, v.user_id, p.p_event_id, p.p_value,
+        |epoch_us(p.p_ts) AS p_ts_us
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.p_user AND v.ts <= p.p_ts
+        |ORDER BY v.event_id""".stripMargin,
     "q_range_join" ->
       """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts FROM events)
         |SELECT a.event_id AS a_id, b.event_id AS b_id,

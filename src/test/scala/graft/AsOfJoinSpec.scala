@@ -38,6 +38,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(1).getTimestamp(4) == t("2024-01-01 12:00:00"))
   }
 
+  test("forward as-of: earliest at-or-after per key, exact ties match, nulls when none") {
+    val left = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 10L, t("2024-01-01 10:00:00")), // between right rows → next one
+      Row(2L, 10L, t("2024-01-01 12:00:00")), // exact tie → matches ("at-or-after")
+      Row(3L, 10L, t("2024-01-01 13:00:00")), // after last right row → null
+      Row(4L, 30L, t("2024-01-01 09:00:00")) // key with no right rows at all
+    )), lSchema)
+    val right = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(10L, t("2024-01-01 09:30:00"), 1.0),
+      Row(10L, t("2024-01-01 11:00:00"), 2.0),
+      Row(10L, t("2024-01-01 12:00:00"), 3.0)
+    )), rSchema)
+    val got = AsOfJoin.forward(left, right, "k", "rk", "t", "rt")
+      .orderBy("l_id").collect()
+    assert(got.map(r => (r.getLong(0), Option(r.get(5)))).toSeq == Seq(
+      (1L, Some(2.0)), (2L, Some(3.0)), (3L, None), (4L, None)))
+    assert(got(0).getTimestamp(4) == t("2024-01-01 11:00:00"))
+  }
+
   test("null keys never match (left stays unmatched, null right rows dropped)") {
     val left = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
       Row(1L, null, t("2024-01-01 10:00:00")), // null key

@@ -88,6 +88,32 @@ class NearDedupSpec extends SparkSpec {
     assert(key(NearDedup.rankedByDf(s, hotDf = Int.MaxValue, maxBroadcastVocab = 0)) == expected)
   }
 
+  test("clusterPairs: chains and cliques collapse to min-id components") {
+    import spark.implicits._
+    // components: chain 1-2-3-4 (diameter 3, forces >1 round), clique
+    // {10,11,12}, isolated pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    val got = graft.operators.NearDedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // deterministic across runs
+    assert(graft.operators.NearDedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == got)
+  }
+
+  test("clusterPairs: a long path exceeding the round cap fails loudly") {
+    import spark.implicits._
+    // a 2^25-diameter graph is unbuildable here; instead assert the cap via
+    // a path long enough that min-label needs > 25 rounds: label moves one
+    // hop per round on a path, so 30 edges > 25 rounds
+    val path = (0L until 30L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.NearDedup.clusterPairs(path).collect())
+    assert(e.getMessage.contains("no fixpoint"))
+  }
+
   test("prefixFilter on the skewed corpus: exact result, all planted pairs found") {
     val docs = skewed(100)
     val tau = 0.5
