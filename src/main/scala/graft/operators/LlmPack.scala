@@ -128,6 +128,34 @@ object LlmPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** B9 salient-term extraction — the doc-term-matrix workflow (explode →
+    * per-doc tf, vocabulary-bounded df, join, per-doc top-k): each doc's 3
+    * most distinctive tokens. Scoring is tf·(N/df) with a RAW inverse
+    * document frequency, not ln(N/df): the score is hashed by the oracle,
+    * and the whole formula must be bit-identical cross-engine — tf·N is
+    * exact integer arithmetic and the single division is one IEEE op, while
+    * ln() is a libm call with no cross-implementation bit guarantee
+    * (rankings per doc are unchanged for fixed tf since both weights
+    * decrease in df). Plan shape: one (doc, tok) aggregation with map-side
+    * combine, a vocabulary-bounded df aggregate joined back on tok, and a
+    * per-doc top-3 window; N is a driver-side scalar like cosinePairs'
+    * size probe. */
+  def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val tk = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val tf = tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tk.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .withColumn("score", col("tf").cast("double") * n / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** B9 corpus token frequencies: explode → hash agg (map-side combine
     * collapses to vocabulary size before the shuffle) → top-20. */
   def tokenTopk(s: SparkSession, dir: String): DataFrame =
@@ -255,6 +283,7 @@ object LlmPack extends QueryPack {
     "q_quality_score" -> qualityScore,
     "q_quality_repetition" -> qualityRepetition,
     "q_token_topk" -> tokenTopk,
+    "q_tfidf_terms" -> tfidfTerms,
     "q_sim_topk" -> simTopk,
     "q_knn_join" -> knnJoin,
     "q_sim_ann" -> simAnn,
@@ -344,6 +373,21 @@ object LlmPack extends QueryPack {
          |CASE WHEN n_tri = 0 THEN 0.0
          |     ELSE 1.0 - CAST(n_tri_distinct AS DOUBLE) / n_tri END AS dup_frac
          |FROM g ORDER BY doc_id""".stripMargin,
+    // Score mirrors the Spark expression shape exactly: (tf·N) exact, ONE
+    // division — see tfidfTerms on why ln() cannot be hashed.
+    "q_tfidf_terms" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT doc_id, tok, tf, df,
+         |         CAST(tf AS DOUBLE) * n / df AS score
+         |       FROM tf JOIN df USING (tok), n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, tok) AS rank FROM sc)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok,
+         |CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_token_topk" ->
       s"""SELECT tok, count(*) AS n
          |FROM (SELECT unnest($tokSql) AS tok FROM documents)

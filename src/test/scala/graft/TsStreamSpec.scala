@@ -109,6 +109,35 @@ class TsStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("sink fragmentation heals: many microbatches → compactAll → same content") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("ts_stream_compact").toString
+    val table = TsTable.create(spark, s"$dir/store",
+      Seq(ev(0, "2024-01-01 00:00:00")).toDF().schema, tsCol = "ts")
+    val ms = MemoryStream[Ev]
+    val sink = TsStream.appendSink(ms.toDF(), table, s"$dir/ckpt")
+    // 4 in-order microbatches all landing on the SAME day → ≥4 files in it
+    for (h <- 1 to 4) {
+      ms.addData(ev(h.toLong, f"2024-01-01 $h%02d:00:00"),
+        ev(h.toLong + 10, f"2024-01-01 $h%02d:30:00"))
+      TsStream.drain(sink)
+    }
+    val partDir = new java.io.File(s"$dir/store/p_date=2024-01-01")
+    def nFiles = partDir.list().count(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(nFiles >= 4, s"expected one file per microbatch, got $nFiles")
+    val before = table.toDF.orderBy("event_id").collect().toSeq
+
+    assert(table.compactAll(targetFiles = 1) == Seq("2024-01-01"))
+    assert(nFiles == 1)
+    assert(table.toDF.orderBy("event_id").collect().toSeq == before)
+    // the healed table still accepts in-order stream appends
+    ms.addData(ev(99, "2024-01-01 23:00:00"))
+    TsStream.drain(sink)
+    assert(table.toDF.count() == before.size + 1)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("streaming dedup: duplicate keys dropped, state evicted past the watermark") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
