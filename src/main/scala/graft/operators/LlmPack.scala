@@ -54,11 +54,14 @@ object LlmPack extends QueryPack {
   /** B9 dedup clustering: the near-dup PAIR list folded into per-doc
     * cluster labels (smallest reachable doc_id) via distributed min-label
     * propagation — the step that turns pair detection into canonical-doc
-    * selection (NearDedup.clusterPairs). Oracle: recursive-CTE reachability
-    * over the same all-pairs scores. */
+    * selection (NearDedup.clusterPairs). Pairs come from the minhash path —
+    * the cheaper generator at corpus scale; its pair set equals the exact
+    * one with miss probability ≈5e-8 at τ=0.8 (the same argument that lets
+    * q_dedup_minhash share the all-pairs oracle). Oracle: recursive-CTE
+    * reachability over the same all-pairs scores. */
   def dedupCluster(s: SparkSession, dir: String): DataFrame =
     NearDedup.clusterPairs(
-      NearDedup.prefixFilter(Tables.documents(s, dir),
+      NearDedup.minhashLsh(Tables.documents(s, dir),
         idCol = "doc_id", textCol = "text", partCol = "lang", tau = Tau))
       .orderBy(col("doc_id"))
 

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{BackwardAsOfStrategy, DotProduct, MinHashSignature, SimHash64, WinnowFingerprints}
+import org.apache.spark.sql.graft.{BackwardAsOfStrategy, DotProduct, MinHashSignature, SimHash64, TopKByScore, WinnowFingerprints}
 
 /** Catalyst extension entry point for the engine's custom operators —
   * deploy with
@@ -19,7 +19,8 @@ import org.apache.spark.sql.graft.{BackwardAsOfStrategy, DotProduct, MinHashSign
   *     surface is reachable from pure SQL:
   *     `graft_dot(a, b)`, `graft_simhash64(token_hashes)`,
   *     `graft_winnow(text, k, w)` (k, w literal ints), and the
-  *     `graft_minhash(hash_col, k)` aggregate (k literal int).
+  *     aggregates `graft_minhash(hash_col, k)` and
+  *     `graft_topk(score, id, k)` (k literal int).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -54,6 +55,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WinnowFingerprints(t, litInt(k, "k"), litInt(w, "w"))
       case args => throw new IllegalArgumentException(
         s"graft_winnow takes 3 arguments, got ${args.length}")
+    }
+    register(ext, "graft_topk",
+      "graft_topk(score, id, k) - aggregate: k best (score, id) pairs, score DESC id ASC") {
+      case Seq(s, i, k) => TopKByScore(s, i, litInt(k, "k"))
+      case args => throw new IllegalArgumentException(
+        s"graft_topk takes 3 arguments, got ${args.length}")
     }
     register(ext, "graft_minhash",
       "graft_minhash(hash, k) - aggregate: k-permutation minhash signature of a bigint column") {

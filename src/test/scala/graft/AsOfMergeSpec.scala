@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.AsOfJoin
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.BackwardAsOfExec
@@ -119,6 +119,11 @@ class AsOfMergeSpec extends SparkSpec {
         "SELECT graft_minhash(h, 8) FROM (SELECT xxhash64(x) AS h FROM (VALUES ('a'), ('b'), ('c')) t(x))")
         .head.getSeq[Long](0)
       assert(sig.length == 8)
+      val topk = session.sql(
+        """SELECT graft_topk(s, i, 2) FROM
+          |(VALUES (1.0d, 1L), (3.0d, 2L), (2.0d, 3L)) t(s, i)""".stripMargin)
+        .head.getSeq[Row](0)
+      assert(topk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 2L), (2.0, 3L)))
       // literal-argument validation surfaces as an error, not silence
       intercept[Exception] {
         session.sql("SELECT graft_winnow('abc', length('ab'), 4)").collect()
