@@ -66,10 +66,17 @@ object SimilaritySearch {
     val p = probes.select(col(idCol).as("probe_id"),
         col(vecCol).cast("array<double>").as("p"))
       .withColumn("np", VectorFns.l2norm(col("p")))
-    v.crossJoin(broadcast(p))
+    val scored = v.crossJoin(broadcast(p))
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         round(VectorFns.dot(col("v"), col("p")) / (col("nv") * col("np")), 6).as("sim"))
+    perProbeTopK(scored, k)
+  }
+
+  /** Shared kNN tail: per-probe top-k via the k-bounded heap aggregate,
+    * exploded to (probe_id, rank, vec_id, sim) rows. */
+  private def perProbeTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
       .groupBy(col("probe_id"))
       .agg(org.apache.spark.sql.graft.TopKAggExprs
         .topKByScore(col("sim"), col("vec_id"), k).as("top"))
@@ -77,6 +84,37 @@ object SimilaritySearch {
       .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.vec_id").as("vec_id"), col("col.sim").as("sim"))
       .orderBy(col("probe_id"), col("rank"))
+
+  /** Approximate batch kNN join — `knnJoin`'s LSH scale path: corpus rows
+    * are scored against a probe ONLY when they share a hyperplane-LSH
+    * bucket with it (radius-0 here; the probes are broadcast WITH their
+    * bucket keys, so the filter is a per-row `arrays_overlap` inside the
+    * scan — no shuffle added). Cuts the dominant cost (N × P cosines) to
+    * the colliding fraction, at LSH's probabilistic recall — parameters
+    * follow the same (tables, planesPerTable) trade as `lshTopK`, measured
+    * in AnnSpec. At 100 TB the same keys become the partition/bucket layout
+    * of a materialized index (the IvfIndex story), making the pruning
+    * I/O-level instead of compute-level. */
+  def knnJoinLsh(corpus: DataFrame, probes: DataFrame, idCol: String,
+                 vecCol: String, k: Int, dim: Int,
+                 tables: Int = 8, planesPerTable: Int = 8,
+                 seed: Long = 42L): DataFrame = {
+    def keysOf(vec: org.apache.spark.sql.Column) =
+      hyperplaneKeys(vec, dim, tables, planesPerTable, seed)
+    val v = corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", VectorFns.l2norm(col("v")))
+      .withColumn("keys", keysOf(col("v")))
+    val p = probes.select(col(idCol).as("probe_id"),
+        col(vecCol).cast("array<double>").as("p"))
+      .withColumn("np", VectorFns.l2norm(col("p")))
+      .withColumn("p_keys", keysOf(col("p")))
+    val scored = v.crossJoin(broadcast(p))
+      .where(col("vec_id") =!= col("probe_id") &&
+        arrays_overlap(col("keys"), col("p_keys")))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorFns.dot(col("v"), col("p")) / (col("nv") * col("np")), 6).as("sim"))
+    perProbeTopK(scored, k)
   }
 
   /** bits[j] = sign of ⟨v, plane_j⟩; keys[l] = (l << b) | table l's bits —

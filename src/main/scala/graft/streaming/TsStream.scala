@@ -55,6 +55,29 @@ object TsStream {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming OHLC resampling — the stream face of
+    * TimeSeriesPack.resampleOhlc. The batch form pins open/close with
+    * row_number windows, which streaming cannot run (analytic windows need
+    * the whole partition); here open/close are `min_by`/`max_by` over the
+    * (ts, tieCol) struct — ORDER-INSENSITIVE aggregates with constant
+    * per-window state, so they fold incrementally microbatch by microbatch
+    * and merge map-side like any min/max. Same tiebreak as the batch form
+    * ⇒ identical results (parity proven in TsStreamSpec on chunked
+    * replay). */
+  def ohlc(df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+           tieCol: String, width: String, watermark: String = "1 hour"): DataFrame = {
+    val order = struct(col(tsCol), col(tieCol))
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width), col(keyCol))
+      .agg(min_by(col(valueCol), order).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), order).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col(keyCol),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+  }
+
   /** Session windows (gap-based) per key with watermark eviction. */
   def sessionCounts(df: DataFrame, tsCol: String, keyCol: String, gap: String,
                     watermark: String = "1 hour"): DataFrame =

@@ -36,6 +36,24 @@ class AnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("batch kNN LSH: avg per-probe recall >= 0.7 vs exact knnJoin") {
+    val emb = clustered(10, 50).cache()
+    val probes = emb.where(col("vec_id") < 10)
+    def byProbe(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (p, rs) => p -> rs.map(_.getLong(2)).toSet }
+    val exact = byProbe(SimilaritySearch.knnJoin(
+      emb, probes, "vec_id", "embedding", k = 5))
+    val approx = byProbe(SimilaritySearch.knnJoinLsh(
+      emb, probes, "vec_id", "embedding", k = 5, dim = dim))
+    val recalls = exact.map { case (p, want) =>
+      approx.getOrElse(p, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.7, s"avg recall $avg")
+    emb.unpersist()
+  }
+
   test("cosinePairs: finds the high-cosine pairs of clustered data, precision 1.0") {
     import spark.implicits._
     val emb = clustered(10, 20).cache()

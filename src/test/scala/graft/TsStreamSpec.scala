@@ -48,6 +48,34 @@ class TsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream OHLC == batch resampleOhlc on chunked replay") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val ms = MemoryStream[Ev]
+    val q = TsStream.ohlc(ms.toDF(), "ts", "event_type", "value", "event_id",
+      "4 hours")
+      .writeStream.format("memory").queryName("ohlc_parity")
+      .outputMode("complete").start()
+    try {
+      rows.grouped((rows.length / 4).max(1)).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val got = spark.table("ohlc_parity")
+        .select(unix_micros($"w_start").as("us"), $"event_type",
+          $"open", $"high", $"low", $"close", $"n")
+        .collect().map(_.toSeq).toSet
+      // the oracle-checked batch formulation (row_number-pinned open/close)
+      val want = graft.operators.TimeSeriesPack.resampleOhlc(spark, sf0001)
+        .select($"b_us", $"event_type", $"open", $"high", $"low", $"close", $"n")
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sliding windows: each event lands in width/slide windows") {
     import spark.implicits._
     val out = TsStream.windowedCounts(
