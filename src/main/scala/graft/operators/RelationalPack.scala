@@ -179,6 +179,22 @@ object RelationalPack extends QueryPack {
     inter.unionAll(diff).orderBy(col("op"), col("user_id"))
   }
 
+  /** B3+ co-occurrence (market-basket shape): for every unordered pair of
+    * event types, how many users did both. Distinct (user, type) first —
+    * the self-join's per-key fan-out is then bounded by the TYPE density
+    * (≤ C(5,2) = 10 pairs per user), not the user's event count, so the
+    * join output is at most 10 × users regardless of corpus size. */
+  def cooccur(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val a = u.select(col("user_id"), col("event_type").as("a_type"))
+    val b = u.select(col("user_id").as("b_user"), col("event_type").as("b_type"))
+    a.join(b, col("user_id") === col("b_user") && col("a_type") < col("b_type"))
+      .groupBy(col("a_type"), col("b_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("a_type"), col("b_type"))
+  }
+
   /** B8 JSON extraction: typed field out of the props JSON string. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -202,7 +218,8 @@ object RelationalPack extends QueryPack {
     "q_window_topn_per_group" -> windowTopnPerGroup,
     "q_topk" -> topk,
     "q_set_ops" -> setOps,
-    "q_json_extract" -> jsonExtract)
+    "q_json_extract" -> jsonExtract,
+    "q_cooccur" -> cooccur)
 
   def oracles: Map[String, String] = Map(
     "q_join_broadcast" ->
@@ -298,5 +315,12 @@ object RelationalPack extends QueryPack {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cooccur" ->
+      """WITH u AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS a_type, b.event_type AS b_type,
+        |count(*) AS n_users
+        |FROM u a JOIN u b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -328,6 +328,25 @@ final class TsTable private (
     true
   }
 
+  /** Retention: drop every day partition strictly BEFORE `date` (UTC ISO
+    * day); returns the dates dropped. The other maintenance half next to
+    * `compact` — ageing out the cold end of an append-ordered table is a
+    * directory-level delete per day (metadata-scale, no data read), exactly
+    * the operation the daily layout exists to make cheap. The append guard
+    * is unaffected: `maxDt` lives in the NEWEST partition and retention
+    * only ever removes the oldest, so the monotonicity contract survives
+    * (asserted in CompactSpec). Same concurrent-reader caveat as `compact`:
+    * run in a maintenance window. */
+  def dropBefore(date: String): Seq[String] = {
+    require(DateDirRe.matches(date), s"date must be YYYY-MM-DD, got '$date'")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partitionDates.filter(_ < date).sorted.map { d =>
+      fs.delete(new Path(root, s"$PartCol=$d"), true)
+      d
+    }
+  }
+
   /** Compact every day partition holding more than `targetFiles` data files;
     * returns the dates rewritten. Driver-side listing picks the candidates
     * (O(#partitions) metadata), each rewrite costs one day. */

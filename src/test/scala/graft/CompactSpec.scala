@@ -94,6 +94,26 @@ class CompactSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.compact("2024-01-02", targetFiles = 0))
   }
 
+  test("dropBefore: old partitions go, newer data and the append guard survive") {
+    val (t, store, fs) = buildFragmented("retention")
+    val keepCount = t.readRange(
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-12-31 00:00:00")).count()
+    assert(t.dropBefore("2024-01-02") == Seq("2024-01-01"))
+    assert(partFiles(fs, store, "2024-01-01").isEmpty)
+    assert(!fs.exists(new Path(store, "p_date=2024-01-01")))
+    assert(t.toDF.count() == keepCount)
+    // minDt moved forward to the new oldest partition; maxDt untouched
+    assert(!t.minDt.get.before(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+    // the guard still rejects pre-max appends (maxDt lives in the newest day)
+    val late = Tables.events(spark, sf0001)
+      .where(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"))
+    intercept[IllegalArgumentException](t.append(late))
+    // idempotent: nothing older remains
+    assert(t.dropBefore("2024-01-02").isEmpty)
+    intercept[IllegalArgumentException](t.dropBefore("junk"))
+  }
+
   test("append monotonicity guard survives compaction") {
     val (t, _, _) = buildFragmented("guard")
     t.compactAll()
