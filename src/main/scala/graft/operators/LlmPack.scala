@@ -65,6 +65,17 @@ object LlmPack extends QueryPack {
         idCol = "doc_id", textCol = "text", partCol = "lang", tau = Tau))
       .orderBy(col("doc_id"))
 
+  /** B9 near-dup via SimHash banding (NearDedup.simhashMd5Pairs): md5-bit
+    * shingle simhash → 8×8-bit band candidate join → bit_count(xor) ≤ 7
+    * verify. Unlike q_doc_fingerprint's xxhash64 simhash this one is
+    * DuckDB-replayable, so the hamming values themselves are hash-checked
+    * against a generated 64-term all-pairs oracle. Recall at hamming ≤ 7 is
+    * 100% by pigeonhole (8 bands), which is what makes the oracle fair. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    NearDedup.simhashMd5Pairs(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text")
+      .orderBy(col("a_id"), col("b_id"))
+
   /** B9 document fingerprints: SimHash-64 over token hashes + an exact
     * content hash. No oracle (DuckDB has no xxhash64); LlmPackSpec asserts
     * determinism and the near-dup Hamming property. */
@@ -281,6 +292,7 @@ object LlmPack extends QueryPack {
     "q_dedup_near" -> dedupNear,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_cluster" -> dedupCluster,
+    "q_dedup_simhash" -> dedupSimhash,
     "q_doc_fingerprint" -> docFingerprint,
     "q_text_stats" -> textStats,
     "q_quality_score" -> qualityScore,
@@ -313,6 +325,31 @@ object LlmPack extends QueryPack {
        |      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
        |      WHERE len(a.sh) > 0 AND len(b.sh) > 0)""".stripMargin
 
+  /** Generated all-pairs simhash oracle for q_dedup_simhash: replays the
+    * md5-bit fingerprint in SQL (64 sign-sum aggregates over hex-digit bit
+    * extraction — strpos into the hex alphabet is DuckDB's `conv`) and
+    * compares signs pairwise; 500 docs → 125k pairs, trivial for the oracle
+    * while the Spark side stays banded. Bit j of a feature's hash lives at
+    * hex digit j/4, position 3−j%4 — the same layout simhashMd5Pairs packs. */
+  private val simhashOracle: String = {
+    val hex = "0123456789abcdef"
+    val sums = (0 until 64).map { j =>
+      val (pos, shift) = (j / 4 + 1, 3 - j % 4)
+      s"sum(2*(((strpos('$hex', substr(h, $pos, 1))-1) >> $shift) & 1)-1) AS s$j"
+    }.mkString(", ")
+    val ham = (0 until 64).map(j =>
+      s"(CASE WHEN (a.s$j>0) <> (b.s$j>0) THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, $tokSql AS t FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh FROM tk),
+       |b AS (SELECT doc_id, md5(sh) AS h FROM sh),
+       |s AS (SELECT doc_id, $sums FROM b GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST($ham AS BIGINT) AS hamming
+       |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 7
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   private val nearDupOracle =
     s"""WITH $nearDupCtes
        |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= $Tau
@@ -325,6 +362,7 @@ object LlmPack extends QueryPack {
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_near" -> nearDupOracle,
     "q_dedup_minhash" -> nearDupOracle,
+    "q_dedup_simhash" -> simhashOracle,
     // Reachability closure over the pair graph (UNION dedups → terminates),
     // then min reachable id per node = the component's canonical label.
     "q_dedup_cluster" ->

@@ -315,6 +315,82 @@ object NearDedup {
   def simhash64(text: Column): Column =
     org.apache.spark.sql.graft.HashExprs.simhash64(TextFns.tokens(text))
 
+  /** SimHash near-dup PAIRS (Charikar STOC'02 fingerprint; Manku/Jain/Sarma
+    * WWW'07 pigeonhole banding) in a cross-engine-hashable form: the bit
+    * source is md5 (which DuckDB shares) instead of xxhash64, so — unlike
+    * `simhash64`/`q_doc_fingerprint` — this key carries a full value oracle.
+    * Features are the distinct word 3-gram shingles (token-level simhash
+    * degenerates on small-vocabulary corpora: most docs contain most words,
+    * so distinct-token sign votes collapse to the same fingerprint —
+    * measured hamming 0 between unrelated fixture docs; shingles keep the
+    * mean unrelated distance at ≈32 with planted near-dups at ≤5).
+    *
+    * Pipeline (all builtin codegen'd expressions, no UDFs):
+    *   1. explode shingles → md5 hex → 16 hex-digit values → 64 sign-sums
+    *      in ONE hash aggregate (64-long state, map-side combine collapses
+    *      each doc before the shuffle — signature-sized, like minhashLsh);
+    *   2. pack sign bits into a 64-bit fingerprint; split into `bands`
+    *      equal bit-slices; candidate pairs = equi-join on any shared
+    *      (band, slice) key. Pigeonhole: hamming ≤ bands−1 flips can touch
+    *      at most bands−1 slices, so one slice ALWAYS matches — recall is
+    *      100% by construction for `maxHamming < bands`, which is what lets
+    *      the all-pairs oracle hash-match.
+    *   3. verify = one codegen'd `bit_count(xor)` per candidate.
+    *
+    * 100 TB notes: the candidate join shuffles (id, fingerprint) only —
+    * 16 B/doc/band. Band width is the selectivity dial: 64/bands bits ⇒
+    * 2^(64/bands) buckets per band; the default 8×8 keeps the pigeonhole
+    * guarantee up to hamming 7 but yields 256 buckets/band, so at corpus
+    * scale either raise selectivity (4 bands × 16 bits, maxHamming ≤ 3 —
+    * 65536 buckets) or recurse: split each 8-bit band bucket by a second
+    * band before pairing. Bucket-size skew is bounded by corpus bit-bias,
+    * not by key popularity (fingerprint bits are majority votes of hashes). */
+  def simhashMd5Pairs(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 7, bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole recall needs maxHamming < bands, got $maxHamming/$bands")
+    val bandBits = 64 / bands
+
+    // (doc, shingle) → first 16 hex digits of md5 as 16 int columns.
+    val digits = (0 until 16).map(i =>
+      conv(substring(col("h"), i + 1, 1), 16, 10).cast("int").as(s"d$i"))
+    val hexed = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFns.shingles3(col(textCol))).as("sh"))
+      .select(col("doc_id") +: md5(col("sh")).as("h") +: Nil: _*)
+      .select(col("doc_id") +: digits: _*)
+
+    // 64 sign-sums: s_j = Σ features (bit j set ? +1 : −1), bit j living at
+    // hex digit j/4, position 3−j%4. MSB-first to match the hex string.
+    val sums = (0 until 64).map { j =>
+      val bit = shiftright(col(s"d${j / 4}"), 3 - j % 4).bitwiseAND(lit(1))
+      sum(bit * 2 - 1).as(s"s$j")
+    }
+    val packed = (0 until 64).map { j =>
+      when(col(s"s$j") > 0, lit(1L << (63 - j))).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val sim = hexed.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+
+    // One row per (doc, band-slice); low slices first (any fixed layout works).
+    val slices = (0 until bands).map(b =>
+      shiftrightunsigned(col("simhash"), b * bandBits)
+        .bitwiseAND(lit((1L << bandBits) - 1)))
+    val keys = sim
+      .select(col("doc_id"), col("simhash"), posexplode(array(slices: _*)))
+      .toDF("doc_id", "simhash", "band", "key")
+
+    val a = keys.toDF("a_id", "a_sh", "band", "key")
+    val b = keys.toDF("b_id", "b_sh", "b_band", "b_key")
+    a.join(b, col("band") === col("b_band") && col("key") === col("b_key") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Pre-r3 interpreted HOF formulation — HashExprSpec cross-check only. */
   private[graft] def simhash64Hof(text: Column): Column = {
     val hashes = transform(TextFns.tokens(text), t => xxhash64(t))

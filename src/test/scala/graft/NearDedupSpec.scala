@@ -114,6 +114,31 @@ class NearDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("no fixpoint"))
   }
 
+  test("simhashMd5Pairs: banded result equals brute-force hamming ≤ maxHamming") {
+    val docs = skewed(100)
+    val got = NearDedup.simhashMd5Pairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force truth over the same fingerprints (all-pairs, test-only):
+    // reuse stage 1+2 of the operator via bands=64 slices of 1 bit — every
+    // pair shares SOME 1-bit slice, so banding degenerates to all-pairs,
+    // making it the exhaustive reference while exercising the same packing.
+    val truth = NearDedup.simhashMd5Pairs(docs, "doc_id", "text",
+        maxHamming = 7, bands = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(truth.nonEmpty, "skewed fixture should contain hamming≤7 pairs")
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+    // planted near-dups (docs 0..3 share a long body) must be found
+    assert(got.exists { case (a, b, _) => a < 4 && b < 4 })
+  }
+
+  test("simhashMd5Pairs rejects parameters that break the pigeonhole recall") {
+    val docs = skewed(10)
+    intercept[IllegalArgumentException](
+      NearDedup.simhashMd5Pairs(docs, "doc_id", "text", maxHamming = 8, bands = 8))
+    intercept[IllegalArgumentException](
+      NearDedup.simhashMd5Pairs(docs, "doc_id", "text", bands = 7))
+  }
+
   test("prefixFilter on the skewed corpus: exact result, all planted pairs found") {
     val docs = skewed(100)
     val tau = 0.5
