@@ -109,10 +109,51 @@ object PipelinePack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  private val BenchmarkEvery = 50 // doc_id % 50 == 0 → the held-out benchmark set
+
+  /** B9+ train/test decontamination (the GPT-3/PaLM appendix procedure:
+    * flag training docs sharing any n-gram with an eval benchmark): docs
+    * with doc_id % 50 == 0 stand in for the benchmark; a training doc is
+    * contaminated if it shares ≥ 1 word 3-gram, and `n_hits` counts its
+    * distinct shared shingles. Plan shape is the 100 TB one: the benchmark
+    * shingle set is the SMALL side (benchmarks are MBs, corpora are TBs) —
+    * distinct'd then BROADCAST into a hash semi-ish join against the
+    * exploded training side, so the 100 TB side never shuffles; the
+    * per-doc count is a map-side-combined hash aggregate. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.where(pmod(col("doc_id"), lit(BenchmarkEvery)) === 0)
+      .select(explode(TextFns.shingles3(col("text"))).as("sh")).distinct()
+    docs.where(pmod(col("doc_id"), lit(BenchmarkEvery)) =!= 0)
+      .select(col("doc_id"), explode(TextFns.shingles3(col("text"))).as("sh"))
+      .join(broadcast(bench), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits")) // shingles3 is distinct per doc already
+      .orderBy(col("doc_id"))
+  }
+
+  /** B9+ bigram vocabulary (n-gram LM / tokenizer-merge counts): every
+    * adjacent token pair, counted corpus-wide with occurrence multiplicity
+    * (unlike shingles3's per-doc distinct sets), top-20. Explode → hash agg
+    * with map-side combine → TakeOrderedAndProject; the aggregate state is
+    * vocabulary²-bounded, the sort is k-bounded. */
+  def ngramTopk(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextFns.tokens(col("text"))
+    val bigrams = zip_with(tk, slice(tk, lit(2), size(tk)),
+      (a, b) => concat(a, lit(" "), b)) // trailing element pairs with null → null
+    Tables.documents(s, dir)
+      .select(explode(filter(bigrams, x => x.isNotNull)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_stratified" -> sampleStratified,
     "q_corpus_filter" -> corpusFilter,
-    "q_pack_sequences" -> packSequences)
+    "q_pack_sequences" -> packSequences,
+    "q_decontaminate" -> decontaminate,
+    "q_ngram_topk" -> ngramTopk)
 
   private val tokSql = "string_split_regex(trim(text), '\\s+')"
 
@@ -147,6 +188,21 @@ object PipelinePack extends QueryPack {
          |WHERE uniq_ratio >= 0.3 AND avg_tok_len BETWEEN 2.0 AND 14.0
          |  AND dup_frac <= 0.6
          |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM tk),
+         |bs AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % $BenchmarkEvery = 0),
+         |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % $BenchmarkEvery <> 0)
+         |SELECT doc_id, count(*) AS n_hits FROM tr JOIN bs USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_ngram_topk" ->
+      s"""SELECT bg, count(*) AS n FROM (
+         |  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+         |    i -> t[i] || ' ' || t[i+1])) AS bg
+         |  FROM (SELECT $tokSql AS t FROM documents))
+         |WHERE bg IS NOT NULL
+         |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, lang, CAST(len($tokSql) AS BIGINT) AS n_tokens
          |  FROM documents),

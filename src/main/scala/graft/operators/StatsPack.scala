@@ -57,6 +57,50 @@ object StatsPack extends QueryPack {
       .orderBy(col("l_returnflag"))
   }
 
+  private val RollK = 20 // rolling-corr frame length (rows)
+
+  /** B5+ rolling lag-1 autocorrelation (pandas
+    * `s.rolling(20).corr(s.shift(1))`) of event values per user — the
+    * standard local-persistence signal on a tick stream. Two window passes
+    * over ONE (ts, event_id) partition order (no extra shuffle): pass 1
+    * pairs each value with its predecessor via lag(); pass 2 computes the
+    * five DECIMAL-exact power sums of (xₜ, xₜ₋₁) over a 20-pair trailing
+    * frame. Same determinism layout as `statsCorr`: order-insensitive
+    * decimal window sums (Spark's running frame and DuckDB's segment tree
+    * agree bit-for-bit), identical double algebra, round 6dp. Degenerate
+    * frames (n = 1 or zero variance) emit NULL under an exact-arithmetic
+    * guard rather than relying on both engines' Inf/NaN conventions.
+    * (Events, not lineitem: lineitem's (orderkey, linenumber, suppkey) is
+    * non-unique in this fixture, so no lineitem sort is tie-free — and a
+    * tied ORDER BY breaks both frame determinism and the driver's
+    * row-order hash.) */
+  def windowRollCorr(s: SparkSession, dir: String): DataFrame = {
+    def d28(c: Column) = sum(c.cast("decimal(28,4)"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(RollK - 1), 0)
+    val (x, y) = (col("value"), col("prev"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        lag(col("value"), 1).over(wOrd).as("prev"))
+      .where(col("prev").isNotNull)
+      .select(col("event_id"),
+        count(lit(1)).over(w).as("n"),
+        d28(x).over(w).cast("double").as("sx"),
+        d28(y).over(w).cast("double").as("sy"),
+        d28(x * y).over(w).cast("double").as("sxy"),
+        d28(x * x).over(w).cast("double").as("sxx"),
+        d28(y * y).over(w).cast("double").as("syy"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("vx", col("sxx") - col("sx") * col("sx") / col("nd"))
+      .withColumn("vy", col("syy") - col("sy") * col("sy") / col("nd"))
+      .select(col("event_id"), col("n"),
+        when(col("n") > 1 && col("vx") > 0 && col("vy") > 0,
+          round((col("sxy") - col("sx") * col("sy") / col("nd")) /
+            (sqrt(col("vx")) * sqrt(col("vy"))), 6)).as("roll_corr"))
+      .orderBy(col("event_id"))
+  }
+
   /** B4+ exact percentiles per group (pandas `groupby().quantile()`):
     * Spark's `percentile` sorts each group's values and linearly
     * interpolates at rank (n−1)·p — identical to ANSI `percentile_cont`.
@@ -160,6 +204,7 @@ object StatsPack extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stats_corr" -> statsCorr,
+    "q_window_rollcorr" -> windowRollCorr,
     "q_percentiles" -> percentiles,
     "q_pivot" -> pivot,
     "q_histogram" -> histogram,
@@ -184,6 +229,29 @@ object StatsPack extends QueryPack {
         |round((sxy - sx * sy / nd) /
         |  (sqrt(sxx - sx * sx / nd) * sqrt(syy - sy * sy / nd)), 6) AS corr_qp
         |FROM d ORDER BY l_returnflag""".stripMargin,
+    "q_window_rollcorr" ->
+      s"""WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value
+         |  FROM events),
+         |p AS (SELECT event_id, user_id, ts, value,
+         |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM e),
+         |m AS (SELECT event_id,
+         |  count(*) OVER w AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(prev AS DECIMAL(28,4))) OVER w AS DOUBLE) AS sy,
+         |  CAST(sum(CAST(value * prev AS DECIMAL(28,4))) OVER w AS DOUBLE) AS sxy,
+         |  CAST(sum(CAST(value * value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS sxx,
+         |  CAST(sum(CAST(prev * prev AS DECIMAL(28,4))) OVER w AS DOUBLE) AS syy
+         |  FROM p WHERE prev IS NOT NULL
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN ${RollK - 1} PRECEDING AND CURRENT ROW)),
+         |d AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+         |  sxx - sx * sx / CAST(n AS DOUBLE) AS vx,
+         |  syy - sy * sy / CAST(n AS DOUBLE) AS vy FROM m)
+         |SELECT event_id, CAST(n AS BIGINT) AS n,
+         |CASE WHEN n > 1 AND vx > 0 AND vy > 0
+         |     THEN round((sxy - sx * sy / nd) / (sqrt(vx) * sqrt(vy)), 6) END AS roll_corr
+         |FROM d ORDER BY event_id""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type, count(*) AS n,
         |round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 4) AS p25,

@@ -304,6 +304,44 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  private val EwmaK = 20 // EWMA frame length (rows)
+
+  /** B5+ exponentially weighted moving average — pandas `ewm(alpha=0.5)
+    * .mean()` (adjust=True) truncated to a 20-row trailing frame, per user
+    * in (ts, event_id) order. α is pinned to 0.5 BECAUSE it makes the op
+    * cross-engine hashable with no rounding at all: the weights r^j become
+    * 2^j, so ewma = Σ vᵢ·2^i / (2^n − 1) — numerator accumulated in exact
+    * DECIMAL (value cast to 6dp, times an exact integer power of two),
+    * denominator an exactly-representable double, one final IEEE division.
+    * Arbitrary α would put libm `pow` in the hash path (not correctly-
+    * rounded, so not bit-stable across engines).
+    *
+    * Shape: K lag() expressions over ONE window pass — a fixed-width
+    * expression per row, no collect_list (which would materialize a K-long
+    * array per row: K× the shuffle bytes at 100 TB for the same answer).
+    * Truncation to K rows is also what bounds state for the streaming twin
+    * of this op. Missing lags at partition heads contribute 0 to the
+    * numerator and shrink n, which rescales both sides identically (the
+    * 2^(K−n) factor cancels in num/den). */
+  def windowEwma(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wFrame = wOrd.rowsBetween(-(EwmaK - 1), 0)
+    val num = (0 until EwmaK).map { k =>
+      coalesce(lag(col("value"), k).over(wOrd).cast("decimal(18,6)"),
+        lit(0).cast("decimal(18,6)")) *
+        lit(math.pow(2, EwmaK - 1 - k)).cast("decimal(20,0)")
+    }.reduce(_ + _)
+    val n = count(lit(1)).over(wFrame)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), n.as("n"), num.as("num"))
+      .select(col("event_id"), col("user_id"), col("n"),
+        (col("num").cast("double") /
+          (pow(lit(2.0), lit(EwmaK.toDouble)) -
+            pow(lit(2.0), lit(EwmaK.toDouble) - col("n").cast("double")))).as("ewma"))
+      .orderBy(col("event_id"))
+  }
+
   /** B5 analytic lag: per-user deltas between consecutive events. */
   def windowDelta(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -403,6 +441,7 @@ object TimeSeriesPack extends QueryPack {
     "q_window_sliding" -> windowSliding,
     "q_window_session" -> windowSession,
     "q_window_moving_avg" -> windowMovingAvg,
+    "q_window_ewma" -> windowEwma,
     "q_window_delta" -> windowDelta,
     "q_asof_join" -> asofJoin,
     "q_asof_join_merged" -> asofJoinMerged,
@@ -545,6 +584,22 @@ object TimeSeriesPack extends QueryPack {
         |CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts
         |     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
         |FROM e ORDER BY event_id""".stripMargin,
+    "q_window_ewma" -> {
+      // mirrors windowEwma term by term: cast-then-scale in DECIMAL, exact
+      // 2^k factors, n from the same frame, one double division
+      val lags = (0 until EwmaK).map(k =>
+        s"coalesce(CAST(lag(value, $k) OVER w AS DECIMAL(18,6)), 0) * " +
+          s"CAST(2 ** ${EwmaK - 1 - k} AS DECIMAL(20,0))").mkString(" + ")
+      s"""WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value FROM events),
+         |l AS (SELECT event_id, user_id,
+         |        count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS BETWEEN ${EwmaK - 1} PRECEDING AND CURRENT ROW) AS n,
+         |        $lags AS num
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT event_id, user_id, CAST(n AS BIGINT) AS n,
+         |CAST(num AS DOUBLE) / (2 ** $EwmaK - 2 ** ($EwmaK - n)) AS ewma
+         |FROM l ORDER BY event_id""".stripMargin
+    },
     "q_window_delta" ->
       """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value FROM events)
         |SELECT event_id, user_id,

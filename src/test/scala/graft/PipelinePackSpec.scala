@@ -35,6 +35,37 @@ class PipelinePackSpec extends SparkSpec {
     assert(!s1.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("decontaminate: exactly the docs sharing a shingle with the benchmark, broadcast plan") {
+    val out = PipelinePack.decontaminate(spark, sf0001)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side truth over the same shingle sets
+    val sets = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.TextFns.shingles3(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val bench = sets.collect { case (id, sh) if id % 50 == 0 => sh }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val truth = sets.collect {
+      case (id, sh) if id % 50 != 0 && (sh & bench).nonEmpty => id -> (sh & bench).size.toLong
+    }
+    assert(got == truth, s"missing=${truth.keySet -- got.keySet} extra=${got.keySet -- truth.keySet}")
+    assert(got.nonEmpty, "fixture should contain contaminated docs")
+    // 100 TB shape: the benchmark set enters as a broadcast, never a shuffle
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"benchmark side not broadcast:\n${out.queryExecution.executedPlan}")
+  }
+
+  test("ngramTopk equals the brute-force bigram count") {
+    val got = PipelinePack.ngramTopk(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val counts = Tables.documents(spark, sf0001).select(col("text")).collect()
+      .map(_.getString(0)).flatMap { t =>
+        val tk = t.trim.split("\\s+"); tk.zip(tk.drop(1)).map { case (a, b) => s"$a $b" }
+      }
+      .groupBy(identity).map { case (bg, o) => bg -> o.length.toLong }
+    val truth = counts.toSeq.sortBy { case (bg, n) => (-n, bg) }.take(20)
+    assert(got == truth)
+  }
+
   test("corpus filter: survivors satisfy every gate; non-trivial pass rate") {
     val out = PipelinePack.corpusFilter(spark, sf001).collect()
     assert(out.nonEmpty, "filter chain rejected the whole fixture")
