@@ -106,6 +106,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$p")
   }
 
+  test("simhash dedup: one signature aggregate with map-side combine, no shingle-keyed window") {
+    val p = plan(graft.operators.NearDedup.simhashMd5Pairs(
+      Tables.documents(spark, sf0001), "doc_id", "text"))
+    // stage 1 collapses each doc to 64 sums BEFORE the shuffle
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+    // candidate generation is an equi-join on (band, slice) — hash join, no
+    // cartesian, no sort-merge over the corpus
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("decontaminate: benchmark set broadcasts; training side aggregates map-side") {
+    val p = plan(graft.operators.PipelinePack.decontaminate(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("ngram top-k plans TakeOrderedAndProject over a combined aggregate") {
+    val p = plan(graft.operators.PipelinePack.ngramTopk(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("executed plans run inside whole-stage codegen (AQE final plans)") {
     // AQE shows codegen stages only once the final plan materializes, so
     // execute first; a representative read, agg and join query each.
