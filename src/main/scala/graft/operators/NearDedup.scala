@@ -352,26 +352,17 @@ object NearDedup {
       s"pigeonhole recall needs maxHamming < bands, got $maxHamming/$bands")
     val bandBits = 64 / bands
 
-    // (doc, shingle) → first 16 hex digits of md5 as 16 int columns.
-    val digits = (0 until 16).map(i =>
-      conv(substring(col("h"), i + 1, 1), 16, 10).cast("int").as(s"d$i"))
-    val hexed = docs
-      .select(col(idCol).as("doc_id"),
-        explode(TextFns.shingles3(col(textCol))).as("sh"))
-      .select(col("doc_id") +: md5(col("sh")).as("h") +: Nil: _*)
-      .select(col("doc_id") +: digits: _*)
-
-    // 64 sign-sums: s_j = Σ features (bit j set ? +1 : −1), bit j living at
-    // hex digit j/4, position 3−j%4. MSB-first to match the hex string.
-    val sums = (0 until 64).map { j =>
-      val bit = shiftright(col(s"d${j / 4}"), 3 - j % 4).bitwiseAND(lit(1))
-      sum(bit * 2 - 1).as(s"s$j")
-    }
-    val packed = (0 until 64).map { j =>
-      when(col(s"s$j") > 0, lit(1L << (63 - j))).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    val sim = hexed.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
+    // Fingerprints are ONE native kernel call per row (SimHashMd5) — a pure
+    // scan, no shuffle at any corpus size. The explode + 64-sum-column
+    // aggregate formulation it replaced survives as `simhashMd5Agg` for the
+    // NearDedupSpec parity check. Empty shingle sets are filtered BEFORE the
+    // kernel: the oracle's unnest drops those docs, and an unfiltered empty
+    // doc would carry fingerprint 0 and spuriously pair with other empties.
+    val sim = docs
+      .select(col(idCol).as("doc_id"), TextFns.shingles3(col(textCol)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.HashExprs.simhashMd5(col("sh")).as("simhash"))
 
     // One row per (doc, band-slice); low slices first (any fixed layout works).
     val slices = (0 until bands).map(b =>
@@ -389,6 +380,32 @@ object NearDedup {
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Pre-kernel stage-1 formulation — explode → md5 hex → 16 digit columns →
+    * 64 sign-sum aggregate → packed long. NearDedupSpec asserts it matches
+    * the SimHashMd5 kernel row-for-row; never in a query path (it shuffles
+    * 64-long state per doc where the kernel is a pure scan). */
+  private[graft] def simhashMd5Agg(docs: DataFrame, idCol: String,
+                                   textCol: String): DataFrame = {
+    val digits = (0 until 16).map(i =>
+      conv(substring(col("h"), i + 1, 1), 16, 10).cast("int").as(s"d$i"))
+    val hexed = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFns.shingles3(col(textCol))).as("sh"))
+      .select(col("doc_id") +: md5(col("sh")).as("h") +: Nil: _*)
+      .select(col("doc_id") +: digits: _*)
+    // s_j = Σ features (bit j set ? +1 : −1), bit j at hex digit j/4,
+    // position 3−j%4 — MSB-first to match the hex string.
+    val sums = (0 until 64).map { j =>
+      val bit = shiftright(col(s"d${j / 4}"), 3 - j % 4).bitwiseAND(lit(1))
+      sum(bit * 2 - 1).as(s"s$j")
+    }
+    val packed = (0 until 64).map { j =>
+      when(col(s"s$j") > 0, lit(1L << (63 - j))).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    hexed.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
   }
 
   /** Pre-r3 interpreted HOF formulation — HashExprSpec cross-check only. */

@@ -201,10 +201,83 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** md5-bit SimHash kernel — the cross-engine-hashable variant backing
+  * NearDedup.simhashMd5Pairs (the DuckDB oracle replays md5, which xxhash64
+  * can't offer). Bit source: the FIRST 8 BYTES of md5(feature) read
+  * big-endian — i.e. the first 16 hex digits of the canonical md5 string,
+  * MSB-first — the exact layout the generated SQL oracle extracts digit by
+  * digit. One MessageDigest per thread (reset per feature), one pass per
+  * row. */
+object SimHashMd5Kernel extends Serializable { // shipped to tasks as a codegen reference object
+  @transient private lazy val mdLocal =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  def simhash(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val md = mdLocal.get()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { // null features vote nowhere (sum() skips null)
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var v = 0L
+        var k = 0
+        while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((v >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 63
+    while (b >= 0) { sig = (sig << 1) | (if (votes(b) > 0) 1L else 0L); b -= 1 }
+    sig
+  }
+}
+
+/** Native md5-bit SimHash-64 over a feature array — one kernel call per row
+  * inside whole-stage codegen, replacing an explode + 64-sum-column hash
+  * aggregate (which shuffles (doc, 64-long) state); with this the
+  * fingerprint stage is a pure scan — zero shuffles at any corpus size.
+  * CAUTION: an empty array yields fingerprint 0, not "no fingerprint";
+  * callers must filter empty feature sets first if absence is the contract
+  * (simhashMd5Pairs does). */
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash_md5"
+
+  override def nullSafeEval(in: Any): Any =
+    SimHashMd5Kernel.simhash(in.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val kernel = ctx.addReferenceObj("simhashMd5Kernel", SimHashMd5Kernel,
+        SimHashMd5Kernel.getClass.getName)
+      s"${ev.value} = $kernel.simhash($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
 /** Column-level face. */
 object HashExprs {
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+
+  def simhashMd5(features: Column): Column =
+    ExpressionUtils.column(SimHashMd5(ExpressionUtils.expression(features)))
 
   def winnowFingerprints(norm: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowFingerprints(

@@ -131,6 +131,20 @@ class NearDedupSpec extends SparkSpec {
     assert(got.exists { case (a, b, _) => a < 4 && b < 4 })
   }
 
+  test("SimHashMd5 kernel matches the 64-sum aggregate formulation row-for-row") {
+    val docs = skewed(80)
+    val viaKernel = docs
+      .select(col("doc_id"), graft.functions.TextFns.shingles3(col("text")).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.HashExprs.simhashMd5(col("sh")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = NearDedup.simhashMd5Agg(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaKernel == viaAgg)
+    assert(viaKernel.size == 80)
+  }
+
   test("simhashMd5Pairs rejects parameters that break the pigeonhole recall") {
     val docs = skewed(10)
     intercept[IllegalArgumentException](

@@ -106,13 +106,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$p")
   }
 
-  test("simhash dedup: one signature aggregate with map-side combine, no shingle-keyed window") {
+  test("simhash dedup: fingerprints are a pure scan (native kernel), candidates an equi-join") {
     val p = plan(graft.operators.NearDedup.simhashMd5Pairs(
       Tables.documents(spark, sf0001), "doc_id", "text"))
-    // stage 1 collapses each doc to 64 sums BEFORE the shuffle
-    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
-    // candidate generation is an equi-join on (band, slice) — hash join, no
-    // cartesian, no sort-merge over the corpus
+    // stage 1 is the SimHashMd5 kernel in a projection — no explode, no
+    // aggregate, no exchange before banding
+    assert(p.contains("graft_simhash_md5"), s"kernel not in plan:\n$p")
+    assert(!p.contains("partial_sum"), s"unexpected aggregate in stage 1:\n$p")
+    // candidate generation is an equi-join on (band, slice) — never cartesian
     assert(!p.contains("CartesianProduct"), p)
   }
 
