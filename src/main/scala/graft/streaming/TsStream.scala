@@ -18,6 +18,14 @@ case class PointDelta(key: Long, ts: java.sql.Timestamp, value: Double,
 /** Per-key carry-forward state: the last seen (ts in epoch µs, value). */
 case class LastPoint(lastTsUs: Long, lastValue: Double)
 
+/** [[TsStream.ewmaPerKey]] output: the point plus its running EWMA. */
+case class PointEwma(key: Long, ts: java.sql.Timestamp, value: Double,
+                     ewma: Double)
+
+/** Per-key EWMA state: the adjusted-form numerator/denominator plus the
+  * last event time (for the idle timeout). */
+case class EwmaState(num: Double, den: Double, lastTsUs: Long)
+
 /** Structured-Streaming face of the engine (SURVEY.md §2 B10).
   *
   * The reference is batch-only, but its ordered-append contract IS a stream
@@ -139,6 +147,45 @@ object TsStream {
               state.update(s)
               // evict once the watermark passes the key's last point by
               // the idle horizon (timeout clock is in ms)
+              state.setTimeoutTimestamp(s.lastTsUs / 1000L + idleHorizonMs)
+            }
+            out.iterator
+          })
+  }
+
+  /** Streaming EWMA — the O(1)-state stream twin of
+    * TimeSeriesPack.windowEwma. The adjusted EWM mean folds exactly:
+    *   numₜ = xₜ + (1−α)·numₜ₋₁,  denₜ = 1 + (1−α)·denₜ₋₁,  ewmaₜ = numₜ/denₜ
+    * so unlike batch `lag()`/frames, streaming needs only TWO doubles per
+    * live key — no window, no buffered history. This is the UNtruncated
+    * ewm(alpha).mean(); the batch key truncates at K=20 rows, which differs
+    * by at most (1−α)^K ≈ 1e-6 of the value range at α=0.5 (TsStreamSpec
+    * asserts both: exact match to the recurrence, and the truncation bound
+    * against the batch operator). State eviction mirrors deltasPerKey:
+    * event-time timeout once a key idles past the watermark horizon. */
+  def ewmaPerKey(points: Dataset[KeyedPoint], alpha: Double = 0.5,
+                 watermark: String = "1 hour",
+                 idleHorizonMs: Long = 3600000L): Dataset[PointEwma] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    import points.sparkSession.implicits._
+    val r = 1.0 - alpha
+    points.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, it: Iterator[KeyedPoint], state: GroupState[EwmaState]) =>
+          if (state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else {
+            def us(t: java.sql.Timestamp): Long =
+              (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+            val pts = it.toArray.sortBy(p => us(p.ts))
+            var s = state.getOption.getOrElse(EwmaState(0.0, 0.0, Long.MinValue))
+            val out = pts.map { p =>
+              s = EwmaState(p.value + r * s.num, 1.0 + r * s.den, us(p.ts))
+              PointEwma(key, p.ts, p.value, s.num / s.den)
+            }
+            if (pts.nonEmpty) {
+              state.update(s)
               state.setTimeoutTimestamp(s.lastTsUs / 1000L + idleHorizonMs)
             }
             out.iterator

@@ -227,6 +227,61 @@ class TsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA: exact recurrence on chunked replay; within truncation bound of batch") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.{KeyedPoint, PointEwma}
+    val rows = Tables.events(spark, sf0001)
+      .select($"user_id".as("key"), $"ts", $"value").as[KeyedPoint]
+      .collect().sortBy(_.ts.getTime)
+    val ms = MemoryStream[KeyedPoint]
+    val q = TsStream.ewmaPerKey(ms.toDS(), alpha = 0.5, watermark = "1 hour",
+        idleHorizonMs = 10L * 365 * 24 * 3600 * 1000)
+      .writeStream.format("memory").queryName("stream_ewma")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length / 5).max(1)).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      ms.addData(Seq(KeyedPoint(999999L, t("2024-12-31 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      def us(ts: Timestamp): Long = (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+      val got = spark.table("stream_ewma").as[PointEwma].collect()
+        .filter(_.key != 999999L)
+        .map(p => (p.key, us(p.ts), p.value) -> p.ewma).toMap
+      // driver-side reference: the same recurrence per key in event order —
+      // identical Double ops, so equality is exact up to fold order (strict)
+      var want = Map.empty[(Long, Long, Double), Double]
+      rows.groupBy(_.key).foreach { case (k, ps) =>
+        var (num, den) = (0.0, 0.0)
+        ps.sortBy(p => us(p.ts)).foreach { p =>
+          num = p.value + 0.5 * num; den = 1.0 + 0.5 * den
+          want += ((k, us(p.ts), p.value) -> num / den)
+        }
+      }
+      assert(got.keySet == want.keySet,
+        s"sizes ${got.size}/${want.size}; missing=${(want.keySet -- got.keySet).take(3)}")
+      got.foreach { case (k, e) => assert(e == want(k), s"$k: $e vs ${want(k)}") }
+      // and the 20-row-truncated batch operator agrees within (1-α)^K of the
+      // value scale — the documented truncation bound
+      val batch = graft.operators.TimeSeriesPack.windowEwma(spark, sf0001)
+        .select($"event_id", $"ewma").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val byEvent = Tables.events(spark, sf0001)
+        .select($"event_id", $"user_id", $"ts", $"value").collect()
+        .map(r => (r.getLong(1), us(r.getTimestamp(2)), r.getDouble(3)) -> r.getLong(0))
+        .toMap
+      var compared = 0
+      got.foreach { case (k, e) =>
+        val maxDiff = 5e-3 // 0.5^19 × the fixture's value range (~1e3)
+        assert(math.abs(e - batch(byEvent(k))) < maxDiff,
+          s"$k: stream $e vs batch ${batch(byEvent(k))}")
+        compared += 1
+      }
+      assert(compared == batch.size)
+    } finally q.stop()
+  }
+
   test("custom-state deltas: idle keys are evicted, then restart cleanly") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
