@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{BackwardAsOfStrategy, DotProduct, MinHashSignature, SimHash64, TopKByScore, WinnowFingerprints}
+import org.apache.spark.sql.graft.{BackwardAsOfStrategy, DotProduct, MinHashSignature, SimHash64, SimHashMd5, TopKByScore, WinnowFingerprints}
 
 /** Catalyst extension entry point for the engine's custom operators —
   * deploy with
@@ -18,6 +18,7 @@ import org.apache.spark.sql.graft.{BackwardAsOfStrategy, DotProduct, MinHashSign
   *   - SQL names for the engine's native expressions, so the full custom
   *     surface is reachable from pure SQL:
   *     `graft_dot(a, b)`, `graft_simhash64(token_hashes)`,
+  *     `graft_simhash_md5(features)`,
   *     `graft_winnow(text, k, w)` (k, w literal ints), and the
   *     aggregates `graft_minhash(hash_col, k)` and
   *     `graft_topk(score, id, k)` (k literal int).
@@ -48,6 +49,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(h) => SimHash64(h)
       case args => throw new IllegalArgumentException(
         s"graft_simhash64 takes 1 argument, got ${args.length}")
+    }
+    register(ext, "graft_simhash_md5",
+      "graft_simhash_md5(features) - md5-bit SimHash fingerprint of an array<string> (oracle-replayable)") {
+      case Seq(f) => SimHashMd5(f)
+      case args => throw new IllegalArgumentException(
+        s"graft_simhash_md5 takes 1 argument, got ${args.length}")
     }
     register(ext, "graft_winnow",
       "graft_winnow(text, k, w) - winnowing fingerprints (k-gram size, window w)") {

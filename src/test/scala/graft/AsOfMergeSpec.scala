@@ -115,6 +115,14 @@ class AsOfMergeSpec extends SparkSpec {
           .head.getLong(0))
       assert(session.sql("SELECT size(graft_winnow('abcdefghijklmnopqrstuvwxyz', 4, 4))")
         .head.getInt(0) > 0)
+      // SQL name and Column face of the md5 simhash agree on a literal array
+      assert(session.sql("SELECT graft_simhash_md5(array('a b c', 'b c d'))")
+        .head.getLong(0) ==
+        session.range(1).select(org.apache.spark.sql.graft.HashExprs.simhashMd5(
+          org.apache.spark.sql.functions.array(
+            org.apache.spark.sql.functions.lit("a b c"),
+            org.apache.spark.sql.functions.lit("b c d"))))
+          .head.getLong(0))
       val sig = session.sql(
         "SELECT graft_minhash(h, 8) FROM (SELECT xxhash64(x) AS h FROM (VALUES ('a'), ('b'), ('c')) t(x))")
         .head.getSeq[Long](0)
