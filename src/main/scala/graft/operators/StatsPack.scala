@@ -101,6 +101,38 @@ object StatsPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** B5+ rolling z-score anomaly detection (pandas
+    * `(s - s.rolling(20).mean()) / s.rolling(20).std()`): each event scored
+    * against its own user's 20-row trailing window — the standard
+    * monitoring/outlier gate on a metric stream. The current row is part of
+    * its own frame (pandas semantics); z uses the SAMPLE std. Determinism
+    * layout as windowRollCorr: DECIMAL-exact windowed power sums, identical
+    * double algebra, round 6dp, NULL guard on degenerate frames (n = 1 or
+    * zero variance). One window exchange; the anomaly flag is derived from
+    * the ROUNDED z on both sides so boundary values can't diverge. */
+  def windowZscore(s: SparkSession, dir: String): DataFrame = {
+    def d28(c: Column) = sum(c.cast("decimal(28,4)"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(RollK - 1), 0)
+    val x = col("value")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("value"),
+        count(lit(1)).over(w).as("n"),
+        d28(x).over(w).cast("double").as("sx"),
+        d28(x * x).over(w).cast("double").as("sxx"))
+      .withColumn("nd", col("n").cast("double"))
+      // vx guarded by n > 1 INSIDE the when (CaseWhen evaluates lazily):
+      // ANSI mode rejects the n = 1 division by (nd − 1) = 0 outright
+      .withColumn("vx", when(col("n") > 1,
+        (col("sxx") - col("sx") * col("sx") / col("nd")) / (col("nd") - 1.0)))
+      .select(col("event_id"), col("n"),
+        when(col("n") > 1 && col("vx") > 0,
+          round((col("value") - col("sx") / col("nd")) / sqrt(col("vx")), 6))
+          .as("z"))
+      .withColumn("is_outlier", col("z").isNotNull && abs(col("z")) > 3.0)
+      .orderBy(col("event_id"))
+  }
+
   /** B4+ exact percentiles per group (pandas `groupby().quantile()`):
     * Spark's `percentile` sorts each group's values and linearly
     * interpolates at rank (n−1)·p — identical to ANSI `percentile_cont`.
@@ -205,6 +237,7 @@ object StatsPack extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stats_corr" -> statsCorr,
     "q_window_rollcorr" -> windowRollCorr,
+    "q_window_zscore" -> windowZscore,
     "q_percentiles" -> percentiles,
     "q_pivot" -> pivot,
     "q_histogram" -> histogram,
@@ -252,6 +285,27 @@ object StatsPack extends QueryPack {
          |CASE WHEN n > 1 AND vx > 0 AND vy > 0
          |     THEN round((sxy - sx * sy / nd) / (sqrt(vx) * sqrt(vy)), 6) END AS roll_corr
          |FROM d ORDER BY event_id""".stripMargin,
+    "q_window_zscore" ->
+      s"""WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value
+         |  FROM events),
+         |m AS (SELECT event_id, value,
+         |  count(*) OVER w AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(value * value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS sxx
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN ${RollK - 1} PRECEDING AND CURRENT ROW)),
+         |d AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+         |  CASE WHEN n > 1 THEN
+         |    (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+         |  END AS vx
+         |  FROM m),
+         |z AS (SELECT event_id, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN n > 1 AND vx > 0
+         |       THEN round((value - sx / nd) / sqrt(vx), 6) END AS z
+         |  FROM d)
+         |SELECT event_id, n, z, (z IS NOT NULL AND abs(z) > 3.0) AS is_outlier
+         |FROM z ORDER BY event_id""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type, count(*) AS n,
         |round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 4) AS p25,

@@ -74,6 +74,33 @@ class WindowOpsSpec extends SparkSpec {
     }
   }
 
+  test("windowZscore equals brute-force rolling sample z-score") {
+    val got = StatsPack.windowZscore(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3))).toList
+    val expected = (for ((_, evs) <- series.toSeq) yield {
+      evs.zipWithIndex.map { case ((eid, v), t) =>
+        val fr = evs.slice(math.max(0, t - 19), t + 1).map(_._2)
+        val n = fr.length
+        val (sx, sxx) = (fr.sum, fr.map(a => a * a).sum)
+        val vx = if (n > 1) Some((sxx - sx * sx / n) / (n - 1)) else None
+        val z = vx.filter(_ > 0).map(s => (v - sx / n) / math.sqrt(s))
+        (eid, n.toLong, z)
+      }
+    }).flatten.sortBy(_._1).toList
+    assert(got.map(r => (r._1, r._2)) == expected.map(r => (r._1, r._2)))
+    got.zip(expected).foreach { case ((eid, _, g, flag), (_, _, e)) =>
+      (g, e) match {
+        case (Some(gv), Some(ev)) =>
+          assert(math.abs(gv - ev) < 2e-6, s"event $eid z $gv vs $ev")
+          assert(flag == (math.abs(gv) > 3.0), s"event $eid flag vs z=$gv")
+        case (None, None) => assert(!flag)
+        case other => fail(s"event $eid null mismatch: $other")
+      }
+    }
+    assert(got.exists(_._4), "fixture should contain at least one |z|>3 outlier")
+  }
+
   test("ewma and rollcorr window plans reuse one user-keyed exchange") {
     for (df <- Seq(TimeSeriesPack.windowEwma(spark, sf0001),
       StatsPack.windowRollCorr(spark, sf0001))) {
