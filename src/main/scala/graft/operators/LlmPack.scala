@@ -76,14 +76,30 @@ object LlmPack extends QueryPack {
         idCol = "doc_id", textCol = "text")
       .orderBy(col("a_id"), col("b_id"))
 
-  /** B9 document fingerprints: SimHash-64 over token hashes + an exact
-    * content hash. No oracle (DuckDB has no xxhash64); LlmPackSpec asserts
-    * determinism and the near-dup Hamming property. */
-  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+  /** B9 document fingerprints: md5-bit SimHash over shingles (the
+    * SimHashMd5 kernel — one codegen'd pass per row, zero shuffles) + an
+    * md5 content hash. Since the r7 continuation this key is fully
+    * hash-oracled: md5 is the bit source precisely so DuckDB can replay
+    * both columns (the xxhash64 variants stay available as
+    * NearDedup.simhash64 / winnow — faster hash, spec-covered). The 64-bit
+    * fingerprint is emitted as two 32-bit halves: assembling bit 63 in SQL
+    * needs 2⁶³, which overflows signed BIGINT arithmetic in the oracle
+    * dialect, while each half fits exactly. */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val sim = col("simhash")
     Tables.documents(s, dir)
-      .select(col("doc_id"), NearDedup.simhash64(col("text")).as("simhash"),
-        xxhash64(TextFns.normalize(col("text"))).as("content_hash"))
+      .select(col("doc_id"), TextFns.shingles3(col("text")).as("sh"),
+        md5(TextFns.normalize(col("text"))).as("content_hash"))
+      .where(size(col("sh")) > 0) // shingle-less docs: absent, like the oracle's join
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.HashExprs.simhashMd5(col("sh")).as("simhash"),
+        col("content_hash"))
+      .select(col("doc_id"),
+        shiftrightunsigned(sim, 32).as("sim_hi"),
+        sim.bitwiseAND(lit(0xffffffffL)).as("sim_lo"),
+        col("content_hash"))
       .orderBy(col("doc_id"))
+  }
 
   /** B9 text stats per language: doc/char/token counts. All aggregates are
     * exact integer sums; the averages are single IEEE divisions of those
@@ -331,23 +347,44 @@ object LlmPack extends QueryPack {
     * compares signs pairwise; 500 docs → 125k pairs, trivial for the oracle
     * while the Spark side stays banded. Bit j of a feature's hash lives at
     * hex digit j/4, position 3−j%4 — the same layout simhashMd5Pairs packs. */
-  private val simhashOracle: String = {
+  /** Shared CTE chain for the md5-simhash oracles: per-doc 64 sign-sums via
+    * hex-digit bit extraction (strpos into the hex alphabet is the oracle
+    * dialect's `conv`). Bit j of a feature's hash lives at hex digit j/4,
+    * position 3−j%4 — the layout SimHashMd5 packs. */
+  private val simhashSumCtes: String = {
     val hex = "0123456789abcdef"
     val sums = (0 until 64).map { j =>
       val (pos, shift) = (j / 4 + 1, 3 - j % 4)
       s"sum(2*(((strpos('$hex', substr(h, $pos, 1))-1) >> $shift) & 1)-1) AS s$j"
     }.mkString(", ")
-    val ham = (0 until 64).map(j =>
-      s"(CASE WHEN (a.s$j>0) <> (b.s$j>0) THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH tk AS (SELECT doc_id, $tokSql AS t FROM documents),
+    s"""tk AS (SELECT doc_id, $tokSql AS t FROM documents),
        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh FROM tk),
        |b AS (SELECT doc_id, md5(sh) AS h FROM sh),
-       |s AS (SELECT doc_id, $sums FROM b GROUP BY doc_id),
+       |s AS (SELECT doc_id, $sums FROM b GROUP BY doc_id)""".stripMargin
+  }
+
+  private val simhashOracle: String = {
+    val ham = (0 until 64).map(j =>
+      s"(CASE WHEN (a.s$j>0) <> (b.s$j>0) THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $simhashSumCtes,
        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST($ham AS BIGINT) AS hamming
        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
        |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 7
        |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Fingerprint oracle: same sign-sums, packed MSB-first into two 32-bit
+    * halves (bit 63 would overflow signed BIGINT assembly). */
+  private val fingerprintOracle: String = {
+    val hi = (0 until 32).map(j =>
+      s"(CASE WHEN s$j>0 THEN CAST(${1L << (31 - j)} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    val lo = (32 until 64).map(j =>
+      s"(CASE WHEN s$j>0 THEN CAST(${1L << (63 - j)} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    s"""WITH $simhashSumCtes
+       |SELECT doc_id, CAST($hi AS BIGINT) AS sim_hi, CAST($lo AS BIGINT) AS sim_lo,
+       |md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+       |FROM s JOIN documents USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
   private val nearDupOracle =
@@ -363,6 +400,7 @@ object LlmPack extends QueryPack {
     "q_dedup_near" -> nearDupOracle,
     "q_dedup_minhash" -> nearDupOracle,
     "q_dedup_simhash" -> simhashOracle,
+    "q_doc_fingerprint" -> fingerprintOracle,
     // Reachability closure over the pair graph (UNION dedups → terminates),
     // then min reachable id per node = the component's canonical label.
     "q_dedup_cluster" ->
