@@ -4,7 +4,8 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   private def packs: Seq[QueryPack] =
-    Seq(TimeSeriesPack, RelationalPack, LlmPack, PipelinePack, StatsPack)
+    Seq(TimeSeriesPack, RelationalPack, LlmPack, PipelinePack, StatsPack,
+      EventAnalyticsPack)
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     TimeSeriesPack.readRange(spark, "/root/testdata/sf0.001")

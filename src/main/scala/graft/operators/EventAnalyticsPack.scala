@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / product-analytics operators over the event stream — the
+  * ordered-funnel, cohort-retention and active-user workflows the
+  * reference's users run in pandas after `read_range` (groupby(user) +
+  * ordered scans). All three carry full DuckDB oracles.
+  *
+  * Scale themes:
+  *   - `funnel` is ONE exchange on user_id: the chained per-stage minima are
+  *     window passes over the same hash partitioning, and the final per-user
+  *     reduction reuses it (Catalyst sees the distribution is already
+  *     satisfied — PlanAuditSpec asserts the single exchange).
+  *   - `retention` and `activeUsers` hinge on the classic (user, period)
+  *     pre-aggregation: the raw 100 TB event stream collapses map-side to at
+  *     most |users| × |periods| rows before anything wide happens.
+  *   - Timestamps are emitted as epoch micros and every derived ratio is a
+  *     fixed chain of IEEE ops over exact ints, per the QueryPack rules.
+  */
+object EventAnalyticsPack extends QueryPack {
+
+  /** Funnel stage definitions: each stage's event must occur STRICTLY after
+    * the user's previous stage time. Plan-time literals, enumerated
+    * identically in the oracle. */
+  private val Stages = Seq("view", "click", "purchase")
+
+  /** B5+ ordered conversion funnel (view → click → purchase): per user, the
+    * first view, the first click after that view, and the first purchase
+    * after that click. One row per user, NULLs where the funnel stalls —
+    * stage counts and conversion rates are a trivial rollup of this output,
+    * and keeping per-user rows makes the oracle check 150 values per stage
+    * instead of 3.
+    *
+    * Plan: one exchange on user_id; each stage is a whole-partition window
+    * min whose predicate references the previous stage's materialized
+    * column (a chained Window cascade over the SAME partitioning — no
+    * further shuffles), then a final per-user hash aggregate that reuses
+    * the partitioning outright. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = Stages.zipWithIndex.foldLeft(
+      Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))) {
+      case (df, (stage, i)) =>
+        val after = if (i == 0) lit(true) else col("ts") > col(s"t${i - 1}")
+        df.withColumn(s"t$i",
+          min(when(col("event_type") === stage && after, col("ts"))).over(w))
+    }
+    staged
+      .groupBy(col("user_id"))
+      .agg(unix_micros(min(col("t0"))).as("first_view_us"),
+        unix_micros(min(col("t1"))).as("first_click_us"),
+        unix_micros(min(col("t2"))).as("first_purchase_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** B5+ weekly cohort retention: users bucketed by the week of their first
+    * event; n_users = distinct users from cohort week C active in week
+    * C + offset. The 100 TB shape: the wide work happens on the (user,
+    * cohort, week) DISTINCT — map-side partial aggregation collapses each
+    * task's events to its local user-week pairs before the shuffle, so the
+    * exchanged volume is bounded by |users| × |weeks|, not the event count.
+    * Both week columns are Monday-truncated, so offset = days/7 is exact
+    * integer arithmetic on both engines. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"))
+      .withColumn("cohort", date_trunc("week", min(col("ts")).over(w)))
+      .select(col("user_id"), col("cohort"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+      .select(unix_micros(col("cohort")).as("cohort_week_us"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week_us"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week_us"), col("week_offset"))
+  }
+
+  /** B4+ weekly engagement: WAU, active days, user-days, average DAU and
+    * the DAU/WAU stickiness ratio. Same pre-aggregation story as
+    * `retention`: one DISTINCT over (week, day, user) — partial-aggregated
+    * map-side — then a per-week aggregate whose two distinct counts Spark
+    * plans with a single Expand over the already-collapsed rows. The ratios
+    * are the identical two-division chain on both engines, rounded 6dp. */
+  def activeUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(unix_micros(date_trunc("week", col("ts"))).as("week_us"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("week_us"))
+      .agg(countDistinct(col("user_id")).as("wau"),
+        countDistinct(col("day_us")).as("n_days"),
+        count(lit(1)).as("user_days"))
+      .withColumn("avg_dau",
+        round(col("user_days").cast("double") / col("n_days"), 6))
+      .withColumn("stickiness",
+        round(col("user_days").cast("double") / col("n_days") / col("wau"), 6))
+      .orderBy(col("week_us"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> funnel,
+    "q_retention" -> retention,
+    "q_active_users" -> activeUsers)
+
+  def oracles: Map[String, String] = Map(
+    // Stage CTE chain mirrors the window cascade: each stage's min(ts) is
+    // taken strictly after the user's previous stage time; LEFT JOINs
+    // reproduce the NULL-propagation of a stalled funnel.
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.v GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id, epoch_us(v.v) AS first_view_us,
+        |epoch_us(c.c) AS first_click_us, epoch_us(p.p) AS first_purchase_us
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort, date_trunc('week', e.ts) AS wk
+        |      FROM events e JOIN f USING (user_id))
+        |SELECT epoch_us(cohort) AS cohort_week_us,
+        |CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+        |count(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_active_users" ->
+      """WITH d AS (SELECT DISTINCT epoch_us(date_trunc('week', ts)) AS week_us,
+        |           epoch_us(date_trunc('day', ts)) AS day_us, user_id FROM events)
+        |SELECT week_us, count(DISTINCT user_id) AS wau,
+        |count(DISTINCT day_us) AS n_days, count(*) AS user_days,
+        |round(CAST(count(*) AS DOUBLE) / count(DISTINCT day_us), 6) AS avg_dau,
+        |round(CAST(count(*) AS DOUBLE) / count(DISTINCT day_us)
+        |  / count(DISTINCT user_id), 6) AS stickiness
+        |FROM d GROUP BY week_us ORDER BY week_us""".stripMargin)
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.EventAnalyticsPack
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-analytics pack: semantics the sf-fixture oracle can't distinguish
+  * (its users are active everywhere), pinned on hand-built micro-corpora —
+  * stage ORDER in the funnel, cohort/offset assignment, the stickiness
+  * algebra — plus the single-exchange plan claim for `funnel`.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Events in the fixture schema from (user, type, ts) triples, written to
+    * a temp dir and re-read so the pack's loaders see real parquet. `ts` is
+    * int64 epoch NANOS — the driver fixture's physical encoding, which
+    * Tables.events floors to µs (`ts div 1000`). */
+  private def eventsDir(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evspec").toString
+    rows.zipWithIndex.map { case ((u, t, w), i) =>
+      (i.toLong, ts(w).getTime * 1000000L, u, t, 1.0, """{"k": 1}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def row(df: DataFrame, user: Long): org.apache.spark.sql.Row =
+    df.where(col("user_id") === user).collect().head
+
+  test("funnel: stages must occur in order; stalls propagate NULLs") {
+    val dir = eventsDir(Seq(
+      // user 1: full path, in order — all three stages found
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 11:00:00"),
+      (1L, "purchase", "2024-01-01 12:00:00"),
+      // user 2: click BEFORE the first view never counts; the later click does
+      (2L, "click", "2024-01-02 08:00:00"),
+      (2L, "view", "2024-01-02 09:00:00"),
+      (2L, "click", "2024-01-02 10:00:00"),
+      // user 3: purchase before click → funnel stalls at click
+      (3L, "view", "2024-01-03 09:00:00"),
+      (3L, "purchase", "2024-01-03 10:00:00"),
+      // user 4: never views → all stages NULL
+      (4L, "error", "2024-01-04 09:00:00")))
+    val out = EventAnalyticsPack.funnel(spark, dir)
+    assert(out.count() == 4)
+    val u1 = row(out, 1L)
+    assert(!u1.isNullAt(1) && !u1.isNullAt(2) && !u1.isNullAt(3))
+    val u2 = row(out, 2L)
+    // first_click is the 10:00 click (the 08:00 one precedes the view)
+    assert(u2.getLong(2) == ts("2024-01-02 10:00:00").getTime * 1000)
+    assert(u2.isNullAt(3))
+    val u3 = row(out, 3L)
+    assert(!u3.isNullAt(1) && u3.isNullAt(2) && u3.isNullAt(3))
+    val u4 = row(out, 4L)
+    assert(u4.isNullAt(1) && u4.isNullAt(2) && u4.isNullAt(3))
+  }
+
+  test("funnel plans exactly one exchange (user_id) before the output sort") {
+    val p = EventAnalyticsPack.funnel(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected user_id + sort exchanges, got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("retention: cohort is the week of the first event; offsets are exact weeks") {
+    val dir = eventsDir(Seq(
+      // user 1: first event Tue Jan 2 → cohort = Mon Jan 1; active weeks 0 and 2
+      (1L, "view", "2024-01-02 10:00:00"),
+      (1L, "view", "2024-01-16 10:00:00"),
+      // user 2: joins week 2 (Mon Jan 15) — its own cohort, offset 0 only
+      (2L, "view", "2024-01-15 10:00:00")))
+    val out = EventAnalyticsPack.retention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w1 = ts("2024-01-01 00:00:00").getTime * 1000
+    val w3 = ts("2024-01-15 00:00:00").getTime * 1000
+    assert(out == Map((w1, 0L) -> 1L, (w1, 2L) -> 1L, (w3, 0L) -> 1L))
+  }
+
+  test("activeUsers: user-days dedup within a day; stickiness = dau/wau") {
+    val dir = eventsDir(Seq(
+      // week of Mon Jan 1: user 1 active 2 days (3 events), user 2 active 1 day
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 11:00:00"), // same day — dedups
+      (1L, "view", "2024-01-02 10:00:00"),
+      (2L, "view", "2024-01-02 12:00:00")))
+    val r = EventAnalyticsPack.activeUsers(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 2) // wau
+    assert(r.head.getLong(2) == 2) // n_days (Jan 1, Jan 2)
+    assert(r.head.getLong(3) == 3) // user-days: (u1,d1),(u1,d2),(u2,d2)
+    assert(math.abs(r.head.getDouble(4) - 1.5) < 1e-12)   // avg_dau = 3/2
+    assert(math.abs(r.head.getDouble(5) - 0.75) < 1e-12)  // stickiness = 1.5/2
+  }
+}
