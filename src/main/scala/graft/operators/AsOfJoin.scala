@@ -142,6 +142,62 @@ object AsOfJoin {
       .select(col("_l.*"), col("_m.*"))
   }
 
+  /** Nearest as-of join — `pandas.merge_asof(direction='nearest')`: for each
+    * left row, the right row of the same key with the smallest absolute time
+    * distance, in EITHER direction; exact-tie distances resolve to the
+    * backward (at-or-before) match, and unmatched left rows keep null right
+    * columns. One union, ONE shuffle+sort on (key, time) — the backward
+    * running-`last` and forward running-`first` are two frames over the same
+    * window ordering, so Spark evaluates both in a single Window operator
+    * (PlanAuditSpec-style: no second exchange). A right row at exactly the
+    * left row's instant sorts before it and is picked up by the BACKWARD
+    * frame at distance 0, which wins the tie by definition — the forward
+    * frame never needs to see same-instant rows. */
+  def nearest(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"column overlap not supported: $overlap")
+    val reserved = Set("_k", "_t", "_side", "_l", "_r", "_b", "_f", "_m")
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns clash with reserved names: $clash")
+
+    val lStruct = struct(left.columns.map(col).toSeq: _*)
+    val rStruct = struct(right.columns.map(col).toSeq: _*)
+    val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
+
+    val lTagged = left.select(
+      col(leftKey).as("_k"), col(leftTime).cast("timestamp").as("_t"),
+      lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rType).as("_r"))
+    val rTagged = right
+      .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
+        lit(0).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+
+    val base = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_side").asc)
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // Distances in exact integer micros; <= prefers the backward match on
+    // equal distance (pinned semantics, mirrored in every oracle).
+    val tUs = unix_micros(col("_t"))
+    lTagged.unionByName(rTagged)
+      .withColumn("_b", last(col("_r"), ignoreNulls = true).over(wb))
+      .withColumn("_f", first(col("_r"), ignoreNulls = true).over(wf))
+      .where(col("_side") === 1)
+      .withColumn("_m",
+        when(col("_f").isNull, col("_b"))
+          .when(col("_b").isNull, col("_f"))
+          .when(tUs - unix_micros(col("_b")(rightTime)) <=
+            unix_micros(col("_f")(rightTime)) - tUs, col("_b"))
+          .otherwise(col("_f")))
+      .select(col("_l.*"), col("_m.*"))
+  }
+
   /** Same semantics as `backward`, planned as the custom partitioned-merge
     * operator (org.apache.spark.sql.graft.BackwardAsOf): one hash exchange
     * per SIDE on its key, per-side sorts of the narrow original rows, then

@@ -148,8 +148,71 @@ object PipelinePack extends QueryPack {
       .limit(20)
   }
 
+  /** Per-language mixture weights as 4-hex md5 ceilings (keep-probability ≈
+    * ceiling/65536): the training-mix "temperature" step that up/down-weights
+    * sources. Plan-time literals, enumerated identically in the oracle. */
+  private val MixWeights: Seq[(String, String)] = Seq(
+    "en" -> "e666", // ≈0.90
+    "es" -> "9999", // ≈0.60
+    "de" -> "6666", // ≈0.40
+    "fr" -> "3333", // ≈0.20
+    "zh" -> "1999") // ≈0.10
+
+  /** B9+ weighted mixture sampling: keep a doc iff the first 4 hex chars of
+    * md5(doc_id) fall under its language's ceiling — the deterministic,
+    * engine-portable version of per-source Bernoulli reweighting (same md5
+    * trick as q_split_assign, and independent of it: different hex window
+    * would correlate, so both use the SAME leading window and that is fine —
+    * split assignment and mix sampling are meant to compose on the same
+    * doc). A pure narrow filter: no shuffle, no ordering, no state; rates
+    * hold in expectation, exactly reproducible on any engine with md5. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val keepMax: Column = MixWeights.foldRight(lit("0000")) {
+      case ((l, hmax), acc) => when(col("lang") === l, lit(hmax)).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .where(substring(md5(col("doc_id").cast("string")), 1, 4) < keepMax)
+      .orderBy(col("doc_id"))
+  }
+
+  private val CapPerSource = 10 // kept docs per source
+
+  /** B9+ per-source document cap (the C4/Gopher "don't let one domain
+    * dominate" balancing step): keep each source's `CapPerSource` best docs
+    * by quality score. Runs as the k-bounded `TopKByScore` imperative
+    * aggregate, NOT a row_number window: each map task collapses to a
+    * k-entry heap per source before the shuffle, so a 100 TB corpus moves
+    * sources × partitions × k heap entries instead of every candidate row
+    * to its source's reducer. The score is q_quality_score's fixed IEEE
+    * chain (bit-identical in DuckDB), so heap comparisons — and therefore
+    * ranks — agree across engines; ties are totally ordered by
+    * (score DESC, doc_id ASC). */
+  def capPerSource(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextFns.tokens(col("text"))
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tk).as("n_tokens"),
+        size(array_distinct(tk)).as("n_uniq"),
+        size(filter(tk, t => t.isin("a", "the"))).as("n_stop"))
+      .select(col("doc_id"), col("source"),
+        (lit(0.4) * (col("n_uniq").cast("double") / col("n_tokens")) +
+          lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) +
+          lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+          .as("score"))
+    scored.groupBy(col("source"))
+      .agg(org.apache.spark.sql.graft.TopKAggExprs
+        .topKByScore(col("score"), col("doc_id"), CapPerSource).as("kept"))
+      .select(col("source"), posexplode(col("kept")))
+      .select(col("source"), (col("pos") + 1).as("rank"),
+        col("col.vec_id").as("doc_id"), round(col("col.sim"), 6).as("score"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_stratified" -> sampleStratified,
+    "q_sample_weighted" -> sampleWeighted,
+    "q_cap_per_source" -> capPerSource,
     "q_corpus_filter" -> corpusFilter,
     "q_pack_sequences" -> packSequences,
     "q_decontaminate" -> decontaminate,
@@ -158,6 +221,29 @@ object PipelinePack extends QueryPack {
   private val tokSql = "string_split_regex(trim(text), '\\s+')"
 
   def oracles: Map[String, String] = Map(
+    "q_sample_weighted" -> {
+      val weightRows = MixWeights.map { case (l, h) => s"('$l', '$h')" }.mkString(", ")
+      s"""SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d JOIN (VALUES $weightRows) w(lang, hmax) ON d.lang = w.lang
+         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < w.hmax
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    "q_cap_per_source" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |  len($tokSql) AS n_tokens,
+         |  len(list_distinct($tokSql)) AS n_uniq,
+         |  len(list_filter($tokSql, t -> t IN ('a', 'the'))) AS n_stop
+         |  FROM documents),
+         |sc AS (SELECT doc_id, source,
+         |  0.4 * (CAST(n_uniq AS DOUBLE) / n_tokens)
+         |    + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+         |    + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS score
+         |  FROM q),
+         |r AS (SELECT source, doc_id, score, CAST(row_number() OVER (
+         |    PARTITION BY source ORDER BY score DESC, doc_id) AS INT) AS rank
+         |  FROM sc)
+         |SELECT source, rank, doc_id, round(score, 6) AS score FROM r
+         |WHERE rank <= $CapPerSource ORDER BY source, rank""".stripMargin,
     "q_sample_stratified" -> {
       val rateRows = SampleEvery.map { case (l, k) => s"('$l', $k)" }.mkString(", ")
       s"""WITH r AS (SELECT doc_id, lang, n_chars,

@@ -411,6 +411,27 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** B3 nearest as-of join (`merge_asof(direction='nearest')`): each error
+    * event matched to the same user's closest click in either direction —
+    * the "what was the user doing around the failure" diagnostic shape.
+    * Distances are exact integer micros; equal distances resolve backward
+    * (AsOfJoin.nearest's pinned rule, mirrored in the oracle's `<=`).
+    * Clicks pre-deduped per (user, ts) as in the other as-of keys. */
+  def asofJoinNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("c_event_id"))
+    AsOfJoin.nearest(errors, clicks,
+      leftKey = "user_id", rightKey = "c_user",
+      leftTime = "ts", rightTime = "c_ts")
+      .select(col("event_id"), col("user_id"), col("c_event_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("ts"))).as("delta_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** B3 range/interval join: same-user event pairs at most 1 hour apart
     * (strictly forward). Equi-key on user_id keeps this a sort-merge join
     * with a range post-filter — per-key bounded, no cartesian blowup. */
@@ -446,6 +467,7 @@ object TimeSeriesPack extends QueryPack {
     "q_asof_join" -> asofJoin,
     "q_asof_join_merged" -> asofJoinMerged,
     "q_asof_join_fwd" -> asofJoinForward,
+    "q_asof_join_nearest" -> asofJoinNearest,
     "q_range_join" -> rangeJoin)
 
   private val asofOracleSql =
@@ -618,6 +640,32 @@ object TimeSeriesPack extends QueryPack {
         |epoch_us(p.p_ts) AS p_ts_us
         |FROM v ASOF LEFT JOIN p ON v.user_id = p.p_user AND v.ts <= p.p_ts
         |ORDER BY v.event_id""".stripMargin,
+    // Nearest = the better of DuckDB's backward and forward ASOF matches,
+    // `<=` on the micro distances giving backward the tie (the engine rule).
+    "q_asof_join_nearest" ->
+      """WITH er AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+        |            FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id AS c_user, date_trunc('microseconds', ts) AS c_ts,
+        |             max(event_id) AS c_event_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |b AS (SELECT er.event_id, c.c_event_id, c.c_ts FROM er
+        |      ASOF LEFT JOIN c ON er.user_id = c.c_user AND er.ts >= c.c_ts),
+        |f AS (SELECT er.event_id, c.c_event_id, c.c_ts FROM er
+        |      ASOF LEFT JOIN c ON er.user_id = c.c_user AND er.ts <= c.c_ts)
+        |SELECT er.event_id, er.user_id,
+        |CASE WHEN f.c_event_id IS NULL THEN b.c_event_id
+        |     WHEN b.c_event_id IS NULL THEN f.c_event_id
+        |     WHEN epoch_us(er.ts) - epoch_us(b.c_ts)
+        |          <= epoch_us(f.c_ts) - epoch_us(er.ts) THEN b.c_event_id
+        |     ELSE f.c_event_id END AS c_event_id,
+        |CASE WHEN f.c_event_id IS NULL THEN epoch_us(b.c_ts) - epoch_us(er.ts)
+        |     WHEN b.c_event_id IS NULL THEN epoch_us(f.c_ts) - epoch_us(er.ts)
+        |     WHEN epoch_us(er.ts) - epoch_us(b.c_ts)
+        |          <= epoch_us(f.c_ts) - epoch_us(er.ts)
+        |       THEN epoch_us(b.c_ts) - epoch_us(er.ts)
+        |     ELSE epoch_us(f.c_ts) - epoch_us(er.ts) END AS delta_us
+        |FROM er LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+        |ORDER BY er.event_id""".stripMargin,
     "q_range_join" ->
       """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts FROM events)
         |SELECT a.event_id AS a_id, b.event_id AS b_id,

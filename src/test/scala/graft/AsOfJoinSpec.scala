@@ -57,6 +57,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(0).getTimestamp(4) == t("2024-01-01 11:00:00"))
   }
 
+  test("nearest as-of: closer side wins, exact tie resolves backward, one window exchange") {
+    val left = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 10L, t("2024-01-01 10:00:00")), // 30 min back vs 60 min fwd → backward
+      Row(2L, 10L, t("2024-01-01 10:50:00")), // 80 min back vs 10 min fwd → forward
+      Row(3L, 10L, t("2024-01-01 10:15:00")), // 45 back vs 45 fwd, exact tie → backward
+      Row(4L, 10L, t("2024-01-01 08:00:00")), // before all right rows → forward only
+      Row(5L, 10L, t("2024-01-01 12:00:00")), // after all right rows → backward only
+      Row(6L, 30L, t("2024-01-01 09:00:00")) // key with no right rows → null
+    )), lSchema)
+    val right = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(10L, t("2024-01-01 09:30:00"), 1.0),
+      Row(10L, t("2024-01-01 11:00:00"), 2.0)
+    )), rSchema)
+    val df = AsOfJoin.nearest(left, right, "k", "rk", "t", "rt")
+    val got = df.orderBy("l_id").collect()
+    assert(got.map(r => (r.getLong(0), Option(r.get(5)))).toSeq == Seq(
+      (1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(1.0)),
+      (4L, Some(1.0)), (5L, Some(2.0)), (6L, None)))
+    // same-instant right row is a distance-0 backward match
+    val sim = AsOfJoin.nearest(
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(1L, 10L, t("2024-01-01 09:30:00")))), lSchema),
+      right, "k", "rk", "t", "rt").collect()
+    assert(sim.head.getDouble(5) == 1.0)
+    // both direction frames ride the SAME sort: exactly one exchange
+    val exchanges = "Exchange ".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(exchanges == 1, df.queryExecution.executedPlan.toString)
+  }
+
   test("null keys never match (left stays unmatched, null right rows dropped)") {
     val left = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
       Row(1L, null, t("2024-01-01 10:00:00")), // null key

@@ -35,6 +35,56 @@ class PipelinePackSpec extends SparkSpec {
     assert(!s1.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("weighted mixture sampling: per-lang rates ordered by weight, pure narrow plan") {
+    val out = PipelinePack.sampleWeighted(spark, sf001)
+    val docs = Tables.documents(spark, sf001)
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    def rate(l: String) = kept(l).toDouble / perLang(l)
+    // empirical rates honor the configured ordering en > es > de > fr ≥ zh
+    assert(rate("en") > rate("es") && rate("es") > rate("de") &&
+      rate("de") > rate("fr") && rate("fr") >= rate("zh"),
+      s"rates: ${Seq("en", "es", "de", "fr", "zh").map(l => l -> rate(l))}")
+    assert(rate("en") > 0.75 && rate("zh") < 0.25)
+    // deterministic and shuffle-free (filter only — the sort is the output's)
+    assert(out.collect().toSeq == PipelinePack.sampleWeighted(spark, sf001).collect().toSeq)
+    val filterOnly = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("lang"))
+      .where(substring(md5(col("doc_id").cast("string")), 1, 4) < lit("e666"))
+    assert(!filterOnly.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("capPerSource: never more than k per source, ranked like the window formulation") {
+    val out = PipelinePack.capPerSource(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val perSource = out.groupBy(_._1)
+    assert(perSource.values.forall(_.length <= 10))
+    assert(perSource.values.forall(g => g.map(_._2).sorted.toSeq == (1 to g.length)))
+    // heap ranks equal the row_number() formulation (ties → smaller doc_id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
+    val tk = graft.functions.TextFns.tokens(col("text"))
+    val windowed = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"),
+        size(tk).as("n_tokens"), size(array_distinct(tk)).as("n_uniq"),
+        size(filter(tk, t => t.isin("a", "the"))).as("n_stop"))
+      .select(col("doc_id"), col("source"),
+        (lit(0.4) * (col("n_uniq").cast("double") / col("n_tokens")) +
+          lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) +
+          lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+          .as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .collect().map(r => (r.getString(1), r.getInt(3), r.getLong(0))).toSet
+    assert(out.toSet == windowed)
+    // scale shape: partial graft_topk heaps collapse map-side before the shuffle
+    val plan = PipelinePack.capPerSource(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk"), plan)
+  }
+
   test("decontaminate: exactly the docs sharing a shingle with the benchmark, broadcast plan") {
     val out = PipelinePack.decontaminate(spark, sf0001)
     val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
