@@ -20,7 +20,10 @@ object Bench {
     // costs (file listing, scan-plan codegen) still land in the first
     // measured query — an accepted trade-off vs warming with a real query
     // (r5 advice).
+    // SPARK_GRAFT_ONLY=q_a,q_b benches a subset (local triage); absent = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -31,11 +34,15 @@ object Bench {
       catch { case e: Throwable => errs += s"$name: ${e.getClass.getSimpleName}" }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values keep the whole line under the driver's 2 kB output
+    // tail even at ~70 queries; full precision adds nothing at wall-clock
+    // noise levels and in r7 pushed the line head out of the capture window.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errJson = errs.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -169,14 +169,25 @@ object AsOfJoin {
     val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
 
+    // The right payload rides with its own ALREADY-CAST event time (`t`)
+    // so the tie-break distances below compare timestamp-to-timestamp;
+    // reading the raw right-time field back out of the payload struct
+    // would lean on implicit casting for non-timestamp time columns and
+    // could fail analysis or diverge from the `_t` ordering the window
+    // itself sorts by.
+    val rCarry = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "t", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("p", rType)))
     val lTagged = left.select(
       col(leftKey).as("_k"), col(leftTime).cast("timestamp").as("_t"),
-      lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rType).as("_r"))
+      lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rCarry).as("_r"))
     val rTagged = right
       .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .select(
         col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
-        lit(0).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+        lit(0).as("_side"), lit(null).cast(lType).as("_l"),
+        struct(col(rightTime).cast("timestamp").as("t"), rStruct.as("p")).as("_r"))
 
     val base = Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_side").asc)
@@ -192,10 +203,10 @@ object AsOfJoin {
       .withColumn("_m",
         when(col("_f").isNull, col("_b"))
           .when(col("_b").isNull, col("_f"))
-          .when(tUs - unix_micros(col("_b")(rightTime)) <=
-            unix_micros(col("_f")(rightTime)) - tUs, col("_b"))
+          .when(tUs - unix_micros(col("_b")("t")) <=
+            unix_micros(col("_f")("t")) - tUs, col("_b"))
           .otherwise(col("_f")))
-      .select(col("_l.*"), col("_m.*"))
+      .select(col("_l.*"), col("_m.p.*"))
   }
 
   /** Same semantics as `backward`, planned as the custom partitioned-merge

@@ -341,12 +341,6 @@ object LlmPack extends QueryPack {
        |      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
        |      WHERE len(a.sh) > 0 AND len(b.sh) > 0)""".stripMargin
 
-  /** Generated all-pairs simhash oracle for q_dedup_simhash: replays the
-    * md5-bit fingerprint in SQL (64 sign-sum aggregates over hex-digit bit
-    * extraction — strpos into the hex alphabet is DuckDB's `conv`) and
-    * compares signs pairwise; 500 docs → 125k pairs, trivial for the oracle
-    * while the Spark side stays banded. Bit j of a feature's hash lives at
-    * hex digit j/4, position 3−j%4 — the same layout simhashMd5Pairs packs. */
   /** Shared CTE chain for the md5-simhash oracles: per-doc 64 sign-sums via
     * hex-digit bit extraction (strpos into the hex alphabet is the oracle
     * dialect's `conv`). Bit j of a feature's hash lives at hex digit j/4,

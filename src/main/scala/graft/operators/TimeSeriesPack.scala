@@ -322,7 +322,15 @@ object TimeSeriesPack extends QueryPack {
     * Truncation to K rows is also what bounds state for the streaming twin
     * of this op. Missing lags at partition heads contribute 0 to the
     * numerator and shrink n, which rescales both sides identically (the
-    * 2^(K−n) factor cancels in num/den). */
+    * 2^(K−n) factor cancels in num/den).
+    *
+    * PRECONDITION: `value` must be non-null (true of the events fixture,
+    * whose generator never emits null values). A null inside the frame
+    * would be coalesced to 0 in the numerator while still counting in n —
+    * i.e. treated as an actual 0 observation — which diverges from pandas
+    * ewm()'s NaN handling (weight renormalization without the row). The
+    * oracle SQL makes the same choice, so the check stays cross-engine
+    * consistent; this documents the semantics rather than hiding them. */
   def windowEwma(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

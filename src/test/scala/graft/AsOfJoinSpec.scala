@@ -87,6 +87,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(exchanges == 1, df.queryExecution.executedPlan.toString)
   }
 
+  test("nearest as-of: non-timestamp time columns (epoch-µs longs) analyze and tie-break correctly") {
+    // Tie-break distances must come from the CAST right time carried with
+    // the payload, not the raw right-time field — with LongType times the
+    // raw field isn't a timestamp at all.
+    def us(s: String) = t(s).getTime * 1000L
+    val lSch = StructType(Seq(
+      StructField("l_id", LongType), StructField("k", LongType),
+      StructField("t", LongType)))
+    val rSch = StructType(Seq(
+      StructField("rk", LongType), StructField("rt", LongType),
+      StructField("rv", DoubleType)))
+    val left = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 10L, us("2024-01-01 10:00:00")), // 30 min back vs 60 fwd → backward
+      Row(2L, 10L, us("2024-01-01 10:50:00")), // 80 back vs 10 fwd → forward
+      Row(3L, 10L, us("2024-01-01 10:15:00")) // exact tie → backward
+    )), lSch)
+    val right = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(10L, us("2024-01-01 09:30:00"), 1.0),
+      Row(10L, us("2024-01-01 11:00:00"), 2.0)
+    )), rSch)
+    // long epochs cast to timestamp as SECONDS in Spark; divide first so
+    // the cast lands on the intended instants
+    import org.apache.spark.sql.functions.col
+    val lTs = left.withColumn("t", (col("t") / 1000000L).cast("long"))
+    val rTs = right.withColumn("rt", (col("rt") / 1000000L).cast("long"))
+    val got = AsOfJoin.nearest(lTs, rTs, "k", "rk", "t", "rt")
+      .orderBy("l_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(5))).toSeq == Seq(
+      (1L, 1.0), (2L, 2.0), (3L, 1.0)))
+  }
+
   test("null keys never match (left stays unmatched, null right rows dropped)") {
     val left = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
       Row(1L, null, t("2024-01-01 10:00:00")), // null key

@@ -61,7 +61,7 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(u4.isNullAt(1) && u4.isNullAt(2) && u4.isNullAt(3))
   }
 
-  test("funnel plans exactly one exchange (user_id) before the output sort") {
+  test("funnel plans one user_id hash exchange plus the output sort's range exchange") {
     val p = EventAnalyticsPack.funnel(spark, sf0001)
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange ".r.findAllIn(p).length
