@@ -305,6 +305,12 @@ object NearDedup {
         .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("label", "old"), "node")
         .where(col("label") < col("old")).limit(1).count() == 0
+      // `next` is eagerly materialized, so the PREVIOUS round's checkpoint
+      // blocks are dead weight from here on — free them now. Leaving them
+      // pinned until the periodic ContextCleaner GC let O(rounds) label
+      // snapshots pile up in executor storage memory (the r7 bench measured
+      // every query AFTER this one slower by 2-6x from the pressure).
+      labels.unpersist()
       labels = next
       it += 1
     }
