@@ -21,14 +21,32 @@ object Bench {
     // measured query — an accepted trade-off vs warming with a real query
     // (r5 advice).
     // SPARK_GRAFT_ONLY=q_a,q_b benches a subset (local triage); absent = all.
+    // Unknown names FAIL FAST (a typo must not silently bench zero queries),
+    // and a subset run is marked in the JSON so it can never be mistaken
+    // for a full-run artifact.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
+    // Settle barrier between measured queries: unpersist/block-removal from
+    // a query's own cleanup is partly async, and in r8 its executor-side
+    // storm landed inside the NEXT queries' windows (q_dedup_exact 1.9 s
+    // measured 21.5 s). A no-op job drains the scheduler queue; the brief
+    // sleep lets BlockManager removals finish before the clock restarts.
+    def settle(): Unit = {
+      spark.sparkContext.parallelize(0 until cpus.toInt, cpus.toInt).count()
+      Thread.sleep(50)
+    }
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      settle()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable => errs += s"$name: ${e.getClass.getSimpleName}" }
@@ -42,7 +60,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errJson = errs.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val subset = if (only.isDefined) "\"subset\":true," else ""
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subset"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -261,6 +261,31 @@ object NearDedup {
     * input is not a dedup pair list — fail loudly rather than run forever. */
   private val MaxClusterIters = 25
 
+  /** Below this many (directed) edges the component search runs on the
+    * driver: a union-find over a few MB beats 2–4 distributed rounds of
+    * shuffle + checkpoint fixed cost by two orders of magnitude (the same
+    * size-adaptive dispatch as SimilaritySearch.cosinePairs). 2^20 directed
+    * edges ≈ 16 MB collected — bounded, documented driver materialization. */
+  private val LocalEdgeLimit = 1L << 20
+
+  /** localCheckpoint with a handle that ACTUALLY frees the checkpoint
+    * blocks. `Dataset.unpersist()` is a NO-OP here: localCheckpoint persists
+    * the internal RDD directly, never registering with the CacheManager
+    * that Dataset.unpersist consults (verified: sc.getPersistentRDDs is
+    * unchanged after it). So the freshly-persisted RDD ids are captured by
+    * diffing sc.getPersistentRDDs around the (eager) checkpoint, and the
+    * returned thunk unpersists those ids BLOCKING — async removal lands its
+    * executor block-removal storm inside whatever is measured next (the r8
+    * bench artifact on q_dedup_exact/q_dedup_embed). */
+  private def localCheckpointTracked(df: DataFrame): (DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint() // eager: materializes now
+    val ids = sc.getPersistentRDDs.keySet.diff(before)
+    (cp, () => ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true))))
+  }
+
   /** Duplicate-cluster assignment: turn a near-dup PAIR list into per-doc
     * cluster labels — the step between pair detection and actually dropping
     * duplicates, since a canonical representative must be chosen per
@@ -268,54 +293,105 @@ object NearDedup {
     * never paired). Label = smallest reachable doc id, so the labeling is
     * canonical and deterministic.
     *
-    * Algorithm: iterative min-label propagation (the MapReduce connected-
-    * components family — Kiveris et al., "Connected Components in MapReduce
-    * and Beyond", SoCC'14 — in its simplest hash-join form): each round
-    * every node takes min(own label, neighbors' labels), a groupBy-min per
-    * round (one shuffle), until a round changes nothing. Rounds needed =
-    * graph diameter; for dedup graphs that is 2–3. The driver sees one
-    * COUNT per round (the convergence test), never data.
+    * Size-adaptive dispatch: dedup pair graphs are tiny relative to their
+    * corpus (edges = detected duplicates, not documents), so up to
+    * `localEdgeLimit` directed edges the components are solved with a
+    * driver-local union-find (exact same labeling) and the distributed
+    * machinery never spins up. Above it: iterative min-label propagation
+    * (the MapReduce connected-components family — Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — in its
+    * simplest hash-join form): each round every node takes min(own label,
+    * neighbors' labels), a groupBy-min per round (one shuffle), until a
+    * round changes nothing. Rounds needed = graph diameter; for dedup
+    * graphs that is 2–3. The driver sees one SUM per round (the convergence
+    * test — labels only ever decrease, so an unchanged exact sum IS the
+    * fixpoint), never data; the sum is a cheap scan of blocks the round's
+    * own checkpoint just materialized, not a second join job.
     *
     * Output: (doc_id, cluster_id) for every doc that appears in a pair;
     * singletons are their own cluster by definition and are not emitted. */
   def clusterPairs(pairs: DataFrame, aCol: String = "a_id",
-                   bCol: String = "b_id"): DataFrame = {
+                   bCol: String = "b_id",
+                   localEdgeLimit: Long = LocalEdgeLimit): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .unionAll(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
       .persist()
-    // Every round is CHECKPOINTED (lineage truncated, eagerly materialized),
-    // not merely cached: under persist() alone each round's plan still nests
-    // the previous round's joins, and the optimizer blows up within ~20
-    // rounds (measured: OOM at 25 on a 31-node path). Local checkpoints
-    // suffice on a healthy cluster; swap for reliable `checkpoint()` (DFS)
-    // when executor loss mid-job must be survivable.
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
-    var it = 0
-    var converged = false
-    while (!converged) {
-      require(it < MaxClusterIters,
-        s"clusterPairs: no fixpoint after $MaxClusterIters rounds — input is " +
-          "not a near-dup pair graph (diameter too large)")
-      // neighbor labels flow along edges; min with the node's own label
-      val next = edges.join(labels, edges("v") === labels("node"))
-        .select(col("u").as("node"), col("label"))
-        .unionAll(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .where(col("label") < col("old")).limit(1).count() == 0
-      // `next` is eagerly materialized, so the PREVIOUS round's checkpoint
-      // blocks are dead weight from here on — free them now. Leaving them
-      // pinned until the periodic ContextCleaner GC let O(rounds) label
-      // snapshots pile up in executor storage memory (the r7 bench measured
-      // every query AFTER this one slower by 2-6x from the pressure).
-      labels.unpersist()
-      labels = next
-      it += 1
+    val nEdges = edges.count() // also materializes the persist for the loop
+    if (nEdges <= localEdgeLimit) {
+      // Small-graph fast path: collect the (bounded) edge list, union-find
+      // with min-id roots, re-enter the plan as a driver-local relation.
+      val local = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist(blocking = true)
+      import spark.implicits._
+      clusterLocally(local).toSeq.toDF("doc_id", "cluster_id")
+    } else {
+      // Every round is CHECKPOINTED (lineage truncated, eagerly
+      // materialized), not merely cached: under persist() alone each
+      // round's plan still nests the previous round's joins, and the
+      // optimizer blows up within ~20 rounds (measured: OOM at 25 on a
+      // 31-node path). Local checkpoints suffice on a healthy cluster; swap
+      // for reliable `checkpoint()` (DFS) when executor loss mid-job must
+      // be survivable.
+      var (labels, freeLabels) = localCheckpointTracked(
+        edges.select(col("u").as("node")).distinct()
+          .withColumn("label", col("node")))
+      // Exact (DECIMAL) running label sum: strictly decreases while any
+      // label moves, so sum-unchanged ⇔ fixpoint. Scans only checkpointed
+      // blocks — no join, no shuffle.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      var prevSum = labelSum(labels)
+      var it = 0
+      var converged = false
+      while (!converged) {
+        require(it < MaxClusterIters,
+          s"clusterPairs: no fixpoint after $MaxClusterIters rounds — input is " +
+            "not a near-dup pair graph (diameter too large)")
+        // neighbor labels flow along edges; min with the node's own label
+        val (next, freeNext) = localCheckpointTracked(
+          edges.join(labels, edges("v") === labels("node"))
+            .select(col("u").as("node"), col("label"))
+            .unionAll(labels)
+            .groupBy(col("node")).agg(min(col("label")).as("label")))
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        // `next` is eagerly materialized, so the PREVIOUS round's
+        // checkpoint blocks are dead weight from here on — free them now,
+        // BLOCKING (see localCheckpointTracked). Leaving them pinned until
+        // the periodic ContextCleaner GC let O(rounds) label snapshots pile
+        // up in executor storage memory (the r7 bench measured every query
+        // AFTER this one slower by 2-6x from the pressure).
+        freeLabels()
+        labels = next
+        freeLabels = freeNext
+        it += 1
+      }
+      edges.unpersist(blocking = true)
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
     }
-    edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Driver-local connected components: union-find with union-by-min-id, so
+    * each component's root — hence its label — is its smallest member,
+    * exactly matching the distributed min-label fixpoint. */
+  private[graft] def clusterLocally(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      if (!parent.contains(u)) parent(u) = u
+      if (!parent.contains(v)) parent(v) = v
+      val ru = find(u); val rv = find(v)
+      if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+    }
+    parent.keys.toArray.sorted.map(k => (k, find(k)))
   }
 
   def simhash64(text: Column): Column =

@@ -94,23 +94,45 @@ class NearDedupSpec extends SparkSpec {
     // {10,11,12}, isolated pair {20,21}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // default dispatch (driver-local union-find at this size)
     val got = graft.operators.NearDedup.clusterPairs(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(got == expected)
+    // distributed min-label propagation path produces the SAME labeling
+    val distributed = graft.operators.NearDedup
+      .clusterPairs(pairs, localEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == expected)
     // deterministic across runs
     assert(graft.operators.NearDedup.clusterPairs(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == got)
+  }
+
+  test("clusterPairs: distributed rounds leave no pinned checkpoint blocks") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labels = graft.operators.NearDedup.clusterPairs(pairs, localEdgeLimit = 0)
+    labels.collect()
+    val after = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    // the FINAL round's checkpoint backs the returned DataFrame and must
+    // stay; everything else (edges persist + per-round snapshots) is freed
+    assert(after.size <= 1,
+      s"leaked ${after.size} persisted RDDs: expected at most the final labels")
   }
 
   test("clusterPairs: a long path exceeding the round cap fails loudly") {
     import spark.implicits._
     // a 2^25-diameter graph is unbuildable here; instead assert the cap via
     // a path long enough that min-label needs > 25 rounds: label moves one
-    // hop per round on a path, so 30 edges > 25 rounds
+    // hop per round on a path, so 30 edges > 25 rounds. localEdgeLimit=0
+    // forces the distributed path (the driver-local union-find has no
+    // round cap to hit).
     val path = (0L until 30L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val e = intercept[IllegalArgumentException](
-      graft.operators.NearDedup.clusterPairs(path).collect())
+      graft.operators.NearDedup.clusterPairs(path, localEdgeLimit = 0).collect())
     assert(e.getMessage.contains("no fixpoint"))
   }
 
