@@ -34,6 +34,20 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
+    // ICU warm-up: the first collation-aware string op inside a hash
+    // aggregate routes through CollationSupport.Lower.execBinaryICU, whose
+    // class-init builds ICU case-mapping tries + CJK break dictionaries —
+    // measured 3-9 s of ONE-TIME JVM library load (stack-sampled: 25/40
+    // samples in CollationAwareUTF8String.<clinit>) that lands inside
+    // whichever measured query first groups by a lower()ed key
+    // (alphabetically q_dedup_exact — its r8 "21.5 s" was mostly this).
+    // A throwaway groupBy-on-lowered-literal forces the init here, where
+    // JVM warm-up belongs.
+    try spark.range(1)
+      .select(org.apache.spark.sql.functions.lower(
+        org.apache.spark.sql.functions.lit("Warm ICU 文")).as("k"))
+      .groupBy("k").count().count()
+    catch { case _: Throwable => () }
     // Settle barrier between measured queries: unpersist/block-removal from
     // a query's own cleanup is partly async, and in r8 its executor-side
     // storm landed inside the NEXT queries' windows (q_dedup_exact 1.9 s

@@ -59,9 +59,11 @@ object IvfIndex {
 
   /** Exact top-k cosine among the vectors of the probe's `nProbe` nearest
     * cells. The cell predicate is a partition filter — only those
-    * directories' files are listed and read. */
+    * directories' files are listed and read. `excludeId` drops one vec_id
+    * from the candidates (a probe taken from the corpus must not be its own
+    * neighbor); pass a negative id to keep everything. */
   def topK(spark: SparkSession, path: String, probe: Array[Double],
-           k: Int, nProbe: Int = 4): DataFrame = {
+           k: Int, nProbe: Int = 4, excludeId: Long = -1L): DataFrame = {
     val centroids = loadCentroids(spark, path)
     require(nProbe >= 1 && nProbe <= centroids.length,
       s"nProbe=$nProbe outside 1..${centroids.length}")
@@ -74,6 +76,7 @@ object IvfIndex {
     }.sortBy { case (d, i) => (d, i) }.take(nProbe).map(_._2)
     spark.read.parquet(path)
       .where(col("cell").isin(probeCells: _*)) // file-listing-level pruning
+      .where(col("vec_id") =!= excludeId)
       .select(col("vec_id"),
         round(VectorFns.cosine(col("v"), typedlit(probe.toSeq)), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))

@@ -213,6 +213,18 @@ object LlmPack extends QueryPack {
       idCol = "vec_id", vecCol = "embedding", k = KnnK)
   }
 
+  /** B9 approximate batch kNN join — `knnJoin`'s LSH scale path
+    * (SimilaritySearch.knnJoinLsh): corpus rows are scored against a probe
+    * only when they share a hyperplane-LSH bucket, cutting the N×P cosine
+    * cost to the colliding fraction. No oracle (plan-time literal planes
+    * aren't expressible in portable SQL); AnnSpec measures per-probe recall
+    * against the exact knnJoin. */
+  def knnJoinLshQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    SimilaritySearch.knnJoinLsh(emb, emb.where(col("vec_id") < KnnProbes),
+      idCol = "vec_id", vecCol = "embedding", k = KnnK, dim = 64)
+  }
+
   /** B9 approximate similarity search: multi-table hyperplane LSH with
     * exact rerank. No oracle (plan-time literal planes aren't expressible
     * in portable SQL); AnnSpec measures recall on clustered data. */
@@ -220,13 +232,28 @@ object LlmPack extends QueryPack {
     SimilaritySearch.lshTopK(Tables.embeddings(s, dir),
       idCol = "vec_id", vecCol = "embedding", probeId = 0L, k = 10, dim = 64)
 
-  /** B9 approximate similarity search, IVF variant: sample-trained coarse
-    * quantizer, cell-pruned scan, exact rerank. No oracle (data-dependent
-    * centroids aren't expressible in portable SQL); AnnSpec measures
-    * recall and the scanned fraction. */
-  def simIvf(s: SparkSession, dir: String): DataFrame =
-    SimilaritySearch.ivfTopK(Tables.embeddings(s, dir),
-      idCol = "vec_id", vecCol = "embedding", probeId = 0L, k = 10, dim = 64)
+  /** B9 approximate similarity search, IVF variant — through the
+    * MATERIALIZED inverted file (IvfIndex), not the post-scan cell filter:
+    * the index build writes every vector once into cell-partitioned parquet
+    * (one scan + one shuffle, amortized over every probe in production —
+    * here paid per call, the honest cost of proving the real path), then
+    * the probe reads ONLY its `nProbe` nearest cells' files — Catalyst
+    * partition pruning at the file-listing level, asserted on THIS query's
+    * plan in AnnSpec (numFiles < total). The post-scan variant survives as
+    * `SimilaritySearch.ivfTopK` for corpora that are queried once (where an
+    * index build could never amortize). No oracle (data-dependent centroids
+    * aren't expressible in portable SQL); AnnSpec measures recall and the
+    * scanned fraction. */
+  def simIvf(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_ivf_${dir.hashCode.toHexString}")
+    val emb = Tables.embeddings(s, dir)
+    IvfIndex.build(emb, idCol = "vec_id", vecCol = "embedding", path = store)
+    // bounded driver materialization: exactly one row (the probe vector)
+    val probe = emb.where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+    IvfIndex.topK(s, store, probe, k = 10, nProbe = 4, excludeId = 0L)
+  }
 
   /** Per-language stopword seed profiles (Cavnar–Trenkle-style profile
     * scoring, collapsed to its word-level core): public high-frequency
@@ -280,13 +307,17 @@ object LlmPack extends QueryPack {
     SimilaritySearch.cosinePairs(Tables.embeddings(s, dir),
       idCol = "vec_id", vecCol = "embedding", tau = 0.45, dim = 64)
 
-  /** B9 rolling-hash fingerprints (winnowing/MOSS — NearDedup.winnow). No
-    * oracle (xxhash64); LlmPackSpec asserts the shared-substring guarantee.
-    * One scalar (doc_id, fp) row per fingerprint so the driver's rows-only
-    * comparator can sort the result. */
+  /** B9 rolling-hash fingerprints (winnowing/MOSS — NearDedup.winnow), in
+    * the md5-bit form so the key carries a FULL DuckDB value oracle: each
+    * gram hash is the first 60 bits of md5 (15 hex digits — non-negative,
+    * BIGINT-safe on both engines), which the oracle replays with substr +
+    * md5 + a window MIN — same re-basing that oracled q_dedup_simhash /
+    * q_doc_fingerprint in r7. The xxhash64 kernel stays the fast default
+    * (NearDedup.winnow md5Bits=false, parity- and guarantee-covered in
+    * LlmPackSpec). One scalar (doc_id, fp) row per fingerprint. */
   def fingerprintWinnow(s: SparkSession, dir: String): DataFrame =
     NearDedup.winnow(Tables.documents(s, dir), idCol = "doc_id",
-        textCol = "text")
+        textCol = "text", md5Bits = true)
       .orderBy(col("doc_id"), col("fp"))
 
   /** B9 multimodal plumbing: documents' text bytes treated as an opaque
@@ -317,6 +348,7 @@ object LlmPack extends QueryPack {
     "q_tfidf_terms" -> tfidfTerms,
     "q_sim_topk" -> simTopk,
     "q_knn_join" -> knnJoin,
+    "q_knn_join_lsh" -> knnJoinLshQ,
     "q_sim_ann" -> simAnn,
     "q_sim_ivf" -> simIvf,
     "q_lang_id" -> langId,
@@ -381,6 +413,31 @@ object LlmPack extends QueryPack {
        |FROM s JOIN documents USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** Winnow oracle: replay the kernel in SQL — 8-char grams of the
+    * normalized text, per-gram hash = first 15 hex digits of md5 summed
+    * MSB-first (60 bits, exactly the kernel's `(first 8 bytes BE) >>> 4`),
+    * window MIN over 16-wide gram windows, full windows only (a doc with
+    * fewer grams than the window keeps its single all-grams min — the
+    * `greatest(n-16, 0)` row), distinct per doc. */
+  private val winnowOracle: String = {
+    val hex = "0123456789abcdef"
+    val h60 = (0 until 15).map { j =>
+      s"(strpos('$hex', substr(h, ${j + 1}, 1))-1)*${1L << (4 * (14 - j))}"
+    }.mkString(" + ")
+    s"""WITH nm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |  FROM documents),
+       |d AS (SELECT doc_id, norm, length(norm) - 7 AS n FROM nm WHERE length(norm) >= 8),
+       |g AS (SELECT doc_id, n, unnest(range(0, n)) AS pos, norm FROM d),
+       |hh AS (SELECT doc_id, n, pos, md5(substr(norm, pos + 1, 8)) AS h FROM g),
+       |v AS (SELECT doc_id, n, pos, CAST($h60 AS BIGINT) AS hv FROM hh),
+       |wm AS (SELECT doc_id, n, pos,
+       |         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+       |       FROM v)
+       |SELECT DISTINCT doc_id, fp FROM wm
+       |WHERE pos <= greatest(n - 16, 0) ORDER BY doc_id, fp""".stripMargin
+  }
+
   private val nearDupOracle =
     s"""WITH $nearDupCtes
        |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= $Tau
@@ -395,6 +452,7 @@ object LlmPack extends QueryPack {
     "q_dedup_minhash" -> nearDupOracle,
     "q_dedup_simhash" -> simhashOracle,
     "q_doc_fingerprint" -> fingerprintOracle,
+    "q_fingerprint_winnow" -> winnowOracle,
     // Reachability closure over the pair graph (UNION dedups → terminates),
     // then min reachable id per node = the component's canonical label.
     "q_dedup_cluster" ->

@@ -199,8 +199,13 @@ object NearDedup {
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
     * SIGMOD'03, the MOSS algorithm): rolling k-gram hashes, keep the min of
     * every w-wide window. Any shared substring of length ≥ k+w−1 between two
-    * docs yields a shared fingerprint; density ≈ 2/(w+1). Deterministic
-    * (xxhash64) but not DuckDB-expressible → LlmPackSpec.
+    * docs yields a shared fingerprint; density ≈ 2/(w+1).
+    *
+    * Hash dial: default xxhash64 (fastest; spec-covered). `md5Bits = true`
+    * swaps the gram hash for the first 60 bits of md5 — slower per gram but
+    * REPLAYABLE IN SQL, which is what gives q_fingerprint_winnow a full
+    * DuckDB value oracle (the identical move that oracled q_dedup_simhash /
+    * q_doc_fingerprint in r7). Both run the same O(len) kernel + deque.
     *
     * Shape: ONE native codegen'd kernel call per document
     * (org.apache.spark.sql.graft.WinnowFingerprints — rolling k-gram
@@ -214,10 +219,10 @@ object NearDedup {
     * columns only, so any downstream comparator can sort/hash the result.
     * Docs shorter than k normalized chars emit no rows. */
   def winnow(docs: DataFrame, idCol: String, textCol: String,
-             k: Int = 8, w: Int = 16): DataFrame =
+             k: Int = 8, w: Int = 16, md5Bits: Boolean = false): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         org.apache.spark.sql.graft.HashExprs.winnowFingerprints(
-          TextFns.normalize(col(textCol)), k, w).as("fps"))
+          TextFns.normalize(col(textCol)), k, w, md5Bits).as("fps"))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
 
   /** Pre-r3 explode+window formulation — parity cross-check only

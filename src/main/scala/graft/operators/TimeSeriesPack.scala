@@ -59,18 +59,11 @@ object TimeSeriesPack extends QueryPack {
     * hash-checks the storage layer end-to-end (partition split, sort,
     * schema persistence, closed-interval read). */
   def appendRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    // Deterministic per-input store path, wiped before reuse — repeated
-    // invocations (bench warm-up, verify, tests) must not accumulate temp
-    // dirs, and the result DataFrame is lazy so the store has to outlive
-    // this call (the driver materializes it later). Driver-local tmp is
-    // fine under the local[*] driver contract; a real cluster run would
-    // pass a shared (DFS) path here instead.
-    val store = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_tstable_rt_${dir.hashCode.toHexString}").toString
-    val p = new org.apache.hadoop.fs.Path(store)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    // Deterministic per-input store path under the (configurable) scratch
+    // root, wiped before reuse — the result DataFrame is lazy so the store
+    // has to outlive this call (the driver materializes it later). See
+    // StoreDirs for the cluster story (spark.graft.store.dir).
+    val store = StoreDirs.scratch(s, s"graft_tstable_rt_${dir.hashCode.toHexString}")
     val ev = Tables.events(s, dir)
     val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
     val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
@@ -90,12 +83,7 @@ object TimeSeriesPack extends QueryPack {
     * (GraftTsSourceSpec asserts the plan shape; this key hash-checks the
     * values end-to-end against the raw events oracle). */
   def v2Roundtrip(s: SparkSession, dir: String): DataFrame = {
-    val store = new java.io.File(
-      sys.props("java.io.tmpdir"), // driver-local tmp: fine under local[*]; a real cluster needs a shared dir
-      s"graft_tsv2_rt_${dir.hashCode.toHexString}").toString
-    val p = new org.apache.hadoop.fs.Path(store)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    val store = StoreDirs.scratch(s, s"graft_tsv2_rt_${dir.hashCode.toHexString}")
     val ev = Tables.events(s, dir).where(col("ts") < lit("2024-01-10 00:00:00").cast("timestamp"))
     TsTable.create(s, store, ev.schema, tsCol = "ts")
     val cutoff = lit("2024-01-05 00:00:00").cast("timestamp")
@@ -117,12 +105,7 @@ object TimeSeriesPack extends QueryPack {
     * end-to-end; file-count/sortedness/pruning mechanics are asserted in
     * TsTableSpec. */
   def compactRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val store = new java.io.File(
-      sys.props("java.io.tmpdir"), // driver-local tmp: fine under local[*]
-      s"graft_tscompact_${dir.hashCode.toHexString}").toString
-    val p = new org.apache.hadoop.fs.Path(store)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    val store = StoreDirs.scratch(s, s"graft_tscompact_${dir.hashCode.toHexString}")
     val hi = lit("2024-01-03 00:00:00").cast("timestamp")
     val ev = Tables.events(s, dir).where(col("ts") < hi)
     val t = TsTable.create(s, store, ev.schema, tsCol = "ts")

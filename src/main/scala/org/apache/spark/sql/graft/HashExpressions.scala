@@ -136,6 +136,58 @@ object WinnowKernel extends Serializable { // shipped to tasks as a codegen refe
         charOff(i + k) - charOff(i), Seed)
       i += 1
     }
+    windowMinDistinct(h, w)
+  }
+
+  /** md5-bit variant — the cross-engine-replayable twin (same move that
+    * oracled the simhash keys: DuckDB shares md5, not xxhash64). Per-gram
+    * hash = the first 15 hex digits of md5(gram bytes) read MSB-first,
+    * i.e. (first 8 bytes big-endian) >>> 4 — a NON-NEGATIVE 60-bit value,
+    * so window minima agree between Java's signed long and the oracle's
+    * BIGINT digit-sum without sign gymnastics. Hash collisions cannot break
+    * oracle parity (both engines compute identical values); they only dent
+    * the MOSS guarantee, negligibly at 60 bits. */
+  def fingerprintsMd5(norm: org.apache.spark.unsafe.types.UTF8String,
+                      k: Int, w: Int): Array[Long] = {
+    val bytes = norm.getBytes
+    val nBytes = bytes.length
+    val charOff = new Array[Int](nBytes + 1)
+    var len = 0
+    var b = 0
+    while (b < nBytes) {
+      charOff(len) = b
+      b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(b))
+      len += 1
+    }
+    charOff(len) = nBytes
+    val n = len - (k - 1)
+    if (n < 1) return Array.emptyLongArray
+    val md = mdLocal.get()
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(bytes, charOff(i), charOff(i + k) - charOff(i))
+      val d = md.digest()
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      h(i) = v >>> 4
+      i += 1
+    }
+    windowMinDistinct(h, w)
+  }
+
+  @transient private lazy val mdLocal =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Shared winnowing tail: min of every w-wide window over the gram-hash
+    * sequence (monotonic deque, O(n)), then sorted-distinct. */
+  private def windowMinDistinct(h: Array[Long], w: Int): Array[Long] = {
+    val n = h.length
     val lastStart = math.max(n - w, 0)
     val out = new Array[Long](lastStart + 1)
     val dq = new Array[Int](n)
@@ -155,7 +207,7 @@ object WinnowKernel extends Serializable { // shipped to tasks as a codegen refe
     val trimmed = java.util.Arrays.copyOf(out, m)
     java.util.Arrays.sort(trimmed)
     var uniq = 0
-    i = 0
+    var i = 0
     while (i < m) {
       if (i == 0 || trimmed(i) != trimmed(i - 1)) { trimmed(uniq) = trimmed(i); uniq += 1 }
       i += 1
@@ -171,7 +223,8 @@ object WinnowKernel extends Serializable { // shipped to tasks as a codegen refe
   * doc-keyed window — with one O(len) kernel call per row inside
   * whole-stage codegen: at 100 TB the fingerprint stage becomes a pure
   * scan (zero shuffles before the caller's own aggregation). */
-case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+case class WinnowFingerprints(child: Expression, k: Int, w: Int,
+                              md5Bits: Boolean = false)
     extends UnaryExpression with ImplicitCastInputTypes {
 
   require(k >= 1 && w >= 1, s"k=$k and w=$w must be >= 1")
@@ -182,10 +235,14 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_winnow"
 
-  override def nullSafeEval(in: Any): Any =
+  private def method = if (md5Bits) "fingerprintsMd5" else "fingerprints"
+
+  override def nullSafeEval(in: Any): Any = {
+    val s = in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      WinnowKernel.fingerprints(
-        in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w))
+      if (md5Bits) WinnowKernel.fingerprintsMd5(s, k, w)
+      else WinnowKernel.fingerprints(s, k, w))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
@@ -193,7 +250,7 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
         WinnowKernel.getClass.getName)
       s"""
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  $kernel.fingerprints($a, $k, $w));
+         |  $kernel.$method($a, $k, $w));
        """.stripMargin
     })
 
@@ -279,7 +336,8 @@ object HashExprs {
   def simhashMd5(features: Column): Column =
     ExpressionUtils.column(SimHashMd5(ExpressionUtils.expression(features)))
 
-  def winnowFingerprints(norm: Column, k: Int, w: Int): Column =
+  def winnowFingerprints(norm: Column, k: Int, w: Int,
+                         md5Bits: Boolean = false): Column =
     ExpressionUtils.column(WinnowFingerprints(
-      ExpressionUtils.expression(norm), k, w))
+      ExpressionUtils.expression(norm), k, w, md5Bits))
 }

@@ -199,6 +199,34 @@ class AnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("q_sim_ivf (the driver-benched key) runs through the materialized index: " +
+      "file-level pruning + parity bar vs exact") {
+    import graft.operators.{LlmPack, StoreDirs}
+    // the benched call itself — build index, probe through partition pruning
+    val q = LlmPack.simIvf(spark, sf001)
+    val got = q.collect().map(_.getLong(0)).toSet
+    assert(got.size == 10)
+    assert(!got.contains(0L)) // the probe is not its own neighbor
+    val plan = q.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters"), plan.toString)
+    val scanned = plan.collectLeaves()
+      .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+    val store = new java.io.File(StoreDirs.root(spark),
+      s"graft_ivf_${sf001.hashCode.toHexString}")
+    val totalFiles = store.listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .map(d => d.listFiles().count(_.getName.startsWith("part-"))).sum
+    assert(scanned > 0 && scanned < totalFiles,
+      s"scanned $scanned of $totalFiles files — q_sim_ivf is not file-pruned")
+    // quality floor vs exact top-10 (isotropic fixture: ANN is hard; the
+    // bar is overlap > 0 plus the structural pruning above — clustered-data
+    // recall is pinned in the other IVF tests)
+    val exact = SimilaritySearch.bruteForceTopK(
+        Tables.embeddings(spark, sf001), "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(got).nonEmpty, s"no overlap: exact=$exact got=$got")
+  }
+
   test("lshParamsFor: recall model holds and candidate volume stays bounded") {
     // derived params must promise >= target recall at the exact threshold
     for (tau <- Seq(0.45, 0.6, 0.8, 0.9)) {

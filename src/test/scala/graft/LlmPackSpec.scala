@@ -110,6 +110,24 @@ class LlmPackSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("winnowing md5 variant (the oracled q_fingerprint_winnow hash): MOSS " +
+      "guarantee holds, values are 60-bit non-negative, short docs empty") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog by the riverbank"
+    val docs = Seq(
+      (1L, s"unrelated prefix text here $shared and some suffix"),
+      (2L, s"totally different beginning $shared with another ending"),
+      (3L, "tiny")
+    ).toDF("doc_id", "text")
+    val rows = NearDedup.winnow(docs, "doc_id", "text", md5Bits = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fps = rows.groupBy(_._1).map { case (id, rs) => id -> rs.map(_._2).toSet }
+    assert(fps(1L).intersect(fps(2L)).nonEmpty) // shared 61-char substring
+    assert(!fps.contains(3L))                   // < k chars → no fingerprints
+    // oracle-safe value domain: first 15 md5 hex digits = [0, 2^60)
+    assert(rows.forall { case (_, fp) => fp >= 0L && fp < (1L << 60) })
+  }
+
   test("language ID: predicts the profile language on real-language text") {
     import spark.implicits._
     val docs = Seq(
