@@ -192,6 +192,52 @@ object TsStream {
           })
   }
 
+  /** Streaming backward as-of join, stream-static — the tick-enrichment
+    * shape (each streaming event picks up the most recent static dimension
+    * row at-or-before its event time, per key) and the missing streaming
+    * twin of AsOfJoin.backward (r8 verdict gap #1).
+    *
+    * The batch operator's union + running-window plan cannot run on a
+    * stream (analytic windows need the whole partition). Instead the
+    * STATIC side is recast as validity INTERVALS — one batch window pass
+    * computes each right row's [t, next t) span per key — and the join
+    * becomes a plain stream-static equi-join with a range predicate, which
+    * Structured Streaming supports stateless-ly: each event matches exactly
+    * the one interval covering its time, no streaming state at all. The
+    * interval table is broadcast, so at scale the stream never shuffles —
+    * the same "broadcast the small dimension side" rule as the batch
+    * RelationalPack joins.
+    *
+    * Semantics match AsOfJoin.backward exactly (parity proven row-for-row
+    * in TsStreamSpec on chunked MemoryStream replay): a right row at
+    * exactly t is visible to a left row at t (closed lower bound), null
+    * right keys/times never match (dropped with the interval build),
+    * unmatched left rows keep null right columns (left-outer). Right-side
+    * (key, time) duplicates need pre-deduping, as in batch. */
+  def asOfBackwardStatic(stream: DataFrame, static: DataFrame,
+                         streamKey: String, staticKey: String,
+                         streamTime: String, staticTime: String): DataFrame = {
+    val overlap = stream.columns.toSet.intersect(static.columns.toSet)
+    require(overlap.isEmpty, s"column overlap not supported: $overlap")
+    val reserved = Set("_vt", "_vend")
+    val clash = (stream.columns ++ static.columns).toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns clash with reserved names: $clash")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(staticKey))
+      .orderBy(col(staticTime).cast("timestamp"))
+    val intervals = static
+      .where(col(staticKey).isNotNull && col(staticTime).isNotNull)
+      .withColumn("_vt", col(staticTime).cast("timestamp"))
+      .withColumn("_vend", lead(col("_vt"), 1).over(w))
+    val streamT = col(streamTime).cast("timestamp")
+    stream.join(broadcast(intervals),
+        stream(streamKey) === intervals(staticKey) &&
+          streamT >= col("_vt") &&
+          (col("_vend").isNull || streamT < col("_vend")),
+        "left_outer")
+      .drop("_vt", "_vend")
+  }
+
   /** Ordered streaming sink: lands each microbatch in `table` through the
     * monotonic-append guard. The TsTable write path does its own day
     * shuffle + within-partition sort, so files stay ts-sorted regardless of

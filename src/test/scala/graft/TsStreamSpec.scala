@@ -109,6 +109,65 @@ class TsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static backward as-of == batch AsOfJoin.backward on chunked replay") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val left = Tables.events(spark, sf0001)
+    // dimension updates spanning the events range, plus never/always-match keys
+    val static = Seq(
+      (0L, t("2024-01-01 00:00:00"), 10.0),
+      (0L, t("2024-01-10 00:00:00"), 11.0),
+      (0L, t("2024-01-20 12:00:00"), 12.0),
+      (1L, t("2024-01-05 06:30:00"), 20.0),
+      (1L, t("2024-01-25 00:00:00"), 21.0),
+      (2L, t("2024-02-05 00:00:00"), 30.0), // after every event: never matches
+      (3L, t("2023-12-01 00:00:00"), 40.0)  // before every event: always matches
+    ).toDF("dkey", "dts", "dval")
+    val want = graft.operators.AsOfJoin.backward(
+        left, static, "user_id", "dkey", "ts", "dts")
+      .select($"event_id", $"dval", unix_micros($"dts").as("dus"))
+      .collect().map(_.toSeq).toSet
+    assert(want.exists(_(1) != null) && want.exists(_(1) == null)) // both shapes exercised
+    val rows = left
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val ms = MemoryStream[Ev]
+    val q = TsStream.asOfBackwardStatic(ms.toDF(), static,
+        "user_id", "dkey", "ts", "dts")
+      .select($"event_id", $"dval", unix_micros($"dts").as("dus"))
+      .writeStream.format("memory").queryName("asof_parity")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length / 4).max(1)).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val got = spark.table("asof_parity").collect().map(_.toSeq).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stream-static as-of: closed lower bound (right row at exactly t matches) " +
+      "and null static keys never match") {
+    import spark.implicits._
+    val stream = Seq(
+      (1L, t("2024-01-01 10:00:00"), 7L),
+      (2L, t("2024-01-01 09:59:59"), 7L),
+      (3L, t("2024-01-01 10:00:00"), 8L) // key with only a null-keyed static row
+    ).toDF("eid", "ets", "ekey")
+    val static = Seq(
+      (Some(7L), Some(t("2024-01-01 10:00:00")), 1.5),
+      (None: Option[Long], Some(t("2024-01-01 00:00:00")), 9.9), // null key: dropped
+      (Some(8L), None: Option[Timestamp], 8.8)                   // null time: dropped
+    ).toDF("dkey", "dts", "dval")
+    // the operator is a plain join, so it runs identically on batch inputs
+    val out = TsStream.asOfBackwardStatic(stream, static, "ekey", "dkey", "ets", "dts")
+      .select($"eid", $"dval").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(out(1L) == 1.5) // exactly-at-t static row IS visible (closed bound)
+    assert(out(2L) == null) // one second earlier: no match yet
+    assert(out(3L) == null) // null-keyed/timed static rows never match
+  }
+
   test("ordered append sink: in-order microbatches land, regression fails the query") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
