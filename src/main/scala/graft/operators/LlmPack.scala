@@ -186,6 +186,33 @@ object LlmPack extends QueryPack {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  private val VocabK = 16 // closed-vocabulary size for the coverage audit
+
+  /** B9 tokenizer-coverage audit: per-doc OOV rate against the corpus'
+    * own top-`VocabK` token vocabulary — the "how much of my corpus does a
+    * fixed vocabulary actually cover" check run before committing to a
+    * tokenizer or a filter threshold. Plan shape at 100 TB: the vocabulary
+    * is a k-bounded TakeOrdered over a map-side-combined token count
+    * (vocabulary-sized aggregate state), then re-enters as a BROADCAST
+    * against the exploded corpus — the big side never shuffles on the token
+    * key; the per-doc miss count is one hash aggregate with map-side
+    * combine. Total order on (count DESC, token ASC) pins the boundary of
+    * the vocabulary deterministically, so the oracle's LIMIT agrees. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val vocab = tk.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(VocabK)
+      .select(col("tok"), lit(1).as("in_v"))
+    tk.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1).otherwise(0)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** B9 corpus token frequencies: explode → hash agg (map-side combine
     * collapses to vocabulary size before the shuffle) → top-20. */
   def tokenTopk(s: SparkSession, dir: String): DataFrame =
@@ -345,6 +372,7 @@ object LlmPack extends QueryPack {
     "q_quality_score" -> qualityScore,
     "q_quality_repetition" -> qualityRepetition,
     "q_token_topk" -> tokenTopk,
+    "q_vocab_coverage" -> vocabCoverage,
     "q_tfidf_terms" -> tfidfTerms,
     "q_sim_topk" -> simTopk,
     "q_knn_join" -> knnJoin,
@@ -523,6 +551,16 @@ object LlmPack extends QueryPack {
       s"""SELECT tok, count(*) AS n
          |FROM (SELECT unnest($tokSql) AS tok FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "q_vocab_coverage" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+         |v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM tk
+         |        GROUP BY tok ORDER BY n DESC, tok LIMIT $VocabK)),
+         |j AS (SELECT tk.doc_id, tk.tok, v.tok AS vt
+         |      FROM tk LEFT JOIN v ON tk.tok = v.tok)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same cosine formulation as q_sim_topk (proven hash-parity); the
     // threshold compares the ROUNDED sim on both sides, mirroring the Spark
     // plan (round → filter). Valid because dedupEmbed dispatches to the

@@ -109,6 +109,34 @@ object PipelinePack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  private val ChunkTokens = 64  // context-window width
+  private val ChunkStride = 48  // 16-token overlap between consecutive chunks
+
+  /** B9+ overlapping context-window chunking (the RAG / long-context
+    * sibling of `packSequences`: instead of concatenating docs into fixed
+    * budgets, each doc is SPLIT into `ChunkTokens`-token windows every
+    * `ChunkStride` tokens, so consecutive chunks share a 16-token overlap
+    * and no in-doc boundary loses context). Output carries the md5 of each
+    * chunk's joined tokens, so the oracle checks chunk CONTENT, not just
+    * counts. A pure narrow pipeline: tokens once per row, one in-row
+    * explode of ⌈n/stride⌉ chunk indices, zero shuffles before the
+    * determinism sort — at 100 TB this is a map-only pass. */
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0L),
+          ((col("n") - 1) / ChunkStride).cast("long"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(ChunkTokens), col("n") - col("chunk_id") * ChunkStride)
+          .cast("long").as("n_chunk_tokens"),
+        md5(array_join(
+          slice(col("t"), col("chunk_id") * ChunkStride + 1, lit(ChunkTokens)),
+          " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   private val BenchmarkEvery = 50 // doc_id % 50 == 0 → the held-out benchmark set
 
   /** B9+ train/test decontamination (the GPT-3/PaLM appendix procedure:
@@ -215,6 +243,7 @@ object PipelinePack extends QueryPack {
     "q_cap_per_source" -> capPerSource,
     "q_corpus_filter" -> corpusFilter,
     "q_pack_sequences" -> packSequences,
+    "q_chunk_overlap" -> chunkOverlap,
     "q_decontaminate" -> decontaminate,
     "q_ngram_topk" -> ngramTopk)
 
@@ -289,6 +318,16 @@ object PipelinePack extends QueryPack {
          |  FROM (SELECT $tokSql AS t FROM documents))
          |WHERE bg IS NOT NULL
          |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin,
+    "q_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS t, len($tokSql) AS n FROM documents),
+         |c AS (SELECT doc_id, t, n,
+         |        unnest(range(0, (n - 1) // $ChunkStride + 1)) AS chunk_id
+         |      FROM t WHERE n > 0)
+         |SELECT doc_id, chunk_id,
+         |CAST(least($ChunkTokens, n - chunk_id * $ChunkStride) AS BIGINT) AS n_chunk_tokens,
+         |md5(array_to_string(list_slice(t, chunk_id * $ChunkStride + 1,
+         |  chunk_id * $ChunkStride + $ChunkTokens), ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, lang, CAST(len($tokSql) AS BIGINT) AS n_tokens
          |  FROM documents),

@@ -128,6 +128,29 @@ class LlmPackSpec extends SparkSpec {
     assert(rows.forall { case (_, fp) => fp >= 0L && fp < (1L << 60) })
   }
 
+  test("vocabCoverage: OOV = tokens outside the top-16 vocab, broadcast plan") {
+    val out = LlmPack.vocabCoverage(spark, sf0001)
+    // plan: the vocabulary side re-enters broadcast — the corpus-sized
+    // exploded side must not exchange on the token key
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val rows = out.collect()
+    assert(rows.length == 500)
+    // recompute one doc by hand against the independently-derived vocab
+    val vocab = Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok")).limit(16)
+      .collect().map(_.getString(0)).toSet
+    val doc0 = Tables.documents(spark, sf0001).where(col("doc_id") === 0)
+      .select(graft.functions.TextFns.tokens(col("text"))).head.getSeq[String](0)
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(1) == doc0.length)
+    assert(r0.getLong(2) == doc0.count(!vocab.contains(_)))
+    // the audit is non-trivial on the fixture: OOV mass exists both ways
+    assert(rows.exists(_.getLong(2) > 0) && rows.forall(r => r.getLong(2) < r.getLong(1)))
+  }
+
   test("language ID: predicts the profile language on real-language text") {
     import spark.implicits._
     val docs = Seq(

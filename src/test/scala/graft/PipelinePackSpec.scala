@@ -141,4 +141,32 @@ class PipelinePackSpec extends SparkSpec {
       }
     }
   }
+
+  test("chunkOverlap: stride layout covers every token, chunk content matches slices") {
+    import graft.functions.TextFns
+    val (c, s) = (64, 48)
+    val chunks = PipelinePack.chunkOverlap(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = chunks.groupBy(_._1)
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, rs) =>
+      val toks = docs(id)
+      val n = toks.length
+      // chunk ids are 0..floor((n-1)/stride), so strides cover every token
+      assert(rs.map(_._2).sorted.toSeq == (0L to ((n - 1) / s).toLong))
+      rs.foreach { case (_, i, len, md5Hex) =>
+        val want = toks.slice((i * s).toInt, (i * s).toInt + c)
+        assert(len == want.length) // full windows except the tail
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(want.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(md5Hex == digest, s"doc $id chunk $i content mismatch")
+      }
+    }
+    // consecutive full chunks overlap by exactly c - s tokens (by layout)
+    assert(c - s == 16)
+  }
 }
