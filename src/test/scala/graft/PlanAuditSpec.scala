@@ -106,6 +106,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$p")
   }
 
+  test("chunking is map-only: the only exchange is the determinism sort") {
+    val p = plan(graft.operators.PipelinePack.chunkOverlap(spark, sf0001))
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges <= 1, s"chunkOverlap should be narrow before the sort:\n$p")
+    assert(p.contains("Generate"), p) // the in-row chunk-index explode
+  }
+
+  test("LSH knn join: probes broadcast with their keys, corpus never exchanges before scoring") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val p = plan(graft.operators.SimilaritySearch.knnJoinLsh(
+      emb, emb.where(org.apache.spark.sql.functions.col("vec_id") < 4),
+      idCol = "vec_id", vecCol = "embedding", k = 3, dim = 64))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("graft_hyperplane"), s"bucket keys not in plan:\n$p")
+    // same exchange budget as the exact knn join: k-bounded agg + final sort
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$p")
+  }
+
   test("simhash dedup: fingerprints are a pure scan (native kernel), candidates an equi-join") {
     val p = plan(graft.operators.NearDedup.simhashMd5Pairs(
       Tables.documents(spark, sf0001), "doc_id", "text"))
