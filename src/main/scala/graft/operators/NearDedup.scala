@@ -319,8 +319,15 @@ object NearDedup {
                    bCol: String = "b_id",
                    localEdgeLimit: Long = LocalEdgeLimit): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .unionAll(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+    // Both edge directions from ONE pass over `pairs` (an in-row explode):
+    // a unionAll of two projections would evaluate the whole upstream
+    // pair-generation pipeline once per branch — at sf0.1 that doubled the
+    // minhash cost inside this query before the persist could help.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")),
+        struct(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist()
     val nEdges = edges.count() // also materializes the persist for the loop
     if (nEdges <= localEdgeLimit) {
