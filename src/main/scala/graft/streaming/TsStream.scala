@@ -22,6 +22,20 @@ case class LastPoint(lastTsUs: Long, lastValue: Double)
 case class PointEwma(key: Long, ts: java.sql.Timestamp, value: Double,
                      ewma: Double)
 
+/** Union-tag for [[TsStream.asOfBackwardStream]]: side 0 = right (the
+  * quote/dimension stream), side 1 = left (the event stream). */
+case class AsOfTagged(key: Long, ts: java.sql.Timestamp, side: Int,
+                      value: Double)
+
+/** [[TsStream.asOfBackwardStream]] output: the left point plus its matched
+  * right (ts, value), or None when no right row at-or-before exists. */
+case class PointAsOf(key: Long, ts: java.sql.Timestamp, value: Double,
+                     r_ts: Option[java.sql.Timestamp], r_value: Option[Double])
+
+/** Per-key as-of buffer: right rows (µs, value) kept sorted ascending, left
+  * rows (µs, value) awaiting watermark finality. */
+case class AsOfBuf(rights: Seq[(Long, Double)], pending: Seq[(Long, Double)])
+
 /** Per-key EWMA state: the adjusted-form numerator/denominator plus the
   * last event time (for the idle timeout). */
 case class EwmaState(num: Double, den: Double, lastTsUs: Long)
@@ -236,6 +250,100 @@ object TsStream {
           (col("_vend").isNull || streamT < col("_vend")),
         "left_outer")
       .drop("_vt", "_vend")
+  }
+
+  /** Streaming backward as-of join, stream-STREAM — both sides live
+    * (trades ⋈ quotes), the hard variant of [[asOfBackwardStatic]] and the
+    * full streaming twin of AsOfJoin.backward. Spark's built-in
+    * stream-stream joins cannot express "the single most recent right row
+    * at-or-before" (that is an ordered reduction, not a predicate), so this
+    * runs as `flatMapGroupsWithState` over the tagged UNION of both
+    * streams, keyed by the join key:
+    *
+    *   - right rows buffer as a per-key ASCENDING (ts, value) run;
+    *   - a left row is NOT emitted on arrival: a right row with smaller
+    *     event time can still arrive until the watermark passes the left
+    *     row's time. Lefts wait in `pending` and emit exactly when
+    *     `watermark >= ts` — at which point any still-unseen right at-or-
+    *     before is LATE by definition (the watermark filter would drop it),
+    *     so the match is FINAL. Same-instant rights match (closed bound,
+    *     batch parity), via binary search over the buffered run.
+    *   - state is bounded: emitted lefts leave `pending`; rights older
+    *     than every possible future match collapse to the single latest
+    *     one (a future left must have ts > watermark, and its backward
+    *     match at-or-below the prune floor can only be the latest such
+    *     right); an idle key's whole buffer is evicted after
+    *     `idleHorizonMs` past the watermark, like deltasPerKey.
+    *
+    * Event-time timeouts drive emission when a key receives no further
+    * input (the pending left flushes once the watermark passes it).
+    * Batch parity (same rows as AsOfJoin.backward, modulo rows the final
+    * watermark never finalizes) is proven in TsStreamSpec on chunked
+    * replay with a flush sentinel. */
+  def asOfBackwardStream(left: Dataset[KeyedPoint], right: Dataset[KeyedPoint],
+                         watermark: String = "1 hour",
+                         idleHorizonMs: Long = 3600000L): Dataset[PointAsOf] = {
+    import left.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    def tsOf(u: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(u, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
+      t
+    }
+    /** Largest right at-or-before `t` in the ascending run, if any. */
+    def matchFor(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] = {
+      var lo = 0; var hi = rights.length - 1; var best = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (rights(mid)._1 <= t) { best = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (best < 0) None else Some(rights(best))
+    }
+    val tagged = left.map(p => AsOfTagged(p.key, p.ts, 1, p.value))
+      .union(right.map(p => AsOfTagged(p.key, p.ts, 0, p.value)))
+    tagged.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, it: Iterator[AsOfTagged], state: GroupState[AsOfBuf]) => {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var buf = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          if (!state.hasTimedOut && it.nonEmpty) {
+            // rights before lefts at the same instant (side 0 < 1) so a
+            // same-microbatch same-instant right is in the run before any
+            // left could need it — though correctness does not depend on
+            // intra-batch order (lefts only emit at watermark finality).
+            val pts = it.toArray.sortBy(p => (us(p.ts), p.side))
+            val newRights = buf.rights ++ pts.iterator.filter(_.side == 0)
+              .map(p => (us(p.ts), p.value))
+            buf = AsOfBuf(newRights.sortBy(_._1),
+              buf.pending ++ pts.iterator.filter(_.side == 1)
+                .map(p => (us(p.ts), p.value)))
+          }
+          // Finalized lefts: watermark at-or-past their event time.
+          val (ready, stillPending) = buf.pending.partition(_._1 <= wmUs)
+          val out = ready.sortBy(_._1).map { case (t, v) =>
+            val m = matchFor(buf.rights, t)
+            PointAsOf(key, tsOf(t), v, m.map(x => tsOf(x._1)), m.map(_._2))
+          }
+          // Prune: a FUTURE left has ts > wm; for any probe above the floor
+          // only rights >= floor plus the single latest right < floor can
+          // ever be the backward match.
+          val floor = (stillPending.map(_._1) :+ wmUs).min
+          val (older, newer) = buf.rights.partition(_._1 < floor)
+          val kept = (if (older.nonEmpty) older.takeRight(1) else Nil) ++ newer
+          if (state.hasTimedOut && stillPending.isEmpty) {
+            state.remove() // idle key: buffer evicted (deltasPerKey contract)
+          } else {
+            state.update(AsOfBuf(kept, stillPending))
+            // wake when the earliest pending left finalizes; else keep the
+            // buffer for idleHorizon past the watermark, then evict
+            val wakeMs = if (stillPending.nonEmpty) stillPending.map(_._1).min / 1000L
+              else state.getCurrentWatermarkMs() + idleHorizonMs
+            state.setTimeoutTimestamp(math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+        })
   }
 
   /** Ordered streaming sink: lands each microbatch in `table` through the

@@ -168,6 +168,63 @@ class TsStreamSpec extends SparkSpec {
     assert(out(3L) == null) // null-keyed/timed static rows never match
   }
 
+  test("stream-stream backward as-of == batch AsOfJoin.backward on chunked replay") {
+    import spark.implicits._
+    import graft.streaming.KeyedPoint
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    def tp(min: Int) = t(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    // left: 300 events over 5 keys; right: sparser quotes, some keys quote-less
+    val lefts = (0 until 300).map(i => KeyedPoint(i % 5, tp(rnd.nextInt(180)), i.toDouble))
+    val rights = (0 until 60).map(i => KeyedPoint(i % 4, tp(rnd.nextInt(180)), 1000.0 + i))
+    // watermark horizon: the sentinel advances the watermark past every row,
+    // so all pending lefts finalize; it carries key -1 (matches nothing)
+    val sentinelL = KeyedPoint(-1L, t("2024-01-03 00:00:00"), 0.0)
+    val sentinelR = KeyedPoint(-1L, t("2024-01-03 00:00:00"), 0.0)
+
+    val want = graft.operators.AsOfJoin.backward(
+        lefts.toDF("key", "ts", "value"),
+        rights.toDF("rkey", "rts", "rvalue"),
+        "key", "rkey", "ts", "rts")
+      .select($"key", unix_micros($"ts").as("us"), $"value",
+        unix_micros($"rts").as("rus"), $"rvalue")
+      .collect().map(_.toSeq).toSet
+
+    val msL = MemoryStream[KeyedPoint]
+    val msR = MemoryStream[KeyedPoint]
+    // 5-minute watermark delay: chunks come off a time-sorted merged
+    // timeline, so no row is ever late — stream must equal batch EXACTLY
+    val q = TsStream.asOfBackwardStream(msL.toDS(), msR.toDS(),
+        watermark = "5 minutes")
+      .select($"key", unix_micros($"ts").as("us"), $"value",
+        unix_micros($"r_ts").as("rus"), $"r_value".as("rvalue"))
+      .writeStream.format("memory").queryName("asof_ss_parity")
+      .outputMode("append").start()
+    try {
+      // both sides replayed along one merged event-time timeline (the shape
+      // a real broker delivers); sides split per chunk, unordered within it
+      val timeline = (lefts.map((_, true)) ++ rights.map((_, false)))
+        .sortBy(_._1.ts.getTime)
+      timeline.grouped(60).foreach { chunk =>
+        val (ls, rs) = chunk.partition(_._2)
+        if (rs.nonEmpty) msR.addData(rs.map(_._1))
+        if (ls.nonEmpty) msL.addData(ls.map(_._1))
+        q.processAllAvailable()
+      }
+      msL.addData(Seq(sentinelL)); msR.addData(Seq(sentinelR))
+      q.processAllAvailable()
+      // one more tick so timeouts armed at the new watermark fire
+      msL.addData(Seq(sentinelL.copy(ts = t("2024-01-04 00:00:00"))))
+      q.processAllAvailable()
+      val got = spark.table("asof_ss_parity")
+        .where($"key" >= 0) // drop the sentinels' own rows
+        .collect().map(_.toSeq).toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      assert(got.nonEmpty && got.exists(_(4) == null) && got.exists(_(4) != null))
+    } finally q.stop()
+  }
+
   test("ordered append sink: in-order microbatches land, regression fails the query") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
