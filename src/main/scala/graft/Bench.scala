@@ -34,20 +34,22 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
-    // ICU warm-up: the first collation-aware string op inside a hash
-    // aggregate routes through CollationSupport.Lower.execBinaryICU, whose
-    // class-init builds ICU case-mapping tries + CJK break dictionaries —
-    // measured 3-9 s of ONE-TIME JVM library load (stack-sampled: 25/40
-    // samples in CollationAwareUTF8String.<clinit>) that lands inside
-    // whichever measured query first groups by a lower()ed key
-    // (alphabetically q_dedup_exact — its r8 "21.5 s" was mostly this).
-    // A throwaway groupBy-on-lowered-literal forces the init here, where
-    // JVM warm-up belongs.
-    try spark.range(1)
-      .select(org.apache.spark.sql.functions.lower(
-        org.apache.spark.sql.functions.lit("Warm ICU 文")).as("k"))
-      .groupBy("k").count().count()
-    catch { case _: Throwable => () }
+    // Per-PLAN warm-up: every measured query runs once at sf0.001 first, so
+    // the measured window holds data-processing cost at the target SF, not
+    // one-time JVM effects — janino compile + JIT of each query's generated
+    // classes (measured 1-3 s per unique plan, landing on whichever query
+    // ran a plan shape first and bouncing per-query numbers 2-3× run to
+    // run), and the ICU collation class-init (~3-9 s building case-mapping
+    // tries + CJK break dictionaries, stack-sampled in
+    // CollationAwareUTF8String.<clinit>) that the first lower()-keyed hash
+    // aggregate triggers — in r8 it surfaced as q_dedup_exact's "21.5 s".
+    // sf0.001 inputs keep the sweep cheap; store-writing queries are safe
+    // to re-run (scratch paths are per-input-dir, wiped on reuse).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
     // Settle barrier between measured queries: unpersist/block-removal from
     // a query's own cleanup is partly async, and in r8 its executor-side
     // storm landed inside the NEXT queries' windows (q_dedup_exact 1.9 s
