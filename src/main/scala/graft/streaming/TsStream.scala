@@ -332,14 +332,26 @@ object TsStream {
           val floor = (stillPending.map(_._1) :+ wmUs).min
           val (older, newer) = buf.rights.partition(_._1 < floor)
           val kept = (if (older.nonEmpty) older.takeRight(1) else Nil) ++ newer
-          if (state.hasTimedOut && stillPending.isEmpty) {
+          // remove ONLY on the idle-GC timeout (fired with nothing to
+          // flush): a timeout that fired to FLUSH pending lefts must keep
+          // the rights run — the key is active, and a later left may still
+          // match a buffered right (dropping it here would emit a null the
+          // batch join would have matched).
+          if (state.hasTimedOut && stillPending.isEmpty && ready.isEmpty) {
             state.remove() // idle key: buffer evicted (deltasPerKey contract)
+          } else if (kept.isEmpty && stillPending.isEmpty) {
+            if (state.exists) state.remove() // nothing left to carry
           } else {
             state.update(AsOfBuf(kept, stillPending))
-            // wake when the earliest pending left finalizes; else keep the
-            // buffer for idleHorizon past the watermark, then evict
+            // wake when the earliest pending left finalizes; else idle-GC
+            // at idleHorizon past the key's LAST EVENT — anchoring to the
+            // current watermark would mis-fire: a batch processed before
+            // the watermark first advances sees wm = 0, so "wm + horizon"
+            // lands decades in the past and the GC fired (and evicted live
+            // rights) on the very next batch.
+            val lastUs = (kept.map(_._1) ++ stillPending.map(_._1)).max
             val wakeMs = if (stillPending.nonEmpty) stillPending.map(_._1).min / 1000L
-              else state.getCurrentWatermarkMs() + idleHorizonMs
+              else lastUs / 1000L + idleHorizonMs
             state.setTimeoutTimestamp(math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
           }
           out.iterator

@@ -225,6 +225,41 @@ class TsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream as-of: a flush timeout must not evict the rights buffer " +
+      "(later lefts still match old rights)") {
+    import spark.implicits._
+    import graft.streaming.KeyedPoint
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val msL = MemoryStream[KeyedPoint]
+    val msR = MemoryStream[KeyedPoint]
+    // 24h idle horizon: key 7 stays within it for the whole timeline, so
+    // any eviction of its rights buffer is the bug, not contract idle-GC
+    val q = TsStream.asOfBackwardStream(msL.toDS(), msR.toDS(),
+        watermark = "0 seconds", idleHorizonMs = 24L * 3600 * 1000)
+      .writeStream.format("memory").queryName("asof_ss_evict")
+      .outputMode("append").start()
+    try {
+      def step(): Unit = q.processAllAvailable()
+      // key 7: one right, one left close behind
+      msR.addData(Seq(KeyedPoint(7L, t("2024-01-01 10:00:00"), 1.5))); step()
+      msL.addData(Seq(KeyedPoint(7L, t("2024-01-01 10:05:00"), 100.0))); step()
+      // another KEY advances the watermark past 10:05 → key 7's pending
+      // left flushes via its event-time TIMEOUT (no key-7 data in batch)
+      msL.addData(Seq(KeyedPoint(9L, t("2024-01-01 12:00:00"), 0.0))); step()
+      step() // extra tick: timeout fires on the batch after the wm advance
+      // key 7 receives a LATER left — its backward match is still the
+      // 10:00 right, which the flush timeout must not have evicted
+      msL.addData(Seq(KeyedPoint(7L, t("2024-01-01 13:00:00"), 200.0))); step()
+      msL.addData(Seq(KeyedPoint(9L, t("2024-01-01 15:00:00"), 0.0))); step()
+      step()
+      val got = spark.table("asof_ss_evict").where($"key" === 7L)
+        .orderBy($"ts").collect()
+        .map(r => (r.getDouble(2), Option(r.get(4)).map(_.asInstanceOf[Double])))
+      assert(got.toSeq == Seq((100.0, Some(1.5)), (200.0, Some(1.5))),
+        s"got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("ordered append sink: in-order microbatches land, regression fails the query") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
