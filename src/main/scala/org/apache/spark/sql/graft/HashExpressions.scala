@@ -163,12 +163,13 @@ object WinnowKernel extends Serializable { // shipped to tasks as a codegen refe
     val n = len - (k - 1)
     if (n < 1) return Array.emptyLongArray
     val md = mdLocal.get()
+    val d = digestBuf.get() // reused: one 16-B digest per GRAM otherwise
     val h = new Array[Long](n)
     var i = 0
     while (i < n) {
       md.reset()
       md.update(bytes, charOff(i), charOff(i + k) - charOff(i))
-      val d = md.digest()
+      md.digest(d, 0, 16)
       var v = 0L
       var j = 0
       while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
@@ -182,6 +183,11 @@ object WinnowKernel extends Serializable { // shipped to tasks as a codegen refe
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =
         java.security.MessageDigest.getInstance("MD5")
+    }
+
+  @transient private lazy val digestBuf =
+    new ThreadLocal[Array[Byte]] {
+      override def initialValue(): Array[Byte] = new Array[Byte](16)
     }
 
   /** Shared winnowing tail: min of every w-wide window over the gram-hash
@@ -272,15 +278,22 @@ object SimHashMd5Kernel extends Serializable { // shipped to tasks as a codegen 
         java.security.MessageDigest.getInstance("MD5")
     }
 
+  @transient private lazy val digestBuf =
+    new ThreadLocal[Array[Byte]] {
+      override def initialValue(): Array[Byte] = new Array[Byte](16)
+    }
+
   def simhash(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     val md = mdLocal.get()
+    val d = digestBuf.get() // reused: one 16-B digest per FEATURE otherwise
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) { // null features vote nowhere (sum() skips null)
         md.reset()
-        val d = md.digest(arr.getUTF8String(i).getBytes)
+        md.update(arr.getUTF8String(i).getBytes)
+        md.digest(d, 0, 16)
         var v = 0L
         var k = 0
         while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
