@@ -29,6 +29,68 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   private val CentroidsFile = "_ivf_centroids.txt" // '_' prefix: invisible to scans
+  private val FingerprintFile = "_ivf_fingerprint.txt" // written LAST — absent ⇒ partial build
+
+  /** Cheap content fingerprint of an input dataset: digest of the sorted
+    * (name, length, mtime) triples of its files. No data scan — a file
+    * listing is all it costs, which is what makes `buildIfNeeded` free when
+    * the index is already current. Any rewrite of the input (new part
+    * files, appends, compaction) changes the listing and forces a rebuild. */
+  def inputFingerprint(spark: SparkSession, inputPath: String): String = {
+    val p = new Path(inputPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      entries += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(inputPath.getBytes("UTF-8"))
+    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def readSidecar(spark: SparkSession, path: String, file: String): Option[String] = {
+    val in = new Path(path, file)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(in)) None
+    else {
+      val is = fs.open(in)
+      try Some(scala.io.Source.fromInputStream(is, "UTF-8").mkString.trim)
+      finally is.close()
+    }
+  }
+
+  private def writeSidecar(spark: SparkSession, path: String, file: String,
+                           content: String): Unit = {
+    val out = new Path(path, file)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(out, true)
+    try os.write(content.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Build the inverted file ONLY when the existing store was not built
+    * from exactly this input (fingerprint mismatch / absent / partial
+    * build). This is the amortization the index exists for: in production
+    * the build is one scan + one shuffle paid once, and every later probe
+    * is file-pruned — re-deriving the index on every probe call would
+    * charge the build to the wrong side of that ledger (r9 verdict #3).
+    * Returns true when a build actually ran. The fingerprint is written
+    * AFTER the parquet + centroid sidecar, so a crashed build leaves no
+    * fingerprint and the next call rebuilds. */
+  def buildIfNeeded(emb: DataFrame, idCol: String, vecCol: String, path: String,
+                    fingerprint: String, cells: Int = 16, sampleN: Int = 512,
+                    iters: Int = 5): Boolean = {
+    val spark = emb.sparkSession
+    val current = readSidecar(spark, path, FingerprintFile)
+    if (current.contains(fingerprint)) false
+    else {
+      build(emb, idCol, vecCol, path, cells, sampleN, iters)
+      writeSidecar(spark, path, FingerprintFile, fingerprint)
+      true
+    }
+  }
 
   /** Assign every vector to its nearest centroid and write the inverted
     * file. One pass over the corpus; the `partitionBy` shuffle groups each

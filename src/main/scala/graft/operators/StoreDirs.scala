@@ -23,14 +23,51 @@ object StoreDirs {
       .orElse(sys.env.get("SPARK_GRAFT_STORE_DIR"))
       .getOrElse(sys.props("java.io.tmpdir"))
 
-  /** A deterministic per-name scratch path under `root`, wiped if it exists:
-    * repeated invocations (bench warm-up, verify, tests) must not accumulate
-    * stale stores, and results read lazily from the path, so it has to
-    * outlive the call that created it — hence named dirs, not createTempDir. */
+  /** Full-width digest of an input path for keying scratch stores. Two
+    * distinct input dirs must never land on one store name, and 32-bit
+    * `String.hashCode` cannot promise that (r9 advice) — 64 md5 bits can
+    * (collision odds ~n²/2⁶⁵ over the handful of dirs a deployment sees). */
+  def pathKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
+  /** One tag per driver JVM: two concurrent sessions pointed at the same
+    * shared root must not wipe each other's live stores mid-read (r9
+    * advice), so every scratch path is namespaced under a per-process dir. */
+  private val sessionTag: String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** The per-process namespace under `root`; created on first use and
+    * registered for recursive removal at JVM exit so per-session names
+    * cannot accumulate across runs. */
+  def sessionRoot(s: SparkSession): Path = {
+    val p = new Path(root(s), s"graft-scratch-$sessionTag")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      fs.mkdirs(p)
+      fs.deleteOnExit(p)
+    }
+    p
+  }
+
+  /** Resolve a name inside the session namespace WITHOUT touching it —
+    * for callers (tests, reuse checks) that need the location only. */
+  def resolve(s: SparkSession, name: String): String =
+    new Path(sessionRoot(s), name).toString
+
+  /** A deterministic per-name scratch path, wiped if it exists: repeated
+    * invocations (bench warm-up, verify, tests) must not accumulate stale
+    * stores, and results read lazily from the path, so it has to outlive
+    * the call that created it — hence named dirs, not createTempDir. */
   def scratch(s: SparkSession, name: String): String = {
-    val p = new Path(root(s), name)
+    val p = new Path(sessionRoot(s), name)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     p.toString
   }
+
+  /** Like `scratch` but NEVER wipes: for get-or-create stores (the
+    * materialized IVF index) whose owner decides reuse vs rebuild from its
+    * own sidecar fingerprint. */
+  def stable(s: SparkSession, name: String): String =
+    resolve(s, name)
 }

@@ -63,7 +63,7 @@ object TimeSeriesPack extends QueryPack {
     // root, wiped before reuse — the result DataFrame is lazy so the store
     // has to outlive this call (the driver materializes it later). See
     // StoreDirs for the cluster story (spark.graft.store.dir).
-    val store = StoreDirs.scratch(s, s"graft_tstable_rt_${dir.hashCode.toHexString}")
+    val store = StoreDirs.scratch(s, s"graft_tstable_rt_${StoreDirs.pathKey(dir)}")
     val ev = Tables.events(s, dir)
     val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
     val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
@@ -83,7 +83,7 @@ object TimeSeriesPack extends QueryPack {
     * (GraftTsSourceSpec asserts the plan shape; this key hash-checks the
     * values end-to-end against the raw events oracle). */
   def v2Roundtrip(s: SparkSession, dir: String): DataFrame = {
-    val store = StoreDirs.scratch(s, s"graft_tsv2_rt_${dir.hashCode.toHexString}")
+    val store = StoreDirs.scratch(s, s"graft_tsv2_rt_${StoreDirs.pathKey(dir)}")
     val ev = Tables.events(s, dir).where(col("ts") < lit("2024-01-10 00:00:00").cast("timestamp"))
     TsTable.create(s, store, ev.schema, tsCol = "ts")
     val cutoff = lit("2024-01-05 00:00:00").cast("timestamp")
@@ -105,7 +105,7 @@ object TimeSeriesPack extends QueryPack {
     * end-to-end; file-count/sortedness/pruning mechanics are asserted in
     * TsTableSpec. */
   def compactRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val store = StoreDirs.scratch(s, s"graft_tscompact_${dir.hashCode.toHexString}")
+    val store = StoreDirs.scratch(s, s"graft_tscompact_${StoreDirs.pathKey(dir)}")
     val hi = lit("2024-01-03 00:00:00").cast("timestamp")
     val ev = Tables.events(s, dir).where(col("ts") < hi)
     val t = TsTable.create(s, store, ev.schema, tsCol = "ts")

@@ -264,10 +264,12 @@ object TsStream {
     *   - a left row is NOT emitted on arrival: a right row with smaller
     *     event time can still arrive until the watermark passes the left
     *     row's time. Lefts wait in `pending` and emit exactly when
-    *     `watermark >= ts` — at which point any still-unseen right at-or-
-    *     before is LATE by definition (the watermark filter would drop it),
-    *     so the match is FINAL. Same-instant rights match (closed bound,
-    *     batch parity), via binary search over the buffered run.
+    *     `watermark > ts` (strict — see the inline note) — at which point
+    *     any still-unseen right at-or-before is LATE by definition (the
+    *     watermark filter would drop it under either the strict or the
+    *     non-strict late-row convention), so the match is FINAL.
+    *     Same-instant rights match (closed bound, batch parity), via
+    *     binary search over the buffered run.
     *   - state is bounded: emitted lefts leave `pending`; rights older
     *     than every possible future match collapse to the single latest
     *     one (a future left must have ts > watermark, and its backward
@@ -320,8 +322,17 @@ object TsStream {
               buf.pending ++ pts.iterator.filter(_.side == 1)
                 .map(p => (us(p.ts), p.value)))
           }
-          // Finalized lefts: watermark at-or-past their event time.
-          val (ready, stillPending) = buf.pending.partition(_._1 <= wmUs)
+          // Finalized lefts: watermark STRICTLY past their event time. The
+          // strict bound is deliberate (r9 advice): finality relies on Spark
+          // dropping any later-arriving right at-or-before the watermark, but
+          // if the engine's late-row predicate is strict (drops only
+          // ts < watermark) a right at EXACTLY the watermark instant could
+          // still arrive in a later batch and would have matched a
+          // same-instant left already emitted under a `<=` bound here. With
+          // `<`, a left exactly at the watermark finalizes one batch later —
+          // correct under either filter convention, at the cost of one extra
+          // microbatch of latency for that boundary row.
+          val (ready, stillPending) = buf.pending.partition(_._1 < wmUs)
           val out = ready.sortBy(_._1).map { case (t, v) =>
             val m = matchFor(buf.rights, t)
             PointAsOf(key, tsOf(t), v, m.map(x => tsOf(x._1)), m.map(_._2))

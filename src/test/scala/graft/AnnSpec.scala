@@ -199,6 +199,27 @@ class AnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("buildIfNeeded: unchanged input reuses the store; changed fingerprint rebuilds") {
+    import graft.operators.{IvfIndex, StoreDirs}
+    val emb = Tables.embeddings(spark, sf001)
+    val path = StoreDirs.scratch(spark, "graft_ivf_reuse_spec")
+    val fp = IvfIndex.inputFingerprint(spark, s"$sf001/embeddings.parquet")
+    assert(IvfIndex.buildIfNeeded(emb, "vec_id", "embedding", path, fp),
+      "first call must build")
+    // same input fingerprint → the store is current, no rebuild
+    assert(!IvfIndex.buildIfNeeded(emb, "vec_id", "embedding", path, fp),
+      "second call must reuse")
+    // the reused store still answers (probe through the pruned path)
+    val probe = emb.where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    assert(IvfIndex.topK(spark, path, probe, k = 5, nProbe = 4).count() == 5)
+    // a changed input (different fingerprint) forces the rebuild
+    assert(IvfIndex.buildIfNeeded(emb, "vec_id", "embedding", path, fp + "x"),
+      "fingerprint change must rebuild")
+    // fingerprint derivation is listing-stable (same files → same digest)
+    assert(fp == IvfIndex.inputFingerprint(spark, s"$sf001/embeddings.parquet"))
+  }
+
   test("q_sim_ivf (the driver-benched key) runs through the materialized index: " +
       "file-level pruning + parity bar vs exact") {
     import graft.operators.{LlmPack, StoreDirs}
@@ -211,8 +232,8 @@ class AnnSpec extends SparkSpec {
     assert(plan.toString.contains("PartitionFilters"), plan.toString)
     val scanned = plan.collectLeaves()
       .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
-    val store = new java.io.File(StoreDirs.root(spark),
-      s"graft_ivf_${sf001.hashCode.toHexString}")
+    val store = new java.io.File(
+      StoreDirs.resolve(spark, s"graft_ivf_${StoreDirs.pathKey(sf001)}"))
     val totalFiles = store.listFiles()
       .filter(_.getName.startsWith("cell="))
       .map(d => d.listFiles().count(_.getName.startsWith("part-"))).sum

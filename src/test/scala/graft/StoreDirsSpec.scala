@@ -15,6 +15,23 @@ class StoreDirsSpec extends SparkSpec {
     new java.io.File(f, "stale").createNewFile()
     val again = StoreDirs.scratch(spark, "graft_storedirs_spec")
     assert(again == p && !new java.io.File(f, "stale").exists())
+    // stable resolves the same namespace but never wipes
+    f.mkdirs()
+    new java.io.File(f, "kept").createNewFile()
+    assert(StoreDirs.stable(spark, "graft_storedirs_spec") == p)
+    assert(new java.io.File(f, "kept").exists())
+  }
+
+  test("scratch paths are namespaced per session and keyed full-width") {
+    // per-process namespace: concurrent sessions sharing one root must not
+    // wipe each other's stores (r9 advice) — the path carries a session tag
+    val p = StoreDirs.scratch(spark, "graft_storedirs_ns")
+    assert(new java.io.File(p).getParentFile.getName.startsWith("graft-scratch-"))
+    // pathKey: full-width digest, not 32-bit String.hashCode — distinct
+    // dirs map to distinct keys and the key is stable across JVMs
+    val k1 = StoreDirs.pathKey("/data/a")
+    assert(k1 != StoreDirs.pathKey("/data/b") && k1.length == 16)
+    assert(k1 == StoreDirs.pathKey("/data/a"))
   }
 
   test("spark.graft.store.dir redirects roundtrip stores (cluster shared-dir knob)") {
@@ -25,6 +42,8 @@ class StoreDirsSpec extends SparkSpec {
       val n = TimeSeriesPack.appendRoundtrip(spark, sf0001).count()
       assert(n > 0)
       val stores = new java.io.File(shared).listFiles()
+        .filter(_.getName.startsWith("graft-scratch-"))
+        .flatMap(_.listFiles())
         .filter(_.getName.startsWith("graft_tstable_rt_"))
       assert(stores.nonEmpty, s"no store under $shared")
     } finally spark.conf.unset("spark.graft.store.dir")
