@@ -29,4 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Duser.timezone=UTC", // JVM default TZ: driver-side java.sql date math must agree with the session TZ
 
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the committed heap: after a full GC (the bench's settle barrier
+  // forces one per query to schedule ContextCleaner work between measured
+  // windows) G1 returns memory to the OS, and the next query's allocation
+  // burst pays the re-commit page faults — measured as a diffuse
+  // ~0.1-0.5 s/query inflation at sf0.001. Xms=Xmx keeps pages committed.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

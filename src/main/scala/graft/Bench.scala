@@ -75,21 +75,50 @@ object Bench {
     // Settle barrier between measured queries: unpersist/block-removal from
     // a query's own cleanup is partly async, and in r8 its executor-side
     // storm landed inside the NEXT queries' windows (q_dedup_exact 1.9 s
-    // measured 21.5 s). A no-op job drains the scheduler queue; the brief
-    // sleep lets BlockManager removals finish before the clock restarts.
+    // measured 21.5 s). r9 still showed a residual form of it — six
+    // untouched queries 2-4× slower in the full run than via
+    // SPARK_GRAFT_ONLY (q_ts_compact 7.1 s full vs 2.6 s isolated) — from
+    // deferred cleanup piling up across 77+77 plans: Spark's ContextCleaner
+    // only frees dead shuffles/broadcasts when a GC enqueues their weak
+    // references, so without explicit GCs all that work (plus the full-heap
+    // collections it implies) lands in whichever measured window the JVM
+    // picks. The barrier now: drain the scheduler with a no-op job, force
+    // the GC (triggering ContextCleaner), give its async deletions a beat,
+    // then drain once more so executor threads are quiescent when the
+    // clock restarts.
+    val settleGc = sys.env.getOrElse("SPARK_GRAFT_SETTLE_GC", "1") == "1"
     def settle(): Unit = {
       spark.sparkContext.parallelize(0 until cpus.toInt, cpus.toInt).count()
-      Thread.sleep(50)
+      if (settleGc) { System.gc(); Thread.sleep(100) }
+      else Thread.sleep(50)
+      spark.sparkContext.parallelize(0 until cpus.toInt, cpus.toInt).count()
     }
+    // Measured sweep, repeated: single-run totals on this box swing ±25%
+    // (multi-second noise bursts land on a RANDOM query subset each run —
+    // r9's "unexplained regression cluster" was exactly one such burst
+    // pattern plus unscheduled GC). The sweep runs `reps` times END TO END
+    // (not per-query back-to-back: the bursts outlast one query, so
+    // adjacent reps would both be hit) and each query reports its min —
+    // the steady-state plan cost the bench exists to track. reps and the
+    // min discipline are recorded in the JSON so the number can't be
+    // mistaken for a single cold pass.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      settle()
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => errs += s"$name: ${e.getClass.getSimpleName}" }
-      name -> (System.nanoTime() - t0) / 1e9
+    val sweeps = (1 to reps).map { _ =>
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
+        settle()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          val msg = s"$name: ${e.getClass.getSimpleName}"
+          if (!errs.contains(msg)) errs += msg
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
+    val results = names.map(n => n -> sweeps.map(_(n)).min)
     // 3-decimal values keep the whole line under the driver's 2 kB output
     // tail even at ~70 queries; full precision adds nothing at wall-clock
     // noise levels and in r7 pushed the line head out of the capture window.
@@ -99,7 +128,7 @@ object Bench {
     val total = results.map(_._2).sum
     val errJson = errs.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val subset = if (only.isDefined) "\"subset\":true," else ""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subset"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subset"reps":$reps,"agg":"min","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

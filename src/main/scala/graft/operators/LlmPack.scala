@@ -37,7 +37,8 @@ object LlmPack extends QueryPack {
     * 3-gram Jaccard, so it hash-matches the all-pairs oracle. */
   def dedupNear(s: SparkSession, dir: String): DataFrame =
     NearDedup.prefixFilter(Tables.documents(s, dir),
-        idCol = "doc_id", textCol = "text", partCol = "lang", tau = Tau)
+        idCol = "doc_id", textCol = "text", partCol = "lang", tau = Tau,
+        materialize = Some(true))
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
 
@@ -47,7 +48,8 @@ object LlmPack extends QueryPack {
     * all-pairs oracle; the false-negative risk is quantified in NearDedup. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     NearDedup.minhashLsh(Tables.documents(s, dir),
-        idCol = "doc_id", textCol = "text", partCol = "lang", tau = Tau)
+        idCol = "doc_id", textCol = "text", partCol = "lang", tau = Tau,
+        materialize = Some(true))
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
 
@@ -62,7 +64,8 @@ object LlmPack extends QueryPack {
   def dedupCluster(s: SparkSession, dir: String): DataFrame =
     NearDedup.clusterPairs(
       NearDedup.minhashLsh(Tables.documents(s, dir),
-        idCol = "doc_id", textCol = "text", partCol = "lang", tau = Tau))
+        idCol = "doc_id", textCol = "text", partCol = "lang", tau = Tau,
+        materialize = Some(true)))
       .orderBy(col("doc_id"))
 
   /** B9 near-dup via SimHash banding (NearDedup.simhashMd5Pairs): md5-bit

@@ -49,9 +49,10 @@ object NearDedup {
     * Every shingle lands in exactly one branch, so the union carries each
     * (doc, shingle) row once; ranking stays deterministic (rn orders by
     * (df, sh) within the doc, branch order irrelevant). Cost note: the two
-    * branches each re-scan the shingle explode — at corpus scale persist
-    * `sets` (or accept the double scan: it is narrow, shuffle-free work,
-    * while the skew it removes is a stalled-reducer failure mode).
+    * branches each re-scan the shingle explode — at corpus scale pass
+    * `materialize = Some(true)` to prefixFilter/minhashLsh (or set
+    * spark.graft.dedup.materialize) and `sets` is computed exactly once
+    * (persisted for the single eager evaluation, freed before return).
     *
     * Below `maxBroadcastVocab` distinct shingles, the WHOLE df table is
     * aggregated ONCE (a limit-bounded driver collect — same adaptive
@@ -87,13 +88,17 @@ object NearDedup {
   /** Exact near-dup pairs (Jaccard ≥ tau on word 3-grams, within `partCol`
     * groups) via prefix filtering. Output: a_id, b_id, jaccard.
     * `hotDf`: df threshold above which a shingle is handled on the
-    * broadcast side of the ranking join (see `rankedByDf`). */
+    * broadcast side of the ranking join (see `rankedByDf`).
+    * `materialize`: see `materializedPairs` — None defers to the
+    * spark.graft.dedup.materialize conf (default off). */
   def prefixFilter(docs: DataFrame, idCol: String, textCol: String,
-                   partCol: String, tau: Double, hotDf: Int = 1024): DataFrame = {
-    val sets = docs
+                   partCol: String, tau: Double, hotDf: Int = 1024,
+                   materialize: Option[Boolean] = None): DataFrame = {
+    val sets0 = docs
       .select(col(idCol).as("id"), col(partCol).as("part"),
         TextFns.shingles3(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
+    materializedPairs(sets0, materialize) { sets =>
 
     // Prefix/size bounds use ε-guarded rounding: n·τ in binary doubles can
     // land a hair ABOVE an exactly-integral true value (τ=0.8 is inexact),
@@ -124,6 +129,42 @@ object NearDedup {
       .select(col("a_id"), col("b_id")).distinct()
 
     verify(cand, sets, tau)
+    }
+  }
+
+  /** Single-evaluation harness for the pair generators. The lazy pipeline
+    * references `sets` (the full-corpus shingle arrays) three times — once
+    * for candidate generation, twice in the verify join — and Spark
+    * re-computes it per reference. Fine at spec scale (narrow, shuffle-free
+    * work); at corpus scale it's two avoidable full shingle passes. When
+    * `materialize` resolves true (param wins, else the
+    * spark.graft.dedup.materialize conf, default false):
+    *
+    *   - `sets` is persisted (memory-and-disk) so the shingle compute runs
+    *     exactly once;
+    *   - the WHOLE pipeline is evaluated eagerly via localCheckpoint — the
+    *     pair list is bounded (detected duplicates, not corpus²), so
+    *     materializing it is cheap and truncates the lineage to checkpoint
+    *     blocks;
+    *   - the persist is freed BEFORE returning, so nothing stays pinned in
+    *     the CacheManager (the classic never-unpersisted-cache leak).
+    *
+    * The returned frame reads checkpoint blocks; they are freed by the
+    * ContextCleaner once the caller drops the frame — same lifecycle as
+    * clusterPairs' label checkpoints. Default stays LAZY: plan-shape specs
+    * (skew-proof ranking join, band join) assert on the lazy form, and
+    * callers that feed clusterPairs get its own persist-once treatment. */
+  private def materializedPairs(sets0: DataFrame, materialize: Option[Boolean])
+                               (build: DataFrame => DataFrame): DataFrame = {
+    val doMat = materialize.getOrElse(
+      sets0.sparkSession.conf.getOption("spark.graft.dedup.materialize")
+        .exists(_.toBoolean))
+    if (!doMat) build(sets0)
+    else {
+      val sets = sets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try build(sets).localCheckpoint() // eager: one evaluation of the pipeline
+      finally sets.unpersist(blocking = false)
+    }
   }
 
   /** Near-dup pairs via MinHash + banded LSH (numHashes = bands·rowsPerBand).
@@ -138,11 +179,13 @@ object NearDedup {
     * shingle-sized. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  partCol: String, tau: Double,
-                 bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
-    val sets = docs
+                 bands: Int = 32, rowsPerBand: Int = 4,
+                 materialize: Option[Boolean] = None): DataFrame = {
+    val sets0 = docs
       .select(col(idCol).as("id"), col(partCol).as("part"),
         TextFns.shingles3(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
+    materializedPairs(sets0, materialize) { sets =>
 
     val k = bands * rowsPerBand
     // sig_i = min over shingles of hash_i(shingle): k independent
@@ -183,6 +226,7 @@ object NearDedup {
       .select(col("a_id"), col("b_id")).distinct()
 
     verify(cand, sets, tau)
+    }
   }
 
   /** Exact-Jaccard verification of candidate pairs; only candidates — never

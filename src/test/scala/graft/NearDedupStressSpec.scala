@@ -82,6 +82,34 @@ class NearDedupStressSpec extends SparkSpec {
     assert(secs < 60, s"prefixFilter took $secs s at $NDocs docs — scale regression")
   }
 
+  test("materialized path at 30k docs: identical pairs, sets computed once, " +
+      "nothing left pinned in the cache manager") {
+    val docs = corpus()
+    val lazyPairs = NearDedup.prefixFilter(docs, "doc_id", "text", "lang", tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (matPairs, secs) = timed {
+      NearDedup.prefixFilter(docs, "doc_id", "text", "lang", tau = 0.8,
+          materialize = Some(true))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // the materialized plan is the same algorithm, single-evaluated
+    assert(matPairs == lazyPairs,
+      s"materialized path diverged: ${(matPairs diff lazyPairs).take(3)} / ${(lazyPairs diff matPairs).take(3)}")
+    assert(secs < 60, s"materialized prefixFilter took $secs s — scale regression")
+    // the sets persist must be freed before return: the only surviving new
+    // persistent RDD is the bounded pair-list checkpoint itself
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.size <= 1, s"persist leak: ${leaked.size} new pinned RDDs")
+    // same for minhash (the clusterPairs feeder)
+    val mh = NearDedup.minhashLsh(docs, "doc_id", "text", "lang", tau = 0.8,
+        materialize = Some(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mhLazy = NearDedup.minhashLsh(docs, "doc_id", "text", "lang", tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == mhLazy)
+  }
+
   test("minhashLsh at 30k skewed docs: planted pairs found, bounded wall time") {
     val docs = corpus()
     val want = plantedAtTau(docs, 0.8)
