@@ -18,20 +18,25 @@ case class AssetFeatures(asset_id: Long, width: Int, height: Int,
 /** Multimodal-column plumbing (driver brief: "multimodal columns").
   *
   * The Spark side — schema, typed Encoders, partition-level batch shape,
-  * frame sampling — is real and tested (MultimodalSpec). Since r6 the codec
-  * is real too, for the two formats a pure-JVM decoder can own without
-  * external libraries (none exist in this container):
+  * frame sampling — is real and tested (MultimodalSpec). The codec is real
+  * for every format the JDK itself can decode (no external libraries):
   *
-  *   - BMP (`BM` magic): BITMAPINFOHEADER dims; for uncompressed 24-bpp
-  *     payloads the features are a 16-bin luminance histogram over the
-  *     actual pixels — a genuine decode→feature-extract pass.
+  *   - PNG / JPEG / GIF (magic-sniffed): decoded with `javax.imageio`
+  *     (part of JDK 17, works headless); features are the same 16-bin
+  *     BT.601 luminance histogram as the BMP arm, so identical pixel
+  *     content yields identical features regardless of container format.
+  *   - BMP (`BM` magic): hand-rolled BITMAPINFOHEADER walk; for
+  *     uncompressed 24-bpp payloads the features are the 16-bin luminance
+  *     histogram over the actual pixels — a genuine decode→feature pass.
+  *     (Kept over ImageIO's BMP plugin: it predates the ImageIO arm and
+  *     pins the byte-level layout in its spec.)
   *   - WAV (`RIFF…WAVE` magic): fmt/data chunk walk; width = frame count,
   *     height = channel count; features = 16-bin amplitude histogram over
   *     the 16-bit PCM samples.
-  *   - anything else falls back to `decodeStub`'s deterministic
-  *     payload-derived pseudo-features (the pre-r6 behavior), so opaque
-  *     modalities still flow through the same pipeline. A production build
-  *     would swap the stub arm for a JPEG/PNG/MP3 library; every
+  *   - anything else (MP3, video codecs, raw text) falls back to
+  *     `decodeStub`'s deterministic payload-derived pseudo-features, so
+  *     opaque modalities still flow through the same pipeline. A
+  *     production build would swap the stub arm for an AV library; every
   *     Spark-facing signature stays as is.
   *
   * Scale notes: `featurize` is `mapPartitions` — the Scala analogue of
@@ -50,7 +55,41 @@ object Multimodal {
     else if (payload.length >= 12 && hasAscii(payload, 0, "RIFF") &&
       hasAscii(payload, 8, "WAVE"))
       decodeWav(payload)
+    else if (isImageIoFormat(payload)) decodeImageIo(payload)
     else decodeStub(payload)
+
+  /** Magic-number sniff for the raster formats the JDK's ImageIO decodes
+    * out of the box: PNG (\\x89PNG), JPEG (\\xFF\\xD8\\xFF), GIF (GIF8). */
+  private def isImageIoFormat(p: Array[Byte]): Boolean =
+    (p.length >= 4 && (p(0) & 0xff) == 0x89 && hasAscii(p, 1, "PNG")) ||
+      (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+        (p(2) & 0xff) == 0xff) ||
+      (p.length >= 4 && hasAscii(p, 0, "GIF8"))
+
+  /** PNG/JPEG/GIF decode via `javax.imageio` (in-JDK, headless-safe): true
+    * dims + the SAME 16-bin BT.601 integer-luminance histogram as the BMP
+    * arm, so a pixel-identical image produces identical features in either
+    * container. Bulk `getRGB` keeps it one array pass, no per-pixel JNI. */
+  private[multimodal] def decodeImageIo(p: Array[Byte]): (Int, Int, Array[Float]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    require(img != null, "ImageIO failed to decode a payload that matched an image magic")
+    val w = img.getWidth
+    val h = img.getHeight
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < rgb.length) {
+      val v = rgb(i)
+      val lum = (((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 +
+        (v & 0xff) * 114) / 1000
+      hist(lum >> 4) += 1f
+      i += 1
+    }
+    val n = rgb.length.toFloat
+    i = 0
+    while (i < 16) { hist(i) /= n; i += 1 }
+    (w, h, hist)
+  }
 
   private def hasAscii(p: Array[Byte], off: Int, s: String): Boolean =
     s.indices.forall(i => p(off + i) == s.charAt(i).toByte)

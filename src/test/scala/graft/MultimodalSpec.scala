@@ -110,6 +110,40 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(out(1).features(15) - 0.5f) < 1e-6) // max-amplitude sample
   }
 
+  test("PNG/JPEG decode via javax.imageio: true dims; PNG features equal the " +
+      "BMP arm's on pixel-identical content") {
+    import spark.implicits._
+    // the same 3x2 black/white image as the BMP test, but written as a real
+    // PNG by ImageIO itself — pixel-identical content must produce
+    // IDENTICAL features across container formats (shared BT.601 histogram)
+    val bi = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3)
+      bi.setRGB(x, y, if (x == 0) 0x000000 else 0xffffff)
+    def bytesOf(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val png = bytesOf("png")
+    val jpg = bytesOf("jpg")
+    assert((png(0) & 0xff) == 0x89 && (jpg(0) & 0xff) == 0xff) // real containers
+    val bmpBytes = bmp(3, 2, (x, _) => if (x == 0) (0, 0, 0) else (255, 255, 255))
+    val out = Multimodal.featurize(Seq(
+        Asset(1L, "image", "image/png", png),
+        Asset(2L, "image", "image/jpeg", jpg),
+        Asset(3L, "image", "image/bmp", bmpBytes)).toDS())
+      .collect().sortBy(_.asset_id)
+    assert(out.forall(f => f.width == 3 && f.height == 2))
+    // PNG is lossless: features must EQUAL the BMP decode bit-for-bit
+    assert(out(0).features.toSeq == out(2).features.toSeq,
+      s"png=${out(0).features.toSeq} bmp=${out(2).features.toSeq}")
+    // JPEG is lossy: same two bins dominate, mass sums to 1
+    assert(math.abs(out(1).features.sum - 1f) < 1e-5)
+    assert(out(1).features(0) + out(1).features(15) > 0.9f,
+      s"jpeg histogram diffused: ${out(1).features.toSeq}")
+  }
+
   test("unknown modalities keep the deterministic stub fallback") {
     import spark.implicits._
     val blob = "not an image".getBytes("UTF-8")
