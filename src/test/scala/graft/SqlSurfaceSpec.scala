@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.RelationalPack
+import graft.streaming.TsStream
 import graft.ts.TsTable
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
@@ -65,5 +66,45 @@ class SqlSurfaceSpec extends SparkSpec {
     val scanned = q.queryExecution.executedPlan.collectLeaves()
       .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
     assert(scanned <= 2, s"expected <=2 files scanned via SQL, got $scanned")
+  }
+
+  test("as-of join, SQL surface: the interval-table formulation == " +
+      "TsStream.asOfBackwardStatic (the streaming-ready plan in pure SQL)") {
+    import spark.implicits._
+    // the same recast TsStream.asOfBackwardStatic performs internally —
+    // LEAD() turns the dimension into validity intervals, the as-of becomes
+    // a plain range join — expressed as user-facing ANSI SQL. Because the
+    // interval build touches only the STATIC side, this exact query text
+    // also runs with a streaming `events` source (the batch window is the
+    // one feature streams cannot run, and it is not applied to the stream).
+    val events = Seq(
+      (1L, 7L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, 7L, Timestamp.valueOf("2024-01-01 09:59:59"), 2.0),
+      (3L, 8L, Timestamp.valueOf("2024-01-01 12:00:00"), 3.0),
+      (4L, 9L, Timestamp.valueOf("2024-01-01 12:00:00"), 4.0) // no dim rows
+    ).toDF("eid", "ekey", "ets", "ev")
+    val dim = Seq(
+      (7L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.5),
+      (7L, Timestamp.valueOf("2024-01-01 11:00:00"), 2.5),
+      (8L, Timestamp.valueOf("2024-01-01 00:00:00"), 3.5)
+    ).toDF("dkey", "dts", "dval")
+    events.createOrReplaceTempView("asof_events")
+    dim.createOrReplaceTempView("asof_dim")
+    val viaSql = spark.sql(
+      """WITH intervals AS (
+        |  SELECT dkey, dval, dts AS vt,
+        |         LEAD(dts) OVER (PARTITION BY dkey ORDER BY dts) AS vend
+        |  FROM asof_dim WHERE dkey IS NOT NULL AND dts IS NOT NULL)
+        |SELECT e.eid, i.dval
+        |FROM asof_events e
+        |LEFT JOIN intervals i
+        |  ON e.ekey = i.dkey AND e.ets >= i.vt
+        |     AND (i.vend IS NULL OR e.ets < i.vend)
+        |ORDER BY e.eid""".stripMargin).collect().map(_.toSeq).toSeq
+    val viaOp = TsStream.asOfBackwardStatic(events, dim,
+        "ekey", "dkey", "ets", "dts")
+      .select($"eid", $"dval").orderBy($"eid").collect().map(_.toSeq).toSeq
+    assert(viaSql == viaOp, s"sql=$viaSql op=$viaOp")
+    assert(viaSql.map(_(1)) == Seq(1.5, null, 3.5, null)) // closed bound + outer
   }
 }
