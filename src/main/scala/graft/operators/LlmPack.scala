@@ -68,6 +68,28 @@ object LlmPack extends QueryPack {
         materialize = Some(true)))
       .orderBy(col("doc_id"))
 
+  /** B9 end-to-end dedup: the SURVIVING corpus after cluster-canonical
+    * selection — near-dup pairs (minhash) → connected components → keep
+    * each cluster's smallest doc_id plus every unclustered doc. The other
+    * dedup keys detect; this is the prune a training pipeline actually
+    * ships. Scale shape: the cluster-label frame is bounded by the
+    * duplicate count (not the corpus), so the final anti-join BROADCASTS
+    * it and the corpus side never shuffles — at 100 TB this is one scan.
+    * Oracle: the q_dedup_cluster recursive-CTE closure + the same
+    * anti-join in SQL. */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val clusters = NearDedup.clusterPairs(
+      NearDedup.minhashLsh(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text", partCol = "lang", tau = Tau,
+        materialize = Some(true)))
+    val losers = clusters.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    Tables.documents(s, dir)
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** B9 near-dup via SimHash banding (NearDedup.simhashMd5Pairs): md5-bit
     * shingle simhash → 8×8-bit band candidate join → bit_count(xor) ≤ 7
     * verify. Unlike q_doc_fingerprint's xxhash64 simhash this one is
@@ -377,6 +399,7 @@ object LlmPack extends QueryPack {
     "q_dedup_near" -> dedupNear,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_cluster" -> dedupCluster,
+    "q_dedup_canonical" -> dedupCanonical,
     "q_dedup_simhash" -> dedupSimhash,
     "q_doc_fingerprint" -> docFingerprint,
     "q_text_stats" -> textStats,
@@ -505,6 +528,23 @@ object LlmPack extends QueryPack {
          |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node)
          |SELECT node AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // Same component closure, then anti-join the non-canonical members:
+    // a doc survives iff it is unclustered or its own cluster's label.
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+         |pr AS (SELECT a_id, b_id FROM j WHERE jaccard >= $Tau),
+         |e AS (SELECT a_id AS u, b_id AS v FROM pr
+         |      UNION ALL SELECT b_id, a_id FROM pr),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT u, u FROM e
+         |  UNION
+         |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node),
+         |cl AS (SELECT node AS doc_id, min(r) AS cluster_id
+         |       FROM reach GROUP BY node)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |WHERE cl.doc_id IS NULL OR cl.cluster_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // Raw integer sum() in DuckDB returns HUGEINT, which the driver's pandas
     // bridge materializes as float64 while Spark emits int64 — values equal,
     // hashes different. Every integer sum below is therefore CAST to BIGINT.

@@ -237,7 +237,68 @@ object PipelinePack extends QueryPack {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Temperature exponent for source mixing (GPT-3/Pile-style multinomial
+    * resampling: weight ∝ n^α, α < 1 upsamples small curated sources
+    * relative to bulk web text). Plan-time literal, mirrored in the
+    * oracle. */
+  private val MixAlpha = 0.7
+
+  /** B9+ source-mixing weights: per-source corpus mass reweighted as
+    * n_docs^α and normalized, plus each source's boost factor vs its
+    * natural frequency — the table a pipeline feeds its sampler. One
+    * vocabulary-bounded aggregate (sources are few); the normalizing
+    * total re-enters as a broadcast 1-row aggregate, so nothing corpus-
+    * sized is shuffled twice. Weights rounded to 6 decimals on both
+    * sides: pow() is libm-dependent across engines. */
+  def sourceMix(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val tot = per.agg(sum(pow(col("n_docs"), MixAlpha)).as("z"),
+      sum(col("n_docs")).as("n_total"))
+    val w = pow(col("n_docs"), MixAlpha) / col("z")
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        round(w, 6).as("weight"),
+        round(w / (col("n_docs").cast("double") / col("n_total")), 6).as("boost"))
+      .orderBy(col("source"))
+  }
+
+  /** B9+ PII detection/redaction (the compliance pass every shipped corpus
+    * runs): regex-find emails and IPv4 literals, count them per doc, and
+    * hash the redacted text. The fixture text is synthetic and PII-free,
+    * so the query view PLANTS deterministic spans derived from doc_id —
+    * the machinery under test (cross-engine regex find/replace semantics
+    * and the redacted-content hash) is real; the planted spans just
+    * guarantee non-trivial, varied coverage on any corpus slice. A pure
+    * narrow map with zero shuffles before the determinism sort — at
+    * 100 TB this is one scan. Counts cast to long (DuckDB len() is
+    * BIGINT); patterns avoid engine-specific regex syntax (no word
+    * boundaries, no lookaround) so Java and RE2 agree. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val planted = concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) =!= 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" host 10.0."), pmod(col("doc_id"), lit(250)),
+          lit(".1 and 192.168."), pmod(col("doc_id"), lit(200)), lit(".7")))
+        .otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(ipRe)).cast("long").as("n_ips"),
+        md5(regexp_replace(regexp_replace(col("t"), lit(emailRe), lit("<EMAIL>")),
+          lit(ipRe), lit("<IP>"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_mix" -> sourceMix,
+    "q_pii_redact" -> piiRedact,
     "q_sample_stratified" -> sampleStratified,
     "q_sample_weighted" -> sampleWeighted,
     "q_cap_per_source" -> capPerSource,
@@ -250,6 +311,33 @@ object PipelinePack extends QueryPack {
   private val tokSql = "string_split_regex(trim(text), '\\s+')"
 
   def oracles: Map[String, String] = Map(
+    "q_source_mix" ->
+      s"""WITH per AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT sum(pow(n_docs, $MixAlpha)) AS z,
+         |    CAST(sum(n_docs) AS BIGINT) AS n_total FROM per)
+         |SELECT source, n_docs, n_chars,
+         |round(pow(n_docs, $MixAlpha) / z, 6) AS weight,
+         |round((pow(n_docs, $MixAlpha) / z)
+         |  / (CAST(n_docs AS DOUBLE) / n_total), 6) AS boost
+         |FROM per, tot ORDER BY source""".stripMargin,
+    "q_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text ||
+        |  CASE WHEN doc_id % 3 <> 0
+        |       THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN ' host 10.0.' || (doc_id % 250) || '.1 and 192.168.'
+        |            || (doc_id % 200) || '.7' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |CAST(len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |md5(regexp_replace(regexp_replace(t,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_sample_weighted" -> {
       val weightRows = MixWeights.map { case (l, h) => s"('$l', '$h')" }.mkString(", ")
       s"""SELECT d.doc_id, d.lang, d.n_chars

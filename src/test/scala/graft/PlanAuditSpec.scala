@@ -136,6 +136,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dedup canonical: the corpus prune is a BROADCAST anti-join (the " +
+      "bounded loser list moves, the corpus never shuffles)") {
+    val p = plan(graft.operators.LlmPack.dedupCanonical(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"corpus prune is not a broadcast anti-join:\n$p")
+  }
+
+  test("pii redact is narrow: one scan, the only exchange is the determinism sort") {
+    val p = plan(graft.operators.PipelinePack.piiRedact(spark, sf0001))
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange (final sort), got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
+  test("source mix: one bounded aggregate, total re-enters as a broadcast") {
+    val p = plan(graft.operators.PipelinePack.sourceMix(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"normalizing total not broadcast:\n$p")
+    assert(p.contains("partial_count"), p) // map-side combine on the agg
+  }
+
   test("decontaminate: benchmark set broadcasts; training side aggregates map-side") {
     val p = plan(graft.operators.PipelinePack.decontaminate(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
