@@ -119,6 +119,42 @@ object IvfIndex {
     text.trim.split("\n").toSeq.map(_.split(",").toSeq.map(_.toDouble))
   }
 
+  /** Bulk kNN through the inverted file — [[topK]] for a probe SET in one
+    * pass: every probe row is scored only against its `nProbe` nearest
+    * cells' vectors, and the cell restriction reaches the FILE level via
+    * DYNAMIC partition pruning — the broadcast probe side's cell keys
+    * become a runtime partition filter on the cell-partitioned scan
+    * (`PartitionFilters: [dynamicpruning#…]`, asserted in AnnSpec), so the
+    * scan lists and reads only the union of probed cells. This is the
+    * production retrieval shape at 100 TB: probe set broadcast (the index
+    * never shuffles), I/O bounded by probed-cells/total, and the per-probe
+    * top-k as the k-bounded heap aggregate (never a window over N·P).
+    * Probe-to-cell assignment reuses the persisted centroids, so results
+    * are reopen-deterministic like `topK`. Pairs with vec_id == probe_id
+    * are excluded (corpus probes must not match themselves). */
+  def knnJoin(spark: SparkSession, path: String, probes: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nProbe: Int = 4): DataFrame = {
+    val centroids = loadCentroids(spark, path)
+    require(nProbe >= 1 && nProbe <= centroids.length,
+      s"nProbe=$nProbe outside 1..${centroids.length}")
+    val p = probes
+      .select(col(idCol).cast("long").as("probe_id"),
+        col(vecCol).cast("array<double>").as("p"))
+      .withColumn("np", VectorFns.l2norm(col("p")))
+      .withColumn("cell", explode(
+        org.apache.spark.sql.graft.VectorExprs.nearestCentroids(
+          col("p"), centroids, nProbe)))
+    val idx = spark.read.parquet(path)
+      .withColumn("nv", VectorFns.l2norm(col("v")))
+    val scored = idx.join(broadcast(p), "cell")
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorFns.dot(col("v"), col("p")) / (col("nv") * col("np")), 6)
+          .as("sim"))
+    SimilaritySearch.perProbeTopK(scored, k)
+  }
+
   /** Exact top-k cosine among the vectors of the probe's `nProbe` nearest
     * cells. The cell predicate is a partition filter — only those
     * directories' files are listed and read. `excludeId` drops one vec_id

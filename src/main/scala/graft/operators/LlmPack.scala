@@ -277,6 +277,25 @@ object LlmPack extends QueryPack {
       idCol = "vec_id", vecCol = "embedding", k = KnnK, dim = 64)
   }
 
+  /** B9 bulk ANN retrieval through the MATERIALIZED inverted file
+    * (IvfIndex.knnJoin) — the at-scale form of q_knn_join: each probe is
+    * scored only against its nProbe nearest cells, and the restriction
+    * reaches the file-listing level via DYNAMIC partition pruning (the
+    * broadcast probe side's cells become a runtime partition filter on the
+    * cell-partitioned scan). Index reuse follows q_sim_ivf
+    * (buildIfNeeded + fingerprint). No oracle (data-dependent centroids);
+    * AnnSpec asserts the DPP plan shape and measures recall vs the exact
+    * kNN join. */
+  def knnJoinIvf(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.stable(s, s"graft_ivf_${StoreDirs.pathKey(dir)}")
+    val emb = Tables.embeddings(s, dir)
+    IvfIndex.buildIfNeeded(emb, idCol = "vec_id", vecCol = "embedding",
+      path = store,
+      fingerprint = IvfIndex.inputFingerprint(s, s"$dir/embeddings.parquet"))
+    IvfIndex.knnJoin(s, store, emb.where(col("vec_id") < KnnProbes),
+      idCol = "vec_id", vecCol = "embedding", k = KnnK)
+  }
+
   /** B9 approximate similarity search: multi-table hyperplane LSH with
     * exact rerank. No oracle (plan-time literal planes aren't expressible
     * in portable SQL); AnnSpec measures recall on clustered data. */
@@ -411,6 +430,7 @@ object LlmPack extends QueryPack {
     "q_sim_topk" -> simTopk,
     "q_knn_join" -> knnJoin,
     "q_knn_join_lsh" -> knnJoinLshQ,
+    "q_knn_join_ivf" -> knnJoinIvf,
     "q_sim_ann" -> simAnn,
     "q_sim_ivf" -> simIvf,
     "q_lang_id" -> langId,

@@ -75,7 +75,7 @@ object SimilaritySearch {
 
   /** Shared kNN tail: per-probe top-k via the k-bounded heap aggregate,
     * exploded to (probe_id, rank, vec_id, sim) rows. */
-  private def perProbeTopK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def perProbeTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("probe_id"))
       .agg(org.apache.spark.sql.graft.TopKAggExprs

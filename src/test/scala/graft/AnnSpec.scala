@@ -199,6 +199,37 @@ class AnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("IVF bulk kNN join: dynamic partition pruning on the cell scan, " +
+      "per-probe recall vs the exact kNN join") {
+    import graft.operators.IvfIndex
+    val emb = clustered(10, 50).cache()
+    val path = java.nio.file.Files.createTempDirectory("ivf_knn").toString
+    IvfIndex.build(emb, "vec_id", "embedding", path, cells = 10, sampleN = 200)
+    val probes = emb.where(col("vec_id") < 8L)
+    val q = IvfIndex.knnJoin(spark, path, probes, "vec_id", "embedding",
+      k = 10, nProbe = 3)
+    val rows = q.collect()
+    // the probe side's cells reach the scan as a RUNTIME partition filter —
+    // file-level pruning for a probe SET, not just a single probe
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$plan")
+    // every probe gets exactly k ranked neighbors, none itself
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until 8L).toSet)
+    assert(byProbe.values.forall(_.length == 10))
+    assert(rows.forall(r => r.getLong(2) != r.getLong(0)))
+    // clustered data: the probed cells contain the true neighbors
+    val exact = SimilaritySearch.knnJoin(emb, probes, "vec_id", "embedding", k = 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (p, rs) => p -> rs.map(_.getLong(2)).toSet }
+    val recall = byProbe.map { case (p, rs) =>
+      exact(p).intersect(rs.map(_.getLong(2)).toSet).size / 10.0
+    }.sum / 8.0
+    assert(recall >= 0.7, s"mean per-probe recall $recall")
+    emb.unpersist()
+  }
+
   test("buildIfNeeded: unchanged input reuses the store; changed fingerprint rebuilds") {
     import graft.operators.{IvfIndex, StoreDirs}
     val emb = Tables.embeddings(spark, sf001)
