@@ -160,6 +160,41 @@ object PipelinePack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom capacity for decontaminateBloom, plan-time constants: sized for
+    * ~128k distinct benchmark shingles at 16 bits each (256 KiB filter,
+    * fpp ≈ 5e-4). At a real 100 TB deployment these scale with the
+    * benchmark suite — which stays MB-sized while the corpus grows, the
+    * asymmetry this operator exists to exploit. */
+  private val BloomItems = 1L << 17
+  private val BloomBits = 1L << 21
+
+  /** B9+ decontamination, Bloom scale path: the exact `decontaminate`
+    * broadcasts the benchmark's DISTINCT shingle set — fine while that set
+    * fits a broadcast, but it grows with the benchmark corpus. This
+    * variant compresses the benchmark side to a FIXED-size Bloom filter
+    * (one aggregate — partial filters build map-side and OR together),
+    * re-enters it as a SCALAR SUBQUERY (executed once, value inlined into
+    * every probing task — the only filter shape `might_contain` accepts),
+    * and probes INSIDE the training-side scan: no join at all on the big
+    * side, no false negatives (every true hit is counted), and a bounded
+    * false-positive inflation of n_hits (fpp ≈ 5e-4 here).
+    * No oracle by design — the FP set is implementation-defined sketch
+    * behavior; PipelinePackSpec bounds it against the exact key. */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.BloomExprs
+    val docs = Tables.documents(s, dir)
+    val bloom = docs.where(pmod(col("doc_id"), lit(BenchmarkEvery)) === 0)
+      .select(explode(TextFns.shingles3(col("text"))).as("sh"))
+      .agg(BloomExprs.bloomAgg(xxhash64(col("sh")), BloomItems, BloomBits).as("bf"))
+    docs.where(pmod(col("doc_id"), lit(BenchmarkEvery)) =!= 0)
+      .select(col("doc_id"), explode(TextFns.shingles3(col("text"))).as("sh"))
+      .where(BloomExprs.mightContain(BloomExprs.scalarSubquery(bloom),
+        xxhash64(col("sh"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** B9+ bigram vocabulary (n-gram LM / tokenizer-merge counts): every
     * adjacent token pair, counted corpus-wide with occurrence multiplicity
     * (unlike shingles3's per-doc distinct sets), top-20. Explode → hash agg
@@ -306,6 +341,7 @@ object PipelinePack extends QueryPack {
     "q_pack_sequences" -> packSequences,
     "q_chunk_overlap" -> chunkOverlap,
     "q_decontaminate" -> decontaminate,
+    "q_decontaminate_bloom" -> decontaminateBloom,
     "q_ngram_topk" -> ngramTopk)
 
   private val tokSql = "string_split_regex(trim(text), '\\s+')"

@@ -104,6 +104,27 @@ class PipelinePackSpec extends SparkSpec {
       s"benchmark side not broadcast:\n${out.queryExecution.executedPlan}")
   }
 
+  test("decontaminateBloom: superset of the exact hits with bounded FP inflation, " +
+      "no join on the training side") {
+    val exact = PipelinePack.decontaminate(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = PipelinePack.decontaminateBloom(spark, sf0001)
+    val bloom = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives: every exact hit survives with AT LEAST its count
+    exact.foreach { case (id, n) =>
+      assert(bloom.getOrElse(id, 0L) >= n, s"doc $id lost hits: ${bloom.get(id)} < $n")
+    }
+    // bounded false positives: at fpp ~5e-4 the total inflation stays tiny
+    val extra = bloom.values.sum - exact.values.sum
+    assert(extra <= math.max(2L, exact.values.sum / 10),
+      s"FP inflation $extra over ${exact.values.sum} exact hits")
+    // scale shape: the training side is filtered in-scan via the scalar-
+    // subquery Bloom probe — NO join anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
   test("ngramTopk equals the brute-force bigram count") {
     val got = PipelinePack.ngramTopk(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq

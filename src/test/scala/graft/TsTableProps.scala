@@ -81,6 +81,35 @@ class TsTableProps extends SparkSpec {
     }
   }
 
+  test("compactAll after random chunked appends is content-preserving and " +
+      "leaves one ts-sorted file per day") {
+    for (seed <- 40L to 42L) {
+      val offsets = sample(batchGen, seed)
+      val k = sample(Gen.chooseNum(2, 5), seed * 17)
+      val dir = Files.createTempDirectory("prop_cmp").toString
+      val tab = TsTable.create(spark, dir, schema)
+      offsets.grouped(math.max(1, offsets.size / k)).foreach { chunk =>
+        tab.append(mk(chunk)) // several appends → multi-file days
+      }
+      val before = tab.toDF.collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).sorted.toSeq
+      tab.compactAll(1)
+      val after = tab.toDF.collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).sorted.toSeq
+      assert(after == before, s"seed=$seed: compaction changed content")
+      // every day directory holds exactly one visible data file, ts-sorted
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("p_date="))
+        .foreach { day =>
+          val files = day.listFiles().filter(f =>
+            f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          assert(files.length == 1, s"seed=$seed ${day.getName}: ${files.length} files")
+          val ts = spark.read.parquet(files.head.toString)
+            .collect().map(_.getTimestamp(0).getTime).toSeq
+          assert(ts == ts.sorted, s"seed=$seed ${day.getName} not ts-sorted")
+        }
+    }
+  }
+
   test("any append reaching before the stored max is rejected") {
     for (seed <- 30L to 32L) {
       val offsets = sample(batchGen, seed).distinct
