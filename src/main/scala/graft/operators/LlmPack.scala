@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object LlmPack extends QueryPack {
 
-  private val Tau = 0.8 // near-dup Jaccard threshold (planted pairs ≥ 0.95, noise ≤ 0.06)
+  private[operators] val Tau = 0.8 // near-dup Jaccard threshold (planted pairs ≥ 0.95, noise ≤ 0.06)
 
   /** B9 exact dedup: group by sha2 of whitespace-normalized text, keep the
     * smallest doc_id as the representative. The hash itself never appears in
@@ -443,7 +443,7 @@ object LlmPack extends QueryPack {
   /** Shared CTE chain producing the exact all-pairs 3-gram-Jaccard scores
     * (`j`) — the oracle core for q_dedup_near / q_dedup_minhash and the
     * pair source for q_dedup_cluster's recursive component search. */
-  private val nearDupCtes =
+  private[operators] val nearDupCtes =
     s"""tk AS (SELECT doc_id, lang, $tokSql AS t FROM documents),
        |s AS (SELECT doc_id, lang,
        |        list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),

@@ -33,10 +33,13 @@ object PipelinePack extends QueryPack {
     * the honest cost of systematic spacing; at corpus scale prefer
     * `hashSample` (below) — fully parallel, no ordering — unless exact
     * systematic spacing is a requirement. */
+  /** The per-language keep-every-kth literal tree (shared by
+    * sampleStratified and corpusBuild). */
+  private def everyExpr: Column = SampleEvery.foldRight(lit(DefaultEvery): Column) {
+    case ((l, k), acc) => when(col("lang") === l, lit(k)).otherwise(acc)
+  }
+
   def sampleStratified(s: SparkSession, dir: String): DataFrame = {
-    val everyExpr: Column = SampleEvery.foldRight(lit(DefaultEvery)) {
-      case ((l, k), acc) => when(col("lang") === l, lit(k)).otherwise(acc)
-    }
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -64,7 +67,15 @@ object PipelinePack extends QueryPack {
     * expressions, zero shuffles before the determinism sort. Survivors
     * carry their signals so downstream stages (sampling, packing) can
     * stratify on them. */
-  def corpusFilter(s: SparkSession, dir: String): DataFrame = {
+  def corpusFilter(s: SparkSession, dir: String): DataFrame =
+    qualitySurvivors(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("uniq_ratio"), col("avg_tok_len"), col("dup_frac"))
+      .orderBy(col("doc_id"))
+
+  /** The quality gate's survivors with their signals, pre-sort — the
+    * shared core of corpusFilter and corpusBuild. */
+  private def qualitySurvivors(s: SparkSession, dir: String): DataFrame = {
     val tk = TextFns.tokens(col("text"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
@@ -82,8 +93,34 @@ object PipelinePack extends QueryPack {
       .where(col("uniq_ratio") >= 0.3 &&
         col("avg_tok_len").between(2.0, 14.0) &&
         col("dup_frac") <= 0.6)
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        col("uniq_ratio"), col("avg_tok_len"), col("dup_frac"))
+  }
+
+  /** B9+ the WHOLE corpus-construction pipeline as one declarative plan —
+    * quality gate → canonical dedup prune → stratified systematic sample —
+    * proving the operators compose the way a user would actually chain
+    * them, and that Catalyst fuses the chain instead of materializing
+    * stage boundaries. Plan shape: the quality predicates are narrow
+    * (inside the scan's codegen stage), the dedup losers enter as a
+    * BROADCAST anti-join (bounded by the duplicate count), and the only
+    * corpus-keyed exchange before the determinism sort is the per-language
+    * sampling window — so at 100 TB the composite costs ONE scan + one
+    * stratum exchange, not three pipeline passes. Oracle: the
+    * corpus-filter CTE ∧ NOT the recursive-closure losers, then the same
+    * sampling window. */
+  def corpusBuild(s: SparkSession, dir: String): DataFrame = {
+    val losers = NearDedup.clusterPairs(
+      NearDedup.minhashLsh(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text", partCol = "lang", tau = LlmPack.Tau,
+        materialize = Some(true)))
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    qualitySurvivors(s, dir)
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("every", everyExpr)
+      .where(pmod(col("rn"), col("every")) === 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -338,6 +375,7 @@ object PipelinePack extends QueryPack {
     "q_sample_weighted" -> sampleWeighted,
     "q_cap_per_source" -> capPerSource,
     "q_corpus_filter" -> corpusFilter,
+    "q_corpus_build" -> corpusBuild,
     "q_pack_sequences" -> packSequences,
     "q_chunk_overlap" -> chunkOverlap,
     "q_decontaminate" -> decontaminate,
@@ -427,6 +465,48 @@ object PipelinePack extends QueryPack {
          |WHERE uniq_ratio >= 0.3 AND avg_tok_len BETWEEN 2.0 AND 14.0
          |  AND dup_frac <= 0.6
          |ORDER BY doc_id""".stripMargin,
+    // The composite: quality CTE ∧ NOT the recursive-closure losers, then
+    // the same per-language systematic sampling window — each piece is
+    // verbatim from its standalone oracle, composed the way the Spark plan
+    // composes the operators.
+    "q_corpus_build" -> {
+      val rateRows = SampleEvery.map { case (l, k) => s"('$l', $k)" }.mkString(", ")
+      s"""WITH RECURSIVE ${LlmPack.nearDupCtes},
+         |pr AS (SELECT a_id, b_id FROM j WHERE jaccard >= ${LlmPack.Tau}),
+         |e AS (SELECT a_id AS u, b_id AS v FROM pr
+         |      UNION ALL SELECT b_id, a_id FROM pr),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT u, u FROM e
+         |  UNION
+         |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node),
+         |losers AS (SELECT node AS doc_id FROM reach
+         |           GROUP BY node HAVING min(r) <> node),
+         |q AS (SELECT doc_id, lang,
+         |  len($tokSql) AS n_tokens,
+         |  len(list_distinct($tokSql)) AS n_uniq,
+         |  list_sum(list_transform($tokSql, t -> length(t))) AS tok_chars,
+         |  greatest(len($tokSql) - 2, 0) AS n_tri,
+         |  len(list_distinct(list_transform(range(1, greatest(len($tokSql) - 1, 1)),
+         |    i -> $tokSql[i] || ' ' || $tokSql[i+1] || ' ' || $tokSql[i+2]))) AS n_tri_distinct
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang, n_tokens,
+         |  CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+         |  CAST(tok_chars AS DOUBLE) / n_tokens AS avg_tok_len,
+         |  CASE WHEN n_tri = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(n_tri_distinct AS DOUBLE) / n_tri END AS dup_frac
+         |  FROM q WHERE n_tokens BETWEEN 8 AND 2000),
+         |keep AS (SELECT f.doc_id, f.lang, f.n_tokens FROM f
+         |  LEFT JOIN losers l ON f.doc_id = l.doc_id
+         |  WHERE l.doc_id IS NULL
+         |    AND f.uniq_ratio >= 0.3 AND f.avg_tok_len BETWEEN 2.0 AND 14.0
+         |    AND f.dup_frac <= 0.6),
+         |r AS (SELECT keep.*, row_number() OVER (
+         |    PARTITION BY lang ORDER BY doc_id) AS rn FROM keep),
+         |k AS (SELECT r.*, coalesce(v.every, $DefaultEvery) AS every
+         |  FROM r LEFT JOIN (VALUES $rateRows) v(lang, every) ON r.lang = v.lang)
+         |SELECT doc_id, lang, n_tokens FROM k
+         |WHERE rn % every = 1 ORDER BY doc_id""".stripMargin
+    },
     "q_decontaminate" ->
       s"""WITH tk AS (SELECT doc_id, $tokSql AS t FROM documents),
          |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),

@@ -157,6 +157,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // map-side combine on the agg
   }
 
+  test("corpus build composite: losers broadcast-anti, and the corpus-keyed " +
+      "exchange budget is the stratum window + determinism sort") {
+    val df = graft.operators.PipelinePack.corpusBuild(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"dedup losers not a broadcast anti-join:\n$p")
+    // the quality→dedup→sample chain is FUSED: on the corpus side only the
+    // per-language window hash exchange and the final range sort remain
+    // (the loser pipeline's own exchanges are bounded by duplicates, not
+    // corpus, and don't touch the documents-scan branch downstream)
+    assert(p.contains("hashpartitioning(lang"), s"no stratum exchange:\n$p")
+    assert(p.contains("rangepartitioning"), s"no determinism sort:\n$p")
+  }
+
   test("decontaminate: benchmark set broadcasts; training side aggregates map-side") {
     val p = plan(graft.operators.PipelinePack.decontaminate(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
