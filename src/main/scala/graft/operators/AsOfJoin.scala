@@ -36,12 +36,25 @@ object AsOfJoin {
     *   The price is a `saltBuckets`× right-side replication — the right
     *   recipe when the left stream dwarfs the right (events vs orders,
     *   trades vs dimension updates). When both sides are huge AND hot, a
-    *   partitioned time-range merge is the answer, not salting. */
+    *   partitioned time-range merge is the answer, not salting.
+    * @param toleranceUs pandas `merge_asof(tolerance=…)` parity: a backward
+    *   match STALER than this many microseconds (left time − right time,
+    *   inclusive bound) is discarded — the row reverts to unmatched nulls.
+    *   Applied as a post-window null-out on the match struct, so the plan
+    *   shape (one union + one window) is unchanged.
+    * @param allowExactMatches pandas `merge_asof(allow_exact_matches=…)`
+    *   parity: false makes the bound STRICT (a right row at exactly the
+    *   left row's instant no longer matches). Implemented purely in the
+    *   tie-break rank: right rows sort AFTER left rows at the same instant
+    *   instead of before, so the running window at the left row excludes
+    *   them — zero extra plan cost. */
   def backward(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      saltBuckets: Int = 1): DataFrame = {
+      saltBuckets: Int = 1,
+      toleranceUs: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
 
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
@@ -63,21 +76,37 @@ object AsOfJoin {
     // null-keyed LEFT row — which Window.partitionBy would group with
     // null-keyed right rows — stays unmatched instead of picking one up.
     // Null-keyed/timed left rows are kept, unmatched (left-outer semantics).
+    // Right rows sort before left rows at the same instant (_side 0 < 1),
+    // so a right row at exactly t is visible to a left row at t
+    // ("at-or-before"). allowExactMatches=false flips the rank to AFTER
+    // (_side 2 > 1): the same running window then excludes same-instant
+    // rights, making the bound strict — the whole option costs one literal.
+    val rSide = if (allowExactMatches) 0 else 2
     val rTagged = right
       .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .select(
         col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
-        lit(0).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+        lit(rSide).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
 
-    // Right rows sort before left rows at the same instant (_side 0 < 1), so
-    // a right row at exactly t is visible to a left row at t ("at-or-before").
+    // Tolerance null-out, post-window: the match struct reverts to null
+    // when staler than toleranceUs. Keeps the single-window plan.
+    def applyTolerance(df: DataFrame): DataFrame = toleranceUs match {
+      case None => df
+      case Some(us) => df.withColumn("_m",
+        when(col("_m").isNotNull &&
+          unix_micros(col("_t")) -
+            unix_micros(col("_m").getField(rightTime).cast("timestamp")) <= us,
+          col("_m")).otherwise(lit(null).cast(rType)))
+    }
+
     if (saltBuckets == 1) {
       val w = Window.partitionBy(col("_k"))
         .orderBy(col("_t").asc, col("_side").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      lTagged.unionByName(rTagged)
-        .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
-        .where(col("_side") === 1)
+      applyTolerance(
+        lTagged.unionByName(rTagged)
+          .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+          .where(col("_side") === 1))
         .select(col("_l.*"), col("_m.*"))
     } else {
       // Deterministic left spread (hash of the row's own time — stable
@@ -89,9 +118,10 @@ object AsOfJoin {
       val w = Window.partitionBy(col("_k"), col("_salt"))
         .orderBy(col("_t").asc, col("_side").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      lSalted.unionByName(rSalted)
-        .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
-        .where(col("_side") === 1)
+      applyTolerance(
+        lSalted.unionByName(rSalted)
+          .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+          .where(col("_side") === 1))
         .select(col("_l.*"), col("_m.*"))
     }
   }

@@ -362,6 +362,28 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** B3 as-of join with a match-staleness bound (pandas
+    * `merge_asof(tolerance=…)` parity — the missing knob of the as-of
+    * family): each purchase picks up the user's latest view at-or-before
+    * it, but a view staler than 48 h is discarded (null columns) — the
+    * staleness guard every tick-enrichment pipeline wants. The 48 h bound
+    * splits the fixture roughly in half (median staleness ≈ 34 h), so both
+    * outcomes are exercised. Oracle: DuckDB ASOF LEFT JOIN + the same
+    * µs-difference null-out. */
+  def asofJoinTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOfJoin.backward(p, v, leftKey = "user_id", rightKey = "v_user",
+        leftTime = "ts", rightTime = "v_ts",
+        toleranceUs = Some(48L * 3600 * 1000000))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("v_ts")).as("view_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** B3 as-of join through the custom partitioned-merge operator
     * (org.apache.spark.sql.graft.BackwardAsOf — logical node + strategy +
     * streaming-merge exec): same semantics and ORACLE as q_asof_join, but
@@ -456,6 +478,7 @@ object TimeSeriesPack extends QueryPack {
     "q_window_ewma" -> windowEwma,
     "q_window_delta" -> windowDelta,
     "q_asof_join" -> asofJoin,
+    "q_asof_join_tol" -> asofJoinTolerance,
     "q_asof_join_merged" -> asofJoinMerged,
     "q_asof_join_fwd" -> asofJoinForward,
     "q_asof_join_nearest" -> asofJoinNearest,
@@ -620,6 +643,19 @@ object TimeSeriesPack extends QueryPack {
         |lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
         |FROM e ORDER BY event_id""".stripMargin,
     "q_asof_join" -> asofOracleSql,
+    "q_asof_join_tol" ->
+      """WITH v AS (SELECT user_id AS v_user, date_trunc('microseconds', ts) AS v_ts
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS p_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT p.event_id, p.user_id, p.p_ts, v.v_ts
+        |      FROM p ASOF LEFT JOIN v
+        |        ON p.user_id = v.v_user AND p.p_ts >= v.v_ts)
+        |SELECT event_id, user_id,
+        |CASE WHEN v_ts IS NOT NULL
+        |       AND epoch_us(p_ts) - epoch_us(v_ts) <= 172800000000
+        |     THEN epoch_us(v_ts) END AS view_ts_us
+        |FROM m ORDER BY event_id""".stripMargin,
     "q_asof_join_merged" -> asofOracleSql, // same semantics, custom-exec plan
     "q_asof_join_fwd" ->
       """WITH v AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts

@@ -38,6 +38,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(1).getTimestamp(4) == t("2024-01-01 12:00:00"))
   }
 
+  test("backward as-of: tolerance nulls stale matches; allowExactMatches=false " +
+      "makes the bound strict (pandas merge_asof parity)") {
+    val left = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 10L, t("2024-01-01 10:00:00")), // 30 min stale → in tolerance
+      Row(2L, 10L, t("2024-01-01 14:00:00")), // 2 h stale → out of tolerance
+      Row(3L, 10L, t("2024-01-01 12:00:00")) // exact-instant right row exists
+    )), lSchema)
+    val right = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(10L, t("2024-01-01 09:30:00"), 1.0),
+      Row(10L, t("2024-01-01 12:00:00"), 2.0)
+    )), rSchema)
+    val tol = AsOfJoin.backward(left, right, "k", "rk", "t", "rt",
+        toleranceUs = Some(3600L * 1000000)) // 1 hour
+      .orderBy("l_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(5)))).toSeq
+    // l_id=2's backward match (12:00) is 2 h stale → nulled; the exact-
+    // instant match for l_id=3 is 0 stale → kept (inclusive bound)
+    assert(tol == Seq((1L, Some(1.0)), (2L, None), (3L, Some(2.0))), tol.toString)
+    val strict = AsOfJoin.backward(left, right, "k", "rk", "t", "rt",
+        allowExactMatches = false)
+      .orderBy("l_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(5)))).toSeq
+    // strict bound: l_id=3 no longer sees the 12:00 right row, falls back
+    // to the 09:30 one; at-or-before rows elsewhere are unaffected
+    assert(strict == Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(1.0))),
+      strict.toString)
+  }
+
   test("forward as-of: earliest at-or-after per key, exact ties match, nulls when none") {
     val left = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
       Row(1L, 10L, t("2024-01-01 10:00:00")), // between right rows → next one
