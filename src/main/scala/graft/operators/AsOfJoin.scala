@@ -138,7 +138,9 @@ object AsOfJoin {
   def forward(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      toleranceUs: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
 
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column overlap not supported: $overlap")
@@ -154,22 +156,33 @@ object AsOfJoin {
     val lTagged = left.select(
       col(leftKey).as("_k"), col(leftTime).cast("timestamp").as("_t"),
       lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rType).as("_r"))
+    // Left rows sort before right rows at the same instant (_side desc:
+    // 1 before 0), so a right row at exactly t stays inside a left row's
+    // forward frame. allowExactMatches=false flips the right rank to 2
+    // (desc: BEFORE the left row), pushing same-instant rights out of the
+    // frame — strict bound at the cost of one literal, mirroring backward.
+    val rSide = if (allowExactMatches) 0 else 2
     val rTagged = right
       .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .select(
         col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
-        lit(0).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+        lit(rSide).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
 
-    // Left rows sort before right rows at the same instant (_side desc:
-    // 1 before 0), so a right row at exactly t stays inside a left row's
-    // forward frame.
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_side").desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    lTagged.unionByName(rTagged)
+    val joined = lTagged.unionByName(rTagged)
       .withColumn("_m", first(col("_r"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
-      .select(col("_l.*"), col("_m.*"))
+    val bounded = toleranceUs match {
+      case None => joined
+      case Some(us) => joined.withColumn("_m",
+        when(col("_m").isNotNull &&
+          unix_micros(col("_m").getField(rightTime).cast("timestamp")) -
+            unix_micros(col("_t")) <= us,
+          col("_m")).otherwise(lit(null).cast(rType)))
+    }
+    bounded.select(col("_l.*"), col("_m.*"))
   }
 
   /** Nearest as-of join — `pandas.merge_asof(direction='nearest')`: for each
@@ -186,7 +199,9 @@ object AsOfJoin {
   def nearest(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      toleranceUs: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
 
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column overlap not supported: $overlap")
@@ -212,24 +227,47 @@ object AsOfJoin {
     val lTagged = left.select(
       col(leftKey).as("_k"), col(leftTime).cast("timestamp").as("_t"),
       lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rCarry).as("_r"))
+    // allowExactMatches=false needs same-instant rights OUT of both frames,
+    // and one shared ordering cannot put a right row simultaneously after
+    // the left (backward exclusion) and before it (forward exclusion). So
+    // the strict case ranks rights AFTER lefts (side 2) and gives the two
+    // frames DIFFERENT side tie-orders: backward keeps asc (same-instant
+    // rights fall outside at-or-before), forward flips to desc (they sort
+    // before the left row, outside current-and-following). Same hash
+    // partitioning → one exchange; the second ordering adds a sort only in
+    // the strict case.
+    val rSide = if (allowExactMatches) 0 else 2
     val rTagged = right
       .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .select(
         col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
-        lit(0).as("_side"), lit(null).cast(lType).as("_l"),
+        lit(rSide).as("_side"), lit(null).cast(lType).as("_l"),
         struct(col(rightTime).cast("timestamp").as("t"), rStruct.as("p")).as("_r"))
 
-    val base = Window.partitionBy(col("_k"))
+    val wb = Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_side").asc)
-    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc,
+        if (allowExactMatches) col("_side").asc else col("_side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     // Distances in exact integer micros; <= prefers the backward match on
     // equal distance (pinned semantics, mirrored in every oracle).
+    // Tolerance applies arithmetically to each side's candidate.
     val tUs = unix_micros(col("_t"))
+    val distB = tUs - unix_micros(col("_b")("t"))
+    val distF = unix_micros(col("_f")("t")) - tUs
+    def eligible(c: Column, d: Column): Column =
+      toleranceUs match {
+        case None => c
+        case Some(us) => when(c.isNotNull && d <= us, c)
+      }
     lTagged.unionByName(rTagged)
       .withColumn("_b", last(col("_r"), ignoreNulls = true).over(wb))
       .withColumn("_f", first(col("_r"), ignoreNulls = true).over(wf))
       .where(col("_side") === 1)
+      .withColumn("_b", eligible(col("_b"), distB))
+      .withColumn("_f", eligible(col("_f"), distF))
       .withColumn("_m",
         when(col("_f").isNull, col("_b"))
           .when(col("_b").isNull, col("_f"))

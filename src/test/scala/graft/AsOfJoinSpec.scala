@@ -85,6 +85,40 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(0).getTimestamp(4) == t("2024-01-01 11:00:00"))
   }
 
+  test("forward/nearest parity knobs: tolerance nulls far matches, strict bound " +
+      "skips exact-instant rows") {
+    val left = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 10L, t("2024-01-01 10:00:00")), // next right 30 min ahead
+      Row(2L, 10L, t("2024-01-01 07:00:00")), // next right 3.5 h ahead
+      Row(3L, 10L, t("2024-01-01 12:00:00")) // exact-instant right exists
+    )), lSchema)
+    val right = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(10L, t("2024-01-01 10:30:00"), 1.0),
+      Row(10L, t("2024-01-01 12:00:00"), 2.0)
+    )), rSchema)
+    val fwdTol = AsOfJoin.forward(left, right, "k", "rk", "t", "rt",
+        toleranceUs = Some(3600L * 1000000))
+      .orderBy("l_id").collect().map(r => (r.getLong(0), Option(r.get(5)))).toSeq
+    assert(fwdTol == Seq((1L, Some(1.0)), (2L, None), (3L, Some(2.0))), fwdTol.toString)
+    val fwdStrict = AsOfJoin.forward(left, right, "k", "rk", "t", "rt",
+        allowExactMatches = false)
+      .orderBy("l_id").collect().map(r => (r.getLong(0), Option(r.get(5)))).toSeq
+    // l_id=3 skips the same-instant 12:00 row; nothing lies beyond → null
+    assert(fwdStrict == Seq((1L, Some(1.0)), (2L, Some(1.0)), (3L, None)),
+      fwdStrict.toString)
+    val nearTol = AsOfJoin.nearest(left, right, "k", "rk", "t", "rt",
+        toleranceUs = Some(3600L * 1000000))
+      .orderBy("l_id").collect().map(r => (r.getLong(0), Option(r.get(5)))).toSeq
+    // l_id=2's nearest (10:30, 3.5 h away) is out of tolerance → null
+    assert(nearTol == Seq((1L, Some(1.0)), (2L, None), (3L, Some(2.0))), nearTol.toString)
+    val nearStrict = AsOfJoin.nearest(left, right, "k", "rk", "t", "rt",
+        allowExactMatches = false)
+      .orderBy("l_id").collect().map(r => (r.getLong(0), Option(r.get(5)))).toSeq
+    // l_id=3 may not take the distance-0 row; nearest OTHER row is 10:30
+    assert(nearStrict == Seq((1L, Some(1.0)), (2L, Some(1.0)), (3L, Some(1.0))),
+      nearStrict.toString)
+  }
+
   test("nearest as-of: closer side wins, exact tie resolves backward, one window exchange") {
     val left = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
       Row(1L, 10L, t("2024-01-01 10:00:00")), // 30 min back vs 60 min fwd → backward
