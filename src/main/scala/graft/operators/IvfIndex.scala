@@ -119,6 +119,27 @@ object IvfIndex {
     text.trim.split("\n").toSeq.map(_.split(",").toSeq.map(_.toDouble))
   }
 
+  /** Incremental add: assign NEW vectors to the EXISTING centroids and
+    * append them into their cells' directories — no retrain, no rewrite of
+    * any existing file. This is how a production inverted file absorbs a
+    * growing corpus: the coarse quantizer stays frozen (standard IVF
+    * practice — retrain only when drift measurably degrades recall, which
+    * is an offline decision), appended vectors are immediately visible to
+    * every probe because probes read whole cell directories, and the cost
+    * is one scan of the NEW data plus one partitioned write. Passing the
+    * new input's fingerprint keeps `buildIfNeeded` from triggering a full
+    * rebuild on the next call. */
+  def append(emb: DataFrame, idCol: String, vecCol: String, path: String,
+             fingerprint: Option[String] = None): Unit = {
+    val spark = emb.sparkSession
+    val centroids = loadCentroids(spark, path)
+    emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell",
+        org.apache.spark.sql.graft.VectorExprs.nearestCentroids(col("v"), centroids, 1)(0))
+      .write.mode("append").partitionBy("cell").parquet(path)
+    fingerprint.foreach(fp => writeSidecar(spark, path, FingerprintFile, fp))
+  }
+
   /** Bulk kNN through the inverted file — [[topK]] for a probe SET in one
     * pass: every probe row is scored only against its `nProbe` nearest
     * cells' vectors, and the cell restriction reaches the FILE level via

@@ -230,6 +230,42 @@ class AnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("IVF incremental append: new vectors land in frozen-quantizer cells, " +
+      "immediately probe-visible, existing files untouched") {
+    import graft.operators.IvfIndex
+    val emb = clustered(10, 50).cache()
+    val first = emb.where(col("vec_id") < 250L)
+    val rest = emb.where(col("vec_id") >= 250L)
+    val path = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    IvfIndex.build(first, "vec_id", "embedding", path, cells = 10, sampleN = 200)
+    def dataFiles() = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .flatMap(_.listFiles()).filter(_.getName.startsWith("part-"))
+      .map(f => f.toString -> f.lastModified()).toMap
+    val before = dataFiles()
+    IvfIndex.append(rest, "vec_id", "embedding", path)
+    val after = dataFiles()
+    // append-only: every pre-existing file survives byte-identical (mtime)
+    before.foreach { case (f, m) =>
+      assert(after.get(f).contains(m), s"existing file rewritten: $f")
+    }
+    assert(after.size > before.size, "append produced no new files")
+    // an appended vector is its own nearest neighbor through the index
+    val probe = emb.where(col("vec_id") === 400L)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val got = IvfIndex.topK(spark, path, probe, k = 5, nProbe = 3, excludeId = -1L)
+      .collect().map(_.getLong(0))
+    assert(got.head == 400L, s"appended vector not retrieved first: ${got.toSeq}")
+    // and probes of old vectors still see a pruned (not full) scan
+    val q = IvfIndex.topK(spark, path, probe, k = 5, nProbe = 3)
+    q.collect()
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+    assert(scanned > 0 && scanned < after.size,
+      s"scanned $scanned of ${after.size} files after append")
+    emb.unpersist()
+  }
+
   test("buildIfNeeded: unchanged input reuses the store; changed fingerprint rebuilds") {
     import graft.operators.{IvfIndex, StoreDirs}
     val emb = Tables.embeddings(spark, sf001)
