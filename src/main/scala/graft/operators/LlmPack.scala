@@ -183,6 +183,34 @@ object LlmPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** B9 per-document token entropy (Shannon, bits) — the information-
+    * density quality signal: templated/repetitive text scores low, varied
+    * prose high; trainers gate on it alongside dup_frac. Entirely
+    * higher-order functions over the token array (distinct tokens →
+    * per-token probability → −Σ p·ln p / ln 2), so it is a pure per-row
+    * scan — zero shuffles before the determinism sort, same 100 TB shape
+    * as the other quality signals. The nested count-per-distinct-token
+    * scan is O(n·u) per doc (u = distinct tokens) — fine for natural text
+    * where u ≪ n or n is bounded by the corpus filter. Rounded to 6
+    * decimals on both sides: ln() is libm-dependent and the summation
+    * order over the distinct set differs between engines (float error
+    * ~1e-15, far under the rounding grid). */
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextFns.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tk.as("t"), size(tk).as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        round(
+          -aggregate(
+            transform(array_distinct(col("t")),
+              u => size(filter(col("t"), x => x === u)).cast("double") /
+                col("n_tokens").cast("double")),
+            lit(0.0), (acc, p) => acc + p * log(p)) / log(lit(2.0)),
+          6).as("token_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** B9 salient-term extraction — the doc-term-matrix workflow (explode →
     * per-doc tf, vocabulary-bounded df, join, per-doc top-k): each doc's 3
     * most distinctive tokens. Scoring is tf·(N/df) with a RAW inverse
@@ -424,6 +452,7 @@ object LlmPack extends QueryPack {
     "q_text_stats" -> textStats,
     "q_quality_score" -> qualityScore,
     "q_quality_repetition" -> qualityRepetition,
+    "q_token_entropy" -> tokenEntropy,
     "q_token_topk" -> tokenTopk,
     "q_vocab_coverage" -> vocabCoverage,
     "q_tfidf_terms" -> tfidfTerms,
@@ -592,6 +621,15 @@ object LlmPack extends QueryPack {
          |0.4 * uniq_ratio + 0.3 * (1.0 - stop_ratio)
          |  + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS score
          |FROM r ORDER BY doc_id""".stripMargin,
+    "q_token_entropy" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |e AS (SELECT doc_id, len(t) AS n_tokens,
+         |  round(-list_sum(list_transform(list_distinct(t),
+         |    u -> (CAST(len(list_filter(t, x -> x = u)) AS DOUBLE) / len(t))
+         |         * ln(CAST(len(list_filter(t, x -> x = u)) AS DOUBLE) / len(t))))
+         |    / ln(2), 6) AS token_entropy
+         |  FROM tk WHERE len(t) > 0)
+         |SELECT doc_id, n_tokens, token_entropy FROM e ORDER BY doc_id""".stripMargin,
     "q_quality_repetition" ->
       s"""WITH tk AS (SELECT doc_id, lang, $tokSql AS t FROM documents),
          |g AS (SELECT doc_id, lang,
