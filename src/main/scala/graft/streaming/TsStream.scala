@@ -284,7 +284,8 @@ object TsStream {
     * replay with a flush sentinel. */
   def asOfBackwardStream(left: Dataset[KeyedPoint], right: Dataset[KeyedPoint],
                          watermark: String = "1 hour",
-                         idleHorizonMs: Long = 3600000L): Dataset[PointAsOf] = {
+                         idleHorizonMs: Long = 3600000L,
+                         toleranceUs: Option[Long] = None): Dataset[PointAsOf] = {
     import left.sparkSession.implicits._
     def us(t: java.sql.Timestamp): Long =
       (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
@@ -293,14 +294,22 @@ object TsStream {
       t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
       t
     }
-    /** Largest right at-or-before `t` in the ascending run, if any. */
+    /** Largest right at-or-before `t` in the ascending run, if any; a match
+      * staler than `toleranceUs` is discarded (pandas merge_asof tolerance,
+      * matching AsOfJoin.backward's knob). The STATE is unaffected — the
+      * prune-to-latest floor keeps the newest older right regardless, and
+      * tolerance only nulls at emission time. */
     def matchFor(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] = {
       var lo = 0; var hi = rights.length - 1; var best = -1
       while (lo <= hi) {
         val mid = (lo + hi) >>> 1
         if (rights(mid)._1 <= t) { best = mid; lo = mid + 1 } else hi = mid - 1
       }
-      if (best < 0) None else Some(rights(best))
+      if (best < 0) None
+      else toleranceUs match {
+        case Some(us) if t - rights(best)._1 > us => None
+        case _ => Some(rights(best))
+      }
     }
     val tagged = left.map(p => AsOfTagged(p.key, p.ts, 1, p.value))
       .union(right.map(p => AsOfTagged(p.key, p.ts, 0, p.value)))

@@ -40,6 +40,10 @@ class TsStreamProps extends SparkSpec {
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(seed * 7919L)
       val wmMin = Seq(1, 5, 30)(rnd.nextInt(3))
+      // random staleness bound (None = unbounded): the streaming tolerance
+      // knob must agree with AsOfJoin.backward's on every scenario
+      val tolUs = Seq(None, Some(30L * 60 * 1000000), Some(90L * 60 * 1000000))(
+        rnd.nextInt(3))
       val nKeys = 20
       var ctr = 0
       val lefts = scala.collection.mutable.ArrayBuffer.empty[KeyedPoint]
@@ -63,7 +67,7 @@ class TsStreamProps extends SparkSpec {
       val want = graft.operators.AsOfJoin.backward(
           lefts.toSeq.toDF("key", "ts", "value"),
           rights.toSeq.toDF("rkey", "rts", "rvalue"),
-          "key", "rkey", "ts", "rts")
+          "key", "rkey", "ts", "rts", toleranceUs = tolUs)
         .select($"key", unix_micros($"ts").as("us"), $"value",
           unix_micros($"rts").as("rus"), $"rvalue")
         .collect().map(_.toSeq).toSet
@@ -71,7 +75,8 @@ class TsStreamProps extends SparkSpec {
       val msL = MemoryStream[KeyedPoint]
       val msR = MemoryStream[KeyedPoint]
       val q = TsStream.asOfBackwardStream(msL.toDS(), msR.toDS(),
-          watermark = s"$wmMin minutes", idleHorizonMs = 24L * 3600 * 1000)
+          watermark = s"$wmMin minutes", idleHorizonMs = 24L * 3600 * 1000,
+          toleranceUs = tolUs)
         .select($"key", unix_micros($"ts").as("us"), $"value",
           unix_micros($"r_ts").as("rus"), $"r_value".as("rvalue"))
         .writeStream.format("memory").queryName(s"asof_prop_$seed")
@@ -101,7 +106,7 @@ class TsStreamProps extends SparkSpec {
         val got = spark.table(s"asof_prop_$seed")
           .where($"key" >= 0).collect().map(_.toSeq).toSet
         assert(got == want,
-          s"seed=$seed wm=${wmMin}m: missing=${(want -- got).take(5)} " +
+          s"seed=$seed wm=${wmMin}m tol=$tolUs: missing=${(want -- got).take(5)} " +
             s"extra=${(got -- want).take(5)}")
       } finally q.stop()
     }
