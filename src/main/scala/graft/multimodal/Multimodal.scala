@@ -69,10 +69,15 @@ object Multimodal {
   /** PNG/JPEG/GIF decode via `javax.imageio` (in-JDK, headless-safe): true
     * dims + the SAME 16-bin BT.601 integer-luminance histogram as the BMP
     * arm, so a pixel-identical image produces identical features in either
-    * container. Bulk `getRGB` keeps it one array pass, no per-pixel JNI. */
+    * container. Bulk `getRGB` keeps it one array pass, no per-pixel JNI.
+    * A payload that matches an image magic but fails to decode (truncated
+    * file, unsupported JPEG variant) falls back to `decodeStub` instead of
+    * failing the task — a corrupt asset must not abort a 100 TB featurize
+    * job, and the stub keeps the documented every-payload-flows contract. */
   private[multimodal] def decodeImageIo(p: Array[Byte]): (Int, Int, Array[Float]) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-    require(img != null, "ImageIO failed to decode a payload that matched an image magic")
+    val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return decodeStub(p)
     val w = img.getWidth
     val h = img.getHeight
     val rgb = img.getRGB(0, 0, w, h, null, 0, w)

@@ -57,6 +57,8 @@ object AsOfJoin {
       allowExactMatches: Boolean = true): DataFrame = {
 
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    require(toleranceUs.forall(_ >= 0),
+      s"toleranceUs must be non-negative, got $toleranceUs")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column overlap not supported: $overlap")
     val reserved = Set("_k", "_t", "_side", "_l", "_r", "_m", "_salt")
@@ -142,6 +144,8 @@ object AsOfJoin {
       toleranceUs: Option[Long] = None,
       allowExactMatches: Boolean = true): DataFrame = {
 
+    require(toleranceUs.forall(_ >= 0),
+      s"toleranceUs must be non-negative, got $toleranceUs")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column overlap not supported: $overlap")
     val reserved = Set("_k", "_t", "_side", "_l", "_r", "_m")
@@ -182,7 +186,14 @@ object AsOfJoin {
             unix_micros(col("_t")) <= us,
           col("_m")).otherwise(lit(null).cast(rType)))
     }
-    bounded.select(col("_l.*"), col("_m.*"))
+    // A null-timed left row must stay unmatched (backward's documented
+    // invariant): nulls sort FIRST under the ascending ordering, so its
+    // forward frame would otherwise span the whole partition and "match"
+    // the earliest right row.
+    bounded
+      .withColumn("_m",
+        when(col("_t").isNotNull, col("_m")).otherwise(lit(null).cast(rType)))
+      .select(col("_l.*"), col("_m.*"))
   }
 
   /** Nearest as-of join — `pandas.merge_asof(direction='nearest')`: for each
@@ -203,6 +214,8 @@ object AsOfJoin {
       toleranceUs: Option[Long] = None,
       allowExactMatches: Boolean = true): DataFrame = {
 
+    require(toleranceUs.forall(_ >= 0),
+      s"toleranceUs must be non-negative, got $toleranceUs")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column overlap not supported: $overlap")
     val reserved = Set("_k", "_t", "_side", "_l", "_r", "_b", "_f", "_m")
@@ -274,6 +287,10 @@ object AsOfJoin {
           .when(tUs - unix_micros(col("_b")("t")) <=
             unix_micros(col("_f")("t")) - tUs, col("_b"))
           .otherwise(col("_f")))
+      // null-timed left rows stay unmatched (see forward): their forward
+      // frame spans the partition under nulls-first ordering
+      .withColumn("_m",
+        when(col("_t").isNotNull, col("_m")).otherwise(lit(null).cast(rCarry)))
       .select(col("_l.*"), col("_m.p.*"))
   }
 

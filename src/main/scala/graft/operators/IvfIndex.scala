@@ -43,7 +43,9 @@ object IvfIndex {
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val f = it.next()
-      entries += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+      // full URI, not just the base name: a part file moving between
+      // subdirectories (same name/length/mtime) must change the digest
+      entries += s"${f.getPath.toUri}:${f.getLen}:${f.getModificationTime}"
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(inputPath.getBytes("UTF-8"))
@@ -83,11 +85,16 @@ object IvfIndex {
                     fingerprint: String, cells: Int = 16, sampleN: Int = 512,
                     iters: Int = 5): Boolean = {
     val spark = emb.sparkSession
+    // The stored fingerprint covers the BUILD PARAMETERS too: a store built
+    // with different cells/sampleN/iters (or columns) must not be reused —
+    // the caller's nProbe bounds and recall expectations assume its own
+    // parameters.
+    val full = s"$fingerprint:$idCol:$vecCol:c$cells:s$sampleN:i$iters"
     val current = readSidecar(spark, path, FingerprintFile)
-    if (current.contains(fingerprint)) false
+    if (current.contains(full)) false
     else {
       build(emb, idCol, vecCol, path, cells, sampleN, iters)
-      writeSidecar(spark, path, FingerprintFile, fingerprint)
+      writeSidecar(spark, path, FingerprintFile, full)
       true
     }
   }
@@ -137,7 +144,13 @@ object IvfIndex {
       .withColumn("cell",
         org.apache.spark.sql.graft.VectorExprs.nearestCentroids(col("v"), centroids, 1)(0))
       .write.mode("append").partitionBy("cell").parquet(path)
-    fingerprint.foreach(fp => writeSidecar(spark, path, FingerprintFile, fp))
+    // keep the stored fingerprint's parameter suffix (input digests are hex,
+    // colon-free) so buildIfNeeded's composed format stays consistent
+    fingerprint.foreach { fp =>
+      val suffix = readSidecar(spark, path, FingerprintFile)
+        .map(_.dropWhile(_ != ':')).getOrElse("")
+      writeSidecar(spark, path, FingerprintFile, fp + suffix)
+    }
   }
 
   /** Bulk kNN through the inverted file — [[topK]] for a probe SET in one

@@ -78,12 +78,8 @@ object LlmPack extends QueryPack {
     * Oracle: the q_dedup_cluster recursive-CTE closure + the same
     * anti-join in SQL. */
   def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
-    val clusters = NearDedup.clusterPairs(
-      NearDedup.minhashLsh(Tables.documents(s, dir),
-        idCol = "doc_id", textCol = "text", partCol = "lang", tau = Tau,
-        materialize = Some(true)))
-    val losers = clusters.where(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id"))
+    val losers = NearDedup.canonicalLosers(Tables.documents(s, dir),
+      idCol = "doc_id", textCol = "text", partCol = "lang", tau = Tau)
     Tables.documents(s, dir)
       .join(broadcast(losers), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))

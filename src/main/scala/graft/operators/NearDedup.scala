@@ -429,6 +429,20 @@ object NearDedup {
     }
   }
 
+  /** The docs a canonical dedup DROPS: every clustered doc that is not its
+    * own cluster's (min-id) label — minhash pairs → connected components →
+    * non-canonical members. Shared by LlmPack.dedupCanonical and
+    * PipelinePack.corpusBuild so the pair generator, τ handling, and label
+    * convention cannot drift between them; the result is bounded by the
+    * duplicate count, which is what lets callers broadcast it into a
+    * LeftAnti join against the full corpus. */
+  def canonicalLosers(docs: DataFrame, idCol: String, textCol: String,
+                      partCol: String, tau: Double): DataFrame =
+    clusterPairs(
+      minhashLsh(docs, idCol, textCol, partCol, tau, materialize = Some(true)))
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+
   /** Driver-local connected components: union-find with union-by-min-id, so
     * each component's root — hence its label — is its smallest member,
     * exactly matching the distributed min-label fixpoint. */

@@ -108,12 +108,8 @@ object PipelinePack extends QueryPack {
     * corpus-filter CTE ∧ NOT the recursive-closure losers, then the same
     * sampling window. */
   def corpusBuild(s: SparkSession, dir: String): DataFrame = {
-    val losers = NearDedup.clusterPairs(
-      NearDedup.minhashLsh(Tables.documents(s, dir),
-        idCol = "doc_id", textCol = "text", partCol = "lang", tau = LlmPack.Tau,
-        materialize = Some(true)))
-      .where(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id"))
+    val losers = NearDedup.canonicalLosers(Tables.documents(s, dir),
+      idCol = "doc_id", textCol = "text", partCol = "lang", tau = LlmPack.Tau)
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
     qualitySurvivors(s, dir)
       .join(broadcast(losers), Seq("doc_id"), "left_anti")

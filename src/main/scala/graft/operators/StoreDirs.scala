@@ -36,13 +36,29 @@ object StoreDirs {
     * advice), so every scratch path is namespaced under a per-process dir. */
   private val sessionTag: String = java.util.UUID.randomUUID().toString.take(8)
 
+  /** Orphan namespaces older than this are swept on first use: deleteOnExit
+    * cannot run when a JVM dies uncleanly (OOM kill, CI timeout), and the
+    * next process gets a fresh tag, so crashed runs would otherwise leak
+    * their stores forever. One day is far beyond any session length here
+    * while still bounding the leak to a single crashed run's footprint. */
+  private val OrphanSweepAgeMs: Long = 24L * 3600 * 1000
+
   /** The per-process namespace under `root`; created on first use and
     * registered for recursive removal at JVM exit so per-session names
-    * cannot accumulate across runs. */
+    * cannot accumulate across runs. Creation also sweeps SIBLING
+    * namespaces whose mtime is older than [[OrphanSweepAgeMs]] — leftovers
+    * of uncleanly-killed JVMs (age-gated precisely so a live concurrent
+    * session's dir is never touched, preserving the isolation this
+    * namespace exists for). */
   def sessionRoot(s: SparkSession): Path = {
     val p = new Path(root(s), s"graft-scratch-$sessionTag")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
+      val cutoff = System.currentTimeMillis() - OrphanSweepAgeMs
+      try fs.listStatus(new Path(root(s))).foreach { st =>
+        if (st.getPath.getName.startsWith("graft-scratch-") &&
+          st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+      } catch { case _: java.io.IOException => () } // sweep is best-effort
       fs.mkdirs(p)
       fs.deleteOnExit(p)
     }

@@ -286,6 +286,8 @@ object TsStream {
                          watermark: String = "1 hour",
                          idleHorizonMs: Long = 3600000L,
                          toleranceUs: Option[Long] = None): Dataset[PointAsOf] = {
+    require(toleranceUs.forall(_ >= 0),
+      s"toleranceUs must be non-negative, got $toleranceUs")
     import left.sparkSession.implicits._
     def us(t: java.sql.Timestamp): Long =
       (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L

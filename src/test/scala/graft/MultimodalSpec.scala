@@ -144,6 +144,21 @@ class MultimodalSpec extends SparkSpec {
       s"jpeg histogram diffused: ${out(1).features.toSeq}")
   }
 
+  test("corrupt image payloads fall back to the stub instead of failing the task") {
+    import spark.implicits._
+    // JPEG magic followed by garbage: ImageIO cannot decode it; the decode
+    // must degrade to the deterministic stub, not abort the featurize job
+    val corrupt = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      "definitely not a jpeg body".getBytes("UTF-8")
+    val out = Multimodal.featurize(
+      Seq(Asset(5L, "image", "image/jpeg", corrupt)).toDS()).head()
+    val again = Multimodal.featurize(
+      Seq(Asset(5L, "image", "image/jpeg", corrupt)).toDS()).head()
+    // stub semantics: deterministic pseudo-features, normalized histogram
+    assert(out.width == again.width && out.features.toSeq == again.features.toSeq)
+    assert(math.abs(out.features.sum - 1f) < 1e-3)
+  }
+
   test("unknown modalities keep the deterministic stub fallback") {
     import spark.implicits._
     val blob = "not an image".getBytes("UTF-8")
