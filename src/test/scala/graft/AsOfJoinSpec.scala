@@ -196,6 +196,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.length == 3) // left-outer: every left row survives
     assert(got.map(r => (r.getLong(0), Option(r.get(5)))).toSeq == Seq(
       (1L, None), (2L, None), (3L, Some(1.0))))
+    // the same invariant holds in the mirrored directions: a null-timed
+    // left's forward frame spans the partition under nulls-first ordering,
+    // and before the guard it "matched" the earliest right row
+    val fwd = AsOfJoin.forward(left, right, "k", "rk", "t", "rt")
+      .orderBy("l_id").collect()
+    assert(fwd.map(r => (r.getLong(0), Option(r.get(5)))).toSeq == Seq(
+      (1L, None), (2L, None), (3L, None))) // 09:30 is before 10:00 → no fwd match
+    val near = AsOfJoin.nearest(left, right, "k", "rk", "t", "rt")
+      .orderBy("l_id").collect()
+    assert(near.map(r => (r.getLong(0), Option(r.get(5)))).toSeq == Seq(
+      (1L, None), (2L, None), (3L, Some(1.0))))
   }
 
   test("reserved internal column names are rejected") {
