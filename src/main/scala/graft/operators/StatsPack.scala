@@ -214,6 +214,29 @@ object StatsPack extends QueryPack {
       .orderBy(col("day_us"))
   }
 
+  /** B9+ lag/rolling feature generation — the per-entity feature-
+    * engineering step of a time-series ML pipeline: for each user's event
+    * stream in time order, the previous two values and a trailing 3-event
+    * mean (frame [-3,-1]: strictly PAST values only — no label leakage, the
+    * property that matters in feature pipelines). One user_id exchange for
+    * all four features (shared window sort). The rolling mean sums ≤ 3
+    * doubles in frame order on both engines, identical IEEE order; rounded
+    * to 6 decimals anyway for the oracle hash. Ties on ts break by
+    * event_id, a total order shared with the oracle. */
+  def featureLags(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("lag1", lag(col("value"), 1).over(w))
+      .withColumn("lag2", lag(col("value"), 2).over(w))
+      .withColumn("roll3",
+        round(avg(col("value")).over(w.rowsBetween(-3, -1)), 6))
+      .select(col("event_id"), col("user_id"), col("lag1"), col("lag2"),
+        col("roll3"))
+      .orderBy(col("event_id"))
+  }
+
   private val TestMax = "0ccd" // 3277/65536 ≈ 5% of the md5 space
   private val ValMax = "1999"  // 6553/65536 ≈ next 5%
 
@@ -242,6 +265,7 @@ object StatsPack extends QueryPack {
     "q_pivot" -> pivot,
     "q_histogram" -> histogram,
     "q_window_running" -> windowRunning,
+    "q_feature_lags" -> featureLags,
     "q_split_assign" -> splitAssign)
 
   def oracles: Map[String, String] = Map(
@@ -332,6 +356,17 @@ object StatsPack extends QueryPack {
          |count(*) AS n,
          |${Det.dsumSql("l_extendedprice")} AS sum_price
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_feature_lags" ->
+      """SELECT event_id, user_id,
+        |lag(value, 1) OVER w AS lag1,
+        |lag(value, 2) OVER w AS lag2,
+        |round(avg(value) OVER (PARTITION BY user_id
+        |  ORDER BY date_trunc('microseconds', ts), event_id
+        |  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS roll3
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY date_trunc('microseconds', ts), event_id)
+        |ORDER BY event_id""".stripMargin,
     "q_window_running" ->
       """WITH d AS (SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us,
         |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec,
