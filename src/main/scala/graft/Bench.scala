@@ -136,7 +136,9 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries (-1 sentinel) are EXCLUDED from the total — summing
+    // the sentinel would understate it and read breakage as a speedup
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errs.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val subset = if (only.isDefined) "\"subset\":true," else ""
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subset"reps":$reps,"agg":"min","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")

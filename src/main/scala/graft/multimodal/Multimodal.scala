@@ -48,15 +48,24 @@ case class AssetFeatures(asset_id: Long, width: Int, height: Int,
 object Multimodal {
 
   /** Real decode for the formats we own, stub for the rest. Deterministic:
-    * pure function of the payload bytes on any executor. */
+    * pure function of the payload bytes on any executor. ANY real-codec
+    * failure — truncated BMP/WAV headers (their require()s), ImageIO
+    * readers throwing on malformed bodies (which includes RuntimeExceptions
+    * like AIOOBE from the JDK's GIF reader, not just IIOException) — falls
+    * back to the stub: a corrupt asset must degrade, never abort a 100 TB
+    * featurize job. */
   private[multimodal] def decode(payload: Array[Byte]): (Int, Int, Array[Float]) =
-    if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
-      decodeBmp(payload)
-    else if (payload.length >= 12 && hasAscii(payload, 0, "RIFF") &&
-      hasAscii(payload, 8, "WAVE"))
-      decodeWav(payload)
-    else if (isImageIoFormat(payload)) decodeImageIo(payload)
-    else decodeStub(payload)
+    try {
+      if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
+        decodeBmp(payload)
+      else if (payload.length >= 12 && hasAscii(payload, 0, "RIFF") &&
+        hasAscii(payload, 8, "WAVE"))
+        decodeWav(payload)
+      else if (isImageIoFormat(payload)) decodeImageIo(payload)
+      else decodeStub(payload)
+    } catch {
+      case scala.util.control.NonFatal(_) => decodeStub(payload)
+    }
 
   /** Magic-number sniff for the raster formats the JDK's ImageIO decodes
     * out of the box: PNG (\\x89PNG), JPEG (\\xFF\\xD8\\xFF), GIF (GIF8). */
@@ -70,13 +79,11 @@ object Multimodal {
     * dims + the SAME 16-bin BT.601 integer-luminance histogram as the BMP
     * arm, so a pixel-identical image produces identical features in either
     * container. Bulk `getRGB` keeps it one array pass, no per-pixel JNI.
-    * A payload that matches an image magic but fails to decode (truncated
-    * file, unsupported JPEG variant) falls back to `decodeStub` instead of
-    * failing the task — a corrupt asset must not abort a 100 TB featurize
-    * job, and the stub keeps the documented every-payload-flows contract. */
+    * An unreadable payload (ImageIO.read returns null) falls back to
+    * `decodeStub`; reader EXCEPTIONS are handled by `decode`'s NonFatal
+    * fallback, which covers every real-codec arm. */
   private[multimodal] def decodeImageIo(p: Array[Byte]): (Int, Int, Array[Float]) = {
-    val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-      catch { case _: java.io.IOException => null }
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
     if (img == null) return decodeStub(p)
     val w = img.getWidth
     val h = img.getHeight

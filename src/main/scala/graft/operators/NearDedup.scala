@@ -441,7 +441,10 @@ object NearDedup {
     clusterPairs(
       minhashLsh(docs, idCol, textCol, partCol, tau, materialize = Some(true)))
       .where(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id"))
+      // clusterPairs emits fixed (doc_id, cluster_id) names whatever the
+      // input id column was called; rename so a non-"doc_id" caller can
+      // anti-join on its own id column directly
+      .select(col("doc_id").as(idCol))
 
   /** Driver-local connected components: union-find with union-by-min-id, so
     * each component's root — hence its label — is its smallest member,

@@ -36,20 +36,22 @@ object StoreDirs {
     * advice), so every scratch path is namespaced under a per-process dir. */
   private val sessionTag: String = java.util.UUID.randomUUID().toString.take(8)
 
-  /** Orphan namespaces older than this are swept on first use: deleteOnExit
-    * cannot run when a JVM dies uncleanly (OOM kill, CI timeout), and the
-    * next process gets a fresh tag, so crashed runs would otherwise leak
-    * their stores forever. One day is far beyond any session length here
-    * while still bounding the leak to a single crashed run's footprint. */
-  private val OrphanSweepAgeMs: Long = 24L * 3600 * 1000
+  /** Orphan namespaces idle longer than this are swept on first use:
+    * deleteOnExit cannot run when a JVM dies uncleanly (OOM kill, CI
+    * timeout), and the next process gets a fresh tag, so crashed runs
+    * would otherwise leak their stores forever. The namespace mtime is
+    * REFRESHED on every resolve/scratch (below), so "idle" means a week
+    * with no store activity at all — and even a false positive only costs
+    * a rebuild (scratch stores are derivable by contract: fingerprinted
+    * indexes rebuild, roundtrip stores rewrite per call). */
+  private val OrphanSweepAgeMs: Long = 7L * 24 * 3600 * 1000
 
   /** The per-process namespace under `root`; created on first use and
     * registered for recursive removal at JVM exit so per-session names
-    * cannot accumulate across runs. Creation also sweeps SIBLING
-    * namespaces whose mtime is older than [[OrphanSweepAgeMs]] — leftovers
-    * of uncleanly-killed JVMs (age-gated precisely so a live concurrent
-    * session's dir is never touched, preserving the isolation this
-    * namespace exists for). */
+    * cannot accumulate across runs. Creation sweeps SIBLING namespaces
+    * idle past [[OrphanSweepAgeMs]] (leftovers of uncleanly-killed JVMs);
+    * every later call touches the namespace mtime so a live long-running
+    * session never looks idle to a newcomer's sweep. */
   def sessionRoot(s: SparkSession): Path = {
     val p = new Path(root(s), s"graft-scratch-$sessionTag")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -61,6 +63,10 @@ object StoreDirs {
       } catch { case _: java.io.IOException => () } // sweep is best-effort
       fs.mkdirs(p)
       fs.deleteOnExit(p)
+    } else {
+      // keep-alive: directory mtimes don't advance on reads/deep writes
+      try fs.setTimes(p, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () }
     }
     p
   }
