@@ -59,8 +59,12 @@ object Bench {
         Console.err.println(s"[bench] warm-up failed for $n: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
-    require(warmFailed < names.size,
-      s"all $warmFailed warm-up runs failed — warm sweep is a no-op, aborting")
+    // A warm sweep that mostly fails puts one-time costs back in measured
+    // windows just as surely as one that entirely fails — fail past 20%
+    // (and always when everything failed, however small the subset).
+    require(warmFailed < math.max(1, names.size / 5),
+      s"$warmFailed/${names.size} warm-up runs failed — warm sweep is " +
+        "ineffective, aborting (one-time costs would land in measured windows)")
     // Amortized-index warm: the IVF keys' production claim is build-once /
     // probe-many (the store is fingerprint-reused across calls), so their
     // measured numbers should be the amortized PROBE. Pre-build the index
@@ -142,6 +146,13 @@ object Bench {
     val errJson = errs.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val subset = if (only.isDefined) "\"subset\":true," else ""
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subset"reps":$reps,"agg":"min","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // The per-query line grows with the registry (~25 B/query) and at 86
+    // keys outgrew the ~2 kB output tail the driver archives — BENCH_r10
+    // lost the line's HEAD, i.e. the "total" gate metric itself. Emit a
+    // compact summary LAST so any tail window ends with a self-contained
+    // parseable record, whatever the registry size.
+    val nFailed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subset"reps":$reps,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

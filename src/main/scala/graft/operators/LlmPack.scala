@@ -72,16 +72,17 @@ object LlmPack extends QueryPack {
     * selection — near-dup pairs (minhash) → connected components → keep
     * each cluster's smallest doc_id plus every unclustered doc. The other
     * dedup keys detect; this is the prune a training pipeline actually
-    * ships. Scale shape: the cluster-label frame is bounded by the
-    * duplicate count (not the corpus), so the final anti-join BROADCASTS
-    * it and the corpus side never shuffles — at 100 TB this is one scan.
+    * ships. Scale shape: the anti-join is COUNT-GATED
+    * (NearDedup.pruneByLosers) — a small loser list broadcasts so the
+    * corpus side never shuffles (one scan at 100 TB); a corpus-proportional
+    * one (web-scale dup rates) takes a shuffled left_anti instead of
+    * OOMing the driver on a forced broadcast collect.
     * Oracle: the q_dedup_cluster recursive-CTE closure + the same
     * anti-join in SQL. */
   def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
     val losers = NearDedup.canonicalLosers(Tables.documents(s, dir),
       idCol = "doc_id", textCol = "text", partCol = "lang", tau = Tau)
-    Tables.documents(s, dir)
-      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+    NearDedup.pruneByLosers(Tables.documents(s, dir), losers, "doc_id")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
   }

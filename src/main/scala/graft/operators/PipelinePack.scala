@@ -101,18 +101,18 @@ object PipelinePack extends QueryPack {
     * them, and that Catalyst fuses the chain instead of materializing
     * stage boundaries. Plan shape: the quality predicates are narrow
     * (inside the scan's codegen stage), the dedup losers enter as a
-    * BROADCAST anti-join (bounded by the duplicate count), and the only
-    * corpus-keyed exchange before the determinism sort is the per-language
-    * sampling window — so at 100 TB the composite costs ONE scan + one
-    * stratum exchange, not three pipeline passes. Oracle: the
-    * corpus-filter CTE ∧ NOT the recursive-closure losers, then the same
-    * sampling window. */
+    * COUNT-GATED anti-join (NearDedup.pruneByLosers — broadcast while the
+    * loser list is small, shuffled left_anti once it is
+    * corpus-proportional), and the only corpus-keyed exchange before the
+    * determinism sort is the per-language sampling window — so at 100 TB
+    * the composite costs ONE scan + one stratum exchange, not three
+    * pipeline passes. Oracle: the corpus-filter CTE ∧ NOT the
+    * recursive-closure losers, then the same sampling window. */
   def corpusBuild(s: SparkSession, dir: String): DataFrame = {
     val losers = NearDedup.canonicalLosers(Tables.documents(s, dir),
       idCol = "doc_id", textCol = "text", partCol = "lang", tau = LlmPack.Tau)
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-    qualitySurvivors(s, dir)
-      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+    NearDedup.pruneByLosers(qualitySurvivors(s, dir), losers, "doc_id")
       .withColumn("rn", row_number().over(w))
       .withColumn("every", everyExpr)
       .where(pmod(col("rn"), col("every")) === 1)

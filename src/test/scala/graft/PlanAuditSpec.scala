@@ -143,6 +143,32 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus prune is not a broadcast anti-join:\n$p")
   }
 
+  test("dedup canonical prune gate: a loser list over the ceiling plans a " +
+      "SHUFFLED anti-join (no forced broadcast, no driver collect)") {
+    // Force the "corpus-proportional loser list" branch: gate ceiling 0 so
+    // ANY loser count exceeds it, and planner auto-broadcast off so the
+    // assertion sees the shape the gate chose, not a size-stats rescue
+    // (at real scale the loser frame has no size stats to rescue it).
+    val conf = spark.conf
+    val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.graft.dedup.maxBroadcastLosers", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (df <- Seq(graft.operators.LlmPack.dedupCanonical(spark, sf0001),
+          graft.operators.PipelinePack.corpusBuild(spark, sf0001))) {
+        val p = plan(df)
+        assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"),
+          s"over-ceiling losers should shuffle the anti-join:\n$p")
+        val antiLines = p.split("\n").filter(_.contains("LeftAnti"))
+        assert(antiLines.nonEmpty && antiLines.forall(!_.contains("Broadcast")),
+          s"anti-join still broadcasts over the ceiling:\n$p")
+      }
+    } finally {
+      conf.unset("spark.graft.dedup.maxBroadcastLosers")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
   test("pii redact is narrow: one scan, the only exchange is the determinism sort") {
     val p = plan(graft.operators.PipelinePack.piiRedact(spark, sf0001))
     val exchanges = "Exchange ".r.findAllIn(p).length
