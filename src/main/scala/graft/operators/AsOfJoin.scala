@@ -54,8 +54,28 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       saltBuckets: Int = 1,
       toleranceUs: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame =
+    backwardBy(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime,
+      saltBuckets, toleranceUs, allowExactMatches)
+
+  /** Composite-key backward as-of — `pandas.merge_asof(by=[k1, k2, …])`
+    * parity (the (symbol, venue)-style keys tick pipelines join on). Same
+    * single-shuffle union+window plan as the single-key form: the key
+    * columns ride as ONE struct `_k`, so partitioning, ordering, salt and
+    * tolerance handling are untouched. Null semantics generalize per
+    * pandas/DuckDB: a right row with ANY null key component can never
+    * match (dropped up front); a left row with a null component groups
+    * only with identically-null LEFT rows and stays unmatched. */
+  def backwardBy(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      saltBuckets: Int = 1,
+      toleranceUs: Option[Long] = None,
       allowExactMatches: Boolean = true): DataFrame = {
 
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"need matching non-empty key lists, got $leftKeys vs $rightKeys")
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     require(toleranceUs.forall(_ >= 0),
       s"toleranceUs must be non-negative, got $toleranceUs")
@@ -70,8 +90,14 @@ object AsOfJoin {
     val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
 
+    // Key columns ride as one struct under POSITIONAL field names (k0, k1,
+    // …) so the left and right `_k` types unify in the union whatever the
+    // source columns were called.
+    def keyStruct(keys: Seq[String]) =
+      struct(keys.zipWithIndex.map { case (k, i) => col(k).as(s"k$i") }: _*)
     val lTagged = left.select(
-      col(leftKey).as("_k"), col(leftTime).cast("timestamp").as("_t"),
+      keyStruct(leftKeys).as("_k"),
+      col(leftTime).cast("timestamp").as("_t"),
       lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rType).as("_r"))
     // Null-key/null-time right rows can never be a valid as-of match
     // (DuckDB ASOF JOIN never matches NULLs); drop them up front so a
@@ -85,9 +111,11 @@ object AsOfJoin {
     // rights, making the bound strict — the whole option costs one literal.
     val rSide = if (allowExactMatches) 0 else 2
     val rTagged = right
-      .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .where(rightKeys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(rightTime).isNotNull)
       .select(
-        col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
+        keyStruct(rightKeys).as("_k"),
+        col(rightTime).cast("timestamp").as("_t"),
         lit(rSide).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
 
     // Tolerance null-out, post-window: the match struct reverts to null
@@ -142,8 +170,21 @@ object AsOfJoin {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       toleranceUs: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame =
+    forwardBy(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime,
+      toleranceUs, allowExactMatches)
+
+  /** Composite-key forward as-of (`merge_asof(by=[…], direction='forward')`)
+    * — see `backwardBy` for the struct-key mechanics and null semantics. */
+  def forwardBy(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      toleranceUs: Option[Long] = None,
       allowExactMatches: Boolean = true): DataFrame = {
 
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"need matching non-empty key lists, got $leftKeys vs $rightKeys")
     require(toleranceUs.forall(_ >= 0),
       s"toleranceUs must be non-negative, got $toleranceUs")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
@@ -157,8 +198,10 @@ object AsOfJoin {
     val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
 
+    def keyStruct(keys: Seq[String]) =
+      struct(keys.zipWithIndex.map { case (k, i) => col(k).as(s"k$i") }: _*)
     val lTagged = left.select(
-      col(leftKey).as("_k"), col(leftTime).cast("timestamp").as("_t"),
+      keyStruct(leftKeys).as("_k"), col(leftTime).cast("timestamp").as("_t"),
       lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rType).as("_r"))
     // Left rows sort before right rows at the same instant (_side desc:
     // 1 before 0), so a right row at exactly t stays inside a left row's
@@ -167,9 +210,10 @@ object AsOfJoin {
     // frame — strict bound at the cost of one literal, mirroring backward.
     val rSide = if (allowExactMatches) 0 else 2
     val rTagged = right
-      .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .where(rightKeys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(rightTime).isNotNull)
       .select(
-        col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
+        keyStruct(rightKeys).as("_k"), col(rightTime).cast("timestamp").as("_t"),
         lit(rSide).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
 
     val w = Window.partitionBy(col("_k"))
@@ -212,8 +256,21 @@ object AsOfJoin {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       toleranceUs: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame =
+    nearestBy(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime,
+      toleranceUs, allowExactMatches)
+
+  /** Composite-key nearest as-of (`merge_asof(by=[…], direction='nearest')`)
+    * — see `backwardBy` for the struct-key mechanics and null semantics. */
+  def nearestBy(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      toleranceUs: Option[Long] = None,
       allowExactMatches: Boolean = true): DataFrame = {
 
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"need matching non-empty key lists, got $leftKeys vs $rightKeys")
     require(toleranceUs.forall(_ >= 0),
       s"toleranceUs must be non-negative, got $toleranceUs")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
@@ -237,8 +294,10 @@ object AsOfJoin {
       org.apache.spark.sql.types.StructField(
         "t", org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("p", rType)))
+    def keyStruct(keys: Seq[String]) =
+      struct(keys.zipWithIndex.map { case (k, i) => col(k).as(s"k$i") }: _*)
     val lTagged = left.select(
-      col(leftKey).as("_k"), col(leftTime).cast("timestamp").as("_t"),
+      keyStruct(leftKeys).as("_k"), col(leftTime).cast("timestamp").as("_t"),
       lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rCarry).as("_r"))
     // allowExactMatches=false needs same-instant rights OUT of both frames,
     // and one shared ordering cannot put a right row simultaneously after
@@ -251,9 +310,10 @@ object AsOfJoin {
     // the strict case.
     val rSide = if (allowExactMatches) 0 else 2
     val rTagged = right
-      .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .where(rightKeys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(rightTime).isNotNull)
       .select(
-        col(rightKey).as("_k"), col(rightTime).cast("timestamp").as("_t"),
+        keyStruct(rightKeys).as("_k"), col(rightTime).cast("timestamp").as("_t"),
         lit(rSide).as("_side"), lit(null).cast(lType).as("_l"),
         struct(col(rightTime).cast("timestamp").as("t"), rStruct.as("p")).as("_r"))
 
@@ -304,7 +364,19 @@ object AsOfJoin {
   def backwardMerged(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame =
+    backwardMergedBy(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime)
+
+  /** Composite-key variant of `backwardMerged` (`merge_asof(by=[…])` on the
+    * custom exec): the plan node carries the key ATTRIBUTE LISTS, so the
+    * exchanges cluster on all key columns and the per-partition merge
+    * compares them lexicographically — same one-exchange-per-side shape. */
+  def backwardMergedBy(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"need matching non-empty key lists, got $leftKeys vs $rightKeys")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column overlap not supported: $overlap")
     val spark = left.sparkSession
@@ -313,18 +385,19 @@ object AsOfJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ BackwardAsOfStrategy
     // Times normalized to TimestampType up front (the exec merges on raw
-    // micros); right nulls dropped here — they can never match (same rule
-    // as the union+window path).
+    // micros); right rows with ANY null key (or null time) dropped here —
+    // they can never match (same rule as the union+window path).
     val l = left.withColumn(leftTime, col(leftTime).cast("timestamp"))
     val r = right.withColumn(rightTime, col(rightTime).cast("timestamp"))
-      .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .where(rightKeys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(rightTime).isNotNull)
     val lPlan = PlanBridge.analyzed(l)
     val rPlan = PlanBridge.analyzed(r)
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column '$n' not found"))
     PlanBridge.ofRows(spark, BackwardAsOf(lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime)))
   }
 }

@@ -445,6 +445,31 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** B3 composite-key as-of join (`pandas.merge_asof(by=[k1, k2, …])`
+    * parity — the r10 verdict's missing surface): each event → the same
+    * user's PREVIOUS event of the same type, i.e. an as-of join on the
+    * COMPOSITE key (user_id, event_type). The bound is STRICT
+    * (allowExactMatches=false) so an event never matches its own timestamp
+    * — which also makes the self-join non-trivial. Right side pre-deduped
+    * per (user, type, ts) as in the other as-of keys. Oracle: DuckDB ASOF
+    * LEFT JOIN with both equality conditions and a strict `>` bound. */
+  def asofJoinBy(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val prev = ev
+      .groupBy(col("user_id").as("p_user"), col("event_type").as("p_type"),
+        col("ts").as("p_ts"))
+      .agg(max(col("event_id")).as("p_event_id"))
+    AsOfJoin.backwardBy(
+      ev.select("event_id", "user_id", "event_type", "ts"), prev,
+      leftKeys = Seq("user_id", "event_type"),
+      rightKeys = Seq("p_user", "p_type"),
+      leftTime = "ts", rightTime = "p_ts", allowExactMatches = false)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("p_event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("p_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** B3 range/interval join: same-user event pairs at most 1 hour apart
     * (strictly forward). Equi-key on user_id keeps this a sort-merge join
     * with a range post-filter — per-key bounded, no cartesian blowup. */
@@ -482,6 +507,7 @@ object TimeSeriesPack extends QueryPack {
     "q_asof_join_merged" -> asofJoinMerged,
     "q_asof_join_fwd" -> asofJoinForward,
     "q_asof_join_nearest" -> asofJoinNearest,
+    "q_asof_join_by" -> asofJoinBy,
     "q_range_join" -> rangeJoin)
 
   private val asofOracleSql =
@@ -657,6 +683,18 @@ object TimeSeriesPack extends QueryPack {
         |     THEN epoch_us(v_ts) END AS view_ts_us
         |FROM m ORDER BY event_id""".stripMargin,
     "q_asof_join_merged" -> asofOracleSql, // same semantics, custom-exec plan
+    "q_asof_join_by" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |            date_trunc('microseconds', ts) AS ts FROM events),
+        |p AS (SELECT user_id AS p_user, event_type AS p_type,
+        |             date_trunc('microseconds', ts) AS p_ts,
+        |             max(event_id) AS p_event_id
+        |      FROM events GROUP BY 1, 2, 3)
+        |SELECT e.event_id, e.user_id, e.event_type, p.p_event_id,
+        |epoch_us(e.ts) - epoch_us(p.p_ts) AS gap_us
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.p_user AND e.event_type = p.p_type AND e.ts > p.p_ts
+        |ORDER BY e.event_id""".stripMargin,
     "q_asof_join_fwd" ->
       """WITH v AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
         |           FROM events WHERE event_type = 'view'),

@@ -37,7 +37,7 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   */
 case class BackwardAsOf(
     left: LogicalPlan, right: LogicalPlan,
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute) extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -51,31 +51,35 @@ case class BackwardAsOf(
 /** Plans [[BackwardAsOf]] as [[BackwardAsOfExec]]. */
 object BackwardAsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case BackwardAsOf(l, r, lk, rk, lt, rt) =>
-      BackwardAsOfExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case BackwardAsOf(l, r, lks, rks, lt, rt) =>
+      BackwardAsOfExec(planLater(l), planLater(r), lks, rks, lt, rt) :: Nil
     case _ => Nil
   }
 }
 
-/** Streaming per-partition merge: children are hash-clustered by key and
-  * sorted by (key, time) — EnsureRequirements inserts the exchanges/sorts —
-  * then each partition pair is merged with two pointers, holding at most
-  * ONE buffered right row (the latest at-or-before match of the current
-  * key). O(|L| + |R|) per partition after the sorts, O(1) state. */
+/** Streaming per-partition merge: children are hash-clustered by the key
+  * columns and sorted by (keys…, time) — EnsureRequirements inserts the
+  * exchanges/sorts — then each partition pair is merged with two pointers,
+  * holding at most ONE buffered right row (the latest at-or-before match of
+  * the current key). O(|L| + |R|) per partition after the sorts, O(1)
+  * state. Composite keys compare lexicographically with each column's own
+  * interpreted ordering; a left row with ANY null key component emits
+  * unmatched without moving the right pointer (nulls sort first, so such
+  * rows precede every real key group). */
 case class BackwardAsOfExec(
     left: SparkPlan, right: SparkPlan,
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -84,11 +88,12 @@ case class BackwardAsOfExec(
   override protected def doExecute(): RDD[InternalRow] = {
     // upcast before binding: bindReference of an Attribute-typed value
     // would cast its BoundReference result back to Attribute and throw
-    val lk = BindReferences.bindReference(leftKey: Expression, left.output)
+    val lks = leftKeys.map(k => BindReferences.bindReference(k: Expression, left.output))
     val lt = BindReferences.bindReference(leftTime: Expression, left.output)
-    val rk = BindReferences.bindReference(rightKey: Expression, right.output)
+    val rks = rightKeys.map(k => BindReferences.bindReference(k: Expression, right.output))
     val rt = BindReferences.bindReference(rightTime: Expression, right.output)
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val keyOrds = leftKeys.map(k => TypeUtils.getInterpretedOrdering(k.dataType))
+    val nKeys = leftKeys.size
     val nRight = right.output.size
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -98,20 +103,44 @@ case class BackwardAsOfExec(
       // downstream exchanges serialize UnsafeRow; flatten the JoinedRow view
       val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
         .create(outAttrs, outAttrs)
+      // null ⇔ some component was null (never a valid key — facade filters
+      // the right side; null left components emit unmatched)
+      def evalKeys(exprs: Seq[Expression], row: InternalRow): Array[Any] = {
+        val out = new Array[Any](nKeys)
+        var i = 0
+        while (i < nKeys) {
+          val v = exprs(i).eval(row)
+          if (v == null) return null
+          out(i) = v
+          i += 1
+        }
+        out
+      }
+      def compareKeys(a: Array[Any], b: Array[Any]): Int = {
+        var i = 0
+        while (i < nKeys) {
+          val c = keyOrds(i).compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
       var held: InternalRow = null
-      var heldKey: Any = null
+      var heldKey: Array[Any] = null
       lIter.map { l =>
-        val k = lk.eval(l)
+        val k = evalKeys(lks, l)
         val t = lt.eval(l)
         if (k == null || t == null) toUnsafe(joined(l, nullRight))
         else {
-          if (heldKey == null || keyOrd.compare(heldKey, k) != 0) {
+          if (heldKey == null || compareKeys(heldKey, k) != 0) {
             held = null; heldKey = k
           }
           var advancing = true
           while (advancing && rBuf.hasNext) {
-            val rkv = rk.eval(rBuf.head)
-            val c = keyOrd.compare(rkv, k)
+            val rkv = evalKeys(rks, rBuf.head)
+            // null-component right keys can never match and sort first
+            // under ascending nulls-first: discard like a smaller key
+            val c = if (rkv == null) -1 else compareKeys(rkv, k)
             if (c < 0) { rBuf.next() } // smaller keys: discard
             else if (c == 0 &&
               rt.eval(rBuf.head).asInstanceOf[Long] <= t.asInstanceOf[Long]) {

@@ -209,6 +209,59 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, None), (2L, None), (3L, Some(1.0))))
   }
 
+  test("composite-key as-of (merge_asof by=[k1, k2]): matches respect BOTH " +
+      "key components; null components never match in either direction") {
+    val lSchema2 = StructType(Seq(
+      StructField("l_id", LongType), StructField("s", StringType),
+      StructField("v", LongType), StructField("t", TimestampType)))
+    val rSchema2 = StructType(Seq(
+      StructField("rs", StringType), StructField("rk", LongType),
+      StructField("rt", TimestampType), StructField("rv", DoubleType)))
+    val left = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "A", 1L, t("2024-01-01 10:00:00")), // → A/1's 09:30, NOT A/2's 09:45
+      Row(2L, "A", 2L, t("2024-01-01 10:00:00")), // → A/2's 09:45
+      Row(3L, "B", 1L, t("2024-01-01 10:00:00")), // no B/1 rights → null
+      Row(4L, null, 1L, t("2024-01-01 10:00:00")), // null first component
+      Row(5L, "A", null, t("2024-01-01 10:00:00")), // null second component
+      Row(6L, "B", 2L, t("2024-01-01 08:30:00")) // backward none, forward B/2's 09:00
+    )), lSchema2)
+    val right = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("A", 1L, t("2024-01-01 09:30:00"), 1.0),
+      Row("A", 2L, t("2024-01-01 09:45:00"), 2.0),
+      Row(null, 1L, t("2024-01-01 09:00:00"), 9.0), // null-key right: dropped
+      Row("B", null, t("2024-01-01 09:00:00"), 8.0), // null-key right: dropped
+      Row("B", 2L, t("2024-01-01 09:00:00"), 7.0)
+    )), rSchema2)
+    def vals(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("l_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(7)))).toSeq
+    assert(vals(AsOfJoin.backwardBy(left, right,
+      Seq("s", "v"), Seq("rs", "rk"), "t", "rt")) == Seq(
+      (1L, Some(1.0)), (2L, Some(2.0)), (3L, None),
+      (4L, None), (5L, None), (6L, None)))
+    assert(vals(AsOfJoin.forwardBy(left, right,
+      Seq("s", "v"), Seq("rs", "rk"), "t", "rt")) == Seq(
+      (1L, None), (2L, None), (3L, None),
+      (4L, None), (5L, None), (6L, Some(7.0))))
+    assert(vals(AsOfJoin.nearestBy(left, right,
+      Seq("s", "v"), Seq("rs", "rk"), "t", "rt")) == Seq(
+      (1L, Some(1.0)), (2L, Some(2.0)), (3L, None),
+      (4L, None), (5L, None), (6L, Some(7.0))))
+    // a 1-element key list is exactly the single-key API
+    val rA = right.where(org.apache.spark.sql.functions.col("rs") === "A")
+      .select("rk", "rt", "rv")
+    val single = AsOfJoin.backward(left.select("l_id", "v", "t"), rA,
+      "v", "rk", "t", "rt")
+    val seqOfOne = AsOfJoin.backwardBy(left.select("l_id", "v", "t"), rA,
+      Seq("v"), Seq("rk"), "t", "rt")
+    assert(single.orderBy("l_id").collect().toSeq ==
+      seqOfOne.orderBy("l_id").collect().toSeq)
+    // mismatched key arity fails fast
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backwardBy(left, right, Seq("s", "v"), Seq("rs"), "t", "rt")
+    }
+  }
+
   test("reserved internal column names are rejected") {
     import spark.implicits._
     val bad = Seq((1L, "x")).toDF("_k", "v")

@@ -58,6 +58,25 @@ class AsOfMergeSpec extends SparkSpec {
       (1L, Some(100L)), (2L, None), (3L, None), (4L, None), (5L, None)))
   }
 
+  test("composite-key merged as-of equals the union+window composite form " +
+      "(q_asof_join_by's key shape) and clusters on both key columns") {
+    val ev = Tables.events(spark, sf0001)
+    val prev = ev
+      .groupBy(col("user_id").as("p_user"), col("event_type").as("p_type"),
+        col("ts").as("p_ts"))
+      .agg(max(col("event_id")).as("p_event_id"))
+    val lhs = ev.select("event_id", "user_id", "event_type", "ts")
+    val viaWindow = AsOfJoin.backwardBy(lhs, prev,
+      Seq("user_id", "event_type"), Seq("p_user", "p_type"), "ts", "p_ts")
+    val viaMerge = AsOfJoin.backwardMergedBy(lhs, prev,
+      Seq("user_id", "event_type"), Seq("p_user", "p_type"), "ts", "p_ts")
+    assert(viaMerge.columns.toSeq == viaWindow.columns.toSeq)
+    assert(canon(viaMerge) == canon(viaWindow))
+    val planStr = viaMerge.queryExecution.executedPlan.toString
+    assert(planStr.contains("hashpartitioning(user_id") &&
+      planStr.contains("event_type"), planStr)
+  }
+
   test("the plan is the custom exec: no Window, exchanges keyed per side") {
     val q = AsOfJoin.backwardMerged(events, orders,
       "user_id", "o_custkey", "ts", "o_orderdate")
@@ -104,7 +123,7 @@ class AsOfMergeSpec extends SparkSpec {
       def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
         p.output.find(_.name == n).get
       val out = PlanBridge.ofRows(session, BackwardAsOf(lp, rp,
-        attr(lp, "k"), attr(rp, "rk"), attr(lp, "lt"), attr(rp, "rt")))
+        Seq(attr(lp, "k")), Seq(attr(rp, "rk")), attr(lp, "lt"), attr(rp, "rt")))
       assert(out.collect().map(_.getLong(3)).toSeq == Seq(9L))
       // the extension also SQL-registers the native expressions
       assert(session.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
