@@ -163,6 +163,27 @@ class PipelinePackSpec extends SparkSpec {
     }
   }
 
+  test("distributed prefix-sum packing == window packing row-for-row; plan " +
+      "has no Window and no per-stratum single-task exchange") {
+    val viaWindow = PipelinePack.packSequences(spark, sf001)
+      .orderBy("doc_id").collect().toSeq
+    // a partition count that forces mid-language splits (5 langs, 12 parts)
+    val (dist, free) = PipelinePack.packSequencesPlanned(
+      Tables.documents(spark, sf001), "doc_id", "lang", "text",
+      numPartitions = 12)
+    try {
+      val viaPrefix = dist.orderBy("doc_id").collect().toSeq
+      assert(viaPrefix == viaWindow)
+      // the scale property itself: no Window operator anywhere, the corpus
+      // exchange is the range repartition (parallelism = numPartitions,
+      // not languages)
+      val p = dist.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"window leaked into the prefix-sum plan:\n$p")
+      assert(p.contains("rangepartitioning(lang"), s"no range repartition:\n$p")
+      assert(dist.rdd.getNumPartitions == 12, s"${dist.rdd.getNumPartitions}")
+    } finally free()
+  }
+
   test("chunkOverlap: stride layout covers every token, chunk content matches slices") {
     import graft.functions.TextFns
     val (c, s) = (64, 48)
