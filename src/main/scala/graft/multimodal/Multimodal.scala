@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
 case class Asset(asset_id: Long, modality: String, mime: String,
                  payload: Array[Byte])
 
-/** Decoded features for one asset (what a real image decoder would emit). */
+/** Decoded features for one asset (what a real image decoder would emit).
+  * `decoder` records WHICH arm produced the features ("imageio" / "bmp" /
+  * "wav" / "stub") — stub fallback on corrupt or unsupported payloads is
+  * deliberate (a bad asset must never abort a 100 TB job), so the fallback
+  * RATE has to be observable: `group by decoder` on the output is the
+  * health check that silent degradation would otherwise hide. */
 case class AssetFeatures(asset_id: Long, width: Int, height: Int,
-                         n_bytes: Long, features: Array[Float])
+                         n_bytes: Long, features: Array[Float],
+                         decoder: String)
 
 /** Multimodal-column plumbing (driver brief: "multimodal columns").
   *
@@ -53,19 +59,23 @@ object Multimodal {
     * readers throwing on malformed bodies (which includes RuntimeExceptions
     * like AIOOBE from the JDK's GIF reader, not just IIOException) — falls
     * back to the stub: a corrupt asset must degrade, never abort a 100 TB
-    * featurize job. */
-  private[multimodal] def decode(payload: Array[Byte]): (Int, Int, Array[Float]) =
+    * featurize job. The first tuple element names the arm that actually
+    * produced the result, so fallback is observable, not silent. */
+  private[multimodal] def decode(payload: Array[Byte]): (String, Int, Int, Array[Float]) =
     try {
       if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
-        decodeBmp(payload)
+        tagged("bmp", decodeBmp(payload))
       else if (payload.length >= 12 && hasAscii(payload, 0, "RIFF") &&
         hasAscii(payload, 8, "WAVE"))
-        decodeWav(payload)
+        tagged("wav", decodeWav(payload))
       else if (isImageIoFormat(payload)) decodeImageIo(payload)
-      else decodeStub(payload)
+      else tagged("stub", decodeStub(payload))
     } catch {
-      case scala.util.control.NonFatal(_) => decodeStub(payload)
+      case scala.util.control.NonFatal(_) => tagged("stub", decodeStub(payload))
     }
+
+  private def tagged(name: String, r: (Int, Int, Array[Float])) =
+    (name, r._1, r._2, r._3)
 
   /** Magic-number sniff for the raster formats the JDK's ImageIO decodes
     * out of the box: PNG (\\x89PNG), JPEG (\\xFF\\xD8\\xFF), GIF (GIF8). */
@@ -80,11 +90,11 @@ object Multimodal {
     * arm, so a pixel-identical image produces identical features in either
     * container. Bulk `getRGB` keeps it one array pass, no per-pixel JNI.
     * An unreadable payload (ImageIO.read returns null) falls back to
-    * `decodeStub`; reader EXCEPTIONS are handled by `decode`'s NonFatal
-    * fallback, which covers every real-codec arm. */
-  private[multimodal] def decodeImageIo(p: Array[Byte]): (Int, Int, Array[Float]) = {
+    * `decodeStub` (tagged "stub"); reader EXCEPTIONS are handled by
+    * `decode`'s NonFatal fallback, which covers every real-codec arm. */
+  private[multimodal] def decodeImageIo(p: Array[Byte]): (String, Int, Int, Array[Float]) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-    if (img == null) return decodeStub(p)
+    if (img == null) return tagged("stub", decodeStub(p))
     val w = img.getWidth
     val h = img.getHeight
     val rgb = img.getRGB(0, 0, w, h, null, 0, w)
@@ -100,7 +110,7 @@ object Multimodal {
     val n = rgb.length.toFloat
     i = 0
     while (i < 16) { hist(i) /= n; i += 1 }
-    (w, h, hist)
+    ("imageio", w, h, hist)
   }
 
   private def hasAscii(p: Array[Byte], off: Int, s: String): Boolean =
@@ -225,8 +235,8 @@ object Multimodal {
     assets.mapPartitions { it =>
       // heavier codecs would open their handle here, once per task
       it.map { a =>
-        val (w, h, feat) = decode(a.payload)
-        AssetFeatures(a.asset_id, w, h, a.payload.length.toLong, feat)
+        val (dec, w, h, feat) = decode(a.payload)
+        AssetFeatures(a.asset_id, w, h, a.payload.length.toLong, feat, dec)
       }
     }
   }

@@ -157,6 +157,25 @@ class MultimodalSpec extends SparkSpec {
     // stub semantics: deterministic pseudo-features, normalized histogram
     assert(out.width == again.width && out.features.toSeq == again.features.toSeq)
     assert(math.abs(out.features.sum - 1f) < 1e-3)
+    // and the degradation is OBSERVABLE: the row says the stub produced it
+    assert(out.decoder == "stub", out.decoder)
+  }
+
+  test("decoder provenance: each arm labels its rows, so fallback rates " +
+      "are measurable with a group-by") {
+    import spark.implicits._
+    val bi = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", bos))
+    val out = Multimodal.featurize(Seq(
+        Asset(1L, "image", "image/png", bos.toByteArray),
+        Asset(2L, "image", "image/bmp",
+          bmp(2, 2, (_, _) => (0, 0, 0))),
+        Asset(3L, "audio", "audio/wav", wav(1, 8000, Seq[Short](0, 0))),
+        Asset(4L, "text", "text/plain", "plain bytes".getBytes("UTF-8"))).toDS())
+      .collect().sortBy(_.asset_id).map(_.decoder).toSeq
+    assert(out == Seq("imageio", "bmp", "wav", "stub"), out.toString)
   }
 
   test("unknown modalities keep the deterministic stub fallback") {
