@@ -30,6 +30,7 @@ object IvfIndex {
 
   private val CentroidsFile = "_ivf_centroids.txt" // '_' prefix: invisible to scans
   private val FingerprintFile = "_ivf_fingerprint.txt" // written LAST — absent ⇒ partial build
+  private val ChildrenFile = "_ivf_children.txt" // hot-cell split map (parent;child;centroid)
 
   /** Cheap content fingerprint of an input dataset: digest of the sorted
     * (name, length, mtime) triples of its files. No data scan — a file
@@ -101,7 +102,12 @@ object IvfIndex {
 
   /** Assign every vector to its nearest centroid and write the inverted
     * file. One pass over the corpus; the `partitionBy` shuffle groups each
-    * cell's vectors into its own directory. */
+    * cell's vectors into its own directory. Also records an "unversioned"
+    * fingerprint carrying the column/parameter suffix, so `append` can
+    * verify compatibility even on stores built without `buildIfNeeded`
+    * (which overwrites it with the real input digest right after). A fresh
+    * build clears any hot-cell split map from a previous life of the
+    * store. */
   def build(emb: DataFrame, idCol: String, vecCol: String, path: String,
             cells: Int = 16, sampleN: Int = 512, iters: Int = 5): Unit = {
     val spark = emb.sparkSession
@@ -116,6 +122,10 @@ object IvfIndex {
     val os = fs.create(out, true)
     try os.write(centroids.map(_.mkString(",")).mkString("\n").getBytes("UTF-8"))
     finally os.close()
+    val children = new Path(path, ChildrenFile)
+    if (fs.exists(children)) fs.delete(children, false)
+    writeSidecar(spark, path, FingerprintFile,
+      s"unversioned:$idCol:$vecCol:c$cells:s$sampleN:i$iters")
   }
 
   private[graft] def loadCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] = {
@@ -139,17 +149,47 @@ object IvfIndex {
   def append(emb: DataFrame, idCol: String, vecCol: String, path: String,
              fingerprint: Option[String] = None): Unit = {
     val spark = emb.sparkSession
+    // Fail fast on absent/partial builds and on column mismatches: the
+    // fingerprint sidecar is written LAST by every build path, so a store
+    // without one is mid-build or crashed, and a store recorded with other
+    // columns would be silently corrupted by this append — only a full
+    // rebuild recovers either (r10 advice).
+    val recorded = readSidecar(spark, path, FingerprintFile).getOrElse(
+      throw new IllegalStateException(
+        s"IVF store at $path has no fingerprint sidecar (absent or partial " +
+          "build) — rebuild before appending"))
+    val parts = recorded.split(":", -1)
+    require(parts.length >= 3 && parts(1) == idCol && parts(2) == vecCol,
+      s"IVF store at $path was built with columns " +
+        s"(${parts.lift(1).getOrElse("?")}, ${parts.lift(2).getOrElse("?")}), " +
+        s"append called with ($idCol, $vecCol)")
     val centroids = loadCentroids(spark, path)
-    emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    val assigned = emb
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("cell",
         org.apache.spark.sql.graft.VectorExprs.nearestCentroids(col("v"), centroids, 1)(0))
-      .write.mode("append").partitionBy("cell").parquet(path)
+    // Hot-cell splits: a vector whose nearest TOP-LEVEL centroid was split
+    // re-assigns to the nearest CHILD centroid of that parent (hierarchical,
+    // matching how rebalance distributed the parent's vectors) — appending
+    // into a deleted parent directory would hide the rows from probes,
+    // which expand split parents to their children.
+    val children = loadChildren(spark, path)
+    val leafed =
+      if (children.isEmpty) assigned
+      else assigned.withColumn("cell",
+        children.foldLeft(col("cell")) { case (acc, (parent, chs)) =>
+          when(col("cell") === parent,
+            element_at(typedlit(chs.map(_._1)),
+              org.apache.spark.sql.graft.VectorExprs.nearestCentroids(
+                col("v"), chs.map(_._2), 1)(0) + 1))
+            .otherwise(acc)
+        })
+    leafed.write.mode("append").partitionBy("cell").parquet(path)
     // keep the stored fingerprint's parameter suffix (input digests are hex,
     // colon-free) so buildIfNeeded's composed format stays consistent
     fingerprint.foreach { fp =>
-      val suffix = readSidecar(spark, path, FingerprintFile)
-        .map(_.dropWhile(_ != ':')).getOrElse("")
-      writeSidecar(spark, path, FingerprintFile, fp + suffix)
+      writeSidecar(spark, path, FingerprintFile,
+        fp + recorded.dropWhile(_ != ':'))
     }
   }
 
@@ -164,11 +204,15 @@ object IvfIndex {
     * never shuffles), I/O bounded by probed-cells/total, and the per-probe
     * top-k as the k-bounded heap aggregate (never a window over N·P).
     * Probe-to-cell assignment reuses the persisted centroids, so results
-    * are reopen-deterministic like `topK`. Pairs with vec_id == probe_id
-    * are excluded (corpus probes must not match themselves). */
+    * are reopen-deterministic like `topK`.
+    * @param excludeSelf drop pairs with vec_id == probe_id (default: corpus
+    *   probes must not match themselves). Pass false when the probe set is
+    *   EXTERNAL to the corpus — an external id that coincidentally collides
+    *   with a corpus vec_id must not silently lose a legitimate neighbor
+    *   (r10 advice). */
   def knnJoin(spark: SparkSession, path: String, probes: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nProbe: Int = 4): DataFrame = {
+              nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     val centroids = loadCentroids(spark, path)
     require(nProbe >= 1 && nProbe <= centroids.length,
       s"nProbe=$nProbe outside 1..${centroids.length}")
@@ -179,10 +223,28 @@ object IvfIndex {
       .withColumn("cell", explode(
         org.apache.spark.sql.graft.VectorExprs.nearestCentroids(
           col("p"), centroids, nProbe)))
+    // Hot-cell splits: expand each probed TOP-LEVEL cell to its on-disk
+    // leaves via a broadcast (parent → leaf) relation — the probe side
+    // stays broadcast-sized (probes × nProbe × children) and the join key
+    // remains the partition column, so dynamic partition pruning holds.
+    // Unsplit stores skip the extra join entirely (plan unchanged).
+    val children = loadChildren(spark, path)
+    val pLeaf =
+      if (children.isEmpty) p
+      else {
+        import spark.implicits._
+        val exp = centroids.indices.flatMap(c =>
+          children.get(c).map(_.map(ch => (c, ch._1))).getOrElse(Seq((c, c))))
+        p.join(broadcast(exp.toDF("cell", "leaf")), "cell")
+          .select(col("probe_id"), col("p"), col("np"), col("leaf").as("cell"))
+      }
     val idx = spark.read.parquet(path)
       .withColumn("nv", VectorFns.l2norm(col("v")))
-    val scored = idx.join(broadcast(p), "cell")
-      .where(col("vec_id") =!= col("probe_id"))
+    val joined = idx.join(broadcast(pLeaf), "cell")
+    val filtered =
+      if (excludeSelf) joined.where(col("vec_id") =!= col("probe_id"))
+      else joined
+    val scored = filtered
       .select(col("probe_id"), col("vec_id"),
         round(VectorFns.dot(col("v"), col("p")) / (col("nv") * col("np")), 6)
           .as("sim"))
@@ -200,12 +262,17 @@ object IvfIndex {
     require(nProbe >= 1 && nProbe <= centroids.length,
       s"nProbe=$nProbe outside 1..${centroids.length}")
     // driver-side: the probe's nProbe nearest centroids (L2, ties → lower id)
-    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+    val topCells = centroids.zipWithIndex.map { case (c, i) =>
       var d = 0.0
       var t = 0
       while (t < c.length) { val x = probe(t) - c(t); d += x * x; t += 1 }
       (d, i)
     }.sortBy { case (d, i) => (d, i) }.take(nProbe).map(_._2)
+    // split parents expand to their leaf children (same vectors, so probe
+    // results are identical before and after a rebalance)
+    val children = loadChildren(spark, path)
+    val probeCells = topCells.flatMap(c =>
+      children.get(c).map(_.map(_._1)).getOrElse(Seq(c)))
     spark.read.parquet(path)
       .where(col("cell").isin(probeCells: _*)) // file-listing-level pruning
       .where(col("vec_id") =!= excludeId)
@@ -213,5 +280,116 @@ object IvfIndex {
         round(VectorFns.cosine(col("v"), typedlit(probe.toSeq)), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** The hot-cell split map: top-level parent → its (leaf cell, centroid)
+    * children. Empty for stores that were never rebalanced. Line format
+    * `parent;child;c0,c1,…` — ';' because centroid components use ','. */
+  private[graft] def loadChildren(spark: SparkSession,
+                                  path: String): Map[Int, Seq[(Int, Seq[Double])]] =
+    readSidecar(spark, path, ChildrenFile) match {
+      case None => Map.empty
+      case Some(text) if text.isEmpty => Map.empty
+      case Some(text) =>
+        text.split("\n").toSeq.map { line =>
+          val Array(p, c, cent) = line.split(";", 3)
+          (p.toInt, c.toInt, cent.split(",").toSeq.map(_.toDouble))
+        }.groupBy(_._1).map { case (p, rows) =>
+          p -> rows.sortBy(_._2).map(r => (r._2, r._3))
+        }
+    }
+
+  private def writeChildren(spark: SparkSession, path: String,
+                            children: Map[Int, Seq[(Int, Seq[Double])]]): Unit =
+    writeSidecar(spark, path, ChildrenFile,
+      children.toSeq.sortBy(_._1).flatMap { case (p, chs) =>
+        chs.map { case (c, cent) => s"$p;$c;${cent.mkString(",")}" }
+      }.mkString("\n"))
+
+  /** On-disk (cell, files, bytes) from one driver-side listing — no data
+    * read. Cells on a healthy store are few (≤ thousands), so the listing
+    * is metadata-cheap at any corpus size. */
+  private def listCellDirs(spark: SparkSession, path: String): Seq[(Int, Long, Long)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath).toSeq.filter(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        (d.getPath.getName.stripPrefix("cell=").toInt,
+          files.size.toLong, files.map(_.getLen).sum)
+      }
+  }
+
+  /** Cell-balance observability (the operator's view BEFORE deciding to
+    * rebalance): one row per on-disk cell with file count, bytes, and rows.
+    * Files/bytes come from a driver-side listing; row counts from the
+    * parquet footers (a zero-data-column scan). A skewed corpus shows up
+    * here as one cell holding a disproportionate share of bytes — the
+    * directory every probe of that cell must scan in full. */
+  def cellStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val meta = listCellDirs(spark, path).toDF("cell", "n_files", "n_bytes")
+    val rows = spark.read.parquet(path)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_rows"))
+    meta.join(rows, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_rows"))
+      .orderBy(col("cell"))
+  }
+
+  /** Split every oversized TOP-LEVEL cell into `subCells` leaf cells: train
+    * a sub-quantizer on the cell's own vectors, rewrite them into fresh
+    * `cell=N` directories (ids beyond any existing cell), record the
+    * children (with centroids) in the split sidecar, and delete the parent
+    * directory. Probes keep assigning against the top-level centroids and
+    * EXPAND split parents to all their children, so the candidate set —
+    * hence every result — is identical before and after; what changes is
+    * the layout: the hot directory becomes `subCells` independently-listed,
+    * independently-scanned slices (finer tasks, no one-giant-file
+    * straggler), and `append` distributes future arrivals across them.
+    *
+    * Crash ordering per parent: child data first, sidecar second, parent
+    * delete last — a crash before the sidecar leaves probes on the intact
+    * parent (children unreferenced); after it, probes use the children and
+    * the stale parent dir is swept by the next rebalance call. One level
+    * deep by design: children are never re-split (rebuild with more cells
+    * when a corpus outgrows that). Returns the parent ids split. */
+  def rebalance(spark: SparkSession, path: String, maxCellBytes: Long,
+                subCells: Int = 4, sampleN: Int = 512, iters: Int = 5): Seq[Int] = {
+    require(subCells >= 2, s"subCells must be >= 2, got $subCells")
+    require(maxCellBytes > 0, s"maxCellBytes must be positive, got $maxCellBytes")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var children = loadChildren(spark, path)
+    // finish any crashed earlier run: a parent both split and still on disk
+    // is stale duplicate data probes no longer reference
+    children.keys.foreach { parent =>
+      val d = new Path(path, s"cell=$parent")
+      if (fs.exists(d)) fs.delete(d, true)
+    }
+    val childIdSet = children.values.flatten.map(_._1).toSet
+    val stats = listCellDirs(spark, path)
+    var nextId = (stats.map(_._1) ++ childIdSet ++
+      Seq(loadCentroids(spark, path).length - 1)).max + 1
+    val oversized = stats
+      .filter { case (cell, _, bytes) =>
+        bytes > maxCellBytes && !childIdSet.contains(cell) }
+      .map(_._1).sorted
+    oversized.foreach { parent =>
+      val vecs = spark.read.parquet(s"$path/cell=$parent") // vec_id, v
+      val cents = SimilaritySearch.trainCentroids(
+        vecs, "vec_id", "v", subCells, sampleN, iters)
+      val ids = cents.indices.map(nextId + _)
+      nextId += cents.length
+      vecs.withColumn("cell",
+          element_at(typedlit(ids),
+            org.apache.spark.sql.graft.VectorExprs.nearestCentroids(
+              col("v"), cents, 1)(0) + 1))
+        .write.mode("append").partitionBy("cell").parquet(path)
+      children += parent -> ids.zip(cents)
+      writeChildren(spark, path, children)
+      fs.delete(new Path(path, s"cell=$parent"), true)
+    }
+    oversized
   }
 }

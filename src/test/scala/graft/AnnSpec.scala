@@ -266,6 +266,110 @@ class AnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("IVF hot-cell rebalance: probe results identical, pruning intact, " +
+      "appends land in children, cellStats surfaces the skew") {
+    import graft.operators.IvfIndex
+    import spark.implicits._
+    // skewed corpus: one cluster carries ~70% of the vectors → one hot cell
+    val rnd = new scala.util.Random(11)
+    val centers = Seq.fill(6)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 6).flatMap { c =>
+      val n = if (c == 0) 600 else 40
+      (0 until n).map { i =>
+        val v = centers(c).map(x => (x + 0.12 * rnd.nextGaussian()).toFloat)
+        (c * 1000L + i, v)
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding").cache()
+    val path = java.nio.file.Files.createTempDirectory("ivf_rebal").toString
+    IvfIndex.build(emb, "vec_id", "embedding", path, cells = 6, sampleN = 500)
+    // observability first: the stats table shows one cell dominating
+    val stats = IvfIndex.cellStats(spark, path).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.map(_._4).sum == emb.count())
+    val hotBytes = stats.map(_._3).max
+    assert(hotBytes > 2 * stats.map(_._3).min, stats.mkString(", "))
+    // pin pre-split answers (topK + bulk knnJoin)
+    val probe = emb.where(col("vec_id") === 3L)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    def topNow() = IvfIndex.topK(spark, path, probe, k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def knnNow() = IvfIndex.knnJoin(spark, path,
+        emb.where(col("vec_id") < 5L), "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (topBefore, knnBefore) = (topNow(), knnNow())
+    // split everything above half the hot size (only the hot cell qualifies)
+    val split = IvfIndex.rebalance(spark, path, maxCellBytes = hotBytes / 2,
+      subCells = 3, sampleN = 500)
+    assert(split.nonEmpty, "no cell split on a 70%-skewed corpus")
+    split.foreach { p =>
+      assert(!new java.io.File(s"$path/cell=$p").exists, s"parent dir cell=$p survived")
+    }
+    // the candidate set is unchanged by construction → identical answers
+    assert(topNow() == topBefore)
+    assert(knnNow() == knnBefore)
+    // pruning still holds through the expansion
+    val q = IvfIndex.topK(spark, path, probe, k = 10, nProbe = 2)
+    q.collect()
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+    val totalFiles = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .map(d => d.listFiles().count(_.getName.startsWith("part-"))).sum
+    assert(scanned > 0 && scanned < totalFiles,
+      s"scanned $scanned of $totalFiles files after rebalance")
+    // appends assign hierarchically into the leaves, never a dead parent
+    val extraVec = centers(0).map(x => (x + 0.01f).toFloat)
+    IvfIndex.append(Seq((99999L, extraVec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path)
+    split.foreach { p =>
+      assert(!new java.io.File(s"$path/cell=$p").exists,
+        s"append resurrected split parent cell=$p")
+    }
+    val found = IvfIndex.topK(spark, path, probe, k = 3, nProbe = 1, excludeId = -1L)
+      .collect().map(_.getLong(0))
+    assert(found.nonEmpty)
+    // rows conserved across split + append
+    assert(IvfIndex.cellStats(spark, path).agg(sum(col("n_rows"))).head.getLong(0)
+      == emb.count() + 1)
+    emb.unpersist()
+  }
+
+  test("append guards: absent fingerprint sidecar and column mismatches fail fast") {
+    import graft.operators.IvfIndex
+    import spark.implicits._
+    val emb = clustered(4, 30)
+    val path = java.nio.file.Files.createTempDirectory("ivf_guard").toString
+    IvfIndex.build(emb, "vec_id", "embedding", path, cells = 4, sampleN = 100)
+    // wrong columns: refused before any write
+    intercept[IllegalArgumentException] {
+      IvfIndex.append(emb.toDF("id", "vec"), "id", "vec", path)
+    }
+    // a store with no fingerprint (partial/crashed build) is not appendable
+    assert(new java.io.File(s"$path/_ivf_fingerprint.txt").delete())
+    intercept[IllegalStateException] {
+      IvfIndex.append(emb, "vec_id", "embedding", path)
+    }
+  }
+
+  test("knnJoin excludeSelf=false keeps an id-colliding external probe's " +
+      "self-row (the collision is not silently dropped)") {
+    import graft.operators.IvfIndex
+    val emb = clustered(4, 30).cache()
+    val path = java.nio.file.Files.createTempDirectory("ivf_self").toString
+    IvfIndex.build(emb, "vec_id", "embedding", path, cells = 4, sampleN = 100)
+    val probes = emb.where(col("vec_id") === 0L)
+    val withSelf = IvfIndex.knnJoin(spark, path, probes, "vec_id", "embedding",
+      k = 3, nProbe = 2, excludeSelf = false).collect()
+    // rank 1 is the identical vector — exactly what an external probe with
+    // a coincidentally-colliding id must not lose
+    assert(withSelf.head.getLong(2) == 0L, withSelf.map(_.toString).mkString(","))
+    val without = IvfIndex.knnJoin(spark, path, probes, "vec_id", "embedding",
+      k = 3, nProbe = 2).collect()
+    assert(without.forall(_.getLong(2) != 0L))
+    emb.unpersist()
+  }
+
   test("buildIfNeeded: unchanged input reuses the store; changed fingerprint rebuilds") {
     import graft.operators.{IvfIndex, StoreDirs}
     val emb = Tables.embeddings(spark, sf001)
