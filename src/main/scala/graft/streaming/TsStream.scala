@@ -380,6 +380,117 @@ object TsStream {
         })
   }
 
+  /** Streaming FORWARD as-of join, stream-stream — the mirror twin of
+    * [[asOfBackwardStream]] (`merge_asof(direction='forward')`): each left
+    * row matches the EARLIEST right at-or-after its event time, per key.
+    * Same flatMapGroupsWithState skeleton over the tagged union; what
+    * changes is the finality rule, because forward matches look INTO the
+    * future:
+    *
+    *   - a left `t` whose earliest buffered at-or-after right is `c`
+    *     finalizes once `wm ≥ c.ts`: any unseen right in [t, c) — the only
+    *     rows that could beat `c` — is strictly below the watermark and
+    *     dropped under either late-row convention, so `c` is the global
+    *     non-late match. Emission is at-first-right-or-watermark, one
+    *     microbatch after `c` is safe.
+    *   - a left with NO buffered candidate can never finalize as unmatched
+    *     from the watermark alone — a right with FUTURE event time is never
+    *     late, so "no right will ever come" is undecidable on an unbounded
+    *     stream. With `toleranceUs` set (the practical deployment: bound
+    *     how long a match may lag) it finalizes as NULL once
+    *     `wm > t + tolerance` — every right that could still match inside
+    *     the bound is late under both conventions. Without tolerance such
+    *     lefts wait for a right or the idle-GC eviction (documented
+    *     divergence from batch, which can see the whole timeline).
+    *   - state is bounded the other way round from backward: forward never
+    *     looks backward, so ALL rights below min(pending lefts, watermark)
+    *     are dead — no latest-older carry at all; pending lefts leave on
+    *     emission; idle keys evict wholesale after `idleHorizonMs`.
+    *
+    * Parity with AsOfJoin.forward (same rows, tolerance applied
+    * identically) is proven in TsStreamSpec on chunked replay and in
+    * TsStreamProps on randomized timelines, both with a finite tolerance so
+    * every left finalizes. */
+  def asOfForwardStream(left: Dataset[KeyedPoint], right: Dataset[KeyedPoint],
+                        watermark: String = "1 hour",
+                        idleHorizonMs: Long = 3600000L,
+                        toleranceUs: Option[Long] = None): Dataset[PointAsOf] = {
+    require(toleranceUs.forall(_ >= 0),
+      s"toleranceUs must be non-negative, got $toleranceUs")
+    import left.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    def tsOf(u: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(u, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
+      t
+    }
+    /** Earliest right at-or-after `t` in the ascending run, if any. */
+    def candFor(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] = {
+      var lo = 0; var hi = rights.length - 1; var best = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (rights(mid)._1 >= t) { best = mid; hi = mid - 1 } else lo = mid + 1
+      }
+      if (best < 0) None else Some(rights(best))
+    }
+    val tagged = left.map(p => AsOfTagged(p.key, p.ts, 1, p.value))
+      .union(right.map(p => AsOfTagged(p.key, p.ts, 0, p.value)))
+    tagged.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, it: Iterator[AsOfTagged], state: GroupState[AsOfBuf]) => {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var buf = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          if (!state.hasTimedOut && it.nonEmpty) {
+            val pts = it.toArray
+            buf = AsOfBuf(
+              (buf.rights ++ pts.iterator.filter(_.side == 0)
+                .map(p => (us(p.ts), p.value))).sortBy(_._1),
+              buf.pending ++ pts.iterator.filter(_.side == 1)
+                .map(p => (us(p.ts), p.value)))
+          }
+          // Finality per pending left (see scaladoc): candidate safe once
+          // the watermark reaches it; tolerance expiry finalizes a null.
+          val (ready, stillPending) = buf.pending.partition { case (t, _) =>
+            candFor(buf.rights, t).exists(c => wmUs >= c._1) ||
+              toleranceUs.exists(tol => wmUs > t + tol)
+          }
+          val out = ready.sortBy(_._1).map { case (t, v) =>
+            val m = candFor(buf.rights, t)
+              .filter(c => toleranceUs.forall(tol => c._1 - t <= tol))
+            PointAsOf(key, tsOf(t), v, m.map(x => tsOf(x._1)), m.map(_._2))
+          }
+          // forward never looks backward: rights below every possible
+          // future probe (pending lefts; new lefts arrive at-or-after the
+          // watermark) are dead weight
+          val floor = (stillPending.map(_._1) :+ wmUs).min
+          val kept = buf.rights.filter(_._1 >= floor)
+          if (state.hasTimedOut && stillPending.isEmpty && ready.isEmpty) {
+            state.remove() // idle key (deltasPerKey contract)
+          } else if (kept.isEmpty && stillPending.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(AsOfBuf(kept, stillPending))
+            // wake at the earliest deadline a pending left is waiting on:
+            // its candidate's instant (ceil to ms) or its tolerance expiry;
+            // a candidate-less, tolerance-less left has no event-time
+            // deadline — only a right arrival (which re-runs this function)
+            // or the idle GC resolves it.
+            val lastUs = (kept.map(_._1) ++ stillPending.map(_._1)).max
+            val deadlines = stillPending.flatMap { case (t, _) =>
+              val byCand = candFor(kept, t).map(c => (c._1 + 999L) / 1000L)
+              val byTol = toleranceUs.map(tol => (t + tol) / 1000L + 1L)
+              (byCand.toSeq ++ byTol.toSeq).minOption
+            }
+            val wakeMs = if (deadlines.nonEmpty) deadlines.min
+              else lastUs / 1000L + idleHorizonMs
+            state.setTimeoutTimestamp(math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+        })
+  }
+
   /** Ordered streaming sink: lands each microbatch in `table` through the
     * monotonic-append guard. The TsTable write path does its own day
     * shuffle + within-partition sort, so files stay ts-sorted regardless of

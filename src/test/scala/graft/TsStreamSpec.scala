@@ -225,6 +225,93 @@ class TsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream FORWARD as-of == batch AsOfJoin.forward on chunked " +
+      "replay (finite tolerance so every left finalizes)") {
+    import spark.implicits._
+    import graft.streaming.KeyedPoint
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    def tp(min: Int) = t(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    // same shape as the backward parity test: 5 keys of events, 4 keys of
+    // sparser quotes (key 4 quote-less → tolerance-expiry nulls), unique
+    // right (key, ts) pairs (tied forward matches are engine-ambiguous)
+    val lefts = (0 until 300).map(i => KeyedPoint(i % 5, tp(rnd.nextInt(180)), i.toDouble))
+    val seen = scala.collection.mutable.Set.empty[(Long, Int)]
+    val rights = (0 until 60).flatMap { i =>
+      val m = rnd.nextInt(180)
+      if (seen.add((i % 4, m))) Some(KeyedPoint(i % 4, tp(m), 1000.0 + i)) else None
+    }
+    // the bound that makes forward finality decidable on a stream: a left
+    // with no candidate inside 45 min finalizes as null once the watermark
+    // passes its tolerance window
+    val tolUs = Some(45L * 60 * 1000000)
+
+    val want = graft.operators.AsOfJoin.forward(
+        lefts.toDF("key", "ts", "value"),
+        rights.toDF("rkey", "rts", "rvalue"),
+        "key", "rkey", "ts", "rts", toleranceUs = tolUs)
+      .select($"key", unix_micros($"ts").as("us"), $"value",
+        unix_micros($"rts").as("rus"), $"rvalue")
+      .collect().map(_.toSeq).toSet
+
+    val msL = MemoryStream[KeyedPoint]
+    val msR = MemoryStream[KeyedPoint]
+    val q = TsStream.asOfForwardStream(msL.toDS(), msR.toDS(),
+        watermark = "5 minutes", idleHorizonMs = 24L * 3600 * 1000,
+        toleranceUs = tolUs)
+      .select($"key", unix_micros($"ts").as("us"), $"value",
+        unix_micros($"r_ts").as("rus"), $"r_value".as("rvalue"))
+      .writeStream.format("memory").queryName("asof_fwd_parity")
+      .outputMode("append").start()
+    try {
+      val timeline = (lefts.map((_, true)) ++ rights.map((_, false)))
+        .sortBy(_._1.ts.getTime)
+      timeline.grouped(60).foreach { chunk =>
+        val (ls, rs) = chunk.partition(_._2)
+        if (rs.nonEmpty) msR.addData(rs.map(_._1))
+        if (ls.nonEmpty) msL.addData(ls.map(_._1))
+        q.processAllAvailable()
+      }
+      msL.addData(Seq(KeyedPoint(-1L, t("2024-01-03 00:00:00"), 0.0)))
+      msR.addData(Seq(KeyedPoint(-1L, t("2024-01-03 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      msL.addData(Seq(KeyedPoint(-1L, t("2024-01-04 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("asof_fwd_parity")
+        .where($"key" >= 0).collect().map(_.toSeq).toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      // both outcomes exercised: matched-forward rows and tolerance nulls
+      assert(got.exists(_(4) == null) && got.exists(_(4) != null))
+    } finally q.stop()
+  }
+
+  test("stream-stream forward as-of: a left emits at the first safe right " +
+      "(watermark past the candidate), not only at stream end") {
+    import spark.implicits._
+    import graft.streaming.KeyedPoint
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val msL = MemoryStream[KeyedPoint]
+    val msR = MemoryStream[KeyedPoint]
+    val q = TsStream.asOfForwardStream(msL.toDS(), msR.toDS(),
+        watermark = "0 seconds", idleHorizonMs = 24L * 3600 * 1000)
+      .writeStream.format("memory").queryName("asof_fwd_incr")
+      .outputMode("append").start()
+    try {
+      def step(): Unit = q.processAllAvailable()
+      msL.addData(Seq(KeyedPoint(7L, t("2024-01-01 10:00:00"), 100.0))); step()
+      // the candidate right arrives 5 min later
+      msR.addData(Seq(KeyedPoint(7L, t("2024-01-01 10:05:00"), 1.5))); step()
+      // another key pushes the watermark past the candidate → the pending
+      // left finalizes on a TIMEOUT (no further key-7 input needed)
+      msL.addData(Seq(KeyedPoint(9L, t("2024-01-01 12:00:00"), 0.0))); step()
+      step() // timeout fires on the batch after the wm advance
+      val got = spark.table("asof_fwd_incr").where($"key" === 7L).collect()
+        .map(r => (r.getDouble(2), Option(r.get(4)).map(_.asInstanceOf[Double])))
+      assert(got.toSeq == Seq((100.0, Some(1.5))), s"got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream as-of: a flush timeout must not evict the rights buffer " +
       "(later lefts still match old rights)") {
     import spark.implicits._
