@@ -142,14 +142,19 @@ object NearDedup {
     *
     *   - `sets` is persisted (memory-and-disk) so the shingle compute runs
     *     exactly once;
-    *   - the WHOLE pipeline is evaluated eagerly via localCheckpoint — the
+    *   - the WHOLE pipeline is evaluated eagerly via checkpoint — the
     *     pair list is bounded (detected duplicates, not corpus²), so
     *     materializing it is cheap and truncates the lineage to checkpoint
     *     blocks;
     *   - the persist is freed BEFORE returning, so nothing stays pinned in
     *     the CacheManager (the classic never-unpersisted-cache leak).
     *
-    * The returned frame reads checkpoint blocks; they are freed by the
+    * Checkpoint flavor: when `sparkContext.setCheckpointDir` is configured
+    * the eager checkpoint is RELIABLE (written to that DFS dir — survives
+    * executor loss and dynamic deallocation); otherwise localCheckpoint,
+    * which is faster but whose blocks die with their executor — fine on a
+    * healthy local run, a real risk on a long cluster job, so set a
+    * checkpoint dir there (r10 advice). The local blocks are freed by the
     * ContextCleaner once the caller drops the frame — same lifecycle as
     * clusterPairs' label checkpoints. Default stays LAZY: plan-shape specs
     * (skew-proof ranking join, band join) assert on the lazy form, and
@@ -162,8 +167,12 @@ object NearDedup {
     if (!doMat) build(sets0)
     else {
       val sets = sets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try build(sets).localCheckpoint() // eager: one evaluation of the pipeline
-      finally sets.unpersist(blocking = false)
+      try {
+        val pairs = build(sets)
+        if (sets0.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          pairs.checkpoint() // eager + reliable: survives executor loss
+        else pairs.localCheckpoint() // eager: one evaluation of the pipeline
+      } finally sets.unpersist(blocking = false)
     }
   }
 

@@ -46,12 +46,42 @@ object StoreDirs {
     * indexes rebuild, roundtrip stores rewrite per call). */
   private val OrphanSweepAgeMs: Long = 7L * 24 * 3600 * 1000
 
+  /** Owner record for a namespace: host + pid of the creating JVM. The
+    * sweep refuses to delete a namespace whose recorded owner is a LIVE
+    * process on this host, however stale its mtime — the r10-advice hole
+    * where a session quietly computing for over a week (no store activity,
+    * so no mtime keep-alive) lost its stores to a newcomer's sweep. On a
+    * different host the pid is uncheckable and the mtime rule stands
+    * alone (same-host is the overwhelmingly common tmpdir default). */
+  private val OwnerFile = "_owner.lock"
+
+  private def localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName catch { case _: Exception => "unknown" }
+
+  private def ownerAlive(fs: org.apache.hadoop.fs.FileSystem, ns: Path): Boolean =
+    try {
+      val lock = new Path(ns, OwnerFile)
+      if (!fs.exists(lock)) false
+      else {
+        val is = fs.open(lock)
+        val txt = try scala.io.Source.fromInputStream(is, "UTF-8").mkString.trim
+          finally is.close()
+        txt.split(":", 2) match {
+          case Array(host, pid) if host == localHost =>
+            val h = ProcessHandle.of(pid.toLong)
+            h.isPresent && h.get().isAlive
+          case _ => false // other host (or malformed): mtime rule decides
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** The per-process namespace under `root`; created on first use and
     * registered for recursive removal at JVM exit so per-session names
     * cannot accumulate across runs. Creation sweeps SIBLING namespaces
-    * idle past [[OrphanSweepAgeMs]] (leftovers of uncleanly-killed JVMs);
-    * every later call touches the namespace mtime so a live long-running
-    * session never looks idle to a newcomer's sweep. */
+    * idle past [[OrphanSweepAgeMs]] (leftovers of uncleanly-killed JVMs)
+    * whose owner process is not verifiably alive; every later call touches
+    * the namespace mtime so a live long-running session never looks idle
+    * to a newcomer's sweep. */
   def sessionRoot(s: SparkSession): Path = {
     val p = new Path(root(s), s"graft-scratch-$sessionTag")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -59,9 +89,13 @@ object StoreDirs {
       val cutoff = System.currentTimeMillis() - OrphanSweepAgeMs
       try fs.listStatus(new Path(root(s))).foreach { st =>
         if (st.getPath.getName.startsWith("graft-scratch-") &&
-          st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+          st.getModificationTime < cutoff && !ownerAlive(fs, st.getPath))
+          fs.delete(st.getPath, true)
       } catch { case _: java.io.IOException => () } // sweep is best-effort
       fs.mkdirs(p)
+      val os = fs.create(new Path(p, OwnerFile), true)
+      try os.write(s"$localHost:${ProcessHandle.current().pid()}".getBytes("UTF-8"))
+      finally os.close()
       fs.deleteOnExit(p)
     } else {
       // keep-alive: directory mtimes don't advance on reads/deep writes

@@ -34,6 +34,34 @@ class StoreDirsSpec extends SparkSpec {
     assert(k1 == StoreDirs.pathKey("/data/a"))
   }
 
+  test("orphan sweep spares an idle namespace whose owner process is alive, " +
+      "sweeps one with a dead owner") {
+    val sharedRoot = java.nio.file.Files.createTempDirectory("graft_sweep").toString
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    def fakeNs(name: String, pid: Long): java.io.File = {
+      val d = new java.io.File(sharedRoot, name)
+      d.mkdirs()
+      val w = new java.io.FileWriter(new java.io.File(d, "_owner.lock"))
+      try w.write(s"$host:$pid") finally w.close()
+      // idle for 8 days — past the 7-day sweep cutoff
+      d.setLastModified(System.currentTimeMillis() - 8L * 24 * 3600 * 1000)
+      d
+    }
+    val live = fakeNs("graft-scratch-livetest", ProcessHandle.current().pid())
+    val deadPid = Iterator.from(100000)
+      .find(p => ProcessHandle.of(p.toLong).isEmpty).get.toLong
+    val dead = fakeNs("graft-scratch-deadtest", deadPid)
+    spark.conf.set("spark.graft.store.dir", sharedRoot)
+    try {
+      StoreDirs.sessionRoot(spark) // first use under this root → sweep runs
+      assert(live.exists(), "sweep deleted a namespace with a LIVE owner")
+      assert(!dead.exists(), "sweep spared a dead-owner namespace")
+      // and the fresh namespace records its own owner for future sweeps
+      val ns = new java.io.File(StoreDirs.sessionRoot(spark).toString)
+      assert(new java.io.File(ns, "_owner.lock").exists())
+    } finally spark.conf.unset("spark.graft.store.dir")
+  }
+
   test("spark.graft.store.dir redirects roundtrip stores (cluster shared-dir knob)") {
     val shared = java.nio.file.Files.createTempDirectory("graft_shared").toString
     spark.conf.set("spark.graft.store.dir", shared)
