@@ -491,6 +491,132 @@ object TsStream {
         })
   }
 
+  /** Streaming NEAREST as-of join, stream-stream — completes the streaming
+    * as-of family ([[asOfBackwardStream]] / [[asOfForwardStream]]):
+    * `merge_asof(direction='nearest')` semantics, each left matching the
+    * right of the same key with the smallest |Δt| in either direction,
+    * exact ties resolving backward, per-side tolerance like the batch
+    * operator (AsOfJoin.nearest).
+    *
+    * Finality composes both twins' rules. For a pending left `t` with
+    * current ELIGIBLE candidates (backward `b`, forward `f`, each within
+    * tolerance) let `d_eff = min(t−b.ts, f.ts−t, tolerance+1µs)`; the left
+    * finalizes once `wm > t` (closes the backward side — any later
+    * at-or-before right is dropped under either late-row convention) AND
+    * `wm ≥ t + d_eff` (closes the forward side — any unseen right that
+    * could strictly beat the current best, or produce a non-null inside
+    * the tolerance window, is below the watermark). The match is
+    * recomputed at emission from the full buffered run, so the finalized
+    * answer equals the batch one over all non-late rows. As with forward,
+    * a candidate-less, tolerance-less left is undecidable on an unbounded
+    * stream (d_eff = ∞) and waits for data or idle GC — set a tolerance in
+    * deployments that need bounded latency.
+    *
+    * State: rights prune exactly like the backward twin (everything below
+    * the pending/watermark floor collapses to the single latest older
+    * right — nearest still looks backward); pending lefts wake at their
+    * `t + d_eff` deadline. Parity with AsOfJoin.nearest (including the
+    * backward tie preference and per-side tolerance) is proven in
+    * TsStreamSpec on chunked replay and TsStreamProps on randomized
+    * timelines with finite tolerance. */
+  def asOfNearestStream(left: Dataset[KeyedPoint], right: Dataset[KeyedPoint],
+                        watermark: String = "1 hour",
+                        idleHorizonMs: Long = 3600000L,
+                        toleranceUs: Option[Long] = None): Dataset[PointAsOf] = {
+    require(toleranceUs.forall(_ >= 0),
+      s"toleranceUs must be non-negative, got $toleranceUs")
+    import left.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    def tsOf(u: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(u, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
+      t
+    }
+    /** Latest right at-or-before `t` (backward) in the ascending run. */
+    def backFor(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] = {
+      var lo = 0; var hi = rights.length - 1; var best = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (rights(mid)._1 <= t) { best = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (best < 0) None else Some(rights(best))
+    }
+    /** Earliest right at-or-after `t` (forward) in the ascending run. */
+    def fwdFor(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] = {
+      var lo = 0; var hi = rights.length - 1; var best = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (rights(mid)._1 >= t) { best = mid; hi = mid - 1 } else lo = mid + 1
+      }
+      if (best < 0) None else Some(rights(best))
+    }
+    /** Nearest eligible candidate: per-side tolerance, tie → backward. */
+    def nearestFor(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] = {
+      val b = backFor(rights, t).filter(r => toleranceUs.forall(t - r._1 <= _))
+      val f = fwdFor(rights, t).filter(r => toleranceUs.forall(r._1 - t <= _))
+      (b, f) match {
+        case (Some(rb), Some(rf)) => if (t - rb._1 <= rf._1 - t) Some(rb) else Some(rf)
+        case (x, y) => x.orElse(y)
+      }
+    }
+    /** The wait bound d_eff (µs); None = unbounded (no deadline). */
+    def dEff(rights: Seq[(Long, Double)], t: Long): Option[Long] = {
+      val db = backFor(rights, t).map(r => t - r._1)
+        .filter(d => toleranceUs.forall(d <= _))
+      val df = fwdFor(rights, t).map(r => r._1 - t)
+        .filter(d => toleranceUs.forall(d <= _))
+      (db.toSeq ++ df.toSeq ++ toleranceUs.map(_ + 1L).toSeq).minOption
+    }
+    val tagged = left.map(p => AsOfTagged(p.key, p.ts, 1, p.value))
+      .union(right.map(p => AsOfTagged(p.key, p.ts, 0, p.value)))
+    tagged.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, it: Iterator[AsOfTagged], state: GroupState[AsOfBuf]) => {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var buf = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          if (!state.hasTimedOut && it.nonEmpty) {
+            val pts = it.toArray
+            buf = AsOfBuf(
+              (buf.rights ++ pts.iterator.filter(_.side == 0)
+                .map(p => (us(p.ts), p.value))).sortBy(_._1),
+              buf.pending ++ pts.iterator.filter(_.side == 1)
+                .map(p => (us(p.ts), p.value)))
+          }
+          // finality: backward side closed (wm strictly past t) AND the
+          // forward wait bound met (see scaladoc)
+          val (ready, stillPending) = buf.pending.partition { case (t, _) =>
+            wmUs > t && dEff(buf.rights, t).exists(d => wmUs >= t + d)
+          }
+          val out = ready.sortBy(_._1).map { case (t, v) =>
+            val m = nearestFor(buf.rights, t)
+            PointAsOf(key, tsOf(t), v, m.map(x => tsOf(x._1)), m.map(_._2))
+          }
+          // same prune as the backward twin: nearest still looks backward,
+          // so keep the single latest right below the floor plus all above
+          val floor = (stillPending.map(_._1) :+ wmUs).min
+          val (older, newer) = buf.rights.partition(_._1 < floor)
+          val kept = (if (older.nonEmpty) older.takeRight(1) else Nil) ++ newer
+          if (state.hasTimedOut && stillPending.isEmpty && ready.isEmpty) {
+            state.remove() // idle key (deltasPerKey contract)
+          } else if (kept.isEmpty && stillPending.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(AsOfBuf(kept, stillPending))
+            val lastUs = (kept.map(_._1) ++ stillPending.map(_._1)).max
+            val deadlines = stillPending.flatMap { case (t, _) =>
+              // wm must pass t AND reach t + d_eff: wake at the later ms
+              dEff(kept, t).map(d => math.max(t / 1000L + 1L, (t + d + 999L) / 1000L))
+            }
+            val wakeMs = if (deadlines.nonEmpty) deadlines.min
+              else lastUs / 1000L + idleHorizonMs
+            state.setTimeoutTimestamp(math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+        })
+  }
+
   /** Ordered streaming sink: lands each microbatch in `table` through the
     * monotonic-append guard. The TsTable write path does its own day
     * shuffle + within-partition sort, so files stay ts-sorted regardless of

@@ -190,4 +190,78 @@ class TsStreamProps extends SparkSpec {
     }
     assert(keyCases >= 100, s"only $keyCases generated key-cases")
   }
+
+  test("stream-stream NEAREST as-of == batch AsOfJoin.nearest on randomized " +
+      "keyed streams (>=100 generated key-cases, finite tolerance)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = t("2024-01-01 08:00:00").getTime
+    def tp(min: Int) = new Timestamp(base + min * 60000L)
+    var keyCases = 0
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 99991L)
+      val wmMin = Seq(1, 5, 30)(rnd.nextInt(3))
+      val tolUs = Seq(10L, 30L, 90L)(rnd.nextInt(3)) * 60 * 1000000
+      val nKeys = 20
+      var ctr = 0
+      val lefts = scala.collection.mutable.ArrayBuffer.empty[KeyedPoint]
+      val rights = scala.collection.mutable.ArrayBuffer.empty[KeyedPoint]
+      (0 until nKeys).foreach { k =>
+        val nl = rnd.nextInt(16)
+        val nr = rnd.nextInt(11)
+        (0 until nl).foreach { _ =>
+          ctr += 1; lefts += KeyedPoint(k, tp(rnd.nextInt(240)), ctr.toDouble)
+        }
+        val seen = scala.collection.mutable.Set.empty[Int]
+        (0 until nr).foreach { _ =>
+          val m = rnd.nextInt(240)
+          if (seen.add(m)) { ctr += 1; rights += KeyedPoint(k, tp(m), 1000.0 + ctr) }
+        }
+      }
+      keyCases += nKeys
+
+      val want = graft.operators.AsOfJoin.nearest(
+          lefts.toSeq.toDF("key", "ts", "value"),
+          rights.toSeq.toDF("rkey", "rts", "rvalue"),
+          "key", "rkey", "ts", "rts", toleranceUs = Some(tolUs))
+        .select($"key", unix_micros($"ts").as("us"), $"value",
+          unix_micros($"rts").as("rus"), $"rvalue")
+        .collect().map(_.toSeq).toSet
+
+      val msL = MemoryStream[KeyedPoint]
+      val msR = MemoryStream[KeyedPoint]
+      val q = TsStream.asOfNearestStream(msL.toDS(), msR.toDS(),
+          watermark = s"$wmMin minutes", idleHorizonMs = 24L * 3600 * 1000,
+          toleranceUs = Some(tolUs))
+        .select($"key", unix_micros($"ts").as("us"), $"value",
+          unix_micros($"r_ts").as("rus"), $"r_value".as("rvalue"))
+        .writeStream.format("memory").queryName(s"asof_near_prop_$seed")
+        .outputMode("append").start()
+      try {
+        val timeline = (lefts.map((_, true)) ++ rights.map((_, false)))
+          .sortBy(_._1.ts.getTime)
+        var i = 0
+        while (i < timeline.length) {
+          val n = 1 + rnd.nextInt(40)
+          val chunk = timeline.slice(i, i + n)
+          i += n
+          val (ls, rs) = chunk.partition(_._2)
+          if (rs.nonEmpty) msR.addData(rs.map(_._1).toSeq)
+          if (ls.nonEmpty) msL.addData(ls.map(_._1).toSeq)
+          q.processAllAvailable()
+        }
+        msL.addData(Seq(KeyedPoint(-1L, t("2024-01-03 00:00:00"), 0.0)))
+        msR.addData(Seq(KeyedPoint(-1L, t("2024-01-03 00:00:00"), 0.0)))
+        q.processAllAvailable()
+        msL.addData(Seq(KeyedPoint(-1L, t("2024-01-04 00:00:00"), 0.0)))
+        q.processAllAvailable()
+        val got = spark.table(s"asof_near_prop_$seed")
+          .where($"key" >= 0).collect().map(_.toSeq).toSet
+        assert(got == want,
+          s"seed=$seed wm=${wmMin}m tol=$tolUs: missing=${(want -- got).take(5)} " +
+            s"extra=${(got -- want).take(5)}")
+      } finally q.stop()
+    }
+    assert(keyCases >= 100, s"only $keyCases generated key-cases")
+  }
 }

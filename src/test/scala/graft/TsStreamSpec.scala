@@ -286,6 +286,60 @@ class TsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream NEAREST as-of == batch AsOfJoin.nearest on chunked " +
+      "replay (backward tie preference, per-side tolerance)") {
+    import spark.implicits._
+    import graft.streaming.KeyedPoint
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    def tp(min: Int) = t(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    val lefts = (0 until 300).map(i => KeyedPoint(i % 5, tp(rnd.nextInt(180)), i.toDouble))
+    val seen = scala.collection.mutable.Set.empty[(Long, Int)]
+    val rights = (0 until 60).flatMap { i =>
+      val m = rnd.nextInt(180)
+      if (seen.add((i % 4, m))) Some(KeyedPoint(i % 4, tp(m), 1000.0 + i)) else None
+    }
+    val tolUs = Some(45L * 60 * 1000000)
+
+    val want = graft.operators.AsOfJoin.nearest(
+        lefts.toDF("key", "ts", "value"),
+        rights.toDF("rkey", "rts", "rvalue"),
+        "key", "rkey", "ts", "rts", toleranceUs = tolUs)
+      .select($"key", unix_micros($"ts").as("us"), $"value",
+        unix_micros($"rts").as("rus"), $"rvalue")
+      .collect().map(_.toSeq).toSet
+
+    val msL = MemoryStream[KeyedPoint]
+    val msR = MemoryStream[KeyedPoint]
+    val q = TsStream.asOfNearestStream(msL.toDS(), msR.toDS(),
+        watermark = "5 minutes", idleHorizonMs = 24L * 3600 * 1000,
+        toleranceUs = tolUs)
+      .select($"key", unix_micros($"ts").as("us"), $"value",
+        unix_micros($"r_ts").as("rus"), $"r_value".as("rvalue"))
+      .writeStream.format("memory").queryName("asof_near_parity")
+      .outputMode("append").start()
+    try {
+      val timeline = (lefts.map((_, true)) ++ rights.map((_, false)))
+        .sortBy(_._1.ts.getTime)
+      timeline.grouped(60).foreach { chunk =>
+        val (ls, rs) = chunk.partition(_._2)
+        if (rs.nonEmpty) msR.addData(rs.map(_._1))
+        if (ls.nonEmpty) msL.addData(ls.map(_._1))
+        q.processAllAvailable()
+      }
+      msL.addData(Seq(KeyedPoint(-1L, t("2024-01-03 00:00:00"), 0.0)))
+      msR.addData(Seq(KeyedPoint(-1L, t("2024-01-03 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      msL.addData(Seq(KeyedPoint(-1L, t("2024-01-04 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("asof_near_parity")
+        .where($"key" >= 0).collect().map(_.toSeq).toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      assert(got.exists(_(4) == null) && got.exists(_(4) != null))
+    } finally q.stop()
+  }
+
   test("stream-stream forward as-of: a left emits at the first safe right " +
       "(watermark past the candidate), not only at stream end") {
     import spark.implicits._
