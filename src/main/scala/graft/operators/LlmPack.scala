@@ -80,9 +80,9 @@ object LlmPack extends QueryPack {
     * Oracle: the q_dedup_cluster recursive-CTE closure + the same
     * anti-join in SQL. */
   def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
-    val losers = NearDedup.canonicalLosers(Tables.documents(s, dir),
+    val (losers, bound) = NearDedup.canonicalLosers(Tables.documents(s, dir),
       idCol = "doc_id", textCol = "text", partCol = "lang", tau = Tau)
-    NearDedup.pruneByLosers(Tables.documents(s, dir), losers, "doc_id")
+    NearDedup.pruneByLosers(Tables.documents(s, dir), losers, bound, "doc_id")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
   }

@@ -370,7 +370,16 @@ object NearDedup {
     * singletons are their own cluster by definition and are not emitted. */
   def clusterPairs(pairs: DataFrame, aCol: String = "a_id",
                    bCol: String = "b_id",
-                   localEdgeLimit: Long = LocalEdgeLimit): DataFrame = {
+                   localEdgeLimit: Long = LocalEdgeLimit): DataFrame =
+    clusterPairsCounted(pairs, aCol, bCol, localEdgeLimit)._1
+
+  /** [[clusterPairs]] plus the DIRECTED edge count its pipeline counts
+    * anyway (the size-dispatch materialization) — callers use it as a free
+    * upper bound on derived set sizes: clustered nodes ≤ directed edges,
+    * so canonical-prune losers ≤ edges without a second counting job. */
+  private[operators] def clusterPairsCounted(
+      pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      localEdgeLimit: Long = LocalEdgeLimit): (DataFrame, Long) = {
     val spark = pairs.sparkSession
     // Both edge directions from ONE pass over `pairs` (an in-row explode):
     // a unionAll of two projections would evaluate the whole upstream
@@ -389,7 +398,7 @@ object NearDedup {
       val local = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       edges.unpersist(blocking = true)
       import spark.implicits._
-      clusterLocally(local).toSeq.toDF("doc_id", "cluster_id")
+      (clusterLocally(local).toSeq.toDF("doc_id", "cluster_id"), nEdges)
     } else {
       // Every round is CHECKPOINTED (lineage truncated, eagerly
       // materialized), not merely cached: under persist() alone each
@@ -434,7 +443,7 @@ object NearDedup {
         it += 1
       }
       edges.unpersist(blocking = true)
-      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      (labels.select(col("node").as("doc_id"), col("label").as("cluster_id")), nEdges)
     }
   }
 
@@ -443,20 +452,26 @@ object NearDedup {
     * non-canonical members. Shared by LlmPack.dedupCanonical and
     * PipelinePack.corpusBuild so the pair generator, τ handling, and label
     * convention cannot drift between them; feed the result to
-    * `pruneByLosers`, which decides whether the anti-join may broadcast it. */
+    * `pruneByLosers`, which decides whether the anti-join may broadcast it.
+    * Returns the loser frame plus a FREE upper bound on its row count
+    * (losers < clustered nodes ≤ the directed edge count the cluster
+    * pipeline materializes anyway). */
   def canonicalLosers(docs: DataFrame, idCol: String, textCol: String,
-                      partCol: String, tau: Double): DataFrame =
-    clusterPairs(
+                      partCol: String, tau: Double): (DataFrame, Long) = {
+    val (labels, nEdges) = clusterPairsCounted(
       minhashLsh(docs, idCol, textCol, partCol, tau, materialize = Some(true)))
+    val losers = labels
       .where(col("doc_id") =!= col("cluster_id"))
       // clusterPairs emits fixed (doc_id, cluster_id) names whatever the
       // input id column was called; rename so a non-"doc_id" caller can
       // anti-join on its own id column directly
       .select(col("doc_id").as(idCol))
+    (losers, nEdges)
+  }
 
-  /** Default ceiling on the loser-list rows `pruneByLosers` will broadcast:
-    * ~4M long ids ≈ 32 MB serialized — comfortable executor-side, far from
-    * driver OOM. Override per session with
+  /** Default ceiling on the loser-list BOUND `pruneByLosers` will broadcast
+    * under: ~4M long ids ≈ 32 MB serialized — comfortable executor-side,
+    * far from driver OOM. Override per session with
     * spark.graft.dedup.maxBroadcastLosers. */
   private val MaxBroadcastLosers = 4L << 20
 
@@ -466,26 +481,27 @@ object NearDedup {
     * CORPUS-proportional: billions of ids at 100 TB. A forced `broadcast()`
     * hint overrides every size check Spark has and collects the list to the
     * driver — the one driver-side materialization in this pipeline that was
-    * NOT bounded (the r10 verdict's sole scale defect). So dispatch on the
-    * actual count:
+    * NOT bounded (the r10 verdict's sole scale defect). So dispatch on
+    * `bound`, a caller-supplied upper bound on the loser count
+    * (canonicalLosers hands back the cluster pipeline's directed edge
+    * count, which it materializes anyway — the gate costs ZERO extra jobs):
     *
-    *   - ≤ the ceiling → explicit broadcast hint: the corpus side never
-    *     shuffles, one scan at any corpus size (the common case — loser
-    *     lists of healthy corpora are small);
-    *   - above it → plain shuffled left_anti: both sides exchange on the id,
-    *     which is exactly what a billion-row exclusion list needs. No hint
-    *     means no driver collect; AQE may still pick a broadcast only if its
-    *     own runtime size checks pass.
+    *   - bound ≤ the ceiling → explicit broadcast hint: the corpus side
+    *     never shuffles, one scan at any corpus size (the common case —
+    *     loser lists of healthy corpora are small);
+    *   - above it → plain shuffled left_anti: both sides exchange on the
+    *     id, which is exactly what a billion-row exclusion list needs. No
+    *     hint means no driver collect — and when the bound was loose (few
+    *     losers despite many edges), AQE's runtime size check still
+    *     converts the shuffle to a broadcast join for free.
     *
-    * The count is nearly free: `losers` derives from clusterPairs output —
-    * a driver-local relation (small graphs) or checkpointed label blocks
-    * (large) — so counting never re-runs the minhash/CC pipeline.
-    * PlanAuditSpec asserts BOTH plan shapes. */
-  def pruneByLosers(corpus: DataFrame, losers: DataFrame, idCol: String): DataFrame = {
+    * PlanAuditSpec asserts BOTH planned shapes. */
+  def pruneByLosers(corpus: DataFrame, losers: DataFrame, bound: Long,
+                    idCol: String): DataFrame = {
     val limit = corpus.sparkSession.conf
       .getOption("spark.graft.dedup.maxBroadcastLosers").map(_.toLong)
       .getOrElse(MaxBroadcastLosers)
-    if (losers.count() <= limit)
+    if (bound <= limit)
       corpus.join(broadcast(losers), Seq(idCol), "left_anti")
     else
       corpus.join(losers, Seq(idCol), "left_anti")

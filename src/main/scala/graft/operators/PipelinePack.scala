@@ -109,10 +109,10 @@ object PipelinePack extends QueryPack {
     * pipeline passes. Oracle: the corpus-filter CTE ∧ NOT the
     * recursive-closure losers, then the same sampling window. */
   def corpusBuild(s: SparkSession, dir: String): DataFrame = {
-    val losers = NearDedup.canonicalLosers(Tables.documents(s, dir),
+    val (losers, bound) = NearDedup.canonicalLosers(Tables.documents(s, dir),
       idCol = "doc_id", textCol = "text", partCol = "lang", tau = LlmPack.Tau)
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-    NearDedup.pruneByLosers(qualitySurvivors(s, dir), losers, "doc_id")
+    NearDedup.pruneByLosers(qualitySurvivors(s, dir), losers, bound, "doc_id")
       .withColumn("rn", row_number().over(w))
       .withColumn("every", everyExpr)
       .where(pmod(col("rn"), col("every")) === 1)
