@@ -150,9 +150,11 @@ object Bench {
     // keys outgrew the ~2 kB output tail the driver archives — BENCH_r10
     // lost the line's HEAD, i.e. the "total" gate metric itself. Emit a
     // compact summary LAST so any tail window ends with a self-contained
-    // parseable record, whatever the registry size.
+    // parseable record, whatever the registry size. "summary":true marks
+    // it so a consumer scanning the FULL output can tell the two
+    // "metric":"total" records apart instead of double-counting.
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subset"reps":$reps,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subset"summary":true,"reps":$reps,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

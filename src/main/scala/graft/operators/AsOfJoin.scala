@@ -24,6 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Key columns as ONE struct under POSITIONAL field names (k0, k1, …) so
+    * the left and right `_k` types unify in the union whatever the source
+    * columns were called. Shared by every *By variant — key handling must
+    * not drift between directions. */
+  private def keyStruct(keys: Seq[String]): Column =
+    struct(keys.zipWithIndex.map { case (k, i) => col(k).as(s"k$i") }: _*)
+
+  private def requireMatchingKeys(leftKeys: Seq[String], rightKeys: Seq[String]): Unit =
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"need matching non-empty key lists, got $leftKeys vs $rightKeys")
+
   /** @param saltBuckets skew recipe for hot keys (one instrument carrying a
     *   large share of the left stream): when > 1, LEFT rows of a key are
     *   spread over `saltBuckets` sub-partitions by a deterministic hash of
@@ -74,8 +85,7 @@ object AsOfJoin {
       toleranceUs: Option[Long] = None,
       allowExactMatches: Boolean = true): DataFrame = {
 
-    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
-      s"need matching non-empty key lists, got $leftKeys vs $rightKeys")
+    requireMatchingKeys(leftKeys, rightKeys)
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     require(toleranceUs.forall(_ >= 0),
       s"toleranceUs must be non-negative, got $toleranceUs")
@@ -90,11 +100,6 @@ object AsOfJoin {
     val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
 
-    // Key columns ride as one struct under POSITIONAL field names (k0, k1,
-    // …) so the left and right `_k` types unify in the union whatever the
-    // source columns were called.
-    def keyStruct(keys: Seq[String]) =
-      struct(keys.zipWithIndex.map { case (k, i) => col(k).as(s"k$i") }: _*)
     val lTagged = left.select(
       keyStruct(leftKeys).as("_k"),
       col(leftTime).cast("timestamp").as("_t"),
@@ -183,8 +188,7 @@ object AsOfJoin {
       toleranceUs: Option[Long] = None,
       allowExactMatches: Boolean = true): DataFrame = {
 
-    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
-      s"need matching non-empty key lists, got $leftKeys vs $rightKeys")
+    requireMatchingKeys(leftKeys, rightKeys)
     require(toleranceUs.forall(_ >= 0),
       s"toleranceUs must be non-negative, got $toleranceUs")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
@@ -198,8 +202,6 @@ object AsOfJoin {
     val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
 
-    def keyStruct(keys: Seq[String]) =
-      struct(keys.zipWithIndex.map { case (k, i) => col(k).as(s"k$i") }: _*)
     val lTagged = left.select(
       keyStruct(leftKeys).as("_k"), col(leftTime).cast("timestamp").as("_t"),
       lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rType).as("_r"))
@@ -269,8 +271,7 @@ object AsOfJoin {
       toleranceUs: Option[Long] = None,
       allowExactMatches: Boolean = true): DataFrame = {
 
-    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
-      s"need matching non-empty key lists, got $leftKeys vs $rightKeys")
+    requireMatchingKeys(leftKeys, rightKeys)
     require(toleranceUs.forall(_ >= 0),
       s"toleranceUs must be non-negative, got $toleranceUs")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
@@ -294,8 +295,6 @@ object AsOfJoin {
       org.apache.spark.sql.types.StructField(
         "t", org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("p", rType)))
-    def keyStruct(keys: Seq[String]) =
-      struct(keys.zipWithIndex.map { case (k, i) => col(k).as(s"k$i") }: _*)
     val lTagged = left.select(
       keyStruct(leftKeys).as("_k"), col(leftTime).cast("timestamp").as("_t"),
       lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rCarry).as("_r"))
@@ -375,8 +374,7 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String): DataFrame = {
-    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
-      s"need matching non-empty key lists, got $leftKeys vs $rightKeys")
+    requireMatchingKeys(leftKeys, rightKeys)
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column overlap not supported: $overlap")
     val spark = left.sparkSession

@@ -113,17 +113,25 @@ object IvfIndex {
     val spark = emb.sparkSession
     val centroids = SimilaritySearch.trainCentroids(
       emb, idCol, vecCol, cells, sampleN, iters)
+    // Wipe the previous life of the store EXPLICITLY, before any write:
+    // .mode("overwrite") only clears the whole path under STATIC partition
+    // overwrite — with spark.sql.sources.partitionOverwriteMode=dynamic
+    // (a common pipeline-wide setting) it replaces only the cells present
+    // in the new assignment, resurrecting stale vectors in the rest. The
+    // up-front delete also drops the old fingerprint/split sidecars, so a
+    // crash mid-build leaves a store with NO fingerprint — exactly what
+    // buildIfNeeded and append treat as partial and refuse to touch.
+    val storePath = new Path(path)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(storePath)) fs.delete(storePath, true)
     emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("cell",
         org.apache.spark.sql.graft.VectorExprs.nearestCentroids(col("v"), centroids, 1)(0))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     val out = new Path(path, CentroidsFile)
-    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(out, true)
     try os.write(centroids.map(_.mkString(",")).mkString("\n").getBytes("UTF-8"))
     finally os.close()
-    val children = new Path(path, ChildrenFile)
-    if (fs.exists(children)) fs.delete(children, false)
     writeSidecar(spark, path, FingerprintFile,
       s"unversioned:$idCol:$vecCol:c$cells:s$sampleN:i$iters")
   }
@@ -368,9 +376,18 @@ object IvfIndex {
       if (fs.exists(d)) fs.delete(d, true)
     }
     val childIdSet = children.values.flatten.map(_._1).toSet
+    val nTop = loadCentroids(spark, path).length
+    // ...and the mirror-image crash (child data written, sidecar not):
+    // any on-disk cell that is neither top-level nor a recorded child is
+    // an unreferenced orphan — no probe expands to it, no sweep would ever
+    // reclaim it, and a later pass could pointlessly re-split it. Delete
+    // before measuring, so the split below re-runs cleanly.
+    listCellDirs(spark, path).foreach { case (cell, _, _) =>
+      if (cell >= nTop && !childIdSet.contains(cell))
+        fs.delete(new Path(path, s"cell=$cell"), true)
+    }
     val stats = listCellDirs(spark, path)
-    var nextId = (stats.map(_._1) ++ childIdSet ++
-      Seq(loadCentroids(spark, path).length - 1)).max + 1
+    var nextId = (stats.map(_._1) ++ childIdSet ++ Seq(nTop - 1)).max + 1
     val oversized = stats
       .filter { case (cell, _, bytes) =>
         bytes > maxCellBytes && !childIdSet.contains(cell) }

@@ -69,7 +69,16 @@ object StoreDirs {
         txt.split(":", 2) match {
           case Array(host, pid) if host == localHost =>
             val h = ProcessHandle.of(pid.toLong)
-            h.isPresent && h.get().isAlive
+            h.isPresent && h.get().isAlive && {
+              // pid recycling guard: a process that STARTED after the lock
+              // was written is an unrelated reuse of the number, not the
+              // owner — without this check a recycled pid pins the orphan
+              // forever. One minute of slack absorbs clock skew.
+              val started = h.get().info().startInstant()
+              val lockMs = fs.getFileStatus(lock).getModificationTime
+              !started.isPresent ||
+                started.get().toEpochMilli <= lockMs + 60000L
+            }
           case _ => false // other host (or malformed): mtime rule decides
         }
       }

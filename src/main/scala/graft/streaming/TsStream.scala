@@ -57,7 +57,45 @@ case class EwmaState(num: Double, den: Double, lastTsUs: Long)
   * through a MemoryStream in chunks and comparing against the batch
   * equivalents in TimeSeriesPack.
   */
-object TsStream {
+// Serializable because the state functions below call the object's private
+// helpers, which compiles to a captured `this` reference — the module
+// instance ships with the closure (it is stateless; deserialization
+// readResolves back to MODULE$).
+object TsStream extends Serializable {
+
+  /** Full-µs event time of a Timestamp (getTime alone is ms-truncated;
+    * the engine's resolution is µs — SURVEY §1.4.4). Shared by every
+    * custom-state operator below. */
+  private def usOf(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Inverse of [[usOf]], floorDiv/floorMod so pre-epoch instants keep
+    * their sub-second digits. */
+  private def tsFromUs(u: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(u, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Largest right at-or-before `t` in an ascending (ts, value) run. */
+  private def lastAtOrBefore(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] = {
+    var lo = 0; var hi = rights.length - 1; var best = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (rights(mid)._1 <= t) { best = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    if (best < 0) None else Some(rights(best))
+  }
+
+  /** Smallest right at-or-after `t` in an ascending (ts, value) run. */
+  private def firstAtOrAfter(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] = {
+    var lo = 0; var hi = rights.length - 1; var best = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (rights(mid)._1 >= t) { best = mid; hi = mid - 1 } else lo = mid + 1
+    }
+    if (best < 0) None else Some(rights(best))
+  }
 
   /** Streaming source over a TsTable/Parquet directory. Schema must be
     * declared (streaming sources don't infer). */
@@ -145,16 +183,12 @@ object TsStream {
           if (state.hasTimedOut) { // idle key: drop the carried point
             state.remove(); Iterator.empty
           } else {
-            // full µs precision: getTime is ms-truncated, the engine's ts
-            // resolution is µs (SURVEY §1.4.4)
-            def us(t: java.sql.Timestamp): Long =
-              (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
-            val pts = it.toArray.sortBy(p => us(p.ts))
+            val pts = it.toArray.sortBy(p => usOf(p.ts))
             var last = state.getOption
             val out = pts.map { p =>
               val d = last.map(s => p.value - s.lastValue)
-              val g = last.map(s => us(p.ts) - s.lastTsUs)
-              last = Some(LastPoint(us(p.ts), p.value))
+              val g = last.map(s => usOf(p.ts) - s.lastTsUs)
+              last = Some(LastPoint(usOf(p.ts), p.value))
               PointDelta(key, p.ts, p.value, d, g)
             }
             last.foreach { s =>
@@ -190,12 +224,10 @@ object TsStream {
           if (state.hasTimedOut) {
             state.remove(); Iterator.empty
           } else {
-            def us(t: java.sql.Timestamp): Long =
-              (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
-            val pts = it.toArray.sortBy(p => us(p.ts))
+            val pts = it.toArray.sortBy(p => usOf(p.ts))
             var s = state.getOption.getOrElse(EwmaState(0.0, 0.0, Long.MinValue))
             val out = pts.map { p =>
-              s = EwmaState(p.value + r * s.num, 1.0 + r * s.den, us(p.ts))
+              s = EwmaState(p.value + r * s.num, 1.0 + r * s.den, usOf(p.ts))
               PointEwma(key, p.ts, p.value, s.num / s.den)
             }
             if (pts.nonEmpty) {
@@ -289,30 +321,13 @@ object TsStream {
     require(toleranceUs.forall(_ >= 0),
       s"toleranceUs must be non-negative, got $toleranceUs")
     import left.sparkSession.implicits._
-    def us(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
-    def tsOf(u: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(u, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
-      t
-    }
-    /** Largest right at-or-before `t` in the ascending run, if any; a match
-      * staler than `toleranceUs` is discarded (pandas merge_asof tolerance,
-      * matching AsOfJoin.backward's knob). The STATE is unaffected — the
+    /** Largest right at-or-before `t`; a match staler than `toleranceUs`
+      * is discarded (pandas merge_asof tolerance, matching
+      * AsOfJoin.backward's knob). The STATE is unaffected — the
       * prune-to-latest floor keeps the newest older right regardless, and
       * tolerance only nulls at emission time. */
-    def matchFor(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] = {
-      var lo = 0; var hi = rights.length - 1; var best = -1
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        if (rights(mid)._1 <= t) { best = mid; lo = mid + 1 } else hi = mid - 1
-      }
-      if (best < 0) None
-      else toleranceUs match {
-        case Some(us) if t - rights(best)._1 > us => None
-        case _ => Some(rights(best))
-      }
-    }
+    def matchFor(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] =
+      lastAtOrBefore(rights, t).filter(r => toleranceUs.forall(t - r._1 <= _))
     val tagged = left.map(p => AsOfTagged(p.key, p.ts, 1, p.value))
       .union(right.map(p => AsOfTagged(p.key, p.ts, 0, p.value)))
     tagged.withWatermark("ts", watermark)
@@ -326,12 +341,12 @@ object TsStream {
             // same-microbatch same-instant right is in the run before any
             // left could need it — though correctness does not depend on
             // intra-batch order (lefts only emit at watermark finality).
-            val pts = it.toArray.sortBy(p => (us(p.ts), p.side))
+            val pts = it.toArray.sortBy(p => (usOf(p.ts), p.side))
             val newRights = buf.rights ++ pts.iterator.filter(_.side == 0)
-              .map(p => (us(p.ts), p.value))
+              .map(p => (usOf(p.ts), p.value))
             buf = AsOfBuf(newRights.sortBy(_._1),
               buf.pending ++ pts.iterator.filter(_.side == 1)
-                .map(p => (us(p.ts), p.value)))
+                .map(p => (usOf(p.ts), p.value)))
           }
           // Finalized lefts: watermark STRICTLY past their event time. The
           // strict bound is deliberate (r9 advice): finality relies on Spark
@@ -346,7 +361,7 @@ object TsStream {
           val (ready, stillPending) = buf.pending.partition(_._1 < wmUs)
           val out = ready.sortBy(_._1).map { case (t, v) =>
             val m = matchFor(buf.rights, t)
-            PointAsOf(key, tsOf(t), v, m.map(x => tsOf(x._1)), m.map(_._2))
+            PointAsOf(key, tsFromUs(t), v, m.map(x => tsFromUs(x._1)), m.map(_._2))
           }
           // Prune: a FUTURE left has ts > wm; for any probe above the floor
           // only rights >= floor plus the single latest right < floor can
@@ -400,8 +415,10 @@ object TsStream {
     *     how long a match may lag) it finalizes as NULL once
     *     `wm > t + tolerance` — every right that could still match inside
     *     the bound is late under both conventions. Without tolerance such
-    *     lefts wait for a right or the idle-GC eviction (documented
-    *     divergence from batch, which can see the whole timeline).
+    *     lefts wait for a right until the key's idle-GC horizon, at which
+    *     point they are finalized UNMATCHED and the key evicted — bounded
+    *     state and no silent row loss, at the price of divergence from
+    *     batch (which can see the whole timeline) for exactly those rows.
     *   - state is bounded the other way round from backward: forward never
     *     looks backward, so ALL rights below min(pending lefts, watermark)
     *     are dead — no latest-older carry at all; pending lefts leave on
@@ -418,22 +435,6 @@ object TsStream {
     require(toleranceUs.forall(_ >= 0),
       s"toleranceUs must be non-negative, got $toleranceUs")
     import left.sparkSession.implicits._
-    def us(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
-    def tsOf(u: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(u, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
-      t
-    }
-    /** Earliest right at-or-after `t` in the ascending run, if any. */
-    def candFor(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] = {
-      var lo = 0; var hi = rights.length - 1; var best = -1
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        if (rights(mid)._1 >= t) { best = mid; hi = mid - 1 } else lo = mid + 1
-      }
-      if (best < 0) None else Some(rights(best))
-    }
     val tagged = left.map(p => AsOfTagged(p.key, p.ts, 1, p.value))
       .union(right.map(p => AsOfTagged(p.key, p.ts, 0, p.value)))
     tagged.withWatermark("ts", watermark)
@@ -446,20 +447,20 @@ object TsStream {
             val pts = it.toArray
             buf = AsOfBuf(
               (buf.rights ++ pts.iterator.filter(_.side == 0)
-                .map(p => (us(p.ts), p.value))).sortBy(_._1),
+                .map(p => (usOf(p.ts), p.value))).sortBy(_._1),
               buf.pending ++ pts.iterator.filter(_.side == 1)
-                .map(p => (us(p.ts), p.value)))
+                .map(p => (usOf(p.ts), p.value)))
           }
           // Finality per pending left (see scaladoc): candidate safe once
           // the watermark reaches it; tolerance expiry finalizes a null.
           val (ready, stillPending) = buf.pending.partition { case (t, _) =>
-            candFor(buf.rights, t).exists(c => wmUs >= c._1) ||
+            firstAtOrAfter(buf.rights, t).exists(c => wmUs >= c._1) ||
               toleranceUs.exists(tol => wmUs > t + tol)
           }
           val out = ready.sortBy(_._1).map { case (t, v) =>
-            val m = candFor(buf.rights, t)
+            val m = firstAtOrAfter(buf.rights, t)
               .filter(c => toleranceUs.forall(tol => c._1 - t <= tol))
-            PointAsOf(key, tsOf(t), v, m.map(x => tsOf(x._1)), m.map(_._2))
+            PointAsOf(key, tsFromUs(t), v, m.map(x => tsFromUs(x._1)), m.map(_._2))
           }
           // forward never looks backward: rights below every possible
           // future probe (pending lefts; new lefts arrive at-or-after the
@@ -468,26 +469,39 @@ object TsStream {
           val kept = buf.rights.filter(_._1 >= floor)
           if (state.hasTimedOut && stillPending.isEmpty && ready.isEmpty) {
             state.remove() // idle key (deltasPerKey contract)
+            out.iterator
           } else if (kept.isEmpty && stillPending.isEmpty) {
             if (state.exists) state.remove()
+            out.iterator
           } else {
-            state.update(AsOfBuf(kept, stillPending))
             // wake at the earliest deadline a pending left is waiting on:
-            // its candidate's instant (ceil to ms) or its tolerance expiry;
-            // a candidate-less, tolerance-less left has no event-time
-            // deadline — only a right arrival (which re-runs this function)
-            // or the idle GC resolves it.
+            // its candidate's instant (ceil to ms) or its tolerance expiry.
             val lastUs = (kept.map(_._1) ++ stillPending.map(_._1)).max
+            val idleMs = lastUs / 1000L + idleHorizonMs
             val deadlines = stillPending.flatMap { case (t, _) =>
-              val byCand = candFor(kept, t).map(c => (c._1 + 999L) / 1000L)
+              val byCand = firstAtOrAfter(kept, t).map(c => (c._1 + 999L) / 1000L)
               val byTol = toleranceUs.map(tol => (t + tol) / 1000L + 1L)
               (byCand.toSeq ++ byTol.toSeq).minOption
             }
-            val wakeMs = if (deadlines.nonEmpty) deadlines.min
-              else lastUs / 1000L + idleHorizonMs
-            state.setTimeoutTimestamp(math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
+            if (deadlines.isEmpty && state.hasTimedOut &&
+                state.getCurrentWatermarkMs() >= idleMs) {
+              // Idle GC reached a key whose pending lefts are UNDECIDABLE
+              // (no candidate, no tolerance): finalize them unmatched and
+              // evict. Without this, the key would re-arm at wm+1 and fire
+              // on every microbatch forever while its state never shrinks.
+              val flushed = stillPending.sortBy(_._1).map { case (t, v) =>
+                PointAsOf(key, tsFromUs(t), v, None, None)
+              }
+              state.remove()
+              (out ++ flushed).iterator
+            } else {
+              state.update(AsOfBuf(kept, stillPending))
+              val wakeMs = if (deadlines.nonEmpty) deadlines.min else idleMs
+              state.setTimeoutTimestamp(
+                math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
+              out.iterator
+            }
           }
-          out.iterator
         })
   }
 
@@ -509,7 +523,8 @@ object TsStream {
     * recomputed at emission from the full buffered run, so the finalized
     * answer equals the batch one over all non-late rows. As with forward,
     * a candidate-less, tolerance-less left is undecidable on an unbounded
-    * stream (d_eff = ∞) and waits for data or idle GC — set a tolerance in
+    * stream (d_eff = ∞): it waits for data until the idle-GC horizon, then
+    * finalizes UNMATCHED as the key evicts — set a tolerance in
     * deployments that need bounded latency.
     *
     * State: rights prune exactly like the backward twin (everything below
@@ -526,35 +541,10 @@ object TsStream {
     require(toleranceUs.forall(_ >= 0),
       s"toleranceUs must be non-negative, got $toleranceUs")
     import left.sparkSession.implicits._
-    def us(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
-    def tsOf(u: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(u, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
-      t
-    }
-    /** Latest right at-or-before `t` (backward) in the ascending run. */
-    def backFor(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] = {
-      var lo = 0; var hi = rights.length - 1; var best = -1
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        if (rights(mid)._1 <= t) { best = mid; lo = mid + 1 } else hi = mid - 1
-      }
-      if (best < 0) None else Some(rights(best))
-    }
-    /** Earliest right at-or-after `t` (forward) in the ascending run. */
-    def fwdFor(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] = {
-      var lo = 0; var hi = rights.length - 1; var best = -1
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        if (rights(mid)._1 >= t) { best = mid; hi = mid - 1 } else lo = mid + 1
-      }
-      if (best < 0) None else Some(rights(best))
-    }
     /** Nearest eligible candidate: per-side tolerance, tie → backward. */
     def nearestFor(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] = {
-      val b = backFor(rights, t).filter(r => toleranceUs.forall(t - r._1 <= _))
-      val f = fwdFor(rights, t).filter(r => toleranceUs.forall(r._1 - t <= _))
+      val b = lastAtOrBefore(rights, t).filter(r => toleranceUs.forall(t - r._1 <= _))
+      val f = firstAtOrAfter(rights, t).filter(r => toleranceUs.forall(r._1 - t <= _))
       (b, f) match {
         case (Some(rb), Some(rf)) => if (t - rb._1 <= rf._1 - t) Some(rb) else Some(rf)
         case (x, y) => x.orElse(y)
@@ -562,9 +552,9 @@ object TsStream {
     }
     /** The wait bound d_eff (µs); None = unbounded (no deadline). */
     def dEff(rights: Seq[(Long, Double)], t: Long): Option[Long] = {
-      val db = backFor(rights, t).map(r => t - r._1)
+      val db = lastAtOrBefore(rights, t).map(r => t - r._1)
         .filter(d => toleranceUs.forall(d <= _))
-      val df = fwdFor(rights, t).map(r => r._1 - t)
+      val df = firstAtOrAfter(rights, t).map(r => r._1 - t)
         .filter(d => toleranceUs.forall(d <= _))
       (db.toSeq ++ df.toSeq ++ toleranceUs.map(_ + 1L).toSeq).minOption
     }
@@ -580,9 +570,9 @@ object TsStream {
             val pts = it.toArray
             buf = AsOfBuf(
               (buf.rights ++ pts.iterator.filter(_.side == 0)
-                .map(p => (us(p.ts), p.value))).sortBy(_._1),
+                .map(p => (usOf(p.ts), p.value))).sortBy(_._1),
               buf.pending ++ pts.iterator.filter(_.side == 1)
-                .map(p => (us(p.ts), p.value)))
+                .map(p => (usOf(p.ts), p.value)))
           }
           // finality: backward side closed (wm strictly past t) AND the
           // forward wait bound met (see scaladoc)
@@ -591,7 +581,7 @@ object TsStream {
           }
           val out = ready.sortBy(_._1).map { case (t, v) =>
             val m = nearestFor(buf.rights, t)
-            PointAsOf(key, tsOf(t), v, m.map(x => tsOf(x._1)), m.map(_._2))
+            PointAsOf(key, tsFromUs(t), v, m.map(x => tsFromUs(x._1)), m.map(_._2))
           }
           // same prune as the backward twin: nearest still looks backward,
           // so keep the single latest right below the floor plus all above
@@ -600,20 +590,35 @@ object TsStream {
           val kept = (if (older.nonEmpty) older.takeRight(1) else Nil) ++ newer
           if (state.hasTimedOut && stillPending.isEmpty && ready.isEmpty) {
             state.remove() // idle key (deltasPerKey contract)
+            out.iterator
           } else if (kept.isEmpty && stillPending.isEmpty) {
             if (state.exists) state.remove()
+            out.iterator
           } else {
-            state.update(AsOfBuf(kept, stillPending))
             val lastUs = (kept.map(_._1) ++ stillPending.map(_._1)).max
+            val idleMs = lastUs / 1000L + idleHorizonMs
             val deadlines = stillPending.flatMap { case (t, _) =>
               // wm must pass t AND reach t + d_eff: wake at the later ms
               dEff(kept, t).map(d => math.max(t / 1000L + 1L, (t + d + 999L) / 1000L))
             }
-            val wakeMs = if (deadlines.nonEmpty) deadlines.min
-              else lastUs / 1000L + idleHorizonMs
-            state.setTimeoutTimestamp(math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
+            if (deadlines.isEmpty && state.hasTimedOut &&
+                state.getCurrentWatermarkMs() >= idleMs) {
+              // idle GC over undecidable pending lefts (no candidate, no
+              // tolerance): finalize unmatched and evict — mirrors the
+              // forward twin; prevents the re-arm-at-wm+1 fire loop
+              val flushed = stillPending.sortBy(_._1).map { case (t, v) =>
+                PointAsOf(key, tsFromUs(t), v, None, None)
+              }
+              state.remove()
+              (out ++ flushed).iterator
+            } else {
+              state.update(AsOfBuf(kept, stillPending))
+              val wakeMs = if (deadlines.nonEmpty) deadlines.min else idleMs
+              state.setTimeoutTimestamp(
+                math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
+              out.iterator
+            }
           }
-          out.iterator
         })
   }
 

@@ -64,8 +64,11 @@ object BackwardAsOfStrategy extends SparkStrategy {
   * the current key). O(|L| + |R|) per partition after the sorts, O(1)
   * state. Composite keys compare lexicographically with each column's own
   * interpreted ordering; a left row with ANY null key component emits
-  * unmatched without moving the right pointer (nulls sort first, so such
-  * rows precede every real key group). */
+  * unmatched WITHOUT touching the merge state (held/heldKey/rBuf) — that
+  * independence, not stream position, is what makes such rows safe: under
+  * nulls-first ordering a null in a NON-leading component sorts inside its
+  * leading-component group, mid-stream, so no "nulls come first" invariant
+  * may be assumed. */
 case class BackwardAsOfExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],

@@ -366,6 +366,40 @@ class TsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("forward/nearest as-of: an undecidable left (no right ever, no " +
+      "tolerance) finalizes UNMATCHED at the idle-GC horizon instead of " +
+      "pinning state forever") {
+    import spark.implicits._
+    import graft.streaming.KeyedPoint
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def run(name: String,
+            mk: (org.apache.spark.sql.Dataset[KeyedPoint],
+                 org.apache.spark.sql.Dataset[KeyedPoint]) =>
+                org.apache.spark.sql.Dataset[graft.streaming.PointAsOf]): Unit = {
+      val msL = MemoryStream[KeyedPoint]
+      val msR = MemoryStream[KeyedPoint]
+      val q = mk(msL.toDS(), msR.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        def step(): Unit = q.processAllAvailable()
+        // key 7: one left, never any right on its key
+        msL.addData(Seq(KeyedPoint(7L, t("2024-01-01 10:00:00"), 100.0))); step()
+        // another key pushes the watermark far past 10:00 + the 1-minute
+        // idle horizon; extra ticks let the armed timeout fire
+        msL.addData(Seq(KeyedPoint(9L, t("2024-01-01 13:00:00"), 0.0))); step()
+        step(); step()
+        val got = spark.table(name).where($"key" === 7L).collect()
+          .map(r => (r.getDouble(2), Option(r.get(4)))).toSeq
+        assert(got == Seq((100.0, None)), s"$name: got $got")
+      } finally q.stop()
+    }
+    run("asof_fwd_gcflush", (l, r) => TsStream.asOfForwardStream(
+      l, r, watermark = "0 seconds", idleHorizonMs = 60000L))
+    run("asof_near_gcflush", (l, r) => TsStream.asOfNearestStream(
+      l, r, watermark = "0 seconds", idleHorizonMs = 60000L))
+  }
+
   test("stream-stream as-of: a flush timeout must not evict the rights buffer " +
       "(later lefts still match old rights)") {
     import spark.implicits._
