@@ -32,6 +32,21 @@ object LlmPack extends QueryPack {
       .select(col("doc_id"), col("n_copies"))
       .orderBy(col("doc_id"))
 
+  /** B9 dedup OBSERVABILITY: the per-source duplicate-rate report an
+    * operator reads before deciding how aggressively to prune — doc count,
+    * distinct normalized-content count, and the duplicate fraction, per
+    * source. One hash aggregate with map-side combine (the distinct is
+    * over sha2 digests, so per-group state is digest-bounded); at 100 TB
+    * this is the same single-shuffle shape as q_dedup_exact. */
+  def dedupStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), sha2(TextFns.normalize(col("text")), 256).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct"))
+      .withColumn("dup_frac",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+
   /** B9 near-dup via deterministic prefix filtering (100% recall by the
     * pigeonhole argument — NearDedup.prefixFilter), verified with exact
     * 3-gram Jaccard, so it hash-matches the all-pairs oracle. */
@@ -440,6 +455,7 @@ object LlmPack extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> dedupExact,
+    "q_dedup_stats" -> dedupStats,
     "q_dedup_near" -> dedupNear,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_cluster" -> dedupCluster,
@@ -556,6 +572,12 @@ object LlmPack extends QueryPack {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
         |GROUP BY sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |count(DISTINCT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_distinct,
+        |round(1.0 - CAST(count(DISTINCT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+        |  AS DOUBLE) / count(*), 6) AS dup_frac
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_near" -> nearDupOracle,
     "q_dedup_minhash" -> nearDupOracle,
     "q_dedup_simhash" -> simhashOracle,

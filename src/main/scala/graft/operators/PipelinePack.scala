@@ -335,6 +335,24 @@ object PipelinePack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** B9+ output sharding: deterministic doc → shard assignment plus the
+    * per-shard balance report (docs, token mass, byte mass) a pipeline
+    * checks BEFORE fanning a 100 TB corpus write out by shard. Shard =
+    * first hex nibble of md5(doc_id) → 16 engine-portable, uniformly-sized
+    * shards, independent of the split/mix md5 windows by position. A pure
+    * narrow map into a 16-group hash aggregate with map-side combine —
+    * one scan, one shard-keyed exchange of 16 rows. */
+  def shardAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+        col("n_chars"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).cast("long").as("n_chars_total"))
+      .orderBy(col("shard"))
+
   /** B9+ bigram vocabulary (n-gram LM / tokenizer-merge counts): every
     * adjacent token pair, counted corpus-wide with occurrence multiplicity
     * (unlike shingles3's per-doc distinct sets), top-20. Explode → hash agg
@@ -484,6 +502,7 @@ object PipelinePack extends QueryPack {
     "q_chunk_overlap" -> chunkOverlap,
     "q_decontaminate" -> decontaminate,
     "q_decontaminate_bloom" -> decontaminateBloom,
+    "q_shard_assign" -> shardAssign,
     "q_ngram_topk" -> ngramTopk)
 
   private val tokSql = "string_split_regex(trim(text), '\\s+')"
@@ -619,6 +638,12 @@ object PipelinePack extends QueryPack {
          |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % $BenchmarkEvery <> 0)
          |SELECT doc_id, count(*) AS n_hits FROM tr JOIN bs USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_shard_assign" ->
+      s"""SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         |count(*) AS n_docs,
+         |CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens,
+         |CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
     "q_ngram_topk" ->
       s"""SELECT bg, count(*) AS n FROM (
          |  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),

@@ -197,6 +197,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), s"no determinism sort:\n$p")
   }
 
+  test("shard/dedup balance reports: map-side-combined aggregates, no joins") {
+    val p1 = plan(graft.operators.PipelinePack.shardAssign(spark, sf0001))
+    assert(p1.contains("partial_count") && !p1.contains("Join"), p1)
+    val p2 = plan(graft.operators.LlmPack.dedupStats(spark, sf0001))
+    assert(p2.contains("partial_count") && !p2.contains("Join"), p2)
+  }
+
   test("decontaminate: benchmark set broadcasts; training side aggregates map-side") {
     val p = plan(graft.operators.PipelinePack.decontaminate(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
