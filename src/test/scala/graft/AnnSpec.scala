@@ -335,6 +335,36 @@ class AnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("rebalance sweeps unreferenced orphan cell dirs (crash between child " +
+      "write and sidecar); build under dynamic partitionOverwriteMode " +
+      "leaves no stale cells") {
+    import graft.operators.IvfIndex
+    val emb = clustered(4, 30).cache()
+    val path = java.nio.file.Files.createTempDirectory("ivf_crash").toString
+    IvfIndex.build(emb, "vec_id", "embedding", path, cells = 4, sampleN = 100)
+    // simulate the crash: an on-disk cell nobody references (id beyond the
+    // centroid list, absent from the split sidecar)
+    val orphan = new java.io.File(s"$path/cell=99")
+    orphan.mkdirs()
+    new java.io.File(orphan, "part-orphan.parquet").createNewFile()
+    IvfIndex.rebalance(spark, path, maxCellBytes = Long.MaxValue)
+    assert(!orphan.exists(), "orphan cell dir survived the rebalance sweep")
+    (0 until 4).foreach(c =>
+      assert(new java.io.File(s"$path/cell=$c").exists(), s"cell=$c lost"))
+    // dynamic overwrite: a rebuild from a SHRUNK input must not resurrect
+    // vectors of cells the new assignment never touches
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      IvfIndex.build(emb.where(col("vec_id") < 30L), "vec_id", "embedding",
+        path, cells = 2, sampleN = 20)
+      val ids = spark.read.parquet(path).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == (0L until 30L).toSet,
+        s"stale vectors after dynamic-mode rebuild: ${(ids -- (0L until 30L)).take(5)}")
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    emb.unpersist()
+  }
+
   test("append guards: absent fingerprint sidecar and column mismatches fail fast") {
     import graft.operators.IvfIndex
     import spark.implicits._

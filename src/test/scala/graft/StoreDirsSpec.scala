@@ -51,11 +51,19 @@ class StoreDirsSpec extends SparkSpec {
     val deadPid = Iterator.from(100000)
       .find(p => ProcessHandle.of(p.toLong).isEmpty).get.toLong
     val dead = fakeNs("graft-scratch-deadtest", deadPid)
+    // pid-recycling guard: OUR pid is alive, but a lock written long before
+    // this JVM started can only be a previous life of the number — swept
+    val recycled = fakeNs("graft-scratch-recycled", ProcessHandle.current().pid())
+    val jvmStart = ProcessHandle.current().info().startInstant()
+      .map[Long](_.toEpochMilli).orElse(System.currentTimeMillis())
+    new java.io.File(recycled, "_owner.lock")
+      .setLastModified(jvmStart - 30L * 24 * 3600 * 1000)
     spark.conf.set("spark.graft.store.dir", sharedRoot)
     try {
       StoreDirs.sessionRoot(spark) // first use under this root → sweep runs
       assert(live.exists(), "sweep deleted a namespace with a LIVE owner")
       assert(!dead.exists(), "sweep spared a dead-owner namespace")
+      assert(!recycled.exists(), "sweep spared a recycled-pid namespace")
       // and the fresh namespace records its own owner for future sweeps
       val ns = new java.io.File(StoreDirs.sessionRoot(spark).toString)
       assert(new java.io.File(ns, "_owner.lock").exists())
