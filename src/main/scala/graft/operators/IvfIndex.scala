@@ -392,21 +392,28 @@ object IvfIndex {
       .filter { case (cell, _, bytes) =>
         bytes > maxCellBytes && !childIdSet.contains(cell) }
       .map(_._1).sorted
-    oversized.foreach { parent =>
+    oversized.flatMap { parent =>
       val vecs = spark.read.parquet(s"$path/cell=$parent") // vec_id, v
-      val cents = SimilaritySearch.trainCentroids(
-        vecs, "vec_id", "v", subCells, sampleN, iters)
-      val ids = cents.indices.map(nextId + _)
-      nextId += cents.length
-      vecs.withColumn("cell",
-          element_at(typedlit(ids),
-            org.apache.spark.sql.graft.VectorExprs.nearestCentroids(
-              col("v"), cents, 1)(0) + 1))
-        .write.mode("append").partitionBy("cell").parquet(path)
-      children += parent -> ids.zip(cents)
-      writeChildren(spark, path, children)
-      fs.delete(new Path(path, s"cell=$parent"), true)
+      // a byte-oversized cell with fewer vectors than subCells (giant
+      // vectors, tiny count) cannot be meaningfully sub-quantized — skip
+      // it rather than abort the whole maintenance pass on the
+      // trainCentroids sample requirement
+      if (vecs.limit(subCells).count() < subCells) None
+      else {
+        val cents = SimilaritySearch.trainCentroids(
+          vecs, "vec_id", "v", subCells, sampleN, iters)
+        val ids = cents.indices.map(nextId + _)
+        nextId += cents.length
+        vecs.withColumn("cell",
+            element_at(typedlit(ids),
+              org.apache.spark.sql.graft.VectorExprs.nearestCentroids(
+                col("v"), cents, 1)(0) + 1))
+          .write.mode("append").partitionBy("cell").parquet(path)
+        children += parent -> ids.zip(cents)
+        writeChildren(spark, path, children)
+        fs.delete(new Path(path, s"cell=$parent"), true)
+        Some(parent)
+      }
     }
-    oversized
   }
 }
