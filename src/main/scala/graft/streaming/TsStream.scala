@@ -284,6 +284,42 @@ object TsStream extends Serializable {
       .drop("_vt", "_vend")
   }
 
+  /** Streaming FORWARD as-of join, stream-static — the mirror of
+    * [[asOfBackwardStatic]] for `merge_asof(direction='forward')`: each
+    * streaming event picks up the EARLIEST static row at-or-after its
+    * event time, per key. The static side is recast as validity intervals
+    * the other way round — a right row at `t` is the forward match for
+    * every event in `(prev t, t]` of its key (`lag` gives the open lower
+    * bound; a key's earliest right covers everything before it) — so the
+    * join is again a plain stateless broadcast equi-join with a range
+    * predicate: no streaming state, stream never shuffles. Null static
+    * keys/times never match; unmatched events keep null right columns.
+    * Parity with AsOfJoin.forward is asserted in TsStreamSpec (the
+    * operator is a plain join, so batch inputs prove it row-for-row). */
+  def asOfForwardStatic(stream: DataFrame, static: DataFrame,
+                        streamKey: String, staticKey: String,
+                        streamTime: String, staticTime: String): DataFrame = {
+    val overlap = stream.columns.toSet.intersect(static.columns.toSet)
+    require(overlap.isEmpty, s"column overlap not supported: $overlap")
+    val reserved = Set("_vt", "_vprev")
+    val clash = (stream.columns ++ static.columns).toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns clash with reserved names: $clash")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(staticKey))
+      .orderBy(col(staticTime).cast("timestamp"))
+    val intervals = static
+      .where(col(staticKey).isNotNull && col(staticTime).isNotNull)
+      .withColumn("_vt", col(staticTime).cast("timestamp"))
+      .withColumn("_vprev", lag(col("_vt"), 1).over(w))
+    val streamT = col(streamTime).cast("timestamp")
+    stream.join(broadcast(intervals),
+        stream(streamKey) === intervals(staticKey) &&
+          streamT <= col("_vt") &&
+          (col("_vprev").isNull || streamT > col("_vprev")),
+        "left_outer")
+      .drop("_vt", "_vprev")
+  }
+
   /** Streaming backward as-of join, stream-STREAM — both sides live
     * (trades ⋈ quotes), the hard variant of [[asOfBackwardStatic]] and the
     * full streaming twin of AsOfJoin.backward. Spark's built-in
