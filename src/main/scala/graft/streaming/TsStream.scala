@@ -77,6 +77,25 @@ object TsStream extends Serializable {
     t
   }
 
+  /** Linear merge of two ascending (ts, value) runs into an INDEXED seq.
+    * Two reasons this exists instead of `(a ++ b).sortBy(_._1)`: the merge
+    * is O(n+m) per microbatch instead of a full re-sort, and — the sharper
+    * one — concatenating onto the initial `Nil` builds a `List`, whose
+    * positional `apply` is O(n), silently turning the binary searches
+    * below into linear scans. Every rights run the state carries flows
+    * through here, so indexing stays O(1). */
+  private def mergeSorted(a: Seq[(Long, Double)],
+                          b: Seq[(Long, Double)]): IndexedSeq[(Long, Double)] = {
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)](a.length + b.length)
+    val ai = a.iterator.buffered
+    val bi = b.iterator.buffered
+    while (ai.hasNext && bi.hasNext)
+      out += (if (ai.head._1 <= bi.head._1) ai.next() else bi.next())
+    ai.foreach(out += _)
+    bi.foreach(out += _)
+    out.toIndexedSeq
+  }
+
   /** Largest right at-or-before `t` in an ascending (ts, value) run. */
   private def lastAtOrBefore(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] = {
     var lo = 0; var hi = rights.length - 1; var best = -1
@@ -378,9 +397,9 @@ object TsStream extends Serializable {
             // left could need it — though correctness does not depend on
             // intra-batch order (lefts only emit at watermark finality).
             val pts = it.toArray.sortBy(p => (usOf(p.ts), p.side))
-            val newRights = buf.rights ++ pts.iterator.filter(_.side == 0)
-              .map(p => (usOf(p.ts), p.value))
-            buf = AsOfBuf(newRights.sortBy(_._1),
+            val incoming = pts.iterator.filter(_.side == 0)
+              .map(p => (usOf(p.ts), p.value)).toIndexedSeq // sorted: pts is
+            buf = AsOfBuf(mergeSorted(buf.rights, incoming),
               buf.pending ++ pts.iterator.filter(_.side == 1)
                 .map(p => (usOf(p.ts), p.value)))
           }
@@ -481,9 +500,9 @@ object TsStream extends Serializable {
           var buf = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
           if (!state.hasTimedOut && it.nonEmpty) {
             val pts = it.toArray
-            buf = AsOfBuf(
-              (buf.rights ++ pts.iterator.filter(_.side == 0)
-                .map(p => (usOf(p.ts), p.value))).sortBy(_._1),
+            val incoming = pts.iterator.filter(_.side == 0)
+              .map(p => (usOf(p.ts), p.value)).toArray.sortBy(_._1).toIndexedSeq
+            buf = AsOfBuf(mergeSorted(buf.rights, incoming),
               buf.pending ++ pts.iterator.filter(_.side == 1)
                 .map(p => (usOf(p.ts), p.value)))
           }
@@ -604,9 +623,9 @@ object TsStream extends Serializable {
           var buf = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
           if (!state.hasTimedOut && it.nonEmpty) {
             val pts = it.toArray
-            buf = AsOfBuf(
-              (buf.rights ++ pts.iterator.filter(_.side == 0)
-                .map(p => (usOf(p.ts), p.value))).sortBy(_._1),
+            val incoming = pts.iterator.filter(_.side == 0)
+              .map(p => (usOf(p.ts), p.value)).toArray.sortBy(_._1).toIndexedSeq
+            buf = AsOfBuf(mergeSorted(buf.rights, incoming),
               buf.pending ++ pts.iterator.filter(_.side == 1)
                 .map(p => (usOf(p.ts), p.value)))
           }
