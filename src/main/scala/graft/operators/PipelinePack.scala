@@ -50,6 +50,77 @@ object PipelinePack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Typed row for the distributed systematic-sampling pass. */
+  private[operators] case class StratRow(
+    pid: Int, doc_id: Long, lang: String, n_chars: Long)
+
+  /** The SCALE path for stratified SYSTEMATIC sampling: same rows as
+    * `sampleStratified`, with the per-stratum `row_number` window replaced
+    * by the same two-phase shape as `packSequencesDistributed` — ranks are
+    * prefix COUNTS where offsets were prefix sums. Range-repartition by
+    * (lang, doc_id) + in-partition sort; phase one collects per-(partition,
+    * lang) ROW COUNTS (≤ partitions×languages rows) and prefix-sums them
+    * into base ranks; phase two ranks locally from the broadcast base and
+    * keeps rank ≡ 1 (mod k). Parallelism = partitions, not languages; exact
+    * systematic spacing preserved. Same persist/eager-checkpoint lifecycle
+    * as packing (the projected frame is ~30 B/doc). */
+  def sampleStratifiedDistributed(docs: DataFrame, idCol: String,
+                                  langCol: String, charsCol: String,
+                                  numPartitions: Int = 0): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val n = if (numPartitions > 0) numPartitions
+      else s.conf.get("spark.sql.shuffle.partitions").toInt
+    val every = SampleEvery.toMap
+    val defaultEvery = DefaultEvery
+    val parted = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(langCol).as("lang"),
+        col(charsCol).cast("long").as("n_chars"))
+      .repartitionByRange(n, col("lang"), col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .select(spark_partition_id().as("pid"), col("doc_id"), col("lang"),
+        col("n_chars"))
+      .as[StratRow]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val subs = parted.groupBy(col("pid"), col("lang"))
+        .agg(count(lit(1)).as("sub"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      val bases: Map[(Int, String), Long] = subs
+        .groupBy(_._1._2)
+        .flatMap { case (_, rows) =>
+          var acc = 0L
+          rows.sortBy(_._1._1).map { case (key, sub) =>
+            val entry = key -> acc; acc += sub; entry
+          }
+        }
+      val bc = s.sparkContext.broadcast(bases)
+      val out = parted.mapPartitions { it =>
+        var curLang: String = null
+        var started = false
+        var rank = 0L
+        it.flatMap { r =>
+          if (!started || r.lang != curLang) {
+            started = true; curLang = r.lang
+            rank = bc.value.getOrElse((r.pid, r.lang), 0L)
+          }
+          rank += 1
+          val k = every.getOrElse(r.lang, defaultEvery)
+          // exactly the window form's pmod(rn, every) === 1 predicate
+          if (rank % k == 1) Some((r.doc_id, r.lang, r.n_chars)) else None
+        }
+      }.toDF("doc_id", "lang", "n_chars")
+      out.localCheckpoint()
+    } finally parted.unpersist(blocking = false)
+  }
+
+  /** q_sample_stratified_dist: the distributed systematic sampler over the
+    * documents table — same rows (and oracle) as q_sample_stratified. */
+  def sampleStratifiedDist(s: SparkSession, dir: String): DataFrame =
+    sampleStratifiedDistributed(Tables.documents(s, dir), "doc_id", "lang", "n_chars")
+      .orderBy(col("doc_id"))
+
   /** The scale-path sampler: deterministic hash-Bernoulli (keep when
     * xxhash64(id) mod 10000 < rate·10000). No ordering, no shuffle, no
     * per-stratum serialization — a pure narrow filter; rate holds in
@@ -493,6 +564,7 @@ object PipelinePack extends QueryPack {
     "q_source_mix" -> sourceMix,
     "q_pii_redact" -> piiRedact,
     "q_sample_stratified" -> sampleStratified,
+    "q_sample_stratified_dist" -> sampleStratifiedDist,
     "q_sample_weighted" -> sampleWeighted,
     "q_cap_per_source" -> capPerSource,
     "q_corpus_filter" -> corpusFilter,
@@ -558,16 +630,10 @@ object PipelinePack extends QueryPack {
          |  FROM sc)
          |SELECT source, rank, doc_id, round(score, 6) AS score FROM r
          |WHERE rank <= $CapPerSource ORDER BY source, rank""".stripMargin,
-    "q_sample_stratified" -> {
-      val rateRows = SampleEvery.map { case (l, k) => s"('$l', $k)" }.mkString(", ")
-      s"""WITH r AS (SELECT doc_id, lang, n_chars,
-         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
-         |  FROM documents),
-         |k AS (SELECT r.*, coalesce(v.every, $DefaultEvery) AS every
-         |  FROM r LEFT JOIN (VALUES $rateRows) v(lang, every) ON r.lang = v.lang)
-         |SELECT doc_id, lang, n_chars FROM k
-         |WHERE rn % every = 1 ORDER BY doc_id""".stripMargin
-    },
+    // identical semantics two ways: the window form and the distributed
+    // prefix-count form share one oracle
+    "q_sample_stratified" -> stratOracle,
+    "q_sample_stratified_dist" -> stratOracle,
     "q_corpus_filter" ->
       s"""WITH q AS (SELECT doc_id, lang,
          |  len($tokSql) AS n_tokens,
@@ -665,6 +731,17 @@ object PipelinePack extends QueryPack {
     // prefix-sum form share one oracle
     "q_pack_sequences_dist" -> packSeqOracle,
     "q_pack_sequences" -> packSeqOracle)
+
+  private val stratOracle = {
+    val rateRows = SampleEvery.map { case (l, k) => s"('$l', $k)" }.mkString(", ")
+    s"""WITH r AS (SELECT doc_id, lang, n_chars,
+       |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |k AS (SELECT r.*, coalesce(v.every, $DefaultEvery) AS every
+       |  FROM r LEFT JOIN (VALUES $rateRows) v(lang, every) ON r.lang = v.lang)
+       |SELECT doc_id, lang, n_chars FROM k
+       |WHERE rn % every = 1 ORDER BY doc_id""".stripMargin
+  }
 
   private val packSeqOracle =
       s"""WITH t AS (SELECT doc_id, lang, CAST(len($tokSql) AS BIGINT) AS n_tokens

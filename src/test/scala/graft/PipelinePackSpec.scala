@@ -163,6 +163,18 @@ class PipelinePackSpec extends SparkSpec {
     }
   }
 
+  test("distributed systematic sampling == window sampling row-for-row " +
+      "at a partition count that splits languages mid-stream") {
+    val viaWindow = PipelinePack.sampleStratified(spark, sf001)
+      .orderBy("doc_id").collect().toSeq
+    val viaPrefix = PipelinePack.sampleStratifiedDistributed(
+        Tables.documents(spark, sf001), "doc_id", "lang", "n_chars",
+        numPartitions = 11)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaPrefix == viaWindow)
+    assert(viaPrefix.nonEmpty)
+  }
+
   test("distributed prefix-sum packing == window packing row-for-row; plan " +
       "has no Window and no per-stratum single-task exchange") {
     val viaWindow = PipelinePack.packSequences(spark, sf001)
