@@ -223,6 +223,50 @@ object LlmPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  // Gopher-rule thresholds (Rae et al. 2021 §A1.1 is the public recipe;
+  // bounds calibrated so the synthetic corpus has a non-trivial pass rate)
+  private val GopherMinWords = 25
+  private val GopherMaxWords = 90
+  private val GopherMinWordLen = 4.0
+  private val GopherMaxWordLen = 10.0
+  private val GopherMinAlphaFrac = 0.8
+  private val GopherMinStop = 1
+
+  /** B9 the Gopher heuristic quality GATE as a per-rule report: word-count
+    * bounds, mean-word-length bounds, alphabetic-word fraction, and
+    * minimum stopword count, each emitted as its own boolean plus the
+    * conjunction — the report form (rather than a bare filter) is what a
+    * pipeline operator actually tunes thresholds from. Pure per-row HOF
+    * arithmetic — zero shuffles before the determinism sort, and every
+    * threshold compares an EXACT value (ints, or a single int/int IEEE
+    * division) so the booleans are bit-stable cross-engine. The line-based
+    * Gopher rules (bullet ratio, ellipsis ratio) are omitted: the corpus
+    * is single-line by construction, so they would be vacuously true. */
+  def qualityGopher(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextFns.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tk).as("n_words"),
+        TextFns.totalLen(tk).as("tok_chars"),
+        size(filter(tk, w => w.rlike("^[a-z]+$"))).as("n_alpha"),
+        size(filter(tk, w => w.isin("a", "the"))).as("n_stop"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("n_stop"),
+        (col("tok_chars").cast("double") / col("n_words")).as("mean_wl"),
+        (col("n_alpha").cast("double") / col("n_words")).as("alpha_frac"))
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        round(col("mean_wl"), 6).as("mean_word_len"),
+        round(col("alpha_frac"), 6).as("alpha_frac"), col("n_stop"),
+        col("n_words").between(GopherMinWords, GopherMaxWords).as("pass_words"),
+        col("mean_wl").between(GopherMinWordLen, GopherMaxWordLen)
+          .as("pass_word_len"),
+        (col("alpha_frac") >= GopherMinAlphaFrac).as("pass_alpha"),
+        (col("n_stop") >= GopherMinStop).as("pass_stop"))
+      .withColumn("pass",
+        col("pass_words") && col("pass_word_len") && col("pass_alpha") &&
+          col("pass_stop"))
+      .orderBy(col("doc_id"))
+  }
+
   /** B9 salient-term extraction — the doc-term-matrix workflow (explode →
     * per-doc tf, vocabulary-bounded df, join, per-doc top-k): each doc's 3
     * most distinctive tokens. Scoring is tf·(N/df) with a RAW inverse
@@ -289,6 +333,57 @@ object LlmPack extends QueryPack {
 
   /** B9 exact similarity search: top-10 cosine neighbors of vec_id=0,
     * probe broadcast, one corpus pass (SimilaritySearch.bruteForceTopK). */
+  /** B9 per-class mean embedding — the class-centroid / prototype table
+    * (nearest-centroid classification, retrieval calibration, embedding
+    * drift checks). Long form (label, pos, component): posexplode fans each
+    * vector into dim rows, but partial hash aggregation collapses every
+    * partition to ≤ labels×dim rows MAP-SIDE, so the shuffle is
+    * O(labels × dim × partitions) — independent of corpus size. Components
+    * accumulate in double; 6dp rounding bridges the cross-engine summation
+    * order (error ~1e-14, far under the grid). */
+  def embedCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("col")), 6).as("centroid_val"))
+      .orderBy(col("label"), col("pos"))
+
+  /** B9 nearest-centroid assignment — the k-means ASSIGN step with the
+    * per-label centroids as the codebook (equivalently Rocchio
+    * classification; `embedCentroids` is the matching UPDATE step, so the
+    * pair is one Lloyd iteration). Plan shape for 100 TB: the centroid
+    * table is labels×dim (KBs — broadcast), each corpus vector scores all
+    * centroids in one narrow pass, and the argmax is a struct-max
+    * aggregate with map-side combine — the only corpus-keyed exchange is
+    * ≤ one row per vector. Parity: centroid components are rounded to 6dp
+    * BEFORE the cosine on both sides, the dot kernel accumulates in the
+    * same index order as DuckDB's list_dot_product loop, and the rounded
+    * sim ties break toward the smaller label via the negated-label struct
+    * field. */
+  def embedKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb
+      .select(col("label").as("c_label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("c_label"), col("pos"))
+      .agg(avg(col("col")).as("v"))
+      .groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        x => round(x.getField("v"), 6)).as("cv"))
+    emb.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"),
+        struct(round(VectorFns.cosine(col("v"), col("cv")), 6).as("sim"),
+          (-col("c_label")).as("neg")).as("cand"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), col("label"),
+        (-col("best.neg")).as("pred_label"), col("best.sim").as("sim"))
+      .orderBy(col("vec_id"))
+  }
+
   def simTopk(s: SparkSession, dir: String): DataFrame =
     SimilaritySearch.bruteForceTopK(Tables.embeddings(s, dir),
       idCol = "vec_id", vecCol = "embedding", probeId = 0L, k = 10)
@@ -469,6 +564,9 @@ object LlmPack extends QueryPack {
     "q_token_topk" -> tokenTopk,
     "q_vocab_coverage" -> vocabCoverage,
     "q_tfidf_terms" -> tfidfTerms,
+    "q_quality_gopher" -> qualityGopher,
+    "q_embed_centroids" -> embedCentroids,
+    "q_embed_kmeans" -> embedKmeans,
     "q_sim_topk" -> simTopk,
     "q_knn_join" -> knnJoin,
     "q_knn_join_lsh" -> knnJoinLshQ,
@@ -660,6 +758,51 @@ object LlmPack extends QueryPack {
          |CASE WHEN n_tri = 0 THEN 0.0
          |     ELSE 1.0 - CAST(n_tri_distinct AS DOUBLE) / n_tri END AS dup_frac
          |FROM g ORDER BY doc_id""".stripMargin,
+    // Every Gopher threshold compares an exact int or a single int/int IEEE
+    // division, so the booleans are bit-stable cross-engine; the displayed
+    // ratios are rounded copies, never the compared values.
+    "q_quality_gopher" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $tokSql AS t FROM documents),
+         |m AS (SELECT doc_id, lang, len(t) AS n_words,
+         |    len(list_filter(t, w -> w IN ('a', 'the'))) AS n_stop,
+         |    CAST(CAST(list_sum(list_transform(t, w -> len(w))) AS BIGINT) AS DOUBLE)
+         |      / len(t) AS mean_wl,
+         |    CAST(len(list_filter(t, w -> regexp_matches(w, '^[a-z]+$$'))) AS DOUBLE)
+         |      / len(t) AS alpha_frac
+         |  FROM tk)
+         |SELECT doc_id, lang, n_words,
+         |round(mean_wl, 6) AS mean_word_len,
+         |round(alpha_frac, 6) AS alpha_frac, n_stop,
+         |n_words BETWEEN $GopherMinWords AND $GopherMaxWords AS pass_words,
+         |mean_wl BETWEEN $GopherMinWordLen AND $GopherMaxWordLen AS pass_word_len,
+         |alpha_frac >= $GopherMinAlphaFrac AS pass_alpha,
+         |n_stop >= $GopherMinStop AS pass_stop,
+         |(n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
+         |  AND (mean_wl BETWEEN $GopherMinWordLen AND $GopherMaxWordLen)
+         |  AND alpha_frac >= $GopherMinAlphaFrac
+         |  AND n_stop >= $GopherMinStop AS pass
+         |FROM m ORDER BY doc_id""".stripMargin,
+    // generate_subscripts is 1-based; -1 matches posexplode's 0-based pos.
+    "q_embed_centroids" ->
+      """WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+        |SELECT label, pos, count(*) AS n_vecs, round(avg(v), 6) AS centroid_val
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "q_embed_kmeans" ->
+      """WITH u AS (SELECT label AS c_label, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |c AS (SELECT c_label, list(round(avg_x, 6) ORDER BY pos) AS cv FROM (
+        |    SELECT c_label, pos, avg(x) AS avg_x FROM u GROUP BY c_label, pos)
+        |  GROUP BY c_label),
+        |sc AS (SELECT vec_id, label, c_label,
+        |    round(list_dot_product(embedding::DOUBLE[], cv)
+        |      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |         * sqrt(list_dot_product(cv, cv))), 6) AS sim
+        |  FROM embeddings, c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, c_label) AS rn FROM sc)
+        |SELECT vec_id, label, c_label AS pred_label, sim FROM r
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // Score mirrors the Spark expression shape exactly: (tf·N) exact, ONE
     // division — see tfidfTerms on why ln() cannot be hashed.
     "q_tfidf_terms" ->

@@ -371,6 +371,37 @@ object PipelinePack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  private val OverlapTau = 0.08 // flag when ≥ 8% of a doc's shingles hit
+
+  /** B9+ contamination by OVERLAP FRACTION — the stricter production
+    * variant of `decontaminate`: a single shared shingle is noise on long
+    * documents, so trainers gate on the fraction of a doc's distinct
+    * shingles that appear in the benchmark (≥ τ → drop). Same 100 TB plan
+    * as the exact key — benchmark shingles distinct'd then broadcast, the
+    * corpus side never shuffles, per-doc counts map-side-combined — plus
+    * the per-doc denominator carried THROUGH the explode (one shingle
+    * evaluation: the array is projected once, then size() and explode()
+    * both read the projected column). The τ predicate applies to the
+    * UNROUNDED int/int division (one IEEE op, identical cross-engine);
+    * only the emitted fraction is rounded. */
+  def decontaminateOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.where(pmod(col("doc_id"), lit(BenchmarkEvery)) === 0)
+      .select(explode(TextFns.shingles3(col("text"))).as("sh")).distinct()
+    val frac = col("n_hits").cast("double") / col("n_sh")
+    docs.where(pmod(col("doc_id"), lit(BenchmarkEvery)) =!= 0)
+      .select(col("doc_id"), TextFns.shingles3(col("text")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n_sh"),
+        explode(col("shs")).as("sh"))
+      .join(broadcast(bench), "sh")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_sh")).as("n_sh"), count(lit(1)).as("n_hits"))
+      .where(frac >= OverlapTau)
+      .select(col("doc_id"), col("n_sh"), col("n_hits"),
+        round(frac, 6).as("overlap"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bloom capacity for decontaminateBloom, plan-time constants: sized for
     * ~128k distinct benchmark shingles at 16 bits each (256 KiB filter,
     * fpp ≈ 5e-4). At a real 100 TB deployment these scale with the
@@ -573,6 +604,7 @@ object PipelinePack extends QueryPack {
     "q_pack_sequences_dist" -> packSequencesDist,
     "q_chunk_overlap" -> chunkOverlap,
     "q_decontaminate" -> decontaminate,
+    "q_decontaminate_overlap" -> decontaminateOverlap,
     "q_decontaminate_bloom" -> decontaminateBloom,
     "q_shard_assign" -> shardAssign,
     "q_ngram_topk" -> ngramTopk)
@@ -704,6 +736,19 @@ object PipelinePack extends QueryPack {
          |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % $BenchmarkEvery <> 0)
          |SELECT doc_id, count(*) AS n_hits FROM tr JOIN bs USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_decontaminate_overlap" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM tk),
+         |bs AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % $BenchmarkEvery = 0),
+         |tr AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g
+         |  FROM s WHERE doc_id % $BenchmarkEvery <> 0),
+         |h AS (SELECT doc_id, max(n_sh) AS n_sh, count(*) AS n_hits
+         |  FROM tr JOIN bs USING (g) GROUP BY doc_id)
+         |SELECT doc_id, n_sh, n_hits,
+         |round(CAST(n_hits AS DOUBLE) / n_sh, 6) AS overlap FROM h
+         |WHERE CAST(n_hits AS DOUBLE) / n_sh >= $OverlapTau
+         |ORDER BY doc_id""".stripMargin,
     "q_shard_assign" ->
       s"""SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
          |count(*) AS n_docs,

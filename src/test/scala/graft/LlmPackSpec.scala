@@ -59,6 +59,56 @@ class LlmPackSpec extends SparkSpec {
       assert(v == hof(k), s"doc $k: native=$v hof=${hof(k)}")
   }
 
+  test("qualityGopher: booleans match driver-side recomputation; rules discriminate") {
+    val rows = LlmPack.qualityGopher(spark, sf0001).collect()
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val tk = texts(r.getLong(0)).trim.split("\\s+").toSeq
+      val meanWl = tk.map(_.length).sum.toDouble / tk.size
+      val nStop = tk.count(w => w == "a" || w == "the")
+      assert(r.getAs[Boolean]("pass_words") == (tk.size >= 25 && tk.size <= 90))
+      assert(r.getAs[Boolean]("pass_word_len") == (meanWl >= 4.0 && meanWl <= 10.0))
+      assert(r.getAs[Boolean]("pass_stop") == (nStop >= 1))
+      assert(r.getAs[Boolean]("pass") == (r.getAs[Boolean]("pass_words") &&
+        r.getAs[Boolean]("pass_word_len") && r.getAs[Boolean]("pass_alpha") &&
+        r.getAs[Boolean]("pass_stop")))
+    }
+    val passed = rows.count(_.getAs[Boolean]("pass"))
+    assert(passed > 0 && passed < rows.length,
+      s"gate should discriminate: $passed/${rows.length} pass")
+  }
+
+  test("embedKmeans: assignment is the argmax over embedCentroids' codebook; " +
+      "accuracy beats the random-label baseline") {
+    val cents = LlmPack.embedCentroids(spark, sf0001).collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rs) => l -> rs.sortBy(_.getInt(1)).map(_.getDouble(3)) }
+    val out = LlmPack.embedKmeans(spark, sf0001).collect()
+    val emb = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    out.foreach { r =>
+      val v = emb(r.getLong(0))
+      // recompute the argmax from the (rounded) published codebook; the
+      // operator's tie-break is the smaller label
+      val best = cents.toSeq.map { case (l, c) =>
+        (math.rint(cos(v, c) * 1e6) / 1e6, l)
+      }.maxBy { case (s, l) => (s, -l) }
+      assert(r.getInt(2) == best._2,
+        s"vec ${r.getLong(0)}: pred ${r.getInt(2)} != recomputed ${best._2}")
+    }
+    val acc = out.count(r => r.getInt(1) == r.getInt(2)).toDouble / out.length
+    assert(acc > 2.0 / cents.size, // >2x random over the label count
+      s"nearest-centroid accuracy $acc suspiciously near chance")
+  }
+
   test("simhash: deterministic; near-duplicates closer in Hamming space than unrelated docs") {
     import spark.implicits._
     val docs = Seq(

@@ -125,6 +125,28 @@ class PipelinePackSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"unexpected join:\n$plan")
   }
 
+  test("decontaminateOverlap: exactly the exact-decontaminate docs at overlap >= tau, " +
+      "fraction consistent with the per-doc shingle count") {
+    val exact = PipelinePack.decontaminate(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nSh = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(graft.functions.TextFns.shingles3(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val truth = exact.collect {
+      case (id, hits) if hits.toDouble / nSh(id) >= 0.08 => id -> hits
+    }
+    val got = PipelinePack.decontaminateOverlap(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(truth.nonEmpty, "fixture should contain high-overlap docs")
+    assert(got.map(r => r._1 -> r._3).toMap == truth,
+      s"flag set mismatch: got=${got.map(_._1).toSet} want=${truth.keySet}")
+    got.foreach { case (id, n, hits, overlap) =>
+      assert(n == nSh(id), s"doc $id denominator $n != ${nSh(id)}")
+      assert(math.abs(overlap - hits.toDouble / n) < 1e-6)
+      assert(overlap >= 0.08 - 1e-9)
+    }
+  }
+
   test("ngramTopk equals the brute-force bigram count") {
     val got = PipelinePack.ngramTopk(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
