@@ -361,16 +361,24 @@ object LlmPack extends QueryPack {
     * same index order as DuckDB's list_dot_product loop, and the rounded
     * sim ties break toward the smaller label via the negated-label struct
     * field. */
+  /** The per-label centroid codebook used by [[embedKmeans]] and
+    * [[embedOutliers]]: one row per label, the mean vector re-assembled in
+    * position order with every component rounded to 6dp (the published
+    * precision — both consumers and both engines compare against the SAME
+    * rounded codebook, so the downstream cosines agree bit-for-bit).
+    * labels×dim rows of aggregate state — KBs at any corpus size. */
+  private def codebook(emb: DataFrame): DataFrame = emb
+    .select(col("label").as("c_label"),
+      posexplode(col("embedding").cast("array<double>")))
+    .groupBy(col("c_label"), col("pos"))
+    .agg(avg(col("col")).as("v"))
+    .groupBy(col("c_label"))
+    .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+      x => round(x.getField("v"), 6)).as("cv"))
+
   def embedKmeans(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val centroids = emb
-      .select(col("label").as("c_label"),
-        posexplode(col("embedding").cast("array<double>")))
-      .groupBy(col("c_label"), col("pos"))
-      .agg(avg(col("col")).as("v"))
-      .groupBy(col("c_label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        x => round(x.getField("v"), 6)).as("cv"))
+    val centroids = codebook(emb)
     emb.select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .crossJoin(broadcast(centroids))
