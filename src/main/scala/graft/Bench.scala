@@ -60,9 +60,11 @@ object Bench {
       }
     }
     // A warm sweep that mostly fails puts one-time costs back in measured
-    // windows just as surely as one that entirely fails — fail past 20%
-    // (and always when everything failed, however small the subset).
-    require(warmFailed < math.max(1, names.size / 5),
+    // windows just as surely as one that entirely fails — fail past 20%.
+    // Ceiling form so small --only subsets get the stated tolerance (a
+    // single failure among ≤5 queries is ≤20% only at exactly n=5; below
+    // that it still aborts, which is the strict-but-correct reading).
+    require(warmFailed * 5 <= names.size,
       s"$warmFailed/${names.size} warm-up runs failed — warm sweep is " +
         "ineffective, aborting (one-time costs would land in measured windows)")
     // Amortized-index warm: the IVF keys' production claim is build-once /
@@ -150,11 +152,12 @@ object Bench {
     // keys outgrew the ~2 kB output tail the driver archives — BENCH_r10
     // lost the line's HEAD, i.e. the "total" gate metric itself. Emit a
     // compact summary LAST so any tail window ends with a self-contained
-    // parseable record, whatever the registry size. "summary":true marks
-    // it so a consumer scanning the FULL output can tell the two
-    // "metric":"total" records apart instead of double-counting.
+    // parseable record, whatever the registry size. Distinct metric name
+    // ("total_summary", plus the "summary":true flag) so a consumer
+    // aggregating the full output by metric name never double-counts the
+    // total — the marker flag is informative, not load-bearing.
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subset"summary":true,"reps":$reps,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec",$subset"summary":true,"reps":$reps,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,9 +31,27 @@ object AsOfJoin {
   private def keyStruct(keys: Seq[String]): Column =
     struct(keys.zipWithIndex.map { case (k, i) => col(k).as(s"k$i") }: _*)
 
-  private def requireMatchingKeys(leftKeys: Seq[String], rightKeys: Seq[String]): Unit =
+  private def requireMatchingKeys(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String]): Unit = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       s"need matching non-empty key lists, got $leftKeys vs $rightKeys")
+    // Resolve each key pair now and require identical dataTypes: a mismatch
+    // would otherwise surface as an opaque union analysis error in the
+    // window path, or as a runtime ClassCastException inside
+    // BackwardAsOfExec's interpreted ordering (built from LEFT types only).
+    leftKeys.zip(rightKeys).zipWithIndex.foreach { case ((lk, rk), i) =>
+      val lt = left.schema.find(_.name == lk).getOrElse(
+        throw new IllegalArgumentException(
+          s"left key '$lk' not found in ${left.columns.mkString(", ")}")).dataType
+      val rt = right.schema.find(_.name == rk).getOrElse(
+        throw new IllegalArgumentException(
+          s"right key '$rk' not found in ${right.columns.mkString(", ")}")).dataType
+      require(lt == rt,
+        s"as-of key #$i type mismatch: left '$lk' is ${lt.simpleString}, " +
+          s"right '$rk' is ${rt.simpleString} — cast one side first")
+    }
+  }
 
   /** @param saltBuckets skew recipe for hot keys (one instrument carrying a
     *   large share of the left stream): when > 1, LEFT rows of a key are
@@ -85,7 +103,7 @@ object AsOfJoin {
       toleranceUs: Option[Long] = None,
       allowExactMatches: Boolean = true): DataFrame = {
 
-    requireMatchingKeys(leftKeys, rightKeys)
+    requireMatchingKeys(left, right, leftKeys, rightKeys)
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     require(toleranceUs.forall(_ >= 0),
       s"toleranceUs must be non-negative, got $toleranceUs")
@@ -188,7 +206,7 @@ object AsOfJoin {
       toleranceUs: Option[Long] = None,
       allowExactMatches: Boolean = true): DataFrame = {
 
-    requireMatchingKeys(leftKeys, rightKeys)
+    requireMatchingKeys(left, right, leftKeys, rightKeys)
     require(toleranceUs.forall(_ >= 0),
       s"toleranceUs must be non-negative, got $toleranceUs")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
@@ -271,7 +289,7 @@ object AsOfJoin {
       toleranceUs: Option[Long] = None,
       allowExactMatches: Boolean = true): DataFrame = {
 
-    requireMatchingKeys(leftKeys, rightKeys)
+    requireMatchingKeys(left, right, leftKeys, rightKeys)
     require(toleranceUs.forall(_ >= 0),
       s"toleranceUs must be non-negative, got $toleranceUs")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
@@ -374,7 +392,7 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String): DataFrame = {
-    requireMatchingKeys(leftKeys, rightKeys)
+    requireMatchingKeys(left, right, leftKeys, rightKeys)
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column overlap not supported: $overlap")
     val spark = left.sparkSession

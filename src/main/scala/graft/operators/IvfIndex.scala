@@ -123,7 +123,24 @@ object IvfIndex {
     // buildIfNeeded and append treat as partial and refuse to touch.
     val storePath = new Path(path)
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(storePath)) fs.delete(storePath, true)
+    if (fs.exists(storePath)) {
+      // Refuse to wipe a directory that is not recognizably an IVF store:
+      // an unguarded recursive delete turns a path typo (or a parent dir
+      // holding unrelated data) into silent data loss. "Recognizably" =
+      // empty, or every entry is a cell=* partition dir / an _ivf_*
+      // sidecar / a Spark write marker (_SUCCESS, .crc).
+      val entries = fs.listStatus(storePath).toSeq
+      val foreign = entries.filterNot { st =>
+        val n = st.getPath.getName
+        (st.isDirectory && n.startsWith("cell=")) || n.startsWith("_ivf_") ||
+          n == "_SUCCESS" || n.startsWith(".") || n.startsWith("_temporary")
+      }
+      require(foreign.isEmpty,
+        s"refusing to overwrite '$path': it exists but does not look like an " +
+          s"IVF store (unexpected entries: ${foreign.map(_.getPath.getName).take(5).mkString(", ")}). " +
+          "Delete it explicitly or point build() at a dedicated directory.")
+      fs.delete(storePath, true)
+    }
     emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("cell",
         org.apache.spark.sql.graft.VectorExprs.nearestCentroids(col("v"), centroids, 1)(0))

@@ -498,9 +498,14 @@ object NearDedup {
     * PlanAuditSpec asserts BOTH planned shapes. */
   def pruneByLosers(corpus: DataFrame, losers: DataFrame, bound: Long,
                     idCol: String): DataFrame = {
-    val limit = corpus.sparkSession.conf
-      .getOption("spark.graft.dedup.maxBroadcastLosers").map(_.toLong)
-      .getOrElse(MaxBroadcastLosers)
+    val confKey = "spark.graft.dedup.maxBroadcastLosers"
+    val limit = corpus.sparkSession.conf.getOption(confKey).map { raw =>
+      try raw.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$confKey must be a long, got '$raw'")
+      }
+    }.getOrElse(MaxBroadcastLosers)
     if (bound <= limit)
       corpus.join(broadcast(losers), Seq(idCol), "left_anti")
     else

@@ -110,7 +110,7 @@ object PipelinePack extends QueryPack {
           // exactly the window form's pmod(rn, every) === 1 predicate
           if (rank % k == 1) Some((r.doc_id, r.lang, r.n_chars)) else None
         }
-      }.toDF("doc_id", "lang", "n_chars")
+      }.toDF("doc_id", "lang", charsCol)
       out.localCheckpoint()
     } finally parted.unpersist(blocking = false)
   }
@@ -175,20 +175,32 @@ object PipelinePack extends QueryPack {
     * COUNT-GATED anti-join (NearDedup.pruneByLosers — broadcast while the
     * loser list is small, shuffled left_anti once it is
     * corpus-proportional), and the only corpus-keyed exchange before the
-    * determinism sort is the per-language sampling window — so at 100 TB
-    * the composite costs ONE scan + one stratum exchange, not three
-    * pipeline passes. Oracle: the corpus-filter CTE ∧ NOT the
-    * recursive-closure losers, then the same sampling window. */
-  def corpusBuild(s: SparkSession, dir: String): DataFrame = {
+    * determinism sort is the sampler's RANGE exchange — so at 100 TB the
+    * composite costs ONE scan + gated anti-join + one range exchange, not
+    * three pipeline passes. The sampling stage is the DISTRIBUTED
+    * two-phase systematic sampler (`sampleStratifiedDistributed`), not the
+    * per-language `row_number` window: the window form serializes each
+    * language into one task at its final stage, which at 100× data makes
+    * the dominant language the whole job's straggler. Row parity between
+    * the two forms is proven independently (q_sample_stratified vs
+    * q_sample_stratified_dist share one oracle), so the capstone keeps the
+    * same oracle: the corpus-filter CTE ∧ NOT the recursive-closure
+    * losers, then the sampling window. */
+  def corpusBuild(s: SparkSession, dir: String): DataFrame =
+    sampleStratifiedDistributed(corpusPruned(s, dir), "doc_id", "lang", "n_tokens")
+      // size() typed n_tokens int upstream; the sampler's long cast is
+      // internal — restore the declared output schema.
+      .select(col("doc_id"), col("lang"), col("n_tokens").cast("int").as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** The capstone's pre-sampling stage as a LAZY frame — quality gate
+    * fused into the scan, then the count-gated loser anti-join. Split out
+    * so PlanAuditSpec can audit its shape (the sampler's eager checkpoint
+    * collapses the executed plan to a LogicalRDD in the composite). */
+  private[graft] def corpusPruned(s: SparkSession, dir: String): DataFrame = {
     val (losers, bound) = NearDedup.canonicalLosers(Tables.documents(s, dir),
       idCol = "doc_id", textCol = "text", partCol = "lang", tau = LlmPack.Tau)
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
     NearDedup.pruneByLosers(qualitySurvivors(s, dir), losers, bound, "doc_id")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("every", everyExpr)
-      .where(pmod(col("rn"), col("every")) === 1)
-      .select(col("doc_id"), col("lang"), col("n_tokens"))
-      .orderBy(col("doc_id"))
   }
 
   private val PackBudget = 2048 // tokens per packed training sequence

@@ -155,7 +155,7 @@ class PlanAuditSpec extends SparkSpec {
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       for (df <- Seq(graft.operators.LlmPack.dedupCanonical(spark, sf0001),
-          graft.operators.PipelinePack.corpusBuild(spark, sf0001))) {
+          graft.operators.PipelinePack.corpusPruned(spark, sf0001))) {
         val p = plan(df)
         assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"),
           s"over-ceiling losers should shuffle the anti-join:\n$p")
@@ -183,18 +183,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // map-side combine on the agg
   }
 
-  test("corpus build composite: losers broadcast-anti, and the corpus-keyed " +
-      "exchange budget is the stratum window + determinism sort") {
+  test("corpus build composite: losers broadcast-anti on the pruned stage; " +
+      "final stage is the distributed sampler, NOT a per-language window") {
+    // Stage shape up to the sampler: quality predicates fused into the
+    // scan, losers entering as a (gated, here broadcast) anti-join.
+    val pp = plan(graft.operators.PipelinePack.corpusPruned(spark, sf0001))
+    assert(pp.contains("BroadcastHashJoin") && pp.contains("LeftAnti"),
+      s"dedup losers not a broadcast anti-join:\n$pp")
+    // The composite's sampling stage is the two-phase distributed sampler:
+    // its eager checkpoint means the composite's visible plan is a
+    // LogicalRDD + determinism sort — crucially with NO stratum-keyed
+    // row_number window (the shape that serialized a dominant language
+    // into one task at 100×).
     val df = graft.operators.PipelinePack.corpusBuild(spark, sf0001)
     val p = plan(df)
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"dedup losers not a broadcast anti-join:\n$p")
-    // the quality→dedup→sample chain is FUSED: on the corpus side only the
-    // per-language window hash exchange and the final range sort remain
-    // (the loser pipeline's own exchanges are bounded by duplicates, not
-    // corpus, and don't touch the documents-scan branch downstream)
-    assert(p.contains("hashpartitioning(lang"), s"no stratum exchange:\n$p")
+    assert(!p.contains("row_number"), s"stratum-serializing window is back:\n$p")
     assert(p.contains("rangepartitioning"), s"no determinism sort:\n$p")
+    assert(df.count() > 0)
   }
 
   test("shard/dedup balance reports: map-side-combined aggregates, no joins") {
