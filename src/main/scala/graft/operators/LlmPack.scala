@@ -277,18 +277,20 @@ object LlmPack extends QueryPack {
     * (rankings per doc are unchanged for fixed tf since both weights
     * decrease in df). Plan shape: one (doc, tok) aggregation with map-side
     * combine, a vocabulary-bounded df aggregate joined back on tok, and a
-    * per-doc top-3 window; N is a driver-side scalar like cosinePairs'
-    * size probe. */
+    * per-doc top-3 window; N re-enters as a broadcast 1-row aggregate (the
+    * sourceMix normalizing-total idiom) so the whole query is ONE plan —
+    * no separate driver-side count job per invocation. */
   def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val n = docs.count()
+    val nTot = docs.agg(count(lit(1)).cast("double").as("_n_docs"))
     val tk = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
     val tf = tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tk.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
     tf.join(df, "tok")
-      .withColumn("score", col("tf").cast("double") * n / col("df"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("score", col("tf").cast("double") * col("_n_docs") / col("df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"), col("score"))
