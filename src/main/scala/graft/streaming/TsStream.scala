@@ -1,7 +1,9 @@
 package graft.streaming
 
 import graft.ts.TsTable
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import scala.reflect.runtime.universe.TypeTag
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -22,19 +24,27 @@ case class LastPoint(lastTsUs: Long, lastValue: Double)
 case class PointEwma(key: Long, ts: java.sql.Timestamp, value: Double,
                      ewma: Double)
 
-/** Union-tag for [[TsStream.asOfBackwardStream]]: side 0 = right (the
-  * quote/dimension stream), side 1 = left (the event stream). */
-case class AsOfTagged(key: Long, ts: java.sql.Timestamp, side: Int,
-                      value: Double)
-
 /** [[TsStream.asOfBackwardStream]] output: the left point plus its matched
   * right (ts, value), or None when no right row at-or-before exists. */
 case class PointAsOf(key: Long, ts: java.sql.Timestamp, value: Double,
                      r_ts: Option[java.sql.Timestamp], r_value: Option[Double])
 
-/** Per-key as-of buffer: right rows (µs, value) kept sorted ascending, left
-  * rows (µs, value) awaiting watermark finality. */
-case class AsOfBuf(rights: Seq[(Long, Double)], pending: Seq[(Long, Double)])
+/** Tagged union row for the GENERIC stream-stream as-of engine
+  * ([[TsStream.asOfStreamOf]]): side 0 = right (payload in `r`), side 1 =
+  * left (payload in `l`). `key` is any encodable type — a Long, a
+  * (symbol, venue) tuple, a case class — and the payloads ride whole, so
+  * a multi-column quote needs no flattening. */
+case class AsOfEvt[K, L, R](key: K, ts: java.sql.Timestamp, side: Int,
+                            l: Option[L], r: Option[R])
+
+/** Per-key generic as-of state: right rows as an ascending (event-time µs,
+  * payload) run, left rows awaiting finality. */
+case class AsOfStateG[L, R](rights: Seq[(Long, R)], pending: Seq[(Long, L)])
+
+/** Generic stream-stream as-of output: the left row plus its matched right
+  * payload (None = finalized unmatched — the right row carries its own
+  * timestamp, so no separate matched-ts column is needed). */
+case class AsOfPair[L, R](left: L, right: Option[R])
 
 /** Per-key EWMA state: the adjusted-form numerator/denominator plus the
   * last event time (for the idle timeout). */
@@ -84,9 +94,9 @@ object TsStream extends Serializable {
     * positional `apply` is O(n), silently turning the binary searches
     * below into linear scans. Every rights run the state carries flows
     * through here, so indexing stays O(1). */
-  private def mergeSorted(a: Seq[(Long, Double)],
-                          b: Seq[(Long, Double)]): IndexedSeq[(Long, Double)] = {
-    val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)](a.length + b.length)
+  private def mergeSorted[A](a: Seq[(Long, A)],
+                             b: Seq[(Long, A)]): IndexedSeq[(Long, A)] = {
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, A)](a.length + b.length)
     val ai = a.iterator.buffered
     val bi = b.iterator.buffered
     while (ai.hasNext && bi.hasNext)
@@ -96,8 +106,8 @@ object TsStream extends Serializable {
     out.toIndexedSeq
   }
 
-  /** Largest right at-or-before `t` in an ascending (ts, value) run. */
-  private def lastAtOrBefore(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] = {
+  /** Largest right at-or-before `t` in an ascending (ts, payload) run. */
+  private def lastAtOrBefore[A](rights: Seq[(Long, A)], t: Long): Option[(Long, A)] = {
     var lo = 0; var hi = rights.length - 1; var best = -1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
@@ -106,8 +116,8 @@ object TsStream extends Serializable {
     if (best < 0) None else Some(rights(best))
   }
 
-  /** Smallest right at-or-after `t` in an ascending (ts, value) run. */
-  private def firstAtOrAfter(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] = {
+  /** Smallest right at-or-after `t` in an ascending (ts, payload) run. */
+  private def firstAtOrAfter[A](rights: Seq[(Long, A)], t: Long): Option[(Long, A)] = {
     var lo = 0; var hi = rights.length - 1; var best = -1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
@@ -339,6 +349,222 @@ object TsStream extends Serializable {
       .drop("_vt", "_vprev")
   }
 
+  /** Direction strategy for the generic stream-stream as-of engine:
+    * finality, match, prune, and wake-deadline rules — the ONLY things
+    * that differ between backward/forward/nearest. The scaladocs on the
+    * operators below spell out each rule and why it is final under either
+    * late-row convention. */
+  private sealed trait AsOfDir extends Serializable {
+    /** Is a pending left at `t` decidable at watermark `wmUs`? */
+    def isFinal[R](rights: Seq[(Long, R)], t: Long, wmUs: Long,
+                   tol: Option[Long]): Boolean
+    /** The (final) match for a left at `t` from the buffered run. */
+    def matchFor[R](rights: Seq[(Long, R)], t: Long,
+                    tol: Option[Long]): Option[(Long, R)]
+    /** Rights still reachable by some future probe above `floor`. */
+    def prune[R](rights: Seq[(Long, R)], floor: Long): Seq[(Long, R)]
+    /** Wake deadline (ms) for an undecided left at `t`; None = no
+      * deadline exists (undecidable until more data or idle-GC). */
+    def deadlineMs[R](rights: Seq[(Long, R)], t: Long,
+                      tol: Option[Long]): Option[Long]
+  }
+
+  /** Backward: wm strictly past `t` closes the match. The STRICT bound is
+    * deliberate (r9 advice): finality relies on Spark dropping any
+    * later-arriving right at-or-before the watermark, but if the engine's
+    * late-row predicate is strict (drops only ts < watermark) a right at
+    * EXACTLY the watermark instant could still arrive in a later batch
+    * and would have matched a same-instant left already emitted under a
+    * `<=` bound. With `<`, that boundary left finalizes one batch later —
+    * correct under either filter convention. Rights below the floor
+    * collapse to the single latest one (a future left must have
+    * ts > watermark, and its backward match at-or-below the prune floor
+    * can only be the latest such right). Tolerance only nulls at emission
+    * time — the state prune is unaffected. */
+  private case object AsOfBackward extends AsOfDir {
+    def isFinal[R](rights: Seq[(Long, R)], t: Long, wmUs: Long,
+                   tol: Option[Long]): Boolean = wmUs > t
+    def matchFor[R](rights: Seq[(Long, R)], t: Long,
+                    tol: Option[Long]): Option[(Long, R)] =
+      lastAtOrBefore(rights, t).filter(r => tol.forall(t - r._1 <= _))
+    def prune[R](rights: Seq[(Long, R)], floor: Long): Seq[(Long, R)] = {
+      val (older, newer) = rights.partition(_._1 < floor)
+      (if (older.nonEmpty) older.takeRight(1) else Nil) ++ newer
+    }
+    def deadlineMs[R](rights: Seq[(Long, R)], t: Long,
+                      tol: Option[Long]): Option[Long] = Some(t / 1000L)
+  }
+
+  /** Forward: final once the watermark reaches the buffered candidate (or
+    * the tolerance window expires → null); never looks backward, so all
+    * rights below the floor are dead. */
+  private case object AsOfForward extends AsOfDir {
+    def isFinal[R](rights: Seq[(Long, R)], t: Long, wmUs: Long,
+                   tol: Option[Long]): Boolean =
+      firstAtOrAfter(rights, t).exists(c => wmUs >= c._1) ||
+        tol.exists(x => wmUs > t + x)
+    def matchFor[R](rights: Seq[(Long, R)], t: Long,
+                    tol: Option[Long]): Option[(Long, R)] =
+      firstAtOrAfter(rights, t).filter(c => tol.forall(c._1 - t <= _))
+    def prune[R](rights: Seq[(Long, R)], floor: Long): Seq[(Long, R)] =
+      rights.filter(_._1 >= floor)
+    def deadlineMs[R](rights: Seq[(Long, R)], t: Long,
+                      tol: Option[Long]): Option[Long] = {
+      // candidate's instant (ceil to ms) or the tolerance expiry
+      val byCand = firstAtOrAfter(rights, t).map(c => (c._1 + 999L) / 1000L)
+      val byTol = tol.map(x => (t + x) / 1000L + 1L)
+      (byCand.toSeq ++ byTol.toSeq).minOption
+    }
+  }
+
+  /** Nearest: both twins' rules composed through the wait bound
+    * d_eff = min(backward gap, forward gap, tolerance+1µs); ties resolve
+    * backward; prunes like backward (it still looks backward). */
+  private case object AsOfNearest extends AsOfDir {
+    private def dEff[R](rights: Seq[(Long, R)], t: Long,
+                        tol: Option[Long]): Option[Long] = {
+      val db = lastAtOrBefore(rights, t).map(r => t - r._1)
+        .filter(d => tol.forall(d <= _))
+      val df = firstAtOrAfter(rights, t).map(r => r._1 - t)
+        .filter(d => tol.forall(d <= _))
+      (db.toSeq ++ df.toSeq ++ tol.map(_ + 1L).toSeq).minOption
+    }
+    def isFinal[R](rights: Seq[(Long, R)], t: Long, wmUs: Long,
+                   tol: Option[Long]): Boolean =
+      wmUs > t && dEff(rights, t, tol).exists(d => wmUs >= t + d)
+    def matchFor[R](rights: Seq[(Long, R)], t: Long,
+                    tol: Option[Long]): Option[(Long, R)] = {
+      val b = lastAtOrBefore(rights, t).filter(r => tol.forall(t - r._1 <= _))
+      val f = firstAtOrAfter(rights, t).filter(r => tol.forall(r._1 - t <= _))
+      (b, f) match {
+        case (Some(rb), Some(rf)) =>
+          if (t - rb._1 <= rf._1 - t) Some(rb) else Some(rf)
+        case (x, y) => x.orElse(y)
+      }
+    }
+    def prune[R](rights: Seq[(Long, R)], floor: Long): Seq[(Long, R)] =
+      AsOfBackward.prune(rights, floor)
+    def deadlineMs[R](rights: Seq[(Long, R)], t: Long,
+                      tol: Option[Long]): Option[Long] =
+      // wm must pass t AND reach t + d_eff: wake at the later ms
+      dEff(rights, t, tol).map(d =>
+        math.max(t / 1000L + 1L, (t + d + 999L) / 1000L))
+  }
+
+  /** GENERIC stream-stream as-of engine — composite keys and arbitrary
+    * payloads, the live twin of `AsOfJoin.{backward,forward,nearest}By`:
+    * `K` is any encodable key (a Long, a (symbol, venue) tuple, a case
+    * class), `L`/`R` any case-class rows — a multi-column quote stream
+    * rides whole, no flattening to one double. One
+    * `flatMapGroupsWithState` over the tagged union of both streams,
+    * keyed by the join key; the direction-specific finality / prune /
+    * wake rules live in [[AsOfDir]] and are documented (with the
+    * late-row-convention arguments) on the mono-typed operators below —
+    * which ARE this engine at `K = Long, L = R = KeyedPoint`, so the
+    * whole chunked-replay + randomized parity battery exercises this code
+    * path. State per key = the pruned rights run + undecided lefts,
+    * payload-width instead of one double; same bounds, same idle-GC.
+    *
+    * At scale: state is partitioned by `K` across executors exactly like
+    * any streaming aggregation — hot composite keys shard no worse than
+    * hot long keys, and the payload rides through the state store
+    * compactly via the product encoder. */
+  def asOfStreamOf[K: TypeTag, L <: Product : TypeTag, R <: Product : TypeTag](
+      direction: String,
+      left: Dataset[L], right: Dataset[R],
+      leftKey: L => K, rightKey: R => K,
+      leftTime: L => java.sql.Timestamp, rightTime: R => java.sql.Timestamp,
+      watermark: String = "1 hour",
+      idleHorizonMs: Long = 3600000L,
+      toleranceUs: Option[Long] = None): Dataset[AsOfPair[L, R]] = {
+    val dir: AsOfDir = direction match {
+      case "backward" => AsOfBackward
+      case "forward"  => AsOfForward
+      case "nearest"  => AsOfNearest
+      case other => throw new IllegalArgumentException(
+        s"direction must be backward|forward|nearest, got '$other'")
+    }
+    require(toleranceUs.forall(_ >= 0),
+      s"toleranceUs must be non-negative, got $toleranceUs")
+    implicit val encK: Encoder[K] = ExpressionEncoder()
+    implicit val encEvt: Encoder[AsOfEvt[K, L, R]] = ExpressionEncoder()
+    implicit val encState: Encoder[AsOfStateG[L, R]] = ExpressionEncoder()
+    implicit val encOut: Encoder[AsOfPair[L, R]] = ExpressionEncoder()
+    val tol = toleranceUs
+    val tagged = left
+      .map(p => AsOfEvt(leftKey(p), leftTime(p), 1,
+        Some(p): Option[L], None: Option[R]))
+      .union(right.map(p => AsOfEvt(rightKey(p), rightTime(p), 0,
+        None: Option[L], Some(p): Option[R])))
+    tagged.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (_: K, it: Iterator[AsOfEvt[K, L, R]], state: GroupState[AsOfStateG[L, R]]) => {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var buf = state.getOption.getOrElse(AsOfStateG[L, R](Nil, Nil))
+          if (!state.hasTimedOut && it.nonEmpty) {
+            // rights before lefts at the same instant (side 0 < 1) so a
+            // same-microbatch same-instant right is in the run before any
+            // left could need it — though correctness does not depend on
+            // intra-batch order (lefts only emit at watermark finality).
+            val pts = it.toArray.sortBy(p => (usOf(p.ts), p.side))
+            val incoming = pts.iterator.filter(_.side == 0)
+              .map(p => (usOf(p.ts), p.r.get)).toIndexedSeq // sorted: pts is
+            buf = AsOfStateG(mergeSorted(buf.rights, incoming),
+              buf.pending ++ pts.iterator.filter(_.side == 1)
+                .map(p => (usOf(p.ts), p.l.get)))
+          }
+          val (ready, stillPending) = buf.pending.partition { case (t, _) =>
+            dir.isFinal(buf.rights, t, wmUs, tol)
+          }
+          val out = ready.sortBy(_._1).map { case (t, lv) =>
+            AsOfPair(lv, dir.matchFor(buf.rights, t, tol).map(_._2))
+          }
+          // Prune: a FUTURE left has ts > wm; only rights the direction
+          // can still reach from a probe above the floor survive.
+          val floor = (stillPending.map(_._1) :+ wmUs).min
+          val kept = dir.prune(buf.rights, floor)
+          if (state.hasTimedOut && stillPending.isEmpty && ready.isEmpty) {
+            state.remove() // idle key: buffer evicted (deltasPerKey contract)
+            out.iterator
+          } else if (kept.isEmpty && stillPending.isEmpty) {
+            if (state.exists) state.remove() // nothing left to carry
+            out.iterator
+          } else {
+            // wake at the earliest deadline a pending left waits on; else
+            // idle-GC at idleHorizon past the key's LAST EVENT — anchoring
+            // to the current watermark would mis-fire: a batch processed
+            // before the watermark first advances sees wm = 0, so
+            // "wm + horizon" lands decades in the past and the GC fired
+            // (and evicted live rights) on the very next batch.
+            val lastUs = (kept.map(_._1) ++ stillPending.map(_._1)).max
+            val idleMs = lastUs / 1000L + idleHorizonMs
+            val deadlines = stillPending.flatMap { case (t, _) =>
+              dir.deadlineMs(kept, t, tol)
+            }
+            if (deadlines.isEmpty && state.hasTimedOut &&
+                state.getCurrentWatermarkMs() >= idleMs) {
+              // Idle GC reached a key whose pending lefts are UNDECIDABLE
+              // (no candidate, no tolerance — forward/nearest only):
+              // finalize them unmatched and evict; otherwise the key would
+              // re-arm at wm+1 and fire on every microbatch forever while
+              // its state never shrinks.
+              val flushed = stillPending.sortBy(_._1).map { case (t, lv) =>
+                AsOfPair(lv, None: Option[R])
+              }
+              state.remove()
+              (out ++ flushed).iterator
+            } else {
+              state.update(AsOfStateG(kept, stillPending))
+              val wakeMs = if (deadlines.nonEmpty) deadlines.min else idleMs
+              state.setTimeoutTimestamp(
+                math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
+              out.iterator
+            }
+          }
+        })
+  }
+
   /** Streaming backward as-of join, stream-STREAM — both sides live
     * (trades ⋈ quotes), the hard variant of [[asOfBackwardStatic]] and the
     * full streaming twin of AsOfJoin.backward. Spark's built-in
@@ -373,81 +599,11 @@ object TsStream extends Serializable {
                          watermark: String = "1 hour",
                          idleHorizonMs: Long = 3600000L,
                          toleranceUs: Option[Long] = None): Dataset[PointAsOf] = {
-    require(toleranceUs.forall(_ >= 0),
-      s"toleranceUs must be non-negative, got $toleranceUs")
     import left.sparkSession.implicits._
-    /** Largest right at-or-before `t`; a match staler than `toleranceUs`
-      * is discarded (pandas merge_asof tolerance, matching
-      * AsOfJoin.backward's knob). The STATE is unaffected — the
-      * prune-to-latest floor keeps the newest older right regardless, and
-      * tolerance only nulls at emission time. */
-    def matchFor(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] =
-      lastAtOrBefore(rights, t).filter(r => toleranceUs.forall(t - r._1 <= _))
-    val tagged = left.map(p => AsOfTagged(p.key, p.ts, 1, p.value))
-      .union(right.map(p => AsOfTagged(p.key, p.ts, 0, p.value)))
-    tagged.withWatermark("ts", watermark)
-      .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
-        (key: Long, it: Iterator[AsOfTagged], state: GroupState[AsOfBuf]) => {
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          var buf = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
-          if (!state.hasTimedOut && it.nonEmpty) {
-            // rights before lefts at the same instant (side 0 < 1) so a
-            // same-microbatch same-instant right is in the run before any
-            // left could need it — though correctness does not depend on
-            // intra-batch order (lefts only emit at watermark finality).
-            val pts = it.toArray.sortBy(p => (usOf(p.ts), p.side))
-            val incoming = pts.iterator.filter(_.side == 0)
-              .map(p => (usOf(p.ts), p.value)).toIndexedSeq // sorted: pts is
-            buf = AsOfBuf(mergeSorted(buf.rights, incoming),
-              buf.pending ++ pts.iterator.filter(_.side == 1)
-                .map(p => (usOf(p.ts), p.value)))
-          }
-          // Finalized lefts: watermark STRICTLY past their event time. The
-          // strict bound is deliberate (r9 advice): finality relies on Spark
-          // dropping any later-arriving right at-or-before the watermark, but
-          // if the engine's late-row predicate is strict (drops only
-          // ts < watermark) a right at EXACTLY the watermark instant could
-          // still arrive in a later batch and would have matched a
-          // same-instant left already emitted under a `<=` bound here. With
-          // `<`, a left exactly at the watermark finalizes one batch later —
-          // correct under either filter convention, at the cost of one extra
-          // microbatch of latency for that boundary row.
-          val (ready, stillPending) = buf.pending.partition(_._1 < wmUs)
-          val out = ready.sortBy(_._1).map { case (t, v) =>
-            val m = matchFor(buf.rights, t)
-            PointAsOf(key, tsFromUs(t), v, m.map(x => tsFromUs(x._1)), m.map(_._2))
-          }
-          // Prune: a FUTURE left has ts > wm; for any probe above the floor
-          // only rights >= floor plus the single latest right < floor can
-          // ever be the backward match.
-          val floor = (stillPending.map(_._1) :+ wmUs).min
-          val (older, newer) = buf.rights.partition(_._1 < floor)
-          val kept = (if (older.nonEmpty) older.takeRight(1) else Nil) ++ newer
-          // remove ONLY on the idle-GC timeout (fired with nothing to
-          // flush): a timeout that fired to FLUSH pending lefts must keep
-          // the rights run — the key is active, and a later left may still
-          // match a buffered right (dropping it here would emit a null the
-          // batch join would have matched).
-          if (state.hasTimedOut && stillPending.isEmpty && ready.isEmpty) {
-            state.remove() // idle key: buffer evicted (deltasPerKey contract)
-          } else if (kept.isEmpty && stillPending.isEmpty) {
-            if (state.exists) state.remove() // nothing left to carry
-          } else {
-            state.update(AsOfBuf(kept, stillPending))
-            // wake when the earliest pending left finalizes; else idle-GC
-            // at idleHorizon past the key's LAST EVENT — anchoring to the
-            // current watermark would mis-fire: a batch processed before
-            // the watermark first advances sees wm = 0, so "wm + horizon"
-            // lands decades in the past and the GC fired (and evicted live
-            // rights) on the very next batch.
-            val lastUs = (kept.map(_._1) ++ stillPending.map(_._1)).max
-            val wakeMs = if (stillPending.nonEmpty) stillPending.map(_._1).min / 1000L
-              else lastUs / 1000L + idleHorizonMs
-            state.setTimeoutTimestamp(math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
-          }
-          out.iterator
-        })
+    asOfStreamOf[Long, KeyedPoint, KeyedPoint]("backward", left, right,
+      _.key, _.key, _.ts, _.ts, watermark, idleHorizonMs, toleranceUs)
+      .map(p => PointAsOf(p.left.key, p.left.ts, p.left.value,
+        p.right.map(_.ts), p.right.map(_.value)))
   }
 
   /** Streaming FORWARD as-of join, stream-stream — the mirror twin of
@@ -487,77 +643,11 @@ object TsStream extends Serializable {
                         watermark: String = "1 hour",
                         idleHorizonMs: Long = 3600000L,
                         toleranceUs: Option[Long] = None): Dataset[PointAsOf] = {
-    require(toleranceUs.forall(_ >= 0),
-      s"toleranceUs must be non-negative, got $toleranceUs")
     import left.sparkSession.implicits._
-    val tagged = left.map(p => AsOfTagged(p.key, p.ts, 1, p.value))
-      .union(right.map(p => AsOfTagged(p.key, p.ts, 0, p.value)))
-    tagged.withWatermark("ts", watermark)
-      .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
-        (key: Long, it: Iterator[AsOfTagged], state: GroupState[AsOfBuf]) => {
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          var buf = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
-          if (!state.hasTimedOut && it.nonEmpty) {
-            val pts = it.toArray
-            val incoming = pts.iterator.filter(_.side == 0)
-              .map(p => (usOf(p.ts), p.value)).toArray.sortBy(_._1).toIndexedSeq
-            buf = AsOfBuf(mergeSorted(buf.rights, incoming),
-              buf.pending ++ pts.iterator.filter(_.side == 1)
-                .map(p => (usOf(p.ts), p.value)))
-          }
-          // Finality per pending left (see scaladoc): candidate safe once
-          // the watermark reaches it; tolerance expiry finalizes a null.
-          val (ready, stillPending) = buf.pending.partition { case (t, _) =>
-            firstAtOrAfter(buf.rights, t).exists(c => wmUs >= c._1) ||
-              toleranceUs.exists(tol => wmUs > t + tol)
-          }
-          val out = ready.sortBy(_._1).map { case (t, v) =>
-            val m = firstAtOrAfter(buf.rights, t)
-              .filter(c => toleranceUs.forall(tol => c._1 - t <= tol))
-            PointAsOf(key, tsFromUs(t), v, m.map(x => tsFromUs(x._1)), m.map(_._2))
-          }
-          // forward never looks backward: rights below every possible
-          // future probe (pending lefts; new lefts arrive at-or-after the
-          // watermark) are dead weight
-          val floor = (stillPending.map(_._1) :+ wmUs).min
-          val kept = buf.rights.filter(_._1 >= floor)
-          if (state.hasTimedOut && stillPending.isEmpty && ready.isEmpty) {
-            state.remove() // idle key (deltasPerKey contract)
-            out.iterator
-          } else if (kept.isEmpty && stillPending.isEmpty) {
-            if (state.exists) state.remove()
-            out.iterator
-          } else {
-            // wake at the earliest deadline a pending left is waiting on:
-            // its candidate's instant (ceil to ms) or its tolerance expiry.
-            val lastUs = (kept.map(_._1) ++ stillPending.map(_._1)).max
-            val idleMs = lastUs / 1000L + idleHorizonMs
-            val deadlines = stillPending.flatMap { case (t, _) =>
-              val byCand = firstAtOrAfter(kept, t).map(c => (c._1 + 999L) / 1000L)
-              val byTol = toleranceUs.map(tol => (t + tol) / 1000L + 1L)
-              (byCand.toSeq ++ byTol.toSeq).minOption
-            }
-            if (deadlines.isEmpty && state.hasTimedOut &&
-                state.getCurrentWatermarkMs() >= idleMs) {
-              // Idle GC reached a key whose pending lefts are UNDECIDABLE
-              // (no candidate, no tolerance): finalize them unmatched and
-              // evict. Without this, the key would re-arm at wm+1 and fire
-              // on every microbatch forever while its state never shrinks.
-              val flushed = stillPending.sortBy(_._1).map { case (t, v) =>
-                PointAsOf(key, tsFromUs(t), v, None, None)
-              }
-              state.remove()
-              (out ++ flushed).iterator
-            } else {
-              state.update(AsOfBuf(kept, stillPending))
-              val wakeMs = if (deadlines.nonEmpty) deadlines.min else idleMs
-              state.setTimeoutTimestamp(
-                math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
-              out.iterator
-            }
-          }
-        })
+    asOfStreamOf[Long, KeyedPoint, KeyedPoint]("forward", left, right,
+      _.key, _.key, _.ts, _.ts, watermark, idleHorizonMs, toleranceUs)
+      .map(p => PointAsOf(p.left.key, p.left.ts, p.left.value,
+        p.right.map(_.ts), p.right.map(_.value)))
   }
 
   /** Streaming NEAREST as-of join, stream-stream — completes the streaming
@@ -593,88 +683,11 @@ object TsStream extends Serializable {
                         watermark: String = "1 hour",
                         idleHorizonMs: Long = 3600000L,
                         toleranceUs: Option[Long] = None): Dataset[PointAsOf] = {
-    require(toleranceUs.forall(_ >= 0),
-      s"toleranceUs must be non-negative, got $toleranceUs")
     import left.sparkSession.implicits._
-    /** Nearest eligible candidate: per-side tolerance, tie → backward. */
-    def nearestFor(rights: Seq[(Long, Double)], t: Long): Option[(Long, Double)] = {
-      val b = lastAtOrBefore(rights, t).filter(r => toleranceUs.forall(t - r._1 <= _))
-      val f = firstAtOrAfter(rights, t).filter(r => toleranceUs.forall(r._1 - t <= _))
-      (b, f) match {
-        case (Some(rb), Some(rf)) => if (t - rb._1 <= rf._1 - t) Some(rb) else Some(rf)
-        case (x, y) => x.orElse(y)
-      }
-    }
-    /** The wait bound d_eff (µs); None = unbounded (no deadline). */
-    def dEff(rights: Seq[(Long, Double)], t: Long): Option[Long] = {
-      val db = lastAtOrBefore(rights, t).map(r => t - r._1)
-        .filter(d => toleranceUs.forall(d <= _))
-      val df = firstAtOrAfter(rights, t).map(r => r._1 - t)
-        .filter(d => toleranceUs.forall(d <= _))
-      (db.toSeq ++ df.toSeq ++ toleranceUs.map(_ + 1L).toSeq).minOption
-    }
-    val tagged = left.map(p => AsOfTagged(p.key, p.ts, 1, p.value))
-      .union(right.map(p => AsOfTagged(p.key, p.ts, 0, p.value)))
-    tagged.withWatermark("ts", watermark)
-      .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
-        (key: Long, it: Iterator[AsOfTagged], state: GroupState[AsOfBuf]) => {
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          var buf = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
-          if (!state.hasTimedOut && it.nonEmpty) {
-            val pts = it.toArray
-            val incoming = pts.iterator.filter(_.side == 0)
-              .map(p => (usOf(p.ts), p.value)).toArray.sortBy(_._1).toIndexedSeq
-            buf = AsOfBuf(mergeSorted(buf.rights, incoming),
-              buf.pending ++ pts.iterator.filter(_.side == 1)
-                .map(p => (usOf(p.ts), p.value)))
-          }
-          // finality: backward side closed (wm strictly past t) AND the
-          // forward wait bound met (see scaladoc)
-          val (ready, stillPending) = buf.pending.partition { case (t, _) =>
-            wmUs > t && dEff(buf.rights, t).exists(d => wmUs >= t + d)
-          }
-          val out = ready.sortBy(_._1).map { case (t, v) =>
-            val m = nearestFor(buf.rights, t)
-            PointAsOf(key, tsFromUs(t), v, m.map(x => tsFromUs(x._1)), m.map(_._2))
-          }
-          // same prune as the backward twin: nearest still looks backward,
-          // so keep the single latest right below the floor plus all above
-          val floor = (stillPending.map(_._1) :+ wmUs).min
-          val (older, newer) = buf.rights.partition(_._1 < floor)
-          val kept = (if (older.nonEmpty) older.takeRight(1) else Nil) ++ newer
-          if (state.hasTimedOut && stillPending.isEmpty && ready.isEmpty) {
-            state.remove() // idle key (deltasPerKey contract)
-            out.iterator
-          } else if (kept.isEmpty && stillPending.isEmpty) {
-            if (state.exists) state.remove()
-            out.iterator
-          } else {
-            val lastUs = (kept.map(_._1) ++ stillPending.map(_._1)).max
-            val idleMs = lastUs / 1000L + idleHorizonMs
-            val deadlines = stillPending.flatMap { case (t, _) =>
-              // wm must pass t AND reach t + d_eff: wake at the later ms
-              dEff(kept, t).map(d => math.max(t / 1000L + 1L, (t + d + 999L) / 1000L))
-            }
-            if (deadlines.isEmpty && state.hasTimedOut &&
-                state.getCurrentWatermarkMs() >= idleMs) {
-              // idle GC over undecidable pending lefts (no candidate, no
-              // tolerance): finalize unmatched and evict — mirrors the
-              // forward twin; prevents the re-arm-at-wm+1 fire loop
-              val flushed = stillPending.sortBy(_._1).map { case (t, v) =>
-                PointAsOf(key, tsFromUs(t), v, None, None)
-              }
-              state.remove()
-              (out ++ flushed).iterator
-            } else {
-              state.update(AsOfBuf(kept, stillPending))
-              val wakeMs = if (deadlines.nonEmpty) deadlines.min else idleMs
-              state.setTimeoutTimestamp(
-                math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
-              out.iterator
-            }
-          }
-        })
+    asOfStreamOf[Long, KeyedPoint, KeyedPoint]("nearest", left, right,
+      _.key, _.key, _.ts, _.ts, watermark, idleHorizonMs, toleranceUs)
+      .map(p => PointAsOf(p.left.key, p.left.ts, p.left.value,
+        p.right.map(_.ts), p.right.map(_.value)))
   }
 
   /** Ordered streaming sink: lands each microbatch in `table` through the

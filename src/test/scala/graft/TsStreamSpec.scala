@@ -12,6 +12,13 @@ import java.sql.Timestamp
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double, props: String)
 
+/** Composite-key, multi-column fixtures for the GENERIC stream-stream
+  * as-of engine (TsStream.asOfStreamOf). */
+case class Trade(sym: String, venue: String, ts: Timestamp,
+                 qty: Long, px: Double)
+case class Quote(sym: String, venue: String, ts: Timestamp,
+                 bid: Double, ask: Double)
+
 /** B10 streaming: batch≡stream window parity, watermark late-drop, and the
   * ordered foreachBatch append sink (the streaming face of the reference's
   * append-order ValueError). */
@@ -688,5 +695,89 @@ class TsStreamSpec extends SparkSpec {
       assert(n == ev0.count())
     } finally q.stop()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("GENERIC stream-stream as-of (composite (sym, venue) key, " +
+      "multi-column payloads) == batch AsOfJoin.backwardBy / nearestBy") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    def tp(min: Int) = t(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    val syms = Seq("AAA", "BBB"); val venues = Seq("X", "Y")
+    val trades = (0 until 240).map { i =>
+      Trade(syms(i % 2), venues((i / 2) % 2), tp(rnd.nextInt(180)),
+        100L + i, 10.0 + i * 0.01)
+    }
+    // quotes for 3 of the 4 (sym, venue) combos — (BBB, Y) stays quote-less
+    // so unmatched lefts are exercised; unique (key, ts) pairs (as-of under
+    // right-side ties is engine-ambiguous)
+    val seen = scala.collection.mutable.Set.empty[(String, String, Int)]
+    val quotes = (0 until 90).flatMap { i =>
+      val (s, v) = (syms(i % 2), venues((i / 2) % 2))
+      val m = rnd.nextInt(180)
+      if ((s, v) != ("BBB", "Y") && seen.add((s, v, m)))
+        Some(Quote(s, v, tp(m), 20.0 + i * 0.1, 20.1 + i * 0.1))
+      else None
+    }
+    val tolUs = Some(45L * 60 * 1000000) // makes nearest finality decidable
+    val qdf = quotes.toDF("qsym", "qvenue", "qts", "bid", "ask")
+    def wantFor(direction: String) = {
+      val batch = direction match {
+        case "backward" => graft.operators.AsOfJoin.backwardBy(
+          trades.toDF("sym", "venue", "ts", "qty", "px"), qdf,
+          Seq("sym", "venue"), Seq("qsym", "qvenue"), "ts", "qts",
+          toleranceUs = tolUs)
+        case "nearest" => graft.operators.AsOfJoin.nearestBy(
+          trades.toDF("sym", "venue", "ts", "qty", "px"), qdf,
+          Seq("sym", "venue"), Seq("qsym", "qvenue"), "ts", "qts",
+          toleranceUs = tolUs)
+      }
+      batch.select($"sym", $"venue", unix_micros($"ts").as("us"), $"qty",
+          $"px", unix_micros($"qts").as("qus"), $"bid", $"ask")
+        .collect().map(_.toSeq).toSet
+    }
+    for (direction <- Seq("backward", "nearest")) {
+      val msL = MemoryStream[Trade]
+      val msR = MemoryStream[Quote]
+      val got = {
+        val q = TsStream.asOfStreamOf[(String, String), Trade, Quote](
+            direction, msL.toDS(), msR.toDS(),
+            l => (l.sym, l.venue), r => (r.sym, r.venue), _.ts, _.ts,
+            watermark = "5 minutes", idleHorizonMs = 24L * 3600 * 1000,
+            toleranceUs = tolUs)
+          .select($"left.sym", $"left.venue",
+            unix_micros($"left.ts").as("us"), $"left.qty", $"left.px",
+            unix_micros($"right.ts").as("qus"), $"right.bid", $"right.ask")
+          .writeStream.format("memory").queryName(s"asof_gen_$direction")
+          .outputMode("append").start()
+        try {
+          val timeline: Seq[Either[Trade, Quote]] =
+            (trades.map(Left(_)) ++ quotes.map(Right(_)))
+              .sortBy(_.fold(_.ts.getTime, _.ts.getTime))
+          timeline.grouped(60).foreach { chunk =>
+            val rs = chunk.collect { case Right(r) => r }
+            val ls = chunk.collect { case Left(l) => l }
+            if (rs.nonEmpty) msR.addData(rs)
+            if (ls.nonEmpty) msL.addData(ls)
+            q.processAllAvailable()
+          }
+          // sentinel ticks: advance the watermark past every real row, then
+          // once more so re-armed timeouts fire
+          msL.addData(Seq(Trade("~", "~", t("2024-01-03 00:00:00"), 0L, 0.0)))
+          msR.addData(Seq(Quote("~", "~", t("2024-01-03 00:00:00"), 0.0, 0.0)))
+          q.processAllAvailable()
+          msL.addData(Seq(Trade("~", "~", t("2024-01-04 00:00:00"), 0L, 0.0)))
+          q.processAllAvailable()
+          spark.table(s"asof_gen_$direction")
+            .where($"sym" =!= "~").collect().map(_.toSeq).toSet
+        } finally q.stop()
+      }
+      val want = wantFor(direction)
+      assert(got == want, s"[$direction] missing=${(want -- got).take(3)} " +
+        s"extra=${(got -- want).take(3)}")
+      // the (BBB, Y) combo has no quotes → unmatched; others match
+      assert(got.exists(_(5) == null) && got.exists(_(5) != null),
+        s"[$direction] both outcomes should be exercised")
+    }
   }
 }
