@@ -76,7 +76,7 @@ object Bench {
     // first measured window). These are the only queries whose warm run
     // changes the measured plan — every other query re-does its full work
     // per call (scratch stores are wiped on reuse).
-    Seq("q_sim_ivf", "q_knn_join_ivf").find(names.contains).foreach { k =>
+    Seq("q_sim_ivf", "q_knn_join_ivf", "q_knn_join_ivf_sq").find(names.contains).foreach { k =>
       try SparkEntry.queries(k)(spark, sfDir).count()
       catch { case e: Throwable =>
         Console.err.println(s"[bench] ivf pre-build failed: ${e.getClass.getSimpleName}") }

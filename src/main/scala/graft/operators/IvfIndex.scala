@@ -31,6 +31,7 @@ object IvfIndex {
   private val CentroidsFile = "_ivf_centroids.txt" // '_' prefix: invisible to scans
   private val FingerprintFile = "_ivf_fingerprint.txt" // written LAST — absent ⇒ partial build
   private val ChildrenFile = "_ivf_children.txt" // hot-cell split map (parent;child;centroid)
+  private val SqTag = "sq8" // layout version token: store carries SQ8 code columns
 
   /** Cheap content fingerprint of an input dataset: digest of the sorted
     * (name, length, mtime) triples of its files. No data scan — a file
@@ -90,7 +91,7 @@ object IvfIndex {
     // with different cells/sampleN/iters (or columns) must not be reused —
     // the caller's nProbe bounds and recall expectations assume its own
     // parameters.
-    val full = s"$fingerprint:$idCol:$vecCol:c$cells:s$sampleN:i$iters"
+    val full = s"$fingerprint:$idCol:$vecCol:c$cells:s$sampleN:i$iters:$SqTag"
     val current = readSidecar(spark, path, FingerprintFile)
     if (current.contains(full)) false
     else {
@@ -141,17 +142,33 @@ object IvfIndex {
           "Delete it explicitly or point build() at a dedicated directory.")
       fs.delete(storePath, true)
     }
-    emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    withSqColumns(
+      emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v")))
       .withColumn("cell",
         org.apache.spark.sql.graft.VectorExprs.nearestCentroids(col("v"), centroids, 1)(0))
+      // vec_id-sorted row groups (per task, per cell — no extra shuffle)
+      // give the SQ rescore's pushed `vec_id IN` filter tight min/max
+      // stats: only the groups holding survivors are read from the
+      // full-width v column
+      .sortWithinPartitions(col("cell"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     val out = new Path(path, CentroidsFile)
     val os = fs.create(out, true)
     try os.write(centroids.map(_.mkString(",")).mkString("\n").getBytes("UTF-8"))
     finally os.close()
     writeSidecar(spark, path, FingerprintFile,
-      s"unversioned:$idCol:$vecCol:c$cells:s$sampleN:i$iters")
+      s"unversioned:$idCol:$vecCol:c$cells:s$sampleN:i$iters:$SqTag")
   }
+
+  /** SQ8 sidecolumns next to the full vector (see
+    * [[org.apache.spark.sql.graft.SqEncode]]): the 1-byte/dim code plus
+    * its per-vector (min, scale) decode pair. Stored in the SAME files as
+    * `v` — parquet column pruning is what turns "extra column" into "8×
+    * less probe I/O" (approximate scans read `q` and never touch `v`). */
+  private def withSqColumns(df: DataFrame): DataFrame = df
+    .withColumn("q", org.apache.spark.sql.graft.VectorExprs.sqEncode(col("v")))
+    .withColumn("qmin", array_min(col("v")))
+    .withColumn("qscale", array_max(col("v")) - array_min(col("v")))
 
   private[graft] def loadCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] = {
     val in = new Path(path, CentroidsFile)
@@ -188,9 +205,14 @@ object IvfIndex {
       s"IVF store at $path was built with columns " +
         s"(${parts.lift(1).getOrElse("?")}, ${parts.lift(2).getOrElse("?")}), " +
         s"append called with ($idCol, $vecCol)")
+    // Appending SQ-columned rows into a pre-SQ store would leave the old
+    // rows with null codes — silently invisible to approximate probes.
+    // Only a rebuild migrates the layout.
+    require(parts.contains(SqTag),
+      s"IVF store at $path predates the SQ8 layout — rebuild before appending")
     val centroids = loadCentroids(spark, path)
-    val assigned = emb
-      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    val assigned = withSqColumns(emb
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v")))
       .withColumn("cell",
         org.apache.spark.sql.graft.VectorExprs.nearestCentroids(col("v"), centroids, 1)(0))
     // Hot-cell splits: a vector whose nearest TOP-LEVEL centroid was split
@@ -209,7 +231,8 @@ object IvfIndex {
                 col("v"), chs.map(_._2), 1)(0) + 1))
             .otherwise(acc)
         })
-    leafed.write.mode("append").partitionBy("cell").parquet(path)
+    leafed.sortWithinPartitions(col("cell"), col("vec_id")) // row-group stats
+      .write.mode("append").partitionBy("cell").parquet(path)
     // keep the stored fingerprint's parameter suffix (input digests are hex,
     // colon-free) so buildIfNeeded's composed format stays consistent
     fingerprint.foreach { fp =>
@@ -248,21 +271,7 @@ object IvfIndex {
       .withColumn("cell", explode(
         org.apache.spark.sql.graft.VectorExprs.nearestCentroids(
           col("p"), centroids, nProbe)))
-    // Hot-cell splits: expand each probed TOP-LEVEL cell to its on-disk
-    // leaves via a broadcast (parent → leaf) relation — the probe side
-    // stays broadcast-sized (probes × nProbe × children) and the join key
-    // remains the partition column, so dynamic partition pruning holds.
-    // Unsplit stores skip the extra join entirely (plan unchanged).
-    val children = loadChildren(spark, path)
-    val pLeaf =
-      if (children.isEmpty) p
-      else {
-        import spark.implicits._
-        val exp = centroids.indices.flatMap(c =>
-          children.get(c).map(_.map(ch => (c, ch._1))).getOrElse(Seq((c, c))))
-        p.join(broadcast(exp.toDF("cell", "leaf")), "cell")
-          .select(col("probe_id"), col("p"), col("np"), col("leaf").as("cell"))
-      }
+    val pLeaf = expandToLeaves(spark, path, p, centroids)
     val idx = spark.read.parquet(path)
       .withColumn("nv", VectorFns.l2norm(col("v")))
     val joined = idx.join(broadcast(pLeaf), "cell")
@@ -274,6 +283,118 @@ object IvfIndex {
         round(VectorFns.dot(col("v"), col("p")) / (col("nv") * col("np")), 6)
           .as("sim"))
     SimilaritySearch.perProbeTopK(scored, k)
+  }
+
+  /** Ceiling on collected (probe × rescoreK) survivor ids before the SQ
+    * rescore falls back from the pushed-filter point-read path to a plain
+    * broadcast join (still correct, reads probed cells' full vectors). */
+  private val MaxRescoreIds = 4000000L
+
+  /** [[knnJoin]] with SQ8 compression — the probe-I/O scale path. Two
+    * phases:
+    *
+    *   1. APPROXIMATE: scan ONLY the compact code columns of the probed
+    *      cells (`q` is 1 byte/dim vs `v`'s 8 — parquet column pruning
+    *      means the wide column is never read; dynamic partition pruning
+    *      bounds the cells exactly as in [[knnJoin]]), score every
+    *      candidate with the fused dequantize-cosine kernel
+    *      ([[org.apache.spark.sql.graft.SqCosine]]), and keep each
+    *      probe's `rescoreK` best — an ~8× cut of the scan bytes that
+    *      dominate probe cost at corpus scale.
+    *   2. RESCORE: re-rank ONLY the survivors (≤ probes × rescoreK rows)
+    *      against their FULL vectors and keep the top `k`. The survivor
+    *      ids become a pushed `vec_id IN (…)` parquet filter over the
+    *      statically-pruned probed cells — build() writes cells
+    *      vec_id-sorted, so row-group min/max stats reduce the full-width
+    *      read to the groups actually holding survivors. Above
+    *      [[MaxRescoreIds]] survivors (huge corpus-vs-corpus probe sets)
+    *      the collect is skipped and the rescore joins the survivor frame
+    *      instead — same result, probed-cell-wide v read.
+    *
+    * Recall: the SQ8 ranking error is bounded by the per-dimension step
+    * (range/255), so with `rescoreK` a few × `k` the final top-k matches
+    * the uncompressed [[knnJoin]] almost always — AnnSpec measures it
+    * against brute force. Determinism: same centroid sidecars, same
+    * 6-decimal rounding on the exact phase. */
+  /** Probe frame for the SQ path: (probe_id, p, np, cell) with one row per
+    * probed LEAF cell. Split out so AnnSpec can assert the approximate
+    * phase's plan in isolation (the composite eagerly checkpoints it). */
+  private[graft] def sqProbeFrame(spark: SparkSession, path: String,
+                                  probes: DataFrame, idCol: String,
+                                  vecCol: String, nProbe: Int): DataFrame = {
+    val centroids = loadCentroids(spark, path)
+    require(nProbe >= 1 && nProbe <= centroids.length,
+      s"nProbe=$nProbe outside 1..${centroids.length}")
+    val p = probes
+      .select(col(idCol).cast("long").as("probe_id"),
+        col(vecCol).cast("array<double>").as("p"))
+      .withColumn("np", VectorFns.l2norm(col("p")))
+      .withColumn("cell", explode(
+        org.apache.spark.sql.graft.VectorExprs.nearestCentroids(
+          col("p"), centroids, nProbe)))
+    expandToLeaves(spark, path, p, centroids)
+  }
+
+  /** The approximate phase: candidates of the probed cells scored from the
+    * 1-byte/dim codes — the scan's ReadSchema carries (vec_id, q, qmin,
+    * qscale) and NEVER the full `v` column (asserted in AnnSpec). */
+  private[graft] def sqApprox(spark: SparkSession, path: String,
+                              pLeaf: DataFrame, excludeSelf: Boolean): DataFrame = {
+    val codes = spark.read.parquet(path)
+      .select(col("cell"), col("vec_id"), col("q"), col("qmin"), col("qscale"))
+    val cand = codes.join(broadcast(pLeaf), "cell")
+    val candFiltered =
+      if (excludeSelf) cand.where(col("vec_id") =!= col("probe_id")) else cand
+    candFiltered.select(col("probe_id"), col("vec_id"),
+      org.apache.spark.sql.graft.VectorExprs
+        .sqCosine(col("q"), col("qmin"), col("qscale"), col("p")).as("sim"))
+  }
+
+  def knnJoinSq(spark: SparkSession, path: String, probes: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nProbe: Int = 4, rescoreK: Int = 32,
+                excludeSelf: Boolean = true): DataFrame = {
+    require(rescoreK >= k, s"rescoreK=$rescoreK must be >= k=$k")
+    val pLeaf = sqProbeFrame(spark, path, probes, idCol, vecCol, nProbe)
+    val p = pLeaf.drop("cell").distinct()
+    val approx = sqApprox(spark, path, pLeaf, excludeSelf)
+    // phase 2: exact rescore of the survivors from the full vectors.
+    // Probed-cell set is driver-known (≤ total cells — tiny), so the cell
+    // restriction is a STATIC partition filter here.
+    val probedCells = pLeaf.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val nProbes = p.select("probe_id").distinct().count()
+    val bounded = nProbes * rescoreK <= MaxRescoreIds
+    val full0 = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells: _*))
+      .select(col("vec_id"), col("v"))
+    val probeVecs = p.select(col("probe_id"), col("p"), col("np")).distinct()
+    val paired =
+      if (bounded) {
+        // materialize phase 1 once (it feeds both the id collect and the
+        // pairing join), then push the survivor ids down as a parquet
+        // filter: with the build's vec_id-sorted row groups, the
+        // full-width v column is read point-ishly, not cell-wide. The
+        // collect is bounded (≤ MaxRescoreIds longs) and documented.
+        val survivors = SimilaritySearch.perProbeTopK(approx, rescoreK)
+          .select(col("probe_id"), col("vec_id")).localCheckpoint()
+        val ids = survivors.select("vec_id").distinct().collect().map(_.getLong(0))
+        full0.where(col("vec_id").isin(ids: _*))
+          .join(broadcast(survivors), "vec_id")
+          .join(broadcast(probeVecs), "probe_id")
+      } else {
+        // corpus-scale probe sets: no driver materialization, no
+        // broadcasts of corpus-proportional frames — shuffled joins (AQE
+        // may still demote them) over the probed cells' full vectors
+        val survivors = SimilaritySearch.perProbeTopK(approx, rescoreK)
+          .select(col("probe_id"), col("vec_id"))
+        full0.join(survivors, "vec_id").join(probeVecs, "probe_id")
+      }
+    val rescored = paired
+      .withColumn("nv", VectorFns.l2norm(col("v")))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorFns.dot(col("v"), col("p")) / (col("nv") * col("np")), 6)
+          .as("sim"))
+    SimilaritySearch.perProbeTopK(rescored, k)
   }
 
   /** Exact top-k cosine among the vectors of the probe's `nProbe` nearest
@@ -305,6 +426,25 @@ object IvfIndex {
         round(VectorFns.cosine(col("v"), typedlit(probe.toSeq)), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Hot-cell splits: expand each probed TOP-LEVEL cell of a probe frame
+    * to its on-disk leaves via a broadcast (parent → leaf) relation — the
+    * probe side stays broadcast-sized (probes × nProbe × children) and the
+    * join key remains the partition column, so dynamic partition pruning
+    * holds. Unsplit stores skip the extra join entirely (plan unchanged).
+    * All non-`cell` probe columns ride through untouched. */
+  private def expandToLeaves(spark: SparkSession, path: String,
+                             p: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    val children = loadChildren(spark, path)
+    if (children.isEmpty) p
+    else {
+      import spark.implicits._
+      val exp = centroids.indices.flatMap(c =>
+        children.get(c).map(_.map(ch => (c, ch._1))).getOrElse(Seq((c, c))))
+      p.join(broadcast(exp.toDF("cell", "leaf")), "cell")
+        .drop("cell").withColumnRenamed("leaf", "cell")
+    }
   }
 
   /** The hot-cell split map: top-level parent → its (leaf cell, centroid)

@@ -441,6 +441,26 @@ object LlmPack extends QueryPack {
       idCol = "vec_id", vecCol = "embedding", k = KnnK)
   }
 
+  /** B9+ batch kNN through the inverted file with SQ8 compression
+    * (IvfIndex.knnJoinSq) — the probe-I/O scale path: the approximate
+    * phase reads 1-byte/dim codes instead of 8-byte/dim vectors (parquet
+    * column pruning; ~8× fewer scan bytes at corpus scale), survivors are
+    * rescored exactly from the full column via a pushed `vec_id IN`
+    * filter over vec_id-sorted row groups. Same store, same fingerprint
+    * amortization as q_knn_join_ivf. No oracle (data-dependent centroids
+    * + quantization grid aren't expressible in portable SQL); AnnSpec
+    * measures recall vs brute force and asserts the code-only ReadSchema
+    * on the approximate scan. */
+  def knnJoinIvfSq(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.stable(s, s"graft_ivf_${StoreDirs.pathKey(dir)}")
+    val emb = Tables.embeddings(s, dir)
+    IvfIndex.buildIfNeeded(emb, idCol = "vec_id", vecCol = "embedding",
+      path = store,
+      fingerprint = IvfIndex.inputFingerprint(s, s"$dir/embeddings.parquet"))
+    IvfIndex.knnJoinSq(s, store, emb.where(col("vec_id") < KnnProbes),
+      idCol = "vec_id", vecCol = "embedding", k = KnnK, rescoreK = 4 * KnnK)
+  }
+
   /** B9 approximate similarity search: multi-table hyperplane LSH with
     * exact rerank. No oracle (plan-time literal planes aren't expressible
     * in portable SQL); AnnSpec measures recall on clustered data. */
@@ -581,6 +601,7 @@ object LlmPack extends QueryPack {
     "q_knn_join" -> knnJoin,
     "q_knn_join_lsh" -> knnJoinLshQ,
     "q_knn_join_ivf" -> knnJoinIvf,
+    "q_knn_join_ivf_sq" -> knnJoinIvfSq,
     "q_sim_ann" -> simAnn,
     "q_sim_ivf" -> simIvf,
     "q_lang_id" -> langId,

@@ -349,6 +349,49 @@ object TsStream extends Serializable {
       .drop("_vt", "_vprev")
   }
 
+  /** Streaming NEAREST as-of join, stream-static — completes the
+    * stream-static family ([[asOfBackwardStatic]] / [[asOfForwardStatic]]):
+    * each streaming event matches the static row of its key with the
+    * smallest |Δt|, exact ties resolving backward, `merge_asof
+    * (direction='nearest')` semantics. Nearest ownership is STILL an
+    * interval partition of the timeline — consecutive static rows split at
+    * their midpoint — so both neighbor times (`lag` + `lead`) turn the
+    * match into the same stateless broadcast range join as the other two:
+    * row `r` owns events with `2t > t_prev + t_r` (strict: a midpoint
+    * event between prev and r is equidistant and ties BACKWARD to prev)
+    * and `2t ≤ t_r + t_next` (inclusive: the midpoint between r and next
+    * ties backward to r). Computed in epoch-µs longs — exact, no
+    * fractional-midpoint rounding. No streaming state, stream never
+    * shuffles; unmatched events (keys with no static rows) keep null
+    * right columns. Parity with AsOfJoin.nearest is asserted in
+    * TsStreamSpec on batch inputs (the operator is a plain join). */
+  def asOfNearestStatic(stream: DataFrame, static: DataFrame,
+                        streamKey: String, staticKey: String,
+                        streamTime: String, staticTime: String): DataFrame = {
+    val overlap = stream.columns.toSet.intersect(static.columns.toSet)
+    require(overlap.isEmpty, s"column overlap not supported: $overlap")
+    val reserved = Set("_vt", "_vprev", "_vnext")
+    val clash = (stream.columns ++ static.columns).toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns clash with reserved names: $clash")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(staticKey))
+      .orderBy(col(staticTime).cast("timestamp"))
+    val intervals = static
+      .where(col(staticKey).isNotNull && col(staticTime).isNotNull)
+      .withColumn("_vt", col(staticTime).cast("timestamp"))
+      .withColumn("_vprev", lag(col("_vt"), 1).over(w))
+      .withColumn("_vnext", lead(col("_vt"), 1).over(w))
+    val tUs = unix_micros(col(streamTime).cast("timestamp"))
+    stream.join(broadcast(intervals),
+        stream(streamKey) === intervals(staticKey) &&
+          (col("_vprev").isNull ||
+            tUs * 2 > unix_micros(col("_vprev")) + unix_micros(col("_vt"))) &&
+          (col("_vnext").isNull ||
+            tUs * 2 <= unix_micros(col("_vt")) + unix_micros(col("_vnext"))),
+        "left_outer")
+      .drop("_vt", "_vprev", "_vnext")
+  }
+
   /** Direction strategy for the generic stream-stream as-of engine:
     * finality, match, prune, and wake-deadline rules — the ONLY things
     * that differ between backward/forward/nearest. The scaladocs on the

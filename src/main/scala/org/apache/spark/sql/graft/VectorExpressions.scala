@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -284,6 +284,153 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
+/** Native codegen'd 8-bit scalar quantization of a dense vector (the SQ8
+  * of FAISS / Jégou et al.'s IVF line): per-vector asymmetric min/range
+  * coding, `code[i] = round((v[i] − min) / (max − min) · 255)`, one byte
+  * per dimension. The code rides as a compact BINARY column next to the
+  * full vector; parquet column pruning then lets an approximate scan read
+  * 1 byte/dim instead of 8 — the ~8× probe-I/O cut — while survivors are
+  * rescored from the untouched full column. The (min, scale) pair is NOT
+  * embedded in the code bytes: callers store `array_min(v)` and
+  * `array_max(v) − array_min(v)` as ordinary columns (exact same IEEE
+  * values this expression computes), keeping the decode side join-free. */
+case class SqEncode(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sq_encode"
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val x = if (v.isNullAt(i)) 0.0 else v.getDouble(i)
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      i += 1
+    }
+    val sc = mx - mn
+    val out = new Array[Byte](n)
+    if (sc > 0) {
+      i = 0
+      while (i < n) {
+        val x = if (v.isNullAt(i)) 0.0 else v.getDouble(i)
+        out(i) = Math.round((x - mn) / sc * 255.0).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val mn = ctx.freshName("mn")
+      val mx = ctx.freshName("mx")
+      val sc = ctx.freshName("sc")
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $mn = Double.POSITIVE_INFINITY;
+         |double $mx = Double.NEGATIVE_INFINITY;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.isNullAt($i) ? 0.0 : $a.getDouble($i);
+         |  if ($x < $mn) $mn = $x;
+         |  if ($x > $mx) $mx = $x;
+         |}
+         |double $sc = $mx - $mn;
+         |byte[] $out = new byte[$n];
+         |if ($sc > 0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $a.isNullAt($i) ? 0.0 : $a.getDouble($i);
+         |    $out[$i] = (byte) Math.round(($x - $mn) / $sc * 255.0);
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SqEncode =
+    copy(child = newChild)
+}
+
+/** Native codegen'd cosine between an SQ8-coded vector ([[SqEncode]]) and
+  * a full-precision probe: one fused loop dequantizes each byte
+  * (`min + code·scale/255`) and accumulates dot and both norms — no
+  * intermediate array, no decode column. Zero-norm degenerate inputs
+  * yield 0.0 (not NaN) so approximate rankings stay total-ordered. */
+case class SqCosine(code: Expression, qmin: Expression, qscale: Expression,
+                    probe: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+
+  override def first: Expression = code
+  override def second: Expression = qmin
+  override def third: Expression = qscale
+  override def fourth: Expression = probe
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType, DoubleType, DoubleType,
+      ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sq_cosine"
+
+  override def nullSafeEval(c: Any, mn: Any, sc: Any, p: Any): Any = {
+    val code = c.asInstanceOf[Array[Byte]]
+    val lo = mn.asInstanceOf[Double]
+    val step = sc.asInstanceOf[Double] / 255.0
+    val pv = p.asInstanceOf[ArrayData]
+    val n = math.min(code.length, pv.numElements())
+    var dot = 0.0; var nv = 0.0; var np = 0.0
+    var i = 0
+    while (i < n) {
+      val vi = lo + (code(i) & 0xFF) * step
+      val pi = if (pv.isNullAt(i)) 0.0 else pv.getDouble(i)
+      dot += vi * pi; nv += vi * vi; np += pi * pi
+      i += 1
+    }
+    val den = math.sqrt(nv) * math.sqrt(np)
+    if (den == 0.0) 0.0 else dot / den
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, mn, sc, p) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val step = ctx.freshName("step")
+      val dot = ctx.freshName("dot")
+      val nv = ctx.freshName("nv")
+      val np = ctx.freshName("np")
+      val vi = ctx.freshName("vi")
+      val pi = ctx.freshName("pi")
+      val den = ctx.freshName("den")
+      s"""
+         |int $n = java.lang.Math.min($c.length, $p.numElements());
+         |double $step = $sc / 255.0;
+         |double $dot = 0.0; double $nv = 0.0; double $np = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $vi = $mn + ($c[$i] & 0xFF) * $step;
+         |  double $pi = $p.isNullAt($i) ? 0.0 : $p.getDouble($i);
+         |  $dot += $vi * $pi; $nv += $vi * $vi; $np += $pi * $pi;
+         |}
+         |double $den = java.lang.Math.sqrt($nv) * java.lang.Math.sqrt($np);
+         |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      first: Expression, second: Expression, third: Expression,
+      fourth: Expression): SqCosine =
+    copy(code = first, qmin = second, qscale = third, probe = fourth)
+}
+
 /** Column-level face of the native expressions (the only place that needs
   * the private[sql] bridge). */
 object VectorExprs {
@@ -299,4 +446,12 @@ object VectorExprs {
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
     ExpressionUtils.column(NearestCentroids(
       ExpressionUtils.expression(vec), centroids, nProbe))
+
+  def sqEncode(vec: Column): Column =
+    ExpressionUtils.column(SqEncode(ExpressionUtils.expression(vec)))
+
+  def sqCosine(code: Column, qmin: Column, qscale: Column, probe: Column): Column =
+    ExpressionUtils.column(SqCosine(
+      ExpressionUtils.expression(code), ExpressionUtils.expression(qmin),
+      ExpressionUtils.expression(qscale), ExpressionUtils.expression(probe)))
 }

@@ -230,6 +230,48 @@ class AnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("IVF SQ8 kNN join: approximate scan reads codes only (v unread), " +
+      "rescore pushes survivor ids, results match the uncompressed join") {
+    import graft.operators.IvfIndex
+    val emb = clustered(10, 50).cache()
+    val path = java.nio.file.Files.createTempDirectory("ivf_sq").toString
+    IvfIndex.build(emb, "vec_id", "embedding", path, cells = 10, sampleN = 200)
+    val probes = emb.where(col("vec_id") < 8L)
+    // the approximate phase in isolation: its scan must be code-only —
+    // the ~8× probe-I/O claim is parquet column pruning dropping `v`
+    val pLeaf = IvfIndex.sqProbeFrame(spark, path, probes, "vec_id",
+      "embedding", nProbe = 3)
+    val approxPlan = IvfIndex.sqApprox(spark, path, pLeaf, excludeSelf = true)
+      .queryExecution.executedPlan.toString
+    val readSchemas = approxPlan.split("\n").filter(_.contains("ReadSchema"))
+    assert(readSchemas.exists(l => l.contains("q:binary") && !l.contains("v:array")),
+      s"approximate scan reads the full vector column:\n$approxPlan")
+    assert(approxPlan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the code scan:\n$approxPlan")
+    // the composite: exact per-probe results against the uncompressed join
+    val q = IvfIndex.knnJoinSq(spark, path, probes, "vec_id", "embedding",
+      k = 10, nProbe = 3, rescoreK = 40)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // survivor ids reach the full-vector scan as a pushed parquet filter
+    assert(plan.contains("PushedFilters: [In(vec_id"),
+      s"survivor ids not pushed to the rescore scan:\n$plan")
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until 8L).toSet)
+    assert(byProbe.values.forall(_.length == 10))
+    assert(rows.forall(r => r.getLong(2) != r.getLong(0)))
+    // rescoreK = 4k headroom: the SQ8 ranking error never costs a true
+    // neighbor on this fixture — per-probe parity with the exact-width join
+    val exact = IvfIndex.knnJoin(spark, path, probes, "vec_id", "embedding",
+      k = 10, nProbe = 3).collect().groupBy(_.getLong(0))
+      .map { case (p, rs) => p -> rs.map(_.getLong(2)).toSet }
+    val recall = byProbe.map { case (p, rs) =>
+      exact(p).intersect(rs.map(_.getLong(2)).toSet).size / 10.0
+    }.sum / 8.0
+    assert(recall >= 0.9, s"mean per-probe recall vs uncompressed $recall")
+    emb.unpersist()
+  }
+
   test("IVF incremental append: new vectors land in frozen-quantizer cells, " +
       "immediately probe-visible, existing files untouched") {
     import graft.operators.IvfIndex

@@ -191,6 +191,53 @@ class TsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static NEAREST as-of == batch AsOfJoin.nearest on chunked " +
+      "replay; exact midpoint ties resolve backward") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val left = Tables.events(spark, sf0001)
+    val static = Seq(
+      (0L, t("2024-01-01 00:00:00"), 10.0),
+      (0L, t("2024-01-10 00:00:00"), 11.0),
+      (0L, t("2024-01-20 12:00:00"), 12.0),
+      (1L, t("2024-01-05 06:30:00"), 20.0),
+      (1L, t("2024-01-25 00:00:00"), 21.0),
+      (2L, t("2024-02-05 00:00:00"), 30.0), // far side: still the nearest for key 2
+      (3L, t("2023-12-01 00:00:00"), 40.0)
+    ).toDF("dkey", "dts", "dval")
+    val want = graft.operators.AsOfJoin.nearest(
+        left, static, "user_id", "dkey", "ts", "dts")
+      .select($"event_id", $"dval", unix_micros($"dts").as("dus"))
+      .collect().map(_.toSeq).toSet
+    assert(want.exists(_(1) != null)) // keys 4..6 have no static rows → nulls too
+    val rows = left
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val ms = MemoryStream[Ev]
+    val q = TsStream.asOfNearestStatic(ms.toDF(), static,
+        "user_id", "dkey", "ts", "dts")
+      .select($"event_id", $"dval", unix_micros($"dts").as("dus"))
+      .writeStream.format("memory").queryName("asof_near_static_parity")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length / 4).max(1)).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val got = spark.table("asof_near_static_parity").collect().map(_.toSeq).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+    // exact-tie pin: an event equidistant from both neighbors takes the
+    // EARLIER (backward) row — and the plain-join form runs on batch inputs
+    val stream = Seq((1L, t("2024-01-01 10:30:00"), 7L)).toDF("eid", "ets", "ekey")
+    val dims = Seq(
+      (7L, t("2024-01-01 10:00:00"), 1.0),
+      (7L, t("2024-01-01 11:00:00"), 2.0)).toDF("dkey", "dts", "dval")
+    val tie = TsStream.asOfNearestStatic(stream, dims, "ekey", "dkey", "ets", "dts")
+      .select($"dval").head.getDouble(0)
+    assert(tie == 1.0, s"midpoint tie must resolve backward, got $tie")
+  }
+
   test("stream-static as-of: closed lower bound (right row at exactly t matches) " +
       "and null static keys never match") {
     import spark.implicits._
