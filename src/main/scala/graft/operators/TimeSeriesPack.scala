@@ -470,6 +470,53 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** B3 composite-key FORWARD as-of join (`merge_asof(by=[…],
+    * direction='forward')`): each event → the same user's NEXT event of
+    * the same type, strictly after it (allowExactMatches=false keeps the
+    * self-join non-trivial, as in [[asofJoinBy]]). Right side pre-deduped
+    * per (user, type, ts). Oracle: DuckDB ASOF LEFT JOIN with both
+    * equality conditions and a strict `<` bound. */
+  def asofJoinForwardBy(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val nxt = ev
+      .groupBy(col("user_id").as("n_user"), col("event_type").as("n_type"),
+        col("ts").as("n_ts"))
+      .agg(max(col("event_id")).as("n_event_id"))
+    AsOfJoin.forwardBy(
+      ev.select("event_id", "user_id", "event_type", "ts"), nxt,
+      leftKeys = Seq("user_id", "event_type"),
+      rightKeys = Seq("n_user", "n_type"),
+      leftTime = "ts", rightTime = "n_ts", allowExactMatches = false)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("n_event_id"),
+        (unix_micros(col("n_ts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** B3 composite-key NEAREST as-of join (`merge_asof(by=[…],
+    * direction='nearest')`): each event → the same (user, type)'s closest
+    * OTHER event in either direction — strict bounds exclude the row's own
+    * timestamp, exact-distance ties resolve backward (the engine rule,
+    * mirrored in the oracle's `<=`). `delta_us` is SIGNED (negative =
+    * matched backward), same convention as q_asof_join_nearest. */
+  def asofJoinNearestBy(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val nb = ev
+      .groupBy(col("user_id").as("c_user"), col("event_type").as("c_type"),
+        col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("c_event_id"))
+    AsOfJoin.nearestBy(
+      ev.select("event_id", "user_id", "event_type", "ts"),
+      nb,
+      leftKeys = Seq("user_id", "event_type"),
+      rightKeys = Seq("c_user", "c_type"),
+      leftTime = "ts", rightTime = "c_ts", allowExactMatches = false)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_event_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("ts"))).as("delta_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** B3 range/interval join: same-user event pairs at most 1 hour apart
     * (strictly forward). Equi-key on user_id keeps this a sort-merge join
     * with a range post-filter — per-key bounded, no cartesian blowup. */
@@ -508,6 +555,8 @@ object TimeSeriesPack extends QueryPack {
     "q_asof_join_fwd" -> asofJoinForward,
     "q_asof_join_nearest" -> asofJoinNearest,
     "q_asof_join_by" -> asofJoinBy,
+    "q_asof_join_fwd_by" -> asofJoinForwardBy,
+    "q_asof_join_nearest_by" -> asofJoinNearestBy,
     "q_range_join" -> rangeJoin)
 
   private val asofOracleSql =
@@ -694,6 +743,48 @@ object TimeSeriesPack extends QueryPack {
         |epoch_us(e.ts) - epoch_us(p.p_ts) AS gap_us
         |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.p_user AND e.event_type = p.p_type AND e.ts > p.p_ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q_asof_join_fwd_by" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |            date_trunc('microseconds', ts) AS ts FROM events),
+        |n AS (SELECT user_id AS n_user, event_type AS n_type,
+        |             date_trunc('microseconds', ts) AS n_ts,
+        |             max(event_id) AS n_event_id
+        |      FROM events GROUP BY 1, 2, 3)
+        |SELECT e.event_id, e.user_id, e.event_type, n.n_event_id,
+        |epoch_us(n.n_ts) - epoch_us(e.ts) AS gap_us
+        |FROM e ASOF LEFT JOIN n
+        |  ON e.user_id = n.n_user AND e.event_type = n.n_type AND e.ts < n.n_ts
+        |ORDER BY e.event_id""".stripMargin,
+    // Nearest-by = the better of DuckDB's strict backward and forward ASOF
+    // matches under BOTH equality conditions; `<=` on the signed micro
+    // distances gives backward the tie (the engine rule).
+    "q_asof_join_nearest_by" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |            date_trunc('microseconds', ts) AS ts FROM events),
+        |c AS (SELECT user_id AS c_user, event_type AS c_type,
+        |             date_trunc('microseconds', ts) AS c_ts,
+        |             max(event_id) AS c_event_id
+        |      FROM events GROUP BY 1, 2, 3),
+        |b AS (SELECT e.event_id, c.c_event_id, c.c_ts FROM e
+        |      ASOF LEFT JOIN c ON e.user_id = c.c_user
+        |        AND e.event_type = c.c_type AND e.ts > c.c_ts),
+        |f AS (SELECT e.event_id, c.c_event_id, c.c_ts FROM e
+        |      ASOF LEFT JOIN c ON e.user_id = c.c_user
+        |        AND e.event_type = c.c_type AND e.ts < c.c_ts)
+        |SELECT e.event_id, e.user_id, e.event_type,
+        |CASE WHEN f.c_event_id IS NULL THEN b.c_event_id
+        |     WHEN b.c_event_id IS NULL THEN f.c_event_id
+        |     WHEN epoch_us(e.ts) - epoch_us(b.c_ts)
+        |          <= epoch_us(f.c_ts) - epoch_us(e.ts) THEN b.c_event_id
+        |     ELSE f.c_event_id END AS c_event_id,
+        |CASE WHEN f.c_event_id IS NULL THEN epoch_us(b.c_ts) - epoch_us(e.ts)
+        |     WHEN b.c_event_id IS NULL THEN epoch_us(f.c_ts) - epoch_us(e.ts)
+        |     WHEN epoch_us(e.ts) - epoch_us(b.c_ts)
+        |          <= epoch_us(f.c_ts) - epoch_us(e.ts)
+        |       THEN epoch_us(b.c_ts) - epoch_us(e.ts)
+        |     ELSE epoch_us(f.c_ts) - epoch_us(e.ts) END AS delta_us
+        |FROM e LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
         |ORDER BY e.event_id""".stripMargin,
     "q_asof_join_fwd" ->
       """WITH v AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
