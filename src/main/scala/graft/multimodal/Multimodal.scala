@@ -21,6 +21,14 @@ case class AssetFeatures(asset_id: Long, width: Int, height: Int,
                          n_bytes: Long, features: Array[Float],
                          decoder: String)
 
+/** One resized asset: the payload re-encoded at the target resolution
+  * (PNG for the real-decode arm, a deterministic `width×height×3` RGB
+  * plane for the stub arm), with the same decoder-provenance labelling as
+  * [[AssetFeatures]]. */
+case class ResizedAsset(asset_id: Long, width: Int, height: Int,
+                        n_bytes: Long, payload: Array[Byte],
+                        decoder: String)
+
 /** Multimodal-column plumbing (driver brief: "multimodal columns").
   *
   * The Spark side — schema, typed Encoders, partition-level batch shape,
@@ -239,6 +247,70 @@ object Multimodal {
         AssetFeatures(a.asset_id, w, h, a.payload.length.toLong, feat, dec)
       }
     }
+  }
+
+  /** Batched resize over a typed Dataset — same `mapInPandas`-analogue
+    * shape as [[featurize]] (one codec init per PARTITION, narrow stage,
+    * no shuffle). Decodable rasters (PNG/JPEG/GIF/BMP via the JDK) are
+    * bilinear-resampled to `width × height` and re-encoded as PNG; every
+    * other payload takes the deterministic stub arm (a `width×height×3`
+    * RGB plane cycled from the payload bytes), so opaque modalities flow
+    * through the same pipeline without aborting the job. Provenance rides
+    * in `decoder` exactly as in featurize. */
+  def resize(assets: Dataset[Asset], width: Int, height: Int): Dataset[ResizedAsset] = {
+    require(width > 0 && height > 0, s"target dims must be positive: $width x $height")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // heavier codecs would open their handle here, once per task
+      it.map { a =>
+        val (dec, bytes) = resizeOne(a.payload, width, height)
+        ResizedAsset(a.asset_id, width, height, bytes.length.toLong, bytes, dec)
+      }
+    }
+  }
+
+  /** Real resample for anything the JDK can both read and write; stub for
+    * the rest, with [[decode]]'s degrade-never-abort failure contract. BMP
+    * is included here (unlike the featurize sniff order) because ImageIO
+    * READS BMP fine — featurize keeps its hand-rolled BMP arm only to pin
+    * the byte-level layout in its spec. */
+  private[multimodal] def resizeOne(p: Array[Byte], w: Int, h: Int): (String, Array[Byte]) =
+    try {
+      val raster = isImageIoFormat(p) ||
+        (p.length >= 2 && p(0) == 'B' && p(1) == 'M')
+      if (!raster) ("stub", resizeStub(p, w, h))
+      else {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        if (img == null) ("stub", resizeStub(p, w, h))
+        else {
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          ("imageio", bos.toByteArray)
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => ("stub", resizeStub(p, w, h))
+    }
+
+  /** Deterministic stub "thumbnail": a `w×h×3` RGB plane whose bytes cycle
+    * the payload — same size contract as a real raw-RGB resize, pure
+    * function of (payload, w, h) on any executor. */
+  private[multimodal] def resizeStub(p: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    if (p.nonEmpty) {
+      var i = 0
+      while (i < out.length) { out(i) = p(i % p.length); i += 1 }
+    }
+    out
   }
 
   /** Frame sampling for chunked/video-like payloads: every `stride`-th

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{TextFns, VectorFns}
+import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -578,6 +579,42 @@ object LlmPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Multimodal frame sampling (Multimodal.sampleFrames) driven end-to-end
+    * through the driver contract: documents-as-assets payloads sliced into
+    * every 4th 256-byte frame, all in builtin codegen'd expressions. The
+    * oracle is CONTENT-BEARING, not just arithmetic: md5 over the
+    * concatenated sampled frames. Character-level DuckDB slicing is exact
+    * because the documents fixture is pure ASCII at every SF (verified:
+    * octet_length(encode(text)) == length(text) for all rows), so byte
+    * offsets and char offsets coincide. */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.documentAssets(s, dir).toDF()
+    Multimodal.sampleFrames(assets, "payload", frameBytes = 256, stride = 4)
+      .select(col("asset_id"),
+        length(col("payload")).as("n_bytes"),
+        size(col("frames")).as("n_frames"),
+        md5(array_join(transform(col("frames"), f => f.cast("string")), ""))
+          .as("frames_md5"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** Multimodal resize (Multimodal.resize) through the driver contract.
+    * Text payloads have no raster arm, so every row takes the stub —
+    * which is exactly what makes the key oracle-able: the stub thumbnail
+    * is the payload cycled to 64×64×3 bytes, reproducible in DuckDB as
+    * char-level repeat+substring over the ASCII corpus. The decoder
+    * column rides along so the all-stub expectation is CHECKED, not
+    * assumed (a raster doc sneaking in would flip it and fail the hash).
+    * The imageio arm is covered in MultimodalSpec with real PNG/BMP
+    * payloads (not DuckDB-expressible). */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.documentAssets(s, dir)
+    Multimodal.resize(assets, 64, 64).toDF()
+      .select(col("asset_id"), col("width"), col("height"), col("n_bytes"),
+        md5(col("payload")).as("payload_md5"), col("decoder"))
+      .orderBy(col("asset_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_stats" -> dedupStats,
@@ -608,7 +645,9 @@ object LlmPack extends QueryPack {
     "q_token_bpe" -> tokenBpe,
     "q_dedup_embed" -> dedupEmbed,
     "q_fingerprint_winnow" -> fingerprintWinnow,
-    "q_multimodal_meta" -> multimodalMeta)
+    "q_multimodal_meta" -> multimodalMeta,
+    "q_multimodal_frames" -> multimodalFrames,
+    "q_multimodal_resize" -> multimodalResize)
 
   private val tokSql = "string_split_regex(trim(text), '\\s+')"
   /** Shared CTE chain producing the exact all-pairs 3-gram-Jaccard scores
@@ -919,5 +958,27 @@ object LlmPack extends QueryPack {
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, sha256(text) AS sha,
         |substring(to_base64(text::BLOB), 1, 16) AS b64_head
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Char-level slicing == byte-level slicing: the documents fixture is
+    // pure ASCII at every SF (octet_length(encode(text)) == length(text)).
+    "q_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS asset_id, length(text) AS n_bytes,
+        |    list_transform(
+        |      list_filter(range(0, length(text) // 256), i -> i % 4 = 0),
+        |      i -> substring(text, (i * 256 + 1), 256)) AS frames
+        |  FROM documents)
+        |SELECT asset_id, CAST(n_bytes AS INT) AS n_bytes,
+        |CAST(len(frames) AS INT) AS n_frames,
+        |md5(coalesce(array_to_string(frames, ''), '')) AS frames_md5
+        |FROM f ORDER BY asset_id""".stripMargin,
+    // The stub thumbnail cycles payload bytes to 64*64*3: char-level
+    // repeat+substring reproduces it exactly over the ASCII corpus.
+    "q_multimodal_resize" ->
+      """SELECT doc_id AS asset_id, 64 AS width, 64 AS height,
+        |CAST(12288 AS BIGINT) AS n_bytes,
+        |md5(substring(repeat(text, (12288 + length(text) - 1) // length(text)),
+        |              1, 12288)) AS payload_md5,
+        |'stub' AS decoder
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

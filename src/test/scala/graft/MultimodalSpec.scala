@@ -187,6 +187,50 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(a.features.sum - 1f) < 1e-3)
   }
 
+  test("resize: real bilinear resample for decodable rasters (PNG round-trip " +
+      "at target dims), deterministic stub plane for opaque payloads") {
+    import spark.implicits._
+    // a 4x4 PNG with distinct quadrant colors
+    val bi = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      bi.setRGB(x, y, if (x < 2) 0xffffff else 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", bos))
+    val out = Multimodal.resize(Seq(
+        Asset(1L, "image", "image/png", bos.toByteArray),
+        Asset(2L, "image", "image/bmp", bmp(3, 5, (_, _) => (10, 20, 30))),
+        Asset(3L, "text", "text/plain", "opaque payload".getBytes("UTF-8"))).toDS(),
+      width = 8, height = 6).collect().sortBy(_.asset_id)
+    assert(out.map(_.decoder).toSeq == Seq("imageio", "imageio", "stub"))
+    assert(out.forall(r => r.width == 8 && r.height == 6))
+    assert(out.forall(r => r.n_bytes == r.payload.length.toLong))
+    // the real arm re-encodes PNG at exactly the target resolution
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).payload))
+    assert(back.getWidth == 8 && back.getHeight == 6)
+    // white source columns stay white after bilinear resampling
+    assert((back.getRGB(0, 0) & 0xffffff) == 0xffffff)
+    // stub: w*h*3 plane, payload bytes cycled, pure function of input
+    assert(out(2).payload.length == 8 * 6 * 3)
+    assert(out(2).payload(0) == 'o'.toByte &&
+      out(2).payload(14) == 'o'.toByte) // cycle wraps at payload length
+    val again = Multimodal.resize(
+      Seq(Asset(3L, "text", "text/plain", "opaque payload".getBytes("UTF-8"))).toDS(),
+      8, 6).head()
+    assert(java.util.Arrays.equals(again.payload, out(2).payload))
+  }
+
+  test("resize: corrupt raster payloads degrade to the stub, observable via decoder") {
+    import spark.implicits._
+    val corrupt = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      "not a jpeg body".getBytes("UTF-8")
+    val r = Multimodal.resize(
+      Seq(Asset(7L, "image", "image/jpeg", corrupt)).toDS(), 4, 4).head()
+    assert(r.decoder == "stub")
+    assert(r.payload.length == 4 * 4 * 3)
+  }
+
   test("frame sampling slices payloads with builtin expressions") {
     import spark.implicits._
     val df = Seq((1L, Array.range(0, 100).map(_.toByte))).toDF("id", "payload")
