@@ -360,9 +360,14 @@ object IvfIndex {
     val approx = sqApprox(spark, path, pLeaf, excludeSelf)
     // phase 2: exact rescore of the survivors from the full vectors.
     // Probed-cell set is driver-known (≤ total cells — tiny), so the cell
-    // restriction is a STATIC partition filter here.
-    val probedCells = pLeaf.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    val nProbes = p.select("probe_id").distinct().count()
+    // restriction is a STATIC partition filter here. One aggregation job
+    // yields BOTH driver-side facts (cell set + probe count) — the probe
+    // frame is scanned once, not twice.
+    val meta = pLeaf.agg(
+      collect_set(col("cell")).as("cells"),
+      countDistinct(col("probe_id")).as("n")).head()
+    val probedCells = meta.getSeq[Int](0)
+    val nProbes = meta.getLong(1)
     val bounded = nProbes * rescoreK <= MaxRescoreIds
     val full0 = spark.read.parquet(path)
       .where(col("cell").isin(probedCells: _*))

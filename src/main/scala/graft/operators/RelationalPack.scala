@@ -63,6 +63,71 @@ object RelationalPack extends QueryPack {
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
+  /** B3+ SKEW-RESILIENT salted join — the 100 TB pattern for a hot key
+    * that overwhelms one shuffle partition: the probe side tags each row
+    * with a deterministic salt in [0, S), the build side is replicated S
+    * ways, and the join key becomes (key, salt), so one hot key's rows
+    * spread over S shuffle partitions. Replication cost is S× the right
+    * side — replicate the SMALLER side. The merge hint pins the shuffle
+    * join (salting is a no-op under broadcast, and at bench scale Spark
+    * would broadcast orders and hide the pattern being proved). The salt
+    * is pure function of the row (xxhash64 — seed-free, deterministic on
+    * any executor), and the result is EXACTLY the plain join: the oracle
+    * is the un-salted SQL. */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    val S = 4
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .withColumn("_salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S)).cast("int"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("_salt", explode(sequence(lit(0), lit(S - 1))))
+    li.hint("merge")
+      .join(ord, col("l_orderkey") === col("o_orderkey") &&
+        li("_salt") === ord("_salt"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("o_totalprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** B3+ BUCKETED co-located join — the shuffle paid ONCE at write time,
+    * not per query: both tables bucketed (and bucket-sorted) on the join
+    * key into the same bucket count, so the sort-merge join reads
+    * bucket-aligned files with NO exchange on either side. The 100 TB
+    * pattern for a fact table joined on the same key by many downstream
+    * queries. The pre-write `repartition(nBuckets, key)` uses the same
+    * murmur3 hash as the bucket spec, so each bucket is written by exactly
+    * one task → one file per bucket → the bucket-sort also serves the SMJ
+    * (no per-query sort). Tables land under StoreDirs as external-path
+    * catalog tables, rebuilt only when the (per-session) catalog lacks
+    * them. The merge hint keeps the demonstration honest — at bench scale
+    * customer would broadcast; at production scale it would not.
+    * PlanAuditSpec asserts the bucketed scans and the absence of
+    * hash-partition exchanges. */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 8
+    val tag = StoreDirs.pathKey(dir)
+    val ordT = s"graft_bkt_orders_$tag"
+    val custT = s"graft_bkt_customer_$tag"
+    def build(t: String, df: DataFrame, key: String): Unit =
+      if (!s.catalog.tableExists(t))
+        df.repartition(nBuckets, col(key))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(nBuckets, key).sortBy(key)
+          .option("path", StoreDirs.stable(s, t))
+          .saveAsTable(t)
+    build(ordT, Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")), "o_custkey")
+    build(custT, Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment")), "c_custkey")
+    s.table(ordT).hint("merge")
+      .join(s.table(custT), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** B4 TPC-H Q1 shape: multi-aggregate pricing summary. Partial aggregation
     * reduces 600k rows to 6 groups map-side; the shuffle moves only
     * per-partition partials. */
@@ -209,6 +274,8 @@ object RelationalPack extends QueryPack {
     "q_join_multiway" -> joinMultiway,
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
+    "q_join_salted" -> joinSalted,
+    "q_join_bucketed" -> joinBucketed,
     "q_agg_pricing_summary" -> aggPricingSummary,
     "q_agg_distinct" -> aggDistinct,
     "q_approx_distinct" -> aggApproxDistinct,
@@ -223,6 +290,16 @@ object RelationalPack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_join_broadcast" ->
+      """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    // Salting/bucketing change the PLAN, never the RESULT: both oracles
+    // are the plain joins.
+    "q_join_salted" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_bucketed" ->
       """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,

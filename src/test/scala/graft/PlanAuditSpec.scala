@@ -37,6 +37,25 @@ class PlanAuditSpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("salted join: SMJ on (key, salt) — hot keys spread across partitions") {
+    val p = plan(RelationalPack.joinSalted(spark, sf0001))
+    assert(p.contains("SortMergeJoin"), s"salted join must shuffle-join:\n$p")
+    assert(p.contains("_salt"), s"salt column missing from the plan:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"broadcast defeats the salting demonstration:\n$p")
+  }
+
+  test("bucketed join: bucket-aligned scans, no hash-partition exchange on either side") {
+    val p = plan(RelationalPack.joinBucketed(spark, sf0001))
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("SelectedBucketsCount"),
+      s"scan is not bucket-aware:\n$p")
+    // the ONLY exchange is the final orderBy's range partition; the join
+    // itself reads co-located buckets with no hashpartitioning exchange
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$p")
+  }
+
   test("semi/anti joins plan as joins, not subquery re-scans") {
     assert(plan(RelationalPack.semiJoin(spark, sf0001)).contains("LeftSemi"))
     assert(plan(RelationalPack.antiJoin(spark, sf0001)).contains("LeftAnti"))
