@@ -285,9 +285,17 @@ object IvfIndex {
     SimilaritySearch.perProbeTopK(scored, k)
   }
 
-  /** Ceiling on collected (probe × rescoreK) survivor ids before the SQ
-    * rescore falls back from the pushed-filter point-read path to a plain
-    * broadcast join (still correct, reads probed cells' full vectors). */
+  /** Ceiling on collected (probe × rescoreK) survivor ids for the
+    * pushed-`vec_id IN` point-read path. Deliberately far below the
+    * broadcast ceiling: every id becomes a driver-side Literal in the scan
+    * filter, so this bounds plan size (100k longs ≈ a few MB of
+    * expressions), not just data size. */
+  private val MaxPushIds = 100000L
+
+  /** Ceiling on (probe × rescoreK) survivor ROWS for the broadcast-join
+    * rescore (no driver collect — the survivor frame broadcasts executor
+    * side). Above it, plain shuffled joins: what a corpus-vs-corpus probe
+    * set needs anyway. */
   private val MaxRescoreIds = 4000000L
 
   /** [[knnJoin]] with SQ8 compression — the probe-I/O scale path. Two
@@ -302,14 +310,17 @@ object IvfIndex {
     *      probe's `rescoreK` best — an ~8× cut of the scan bytes that
     *      dominate probe cost at corpus scale.
     *   2. RESCORE: re-rank ONLY the survivors (≤ probes × rescoreK rows)
-    *      against their FULL vectors and keep the top `k`. The survivor
-    *      ids become a pushed `vec_id IN (…)` parquet filter over the
-    *      statically-pruned probed cells — build() writes cells
-    *      vec_id-sorted, so row-group min/max stats reduce the full-width
-    *      read to the groups actually holding survivors. Above
-    *      [[MaxRescoreIds]] survivors (huge corpus-vs-corpus probe sets)
-    *      the collect is skipped and the rescore joins the survivor frame
-    *      instead — same result, probed-cell-wide v read.
+    *      against their FULL vectors and keep the top `k`. Under
+    *      [[MaxPushIds]] survivors the ids become a pushed `vec_id IN (…)`
+    *      parquet filter over the statically-pruned probed cells —
+    *      build() writes cells vec_id-sorted, so row-group min/max stats
+    *      reduce the full-width read to the groups actually holding
+    *      survivors. Between [[MaxPushIds]] and [[MaxRescoreIds]] the
+    *      driver collect is skipped and the survivor frame broadcasts
+    *      executor-side (probed-cell-wide v read, shuffle-free join);
+    *      above [[MaxRescoreIds]] (huge corpus-vs-corpus probe sets) the
+    *      rescore runs as plain shuffled joins — same result at every
+    *      tier.
     *
     * Recall: the SQ8 ranking error is bounded by the per-dimension step
     * (range/255), so with `rescoreK` a few × `k` the final top-k matches
@@ -368,18 +379,25 @@ object IvfIndex {
       countDistinct(col("probe_id")).as("n")).head()
     val probedCells = meta.getSeq[Int](0)
     val nProbes = meta.getLong(1)
-    val bounded = nProbes * rescoreK <= MaxRescoreIds
+    val survivorBound = nProbes * rescoreK
     val full0 = spark.read.parquet(path)
       .where(col("cell").isin(probedCells: _*))
       .select(col("vec_id"), col("v"))
     val probeVecs = p.select(col("probe_id"), col("p"), col("np")).distinct()
+    // Three rescore tiers by survivor volume — each one driver-safer:
+    //   ≤ MaxPushIds   collect ids, push `vec_id IN` into the parquet scan
+    //                  (vec_id-sorted row groups → point-ish full-width
+    //                  read). Every id is a plan-side Literal, hence the
+    //                  deliberately small ceiling.
+    //   ≤ MaxRescoreIds no driver collect: the survivor FRAME broadcasts
+    //                  executor-side; the probed cells' v column is read
+    //                  cell-wide but joined without a shuffle.
+    //   above          corpus-vs-corpus probe sets: plain shuffled joins
+    //                  (AQE may still demote them at runtime).
     val paired =
-      if (bounded) {
+      if (survivorBound <= MaxPushIds) {
         // materialize phase 1 once (it feeds both the id collect and the
-        // pairing join), then push the survivor ids down as a parquet
-        // filter: with the build's vec_id-sorted row groups, the
-        // full-width v column is read point-ishly, not cell-wide. The
-        // collect is bounded (≤ MaxRescoreIds longs) and documented.
+        // pairing join)
         val survivors = SimilaritySearch.perProbeTopK(approx, rescoreK)
           .select(col("probe_id"), col("vec_id")).localCheckpoint()
         val ids = survivors.select("vec_id").distinct().collect().map(_.getLong(0))
@@ -387,12 +405,13 @@ object IvfIndex {
           .join(broadcast(survivors), "vec_id")
           .join(broadcast(probeVecs), "probe_id")
       } else {
-        // corpus-scale probe sets: no driver materialization, no
-        // broadcasts of corpus-proportional frames — shuffled joins (AQE
-        // may still demote them) over the probed cells' full vectors
         val survivors = SimilaritySearch.perProbeTopK(approx, rescoreK)
           .select(col("probe_id"), col("vec_id"))
-        full0.join(survivors, "vec_id").join(probeVecs, "probe_id")
+        if (survivorBound <= MaxRescoreIds)
+          full0.join(broadcast(survivors), "vec_id")
+            .join(broadcast(probeVecs), "probe_id")
+        else
+          full0.join(survivors, "vec_id").join(probeVecs, "probe_id")
       }
     val rescored = paired
       .withColumn("nv", VectorFns.l2norm(col("v")))
