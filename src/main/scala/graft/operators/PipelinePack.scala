@@ -144,17 +144,21 @@ object PipelinePack extends QueryPack {
         col("uniq_ratio"), col("avg_tok_len"), col("dup_frac"))
       .orderBy(col("doc_id"))
 
-  /** The quality gate's survivors with their signals, pre-sort — the
-    * shared core of corpusFilter and corpusBuild. */
-  private def qualitySurvivors(s: SparkSession, dir: String): DataFrame = {
+  /** The quality gate as a FRAME-LEVEL transform: any frame with a `text`
+    * column gains the per-doc signal columns and passes through the
+    * C4/Gopher-style predicate band. Signals ride as withColumns so
+    * non-document columns (a streaming event time, a source tag) survive.
+    * Narrow and stateless, hence STREAMING-SAFE — the live corpus gate
+    * (graft.streaming.DocStream.corpusStream) reuses exactly this code
+    * path, so batch and stream can never drift. */
+  private[graft] def qualityGate(docs: DataFrame): DataFrame = {
     val tk = TextFns.tokens(col("text"))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        size(tk).as("n_tokens"),
-        size(array_distinct(tk)).as("n_uniq"),
-        TextFns.totalLen(tk).as("tok_chars"),
-        greatest(size(tk) - 2, lit(0)).as("n_tri"),
-        size(TextFns.shingles3(col("text"))).as("n_tri_distinct"))
+    docs
+      .withColumn("n_tokens", size(tk))
+      .withColumn("n_uniq", size(array_distinct(tk)))
+      .withColumn("tok_chars", TextFns.totalLen(tk))
+      .withColumn("n_tri", greatest(size(tk) - 2, lit(0)))
+      .withColumn("n_tri_distinct", size(TextFns.shingles3(col("text"))))
       .where(col("n_tokens").between(8, 2000))
       .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_tokens"))
       .withColumn("avg_tok_len", col("tok_chars").cast("double") / col("n_tokens"))
@@ -165,6 +169,13 @@ object PipelinePack extends QueryPack {
         col("avg_tok_len").between(2.0, 14.0) &&
         col("dup_frac") <= 0.6)
   }
+
+  /** The quality gate's survivors with their signals, pre-sort — the
+    * shared core of corpusFilter and corpusBuild. */
+  private def qualitySurvivors(s: SparkSession, dir: String): DataFrame =
+    qualityGate(Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text")))
+      .drop("text")
 
   /** B9+ the WHOLE corpus-construction pipeline as one declarative plan —
     * quality gate → canonical dedup prune → stratified systematic sample —

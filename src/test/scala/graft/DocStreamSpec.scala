@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.DocStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Doc(doc_id: Long, ts: Timestamp, lang: String, text: String)
+
+/** The live corpus gate (DocStream.corpusStream): batch parity of the
+  * quality filter, first-arrival exact dedup within the watermark, and
+  * bounded-state plumbing — on chunked MemoryStream replay of the real
+  * documents fixture. */
+class DocStreamSpec extends SparkSpec {
+
+  private def fixtureDocs(n: Int): Seq[Doc] = {
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id")).limit(n).collect()
+      .map(r => Doc(r.getLong(0),
+        new Timestamp(base + r.getLong(0) * 60000L), // one doc per minute
+        r.getString(1), r.getString(2)))
+      .toSeq
+  }
+
+  test("streaming corpus gate == batch quality filter on chunked replay; " +
+      "duplicate content within the watermark keeps the first arrival") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val originals = fixtureDocs(200)
+    // batch truth: the SAME gate the stream reuses (parity by construction
+    // is the claim; this asserts it survives watermarking + chunking)
+    val wantIds = graft.operators.PipelinePack
+      .qualityGate(originals.toDF())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(wantIds.nonEmpty && wantIds.size < 200) // the gate actually gates
+
+    // inject exact-duplicate CONTENT: new doc_ids, arriving 5 minutes
+    // after their originals — inside the 1 hour watermark, so the dedup
+    // must drop every one of them
+    val survivors = originals.filter(d => wantIds.contains(d.doc_id))
+    val dups = survivors.take(20).map(d =>
+      d.copy(doc_id = d.doc_id + 10000L,
+        ts = new Timestamp(d.ts.getTime + 5 * 60000L)))
+    val rows = (originals ++ dups).sortBy(_.ts.getTime)
+
+    val ms = MemoryStream[Doc]
+    val q = DocStream.corpusStream(ms.toDF(), "ts", "1 hour")
+      .select($"doc_id", $"lang", $"n_tokens", $"content_sha")
+      .writeStream.format("memory").queryName("corpus_gate")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length / 5).max(1)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("corpus_gate").collect()
+      val gotIds = got.map(_.getLong(0)).toSet
+      // every quality survivor present, every injected duplicate dropped,
+      // every quality-reject absent
+      assert(gotIds == wantIds,
+        s"missing=${wantIds -- gotIds} unexpected=${gotIds -- wantIds}")
+      // one row per distinct content
+      assert(got.map(_.getString(3)).distinct.length == got.length)
+      // signals ride through with batch values
+      val batchTok = graft.operators.PipelinePack
+        .qualityGate(originals.toDF())
+        .select("doc_id", "n_tokens").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got.forall(r => batchTok(r.getLong(0)) == r.getInt(2)))
+    } finally q.stop()
+  }
+
+  test("re-arrival BEYOND the watermark horizon is a new document (state " +
+      "is evicted by event time, not corpus-proportional)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00")
+    val ms = MemoryStream[Doc]
+    val q = DocStream.corpusStream(ms.toDF(), "ts", "10 minutes")
+      .select($"doc_id").writeStream.format("memory")
+      .queryName("corpus_gate_horizon").outputMode("append").start()
+    try {
+      ms.addData(Doc(1L, t0, "en", text)); q.processAllAvailable()
+      // same content 2 min later: inside horizon -> dropped
+      ms.addData(Doc(2L, new Timestamp(t0.getTime + 2 * 60000L), "en", text))
+      q.processAllAvailable()
+      // advance the watermark far past the horizon, then re-arrive
+      ms.addData(Doc(3L, new Timestamp(t0.getTime + 3600 * 1000L), "en",
+        "completely different content that still passes the quality gate fine"))
+      q.processAllAvailable()
+      ms.addData(Doc(4L, new Timestamp(t0.getTime + 3620 * 1000L), "en", text))
+      q.processAllAvailable()
+      val ids = spark.table("corpus_gate_horizon").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 4L), ids.toString) // 2 deduped, 4 re-admitted
+    } finally q.stop()
+  }
+}
