@@ -615,6 +615,60 @@ object LlmPack extends QueryPack {
       .orderBy(col("asset_id"))
   }
 
+  /** B9 unigram-LM quality score (the CCNet-style perplexity filter, with
+    * the corpus itself as the LM): per-doc mean negative log-likelihood
+    * under corpus unigram frequencies — nll = ln(T) − Σ m·ln(c) / n over
+    * the doc's tokens (m = in-doc count, c = corpus count, T = corpus
+    * total, n = doc length); perplexity is exp(nll). High nll = rare-token
+    * soup (noise, boilerplate hashes); low = stopword mush — both ends get
+    * cut in a real pipeline. Two hash aggregations and one broadcast join,
+    * one plan: the vocab side is frequency-bounded (distinct tokens, the
+    * same ≤500k-entry regime as q_vocab_coverage — at 100 TB prune the
+    * long tail to a min count and give OOV a floor probability), the total
+    * rides a broadcast scalar, and the doc side never shuffles more than
+    * its distinct (doc, token) pairs, which map-side combine bounds at the
+    * doc's vocabulary, not its length. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val dt = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("m"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).cast("double").as("t"))
+    dt.join(broadcast(freq), Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_tokens"),
+        round(log(max(col("t"))) -
+          (sum(col("m").cast("double") * log(col("c"))) /
+            sum(col("m")).cast("double")), 6).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val HardNegK = 5
+  /** B9 hard-negative mining (SimilaritySearch.hardNegatives): for each
+    * probe embedding, its k nearest neighbors under cosine whose label
+    * differs — the contrastive-training pair generator. Probe set and
+    * plan shape shared with q_knn_join. */
+  def hardNegativesQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    SimilaritySearch.hardNegatives(emb, emb.where(col("vec_id") < KnnProbes),
+      idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = HardNegK)
+  }
+
+  /** B9 mutual-kNN graph (SimilaritySearch.mutualKnn over the exact kNN
+    * edge list): pairs that are in each other's top-k — the symmetric
+    * neighborhood graph that seeds graph-based semantic dedup. All rows
+    * probe here (500 vectors — the exact backend's own size-adaptive
+    * regime); at corpus scale the edge list comes from IvfIndex.knnJoin
+    * and the mutual self-join is unchanged (k·N edge rows, never
+    * vectors). */
+  def knnMutual(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    SimilaritySearch.mutualKnn(
+      SimilaritySearch.knnJoin(emb, emb, idCol = "vec_id",
+        vecCol = "embedding", k = HardNegK))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_stats" -> dedupStats,
@@ -647,7 +701,10 @@ object LlmPack extends QueryPack {
     "q_fingerprint_winnow" -> fingerprintWinnow,
     "q_multimodal_meta" -> multimodalMeta,
     "q_multimodal_frames" -> multimodalFrames,
-    "q_multimodal_resize" -> multimodalResize)
+    "q_multimodal_resize" -> multimodalResize,
+    "q_lm_score" -> lmScore,
+    "q_hard_negatives" -> hardNegativesQ,
+    "q_knn_mutual" -> knnMutual)
 
   private val tokSql = "string_split_regex(trim(text), '\\s+')"
   /** Shared CTE chain producing the exact all-pairs 3-gram-Jaccard scores
@@ -980,5 +1037,42 @@ object LlmPack extends QueryPack {
         |md5(substring(repeat(text, (12288 + length(text) - 1) // length(text)),
         |              1, 12288)) AS payload_md5,
         |'stub' AS decoder
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+         |dt AS (SELECT doc_id, tok, count(*) AS m FROM tk GROUP BY doc_id, tok),
+         |freq AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+         |round(ln(max(t)) - sum(m * ln(c)) / sum(m), 6) AS nll
+         |FROM dt JOIN freq USING (tok), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, label AS p_label, v AS p
+         |      FROM e WHERE vec_id < $KnnProbes),
+         |s AS (SELECT probe_id, vec_id, label AS neg_label,
+         |        round(list_dot_product(v, p)
+         |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(p, p))), 6) AS sim
+         |      FROM e, p WHERE vec_id <> probe_id AND label <> p_label),
+         |r AS (SELECT probe_id, vec_id, neg_label, sim,
+         |        row_number() OVER (PARTITION BY probe_id
+         |                           ORDER BY sim DESC, vec_id) AS rank
+         |      FROM s)
+         |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id, neg_label, sim
+         |FROM r WHERE rank <= $HardNegK ORDER BY probe_id, rank""".stripMargin,
+    "q_knn_mutual" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+         |        round(list_dot_product(a.v, b.v)
+         |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+         |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT probe_id, vec_id, sim,
+         |        row_number() OVER (PARTITION BY probe_id
+         |                           ORDER BY sim DESC, vec_id) AS rank
+         |      FROM s),
+         |k AS (SELECT probe_id, vec_id, sim FROM r WHERE rank <= $HardNegK)
+         |SELECT a.probe_id AS a_id, a.vec_id AS b_id, a.sim
+         |FROM k a JOIN k b ON a.probe_id = b.vec_id AND a.vec_id = b.probe_id
+         |WHERE a.probe_id < a.vec_id ORDER BY a_id, b_id""".stripMargin)
 }

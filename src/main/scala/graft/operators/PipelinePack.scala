@@ -614,7 +614,66 @@ object PipelinePack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source TARGET mix, as raw up/down-weight factors; unlisted
+    * sources default to 1.0. Plan-time literals, enumerated identically in
+    * the oracle (the sourceMix pattern). */
+  private val MixTargets: Seq[(String, Double)] =
+    Seq("src0" -> 8.0, "src1" -> 4.0, "src17" -> 2.0)
+  private val MixDefaultTarget = 1.0
+
+  /** B9+ mixture reweighting (the DoReMi/data-mixing shape): given a
+    * TARGET share per source and the ACTUAL char share observed in the
+    * corpus, emit the per-source sampling weight target/actual that a
+    * weighted sampler (q_sample_weighted's machinery) would consume to
+    * steer the trained-on mix toward the target. Targets are raw factors
+    * normalized over the sources PRESENT (so the weights adapt to any
+    * corpus slice); all inputs to the shares are integer sums, so the
+    * floats divide exactly once and round deterministically. One hash
+    * aggregation (sources-bounded state) + a broadcast scalar total —
+    * the same one-plan shape as sourceMix at any corpus size. */
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val raw = MixTargets.foldRight(lit(MixDefaultTarget): Column) {
+      case ((k, v), acc) => when(col("source") === k, lit(v)).otherwise(acc)
+    }
+    val per = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("t_raw", raw)
+    val tot = per.agg(sum(col("n_chars")).cast("double").as("chars_total"),
+      sum(col("t_raw")).as("t_total"))
+    val share = col("n_chars") / col("chars_total")
+    val target = col("t_raw") / col("t_total")
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        round(share, 6).as("chars_share"),
+        round(target, 6).as("target_share"),
+        round(target / share, 6).as("weight"))
+      .orderBy(col("source"))
+  }
+
+  /** B9+ deterministic global shuffle (the training-order pass): every doc
+    * gets a reproducible pseudo-random position, expressed the way a
+    * 100 TB shuffle actually ships — a keyed-hash SHARD plus a position
+    * WITHIN the shard, never one global sequence. The md5 sort key makes
+    * the permutation seed-stable across runs and engines; the within-shard
+    * window parallelizes across the 16 shards here (and across thousands
+    * of hash shards at scale — the same shard count that bounds the
+    * reader's interleave fan-in), where a single global `row_number` would
+    * serialize the corpus into one task. Readers consume shards in
+    * (shard, pos) order. */
+  def shuffleGlobal(s: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat(lit("s42:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("key"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), substring(key, 1, 1).as("shard"), key.as("key"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mixture_weights" -> mixtureWeights,
+    "q_shuffle_global" -> shuffleGlobal,
     "q_source_mix" -> sourceMix,
     "q_pii_redact" -> piiRedact,
     "q_sample_stratified" -> sampleStratified,
@@ -635,6 +694,28 @@ object PipelinePack extends QueryPack {
   private val tokSql = "string_split_regex(trim(text), '\\s+')"
 
   def oracles: Map[String, String] = Map(
+    "q_mixture_weights" -> {
+      val cases = MixTargets
+        .map { case (k, v) => s"WHEN source = '$k' THEN $v" }.mkString(" ")
+      s"""WITH per AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |    CASE $cases ELSE $MixDefaultTarget END AS t_raw
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_chars) AS DOUBLE) AS chars_total,
+         |    sum(t_raw) AS t_total FROM per)
+         |SELECT source, n_docs, n_chars,
+         |round(n_chars / chars_total, 6) AS chars_share,
+         |round(t_raw / t_total, 6) AS target_share,
+         |round((t_raw / t_total) / (n_chars / chars_total), 6) AS weight
+         |FROM per, tot ORDER BY source""".stripMargin
+    },
+    "q_shuffle_global" ->
+      """WITH k AS (SELECT doc_id,
+        |    md5('s42:' || CAST(doc_id AS VARCHAR)) AS key FROM documents)
+        |SELECT doc_id, substr(key, 1, 1) AS shard,
+        |CAST(row_number() OVER (PARTITION BY substr(key, 1, 1)
+        |                        ORDER BY key) AS BIGINT) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin,
     "q_source_mix" ->
       s"""WITH per AS (SELECT source, count(*) AS n_docs,
          |    CAST(sum(n_chars) AS BIGINT) AS n_chars

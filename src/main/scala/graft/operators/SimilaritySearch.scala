@@ -85,6 +85,62 @@ object SimilaritySearch {
         col("col.vec_id").as("vec_id"), col("col.sim").as("sim"))
       .orderBy(col("probe_id"), col("rank"))
 
+  /** Hard-negative mining: `knnJoin` with a label-exclusion predicate —
+    * for every probe, its k nearest corpus neighbors whose label DIFFERS
+    * from the probe's (the contrastive-training shape: semantically close,
+    * known-wrong). Same plan as `knnJoin` (probes broadcast with their
+    * labels, corpus scanned once, k-bounded heap aggregate); the label
+    * filter rides inside the broadcast-join condition, so excluded
+    * candidates never reach the scorer. Output adds the negative's label.
+    * At corpus scale swap the candidate source for `IvfIndex.knnJoin`
+    * survivors and keep this exclusion + tail. */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val v = corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"),
+        col(labelCol).as("neg_label"))
+      .withColumn("nv", VectorFns.l2norm(col("v")))
+    val p = probes.select(col(idCol).as("probe_id"),
+        col(vecCol).cast("array<double>").as("p"),
+        col(labelCol).as("p_label"))
+      .withColumn("np", VectorFns.l2norm(col("p")))
+    val scored = v.join(broadcast(p),
+        col("vec_id") =!= col("probe_id") &&
+          col("neg_label") =!= col("p_label"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorFns.dot(col("v"), col("p")) / (col("nv") * col("np")), 6).as("sim"))
+    val top = perProbeTopK(scored, k)
+    // Label backfill: the k·|probes| result is broadcast and the corpus
+    // (vec_id, label) projection streams past it — a second scan, never a
+    // corpus shuffle (the heap's id slot is a Long, so the label can't
+    // ride through the aggregate itself).
+    broadcast(top)
+      .join(corpus.select(col(idCol).as("vec_id"),
+        col(labelCol).as("neg_label")), Seq("vec_id"))
+      .select(col("probe_id"), col("rank"), col("vec_id"),
+        col("neg_label"), col("sim"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Mutual-kNN graph: keep edge (a, b) only when b is in a's top-k AND a
+    * is in b's top-k — the symmetric neighborhood graph that seeds
+    * graph-based dedup / semantic clustering. Takes the directed kNN edge
+    * list (probe_id, vec_id, sim — any backend: exact `knnJoin`, LSH, or
+    * `IvfIndex.knnJoin` at corpus scale) and self-joins it on the reversed
+    * pair key: one shuffle on (probe_id, vec_id) sized k·N rows — the edge
+    * list, never the vectors. Emits each surviving pair once (a_id < b_id)
+    * with its (symmetric, 6dp-rounded) similarity. */
+  def mutualKnn(knnEdges: DataFrame): DataFrame = {
+    val fwd = knnEdges.select(col("probe_id").as("a_id"),
+      col("vec_id").as("b_id"), col("sim"))
+    val rev = knnEdges.select(col("vec_id").as("a_id"),
+      col("probe_id").as("b_id"))
+    fwd.join(rev, Seq("a_id", "b_id"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Approximate batch kNN join — `knnJoin`'s LSH scale path: corpus rows
     * are scored against a probe ONLY when they share a hyperplane-LSH
     * bucket with it (radius-0 here; the probes are broadcast WITH their

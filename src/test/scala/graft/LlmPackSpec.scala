@@ -226,6 +226,70 @@ class LlmPackSpec extends SparkSpec {
     assert(scored == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "und"))
   }
 
+  test("hard negatives: labels always differ, ranks contiguous, sims non-increasing") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val probeLabels = emb.where(col("vec_id") < 16)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = LlmPack.hardNegativesQ(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    // every negative's label differs from its probe's
+    assert(out.forall { case (p, _, _, negLabel, _) => negLabel != probeLabels(p) })
+    out.groupBy(_._1).foreach { case (p, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to rows.length).toSeq, s"probe $p ranks")
+      val sims = byRank.map(_._5).toSeq
+      assert(sims == sims.sorted.reverse, s"probe $p sims not sorted")
+      // parity with a direct per-probe brute force under the same exclusion
+      val truth = emb.where(col("label") =!= probeLabels(p) && col("vec_id") =!= p)
+        .crossJoin(broadcast(emb.where(col("vec_id") === p)
+          .select(col("embedding").cast("array<double>").as("pv"))))
+        .select(col("vec_id"),
+          round(graft.functions.VectorFns.cosine(
+            col("embedding").cast("array<double>"), col("pv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(rows.length).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(byRank.map(t => (t._3, t._5)).toSeq == truth, s"probe $p top-k")
+    }
+  }
+
+  test("mutual kNN: exactly the symmetric subset of the directed kNN edges") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val edges = graft.operators.SimilaritySearch
+      .knnJoin(emb, emb, "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val mutual = LlmPack.knnMutual(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(mutual.nonEmpty)
+    val expected = edges.keySet
+      .filter { case (a, b) => a < b && edges.contains((b, a)) }
+    assert(mutual.map(t => (t._1, t._2)).toSet == expected)
+    // carried sim is the directed edge's (symmetric) rounded sim
+    assert(mutual.forall { case (a, b, s) => edges((a, b)) == s })
+  }
+
+  test("lm score: nll bounds and hand-check on the corpus LM") {
+    val out = LlmPack.lmScore(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 500)
+    // nll = ln(T) - avg ln(c): bounded by the rarest/commonest token
+    assert(out.forall(_._3 > 0))
+    // recompute one doc directly from token frequencies
+    val docs = Tables.documents(spark, sf0001)
+    val tok = docs.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("tok"))
+    val freq = tok.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = freq.values.sum.toDouble
+    val doc0 = tok.where(col("doc_id") === 0).collect().map(_.getString(1))
+    val expect = math.log(total) -
+      doc0.map(t => math.log(freq(t).toDouble)).sum / doc0.length
+    val got = out.find(_._1 == 0L).get
+    assert(got._2 == doc0.length)
+    assert(math.abs(got._3 - expect) < 1e-6)
+  }
+
   test("token top-k and text stats agree with direct recomputation") {
     val stats = LlmPack.textStats(spark, sf0001).collect()
     assert(stats.length == 5) // 5 langs

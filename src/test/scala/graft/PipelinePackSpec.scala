@@ -245,4 +245,44 @@ class PipelinePackSpec extends SparkSpec {
     // consecutive full chunks overlap by exactly c - s tokens (by layout)
     assert(c - s == 16)
   }
+
+  test("mixture weights: shares normalize and weight = target/actual exactly") {
+    val rows = PipelinePack.mixtureWeights(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 20)
+    // both share columns sum to 1 (up to per-row rounding)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4)
+    // weight recomputed from raw integer sums, not the rounded shares
+    val charsTotal = rows.map(_._3).sum.toDouble
+    val tRaw = rows.map { case (s, _, _, _, _, _) =>
+      s match { case "src0" => 8.0; case "src1" => 4.0; case "src17" => 2.0
+        case _ => 1.0 } }
+    val tTotal = tRaw.sum
+    rows.zip(tRaw).foreach { case ((src, _, nChars, _, _, w), t) =>
+      val expect = (t / tTotal) / (nChars / charsTotal)
+      assert(math.abs(w - expect) < 1e-6, s"$src weight")
+    }
+    // targeted sources are up-weighted vs the uniform-ish actual mix
+    assert(rows.find(_._1 == "src0").get._6 > rows.find(_._1 == "src5").get._6)
+  }
+
+  test("global shuffle: a permutation, contiguous per shard, seed-stable") {
+    val out = PipelinePack.shuffleGlobal(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._1).toSet.size == 500) // every doc exactly once
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // deterministic: a second run yields the identical assignment
+    val again = PipelinePack.shuffleGlobal(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+    // and it is not the identity order within shards (it actually shuffles)
+    val someShard = out.groupBy(_._2).values.maxBy(_.length)
+    val ids = someShard.sortBy(_._3).map(_._1).toSeq
+    assert(ids != ids.sorted)
+  }
 }
