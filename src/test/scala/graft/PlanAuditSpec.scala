@@ -234,6 +234,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("hard negatives: probes broadcast, label backfill broadcasts the result — corpus never shuffles") {
+    val p = plan(graft.operators.LlmPack.hardNegativesQ(spark, sf0001))
+    // both joins (scoring and label backfill) broadcast their small side
+    val bcasts = "Broadcast(NestedLoop|Hash)Join".r.findAllIn(p).length
+    assert(bcasts >= 2, s"expected two broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+  }
+
+  test("lm score: vocab and total re-enter as broadcasts, aggregates combine map-side") {
+    val p = plan(graft.operators.LlmPack.lmScore(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"vocab side not broadcast:\n$p")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin"), s"doc side shuffled for the vocab join:\n$p")
+  }
+
+  test("mutual kNN: the self-join shuffles the k·N edge list, never vectors") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val edges = graft.operators.SimilaritySearch.knnJoin(
+      emb, emb.where(org.apache.spark.sql.functions.col("vec_id") < 4),
+      idCol = "vec_id", vecCol = "embedding", k = 3)
+    val p = plan(graft.operators.SimilaritySearch.mutualKnn(edges))
+    // the mutual join runs on (a_id, b_id) pairs: no vector column survives
+    // into either exchange feeding it
+    assert(!"Exchange hashpartitioning[^\\n]*embedding".r.findFirstIn(p).isDefined,
+      s"vectors shuffled into the mutual join:\n$p")
+  }
+
+  test("global shuffle: windows partition by shard — no single-task global sort before positions") {
+    val p = plan(graft.operators.PipelinePack.shuffleGlobal(spark, sf0001))
+    assert(p.contains("hashpartitioning(shard"),
+      s"window not partitioned by shard:\n$p")
+    assert(!p.contains("SinglePartition"), s"global single-task stage:\n$p")
+  }
+
   test("ngram top-k plans TakeOrderedAndProject over a combined aggregate") {
     val p = plan(graft.operators.PipelinePack.ngramTopk(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"), p)
