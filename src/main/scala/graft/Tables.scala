@@ -43,15 +43,22 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
 
-  /** events.ts arrives as int64 nanos (see init); convert to a µs
-    * TimestampType — the generated values carry only µs resolution
-    * (SURVEY.md §1.4.4), so `ns / 1000` (floor, matching DuckDB's epoch_us)
-    * loses nothing. */
+  /** events.ts is format-adaptive: fixture generations have alternated
+    * between parquet TIMESTAMP(NANOS) — which `init`'s nanosAsLong reads as
+    * int64 ns, converted here with integer `div 1000` (floor, matching
+    * DuckDB's epoch_us; `/` would go through double and lose µs at
+    * 1.7e18 ns) — and plain TIMESTAMP(MICROS), which Spark reads as
+    * TimestampType directly and must pass through untouched (applying the
+    * div-1000 to a TimestampType throws DATATYPE_MISMATCH). Dispatch on the
+    * observed column type, not the fixture generation. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     init(spark)
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: `/` would go through double and lose µs at 1.7e18 ns
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsIsLong = raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val withTs =
+      if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    withTs.select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
   /** SQL entry point (SURVEY.md §3.3): register every fixture table as a
