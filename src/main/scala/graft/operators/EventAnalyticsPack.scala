@@ -102,10 +102,81 @@ object EventAnalyticsPack extends QueryPack {
         round(col("user_days").cast("double") / col("n_days") / col("wau"), 6))
       .orderBy(col("week_us"))
 
+  /** B5+ Markov transition matrix over per-user event sequences: counts and
+    * row-normalized probabilities of (prev_type → next_type) steps — the
+    * "what do users do after X" path-analysis primitive.
+    *
+    * Plan: ONE exchange on user_id for the lag window, then a hash aggregate
+    * whose key space is |event_types|² (25 here) — map-side combine collapses
+    * each task to ≤25 rows before the second (tiny) shuffle, and the
+    * row-normalizing total is a window over those same ≤25 rows. The 100 TB
+    * event stream is touched exactly once. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))), 6))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  // Session gap for the interval join — same 10-minute convention as
+  // q_window_session, enumerated identically in the oracle.
+  private val SessionGap = "10 minutes"
+
+  /** B3+ interval-overlap join (the Allen-algebra `overlaps` relation):
+    * sessionize each user's events into [first, last] intervals, then find
+    * every cross-user pair of sessions that overlap in time, aggregated to
+    * (u1, u2) with the pair count and total overlap duration — the
+    * "who is co-active with whom" primitive.
+    *
+    * Scale design — interval joins are where naive plans go cartesian. This
+    * one never does: each interval explodes into the HOUR buckets it spans
+    * (`sequence` on the truncated bounds; sessions are minutes long, so the
+    * expansion factor is ~1), the join is an EQUI-join on the bucket key
+    * (hash-partitionable, AQE-skew-splittable), the overlap predicate is a
+    * post-join filter, and each qualifying pair is attributed to exactly one
+    * bucket — the hour of the later start — so no distinct is needed to
+    * dedup pairs that share several buckets. PlanAuditSpec asserts the plan
+    * has a real equi-join (no CartesianProduct / BroadcastNestedLoop).
+    * Output is inherently quadratic in CONCURRENTLY-ACTIVE users (that is
+    * the query's semantics); the bucket key bounds the join fan-out, not the
+    * result. */
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), SessionGap), col("user_id"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      .select(col("user_id"), col("st"), col("en"))
+    val bucketed = iv.withColumn("bucket",
+      explode(sequence(date_trunc("hour", col("st")),
+        date_trunc("hour", col("en")), expr("interval 1 hour"))))
+    val a = bucketed.select(col("bucket"), col("user_id").as("u1"),
+      col("st").as("st1"), col("en").as("en1"))
+    val b = bucketed.select(col("bucket"), col("user_id").as("u2"),
+      col("st").as("st2"), col("en").as("en2"))
+    a.join(b, Seq("bucket"))
+      .where(col("u1") < col("u2") &&
+        col("st1") <= col("en2") && col("st2") <= col("en1") &&
+        // attribute each overlapping pair to ONE bucket: the hour of the
+        // later session start (both sides cover it by the overlap predicate)
+        date_trunc("hour", greatest(col("st1"), col("st2"))) === col("bucket"))
+      .groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(unix_micros(least(col("en1"), col("en2"))) -
+          unix_micros(greatest(col("st1"), col("st2")))).as("overlap_us"))
+      .orderBy(col("u1"), col("u2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> funnel,
     "q_retention" -> retention,
-    "q_active_users" -> activeUsers)
+    "q_active_users" -> activeUsers,
+    "q_event_transitions" -> eventTransitions,
+    "q_interval_overlap" -> intervalOverlap)
 
   def oracles: Map[String, String] = Map(
     // Stage CTE chain mirrors the window cascade: each stage's min(ts) is
@@ -133,6 +204,34 @@ object EventAnalyticsPack extends QueryPack {
         |CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
         |count(*) AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // lag + row-normalizing window over the aggregated (25-key) matrix —
+    // identical ordering tie-break (ts, event_id) to the Spark window.
+    "q_event_transitions" ->
+      """WITH t AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+        |             ORDER BY date_trunc('microseconds', ts), event_id) AS prev_type,
+        |           event_type AS next_type FROM events)
+        |SELECT prev_type, next_type, count(*) AS n,
+        |round(CAST(count(*) AS DOUBLE)
+        |  / sum(count(*)) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin,
+    // Sessionization mirrors q_window_session's lag/brk/sid construction
+    // (proven equivalent to Spark's session_window by that key's oracle);
+    // the overlap join is the direct inequality form — the bucket-key
+    // equi-join rewrite on the Spark side is exactly-once by the
+    // later-start attribution, so the results agree row for row.
+    "q_interval_overlap" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events),
+        |m AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                     < INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS brk FROM e),
+        |i AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |iv AS (SELECT user_id, min(ts) AS st, max(ts) AS en FROM i GROUP BY user_id, sid)
+        |SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n_overlaps,
+        |sum(epoch_us(least(a.en, b.en)) - epoch_us(greatest(a.st, b.st))) AS overlap_us
+        |FROM iv a JOIN iv b
+        |  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+        |GROUP BY a.user_id, b.user_id ORDER BY u1, u2""".stripMargin,
     "q_active_users" ->
       """WITH d AS (SELECT DISTINCT epoch_us(date_trunc('week', ts)) AS week_us,
         |           epoch_us(date_trunc('day', ts)) AS day_us, user_id FROM events)

@@ -395,6 +395,59 @@ object LlmPack extends QueryPack {
       .orderBy(col("vec_id"))
   }
 
+  /** B9 Unicode text normalization — the cleaning step every multilingual
+    * corpus pipeline runs before hashing/dedup/tokenization: NFC canonical
+    * composition (via the native codegen'd [[org.apache.spark.sql.graft.NfcNormalize]]
+    * expression — Spark has no builtin), then lowercase and whitespace
+    * collapse. The fixture text is pure ASCII (NFC-invariant), so a
+    * DECOMPOSED prefix is planted per row (e + COMBINING ACUTE, A +
+    * COMBINING RING, a double space) to make the composition observable:
+    * the md5 matches DuckDB's `nfc_normalize` output only if both engines
+    * compose to identical code points, and the emitted length drops from
+    * composition. Map-only narrow scan — zero shuffles at any scale. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.TextExprs
+    Tables.documents(s, dir)
+      .withColumn("raw", // planted DECOMPOSED prefix: e+U+0301, A+U+030A, double space
+        concat(lit("Cafe\u0301  STRASSE A\u030A "), col("text")))
+      .withColumn("norm", TextExprs.nfc(col("raw")))
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("norm")), "\\s+", " ")).as("h"),
+        length(col("norm")).cast("long").as("n"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** B9 distributed PCA power-iteration step over the embedding corpus:
+    * v₁ = normalize(Xᵀ X v₀) with the deterministic start v₀ = 1/√d — the
+    * building block of randomized-SVD / spectral-outlier pipelines at
+    * corpus scale. The 100 TB shape: pass 1 computes each row's ⟨x, v₀⟩
+    * in-row (v₀'s equal components make it 0.125·Σxᵢ — an exact DECIMAL
+    * fold, order-free); pass 2 posexplodes to (dim, xᵢ·dot) terms whose
+    * DECIMAL partial sums combine map-side into exactly d×partitions rows
+    * of exchanged state; the final normalization is a window over d=64
+    * rows. The corpus is scanned twice and never shuffled — only
+    * dimension-keyed aggregate state moves. Every order-sensitive sum
+    * accumulates in DECIMAL(28,12) (Det.scala discipline), so both engines
+    * see bit-identical doubles before the 6dp rounding. */
+  def embedPcaPower(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.embeddings(s, dir)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .withColumn("dot", lit(0.125) * expr(
+        """CAST(aggregate(transform(v, x -> CAST(x AS DECIMAL(28,12))),
+          |CAST(0 AS DECIMAL(28,12)),
+          |(acc, x) -> CAST(acc + x AS DECIMAL(28,12))) AS DOUBLE)""".stripMargin))
+      .select(col("dot"), posexplode(col("v")))
+      .select(col("pos").cast("long").as("dim"),
+        (col("col") * col("dot")).cast("decimal(28,12)").as("term"))
+      .groupBy(col("dim"))
+      .agg(sum(col("term")).cast("double").as("comp"))
+      .select(col("dim"), round(col("comp") /
+        sqrt(sum((col("comp") * col("comp")).cast("decimal(28,12)"))
+          .over(Window.partitionBy()).cast("double")), 6).as("pc1"))
+      .orderBy(col("dim"))
+  }
+
   def simTopk(s: SparkSession, dir: String): DataFrame =
     SimilaritySearch.bruteForceTopK(Tables.embeddings(s, dir),
       idCol = "vec_id", vecCol = "embedding", probeId = 0L, k = 10)
@@ -704,7 +757,9 @@ object LlmPack extends QueryPack {
     "q_multimodal_resize" -> multimodalResize,
     "q_lm_score" -> lmScore,
     "q_hard_negatives" -> hardNegativesQ,
-    "q_knn_mutual" -> knnMutual)
+    "q_knn_mutual" -> knnMutual,
+    "q_text_normalize" -> textNormalize,
+    "q_embed_pca_power" -> embedPcaPower)
 
   private val tokSql = "string_split_regex(trim(text), '\\s+')"
   /** Shared CTE chain producing the exact all-pairs 3-gram-Jaccard scores
@@ -793,6 +848,33 @@ object LlmPack extends QueryPack {
        |ORDER BY a_id, b_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // chr(769)=U+0301 combining acute, chr(778)=U+030A combining ring —
+    // the same decomposed plant as the Spark side; nfc_normalize must
+    // compose both identically for the md5 to agree.
+    "q_text_normalize" ->
+      """WITH p AS (SELECT doc_id,
+        |  'Cafe' || chr(769) || '  STRASSE A' || chr(778) || ' ' || text AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |md5(regexp_replace(lower(nfc_normalize(raw)), '\s+', ' ', 'g')) AS h,
+        |length(nfc_normalize(raw)) AS n
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // Mirrors the two-pass DECIMAL discipline: in-row decimal fold for the
+    // dot, decimal per-dim term sums, decimal sum of squares — every
+    // order-sensitive reduction is exact, so the doubles agree before
+    // rounding.
+    "q_embed_pca_power" ->
+      """WITH d AS (SELECT vec_id, embedding,
+        |  0.125 * CAST(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DECIMAL(28,12)))) AS DOUBLE) AS dot
+        |  FROM embeddings),
+        |t AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |        CAST(CAST(unnest(embedding) AS DOUBLE) * dot AS DECIMAL(28,12)) AS term
+        |      FROM d),
+        |c AS (SELECT dim, CAST(sum(term) AS DOUBLE) AS comp FROM t GROUP BY dim)
+        |SELECT dim, round(comp / sqrt(CAST(sum(CAST(comp * comp AS DECIMAL(28,12)))
+        |  OVER () AS DOUBLE)), 6) AS pc1
+        |FROM c ORDER BY dim""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
         |GROUP BY sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))

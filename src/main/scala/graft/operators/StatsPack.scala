@@ -257,7 +257,33 @@ object StatsPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** B5+ rolling exact median (trailing 5 rows per user): the robust-center
+    * sibling of q_window_moving_avg — the de-noising smoother pandas users
+    * write as `rolling(5).median()`. Spark has no exact-percentile WINDOW
+    * function, so the frame is materialized with collect_list over a
+    * 5-row frame (O(K) state per row — bounded, unlike a whole-partition
+    * collect), sorted, and reduced to the middle element (odd n) or the
+    * mean of the two middle elements (even n — the warm-up rows), which is
+    * precisely DuckDB's `median()` (quantile_cont 0.5) on doubles. One
+    * exchange on user_id; (a+b)/2 is the same IEEE op on both engines, so
+    * 6dp rounding is cosmetic. */
+  def windowMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+    Tables.events(s, dir)
+      .withColumn("sv", array_sort(collect_list(col("value")).over(w)))
+      .withColumn("k", size(col("sv")))
+      .select(col("event_id"),
+        round(when(col("k") % 2 === 1,
+          element_at(col("sv"), ((col("k") + 1) / 2).cast("int")))
+          .otherwise((element_at(col("sv"), (col("k") / 2).cast("int")) +
+            element_at(col("sv"), (col("k") / 2 + 1).cast("int"))) / 2.0), 6)
+          .as("med5"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_median" -> windowMedian,
     "q_stats_corr" -> statsCorr,
     "q_window_rollcorr" -> windowRollCorr,
     "q_window_zscore" -> windowZscore,
@@ -269,6 +295,11 @@ object StatsPack extends QueryPack {
     "q_split_assign" -> splitAssign)
 
   def oracles: Map[String, String] = Map(
+    "q_window_median" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value FROM events)
+        |SELECT event_id, round(median(value) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+        |FROM e ORDER BY event_id""".stripMargin,
     "q_stats_corr" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,

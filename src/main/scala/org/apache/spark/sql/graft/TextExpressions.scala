@@ -74,7 +74,52 @@ case class Shingles3(child: Expression)
 }
 
 /** Column-level face. */
+object NfcKernel extends Serializable { // codegen reference object
+  /** Unicode NFC normalization (canonical composition). `isNormalized` is a
+    * cheap scan that short-circuits the common all-ASCII/precomposed case to
+    * a zero-copy pass-through — only rows that actually carry decomposed
+    * sequences pay the composition. Matches DuckDB's `nfc_normalize` (both
+    * implement UAX #15 canonical composition). */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Native NFC normalization of a string column — the canonical first step of
+  * any text-cleaning pipeline (fold `e` + COMBINING ACUTE into `é` so
+  * hashing/dedup/tokenization see one byte sequence per grapheme). Spark has
+  * no builtin for this; a Scala UDF would break whole-stage codegen around
+  * every normalize call, so it is a codegen'd UnaryExpression like the other
+  * graft text kernels. Cross-engine parity with DuckDB `nfc_normalize` is
+  * oracle-checked end-to-end by q_text_normalize. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(in: Any): Any =
+    NfcKernel.nfc(in.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val kernel = ctx.addReferenceObj("nfcKernel", NfcKernel,
+        NfcKernel.getClass.getName)
+      s"${ev.value} = $kernel.nfc($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object TextExprs {
   def shingles3(text: Column): Column =
     ExpressionUtils.column(Shingles3(ExpressionUtils.expression(text)))
+  def nfc(text: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
 }

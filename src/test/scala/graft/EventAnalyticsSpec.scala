@@ -98,4 +98,69 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(r.head.getDouble(4) - 1.5) < 1e-12)   // avg_dau = 3/2
     assert(math.abs(r.head.getDouble(5) - 0.75) < 1e-12)  // stickiness = 1.5/2
   }
+
+  test("transitions: counts conserve (N - first events), rows normalize to 1") {
+    val out = EventAnalyticsPack.eventTransitions(spark, sf0001).collect()
+    val ev = Tables.events(spark, sf0001)
+    val n = ev.count()
+    val users = ev.select(col("user_id")).distinct().count()
+    // every event except each user's first contributes exactly one step
+    assert(out.map(_.getLong(2)).sum == n - users)
+    out.groupBy(_.getString(0)).foreach { case (prev, rows) =>
+      val p = rows.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"row $prev sums to $p") // 6dp rounding × ≤5 cells
+    }
+  }
+
+  test("transitions: steps follow per-user time order, never cross users") {
+    val dir = eventsDir(Seq(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:05:00"),
+      (2L, "purchase", "2024-01-01 10:02:00"), // interleaved in time
+      (2L, "view", "2024-01-01 10:07:00")))
+    val got = EventAnalyticsPack.eventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("view", "click") -> 1L, ("purchase", "view") -> 1L))
+  }
+
+  test("interval overlap: bucketed equi-join matches the direct O(n²) interval join") {
+    // Independent reference: same session intervals, joined by the raw
+    // inequality predicate with no bucketing — the semantics, minus the
+    // scale rewrite under test.
+    val iv = Tables.events(spark, sf0001)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      .select(col("user_id"), col("st"), col("en"))
+    val a = iv.select(col("user_id").as("u1"), col("st").as("st1"), col("en").as("en1"))
+    val b = iv.select(col("user_id").as("u2"), col("st").as("st2"), col("en").as("en2"))
+    val ref = a.join(b, col("u1") < col("u2") &&
+        col("st1") <= col("en2") && col("st2") <= col("en1"))
+      .groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(unix_micros(least(col("en1"), col("en2"))) -
+          unix_micros(greatest(col("st1"), col("st2")))).as("overlap_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val got = EventAnalyticsPack.intervalOverlap(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == ref, s"bucketed rewrite diverges: ${got.size} vs ${ref.size} pairs")
+    assert(got.nonEmpty)
+  }
+
+  test("interval overlap: a session spanning several hour buckets pairs exactly once") {
+    val dir = eventsDir(Seq(
+      // user 1: one long session crossing three hour buckets (10:xx→12:xx)
+      (1L, "view", "2024-01-01 10:50:00"),
+      (1L, "view", "2024-01-01 10:58:00"),
+      (1L, "view", "2024-01-01 11:06:00"),
+      (1L, "view", "2024-01-01 11:14:00"),
+      (1L, "view", "2024-01-01 12:01:00"), // gap 47 min → actually new session
+      // user 2: short session inside user 1's first session's middle bucket
+      (2L, "view", "2024-01-01 11:05:00"),
+      (2L, "view", "2024-01-01 11:10:00")))
+    val got = EventAnalyticsPack.intervalOverlap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // u1's 10:50–11:14 session overlaps u2's 11:05–11:10 for 5 minutes —
+    // counted ONCE despite the pair sharing two hour buckets (11:00 attribution)
+    assert(got == Map((1L, 2L) -> (1L, 300000000L)), got.toString)
+  }
 }

@@ -68,4 +68,38 @@ class HashExprSpec extends SparkSpec {
     // per table: key, key^1, key^2 — tag bits never flipped
     assert(expanded == Seq(2L, 3L, 0L, 5L, 4L, 7L))
   }
+
+  test("nfc normalize == java.text.Normalizer on decomposed/precomposed/ASCII input") {
+    import org.apache.spark.sql.graft.TextExprs
+    import spark.implicits._
+    val cases = Seq(
+      "Café",          // decomposed → composes to Café
+      "Café",                // already NFC — must pass through unchanged
+      "Å b Á",   // two combining sequences in one string
+      "plain ascii text",    // fast path
+      "")                    // empty
+    val got = cases.toDF("s")
+      .select(TextExprs.nfc(col("s")).as("n"))
+      .collect().map(_.getString(0))
+    val expect = cases.map(
+      java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(got.toSeq == expect)
+    // composition actually happened (code-point count dropped)
+    assert(got.head.length == 4 && cases.head.length == 5)
+  }
+
+  test("nfc normalize runs inside whole-stage codegen and keeps null semantics") {
+    import org.apache.spark.sql.graft.TextExprs
+    import spark.implicits._
+    // plan assertion needs a real scan — a local Seq constant-folds into a
+    // LocalTableScan before the expression ever reaches codegen
+    val d = Tables.documents(spark, sf0001)
+      .select(TextExprs.nfc(concat(lit("Café "), col("text"))).as("n"))
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"nfc not codegen-fused:\n$plan")
+    assert(d.head.getString(0).startsWith("Café "))
+    val rows = Seq(Some("Café"), None).toDF("s")
+      .select(TextExprs.nfc(col("s")).as("n")).collect()
+    assert(rows(0).getString(0) == "Café" && rows(1).isNullAt(0))
+  }
 }

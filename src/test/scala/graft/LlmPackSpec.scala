@@ -301,4 +301,59 @@ class LlmPackSpec extends SparkSpec {
     val ns = topk.map(_.getLong(1)).toSeq
     assert(ns == ns.sorted.reverse)
   }
+
+  test("text normalize: planted decomposed prefix composes; whitespace collapses") {
+    val out = LlmPack.textNormalize(spark, sf0001).collect()
+    assert(out.length == 500)
+    // n = code points of NFC(raw): the plant contributes "Café  STRASSE Å "
+    // = 16 code points AFTER composition (18 before); text is NFC-invariant
+    // ASCII, so n == 16 + text-code-points for every row.
+    val lens = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), length(col("text")).cast("long").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(2) == 16L + lens(r.getLong(0)),
+        s"doc ${r.getLong(0)}: NFC length ${r.getLong(2)} != 16 + ${lens(r.getLong(0))}")
+    }
+    // distinct texts → distinct hashes (md5 of the normalized form)
+    assert(out.map(_.getString(1)).distinct.length == 500)
+  }
+
+  test("pca power step: unit-norm output, 64 dims, matches driver-side linear algebra") {
+    val out = LlmPack.embedPcaPower(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 64 && out.keys.min == 0L && out.keys.max == 63L)
+    val norm = math.sqrt(out.values.map(v => v * v).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"|v1| = $norm") // 6dp rounding × 64 comps
+    // Reference: v1 ∝ Xᵀ X v0 with v0 = 1/8·1, in plain driver-side doubles.
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val comps = new Array[Double](64)
+    vecs.foreach { x =>
+      val dot = 0.125 * x.sum
+      var d = 0
+      while (d < 64) { comps(d) += x(d) * dot; d += 1 }
+    }
+    val refNorm = math.sqrt(comps.map(v => v * v).sum)
+    (0 until 64).foreach { d =>
+      assert(math.abs(out(d.toLong) - comps(d) / refNorm) < 1e-5,
+        s"dim $d: ${out(d.toLong)} vs ${comps(d) / refNorm}")
+    }
+    // power step must concentrate mass: Rayleigh quotient of v1 is ≥ that of
+    // the isotropic start v0 (strictly, unless the spectrum is flat).
+    def rayleigh(v: Array[Double]): Double = {
+      var s = 0.0
+      vecs.foreach { x =>
+        var dot = 0.0
+        var d = 0
+        while (d < 64) { dot += x(d) * v(d); d += 1 }
+        s += dot * dot
+      }
+      s / v.map(c => c * c).sum
+    }
+    val v0 = Array.fill(64)(0.125)
+    val v1 = (0 until 64).map(d => out(d.toLong)).toArray
+    assert(rayleigh(v1) >= rayleigh(v0))
+  }
 }

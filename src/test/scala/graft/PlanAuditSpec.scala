@@ -274,6 +274,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("interval overlap: bucket equi-join, never a nested-loop/cartesian interval join") {
+    val p = plan(graft.operators.EventAnalyticsPack.intervalOverlap(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to nested loop:\n$p")
+    assert(p.contains("bucket"), s"bucket key missing from the join:\n$p")
+    // the overlap predicate must be a post-join filter on an EQUI-join —
+    // SMJ or (broadcast|shuffled) hash join keyed on the bucket
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
+      s"no equi-join on the bucket key:\n$p")
+  }
+
+  test("event transitions: one user_id exchange; matrix aggregate combines map-side") {
+    val p = plan(graft.operators.EventAnalyticsPack.eventTransitions(spark, sf0001))
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(p.contains("partial_count"),
+      s"transition counts must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Join"), s"transitions needs no join:\n$p")
+  }
+
+  test("pca power step: no join, corpus never shuffles — only dim-keyed aggregate state") {
+    val p = plan(graft.operators.LlmPack.embedPcaPower(spark, sf0001))
+    assert(!p.contains("Join"), s"pca needs no join:\n$p")
+    assert(p.contains("hashpartitioning(dim"),
+      s"per-dim partial sums must combine map-side on dim:\n$p")
+    assert(p.contains("partial_sum"), p)
+    // the whole-corpus vector column must not be exchange payload: the only
+    // exchanges are dim-keyed state and the 64-row normalization/sort
+    assert(!p.matches("(?s).*Exchange hashpartitioning\\(vec_id.*"),
+      s"corpus rows exchanged:\n$p")
+  }
+
+  test("text normalize is map-only: no exchange but the determinism sort") {
+    val p = plan(graft.operators.LlmPack.textNormalize(spark, sf0001))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"normalize must not shuffle:\n$p")
+    assert(p.contains("graft_nfc"), s"native kernel missing:\n$p")
+  }
+
+  test("rolling median: one user_id window exchange, frame-bounded state") {
+    val p = plan(graft.operators.StatsPack.windowMedian(spark, sf0001))
+    assert(p.contains("hashpartitioning(user_id"), p)
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected user_id + sort exchanges, got $exchanges:\n$p")
+  }
+
   test("executed plans run inside whole-stage codegen (AQE final plans)") {
     // AQE shows codegen stages only once the final plan materializes, so
     // execute first; a representative read, agg and join query each.

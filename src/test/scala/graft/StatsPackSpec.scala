@@ -110,4 +110,28 @@ class StatsPackSpec extends SparkSpec {
     val cums = rows.map(_.getDouble(3))
     assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
   }
+
+  test("rolling median matches a driver-side brute force over the trailing frame") {
+    val got = StatsPack.windowMedian(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000, r.getLong(2), r.getDouble(3)))
+    val expect = rows.groupBy(_._1).flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3))
+      ordered.indices.map { i =>
+        val frame = ordered.slice(math.max(0, i - 4), i + 1).map(_._4).sorted
+        val k = frame.length
+        val med = if (k % 2 == 1) frame(k / 2)
+          else (frame(k / 2 - 1) + frame(k / 2)) / 2.0
+        // Spark round() is HALF_UP — mirror it, not rint's HALF_EVEN
+        ordered(i)._3 -> BigDecimal(med).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    assert(got.size == expect.size)
+    expect.foreach { case (id, m) =>
+      assert(math.abs(got(id) - m) < 1e-9, s"event $id: ${got(id)} vs $m")
+    }
+  }
 }
