@@ -199,22 +199,20 @@ object NearDedup {
     val k = bands * rowsPerBand
     // sig_i = min over shingles of hash_i(shingle): k independent
     // permutation surrogates from one seed-free hash family. The variable-
-    // length shingle STRING is hashed exactly once per row (`h`); the k
+    // length shingle STRING is hashed exactly once (`h`); the k
     // per-permutation hashes then mix the fixed 8-byte long — k× cheaper
     // than re-hashing the string k times, identical independence properties
     // (xxhash64(i, ·) over a 64-bit input is still a seed-free family).
-    // The whole signature is ONE imperative aggregate with an Array[Long]
-    // buffer (MinHashSignature): bit-identical to k separate
-    // min(xxhash64(lit(i), h)) agg columns, but without the k-buffer
-    // generated aggregate whose janino compilation dominated this query's
-    // cost. Partial aggregation still collapses each doc to one k-long
-    // buffer before the shuffle.
-    val sig = sets
-      .select(col("id"), col("part"), explode(col("sh")).as("t"))
-      .select(col("id"), col("part"), xxhash64(col("t")).as("h"))
-      .groupBy(col("id"), col("part"))
-      .agg(org.apache.spark.sql.graft.AggExprs
-        .minhashSignature(col("h"), k).as("sig"))
+    // The signature is a PER-ROW kernel (MinHashRow): one pass over the
+    // shingle array inside whole-stage codegen, bit-identical to the
+    // explode + MinHashSignature aggregate form (HashExprSpec) — but with
+    // no row inflation and, crucially, NO doc-keyed exchange: signatures
+    // are a function of the document alone, so the whole stage is a narrow
+    // map and the first shuffle in the query is the band-key candidate
+    // join. (The aggregate form remains for callers whose element hashes
+    // are already exploded — e.g. token streams.)
+    val sig = sets.select(col("id"), col("part"),
+      org.apache.spark.sql.graft.AggExprs.minhashRow(col("sh"), k).as("sig"))
 
     // One row per (doc, band); band key hashes the band's signature slice.
     val bandStructs = (0 until bands).map { b =>

@@ -1,8 +1,25 @@
 package graft.streaming
 
 import graft.operators.PipelinePack
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One (band, band-hash) row of a banded document for
+  * [[DocStream.nearDupPairsStream]] — the doc's full MinHash signature
+  * rides along for the in-bucket similarity estimate. */
+case class BandDoc(band: Int, bh: Long, doc_id: Long,
+                   ts: java.sql.Timestamp, sig: Seq[Long])
+
+/** Per-(band, band-hash) bucket state: prior arrivals still inside the
+  * horizon as (doc_id, event-time µs, signature) — k·8 B per entry, capped. */
+case class BucketState(entries: Seq[(Long, Long, Seq[Long])])
+
+/** A detected near-duplicate pair: `a_id` arrived first, `b_id` is the
+  * later arrival whose estimated Jaccard against `a_id` cleared τ in
+  * band `band`; `ts` is b's event time (drives downstream watermarking). */
+case class NearDupPair(a_id: Long, b_id: Long, band: Int, est: Double,
+                       ts: java.sql.Timestamp)
 
 /** The corpus-construction gate, LIVE: the batch pipeline's quality filter
   * and exact dedup re-expressed over a document STREAM — what a continuous
@@ -44,5 +61,116 @@ object DocStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("content_sha"))
       .drop("text", "n_uniq", "tok_chars", "n_tri", "n_tri_distinct")
+  }
+
+  /** Streaming NEAR-duplicate detection — the live twin of
+    * `NearDedup.minhashLsh`: a stream of detected near-dup PAIRS
+    * (first-arrival id, later id) within a bounded event-time horizon.
+    *
+    * Mechanics, all batch-identical where a batch analogue exists:
+    *
+    *   1. Stateless prep: word-3-gram shingles → per-ROW MinHash signature
+    *     (`MinHashRow` — the same bit-exact kernel the batch path uses;
+    *     no explode, no aggregation, fuses into the source scan) → one
+    *     (band, bandHash) row per band, the banding arithmetic copied
+    *     from the batch operator so candidate buckets are identical.
+    *   2. One stateful operator: `flatMapGroupsWithState` keyed by
+    *     (band, bandHash). Each bucket holds the prior arrivals still
+    *     inside `horizonMs` as (id, ts µs, signature) — when a new doc
+    *     lands in the bucket it emits a pair for every held entry whose
+    *     ESTIMATED Jaccard (matching-component fraction of the two
+    *     signatures — the textbook MinHash estimator) clears `tau`.
+    *
+    * Honest divergence from batch: `minhashLsh` verifies candidates on
+    * EXACT shingle-set Jaccard; holding shingle sets in stream state would
+    * be document-sized, so the stream verifies on the signature estimate —
+    * k-bounded state per entry, estimator std ≈ √(τ(1−τ)/k) (~0.044 at
+    * τ=0.5, k=128). Near-identical spam (J ≈ 1) and unrelated text
+    * (J ≈ 0) are both many σ from any sane τ; borderline pairs may differ
+    * from batch. DocStreamSpec pins parity on a planted corpus.
+    *
+    * Bounded state, deterministically: entries evict on a DATA-driven
+    * horizon (newest-arrival µs − `horizonMs`), so chunked replay of the
+    * same data emits the same pairs regardless of microbatch boundaries or
+    * watermark timing; the watermark-driven event-time timeout only
+    * reclaims whole idle buckets (every entry is then past the horizon —
+    * nothing observable depends on WHEN it fires). Hot buckets cap at
+    * `maxBucketEntries` FIFO — a cap hit degrades recall against the
+    * oldest entries, never memory. A pair that matches in several bands
+    * emits once per band (bands are independent state groups);
+    * `distinct()` downstream — or any-row-means-dup consumers — absorb it.
+    *
+    * 100 TB posture: the only exchange is the band-key shuffle of
+    * signature-sized rows (k·8 B + id + ts per band row); documents
+    * themselves never move, and executor state is horizon- and cap-bounded
+    * per LIVE bucket, not corpus-proportional. */
+  def nearDupPairsStream(docs: DataFrame, idCol: String, tsCol: String,
+                         textCol: String, watermark: String,
+                         bands: Int = 32, rowsPerBand: Int = 4,
+                         tau: Double = 0.5, horizonMs: Long = 3600000L,
+                         maxBucketEntries: Int = 256): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = bands * rowsPerBand
+    val sets = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(tsCol).as("ts"),
+        graft.functions.TextFns.shingles3(col(textCol)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig",
+        org.apache.spark.sql.graft.AggExprs.minhashRow(col("sh"), k))
+    // band key arithmetic identical to NearDedup.minhashLsh
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bh"))
+    }
+    val horizonUs = horizonMs * 1000L
+    def usOf(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    sets
+      .select(col("doc_id"), col("ts"), col("sig"),
+        explode(array(bandStructs: _*)).as("x"))
+      .select(col("x.band").as("band"), col("x.bh").as("bh"),
+        col("doc_id"), col("ts"), col("sig"))
+      .withWatermark("ts", watermark)
+      .as[BandDoc]
+      .groupByKey(d => (d.band, d.bh))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long), it: Iterator[BandDoc],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            // bucket idle past maxTs + horizon: every entry is beyond the
+            // horizon of any future arrival — reclaim the whole bucket
+            state.remove(); Iterator.empty
+          } else {
+            val rows = it.toArray.sortBy(d => (usOf(d.ts), d.doc_id))
+            var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+            val out = Seq.newBuilder[NearDupPair]
+            rows.foreach { d =>
+              val tUs = usOf(d.ts)
+              entries = entries.filter(e => tUs - e._2 <= horizonUs)
+              entries.foreach { case (aId, _, aSig) =>
+                if (aId != d.doc_id) {
+                  var m = 0
+                  var i = 0
+                  while (i < k) {
+                    if (aSig(i) == d.sig(i)) m += 1
+                    i += 1
+                  }
+                  val est = m.toDouble / k
+                  if (est >= tau) out += NearDupPair(aId, d.doc_id, key._1, est, d.ts)
+                }
+              }
+              entries = (entries :+ ((d.doc_id, tUs, d.sig)))
+                .takeRight(maxBucketEntries)
+            }
+            if (entries.isEmpty) state.remove()
+            else {
+              state.update(BucketState(entries))
+              state.setTimeoutTimestamp(entries.last._2 / 1000L + horizonMs)
+            }
+            out.result().iterator
+          })
   }
 }

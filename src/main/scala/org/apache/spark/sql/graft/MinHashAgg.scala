@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -99,9 +99,87 @@ case class MinHashSignature(
     copy(child = newChildren.head)
 }
 
+/** Per-ROW MinHash signature over a token/shingle array — the same k
+  * permutation-surrogate minima as [[MinHashSignature]], computed in one
+  * pass over the array with no explode and no aggregation.
+  *
+  * Bit-parity contract (asserted in HashExprSpec): for every element t,
+  * h = xxhash64(t) (XXH64 over the UTF-8 bytes, seed 42 — the builtin's
+  * exact kernel), and sig_i = min over elements of hashLong(h, seeds(i))
+  * with seeds(i) = hashInt(i, 42) — identical to
+  * `min(xxhash64(lit(i), xxhash64(t)))` and therefore to the aggregate
+  * form over the exploded array. An empty array yields the aggregate's
+  * empty buffer (all Long.MaxValue); callers filter empty shingle sets
+  * exactly as they do on the aggregate path.
+  *
+  * Why it exists: the aggregate form costs `explode` row inflation plus a
+  * doc-keyed EXCHANGE to regroup the shingle hashes. Signatures are a
+  * per-document function of the document alone, so computing them in-row
+  * turns the whole signature stage into a narrow map — at 100 TB the
+  * shuffle it deletes was signature-sized per doc but still a full
+  * all-to-all barrier over the corpus. Null elements hash to the seed,
+  * matching builtin xxhash64(null) in the exploded form. */
+case class MinHashRow(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(k >= 1, s"k=$k must be >= 1")
+
+  @transient private lazy val seeds: Array[Long] = {
+    val s = new Array[Long](k)
+    var i = 0
+    while (i < k) { s(i) = XXH64.hashInt(i, 42L); i += 1 }
+    s
+  }
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_row"
+
+  def signatureOf(arr: org.apache.spark.sql.catalyst.util.ArrayData): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val h = if (arr.isNullAt(j)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+      var i = 0
+      while (i < k) {
+        val s = XXH64.hashLong(h, seeds(i))
+        if (s < sig(i)) sig(i) = s
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
+  override def nullSafeEval(in: Any): Any =
+    new GenericArrayData(
+      signatureOf(in.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("minhashRow", this, getClass.getName)
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $self.signatureOf($a));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashRow =
+    copy(child = newChild)
+}
+
 /** Column-level face. */
 object AggExprs {
   def minhashSignature(hash: Column, k: Int): Column =
     ExpressionUtils.column(
       MinHashSignature(ExpressionUtils.expression(hash), k).toAggregateExpression())
+  def minhashRow(tokens: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashRow(ExpressionUtils.expression(tokens), k))
 }

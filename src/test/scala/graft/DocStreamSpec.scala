@@ -98,4 +98,91 @@ class DocStreamSpec extends SparkSpec {
       assert(ids == Set(1L, 3L, 4L), ids.toString) // 2 deduped, 4 re-admitted
     } finally q.stop()
   }
+
+  test("streaming near-dup pairs == batch minhashLsh pairs on chunked replay " +
+      "of a planted corpus") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Planted corpus: fixture docs with the fixture's OWN near-dup plants
+    // removed (the regenerated testdata ships genuine near-duplicate
+    // groups — e.g. docs 0/50/82 — which would make "expected pairs"
+    // fixture-content-dependent), plus, for every 10th survivor, a
+    // LATER-arriving near-identical variant (first token changed —
+    // Jaccard ≈ 0.95 against its source).
+    val raw = fixtureDocs(100)
+    val fixtureDupIds = graft.operators.NearDedup.minhashLsh(
+        raw.toDF().withColumn("part", lit(0)),
+        idCol = "doc_id", textCol = "text", partCol = "part", tau = 0.5)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val originals = raw.filterNot(d => fixtureDupIds.contains(d.doc_id))
+    val variants = originals.filter(_.doc_id % 10 == 0).map { d =>
+      d.copy(doc_id = d.doc_id + 5000L,
+        ts = new Timestamp(d.ts.getTime + 7 * 60000L),
+        text = "variant " + d.text.split("\\s+", 2).last)
+    }
+    assert(variants.nonEmpty)
+    val rows = (originals ++ variants).sortBy(d => (d.ts.getTime, d.doc_id))
+
+    // batch truth on the SAME banding parameters; minhashLsh verifies on
+    // exact Jaccard where the stream uses the signature estimate — the
+    // planted pairs (J≈0.95) and fixture noise (J≈0.06) both sit many
+    // estimator-σ from τ=0.5, so the pair sets must agree exactly
+    val batchPairs = graft.operators.NearDedup.minhashLsh(
+        rows.toDF().withColumn("part", lit(0)),
+        idCol = "doc_id", textCol = "text", partCol = "part", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs == variants.map(v => (v.doc_id - 5000L, v.doc_id)).toSet,
+      s"batch truth unexpected: $batchPairs")
+
+    val ms = MemoryStream[Doc]
+    val q = DocStream.nearDupPairsStream(ms.toDF(), "doc_id", "ts", "text",
+        watermark = "1 hour", tau = 0.5)
+      .writeStream.format("memory").queryName("near_pairs")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length / 7).max(1)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("near_pairs").collect()
+      val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotPairs == batchPairs,
+        s"missing=${batchPairs -- gotPairs} extra=${gotPairs -- batchPairs}")
+      // ordering contract: a_id is always the earlier arrival
+      assert(got.forall(r => r.getLong(0) < r.getLong(1)))
+      // estimates on planted near-identical pairs are high
+      assert(got.forall(_.getDouble(3) >= 0.5))
+    } finally q.stop()
+  }
+
+  test("near-dup stream: horizon evicts state — a variant arriving past the " +
+      "horizon is NOT paired; chunk boundaries don't change emissions") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      Doc(1L, t0, "en", base),
+      // inside the 10-min horizon → pair (1, 2)
+      Doc(2L, new Timestamp(t0.getTime + 5 * 60000L), "en", "variant " + base.split(" ", 2).last),
+      // same content again but 30 min after doc 1 → entry evicted, no pair
+      // with 1; still pairs with 2? — 25 min after doc 2, also beyond horizon
+      Doc(3L, new Timestamp(t0.getTime + 30 * 60000L), "en", "other " + base.split(" ", 2).last))
+
+    def run(chunks: Seq[Seq[Doc]], name: String): Set[(Long, Long)] = {
+      val ms = MemoryStream[Doc]
+      val q = DocStream.nearDupPairsStream(ms.toDF(), "doc_id", "ts", "text",
+          watermark = "10 minutes", tau = 0.5, horizonMs = 10 * 60000L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+        spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(docs), "near_h1")
+    val chunked = run(docs.map(Seq(_)), "near_h2")
+    assert(oneShot == Set((1L, 2L)), oneShot.toString)
+    assert(chunked == oneShot, s"replay-dependent emissions: $chunked vs $oneShot")
+  }
 }

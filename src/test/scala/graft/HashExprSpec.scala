@@ -69,6 +69,34 @@ class HashExprSpec extends SparkSpec {
     assert(expanded == Seq(2L, 3L, 0L, 5L, 4L, 7L))
   }
 
+  test("per-row minhash == exploded imperative aggregate == declarative mins, bit-for-bit") {
+    import org.apache.spark.sql.graft.AggExprs
+    import graft.functions.TextFns
+    val k = 16
+    val sets = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), TextFns.shingles3(col("text")).as("sh"))
+      .where(size(col("sh")) > 0)
+    val perRow = sets
+      .select(col("doc_id"), AggExprs.minhashRow(col("sh"), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val agg = sets
+      .select(col("doc_id"), explode(col("sh")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(AggExprs.minhashSignature(col("h"), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(perRow == agg)
+    assert(perRow.size == 500)
+    // empty array → the aggregate's empty buffer; codegen fusion holds
+    import spark.implicits._
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+      .select(AggExprs.minhashRow(col("sh"), 4).as("sig"))
+    assert(empty.head.getSeq[Long](0) == Seq.fill(4)(Long.MaxValue))
+    val plan = sets.select(AggExprs.minhashRow(col("sh"), k))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"minhash row not codegen-fused:\n$plan")
+  }
+
   test("nfc normalize == java.text.Normalizer on decomposed/precomposed/ASCII input") {
     import org.apache.spark.sql.graft.TextExprs
     import spark.implicits._

@@ -155,6 +155,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("minhash dedup: signatures are a per-row kernel — no explode, no " +
+      "doc-keyed exchange before the band join") {
+    val p = plan(graft.operators.NearDedup.minhashLsh(
+      Tables.documents(spark, sf0001).withColumn("part",
+        org.apache.spark.sql.functions.lit(0)),
+      idCol = "doc_id", textCol = "text", partCol = "part", tau = 0.5))
+    assert(p.contains("graft_minhash_row"), s"row kernel not in plan:\n$p")
+    // the old formulation exploded shingles and regrouped per doc — that
+    // aggregate (and its exchange) must be gone
+    assert(!p.contains("graft_minhash("), s"aggregate signature form back:\n$p")
+    assert(!p.contains("Generate explode(sh"),
+      s"shingle explode back in the signature stage:\n$p")
+  }
+
   test("dedup canonical: the corpus prune is a BROADCAST anti-join (the " +
       "bounded loser list moves, the corpus never shuffles)") {
     val p = plan(graft.operators.LlmPack.dedupCanonical(spark, sf0001))
