@@ -133,6 +133,37 @@ object TsStream extends Serializable {
 
   /** Tumbling (slide == width) or sliding event-time window aggregation with
     * watermark-based late-data drop and state eviction. */
+  /** Streaming per-window LEADERBOARD — top-k keys by event count per
+    * tumbling window, the live twin of the batch
+    * `q_window_topn_per_group` / `q_topk` pattern. This is the engine's
+    * CHAINED-stateful-operator demonstration (Spark 4 multiple stateful
+    * operators): stage 1 is an incremental (window, key) count whose state
+    * is one long per live (window, key); stage 2 re-aggregates the
+    * FINALIZED window counts into the k-bounded [[TopKByScore]] heap — the
+    * same imperative aggregate the batch top-k keys use, its buffer
+    * serialized into the state store (k·16 B per live window). Both stages
+    * evict by the same watermark; append mode emits a window's leaderboard
+    * exactly once, when the watermark closes it.
+    *
+    * 100 TB posture: stage 1's shuffle is the (window, key) hash exchange
+    * with map-side partial counts (bounded by live keys × live windows);
+    * stage 2 exchanges one k-heap per window. Keys ride as longs
+    * (`keyCol` is cast) — the fixture's user_id, a symbol id, a shard id.
+    * Ties break toward the smaller key (TopKBuffer's deterministic
+    * ordering), identically in batch and stream. */
+  def topKeysPerWindow(df: DataFrame, tsCol: String, keyCol: String,
+                       watermark: String = "1 hour",
+                       width: String = "1 hour", k: Int = 5): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width), col(keyCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window"))
+      .agg(org.apache.spark.sql.graft.TopKAggExprs
+        .topKByScore(col("n").cast("double"), col("key"), k).as("top"))
+      .select(col("window.start").as("w_start"), posexplode(col("top")))
+      .select(col("w_start"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vec_id").as("key"), col("col.sim").cast("long").as("n"))
+
   def windowedCounts(df: DataFrame, tsCol: String, width: String,
                      slide: Option[String] = None,
                      watermark: String = "1 hour"): DataFrame = {

@@ -55,6 +55,42 @@ class TsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained stateful aggs: streaming per-window top-k leaderboard == " +
+      "batch on chunked replay; windows emit once, on watermark close") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    // sentinel far past the fixture: closes every fixture window under the
+    // 1 h watermark (its own window stays open and must NOT emit)
+    val sentinel = rows.last.copy(event_id = -1L,
+      ts = new java.sql.Timestamp(rows.last.ts.getTime + 7 * 24 * 3600 * 1000L))
+    val ms = MemoryStream[Ev]
+    val q = TsStream.topKeysPerWindow(ms.toDF(), "ts", "user_id",
+        watermark = "1 hour", width = "4 hours", k = 3)
+      .writeStream.format("memory").queryName("leaderboard")
+      .outputMode("append").start()
+    try {
+      (rows.grouped((rows.length / 4).max(1)).map(_.toSeq).toSeq :+ Seq(sentinel))
+        .foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      val got = spark.table("leaderboard")
+        .select(unix_micros($"w_start").as("us"), $"rank", $"key", $"n")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      // batch truth: identical plan over the static fixture (no sentinel)
+      val want = TsStream.topKeysPerWindow(
+          Tables.events(spark, sf0001), "ts", "user_id",
+          watermark = "1 hour", width = "4 hours", k = 3)
+        .select(unix_micros($"w_start").as("us"), $"rank", $"key", $"n")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+      assert(got.nonEmpty)
+      // the sentinel's own (unclosed) window never emitted
+      val sentinelUs = (sentinel.ts.getTime / (4 * 3600 * 1000L)) * 4 * 3600 * 1000000L
+      assert(!got.exists(_._1 == sentinelUs))
+    } finally q.stop()
+  }
+
   test("stream OHLC == batch resampleOhlc on chunked replay") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
