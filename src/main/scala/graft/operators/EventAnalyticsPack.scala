@@ -171,12 +171,33 @@ object EventAnalyticsPack extends QueryPack {
       .orderBy(col("u1"), col("u2"))
   }
 
+  /** B4/B5+ per-user session statistics: session count, mean events per
+    * session, mean/max session duration — the engagement-depth report on
+    * top of the same 10-minute sessionization as `q_window_session` /
+    * `intervalOverlap`. Two aggregations, ONE exchange: the session-window
+    * aggregate hash-partitions by user_id (session merging is per key) and
+    * the per-user rollup reuses that partitioning outright. Durations are
+    * exact epoch-µs longs; the two means are single divisions rounded 6dp. */
+  def sessionStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), SessionGap), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        round(sum(col("n")).cast("double") / count(lit(1)), 6).as("avg_events"),
+        round(sum(col("dur_us")).cast("double") / count(lit(1)), 6).as("avg_dur_us"),
+        max(col("dur_us")).as("max_dur_us"))
+      .orderBy(col("user_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> funnel,
     "q_retention" -> retention,
     "q_active_users" -> activeUsers,
     "q_event_transitions" -> eventTransitions,
-    "q_interval_overlap" -> intervalOverlap)
+    "q_interval_overlap" -> intervalOverlap,
+    "q_session_stats" -> sessionStats)
 
   def oracles: Map[String, String] = Map(
     // Stage CTE chain mirrors the window cascade: each stage's min(ts) is
@@ -232,6 +253,24 @@ object EventAnalyticsPack extends QueryPack {
         |FROM iv a JOIN iv b
         |  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
         |GROUP BY a.user_id, b.user_id ORDER BY u1, u2""".stripMargin,
+    // same lag/brk/sid sessionization CTE as q_window_session (proven
+    // equivalent to Spark's session_window by that key's oracle), rolled
+    // up per user
+    "q_session_stats" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events),
+        |m AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                     < INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS brk FROM e),
+        |i AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |sess AS (SELECT user_id, count(*) AS n,
+        |         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |         FROM i GROUP BY user_id, sid)
+        |SELECT user_id, count(*) AS n_sessions,
+        |CAST(sum(n) AS BIGINT) AS n_events,
+        |round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_events,
+        |round(CAST(sum(dur_us) AS DOUBLE) / count(*), 6) AS avg_dur_us,
+        |max(dur_us) AS max_dur_us
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_active_users" ->
       """WITH d AS (SELECT DISTINCT epoch_us(date_trunc('week', ts)) AS week_us,
         |           epoch_us(date_trunc('day', ts)) AS day_us, user_id FROM events)

@@ -448,6 +448,35 @@ object LlmPack extends QueryPack {
       .orderBy(col("dim"))
   }
 
+  /** B4+ Count-Min heavy-hitter report — the sketch-family member for
+    * FREQUENCIES (HLL covers cardinality, Bloom membership, MinHash
+    * similarity): exact top-20 token counts side-by-side with their
+    * Count-Min estimates from Spark's own `count_min_sketch` aggregate,
+    * probed through the native [[org.apache.spark.sql.graft.CmsEstimate]]
+    * expression (Spark ships the build half but no query half).
+    *
+    * 100 TB shape: the sketch is a FIXED-size (d×w longs) mergeable
+    * summary built in one pass with map-side partial merge — the
+    * frequency analogue of the Bloom decontamination path — and re-enters
+    * the (tiny) candidate scan as a scalar subquery; at scale the exact
+    * side is replaced by any candidate stream and the sketch still
+    * answers in O(d) per probe with the ε·N overcount guarantee.
+    * No oracle (DuckDB has no CMS); the estimator bounds
+    * (never-undercount, overcount ≤ ε·N at the build confidence) and
+    * determinism are asserted in ApproxSpec. */
+  def tokenCms(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+    val sk = toks.agg(expr("count_min_sketch(t, 0.0001d, 0.99d, 42)").as("sk"))
+    toks.groupBy(col("t")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("t")).limit(20)
+      .withColumn("n_est", org.apache.spark.sql.graft.CmsExprs.estimate(
+        org.apache.spark.sql.graft.BloomExprs.scalarSubquery(sk), col("t")))
+      .select(col("t"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("t"))
+  }
+
   def simTopk(s: SparkSession, dir: String): DataFrame =
     SimilaritySearch.bruteForceTopK(Tables.embeddings(s, dir),
       idCol = "vec_id", vecCol = "embedding", probeId = 0L, k = 10)
@@ -759,7 +788,8 @@ object LlmPack extends QueryPack {
     "q_hard_negatives" -> hardNegativesQ,
     "q_knn_mutual" -> knnMutual,
     "q_text_normalize" -> textNormalize,
-    "q_embed_pca_power" -> embedPcaPower)
+    "q_embed_pca_power" -> embedPcaPower,
+    "q_token_cms" -> tokenCms)
 
   private val tokSql = "string_split_regex(trim(text), '\\s+')"
   /** Shared CTE chain producing the exact all-pairs 3-gram-Jaccard scores

@@ -35,4 +35,25 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(a - e).toDouble / e <= 0.15, s"${r.getString(0)}: $e vs $a")
     }
   }
+
+  test("count-min heavy hitters: never undercounts, overcount <= eps*N, deterministic") {
+    val out = graft.operators.LlmPack.tokenCms(spark, sf001).collect()
+    assert(out.length == 20)
+    val totalTokens = Tables.documents(spark, sf001)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t")).count()
+    val epsN = (0.0001 * totalTokens).ceil.toLong
+    out.foreach { r =>
+      val (t, exact, est, over) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"$t undercounted: $est < $exact")
+      assert(over == est - exact)
+      // ε·N bound at 99% confidence per cell — the fixed-seed fixture is
+      // deterministic, so a pass here is stable, not probabilistic
+      assert(over <= epsN.max(1L), s"$t overcounted past eps*N: $over > $epsN")
+    }
+    // top-1 token estimate identical across two independent executions
+    val again = graft.operators.LlmPack.tokenCms(spark, sf001).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(2))).toSeq)
+  }
 }
