@@ -164,6 +164,38 @@ object TsStream extends Serializable {
       .select(col("w_start"), (col("pos") + 1).cast("int").as("rank"),
         col("col.vec_id").as("key"), col("col.sim").cast("long").as("n"))
 
+  /** Stream-stream TIME-INTERVAL self-join — the live twin of
+    * `TimeSeriesPack.rangeJoin`, and the one member of the streaming join
+    * family that needs NO custom state: Spark's builtin stream-stream
+    * join machinery derives each side's state-retention bound from the
+    * watermark plus the time-range condition (left rows older than
+    * watermark − horizon can never match a future right row and are
+    * evicted; symmetrically for rights), so executor state is
+    * horizon-bounded per side — the canonical impression→click
+    * attribution shape.
+    *
+    * Semantics mirror the batch key exactly: pairs of SAME-key events
+    * with the follower strictly after the leader and within `horizon`
+    * (strict lower bound, closed upper). In-order replay emits exactly
+    * the batch result; late rows beyond the watermark drop, as in every
+    * streaming op here. The only exchange is the key-hash shuffle both
+    * sides already need — the join keys on user equality, the range is a
+    * post-join-state predicate.
+    *
+    * `df` needs (event_id, ts, user_id); it may BE a streaming frame used
+    * twice (streaming self-joins re-read the source per side). */
+  def rangeJoinStream(df: DataFrame, watermark: String = "1 hour",
+                      horizon: String = "1 hour"): DataFrame = {
+    val a = df.select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+      col("ts").as("a_ts")).withWatermark("a_ts", watermark)
+    val b = df.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+      col("ts").as("b_ts")).withWatermark("b_ts", watermark)
+    a.join(b, expr(
+        s"a_user = b_user AND b_ts > a_ts AND b_ts <= a_ts + interval $horizon"))
+      .select(col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+  }
+
   def windowedCounts(df: DataFrame, tsCol: String, width: String,
                      slide: Option[String] = None,
                      watermark: String = "1 hour"): DataFrame = {

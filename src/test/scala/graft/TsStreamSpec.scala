@@ -91,6 +91,29 @@ class TsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("builtin stream-stream interval self-join == batch rangeJoin on chunked replay") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val ms = MemoryStream[Ev]
+    val q = TsStream.rangeJoinStream(ms.toDF())
+      .writeStream.format("memory").queryName("range_join_stream")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length / 4).max(1)).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val got = spark.table("range_join_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = graft.operators.TimeSeriesPack.rangeJoin(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"missing=${(want -- got).size} extra=${(got -- want).size}")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream OHLC == batch resampleOhlc on chunked replay") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
