@@ -191,7 +191,28 @@ object EventAnalyticsPack extends QueryPack {
         max(col("dur_us")).as("max_dur_us"))
       .orderBy(col("user_id"))
 
+  /** B5+ sequential-pattern mining (lite): the top-20 most frequent
+    * length-3 event-type paths walked by users — `view→click→purchase`
+    * style journey discovery. Two `lead()` passes over ONE user_id
+    * exchange (same window), then a hash aggregate whose key space is
+    * |types|³ (≤125 here) with map-side combine, and a TakeOrdered top-20
+    * — the event stream is scanned once and only type-triple counts ever
+    * shuffle. Ties break lexicographically for determinism. */
+  def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .where(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("event_type").as("p1"), col("t2").as("p2"), col("t3").as("p3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p1"), col("p2"), col("p3"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_paths" -> eventPaths,
     "q_funnel" -> funnel,
     "q_retention" -> retention,
     "q_active_users" -> activeUsers,
@@ -225,6 +246,17 @@ object EventAnalyticsPack extends QueryPack {
         |CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
         |count(*) AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_event_paths" ->
+      """WITH t AS (SELECT event_type AS p1,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('microseconds', ts), event_id) AS p2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('microseconds', ts), event_id) AS p3
+        |  FROM events)
+        |SELECT p1, p2, p3, count(*) AS n FROM t
+        |WHERE p2 IS NOT NULL AND p3 IS NOT NULL
+        |GROUP BY p1, p2, p3
+        |ORDER BY n DESC, p1, p2, p3 LIMIT 20""".stripMargin,
     // lag + row-normalizing window over the aggregated (25-key) matrix —
     // identical ordering tie-break (ts, event_id) to the Spark window.
     "q_event_transitions" ->

@@ -282,7 +282,40 @@ object StatsPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** B4+ numeric data-profiling report — the pipeline-observability pass a
+    * data engineer runs before trusting a new drop (pandas `describe()` /
+    * DuckDB `SUMMARIZE`): per column, non-null count, null count, exact
+    * distinct count, min/max, and the DECIMAL-exact mean. ONE scan: all
+    * 24 aggregates evaluate in a single pass (the four exact distincts
+    * plan one Expand over the scan — still no second read), means
+    * accumulate in decimal per the Det discipline, and the wide 1-row
+    * result unpivots to long format with `stack` (plan-time literal
+    * column names). At 100 TB this is the shape you want: full map-side
+    * combine, aggregate state bounded by columns × distinct values. */
+  def profileNumeric(s: SparkSession, dir: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        round(sum(col(c).cast("decimal(28,4)")).cast("double") /
+          count(col(c)), 6).as(s"${c}_mean"))
+    }
+    val fields = ProfileCols.map(c =>
+      s"'$c', ${c}_n, ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max, ${c}_mean")
+      .mkString(", ")
+    Tables.lineitem(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${ProfileCols.length}, $fields) AS " +
+        "(col_name, n, n_nulls, n_distinct, vmin, vmax, mean)"))
+      .orderBy(col("col_name"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_numeric" -> profileNumeric,
     "q_window_median" -> windowMedian,
     "q_stats_corr" -> statsCorr,
     "q_window_rollcorr" -> windowRollCorr,
@@ -295,6 +328,13 @@ object StatsPack extends QueryPack {
     "q_split_assign" -> splitAssign)
 
   def oracles: Map[String, String] = Map(
+    "q_profile_numeric" -> ProfileCols.map(c =>
+      s"""SELECT '$c' AS col_name, count($c) AS n,
+         |CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |count(DISTINCT $c) AS n_distinct, min($c) AS vmin, max($c) AS vmax,
+         |round(CAST(sum(CAST($c AS DECIMAL(28,4))) AS DOUBLE) / count($c), 6) AS mean
+         |FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "q_window_median" ->
       """WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value FROM events)
         |SELECT event_id, round(median(value) OVER (PARTITION BY user_id

@@ -333,6 +333,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 2, s"expected user_id + sort exchanges, got $exchanges:\n$p")
   }
 
+  test("numeric profile: all 24 aggregates in ONE scan (the distincts share a single Expand)") {
+    val p = plan(graft.operators.StatsPack.profileNumeric(spark, sf0001))
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"profile re-reads the table:\n$p")
+    assert(p.contains("Expand"), s"distincts not planned via Expand:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("event paths: one user_id exchange feeds both leads; triple counts combine map-side") {
+    val p = plan(graft.operators.EventAnalyticsPack.eventPaths(spark, sf0001))
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"window should exchange user_id exactly once:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+  }
+
   test("executed plans run inside whole-stage codegen (AQE final plans)") {
     // AQE shows codegen stages only once the final plan materializes, so
     // execute first; a representative read, agg and join query each.
