@@ -18,13 +18,17 @@ object Tables {
     * the returned (lazy) DataFrame throw. Setting both keys together on
     * every load keeps schema behavior order-independent across loaders.
     *
-    *  - inferTimestampNTZ=false: orders/lineitem timestamps are parquet
-    *    TIMESTAMP(MILLIS, no-tz); Spark 4 would infer TIMESTAMP_NTZ, which
-    *    breaks unix_micros and comparisons against the (LTZ) events.ts.
-    *    Session TZ is pinned UTC, so reading them as instants is lossless
-    *    and matches DuckDB.
-    *  - nanosAsLong=true: events.ts is physically TIMESTAMP(NANOS), which
-    *    Spark rejects outright (PARQUET_TYPE_ILLEGAL); read as int64 ns.
+    *  - inferTimestampNTZ=false: fixture timestamps are parquet no-tz
+    *    (isAdjustedToUTC=false — currently TIMESTAMP(MICROS), earlier
+    *    generations used MILLIS); Spark 4 would infer TIMESTAMP_NTZ, which
+    *    breaks unix_micros and cross-column comparisons. Session TZ is
+    *    pinned UTC, so reading them as instants is lossless and matches
+    *    DuckDB.
+    *  - nanosAsLong=true: legacy fixture generations stored events.ts as
+    *    TIMESTAMP(NANOS), which Spark rejects outright
+    *    (PARQUET_TYPE_ILLEGAL) unless surfaced as int64 ns; harmless for
+    *    the current µs fixtures, kept so both generations load (the
+    *    `events` loader dispatches on the observed type — see FIXTURES.md).
     */
   def init(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

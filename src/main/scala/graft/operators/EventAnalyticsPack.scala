@@ -281,7 +281,7 @@ object EventAnalyticsPack extends QueryPack {
         |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM m),
         |iv AS (SELECT user_id, min(ts) AS st, max(ts) AS en FROM i GROUP BY user_id, sid)
         |SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n_overlaps,
-        |sum(epoch_us(least(a.en, b.en)) - epoch_us(greatest(a.st, b.st))) AS overlap_us
+        |CAST(sum(epoch_us(least(a.en, b.en)) - epoch_us(greatest(a.st, b.st))) AS BIGINT) AS overlap_us
         |FROM iv a JOIN iv b
         |  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
         |GROUP BY a.user_id, b.user_id ORDER BY u1, u2""".stripMargin,

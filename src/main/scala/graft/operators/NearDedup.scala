@@ -179,13 +179,15 @@ object NearDedup {
   /** Near-dup pairs via MinHash + banded LSH (numHashes = bands·rowsPerBand).
     * Same output shape as prefixFilter.
     *
-    * Signature layout: explode shingles → ONE hash aggregate with k
-    * `min(xxhash64(i, shingle))` buffers. Everything is codegen'd (a nested
-    * higher-order-function formulation is interpreted and ~1000× slower:
-    * CollapseProject re-inlines the shingle expression into every band row),
-    * and partial aggregation collapses each doc to one k-long buffer before
-    * the shuffle, so shuffle volume is signature-sized (k·8 B/doc), not
-    * shingle-sized. */
+    * Signature layout: one per-ROW codegen'd kernel (MinHashRow) computes
+    * all k permutation minima straight off the shingle array — no explode,
+    * no aggregation, NO doc-keyed exchange; the first shuffle in the query
+    * is the band-key candidate join. (A nested higher-order-function
+    * formulation is interpreted and ~1000× slower: CollapseProject
+    * re-inlines the shingle expression into every band row. The exploded
+    * MinHashSignature aggregate form remains available for callers whose
+    * element hashes arrive pre-exploded, and HashExprSpec pins all three
+    * formulations bit-identical.) */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  partCol: String, tau: Double,
                  bands: Int = 32, rowsPerBand: Int = 4,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{BackwardAsOfStrategy, DotProduct, MinHashSignature, SimHash64, SimHashMd5, TopKByScore, WinnowFingerprints}
+import org.apache.spark.sql.graft.{BackwardAsOfStrategy, CmsEstimate, DotProduct, MinHashRow, MinHashSignature, NfcNormalize, SimHash64, SimHashMd5, TopKByScore, WinnowFingerprints}
 
 /** Catalyst extension entry point for the engine's custom operators —
   * deploy with
@@ -19,9 +19,11 @@ import org.apache.spark.sql.graft.{BackwardAsOfStrategy, DotProduct, MinHashSign
   *     surface is reachable from pure SQL:
   *     `graft_dot(a, b)`, `graft_simhash64(token_hashes)`,
   *     `graft_simhash_md5(features)`,
-  *     `graft_winnow(text, k, w)` (k, w literal ints), and the
-  *     aggregates `graft_minhash(hash_col, k)` and
-  *     `graft_topk(score, id, k)` (k literal int).
+  *     `graft_winnow(text, k, w)` (k, w literal ints),
+  *     `graft_minhash_row(tokens, k)`, `graft_nfc(text)`,
+  *     `graft_cms_estimate(sketch, item)`, and the aggregates
+  *     `graft_minhash(hash_col, k)` and `graft_topk(score, id, k)`
+  *     (k literal int).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -74,6 +76,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(h, k) => MinHashSignature(h, litInt(k, "k"))
       case args => throw new IllegalArgumentException(
         s"graft_minhash takes 2 arguments, got ${args.length}")
+    }
+    register(ext, "graft_minhash_row",
+      "graft_minhash_row(tokens, k) - per-row k-permutation minhash signature of an array<string>") {
+      case Seq(t, k) => MinHashRow(t, litInt(k, "k"))
+      case args => throw new IllegalArgumentException(
+        s"graft_minhash_row takes 2 arguments, got ${args.length}")
+    }
+    register(ext, "graft_nfc",
+      "graft_nfc(text) - Unicode NFC canonical composition of a string") {
+      case Seq(t) => NfcNormalize(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_nfc takes 1 argument, got ${args.length}")
+    }
+    register(ext, "graft_cms_estimate",
+      "graft_cms_estimate(sketch, item) - point estimate from a count_min_sketch binary") {
+      case Seq(s, i) => CmsEstimate(s, i)
+      case args => throw new IllegalArgumentException(
+        s"graft_cms_estimate takes 2 arguments, got ${args.length}")
     }
   }
 }

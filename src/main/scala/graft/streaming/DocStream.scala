@@ -15,9 +15,11 @@ case class BandDoc(band: Int, bh: Long, doc_id: Long,
   * horizon as (doc_id, event-time µs, signature) — k·8 B per entry, capped. */
 case class BucketState(entries: Seq[(Long, Long, Seq[Long])])
 
-/** A detected near-duplicate pair: `a_id` arrived first, `b_id` is the
-  * later arrival whose estimated Jaccard against `a_id` cleared τ in
-  * band `band`; `ts` is b's event time (drives downstream watermarking). */
+/** A detected near-duplicate pair, canonically oriented: `a_id` is the
+  * earlier endpoint by (event time, doc_id) — not by arrival, so ties and
+  * bounded disorder can't flip endpoints across replays; `ts` is the
+  * triggering (later-arriving) doc's event time (drives downstream
+  * watermarking). */
 case class NearDupPair(a_id: Long, b_id: Long, band: Int, est: Double,
                        ts: java.sql.Timestamp)
 
@@ -90,11 +92,17 @@ object DocStream {
     * from batch. DocStreamSpec pins parity on a planted corpus.
     *
     * Bounded state, deterministically: entries evict on a DATA-driven
-    * horizon (newest-arrival µs − `horizonMs`), so chunked replay of the
-    * same data emits the same pairs regardless of microbatch boundaries or
-    * watermark timing; the watermark-driven event-time timeout only
-    * reclaims whole idle buckets (every entry is then past the horizon —
-    * nothing observable depends on WHEN it fires). Hot buckets cap at
+    * horizon (processed-row µs − `horizonMs`), never on wall clock, so
+    * IN-ORDER replay of the same data emits the same pairs regardless of
+    * microbatch boundaries or watermark timing (DocStreamSpec pins this),
+    * and pair ENDPOINTS are canonical by (event time, id) — equal-ts pairs
+    * can't flip orientation across replays. Under bounded event-time
+    * DISORDER matching stays symmetric (a late-but-in-horizon doc still
+    * pairs against held newer entries), though which entries were already
+    * evicted at its arrival is sequence-dependent — the same caveat every
+    * horizoned streaming dedup carries. The watermark-driven event-time
+    * timeout only reclaims whole idle buckets (every entry is then past
+    * the horizon — nothing observable depends on WHEN it fires). Hot buckets cap at
     * `maxBucketEntries` FIFO — a cap hit degrades recall against the
     * oldest entries, never memory. A pair that matches in several bands
     * emits once per band (bands are independent state groups);
@@ -125,8 +133,7 @@ object DocStream {
       struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bh"))
     }
     val horizonUs = horizonMs * 1000L
-    def usOf(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    val usOf = TsStream.usOf _
     sets
       .select(col("doc_id"), col("ts"), col("sig"),
         explode(array(bandStructs: _*)).as("x"))
@@ -150,7 +157,7 @@ object DocStream {
             rows.foreach { d =>
               val tUs = usOf(d.ts)
               entries = entries.filter(e => tUs - e._2 <= horizonUs)
-              entries.foreach { case (aId, _, aSig) =>
+              entries.foreach { case (aId, aUs, aSig) =>
                 if (aId != d.doc_id) {
                   var m = 0
                   var i = 0
@@ -159,7 +166,14 @@ object DocStream {
                     i += 1
                   }
                   val est = m.toDouble / k
-                  if (est >= tau) out += NearDupPair(aId, d.doc_id, key._1, est, d.ts)
+                  if (est >= tau) {
+                    // canonical orientation by (event time, id) — NOT by
+                    // arrival: two docs with equal ts would otherwise flip
+                    // endpoints depending on which microbatch carried which
+                    val flip = aUs > tUs || (aUs == tUs && aId > d.doc_id)
+                    val (x, y) = if (flip) (d.doc_id, aId) else (aId, d.doc_id)
+                    out += NearDupPair(x, y, key._1, est, d.ts)
+                  }
                 }
               }
               entries = (entries :+ ((d.doc_id, tUs, d.sig)))

@@ -76,7 +76,7 @@ object TsStream extends Serializable {
   /** Full-µs event time of a Timestamp (getTime alone is ms-truncated;
     * the engine's resolution is µs — SURVEY §1.4.4). Shared by every
     * custom-state operator below. */
-  private def usOf(t: java.sql.Timestamp): Long =
+  private[streaming] def usOf(t: java.sql.Timestamp): Long =
     (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Inverse of [[usOf]], floorDiv/floorMod so pre-epoch instants keep
@@ -131,8 +131,6 @@ object TsStream extends Serializable {
   def source(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
-  /** Tumbling (slide == width) or sliding event-time window aggregation with
-    * watermark-based late-data drop and state eviction. */
   /** Streaming per-window LEADERBOARD — top-k keys by event count per
     * tumbling window, the live twin of the batch
     * `q_window_topn_per_group` / `q_topk` pattern. This is the engine's
@@ -196,6 +194,8 @@ object TsStream extends Serializable {
         (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
   }
 
+  /** Tumbling (slide == width) or sliding event-time window aggregation with
+    * watermark-based late-data drop and state eviction. */
   def windowedCounts(df: DataFrame, tsCol: String, width: String,
                      slide: Option[String] = None,
                      watermark: String = "1 hour"): DataFrame = {

@@ -151,6 +151,18 @@ class AsOfMergeSpec extends SparkSpec {
           |(VALUES (1.0d, 1L), (3.0d, 2L), (2.0d, 3L)) t(s, i)""".stripMargin)
         .head.getSeq[Row](0)
       assert(topk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 2L), (2.0, 3L)))
+      // the round-13 kernels carry SQL faces too
+      val rowSig = session.sql(
+        "SELECT graft_minhash_row(array('a', 'b', 'c'), 8)").head.getSeq[Long](0)
+      assert(rowSig.length == 8)
+      // decomposed e + U+0301 embedded directly (Spark's chr() is mod-256)
+      assert(session.sql("SELECT graft_nfc('Café')")
+        .head.getString(0) == "Café")
+      assert(session.sql(
+        """SELECT graft_cms_estimate(
+          |  (SELECT count_min_sketch(x, 0.001d, 0.99d, 42)
+          |   FROM (VALUES ('a'), ('a'), ('b')) t(x)), 'a')""".stripMargin)
+        .head.getLong(0) == 2L)
       // literal-argument validation surfaces as an error, not silence
       intercept[Exception] {
         session.sql("SELECT graft_winnow('abc', length('ab'), 4)").collect()
