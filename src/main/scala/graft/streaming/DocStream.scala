@@ -65,6 +65,33 @@ object DocStream {
       .drop("text", "n_uniq", "tok_chars", "n_tri", "n_tri_distinct")
   }
 
+  /** Streaming ANN retrieval — the RAG-serving shape: a STREAM of probe
+    * vectors served against the materialized IVF store. Each microbatch
+    * runs the SAME bulk `IvfIndex.knnJoin` the batch surface uses —
+    * probes broadcast with their nProbe nearest cells, the corpus scan
+    * dynamically pruned to the probed cell files, per-probe k-heap
+    * aggregation — so stream and batch retrieval cannot drift, and the
+    * store's build-once/probe-many amortization carries over unchanged
+    * (the index is NOT rebuilt per batch; `foreachBatch` re-enters the
+    * fingerprint-guarded read path).
+    *
+    * `foreachBatch` is the right tool, not a compromise: retrieval
+    * against a static index is per-batch stateless, so there is no
+    * streaming state to manage — the batch operator IS the
+    * implementation, invoked per microbatch with the results handed to
+    * `sink` (write to a table, push to a service, ...). */
+  def annServeSink(probes: DataFrame, storePath: String,
+                   idCol: String, vecCol: String, k: Int, nProbe: Int = 4)
+                  (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    probes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.IvfIndex.knnJoin(batch.sparkSession, storePath,
+            batch, idCol, vecCol, k, nProbe))
+      }
+
   /** Streaming NEAR-duplicate detection — the live twin of
     * `NearDedup.minhashLsh`: a stream of detected near-dup PAIRS
     * (first-arrival id, later id) within a bounded event-time horizon.

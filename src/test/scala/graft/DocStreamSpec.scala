@@ -185,4 +185,36 @@ class DocStreamSpec extends SparkSpec {
     assert(oneShot == Set((1L, 2L)), oneShot.toString)
     assert(chunked == oneShot, s"replay-dependent emissions: $chunked vs $oneShot")
   }
+
+  test("streaming ANN serving: chunked probe stream through the IVF store == " +
+      "one batch knnJoin of the same probes") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf0001)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-ann-serve").toString + "/ivf"
+    graft.operators.IvfIndex.build(emb, "vec_id", "embedding", store,
+      cells = 10, sampleN = 200)
+    val probes = emb.where(col("vec_id") < 12L)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val want = graft.operators.IvfIndex.knnJoin(spark, store,
+        probes.toDF("vec_id", "v"), "vec_id", "v", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+
+    val got = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = DocStream.annServeSink(ms.toDF().toDF("vec_id", "v"), store,
+        "vec_id", "v", k = 5, nProbe = 3) { res =>
+        got ++= res.collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      }.start()
+    try {
+      probes.grouped(4).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+      assert(got.toSet == want,
+        s"missing=${(want -- got).size} extra=${(got.toSet -- want).size}")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
