@@ -42,6 +42,23 @@ object TextFns {
     array_distinct(filter(tris, x => x.isNotNull))
   }
 
+  /** Distinct word n-gram shingles — the generalized sibling of
+    * [[shingles3]] (native ShinglesN kernel; q_span_dedup uses n=5). */
+  def shinglesN(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.TextExprs.shinglesN(text, n)
+
+  /** HOF formulation of [[shinglesN]] — parity cross-check only
+    * (LlmPackSpec asserts the native kernel matches it row-for-row).
+    * Folds n−1 zip_with passes over progressively longer prefixes; the
+    * trailing partial windows null out and drop in the filter. */
+  private[graft] def shinglesNHof(text: Column, n: Int): Column = {
+    val tk = tokens(text)
+    val grams = (2 to n).foldLeft(tk) { (acc, j) =>
+      zip_with(acc, slice(tk, lit(j), size(tk)), (p, c) => concat(p, lit(" "), c))
+    }
+    array_distinct(filter(grams, x => x.isNotNull))
+  }
+
   /** Exact Jaccard similarity of two set-valued (distinct-element) array
     * columns, as double. int/int sizes → one IEEE division, deterministic
     * cross-engine. */

@@ -751,7 +751,65 @@ object LlmPack extends QueryPack {
         vecCol = "embedding", k = HardNegK))
   }
 
+  /** First md5 nibble under this ceiling marks a doc as the incoming "new
+    * batch" (3/16 ≈ 19% of the fixture) for q_dedup_incremental — the same
+    * deterministic engine-portable hash gate as q_split_assign. */
+  private val IncNewMax = "3"
+
+  /** B9+ incremental near-dedup (the daily-ingest admission gate): which
+    * NEW docs near-duplicate the standing corpus or an earlier arrival in
+    * the same batch. NearDedup.minhashLshIncremental — probe(new)×build(all)
+    * band join, corpus×corpus candidates never formed, exact shingle-set
+    * verify — so the oracle is the all-pairs Jaccard CTE restricted to
+    * pairs with a new-side member (recall argument identical to
+    * q_dedup_minhash's: τ=0.8 pair missed with p≈5e-8). */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame =
+    NearDedup.minhashLshIncremental(
+      Tables.documents(s, dir).withColumn("is_new",
+        substring(md5(col("doc_id").cast("string")), 1, 1) < IncNewMax),
+      idCol = "doc_id", textCol = "text", partCol = "lang",
+      newCol = "is_new", tau = Tau, materialize = Some(true))
+      .orderBy(col("new_id"), col("dup_of"))
+
+  /** B9+ duplicated-span report — the exact-substring dedup signal of Lee
+    * et al. '21 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499) at word-5-gram granularity: per doc, how
+    * many of its distinct 5-token spans appear verbatim in ANY other doc,
+    * and the duplicated-span fraction (the per-doc memorization-risk gauge
+    * used to gate training corpora; a doc can be globally unique yet carry
+    * boilerplate spans that exact/near dedup both miss). Spans ride as the
+    * first 64 bits of md5 (16 hex chars — cross-engine, and a fixed-width
+    * shuffle key regardless of span text; a 64-bit collision between
+    * different spans is ~n²·2⁻⁶⁵, never at any storable corpus size).
+    * Plan: span-multiplicity aggregate with full map-side combine; only
+    * spans seen >1× (the duplicated minority) survive into the count join
+    * (AQE broadcasts that side when small); one final doc_id-keyed
+    * aggregate + left join restores zero-span and all-unique docs. No
+    * windows over the span key — a hyper-common boilerplate span arrives
+    * pre-combined, it cannot serialize a task. */
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        transform(TextFns.shinglesN(col("text"), 5),
+          x => substring(md5(x), 1, 16)).as("gs"))
+    val base = d.select(col("doc_id"), size(col("gs")).cast("long").as("n_spans"))
+    val e = d.select(col("doc_id"), explode(col("gs")).as("h"))
+    val dup = e.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") > 1)
+    val shared = e.join(dup, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    base.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_spans") > 0,
+          round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+            col("n_spans"), 4)).otherwise(lit(0.0)).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_incremental" -> dedupIncremental,
+    "q_span_dedup" -> spanDedup,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_stats" -> dedupStats,
     "q_dedup_near" -> dedupNear,
@@ -878,6 +936,39 @@ object LlmPack extends QueryPack {
        |ORDER BY a_id, b_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // Same all-pairs Jaccard core as q_dedup_minhash, restricted to pairs
+    // with a new-side member; the larger id of a batch-batch pair is the
+    // "later arrival" (matches the engine's dup_of < new_id orientation).
+    "q_dedup_incremental" ->
+      s"""WITH $nearDupCtes,
+         |nn AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '$IncNewMax' AS is_new
+         |       FROM documents),
+         |p AS (SELECT j.a_id, j.b_id, j.jaccard, na.is_new AS a_new, nb.is_new AS b_new
+         |      FROM j JOIN nn na ON j.a_id = na.doc_id
+         |             JOIN nn nb ON j.b_id = nb.doc_id
+         |      WHERE j.jaccard >= $Tau),
+         |r AS (SELECT b_id AS new_id, a_id AS dup_of, jaccard FROM p WHERE b_new
+         |      UNION ALL
+         |      SELECT a_id AS new_id, b_id AS dup_of, jaccard FROM p WHERE a_new AND NOT b_new)
+         |SELECT new_id, dup_of, jaccard FROM r ORDER BY new_id, dup_of""".stripMargin,
+    // Span keys: the oracle groups by the raw 5-gram string, the engine by
+    // its 64-bit md5 prefix — identical multiplicities sans a ~2⁻⁶⁵·n²
+    // collision (never at checkable scale), and the key itself is not
+    // emitted.
+    "q_span_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 3, 1)),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS gs
+         |      FROM tk),
+         |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         |w AS (SELECT gram FROM e GROUP BY gram HAVING count(*) > 1),
+         |sc AS (SELECT doc_id, count(*) AS n_shared FROM e JOIN w USING (gram) GROUP BY doc_id)
+         |SELECT g.doc_id, CAST(len(g.gs) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(sc.n_shared, 0) AS BIGINT) AS n_shared,
+         |  CASE WHEN len(g.gs) > 0
+         |    THEN round(CAST(coalesce(sc.n_shared, 0) AS DOUBLE) / len(g.gs), 4)
+         |    ELSE 0.0 END AS dup_frac
+         |FROM g LEFT JOIN sc USING (doc_id) ORDER BY g.doc_id""".stripMargin,
     // chr(769)=U+0301 combining acute, chr(778)=U+030A combining ring —
     // the same decomposed plant as the Spark side; nfc_normalize must
     // compose both identically for the md5 to agree.

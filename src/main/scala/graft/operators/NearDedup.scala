@@ -238,6 +238,67 @@ object NearDedup {
     }
   }
 
+  /** Incremental near-dedup — the daily-ingest shape: a NEW batch of
+    * documents (rows where `newCol` is true) is checked against the
+    * standing corpus AND against earlier members of the same batch
+    * (smaller id = "arrived first"), without ever generating a
+    * corpus×corpus candidate. Same MinHash/banding arithmetic as
+    * [[minhashLsh]] (per-row signature kernel, band-key equi-join, exact
+    * shingle-set verify), but the band join is PROBE(new)×BUILD(all):
+    *   - corpus docs pair with any matching new doc (either id order);
+    *   - new docs pair with smaller-id new docs (each batch pair once).
+    * At 100 TB the batch side is typically MBs–GBs against a TB corpus, so
+    * its banded rows broadcast (AQE converts by runtime stats) and the
+    * corpus is never shuffled beyond its own band-key scan; corpus-corpus
+    * pairs — the O(corpus²) term a full re-dedup would pay — are never
+    * formed. Output: (new_id, dup_of, jaccard), one row per offending
+    * match; a new doc absent from the output is admissible. */
+  def minhashLshIncremental(docs: DataFrame, idCol: String, textCol: String,
+                            partCol: String, newCol: String, tau: Double,
+                            bands: Int = 32, rowsPerBand: Int = 4,
+                            materialize: Option[Boolean] = None): DataFrame = {
+    val sets0 = docs
+      .select(col(idCol).as("id"), col(partCol).as("part"),
+        col(newCol).cast("boolean").as("is_new"),
+        TextFns.shingles3(col(textCol)).as("sh"))
+      .where(size(col("sh")) > 0)
+    materializedPairs(sets0, materialize) { sets =>
+
+    val k = bands * rowsPerBand
+    val sig = sets.select(col("id"), col("part"), col("is_new"),
+      org.apache.spark.sql.graft.AggExprs.minhashRow(col("sh"), k).as("sig"))
+
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bh"))
+    }
+    val banded = sig
+      .select(col("id"), col("part"), col("is_new"),
+        explode(array(bandStructs: _*)).as("x"))
+      .select(col("id"), col("part"), col("is_new"),
+        col("x.band").as("band"), col("x.bh").as("bh"))
+
+    val probe = banded.where(col("is_new"))
+      .select(col("id").as("new_id"), col("part").as("n_part"),
+        col("band").as("n_band"), col("bh").as("n_bh"))
+    val build = banded.select(col("id").as("dup_of"),
+      col("is_new").as("b_new"), col("part"), col("band"), col("bh"))
+    val cand = build.join(probe,
+        col("band") === col("n_band") && col("bh") === col("n_bh") &&
+          col("part") === col("n_part") &&
+          (!col("b_new") || col("dup_of") < col("new_id")))
+      .select(col("new_id"), col("dup_of")).distinct()
+
+    val aSets = sets.select(col("id").as("new_id"), col("sh").as("a_sh"))
+    val bSets = sets.select(col("id").as("dup_of"), col("sh").as("b_sh"))
+    cand.join(aSets, "new_id").join(bSets, "dup_of")
+      .withColumn("jaccard", TextFns.jaccard(col("a_sh"), col("b_sh")))
+      .where(col("jaccard") >= tau)
+      .select(col("new_id"), col("dup_of"), col("jaccard"))
+    }
+  }
+
   /** Exact-Jaccard verification of candidate pairs; only candidates — never
     * the corpus cross product — reach this join. */
   private def verify(cand: DataFrame, sets: DataFrame, tau: Double): DataFrame = {

@@ -282,6 +282,45 @@ object StatsPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** MAD→σ scale under normality (1/Φ⁻¹(3/4)); 3·1.4826·MAD is the robust
+    * 3σ gate. Same double literal product on both engines. */
+  private val MadK = 3.0 * 1.4826
+
+  /** B4+ per-user robust anomaly report — the median/MAD (Hampel) outlier
+    * gate, the data-cleaning filter that survives the very outliers a
+    * mean/stddev z-score is skewed by: per user, the exact median, the
+    * median absolute deviation, and how many events fall outside
+    * med ± 3·1.4826·MAD. Exact per-group order statistics buffer each
+    * group's values (the inherent cost of exact percentiles; the mergeable
+    * scale path is approx_percentile's t-digest — same trade as
+    * q_percentiles). The med/MAD summaries are users-bounded and BROADCAST
+    * back, so the events table is never shuffled for the joins — the plan
+    * is three scans, each feeding a user_id-keyed aggregate whose
+    * non-percentile state is map-side combined. Median/MAD are order
+    * statistics (interpolation of the two middle values — Spark
+    * `percentile` ≡ DuckDB `median` on doubles, the q_percentiles parity),
+    * and the outlier gate compares identical IEEE doubles on both engines,
+    * so the count is deterministic; 4dp rounding on the emitted med/mad is
+    * cosmetic. */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("value"))
+    val med = ev.groupBy(col("user_id"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val mad = ev.join(broadcast(med), "user_id")
+      .groupBy(col("user_id"))
+      .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    ev.join(broadcast(med), "user_id").join(broadcast(mad), "user_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med")).as("med0"), max(col("mad")).as("mad0"),
+        sum(when(abs(col("value") - col("med")) > lit(MadK) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("user_id"), col("n_events"),
+        round(col("med0"), 4).as("med"), round(col("mad0"), 4).as("mad"),
+        col("n_outliers"))
+      .orderBy(col("user_id"))
+  }
+
   private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   /** B4+ numeric data-profiling report — the pipeline-observability pass a
@@ -315,6 +354,7 @@ object StatsPack extends QueryPack {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_mad" -> anomalyMad,
     "q_profile_numeric" -> profileNumeric,
     "q_window_median" -> windowMedian,
     "q_stats_corr" -> statsCorr,
@@ -328,6 +368,16 @@ object StatsPack extends QueryPack {
     "q_split_assign" -> splitAssign)
 
   def oracles: Map[String, String] = Map(
+    "q_anomaly_mad" ->
+      s"""WITH med AS (SELECT user_id, median(value) AS med FROM events GROUP BY user_id),
+         |mad AS (SELECT e.user_id, median(abs(e.value - m.med)) AS mad
+         |        FROM events e JOIN med m USING (user_id) GROUP BY e.user_id)
+         |SELECT e.user_id, count(*) AS n_events,
+         |  round(max(m.med), 4) AS med, round(max(d.mad), 4) AS mad,
+         |  CAST(sum(CASE WHEN abs(e.value - m.med) > $MadK * d.mad
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM events e JOIN med m USING (user_id) JOIN mad d ON e.user_id = d.user_id
+         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
     "q_profile_numeric" -> ProfileCols.map(c =>
       s"""SELECT '$c' AS col_name, count($c) AS n,
          |CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

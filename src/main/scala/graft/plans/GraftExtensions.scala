@@ -21,6 +21,7 @@ import org.apache.spark.sql.graft.{BackwardAsOfStrategy, CmsEstimate, DotProduct
   *     `graft_simhash_md5(features)`,
   *     `graft_winnow(text, k, w)` (k, w literal ints),
   *     `graft_minhash_row(tokens, k)`, `graft_nfc(text)`,
+  *     `graft_shingles(text, n)` (n literal int),
   *     `graft_cms_estimate(sketch, item)`, and the aggregates
   *     `graft_minhash(hash_col, k)` and `graft_topk(score, id, k)`
   *     (k literal int).
@@ -82,6 +83,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(t, k) => MinHashRow(t, litInt(k, "k"))
       case args => throw new IllegalArgumentException(
         s"graft_minhash_row takes 2 arguments, got ${args.length}")
+    }
+    register(ext, "graft_shingles",
+      "graft_shingles(text, n) - distinct word n-gram shingles of a string (n literal int)") {
+      case Seq(t, n) => org.apache.spark.sql.graft.ShinglesN(t, litInt(n, "n"))
+      case args => throw new IllegalArgumentException(
+        s"graft_shingles takes 2 arguments, got ${args.length}")
     }
     register(ext, "graft_nfc",
       "graft_nfc(text) - Unicode NFC canonical composition of a string") {

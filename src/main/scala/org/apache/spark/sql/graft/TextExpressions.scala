@@ -11,24 +11,27 @@ object ShingleKernel extends Serializable { // codegen reference object
   // Same regex class Spark's split uses (Java \s = ASCII whitespace).
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
-  /** Distinct word 3-grams in first-occurrence order. Replicates the HOF
+  /** Distinct word n-grams in first-occurrence order. Replicates the HOF
     * formulation bit-for-bit:
-    * `array_distinct(trigrams(split(trim(text), "\\s+")))` — including its
+    * `array_distinct(ngrams(split(trim(text), "\\s+")))` — including its
     * edges: trim strips 0x20 ONLY (Spark's StringTrim), the Java-regex
     * split keeps leading/trailing empty fields (limit −1), and empty
-    * tokens participate in trigrams exactly as they would in zip_with. */
-  def shingles3(text: UTF8String): Array[UTF8String] = {
+    * tokens participate in grams exactly as they would in zip_with. */
+  def shinglesN(text: UTF8String, n: Int): Array[UTF8String] = {
     val full = text.toString
     var b = 0
     var e = full.length
     while (b < e && full.charAt(b) == ' ') b += 1
     while (e > b && full.charAt(e - 1) == ' ') e -= 1
     val toks = Ws.split(full.substring(b, e), -1)
-    if (toks.length < 3) return Array.empty
+    if (toks.length < n) return Array.empty
     val seen = new java.util.LinkedHashSet[String]
     var i = 0
-    while (i + 2 < toks.length) {
-      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+    while (i + n - 1 < toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
       i += 1
     }
     val out = new Array[UTF8String](seen.size)
@@ -37,6 +40,8 @@ object ShingleKernel extends Serializable { // codegen reference object
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     out
   }
+
+  def shingles3(text: UTF8String): Array[UTF8String] = shinglesN(text, 3)
 }
 
 /** Native distinct word-3-gram shingles of a string column. The HOF
@@ -70,6 +75,39 @@ case class Shingles3(child: Expression)
     })
 
   override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+}
+
+/** Native distinct word-N-gram shingles — the generalized sibling of
+  * [[Shingles3]] for operators whose span unit is not 3 (q_span_dedup's
+  * 5-token spans). Same kernel, same O(tokens) single pass inside
+  * whole-stage codegen, same HOF-replicating edge behavior (parity with a
+  * zip_with chain asserted in LlmPackSpec for n=5). */
+case class ShinglesN(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"graft_shingles$n"
+
+  override def nullSafeEval(in: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ShingleKernel.shinglesN(in.asInstanceOf[UTF8String], n)
+        .asInstanceOf[Array[AnyRef]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val kernel = ctx.addReferenceObj("shingleKernel", ShingleKernel,
+        ShingleKernel.getClass.getName)
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) $kernel.shinglesN($a, $n));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesN =
     copy(child = newChild)
 }
 
@@ -120,6 +158,8 @@ case class NfcNormalize(child: Expression)
 object TextExprs {
   def shingles3(text: Column): Column =
     ExpressionUtils.column(Shingles3(ExpressionUtils.expression(text)))
+  def shinglesN(text: Column, n: Int): Column =
+    ExpressionUtils.column(ShinglesN(ExpressionUtils.expression(text), n))
   def nfc(text: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
 }

@@ -59,6 +59,81 @@ class LlmPackSpec extends SparkSpec {
       assert(v == hof(k), s"doc $k: native=$v hof=${hof(k)}")
   }
 
+  test("native shinglesN kernel (n=5) matches the HOF formulation row-for-row") {
+    import spark.implicits._
+    val edges = Seq(
+      "", " ", "a b c d", "a b c d e", " a b c d e f ", "a  b\tc d e",
+      "a b a b a b a b", "ä ö ü ß é ž ð", "x\ny\r\nz w v u",
+      "a " + "b " * 50 + "c").zipWithIndex
+      .map { case (t, i) => (20000L + i, t) }
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .union(edges.toDF("doc_id", "text"))
+    def rows(c: org.apache.spark.sql.Column) = docs
+      .select(col("doc_id"), c.as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val native = rows(TextFns.shinglesN(col("text"), 5))
+    val hof = rows(TextFns.shinglesNHof(col("text"), 5))
+    assert(native.keySet == hof.keySet)
+    for ((k, v) <- native)
+      assert(v == hof(k), s"doc $k: native=$v hof=${hof(k)}")
+  }
+
+  test("spanDedup: counts match a driver-side brute-force recomputation") {
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams5(t: String): Set[String] = {
+      val tk = t.trim.split("\\s+", -1)
+      if (tk.length < 5) Set.empty
+      else tk.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val perDoc = texts.map { case (id, t) => id -> grams5(t) }
+    val counts = perDoc.values.flatten
+      .groupBy(identity).map { case (g, occ) => g -> occ.size }
+    val out = LlmPack.spanDedup(spark, sf0001).collect()
+    assert(out.length == texts.size)
+    out.foreach { r =>
+      val gs = perDoc(r.getLong(0))
+      val nShared = gs.count(g => counts(g) > 1)
+      assert(r.getLong(1) == gs.size.toLong, s"doc ${r.getLong(0)} n_spans")
+      assert(r.getLong(2) == nShared.toLong, s"doc ${r.getLong(0)} n_shared")
+      val expFrac = if (gs.nonEmpty)
+        BigDecimal(nShared.toDouble / gs.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(math.abs(r.getDouble(3) - expFrac) < 1e-9, s"doc ${r.getLong(0)} dup_frac")
+    }
+    // the regenerated fixture plants genuine near-dup groups → shared spans exist
+    assert(out.exists(_.getLong(2) > 0))
+  }
+
+  test("dedupIncremental: exactly the brute-force pairs with a new-side member") {
+    val docs = Tables.documents(spark, sf0001)
+    def isNew(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((d(0) >> 4) & 0xf) < 3 // first hex nibble < '3'
+    }
+    val sets = docs.select(col("doc_id").as("id"), col("lang"),
+      TextFns.shingles3(col("text")).as("sh")).where(size(col("sh")) > 0)
+    val a = sets.select(col("id").as("a_id"), col("lang"), col("sh").as("a_sh"))
+    val b = sets.select(col("id").as("b_id"), col("lang").as("b_lang"), col("sh").as("b_sh"))
+    val pairs = a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+      .withColumn("j", TextFns.jaccard(col("a_sh"), col("b_sh")))
+      .where(col("j") >= 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = pairs.flatMap { case (x, y) =>
+      if (isNew(y)) Some((y, x))                 // later/batch side offends vs x
+      else if (isNew(x)) Some((x, y))            // x is the new one, y corpus
+      else None
+    }.toSet
+    val got = LlmPack.dedupIncremental(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"got=${got.toSeq.sorted} truth=${truth.toSeq.sorted}")
+    assert(truth.nonEmpty, "fixture should plant at least one pair with a new-side member")
+  }
+
   test("qualityGopher: booleans match driver-side recomputation; rules discriminate") {
     val rows = LlmPack.qualityGopher(spark, sf0001).collect()
     val texts = Tables.documents(spark, sf0001)

@@ -349,6 +349,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
   }
 
+  test("span dedup: no window over the span key; count join comes pre-combined") {
+    val p = plan(graft.operators.LlmPack.spanDedup(spark, sf0001))
+    assert(!p.contains("Window"),
+      s"a window over the span key would serialize hot spans:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the >1-multiplicity filter must sit on an aggregate (map-side
+    // combined), not re-scan the exploded stream
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("anomaly MAD: med/MAD summaries broadcast back — events never shuffle for the joins") {
+    val p = plan(graft.operators.StatsPack.anomalyMad(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"med/MAD joins must broadcast the users-bounded side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"events must not shuffle into a merge join:\n$p")
+  }
+
+  test("incremental dedup: probe side is filtered to the new batch; no cartesian") {
+    // bypass the materialized-pairs facade so the real pipeline plan shows
+    val p = plan(graft.operators.NearDedup.minhashLshIncremental(
+      Tables.documents(spark, sf0001).withColumn("is_new",
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.col("doc_id").cast("string")), 1, 1) < "3"),
+      idCol = "doc_id", textCol = "text", partCol = "lang",
+      newCol = "is_new", tau = 0.8, materialize = Some(false)))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("is_new"),
+      s"the probe-side new-batch filter is missing from the plan:\n$p")
+    // signatures stay the per-row kernel here too
+    assert(p.contains("graft_minhash_row"), s"row kernel not in plan:\n$p")
+  }
+
   test("executed plans run inside whole-stage codegen (AQE final plans)") {
     // AQE shows codegen stages only once the final plan materializes, so
     // execute first; a representative read, agg and join query each.

@@ -111,6 +111,34 @@ class StatsPackSpec extends SparkSpec {
     assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
   }
 
+  test("anomalyMad matches a driver-side median/MAD recomputation") {
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val byUser = Tables.events(spark, sf001)
+      .select(col("user_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSeq }
+    val out = StatsPack.anomalyMad(spark, sf001).collect()
+    assert(out.length == byUser.size)
+    out.foreach { r =>
+      val vs = byUser(r.getLong(0))
+      val m = med(vs)
+      val d = med(vs.map(v => math.abs(v - m)))
+      val k = 3.0 * 1.4826
+      assert(r.getLong(1) == vs.length.toLong)
+      assert(math.abs(r.getDouble(2) - m) < 5e-5, s"user ${r.getLong(0)} med")
+      assert(math.abs(r.getDouble(3) - d) < 5e-5, s"user ${r.getLong(0)} mad")
+      assert(r.getLong(4) == vs.count(v => math.abs(v - m) > k * d).toLong,
+        s"user ${r.getLong(0)} n_outliers")
+    }
+    // the gate should fire somewhere but not everywhere
+    val total = out.map(_.getLong(4)).sum
+    assert(total > 0 && total < out.map(_.getLong(1)).sum)
+  }
+
   test("rolling median matches a driver-side brute force over the trailing frame") {
     val got = StatsPack.windowMedian(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
