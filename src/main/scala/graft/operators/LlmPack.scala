@@ -751,6 +751,50 @@ object LlmPack extends QueryPack {
         vecCol = "embedding", k = HardNegK))
   }
 
+  /** PageRank damping; PrBase = 1−d, kept as an independent literal (not
+    * computed) so both engines parse the identical double. */
+  private val PrDamping = 0.85
+  private val PrBase = 0.15
+
+  /** B9+ graph centrality over the mutual-kNN semantic graph (the
+    * q_knn_mutual edge set): per-node degree and one damped PageRank power
+    * step (Page et al. '99) from the uniform start, scaled by N so scores
+    * are O(1) and corpus-size-independent:
+    * npr(v) = (1−d) + d·(Σ_{u∈nbrs(v)} 1/deg(u) + n_dangling/N).
+    * The centrality pass that ranks hub documents inside a semantic
+    * curation graph (which docs anchor dense regions vs sit isolated).
+    * Plan: the graph is the k·N mutual edge list — vectors never shuffle
+    * past the kNN stage; degree and neighbor-mass are map-side-combined
+    * aggregates on that edge list; the (N, n_dangling) totals re-enter as
+    * a broadcast 1-row aggregate (the sourceMix pattern); final assembly
+    * is a node-keyed left join. Further power iterations repeat the
+    * contrib aggregate on pr_i — checkpoint-per-iteration exactly like
+    * NearDedup.clusterPairs' label propagation. Neighbor-mass sums are
+    * 6dp-rounded (float summation order). */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val mutual = SimilaritySearch.mutualKnn(
+      SimilaritySearch.knnJoin(emb, emb, idCol = "vec_id",
+        vecCol = "embedding", k = HardNegK))
+    val edges = mutual.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(mutual.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val contrib = edges.join(deg, "src")
+      .groupBy(col("dst")).agg(sum(lit(1.0) / col("deg")).as("mass"))
+    val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
+    val nodeDeg = nodes.join(deg, nodes("vec_id") === deg("src"), "left")
+      .select(col("vec_id"), coalesce(col("deg"), lit(0L)).as("degree"))
+    val tot = nodeDeg.agg(count(lit(1)).as("n"),
+      sum(when(col("degree") === 0, 1L).otherwise(0L)).as("nd"))
+    nodeDeg.crossJoin(broadcast(tot))
+      .join(contrib, nodeDeg("vec_id") === contrib("dst"), "left")
+      .select(col("vec_id"), col("degree"),
+        round(lit(PrBase) + lit(PrDamping) *
+          (coalesce(col("mass"), lit(0.0)) +
+            col("nd").cast("double") / col("n")), 6).as("npr"))
+      .orderBy(col("vec_id"))
+  }
+
   /** First md5 nibble under this ceiling marks a doc as the incoming "new
     * batch" (3/16 ≈ 19% of the fixture) for q_dedup_incremental — the same
     * deterministic engine-portable hash gate as q_split_assign. */
@@ -810,6 +854,7 @@ object LlmPack extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_incremental" -> dedupIncremental,
     "q_span_dedup" -> spanDedup,
+    "q_graph_pagerank" -> graphPagerank,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_stats" -> dedupStats,
     "q_dedup_near" -> dedupNear,
@@ -1277,5 +1322,37 @@ object LlmPack extends QueryPack {
          |k AS (SELECT probe_id, vec_id, sim FROM r WHERE rank <= $HardNegK)
          |SELECT a.probe_id AS a_id, a.vec_id AS b_id, a.sim
          |FROM k a JOIN k b ON a.probe_id = b.vec_id AND a.vec_id = b.probe_id
-         |WHERE a.probe_id < a.vec_id ORDER BY a_id, b_id""".stripMargin)
+         |WHERE a.probe_id < a.vec_id ORDER BY a_id, b_id""".stripMargin,
+    // Same mutual-kNN CTE chain as q_knn_mutual, extended with the
+    // degree/neighbor-mass aggregates and the N-scaled one-step PageRank.
+    "q_graph_pagerank" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+         |        round(list_dot_product(a.v, b.v)
+         |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+         |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT probe_id, vec_id, sim,
+         |        row_number() OVER (PARTITION BY probe_id
+         |                           ORDER BY sim DESC, vec_id) AS rank
+         |      FROM s),
+         |k AS (SELECT probe_id, vec_id, sim FROM r WHERE rank <= $HardNegK),
+         |m AS (SELECT a.probe_id AS a_id, a.vec_id AS b_id
+         |      FROM k a JOIN k b ON a.probe_id = b.vec_id AND a.vec_id = b.probe_id
+         |      WHERE a.probe_id < a.vec_id),
+         |ed AS (SELECT a_id AS src, b_id AS dst FROM m
+         |       UNION ALL SELECT b_id AS src, a_id AS dst FROM m),
+         |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+         |c AS (SELECT ed.dst, sum(CAST(1.0 AS DOUBLE) / dg.deg) AS mass
+         |      FROM ed JOIN dg USING (src) GROUP BY ed.dst),
+         |t AS (SELECT count(*) AS n,
+         |        sum(CASE WHEN dg.src IS NULL THEN 1 ELSE 0 END) AS nd
+         |      FROM embeddings v LEFT JOIN dg ON v.vec_id = dg.src)
+         |SELECT v.vec_id, CAST(coalesce(dg.deg, 0) AS BIGINT) AS degree,
+         |  round($PrBase + $PrDamping * (coalesce(c.mass, CAST(0.0 AS DOUBLE)) +
+         |    CAST(t.nd AS DOUBLE) / t.n), 6) AS npr
+         |FROM embeddings v
+         |LEFT JOIN dg ON v.vec_id = dg.src
+         |LEFT JOIN c ON v.vec_id = c.dst
+         |CROSS JOIN t
+         |ORDER BY v.vec_id""".stripMargin)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{LlmPack, NearDedup}
+import graft.operators.{LlmPack, NearDedup, SimilaritySearch}
 import graft.functions.TextFns
 import org.apache.spark.sql.functions._
 
@@ -132,6 +132,32 @@ class LlmPackSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == truth, s"got=${got.toSeq.sorted} truth=${truth.toSeq.sorted}")
     assert(truth.nonEmpty, "fixture should plant at least one pair with a new-side member")
+  }
+
+  test("graphPagerank: mass conserves (sum npr = N) and matches driver-side recomputation") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val mutual = SimilaritySearch.mutualKnn(
+      SimilaritySearch.knnJoin(emb, emb, idCol = "vec_id",
+        vecCol = "embedding", k = 5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = emb.count()
+    val adj = (mutual ++ mutual.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSeq }
+    val deg = adj.map { case (v, ns) => v -> ns.size }
+    val nd = n - deg.size
+    val out = LlmPack.graphPagerank(spark, sf0001).collect()
+    assert(out.length == n)
+    out.foreach { r =>
+      val v = r.getLong(0)
+      assert(r.getLong(1) == deg.getOrElse(v, 0).toLong, s"node $v degree")
+      val mass = adj.getOrElse(v, Seq.empty).map(u => 1.0 / deg(u)).sum
+      val exp = 0.15 + 0.85 * (mass + nd.toDouble / n)
+      assert(math.abs(r.getDouble(2) - exp) < 2e-6, s"node $v npr")
+    }
+    assert(math.abs(out.map(_.getDouble(2)).sum - n.toDouble) < 1e-2,
+      "one damped power step from uniform must conserve total mass")
+    // the graph should actually discriminate: some hubs, some dangling
+    assert(out.exists(_.getLong(1) > 0) && out.exists(_.getLong(1) == 0))
   }
 
   test("qualityGopher: booleans match driver-side recomputation; rules discriminate") {
