@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.functions.TextFns
 import graft.operators.PipelinePack
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -63,6 +64,43 @@ object DocStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("content_sha"))
       .drop("text", "n_uniq", "tok_chars", "n_tri", "n_tri_distinct")
+  }
+
+  /** Streaming train/test decontamination — the live admission twin of
+    * `PipelinePack.decontaminateBloom`: incoming documents are DROPPED the
+    * moment any of their word 3-grams might appear in the static eval
+    * benchmark. The benchmark's distinct-shingle Bloom filter is built
+    * ONCE at stream definition (one aggregate over the static side —
+    * partial filters OR together map-side; the result is KB–MB sized by
+    * the operator's own asymmetry argument: benchmarks stay MBs while the
+    * corpus grows) and embedded as a LITERAL in the stream's filter
+    * predicate. The gate is therefore a pure narrow map — no stream-static
+    * join, no state, no shuffle; it composes in front of `corpusStream`
+    * exactly like the batch filter chain.
+    *
+    * Bloom false positives only cause EXTRA drops (the safe direction for
+    * decontamination — fpp ≈ 5e-4 at the defaults); misses are impossible,
+    * so a kept doc provably shares no shingle with the benchmark. Docs
+    * with < 3 tokens have no shingles and pass (same as batch). Batch
+    * parity on chunked replay is proven in DocStreamSpec against the
+    * identical-filter batch predicate. */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+                          textCol: String = "text",
+                          estimatedItems: Long = 1L << 17,
+                          numBits: Long = 1L << 21): DataFrame = {
+    import org.apache.spark.sql.graft.BloomExprs
+    val bfRow = benchmark
+      .select(explode(TextFns.shingles3(col(textCol))).as("sh"))
+      .agg(BloomExprs.bloomAgg(xxhash64(col("sh")), estimatedItems, numBits)
+        .as("bf"))
+      .head()
+    if (bfRow.isNullAt(0)) docs // empty benchmark: nothing to block
+    else {
+      val bf = bfRow.getAs[Array[Byte]](0)
+      val hit = exists(TextFns.shingles3(col(textCol)),
+        sh => BloomExprs.mightContain(lit(bf), xxhash64(sh)))
+      docs.where(!hit)
+    }
   }
 
   /** Streaming ANN retrieval — the RAG-serving shape: a STREAM of probe

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import graft.functions.TextFns
 import graft.streaming.DocStream
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -184,6 +185,50 @@ class DocStreamSpec extends SparkSpec {
     val chunked = run(docs.map(Seq(_)), "near_h2")
     assert(oneShot == Set((1L, 2L)), oneShot.toString)
     assert(chunked == oneShot, s"replay-dependent emissions: $chunked vs $oneShot")
+  }
+
+  test("streaming decontamination: chunked replay == the identical batch " +
+      "predicate; planted benchmark copies blocked; kept docs share no shingle") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val originals = fixtureDocs(200)
+    val bench = originals.filter(_.doc_id % 50 == 0)
+    val train = originals.filter(_.doc_id % 50 != 0)
+    // contaminated arrivals: benchmark text under fresh ids
+    val planted = bench.take(3).zipWithIndex.map { case (d, i) =>
+      d.copy(doc_id = 30000L + i) }
+    val rows = (train ++ planted).sortBy(_.ts.getTime)
+    val benchDf = bench.toDF()
+
+    // batch truth: the SAME function applied to the same rows as one batch
+    val batchKept = DocStream.decontaminateStream(rows.toDF(), benchDf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val ms = MemoryStream[Doc]
+    val q = DocStream.decontaminateStream(ms.toDF(), benchDf)
+      .select($"doc_id").writeStream.format("memory")
+      .queryName("decon_stream").outputMode("append").start()
+    try {
+      rows.grouped(40).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("decon_stream").collect().map(_.getLong(0)).toSet
+      assert(got == batchKept,
+        s"missing=${batchKept -- got} unexpected=${got -- batchKept}")
+      // exact benchmark copies must be blocked (no false negatives)
+      assert(planted.forall(d => !got.contains(d.doc_id)))
+      assert(got.nonEmpty && got.size < rows.size) // the gate discriminates
+      // Bloom misses are impossible: every kept doc shares NO shingle
+      val benchSh = benchDf
+        .select(explode(TextFns.shingles3(col("text"))).as("sh"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val keptTexts = rows.filter(d => got.contains(d.doc_id))
+      keptTexts.foreach { d =>
+        val sh = d.text.trim.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+        assert(sh.intersect(benchSh).isEmpty, s"doc ${d.doc_id} kept but overlaps")
+      }
+    } finally q.stop()
   }
 
   test("streaming ANN serving: chunked probe stream through the IVF store == " +
