@@ -160,7 +160,15 @@ object LlmPack extends QueryPack {
   /** B9 per-document quality signals: token counts, type/token ratio,
     * stopword ratio, mean token length, and a blended score. Per-row IEEE
     * arithmetic over exact ints, identical op order on both sides. */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    scoredDocs(s, dir).orderBy(col("doc_id"))
+
+  /** The quality-signal projection WITHOUT the determinism sort — shared by
+    * qualityScore (which adds the orderBy) and qualityDeciles' boundary
+    * aggregate, where an inherited sort would plan a wasted global
+    * range-exchange under the percentile (EliminateSorts does not fold a
+    * sort through an aggregate; PlanAuditSpec pins the sort-free branch). */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
     val tk = TextFns.tokens(col("text"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
@@ -175,6 +183,28 @@ object LlmPack extends QueryPack {
       .withColumn("score",
         lit(0.4) * col("uniq_ratio") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
           lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+  }
+
+  /** B9+ curriculum bucketing by exact GLOBAL score deciles — assign every
+    * doc its quality decile WITHOUT a global sort: the nine boundary
+    * quantiles come from ONE exact-percentile aggregate (the only place
+    * the score multiset concentrates — the same trade as q_percentiles;
+    * `approx_percentile` is the mergeable scale path), re-enter as a
+    * broadcast 1-row array, and assignment is a narrow per-row count of
+    * boundaries strictly below the score. The `ntile()` alternative
+    * computes one global ordering (a single-task sort at corpus scale);
+    * this shape keeps the corpus scan narrow and embarrassingly parallel.
+    * Boundaries are order statistics interpolated from identical values
+    * by identical IEEE ops on both engines (the q_percentiles parity), so
+    * the strict-> tie rule (boundary ties bucket DOWN) is deterministic. */
+  def qualityDeciles(s: SparkSession, dir: String): DataFrame = {
+    val scored = scoredDocs(s, dir).select(col("doc_id"), col("score"))
+    val bounds = scored.agg(percentile(col("score"),
+      lit((1 to 9).map(_ / 10.0).toArray)).as("bounds"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("score"),
+        (size(filter(col("bounds"), b => col("score") > b)) + 1)
+          .cast("long").as("decile"))
       .orderBy(col("doc_id"))
   }
 
@@ -855,6 +885,7 @@ object LlmPack extends QueryPack {
     "q_dedup_incremental" -> dedupIncremental,
     "q_span_dedup" -> spanDedup,
     "q_graph_pagerank" -> graphPagerank,
+    "q_quality_deciles" -> qualityDeciles,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_stats" -> dedupStats,
     "q_dedup_near" -> dedupNear,
@@ -1113,6 +1144,27 @@ object LlmPack extends QueryPack {
          |0.4 * uniq_ratio + 0.3 * (1.0 - stop_ratio)
          |  + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS score
          |FROM r ORDER BY doc_id""".stripMargin,
+    // Same per-row score as q_quality_score; DuckDB quantile_cont ==
+    // Spark percentile (linear interpolation at rank (n−1)p — the
+    // q_percentiles parity), so the strict-> boundary comparison sees
+    // identical doubles on both sides.
+    "q_quality_deciles" ->
+      s"""WITH q AS (SELECT doc_id,
+         |  len($tokSql) AS n_tokens,
+         |  len(list_distinct($tokSql)) AS n_uniq,
+         |  len(list_filter($tokSql, t -> t IN ('a', 'the'))) AS n_stop
+         |  FROM documents),
+         |sc AS (SELECT doc_id,
+         |  0.4 * (CAST(n_uniq AS DOUBLE) / n_tokens)
+         |    + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+         |    + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS score
+         |  FROM q),
+         |b AS (SELECT quantile_cont(score,
+         |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds
+         |      FROM sc)
+         |SELECT sc.doc_id, sc.score,
+         |  CAST(1 + len(list_filter(b.bounds, x -> sc.score > x)) AS BIGINT) AS decile
+         |FROM sc CROSS JOIN b ORDER BY sc.doc_id""".stripMargin,
     "q_token_entropy" ->
       s"""WITH tk AS (SELECT doc_id, $tokSql AS t FROM documents),
          |e AS (SELECT doc_id, len(t) AS n_tokens,

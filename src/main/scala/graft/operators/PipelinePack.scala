@@ -425,6 +425,34 @@ object PipelinePack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** B9+ corpus snapshot diff — the versioned-dataset audit every
+    * continuously-rebuilt corpus needs ("what changed between crawl N and
+    * crawl N+1"): per-doc status added / removed / modified / unchanged,
+    * decided by CONTENT DIGEST so the wide text column never crosses the
+    * wire — each side reduces to (doc_id, md5) map-side before the one
+    * doc_id-keyed full-outer join (bucket both snapshots by doc_id and
+    * even that exchange disappears). Snapshots are simulated from the
+    * fixture with disjoint md5-nibble windows so all four statuses are
+    * populated deterministically on any engine: crawl A = nibble < 'e',
+    * crawl B = nibble ≥ '2', docs in ['8','a') arrive in B re-edited. */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"), nib.as("nib"))
+    val a = docs.where(col("nib") < "e")
+      .select(col("doc_id"), md5(col("text")).as("sha_a"))
+    val bText = when(col("nib") >= "8" && col("nib") < "a",
+      concat(col("text"), lit(" v2"))).otherwise(col("text"))
+    val b = docs.where(col("nib") >= "2")
+      .select(col("doc_id"), md5(bText).as("sha_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("sha_a").isNull, "added")
+          .when(col("sha_b").isNull, "removed")
+          .when(col("sha_a") =!= col("sha_b"), "modified")
+          .otherwise("unchanged").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bloom capacity for decontaminateBloom, plan-time constants: sized for
     * ~128k distinct benchmark shingles at 16 bits each (256 KiB filter,
     * fpp ≈ 5e-4). At a real 100 TB deployment these scale with the
@@ -680,6 +708,7 @@ object PipelinePack extends QueryPack {
     "q_sample_stratified_dist" -> sampleStratifiedDist,
     "q_sample_weighted" -> sampleWeighted,
     "q_cap_per_source" -> capPerSource,
+    "q_corpus_diff" -> corpusDiff,
     "q_corpus_filter" -> corpusFilter,
     "q_corpus_build" -> corpusBuild,
     "q_pack_sequences" -> packSequences,
@@ -694,6 +723,21 @@ object PipelinePack extends QueryPack {
   private val tokSql = "string_split_regex(trim(text), '\\s+')"
 
   def oracles: Map[String, String] = Map(
+    "q_corpus_diff" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib FROM documents),
+        |a AS (SELECT doc_id, md5(text) AS sha_a FROM d WHERE nib < 'e'),
+        |b AS (SELECT doc_id,
+        |  md5(CASE WHEN nib >= '8' AND nib < 'a' THEN text || ' v2'
+        |      ELSE text END) AS sha_b
+        |  FROM d WHERE nib >= '2')
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN sha_a <> sha_b THEN 'modified'
+        |       ELSE 'unchanged' END AS status
+        |FROM a FULL JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_mixture_weights" -> {
       val cases = MixTargets
         .map { case (k, v) => s"WHEN source = '$k' THEN $v" }.mkString(" ")

@@ -160,6 +160,34 @@ class LlmPackSpec extends SparkSpec {
     assert(out.exists(_.getLong(1) > 0) && out.exists(_.getLong(1) == 0))
   }
 
+  test("qualityDeciles: monotone in score, near-balanced, boundaries are the exact percentiles") {
+    val out = LlmPack.qualityDeciles(spark, sf0001).collect()
+    assert(out.length == 500)
+    // monotone: ordering by score never decreases the decile
+    val byScore = out.sortBy(_.getDouble(1))
+    assert(byScore.map(_.getLong(2)).sliding(2)
+      .forall(p => p.length < 2 || p.head <= p.last))
+    // all ten buckets present, each near 10% (ties can skew slightly)
+    val sizes = out.groupBy(_.getLong(2)).map { case (d, rs) => d -> rs.length }
+    assert(sizes.keySet == (1L to 10L).toSet, sizes.toString)
+    sizes.values.foreach(n => assert(n >= 25 && n <= 75, sizes.toString))
+    // boundary parity: decile counts against driver-side exact quantiles
+    val scores = out.map(_.getDouble(1)).sorted
+    def q(p: Double): Double = {
+      val rank = (scores.length - 1) * p
+      val lo = rank.toInt
+      val frac = rank - lo
+      // Spark Percentile's exact op order: lower + (higher − lower) · frac
+      if (lo + 1 < scores.length) scores(lo) + (scores(lo + 1) - scores(lo)) * frac
+      else scores(lo)
+    }
+    val bounds = (1 to 9).map(i => q(i / 10.0))
+    out.foreach { r =>
+      val exp = 1 + bounds.count(b => r.getDouble(1) > b)
+      assert(r.getLong(2) == exp.toLong, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("qualityGopher: booleans match driver-side recomputation; rules discriminate") {
     val rows = LlmPack.qualityGopher(spark, sf0001).collect()
     val texts = Tables.documents(spark, sf0001)

@@ -246,6 +246,32 @@ class PipelinePackSpec extends SparkSpec {
     assert(c - s == 16)
   }
 
+  test("corpusDiff: statuses replay the md5-nibble snapshot windows exactly") {
+    def nib(id: Long): Char = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "0123456789abcdef".charAt((d(0) >> 4) & 0xf)
+    }
+    val ids = Tables.documents(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = ids.flatMap { id =>
+      val n = nib(id)
+      val inA = n < 'e'
+      val inB = n >= '2'
+      if (!inA && !inB) None
+      else Some(id -> (
+        if (!inA) "added"
+        else if (!inB) "removed"
+        else if (n >= '8' && n < 'a') "modified"
+        else "unchanged"))
+    }.toMap
+    val got = graft.operators.PipelinePack.corpusDiff(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected)
+    // all four statuses must actually occur
+    assert(got.values.toSet == Set("added", "removed", "modified", "unchanged"))
+  }
+
   test("mixture weights: shares normalize and weight = target/actual exactly") {
     val rows = PipelinePack.mixtureWeights(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),

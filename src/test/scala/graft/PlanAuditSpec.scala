@@ -383,6 +383,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_minhash_row"), s"row kernel not in plan:\n$p")
   }
 
+  test("quality deciles: boundaries broadcast back; no ntile window, no global pre-sort") {
+    val p = plan(graft.operators.LlmPack.qualityDeciles(spark, sf0001))
+    assert(!p.contains("Window"),
+      s"ntile-style global window would single-task the corpus:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row boundary aggregate must broadcast:\n$p")
+    // exactly one Sort: the final determinism orderBy
+    assert("Sort \\[".r.findAllIn(p).length == 1, s"extra sort:\n$p")
+  }
+
+  test("corpus diff: one full-outer equi-join over map-side digests, no cartesian") {
+    val p = plan(graft.operators.PipelinePack.corpusDiff(spark, sf0001))
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("md5".r.findAllIn(p).length >= 2,
+      s"both sides must reduce to digests before the join:\n$p")
+  }
+
   test("executed plans run inside whole-stage codegen (AQE final plans)") {
     // AQE shows codegen stages only once the final plan materializes, so
     // execute first; a representative read, agg and join query each.
