@@ -211,7 +211,35 @@ object EventAnalyticsPack extends QueryPack {
       .limit(20)
   }
 
+  /** B5+ inter-event gap statistics per user — the signal that TUNES the
+    * sessionization threshold (q_window_session's 10-minute gap is a
+    * constant someone must justify; this is the distribution that
+    * justifies it): per user, gap count, median / p90 / max gap seconds.
+    * Gaps are exact epoch-µs differences over one (ts, event_id)-ordered
+    * lag per user_id (ONE exchange — the window's), divided by 1e6 once
+    * (same IEEE op both engines); median/p90 are exact order statistics
+    * (the q_percentiles parity), max is order-insensitive. The percentile
+    * aggregate buffers per-user gaps — the same inherent exact-percentile
+    * trade as q_anomaly_mad, with approx_percentile as the mergeable
+    * scale path. */
+  def eventGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .where(col("prev_us").isNotNull)
+      .withColumn("gap_s",
+        (unix_micros(col("ts")) - col("prev_us")).cast("double") / lit(1e6))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(percentile(col("gap_s"), lit(0.5)), 4).as("med_gap_s"),
+        round(percentile(col("gap_s"), lit(0.9)), 4).as("p90_gap_s"),
+        round(max(col("gap_s")), 4).as("max_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_gaps" -> eventGaps,
     "q_event_paths" -> eventPaths,
     "q_funnel" -> funnel,
     "q_retention" -> retention,
@@ -221,6 +249,19 @@ object EventAnalyticsPack extends QueryPack {
     "q_session_stats" -> sessionStats)
 
   def oracles: Map[String, String] = Map(
+    "q_event_gaps" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  epoch_us(date_trunc('microseconds', ts)) AS us FROM events),
+        |g AS (SELECT user_id,
+        |  CAST(us - lag(us) OVER (PARTITION BY user_id
+        |                          ORDER BY us, event_id) AS DOUBLE) / 1e6 AS gap_s
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  round(median(gap_s), 4) AS med_gap_s,
+        |  round(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s,
+        |  round(max(gap_s), 4) AS max_gap_s
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Stage CTE chain mirrors the window cascade: each stage's min(ts) is
     // taken strictly after the user's previous stage time; LEFT JOINs
     // reproduce the NULL-propagation of a stalled funnel.

@@ -767,6 +767,29 @@ object LlmPack extends QueryPack {
       idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = HardNegK)
   }
 
+  /** B9+ embedding-table audit — the vector-data profiling pass a pipeline
+    * runs BEFORE trusting a new embedding drop for similarity work: per
+    * label, vector count, dimension bounds (a ragged dim breaks every
+    * kernel downstream), L2-norm statistics, and the zero-vector count
+    * (zero vectors poison cosine). Norms are per-row ordered folds (the
+    * graft_dot kernel accumulates in the same index order as DuckDB's
+    * list_dot_product, so min/max match BIT-exactly; only the
+    * order-sensitive mean is 6dp-rounded). A pure narrow map into a
+    * labels-bounded map-side-combined aggregate — one scan, no joins. */
+  def embedNorms(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    Tables.embeddings(s, dir)
+      .select(col("label"), size(v).as("dim"),
+        sqrt(graft.functions.VectorFns.dot(v, v)).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+        round(avg(col("nrm")), 6).as("mean_norm"),
+        min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+      .orderBy(col("label"))
+  }
+
   /** B9 mutual-kNN graph (SimilaritySearch.mutualKnn over the exact kNN
     * edge list): pairs that are in each other's top-k — the symmetric
     * neighborhood graph that seeds graph-based semantic dedup. All rows
@@ -886,6 +909,7 @@ object LlmPack extends QueryPack {
     "q_span_dedup" -> spanDedup,
     "q_graph_pagerank" -> graphPagerank,
     "q_quality_deciles" -> qualityDeciles,
+    "q_embed_norms" -> embedNorms,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_stats" -> dedupStats,
     "q_dedup_near" -> dedupNear,
@@ -1375,6 +1399,19 @@ object LlmPack extends QueryPack {
          |SELECT a.probe_id AS a_id, a.vec_id AS b_id, a.sim
          |FROM k a JOIN k b ON a.probe_id = b.vec_id AND a.vec_id = b.probe_id
          |WHERE a.probe_id < a.vec_id ORDER BY a_id, b_id""".stripMargin,
+    // min/max norms match bit-exactly (same per-row fold order); only the
+    // mean bridges summation order with 6dp rounding.
+    "q_embed_norms" ->
+      """WITH e AS (SELECT label,
+        |  len(embedding) AS dim,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  min(dim) AS dim_min, max(dim) AS dim_max,
+        |  round(avg(nrm), 6) AS mean_norm,
+        |  min(nrm) AS min_norm, max(nrm) AS max_norm,
+        |  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
     // Same mutual-kNN CTE chain as q_knn_mutual, extended with the
     // degree/neighbor-mass aggregates and the N-scaled one-step PageRank.
     "q_graph_pagerank" ->

@@ -32,6 +32,35 @@ class EventAnalyticsSpec extends SparkSpec {
   private def row(df: DataFrame, user: Long): org.apache.spark.sql.Row =
     df.where(col("user_id") === user).collect().head
 
+  test("eventGaps: gaps replay a driver-side lag over (ts, event_id) order") {
+    val evs = Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"),
+        org.apache.spark.sql.functions.col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gapsByUser = evs.groupBy(_._1).map { case (u, rs) =>
+      val ordered = rs.sortBy(r => (r._2, r._3))
+      u -> ordered.sliding(2).collect {
+        case Array(a, b) => (b._2 - a._2).toDouble / 1e6
+      }.toSeq
+    }
+    val out = graft.operators.EventAnalyticsPack.eventGaps(spark, sf0001).collect()
+    assert(out.length == gapsByUser.count(_._2.nonEmpty))
+    out.foreach { r =>
+      val gs = gapsByUser(r.getLong(0))
+      assert(r.getLong(1) == gs.length.toLong)
+      assert(math.abs(r.getDouble(4) - gs.max) < 5e-5, s"user ${r.getLong(0)} max")
+      val sorted = gs.sorted
+      val medRank = (sorted.length - 1) * 0.5
+      val lo = medRank.toInt
+      val med = if (lo + 1 < sorted.length)
+        sorted(lo) + (sorted(lo + 1) - sorted(lo)) * (medRank - lo)
+      else sorted(lo)
+      assert(math.abs(r.getDouble(2) - med) < 5e-5, s"user ${r.getLong(0)} med")
+    }
+  }
+
   test("funnel: stages must occur in order; stalls propagate NULLs") {
     val dir = eventsDir(Seq(
       // user 1: full path, in order — all three stages found

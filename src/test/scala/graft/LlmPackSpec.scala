@@ -134,6 +134,18 @@ class LlmPackSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture should plant at least one pair with a new-side member")
   }
 
+  test("embedNorms: fixture vectors are uniformly 64-dim, non-zero, counts conserve") {
+    val out = LlmPack.embedNorms(spark, sf0001).collect()
+    val total = Tables.embeddings(spark, sf0001).count()
+    assert(out.map(_.getLong(1)).sum == total)
+    out.foreach { r =>
+      assert(r.getInt(2) == 64 && r.getInt(3) == 64, s"label ${r.get(0)} ragged dim")
+      assert(r.getDouble(5) > 0.0, s"label ${r.get(0)} zero min norm")
+      assert(r.getDouble(5) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(6) + 1e-6)
+      assert(r.getLong(7) == 0L)
+    }
+  }
+
   test("graphPagerank: mass conserves (sum npr = N) and matches driver-side recomputation") {
     val emb = Tables.embeddings(spark, sf0001)
     val mutual = SimilaritySearch.mutualKnn(
