@@ -425,6 +425,53 @@ object LlmPack extends QueryPack {
       .orderBy(col("vec_id"))
   }
 
+  private val KmIters = 3
+
+  /** B9+ ITERATED Lloyd k-means (T=3) seeded from the per-label groups —
+    * the full clustering loop, not just [[embedKmeans]]'s single step:
+    * each round recomputes the codebook from the CURRENT assignment and
+    * re-assigns every vector by rounded cosine. The 6dp rounding of every
+    * centroid component and of every similarity before the argmax is the
+    * cross-engine synchronization barrier: both engines compare against
+    * the SAME rounded values each round, so assignments cannot drift
+    * across three rounds of float arithmetic — which is what lets a
+    * 3-deep iterative algorithm carry a full hash oracle (unrolled CTE
+    * chain). Distributed shape per iteration — the standard Lloyd layout:
+    * one corpus scan, a clusters×dim map-side-combined aggregate (KBs),
+    * codebook broadcast back, argmax as a struct-max with map-side
+    * combine; `localCheckpoint` after each round truncates lineage so
+    * round T does not replan rounds 1..T−1 (the NearDedup.clusterPairs
+    * discipline). The assignment join keys corpus and labels by vec_id —
+    * co-partitioned after round 1's exchange. */
+  def embedKmeansIter(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    var assign = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("int").as("cl"))
+    var scored: DataFrame = null
+    for (_ <- 1 to KmIters) {
+      val av = emb.join(assign, "vec_id")
+      val cb = av.select(col("cl").as("c_label"), posexplode(col("v")))
+        .groupBy(col("c_label"), col("pos"))
+        .agg(avg(col("col")).as("cv0"))
+        .groupBy(col("c_label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv0")))),
+          x => round(x.getField("cv0"), 6)).as("cv"))
+      scored = av.crossJoin(broadcast(cb))
+        .select(col("vec_id"),
+          struct(round(VectorFns.cosine(col("v"), col("cv")), 6).as("sim"),
+            (-col("c_label")).as("neg")).as("cand"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("cand")).as("best"))
+        .select(col("vec_id"), (-col("best.neg")).cast("int").as("cl"),
+          col("best.sim").as("sim"))
+        .localCheckpoint()
+      assign = scored.select(col("vec_id"), col("cl"))
+    }
+    scored.select(col("vec_id"), col("cl").as("cluster"), col("sim"))
+      .orderBy(col("vec_id"))
+  }
+
   /** B9 Unicode text normalization — the cleaning step every multilingual
     * corpus pipeline runs before hashing/dedup/tokenization: NFC canonical
     * composition (via the native codegen'd [[org.apache.spark.sql.graft.NfcNormalize]]
@@ -910,6 +957,7 @@ object LlmPack extends QueryPack {
     "q_graph_pagerank" -> graphPagerank,
     "q_quality_deciles" -> qualityDeciles,
     "q_embed_norms" -> embedNorms,
+    "q_embed_kmeans_iter" -> embedKmeansIter,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_stats" -> dedupStats,
     "q_dedup_near" -> dedupNear,
@@ -948,6 +996,35 @@ object LlmPack extends QueryPack {
     "q_text_normalize" -> textNormalize,
     "q_embed_pca_power" -> embedPcaPower,
     "q_token_cms" -> tokenCms)
+
+  /** The q_embed_kmeans_iter oracle: [[KmIters]] unrolled Lloyd rounds.
+    * Round i rebuilds the 6dp-rounded codebook from assignment a(i−1)
+    * (the q_embed_centroids aggregate), scores every vector against it
+    * with the q_embed_kmeans rounded cosine, and takes the argmax with the
+    * same (sim DESC, cluster ASC) tie rule the Spark struct-max encodes. */
+  private val kmeansIterOracle: String = {
+    val iters = (1 to KmIters).map { i =>
+      val prev = s"a${i - 1}"
+      s"""c$i AS (SELECT cl, list(round(avg_x, 6) ORDER BY pos) AS cv FROM (
+         |    SELECT cl, pos, avg(x) AS avg_x FROM (
+         |      SELECT cl, generate_subscripts(v, 1) AS pos,
+         |             CAST(unnest(v) AS DOUBLE) AS x FROM $prev)
+         |    GROUP BY cl, pos)
+         |  GROUP BY cl),
+         |s$i AS (SELECT a.vec_id, a.v, c.cl AS c_cl,
+         |    round(list_dot_product(a.v, c.cv)
+         |      / (sqrt(list_dot_product(a.v, a.v))
+         |         * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+         |  FROM $prev a, c$i c),
+         |a$i AS (SELECT vec_id, c_cl AS cl, v, sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, c_cl) AS rn FROM s$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH a0 AS (SELECT vec_id, CAST(label AS INTEGER) AS cl,
+       |    embedding::DOUBLE[] AS v FROM embeddings),
+       |$iters
+       |SELECT vec_id, cl AS cluster, sim FROM a$KmIters ORDER BY vec_id""".stripMargin
+  }
 
   private val tokSql = "string_split_regex(trim(text), '\\s+')"
   /** Shared CTE chain producing the exact all-pairs 3-gram-Jaccard scores
@@ -1399,6 +1476,10 @@ object LlmPack extends QueryPack {
          |SELECT a.probe_id AS a_id, a.vec_id AS b_id, a.sim
          |FROM k a JOIN k b ON a.probe_id = b.vec_id AND a.vec_id = b.probe_id
          |WHERE a.probe_id < a.vec_id ORDER BY a_id, b_id""".stripMargin,
+    // T unrolled Lloyd rounds; every centroid component and similarity is
+    // 6dp-rounded BEFORE use on both sides (the iteration-level
+    // synchronization barrier that keeps a 3-deep float loop hashable).
+    "q_embed_kmeans_iter" -> kmeansIterOracle,
     // min/max norms match bit-exactly (same per-row fold order); only the
     // mean bridges summation order with 6dp rounding.
     "q_embed_norms" ->

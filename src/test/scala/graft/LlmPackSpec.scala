@@ -146,6 +146,22 @@ class LlmPackSpec extends SparkSpec {
     }
   }
 
+  test("embedKmeansIter: deterministic across runs, improves mean similarity over one step") {
+    val a = LlmPack.embedKmeansIter(spark, sf0001).collect()
+    val b = LlmPack.embedKmeansIter(spark, sf0001).collect()
+    assert(a.length == 500)
+    // byte-for-byte rerun determinism (localCheckpoint must not leak
+    // nondeterminism into the assignment loop)
+    assert(a.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq ==
+      b.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq)
+    assert(a.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 9))
+    // three rounds should fit at least as well as the single Lloyd step
+    val oneStep = LlmPack.embedKmeans(spark, sf0001).collect()
+      .map(_.getDouble(3)).sum / 500
+    val threeStep = a.map(_.getDouble(2)).sum / 500
+    assert(threeStep >= oneStep - 1e-9, s"3-round $threeStep vs 1-round $oneStep")
+  }
+
   test("graphPagerank: mass conserves (sum npr = N) and matches driver-side recomputation") {
     val emb = Tables.embeddings(spark, sf0001)
     val mutual = SimilaritySearch.mutualKnn(
