@@ -194,6 +194,26 @@ object RelationalPack extends QueryPack {
         col("n"), col("sum_price"))
       .orderBy(col("nation"), col("priority"))
 
+  /** B4 explicit GROUPING SETS — the general form rollup/cube specialize:
+    * exactly the three sets {(nation, priority), (nation), (priority)}
+    * (both one-dimension marginals, NO grand total — a set neither rollup
+    * nor cube can express alone). Spark 4's `Dataset.groupingSets` plans
+    * the same single Expand + one hash aggregation as rollup/cube (one
+    * scan regardless of set count); same 'ALL' null-folding discipline. */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name"), col("o_orderpriority")),
+          Seq(col("n_name")), Seq(col("o_orderpriority"))),
+        col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("nation"), col("priority"))
+
   /** B5 distribution ranking: percent_rank / cume_dist / ntile(4) of each
     * order's totalprice within its priority class. The window ORDER BY ends
     * in the unique o_orderkey, so ranks (and hence the emitted doubles —
@@ -281,6 +301,7 @@ object RelationalPack extends QueryPack {
     "q_approx_distinct" -> aggApproxDistinct,
     "q_agg_rollup" -> aggRollup,
     "q_agg_cube" -> aggCube,
+    "q_agg_grouping_sets" -> aggGroupingSets,
     "q_window_rank_stats" -> windowRankStats,
     "q_window_topn_per_group" -> windowTopnPerGroup,
     "q_topk" -> topk,
@@ -348,6 +369,16 @@ object RelationalPack extends QueryPack {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, o_orderpriority)
+        |ORDER BY nation, priority""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |coalesce(o_orderpriority, 'ALL') AS priority,
+        |count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority))
         |ORDER BY nation, priority""".stripMargin,
     "q_agg_cube" ->
       """SELECT coalesce(n_name, 'ALL') AS nation,

@@ -102,7 +102,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("cube/rollup plan a single Expand + one aggregation, dims broadcast") {
     for (q <- Seq(RelationalPack.aggCube(spark, sf0001),
-        RelationalPack.aggRollup(spark, sf0001))) {
+        RelationalPack.aggRollup(spark, sf0001),
+        RelationalPack.aggGroupingSets(spark, sf0001))) {
       val p = plan(q)
       assert("Expand".r.findAllIn(p).length == 1, s"expected one Expand:\n$p")
       assert(p.contains("BroadcastHashJoin"), p)
