@@ -50,6 +50,17 @@ case class AsOfPair[L, R](left: L, right: Option[R])
   * last event time (for the idle timeout). */
 case class EwmaState(num: Double, den: Double, lastTsUs: Long)
 
+/** One detected funnel completion: the user and every stage's event time
+  * (epoch µs) in stage order. Emitted exactly once per user. */
+case class FunnelHit(user: Long, stage_us: Seq[Long])
+
+/** Per-user funnel-detection state: epoch-µs times of the completed stage
+  * PREFIX, events buffered above the fold horizon, the horizon itself
+  * (event times at or below it are already folded — later arrivals below
+  * it are late and dropped), and the one-shot emission latch. */
+case class FunnelState(stageUs: Seq[Long], buf: Seq[(Long, String)],
+                       foldedToUs: Long, done: Boolean)
+
 /** Structured-Streaming face of the engine (SURVEY.md §2 B10).
   *
   * The reference is batch-only, but its ordered-append contract IS a stream
@@ -291,6 +302,82 @@ object TsStream extends Serializable {
             }
             out.iterator
           })
+  }
+
+  /** Streaming k-stage funnel detection — the CEP (complex-event-
+    * processing) member of the streaming family and the live twin of
+    * `EventAnalyticsPack.funnel`: emit one row per user THE MOMENT their
+    * ordered stage chain completes (e.g. view→click→purchase), carrying
+    * every stage's event time.
+    *
+    * Chain semantics are exactly the batch CTE cascade's: stage i is the
+    * EARLIEST event of type `stages(i)` strictly after stage i−1's time
+    * (stage 0 = the user's earliest stage-0 event). A chronological fold
+    * reproduces those nested minima — the first stage-0 event in event-
+    * time order IS min(t₀), and after it every stage advances on the
+    * first matching later event — so correctness needs the fold to run in
+    * GLOBAL event-time order. Arrival order is not event-time order, so
+    * events BUFFER until the watermark passes them (watermark finality,
+    * the as-of-stream discipline): each invocation folds only rows at or
+    * below the current watermark, sorted; rows above it wait, with an
+    * event-time timeout re-arming at the earliest buffered row so a fold
+    * fires even if the user never sends another event.
+    *
+    * State: the completed stage-time PREFIX (≤ k longs) per user — the
+    * same O(users) any per-user lifetime aggregate (batch funnel
+    * included) pays — plus a buffer bounded by rate × watermark horizon,
+    * cleared on completion. The `done` latch makes emission exactly-once
+    * per user. Late rows beyond the fold horizon are dropped (the
+    * documented watermark divergence every operator here shares).
+    * Chunked-replay parity vs the batch funnel's completed rows and
+    * chunk-boundary invariance are asserted in TsStreamSpec. */
+  def funnelStream(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, stages: Seq[String],
+                   watermark: String = "1 hour"): Dataset[FunnelHit] = {
+    require(stages.nonEmpty, "at least one funnel stage required")
+    import events.sparkSession.implicits._
+    events
+      .select(col(userCol).cast("long").as("user"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(typeCol).cast("string").as("etype"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[FunnelState]) => {
+          val s0 = state.getOption.getOrElse(
+            FunnelState(Nil, Nil, Long.MinValue, done = false))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val fresh =
+            if (state.hasTimedOut) Nil
+            else it.map(e => (usOf(e._2), e._3))
+              .filter(_._1 > s0.foldedToUs).toSeq // late-beyond-horizon drop
+          val (ripe, hold) = (s0.buf ++ fresh).partition(_._1 <= wmUs)
+          var stageUs = s0.stageUs
+          var done = s0.done
+          val hits = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+          if (!done) {
+            // within-instant order is irrelevant: each stage requires a
+            // STRICTLY later time, so equal-time events can never chain
+            ripe.sortBy(identity).foreach { case (t, ty) =>
+              if (!done && ty == stages(stageUs.length) &&
+                  (stageUs.isEmpty || t > stageUs.last)) {
+                stageUs = stageUs :+ t
+                if (stageUs.length == stages.length) {
+                  done = true
+                  hits += FunnelHit(user, stageUs)
+                }
+              }
+            }
+          }
+          val ns = FunnelState(stageUs, if (done) Nil else hold,
+            math.max(s0.foldedToUs, wmUs), done)
+          state.update(ns)
+          if (ns.buf.nonEmpty) // wake when the watermark passes the buffer head
+            state.setTimeoutTimestamp(ns.buf.map(_._1).min / 1000L + 1L)
+          hits.iterator
+        })
   }
 
   /** Streaming EWMA — the O(1)-state stream twin of

@@ -175,6 +175,90 @@ class TsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel == batch funnel completions on chunked replay; " +
+      "chunk boundaries and late-but-in-horizon arrivals don't change emissions") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    // batch truth: users whose chain completed, with all three stage times
+    val want = graft.operators.EventAnalyticsPack.funnel(spark, sf0001).collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3))
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(want.nonEmpty, "fixture should complete at least one funnel")
+    // flush sentinel: advances the watermark past every fixture event
+    val flush = Ev(-1L, new Timestamp(rows.last.ts.getTime + 30L * 24 * 3600 * 1000),
+      -1L, "noop", 0.0, "{}")
+
+    def run(chunks: Int, name: String): Map[Long, Seq[Long]] = {
+      val ms = MemoryStream[Ev]
+      val q = TsStream.funnelStream(ms.toDF(), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), watermark = "1 hour")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        rows.grouped((rows.length / chunks).max(1)).foreach { chunk =>
+          ms.addData(chunk.toSeq); q.processAllAvailable()
+        }
+        ms.addData(flush); q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      } finally q.stop()
+    }
+
+    val got3 = run(3, "funnel_stream_3")
+    assert(got3.keySet == want.keySet,
+      s"missing=${want.keySet -- got3.keySet} extra=${got3.keySet -- want.keySet}")
+    assert(got3 == want, s"stage times diverge")
+    // chunk-boundary invariance
+    val got7 = run(7, "funnel_stream_7")
+    assert(got7 == got3)
+  }
+
+  test("streaming funnel: completion emits once; equal-time events cannot chain") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def e(id: Long, u: Long, ts: String, ty: String) =
+      Ev(id, t(ts), u, ty, 1.0, "{}")
+    val ms = MemoryStream[Ev]
+    val q = TsStream.funnelStream(ms.toDF(), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("funnel_once")
+      .outputMode("append").start()
+    try {
+      // user 1: view and click at the SAME instant -> click cannot chain;
+      // a later click + purchase completes. user 2: two full chains ->
+      // exactly one emission.
+      ms.addData(
+        e(1, 1, "2024-03-01 00:00:00", "view"),
+        e(2, 1, "2024-03-01 00:00:00", "click"),
+        e(3, 1, "2024-03-01 00:01:00", "click"),
+        e(4, 1, "2024-03-01 00:02:00", "purchase"),
+        e(5, 2, "2024-03-01 00:00:00", "view"),
+        e(6, 2, "2024-03-01 00:00:30", "click"),
+        e(7, 2, "2024-03-01 00:01:00", "purchase"),
+        e(8, 2, "2024-03-01 00:03:00", "view"),
+        e(9, 2, "2024-03-01 00:04:00", "click"),
+        e(10, 2, "2024-03-01 00:05:00", "purchase"))
+      q.processAllAvailable()
+      ms.addData(e(99, 9, "2024-03-01 02:00:00", "noop")) // flush
+      q.processAllAvailable()
+      val got = spark.table("funnel_once").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      assert(got.length == 2, got.toSeq.toString)
+      val m = got.toMap
+      def us(s: String) = TsStream2Us(s)
+      assert(m(1L) == Seq(us("2024-03-01 00:00:00"), us("2024-03-01 00:01:00"),
+        us("2024-03-01 00:02:00")))
+      assert(m(2L) == Seq(us("2024-03-01 00:00:00"), us("2024-03-01 00:00:30"),
+        us("2024-03-01 00:01:00")))
+    } finally q.stop()
+  }
+
+  private def TsStream2Us(s: String): Long = t(s).getTime * 1000L
+
   test("stream-static backward as-of == batch AsOfJoin.backward on chunked replay") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
