@@ -55,7 +55,7 @@ object IvfIndex {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  private def readSidecar(spark: SparkSession, path: String, file: String): Option[String] = {
+  private[operators] def readSidecar(spark: SparkSession, path: String, file: String): Option[String] = {
     val in = new Path(path, file)
     val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(in)) None
@@ -66,7 +66,7 @@ object IvfIndex {
     }
   }
 
-  private def writeSidecar(spark: SparkSession, path: String, file: String,
+  private[operators] def writeSidecar(spark: SparkSession, path: String, file: String,
                            content: String): Unit = {
     val out = new Path(path, file)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)

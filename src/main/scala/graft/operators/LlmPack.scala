@@ -915,6 +915,26 @@ object LlmPack extends QueryPack {
       newCol = "is_new", tau = Tau, materialize = Some(true))
       .orderBy(col("new_id"), col("dup_of"))
 
+  /** B9+ incremental near-dedup through the PERSISTED signature store —
+    * the build-once/probe-many form of q_dedup_incremental (SigStore:
+    * corpus banded keys + shingle sets materialized once behind an input
+    * fingerprint, batches probe without ever re-reading corpus text).
+    * Exactness is unchanged (stored exact sets verify candidates), so the
+    * key shares q_dedup_incremental's oracle verbatim; store/recompute
+    * pair-set equality and rebuild gating are asserted in NearDedupSpec. */
+  def dedupIncrementalStore(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.stable(s, s"graft_sig_${StoreDirs.pathKey(dir)}")
+    val docs = Tables.documents(s, dir)
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 1) < IncNewMax
+    SigStore.buildIfNeeded(docs.where(!isNew), store,
+      fingerprint =
+        IvfIndex.inputFingerprint(s, s"$dir/documents.parquet") + ":inc",
+      idCol = "doc_id", textCol = "text", partCol = "lang")
+    SigStore.probe(store, docs.where(isNew),
+        idCol = "doc_id", textCol = "text", partCol = "lang", tau = Tau)
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
   /** B9+ duplicated-span report — the exact-substring dedup signal of Lee
     * et al. '21 ("Deduplicating Training Data Makes Language Models
     * Better", arXiv:2107.06499) at word-5-gram granularity: per doc, how
@@ -953,6 +973,7 @@ object LlmPack extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_incremental" -> dedupIncremental,
+    "q_dedup_incremental_store" -> dedupIncrementalStore,
     "q_span_dedup" -> spanDedup,
     "q_graph_pagerank" -> graphPagerank,
     "q_quality_deciles" -> qualityDeciles,
@@ -1025,6 +1046,19 @@ object LlmPack extends QueryPack {
        |$iters
        |SELECT vec_id, cl AS cluster, sim FROM a$KmIters ORDER BY vec_id""".stripMargin
   }
+
+  private lazy val incrementalOracle: String =
+    s"""WITH $nearDupCtes,
+       |nn AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '$IncNewMax' AS is_new
+       |       FROM documents),
+       |p AS (SELECT j.a_id, j.b_id, j.jaccard, na.is_new AS a_new, nb.is_new AS b_new
+       |      FROM j JOIN nn na ON j.a_id = na.doc_id
+       |             JOIN nn nb ON j.b_id = nb.doc_id
+       |      WHERE j.jaccard >= $Tau),
+       |r AS (SELECT b_id AS new_id, a_id AS dup_of, jaccard FROM p WHERE b_new
+       |      UNION ALL
+       |      SELECT a_id AS new_id, b_id AS dup_of, jaccard FROM p WHERE a_new AND NOT b_new)
+       |SELECT new_id, dup_of, jaccard FROM r ORDER BY new_id, dup_of""".stripMargin
 
   private val tokSql = "string_split_regex(trim(text), '\\s+')"
   /** Shared CTE chain producing the exact all-pairs 3-gram-Jaccard scores
@@ -1116,18 +1150,9 @@ object LlmPack extends QueryPack {
     // Same all-pairs Jaccard core as q_dedup_minhash, restricted to pairs
     // with a new-side member; the larger id of a batch-batch pair is the
     // "later arrival" (matches the engine's dup_of < new_id orientation).
-    "q_dedup_incremental" ->
-      s"""WITH $nearDupCtes,
-         |nn AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '$IncNewMax' AS is_new
-         |       FROM documents),
-         |p AS (SELECT j.a_id, j.b_id, j.jaccard, na.is_new AS a_new, nb.is_new AS b_new
-         |      FROM j JOIN nn na ON j.a_id = na.doc_id
-         |             JOIN nn nb ON j.b_id = nb.doc_id
-         |      WHERE j.jaccard >= $Tau),
-         |r AS (SELECT b_id AS new_id, a_id AS dup_of, jaccard FROM p WHERE b_new
-         |      UNION ALL
-         |      SELECT a_id AS new_id, b_id AS dup_of, jaccard FROM p WHERE a_new AND NOT b_new)
-         |SELECT new_id, dup_of, jaccard FROM r ORDER BY new_id, dup_of""".stripMargin,
+    // The store-backed key is exact too, so it shares the oracle verbatim.
+    "q_dedup_incremental" -> incrementalOracle,
+    "q_dedup_incremental_store" -> incrementalOracle,
     // Span keys: the oracle groups by the raw 5-gram string, the engine by
     // its 64-bit md5 prefix — identical multiplicities sans a ~2⁻⁶⁵·n²
     // collision (never at checkable scale), and the key itself is not

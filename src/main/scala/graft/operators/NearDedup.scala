@@ -198,33 +198,7 @@ object NearDedup {
       .where(size(col("sh")) > 0)
     materializedPairs(sets0, materialize) { sets =>
 
-    val k = bands * rowsPerBand
-    // sig_i = min over shingles of hash_i(shingle): k independent
-    // permutation surrogates from one seed-free hash family. The variable-
-    // length shingle STRING is hashed exactly once (`h`); the k
-    // per-permutation hashes then mix the fixed 8-byte long — k× cheaper
-    // than re-hashing the string k times, identical independence properties
-    // (xxhash64(i, ·) over a 64-bit input is still a seed-free family).
-    // The signature is a PER-ROW kernel (MinHashRow): one pass over the
-    // shingle array inside whole-stage codegen, bit-identical to the
-    // explode + MinHashSignature aggregate form (HashExprSpec) — but with
-    // no row inflation and, crucially, NO doc-keyed exchange: signatures
-    // are a function of the document alone, so the whole stage is a narrow
-    // map and the first shuffle in the query is the band-key candidate
-    // join. (The aggregate form remains for callers whose element hashes
-    // are already exploded — e.g. token streams.)
-    val sig = sets.select(col("id"), col("part"),
-      org.apache.spark.sql.graft.AggExprs.minhashRow(col("sh"), k).as("sig"))
-
-    // One row per (doc, band); band key hashes the band's signature slice.
-    val bandStructs = (0 until bands).map { b =>
-      val slice = (0 until rowsPerBand).map(r =>
-        element_at(col("sig"), b * rowsPerBand + r + 1))
-      struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bh"))
-    }
-    val banded = sig
-      .select(col("id"), col("part"), explode(array(bandStructs: _*)).as("x"))
-      .select(col("id"), col("part"), col("x.band").as("band"), col("x.bh").as("bh"))
+    val banded = bandRows(sets, bands, rowsPerBand)
 
     val a = banded.select(col("id").as("a_id"), col("part"), col("band"), col("bh"))
     val b = banded.select(col("id").as("b_id"), col("part").as("b_part"),
@@ -264,20 +238,7 @@ object NearDedup {
       .where(size(col("sh")) > 0)
     materializedPairs(sets0, materialize) { sets =>
 
-    val k = bands * rowsPerBand
-    val sig = sets.select(col("id"), col("part"), col("is_new"),
-      org.apache.spark.sql.graft.AggExprs.minhashRow(col("sh"), k).as("sig"))
-
-    val bandStructs = (0 until bands).map { b =>
-      val slice = (0 until rowsPerBand).map(r =>
-        element_at(col("sig"), b * rowsPerBand + r + 1))
-      struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bh"))
-    }
-    val banded = sig
-      .select(col("id"), col("part"), col("is_new"),
-        explode(array(bandStructs: _*)).as("x"))
-      .select(col("id"), col("part"), col("is_new"),
-        col("x.band").as("band"), col("x.bh").as("bh"))
+    val banded = bandRows(sets, bands, rowsPerBand, carry = Seq("is_new"))
 
     val probe = banded.where(col("is_new"))
       .select(col("id").as("new_id"), col("part").as("n_part"),
@@ -297,6 +258,36 @@ object NearDedup {
       .where(col("jaccard") >= tau)
       .select(col("new_id"), col("dup_of"), col("jaccard"))
     }
+  }
+
+  /** (id, part[, carry…], band, bh) banded signature rows — the ONE place
+    * the LSH key arithmetic lives, shared bit-identically by every minhash
+    * family member (batch pairs, incremental probe, [[SigStore]] build and
+    * probe — a store written by one and probed by another MUST hash
+    * identically or recall silently dies).
+    *
+    * sig_i = min over shingles of hash_i(shingle): k independent
+    * permutation surrogates from one seed-free hash family. The variable-
+    * length shingle STRING is hashed exactly once; the k per-permutation
+    * hashes then mix the fixed 8-byte long — k× cheaper than re-hashing
+    * the string k times, identical independence properties. The signature
+    * is a PER-ROW kernel (MinHashRow): one pass inside whole-stage
+    * codegen, no row inflation, NO doc-keyed exchange — signatures are a
+    * function of the document alone, so the first shuffle in any consumer
+    * is its own candidate join. Band key = xxhash64 over (band, slice). */
+  private[operators] def bandRows(sets: DataFrame, bands: Int, rowsPerBand: Int,
+                                  carry: Seq[String] = Nil): DataFrame = {
+    val k = bands * rowsPerBand
+    val keep = Seq(col("id"), col("part")) ++ carry.map(col)
+    val sig = sets.select(keep :+
+      org.apache.spark.sql.graft.AggExprs.minhashRow(col("sh"), k).as("sig"): _*)
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bh"))
+    }
+    sig.select(keep :+ explode(array(bandStructs: _*)).as("x"): _*)
+      .select(keep :+ col("x.band").as("band") :+ col("x.bh").as("bh"): _*)
   }
 
   /** Exact-Jaccard verification of candidate pairs; only candidates — never

@@ -231,6 +231,38 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the live corpus gate composes: decontaminate -> quality -> dedup " +
+      "in ONE streaming query equals the batch chain") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val originals = fixtureDocs(150)
+    val bench = originals.filter(_.doc_id % 50 == 0)
+    val train = originals.filter(_.doc_id % 50 != 0)
+    val benchDf = bench.toDF()
+    // batch truth: same composition, batch inputs
+    val wantIds = graft.operators.PipelinePack.qualityGate(
+        DocStream.decontaminateStream(train.toDF(), benchDf))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val ms = MemoryStream[Doc]
+    val q = DocStream.corpusStream(
+        DocStream.decontaminateStream(ms.toDF(), benchDf), "ts", "1 hour")
+      .select($"doc_id").writeStream.format("memory")
+      .queryName("gate_composed").outputMode("append").start()
+    try {
+      train.sortBy(_.ts.getTime).grouped(30).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("gate_composed").collect().map(_.getLong(0)).toSet
+      // fixture texts are distinct, so the dedup stage drops nothing and
+      // the composed stream must equal the batch filter chain exactly
+      assert(got == wantIds,
+        s"missing=${wantIds -- got} unexpected=${got -- wantIds}")
+      assert(got.nonEmpty && got.size < train.size)
+    } finally q.stop()
+  }
+
   test("streaming ANN serving: chunked probe stream through the IVF store == " +
       "one batch knnJoin of the same probes") {
     import spark.implicits._

@@ -45,6 +45,35 @@ class NearDedupSpec extends SparkSpec {
     unwrap(plan).filter(_.nodeName.toLowerCase.contains("join"))
   }
 
+  test("SigStore: probe == recomputing incremental LSH pair-for-pair; " +
+      "fingerprint gates rebuilds") {
+    import graft.operators.SigStore
+    val docs = Tables.documents(spark, sf0001)
+    val isNew = substring(md5(col("doc_id").cast("string")), 1, 1) < "3"
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-sigstore").toString + "/sig"
+
+    assert(SigStore.buildIfNeeded(docs.where(!isNew), store, "fp1",
+      "doc_id", "text", "lang"))
+    // identical fingerprint: reuse; changed: rebuild
+    assert(!SigStore.buildIfNeeded(docs.where(!isNew), store, "fp1",
+      "doc_id", "text", "lang"))
+    assert(SigStore.buildIfNeeded(docs.where(!isNew), store, "fp2",
+      "doc_id", "text", "lang"))
+
+    val viaStore = SigStore.probe(store, docs.where(isNew),
+        "doc_id", "text", "lang", tau = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val recomputed = NearDedup.minhashLshIncremental(
+        docs.withColumn("is_new", isNew),
+        idCol = "doc_id", textCol = "text", partCol = "lang",
+        newCol = "is_new", tau = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaStore == recomputed,
+      s"missing=${recomputed -- viaStore} extra=${viaStore -- recomputed}")
+    assert(viaStore.nonEmpty)
+  }
+
   test("rankedByDf: hot shingles take the broadcast branch, plan has no hot-key shuffle join") {
     val docs = skewed(100)
     // maxBroadcastVocab=0 forces the at-scale head/tail split branch
