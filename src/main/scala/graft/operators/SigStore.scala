@@ -47,6 +47,8 @@ object SigStore {
                     idCol: String, textCol: String, partCol: String,
                     bands: Int = 32, rowsPerBand: Int = 4): Boolean = {
     val spark = corpus.sparkSession
+    require(!Seq(idCol, textCol, partCol).exists(_.contains(":")),
+      "column names must not contain ':' (sidecar delimiter)")
     val full = s"$fingerprint:$idCol:$textCol:$partCol:b$bands:r$rowsPerBand"
     if (IvfIndex.readSidecar(spark, path, FingerprintFile).contains(full)) false
     else {
@@ -57,6 +59,41 @@ object SigStore {
       IvfIndex.writeSidecar(spark, path, FingerprintFile, full)
       true
     }
+  }
+
+  /** Append an ADMITTED batch's signatures into the store — the third step
+    * of the ingest loop (probe → admit → append): survivors become corpus
+    * for the next batch with no rebuild, at the cost of one batch-bounded
+    * scan and two appended parquet writes. Fails fast on absent
+    * fingerprints and column/parameter mismatches (the IvfIndex append
+    * guard — the sidecar is written LAST by builds, so its absence means
+    * mid-build or crashed, and band parameters are parsed from the
+    * recorded value so the appended keys hash identically). Passing
+    * `fingerprint` re-stamps the sidecar with the new lineage so a
+    * subsequent buildIfNeeded on the grown input doesn't full-rebuild.
+    * Docs with < 3 tokens carry no shingles and are skipped (they cannot
+    * near-dup — batch semantics). */
+  def append(path: String, admitted: DataFrame, idCol: String, textCol: String,
+             partCol: String, fingerprint: Option[String] = None): Unit = {
+    val spark = admitted.sparkSession
+    val recorded = IvfIndex.readSidecar(spark, path, FingerprintFile).getOrElse(
+      throw new IllegalStateException(
+        s"signature store at $path has no fingerprint sidecar (absent or " +
+          "partial build) — rebuild before appending"))
+    val parts = recorded.split(":", -1)
+    require(parts.length >= 6, s"malformed sidecar: $recorded")
+    val tail = parts.takeRight(5) // idCol, textCol, partCol, b<N>, r<N>
+    require(tail(0) == idCol && tail(1) == textCol && tail(2) == partCol,
+      s"signature store at $path was built with columns " +
+        s"(${tail(0)}, ${tail(1)}, ${tail(2)}), append called with " +
+        s"($idCol, $textCol, $partCol)")
+    val (bands, rowsPerBand) = (tail(3).drop(1).toInt, tail(4).drop(1).toInt)
+    val sets = setsOf(admitted, idCol, textCol, partCol)
+    NearDedup.bandRows(sets, bands, rowsPerBand)
+      .write.mode("append").parquet(s"$path/bands")
+    sets.write.mode("append").parquet(s"$path/sets")
+    fingerprint.foreach(fp => IvfIndex.writeSidecar(spark, path,
+      FingerprintFile, s"$fp:$idCol:$textCol:$partCol:b$bands:r$rowsPerBand"))
   }
 
   /** Probe the store with an incoming batch: one row per offending match —

@@ -103,6 +103,41 @@ object DocStream {
     }
   }
 
+  /** The LIVE ingest gate end-to-end — the signature store closing the
+    * loop on a document STREAM: per microbatch, (1) PROBE the store
+    * (`SigStore.probe` — near-dups vs the standing corpus AND vs
+    * smaller-id docs in the same batch), (2) hand the ADMITTED docs (no
+    * offending match) to `sink`, (3) APPEND their signatures so the NEXT
+    * microbatch dedups against them too. The store — durable, shared,
+    * inspectable — is the stream's state instead of executor memory, and
+    * per microbatch the operation is stateless (the annServeSink
+    * posture): each step is the exact batch operator, so live and nightly
+    * ingest cannot drift. Docs with < 3 tokens carry no shingles and are
+    * always admitted (they cannot near-dup — batch semantics; they are
+    * also not stored). Chunked-stream == sequential-batch-loop parity is
+    * proven in DocStreamSpec. */
+  def ingestGateSink(docs: DataFrame, storePath: String,
+                     idCol: String, textCol: String, partCol: String,
+                     tau: Double)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val offenders = graft.operators.SigStore
+            .probe(storePath, batch, idCol, textCol, partCol, tau)
+            .select(col("new_id")).distinct()
+          val admitted = batch
+            .join(offenders, batch(idCol) === offenders("new_id"), "left_anti")
+            .persist() // consumed twice: the sink and the store append
+          try {
+            sink(admitted)
+            graft.operators.SigStore.append(storePath, admitted,
+              idCol, textCol, partCol)
+          } finally admitted.unpersist()
+        }
+      }
+
   /** Streaming ANN retrieval — the RAG-serving shape: a STREAM of probe
     * vectors served against the materialized IVF store. Each microbatch
     * runs the SAME bulk `IvfIndex.knnJoin` the batch surface uses —

@@ -263,6 +263,65 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live ingest gate: probe -> admit -> append through the signature " +
+      "store == the same loop run as sequential batches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.SigStore
+
+    val all = fixtureDocs(300)
+    // corpus = first 200 docs; the "stream" = the remaining 100 plus
+    // planted offenders: copies of a corpus doc AND of an earlier stream
+    // doc (so both the store path and the within-loop path must fire)
+    val (corpusDocs, rest) = all.splitAt(200)
+    val streamDocs = (rest ++ Seq(
+      corpusDocs.head.copy(doc_id = 40001L),
+      rest.head.copy(doc_id = 40002L))).sortBy(_.doc_id)
+    val chunks = streamDocs.grouped(26).map(_.toSeq).toSeq
+
+    def newStore(tag: String): String = {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft-ingest-$tag").toString + "/sig"
+      assert(SigStore.buildIfNeeded(corpusDocs.toDF(), p, tag,
+        "doc_id", "text", "lang"))
+      p
+    }
+
+    // batch truth: the same loop, chunk by chunk
+    val batchStore = newStore("batch")
+    val wantAdmitted = scala.collection.mutable.Set[Long]()
+    chunks.foreach { chunk =>
+      val offenders = SigStore.probe(batchStore, chunk.toDF(),
+          "doc_id", "text", "lang", tau = 0.8)
+        .select("new_id").collect().map(_.getLong(0)).toSet
+      val admitted = chunk.filter(d => !offenders.contains(d.doc_id))
+      wantAdmitted ++= admitted.map(_.doc_id)
+      SigStore.append(batchStore, admitted.toDF(), "doc_id", "text", "lang")
+    }
+
+    val streamStore = newStore("stream")
+    val got = scala.collection.mutable.Set[Long]()
+    val ms = MemoryStream[Doc]
+    val q = DocStream.ingestGateSink(ms.toDF(), streamStore,
+        "doc_id", "text", "lang", tau = 0.8) { adm =>
+        got ++= adm.select("doc_id").collect().map(_.getLong(0))
+      }.start()
+    try {
+      chunks.foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      assert(got.toSet == wantAdmitted.toSet,
+        s"missing=${wantAdmitted -- got} extra=${got -- wantAdmitted}")
+      // the gate must actually reject something on the planted fixture
+      assert(got.size < streamDocs.size, "nothing was rejected")
+      // appended docs are probe-visible: re-probing an admitted doc's
+      // exact text now reports a match against the stream store
+      val probeBack = SigStore.probe(streamStore,
+        streamDocs.filter(d => got.contains(d.doc_id)).take(1)
+          .map(d => d.copy(doc_id = 90000L)).toDF(),
+        "doc_id", "text", "lang", tau = 0.8).collect()
+      assert(probeBack.nonEmpty, "admitted doc not visible to later probes")
+    } finally q.stop()
+  }
+
   test("streaming ANN serving: chunked probe stream through the IVF store == " +
       "one batch knnJoin of the same probes") {
     import spark.implicits._
