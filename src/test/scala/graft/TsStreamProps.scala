@@ -264,4 +264,63 @@ class TsStreamProps extends SparkSpec {
     }
     assert(keyCases >= 100, s"only $keyCases generated key-cases")
   }
+
+  test("streaming funnel == the chain definition on randomized user streams " +
+      "(>=100 generated user-cases, random arrival order and chunking)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = t("2024-01-01 08:00:00").getTime
+    val stages = Seq("view", "click", "purchase")
+    val alphabet = stages ++ Seq("noise", "error")
+    var userCases = 0
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 104729L)
+      val nUsers = 30
+      userCases += nUsers
+      val evs = (0 until nUsers).flatMap { u =>
+        (0 until rnd.nextInt(13)).map { i =>
+          Ev(u * 1000L + i, new Timestamp(base + rnd.nextInt(240) * 60000L),
+            u.toLong, alphabet(rnd.nextInt(alphabet.length)), 1.0, "{}")
+        }
+      }
+      // reference: the batch chain definition, computed independently —
+      // stage i = earliest matching event strictly after stage i−1
+      val want = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        def stageAt(ty: String, after: Long): Option[Long] = {
+          val c = es.filter(e => e.event_type == ty && e.ts.getTime * 1000L > after)
+          if (c.isEmpty) None else Some(c.map(e => e.ts.getTime * 1000L).min)
+        }
+        for {
+          v <- stageAt("view", Long.MinValue)
+          c <- stageAt("click", v)
+          p <- stageAt("purchase", c)
+        } yield u -> Seq(v, c, p)
+      }
+
+      // random ARRIVAL order (not time order): a 10h watermark keeps every
+      // row inside the horizon, so buffering must fully reorder it
+      val arrival = rnd.shuffle(evs)
+      val ms = MemoryStream[Ev]
+      val q = TsStream.funnelStream(ms.toDF(), "user_id", "ts", "event_type",
+          stages, watermark = "10 hours")
+        .writeStream.format("memory").queryName(s"funnel_prop_$seed")
+        .outputMode("append").start()
+      try {
+        var i = 0
+        while (i < arrival.length) {
+          val n = 1 + rnd.nextInt(25)
+          ms.addData(arrival.slice(i, i + n)); i += n
+          q.processAllAvailable()
+        }
+        ms.addData(Ev(-1L, t("2024-02-01 00:00:00"), -1L, "noise", 0.0, "{}"))
+        q.processAllAvailable()
+        val got = spark.table(s"funnel_prop_$seed").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        assert(got == want,
+          s"seed=$seed: missing=${(want.toSet -- got.toSet).take(3)} " +
+            s"extra=${(got.toSet -- want.toSet).take(3)}")
+      } finally q.stop()
+    }
+    assert(userCases >= 100, s"only $userCases generated user-cases")
+  }
 }
