@@ -194,6 +194,28 @@ object RelationalPack extends QueryPack {
         col("n"), col("sum_price"))
       .orderBy(col("nation"), col("priority"))
 
+  /** B4+ join-key skew diagnostic — the report that tells you whether a
+    * shuffle join needs `q_join_salted`'s treatment BEFORE it falls over:
+    * the 10 hottest join keys with their row counts and share of the
+    * table, plus the key cardinality. One map-side-combined aggregate
+    * (state = |keys|), the grand total re-entering as a broadcast 1-row
+    * aggregate, a k-bounded TakeOrdered — nothing corpus-sized moves. The
+    * q_event_gaps/q_anomaly_mad observability discipline applied to join
+    * planning. */
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("key"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"),
+        col("n_keys"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(10)
+  }
+
   /** B4 explicit GROUPING SETS — the general form rollup/cube specialize:
     * exactly the three sets {(nation, priority), (nation), (priority)}
     * (both one-dimension marginals, NO grand total — a set neither rollup
@@ -302,6 +324,7 @@ object RelationalPack extends QueryPack {
     "q_agg_rollup" -> aggRollup,
     "q_agg_cube" -> aggCube,
     "q_agg_grouping_sets" -> aggGroupingSets,
+    "q_skew_report" -> skewReport,
     "q_window_rank_stats" -> windowRankStats,
     "q_window_topn_per_group" -> windowTopnPerGroup,
     "q_topk" -> topk,
@@ -370,6 +393,13 @@ object RelationalPack extends QueryPack {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, o_orderpriority)
         |ORDER BY nation, priority""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS n
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM c)
+        |SELECT c.key, c.n, round(CAST(c.n AS DOUBLE) / t.total, 6) AS share,
+        |       t.n_keys
+        |FROM c CROSS JOIN t ORDER BY c.n DESC, c.key LIMIT 10""".stripMargin,
     "q_agg_grouping_sets" ->
       """SELECT coalesce(n_name, 'ALL') AS nation,
         |coalesce(o_orderpriority, 'ALL') AS priority,
