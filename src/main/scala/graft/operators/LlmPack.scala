@@ -711,6 +711,34 @@ object LlmPack extends QueryPack {
     SimilaritySearch.cosinePairs(Tables.embeddings(s, dir),
       idCol = "vec_id", vecCol = "embedding", tau = 0.45, dim = 64)
 
+  /** B9+ semantic dedup carried to CLUSTERS: connected components over the
+    * q_dedup_embed cosine pair graph — the same min-label machinery as the
+    * text family (NearDedup.clusterPairs: size-adaptive driver union-find
+    * vs distributed min-label propagation), so the embedding modality now
+    * has the full dedup ladder pairs → clusters → canonical. Oracle:
+    * recursive reachability over the same cosine pairs. */
+  def dedupEmbedCluster(s: SparkSession, dir: String): DataFrame =
+    NearDedup.clusterPairs(dedupEmbed(s, dir))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
+
+  /** B9+ semantic CANONICAL selection — the keep-list: every vector
+    * survives unless it is a non-label member of a cosine cluster. Same
+    * edge-count-gated prune dispatch as the text canonical
+    * (NearDedup.pruneByLosers: broadcast under the conf'd ceiling,
+    * shuffled left_anti above — the r10-verdict discipline), with the
+    * bound coming FREE from the cluster pipeline. */
+  def dedupEmbedCanonical(s: SparkSession, dir: String): DataFrame = {
+    val (clusters, edgeBound) =
+      NearDedup.clusterPairsCounted(dedupEmbed(s, dir))
+    val losers = clusters.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("vec_id"))
+    NearDedup.pruneByLosers(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+        losers, edgeBound, idCol = "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
   /** B9 rolling-hash fingerprints (winnowing/MOSS — NearDedup.winnow), in
     * the md5-bit form so the key carries a FULL DuckDB value oracle: each
     * gram hash is the first 60 bits of md5 (15 hex digits — non-negative,
@@ -1007,6 +1035,8 @@ object LlmPack extends QueryPack {
     "q_lang_id" -> langId,
     "q_token_bpe" -> tokenBpe,
     "q_dedup_embed" -> dedupEmbed,
+    "q_dedup_embed_cluster" -> dedupEmbedCluster,
+    "q_dedup_embed_canonical" -> dedupEmbedCanonical,
     "q_fingerprint_winnow" -> fingerprintWinnow,
     "q_multimodal_meta" -> multimodalMeta,
     "q_multimodal_frames" -> multimodalFrames,
@@ -1046,6 +1076,16 @@ object LlmPack extends QueryPack {
        |$iters
        |SELECT vec_id, cl AS cluster, sim FROM a$KmIters ORDER BY vec_id""".stripMargin
   }
+
+  /** Shared CTE for the embedding-dedup family: the τ=0.45 cosine pair
+    * graph (q_dedup_embed's own oracle core). */
+  private val embedPairCtes: String =
+    """em AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |        round(list_dot_product(a.v, b.v)
+      |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      |      FROM em a JOIN em b ON a.vec_id < b.vec_id),
+      |pr AS (SELECT a_id, b_id FROM s WHERE sim >= 0.45)""".stripMargin
 
   private lazy val incrementalOracle: String =
     s"""WITH $nearDupCtes,
@@ -1397,6 +1437,31 @@ object LlmPack extends QueryPack {
         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT a_id, b_id, sim FROM s WHERE sim >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
+    // The text-cluster reachability closure, over the cosine pair graph.
+    "q_dedup_embed_cluster" ->
+      s"""WITH RECURSIVE $embedPairCtes,
+         |e AS (SELECT a_id AS u, b_id AS v FROM pr
+         |      UNION ALL SELECT b_id, a_id FROM pr),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT u, u FROM e
+         |  UNION
+         |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node)
+         |SELECT node AS vec_id, min(r) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
+    "q_dedup_embed_canonical" ->
+      s"""WITH RECURSIVE $embedPairCtes,
+         |e AS (SELECT a_id AS u, b_id AS v FROM pr
+         |      UNION ALL SELECT b_id, a_id FROM pr),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT u, u FROM e
+         |  UNION
+         |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node),
+         |cl AS (SELECT node AS vec_id, min(r) AS cluster_id
+         |       FROM reach GROUP BY node)
+         |SELECT m.vec_id, m.label FROM embeddings m
+         |LEFT JOIN cl ON m.vec_id = cl.vec_id
+         |WHERE cl.vec_id IS NULL OR cl.vec_id = cl.cluster_id
+         |ORDER BY m.vec_id""".stripMargin,
     // Same dot/(norm·norm) formulation as q_sim_topk; ranking happens on
     // the ROUNDED sim on both sides so float-tie order can't diverge.
     "q_knn_join" ->
