@@ -120,6 +120,27 @@ object TimeSeriesPack extends QueryPack {
         .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")))
   }
 
+  /** A3+ retention round-trip: four days of events land, `dropBefore`
+    * expires the oldest two day-partitions (O(#days) metadata deletes —
+    * the operation the daily layout exists to make cheap: no rewrite, no
+    * scan), and the FULL original range reads back. The oracle is the raw
+    * events at-or-after the cutoff day, so this hash-checks that
+    * retention removes exactly the expired days and nothing else;
+    * partition-file mechanics and append-guard survival are asserted in
+    * CompactSpec. Completes the ORACLED storage lifecycle:
+    * create → append → read → compact → expire. */
+  def retentionRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tsretain_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    t.append(ev)
+    t.dropBefore("2024-01-03")
+    eventsProjection(
+      TsTable.open(s, store)
+        .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
+  }
+
   /** B2 projection + non-time predicate; both pushed to the parquet scan. */
   def filterProject(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -538,6 +559,7 @@ object TimeSeriesPack extends QueryPack {
     "q_append_roundtrip" -> appendRoundtrip,
     "q_ts_v2_roundtrip" -> v2Roundtrip,
     "q_ts_compact" -> compactRoundtrip,
+    "q_ts_retention" -> retentionRoundtrip,
     "q_filter_project" -> filterProject,
     "q_scalar_datetime" -> scalarDatetime,
     "q_resample_ohlc" -> resampleOhlc,
@@ -593,6 +615,14 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_compact" ->
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-03 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+    // dropBefore('2024-01-03') leaves exactly the [cutoff-day, build-bound)
+    // rows; the read's closed upper bound admits nothing (store built from
+    // ts strictly below it).
+    "q_ts_retention" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-03 00:00:00'
+         |  AND date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
          |ORDER BY event_id""".stripMargin,
     "q_filter_project" ->
       """SELECT event_id, user_id, value FROM events
