@@ -211,6 +211,34 @@ object EventAnalyticsPack extends QueryPack {
       .limit(20)
   }
 
+  private val SessionGapUs = 10L * 60 * 1000000 // = SessionGap, in µs
+
+  /** B5+ explicit sessionization — per-EVENT session ids (the
+    * gaps-and-islands assignment), where q_window_session /
+    * q_session_stats emit per-SESSION aggregates: an event starts a new
+    * session when its gap to the user's previous event exceeds the same
+    * 10-minute threshold `session_window` uses, and the session sequence
+    * number is the running sum of those starts. ONE user_id exchange
+    * serves both window passes (lag, then the running sum — same
+    * partitioning and order). Exact epoch-µs arithmetic; EventAnalytics-
+    * Spec proves the island count per user equals `session_window`'s
+    * session count — the two formulations are the same partition. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess", // >= : session_window's window end is
+        // EXCLUSIVE, so a gap of exactly the threshold starts a new session
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") >= SessionGapUs, 1L).otherwise(0L))
+      .withColumn("sess_seq", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("sess_seq"),
+        col("us").as("ts_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** B5+ inter-event gap statistics per user — the signal that TUNES the
     * sessionization threshold (q_window_session's 10-minute gap is a
     * constant someone must justify; this is the distribution that
@@ -240,6 +268,7 @@ object EventAnalyticsPack extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_gaps" -> eventGaps,
+    "q_sessionize" -> sessionize,
     "q_event_paths" -> eventPaths,
     "q_funnel" -> funnel,
     "q_retention" -> retention,
@@ -249,6 +278,18 @@ object EventAnalyticsPack extends QueryPack {
     "q_session_stats" -> sessionStats)
 
   def oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  epoch_us(date_trunc('microseconds', ts)) AS us FROM events),
+        |g AS (SELECT event_id, user_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w >= 600000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT event_id, user_id,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_seq,
+        |  us AS ts_us
+        |FROM g ORDER BY event_id""".stripMargin,
     "q_event_gaps" ->
       """WITH e AS (SELECT user_id, event_id,
         |  epoch_us(date_trunc('microseconds', ts)) AS us FROM events),

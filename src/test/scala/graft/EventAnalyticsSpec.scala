@@ -32,6 +32,22 @@ class EventAnalyticsSpec extends SparkSpec {
   private def row(df: DataFrame, user: Long): org.apache.spark.sql.Row =
     df.where(col("user_id") === user).collect().head
 
+  test("sessionize: islands == session_window sessions, per user and in total") {
+    import org.apache.spark.sql.functions._
+    val islands = graft.operators.EventAnalyticsPack.sessionize(spark, sf0001)
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("sess_seq")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val windows = Tables.events(spark, sf0001)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .count()
+      .groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(islands == windows,
+      "gaps-and-islands and session_window must induce the same partition")
+    assert(islands.values.sum > islands.size, "multi-session users expected")
+  }
+
   test("eventGaps: gaps replay a driver-side lag over (ts, event_id) order") {
     val evs = Tables.events(spark, sf0001)
       .select(org.apache.spark.sql.functions.col("user_id"),
