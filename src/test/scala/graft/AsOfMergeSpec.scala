@@ -163,6 +163,9 @@ class AsOfMergeSpec extends SparkSpec {
           |  (SELECT count_min_sketch(x, 0.001d, 0.99d, 42)
           |   FROM (VALUES ('a'), ('a'), ('b')) t(x)), 'a')""".stripMargin)
         .head.getLong(0) == 2L)
+      // generalized shingles: n=2 over 'a b c' = the two bigrams
+      assert(session.sql("SELECT graft_shingles('a b c', 2)")
+        .head.getSeq[String](0) == Seq("a b", "b c"))
       // literal-argument validation surfaces as an error, not silence
       intercept[Exception] {
         session.sql("SELECT graft_winnow('abc', length('ab'), 4)").collect()
