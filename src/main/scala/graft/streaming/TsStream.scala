@@ -61,6 +61,17 @@ case class FunnelHit(user: Long, stage_us: Seq[Long])
 case class FunnelState(stageUs: Seq[Long], buf: Seq[(Long, String)],
                        foldedToUs: Long, done: Boolean)
 
+/** One sessionized event: its user, id, event time, and the 1-based
+  * session sequence number within the user. */
+case class SessionAssign(user: Long, event_id: Long, ts_us: Long,
+                         sess_seq: Long)
+
+/** Per-user sessionization state: the last folded event time, the running
+  * session counter, events buffered above the fold horizon, and the
+  * horizon itself. */
+case class SessionizeState(lastUs: Long, seq: Long,
+                           buf: Seq[(Long, Long)], foldedToUs: Long)
+
 /** Structured-Streaming face of the engine (SURVEY.md §2 B10).
   *
   * The reference is batch-only, but its ordered-append contract IS a stream
@@ -377,6 +388,61 @@ object TsStream extends Serializable {
           if (ns.buf.nonEmpty) // wake when the watermark passes the buffer head
             state.setTimeoutTimestamp(ns.buf.map(_._1).min / 1000L + 1L)
           hits.iterator
+        })
+  }
+
+  /** Streaming sessionization — the live twin of the gaps-and-islands
+    * assignment (`EventAnalyticsPack.sessionize`): every event gets its
+    * user's 1-based session sequence number, final the moment it is
+    * emitted. Same threshold convention as `session_window` (a gap of
+    * exactly `gap` STARTS a new session — the exclusive window end), so
+    * batch and stream induce the same session partition.
+    *
+    * A session number depends on every earlier event of the user in
+    * EVENT-TIME order, so the operator uses the funnelStream discipline:
+    * buffer until the watermark passes an event, fold ripe events sorted,
+    * emit each with its final number, re-arm an event-time timeout at the
+    * buffer head so quiet users still flush. Folded state is TWO longs
+    * per user (last event time + counter — O(users), what any lifetime
+    * per-user aggregate pays); the buffer is rate × horizon bounded. Late
+    * rows beyond the fold horizon are dropped (the shared watermark
+    * divergence). Chunked-replay parity vs the batch key in
+    * TsStreamSpec. */
+  def sessionizeStream(events: DataFrame, userCol: String, idCol: String,
+                       tsCol: String, gapUs: Long = 10L * 60 * 1000000,
+                       watermark: String = "1 hour"): Dataset[SessionAssign] = {
+    require(gapUs > 0, s"gap must be positive, got $gapUs")
+    import events.sparkSession.implicits._
+    events
+      .select(col(userCol).cast("long").as("user"),
+        col(idCol).cast("long").as("event_id"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[SessionizeState]) => {
+          val s0 = state.getOption.getOrElse(
+            SessionizeState(Long.MinValue, 0L, Nil, Long.MinValue))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val fresh =
+            if (state.hasTimedOut) Nil
+            else it.map(e => (usOf(e._3), e._2))
+              .filter(_._1 > s0.foldedToUs).toSeq // late-beyond-horizon drop
+          val (ripe, hold) = (s0.buf ++ fresh).partition(_._1 <= wmUs)
+          var lastUs = s0.lastUs
+          var seq = s0.seq
+          val out = ripe.sortBy(identity).map { case (t, id) =>
+            if (lastUs == Long.MinValue || t - lastUs >= gapUs) seq += 1
+            lastUs = t
+            SessionAssign(user, id, t, seq)
+          }
+          state.update(SessionizeState(lastUs, seq, hold,
+            math.max(s0.foldedToUs, wmUs)))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(hold.map(_._1).min / 1000L + 1L)
+          out.iterator
         })
   }
 

@@ -217,6 +217,43 @@ class TsStreamSpec extends SparkSpec {
     assert(got7 == got3)
   }
 
+  test("streaming sessionization == batch gaps-and-islands on chunked " +
+      "replay with shuffled arrival inside the horizon") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .as[Ev].collect()
+    val want = graft.operators.EventAnalyticsPack.sessionize(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // shuffled WITHIN coarse time bands (so nothing is late past the 3h
+    // watermark but the fold must reorder inside each band)
+    val rnd = new scala.util.Random(42)
+    val banded = rows.groupBy(_.ts.getTime / (3600L * 1000)).toSeq
+      .sortBy(_._1).flatMap { case (_, band) => rnd.shuffle(band.toSeq) }
+    val flush = Ev(-1L, new Timestamp(rows.map(_.ts.getTime).max +
+      30L * 24 * 3600 * 1000), -1L, "noop", 0.0, "{}")
+
+    val ms = MemoryStream[Ev]
+    val q = TsStream.sessionizeStream(ms.toDF(), "user_id", "event_id", "ts",
+        watermark = "3 hours")
+      .writeStream.format("memory").queryName("sessionize_stream")
+      .outputMode("append").start()
+    try {
+      banded.grouped(120).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      ms.addData(flush); q.processAllAvailable()
+      val got = spark.table("sessionize_stream").collect()
+        .filter(_.getLong(0) >= 0)
+        .map(r => (r.getLong(1), r.getLong(0), r.getLong(3))).toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      assert(want.map(_._3).max > 1, "fixture should produce multi-session users")
+    } finally q.stop()
+  }
+
   test("streaming funnel: completion emits once; equal-time events cannot chain") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
