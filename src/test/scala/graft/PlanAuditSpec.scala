@@ -402,6 +402,17 @@ class PlanAuditSpec extends SparkSpec {
       s"both sides must reduce to digests before the join:\n$p")
   }
 
+  test("sessionize and event gaps: ONE user_id exchange each — window " +
+      "partitioning is reused by the downstream pass") {
+    for ((name, df) <- Seq(
+        "sessionize" -> graft.operators.EventAnalyticsPack.sessionize(spark, sf0001),
+        "eventGaps" -> graft.operators.EventAnalyticsPack.eventGaps(spark, sf0001))) {
+      val p = plan(df)
+      assert("hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+        s"$name should exchange user_id exactly once:\n$p")
+    }
+  }
+
   test("executed plans run inside whole-stage codegen (AQE final plans)") {
     // AQE shows codegen stages only once the final plan materializes, so
     // execute first; a representative read, agg and join query each.
