@@ -266,7 +266,64 @@ object EventAnalyticsPack extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** B5+ SCD-2 state compression (gaps-and-islands on VALUE change, the
+    * temporal-table builder): each user's event stream collapsed to runs of
+    * consecutive equal event_type, emitted as validity intervals
+    * [valid_from, valid_to) — valid_to is the NEXT run's start (null for
+    * the open current state), the classic slowly-changing-dimension type-2
+    * load. Same single-exchange discipline as q_sessionize: every window
+    * here partitions on user_id, so Catalyst plans ONE hash exchange and
+    * sorts once on (ts, event_id) — the run flag, run id, and the final
+    * lead() over runs all reuse it. The run aggregate then shrinks the
+    * data to |state changes| rows before the lead, so the second window
+    * input is runs, not events. At 100 TB this is the standard CDC
+    * compaction shape: one shuffle by entity, output bounded by change
+    * count. */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(min(col("us")).as("valid_from_us"), count(lit(1)).as("n_events"))
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wr))
+      .select(col("user_id"), col("run_id"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"))
+      .orderBy(col("user_id"), col("run_id"))
+  }
+
+  /** B8+ calendar feature extraction (the time-feature step of a tabular
+    * ML pipeline): activity heatmap by day-of-week × hour — event count,
+    * distinct users, mean value. Day-of-week is normalized to Monday=0 on
+    * BOTH engines via explicit arithmetic ((dayofweek+5) mod 7 on Spark's
+    * Sunday=1 convention, isodow−1 on DuckDB's Monday=1) because the
+    * engines' raw dow functions disagree — the classic cross-engine
+    * calendar trap, pinned here under oracle. Pure narrow projection into
+    * a 7×24-bounded aggregate: full map-side combine, output size fixed
+    * regardless of data scale. */
+  def timeFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(pmod(dayofweek(col("ts")) + lit(5), lit(7)).cast("long").as("dow_mon0"),
+        hour(col("ts")).cast("long").as("hr"),
+        col("user_id"), col("value"))
+      .withColumn("is_weekend", col("dow_mon0") >= 5)
+      .groupBy(col("dow_mon0"), col("hr"), col("is_weekend"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(Det.dsumDec(col("value")).cast("double") / count(lit(1)), 6)
+          .as("mean_value"))
+      .orderBy(col("dow_mon0"), col("hr"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> scd2,
+    "q_time_features" -> timeFeatures,
     "q_event_gaps" -> eventGaps,
     "q_sessionize" -> sessionize,
     "q_event_paths" -> eventPaths,
@@ -278,6 +335,34 @@ object EventAnalyticsPack extends QueryPack {
     "q_session_stats" -> sessionStats)
 
   def oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(date_trunc('microseconds', ts)) AS us FROM events),
+        |g AS (SELECT user_id, event_id, event_type, us,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |r AS (SELECT user_id, event_type, us,
+        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |  FROM g),
+        |runs AS (SELECT user_id, run_id, event_type,
+        |  min(us) AS valid_from_us, count(*) AS n_events
+        |  FROM r GROUP BY user_id, run_id, event_type)
+        |SELECT user_id, run_id, event_type, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+        |    AS valid_to_us,
+        |  n_events
+        |FROM runs ORDER BY user_id, run_id""".stripMargin,
+    "q_time_features" ->
+      """WITH e AS (SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow_mon0,
+        |  CAST(extract(hour FROM ts) AS BIGINT) AS hr, user_id, value
+        |  FROM events)
+        |SELECT dow_mon0, hr, dow_mon0 >= 5 AS is_weekend,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6)
+        |    AS mean_value
+        |FROM e GROUP BY dow_mon0, hr ORDER BY dow_mon0, hr""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT event_id, user_id,
         |  epoch_us(date_trunc('microseconds', ts)) AS us FROM events),

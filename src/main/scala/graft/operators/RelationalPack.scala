@@ -311,7 +311,40 @@ object RelationalPack extends QueryPack {
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
       .orderBy(col("k"))
 
+  private val FuzzyMaxDist = 3
+
+  /** B3+ FUZZY (edit-distance) join with blocking — the entity-resolution
+    * primitive (pandas users reach for `fuzzywuzzy` + a manual blocking
+    * loop after `read_range`): candidate name pairs whose Levenshtein
+    * distance is ≤ 3, blocked on the name's last token so the quadratic
+    * term is confined to within-block pairs. The plan is the 100 TB shape
+    * for fuzzy matching: (1) the fact table first collapses to its NAME
+    * VOCABULARY (a map-side-combining aggregate — the only pass over the
+    * big table, and the vocabulary is generative-grammar-bounded, not
+    * data-bounded); (2) the vocabulary self-joins on the blocking key
+    * (both sides broadcast-size by construction); (3) `levenshtein` — a
+    * codegen'd Catalyst expression, not a UDF — runs only on blocked
+    * candidates. `pk_a < pk_b` canonicalizes pair order. DuckDB implements
+    * the same classic Wagner–Fischer distance, so the threshold filter is
+    * exactly replayable. */
+  def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir)
+      .groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("pk"))
+      .withColumn("block", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("p_name").as("name_a"), col("pk").as("pk_a"),
+      col("block"))
+    val b = names.select(col("p_name").as("name_b"), col("pk").as("pk_b"),
+      col("block").as("block_b"))
+    a.join(b, col("block") === col("block_b") && col("pk_a") < col("pk_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("dist") <= FuzzyMaxDist)
+      .select(col("name_a"), col("name_b"), col("dist"), col("pk_a"), col("pk_b"))
+      .orderBy(col("pk_a"), col("pk_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_join" -> fuzzyJoin,
     "q_join_broadcast" -> joinBroadcast,
     "q_join_multiway" -> joinMultiway,
     "q_semi_join" -> semiJoin,
@@ -333,6 +366,16 @@ object RelationalPack extends QueryPack {
     "q_cooccur" -> cooccur)
 
   def oracles: Map[String, String] = Map(
+    "q_fuzzy_join" ->
+      s"""WITH names AS (SELECT p_name, min(p_partkey) AS pk,
+         |    split_part(p_name, ' ', -1) AS block
+         |  FROM part GROUP BY p_name)
+         |SELECT a.p_name AS name_a, b.p_name AS name_b,
+         |  levenshtein(a.p_name, b.p_name) AS dist,
+         |  a.pk AS pk_a, b.pk AS pk_b
+         |FROM names a JOIN names b ON a.block = b.block AND a.pk < b.pk
+         |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
+         |ORDER BY pk_a, pk_b""".stripMargin,
     "q_join_broadcast" ->
       """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -173,6 +173,24 @@ object StatsPack extends QueryPack {
       .orderBy(col("day_us"))
   }
 
+  /** B4+ unpivot/melt (pandas `melt` — the inverse of q_pivot): the wide
+    * day × per-type count matrix reshaped back to long
+    * (day, metric, n) rows. Spark's native `unpivot` plans an Expand over
+    * the already-aggregated wide result — a NARROW per-row fan-out of
+    * |EventTypes| rows, no shuffle beyond the ones q_pivot already paid —
+    * so at 100 TB melt costs nothing over the aggregate that feeds it.
+    * Zero-filled combos survive the round trip (coalesce(…, 0) upstream),
+    * which is exactly what distinguishes pivot∘unpivot from a plain
+    * (day, type) group-by: absent combinations are PRESENT with n=0. The
+    * oracle replays the same wide CTE and melts it with UNION ALL (one
+    * branch per metric — dialect-free). */
+  def unpivotLong(s: SparkSession, dir: String): DataFrame =
+    pivot(s, dir)
+      .drop("n_total")
+      .unpivot(Array(col("day_us")), EventTypes.map(t => col(s"n_$t")).toArray,
+        "metric", "n")
+      .orderBy(col("day_us"), col("metric"))
+
   private val HistLo = 900.0
   private val HistW = 5205.0 // (105000 − 900) / 20 buckets
   private val HistBuckets = 20
@@ -362,6 +380,7 @@ object StatsPack extends QueryPack {
     "q_window_zscore" -> windowZscore,
     "q_percentiles" -> percentiles,
     "q_pivot" -> pivot,
+    "q_unpivot" -> unpivotLong,
     "q_histogram" -> histogram,
     "q_window_running" -> windowRunning,
     "q_feature_lags" -> featureLags,
@@ -465,6 +484,17 @@ object StatsPack extends QueryPack {
          |$cols,
          |count(*) AS n_total
          |FROM events GROUP BY 1 ORDER BY day_us""".stripMargin
+    },
+    "q_unpivot" -> {
+      val cols = EventTypes.map(t =>
+        s"count(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(",\n|")
+      val branches = EventTypes.map(t =>
+        s"SELECT day_us, 'n_$t' AS metric, n_$t AS n FROM w").mkString("\n|UNION ALL ")
+      s"""WITH w AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+         |$cols
+         |FROM events GROUP BY 1)
+         |$branches
+         |ORDER BY day_us, metric""".stripMargin
     },
     "q_histogram" ->
       s"""WITH b AS (SELECT CAST(least(greatest(

@@ -141,6 +141,42 @@ object TimeSeriesPack extends QueryPack {
         .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
   }
 
+  // Query rectangle as FRACTIONS of each dimension's [min, max] span —
+  // the fixture's user_id domain scales with SF, so absolute bounds
+  // would select nothing at one scale and everything at another. Both
+  // engines derive the same double bounds from the same min/max with the
+  // same IEEE ops, so the predicate is exactly replayable.
+  private[operators] val ZxFrac = (0.2, 0.45)
+  private[operators] val ZyFrac = (0.1, 0.4)
+
+  /** B1+ Z-ORDER clustered layout + rectangle query (see [[ZOrderLayout]]):
+    * the events copy is laid out along a Morton curve over
+    * (user_id, value), buckets become partition directories, and the
+    * rectangle predicate prunes to the buckets whose decoded bounding box
+    * intersects — file-listing-level skipping on a TWO-dimensional
+    * predicate, which no single-column sort can give. Build is amortized
+    * via the input fingerprint (the q_sim_ivf ledger); results are
+    * byte-identical to the unclustered scan, so the oracle is the plain
+    * rectangle SQL on `events`. Bucket-pruning (numFiles < total) and
+    * box-decode soundness are asserted in ZOrderSpec. */
+  def zorderRect(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.stable(s, s"graft_zorder_${StoreDirs.pathKey(dir)}")
+    val fp = IvfIndex.inputFingerprint(s, s"$dir/events.parquet")
+    ZOrderLayout.buildIfNeeded(
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("value"), col("ts")),
+      "user_id", "value", store, fp)
+    val m = ZOrderLayout.readMeta(s, store)
+    ZOrderLayout.queryRect(s, store, "user_id", "value",
+      m.xMin + ZxFrac._1 * (m.xMax - m.xMin),
+      m.xMin + ZxFrac._2 * (m.xMax - m.xMin),
+      m.yMin + ZyFrac._1 * (m.yMax - m.yMin),
+      m.yMin + ZyFrac._2 * (m.yMax - m.yMin))
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** B2 projection + non-time predicate; both pushed to the parquet scan. */
   def filterProject(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -560,6 +596,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_v2_roundtrip" -> v2Roundtrip,
     "q_ts_compact" -> compactRoundtrip,
     "q_ts_retention" -> retentionRoundtrip,
+    "q_zorder_cluster" -> zorderRect,
     "q_filter_project" -> filterProject,
     "q_scalar_datetime" -> scalarDatetime,
     "q_resample_ohlc" -> resampleOhlc,
@@ -623,6 +660,22 @@ object TimeSeriesPack extends QueryPack {
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-03 00:00:00'
          |  AND date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+    // The z-ordered copy holds exactly the events rows; bucket pruning is
+    // conservative and the exact predicate re-applies, so the clustered
+    // rectangle query must equal the plain scan's.
+    "q_zorder_cluster" ->
+      s"""WITH mm AS (SELECT CAST(min(user_id) AS DOUBLE) AS x0,
+         |    CAST(max(user_id) AS DOUBLE) AS x1,
+         |    min(value) AS y0, max(value) AS y1 FROM events),
+         |b AS (SELECT x0 + ${ZxFrac._1} * (x1 - x0) AS xlo,
+         |    x0 + ${ZxFrac._2} * (x1 - x0) AS xhi,
+         |    y0 + ${ZyFrac._1} * (y1 - y0) AS ylo,
+         |    y0 + ${ZyFrac._2} * (y1 - y0) AS yhi FROM mm)
+         |SELECT event_id, user_id, value,
+         |  epoch_us(date_trunc('microseconds', ts)) AS ts_us FROM events, b
+         |WHERE user_id >= xlo AND user_id <= xhi
+         |  AND value >= ylo AND value <= yhi
          |ORDER BY event_id""".stripMargin,
     "q_filter_project" ->
       """SELECT event_id, user_id, value FROM events

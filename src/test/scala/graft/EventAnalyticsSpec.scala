@@ -208,4 +208,45 @@ class EventAnalyticsSpec extends SparkSpec {
     // counted ONCE despite the pair sharing two hour buckets (11:00 attribution)
     assert(got == Map((1L, 2L) -> (1L, 300000000L)), got.toString)
   }
+
+  test("scd2: runs compress state changes; intervals chain and cover") {
+    val dir = eventsDir(Seq(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 10:01:00"),
+      (1L, "click", "2024-01-01 10:02:00"),
+      (1L, "view", "2024-01-01 10:03:00"), // back to view → NEW run, not merged
+      (2L, "purchase", "2024-01-01 09:00:00")))
+    val rows = EventAnalyticsPack.scd2(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))
+    val u1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(u1.map(_._3).toSeq == Seq("view", "click", "view"),
+      "A→A→B→A must yield three runs (reverting state reopens a run)")
+    assert(u1.map(_._6).toSeq == Seq(2L, 1L, 1L), "run event counts")
+    // valid_to of run k == valid_from of run k+1; last run open (null)
+    u1.sliding(2).foreach { case Array(a, b) => assert(a._5 == b._4) }
+    assert(u1.last._5 == -1L, "current state has no end")
+    assert(rows.filter(_._1 == 2L).map(_._5).toSeq == Seq(-1L))
+  }
+
+  test("scd2: event-id tiebreak makes same-timestamp runs deterministic") {
+    // Two different types at the SAME instant: run order must follow
+    // event_id (insertion order), not hash luck.
+    val dir = eventsDir(Seq(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:00:00")))
+    val types = EventAnalyticsPack.scd2(spark, dir)
+      .orderBy(col("run_id")).collect().map(_.getString(2)).toSeq
+    assert(types == Seq("view", "click"))
+  }
+
+  test("timeFeatures: dow normalization is Monday=0 and weekend flag at 5/6") {
+    val dir = eventsDir(Seq(
+      (1L, "view", "2024-01-01 03:00:00"), // Monday
+      (2L, "view", "2024-01-06 22:00:00"), // Saturday
+      (3L, "view", "2024-01-07 23:00:00"))) // Sunday
+    val got = EventAnalyticsPack.timeFeatures(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((0L, 3L, false), (5L, 22L, true), (6L, 23L, true)))
+  }
 }

@@ -100,6 +100,20 @@ class StatsPackSpec extends SparkSpec {
     assert(sums.getLong(5) == byType.values.sum)
   }
 
+  test("unpivot: melt is the exact inverse of pivot, zero-filled combos kept") {
+    val days = StatsPack.pivot(spark, sf001).count()
+    val long = StatsPack.unpivotLong(spark, sf001)
+    // Dense grid: every (day, metric) present, absent combos as n=0 rows.
+    assert(long.count() == days * 5, "melt must keep zero-filled combos")
+    val total = Tables.events(spark, sf001).count()
+    assert(long.agg(sum("n")).head().getLong(0) == total)
+    // Round trip: re-pivoting the long form reproduces the wide counts.
+    val rePiv = long.groupBy("day_us").pivot("metric").sum("n")
+    val wide = StatsPack.pivot(spark, sf001).drop("n_total")
+    assert(rePiv.orderBy("day_us").collect().toSeq ==
+      wide.orderBy("day_us").collect().toSeq)
+  }
+
   test("running total: last cum_rev equals the DECIMAL-exact grand total") {
     val rows = StatsPack.windowRunning(spark, sf001).collect()
     val grand = Tables.orders(spark, sf001)
