@@ -273,29 +273,35 @@ object EventAnalyticsPack extends QueryPack {
     * the open current state), the classic slowly-changing-dimension type-2
     * load. Same single-exchange discipline as q_sessionize: every window
     * here partitions on user_id, so Catalyst plans ONE hash exchange and
-    * sorts once on (ts, event_id) — the run flag, run id, and the final
-    * lead() over runs all reuse it. The run aggregate then shrinks the
-    * data to |state changes| rows before the lead, so the second window
-    * input is runs, not events. At 100 TB this is the standard CDC
-    * compaction shape: one shuffle by entity, output bounded by change
-    * count. */
+    * ONE (ts, event_id) sort — the change flag, the row numbers, and the
+    * post-filter lead()s all reuse them (asserted in PlanAuditSpec). At
+    * 100 TB this is the standard CDC compaction shape: one shuffle by
+    * entity, output bounded by change count. */
   def scd2(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val runs = Tables.events(s, dir)
+    val wu = Window.partitionBy(col("user_id"))
+    // Every run is fully described by its START row: a run-level groupBy
+    // would hash-partition on (user, run, type) — a SECOND exchange — so
+    // instead the per-event pass records each event's position, the
+    // filter keeps only change rows, and run length/end come from lead()
+    // over the SAME user_id partitioning (filter preserves partitioning
+    // AND sort, so Catalyst plans no new exchange and no new sort).
+    val ws = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("chg",
         when(lag(col("event_type"), 1).over(w).isNull ||
           lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
           .otherwise(0L))
-      .withColumn("run_id", sum(col("chg"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("run_id"), col("event_type"))
-      .agg(min(col("us")).as("valid_from_us"), count(lit(1)).as("n_events"))
-    val wr = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
-    runs
-      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wr))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_user", count(lit(1)).over(wu))
+      .where(col("chg") === 1L)
+      .withColumn("run_id", row_number().over(ws).cast("long"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(ws))
+      .withColumn("n_events",
+        coalesce(lead(col("rn"), 1).over(ws), col("n_user") + 1L) - col("rn"))
       .select(col("user_id"), col("run_id"), col("event_type"),
-        col("valid_from_us"), col("valid_to_us"), col("n_events"))
+        col("us").as("valid_from_us"), col("valid_to_us"), col("n_events"))
       .orderBy(col("user_id"), col("run_id"))
   }
 

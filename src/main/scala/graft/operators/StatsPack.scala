@@ -184,12 +184,21 @@ object StatsPack extends QueryPack {
     * (day, type) group-by: absent combinations are PRESENT with n=0. The
     * oracle replays the same wide CTE and melts it with UNION ALL (one
     * branch per metric — dialect-free). */
-  def unpivotLong(s: SparkSession, dir: String): DataFrame =
-    pivot(s, dir)
-      .drop("n_total")
+  def unpivotLong(s: SparkSession, dir: String): DataFrame = {
+    val day = unix_micros(date_trunc("day", col("ts"))).as("day_us")
+    val counts = EventTypes.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"n_$t"))
+    // the wide matrix WITHOUT q_pivot's presentation sort — melting and
+    // re-sorting a sorted frame would pay a pointless range exchange
+    Tables.events(s, dir)
+      .select(day, col("event_type"))
+      .groupBy(col("day_us"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("day_us") +: counts: _*)
       .unpivot(Array(col("day_us")), EventTypes.map(t => col(s"n_$t")).toArray,
         "metric", "n")
       .orderBy(col("day_us"), col("metric"))
+  }
 
   private val HistLo = 900.0
   private val HistW = 5205.0 // (105000 − 900) / 20 buckets

@@ -402,15 +402,46 @@ class PlanAuditSpec extends SparkSpec {
       s"both sides must reduce to digests before the join:\n$p")
   }
 
-  test("sessionize and event gaps: ONE user_id exchange each — window " +
+  test("sessionize, event gaps, scd2: ONE user_id exchange each — window " +
       "partitioning is reused by the downstream pass") {
     for ((name, df) <- Seq(
         "sessionize" -> graft.operators.EventAnalyticsPack.sessionize(spark, sf0001),
-        "eventGaps" -> graft.operators.EventAnalyticsPack.eventGaps(spark, sf0001))) {
+        "eventGaps" -> graft.operators.EventAnalyticsPack.eventGaps(spark, sf0001),
+        "scd2" -> graft.operators.EventAnalyticsPack.scd2(spark, sf0001))) {
       val p = plan(df)
       assert("hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
         s"$name should exchange user_id exactly once:\n$p")
     }
+  }
+
+  test("scd2: the post-filter run windows add no exchange and no new sort") {
+    val p = plan(graft.operators.EventAnalyticsPack.scd2(spark, sf0001))
+    // one user_id hash exchange + the final determinism range sort — the
+    // run-start lead()s ride the per-event window's partitioning and order
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges (window + final sort), got $exchanges:\n$p")
+    // exactly one (ts, event_id) sort feeds both window passes
+    assert("Sort \\[user_id[^\\n]*ts".r.findAllIn(p).length == 1,
+      s"the run-start window must reuse the per-event sort:\n$p")
+  }
+
+  test("time features: one fixed-size aggregation, no window, no join") {
+    val p = plan(graft.operators.EventAnalyticsPack.timeFeatures(spark, sf0001))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("unpivot: the melt is an Expand over the aggregate, no extra exchange") {
+    val p = plan(graft.operators.StatsPack.unpivotLong(spark, sf0001))
+    assert(p.contains("Expand"), p)
+    // Spark's pivot plans two aggregate exchanges ((day, type) pre-agg +
+    // day pivotfirst); + the final sort. The melt itself adds ZERO — the
+    // same count q_pivot pays for the wide form alone.
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 3, s"expected 3 exchanges, got $exchanges:\n$p")
+    val pivotP = plan(graft.operators.StatsPack.pivot(spark, sf0001))
+    assert("Exchange ".r.findAllIn(pivotP).length == exchanges,
+      s"melt must not add exchanges over the wide pivot:\n$p")
   }
 
   test("executed plans run inside whole-stage codegen (AQE final plans)") {
