@@ -72,6 +72,19 @@ case class SessionAssign(user: Long, event_id: Long, ts_us: Long,
 case class SessionizeState(lastUs: Long, seq: Long,
                            buf: Seq[(Long, Long)], foldedToUs: Long)
 
+/** One CLOSED SCD-2 run ([[TsStream.scd2Stream]]): its user, 1-based run
+  * id, the constant state value, the [valid_from, valid_to) interval in
+  * epoch µs, and the event count. Emitted exactly once, final. */
+case class ScdRun(user: Long, run_id: Long, event_type: String,
+                  valid_from_us: Long, valid_to_us: Long, n_events: Long)
+
+/** Per-user SCD-2 state: the OPEN run (state value, start µs, event count,
+  * run id — 0 = no run yet), events buffered above the fold horizon as
+  * (event µs, event id, state value), and the horizon itself. */
+case class ScdState(curType: String, validFromUs: Long, nEvents: Long,
+                    runId: Long, buf: Seq[(Long, Long, String)],
+                    foldedToUs: Long)
+
 /** Structured-Streaming face of the engine (SURVEY.md §2 B10).
   *
   * The reference is batch-only, but its ordered-append contract IS a stream
@@ -443,6 +456,69 @@ object TsStream extends Serializable {
           if (hold.nonEmpty)
             state.setTimeoutTimestamp(hold.map(_._1).min / 1000L + 1L)
           out.iterator
+        })
+  }
+
+  /** Streaming SCD-2 state compression — the live CDC twin of
+    * `EventAnalyticsPack.scd2`: each user's event stream collapses to runs
+    * of consecutive equal state values, and a run is emitted as a CLOSED
+    * [valid_from, valid_to) interval the moment the event that ends it is
+    * folded. Closed runs are FINAL at emission: the closing event folds
+    * only once the watermark passes it, and any event that could still
+    * extend the run would sort before the closing event — already folded,
+    * or late beyond the horizon and dropped (the shared watermark
+    * divergence). The one honest difference from batch: the OPEN run
+    * (batch's valid_to IS NULL row) never emits — its end and count are
+    * still unknowable — so stream output equals the batch key's
+    * closed-interval subset (asserted on chunked replay in TsStreamSpec).
+    *
+    * Same buffered-fold discipline as sessionizeStream: buffer above the
+    * watermark, fold ripe events in (event time, event id) order — the id
+    * tiebreak keeps same-instant state flips deterministic, matching the
+    * batch window's ordering — re-arm an event-time timeout at the buffer
+    * head so runs closed by a quiet period's last event still flush.
+    * Folded state is ONE open run (a string + three longs) per user —
+    * O(users), the CDC-compaction floor — plus the rate × horizon bounded
+    * buffer. */
+  def scd2Stream(events: DataFrame, userCol: String, idCol: String,
+                 tsCol: String, typeCol: String,
+                 watermark: String = "1 hour"): Dataset[ScdRun] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col(userCol).cast("long").as("user"),
+        col(idCol).cast("long").as("event_id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(typeCol).cast("string").as("ty"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[(Long, Long, java.sql.Timestamp, String)],
+         state: GroupState[ScdState]) => {
+          val s0 = state.getOption.getOrElse(
+            ScdState(null, Long.MinValue, 0L, 0L, Nil, Long.MinValue))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val fresh =
+            if (state.hasTimedOut) Nil
+            else it.map(e => (usOf(e._3), e._2, e._4))
+              .filter(_._1 > s0.foldedToUs).toSeq // late-beyond-horizon drop
+          val (ripe, hold) = (s0.buf ++ fresh).partition(_._1 <= wmUs)
+          var (curTy, from, n, runId) =
+            (s0.curType, s0.validFromUs, s0.nEvents, s0.runId)
+          val out = Seq.newBuilder[ScdRun]
+          ripe.sortBy(e => (e._1, e._2)).foreach { case (t, _, ty) =>
+            if (curTy == null) { curTy = ty; from = t; n = 1L; runId += 1 }
+            else if (ty == curTy) n += 1
+            else {
+              out += ScdRun(user, runId, curTy, from, t, n)
+              curTy = ty; from = t; n = 1L; runId += 1
+            }
+          }
+          state.update(ScdState(curTy, from, n, runId, hold,
+            math.max(s0.foldedToUs, wmUs)))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(hold.map(_._1).min / 1000L + 1L)
+          out.result().iterator
         })
   }
 

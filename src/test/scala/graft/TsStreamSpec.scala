@@ -254,6 +254,77 @@ class TsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 == batch closed runs on chunked shuffled replay") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .as[Ev].collect()
+    // batch truth: CLOSED intervals only (the open run's end is unknowable
+    // live — the documented divergence)
+    val want = graft.operators.EventAnalyticsPack.scd2(spark, sf0001)
+      .where(org.apache.spark.sql.functions.col("valid_to_us").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+
+    val rnd = new scala.util.Random(7)
+    val banded = rows.groupBy(_.ts.getTime / (3600L * 1000)).toSeq
+      .sortBy(_._1).flatMap { case (_, band) => rnd.shuffle(band.toSeq) }
+    val flush = Ev(-1L, new Timestamp(rows.map(_.ts.getTime).max +
+      30L * 24 * 3600 * 1000), -1L, "noop", 0.0, "{}")
+
+    val ms = MemoryStream[Ev]
+    val q = TsStream.scd2Stream(ms.toDF(), "user_id", "event_id", "ts",
+        "event_type", watermark = "3 hours")
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append").start()
+    try {
+      banded.grouped(150).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      ms.addData(flush); q.processAllAvailable()
+      val got = spark.table("scd2_stream").collect()
+        .filter(_.getLong(0) >= 0)
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      assert(want.nonEmpty, "fixture must close runs")
+    } finally q.stop()
+  }
+
+  test("streaming SCD2: same-instant state flip follows event-id order") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = TsStream.scd2Stream(ms.toDF(), "user_id", "event_id", "ts",
+        "event_type", watermark = "1 minute")
+      .writeStream.format("memory").queryName("scd2_tie")
+      .outputMode("append").start()
+    try {
+      // view(id 1) and click(id 2) at the SAME instant, then a flush event
+      ms.addData(
+        Ev(2, t("2024-03-01 00:00:00"), 1, "click", 1.0, "{}"),
+        Ev(1, t("2024-03-01 00:00:00"), 1, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      ms.addData(Ev(3, t("2024-03-01 02:00:00"), 1, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      ms.addData(Ev(4, t("2024-03-01 04:00:00"), 1, "noop", 1.0, "{}"))
+      q.processAllAvailable()
+      // far-future flush (other user) advances the watermark past every
+      // user-1 event so all closable runs fold; the trailing noop run and
+      // the flush user's own run stay open by design
+      ms.addData(Ev(5, t("2024-06-01 00:00:00"), -1L, "flush", 1.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("scd2_tie").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getString(2), r.getLong(5))).sortBy(_._1)
+      // runs: view(1 event) -> click(1) -> view(1) -> [open noop]
+      assert(got.toSeq == Seq((1L, "view", 1L), (2L, "click", 1L),
+        (3L, "view", 1L)), got.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming funnel: completion emits once; equal-time events cannot chain") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
