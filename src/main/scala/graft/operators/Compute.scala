@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared compute-distribution helpers. */
+object Compute {
+
+  /** Redistribute a scan whose partition count is below the cluster's core
+    * count, so CPU-bound per-row work (shingling, MinHash kernels, N×P
+    * vector scoring, multi-aggregate profiling) parallelizes fully.
+    *
+    * Scan partitioning follows input BYTES (`maxPartitionBytes`, row-group
+    * boundaries) — correct for I/O-bound scans, dead wrong for a few MB of
+    * rows that each carry thousands of hash/FLOP operations: a compact
+    * single-row-group parquet file plans ONE task and serializes the whole
+    * stage on one core. The round-robin exchange pays one shuffle of the
+    * input rows to unlock cores× parallelism; order-insensitive consumers
+    * only (every graft aggregate/join — none depend on arrival order).
+    *
+    * The gate is the point: at production scale the input already plans at
+    * least cores partitions and this is a NO-OP, so the rebalance can
+    * never add a corpus-wide shuffle to a 100 TB pipeline — it only
+    * repairs under-parallelized small inputs (the bench-fixture shape).
+    */
+  def rebalance(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= parallelism) df
+    else df.repartition(parallelism)
+  }
+}

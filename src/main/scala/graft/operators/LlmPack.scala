@@ -875,7 +875,7 @@ object LlmPack extends QueryPack {
   def knnMutual(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     SimilaritySearch.mutualKnn(
-      SimilaritySearch.knnJoin(emb, emb, idCol = "vec_id",
+      SimilaritySearch.knnEdges(emb, emb, idCol = "vec_id",
         vecCol = "embedding", k = HardNegK))
   }
 
@@ -902,7 +902,7 @@ object LlmPack extends QueryPack {
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val mutual = SimilaritySearch.mutualKnn(
-      SimilaritySearch.knnJoin(emb, emb, idCol = "vec_id",
+      SimilaritySearch.knnEdges(emb, emb, idCol = "vec_id",
         vecCol = "embedding", k = HardNegK))
     val edges = mutual.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(mutual.select(col("b_id").as("src"), col("a_id").as("dst")))

@@ -94,8 +94,11 @@ object NearDedup {
   def prefixFilter(docs: DataFrame, idCol: String, textCol: String,
                    partCol: String, tau: Double, hotDf: Int = 1024,
                    materialize: Option[Boolean] = None): DataFrame = {
-    val sets0 = docs
-      .select(col(idCol).as("id"), col(partCol).as("part"),
+    // shingling is hash-bound, not byte-bound: spread a compact doc scan
+    // over the cores before the kernel runs (no-op at corpus scale)
+    val sets0 = Compute.rebalance(docs
+      .select(col(idCol).as("id"), col(partCol).as("part"), col(textCol)))
+      .select(col("id"), col("part"),
         TextFns.shingles3(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
     materializedPairs(sets0, materialize) { sets =>
@@ -192,8 +195,11 @@ object NearDedup {
                  partCol: String, tau: Double,
                  bands: Int = 32, rowsPerBand: Int = 4,
                  materialize: Option[Boolean] = None): DataFrame = {
-    val sets0 = docs
-      .select(col(idCol).as("id"), col(partCol).as("part"),
+    // shingling is hash-bound, not byte-bound: spread a compact doc scan
+    // over the cores before the kernel runs (no-op at corpus scale)
+    val sets0 = Compute.rebalance(docs
+      .select(col(idCol).as("id"), col(partCol).as("part"), col(textCol)))
+      .select(col("id"), col("part"),
         TextFns.shingles3(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
     materializedPairs(sets0, materialize) { sets =>
@@ -231,9 +237,10 @@ object NearDedup {
                             partCol: String, newCol: String, tau: Double,
                             bands: Int = 32, rowsPerBand: Int = 4,
                             materialize: Option[Boolean] = None): DataFrame = {
-    val sets0 = docs
+    val sets0 = Compute.rebalance(docs
       .select(col(idCol).as("id"), col(partCol).as("part"),
-        col(newCol).cast("boolean").as("is_new"),
+        col(newCol).cast("boolean").as("is_new"), col(textCol)))
+      .select(col("id"), col("part"), col("is_new"),
         TextFns.shingles3(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
     materializedPairs(sets0, materialize) { sets =>

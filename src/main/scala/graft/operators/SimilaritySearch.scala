@@ -59,9 +59,18 @@ object SimilaritySearch {
     * Ties at the (6dp-rounded) similarity break by ascending vec_id — a
     * total order, shared with the oracle's ORDER BY. */
   def knnJoin(corpus: DataFrame, probes: DataFrame, idCol: String,
-              vecCol: String, k: Int): DataFrame = {
-    val v = corpus.select(col(idCol).as("vec_id"),
-        col(vecCol).cast("array<double>").as("v"))
+              vecCol: String, k: Int): DataFrame =
+    knnEdges(corpus, probes, idCol, vecCol, k, sorted = true)
+
+  /** `knnJoin` without the final presentation sort — the edge-list form
+    * consumers like [[mutualKnn]] feed into further shuffling joins. */
+  private[operators] def knnEdges(corpus: DataFrame, probes: DataFrame,
+                                  idCol: String, vecCol: String, k: Int,
+                                  sorted: Boolean = false): DataFrame = {
+    // the N×P scoring stage is FLOP-bound, not byte-bound — spread a
+    // compact corpus scan over the cores before it (no-op at real scale)
+    val v = Compute.rebalance(corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v")))
       .withColumn("nv", VectorFns.l2norm(col("v")))
     val p = probes.select(col(idCol).as("probe_id"),
         col(vecCol).cast("array<double>").as("p"))
@@ -70,20 +79,26 @@ object SimilaritySearch {
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         round(VectorFns.dot(col("v"), col("p")) / (col("nv") * col("np")), 6).as("sim"))
-    perProbeTopK(scored, k)
+    perProbeTopK(scored, k, sorted)
   }
 
   /** Shared kNN tail: per-probe top-k via the k-bounded heap aggregate,
-    * exploded to (probe_id, rank, vec_id, sim) rows. */
-  private[operators] def perProbeTopK(scored: DataFrame, k: Int): DataFrame =
-    scored
+    * exploded to (probe_id, rank, vec_id, sim) rows. `sorted = false` skips
+    * the presentation orderBy — a rangepartitioning sort whose sampling
+    * pass re-executes the child — for callers that immediately reshuffle
+    * the edges anyway (mutual-kNN, PageRank): a mid-pipeline global sort
+    * is pure waste at any scale. */
+  private[operators] def perProbeTopK(scored: DataFrame, k: Int,
+                                      sorted: Boolean = true): DataFrame = {
+    val edges = scored
       .groupBy(col("probe_id"))
       .agg(org.apache.spark.sql.graft.TopKAggExprs
         .topKByScore(col("sim"), col("vec_id"), k).as("top"))
       .select(col("probe_id"), posexplode(col("top")))
       .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.vec_id").as("vec_id"), col("col.sim").as("sim"))
-      .orderBy(col("probe_id"), col("rank"))
+    if (sorted) edges.orderBy(col("probe_id"), col("rank")) else edges
+  }
 
   /** Hard-negative mining: `knnJoin` with a label-exclusion predicate —
     * for every probe, its k nearest corpus neighbors whose label DIFFERS
@@ -131,9 +146,21 @@ object SimilaritySearch {
     * list, never the vectors. Emits each surviving pair once (a_id < b_id)
     * with its (symmetric, 6dp-rounded) similarity. */
   def mutualKnn(knnEdges: DataFrame): DataFrame = {
-    val fwd = knnEdges.select(col("probe_id").as("a_id"),
+    // Materialize the edge list ONCE before the self-join: the fwd and rev
+    // sides shuffle on OPPOSITE key orders, so ReuseExchange cannot unify
+    // them and each side would otherwise re-run the full N×N scoring pass
+    // that produced the edges (measured 2× the whole query's cost). k·N
+    // rows of three scalars is metadata-scale next to the pass it caps —
+    // the same persist-the-derived-edge-list discipline as
+    // NearDedup.materializedPairs (reliable checkpoint when the session
+    // has a checkpoint dir, executor-local otherwise).
+    val edges =
+      if (knnEdges.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        knnEdges.checkpoint()
+      else knnEdges.localCheckpoint()
+    val fwd = edges.select(col("probe_id").as("a_id"),
       col("vec_id").as("b_id"), col("sim"))
-    val rev = knnEdges.select(col("vec_id").as("a_id"),
+    val rev = edges.select(col("vec_id").as("a_id"),
       col("probe_id").as("b_id"))
     fwd.join(rev, Seq("a_id", "b_id"))
       .where(col("a_id") < col("b_id"))

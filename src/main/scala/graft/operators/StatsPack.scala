@@ -373,7 +373,11 @@ object StatsPack extends QueryPack {
     val fields = ProfileCols.map(c =>
       s"'$c', ${c}_n, ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max, ${c}_mean")
       .mkString(", ")
-    Tables.lineitem(s, dir)
+    // the 24-aggregate + 5-way Expand pass is CPU-bound: spread a compact
+    // single-row-group scan over the cores first (no-op at real scale,
+    // where the fact table plans >= cores partitions)
+    Compute.rebalance(
+      Tables.lineitem(s, dir).select(ProfileCols.map(col): _*))
       .agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${ProfileCols.length}, $fields) AS " +
         "(col_name, n, n_nulls, n_distinct, vmin, vmax, mean)"))

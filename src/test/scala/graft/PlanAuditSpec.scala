@@ -121,9 +121,14 @@ class PlanAuditSpec extends SparkSpec {
       emb, emb.where(org.apache.spark.sql.functions.col("vec_id") < 4),
       idCol = "vec_id", vecCol = "embedding", k = 3))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
-    // the only hash exchange is the probes×k-bounded aggregate + final sort
+    // allowed exchanges: the gated compute REBALANCE (round-robin, no key —
+    // fires only on under-parallelized scans, never hash-partitions the
+    // corpus), the probes×k-bounded aggregate, and the final sort
     val exchanges = "Exchange ".r.findAllIn(p).length
-    assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$p")
+    assert(exchanges <= 4, s"too many exchanges ($exchanges):\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1,
+      s"corpus must not be key-partitioned before scoring ($hashEx):\n$p")
   }
 
   test("chunking is map-only: the only exchange is the determinism sort") {
