@@ -923,6 +923,51 @@ object LlmPack extends QueryPack {
       .orderBy(col("vec_id"))
   }
 
+  /** B9+ triangle count + local clustering coefficient over the mutual-kNN
+    * semantic graph — the density signal that separates docs anchoring
+    * tight semantic clusters (high coefficient) from bridge/outlier docs,
+    * complementing q_graph_pagerank's centrality. Classic two-join
+    * triangle enumeration over the CANONICALLY ORIENTED edge list: every
+    * edge is stored (lo, hi), so a triangle a<b<c is found exactly once as
+    * (a,b)⋈(b,c)⋈(a,c) — orientation does for free what general triangle
+    * counting needs degree-ordering for. Wedge fan-out is bounded by the
+    * mutual graph's construction (degree ≤ k), so the intermediate is at
+    * most N·k² rows — no hub explosion at any corpus size; vectors never
+    * shuffle past the kNN stage (the edge list is checkpointed once by
+    * mutualKnn). Per-node coefficient = 2·T / (deg·(deg−1)) — same
+    * integer-fed IEEE division both engines, 6dp cosmetic rounding. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val edges = SimilaritySearch.mutualKnn(
+      SimilaritySearch.knnEdges(emb, emb, idCol = "vec_id",
+        vecCol = "embedding", k = HardNegK))
+      .select(col("a_id"), col("b_id")) // canonical a < b
+    val e1 = edges.select(col("a_id").as("a"), col("b_id").as("b"))
+    val e2 = edges.select(col("a_id").as("b2"), col("b_id").as("c"))
+    val e3 = edges.select(col("a_id").as("a3"), col("b_id").as("c3"))
+    val tri = e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    val triPerNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_triangles"))
+    val deg = edges.select(col("a_id").as("vec_id"))
+      .unionAll(edges.select(col("b_id").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+    emb.select(col("vec_id"))
+      .join(deg, Seq("vec_id"), "left")
+      .join(triPerNode, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          round(col("n_triangles") * lit(2.0) /
+            (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("vec_id"))
+  }
+
   /** First md5 nibble under this ceiling marks a doc as the incoming "new
     * batch" (3/16 ≈ 19% of the fixture) for q_dedup_incremental — the same
     * deterministic engine-portable hash gate as q_split_assign. */
@@ -1004,6 +1049,7 @@ object LlmPack extends QueryPack {
     "q_dedup_incremental_store" -> dedupIncrementalStore,
     "q_span_dedup" -> spanDedup,
     "q_graph_pagerank" -> graphPagerank,
+    "q_graph_triangles" -> graphTriangles,
     "q_quality_deciles" -> qualityDeciles,
     "q_embed_norms" -> embedNorms,
     "q_embed_kmeans_iter" -> embedKmeansIter,
@@ -1566,6 +1612,43 @@ object LlmPack extends QueryPack {
          |SELECT a.probe_id AS a_id, a.vec_id AS b_id, a.sim
          |FROM k a JOIN k b ON a.probe_id = b.vec_id AND a.vec_id = b.probe_id
          |WHERE a.probe_id < a.vec_id ORDER BY a_id, b_id""".stripMargin,
+    // Same mutual-edge CTE as q_knn_mutual, extended with the oriented
+    // two-join triangle enumeration and the per-node coefficient.
+    "q_graph_triangles" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+         |        round(list_dot_product(a.v, b.v)
+         |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+         |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT probe_id, vec_id, sim,
+         |        row_number() OVER (PARTITION BY probe_id
+         |                           ORDER BY sim DESC, vec_id) AS rank
+         |      FROM s),
+         |k AS (SELECT probe_id, vec_id FROM r WHERE rank <= $HardNegK),
+         |m AS (SELECT a.probe_id AS a_id, a.vec_id AS b_id
+         |      FROM k a JOIN k b ON a.probe_id = b.vec_id AND a.vec_id = b.probe_id
+         |      WHERE a.probe_id < a.vec_id),
+         |t AS (SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+         |      FROM m e1 JOIN m e2 ON e1.b_id = e2.a_id
+         |      JOIN m e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+         |tn AS (SELECT node, count(*) AS n_triangles FROM (
+         |        SELECT a AS node FROM t UNION ALL
+         |        SELECT b AS node FROM t UNION ALL
+         |        SELECT c AS node FROM t) GROUP BY node),
+         |d AS (SELECT node, count(*) AS degree FROM (
+         |        SELECT a_id AS node FROM m UNION ALL
+         |        SELECT b_id AS node FROM m) GROUP BY node)
+         |SELECT v.vec_id,
+         |  CAST(coalesce(d.degree, 0) AS BIGINT) AS degree,
+         |  CAST(coalesce(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+         |  CASE WHEN coalesce(d.degree, 0) >= 2
+         |       THEN round(coalesce(tn.n_triangles, 0) * 2.0
+         |                  / (d.degree * (d.degree - 1)), 6)
+         |       ELSE 0.0 END AS clustering
+         |FROM embeddings v
+         |LEFT JOIN d ON v.vec_id = d.node
+         |LEFT JOIN tn ON v.vec_id = tn.node
+         |ORDER BY v.vec_id""".stripMargin,
     // T unrolled Lloyd rounds; every centroid component and similarity is
     // 6dp-rounded BEFORE use on both sides (the iteration-level
     // synchronization barrier that keeps a 3-deep float loop hashable).

@@ -188,6 +188,35 @@ class LlmPackSpec extends SparkSpec {
     assert(out.exists(_.getLong(1) > 0) && out.exists(_.getLong(1) == 0))
   }
 
+  test("graphTriangles: matches driver-side brute force; coefficient bounded") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val edges = SimilaritySearch.mutualKnn(
+      SimilaritySearch.knnJoin(emb, emb, idCol = "vec_id",
+        vecCol = "embedding", k = 5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nbrs = (edges ++ edges.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    val triExp = nbrs.map { case (v, ns) =>
+      v -> ns.toSeq.combinations(2).count { case Seq(x, y) =>
+        edges.contains((math.min(x, y), math.max(x, y))) }
+    }
+    val out = LlmPack.graphTriangles(spark, sf0001).collect()
+    assert(out.length == emb.count())
+    out.foreach { r =>
+      val v = r.getLong(0)
+      val d = nbrs.get(v).map(_.size).getOrElse(0)
+      assert(r.getLong(1) == d.toLong, s"node $v degree")
+      assert(r.getLong(2) == triExp.getOrElse(v, 0).toLong, s"node $v triangles")
+      val c = r.getDouble(3)
+      assert(c >= 0.0 && c <= 1.0 + 1e-9, s"node $v coefficient $c")
+      if (d >= 2)
+        assert(math.abs(c - 2.0 * triExp.getOrElse(v, 0) / (d.toLong * (d - 1))) < 1e-6)
+      else assert(c == 0.0)
+    }
+    // the semantic graph should contain real triangles
+    assert(out.map(_.getLong(2)).sum > 0, "no triangles found in the fixture graph")
+  }
+
   test("qualityDeciles: monotone in score, near-balanced, boundaries are the exact percentiles") {
     val out = LlmPack.qualityDeciles(spark, sf0001).collect()
     assert(out.length == 500)
