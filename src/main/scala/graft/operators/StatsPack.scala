@@ -133,6 +133,51 @@ object StatsPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  // Page-CUSUM design parameters: target level μ0 and per-step slack k are
+  // DESIGN constants in the classic scheme (chosen from the in-control
+  // process, ~mean 50 / σ 49 across all fixture SFs), not estimated from
+  // the monitored stream itself — estimated-moment detectors are
+  // q_window_zscore / q_anomaly_mad's turf. h is the alarm threshold.
+  private val CusumMu0 = 50.0
+  private val CusumK = 25.0
+  private val CusumH = 400.0
+
+  /** B5+ CUSUM change-point detection (Page '54) per user — the drift
+    * detector that catches a sustained small SHIFT in a metric's level,
+    * which the pointwise z-score gate (q_window_zscore) structurally
+    * misses. The textbook form is a non-linear recurrence
+    * (s_t = max(0, s_{t−1} + d_t), d = x − μ0 − k) no SQL window expresses
+    * directly; the drawup identity  s_t = S_t − min(0, min_{j≤t} S_j)
+    * (S = running sum of d) turns it into TWO running windows over ONE
+    * user_id exchange. Determinism: each deviation is quantized ONCE to
+    * BIGINT micro-units via round(·, 6) + a decimal cast (the value data
+    * carries ≲2 decimals, so the true deviation sits ON the 6dp grid with
+    * ~0.5 µ of slack — no half-boundary for the engines' rounding
+    * implementations to disagree over), and the running sum/min then live
+    * entirely in exact 64-bit integers — immune to float summation-order
+    * divergence (DuckDB evaluates windowed sums through doubles / segment
+    * trees; integers make the bracketing irrelevant). */
+  def windowCusum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hI = math.round(CusumH * 1e6)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("d_i",
+        (round(col("value") - lit(CusumMu0 + CusumK), 6).cast("decimal(18,6)") *
+          lit(1000000L)).cast("long"))
+      .withColumn("ssum", sum(col("d_i")).over(run))
+      // the min ranges over prefixes INCLUDING the empty one (S_0 = 0) —
+      // without the zero floor, s_1 would collapse to S_1 − S_1 = 0
+      .withColumn("cusum_i",
+        col("ssum") - least(min(col("ssum")).over(run), lit(0L)))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (col("cusum_i").cast("double") / lit(1e6)).as("cusum"),
+        (col("cusum_i") > lit(hI)).as("is_drift"))
+      .orderBy(col("event_id"))
+  }
+
   /** B4+ exact percentiles per group (pandas `groupby().quantile()`):
     * Spark's `percentile` sorts each group's values and linearly
     * interpolates at rank (n−1)·p — identical to ANSI `percentile_cont`.
@@ -391,6 +436,7 @@ object StatsPack extends QueryPack {
     "q_stats_corr" -> statsCorr,
     "q_window_rollcorr" -> windowRollCorr,
     "q_window_zscore" -> windowZscore,
+    "q_window_cusum" -> windowCusum,
     "q_percentiles" -> percentiles,
     "q_pivot" -> pivot,
     "q_unpivot" -> unpivotLong,
@@ -462,6 +508,22 @@ object StatsPack extends QueryPack {
          |CASE WHEN n > 1 AND vx > 0 AND vy > 0
          |     THEN round((sxy - sx * sy / nd) / (sqrt(vx) * sqrt(vy)), 6) END AS roll_corr
          |FROM d ORDER BY event_id""".stripMargin,
+    // Running S − min(0, running-min S) in exact BIGINT micro-units; the
+    // only float step is the shared per-row deviation round at 6dp.
+    "q_window_cusum" ->
+      s"""WITH e AS (SELECT event_id, user_id,
+         |  epoch_us(date_trunc('microseconds', ts)) AS us,
+         |  CAST(CAST(round(value - ${CusumMu0 + CusumK}, 6) AS DECIMAL(18,6))
+         |       * 1000000 AS BIGINT) AS d_i
+         |  FROM events),
+         |s1 AS (SELECT *, sum(d_i) OVER (PARTITION BY user_id
+         |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS ssum FROM e),
+         |s2 AS (SELECT *, least(min(ssum) OVER (PARTITION BY user_id
+         |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING), 0) AS ms FROM s1)
+         |SELECT event_id, user_id, us AS ts_us,
+         |  CAST(ssum - ms AS DOUBLE) / 1e6 AS cusum,
+         |  ssum - ms > ${math.round(CusumH * 1e6)} AS is_drift
+         |FROM s2 ORDER BY event_id""".stripMargin,
     "q_window_zscore" ->
       s"""WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value
          |  FROM events),

@@ -1044,4 +1044,69 @@ object TsStream extends Serializable {
     val q: StreamingQuery = w.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
   }
+
+  /** Late-data observability snapshot for one query (see [[LateDataStats]]):
+    * batches run, rows ingested, rows SILENTLY DROPPED because they
+    * arrived behind the watermark, and the current watermark. The
+    * watermark contract every stateful operator here relies on
+    * ("late-beyond-horizon rows are dropped — the shared watermark
+    * divergence") is only safe to operate when the drop volume is
+    * MEASURED: a creeping drop rate is the signal to widen the delay or
+    * fix the upstream lag, and without this number the divergence is
+    * invisible. Reads the query's `recentProgress` ring (capped, default
+    * `spark.sql.streaming.numRecentProgressUpdates` = 100 batches) — for
+    * whole-lifetime totals attach a [[LateDataMonitor]] instead. */
+  def lateDataStats(q: StreamingQuery): LateDataStats = {
+    val ps = q.recentProgress
+    LateDataStats(
+      nBatches = ps.length.toLong,
+      inputRows = ps.map(_.numInputRows).sum,
+      droppedByWatermark =
+        ps.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum,
+      lastWatermark = ps.lastOption
+        .flatMap(p => Option(p.eventTime.get("watermark"))))
+  }
+
+  /** Register a whole-lifetime [[LateDataMonitor]] on the session's
+    * listener bus (covers every query of the session; progress events are
+    * delivered asynchronously, so totals converge shortly after a batch
+    * completes). Caller owns removal: `spark.streams.removeListener`. */
+  def monitorLateData(spark: SparkSession): LateDataMonitor = {
+    val m = new LateDataMonitor
+    spark.streams.addListener(m)
+    m
+  }
+}
+
+/** One query's late-data report: batches observed, input rows, rows
+  * dropped behind the watermark, last watermark (absent before the first
+  * watermark advance). */
+case class LateDataStats(nBatches: Long, inputRows: Long,
+                         droppedByWatermark: Long,
+                         lastWatermark: Option[String])
+
+/** Whole-lifetime accumulating listener behind [[TsStream.monitorLateData]]
+  * — survives the recentProgress ring's 100-batch cap. Thread-safe
+  * (listener-bus delivery is async). */
+final class LateDataMonitor
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+  private val batches = new java.util.concurrent.atomic.AtomicLong
+  private val input = new java.util.concurrent.atomic.AtomicLong
+  private val dropped = new java.util.concurrent.atomic.AtomicLong
+  @volatile private var lastWm: Option[String] = None
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    batches.incrementAndGet()
+    input.addAndGet(event.progress.numInputRows)
+    dropped.addAndGet(
+      event.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+    Option(event.progress.eventTime.get("watermark")).foreach(w =>
+      lastWm = Some(w))
+  }
+
+  def stats: LateDataStats =
+    LateDataStats(batches.get(), input.get(), dropped.get(), lastWm)
 }

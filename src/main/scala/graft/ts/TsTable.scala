@@ -182,6 +182,55 @@ final class TsTable private (
     } else appendValidated(batch, filesPerDay, strict = false)
   }
 
+  /** Schema-EVOLVING append — the one deliberate departure from `append`'s
+    * exact-schema contract (the reference's PyTables description is fixed
+    * for a table's lifetime; long-lived Spark tables accrete columns).
+    * Rules:
+    *   - NEW batch columns extend the table: the stored descriptor is
+    *     rewritten to the union (stored order first, additions after),
+    *     and because `raw` reads with the EXPLICIT stored schema, parquet
+    *     resolves old files by name and null-fills the added columns —
+    *     no rewrite of historical data, O(1) metadata;
+    *   - batch columns MISSING from the store are null-filled into the
+    *     write (a narrower producer keeps appending after the table grew);
+    *   - a TYPE CONFLICT on a shared column fails fast — silent coercion
+    *     is how mixed-schema tables rot;
+    *   - everything else (ordering guard, day layout, strict mode) is
+    *     `append` unchanged.
+    * Returns the handle carrying the union schema (TsTable is immutable;
+    * `this` keeps serving the old projection, which stays valid). */
+  def appendEvolved(batch: DataFrame, filesPerDay: Int = 1,
+                    strict: Boolean = false): TsTable = {
+    require(batch.schema.fieldNames.contains(tsCol),
+      s"batch is missing ts column '$tsCol'")
+    require(!batch.schema.fieldNames.contains(PartCol),
+      s"'$PartCol' is reserved for the partition column")
+    val batchFields = batch.schema.fields.map(f => f.name -> f).toMap
+    storedSchema.fields.foreach { f =>
+      batchFields.get(f.name).foreach { bf =>
+        require(bf.dataType == f.dataType,
+          s"append: column '${f.name}' type ${bf.dataType.simpleString} " +
+            s"conflicts with stored ${f.dataType.simpleString}")
+      }
+    }
+    val added = batch.schema.fields
+      .filterNot(f => storedSchema.fieldNames.contains(f.name))
+    val union = StructType(
+      storedSchema.fields.map(_.copy(nullable = true)) ++
+        added.map(_.copy(nullable = true)))
+    val evolved =
+      if (added.isEmpty) this
+      else {
+        TsTable.writeDescriptor(spark, path, union, tsCol, writeOptions)
+        new TsTable(spark, path, tsCol, union, writeOptions)
+      }
+    val aligned = batch.select(union.fields.map(f =>
+      if (batchFields.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    evolved.append(aligned, filesPerDay, strict)
+    evolved
+  }
+
   /** Strict mode evaluates the batch three times (order validation, stats,
     * write); the caller-facing `append` persists it first so the row order
     * VALIDATED is the row order WRITTEN even for nondeterministic or
@@ -433,11 +482,28 @@ object TsTable {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    val out = fs.create(new Path(dir, SchemaFile), true)
+    writeDescriptor(spark, path, schema, tsCol, writeOptions)
+    new TsTable(spark, path, tsCol, schema, writeOptions)
+  }
+
+  /** (Re)write the schema descriptor via temp-file + rename, so a crash
+    * mid-write leaves either the old or the new descriptor, never a
+    * truncated one (the delete+rename pair is not atomic on every
+    * filesystem, but the non-atomic window holds a complete temp file,
+    * not partial bytes). */
+  private[ts] def writeDescriptor(spark: SparkSession, path: String,
+                                  schema: StructType, tsCol: String,
+                                  writeOptions: TsWriteOptions): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(dir, SchemaFile)
+    val tmp = new Path(dir, SchemaFile + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write((schema.json + "\n" + tsCol + "\n" + writeOptions.encode + "\n")
       .getBytes("UTF-8"))
     finally out.close()
-    new TsTable(spark, path, tsCol, schema, writeOptions)
+    if (fs.exists(target)) fs.delete(target, false)
+    require(fs.rename(tmp, target), s"failed to install schema descriptor at $target")
   }
 
   /** Attach to an existing table; schema + write options come from the

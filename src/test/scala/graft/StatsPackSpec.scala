@@ -114,6 +114,36 @@ class StatsPackSpec extends SparkSpec {
       wide.orderBy("day_us").collect().toSeq)
   }
 
+  test("cusum: window identity equals the textbook max(0, s+d) recurrence") {
+    val out = StatsPack.windowCusum(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getBoolean(4)))
+    // driver-side recurrence from the same rounded mean/std derivation
+    val evs = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def microUnits(x: Double): Long =
+      (BigDecimal(r6(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+        1000000).toLongExact
+    val hI = 400L * 1000000
+    val expected: Map[Long, (Double, Boolean)] =
+      evs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        var s = 0L
+        rows.sortBy(r => (r._3, r._1)).toSeq.map { r =>
+          val dI = microUnits(r._4 - 75.0)
+          s = math.max(0L, s + dI)
+          r._1 -> ((s.toDouble / 1e6, s > hI))
+        }
+      }.toMap
+    out.foreach { case (id, _, cusum, drift) =>
+      val (expC, expD) = expected(id)
+      assert(math.abs(cusum - expC) < 1e-9, s"event $id cusum $cusum vs $expC")
+      assert(drift == expD, s"event $id drift flag")
+    }
+    assert(out.forall(_._3 >= 0.0), "cusum is non-negative by construction")
+  }
+
   test("running total: last cum_rev equals the DECIMAL-exact grand total") {
     val rows = StatsPack.windowRunning(spark, sf001).collect()
     val grand = Tables.orders(spark, sf001)

@@ -254,6 +254,41 @@ class TsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late-data stats: watermark drops are measured, per query and lifetime") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val monitor = TsStream.monitorLateData(spark)
+    val ms = MemoryStream[Ev]
+    val agg = ms.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour")).count()
+    val q = agg.writeStream.format("memory").queryName("late_stats")
+      .outputMode("append").start()
+    try {
+      def e(id: Long, ts: String) = Ev(id, t(ts), 1, "view", 1.0, "{}")
+      ms.addData(e(1, "2024-03-01 10:00:00"), e(2, "2024-03-01 12:00:00"))
+      q.processAllAvailable()
+      // three hours behind the 11:50 watermark: silently dropped — the
+      // stats are what make that visible
+      ms.addData(e(3, "2024-03-01 08:00:00"))
+      q.processAllAvailable()
+      val st = TsStream.lateDataStats(q)
+      assert(st.inputRows == 3, st.toString)
+      assert(st.droppedByWatermark >= 1, st.toString)
+      assert(st.nBatches >= 2, st.toString)
+      assert(st.lastWatermark.exists(_.startsWith("2024-03-01T11:50")), st.toString)
+      // lifetime monitor converges to the same totals (async listener bus)
+      val deadline = System.nanoTime() + 10L * 1000000000
+      while (monitor.stats.droppedByWatermark < st.droppedByWatermark &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(monitor.stats.droppedByWatermark >= st.droppedByWatermark,
+        monitor.stats.toString)
+      assert(monitor.stats.inputRows >= st.inputRows, monitor.stats.toString)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(monitor)
+    }
+  }
+
   test("streaming SCD2 == batch closed runs on chunked shuffled replay") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

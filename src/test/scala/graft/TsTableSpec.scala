@@ -235,4 +235,57 @@ class TsTableSpec extends SparkSpec {
     val rows = spark.read.parquet(file.getPath).select("ts").collect().map(_.getTimestamp(0))
     assert(rows.toSeq == rows.sortBy(_.getTime).toSeq)
   }
+
+  test("schema evolution: added column null-backfills history, survives reopen") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows(Seq(("2024-03-01 10:00:00", 1L, 1.0))))
+    val widened = StructType(schema.fields :+ StructField("tag", StringType))
+    val batch2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(t("2024-03-02 10:00:00"), 2L, 2.0, "fresh")), 1), widened)
+    val evolved = tab.appendEvolved(batch2)
+    assert(evolved.schema.fieldNames.toSeq == Seq("ts", "user_id", "value", "tag"))
+    val all = evolved.readRange(t("2024-03-01 00:00:00"), t("2024-03-03 00:00:00"))
+      .orderBy("ts").collect()
+    assert(all.length == 2)
+    assert(all(0).isNullAt(3), "pre-evolution row must null-backfill the new column")
+    assert(all(1).getString(3) == "fresh")
+    // a fresh open sees the union schema (descriptor was rewritten)
+    val reopened = TsTable.open(spark, dir)
+    assert(reopened.schema.fieldNames.toSeq == Seq("ts", "user_id", "value", "tag"))
+    // the stale handle keeps serving its old projection
+    assert(tab.readRange(t("2024-03-01 00:00:00"), t("2024-03-03 00:00:00"))
+      .schema.fieldNames.toSeq == Seq("ts", "user_id", "value"))
+  }
+
+  test("schema evolution: narrow producer null-fills; type conflict fails fast") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows(Seq(("2024-03-01 10:00:00", 1L, 1.0))))
+    // narrower batch (no value column) — allowed, null-filled
+    val narrow = StructType(Seq(StructField("ts", TimestampType),
+      StructField("user_id", LongType)))
+    val same = tab.appendEvolved(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(t("2024-03-02 10:00:00"), 2L)), 1), narrow))
+    assert(same.schema.fieldNames.toSeq == Seq("ts", "user_id", "value"))
+    val rows = same.toDF.orderBy("ts").collect()
+    assert(rows(1).isNullAt(2), "missing column must write as null")
+    // conflicting type on an existing column → rejected before any write
+    val clash = StructType(Seq(StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("value", StringType)))
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(t("2024-03-03 10:00:00"), 3L, "oops")), 1), clash)
+    val e = intercept[IllegalArgumentException] { tab.appendEvolved(bad) }
+    assert(e.getMessage.contains("conflicts with stored"))
+    assert(same.toDF.count() == 2, "failed evolve must not have written rows")
+    // the ordering guard still applies across an evolving append
+    val late = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(t("2024-01-01 00:00:00"), 4L)), 1), narrow)
+    val e2 = intercept[IllegalArgumentException] { same.appendEvolved(late) }
+    assert(e2.getMessage.contains("append-ordered"))
+  }
 }
