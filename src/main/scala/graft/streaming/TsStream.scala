@@ -24,6 +24,15 @@ case class LastPoint(lastTsUs: Long, lastValue: Double)
 case class PointEwma(key: Long, ts: java.sql.Timestamp, value: Double,
                      ewma: Double)
 
+/** [[TsStream.cusumPerKey]] output: the point plus its running CUSUM and
+  * drift alarm. */
+case class PointCusum(key: Long, ts: java.sql.Timestamp, value: Double,
+                      cusum: Double, is_drift: Boolean)
+
+/** Per-key CUSUM state: the running statistic in exact micro-units plus
+  * the last event time (for the idle timeout). */
+case class CusumState(sI: Long, lastTsUs: Long)
+
 /** [[TsStream.asOfBackwardStream]] output: the left point plus its matched
   * right (ts, value), or None when no right row at-or-before exists. */
 case class PointAsOf(key: Long, ts: java.sql.Timestamp, value: Double,
@@ -323,6 +332,47 @@ object TsStream extends Serializable {
               // evict once the watermark passes the key's last point by
               // the idle horizon (timeout clock is in ms)
               state.setTimeoutTimestamp(s.lastTsUs / 1000L + idleHorizonMs)
+            }
+            out.iterator
+          })
+  }
+
+  /** Streaming CUSUM — the O(1)-state live twin of
+    * `StatsPack.windowCusum` (Page's drift detector): the recurrence
+    * s_t = max(0, s_{t−1} + d_t) is already incremental, so unlike the
+    * batch form (which needs the drawup identity to become
+    * window-expressible) the stream folds it directly with ONE long of
+    * state per key — deviations quantize to the same BIGINT micro-units
+    * as batch (identical round-6dp + decimal-cast step), so on an ordered
+    * replay stream and batch agree EXACTLY, alarms included
+    * (TsStreamSpec). Ordering/eviction contract mirrors [[deltasPerKey]]:
+    * event-time order within a microbatch, arrival order across batches,
+    * idle keys evicted past the watermark horizon. */
+  def cusumPerKey(points: Dataset[KeyedPoint], mu0: Double, k: Double,
+                  h: Double, watermark: String = "1 hour",
+                  idleHorizonMs: Long = 3600000L): Dataset[PointCusum] = {
+    import points.sparkSession.implicits._
+    val hI = math.round(h * 1e6)
+    points.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, it: Iterator[KeyedPoint], state: GroupState[CusumState]) =>
+          if (state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else {
+            val pts = it.toArray.sortBy(p => usOf(p.ts))
+            var s = state.getOption.map(_.sI).getOrElse(0L)
+            val out = pts.map { p =>
+              // same micro-unit quantization as the batch operator
+              val dI = (BigDecimal(p.value - mu0 - k)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000)
+                .toLongExact
+              s = math.max(0L, s + dI)
+              PointCusum(key, p.ts, p.value, s.toDouble / 1e6, s > hI)
+            }
+            if (pts.nonEmpty) {
+              state.update(CusumState(s, usOf(pts.last.ts)))
+              state.setTimeoutTimestamp(usOf(pts.last.ts) / 1000L + idleHorizonMs)
             }
             out.iterator
           })

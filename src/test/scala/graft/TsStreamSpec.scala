@@ -930,6 +930,44 @@ class TsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM == batch windowCusum exactly on ordered chunked replay") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.{KeyedPoint, PointCusum}
+    def us(ts: Timestamp): Long = (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    // (ts, event_id)-ordered replay: the stable in-batch sort then matches
+    // the batch window's tiebreak
+    val rows = Tables.events(spark, sf0001)
+      .select($"user_id".as("key"), $"ts", $"value", $"event_id")
+      .collect().sortBy(r => (r.getTimestamp(1).getTime, r.getLong(3)))
+      .map(r => KeyedPoint(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val ms = MemoryStream[KeyedPoint]
+    val q = TsStream.cusumPerKey(ms.toDS(), mu0 = 50.0, k = 25.0, h = 400.0,
+        watermark = "1 hour", idleHorizonMs = 10L * 365 * 24 * 3600 * 1000)
+      .writeStream.format("memory").queryName("stream_cusum")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length / 5).max(1)).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val got = spark.table("stream_cusum").as[PointCusum].collect()
+        .map(p => (p.key, us(p.ts), p.value) -> ((p.cusum, p.is_drift))).toMap
+      val batch = graft.operators.StatsPack.windowCusum(spark, sf0001).collect()
+        .map(r => (r.getLong(1), r.getLong(2)) -> ((r.getDouble(3), r.getBoolean(4))))
+      val byEvent = Tables.events(spark, sf0001)
+        .select($"user_id", $"ts", $"value").collect()
+        .map(r => (r.getLong(0), us(r.getTimestamp(1))) -> r.getDouble(2)).toMap
+      batch.foreach { case ((u, tUs), (cusum, drift)) =>
+        val g = got((u, tUs, byEvent((u, tUs))))
+        assert(g._1 == cusum, s"($u,$tUs): stream ${g._1} vs batch $cusum")
+        assert(g._2 == drift, s"($u,$tUs): drift flag")
+      }
+      // sf0.001's excursions stay under the alarm bar (alarms fire at
+      // sf0.01+ — the oracle checks them); here assert real accumulation
+      assert(batch.exists(_._2._1 > 0.0), "cusum should accumulate somewhere")
+    } finally q.stop()
+  }
+
   test("streaming EWMA: exact recurrence on chunked replay; within truncation bound of batch") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
