@@ -27,4 +27,17 @@ object Compute {
     if (df.rdd.getNumPartitions >= parallelism) df
     else df.repartition(parallelism)
   }
+
+  /** Eagerly materialize a SMALL derived frame that downstream code
+    * references more than once (edge lists, pair lists): each lazy
+    * reference would otherwise re-execute the whole producing pipeline —
+    * Spark only dedups IDENTICAL exchange subtrees, and re-keyed or
+    * re-projected references rarely qualify. Reliable checkpoint when the
+    * session has a checkpoint dir (survives executor loss), executor-local
+    * otherwise — the NearDedup.materializedPairs dispatch. Only call this
+    * on frames that are bounded by construction (k·N edges, detected
+    * pairs), never on corpus-sized data. */
+  def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
 }

@@ -901,9 +901,12 @@ object LlmPack extends QueryPack {
     * 6dp-rounded (float summation order). */
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val mutual = SimilaritySearch.mutualKnn(
+    // materialized once: the directed-edge union references it twice, and
+    // degree/contrib/total each re-enter the lazy lineage
+    val mutual = Compute.materialize(SimilaritySearch.mutualKnn(
       SimilaritySearch.knnEdges(emb, emb, idCol = "vec_id",
         vecCol = "embedding", k = HardNegK))
+      .select(col("a_id"), col("b_id")))
     val edges = mutual.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(mutual.select(col("b_id").as("src"), col("a_id").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -938,10 +941,12 @@ object LlmPack extends QueryPack {
     * integer-fed IEEE division both engines, 6dp cosmetic rounding. */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val edges = SimilaritySearch.mutualKnn(
+    // materialize the mutual edge list once: e1/e2/e3/deg reference it four
+    // ways, and each lazy reference would re-run the fwd⋈rev mutual join
+    val edges = Compute.materialize(SimilaritySearch.mutualKnn(
       SimilaritySearch.knnEdges(emb, emb, idCol = "vec_id",
         vecCol = "embedding", k = HardNegK))
-      .select(col("a_id"), col("b_id")) // canonical a < b
+      .select(col("a_id"), col("b_id"))) // canonical a < b
     val e1 = edges.select(col("a_id").as("a"), col("b_id").as("b"))
     val e2 = edges.select(col("a_id").as("b2"), col("b_id").as("c"))
     val e3 = edges.select(col("a_id").as("a3"), col("b_id").as("c3"))

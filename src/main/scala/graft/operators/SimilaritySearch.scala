@@ -154,10 +154,7 @@ object SimilaritySearch {
     // the same persist-the-derived-edge-list discipline as
     // NearDedup.materializedPairs (reliable checkpoint when the session
     // has a checkpoint dir, executor-local otherwise).
-    val edges =
-      if (knnEdges.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        knnEdges.checkpoint()
-      else knnEdges.localCheckpoint()
+    val edges = Compute.materialize(knnEdges)
     val fwd = edges.select(col("probe_id").as("a_id"),
       col("vec_id").as("b_id"), col("sim"))
     val rev = edges.select(col("vec_id").as("a_id"),

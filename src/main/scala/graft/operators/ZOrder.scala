@@ -104,6 +104,8 @@ object ZOrderLayout {
     val Array(r) = df.agg(
       min(col(xCol).cast("double")), max(col(xCol).cast("double")),
       min(col(yCol).cast("double")), max(col(yCol).cast("double"))).collect()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"cannot z-order an empty input (no rows to derive $xCol/$yCol bounds from)")
     val meta = Meta(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     val z = interleave(rankCol(col(xCol), meta.xMin, meta.xMax),
       rankCol(col(yCol), meta.yMin, meta.yMax))

@@ -29,9 +29,9 @@ case class PointEwma(key: Long, ts: java.sql.Timestamp, value: Double,
 case class PointCusum(key: Long, ts: java.sql.Timestamp, value: Double,
                       cusum: Double, is_drift: Boolean)
 
-/** Per-key CUSUM state: the running statistic in exact micro-units plus
-  * the last event time (for the idle timeout). */
-case class CusumState(sI: Long, lastTsUs: Long)
+/** Per-key CUSUM state: the running statistic in exact micro-units — the
+  * recurrence needs nothing else. */
+case class CusumState(sI: Long)
 
 /** [[TsStream.asOfBackwardStream]] output: the left point plus its matched
   * right (ts, value), or None when no right row at-or-before exists. */
@@ -362,16 +362,21 @@ object TsStream extends Serializable {
           } else {
             val pts = it.toArray.sortBy(p => usOf(p.ts))
             var s = state.getOption.map(_.sI).getOrElse(0L)
+            // one pre-summed reference level: the batch operator subtracts
+            // the (mu0 + k) literal in ONE IEEE op, and two separate
+            // subtractions here could land an ulp away from it — enough
+            // for HALF_UP to pick the adjacent micro-unit near a boundary
+            val ref = mu0 + k
             val out = pts.map { p =>
               // same micro-unit quantization as the batch operator
-              val dI = (BigDecimal(p.value - mu0 - k)
+              val dI = (BigDecimal(p.value - ref)
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000)
                 .toLongExact
               s = math.max(0L, s + dI)
               PointCusum(key, p.ts, p.value, s.toDouble / 1e6, s > hI)
             }
             if (pts.nonEmpty) {
-              state.update(CusumState(s, usOf(pts.last.ts)))
+              state.update(CusumState(s))
               state.setTimeoutTimestamp(usOf(pts.last.ts) / 1000L + idleHorizonMs)
             }
             out.iterator

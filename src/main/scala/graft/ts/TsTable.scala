@@ -218,16 +218,26 @@ final class TsTable private (
     val union = StructType(
       storedSchema.fields.map(_.copy(nullable = true)) ++
         added.map(_.copy(nullable = true)))
+    // the descriptor must also be rewritten when a NARROWER batch is about
+    // to null-fill a column the stored schema declares non-nullable —
+    // otherwise Catalyst's non-null constraint propagation would reason
+    // (and codegen would assume) over a lie
+    val needRewrite = added.nonEmpty || storedSchema.fields.exists(f =>
+      !f.nullable && !batchFields.contains(f.name))
     val evolved =
-      if (added.isEmpty) this
-      else {
-        TsTable.writeDescriptor(spark, path, union, tsCol, writeOptions)
-        new TsTable(spark, path, tsCol, union, writeOptions)
-      }
+      if (!needRewrite) this
+      else new TsTable(spark, path, tsCol, union, writeOptions)
     val aligned = batch.select(union.fields.map(f =>
       if (batchFields.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    // data first, descriptor second: append's own validations (ordering
+    // guard, null-ts, strict sortedness) can still reject the batch, and a
+    // rejected append must not leave a permanently mutated schema. A crash
+    // between the two leaves written columns invisible behind the old
+    // descriptor — recovered by the next evolve — never a corrupt table.
     evolved.append(aligned, filesPerDay, strict)
+    if (needRewrite)
+      TsTable.writeDescriptor(spark, path, union, tsCol, writeOptions)
     evolved
   }
 

@@ -288,4 +288,41 @@ class TsTableSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] { same.appendEvolved(late) }
     assert(e2.getMessage.contains("append-ordered"))
   }
+
+  test("schema evolution: a rejected evolving append leaves the descriptor untouched") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows(Seq(("2024-03-01 10:00:00", 1L, 1.0))))
+    // adds a column AND regresses in time: append's ordering guard fires
+    // AFTER the union schema is computed — the descriptor must not mutate
+    val widened = StructType(schema.fields :+ StructField("tag", StringType))
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(t("2024-01-01 00:00:00"), 2L, 2.0, "late")), 1), widened)
+    intercept[IllegalArgumentException] { tab.appendEvolved(bad) }
+    assert(TsTable.open(spark, dir).schema.fieldNames.toSeq ==
+      Seq("ts", "user_id", "value"),
+      "a failed evolving append must not install the union schema")
+  }
+
+  test("schema evolution: null-filling a non-nullable column relaxes the descriptor") {
+    val dir = freshDir()
+    val strictSchema = StructType(Seq(
+      StructField("ts", TimestampType, nullable = false),
+      StructField("user_id", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    val tab = TsTable.create(spark, dir, strictSchema)
+    val narrow = StructType(Seq(StructField("ts", TimestampType),
+      StructField("user_id", LongType)))
+    tab.appendEvolved(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(t("2024-03-01 10:00:00"), 1L)), 1), narrow))
+    // the stored schema must now admit the null actually written — a
+    // non-nullable claim over null data lets Catalyst fold IS NULL to false
+    val reopened = TsTable.open(spark, dir)
+    assert(reopened.schema("value").nullable,
+      "descriptor must relax nullability when nulls are backfilled")
+    assert(reopened.toDF.where(col("value").isNull).count() == 1,
+      "the IS NULL predicate must see the backfilled null")
+  }
 }
