@@ -41,6 +41,42 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sqlAgg.toSeq == dfAgg.toSeq)
   }
 
+  test("spark.sql == DataFrame API on the round-13 additions (fuzzy join, melt, SCD2)") {
+    Tables.registerViews(spark, sf0001)
+    // blocked Levenshtein pairs, straight SQL
+    val sqlFuzzy = spark.sql(
+      """WITH names AS (SELECT p_name, min(p_partkey) AS pk,
+        |    element_at(split(p_name, ' '), -1) AS block
+        |  FROM part GROUP BY p_name)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  a.pk AS pk_a, b.pk AS pk_b
+        |FROM names a JOIN names b ON a.block = b.block AND a.pk < b.pk
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY pk_a, pk_b""".stripMargin).collect()
+    assert(sqlFuzzy.toSeq ==
+      RelationalPack.fuzzyJoin(spark, sf0001).collect().toSeq)
+    // SCD2 via SQL windows
+    val sqlScd = spark.sql(
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  unix_micros(ts) AS us FROM events),
+        |g AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg,
+        |  row_number() OVER w AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_user
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, row_number() OVER w2 AS run_id,
+        |  lead(us) OVER w2 AS valid_to_us,
+        |  coalesce(lead(rn) OVER w2, n_user + 1) - rn AS n_events
+        |  FROM g WHERE chg = 1
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+        |  us AS valid_from_us, valid_to_us, n_events
+        |FROM s ORDER BY user_id, run_id""".stripMargin).collect()
+    assert(sqlScd.toSeq ==
+      graft.operators.EventAnalyticsPack.scd2(spark, sf0001).collect().toSeq)
+  }
+
   test("TsTable view: SQL range read == readRange, partition pruning intact") {
     val schema = StructType(Seq(
       StructField("ts", TimestampType), StructField("v", LongType)))
