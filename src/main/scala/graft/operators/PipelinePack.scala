@@ -522,6 +522,49 @@ object PipelinePack extends QueryPack {
       .limit(20)
   }
 
+  private val PmiMinCount = 5L
+
+  /** B9+ PMI collocation mining (Church & Hanks '90) — the association
+    * layer over the raw bigram counts of q_ngram_topk: which adjacent
+    * pairs co-occur MORE than their unigram frequencies predict
+    * (pmi = ln P(w1,w2) / (P(w1)·P(w2))), with a count floor so rare-pair
+    * noise can't dominate, top-20 under a (pmi, w1, w2) total order.
+    * Plan: one exploded-unigram aggregate and one exploded-bigram
+    * aggregate (both vocabulary-bounded, map-side combined); the unigram
+    * table re-enters the bigram side as TWO broadcast joins and the two
+    * normalizing totals as broadcast 1-row aggregates (the sourceMix
+    * pattern) — the corpus is scanned twice and never shuffled on a
+    * data-dependent key; the final sort is k-bounded TakeOrdered. The
+    * count floor applies AFTER the totals are taken, so probabilities
+    * stay honest. Counts are exact; pmi rounds 6dp (ln is
+    * libm-dependent — the q_token_entropy precedent). */
+  def ngramPmi(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextFns.tokens(col("text"))
+    val uni = Tables.documents(s, dir)
+      .select(explode(tk).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val uniTot = uni.agg(sum(col("c")).cast("double").as("n_uni"))
+    val pairs = zip_with(tk, slice(tk, lit(2), size(tk)),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bgRows = Tables.documents(s, dir)
+      .select(explode(filter(pairs, x => x.getField("w2").isNotNull)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val biTot = bgRows.agg(count(lit(1)).cast("double").as("n_bi"))
+    bgRows
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= PmiMinCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(uniTot))
+      .crossJoin(broadcast(biTot))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast("double") / col("n_bi")) /
+          ((col("c1").cast("double") / col("n_uni")) *
+            (col("c2").cast("double") / col("n_uni")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   /** Per-language mixture weights as 4-hex md5 ceilings (keep-probability ≈
     * ceiling/65536): the training-mix "temperature" step that up/down-weights
     * sources. Plan-time literals, enumerated identically in the oracle. */
@@ -718,7 +761,8 @@ object PipelinePack extends QueryPack {
     "q_decontaminate_overlap" -> decontaminateOverlap,
     "q_decontaminate_bloom" -> decontaminateBloom,
     "q_shard_assign" -> shardAssign,
-    "q_ngram_topk" -> ngramTopk)
+    "q_ngram_topk" -> ngramTopk,
+    "q_ngram_pmi" -> ngramPmi)
 
   private val tokSql = "string_split_regex(trim(text), '\\s+')"
 
@@ -903,6 +947,25 @@ object PipelinePack extends QueryPack {
          |CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens,
          |CAST(sum(n_chars) AS BIGINT) AS n_chars_total
          |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+    // same tokenization, same probability bases; the count floor applies
+    // after the totals so P() stays honest on both sides
+    "q_ngram_pmi" ->
+      s"""WITH b0 AS (SELECT t, unnest(range(1, greatest(len(t), 1))) AS i
+         |  FROM (SELECT $tokSql AS t FROM documents)),
+         |bg AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM b0 WHERE t[i+1] IS NOT NULL),
+         |uni AS (SELECT w, count(*) AS c FROM (SELECT unnest($tokSql) AS w
+         |  FROM documents) GROUP BY w),
+         |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uni),
+         |nb AS (SELECT CAST(count(*) AS DOUBLE) AS n_bi FROM bg),
+         |bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+         |  HAVING count(*) >= 5)
+         |SELECT bi.w1, bi.w2, bi.c12,
+         |  round(ln((CAST(bi.c12 AS DOUBLE) / nb.n_bi) /
+         |    ((CAST(u1.c AS DOUBLE) / nu.n_uni) *
+         |     (CAST(u2.c AS DOUBLE) / nu.n_uni))), 6) AS pmi
+         |FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w,
+         |  nu, nb
+         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     "q_ngram_topk" ->
       s"""SELECT bg, count(*) AS n FROM (
          |  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),

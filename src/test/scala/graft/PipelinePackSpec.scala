@@ -311,4 +311,33 @@ class PipelinePackSpec extends SparkSpec {
     val ids = someShard.sortBy(_._3).map(_._1).toSeq
     assert(ids != ids.sorted)
   }
+
+  test("ngramPmi: matches a driver-side recomputation of the PMI formula") {
+    val out = PipelinePack.ngramPmi(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 20)
+    val docs = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("text")).collect().map(_.getString(0))
+    val toks = docs.flatMap(_.trim.split("\\s+"))
+    val uni = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bgs = docs.flatMap(d => d.trim.split("\\s+").sliding(2).collect {
+      case Array(a, b) => (a, b) })
+    val bi = bgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (nUni, nBi) = (toks.length.toDouble, bgs.length.toDouble)
+    out.foreach { case (w1, w2, c12, pmi) =>
+      assert(c12 == bi((w1, w2)), s"count of ($w1,$w2)")
+      assert(c12 >= 5L, "count floor")
+      val exp = math.log((c12 / nBi) /
+        ((uni(w1) / nUni) * (uni(w2) / nUni)))
+      assert(math.abs(pmi - exp) < 1e-6, s"pmi($w1,$w2): $pmi vs $exp")
+    }
+    // descending pmi with (w1, w2) tiebreak
+    assert(out.map(r => (-r._4, r._1, r._2)).toSeq ==
+      out.map(r => (-r._4, r._1, r._2)).sorted.toSeq)
+    // the 20th entry really is the cutoff: nothing below it qualifies higher
+    val minPmi = out.map(_._4).min
+    val better = bi.filter(_._2 >= 5L).count { case ((w1, w2), c) =>
+      math.log((c / nBi) / ((uni(w1) / nUni) * (uni(w2) / nUni))) > minPmi + 1e-9 }
+    assert(better <= 20, "top-20 must contain every strictly-better pair")
+  }
 }
