@@ -626,6 +626,36 @@ object PipelinePack extends QueryPack {
       .orderBy(col("source"), col("rank"))
   }
 
+  private val BottomKPerLang = 25
+
+  /** B9+ exact-size per-stratum uniform sample — the distributed RESERVOIR
+    * analogue, completing the sampling family (systematic / distributed
+    * systematic / hash-Bernoulli / weighted / this): keep each language's
+    * k docs with the SMALLEST deterministic hash (bottom-k by a 48-bit
+    * md5 prefix ≡ a uniform random draw, reproducible on any engine).
+    * Unlike a true streaming reservoir the draw is seed-free and
+    * re-derivable; unlike row_number-window sampling it runs as the
+    * k-bounded TopKByScore heap — map tasks collapse to k entries per
+    * stratum BEFORE the shuffle, so a 100 TB corpus moves strata ×
+    * partitions × k rows, never every candidate (the capPerSource
+    * ledger). Hash order totally tiebroken by doc_id; the oracle replays
+    * the hash with the strpos digit expansion (the winnowing-oracle hex
+    * kernel). */
+  def sampleBottomK(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .groupBy(col("lang"))
+      .agg(org.apache.spark.sql.graft.TopKAggExprs
+        .topKByScore(-col("h").cast("double"), col("doc_id"), BottomKPerLang)
+        .as("kept"))
+      .select(col("lang"), posexplode(col("kept")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.vec_id").as("doc_id"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** Temperature exponent for source mixing (GPT-3/Pile-style multinomial
     * resampling: weight ∝ n^α, α < 1 upsamples small curated sources
     * relative to bulk web text). Plan-time literal, mirrored in the
@@ -762,7 +792,8 @@ object PipelinePack extends QueryPack {
     "q_decontaminate_bloom" -> decontaminateBloom,
     "q_shard_assign" -> shardAssign,
     "q_ngram_topk" -> ngramTopk,
-    "q_ngram_pmi" -> ngramPmi)
+    "q_ngram_pmi" -> ngramPmi,
+    "q_sample_bottomk" -> sampleBottomK)
 
   private val tokSql = "string_split_regex(trim(text), '\\s+')"
 
@@ -947,6 +978,17 @@ object PipelinePack extends QueryPack {
          |CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens,
          |CAST(sum(n_chars) AS BIGINT) AS n_chars_total
          |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+    // bottom-k by the 48-bit md5 prefix; the hex digits expand through the
+    // strpos kernel (the dialect's conv), rank order tiebroken by doc_id
+    "q_sample_bottomk" ->
+      s"""WITH m AS (SELECT doc_id, lang,
+         |  md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         |d AS (SELECT doc_id, lang,
+         |  (strpos('0123456789abcdef', substr(hx, 1, 1))-1)*17592186044416 + (strpos('0123456789abcdef', substr(hx, 2, 1))-1)*1099511627776 + (strpos('0123456789abcdef', substr(hx, 3, 1))-1)*68719476736 + (strpos('0123456789abcdef', substr(hx, 4, 1))-1)*4294967296 + (strpos('0123456789abcdef', substr(hx, 5, 1))-1)*268435456 + (strpos('0123456789abcdef', substr(hx, 6, 1))-1)*16777216 + (strpos('0123456789abcdef', substr(hx, 7, 1))-1)*1048576 + (strpos('0123456789abcdef', substr(hx, 8, 1))-1)*65536 + (strpos('0123456789abcdef', substr(hx, 9, 1))-1)*4096 + (strpos('0123456789abcdef', substr(hx, 10, 1))-1)*256 + (strpos('0123456789abcdef', substr(hx, 11, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 12, 1))-1)*1 AS h FROM m),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY h, doc_id) AS rank FROM d)
+         |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id FROM r
+         |WHERE rank <= $BottomKPerLang ORDER BY lang, rank""".stripMargin,
     // same tokenization, same probability bases; the count floor applies
     // after the totals so P() stays honest on both sides
     "q_ngram_pmi" ->

@@ -312,6 +312,28 @@ class PipelinePackSpec extends SparkSpec {
     assert(ids != ids.sorted)
   }
 
+  test("sampleBottomK: exactly the k smallest md5-prefix hashes per language, heap-planned") {
+    val df = PipelinePack.sampleBottomK(spark, sf0001)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString, 16)
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      ds.map(d => (d._1, h(d._1))).sortBy(x => (x._2, x._1)).take(25)
+        .zipWithIndex.map { case ((id, _), i) => (lang, i + 1L, id) }.toSeq
+    }.toSet
+    assert(got.toSet == want, s"sizes ${got.length}/${want.size}")
+    // the k-bounded heap aggregate, not a row_number window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_topk"), plan)
+    assert(!plan.contains("Window"), s"window sampling defeats the heap plan:\n$plan")
+  }
+
   test("ngramPmi: matches a driver-side recomputation of the PMI formula") {
     val out = PipelinePack.ngramPmi(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
