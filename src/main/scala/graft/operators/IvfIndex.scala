@@ -511,6 +511,75 @@ object IvfIndex {
       }
   }
 
+  /** Delete vectors by id — the curation loop's missing verb (a doc pruned
+    * by dedup/quality gates must leave the retrieval index too), completing
+    * the store's lifecycle: build → append → rebalance → DELETE. Surgical:
+    * one column-pruned (cell, vec_id) scan finds the AFFECTED cells (file
+    * pruning applies — only cells whose row groups can hold the ids are
+    * read), and only those cell directories are rewritten; every other
+    * cell's files are untouched bytes (asserted via listing+mtime in
+    * AnnSpec). Per-cell swap discipline: the survivors land in a temp dir
+    * first, then old→trash / tmp→live / drop trash — a crash never leaves
+    * a cell half-rewritten. The opening sweep RESTORES any trash dir whose
+    * live cell is missing (a crash between stage and install) and only
+    * discards trash whose swap completed, so no crash point loses data —
+    * the interrupted delete simply has not happened and can be re-issued.
+    * Same fingerprint policy as append (caller passes the new input
+    * digest; parameter suffix preserved). Returns rows deleted. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long],
+             fingerprint: Option[String] = None): Long = {
+    val recorded = readSidecar(spark, path, FingerprintFile).getOrElse(
+      throw new IllegalStateException(
+        s"IVF store at $path has no fingerprint sidecar (absent or partial " +
+          "build) — rebuild before deleting"))
+    if (ids.isEmpty) return 0L
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recovery sweep ('_' prefix keeps staged dirs invisible to Spark's
+    // partition discovery throughout): a trash dir whose live cell is
+    // MISSING marks a crash between stage and install — restore it (the
+    // interrupted delete never happened); one whose live cell exists is a
+    // completed swap's remnant — discard it
+    fs.listStatus(p).filter(_.getPath.getName.startsWith("_trash_"))
+      .foreach { t =>
+        val live = new Path(p, t.getPath.getName.stripPrefix("_trash_"))
+        if (!fs.exists(live)) require(fs.rename(t.getPath, live),
+          s"delete: cannot restore ${t.getPath} after a crashed delete")
+        else fs.delete(t.getPath, true)
+      }
+    // and stale temp dirs from crashed deletes
+    fs.listStatus(p).filter(_.getPath.getName.startsWith("_delete_tmp_"))
+      .foreach(t => fs.delete(t.getPath, true))
+    val data = spark.read.parquet(path)
+    val hit = data.where(col("vec_id").isin(ids: _*))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    if (hit.isEmpty) return 0L
+    val affected = hit.map(_._1)
+    val tmp = new Path(path, s"_delete_tmp_${System.nanoTime()}")
+    data.where(col("cell").isin(affected: _*) && !col("vec_id").isin(ids: _*))
+      .sortWithinPartitions(col("cell"), col("vec_id")) // keep row-group stats
+      .write.partitionBy("cell").parquet(tmp.toString)
+    affected.foreach { c =>
+      val live = new Path(p, s"cell=$c")
+      val fresh = new Path(tmp, s"cell=$c")
+      val trash = new Path(p, s"_trash_cell=$c")
+      require(fs.rename(live, trash), s"delete: cannot stage cell=$c")
+      // a fully-emptied cell has no fresh dir — the stage rename alone
+      // removes it (probes list cell dirs, so absence is correct)
+      if (fs.exists(fresh))
+        require(fs.rename(fresh, new Path(p, s"cell=$c")),
+          s"delete: cannot install rewritten cell=$c")
+      fs.delete(trash, true)
+    }
+    fs.delete(tmp, true)
+    fingerprint.foreach { fp =>
+      writeSidecar(spark, path, FingerprintFile,
+        fp + recorded.dropWhile(_ != ':'))
+    }
+    hit.map(_._2).sum
+  }
+
   /** Cell-balance observability (the operator's view BEFORE deciding to
     * rebalance): one row per on-disk cell with file count, bytes, and rows.
     * Files/bytes come from a driver-side listing; row counts from the

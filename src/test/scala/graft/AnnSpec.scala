@@ -520,4 +520,47 @@ class AnnSpec extends SparkSpec {
     assert(nCand < 499, s"LSH scanned the whole corpus ($nCand candidates)")
     assert(nCand > 10, "degenerate bucketing")
   }
+
+  test("IVF delete: ids gone from probes, survivors identical, untouched cells' bytes untouched") {
+    import graft.operators.IvfIndex
+    val emb = clustered(8, 40).cache()
+    val path = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    IvfIndex.buildIfNeeded(emb, "vec_id", "embedding", path,
+      fingerprint = "delspec-v1", cells = 8, sampleN = 200)
+    val probe = emb.where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val before = IvfIndex.topK(spark, path, probe, k = 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // delete two of probe-0's neighbors plus a far-away id (spans cells)
+    val victims = Seq(before(1)._1, before(3)._1, 280L).distinct
+    def cellFiles(): Map[String, Seq[(String, Long, Long)]] =
+      new java.io.File(path).listFiles.filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles.filter(_.getName.startsWith("part-"))
+          .map(f => (f.getName, f.length, f.lastModified)).toSeq.sortBy(_._1))
+        .toMap
+    val filesBefore = cellFiles()
+    val affectedCells = spark.read.parquet(path)
+      .where(col("vec_id").isin(victims: _*))
+      .select(col("cell")).distinct().collect().map(r => s"cell=${r.getInt(0)}").toSet
+    val nDeleted = IvfIndex.delete(spark, path, victims)
+    assert(nDeleted == victims.length.toLong, s"deleted $nDeleted")
+    val after = IvfIndex.topK(spark, path, probe, k = 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(after.forall(r => !victims.contains(r._1)), "victims still probed")
+    // survivors keep their exact scores and relative order
+    val survivors = before.filterNot(r => victims.contains(r._1))
+    assert(after.take(survivors.length).toSeq == survivors.toSeq,
+      "surviving neighbors must be unchanged")
+    // surgical rewrite: unaffected cell dirs are bit-identical listings
+    val filesAfter = cellFiles()
+    filesBefore.keys.filterNot(affectedCells).foreach { c =>
+      assert(filesAfter(c) == filesBefore(c), s"$c was rewritten needlessly")
+    }
+    affectedCells.foreach { c =>
+      assert(filesAfter.get(c).forall(_ != filesBefore(c)), s"$c not rewritten")
+    }
+    // idempotent: deleting the same ids again touches nothing
+    assert(IvfIndex.delete(spark, path, victims) == 0L)
+    emb.unpersist()
+  }
 }
