@@ -96,6 +96,56 @@ object SigStore {
       FingerprintFile, s"$fp:$idCol:$textCol:$partCol:b$bands:r$rowsPerBand"))
   }
 
+  /** Remove PRUNED docs' signatures — the curation loop's reverse verb
+    * (a doc dropped from the corpus must stop vetoing future arrivals):
+    * both narrow tables rewrite through an anti-filter WITHOUT ever
+    * re-reading corpus text — at 100 TB that is the whole point, the
+    * rewrite touches bands·16 B + shingle keys per doc, not documents.
+    * Crash discipline mirrors IvfIndex.delete (stage → install → drop
+    * trash, restore-on-missing recovery sweep); `bands/` swaps FIRST so
+    * the only crash-intermediate state is a harmless one (a doc absent
+    * from bands can never become a candidate, so its stale sets row is
+    * dead weight; the opposite order could silently drop OTHER pairs at
+    * verify). Re-issuing the same delete heals a half-applied one.
+    * Returns signature-set rows removed (0 = ids not present). */
+  def delete(spark: org.apache.spark.sql.SparkSession, path: String,
+             ids: Seq[Long], fingerprint: Option[String] = None): Long = {
+    val recorded = IvfIndex.readSidecar(spark, path, FingerprintFile).getOrElse(
+      throw new IllegalStateException(
+        s"signature store at $path has no fingerprint sidecar (absent or " +
+          "partial build) — rebuild before deleting"))
+    if (ids.isEmpty) return 0L
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sub(n: String) = new org.apache.hadoop.fs.Path(root, n)
+    // recovery sweep: restore a trash dir whose live twin is missing
+    Seq("bands", "sets").foreach { n =>
+      val trash = sub(s"_trash_$n")
+      if (fs.exists(trash)) {
+        if (!fs.exists(sub(n))) require(fs.rename(trash, sub(n)),
+          s"delete: cannot restore $trash")
+        else fs.delete(trash, true)
+      }
+      if (fs.exists(sub(s"_del_$n"))) fs.delete(sub(s"_del_$n"), true)
+    }
+    val n = spark.read.parquet(s"$path/sets")
+      .where(col("id").isin(ids: _*)).count()
+    if (n == 0L) return 0L
+    Seq("bands", "sets").foreach { name =>
+      spark.read.parquet(sub(name).toString)
+        .where(!col("id").isin(ids: _*))
+        .write.mode("overwrite").parquet(sub(s"_del_$name").toString)
+      require(fs.rename(sub(name), sub(s"_trash_$name")),
+        s"delete: cannot stage $name")
+      require(fs.rename(sub(s"_del_$name"), sub(name)),
+        s"delete: cannot install rewritten $name")
+      fs.delete(sub(s"_trash_$name"), true)
+    }
+    fingerprint.foreach(fp => IvfIndex.writeSidecar(spark, path,
+      FingerprintFile, fp + recorded.dropWhile(_ != ':')))
+    n
+  }
+
   /** Probe the store with an incoming batch: one row per offending match —
     * (new_id, dup_of, jaccard) against the stored corpus AND against
     * earlier (smaller-id) members of the same batch, exactly

@@ -72,6 +72,22 @@ class NearDedupSpec extends SparkSpec {
     assert(viaStore == recomputed,
       s"missing=${recomputed -- viaStore} extra=${viaStore -- recomputed}")
     assert(viaStore.nonEmpty)
+
+    // DELETE: a pruned corpus doc stops vetoing future arrivals, other
+    // pairs survive, and re-deletion is a no-op
+    val crossPairs = viaStore.filter { case (_, dupOf, _) =>
+      !docs.where(isNew).select(col("doc_id")).collect()
+        .map(_.getLong(0)).toSet.contains(dupOf)
+    }
+    assert(crossPairs.nonEmpty, "need a store-side pair to exercise delete")
+    val victim = crossPairs.head._2
+    assert(SigStore.delete(spark, store, Seq(victim)) > 0L)
+    val afterDelete = SigStore.probe(store, docs.where(isNew),
+        "doc_id", "text", "lang", tau = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(afterDelete == viaStore.filterNot(_._2 == victim),
+      "delete must remove exactly the victim's pairs")
+    assert(SigStore.delete(spark, store, Seq(victim)) == 0L)
   }
 
   test("rankedByDf: hot shingles take the broadcast branch, plan has no hot-key shuffle join") {
