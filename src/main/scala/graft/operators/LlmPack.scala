@@ -58,6 +58,22 @@ object LlmPack extends QueryPack {
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
 
+  private val TauContain = 0.9
+  private val ContainMinShingles = 10
+
+  /** B9+ containment dedup — the asymmetric member of the dedup family
+    * (NearDedup.containmentPairs): docs ≥ 90% shingle-contained in a
+    * larger doc, the quotation/subset-duplication case symmetric Jaccard
+    * misses. Exact verify on candidates from the contained side's
+    * pigeonhole prefix; oracle = all-pairs containment on the same exact
+    * sets with the same size orientation. */
+  def dedupContain(s: SparkSession, dir: String): DataFrame =
+    NearDedup.containmentPairs(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text", partCol = "lang",
+        tauC = TauContain, minShingles = ContainMinShingles,
+        materialize = Some(true))
+      .orderBy(col("contained_id"), col("container_id"))
+
   /** B9 near-dup via MinHash + banded LSH. Probabilistic recall, but at
     * 32 bands × 4 rows a τ=0.8 pair is missed with p ≈ 5e-8 (and the
     * fixture's planted pairs at J ≥ 0.95 with p ≈ 1e-23), so it shares the
@@ -1061,6 +1077,7 @@ object LlmPack extends QueryPack {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_stats" -> dedupStats,
     "q_dedup_near" -> dedupNear,
+    "q_dedup_contain" -> dedupContain,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_cluster" -> dedupCluster,
     "q_dedup_canonical" -> dedupCanonical,
@@ -1299,6 +1316,20 @@ object LlmPack extends QueryPack {
         |round(1.0 - CAST(count(DISTINCT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
         |  AS DOUBLE) / count(*), 6) AS dup_frac
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // All-pairs containment on the same exact sets; size orientation
+    // (|A| < |B|, ties by id) matches the engine's canonicalization.
+    "q_dedup_contain" ->
+      s"""WITH $nearDupCtes,
+         |c AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(a.sh) AS raw
+         |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+         |  WHERE len(a.sh) >= $ContainMinShingles
+         |    AND (len(a.sh) < len(b.sh)
+         |         OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id)))
+         |SELECT contained_id, container_id, round(raw, 6) AS containment
+         |FROM c WHERE raw >= $TauContain
+         |ORDER BY contained_id, container_id""".stripMargin,
     "q_dedup_near" -> nearDupOracle,
     "q_dedup_minhash" -> nearDupOracle,
     "q_dedup_simhash" -> simhashOracle,

@@ -135,6 +135,58 @@ object NearDedup {
     }
   }
 
+  /** CONTAINMENT pairs (Chaudhuri et al. '06 prefix filtering, asymmetric
+    * form): docs whose shingle set is ≥ `tauC` CONTAINED in another doc's —
+    * the quotation/boilerplate/subset-duplication signal the symmetric
+    * Jaccard family structurally misses (a 100-shingle doc verbatim inside
+    * a 10000-shingle doc has J ≈ 0.01 but C = 1.0). Output:
+    * (contained_id, container_id, containment), containment = |A∩B|/|A|.
+    *
+    * Plan: the PIGEONHOLE prefix applies to the CONTAINED side only — if
+    * C(A,B) ≥ τ then fewer than |A| − ⌈τ|A|⌉ + 1 of A's shingles can miss
+    * B, so A's (rarest-first) prefix of that length must hit B. Candidates
+    * are A-prefix ⨝ B-FULL-postings on the shingle key (within part);
+    * rarest-first ranking keeps the join key distribution to A's LOW-df
+    * shingles, and the size orientation (|A| ≤ |B|, ties by id) halves the
+    * pair space and canonicalizes equal-size mutual containment. Exact
+    * verify on the stored sets — candidates only, never the cross
+    * product. `minShingles` floors the contained side (trivially tiny sets
+    * are contained everywhere). Same ε-guarded bound arithmetic and
+    * materialization harness as prefixFilter. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       partCol: String, tauC: Double, minShingles: Int = 10,
+                       hotDf: Int = 1024,
+                       materialize: Option[Boolean] = None): DataFrame = {
+    val sets0 = Compute.rebalance(docs
+      .select(col(idCol).as("id"), col(partCol).as("part"), col(textCol)))
+      .select(col("id"), col("part"),
+        TextFns.shingles3(col(textCol)).as("sh"))
+      .where(size(col("sh")) > 0)
+    materializedPairs(sets0, materialize) { sets =>
+      val Eps = 1e-6
+      val prefix = rankedByDf(sets, hotDf)
+        .where(col("n") >= minShingles &&
+          col("rn") <= col("n") - ceil(col("n") * lit(tauC) - Eps) + 1)
+        .select(col("id"), col("part"), col("n"), col("sh"))
+      val full = sets.select(col("id").as("b_id"), col("part").as("b_part"),
+          size(col("sh")).as("b_n"), explode(col("sh")).as("b_sh"))
+      val cand = prefix.join(full,
+          col("sh") === col("b_sh") && col("part") === col("b_part") &&
+            (col("n") < col("b_n") ||
+              (col("n") === col("b_n") && col("id") < col("b_id"))))
+        .select(col("id").as("a_id"), col("b_id")).distinct()
+      val aS = sets.select(col("id").as("a_id"), col("sh").as("a_sh"))
+      val bS = sets.select(col("id").as("b_id"), col("sh").as("b_sh2"))
+      cand.join(aS, "a_id").join(bS, "b_id")
+        .withColumn("containment",
+          size(array_intersect(col("a_sh"), col("b_sh2"))).cast("double") /
+            size(col("a_sh")))
+        .where(col("containment") >= tauC)
+        .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+          round(col("containment"), 6).as("containment"))
+    }
+  }
+
   /** Single-evaluation harness for the pair generators. The lazy pipeline
     * references `sets` (the full-corpus shingle arrays) three times — once
     * for candidate generation, twice in the verify join — and Spark

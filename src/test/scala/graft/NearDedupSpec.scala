@@ -45,6 +45,46 @@ class NearDedupSpec extends SparkSpec {
     unwrap(plan).filter(_.nodeName.toLowerCase.contains("join"))
   }
 
+  test("containment: finds small-in-big verbatim inclusion that Jaccard misses; " +
+      "brute-force parity") {
+    import graft.operators.NearDedup
+    val bigBody = (1 to 200).map(i => s"w$i").mkString(" ")
+    val small = (40 to 75).map(i => s"w$i").mkString(" ") // verbatim slice
+    val docs = Seq(
+      (1L, "en", bigBody),
+      (2L, "en", small),
+      (3L, "en", (1 to 50).map(i => s"z$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "lang", "text")
+    val got = NearDedup.containmentPairs(docs, "doc_id", "text", "lang",
+        tauC = 0.9, minShingles = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSeq == Seq((2L, 1L)),
+      s"expected exactly the (small ⊂ big) pair, got ${got.toSeq}")
+    assert(got.head._3 == 1.0, "a verbatim slice is fully contained")
+    // the symmetric family really does miss it
+    val jac = NearDedup.prefixFilter(docs, "doc_id", "text", "lang", tau = 0.8)
+      .collect()
+    assert(jac.isEmpty, "Jaccard at 0.8 must not pair a 36-token slice with a 200-token doc")
+
+    // brute-force parity on the fixture corpus (sf0.001: all-pairs tractable)
+    val fix = Tables.documents(spark, sf0001)
+    val setsByDoc = fix.select(col("doc_id"), col("lang"),
+        graft.functions.TextFns.shingles3(col("text")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toSet))
+      .filter(_._3.nonEmpty)
+    val want = (for {
+      a <- setsByDoc; b <- setsByDoc
+      if a._2 == b._2 && a._1 != b._1 && a._3.size >= 10 &&
+        (a._3.size < b._3.size || (a._3.size == b._3.size && a._1 < b._1))
+      c = a._3.intersect(b._3).size.toDouble / a._3.size
+      if c >= 0.9
+    } yield (a._1, b._1)).toSet
+    val gotFix = NearDedup.containmentPairs(fix, "doc_id", "text", "lang",
+        tauC = 0.9, minShingles = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotFix == want, s"missing=${want -- gotFix} extra=${gotFix -- want}")
+  }
+
   test("SigStore: probe == recomputing incremental LSH pair-for-pair; " +
       "fingerprint gates rebuilds") {
     import graft.operators.SigStore
