@@ -58,6 +58,42 @@ object LlmPack extends QueryPack {
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
 
+  private val ZipfTopN = 100
+
+  /** B9+ Zipf rank-frequency diagnostic — the one-row corpus-language
+    * sanity check (natural text follows count ∝ rank^slope with
+    * slope ≈ −1; scraped boilerplate or synthetic junk bends it): a
+    * log-log least-squares fit over the top-100 token ranks. The token
+    * aggregate is vocabulary-bounded with map-side combine and the top-N
+    * is TakeOrdered; the REGRESSION then runs over exactly N rows whose
+    * rounded log coordinates are cast to DECIMAL so every power sum is
+    * exact and associative (the cusum discipline — no float
+    * summation-order exposure), with the final slope/intercept algebra a
+    * single identical IEEE expression on both engines. */
+  def tokenZipf(s: SparkSession, dir: String): DataFrame = {
+    val w100 = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("w"))
+    val ranked = Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(ZipfTopN)
+      .withColumn("rank", row_number().over(w100))
+    val d = ranked.select(
+      round(log(col("rank").cast("double")), 6).cast("decimal(18,6)").as("x"),
+      round(log(col("n").cast("double")), 6).cast("decimal(18,6)").as("y"))
+    d.agg(count(lit(1)).cast("double").as("cnt"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .select(col("cnt").cast("long").as("n_ranked"),
+        round((col("cnt") * col("sxy") - col("sx") * col("sy")) /
+          (col("cnt") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        round((col("sy") - (col("cnt") * col("sxy") - col("sx") * col("sy")) /
+          (col("cnt") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("cnt"), 4).as("intercept"))
+  }
+
   private val TauContain = 0.9
   private val ContainMinShingles = 10
 
@@ -1078,6 +1114,7 @@ object LlmPack extends QueryPack {
     "q_dedup_stats" -> dedupStats,
     "q_dedup_near" -> dedupNear,
     "q_dedup_contain" -> dedupContain,
+    "q_token_zipf" -> tokenZipf,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_cluster" -> dedupCluster,
     "q_dedup_canonical" -> dedupCanonical,
@@ -1316,6 +1353,26 @@ object LlmPack extends QueryPack {
         |round(1.0 - CAST(count(DISTINCT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
         |  AS DOUBLE) / count(*), 6) AS dup_frac
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Exact decimal power sums over exactly the top-N log points; only
+    // the two ln() calls and the final fit algebra are float, identical
+    // single expressions on both engines.
+    "q_token_zipf" ->
+      s"""WITH t AS (SELECT unnest($tokSql) AS w FROM documents),
+         |c AS (SELECT w, count(*) AS n FROM t GROUP BY w
+         |      ORDER BY n DESC, w LIMIT $ZipfTopN),
+         |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, w) AS rank FROM c),
+         |d AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         |             CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+         |      FROM r),
+         |a AS (SELECT CAST(count(*) AS DOUBLE) AS cnt,
+         |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |  CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(x * x) AS DOUBLE) AS sxx
+         |  FROM d)
+         |SELECT CAST(cnt AS BIGINT) AS n_ranked,
+         |  round((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx), 4) AS slope,
+         |  round((sy - (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx) * sx)
+         |        / cnt, 4) AS intercept
+         |FROM a""".stripMargin,
     // All-pairs containment on the same exact sets; size orientation
     // (|A| < |B|, ties by id) matches the engine's canonicalization.
     "q_dedup_contain" ->

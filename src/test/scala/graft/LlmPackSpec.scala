@@ -188,6 +188,29 @@ class LlmPackSpec extends SparkSpec {
     assert(out.exists(_.getLong(1) > 0) && out.exists(_.getLong(1) == 0))
   }
 
+  test("tokenZipf: slope/intercept match a driver-side least-squares fit") {
+    val Array(row) = LlmPack.tokenZipf(spark, sf0001).collect()
+    val toks = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).trim.split("\\s+"))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ranked = toks.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (w, n) => (-n, w) }.take(100).zipWithIndex
+      .map { case ((_, n), i) => (r6(math.log(i + 1.0)), r6(math.log(n.toDouble))) }
+    assert(row.getLong(0) == ranked.length.toLong)
+    val cnt = ranked.length.toDouble
+    val (sx, sy) = (ranked.map(_._1).sum, ranked.map(_._2).sum)
+    val sxy = ranked.map(p => p._1 * p._2).sum
+    val sxx = ranked.map(p => p._1 * p._1).sum
+    val slope = (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
+    assert(math.abs(row.getDouble(1) - slope) < 1e-3, s"slope ${row.getDouble(1)} vs $slope")
+    assert(math.abs(row.getDouble(2) - (sy - slope * sx) / cnt) < 1e-3, "intercept")
+    // the synthetic fixture is deliberately non-Zipfian (near-uniform
+    // vocabulary) — the diagnostic should REPORT that, not hide it
+    assert(row.getDouble(1) > -0.8 && row.getDouble(1) < 0.0,
+      s"expected a shallow negative slope on synthetic text, got ${row.getDouble(1)}")
+  }
+
   test("graphTriangles: matches driver-side brute force; coefficient bounded") {
     val emb = Tables.embeddings(spark, sf0001)
     val edges = SimilaritySearch.mutualKnn(
