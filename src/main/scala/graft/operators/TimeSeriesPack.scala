@@ -177,6 +177,25 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** A7+ per-day layout report (`TsTable.partitionStats` — the
+    * IvfIndex.cellStats analogue): build four days, report each day's
+    * file count and rows. File counts are deterministic under
+    * filesPerDay = 1 (one day-partition task → one file), so the whole
+    * report is oracle-checkable: the oracle recomputes per-day row counts
+    * from raw events with a literal 1 for files. Bytes are reported by
+    * the API but not emitted here (physical size is compression-detail
+    * dependent, not cross-engine comparable). */
+  def tsStatsReport(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tsstats_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    t.append(ev)
+    t.partitionStats
+      .select(col("p_date"), col("n_files"), col("n_rows"))
+      .orderBy(col("p_date"))
+  }
+
   /** B2 projection + non-time predicate; both pushed to the parquet scan. */
   def filterProject(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -597,6 +616,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_compact" -> compactRoundtrip,
     "q_ts_retention" -> retentionRoundtrip,
     "q_zorder_cluster" -> zorderRect,
+    "q_ts_stats" -> tsStatsReport,
     "q_filter_project" -> filterProject,
     "q_scalar_datetime" -> scalarDatetime,
     "q_resample_ohlc" -> resampleOhlc,
@@ -661,6 +681,12 @@ object TimeSeriesPack extends QueryPack {
          |WHERE date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-03 00:00:00'
          |  AND date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
          |ORDER BY event_id""".stripMargin,
+    "q_ts_stats" ->
+      s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS p_date,
+         |  CAST(1 AS BIGINT) AS n_files, count(*) AS n_rows
+         |FROM events
+         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+         |GROUP BY 1 ORDER BY p_date""".stripMargin,
     // The z-ordered copy holds exactly the events rows; bucket pruning is
     // conservative and the exact predicate re-applies, so the clustered
     // rectangle query must equal the plain scan's.

@@ -74,6 +74,29 @@ final class TsTable private (
       .drop(PartCol)
   }
 
+  /** Per-day layout observability (the IvfIndex.cellStats analogue): one
+    * row per `p_date=` directory with file count, bytes, and rows — the
+    * report that justifies reaching for `compact` (many small files) or
+    * flags a skewed day before its range reads slow down. Files/bytes
+    * come from the driver-side listing (metadata-only); row counts from
+    * the parquet footers via a zero-data-column scan. */
+  def partitionStats: DataFrame = {
+    import spark.implicits._
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = partitionDates.map { d =>
+      val files = fs.listStatus(new Path(dir, s"$PartCol=$d")).toSeq
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+      (d, files.size.toLong, files.map(_.getLen).sum)
+    }.toDF(PartCol, "n_files", "n_bytes")
+    val rows = raw.groupBy(col(PartCol).cast("string").as(PartCol))
+      .agg(count(lit(1)).as("n_rows"))
+    meta.join(rows, Seq(PartCol), "left")
+      .na.fill(0L, Seq("n_rows"))
+      .orderBy(col(PartCol))
+  }
+
   /** ISO date strings of the table's `p_date=` partition directories, from a
     * driver-side file listing — METADATA ONLY, the exact analogue of the
     * reference enumerating its daily HDF5 groups. O(#partitions), never

@@ -289,6 +289,29 @@ class TsTableSpec extends SparkSpec {
     assert(e2.getMessage.contains("append-ordered"))
   }
 
+  test("partitionStats: per-day files/bytes/rows match the layout") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows(Seq(
+      ("2024-03-01 10:00:00", 1L, 1.0),
+      ("2024-03-01 11:00:00", 2L, 2.0),
+      ("2024-03-02 10:00:00", 3L, 3.0))))
+    val stats = tab.partitionStats.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.map(s => (s._1, s._2, s._4)).toSeq ==
+      Seq(("2024-03-01", 1L, 2L), ("2024-03-02", 1L, 1L)))
+    assert(stats.forall(_._3 > 0L), "bytes must be positive")
+    // a second append doubles the day's file count, compact restores it
+    tab.append(mkRows(Seq(("2024-03-02 12:00:00", 4L, 4.0))))
+    val afterAppend = tab.partitionStats.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(afterAppend("2024-03-02") == ((2L, 2L)))
+    tab.compactAll(targetFiles = 1)
+    val afterCompact = tab.partitionStats.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(afterCompact("2024-03-02") == ((1L, 2L)))
+  }
+
   test("schema evolution: a rejected evolving append leaves the descriptor untouched") {
     val dir = freshDir()
     val tab = TsTable.create(spark, dir, schema)
