@@ -134,7 +134,8 @@ object IvfIndex {
       val foreign = entries.filterNot { st =>
         val n = st.getPath.getName
         (st.isDirectory && n.startsWith("cell=")) || n.startsWith("_ivf_") ||
-          n == "_SUCCESS" || n.startsWith(".") || n.startsWith("_temporary")
+          n == "_SUCCESS" || n.startsWith(".") || n.startsWith("_temporary") ||
+          n.startsWith("_trash_") || n.startsWith("_delete_tmp_") // crashed delete() remnants are OURS
       }
       require(foreign.isEmpty,
         s"refusing to overwrite '$path': it exists but does not look like an " +
@@ -171,6 +172,9 @@ object IvfIndex {
     .withColumn("qscale", array_max(col("v")) - array_min(col("v")))
 
   private[graft] def loadCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] = {
+    // every probe passes through here — heal any crashed delete before the
+    // cell directories are listed (see recoverCrashedDelete)
+    recoverCrashedDelete(spark, path)
     val in = new Path(path, CentroidsFile)
     val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val is = fs.open(in)
@@ -526,8 +530,35 @@ object IvfIndex {
     * the interrupted delete simply has not happened and can be re-issued.
     * Same fingerprint policy as append (caller passes the new input
     * digest; parameter suffix preserved). Returns rows deleted. */
+  /** Recovery sweep for interrupted [[delete]]s ('_' prefixes keep staged
+    * dirs invisible to Spark's partition discovery throughout): a trash
+    * dir whose live cell is MISSING marks a crash between stage and
+    * install — restore it (the interrupted delete never happened); one
+    * whose live cell exists is a completed swap's remnant — discard it.
+    * Runs from every entry point that touches the store's directories
+    * (probes via [[loadCentroids]], [[cellStats]], [[delete]] itself), so
+    * a crashed delete heals on the NEXT READ, not only on the next
+    * delete — a cell must never stay silently invisible behind a healthy
+    * fingerprint. Idempotent; no-ops on a clean store at the cost of one
+    * listing. */
+  private def recoverCrashedDelete(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).filter(_.getPath.getName.startsWith("_trash_"))
+      .foreach { t =>
+        val live = new Path(p, t.getPath.getName.stripPrefix("_trash_"))
+        if (!fs.exists(live)) require(fs.rename(t.getPath, live),
+          s"cannot restore ${t.getPath} after a crashed delete")
+        else fs.delete(t.getPath, true)
+      }
+    fs.listStatus(p).filter(_.getPath.getName.startsWith("_delete_tmp_"))
+      .foreach(t => fs.delete(t.getPath, true))
+  }
+
   def delete(spark: SparkSession, path: String, ids: Seq[Long],
              fingerprint: Option[String] = None): Long = {
+    import spark.implicits._
     val recorded = readSidecar(spark, path, FingerprintFile).getOrElse(
       throw new IllegalStateException(
         s"IVF store at $path has no fingerprint sidecar (absent or partial " +
@@ -535,29 +566,28 @@ object IvfIndex {
     if (ids.isEmpty) return 0L
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // recovery sweep ('_' prefix keeps staged dirs invisible to Spark's
-    // partition discovery throughout): a trash dir whose live cell is
-    // MISSING marks a crash between stage and install — restore it (the
-    // interrupted delete never happened); one whose live cell exists is a
-    // completed swap's remnant — discard it
-    fs.listStatus(p).filter(_.getPath.getName.startsWith("_trash_"))
-      .foreach { t =>
-        val live = new Path(p, t.getPath.getName.stripPrefix("_trash_"))
-        if (!fs.exists(live)) require(fs.rename(t.getPath, live),
-          s"delete: cannot restore ${t.getPath} after a crashed delete")
-        else fs.delete(t.getPath, true)
-      }
-    // and stale temp dirs from crashed deletes
-    fs.listStatus(p).filter(_.getPath.getName.startsWith("_delete_tmp_"))
-      .foreach(t => fs.delete(t.getPath, true))
+    recoverCrashedDelete(spark, path)
+    // the id set rides as a broadcast relation, not a literal IN list —
+    // literal lists are O(n) expression children through analysis, which
+    // collapses at the curation scale (10⁵–10⁷ pruned ids) this API is for
+    val idsDf = ids.toDF("vec_id")
     val data = spark.read.parquet(path)
-    val hit = data.where(col("vec_id").isin(ids: _*))
+    val hit = data.join(broadcast(idsDf), Seq("vec_id"), "left_semi")
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1))
     if (hit.isEmpty) return 0L
     val affected = hit.map(_._1)
+    val survivors = data.where(col("cell").isin(affected: _*))
+      .join(broadcast(idsDf), Seq("vec_id"), "left_anti")
+    // deleting the LAST vectors of the last populated cells would leave a
+    // directory of bare sidecars that every parquet read rejects — an
+    // empty store is a dropped store, not a degenerate one
+    require(listCellDirs(spark, path).map(_._1).exists(c => !affected.contains(c)) ||
+        !survivors.isEmpty,
+      s"delete would empty the IVF store at $path entirely — drop the store " +
+        "directory and rebuild instead of deleting every vector")
     val tmp = new Path(path, s"_delete_tmp_${System.nanoTime()}")
-    data.where(col("cell").isin(affected: _*) && !col("vec_id").isin(ids: _*))
+    survivors
       .sortWithinPartitions(col("cell"), col("vec_id")) // keep row-group stats
       .write.partitionBy("cell").parquet(tmp.toString)
     affected.foreach { c =>
@@ -588,6 +618,7 @@ object IvfIndex {
     * directory every probe of that cell must scan in full. */
   def cellStats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    recoverCrashedDelete(spark, path)
     val meta = listCellDirs(spark, path).toDF("cell", "n_files", "n_bytes")
     val rows = spark.read.parquet(path)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_rows"))

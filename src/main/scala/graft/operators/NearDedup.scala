@@ -152,7 +152,17 @@ object NearDedup {
     * verify on the stored sets — candidates only, never the cross
     * product. `minShingles` floors the contained side (trivially tiny sets
     * are contained everywhere). Same ε-guarded bound arithmetic and
-    * materialization harness as prefixFilter. */
+    * materialization harness as prefixFilter.
+    *
+    * SKEW CAVEAT (honest limit): the candidate join keys on the contained
+    * side's rarest shingles, but a doc made ENTIRELY of globally-hot
+    * shingles still probes a hot posting list — a large boilerplate
+    * cluster can re-create the straggler rankedByDf's head/tail split
+    * avoids on the symmetric path (prefix⨝prefix is hotDf-bounded;
+    * prefix⨝FULL-postings is not, and the pigeonhole bound does not
+    * survive dropping hot shingles from the postings). On
+    * boilerplate-heavy corpora, strip repeated spans first
+    * (q_span_dedup's signal) or dedup exactly before containment. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        partCol: String, tauC: Double, minShingles: Int = 10,
                        hotDf: Int = 1024,

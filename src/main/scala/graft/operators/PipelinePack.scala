@@ -1000,7 +1000,7 @@ object PipelinePack extends QueryPack {
          |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uni),
          |nb AS (SELECT CAST(count(*) AS DOUBLE) AS n_bi FROM bg),
          |bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
-         |  HAVING count(*) >= 5)
+         |  HAVING count(*) >= $PmiMinCount)
          |SELECT bi.w1, bi.w2, bi.c12,
          |  round(ln((CAST(bi.c12 AS DOUBLE) / nb.n_bi) /
          |    ((CAST(u1.c AS DOUBLE) / nu.n_uni) *

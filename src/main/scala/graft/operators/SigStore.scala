@@ -34,6 +34,30 @@ object SigStore {
 
   private val FingerprintFile = "_SIG_FINGERPRINT"
 
+  /** Recovery sweep for interrupted [[delete]]s: restore a staged table
+    * whose live twin is missing (crash between stage and install — the
+    * delete never happened), discard completed swaps' remnants. Runs from
+    * every entry point that reads the store (probe, buildIfNeeded, delete),
+    * so a crashed delete heals on the next READ — probe must never throw
+    * path-not-found behind a healthy fingerprint. */
+  private def recoverCrashedDelete(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    Seq("bands", "sets").foreach { n =>
+      val trash = new org.apache.hadoop.fs.Path(root, s"_trash_$n")
+      val live = new org.apache.hadoop.fs.Path(root, n)
+      if (fs.exists(trash)) {
+        if (!fs.exists(live)) require(fs.rename(trash, live),
+          s"cannot restore $trash after a crashed delete")
+        else fs.delete(trash, true)
+      }
+      val tmp = new org.apache.hadoop.fs.Path(root, s"_del_$n")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
+  }
+
   private def setsOf(docs: DataFrame, idCol: String, textCol: String,
                      partCol: String): DataFrame =
     docs.select(col(idCol).as("id"), col(partCol).as("part"),
@@ -47,6 +71,7 @@ object SigStore {
                     idCol: String, textCol: String, partCol: String,
                     bands: Int = 32, rowsPerBand: Int = 4): Boolean = {
     val spark = corpus.sparkSession
+    recoverCrashedDelete(spark, path)
     require(!Seq(idCol, textCol, partCol).exists(_.contains(":")),
       "column names must not contain ':' (sidecar delimiter)")
     val full = s"$fingerprint:$idCol:$textCol:$partCol:b$bands:r$rowsPerBand"
@@ -118,22 +143,17 @@ object SigStore {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def sub(n: String) = new org.apache.hadoop.fs.Path(root, n)
-    // recovery sweep: restore a trash dir whose live twin is missing
-    Seq("bands", "sets").foreach { n =>
-      val trash = sub(s"_trash_$n")
-      if (fs.exists(trash)) {
-        if (!fs.exists(sub(n))) require(fs.rename(trash, sub(n)),
-          s"delete: cannot restore $trash")
-        else fs.delete(trash, true)
-      }
-      if (fs.exists(sub(s"_del_$n"))) fs.delete(sub(s"_del_$n"), true)
-    }
+    recoverCrashedDelete(spark, path)
+    // broadcast relation, not a literal IN list — the pruned-id set at
+    // curation scale is data-sized (the IvfIndex.delete discipline)
+    import spark.implicits._
+    val idsDf = ids.toDF("id")
     val n = spark.read.parquet(s"$path/sets")
-      .where(col("id").isin(ids: _*)).count()
+      .join(broadcast(idsDf), Seq("id"), "left_semi").count()
     if (n == 0L) return 0L
     Seq("bands", "sets").foreach { name =>
       spark.read.parquet(sub(name).toString)
-        .where(!col("id").isin(ids: _*))
+        .join(broadcast(idsDf), Seq("id"), "left_anti")
         .write.mode("overwrite").parquet(sub(s"_del_$name").toString)
       require(fs.rename(sub(name), sub(s"_trash_$name")),
         s"delete: cannot stage $name")
@@ -157,6 +177,7 @@ object SigStore {
             partCol: String, tau: Double,
             bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
     val spark = batch.sparkSession
+    recoverCrashedDelete(spark, path)
     val bsets = setsOf(batch, idCol, textCol, partCol)
 
     // within-batch pairs: plain batch LSH, later id is the offender
