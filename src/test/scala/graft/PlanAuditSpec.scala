@@ -430,6 +430,22 @@ class PlanAuditSpec extends SparkSpec {
       s"the run-start window must reuse the per-event sort:\n$p")
   }
 
+  test("ngram pmi: unigram table and totals re-enter as broadcasts — " +
+      "the corpus never shuffle-joins on a token key") {
+    val p = plan(graft.operators.PipelinePack.ngramPmi(spark, sf0001))
+    assert("BroadcastExchange".r.findAllIn(p).length >= 3,
+      s"unigram sides + totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a token-keyed shuffle join defeats the broadcast plan:\n$p")
+  }
+
+  test("containment: candidate generation is an equi-join on the shingle key, never cartesian") {
+    val p = plan(graft.operators.LlmPack.dedupContain(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"containment candidates must equi-join on the prefix shingle:\n$p")
+  }
+
   test("time features: one fixed-size aggregation, no window, no join") {
     val p = plan(graft.operators.EventAnalyticsPack.timeFeatures(spark, sf0001))
     assert(!p.contains("Window"), p)
