@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -311,6 +311,47 @@ object RelationalPack extends QueryPack {
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
       .orderBy(col("k"))
 
+  private val RfmAsOf = "2002-01-01" // just past the orders domain (1995–2001)
+  private val RfmQs = Seq(0.2, 0.4, 0.6, 0.8)
+
+  /** B4+ RFM customer segmentation (Hughes '94 — the classic
+    * marketing-analytics cut): per customer, days since last order
+    * (recency, against a fixed as-of date), order count (frequency), and
+    * DECIMAL-exact lifetime spend (monetary), each scored into its
+    * quintile 1–5. Quintile boundaries come from ONE exact-percentile
+    * aggregate over the customer rollup and re-enter as a broadcast 1-row
+    * array (the q_quality_deciles discipline) — assignment is a narrow
+    * per-row boundary count, so no ntile() window ever single-tasks the
+    * customer table. Boundary-equal values take the LOWER bucket
+    * (strict-less count — deterministic under ties on both engines;
+    * `percentile` ≡ DuckDB `quantile_cont`, the q_percentiles parity).
+    * Scores are raw quintiles of each metric (low recency days ⇒ low r_q:
+    * the freshest customers score 1 — orientation is a labeling choice,
+    * stated rather than hidden in an inversion). */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    val ref = lit(RfmAsOf).cast("date")
+    val cust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(datediff(ref, max(to_date(col("o_orderdate"))))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        Det.dsum(col("o_totalprice")).as("monetary"))
+    val qs = array(RfmQs.map(lit): _*)
+    val bounds = cust.agg(
+      percentile(col("recency_days").cast("double"), qs).as("rb"),
+      percentile(col("frequency").cast("double"), qs).as("fb"),
+      percentile(col("monetary"), qs).as("mb"))
+    def q(c: Column, b: Column): Column =
+      (lit(1) + size(filter(b, x => x < c))).cast("long")
+    cust.crossJoin(broadcast(bounds))
+      .select(col("o_custkey").as("custkey"),
+        col("recency_days"), col("frequency"), col("monetary"),
+        q(col("recency_days").cast("double"), col("rb")).as("r_q"),
+        q(col("frequency").cast("double"), col("fb")).as("f_q"),
+        q(col("monetary"), col("mb")).as("m_q"))
+      .orderBy(col("custkey"))
+  }
+
   private val FuzzyMaxDist = 3
 
   /** B3+ FUZZY (edit-distance) join with blocking — the entity-resolution
@@ -345,6 +386,7 @@ object RelationalPack extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> fuzzyJoin,
+    "q_rfm" -> rfm,
     "q_join_broadcast" -> joinBroadcast,
     "q_join_multiway" -> joinMultiway,
     "q_semi_join" -> semiJoin,
@@ -366,6 +408,25 @@ object RelationalPack extends QueryPack {
     "q_cooccur" -> cooccur)
 
   def oracles: Map[String, String] = Map(
+    // quantile_cont == Spark percentile (q_percentiles parity); strict-less
+    // boundary counts keep tie assignment identical
+    "q_rfm" ->
+      s"""WITH c AS (SELECT o_custkey,
+         |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+         |         DATE '2002-01-01') AS BIGINT) AS recency_days,
+         |    count(*) AS frequency,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+         |  FROM orders GROUP BY 1),
+         |b AS (SELECT
+         |    quantile_cont(CAST(recency_days AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS rb,
+         |    quantile_cont(CAST(frequency AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS fb,
+         |    quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+         |  FROM c)
+         |SELECT c.o_custkey AS custkey, recency_days, frequency, monetary,
+         |  CAST(1 + len(list_filter(b.rb, x -> x < CAST(recency_days AS DOUBLE))) AS BIGINT) AS r_q,
+         |  CAST(1 + len(list_filter(b.fb, x -> x < CAST(frequency AS DOUBLE))) AS BIGINT) AS f_q,
+         |  CAST(1 + len(list_filter(b.mb, x -> x < monetary)) AS BIGINT) AS m_q
+         |FROM c, b ORDER BY custkey""".stripMargin,
     "q_fuzzy_join" ->
       s"""WITH names AS (SELECT p_name, min(p_partkey) AS pk,
          |    split_part(p_name, ' ', -1) AS block

@@ -114,6 +114,28 @@ class StatsPackSpec extends SparkSpec {
       wide.orderBy("day_us").collect().toSeq)
   }
 
+  test("rfm: quintiles monotone in their metric, all five buckets populated, no window") {
+    val out = graft.operators.RelationalPack.rfm(spark, sf001).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.length > 100)
+    // monotone: ordering by the metric never decreases its quintile
+    def monotone(metric: (Long, Long, Double, Long, Long, Long) => Double,
+                 score: (Long, Long, Double, Long, Long, Long) => Long): Unit = {
+      val sorted = out.sortBy(r => metric(r._1, r._2, r._3, r._4, r._5, r._6))
+        .map(r => score(r._1, r._2, r._3, r._4, r._5, r._6))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+    monotone((r, _, _, _, _, _) => r.toDouble, (_, _, _, q, _, _) => q)
+    monotone((_, f, _, _, _, _) => f.toDouble, (_, _, _, _, q, _) => q)
+    monotone((_, _, m, _, _, _) => m, (_, _, _, _, _, q) => q)
+    // monetary is continuous → near-balanced quintiles
+    val mCounts = out.groupBy(_._6).view.mapValues(_.length)
+    assert(mCounts.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(mCounts.values.max <= 2 * mCounts.values.min,
+      s"monetary quintiles should be near-balanced: $mCounts")
+  }
+
   test("cusum: window identity equals the textbook max(0, s+d) recurrence") {
     val out = StatsPack.windowCusum(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getBoolean(4)))
