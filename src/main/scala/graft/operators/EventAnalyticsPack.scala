@@ -249,7 +249,8 @@ object EventAnalyticsPack extends QueryPack {
     * (the q_percentiles parity), max is order-insensitive. The percentile
     * aggregate buffers per-user gaps — the same inherent exact-percentile
     * trade as q_anomaly_mad, with approx_percentile as the mergeable
-    * scale path. */
+    * scale path (registered as the `q_percentiles_approx` twin in
+    * StatsPack). */
   def eventGaps(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(s, dir)

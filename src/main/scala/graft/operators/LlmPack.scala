@@ -241,7 +241,8 @@ object LlmPack extends QueryPack {
     * doc its quality decile WITHOUT a global sort: the nine boundary
     * quantiles come from ONE exact-percentile aggregate (the only place
     * the score multiset concentrates — the same trade as q_percentiles;
-    * `approx_percentile` is the mergeable scale path), re-enter as a
+    * `approx_percentile` is the mergeable scale path, registered as the
+    * `q_percentiles_approx` twin in StatsPack), re-enter as a
     * broadcast 1-row array, and assignment is a narrow per-row count of
     * boundaries strictly below the score. The `ntile()` alternative
     * computes one global ordering (a single-task sort at corpus scale);
@@ -491,10 +492,12 @@ object LlmPack extends QueryPack {
     * chain). Distributed shape per iteration — the standard Lloyd layout:
     * one corpus scan, a clusters×dim map-side-combined aggregate (KBs),
     * codebook broadcast back, argmax as a struct-max with map-side
-    * combine; `localCheckpoint` after each round truncates lineage so
+    * combine; `Compute.materialize` after each round truncates lineage so
     * round T does not replan rounds 1..T−1 (the NearDedup.clusterPairs
-    * discipline). The assignment join keys corpus and labels by vec_id —
-    * co-partitioned after round 1's exchange. */
+    * discipline) — reliable checkpoint when the session has a checkpoint
+    * dir, so an executor loss mid-iteration cannot orphan round T−1's
+    * state on a real cluster. The assignment join keys corpus and labels
+    * by vec_id — co-partitioned after round 1's exchange. */
   def embedKmeansIter(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -509,15 +512,14 @@ object LlmPack extends QueryPack {
         .groupBy(col("c_label"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv0")))),
           x => round(x.getField("cv0"), 6)).as("cv"))
-      scored = av.crossJoin(broadcast(cb))
+      scored = Compute.materialize(av.crossJoin(broadcast(cb))
         .select(col("vec_id"),
           struct(round(VectorFns.cosine(col("v"), col("cv")), 6).as("sim"),
             (-col("c_label")).as("neg")).as("cand"))
         .groupBy(col("vec_id"))
         .agg(max(col("cand")).as("best"))
         .select(col("vec_id"), (-col("best.neg")).cast("int").as("cl"),
-          col("best.sim").as("sim"))
-        .localCheckpoint()
+          col("best.sim").as("sim")))
       assign = scored.select(col("vec_id"), col("cl"))
     }
     scored.select(col("vec_id"), col("cl").as("cluster"), col("sim"))

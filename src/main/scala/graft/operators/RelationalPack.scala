@@ -324,7 +324,9 @@ object RelationalPack extends QueryPack {
     * per-row boundary count, so no ntile() window ever single-tasks the
     * customer table. Boundary-equal values take the LOWER bucket
     * (strict-less count — deterministic under ties on both engines;
-    * `percentile` ≡ DuckDB `quantile_cont`, the q_percentiles parity).
+    * `percentile` ≡ DuckDB `quantile_cont`, the q_percentiles parity;
+    * `approx_percentile` — the registered `q_percentiles_approx` twin in
+    * StatsPack — is the mergeable boundary source at 100 TB).
     * Scores are raw quintiles of each metric (low recency days ⇒ low r_q:
     * the freshest customers score 1 — orientation is a labeling choice,
     * stated rather than hidden in an inversion). */

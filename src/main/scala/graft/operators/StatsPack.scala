@@ -183,8 +183,8 @@ object StatsPack extends QueryPack {
     * interpolates at rank (n−1)·p — identical to ANSI `percentile_cont`.
     * Exact percentiles shuffle the full value multiset per group (that is
     * their definition); the bounded-memory 100 TB variant is
-    * `approx_percentile` (t-digest sketch, mergeable map-side state),
-    * asserted within 1% of these exact values in StatsPackSpec. */
+    * `approx_percentile` — registered as the `q_percentiles_approx` scale
+    * twin below, rank-error-bounded against this exact key in ApproxSpec. */
   def percentiles(s: SparkSession, dir: String): DataFrame = {
     val v = col("value")
     Tables.events(s, dir)
@@ -194,6 +194,39 @@ object StatsPack extends QueryPack {
         round(percentile(v, lit(0.5)), 4).as("p50"),
         round(percentile(v, lit(0.75)), 4).as("p75"),
         round(percentile(v, lit(0.9)), 4).as("p90"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Accuracy knob for `percentile_approx`: guarantees rank error
+    * ≤ n/accuracy per group, with sketch state O(accuracy · log n) —
+    * BOUNDED regardless of group size. 10000 ⇒ ≤0.01% rank error. */
+  private[graft] val ApproxPctAccuracy = 10000
+
+  /** B4+ APPROXIMATE percentiles per group — the 100 TB twin of
+    * `percentiles` and the scale path for the engine's whole exact
+    * order-statistics family (q_percentiles, q_anomaly_mad, q_rfm,
+    * q_quality_deciles, q_event_gaps): Spark's `percentile_approx`
+    * (Greenwald–Khanna quantile summary) keeps a MERGEABLE fixed-size
+    * sketch per group — full map-side combine, no per-group value
+    * buffering — where the exact form must hold each group's complete
+    * value multiset in one aggregation buffer. Same output schema as the
+    * exact key on purpose, so the two are drop-in interchangeable.
+    *
+    * No DuckDB oracle by design: sketch internals differ across engines
+    * (DuckDB approx_quantile is t-digest), so cross-engine hash equality
+    * is not defined for approximate quantiles. The correctness contract is
+    * the GK rank-error bound, asserted against the exact `percentiles` key
+    * in ApproxSpec (the q_approx_distinct discipline). */
+  def percentilesApprox(s: SparkSession, dir: String): DataFrame = {
+    val v = col("value")
+    val acc = lit(ApproxPctAccuracy)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(percentile_approx(v, lit(0.25), acc), 4).as("p25"),
+        round(percentile_approx(v, lit(0.5), acc), 4).as("p50"),
+        round(percentile_approx(v, lit(0.75), acc), 4).as("p75"),
+        round(percentile_approx(v, lit(0.9), acc), 4).as("p90"))
       .orderBy(col("event_type"))
   }
 
@@ -358,6 +391,33 @@ object StatsPack extends QueryPack {
     * 3σ gate. Same double literal product on both engines. */
   private val MadK = 3.0 * 1.4826
 
+  /** Default ceiling on the per-entity summary row count `anomalyMad` will
+    * broadcast under: ~4M (user_id, double) rows ≈ 64 MB serialized —
+    * comfortable executor-side, far from driver OOM. Override per session
+    * with spark.graft.stats.maxBroadcastGroups. */
+  private val MaxBroadcastGroups = 4L << 20
+
+  private def maxBroadcastGroups(s: SparkSession): Long = {
+    val confKey = "spark.graft.stats.maxBroadcastGroups"
+    s.conf.getOption(confKey).map { raw =>
+      try raw.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$confKey must be a long, got '$raw'")
+      }
+    }.getOrElse(MaxBroadcastGroups)
+  }
+
+  /** Count-gated per-entity re-entry join (the `NearDedup.pruneByLosers`
+    * dispatch): broadcast the entity-keyed summary when its exact row count
+    * is at or under the ceiling, plain shuffled join above — no hint means
+    * no driver collect, and the fact side's user_id exchange is reused by
+    * every downstream join/aggregate on the same key. */
+  private def joinGated(nGroups: Long, limit: Long)(
+      fact: DataFrame, dim: DataFrame): DataFrame =
+    if (nGroups <= limit) fact.join(broadcast(dim), "user_id")
+    else fact.join(dim, "user_id")
+
   /** B4+ per-user robust anomaly report — the median/MAD (Hampel) outlier
     * gate, the data-cleaning filter that survives the very outliers a
     * mean/stddev z-score is skewed by: per user, the exact median, the
@@ -365,23 +425,44 @@ object StatsPack extends QueryPack {
     * med ± 3·1.4826·MAD. Exact per-group order statistics buffer each
     * group's values (the inherent cost of exact percentiles; the mergeable
     * scale path is approx_percentile's t-digest — same trade as
-    * q_percentiles). The med/MAD summaries are users-bounded and BROADCAST
-    * back, so the events table is never shuffled for the joins — the plan
-    * is three scans, each feeding a user_id-keyed aggregate whose
-    * non-percentile state is map-side combined. Median/MAD are order
-    * statistics (interpolation of the two middle values — Spark
-    * `percentile` ≡ DuckDB `median` on doubles, the q_percentiles parity),
-    * and the outlier gate compares identical IEEE doubles on both engines,
-    * so the count is deterministic; 4dp rounding on the emitted med/mad is
-    * cosmetic. */
+    * q_percentiles; `percentilesApprox` is the registered scale twin).
+    *
+    * The med/MAD summaries have one row PER USER — entity-proportional,
+    * exactly the cardinality class a forced `broadcast()` hint must never
+    * meet unguarded (a hint overrides every planner size check and at
+    * 100 TB is a driver OOM, not a graceful degrade). So the re-entry
+    * joins are COUNT-GATED, the `NearDedup.pruneByLosers` dispatch:
+    * the median summary is materialized once (it feeds the gate, the MAD
+    * pass and the final pass — one percentile aggregation instead of
+    * three), its exact row count is compared against
+    * `spark.graft.stats.maxBroadcastGroups`, and
+    *   - at or under the ceiling → explicit broadcast: the events table is
+    *     never shuffled for the joins (the common case — user counts are
+    *     orders of magnitude below event counts);
+    *   - above it → plain shuffled joins: events exchange ONCE on user_id
+    *     and that partitioning is reused by every join and groupBy
+    *     downstream (co-partitioned, no further exchange).
+    * PlanAuditSpec asserts BOTH planned shapes. NOTE the materialization
+    * makes this operator EAGER at DataFrame-construction time (the
+    * `Compute.materialize` contract — reliable checkpoint when the session
+    * has a checkpoint dir, executor-local otherwise).
+    *
+    * Median/MAD are order statistics (interpolation of the two middle
+    * values — Spark `percentile` ≡ DuckDB `median` on doubles, the
+    * q_percentiles parity), and the outlier gate compares identical IEEE
+    * doubles on both engines, so the count is deterministic; 4dp rounding
+    * on the emitted med/mad is cosmetic. */
   def anomalyMad(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("user_id"), col("value"))
-    val med = ev.groupBy(col("user_id"))
-      .agg(percentile(col("value"), lit(0.5)).as("med"))
-    val mad = ev.join(broadcast(med), "user_id")
+    val med = Compute.materialize(ev.groupBy(col("user_id"))
+      .agg(percentile(col("value"), lit(0.5)).as("med")))
+    // the gate's count job scans only the materialized users-keyed summary,
+    // never the events table
+    val gate = joinGated(med.count(), maxBroadcastGroups(s)) _
+    val mad = gate(ev, med)
       .groupBy(col("user_id"))
       .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
-    ev.join(broadcast(med), "user_id").join(broadcast(mad), "user_id")
+    gate(gate(ev, med), mad)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         max(col("med")).as("med0"), max(col("mad")).as("mad0"),
@@ -438,6 +519,7 @@ object StatsPack extends QueryPack {
     "q_window_zscore" -> windowZscore,
     "q_window_cusum" -> windowCusum,
     "q_percentiles" -> percentiles,
+    "q_percentiles_approx" -> percentilesApprox,
     "q_pivot" -> pivot,
     "q_unpivot" -> unpivotLong,
     "q_histogram" -> histogram,

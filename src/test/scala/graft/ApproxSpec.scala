@@ -36,6 +36,33 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("percentiles_approx: drop-in schema, GK rank-error bound vs exact twin") {
+    val exact = graft.operators.StatsPack.percentiles(spark, sf001).collect()
+    val approxDf = graft.operators.StatsPack.percentilesApprox(spark, sf001)
+    val approx = approxDf.collect()
+    // drop-in interchangeable: identical schema to the exact key
+    assert(approxDf.schema ==
+      graft.operators.StatsPack.percentiles(spark, sf001).schema)
+    assert(approx.map(_.getString(0)).toSeq == exact.map(_.getString(0)).toSeq)
+    // GK guarantees the returned value's RANK is within n/accuracy of the
+    // target rank. Convert that to a value bound per group: the approx
+    // value must lie within the exact [p25-eps, p90+eps] envelope and each
+    // quantile within 1% relative of its exact counterpart (generous vs
+    // the 0.01% rank bound, but robust to value-space stretching).
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getLong(1) == a.getLong(1), "group counts must match")
+      (2 to 5).foreach { i =>
+        val (ev, av) = (e.getDouble(i), a.getDouble(i))
+        val tol = math.max(math.abs(ev) * 0.01, 1e-4)
+        assert(math.abs(av - ev) <= tol,
+          s"${e.getString(0)} col$i: exact=$ev approx=$av")
+      }
+    }
+    // mergeable-sketch determinism: identical across independent executions
+    val again = graft.operators.StatsPack.percentilesApprox(spark, sf001).collect()
+    assert(approx.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("count-min heavy hitters: never undercounts, overcount <= eps*N, deterministic") {
     val out = graft.operators.LlmPack.tokenCms(spark, sf001).collect()
     assert(out.length == 20)

@@ -365,12 +365,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
-  test("anomaly MAD: med/MAD summaries broadcast back — events never shuffle for the joins") {
+  test("anomaly MAD gate, under ceiling: med/MAD summaries broadcast back — " +
+      "events never shuffle for the joins") {
     val p = plan(graft.operators.StatsPack.anomalyMad(spark, sf0001))
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
       s"med/MAD joins must broadcast the users-bounded side:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"events must not shuffle into a merge join:\n$p")
+  }
+
+  test("anomaly MAD gate, over ceiling: per-user summaries plan SHUFFLED " +
+      "joins (no forced broadcast of an entity-proportional table)") {
+    // Force the "billions of users" branch: ceiling 0 so any user count
+    // exceeds it, planner auto-broadcast off so the assertion sees the
+    // shape the gate chose (at real scale the summary has no size stats).
+    val conf = spark.conf
+    val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.graft.stats.maxBroadcastGroups", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(graft.operators.StatsPack.anomalyMad(spark, sf0001))
+      assert(p.contains("SortMergeJoin"),
+        s"over-ceiling user summaries should shuffle the joins:\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"a join still broadcasts over the ceiling:\n$p")
+    } finally {
+      conf.unset("spark.graft.stats.maxBroadcastGroups")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
   }
 
   test("incremental dedup: probe side is filtered to the new batch; no cartesian") {
