@@ -980,6 +980,78 @@ object LlmPack extends QueryPack {
       .orderBy(col("vec_id"))
   }
 
+  /** Damped power-iteration rounds for `graphPagerankIter`; matches the
+    * unrolled CTE chain in the oracle. */
+  private val PrIters = 3
+
+  /** B9+ PageRank iterated to (near-)convergence over the mutual-kNN
+    * semantic graph — the fixpoint `graphPagerank`'s single power step
+    * ranks toward: [[PrIters]] damped rounds from the uniform N-scaled
+    * start pr₀ ≡ 1, each round
+    * pr_{i+1}(v) = (1−d) + d·(Σ_{u→v} pr_i(u)/deg(u) + Σ_dangling pr_i/N).
+    * The q_embed_kmeans_iter discipline makes a 3-deep iterative algorithm
+    * carry a full cross-engine hash oracle: every round's rank is rounded
+    * to 6dp — both engines re-enter round i+1 from the SAME rounded values,
+    * so float summation order cannot drift across rounds — and the DuckDB
+    * oracle unrolls the identical recurrence as a CTE chain.
+    *
+    * Distributed shape per round — the standard PageRank layout: the k·N
+    * edge list (materialized ONCE, vectors never shuffle past the kNN
+    * stage) joins the node-keyed rank vector on src, the neighbor mass is
+    * a map-side-combined dst aggregate, and the (N, dangling-mass) totals
+    * re-enter as a broadcast 1-row aggregate. `Compute.materialize` after
+    * each round truncates lineage (round T never replans rounds 1..T−1;
+    * reliable checkpoint when a checkpoint dir is set). Rank mass is
+    * conserved at N every round (asserted with convergence monotonicity in
+    * LlmPackSpec). */
+  def graphPagerankIter(s: SparkSession, dir: String): DataFrame =
+    graphPagerankRounds(s, dir, PrIters)
+
+  /** Round-parameterized body of [[graphPagerankIter]] (exposed for the
+    * per-round mass-conservation / convergence assertions in LlmPackSpec;
+    * `iters = 1` from the uniform start reproduces [[graphPagerank]]'s
+    * single power step exactly). */
+  private[graft] def graphPagerankRounds(
+      s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val mutual = Compute.materialize(SimilaritySearch.mutualKnn(
+      SimilaritySearch.knnEdges(emb, emb, idCol = "vec_id",
+        vecCol = "embedding", k = HardNegK))
+      .select(col("a_id"), col("b_id")))
+    val edges = mutual.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(mutual.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = emb.select(col("vec_id"))
+    // node-keyed (vec_id, degree) skeleton, carried through every round
+    var pr = Compute.materialize(
+      nodes.join(deg, nodes("vec_id") === deg("src"), "left")
+        .select(col("vec_id"), coalesce(col("deg"), lit(0L)).as("degree"),
+          lit(1.0).as("pr")))
+    for (_ <- 1 to iters) {
+      // N and the dangling mass in ONE bounded 1-row aggregate over the
+      // node-keyed rank vector; re-enters as a broadcast
+      val tot = pr.agg(count(lit(1)).as("n"),
+        sum(when(col("degree") === 0, col("pr")).otherwise(lit(0.0)))
+          .as("dmass"))
+      // dangling nodes route their mass through dmass, not the edge walk —
+      // and the pre-join degree>0 guard keeps the division ANSI-safe
+      val contrib = edges
+        .join(pr.filter(col("degree") > 0)
+          .select(col("vec_id").as("src"),
+            (col("pr") / col("degree")).as("w")), "src")
+        .groupBy(col("dst")).agg(sum(col("w")).as("mass"))
+      pr = Compute.materialize(
+        pr.join(contrib, pr("vec_id") === contrib("dst"), "left")
+          .crossJoin(broadcast(tot))
+          .select(pr("vec_id"), col("degree"),
+            round(lit(PrBase) + lit(PrDamping) *
+              (coalesce(col("mass"), lit(0.0)) +
+                col("dmass") / col("n").cast("double")), 6).as("pr")))
+    }
+    pr.select(col("vec_id"), col("degree"), col("pr").as("npr"))
+      .orderBy(col("vec_id"))
+  }
+
   /** B9+ triangle count + local clustering coefficient over the mutual-kNN
     * semantic graph — the density signal that separates docs anchoring
     * tight semantic clusters (high coefficient) from bridge/outlier docs,
@@ -1108,6 +1180,7 @@ object LlmPack extends QueryPack {
     "q_dedup_incremental_store" -> dedupIncrementalStore,
     "q_span_dedup" -> spanDedup,
     "q_graph_pagerank" -> graphPagerank,
+    "q_graph_pagerank_iter" -> graphPagerankIter,
     "q_graph_triangles" -> graphTriangles,
     "q_quality_deciles" -> qualityDeciles,
     "q_embed_norms" -> embedNorms,
@@ -1764,22 +1837,7 @@ object LlmPack extends QueryPack {
     // Same mutual-kNN CTE chain as q_knn_mutual, extended with the
     // degree/neighbor-mass aggregates and the N-scaled one-step PageRank.
     "q_graph_pagerank" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |s AS (SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
-         |        round(list_dot_product(a.v, b.v)
-         |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
-         |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-         |r AS (SELECT probe_id, vec_id, sim,
-         |        row_number() OVER (PARTITION BY probe_id
-         |                           ORDER BY sim DESC, vec_id) AS rank
-         |      FROM s),
-         |k AS (SELECT probe_id, vec_id, sim FROM r WHERE rank <= $HardNegK),
-         |m AS (SELECT a.probe_id AS a_id, a.vec_id AS b_id
-         |      FROM k a JOIN k b ON a.probe_id = b.vec_id AND a.vec_id = b.probe_id
-         |      WHERE a.probe_id < a.vec_id),
-         |ed AS (SELECT a_id AS src, b_id AS dst FROM m
-         |       UNION ALL SELECT b_id AS src, a_id AS dst FROM m),
-         |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+      s"""WITH $mutualGraphCtes,
          |c AS (SELECT ed.dst, sum(CAST(1.0 AS DOUBLE) / dg.deg) AS mass
          |      FROM ed JOIN dg USING (src) GROUP BY ed.dst),
          |t AS (SELECT count(*) AS n,
@@ -1792,5 +1850,53 @@ object LlmPack extends QueryPack {
          |LEFT JOIN dg ON v.vec_id = dg.src
          |LEFT JOIN c ON v.vec_id = c.dst
          |CROSS JOIN t
-         |ORDER BY v.vec_id""".stripMargin)
+         |ORDER BY v.vec_id""".stripMargin,
+    "q_graph_pagerank_iter" -> pagerankIterOracle)
+
+  /** Shared oracle CTE chain: the mutual-kNN directed edge list `ed` and
+    * its out-degree table `dg` (the q_knn_mutual construction — exact
+    * rounded-cosine top-k, mutuality by symmetric membership). */
+  private val mutualGraphCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+       |        round(list_dot_product(a.v, b.v)
+       |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+       |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       |r AS (SELECT probe_id, vec_id, sim,
+       |        row_number() OVER (PARTITION BY probe_id
+       |                           ORDER BY sim DESC, vec_id) AS rank
+       |      FROM s),
+       |k AS (SELECT probe_id, vec_id, sim FROM r WHERE rank <= $HardNegK),
+       |m AS (SELECT a.probe_id AS a_id, a.vec_id AS b_id
+       |      FROM k a JOIN k b ON a.probe_id = b.vec_id AND a.vec_id = b.probe_id
+       |      WHERE a.probe_id < a.vec_id),
+       |ed AS (SELECT a_id AS src, b_id AS dst FROM m
+       |       UNION ALL SELECT b_id AS src, a_id AS dst FROM m),
+       |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src)""".stripMargin
+
+  /** The q_graph_pagerank_iter oracle: [[PrIters]] unrolled damped power
+    * rounds from the uniform N-scaled start, each round re-entering from
+    * the 6dp-rounded ranks (the kmeansIterOracle discipline — the rounding
+    * is the cross-engine sync barrier that lets an iterative algorithm
+    * carry a hash oracle). */
+  private val pagerankIterOracle: String = {
+    val iters = (1 to PrIters).map { i =>
+      val prev = s"t${i - 1}"
+      s"""g$i AS (SELECT count(*) AS n,
+         |    sum(CASE WHEN degree = 0 THEN pr ELSE CAST(0.0 AS DOUBLE) END) AS dmass
+         |  FROM $prev),
+         |c$i AS (SELECT ed.dst, sum(p.pr / p.degree) AS mass
+         |  FROM ed JOIN $prev p ON ed.src = p.vec_id GROUP BY ed.dst),
+         |t$i AS (SELECT p.vec_id, p.degree,
+         |    round($PrBase + $PrDamping * (coalesce(c.mass, CAST(0.0 AS DOUBLE))
+         |      + g.dmass / CAST(g.n AS DOUBLE)), 6) AS pr
+         |  FROM $prev p LEFT JOIN c$i c ON p.vec_id = c.dst CROSS JOIN g$i g)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $mutualGraphCtes,
+       |t0 AS (SELECT v.vec_id, CAST(coalesce(dg.deg, 0) AS BIGINT) AS degree,
+       |    CAST(1.0 AS DOUBLE) AS pr
+       |  FROM embeddings v LEFT JOIN dg ON v.vec_id = dg.src),
+       |$iters
+       |SELECT vec_id, degree, pr AS npr FROM t$PrIters ORDER BY vec_id""".stripMargin
+  }
 }

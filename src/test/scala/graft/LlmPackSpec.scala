@@ -188,6 +188,38 @@ class LlmPackSpec extends SparkSpec {
     assert(out.exists(_.getLong(1) > 0) && out.exists(_.getLong(1) == 0))
   }
 
+  test("graphPagerankIter: round 1 == the single power step; mass conserves " +
+      "every round; successive deltas contract monotonically") {
+    val n = Tables.embeddings(spark, sf0001).count().toDouble
+    val rounds = (1 to 3).map(i =>
+      LlmPack.graphPagerankRounds(spark, sf0001, i).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap)
+    // round 1 from the uniform start IS graphPagerank's single power step
+    val oneStep = LlmPack.graphPagerank(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rounds(0) == oneStep,
+      "iter round 1 must reproduce the single-step key exactly")
+    // damped PageRank conserves total rank mass (= N, the scaled start) at
+    // every round; tolerance = per-node 6dp rounding × N
+    rounds.zipWithIndex.foreach { case (pr, i) =>
+      assert(math.abs(pr.values.sum - n) < n * 1e-5,
+        s"round ${i + 1} total mass ${pr.values.sum} != $n")
+    }
+    // the damping factor contracts the iteration: L1 distance between
+    // successive iterates shrinks every round (allow rounding slack)
+    val start = rounds(0).keys.map(_ -> 1.0).toMap
+    val deltas = (start +: rounds).sliding(2).map { case Seq(a, b) =>
+      a.map { case (k, v) => math.abs(b(k) - v) }.sum
+    }.toSeq
+    deltas.sliding(2).foreach { case Seq(d0, d1) =>
+      assert(d1 <= d0 * 0.9 + 1e-3, s"deltas not contracting: $deltas")
+    }
+    // the final key is the 3-round iterate
+    val out = LlmPack.graphPagerankIter(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == rounds(2))
+  }
+
   test("tokenZipf: slope/intercept match a driver-side least-squares fit") {
     val Array(row) = LlmPack.tokenZipf(spark, sf0001).collect()
     val toks = Tables.documents(spark, sf0001)
