@@ -141,6 +141,32 @@ object TimeSeriesPack extends QueryPack {
         .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
   }
 
+  /** A3+ snapshot/time-travel round-trip — the isolation contract on top of
+    * the storage lifecycle: four days land in two appends, the version is
+    * PINNED, then compaction rewrites a day and retention expires the two
+    * oldest days — and the pinned read still returns the full pre-mutation
+    * range, byte-for-byte, because the maintenance verbs archive replaced
+    * files instead of deleting them and the manifest resolves through the
+    * archive. The oracle is the raw pre-mutation slice, so this hash-checks
+    * time travel end-to-end (manifest commit → archive resolution → pruned
+    * pinned read); version accounting, schema-per-version, expiry, and the
+    * integrity guard are asserted in SnapshotSpec. */
+  def snapshotRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tssnap_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cut = lit("2024-01-02 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    t.append(ev.where(col("ts") >= cut))
+    val pinned = t.currentVersion.get
+    t.compactAll(targetFiles = 1) // rewrites the cut day
+    t.dropBefore("2024-01-03")    // expires the two oldest days
+    eventsProjection(
+      t.readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00"),
+        asOf = pinned))
+  }
+
   // Query rectangle as FRACTIONS of each dimension's [min, max] span —
   // the fixture's user_id domain scales with SF, so absolute bounds
   // would select nothing at one scale and everything at another. Both
@@ -615,6 +641,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_v2_roundtrip" -> v2Roundtrip,
     "q_ts_compact" -> compactRoundtrip,
     "q_ts_retention" -> retentionRoundtrip,
+    "q_ts_snapshot" -> snapshotRoundtrip,
     "q_zorder_cluster" -> zorderRect,
     "q_ts_stats" -> tsStatsReport,
     "q_filter_project" -> filterProject,
@@ -680,6 +707,13 @@ object TimeSeriesPack extends QueryPack {
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-03 00:00:00'
          |  AND date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+    // The pinned version predates compact+retention, so the time-traveled
+    // read returns the FULL pre-mutation build slice (everything below the
+    // build bound; the closed upper read bound admits nothing beyond it).
+    "q_ts_snapshot" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
          |ORDER BY event_id""".stripMargin,
     "q_ts_stats" ->
       s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS p_date,

@@ -312,6 +312,7 @@ final class TsTable private (
     writeOptions.rowGroupBytes.foreach(b => writer.option("parquet.block.size", b.toString))
     writeOptions.maxRecordsPerFile.foreach(n => writer.option("maxRecordsPerFile", n.toString))
     writer.partitionBy(PartCol).parquet(path)
+    commitVersion("append")
   }
 
   /** Strict-mode validation (reference ValueError parity, SURVEY §5.2.4
@@ -370,13 +371,17 @@ final class TsTable private (
     * append]`); a Parquet table needs this explicit maintenance op instead.
     *
     * Mechanics: rewrite the day into `_compact_tmp_<date>` under the table
-    * root (`_` prefix → invisible to Spark's file index), then swap: delete
-    * the old data files, move the new ones in. The swap is file-granular and
-    * NOT transactional for concurrent readers — run it in a maintenance
-    * window (a table format with snapshot isolation is what lifts that
-    * restriction; out of scope here). A crash before the swap leaves only a
-    * re-runnable invisible temp dir; a crash mid-swap is detectable (temp
-    * dir still present) and re-runnable after restoring from it.
+    * root (`_` prefix → invisible to Spark's file index), then swap: move
+    * the old data files into `_ts_archive/` (NOT delete — a reader that
+    * pinned an earlier version via `openAt` keeps resolving them there,
+    * which is what makes compaction safe under concurrent SNAPSHOT
+    * readers; archived bytes are reclaimed by `expireSnapshots`), move the
+    * new ones in, and commit the next snapshot version. A reader of the
+    * live directory listing (`toDF`/`readRange` without `asOf`) still
+    * races the file-granular swap — pin a version for isolation. A crash
+    * before the swap leaves only a re-runnable invisible temp dir; a crash
+    * mid-swap is detectable (temp dir still present) and every already-
+    * archived file remains resolvable through the previous manifest.
     *
     * Cost: one read + one write of the single day being compacted — never
     * O(table). Returns false (no-op) if the partition is missing or already
@@ -404,9 +409,10 @@ final class TsTable private (
     writeOptions.rowGroupBytes.foreach(b => writer.option("parquet.block.size", b.toString))
     writer.parquet(tmp.toString) // materializes BEFORE any old file is touched
     val newFiles = dataFiles(fs, tmp)
-    oldFiles.foreach(f => fs.delete(f, false))
+    oldFiles.foreach(f => archiveFile(fs, s"$PartCol=$date/${f.getName}"))
     newFiles.foreach(f => fs.rename(f, new Path(partDir, f.getName)))
     fs.delete(tmp, true)
+    commitVersion("compact")
     true
   }
 
@@ -417,16 +423,23 @@ final class TsTable private (
     * the operation the daily layout exists to make cheap. The append guard
     * is unaffected: `maxDt` lives in the NEWEST partition and retention
     * only ever removes the oldest, so the monotonicity contract survives
-    * (asserted in CompactSpec). Same concurrent-reader caveat as `compact`:
-    * run in a maintenance window. */
+    * (asserted in CompactSpec). Expired days are ARCHIVED, not deleted, so
+    * a pinned `openAt` reader still serves them (the compact rule); the
+    * bytes go away when `expireSnapshots` drops the last manifest that
+    * references them. */
   def dropBefore(date: String): Seq[String] = {
     require(DateDirRe.matches(date), s"date must be YYYY-MM-DD, got '$date'")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    partitionDates.filter(_ < date).sorted.map { d =>
-      fs.delete(new Path(root, s"$PartCol=$d"), true)
+    val dropped = partitionDates.filter(_ < date).sorted.map { d =>
+      val rel = s"$PartCol=$d"
+      dataFiles(fs, new Path(root, rel))
+        .foreach(f => archiveFile(fs, s"$rel/${f.getName}"))
+      fs.delete(new Path(root, rel), true) // now holds only markers
       d
     }
+    if (dropped.nonEmpty) commitVersion("retention")
+    dropped
   }
 
   /** Compact every day partition holding more than `targetFiles` data files;
@@ -451,7 +464,196 @@ final class TsTable private (
   def registerView(name: String): Unit = raw.createOrReplaceTempView(name)
 
   def schema: StructType = storedSchema
+
+  // ───────────────────────── snapshots / time travel ──────────────────────
+
+  /** Latest committed snapshot version, None for pre-snapshot tables (the
+    * layer is opt-in by construction: versions start accruing with the
+    * first mutation made through this code). */
+  def currentVersion: Option[Long] = {
+    val vs = TsTable.listVersions(spark, path)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Committed (version, action) pairs, ascending — the table's mutation
+    * history (create / append / compact / retention). */
+  def snapshotVersions: Seq[(Long, String)] =
+    TsTable.listVersions(spark, path).sorted
+      .map(v => v -> TsTable.readManifest(spark, path, v).action)
+
+  /** Pin a committed version: an immutable reader over exactly the data
+    * files that version's manifest recorded, wherever they now live (still
+    * in the live tree, or moved to the archive by a later compact/
+    * retention). This is what lifts the "run maintenance in a window"
+    * restriction: a reader holding `openAt(v)` survives any number of
+    * subsequent compactions and retention drops, because mutation verbs
+    * ARCHIVE replaced files instead of deleting them (until
+    * `expireSnapshots` reclaims them). */
+  def openAt(version: Long): TsSnapshot =
+    TsTable.openAt(spark, path, version)
+
+  /** Closed-interval range read against a pinned version — `readRange`
+    * with time travel. */
+  def readRange(start: Timestamp, end: Timestamp, asOf: Long): DataFrame =
+    openAt(asOf).readRange(start, end)
+
+  /** Reclaim history: keep the newest `keepLast` manifests, delete older
+    * ones, and delete every ARCHIVED file no retained manifest references
+    * (live-tree files are never touched — they belong to the current
+    * state). The Iceberg `expire_snapshots` analogue, and the cost bound
+    * that keeps time travel honest at 100 TB: without expiry the archive
+    * grows by one day-rewrite per compaction forever. O(#manifests +
+    * #archived files) driver metadata work, no data reads. Returns the
+    * expired version numbers. */
+  def expireSnapshots(keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = TsTable.listVersions(spark, path).sorted
+    val (expired, kept) = all.splitAt((all.length - keepLast).max(0))
+    if (expired.isEmpty) return Seq.empty
+    val referenced = kept
+      .flatMap(v => TsTable.readManifest(spark, path, v).files.map(_._1)).toSet
+    val archRoot = new Path(path, TsTable.ArchiveDir)
+    if (fs.exists(archRoot)) {
+      // one listing per archived partition dir — metadata-scale
+      fs.listStatus(archRoot).filter(_.isDirectory).foreach { d =>
+        fs.listStatus(d.getPath).filter(_.isFile).foreach { f =>
+          val rel = s"${d.getPath.getName}/${f.getPath.getName}"
+          if (!referenced.contains(rel)) fs.delete(f.getPath, false)
+        }
+        if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
+      }
+    }
+    expired.foreach(v =>
+      fs.delete(new Path(path, TsTable.manifestName(v)), false))
+    expired
+  }
+
+  /** Commit the CURRENT live file layout as the next snapshot version:
+    * relative path + size of every data file, plus the serving schema (so
+    * `openAt` after an `appendEvolved` serves each version's own
+    * projection). Temp-file + rename per the descriptor discipline; the
+    * rename doubles as optimistic concurrency control — two writers racing
+    * to the same version number cannot both install it. Data files first,
+    * manifest second: a crash in between loses only the version record,
+    * never data, and the next mutation's commit captures the orphaned
+    * files. Cost: one listing per day partition — the same O(#partitions)
+    * metadata walk `partitionStats` does, never O(rows). */
+  private[ts] def commitVersion(action: String): Long = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = partitionDates.sorted.flatMap { d =>
+      val dir = new Path(root, s"$PartCol=$d")
+      fs.listStatus(dir).iterator
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => (s"$PartCol=$d/${st.getPath.getName}", st.getLen))
+        .toSeq
+    }
+    val next = currentVersion.getOrElse(0L) + 1
+    TsTable.writeManifest(spark, path,
+      TsManifest(next, action, tsCol, storedSchema, files))
+    next
+  }
+
+  /** Move a replaced/expired live data file into the archive, preserving
+    * its table-relative path (the manifest key). Spark part-file names
+    * embed a UUID, so collisions are not a practical concern; a collision
+    * still fails loudly rather than silently overwriting history. */
+  private def archiveFile(fs: org.apache.hadoop.fs.FileSystem, relPath: String): Unit = {
+    val target = new Path(new Path(path, TsTable.ArchiveDir), relPath)
+    fs.mkdirs(target.getParent)
+    require(fs.rename(new Path(path, relPath), target),
+      s"failed to archive $relPath (name collision in ${TsTable.ArchiveDir}?)")
+  }
 }
+
+/** An immutable, pinned view of one committed [[TsTable]] version: reads
+  * exactly the files its manifest recorded. Files are resolved live-first
+  * (still in the table tree) then from the archive (moved aside by a later
+  * compact/retention), with the recorded size as an integrity guard — a
+  * same-name file with a different length is a foreign rewrite, reported
+  * loudly instead of served silently. Resolution is one directory listing
+  * per referenced partition (live + archive), metadata-scale. */
+final class TsSnapshot private[ts] (
+    val spark: SparkSession,
+    val tablePath: String,
+    val tsCol: String,
+    manifest: TsManifest) {
+
+  import TsTable.{ArchiveDir, PartCol}
+
+  def version: Long = manifest.version
+  def action: String = manifest.action
+  def schema: StructType = manifest.schema
+
+  /** (live files, archived files) as fully-qualified path strings. */
+  private lazy val resolved: (Seq[String], Seq[String]) = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sizesIn(dir: Path): Map[String, Long] =
+      if (!fs.exists(dir)) Map.empty
+      else fs.listStatus(dir).iterator.filter(_.isFile)
+        .map(st => st.getPath.getName -> st.getLen).toMap
+    val byDir = manifest.files.groupBy(f => f._1.split("/").init.mkString("/"))
+    val live = Seq.newBuilder[String]
+    val arch = Seq.newBuilder[String]
+    byDir.foreach { case (relDir, files) =>
+      val liveSizes = sizesIn(new Path(root, relDir))
+      val archSizes = sizesIn(new Path(new Path(root, ArchiveDir), relDir))
+      files.foreach { case (relPath, size) =>
+        val name = relPath.split("/").last
+        if (liveSizes.get(name).contains(size))
+          live += new Path(root, relPath).toString
+        else if (archSizes.get(name).contains(size))
+          arch += new Path(new Path(root, ArchiveDir), relPath).toString
+        else throw new IllegalStateException(
+          s"snapshot v${manifest.version} of $tablePath: data file $relPath " +
+            s"(${size}B) is missing or was rewritten in place (live: " +
+            s"${liveSizes.get(name)}, archived: ${archSizes.get(name)}) — " +
+            "expired by expireSnapshots, or a foreign writer bypassed the table")
+      }
+    }
+    (live.result(), arch.result())
+  }
+
+  /** The pinned version as a DataFrame (data columns only). */
+  def toDF: DataFrame = raw.drop(PartCol)
+
+  /** Pinned frame including the partition column. Explicit file lists with
+    * `basePath` keep Hive partition-value derivation intact for both the
+    * live tree and the archive (same `p_date=` layout under each base). */
+  def raw: DataFrame = {
+    val (live, arch) = resolved
+    val withPart = TsTable.withPartColPublic(schema)
+    val parts = Seq(tablePath -> live,
+      new Path(tablePath, ArchiveDir).toString -> arch)
+      .filter(_._2.nonEmpty)
+      .map { case (base, files) =>
+        spark.read.option("basePath", base).schema(withPart).parquet(files: _*)
+      }
+    parts.reduceOption(_.unionAll(_)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withPart))
+  }
+
+  /** Closed-interval time-range read over the pinned version — the same
+    * two-level pruning contract as the live `readRange` (partition-value
+    * pruning on `p_date`, ts predicate pushed to the parquet row groups). */
+  def readRange(start: Timestamp, end: Timestamp): DataFrame =
+    raw.where(col(PartCol).between(to_date(lit(start)), to_date(lit(end))) &&
+        col(tsCol).between(lit(start), lit(end)))
+      .drop(PartCol)
+}
+
+/** One committed version: the action that produced it, the serving schema,
+  * and (table-relative path, size) of every data file. */
+private[ts] final case class TsManifest(
+    version: Long,
+    action: String,
+    tsCol: String,
+    schema: StructType,
+    files: Seq[(String, Long)])
 
 /** Write-side sizing/compression knobs — the analogue of the reference's
   * `create_ts(..., filters=, expectedrows_per_partition=, chunkshape=)`
@@ -496,9 +698,86 @@ object TsTable {
   val PartCol = "p_date"
   private val SchemaFile = "_ts_schema.json" // leading '_' → invisible to Spark's file index
   private val DateDirRe = "\\d{4}-\\d{2}-\\d{2}".r
+  /** Version manifests + replaced-file archive — `_` prefix keeps both
+    * invisible to Spark's file index, so the live `raw` read never sees
+    * history (the `_compact_tmp_` rule). */
+  private[ts] val VersionsDir = "_ts_versions"
+  private[ts] val ArchiveDir = "_ts_archive"
+  private val ManifestRe = "v(\\d{8})\\.manifest".r
 
   private def withPartCol(s: StructType): StructType =
     StructType(s.fields :+ StructField(PartCol, DateType, nullable = true))
+
+  private[ts] def withPartColPublic(s: StructType): StructType = withPartCol(s)
+
+  private[ts] def manifestName(v: Long): String =
+    f"$VersionsDir/v$v%08d.manifest"
+
+  /** Committed version numbers (unordered) from one directory listing. */
+  private[ts] def listVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val dir = new Path(path, VersionsDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator.filter(_.isFile)
+      .flatMap(st => st.getPath.getName match {
+        case ManifestRe(n) => Some(n.toLong)
+        case _ => None
+      }).toSeq
+  }
+
+  /** Manifest layout (one file per version, temp+rename installed):
+    * {{{
+    * version=N;action=append
+    * <tsCol>
+    * <schema json, single line>
+    * <relative path>\t<size>
+    * ...
+    * }}} */
+  private[ts] def writeManifest(spark: SparkSession, path: String,
+                                m: TsManifest): Unit = {
+    val dir = new Path(path, VersionsDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val target = new Path(path, manifestName(m.version))
+    val tmp = new Path(target.toString + ".tmp")
+    val body = (s"version=${m.version};action=${m.action}\n" +
+      m.tsCol + "\n" + m.schema.json + "\n" +
+      m.files.map { case (p, sz) => s"$p\t$sz" }.mkString("\n") + "\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    // rename-as-CAS: a racing writer that already installed this version
+    // number makes the rename fail — surfaced, not silently overwritten
+    require(fs.rename(tmp, target),
+      s"concurrent commit detected: version ${m.version} already exists at $target")
+  }
+
+  private[ts] def readManifest(spark: SparkSession, path: String,
+                               version: Long): TsManifest = {
+    val target = new Path(path, manifestName(version))
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(target),
+      s"no snapshot version $version at $path (expired or never committed); " +
+        "available: " + listVersions(spark, path).sorted.mkString(", "))
+    val in = fs.open(target)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = text.split("\n")
+    val head = lines(0).split(";").map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+    val files = lines.drop(3).iterator.filter(_.nonEmpty).map { l =>
+      val Array(p, sz) = l.split("\t", 2)
+      (p, sz.toLong)
+    }.toSeq
+    TsManifest(head("version").toLong, head("action"), lines(1).trim,
+      DataType.fromJson(lines(2)).asInstanceOf[StructType], files)
+  }
+
+  /** Pin a committed version of the table at `path` — usable without a
+    * live handle (the manifest carries the version's own schema + tsCol,
+    * so this works even after later schema evolution). */
+  def openAt(spark: SparkSession, path: String, version: Long): TsSnapshot = {
+    val m = readManifest(spark, path, version)
+    new TsSnapshot(spark, path, m.tsCol, m)
+  }
 
   /** Create a new (empty) table: persists the declared schema (and write
     * options) so the table can be reopened before any data lands (the
@@ -516,7 +795,9 @@ object TsTable {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
     writeDescriptor(spark, path, schema, tsCol, writeOptions)
-    new TsTable(spark, path, tsCol, schema, writeOptions)
+    val t = new TsTable(spark, path, tsCol, schema, writeOptions)
+    t.commitVersion("create") // v1: the empty table is a pinnable state
+    t
   }
 
   /** (Re)write the schema descriptor via temp-file + rename, so a crash
