@@ -110,6 +110,27 @@ object LlmPack extends QueryPack {
         materialize = Some(true))
       .orderBy(col("contained_id"), col("container_id"))
 
+  /** Occurrence-count threshold above which a 5-word span is boilerplate
+    * for the CLEAN containment variant (shared with its oracle). */
+  private val ContainMaxSpanMult = 8
+
+  /** B9+ boilerplate-immune containment dedup
+    * (NearDedup.containmentPairsClean): repeated spans above the
+    * [[ContainMaxSpanMult]] multiplicity strip BEFORE shingling, so a
+    * boilerplate cluster can neither skew the candidate join onto hot
+    * posting lists nor flood the result with shared-header "containment";
+    * genuine low-fan quotation (multiplicity ≈ 2) survives and pairs as
+    * in q_dedup_contain. Oracle replays the identical strip (positional
+    * md5 span keys, covered-word ranges, residual rebuild) in SQL, then
+    * runs the all-pairs containment on the residual sets. */
+  def dedupContainClean(s: SparkSession, dir: String): DataFrame =
+    NearDedup.containmentPairsClean(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text", partCol = "lang",
+        tauC = TauContain, minShingles = ContainMinShingles,
+        maxSpanMult = ContainMaxSpanMult,
+        materialize = Some(true))
+      .orderBy(col("contained_id"), col("container_id"))
+
   /** B9 near-dup via MinHash + banded LSH. Probabilistic recall, but at
     * 32 bands × 4 rows a τ=0.8 pair is missed with p ≈ 5e-8 (and the
     * fixture's planted pairs at J ≥ 0.95 with p ≈ 1e-23), so it shares the
@@ -1189,6 +1210,7 @@ object LlmPack extends QueryPack {
     "q_dedup_stats" -> dedupStats,
     "q_dedup_near" -> dedupNear,
     "q_dedup_contain" -> dedupContain,
+    "q_dedup_contain_clean" -> dedupContainClean,
     "q_token_zipf" -> tokenZipf,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_cluster" -> dedupCluster,
@@ -1452,6 +1474,41 @@ object LlmPack extends QueryPack {
     // (|A| < |B|, ties by id) matches the engine's canonicalization.
     "q_dedup_contain" ->
       s"""WITH $nearDupCtes,
+         |c AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(a.sh) AS raw
+         |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+         |  WHERE len(a.sh) >= $ContainMinShingles
+         |    AND (len(a.sh) < len(b.sh)
+         |         OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id)))
+         |SELECT contained_id, container_id, round(raw, 6) AS containment
+         |FROM c WHERE raw >= $TauContain
+         |ORDER BY contained_id, container_id""".stripMargin,
+    // The clean variant replays the span strip in SQL: positional 5-word
+    // span keys (md5/16, 0-based starts), occurrence counts, covered-word
+    // ranges for spans over the multiplicity ceiling, residual rebuild —
+    // then the q_dedup_contain all-pairs containment on the residual sets.
+    "q_dedup_contain_clean" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $tokSql AS t FROM documents),
+         |sp AS (SELECT doc_id, i - 1 AS pos,
+         |    substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+         |               t[i+3] || ' ' || t[i+4]), 1, 16) AS h
+         |  FROM tk, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) u
+         |  WHERE len(t) >= 5),
+         |hot AS (SELECT h FROM sp GROUP BY h HAVING count(*) > $ContainMaxSpanMult),
+         |cov AS (SELECT s.doc_id, s.pos FROM sp s JOIN hot USING (h)),
+         |w AS (SELECT doc_id, lang, generate_subscripts(t, 1) AS wi, unnest(t) AS word FROM tk),
+         |keep AS (SELECT w.doc_id, w.lang, w.wi, w.word FROM w
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = w.doc_id
+         |    AND c.pos <= w.wi - 1 AND w.wi - 1 <= c.pos + 4)),
+         |ct AS (SELECT doc_id, lang, string_agg(word, ' ' ORDER BY wi) AS clean_text
+         |  FROM keep GROUP BY doc_id, lang),
+         |t2 AS (SELECT doc_id, lang,
+         |    string_split_regex(trim(clean_text), '\\s+') AS t FROM ct),
+         |s AS (SELECT doc_id, lang,
+         |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+         |  FROM t2),
          |c AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
          |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |      / len(a.sh) AS raw

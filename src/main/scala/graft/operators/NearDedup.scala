@@ -197,6 +197,97 @@ object NearDedup {
     }
   }
 
+  /** [[containmentPairs]] with the boilerplate-skew hole CLOSED by
+    * composition: strip REPEATED SPANS (q_span_dedup's exact-substring
+    * signal, Lee et al. '21) from every document first, then run the
+    * pigeonhole containment join on the residual content. This turns the
+    * scaladoc'd "strip repeated spans first" README rule into code.
+    *
+    * WHY this is the right fix and head/tail splitting is not: the
+    * symmetric path survives hot shingles because prefix⨝prefix is
+    * hotDf-bounded, but containment's prefix⨝FULL-postings join cannot
+    * drop hot postings — the pigeonhole bound does not survive it. A
+    * boilerplate cluster (shared headers, licenses, templates) makes
+    * every member's shingles globally hot, so its candidate join keys
+    * concentrate on a few posting lists and one straggler task owns the
+    * cluster. Stripping the repeated spans BEFORE shingling removes the
+    * hot keys at the source: the spans' shingles never enter the postings,
+    * the join keys re-spread over residual (discriminative) content, and
+    * a doc that is pure boilerplate strips to empty and drops at the
+    * `minShingles` floor (it carries no containment signal of its own).
+    *
+    * THE THRESHOLD IS THE SEMANTICS: a genuine quotation is itself a
+    * repeated span — it occurs in the contained doc AND the container,
+    * multiplicity 2 — so stripping at multiplicity > 1 would destroy the
+    * very signal containment detects. `maxSpanMult` separates the two
+    * regimes: spans repeated more than `maxSpanMult` times (default 8)
+    * are boilerplate-cluster scale and strip; pairwise/low-fan quotation
+    * survives and pairs as before. Members of a stripped cluster are NOT
+    * reported as containing each other — shared boilerplate is exact/span
+    * dedup's job (q_dedup_exact, q_span_dedup), not a containment edge.
+    *
+    * On a corpus whose span multiplicities never exceed the threshold the
+    * residual text is the whitespace-normalized original, so pairs are
+    * IDENTICAL to `containmentPairs` (asserted in NearDedupSpec along
+    * with the planted-cluster key-collapse case). */
+  def containmentPairsClean(docs: DataFrame, idCol: String, textCol: String,
+                            partCol: String, tauC: Double,
+                            minShingles: Int = 10, spanWords: Int = 5,
+                            maxSpanMult: Int = 8, hotDf: Int = 1024,
+                            materialize: Option[Boolean] = None): DataFrame = {
+    val cleaned = stripRepeatedSpans(docs, idCol, textCol, partCol,
+      spanWords, maxSpanMult)
+    containmentPairs(cleaned, "id", "clean_text", "part", tauC,
+      minShingles, hotDf, materialize)
+  }
+
+  /** The span-strip pre-pass behind [[containmentPairsClean]], reusable
+    * wherever hot boilerplate must not reach a downstream join: rebuilds
+    * each document from the words NOT covered by any span of `spanWords`
+    * tokens whose corpus-wide occurrence count exceeds `maxSpanMult`.
+    * Output: (id, part, clean_text).
+    *
+    * Mechanics (all map-side until the span-multiplicity aggregate):
+    * POSITIONAL spans — word windows built by index over the token array
+    * (NOT the distinct-shingle kernel: stripping needs every occurrence's
+    * start offset) — md5-reduced to 16 hex chars (the spanDedup key
+    * discipline); corpus span multiplicity is one map-side-combined
+    * aggregate; hot spans mark their [start, start+spanWords) word ranges
+    * covered via one id-keyed aggregate; residual words rebuild the text
+    * in a narrow per-row pass. A span repeated `maxSpanMult`+1 times
+    * WITHIN one doc strips too — self-repetition at that scale is
+    * boilerplate by the same signal. Per-doc state is bounded by doc
+    * length; nothing in the pass is corpus-proportional on one key except
+    * the multiplicity aggregate itself (map-side combined). */
+  def stripRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         partCol: String, spanWords: Int = 5,
+                         maxSpanMult: Int = 8): DataFrame = {
+    val base = Compute.rebalance(docs
+      .select(col(idCol).as("id"), col(partCol).as("part"),
+        col(textCol).as("text")))
+      .withColumn("w", graft.functions.TextFns.tokens(col("text")))
+      // positional span keys: element i covers words [i, i+spanWords)
+      .withColumn("spans",
+        when(size(col("w")) >= spanWords,
+          transform(sequence(lit(0), size(col("w")) - spanWords),
+            i => substring(md5(concat_ws(" ",
+              slice(col("w"), i + 1, lit(spanWords)))), 1, 16)))
+          .otherwise(array().cast("array<string>")))
+    val occ = base.select(col("id"), posexplode(col("spans")).as(Seq("pos", "h")))
+    val hot = occ.groupBy(col("h")).agg(count(lit(1)).as("mult"))
+      .where(col("mult") > maxSpanMult).select(col("h"))
+    val covered = occ.join(hot, "h")
+      .groupBy(col("id")).agg(collect_set(col("pos")).as("starts"))
+    val span1 = lit(spanWords - 1)
+    base.join(covered, Seq("id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("clean_text", concat_ws(" ",
+        filter(col("w"), (w, i) =>
+          !exists(col("starts"), s => s <= i && i <= s + span1))))
+      .select(col("id"), col("part"), col("clean_text"))
+  }
+
   /** Single-evaluation harness for the pair generators. The lazy pipeline
     * references `sets` (the full-corpus shingle arrays) three times — once
     * for candidate generation, twice in the verify join — and Spark

@@ -85,6 +85,61 @@ class NearDedupSpec extends SparkSpec {
     assert(gotFix == want, s"missing=${want -- gotFix} extra=${gotFix -- want}")
   }
 
+  test("containmentPairsClean: boilerplate cluster collapses the hot join keys; " +
+      "the genuine non-boilerplate pair is still found; parity when nothing strips") {
+    import graft.operators.NearDedup
+    // 20 docs sharing one 60-word boilerplate block (a license header), each
+    // with a distinct 40-word body; doc 100's body is verbatim inside doc
+    // 101's longer body — the genuine containment signal, NOT boilerplate.
+    val boiler = (1 to 60).map(i => s"b$i").mkString(" ")
+    // 3-word unique tails keep each cluster doc ~95% boilerplate, so the
+    // RAW operator pairs cluster members with each other at τ=0.9
+    val cluster = (1 to 20).map { i =>
+      (i.toLong, "en", s"$boiler u${i}_1 u${i}_2 u${i}_3")
+    }
+    val innerBody = (1 to 30).map(i => s"q$i").mkString(" ")
+    val outerBody = ((1 to 30).map(i => s"q$i") ++ (1 to 80).map(i => s"r$i")).mkString(" ")
+    val docs = (cluster ++ Seq(
+      (100L, "en", s"$boiler $innerBody"),
+      (101L, "en", s"$boiler $outerBody"))).toDF("doc_id", "lang", "text")
+
+    // (a) the strip collapses the key distribution: before, the boilerplate
+    // makes 22-hot shingles; after, no shingle's df exceeds the quotation's 2
+    def maxDf(d: org.apache.spark.sql.DataFrame, textCol: String): Long =
+      d.select(explode(graft.functions.TextFns.shingles3(col(textCol))).as("sh"))
+        .groupBy("sh").count().agg(max("count")).head.getLong(0)
+    assert(maxDf(docs, "text") >= 22L, "fixture must be boilerplate-hot")
+    val stripped = NearDedup.stripRepeatedSpans(docs, "doc_id", "text", "lang")
+    assert(maxDf(stripped.where(length(col("clean_text")) > 0), "clean_text") <= 2L,
+      "stripping must remove every boilerplate-cluster shingle from the postings")
+
+    // (b) the genuine quotation pair survives; no boilerplate-only pairs
+    val got = NearDedup.containmentPairsClean(docs, "doc_id", "text", "lang",
+        tauC = 0.9, minShingles = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)),
+      s"expected exactly the residual-content containment pair, got $got")
+    // the unstripped operator drowns it in boilerplate cross-pairs
+    val raw = NearDedup.containmentPairs(docs, "doc_id", "text", "lang",
+        tauC = 0.9, minShingles = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(raw.size > 1, "fixture sanity: boilerplate must create extra raw pairs")
+
+    // (c) parity: on a corpus where no span exceeds the threshold the clean
+    // variant returns containmentPairs' result exactly
+    val clean = Seq(
+      (1L, "en", (1 to 200).map(i => s"w$i").mkString(" ")),
+      (2L, "en", (40 to 75).map(i => s"w$i").mkString(" ")),
+      (3L, "en", (1 to 50).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(NearDedup.containmentPairsClean(clean, "doc_id", "text", "lang",
+        tauC = 0.9, minShingles = 10)) ==
+      pairs(NearDedup.containmentPairs(clean, "doc_id", "text", "lang",
+        tauC = 0.9, minShingles = 10)))
+  }
+
   test("SigStore: probe == recomputing incremental LSH pair-for-pair; " +
       "fingerprint gates rebuilds") {
     import graft.operators.SigStore
