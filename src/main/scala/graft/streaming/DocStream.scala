@@ -24,6 +24,23 @@ case class BucketState(entries: Seq[(Long, Long, Seq[Long])])
 case class NearDupPair(a_id: Long, b_id: Long, band: Int, est: Double,
                        ts: java.sql.Timestamp)
 
+/** [[BandDoc]] with the doc's distinct-shingle count riding along — the
+  * extra scalar [[DocStream.containmentPairsStream]]'s asymmetric estimate
+  * needs on top of the signature. */
+case class BandDocN(band: Int, bh: Long, doc_id: Long,
+                    ts: java.sql.Timestamp, n: Long, sig: Seq[Long])
+
+/** Bucket state for the containment stream: (doc_id, event-time µs,
+  * shingle count, signature) per held entry. */
+case class BucketStateN(entries: Seq[(Long, Long, Long, Seq[Long])])
+
+/** A detected containment pair, canonically oriented like the batch
+  * operator: `contained_id` is the SMALLER shingle set (ties by id). `est`
+  * is the signature-derived containment estimate; `ts` the triggering
+  * doc's event time. */
+case class ContainPair(contained_id: Long, container_id: Long, band: Int,
+                       est: Double, ts: java.sql.Timestamp)
+
 /** The corpus-construction gate, LIVE: the batch pipeline's quality filter
   * and exact dedup re-expressed over a document STREAM — what a continuous
   * training-data ingest actually runs, where documents arrive from a
@@ -282,6 +299,110 @@ object DocStream {
             if (entries.isEmpty) state.remove()
             else {
               state.update(BucketState(entries))
+              state.setTimeoutTimestamp(entries.last._2 / 1000L + horizonMs)
+            }
+            out.result().iterator
+          })
+  }
+
+  /** The live CONTAINMENT gate — [[nearDupPairsStream]]'s banded state with
+    * a second, asymmetric verify arm (the streaming twin of
+    * `NearDedup.containmentPairs`): each in-bucket comparison derives the
+    * containment estimate from the signature Jaccard plus the two held
+    * shingle COUNTS — Ĉ = Ĵ/(1+Ĵ)·(|A|+|B|)/|A| with A the smaller set
+    * (|A∩B| recovered from Ĵ's identity |A∩B| = Ĵ(|A|+|B|)/(1+Ĵ)) — and
+    * pairs clear `tauC`. Orientation matches the batch canonicalization
+    * exactly: contained = smaller shingle set, ties by id. State cost over
+    * the near-dup bucket: one extra long (the count) per entry.
+    *
+    * Honest RECALL divergence from batch, beyond the estimator note on
+    * [[nearDupPairsStream]]: the batch operator's pigeonhole prefix join
+    * recalls containment at ANY size ratio; banded MinHash buckets only
+    * collide at Jaccard-level similarity, and C ≥ τ with |B| = ρ·|A|
+    * implies only J ≥ τ/(1+ρ). So the live gate catches the
+    * SIZE-COMPARABLE containment case (quoted-with-commentary spam,
+    * template wrapping — ρ small, J still high), and defers extreme
+    * small-in-big (ρ ≫ 1, J ≈ 0 — the case that needs full posting lists,
+    * i.e. document-sized state) to the nightly batch pass. DocStreamSpec
+    * pins pair parity vs `containmentPairs` on a planted size-comparable
+    * corpus under chunked replay, and pins that the known miss regime IS
+    * missed — the divergence is asserted, not just documented.
+    *
+    * Same determinism, horizon, cap, and shuffle posture as
+    * [[nearDupPairsStream]] (only signature-plus-scalar rows move). */
+  def containmentPairsStream(docs: DataFrame, idCol: String, tsCol: String,
+                             textCol: String, watermark: String,
+                             bands: Int = 32, rowsPerBand: Int = 4,
+                             tauC: Double = 0.9,
+                             minShingles: Int = 10,
+                             horizonMs: Long = 3600000L,
+                             maxBucketEntries: Int = 256): Dataset[ContainPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = bands * rowsPerBand
+    val sets = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(tsCol).as("ts"),
+        graft.functions.TextFns.shingles3(col(textCol)).as("sh"))
+      .where(size(col("sh")) >= minShingles)
+      .withColumn("n", size(col("sh")).cast("long"))
+      .withColumn("sig",
+        org.apache.spark.sql.graft.AggExprs.minhashRow(col("sh"), k))
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bh"))
+    }
+    val horizonUs = horizonMs * 1000L
+    val usOf = TsStream.usOf _
+    sets
+      .select(col("doc_id"), col("ts"), col("n"), col("sig"),
+        explode(array(bandStructs: _*)).as("x"))
+      .select(col("x.band").as("band"), col("x.bh").as("bh"),
+        col("doc_id"), col("ts"), col("n"), col("sig"))
+      .withWatermark("ts", watermark)
+      .as[BandDocN]
+      .groupByKey(d => (d.band, d.bh))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long), it: Iterator[BandDocN],
+         state: GroupState[BucketStateN]) =>
+          if (state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else {
+            val rows = it.toArray.sortBy(d => (usOf(d.ts), d.doc_id))
+            var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+            val out = Seq.newBuilder[ContainPair]
+            rows.foreach { d =>
+              val tUs = usOf(d.ts)
+              entries = entries.filter(e => tUs - e._2 <= horizonUs)
+              entries.foreach { case (aId, _, aN, aSig) =>
+                if (aId != d.doc_id) {
+                  var m = 0
+                  var i = 0
+                  while (i < k) {
+                    if (aSig(i) == d.sig(i)) m += 1
+                    i += 1
+                  }
+                  if (m > 0) {
+                    val j = m.toDouble / k
+                    val inter = j / (1.0 + j) * (aN + d.n)
+                    // contained = smaller set, ties by id — the batch rule
+                    val (cId, cN, bId) =
+                      if (aN < d.n || (aN == d.n && aId < d.doc_id))
+                        (aId, aN, d.doc_id)
+                      else (d.doc_id, d.n, aId)
+                    val est = math.min(inter / cN, 1.0)
+                    if (est >= tauC)
+                      out += ContainPair(cId, bId, key._1, est, d.ts)
+                  }
+                }
+              }
+              entries = (entries :+ ((d.doc_id, tUs, d.n, d.sig)))
+                .takeRight(maxBucketEntries)
+            }
+            if (entries.isEmpty) state.remove()
+            else {
+              state.update(BucketStateN(entries))
               state.setTimeoutTimestamp(entries.last._2 / 1000L + horizonMs)
             }
             out.result().iterator

@@ -187,6 +187,66 @@ class DocStreamSpec extends SparkSpec {
     assert(chunked == oneShot, s"replay-dependent emissions: $chunked vs $oneShot")
   }
 
+  test("streaming containment pairs == batch containmentPairs on chunked " +
+      "replay of a size-comparable planted corpus; the documented " +
+      "small-in-big miss regime IS missed") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00")
+    // 30 disjoint-vocabulary base docs; every 3rd gets a LATER container
+    // variant = the full original plus 15 new tokens (ρ ≈ 1.4 — J ≈ 0.7,
+    // well inside banded recall) — the quoted-with-commentary case.
+    val bases = (0 until 30).map { i =>
+      Doc(i.toLong, new Timestamp(t0.getTime + i * 60000L), "en",
+        (1 to 40).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val containers = bases.filter(_.doc_id % 3 == 0).map { d =>
+      Doc(d.doc_id + 1000L, new Timestamp(d.ts.getTime + 10 * 60000L), "en",
+        d.text + " " + (1 to 15).map(j => s"x${d.doc_id}_$j").mkString(" "))
+    }
+    // the known-miss regime: a 12-token doc verbatim inside a 400-token
+    // doc (ρ ≈ 30, J ≈ 0.03 — banded buckets cannot collide)
+    val bigBody = (1 to 400).map(j => s"big_$j").mkString(" ")
+    val smallInBig = Seq(
+      Doc(9000L, new Timestamp(t0.getTime + 40 * 60000L), "en",
+        (100 to 111).map(j => s"big_$j").mkString(" ")),
+      Doc(9001L, new Timestamp(t0.getTime + 41 * 60000L), "en", bigBody))
+    val rows = (bases ++ containers ++ smallInBig)
+      .sortBy(d => (d.ts.getTime, d.doc_id))
+
+    val batchPairs = graft.operators.NearDedup.containmentPairs(
+        rows.toDF(), idCol = "doc_id", textCol = "text", partCol = "lang",
+        tauC = 0.9, minShingles = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = containers.map(c => (c.doc_id - 1000L, c.doc_id)).toSet
+    assert(batchPairs == planted + ((9000L, 9001L)),
+      s"batch truth unexpected: $batchPairs")
+
+    def run(chunks: Seq[Seq[Doc]], name: String): Set[(Long, Long)] = {
+      val ms = MemoryStream[Doc]
+      val q = DocStream.containmentPairsStream(ms.toDF(), "doc_id", "ts",
+          "text", watermark = "1 hour", tauC = 0.9)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+        spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    val got = run(rows.grouped((rows.length / 5).max(1)).toSeq, "contain_pairs")
+    // every size-comparable batch pair found, canonically oriented...
+    assert(got == planted,
+      s"missing=${planted -- got} extra=${got -- planted}")
+    // ...and the asserted divergence: the small-in-big pair (which the
+    // batch pigeonhole join finds) is structurally missed by banded state
+    assert(!got.contains((9000L, 9001L)),
+      "banded buckets must not recall J≈0.03 containment — if this fires, " +
+        "update the recall scaladoc")
+    // chunk-boundary invariance
+    val oneShot = run(Seq(rows), "contain_pairs_os")
+    assert(oneShot == got, s"replay-dependent emissions: $oneShot vs $got")
+  }
+
   test("streaming decontamination: chunked replay == the identical batch " +
       "predicate; planted benchmark copies blocked; kept docs share no shingle") {
     import spark.implicits._
