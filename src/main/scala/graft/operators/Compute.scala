@@ -21,10 +21,28 @@ object Compute {
     * least cores partitions and this is a NO-OP, so the rebalance can
     * never add a corpus-wide shuffle to a 100 TB pipeline — it only
     * repairs under-parallelized small inputs (the bench-fixture shape).
+    *
+    * The gate reads the OPTIMIZED LOGICAL plan's size statistics (file
+    * sizes for scans, propagated estimates elsewhere) and compares the
+    * implied partition count (`stats.sizeInBytes / maxPartitionBytes`)
+    * against the core count — it never instantiates `df.rdd`, which would
+    * force a second physical plan + RDD lineage on every call and read the
+    * pre-AQE partition count anyway. The estimate errs the cheap way on
+    * both edges: an over-filtered scan UNDER-estimates and triggers a
+    * repartition of exactly the small surviving byte count (the shuffle
+    * the gate exists to allow), and a stats-less relation (LogicalRDD
+    * from a checkpoint, default-sized nodes) reports huge and makes the
+    * gate a no-op — never a corpus-wide shuffle by accident.
     */
   def rebalance(df: DataFrame): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= parallelism) df
+    val spark = df.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    val maxPartBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "128MB"))
+    val estParts =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPartBytes
+    if (estParts >= parallelism) df
     else df.repartition(parallelism)
   }
 

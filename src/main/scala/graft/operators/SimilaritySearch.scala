@@ -144,7 +144,19 @@ object SimilaritySearch {
     * `IvfIndex.knnJoin` at corpus scale) and self-joins it on the reversed
     * pair key: one shuffle on (probe_id, vec_id) sized k·N rows — the edge
     * list, never the vectors. Emits each surviving pair once (a_id < b_id)
-    * with its (symmetric, 6dp-rounded) similarity. */
+    * with its (symmetric, 6dp-rounded) similarity.
+    *
+    * CONTRACT NOTE — this function is EAGER: the input edge list is
+    * materialized (`Compute.materialize`) at DataFrame-construction time,
+    * not at first action, because the self-join's two sides shuffle on
+    * opposite key orders and would otherwise each re-run the full scoring
+    * pass that produced the edges. Consequences for callers: (1) the call
+    * itself runs Spark jobs — don't build it speculatively inside a lazy
+    * composition; (2) WITHOUT a session checkpoint dir the fallback is
+    * `localCheckpoint`, whose blocks die with their executor, making the
+    * returned frame non-recomputable after an executor loss in a
+    * long-lived session — set `sparkContext.setCheckpointDir` on a real
+    * cluster to get reliable checkpointing. */
   def mutualKnn(knnEdges: DataFrame): DataFrame = {
     // Materialize the edge list ONCE before the self-join: the fwd and rev
     // sides shuffle on OPPOSITE key orders, so ReuseExchange cannot unify

@@ -112,10 +112,20 @@ object ZOrderLayout {
     val storePath = new Path(path)
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(storePath)) {
-      val entries = fs.listStatus(storePath).map(_.getPath.getName)
-      require(entries.isEmpty || entries.exists(n =>
-        n.startsWith("zbucket=") || n.startsWith("_zorder")),
-        s"refusing to overwrite non-zorder directory $path")
+      // Refuse to wipe a directory that is not recognizably a z-order
+      // store (the IvfIndex guard): EVERY entry must be a zbucket=*
+      // partition dir / a _zorder sidecar / a Spark write marker — one
+      // stray recognized entry next to unrelated user files must not
+      // authorize a recursive delete of the lot.
+      val foreign = fs.listStatus(storePath).toSeq.filterNot { st =>
+        val n = st.getPath.getName
+        (st.isDirectory && n.startsWith("zbucket=")) || n.startsWith("_zorder") ||
+          n == "_SUCCESS" || n.startsWith(".") || n.startsWith("_temporary")
+      }
+      require(foreign.isEmpty,
+        s"refusing to overwrite '$path': it exists but does not look like a " +
+          s"z-order store (unexpected entries: ${foreign.map(_.getPath.getName).take(5).mkString(", ")}). " +
+          "Delete it explicitly or point build() at a dedicated directory.")
       fs.delete(storePath, true)
     }
     df.withColumn("zkey", z)
