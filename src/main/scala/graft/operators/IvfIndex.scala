@@ -32,6 +32,14 @@ object IvfIndex {
   private val FingerprintFile = "_ivf_fingerprint.txt" // written LAST — absent ⇒ partial build
   private val ChildrenFile = "_ivf_children.txt" // hot-cell split map (parent;child;centroid)
   private val SqTag = "sq8" // layout version token: store carries SQ8 code columns
+  private val PqCodebooksFile = "_ivf_pq_codebooks.txt" // subspace-per-line PQ codebooks
+
+  /** Layout token recorded in the fingerprint: every store carries SQ8
+    * codes; a PQ-enabled store additionally records its (m, k) so `append`
+    * can re-encode new rows with the SAME codebooks and a parameter change
+    * forces a rebuild through `buildIfNeeded`. */
+  private def layoutTag(pq: Option[(Int, Int)]): String =
+    pq.map { case (m, k) => s"$SqTag:pq$m.$k" }.getOrElse(SqTag)
 
   /** Cheap content fingerprint of an input dataset: digest of the sorted
     * (name, length, mtime) triples of its files. No data scan — a file
@@ -85,17 +93,17 @@ object IvfIndex {
     * fingerprint and the next call rebuilds. */
   def buildIfNeeded(emb: DataFrame, idCol: String, vecCol: String, path: String,
                     fingerprint: String, cells: Int = 16, sampleN: Int = 512,
-                    iters: Int = 5): Boolean = {
+                    iters: Int = 5, pq: Option[(Int, Int)] = None): Boolean = {
     val spark = emb.sparkSession
     // The stored fingerprint covers the BUILD PARAMETERS too: a store built
-    // with different cells/sampleN/iters (or columns) must not be reused —
-    // the caller's nProbe bounds and recall expectations assume its own
-    // parameters.
-    val full = s"$fingerprint:$idCol:$vecCol:c$cells:s$sampleN:i$iters:$SqTag"
+    // with different cells/sampleN/iters (or columns/PQ layout) must not be
+    // reused — the caller's nProbe bounds and recall expectations assume
+    // its own parameters.
+    val full = s"$fingerprint:$idCol:$vecCol:c$cells:s$sampleN:i$iters:${layoutTag(pq)}"
     val current = readSidecar(spark, path, FingerprintFile)
     if (current.contains(full)) false
     else {
-      build(emb, idCol, vecCol, path, cells, sampleN, iters)
+      build(emb, idCol, vecCol, path, cells, sampleN, iters, pq)
       writeSidecar(spark, path, FingerprintFile, full)
       true
     }
@@ -110,10 +118,16 @@ object IvfIndex {
     * build clears any hot-cell split map from a previous life of the
     * store. */
   def build(emb: DataFrame, idCol: String, vecCol: String, path: String,
-            cells: Int = 16, sampleN: Int = 512, iters: Int = 5): Unit = {
+            cells: Int = 16, sampleN: Int = 512, iters: Int = 5,
+            pq: Option[(Int, Int)] = None): Unit = {
     val spark = emb.sparkSession
     val centroids = SimilaritySearch.trainCentroids(
       emb, idCol, vecCol, cells, sampleN, iters)
+    // PQ codebooks train on the same deterministic sample, before any
+    // write — a failed training leaves the old store untouched
+    val books = pq.map { case (m, k) =>
+      SimilaritySearch.trainPqCodebooks(emb, idCol, vecCol, m, k, sampleN, iters)
+    }
     // Wipe the previous life of the store EXPLICITLY, before any write:
     // .mode("overwrite") only clears the whole path under STATIC partition
     // overwrite — with spark.sql.sources.partitionOverwriteMode=dynamic
@@ -143,8 +157,11 @@ object IvfIndex {
           "Delete it explicitly or point build() at a dedicated directory.")
       fs.delete(storePath, true)
     }
-    withSqColumns(
+    val coded0 = withSqColumns(
       emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v")))
+    val coded = books.fold(coded0)(b => coded0.withColumn("pq",
+      org.apache.spark.sql.graft.VectorExprs.pqEncode(col("v"), b)))
+    coded
       .withColumn("cell",
         org.apache.spark.sql.graft.VectorExprs.nearestCentroids(col("v"), centroids, 1)(0))
       // vec_id-sorted row groups (per task, per cell — no extra shuffle)
@@ -157,8 +174,10 @@ object IvfIndex {
     val os = fs.create(out, true)
     try os.write(centroids.map(_.mkString(",")).mkString("\n").getBytes("UTF-8"))
     finally os.close()
+    books.foreach(b => writeSidecar(spark, path, PqCodebooksFile,
+      b.map(_.map(_.mkString(",")).mkString("|")).mkString("\n")))
     writeSidecar(spark, path, FingerprintFile,
-      s"unversioned:$idCol:$vecCol:c$cells:s$sampleN:i$iters:$SqTag")
+      s"unversioned:$idCol:$vecCol:c$cells:s$sampleN:i$iters:${layoutTag(pq)}")
   }
 
   /** SQ8 sidecolumns next to the full vector (see
@@ -181,6 +200,16 @@ object IvfIndex {
     val text = try scala.io.Source.fromInputStream(is, "UTF-8").mkString finally is.close()
     text.trim.split("\n").toSeq.map(_.split(",").toSeq.map(_.toDouble))
   }
+
+  /** PQ codebooks of a PQ-enabled store (subspace per line, centroids
+    * '|'-separated, components ','-separated — the build() format). */
+  private[graft] def loadPqCodebooks(spark: SparkSession,
+                                     path: String): Seq[Seq[Seq[Double]]] =
+    readSidecar(spark, path, PqCodebooksFile).getOrElse(
+      throw new IllegalStateException(
+        s"IVF store at $path has no PQ codebooks — built without pq=Some((m,k))?"))
+      .split("\n").toSeq
+      .map(_.split("\\|").toSeq.map(_.split(",").toSeq.map(_.toDouble)))
 
   /** Incremental add: assign NEW vectors to the EXISTING centroids and
     * append them into their cells' directories — no retrain, no rewrite of
@@ -215,8 +244,17 @@ object IvfIndex {
     require(parts.contains(SqTag),
       s"IVF store at $path predates the SQ8 layout — rebuild before appending")
     val centroids = loadCentroids(spark, path)
-    val assigned = withSqColumns(emb
+    val coded0 = withSqColumns(emb
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v")))
+    // PQ-enabled store: re-encode the new rows with the FROZEN codebooks
+    // (the coarse-quantizer rule) — appending un-coded rows would leave
+    // them invisible to approximate PQ probes
+    val coded =
+      if (parts.drop(3).exists(_.startsWith("pq"))) // skip digest/id/vec names
+        coded0.withColumn("pq", org.apache.spark.sql.graft.VectorExprs
+          .pqEncode(col("v"), loadPqCodebooks(spark, path)))
+      else coded0
+    val assigned = coded
       .withColumn("cell",
         org.apache.spark.sql.graft.VectorExprs.nearestCentroids(col("v"), centroids, 1)(0))
     // Hot-cell splits: a vector whose nearest TOP-LEVEL centroid was split
@@ -371,8 +409,55 @@ object IvfIndex {
                 excludeSelf: Boolean = true): DataFrame = {
     require(rescoreK >= k, s"rescoreK=$rescoreK must be >= k=$k")
     val pLeaf = sqProbeFrame(spark, path, probes, idCol, vecCol, nProbe)
-    val p = pLeaf.drop("cell").distinct()
     val approx = sqApprox(spark, path, pLeaf, excludeSelf)
+    rescoreFull(spark, path, pLeaf, approx, k, rescoreK)
+  }
+
+  /** The approximate PQ phase — [[sqApprox]]'s sibling over the M-byte
+    * product codes: the scan's ReadSchema carries (vec_id, pq) and never
+    * the full `v` (nor the SQ8 triplet) — for dim-64 doubles that is an
+    * 8 B code vs 512 B of vector, the 64× probe-I/O cut of Jégou '11. The
+    * codebooks enter the [[org.apache.spark.sql.graft.PqCosine]] kernel as
+    * plan-time constants (the NearestCentroids rule), so scoring is one
+    * fused codegen'd loop per candidate, no reconstruction column. */
+  private[graft] def pqApprox(spark: SparkSession, path: String,
+                              pLeaf: DataFrame, excludeSelf: Boolean): DataFrame = {
+    val books = loadPqCodebooks(spark, path)
+    val codes = spark.read.parquet(path)
+      .select(col("cell"), col("vec_id"), col("pq"))
+    val cand = codes.join(broadcast(pLeaf), "cell")
+    val candFiltered =
+      if (excludeSelf) cand.where(col("vec_id") =!= col("probe_id")) else cand
+    candFiltered.select(col("probe_id"), col("vec_id"),
+      org.apache.spark.sql.graft.VectorExprs
+        .pqCosine(col("pq"), col("p"), books).as("sim"))
+  }
+
+  /** [[knnJoinSq]] with PRODUCT quantization — the RAM/I-O scale path past
+    * SQ8: the approximate phase reads M bytes per vector (64× fewer scan
+    * bytes at dim 64, vs SQ8's 8×) and scores candidates against the
+    * probe with the asymmetric codebook kernel; survivors rescore exactly
+    * from the full vectors through the same three-tier harness. The
+    * coarser approximation costs recall at equal `rescoreK` — size
+    * `rescoreK` a few × larger than the SQ8 path (AnnSpec measures the
+    * trade against brute force). Requires a store built with
+    * `build(..., pq = Some((m, k)))`. */
+  def knnJoinPq(spark: SparkSession, path: String, probes: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nProbe: Int = 4, rescoreK: Int = 64,
+                excludeSelf: Boolean = true): DataFrame = {
+    require(rescoreK >= k, s"rescoreK=$rescoreK must be >= k=$k")
+    val pLeaf = sqProbeFrame(spark, path, probes, idCol, vecCol, nProbe)
+    val approx = pqApprox(spark, path, pLeaf, excludeSelf)
+    rescoreFull(spark, path, pLeaf, approx, k, rescoreK)
+  }
+
+  /** Phase 2 shared by the SQ8 and PQ probe paths: exact rescore of each
+    * probe's `rescoreK` approximate survivors from the full vectors, then
+    * the final top-k. */
+  private def rescoreFull(spark: SparkSession, path: String, pLeaf: DataFrame,
+                          approx: DataFrame, k: Int, rescoreK: Int): DataFrame = {
+    val p = pLeaf.drop("cell").distinct()
     // phase 2: exact rescore of the survivors from the full vectors.
     // Probed-cell set is driver-known (≤ total cells — tiny), so the cell
     // restriction is a STATIC partition filter here. One aggregation job

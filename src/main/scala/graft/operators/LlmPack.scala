@@ -696,6 +696,35 @@ object LlmPack extends QueryPack {
       idCol = "vec_id", vecCol = "embedding", k = KnnK, rescoreK = 4 * KnnK)
   }
 
+  /** PQ layout for q_knn_join_ivf_pq: 8 subspaces × 256 centroids over the
+    * 64-dim fixture vectors — the Jégou '11 (m=8, k*=256) setting, an
+    * 8-byte code per vector (64× less approximate-scan I/O than the full
+    * column, 8× less than SQ8). */
+  private val PqM = 8
+  private val PqK = 256
+
+  /** B9+ batch kNN through the inverted file with PRODUCT quantization
+    * (IvfIndex.knnJoinPq) — the compression rung past SQ8 (Jégou '11):
+    * the approximate phase reads an M-byte code per vector (parquet
+    * column pruning: ~64× fewer scan bytes than the full column at dim
+    * 64) and scores it against the probe with the asymmetric codebook
+    * kernel; survivors rescore exactly from the full vectors. Own store
+    * (the PQ layout is part of the build fingerprint — sharing the SQ8
+    * store would thrash rebuilds). No oracle (data-dependent codebooks);
+    * AnnSpec measures recall vs brute force, asserts the pq-only
+    * ReadSchema on the approximate scan, and cross-checks the encode/
+    * score kernels against driver-side reconstruction. */
+  def knnJoinIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.stable(s, s"graft_ivfpq_${StoreDirs.pathKey(dir)}")
+    val emb = Tables.embeddings(s, dir)
+    IvfIndex.buildIfNeeded(emb, idCol = "vec_id", vecCol = "embedding",
+      path = store,
+      fingerprint = IvfIndex.inputFingerprint(s, s"$dir/embeddings.parquet"),
+      pq = Some((PqM, PqK)))
+    IvfIndex.knnJoinPq(s, store, emb.where(col("vec_id") < KnnProbes),
+      idCol = "vec_id", vecCol = "embedding", k = KnnK, rescoreK = 8 * KnnK)
+  }
+
   /** B9 approximate similarity search: multi-table hyperplane LSH with
     * exact rerank. No oracle (plan-time literal planes aren't expressible
     * in portable SQL); AnnSpec measures recall on clustered data. */
@@ -1232,6 +1261,7 @@ object LlmPack extends QueryPack {
     "q_knn_join_lsh" -> knnJoinLshQ,
     "q_knn_join_ivf" -> knnJoinIvf,
     "q_knn_join_ivf_sq" -> knnJoinIvfSq,
+    "q_knn_join_ivf_pq" -> knnJoinIvfPq,
     "q_sim_ann" -> simAnn,
     "q_sim_ivf" -> simIvf,
     "q_lang_id" -> langId,

@@ -294,6 +294,58 @@ object SimilaritySearch {
     centroids.map(_.toSeq).toSeq
   }
 
+  /** Product-quantization codebooks (Jégou '11): the vector dimension
+    * splits into `m` contiguous subspaces and each subspace gets its own
+    * `k`-means codebook, trained on the SAME deterministic lowest-id
+    * sample (and with the same Lloyd loop, empty-cell rule, and
+    * first-k-points init) as [[trainCentroids]] — one collect serves all
+    * `m` trainings. Returns m × k × (dim/m). */
+  private[graft] def trainPqCodebooks(emb: DataFrame, idCol: String,
+      vecCol: String, m: Int, k: Int, sampleN: Int,
+      iters: Int): Seq[Seq[Seq[Double]]] = {
+    val sample = emb
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty input")
+    require(sample.length >= k, s"sample ${sample.length} < codebook size $k")
+    val dim = sample.head.length
+    require(m >= 1 && dim % m == 0,
+      s"PQ subspaces m=$m must divide the vector dimension $dim")
+    val sub = dim / m
+    (0 until m).map { mi =>
+      val subSample = sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      var centroids = Array.tabulate(k)(i => subSample(i).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Int](k)
+        subSample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < k) {
+            var d = 0.0; var t = 0
+            while (t < sub) { val x = v(t) - centroids(j)(t); d += x * x; t += 1 }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          counts(best) += 1
+          var t = 0
+          while (t < sub) { sums(best)(t) += v(t); t += 1 }
+        }
+        centroids = Array.tabulate(k) { j =>
+          if (counts(j) == 0) centroids(j)
+          else { val c = new Array[Double](sub)
+            var t = 0
+            while (t < sub) { c(t) = sums(j)(t) / counts(j); t += 1 }
+            c }
+        }
+        it += 1
+      }
+      centroids.map(_.toSeq).toSeq
+    }
+  }
+
   /** Approximate top-k via IVF (inverted-file) cells + exact rerank — the
     * second ANN scale path next to `lshTopK`. Vectors are assigned to their
     * nearest coarse centroid (one native codegen'd distance loop per row);

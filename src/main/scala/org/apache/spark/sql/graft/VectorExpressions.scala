@@ -431,6 +431,189 @@ case class SqCosine(code: Expression, qmin: Expression, qscale: Expression,
     copy(code = first, qmin = second, qscale = third, probe = fourth)
 }
 
+/** Native codegen'd PRODUCT quantization of a dense vector (Jégou et al.
+  * '11, "Product Quantization for Nearest Neighbor Search"): the vector
+  * splits into M contiguous subspaces of dim/M components; each subvector
+  * is replaced by the index of its nearest codebook centroid (K ≤ 256 per
+  * subspace, trained offline), giving an M-BYTE code — for dim 64 doubles
+  * that is 512 B → 8 B, a 64× cut where SQ8's is 8×. The codebooks ride in
+  * the expression (plan-time constants, like [[NearestCentroids]]);
+  * distinct-subspace codebooks are the standard PQ layout. Argmin ties
+  * keep the LOWER centroid index (strict <), so codes are deterministic. */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  private val m = codebooks.length
+  require(m >= 1, "PQ needs at least one subspace")
+  private val kk = codebooks.head.length
+  require(kk >= 1 && kk <= 256, s"PQ codebook size $kk must be in 1..256 (one byte per code)")
+  require(codebooks.forall(_.length == kk), "ragged PQ codebooks (unequal K)")
+  private val sub = codebooks.head.head.length
+  require(codebooks.forall(_.forall(_.length == sub)),
+    "ragged PQ codebooks (unequal subspace dim)")
+
+  @transient private lazy val flat: Array[Double] =
+    codebooks.flatten.flatten.toArray // [(m*kk + k)*sub + t]
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Byte](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < kk) {
+        var d = 0.0
+        var t = 0
+        while (t < sub) {
+          val idx = mi * sub + t
+          val x = if (idx < n && !v.isNullAt(idx)) v.getDouble(idx) else 0.0
+          val diff = x - flat((mi * kk + c) * sub + t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(mi) = best.toByte
+      mi += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cb = ctx.addReferenceObj("pqCodebooks", flat, "double[]")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val mi = ctx.freshName("mi")
+      val c = ctx.freshName("c")
+      val t = ctx.freshName("t")
+      val idx = ctx.freshName("idx")
+      val x = ctx.freshName("x")
+      val d = ctx.freshName("d")
+      val df = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  int $best = 0;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $kk; $c++) {
+         |    double $d = 0.0;
+         |    for (int $t = 0; $t < $sub; $t++) {
+         |      int $idx = $mi * $sub + $t;
+         |      double $x = ($idx < $n && !$a.isNullAt($idx)) ? $a.getDouble($idx) : 0.0;
+         |      double $df = $x - $cb[($mi * $kk + $c) * $sub + $t];
+         |      $d += $df * $df;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $out[$mi] = (byte) $best;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Native codegen'd cosine between a PQ code ([[PqEncode]]) and a
+  * full-precision probe: one fused loop walks the M codebook entries the
+  * code names and accumulates dot and both norms against the probe — the
+  * asymmetric-distance evaluation of Jégou '11 §IV (probe exact, database
+  * side reconstructed), no intermediate reconstructed array. Zero-norm
+  * degenerate inputs yield 0.0 (not NaN), the [[SqCosine]] rule. */
+case class PqCosine(code: Expression, probe: Expression,
+                    codebooks: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  private val m = codebooks.length
+  private val kk = codebooks.head.length
+  private val sub = codebooks.head.head.length
+
+  @transient private lazy val flat: Array[Double] =
+    codebooks.flatten.flatten.toArray
+
+  override def left: Expression = code
+  override def right: Expression = probe
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType, ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_cosine"
+
+  override def nullSafeEval(c: Any, p: Any): Any = {
+    val code = c.asInstanceOf[Array[Byte]]
+    val pv = p.asInstanceOf[ArrayData]
+    val n = pv.numElements()
+    val mm = math.min(m, code.length)
+    var dot = 0.0; var nv = 0.0; var np = 0.0
+    var mi = 0
+    while (mi < mm) {
+      val cBase = (mi * kk + (code(mi) & 0xFF)) * sub
+      var t = 0
+      while (t < sub) {
+        val idx = mi * sub + t
+        val vi = flat(cBase + t)
+        val pi = if (idx < n && !pv.isNullAt(idx)) pv.getDouble(idx) else 0.0
+        dot += vi * pi; nv += vi * vi; np += pi * pi
+        t += 1
+      }
+      mi += 1
+    }
+    val den = math.sqrt(nv) * math.sqrt(np)
+    if (den == 0.0) 0.0 else dot / den
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, p) => {
+      val cb = ctx.addReferenceObj("pqCodebooks", flat, "double[]")
+      val n = ctx.freshName("n")
+      val mm = ctx.freshName("mm")
+      val mi = ctx.freshName("mi")
+      val t = ctx.freshName("t")
+      val idx = ctx.freshName("idx")
+      val cBase = ctx.freshName("cBase")
+      val vi = ctx.freshName("vi")
+      val pi = ctx.freshName("pi")
+      val dot = ctx.freshName("dot")
+      val nv = ctx.freshName("nv")
+      val np = ctx.freshName("np")
+      val den = ctx.freshName("den")
+      s"""
+         |int $n = $p.numElements();
+         |int $mm = java.lang.Math.min($m, $c.length);
+         |double $dot = 0.0; double $nv = 0.0; double $np = 0.0;
+         |for (int $mi = 0; $mi < $mm; $mi++) {
+         |  int $cBase = ($mi * $kk + ($c[$mi] & 0xFF)) * $sub;
+         |  for (int $t = 0; $t < $sub; $t++) {
+         |    int $idx = $mi * $sub + $t;
+         |    double $vi = $cb[$cBase + $t];
+         |    double $pi = ($idx < $n && !$p.isNullAt($idx)) ? $p.getDouble($idx) : 0.0;
+         |    $dot += $vi * $pi; $nv += $vi * $vi; $np += $pi * $pi;
+         |  }
+         |}
+         |double $den = java.lang.Math.sqrt($nv) * java.lang.Math.sqrt($np);
+         |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqCosine =
+    copy(code = newLeft, probe = newRight)
+}
+
 /** Column-level face of the native expressions (the only place that needs
   * the private[sql] bridge). */
 object VectorExprs {
@@ -454,4 +637,11 @@ object VectorExprs {
     ExpressionUtils.column(SqCosine(
       ExpressionUtils.expression(code), ExpressionUtils.expression(qmin),
       ExpressionUtils.expression(qscale), ExpressionUtils.expression(probe)))
+
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ExpressionUtils.column(PqEncode(ExpressionUtils.expression(vec), codebooks))
+
+  def pqCosine(code: Column, probe: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ExpressionUtils.column(PqCosine(
+      ExpressionUtils.expression(code), ExpressionUtils.expression(probe), codebooks))
 }

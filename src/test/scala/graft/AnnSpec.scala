@@ -272,6 +272,97 @@ class AnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("IVF PQ kNN join: approximate scan reads the M-byte codes only " +
+      "(v and SQ columns unread); kernels match driver-side reconstruction; " +
+      "recall vs the uncompressed join") {
+    import graft.operators.IvfIndex
+    val emb = clustered(10, 50).cache()
+    val path = java.nio.file.Files.createTempDirectory("ivf_pq").toString
+    IvfIndex.build(emb, "vec_id", "embedding", path, cells = 10,
+      sampleN = 200, pq = Some((8, 32)))
+    val probes = emb.where(col("vec_id") < 8L)
+
+    // kernel parity: PqCosine(encode(v), p) == cosine of the driver-side
+    // reconstruction (codebook lookup per subspace) with the same probe
+    val books = IvfIndex.loadPqCodebooks(spark, path)
+    assert(books.length == 8 && books.forall(_.length == 32))
+    val sub = books.head.head.length
+    val rows = spark.read.parquet(path)
+      .select(col("vec_id"), col("v"), col("pq")).orderBy("vec_id")
+      .limit(20).collect()
+    val probe = rows.head.getSeq[Double](1).toArray
+    val scored = spark.read.parquet(path)
+      .select(col("vec_id"), org.apache.spark.sql.graft.VectorExprs
+        .pqCosine(col("pq"), typedlit(probe.toSeq), books).as("sim"))
+      .orderBy("vec_id").limit(20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val code = r.getAs[Array[Byte]](2)
+      val rec = code.zipWithIndex.flatMap { case (c, mi) => books(mi)(c & 0xFF) }
+      val dot = rec.zip(probe).map { case (a, b) => a * b }.sum
+      val den = math.sqrt(rec.map(x => x * x).sum) * math.sqrt(probe.map(x => x * x).sum)
+      val want = if (den == 0.0) 0.0 else dot / den
+      assert(math.abs(scored(r.getLong(0)) - want) < 1e-12,
+        s"vec ${r.getLong(0)}: kernel ${scored(r.getLong(0))} vs reconstruction $want")
+      assert(rec.length == 8 * sub)
+    }
+
+    // the approximate phase's scan must read pq only — neither the full
+    // vector nor the SQ8 triplet (the 64x-vs-8x probe-I/O claim)
+    val pLeaf = IvfIndex.sqProbeFrame(spark, path, probes, "vec_id",
+      "embedding", nProbe = 3)
+    val approxPlan = IvfIndex.pqApprox(spark, path, pLeaf, excludeSelf = true)
+      .queryExecution.executedPlan.toString
+    val readSchemas = approxPlan.split("\n").filter(_.contains("ReadSchema"))
+    // note the delimiters: bare "q:binary" would match inside "pq:binary"
+    assert(readSchemas.exists(l => l.contains("pq:binary") &&
+        !l.contains("v:array") && !l.contains(",q:binary") &&
+        !l.contains("<q:binary")),
+      s"approximate PQ scan reads more than the codes:\n$approxPlan")
+    assert(approxPlan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the PQ code scan:\n$approxPlan")
+
+    // composite recall vs the uncompressed join — PQ is coarser than SQ8,
+    // rescoreK headroom carries it
+    val q = IvfIndex.knnJoinPq(spark, path, probes, "vec_id", "embedding",
+      k = 10, nProbe = 3, rescoreK = 80)
+    val got = q.collect().groupBy(_.getLong(0))
+      .map { case (p, rs) => p -> rs.map(_.getLong(2)).toSet }
+    assert(got.keySet == (0L until 8L).toSet)
+    assert(got.values.forall(_.size == 10))
+    val exact = IvfIndex.knnJoin(spark, path, probes, "vec_id", "embedding",
+      k = 10, nProbe = 3).collect().groupBy(_.getLong(0))
+      .map { case (p, rs) => p -> rs.map(_.getLong(2)).toSet }
+    val recall = got.map { case (p, rs) =>
+      exact(p).intersect(rs).size / 10.0
+    }.sum / 8.0
+    assert(recall >= 0.8, s"mean per-probe recall vs uncompressed $recall")
+    emb.unpersist()
+  }
+
+  test("IVF PQ append: new rows are re-encoded with the frozen codebooks " +
+      "and probe-visible through the PQ path") {
+    import graft.operators.IvfIndex
+    val emb = clustered(10, 50).cache()
+    val first = emb.where(col("vec_id") < 250L)
+    val rest = emb.where(col("vec_id") >= 250L)
+    val path = java.nio.file.Files.createTempDirectory("ivf_pq_append").toString
+    IvfIndex.build(first, "vec_id", "embedding", path, cells = 10,
+      sampleN = 200, pq = Some((8, 32)))
+    IvfIndex.append(rest, "vec_id", "embedding", path)
+    // appended rows carry codes (no nulls — nulls would silently vanish
+    // from approximate probes)
+    val nulls = spark.read.parquet(path).where(col("pq").isNull).count()
+    assert(nulls == 0L, s"$nulls appended rows missing PQ codes")
+    // an appended vector finds itself through the PQ probe path
+    val probe = rest.where(col("vec_id") === 300L)
+    val got = IvfIndex.knnJoinPq(spark, path, probe, "vec_id", "embedding",
+      k = 5, nProbe = 3, rescoreK = 40, excludeSelf = false)
+      .collect().map(_.getLong(2))
+    assert(got.contains(300L), s"appended vector not probe-visible: ${got.toSeq}")
+    emb.unpersist()
+  }
+
   test("IVF incremental append: new vectors land in frozen-quantizer cells, " +
       "immediately probe-visible, existing files untouched") {
     import graft.operators.IvfIndex
