@@ -365,6 +365,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("span strip (containment pre-pass): window-free, no cartesian; " +
+      "the multiplicity gate sits on an aggregate") {
+    val p = plan(graft.operators.NearDedup.stripRepeatedSpans(
+      Tables.documents(spark, sf0001), "doc_id", "text", "lang"))
+    assert(!p.contains("Window"),
+      s"a window over the span key would serialize hot spans:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("anomaly MAD gate, under ceiling: med/MAD summaries broadcast back — " +
       "events never shuffle for the joins") {
     val p = plan(graft.operators.StatsPack.anomalyMad(spark, sf0001))
