@@ -167,6 +167,32 @@ object TimeSeriesPack extends QueryPack {
         asOf = pinned))
   }
 
+  /** A7+ mutation-history report (`TsTable.history`) over the
+    * q_ts_snapshot lifecycle: create → two appends cut mid-day →
+    * compactAll → retention, one row per committed version with its
+    * action and live-file count. File counts are deterministic under
+    * filesPerDay = 1 (one file per day PER APPEND), so the whole report
+    * is oracle-checkable: the oracle derives each version's count from
+    * the events table — files = Σ over days of appends-touching-that-day,
+    * compaction collapses every multi-file day to one, retention keeps
+    * the at-or-after-cutoff days. Bytes are reported by the API but not
+    * emitted (compression-detail dependent — the q_ts_stats rule). The
+    * fixture's single mid-day cut makes exactly ONE day multi-file, so
+    * the lifecycle commits exactly 5 versions. */
+  def tsHistory(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tshist_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cut = lit("2024-01-02 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    t.append(ev.where(col("ts") >= cut))
+    t.compactAll(targetFiles = 1)
+    t.dropBefore("2024-01-03")
+    t.history.select(col("version"), col("action"), col("n_files"))
+      .orderBy(col("version"))
+  }
+
   // Query rectangle as FRACTIONS of each dimension's [min, max] span —
   // the fixture's user_id domain scales with SF, so absolute bounds
   // would select nothing at one scale and everything at another. Both
@@ -642,6 +668,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_compact" -> compactRoundtrip,
     "q_ts_retention" -> retentionRoundtrip,
     "q_ts_snapshot" -> snapshotRoundtrip,
+    "q_ts_history" -> tsHistory,
     "q_zorder_cluster" -> zorderRect,
     "q_ts_stats" -> tsStatsReport,
     "q_filter_project" -> filterProject,
@@ -708,6 +735,31 @@ object TimeSeriesPack extends QueryPack {
          |WHERE date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-03 00:00:00'
          |  AND date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
          |ORDER BY event_id""".stripMargin,
+    // Each version's file count derived from the data: per day, the number
+    // of appends that touched it (the cut splits day 01-02); compactAll(1)
+    // collapses each multi-file day to one; retention keeps days >= cutoff.
+    "q_ts_history" ->
+      """WITH f AS (SELECT date_trunc('day', ts) AS d,
+        |    count(DISTINCT CASE WHEN date_trunc('microseconds', ts)
+        |      < TIMESTAMP '2024-01-02 12:00:00' THEN 0 ELSE 1 END) AS nf
+        |  FROM events
+        |  WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(nf) AS BIGINT) AS s,
+        |    CAST(sum(CASE WHEN nf > 1 THEN nf - 1 ELSE 0 END) AS BIGINT) AS extra
+        |  FROM f),
+        |a1 AS (SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n
+        |  FROM events
+        |  WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-02 12:00:00'),
+        |keep AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f
+        |  WHERE d >= TIMESTAMP '2024-01-03 00:00:00')
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, 'create' AS action, CAST(0 AS BIGINT) AS n_files
+        |  UNION ALL SELECT 2, 'append', (SELECT n FROM a1)
+        |  UNION ALL SELECT 3, 'append', (SELECT s FROM t)
+        |  UNION ALL SELECT 4, 'compact', (SELECT s - extra FROM t)
+        |  UNION ALL SELECT 5, 'retention', (SELECT n FROM keep))
+        |ORDER BY version""".stripMargin,
     // The pinned version predates compact+retention, so the time-traveled
     // read returns the FULL pre-mutation build slice (everything below the
     // build bound; the closed upper read bound admits nothing beyond it).

@@ -488,9 +488,37 @@ final class TsTable private (
     * restriction: a reader holding `openAt(v)` survives any number of
     * subsequent compactions and retention drops, because mutation verbs
     * ARCHIVE replaced files instead of deleting them (until
-    * `expireSnapshots` reclaims them). */
+    * `expireSnapshots` reclaims them) and the handle re-resolves file
+    * locations on every frame construction. A DataFrame already built
+    * from the handle captures one resolution — a maintenance pass moving
+    * its files mid-read surfaces as a read error whose recovery is to
+    * rebuild the frame (the bytes still exist). */
   def openAt(version: Long): TsSnapshot =
     TsTable.openAt(spark, path, version)
+
+  /** SQL face of time travel: register a PINNED version under `name`
+    * (keeps `p_date`, like `registerView`). The view captures the file
+    * resolution AT REGISTRATION — a later compact/retention moves files
+    * under it, so re-register (same one-liner) after running maintenance;
+    * until `expireSnapshots` the version's bytes always exist to
+    * re-resolve against. */
+  def registerViewAt(name: String, version: Long): Unit =
+    openAt(version).raw.createOrReplaceTempView(name)
+
+  /** Mutation history as a DataFrame — one row per committed version:
+    * (version, action, n_files, n_bytes), straight from the manifests
+    * (O(#versions) sidecar reads, no data access). The table-format
+    * observability face next to `partitionStats`: which verb produced
+    * each state, and how the file count/byte footprint moved — the
+    * report that justifies a `compact` (file count creeping up per
+    * append) or an `expireSnapshots` (archive growth). */
+  def history: DataFrame = {
+    import spark.implicits._
+    TsTable.listVersions(spark, path).sorted.map { v =>
+      val m = TsTable.readManifest(spark, path, v)
+      (v, m.action, m.files.length.toLong, m.files.map(_._2).sum)
+    }.toDF("version", "action", "n_files", "n_bytes")
+  }
 
   /** Closed-interval range read against a pinned version — `readRange`
     * with time travel. */
@@ -587,8 +615,17 @@ final class TsSnapshot private[ts] (
   def action: String = manifest.action
   def schema: StructType = manifest.schema
 
-  /** (live files, archived files) as fully-qualified path strings. */
-  private lazy val resolved: (Seq[String], Seq[String]) = {
+  /** (live files, archived files) as fully-qualified path strings.
+    * A `def`, not a cached val: every DataFrame construction re-resolves
+    * against the CURRENT live/archive split, so a snapshot handle held
+    * across a maintenance pass keeps working — you rebuild the frame, it
+    * finds the files wherever they now are. (An already-built frame — or
+    * a view registered from one — captures one resolution; a maintenance
+    * pass that moves its files mid-read surfaces as FAILED_READ_FILE, and
+    * the recovery is to rebuild/re-register: the bytes still exist until
+    * `expireSnapshots`, which is the improvement over the pre-snapshot
+    * layout where they were simply gone.) */
+  private def resolved: (Seq[String], Seq[String]) = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def sizesIn(dir: Path): Map[String, Long] =

@@ -112,6 +112,34 @@ class SnapshotSpec extends SparkSpec {
       ids(TsTable.open(spark, store).toDF))
   }
 
+  test("registerViewAt serves the pinned version through SQL after maintenance; " +
+      "history reports one row per version with matching actions") {
+    val (t, _, _) = build("sqlview")
+    val pinned = t.currentVersion.get
+    val before = ids(t.toDF)
+    t.compactAll(targetFiles = 1)
+    t.dropBefore("2024-01-03")
+    // registration AFTER maintenance re-resolves into the archive: SQL
+    // over the pinned view serves the pre-mutation rows (p_date rides
+    // along, the registerView contract). A view registered BEFORE a
+    // maintenance pass captures the old file locations and must be
+    // re-registered — the documented contract.
+    t.registerViewAt("snap_v", pinned)
+    val viaSql = spark.sql(
+      "SELECT event_id FROM snap_v WHERE p_date >= DATE '2024-01-01'")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaSql == before, "SQL view must serve the pinned version")
+    // history mirrors snapshotVersions and carries sane footprints
+    val h = t.history.collect()
+    assert(h.map(r => (r.getLong(0), r.getString(1))).toSeq == t.snapshotVersions)
+    val byV = h.map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(byV(1L) == ((0L, 0L)), "create commits an empty state")
+    assert(byV(3L)._1 > byV(2L)._1, "second append grows the file count")
+    assert(byV(4L)._1 < byV(3L)._1, "compaction shrinks the file count")
+    assert(byV(5L)._1 < byV(4L)._1, "retention shrinks the file count")
+    assert(h.forall(r => r.getLong(2) == 0 || r.getLong(3) > 0))
+  }
+
   test("a foreign in-place rewrite of a manifested file is detected, not served") {
     val (t, store, fs) = build("guard")
     val pinned = t.currentVersion.get
