@@ -282,6 +282,28 @@ object LlmPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** [[qualityDeciles]] with APPROXIMATE boundary quantiles — the 100 TB
+    * arm of the curriculum bucketing: the nine boundaries come from one
+    * `percentile_approx` aggregate (Greenwald–Khanna mergeable sketch,
+    * bounded state — the q_percentiles_approx discipline) instead of the
+    * exact aggregate that buffers the whole score multiset in one buffer.
+    * Same broadcast-boundaries/strict-less assignment; only docs whose
+    * score falls within the ≤0.01% rank error of a boundary can land one
+    * decile off. No DuckDB oracle (sketch internals differ across
+    * engines); ApproxSpec bounds the assignment disagreement vs the exact
+    * key. */
+  def qualityDecilesApprox(s: SparkSession, dir: String): DataFrame = {
+    val scored = scoredDocs(s, dir).select(col("doc_id"), col("score"))
+    val bounds = scored.agg(percentile_approx(col("score"),
+      lit((1 to 9).map(_ / 10.0).toArray),
+      lit(StatsPack.ApproxPctAccuracy)).as("bounds"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("score"),
+        (size(filter(col("bounds"), b => col("score") > b)) + 1)
+          .cast("long").as("decile"))
+      .orderBy(col("doc_id"))
+  }
+
   /** B9 repetition quality filter (the Gopher/C4-style repeated-n-gram
     * rule): fraction of a doc's word 3-grams that are duplicates —
     * high-repetition docs are boilerplate/spam candidates. Per-row only
@@ -1233,6 +1255,7 @@ object LlmPack extends QueryPack {
     "q_graph_pagerank_iter" -> graphPagerankIter,
     "q_graph_triangles" -> graphTriangles,
     "q_quality_deciles" -> qualityDeciles,
+    "q_quality_deciles_approx" -> qualityDecilesApprox,
     "q_embed_norms" -> embedNorms,
     "q_embed_kmeans_iter" -> embedKmeansIter,
     "q_dedup_exact" -> dedupExact,

@@ -63,6 +63,26 @@ class ApproxSpec extends SparkSpec {
     assert(approx.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("quality deciles approx: assignment agrees with the exact key except " +
+      "at boundary rank error; both partitions are complete") {
+    val exact = graft.operators.LlmPack.qualityDeciles(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val approx = graft.operators.LlmPack.qualityDecilesApprox(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(approx.keySet == exact.keySet)
+    // GK rank error <= n/accuracy: only docs within that rank band of a
+    // boundary can flip, and never by more than one decile
+    val diffs = exact.map { case (id, d) => math.abs(approx(id) - d) }
+    assert(diffs.forall(_ <= 1), "approx boundaries may shift a doc at most one decile")
+    val flipped = diffs.count(_ == 1)
+    assert(flipped <= math.max(1, exact.size / 100),
+      s"$flipped/${exact.size} docs flipped deciles — beyond boundary rank error")
+    // deterministic across executions
+    val again = graft.operators.LlmPack.qualityDecilesApprox(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == approx)
+  }
+
   test("count-min heavy hitters: never undercounts, overcount <= eps*N, deterministic") {
     val out = graft.operators.LlmPack.tokenCms(spark, sf001).collect()
     assert(out.length == 20)
