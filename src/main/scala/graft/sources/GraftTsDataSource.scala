@@ -78,20 +78,36 @@ final class GraftTsDataSource extends TableProvider with DataSourceRegister {
     TsTable.open(SparkSession.active, pathOf(options),
       Option(options.get("tsCol")).getOrElse("ts"))
 
+  /** `option("asOf", <version>)` pins the read to a committed snapshot
+    * version (time travel through the connector). */
+  private def asOfOf(options: JMap[String, String]): Option[Long] =
+    Option(options.get("asOf")).map { raw =>
+      try raw.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"asOf must be a snapshot version number, got '$raw'")
+      }
+    }
+
+  private def openSnapshot(options: JMap[String, String]): Option[graft.ts.TsSnapshot] =
+    asOfOf(options).map(v =>
+      TsTable.openAt(SparkSession.active, pathOf(options), v))
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    open(options).schema
+    openSnapshot(options).map(_.schema).getOrElse(open(options).schema)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val t = open(properties)
-    new GraftTsV2Table(SparkSession.active, t)
+    new GraftTsV2Table(SparkSession.active, t, openSnapshot(properties))
   }
 }
 
 /** One graft-ts store as a V2 Table: reads via the parquet V2 scan with
   * connector-derived partition pruning, writes via the ordered-append
   * enforcing [[GraftTsWriteBuilder]]. */
-final class GraftTsV2Table(spark: SparkSession, ts: TsTable)
+final class GraftTsV2Table(spark: SparkSession, ts: TsTable,
+                           snapshot: Option[graft.ts.TsSnapshot] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   // The connector's timestamp encoding is INT64 micros (see
@@ -101,11 +117,15 @@ final class GraftTsV2Table(spark: SparkSession, ts: TsTable)
   // whatever encoding each file actually has.
   spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
-  override def name(): String = s"graft-ts `${ts.path}`"
+  override def name(): String = snapshot
+    .map(s => s"graft-ts `${ts.path}` @v${s.version}")
+    .getOrElse(s"graft-ts `${ts.path}`")
 
   /** Data columns only — `p_date` is connector-internal (see companion
-    * scaladoc). */
-  override def schema(): StructType = ts.schema
+    * scaladoc). A pinned table serves ITS version's schema (manifests
+    * record the schema as of each commit, so time travel crosses schema
+    * evolution correctly). */
+  override def schema(): StructType = snapshot.map(_.schema).getOrElse(ts.schema)
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -117,17 +137,28 @@ final class GraftTsV2Table(spark: SparkSession, ts: TsTable)
     * listing; writes invalidate the shared FileStatusCache via
     * `refreshByPath` at commit. */
   private[sources] lazy val fileIndex: PartitioningAwareFileIndex =
-    new InMemoryFileIndex(spark, Seq(new Path(ts.path)), Map.empty[String, String],
-      Some(StructType(ts.schema.fields :+
-        StructField(TsTable.PartCol, DateType, nullable = true))),
-      FileStatusCache.getOrCreate(spark), None, None)
+    snapshot match {
+      case Some(snap) =>
+        new GraftTsSnapshotFileIndex(spark, new Path(ts.path), snap)
+      case None =>
+        new InMemoryFileIndex(spark, Seq(new Path(ts.path)), Map.empty[String, String],
+          Some(StructType(ts.schema.fields :+
+            StructField(TsTable.PartCol, DateType, nullable = true))),
+          FileStatusCache.getOrCreate(spark), None, None)
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftTsScanBuilder(spark, fileIndex, ts.schema, ts.schema, options,
+    new GraftTsScanBuilder(spark, fileIndex, schema(), schema(), options,
       ts.tsCol)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // a pinned version is an immutable historical state — writes target
+    // the LIVE table only (drop the asOf option to append)
+    if (snapshot.isDefined)
+      throw new UnsupportedOperationException(
+        s"${name()} is a pinned snapshot (asOf) — time-traveled tables are read-only")
     new GraftTsWriteBuilder(spark, ts, info)
+  }
 }
 
 /** The stock V2 parquet ScanBuilder plus one graft-ts twist: pushed-down

@@ -1,0 +1,71 @@
+package graft.sources
+
+import graft.ts.{TsSnapshot, TsTable}
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.execution.datasources.{PartitionPath, PartitionSpec, PartitioningAwareFileIndex}
+import org.apache.spark.sql.types.{DateType, StructField, StructType}
+
+import scala.collection.mutable
+
+/** File index over one committed TsTable SNAPSHOT — the V2 connector's
+  * time-travel backend (`option("asOf", version)`). Where the live table's
+  * `InMemoryFileIndex` trusts the directory listing, this index serves
+  * EXACTLY the manifest's file set, wherever each file now lives (still in
+  * the live tree, or moved to `_ts_archive/` by a later compact/retention)
+  * — which is why a pinned V2 read keeps working under concurrent
+  * maintenance. Partition VALUES come from the manifest's relative paths,
+  * not directory inference, so a date's files may legitimately span two
+  * physical directories (live + archive): each becomes its own
+  * `PartitionPath` carrying the same date value, and partition pruning on
+  * `p_date` works unchanged. File sizes are the manifest's recorded sizes
+  * (already integrity-checked during resolution); no extra listing RPCs
+  * beyond the one-per-referenced-directory resolution pass. */
+final class GraftTsSnapshotFileIndex(
+    spark: SparkSession,
+    tablePath: Path,
+    snapshot: TsSnapshot)
+  extends PartitioningAwareFileIndex(spark, Map.empty, None) {
+
+  private val partSchema =
+    StructType(Seq(StructField(TsTable.PartCol, DateType, nullable = true)))
+
+  // resolution happens ONCE per index instance (a fresh Table — every
+  // load() — gets a fresh index, the live-path rule)
+  private val resolvedNow: Seq[(String, Path, Long)] =
+    snapshot.resolvedFiles.map { case (date, p, len, _) => (date, p, len) }
+
+  private val statuses: Seq[(String, FileStatus)] = resolvedNow.map {
+    case (date, p, len) =>
+      // mtime/blocksize synthesized: scans consume path + length; the
+      // manifest is the source of truth for membership and size
+      date -> new FileStatus(len, false, 1, 0L, 0L, p)
+  }
+
+  private val byDir: Seq[((String, Path), Array[FileStatus])] = statuses
+    .groupBy { case (date, st) => (date, st.getPath.getParent) }
+    .view.mapValues(_.map(_._2).toArray).toSeq
+
+  private val spec: PartitionSpec = PartitionSpec(
+    partSchema,
+    byDir.map { case ((date, dir), _) =>
+      PartitionPath(
+        InternalRow(DateTimeUtils.fromJavaDate(java.sql.Date.valueOf(date))),
+        dir)
+    })
+
+  override def partitionSpec(): PartitionSpec = spec
+
+  override protected def leafFiles: mutable.LinkedHashMap[Path, FileStatus] =
+    mutable.LinkedHashMap(statuses.map(s => s._2.getPath -> s._2): _*)
+
+  override protected def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    byDir.map { case ((_, dir), fs0) => dir -> fs0 }.toMap
+
+  override def rootPaths: Seq[Path] = Seq(tablePath)
+
+  override def refresh(): Unit = () // immutable by construction
+}

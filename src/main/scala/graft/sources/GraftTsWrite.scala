@@ -135,6 +135,11 @@ final class GraftTsBatchWrite(
     }
     // Shared FileStatusCache entries for this path are now stale.
     spark.catalog.refreshByPath(path)
+    // The connector write is a table mutation like any facade verb: commit
+    // the resulting live layout as the next snapshot version, so V2
+    // appends are pinnable via asOf/openAt exactly like TsTable.append's.
+    graft.ts.TsTable.open(spark, path)
+      .commitVersion(if (truncateFirst) "overwrite" else "append")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -567,7 +567,7 @@ final class TsTable private (
     * never data, and the next mutation's commit captures the orphaned
     * files. Cost: one listing per day partition — the same O(#partitions)
     * metadata walk `partitionStats` does, never O(rows). */
-  private[ts] def commitVersion(action: String): Long = {
+  private[graft] def commitVersion(action: String): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = partitionDates.sorted.flatMap { d =>
@@ -626,6 +626,15 @@ final class TsSnapshot private[ts] (
     * `expireSnapshots`, which is the improvement over the pre-snapshot
     * layout where they were simply gone.) */
   private def resolved: (Seq[String], Seq[String]) = {
+    val (live, arch) = resolvedFiles.partition(_._4)
+    (live.map(_._2.toString), arch.map(_._2.toString))
+  }
+
+  /** Per-file resolution: (ISO partition date, resolved path, recorded
+    * size, is-live). The connector's snapshot file index consumes this
+    * directly (partition values come from the manifest's relative paths,
+    * not a directory walk). */
+  private[graft] def resolvedFiles: Seq[(String, Path, Long, Boolean)] = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def sizesIn(dir: Path): Map[String, Long] =
@@ -633,17 +642,17 @@ final class TsSnapshot private[ts] (
       else fs.listStatus(dir).iterator.filter(_.isFile)
         .map(st => st.getPath.getName -> st.getLen).toMap
     val byDir = manifest.files.groupBy(f => f._1.split("/").init.mkString("/"))
-    val live = Seq.newBuilder[String]
-    val arch = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, Path, Long, Boolean)]
     byDir.foreach { case (relDir, files) =>
+      val date = relDir.split("/").last.stripPrefix(s"$PartCol=")
       val liveSizes = sizesIn(new Path(root, relDir))
       val archSizes = sizesIn(new Path(new Path(root, ArchiveDir), relDir))
       files.foreach { case (relPath, size) =>
         val name = relPath.split("/").last
         if (liveSizes.get(name).contains(size))
-          live += new Path(root, relPath).toString
+          out += ((date, new Path(root, relPath), size, true))
         else if (archSizes.get(name).contains(size))
-          arch += new Path(new Path(root, ArchiveDir), relPath).toString
+          out += ((date, new Path(new Path(root, ArchiveDir), relPath), size, false))
         else throw new IllegalStateException(
           s"snapshot v${manifest.version} of $tablePath: data file $relPath " +
             s"(${size}B) is missing or was rewritten in place (live: " +
@@ -651,7 +660,7 @@ final class TsSnapshot private[ts] (
             "expired by expireSnapshots, or a foreign writer bypassed the table")
       }
     }
-    (live.result(), arch.result())
+    out.result()
   }
 
   /** The pinned version as a DataFrame (data columns only). */

@@ -121,6 +121,46 @@ class GraftTsSourceSpec extends SparkSpec {
     assert(q.collect().map(_.getLong(1)).sorted.toSeq == Seq(3L, 4L, 5L))
   }
 
+  test("V2 time travel: asOf pins a version across compact+retention, " +
+      "prunes partitions, and refuses writes") {
+    val dir = freshDir()
+    val t = TsTable.create(spark, dir, schema)
+    append(mkRows((1 to 6).map(d =>
+      (f"2024-03-0$d%d 10:00:00", d.toLong, d.toDouble))), dir)
+    // the V2 write itself committed a snapshot version — pin it
+    val pinned = t.currentVersion.get
+    assert(t.snapshotVersions.last._2 == "append")
+    // a LATER facade append must be invisible to the pin
+    t.append(mkRows(Seq(("2024-03-07 10:00:00", 7L, 7.0))))
+    t.compactAll(targetFiles = 1)
+    t.dropBefore("2024-03-04")
+    // live read serves only the retained days...
+    assert(v2(dir).collect().map(_.getLong(1)).sorted.toSeq ==
+      Seq(4L, 5L, 6L, 7L))
+    // ...the pinned read serves the pre-retention V2-append state out of
+    // the archive, through the stock V2 parquet scan — without day 7
+    val pinnedDf = spark.read.format("graft-ts")
+      .option("asOf", pinned.toString).load(dir)
+    assert(pinnedDf.collect().map(_.getLong(1)).sorted.toSeq ==
+      (1L to 6L).toSeq)
+    // partition pruning still fires on the snapshot file index
+    val q = pinnedDf.where(col("ts").between(
+      lit("2024-03-02 00:00:00").cast("timestamp"),
+      lit("2024-03-03 23:00:00").cast("timestamp")))
+    val scan = parquetScan(q.queryExecution.executedPlan)
+    assert(scan.partitionFilters.nonEmpty)
+    val scanned = scan.fileIndex.listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(scanned.map(_.values.toString).toSet.size == 2,
+      s"expected 2 pruned partitions, scanned ${scanned.map(_.values.toString)}")
+    assert(q.collect().map(_.getLong(1)).sorted.toSeq == Seq(2L, 3L))
+    // a pinned table is read-only
+    val e = intercept[UnsupportedOperationException](
+      mkRows(Seq(("2024-03-08 10:00:00", 8L, 8.0)))
+        .write.format("graft-ts").option("asOf", pinned.toString)
+        .mode("append").save(dir))
+    assert(e.getMessage.contains("read-only"))
+  }
+
   test("V2 read prunes columns (projection reaches the scan)") {
     val dir = freshDir()
     TsTable.create(spark, dir, schema)
