@@ -425,12 +425,20 @@ object IvfIndex {
     val books = loadPqCodebooks(spark, path)
     val codes = spark.read.parquet(path)
       .select(col("cell"), col("vec_id"), col("pq"))
-    val cand = codes.join(broadcast(pLeaf), "cell")
+    // ADC (Jégou '11 §V): the probe side precomputes its M×K dot table
+    // once per (probe, leaf) row, so per-candidate scoring is 2M table
+    // lookups instead of an O(dim) reconstruction loop. Profitable once a
+    // probe's candidate count exceeds ~K — the always-true regime at
+    // corpus scale (each probed cell holds ≫K vectors); the broadcast
+    // grows by M·K·8 B per probe row, the standard ADC space trade.
+    val pl = pLeaf.withColumn("ptab",
+      org.apache.spark.sql.graft.VectorExprs.pqDotTable(col("p"), books))
+    val cand = codes.join(broadcast(pl), "cell")
     val candFiltered =
       if (excludeSelf) cand.where(col("vec_id") =!= col("probe_id")) else cand
     candFiltered.select(col("probe_id"), col("vec_id"),
       org.apache.spark.sql.graft.VectorExprs
-        .pqCosine(col("pq"), col("p"), books).as("sim"))
+        .pqCosineTabled(col("pq"), col("ptab"), col("np"), books).as("sim"))
   }
 
   /** [[knnJoinSq]] with PRODUCT quantization — the RAM/I-O scale path past

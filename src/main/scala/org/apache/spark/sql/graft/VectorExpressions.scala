@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -614,6 +614,159 @@ case class PqCosine(code: Expression, probe: Expression,
     copy(code = newLeft, probe = newRight)
 }
 
+/** Native codegen'd ADC dot-product table (Jégou '11 §V, asymmetric
+  * distance computation): for one probe, the M×K partial inner products
+  * ip(p_m, c_{m,k}), flattened as `tab[m*K + k]`. Built ONCE per probe row
+  * (M·K·sub multiplies) and carried as a column into the candidate join,
+  * it turns per-candidate scoring from O(dim) reconstruction into O(M)
+  * table lookups — the standard PQ trick, profitable once candidates per
+  * probe exceed ~K (always true at corpus scale; at spec scale it roughly
+  * breaks even, which [[PqCosineTabled]]'s scaladoc spells out). */
+case class PqDotTable(probe: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  private val m = codebooks.length
+  private val kk = codebooks.head.length
+  private val sub = codebooks.head.head.length
+
+  @transient private lazy val flat: Array[Double] =
+    codebooks.flatten.flatten.toArray
+
+  override def child: Expression = probe
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_dot_table"
+
+  override def nullSafeEval(p: Any): Any = {
+    val pv = p.asInstanceOf[ArrayData]
+    val n = pv.numElements()
+    val tab = new Array[Double](m * kk)
+    var mi = 0
+    while (mi < m) {
+      var c = 0
+      while (c < kk) {
+        var d = 0.0
+        var t = 0
+        while (t < sub) {
+          val idx = mi * sub + t
+          val pi = if (idx < n && !pv.isNullAt(idx)) pv.getDouble(idx) else 0.0
+          d += flat((mi * kk + c) * sub + t) * pi
+          t += 1
+        }
+        tab(mi * kk + c) = d
+        c += 1
+      }
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(tab)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, p => {
+      val cb = ctx.addReferenceObj("pqCodebooks", flat, "double[]")
+      val n = ctx.freshName("n")
+      val tab = ctx.freshName("tab")
+      val mi = ctx.freshName("mi")
+      val c = ctx.freshName("c")
+      val t = ctx.freshName("t")
+      val idx = ctx.freshName("idx")
+      val pi = ctx.freshName("pi")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $p.numElements();
+         |double[] $tab = new double[${m * kk}];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  for (int $c = 0; $c < $kk; $c++) {
+         |    double $d = 0.0;
+         |    for (int $t = 0; $t < $sub; $t++) {
+         |      int $idx = $mi * $sub + $t;
+         |      double $pi = ($idx < $n && !$p.isNullAt($idx)) ? $p.getDouble($idx) : 0.0;
+         |      $d += $cb[($mi * $kk + $c) * $sub + $t] * $pi;
+         |    }
+         |    $tab[$mi * $kk + $c] = $d;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($tab);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqDotTable =
+    copy(probe = newChild)
+}
+
+/** Table-driven PQ cosine: M lookups into the probe's [[PqDotTable]] for
+  * the dot product, M lookups into the STATIC per-centroid squared-norm
+  * table (a plan-time constant of the codebooks) for ‖x̂‖, probe norm
+  * passed in from the probe frame. Numerically this reorders the
+  * [[PqCosine]] summation by subspace — ulp-level differences only, both
+  * deterministic; the exact rescore phase absorbs either ranking. */
+case class PqCosineTabled(code: Expression, ptab: Expression,
+                          pnorm: Expression,
+                          codebooks: Seq[Seq[Seq[Double]]])
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  private val m = codebooks.length
+  private val kk = codebooks.head.length
+
+  /** ‖c_{m,k}‖² flattened as [m*K + k] — probe-independent. */
+  @transient private lazy val normSq: Array[Double] =
+    codebooks.flatMap(_.map(c => c.map(x => x * x).sum)).toArray
+
+  override def first: Expression = code
+  override def second: Expression = ptab
+  override def third: Expression = pnorm
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType, ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_cosine_tabled"
+
+  override def nullSafeEval(c: Any, tb: Any, pn: Any): Any = {
+    val code = c.asInstanceOf[Array[Byte]]
+    val tab = tb.asInstanceOf[ArrayData]
+    val np = pn.asInstanceOf[Double]
+    val mm = math.min(m, code.length)
+    var dot = 0.0; var nv = 0.0
+    var mi = 0
+    while (mi < mm) {
+      val j = mi * kk + (code(mi) & 0xFF)
+      dot += tab.getDouble(j)
+      nv += normSq(j)
+      mi += 1
+    }
+    val den = math.sqrt(nv) * np
+    if (den == 0.0) 0.0 else dot / den
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, tb, pn) => {
+      val ns = ctx.addReferenceObj("pqNormSq", normSq, "double[]")
+      val mm = ctx.freshName("mm")
+      val mi = ctx.freshName("mi")
+      val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val nv = ctx.freshName("nv")
+      val den = ctx.freshName("den")
+      s"""
+         |int $mm = java.lang.Math.min($m, $c.length);
+         |double $dot = 0.0; double $nv = 0.0;
+         |for (int $mi = 0; $mi < $mm; $mi++) {
+         |  int $j = $mi * $kk + ($c[$mi] & 0xFF);
+         |  $dot += $tb.getDouble($j);
+         |  $nv += $ns[$j];
+         |}
+         |double $den = java.lang.Math.sqrt($nv) * $pn;
+         |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): PqCosineTabled =
+    copy(code = newFirst, ptab = newSecond, pnorm = newThird)
+}
+
 /** Column-level face of the native expressions (the only place that needs
   * the private[sql] bridge). */
 object VectorExprs {
@@ -644,4 +797,13 @@ object VectorExprs {
   def pqCosine(code: Column, probe: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     ExpressionUtils.column(PqCosine(
       ExpressionUtils.expression(code), ExpressionUtils.expression(probe), codebooks))
+
+  def pqDotTable(probe: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ExpressionUtils.column(PqDotTable(ExpressionUtils.expression(probe), codebooks))
+
+  def pqCosineTabled(code: Column, ptab: Column, pnorm: Column,
+                     codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ExpressionUtils.column(PqCosineTabled(
+      ExpressionUtils.expression(code), ExpressionUtils.expression(ptab),
+      ExpressionUtils.expression(pnorm), codebooks))
 }

@@ -340,6 +340,32 @@ class AnnSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("PQ ADC: tabled scoring equals direct reconstruction scoring") {
+    import graft.operators.IvfIndex
+    val emb = clustered(6, 40).cache()
+    val path = java.nio.file.Files.createTempDirectory("ivf_adc").toString
+    IvfIndex.build(emb, "vec_id", "embedding", path, cells = 6,
+      sampleN = 200, pq = Some((8, 16)))
+    val books = IvfIndex.loadPqCodebooks(spark, path)
+    val probe = emb.orderBy("vec_id").limit(1)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+    val pn = math.sqrt(probe.map(x => x * x).sum)
+    val V = org.apache.spark.sql.graft.VectorExprs
+    val both = spark.read.parquet(path)
+      .select(col("vec_id"),
+        V.pqCosine(col("pq"), typedlit(probe), books).as("direct"),
+        V.pqCosineTabled(col("pq"),
+          V.pqDotTable(typedlit(probe), books), lit(pn), books).as("tabled"))
+      .collect()
+    assert(both.nonEmpty)
+    // same math, per-subspace summation order — ulp-level agreement
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9,
+        s"vec ${r.getLong(0)}: direct=${r.getDouble(1)} tabled=${r.getDouble(2)}")
+    }
+    emb.unpersist()
+  }
+
   test("IVF PQ append: new rows are re-encoded with the frozen codebooks " +
       "and probe-visible through the PQ path") {
     import graft.operators.IvfIndex
