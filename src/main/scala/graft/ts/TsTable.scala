@@ -581,6 +581,19 @@ final class TsTable private (
     val next = currentVersion.getOrElse(0L) + 1
     TsTable.writeManifest(spark, path,
       TsManifest(next, action, tsCol, storedSchema, files))
+    // Bounded history (the Iceberg previous-versions-max rule): each
+    // manifest lists the full live file set, so a streaming appendSink
+    // committing one version per microbatch would otherwise grow metadata
+    // quadratically and pin every archived file forever. Auto-expire past
+    // the ceiling; spark.graft.ts.maxVersions=0 disables (unbounded).
+    val keepKey = "spark.graft.ts.maxVersions"
+    val keep = spark.conf.getOption(keepKey).map { raw =>
+      try raw.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"$keepKey must be a long, got '$raw'")
+      }
+    }.getOrElse(TsTable.DefaultMaxVersions)
+    if (keep > 0 && next > keep) expireSnapshots(keepLast = keep.toInt)
     next
   }
 
@@ -750,6 +763,10 @@ object TsTable {
   private[ts] val VersionsDir = "_ts_versions"
   private[ts] val ArchiveDir = "_ts_archive"
   private val ManifestRe = "v(\\d{8})\\.manifest".r
+  /** Default ceiling on retained snapshot versions (auto-expired at
+    * commit; Iceberg's previous-versions-max default). Override with
+    * spark.graft.ts.maxVersions; 0 = unbounded. */
+  private[ts] val DefaultMaxVersions = 100L
 
   private def withPartCol(s: StructType): StructType =
     StructType(s.fields :+ StructField(PartCol, DateType, nullable = true))

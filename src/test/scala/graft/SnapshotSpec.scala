@@ -140,6 +140,33 @@ class SnapshotSpec extends SparkSpec {
     assert(h.forall(r => r.getLong(2) == 0 || r.getLong(3) > 0))
   }
 
+  test("commit auto-expires history past spark.graft.ts.maxVersions " +
+      "(the streaming-sink metadata bound); 0 disables") {
+    val conf = spark.conf
+    conf.set("spark.graft.ts.maxVersions", "3")
+    try {
+      val (t, store, fs) = build("autoexp") // create + 2 appends = 3 versions
+      t.compactAll(targetFiles = 1)         // v4 → expiry keeps {2,3,4}
+      val vs = t.snapshotVersions.map(_._1)
+      assert(vs == Seq(2L, 3L, 4L), s"retained $vs")
+      // the compacted-away file is unreferenced by {2? no — v2/v3 DO
+      // reference the pre-compact files}: archive must still serve them
+      assert(ids(t.openAt(2L).toDF).nonEmpty)
+      t.dropBefore("2024-01-03")            // v5 → keeps {3,4,5}
+      assert(t.snapshotVersions.map(_._1) == Seq(3L, 4L, 5L))
+      assert(t.currentVersion.contains(5L))
+      // disabling the bound stops expiry
+      conf.set("spark.graft.ts.maxVersions", "0")
+      t.compact("2024-01-03", targetFiles = 1) // may no-op; force an append instead
+      val hi = org.apache.spark.sql.functions.lit("2024-01-06 00:00:00").cast("timestamp")
+      val lo = org.apache.spark.sql.functions.lit("2024-01-05 00:00:00").cast("timestamp")
+      t.append(Tables.events(spark, sf0001)
+        .where(col("ts") >= lo && col("ts") < hi))
+      assert(t.snapshotVersions.map(_._1) == Seq(3L, 4L, 5L, 6L))
+      fs // unused handle
+    } finally conf.unset("spark.graft.ts.maxVersions")
+  }
+
   test("a foreign in-place rewrite of a manifested file is detected, not served") {
     val (t, store, fs) = build("guard")
     val pinned = t.currentVersion.get
