@@ -35,6 +35,13 @@ case class CusumState(sI: Long)
 
 /** [[TsStream.asOfBackwardStream]] output: the left point plus its matched
   * right (ts, value), or None when no right row at-or-before exists. */
+case class PointHampel(key: Long, ts: java.sql.Timestamp, value: Double,
+                       med: Double, mad: Double, is_outlier: Boolean)
+
+/** Trailing-window values for [[TsStream.hampelPerKey]] (≤ window−1
+  * doubles) plus the key's last event time for idle eviction. */
+case class HampelState(vals: Seq[Double], lastTsUs: Long)
+
 case class PointAsOf(key: Long, ts: java.sql.Timestamp, value: Double,
                      r_ts: Option[java.sql.Timestamp], r_value: Option[Double])
 
@@ -377,6 +384,61 @@ object TsStream extends Serializable {
             }
             if (pts.nonEmpty) {
               state.update(CusumState(s))
+              state.setTimeoutTimestamp(usOf(pts.last.ts) / 1000L + idleHorizonMs)
+            }
+            out.iterator
+          })
+  }
+
+  /** Streaming Hampel filter — the live robust-outlier gate and the
+    * O(window)-state twin of the batch `StatsPack.windowMedian` /
+    * `anomalyMad` pair: per key, the trailing-`window` exact median, the
+    * window MAD, and the |x − med| > nSigmas·1.4826·MAD flag — the
+    * data-cleaning filter that (unlike an EWMA z-score) is not dragged by
+    * the very outliers it gates, applied point-by-point as data arrives
+    * (sensor despiking, live feed sanitation).
+    *
+    * Exactness: the window median uses the SAME two-middle-values
+    * interpolation as the batch `windowMedian` (and the same 6dp rounding
+    * on emitted med/mad), so on an ordered replay the stream's `med`
+    * equals the batch key's `med5` EXACTLY at window=5 (TsStreamSpec);
+    * the outlier comparison runs on unrounded doubles, the anomalyMad
+    * rule. State per key: the last window−1 values + one timestamp —
+    * O(window), not O(stream). Ordering/eviction contract mirrors
+    * [[deltasPerKey]]: event-time order within a microbatch, arrival
+    * order across batches, idle keys evicted past the watermark horizon. */
+  def hampelPerKey(points: Dataset[KeyedPoint], window: Int = 5,
+                   nSigmas: Double = 3.0, watermark: String = "1 hour",
+                   idleHorizonMs: Long = 3600000L): Dataset[PointHampel] = {
+    require(window >= 1, "window must be >= 1")
+    import points.sparkSession.implicits._
+    val kScale = nSigmas * 1.4826
+    def med(sorted: Array[Double]): Double = {
+      val n = sorted.length
+      if (n % 2 == 1) sorted(n / 2)
+      else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    points.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, it: Iterator[KeyedPoint], state: GroupState[HampelState]) =>
+          if (state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else {
+            val pts = it.toArray.sortBy(p => usOf(p.ts))
+            var vals = state.getOption.map(_.vals).getOrElse(Seq.empty)
+            val out = pts.map { p =>
+              val win = (vals :+ p.value).takeRight(window)
+              val m = med(win.toArray.sorted)
+              val md = med(win.map(v => math.abs(v - m)).toArray.sorted)
+              vals = (vals :+ p.value).takeRight(math.max(window - 1, 0))
+              PointHampel(key, p.ts, p.value, r6(m), r6(md),
+                math.abs(p.value - m) > kScale * md)
+            }
+            if (pts.nonEmpty) {
+              state.update(HampelState(vals, usOf(pts.last.ts)))
               state.setTimeoutTimestamp(usOf(pts.last.ts) / 1000L + idleHorizonMs)
             }
             out.iterator

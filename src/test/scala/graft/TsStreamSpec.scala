@@ -930,6 +930,73 @@ class TsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Hampel: med == batch windowMedian exactly on ordered " +
+      "chunked replay; mad/flag match a driver-side trailing-window fold") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.{KeyedPoint, PointHampel}
+    def us(ts: Timestamp): Long = (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    val raw = Tables.events(spark, sf0001)
+      .select($"user_id".as("key"), $"ts", $"value", $"event_id")
+      .collect().sortBy(r => (r.getTimestamp(1).getTime, r.getLong(3)))
+    val rows = raw.map(r => KeyedPoint(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val ms = MemoryStream[KeyedPoint]
+    val q = TsStream.hampelPerKey(ms.toDS(), window = 5,
+        watermark = "1 hour", idleHorizonMs = 10L * 365 * 24 * 3600 * 1000)
+      .writeStream.format("memory").queryName("stream_hampel")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length / 5).max(1)).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val got = spark.table("stream_hampel").as[PointHampel].collect()
+        .map(p => (p.key, us(p.ts), p.value) -> p).toMap
+      assert(got.size == rows.length, "one emission per point")
+      // med parity vs the BATCH windowMedian key (same trailing-5 frame,
+      // same interpolation, same 6dp rounding)
+      val batchMed = graft.operators.StatsPack.windowMedian(spark, sf0001)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val eventKey = raw.map(r =>
+        r.getLong(3) -> ((r.getLong(0), us(r.getTimestamp(1)), r.getDouble(2))))
+      eventKey.foreach { case (eid, k) =>
+        assert(got(k).med == batchMed(eid),
+          s"event $eid: stream med ${got(k).med} vs batch ${batchMed(eid)}")
+      }
+      // mad + flag vs a driver-side fold over the same ordered stream
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def medOf(s: Seq[Double]) = {
+        val a = s.sorted; val n = a.length
+        if (n % 2 == 1) a(n / 2) else (a(n / 2 - 1) + a(n / 2)) / 2.0
+      }
+      var outliers = 0
+      rows.groupBy(_.key).foreach { case (_, ps) =>
+        var win = Seq.empty[Double]
+        ps.foreach { p =>
+          win = (win :+ p.value).takeRight(5)
+          val m = medOf(win)
+          val md = medOf(win.map(v => math.abs(v - m)))
+          val g = got((p.key, us(p.ts), p.value))
+          assert(g.mad == r6(md) && g.med == r6(m))
+          assert(g.is_outlier == (math.abs(p.value - m) > 3.0 * 1.4826 * md))
+          if (g.is_outlier) outliers += 1
+        }
+      }
+      assert(outliers > 0, "the gate should flag something on real data")
+      // chunk-boundary invariance: one-shot replay emits identically
+      val ms2 = MemoryStream[KeyedPoint]
+      val q2 = TsStream.hampelPerKey(ms2.toDS(), window = 5,
+          watermark = "1 hour", idleHorizonMs = 10L * 365 * 24 * 3600 * 1000)
+        .writeStream.format("memory").queryName("stream_hampel_os")
+        .outputMode("append").start()
+      try {
+        ms2.addData(rows.toSeq); q2.processAllAvailable()
+        val os = spark.table("stream_hampel_os").as[PointHampel].collect()
+          .map(p => (p.key, us(p.ts), p.value) -> ((p.med, p.mad, p.is_outlier))).toMap
+        assert(os == got.view.mapValues(p => (p.med, p.mad, p.is_outlier)).toMap)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("streaming CUSUM == batch windowCusum exactly on ordered chunked replay") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
