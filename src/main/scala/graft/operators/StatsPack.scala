@@ -391,6 +391,40 @@ object StatsPack extends QueryPack {
     * 3σ gate. Same double literal product on both engines. */
   private val MadK = 3.0 * 1.4826
 
+  /** B5+ trailing-window Hampel filter — the per-POINT robust outlier
+    * gate completing the family (q_window_median gives the trailing
+    * median, q_anomaly_mad the per-user lifetime gate; this is the
+    * rolling form both of those approximate, and the registered batch
+    * twin of the streaming `TsStream.hampelPerKey`): per event, the
+    * trailing-5 median, the window MAD, and |x − med| > 3·1.4826·MAD.
+    * One (ts, event_id)-ordered window per user (ONE exchange); med and
+    * mad interpolate the same sorted-frame arrays (the windowMedian
+    * machinery — the deviations array derives from the SAME collected
+    * frame, no second window). Median interpolation is identical IEEE
+    * arithmetic on both engines (the q_window_median parity), so the
+    * UNROUNDED gate comparison is deterministic; 6dp rounding on emitted
+    * med/mad is cosmetic. */
+  def windowHampel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+    def interp(sv: Column, k: Column): Column =
+      when(k % 2 === 1, element_at(sv, ((k + 1) / 2).cast("int")))
+        .otherwise((element_at(sv, (k / 2).cast("int")) +
+          element_at(sv, (k / 2 + 1).cast("int"))) / 2.0)
+    Tables.events(s, dir)
+      .withColumn("sv", array_sort(collect_list(col("value")).over(w)))
+      .withColumn("k", size(col("sv")))
+      .withColumn("med0", interp(col("sv"), col("k")))
+      .withColumn("dv", array_sort(transform(col("sv"),
+        x => abs(x - col("med0")))))
+      .withColumn("mad0", interp(col("dv"), col("k")))
+      .select(col("event_id"), col("user_id"),
+        round(col("med0"), 6).as("med"), round(col("mad0"), 6).as("mad"),
+        (abs(col("value") - col("med0")) > lit(MadK) * col("mad0"))
+          .as("is_outlier"))
+      .orderBy(col("event_id"))
+  }
+
   /** Default ceiling on the per-entity summary row count `anomalyMad` will
     * broadcast under: ~4M (user_id, double) rows ≈ 64 MB serialized —
     * comfortable executor-side, far from driver OOM. Override per session
@@ -514,6 +548,7 @@ object StatsPack extends QueryPack {
     "q_anomaly_mad" -> anomalyMad,
     "q_profile_numeric" -> profileNumeric,
     "q_window_median" -> windowMedian,
+    "q_window_hampel" -> windowHampel,
     "q_stats_corr" -> statsCorr,
     "q_window_rollcorr" -> windowRollCorr,
     "q_window_zscore" -> windowZscore,
@@ -550,6 +585,25 @@ object StatsPack extends QueryPack {
         |SELECT event_id, round(median(value) OVER (PARTITION BY user_id
         |  ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
         |FROM e ORDER BY event_id""".stripMargin,
+    // The mad needs a per-row median of |frame value − this row's med| —
+    // row-specific, so it re-enters as a rank-range self-join over the
+    // same trailing frame rather than a second window.
+    "q_window_hampel" ->
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    date_trunc('microseconds', ts) AS ts, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |m AS (SELECT e.*, median(value) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med
+         |  FROM e),
+         |d AS (SELECT a.event_id, a.user_id, a.value, a.med,
+         |    median(abs(b.value - a.med)) AS mad
+         |  FROM m a JOIN m b
+         |    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 4 AND a.rn
+         |  GROUP BY a.event_id, a.user_id, a.value, a.med)
+         |SELECT event_id, user_id, round(med, 6) AS med, round(mad, 6) AS mad,
+         |  abs(value - med) > $MadK * mad AS is_outlier
+         |FROM d ORDER BY event_id""".stripMargin,
     "q_stats_corr" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,

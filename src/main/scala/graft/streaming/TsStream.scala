@@ -390,9 +390,10 @@ object TsStream extends Serializable {
           })
   }
 
-  /** Streaming Hampel filter — the live robust-outlier gate and the
-    * O(window)-state twin of the batch `StatsPack.windowMedian` /
-    * `anomalyMad` pair: per key, the trailing-`window` exact median, the
+  /** Streaming Hampel filter — the live robust-outlier gate, the
+    * O(window)-state twin of the registered batch key
+    * `StatsPack.windowHampel` (q_window_hampel): per key, the
+    * trailing-`window` exact median, the
     * window MAD, and the |x − med| > nSigmas·1.4826·MAD flag — the
     * data-cleaning filter that (unlike an EWMA z-score) is not dragged by
     * the very outliers it gates, applied point-by-point as data arrives
