@@ -998,11 +998,38 @@ object LlmPack extends QueryPack {
     * regime); at corpus scale the edge list comes from IvfIndex.knnJoin
     * and the mutual self-join is unchanged (k·N edge rows, never
     * vectors). */
-  def knnMutual(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    SimilaritySearch.mutualKnn(
-      SimilaritySearch.knnEdges(emb, emb, idCol = "vec_id",
-        vecCol = "embedding", k = HardNegK))
+  def knnMutual(s: SparkSession, dir: String): DataFrame =
+    mutualEdges(s, dir).orderBy(col("a_id"), col("b_id"))
+
+  /** Fingerprint-amortized mutual-kNN edge list — the ONE materialized
+    * artifact the whole graph family (q_knn_mutual, both PageRank keys,
+    * triangles/clustering) reads instead of each re-running the N×P
+    * scoring pass per query: built once per input into a dedicated store
+    * (the q_sim_ivf/z-order ledger — content fingerprint written LAST, so
+    * a crashed build leaves no fingerprint and rebuilds), then served as
+    * a k·N-row parquet scan. This is also the production shape: a
+    * semantic-graph pipeline maintains its edge list as an artifact with
+    * a freshness ledger, it does not recompute vectors-cross-vectors in
+    * every downstream query. Replaces the per-query
+    * `Compute.materialize(mutualKnn(knnEdges(...)))` — and with it the
+    * localCheckpoint executor-loss caveat on these paths (parquet survives
+    * anything short of losing the store dir). */
+  private def mutualEdges(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.stable(s, s"graft_knnedges_${StoreDirs.pathKey(dir)}")
+    val fpFile = "_edges_fingerprint.txt"
+    val fp = IvfIndex.inputFingerprint(s, s"$dir/embeddings.parquet") +
+      s":k$HardNegK"
+    if (!IvfIndex.readSidecar(s, store, fpFile).contains(fp)) {
+      val emb = Tables.embeddings(s, dir)
+      SimilaritySearch.mutualKnn(
+          SimilaritySearch.knnEdges(emb, emb, idCol = "vec_id",
+            vecCol = "embedding", k = HardNegK))
+        // overwrite clears the previous life INCLUDING its fingerprint;
+        // the new fingerprint lands only after the data commit
+        .write.mode("overwrite").parquet(store)
+      IvfIndex.writeSidecar(s, store, fpFile, fp)
+    }
+    s.read.parquet(store).select(col("a_id"), col("b_id"), col("sim"))
   }
 
   /** PageRank damping; PrBase = 1−d, kept as an independent literal (not
@@ -1026,13 +1053,9 @@ object LlmPack extends QueryPack {
     * NearDedup.clusterPairs' label propagation. Neighbor-mass sums are
     * 6dp-rounded (float summation order). */
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    // materialized once: the directed-edge union references it twice, and
-    // degree/contrib/total each re-enter the lazy lineage
-    val mutual = Compute.materialize(SimilaritySearch.mutualKnn(
-      SimilaritySearch.knnEdges(emb, emb, idCol = "vec_id",
-        vecCol = "embedding", k = HardNegK))
-      .select(col("a_id"), col("b_id")))
+    // the fingerprint-amortized edge store: the directed-edge union and
+    // the degree/contrib/total re-entries all read a k·N parquet scan
+    val mutual = mutualEdges(s, dir).select(col("a_id"), col("b_id"))
     val edges = mutual.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(mutual.select(col("b_id").as("src"), col("a_id").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -1086,10 +1109,7 @@ object LlmPack extends QueryPack {
   private[graft] def graphPagerankRounds(
       s: SparkSession, dir: String, iters: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val mutual = Compute.materialize(SimilaritySearch.mutualKnn(
-      SimilaritySearch.knnEdges(emb, emb, idCol = "vec_id",
-        vecCol = "embedding", k = HardNegK))
-      .select(col("a_id"), col("b_id")))
+    val mutual = mutualEdges(s, dir).select(col("a_id"), col("b_id"))
     val edges = mutual.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(mutual.select(col("b_id").as("src"), col("a_id").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -1139,12 +1159,10 @@ object LlmPack extends QueryPack {
     * integer-fed IEEE division both engines, 6dp cosmetic rounding. */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // materialize the mutual edge list once: e1/e2/e3/deg reference it four
-    // ways, and each lazy reference would re-run the fwd⋈rev mutual join
-    val edges = Compute.materialize(SimilaritySearch.mutualKnn(
-      SimilaritySearch.knnEdges(emb, emb, idCol = "vec_id",
-        vecCol = "embedding", k = HardNegK))
-      .select(col("a_id"), col("b_id"))) // canonical a < b
+    // the fingerprint-amortized edge store: e1/e2/e3/deg's four references
+    // are each a cheap k·N parquet scan, not a re-run of the mutual join
+    val edges = mutualEdges(s, dir)
+      .select(col("a_id"), col("b_id")) // canonical a < b
     val e1 = edges.select(col("a_id").as("a"), col("b_id").as("b"))
     val e2 = edges.select(col("a_id").as("b2"), col("b_id").as("c"))
     val e3 = edges.select(col("a_id").as("a3"), col("b_id").as("c3"))
