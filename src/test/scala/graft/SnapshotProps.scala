@@ -1,0 +1,134 @@
+package graft
+
+import graft.ts.TsTable
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Model-based snapshot properties: a generated sequence of mutation verbs
+  * runs against a real store while a driver-side model tracks the exact
+  * row multiset each committed version SHOULD serve; afterwards every
+  * still-retained version is opened (post-maintenance, so resolution
+  * exercises the archive) and must hash-match its model. Seed-driven like
+  * TsTableProps (each case runs real Spark jobs). */
+class SnapshotProps extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("v", LongType)))
+
+  private val base = Timestamp.valueOf("2024-07-01 00:00:00").getTime
+  private val DayMs = 86400000L
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private def mk(rows: Seq[(Long, Long)]) = // (tsMs, id)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (t, i) => Row(new Timestamp(t), i) }, 2),
+      schema)
+
+  sealed private trait Verb
+  private case class Append(days: Int, rowsPerDay: Int, twoBatches: Boolean) extends Verb
+  private case object CompactAll extends Verb
+  private case class DropOldest(n: Int) extends Verb
+
+  private val verbGen: Gen[Verb] = Gen.frequency(
+    6 -> (for {
+      d <- Gen.chooseNum(1, 2); r <- Gen.chooseNum(1, 4)
+      two <- Gen.oneOf(true, false)
+    } yield Append(d, r, two)),
+    2 -> Gen.const(CompactAll),
+    2 -> Gen.chooseNum(1, 2).map(DropOldest.apply))
+
+  private val scriptGen: Gen[List[Verb]] = for {
+    n <- Gen.chooseNum(4, 7)
+    // always open with an append so maintenance verbs have material
+    head <- verbGen.suchThat(_.isInstanceOf[Append])
+    tail <- Gen.listOfN(n - 1, verbGen)
+  } yield head :: tail
+
+  test("model-based: every retained version serves exactly its committed " +
+      "row multiset after arbitrary verb sequences; history stays ascending") {
+    for (seed <- 1L to 4L) {
+      val script = sample(scriptGen, seed)
+      val dir = Files.createTempDirectory(s"snap_prop_$seed").toString
+      val t = TsTable.create(spark, dir, schema)
+      // model state
+      var nextDay = 0
+      var nextId = 0L
+      var live = Map.empty[Int, Seq[(Long, Long)]] // day -> rows
+      // version -> expected live multiset at that commit
+      var expected = Map[Long, Seq[(Long, Long)]](
+        t.currentVersion.get -> Seq.empty)
+
+      def record(): Unit =
+        expected += t.currentVersion.get -> live.values.flatten.toSeq
+
+      script.foreach {
+        case Append(days, rowsPerDay, twoBatches) =>
+          val newRows = (0 until days).map { d =>
+            val day = nextDay + d
+            (day, (0 until rowsPerDay).map { r =>
+              val id = nextId; nextId += 1
+              (base + day * DayMs + r * 60000L, id)
+            })
+          }
+          nextDay += days
+          val flat = newRows.flatMap(_._2)
+          if (twoBatches && flat.length > 1) {
+            val (a, b) = flat.splitAt(flat.length / 2)
+            t.append(mk(a)); live = merge(live, group(a)); record()
+            t.append(mk(b)); live = merge(live, group(b)); record()
+          } else {
+            t.append(mk(flat)); live = merge(live, group(flat)); record()
+          }
+        case CompactAll =>
+          // content-preserving; commits one version per multi-file day
+          t.compactAll(targetFiles = 1)
+          t.currentVersion.foreach(v =>
+            if (!expected.contains(v)) expected += v -> live.values.flatten.toSeq)
+        case DropOldest(n) =>
+          val days = live.keys.toSeq.sorted
+          if (days.nonEmpty) {
+            val cutoffDay = days.take(n).lastOption.map(_ + 1).getOrElse(0)
+            // the ISO day in UTC (the session zone that wrote p_date)
+            val iso = java.time.Instant.ofEpochMilli(base + cutoffDay.toLong * DayMs)
+              .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+            t.dropBefore(iso)
+            live = live.filter(_._1 >= cutoffDay)
+            record()
+          }
+      }
+
+      val retained = t.snapshotVersions.map(_._1)
+      assert(retained == retained.sorted, s"seed=$seed history not ascending")
+      assert(t.currentVersion.contains(retained.last), s"seed=$seed")
+      // every retained, model-known version serves exactly its multiset —
+      // resolution goes through the archive for pre-maintenance versions
+      retained.filter(expected.contains).foreach { v =>
+        val got = t.openAt(v).toDF.collect()
+          .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).sorted.toSeq
+        assert(got == expected(v).sorted,
+          s"seed=$seed version $v: got ${got.size} rows, want ${expected(v).size}")
+      }
+      // the live table equals the newest version
+      val liveNow = t.toDF.collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).sorted.toSeq
+      assert(liveNow == live.values.flatten.toSeq.sorted, s"seed=$seed live")
+    }
+  }
+
+  private def group(rows: Seq[(Long, Long)]): Map[Int, Seq[(Long, Long)]] =
+    rows.groupBy(r => ((r._1 - base) / DayMs).toInt)
+
+  private def merge(a: Map[Int, Seq[(Long, Long)]],
+                    b: Map[Int, Seq[(Long, Long)]]): Map[Int, Seq[(Long, Long)]] =
+    (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, Seq.empty) ++ b.getOrElse(k, Seq.empty))).toMap
+}
