@@ -365,6 +365,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("window hampel: one user_id exchange feeds the whole frame compute; no join") {
+    val p = plan(graft.operators.StatsPack.windowHampel(spark, sf0001))
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"the trailing frame should exchange user_id exactly once:\n$p")
+    assert(!p.contains("Join"),
+      s"med and mad must derive from ONE collected frame, not a self-join:\n$p")
+  }
+
+  test("percentiles approx: sketch state is map-side combined (partial aggregate)") {
+    val p = plan(graft.operators.StatsPack.percentilesApprox(spark, sf0001))
+    assert(p.contains("partial_percentile_approx") || p.contains("partial_"),
+      s"approx percentile must combine map-side:\n$p")
+    // exact percentiles cannot partial-combine their buffered groups the
+    // same way — the approx twin's whole point is this plan property
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1, p)
+  }
+
+  test("graph family reads the amortized edge store — no per-query N×P rescoring") {
+    for (df <- Seq(graft.operators.LlmPack.knnMutual(spark, sf0001),
+        graft.operators.LlmPack.graphPagerank(spark, sf0001),
+        graft.operators.LlmPack.graphTriangles(spark, sf0001))) {
+      val p = plan(df)
+      assert(p.contains("graft_knnedges_"),
+        s"edge-store scan missing — query recomputes the kNN pass:\n$p")
+      assert(!p.toLowerCase.contains("graft_dot") && !p.contains("l2norm"),
+        s"vector scoring re-entered a graph query:\n$p")
+    }
+  }
+
+  test("ts history is metadata-only: a local scan, no Spark jobs over data") {
+    val p = plan(graft.operators.TimeSeriesPack.tsHistory(spark, sf0001))
+    assert(p.contains("LocalTableScan"),
+      s"history should come from the driver-read manifests:\n$p")
+    assert(!p.contains("FileScan"),
+      s"history must not scan table data:\n$p")
+  }
+
   test("span strip (containment pre-pass): window-free, no cartesian; " +
       "the multiplicity gate sits on an aggregate") {
     val p = plan(graft.operators.NearDedup.stripRepeatedSpans(
