@@ -5,7 +5,6 @@ import graft.ts.{TsSnapshot, TsTable}
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.execution.datasources.{PartitionPath, PartitionSpec, PartitioningAwareFileIndex}
 import org.apache.spark.sql.types.{DateType, StructField, StructType}
 
@@ -52,8 +51,12 @@ final class GraftTsSnapshotFileIndex(
   private val spec: PartitionSpec = PartitionSpec(
     partSchema,
     byDir.map { case ((date, dir), _) =>
+      // DateType's internal form is epoch DAYS — derive it TZ-free via
+      // LocalDate (java.sql.Date.valueOf + fromJavaDate would round-trip
+      // through the JVM default zone and could shift a day on hosts west
+      // of UTC — the same trap readRange's in-plan to_date avoids)
       PartitionPath(
-        InternalRow(DateTimeUtils.fromJavaDate(java.sql.Date.valueOf(date))),
+        InternalRow(java.time.LocalDate.parse(date).toEpochDay.toInt),
         dir)
     })
 
