@@ -27,13 +27,14 @@ object Compute {
     * implied partition count (`stats.sizeInBytes / maxPartitionBytes`)
     * against the core count — it never instantiates `df.rdd`, which would
     * force a second physical plan + RDD lineage on every call and read the
-    * pre-AQE partition count anyway. The estimate errs the cheap way on
-    * both edges: an over-filtered scan UNDER-estimates and triggers a
-    * repartition of exactly the small surviving byte count (the shuffle
-    * the gate exists to allow), and a stats-less relation (LogicalRDD
-    * from a checkpoint, default-sized nodes) reports huge and makes the
-    * gate a no-op — never a corpus-wide shuffle by accident.
-    */
+    * pre-AQE partition count anyway. Both error modes of the estimate are
+    * CONSERVATIVE, never a surprise corpus shuffle: a stats-less relation
+    * (LogicalRDD from a checkpoint, default-sized nodes) reports huge and
+    * no-ops the gate; and under the default size-only estimator a FILTER
+    * does not shrink sizeInBytes, so a heavily-filtered scan OVER-reports
+    * and may skip a repair it would benefit from — callers that rebalance
+    * a filtered frame should rebalance the scan before filtering (every
+    * current call site passes the unfiltered scan). */
   def rebalance(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val parallelism = spark.sparkContext.defaultParallelism

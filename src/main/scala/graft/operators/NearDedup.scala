@@ -304,7 +304,19 @@ object NearDedup {
     val occ = base.select(col("id"), posexplode(col("spans")).as(Seq("pos", "h")))
     val hot = occ.groupBy(col("h")).agg(count(lit(1)).as("mult"))
       .where(col("mult") > maxSpanMult).select(col("h"))
-    val covered = occ.join(hot, "h")
+    // COUNT-GATED broadcast of the hot-span list (the pruneByLosers
+    // dispatch): a shuffled occ⨝hot would hash every occurrence of each
+    // boilerplate span — by definition the hottest keys — onto single
+    // reducers, re-creating the exact straggler this pass removes. Under
+    // the ceiling the hot list broadcasts (occ never shuffles here); a
+    // pathological over-ceiling corpus falls back to the shuffled join,
+    // where AQE's skew-join split is the remaining mitigation. The count
+    // job is bounded by the distinct over-threshold span count (and reads
+    // the persisted base in the eager path).
+    val limit = graft.Confs.long(base.sparkSession,
+      "spark.graft.dedup.maxBroadcastSpans", MaxBroadcastSpans)
+    val hotGated = if (hot.count() <= limit) broadcast(hot) else hot
+    val covered = occ.join(hotGated, "h")
       .groupBy(col("id")).agg(collect_set(col("pos")).as("starts"))
     val span1 = lit(spanWords - 1)
     base.join(covered, Seq("id"), "left")
@@ -715,6 +727,11 @@ object NearDedup {
     * spark.graft.dedup.maxBroadcastLosers. */
   private val MaxBroadcastLosers = 4L << 20
 
+  /** Ceiling on the hot-span list `stripRepeatedSpans` will broadcast:
+    * ~1M 16-char md5 keys ≈ 40 MB serialized. Override with
+    * spark.graft.dedup.maxBroadcastSpans. */
+  private val MaxBroadcastSpans = 1L << 20
+
   /** The canonical-prune anti-join, with the broadcast SCALE-GATED. The
     * loser list is "bounded by the duplicate count" — but at real web-corpus
     * dup rates (30–50% of documents) the duplicate count is
@@ -738,14 +755,8 @@ object NearDedup {
     * PlanAuditSpec asserts BOTH planned shapes. */
   def pruneByLosers(corpus: DataFrame, losers: DataFrame, bound: Long,
                     idCol: String): DataFrame = {
-    val confKey = "spark.graft.dedup.maxBroadcastLosers"
-    val limit = corpus.sparkSession.conf.getOption(confKey).map { raw =>
-      try raw.trim.toLong
-      catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"$confKey must be a long, got '$raw'")
-      }
-    }.getOrElse(MaxBroadcastLosers)
+    val limit = graft.Confs.long(corpus.sparkSession,
+      "spark.graft.dedup.maxBroadcastLosers", MaxBroadcastLosers)
     if (bound <= limit)
       corpus.join(broadcast(losers), Seq(idCol), "left_anti")
     else

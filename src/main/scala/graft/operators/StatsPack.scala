@@ -431,16 +431,8 @@ object StatsPack extends QueryPack {
     * with spark.graft.stats.maxBroadcastGroups. */
   private val MaxBroadcastGroups = 4L << 20
 
-  private def maxBroadcastGroups(s: SparkSession): Long = {
-    val confKey = "spark.graft.stats.maxBroadcastGroups"
-    s.conf.getOption(confKey).map { raw =>
-      try raw.trim.toLong
-      catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"$confKey must be a long, got '$raw'")
-      }
-    }.getOrElse(MaxBroadcastGroups)
-  }
+  private def maxBroadcastGroups(s: SparkSession): Long =
+    graft.Confs.long(s, "spark.graft.stats.maxBroadcastGroups", MaxBroadcastGroups)
 
   /** Count-gated per-entity re-entry join (the `NearDedup.pruneByLosers`
     * dispatch): broadcast the entity-keyed summary when its exact row count

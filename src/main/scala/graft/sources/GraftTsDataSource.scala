@@ -98,8 +98,13 @@ final class GraftTsDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
-    val t = open(properties)
-    new GraftTsV2Table(SparkSession.active, t, openSnapshot(properties))
+    // getTable receives the CASE-PRESERVING map while inferSchema received
+    // a CaseInsensitiveStringMap — without re-wrapping, option("asof", v)
+    // would pin the schema but silently read the LIVE table (and a
+    // differently-cased tsCol would silently fall back to "ts")
+    val ci = new CaseInsensitiveStringMap(properties)
+    val t = open(ci)
+    new GraftTsV2Table(SparkSession.active, t, openSnapshot(ci))
   }
 }
 

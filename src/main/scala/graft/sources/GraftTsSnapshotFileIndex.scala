@@ -54,9 +54,12 @@ final class GraftTsSnapshotFileIndex(
       // DateType's internal form is epoch DAYS — derive it TZ-free via
       // LocalDate (java.sql.Date.valueOf + fromJavaDate would round-trip
       // through the JVM default zone and could shift a day on hosts west
-      // of UTC — the same trap readRange's in-plan to_date avoids)
+      // of UTC — the same trap readRange's in-plan to_date avoids). The
+      // empty sentinel = loose root-level files → null partition value.
       PartitionPath(
-        InternalRow(java.time.LocalDate.parse(date).toEpochDay.toInt),
+        InternalRow(
+          if (date.isEmpty) null
+          else Int.box(java.time.LocalDate.parse(date).toEpochDay.toInt)),
         dir)
     })
 

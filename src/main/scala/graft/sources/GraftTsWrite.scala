@@ -118,13 +118,28 @@ final class GraftTsBatchWrite(
     val root = new Path(path)
     val fs = root.getFileSystem(conf.value)
     if (truncateFirst) {
-      // Replace semantics: drop every VISIBLE data file (leading '_' names —
-      // our staged files, the descriptor, _SUCCESS markers — survive).
-      def purge(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
-        if (st.isDirectory) purge(st.getPath)
-        else if (!st.getPath.getName.startsWith("_")) fs.delete(st.getPath, false)
+      // Replace semantics: retire every VISIBLE data file. Two rules keep
+      // the snapshot layer intact across an overwrite:
+      //   - '_'/'.'-prefixed DIRECTORIES are never entered (the version
+      //     manifests in _ts_versions and the archived history in
+      //     _ts_archive are table state, not data to replace — recursing
+      //     into them destroyed pinned versions and, worse, let version
+      //     numbers restart and silently re-bind to different states);
+      //   - replaced files are ARCHIVED under their table-relative path,
+      //     not deleted, so a reader pinned on a pre-overwrite version
+      //     keeps resolving (the compact/retention rule; bytes reclaim via
+      //     expireSnapshots).
+      def purge(dir: Path, rel: String): Unit = fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (!n.startsWith("_") && !n.startsWith(".")) purge(st.getPath, s"$rel$n/")
+        } else if (!n.startsWith("_") && !n.startsWith(".")) {
+          val target = new Path(new Path(root, "_ts_archive"), s"$rel$n")
+          fs.mkdirs(target.getParent)
+          if (!fs.rename(st.getPath, target)) fs.delete(st.getPath, false)
+        }
       }
-      purge(root)
+      purge(root, "")
     }
     messages.foreach {
       case GraftTsCommitMessage(files) => files.foreach { case (tmp, fin) =>

@@ -570,29 +570,51 @@ final class TsTable private (
   private[graft] def commitVersion(action: String): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = partitionDates.sorted.flatMap { d =>
-      val dir = new Path(root, s"$PartCol=$d")
-      fs.listStatus(dir).iterator
+    // CAS-retry loop: losing the rename race means another writer took the
+    // version number — re-list (the listing then includes BOTH writers'
+    // files: each manifest is a consistent point-in-time state) and take
+    // the next number. Without the retry, a V2 write whose data renames
+    // already landed would report FAILURE for a metadata race, leaving a
+    // torn visible-but-"failed" batch a retry would double-append.
+    var next = 0L
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      // loose ROOT-LEVEL data files too (the attached plain/hybrid layout
+      // the live read serves) — a manifest that listed only partition dirs
+      // would make a pinned read silently narrower than the live state
+      val rootFiles = fs.listStatus(root).iterator
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
           !st.getPath.getName.startsWith("."))
-        .map(st => (s"$PartCol=$d/${st.getPath.getName}", st.getLen))
+        .map(st => (st.getPath.getName, st.getLen))
         .toSeq
+      val files = rootFiles ++ partitionDates.sorted.flatMap { d =>
+        val dir = new Path(root, s"$PartCol=$d")
+        fs.listStatus(dir).iterator
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => (s"$PartCol=$d/${st.getPath.getName}", st.getLen))
+          .toSeq
+      }
+      next = currentVersion.getOrElse(0L) + 1
+      try {
+        TsTable.writeManifest(spark, path,
+          TsManifest(next, action, tsCol, storedSchema, files))
+        committed = true
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("concurrent commit") =>
+          attempt += 1
+          if (attempt >= 5) throw e
+      }
     }
-    val next = currentVersion.getOrElse(0L) + 1
-    TsTable.writeManifest(spark, path,
-      TsManifest(next, action, tsCol, storedSchema, files))
     // Bounded history (the Iceberg previous-versions-max rule): each
     // manifest lists the full live file set, so a streaming appendSink
     // committing one version per microbatch would otherwise grow metadata
     // quadratically and pin every archived file forever. Auto-expire past
     // the ceiling; spark.graft.ts.maxVersions=0 disables (unbounded).
-    val keepKey = "spark.graft.ts.maxVersions"
-    val keep = spark.conf.getOption(keepKey).map { raw =>
-      try raw.trim.toLong
-      catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(s"$keepKey must be a long, got '$raw'")
-      }
-    }.getOrElse(TsTable.DefaultMaxVersions)
+    val keep = graft.Confs.long(spark, "spark.graft.ts.maxVersions",
+      TsTable.DefaultMaxVersions)
     if (keep > 0 && next > keep) expireSnapshots(keepLast = keep.toInt)
     next
   }
@@ -657,9 +679,15 @@ final class TsSnapshot private[ts] (
     val byDir = manifest.files.groupBy(f => f._1.split("/").init.mkString("/"))
     val out = Seq.newBuilder[(String, Path, Long, Boolean)]
     byDir.foreach { case (relDir, files) =>
-      val date = relDir.split("/").last.stripPrefix(s"$PartCol=")
-      val liveSizes = sizesIn(new Path(root, relDir))
-      val archSizes = sizesIn(new Path(new Path(root, ArchiveDir), relDir))
+      // relDir "" = loose root-level files (attached plain/hybrid layout);
+      // their partition date is the empty sentinel (p_date null downstream)
+      val date =
+        if (relDir.isEmpty) "" else relDir.split("/").last.stripPrefix(s"$PartCol=")
+      val liveDir = if (relDir.isEmpty) root else new Path(root, relDir)
+      val archDir = if (relDir.isEmpty) new Path(root, ArchiveDir)
+        else new Path(new Path(root, ArchiveDir), relDir)
+      val liveSizes = sizesIn(liveDir)
+      val archSizes = sizesIn(archDir)
       files.foreach { case (relPath, size) =>
         val name = relPath.split("/").last
         if (liveSizes.get(name).contains(size))
@@ -681,17 +709,24 @@ final class TsSnapshot private[ts] (
 
   /** Pinned frame including the partition column. Explicit file lists with
     * `basePath` keep Hive partition-value derivation intact for both the
-    * live tree and the archive (same `p_date=` layout under each base). */
+    * live tree and the archive (same `p_date=` layout under each base);
+    * loose root-level files (attached plain/hybrid layouts) read without a
+    * basePath and carry a null `p_date` — the live read's semantic for
+    * unpartitioned data. */
   def raw: DataFrame = {
-    val (live, arch) = resolved
+    val all = resolvedFiles
     val withPart = TsTable.withPartColPublic(schema)
-    val parts = Seq(tablePath -> live,
-      new Path(tablePath, ArchiveDir).toString -> arch)
+    val (dated, undated) = all.partition(_._1.nonEmpty)
+    val (live, arch) = dated.partition(_._4)
+    val parts = Seq(tablePath -> live.map(_._2.toString),
+      new Path(tablePath, ArchiveDir).toString -> arch.map(_._2.toString))
       .filter(_._2.nonEmpty)
       .map { case (base, files) =>
         spark.read.option("basePath", base).schema(withPart).parquet(files: _*)
-      }
-    parts.reduceOption(_.unionAll(_)).getOrElse(
+      } ++ (if (undated.isEmpty) Seq.empty else Seq(
+        spark.read.schema(schema).parquet(undated.map(_._2.toString): _*)
+          .withColumn(PartCol, lit(null).cast(DateType))))
+    parts.reduceOption(_.unionByName(_)).getOrElse(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withPart))
   }

@@ -161,6 +161,29 @@ class GraftTsSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("read-only"))
   }
 
+  test("V2 overwrite archives replaced data and keeps snapshot history: " +
+      "a pre-overwrite pin still reads; version numbers never restart") {
+    val dir = freshDir()
+    val t = TsTable.create(spark, dir, schema)
+    append(mkRows(Seq(("2024-03-01 10:00:00", 1L, 1.0),
+      ("2024-03-02 10:00:00", 2L, 2.0))), dir)
+    val pinned = t.currentVersion.get
+    // replace the table's data entirely
+    mkRows(Seq(("2024-04-01 10:00:00", 9L, 9.0)))
+      .write.format("graft-ts").mode("overwrite").save(dir)
+    // live state is the new data; versions kept counting (no silent
+    // restart that would re-bind old numbers to different states)
+    assert(v2(dir).collect().map(_.getLong(1)).toSeq == Seq(9L))
+    val cur = t.currentVersion.get
+    assert(cur > pinned, s"version numbering must continue past $pinned, got $cur")
+    assert(TsTable.open(spark, dir).snapshotVersions.last._2 == "overwrite")
+    // the pre-overwrite pin resolves its rows from the archive
+    val old = spark.read.format("graft-ts")
+      .option("asOf", pinned.toString).load(dir)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(old == Seq(1L, 2L), s"pinned pre-overwrite read returned $old")
+  }
+
   test("V2 read prunes columns (projection reaches the scan)") {
     val dir = freshDir()
     TsTable.create(spark, dir, schema)
