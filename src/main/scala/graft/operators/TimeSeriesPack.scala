@@ -193,6 +193,35 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("version"))
   }
 
+  /** A3+ rollback round-trip (`TsTable.restore` — the Delta RESTORE
+    * analogue): four days land and the version is pinned, then the store
+    * is damaged three ways (a fifth-day append, a compaction rewrite, an
+    * over-eager retention that drops half the table) and restored to the
+    * pin — after which the LIVE full-range read returns the pre-damage
+    * slice byte-for-byte. The oracle is that slice on raw events, so this
+    * hash-checks archive→live copy-back, live-file retirement, and the
+    * forward "restore" commit end-to-end; history/pinnability/append
+    * re-anchoring mechanics are asserted in SnapshotSpec. */
+  def restoreRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tsrestore_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cut = lit("2024-01-02 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    t.append(ev.where(col("ts") >= cut))
+    val pinned = t.currentVersion.get
+    // damage: extra day, rewritten files, dropped days
+    t.append(Tables.events(s, dir).where(col("ts") >= hi &&
+      col("ts") < lit("2024-01-06 00:00:00").cast("timestamp")))
+    t.compactAll(targetFiles = 1)
+    t.dropBefore("2024-01-03")
+    t.restore(pinned)
+    eventsProjection(
+      TsTable.open(s, store)
+        .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
+  }
+
   // Query rectangle as FRACTIONS of each dimension's [min, max] span —
   // the fixture's user_id domain scales with SF, so absolute bounds
   // would select nothing at one scale and everything at another. Both
@@ -669,6 +698,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_retention" -> retentionRoundtrip,
     "q_ts_snapshot" -> snapshotRoundtrip,
     "q_ts_history" -> tsHistory,
+    "q_ts_restore" -> restoreRoundtrip,
     "q_zorder_cluster" -> zorderRect,
     "q_ts_stats" -> tsStatsReport,
     "q_filter_project" -> filterProject,
@@ -760,6 +790,13 @@ object TimeSeriesPack extends QueryPack {
         |  UNION ALL SELECT 4, 'compact', (SELECT s - extra FROM t)
         |  UNION ALL SELECT 5, 'retention', (SELECT n FROM keep))
         |ORDER BY version""".stripMargin,
+    // Restore returns the LIVE table to the pinned pre-damage state, so
+    // the full-range live read equals the original build slice exactly
+    // (the fifth-day append, compaction, and retention all roll back).
+    "q_ts_restore" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+         |ORDER BY event_id""".stripMargin,
     // The pinned version predates compact+retention, so the time-traveled
     // read returns the FULL pre-mutation build slice (everything below the
     // build bound; the closed upper read bound admits nothing beyond it).

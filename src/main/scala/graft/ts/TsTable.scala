@@ -525,6 +525,55 @@ final class TsTable private (
   def readRange(start: Timestamp, end: Timestamp, asOf: Long): DataFrame =
     openAt(asOf).readRange(start, end)
 
+  /** Roll the LIVE table back to a committed version (the Delta `RESTORE`
+    * analogue — mistake recovery: a bad batch landed, an overwrite was
+    * wrong, retention dropped too much). Mechanics: every current live
+    * data file not in the target manifest is ARCHIVED (so the pre-restore
+    * state itself stays pinnable), every target file not currently live
+    * is COPIED back from the archive (copied, not moved — other manifests
+    * may reference the same archived bytes), and the stored schema
+    * descriptor reverts to the version's own (schema evolution rolls back
+    * with the data). Commits a new "restore" version — history moves
+    * FORWARD to an old state, it is never rewritten. Cost: O(bytes copied
+    * back from archive) — only files a later compact/retention/overwrite
+    * displaced; a restore to the current state copies nothing. The append
+    * monotonicity guard re-anchors on the restored maxDt naturally.
+    * Returns the new version number. */
+  def restore(version: Long): Long = {
+    val snap = openAt(version)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = snap.manifestFiles.map(_._1).toSet
+    // resolve BEFORE mutating the live tree (validates sizes too)
+    val resolved = snap.resolvedFiles
+    // 1. retire live files the target state does not contain
+    val liveNow = {
+      val rootFiles = fs.listStatus(root).iterator
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getPath.getName).toSeq
+      rootFiles ++ partitionDates.flatMap { d =>
+        dataFiles(fs, new Path(root, s"$PartCol=$d"))
+          .map(f => s"$PartCol=$d/${f.getName}")
+      }
+    }
+    liveNow.filterNot(target.contains).foreach(archiveFile(fs, _))
+    // 2. copy displaced target files back from the archive
+    resolved.filterNot(_._4).foreach { case (_, archived, _, _) =>
+      val rel = archived.toString.stripPrefix(
+        new Path(root, TsTable.ArchiveDir).toString).stripPrefix("/")
+      val dst = new Path(path, rel)
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, archived, fs, dst,
+        false /* keep the archived source */, spark.sparkContext.hadoopConfiguration)
+    }
+    // 3. the version's own schema becomes the stored descriptor again
+    // (reopen via TsTable.open for a handle carrying it; this handle keeps
+    // serving its constructed projection, the appendEvolved rule)
+    TsTable.writeDescriptor(spark, path, snap.schema, snap.tsCol, writeOptions)
+    commitVersion("restore", Some(snap.schema))
+  }
+
   /** Reclaim history: keep the newest `keepLast` manifests, delete older
     * ones, and delete every ARCHIVED file no retained manifest references
     * (live-tree files are never touched — they belong to the current
@@ -567,7 +616,8 @@ final class TsTable private (
     * never data, and the next mutation's commit captures the orphaned
     * files. Cost: one listing per day partition — the same O(#partitions)
     * metadata walk `partitionStats` does, never O(rows). */
-  private[graft] def commitVersion(action: String): Long = {
+  private[graft] def commitVersion(action: String,
+                                   schemaOverride: Option[StructType] = None): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // CAS-retry loop: losing the rename race means another writer took the
@@ -599,7 +649,8 @@ final class TsTable private (
       next = currentVersion.getOrElse(0L) + 1
       try {
         TsTable.writeManifest(spark, path,
-          TsManifest(next, action, tsCol, storedSchema, files))
+          TsManifest(next, action, tsCol,
+            schemaOverride.getOrElse(storedSchema), files))
         committed = true
       } catch {
         case e: IllegalArgumentException
@@ -649,6 +700,7 @@ final class TsSnapshot private[ts] (
   def version: Long = manifest.version
   def action: String = manifest.action
   def schema: StructType = manifest.schema
+  private[ts] def manifestFiles: Seq[(String, Long)] = manifest.files
 
   /** (live files, archived files) as fully-qualified path strings.
     * A `def`, not a cached val: every DataFrame construction re-resolves

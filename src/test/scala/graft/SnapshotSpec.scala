@@ -167,6 +167,38 @@ class SnapshotSpec extends SparkSpec {
     } finally conf.unset("spark.graft.ts.maxVersions")
   }
 
+  test("restore rolls the live table back to a pinned version; history moves " +
+      "forward; the pre-restore state stays pinnable; appends re-anchor") {
+    val (t, store, _) = build("restore")
+    val good = t.currentVersion.get
+    val goodRows = ids(t.toDF)
+    // damage: a bad append, a compaction, an over-eager retention
+    val hi = lit("2024-01-06 00:00:00").cast("timestamp")
+    val lo = lit("2024-01-05 00:00:00").cast("timestamp")
+    t.append(Tables.events(spark, sf0001).where(col("ts") >= lo && col("ts") < hi))
+    t.compactAll(targetFiles = 1)
+    t.dropBefore("2024-01-04")
+    val damaged = t.currentVersion.get
+    val damagedRows = ids(t.toDF)
+    assert(damagedRows != goodRows)
+    // roll back
+    val restored = t.restore(good)
+    assert(restored > damaged, "restore commits FORWARD")
+    val live = TsTable.open(spark, store)
+    assert(ids(live.toDF) == goodRows, "live table must equal the pinned state")
+    assert(live.snapshotVersions.last == ((restored, "restore")))
+    // the damaged state itself is still pinnable (history not rewritten)
+    assert(ids(TsTable.openAt(spark, store, damaged).toDF) == damagedRows)
+    // appends re-anchor on the restored maxDt
+    live.append(Tables.events(spark, sf0001)
+      .where(col("ts") >= lo && col("ts") < hi))
+    assert(live.maxDt.get.after(java.sql.Timestamp.valueOf("2024-01-04 23:59:59")))
+    // SQL face: a pinned view over the restored version serves it
+    live.registerViewAt("restored_v", restored)
+    assert(spark.sql("SELECT count(*) FROM restored_v").head.getLong(0) ==
+      goodRows.length.toLong)
+  }
+
   test("a foreign in-place rewrite of a manifested file is detected, not served") {
     val (t, store, fs) = build("guard")
     val pinned = t.currentVersion.get
