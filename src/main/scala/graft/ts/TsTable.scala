@@ -671,14 +671,27 @@ final class TsTable private (
   }
 
   /** Move a replaced/expired live data file into the archive, preserving
-    * its table-relative path (the manifest key). Spark part-file names
-    * embed a UUID, so collisions are not a practical concern; a collision
-    * still fails loudly rather than silently overwriting history. */
+    * its table-relative path (the manifest key). One legitimate collision
+    * exists: `restore` COPIES displaced files back live while keeping the
+    * archive copy, so retiring that file again meets its own archived
+    * twin — same relpath, same length, identical bytes by construction —
+    * and the live copy simply deletes (the archive already holds it). A
+    * different-length collision means two generations shared a filename
+    * (UUID part names make that a corruption signal, not a race) and
+    * fails loudly rather than silently overwriting history. */
   private def archiveFile(fs: org.apache.hadoop.fs.FileSystem, relPath: String): Unit = {
+    val live = new Path(path, relPath)
     val target = new Path(new Path(path, TsTable.ArchiveDir), relPath)
-    fs.mkdirs(target.getParent)
-    require(fs.rename(new Path(path, relPath), target),
-      s"failed to archive $relPath (name collision in ${TsTable.ArchiveDir}?)")
+    if (fs.exists(target)) {
+      require(fs.getFileStatus(target).getLen == fs.getFileStatus(live).getLen,
+        s"archive collision with DIFFERENT content for $relPath — " +
+          "two file generations shared a name; refusing to overwrite history")
+      fs.delete(live, false)
+    } else {
+      fs.mkdirs(target.getParent)
+      require(fs.rename(live, target),
+        s"failed to archive $relPath into ${TsTable.ArchiveDir}")
+    }
   }
 }
 

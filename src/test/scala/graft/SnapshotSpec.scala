@@ -197,6 +197,13 @@ class SnapshotSpec extends SparkSpec {
     live.registerViewAt("restored_v", restored)
     assert(spark.sql("SELECT count(*) FROM restored_v").head.getLong(0) ==
       goodRows.length.toLong)
+    // maintenance AFTER a restore re-archives copied-back files, which
+    // collide with their own archived twins — must dedupe, not crash
+    val droppedAgain = live.dropBefore("2024-01-02")
+    assert(droppedAgain.nonEmpty)
+    assert(live.snapshotVersions.last._2 == "retention")
+    assert(ids(TsTable.openAt(spark, store, restored).toDF) == goodRows,
+      "the restored version stays pinnable after the re-archive")
   }
 
   test("a foreign in-place rewrite of a manifested file is detected, not served") {
