@@ -248,9 +248,13 @@ object IvfIndex {
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v")))
     // PQ-enabled store: re-encode the new rows with the FROZEN codebooks
     // (the coarse-quantizer rule) — appending un-coded rows would leave
-    // them invisible to approximate PQ probes
+    // them invisible to approximate PQ probes. The layout is detected from
+    // the codebook SIDECAR, not a positional parse of the fingerprint: a
+    // caller-supplied fingerprint containing ':' would shift fields and
+    // silently skip the re-encode (exactly the miss the SQ8 guard exists
+    // to prevent), while the sidecar exists iff the store was PQ-built.
     val coded =
-      if (parts.drop(3).exists(_.startsWith("pq"))) // skip digest/id/vec names
+      if (readSidecar(spark, path, PqCodebooksFile).isDefined)
         coded0.withColumn("pq", org.apache.spark.sql.graft.VectorExprs
           .pqEncode(col("v"), loadPqCodebooks(spark, path)))
       else coded0

@@ -153,8 +153,11 @@ final class GraftTsV2Table(spark: SparkSession, ts: TsTable,
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // a pinned table scans with ITS version's tsCol (manifests record it
+    // precisely so time travel crosses schema evolution) — the live
+    // table's tsCol could push ts predicates against the wrong column
     new GraftTsScanBuilder(spark, fileIndex, schema(), schema(), options,
-      ts.tsCol)
+      snapshot.map(_.tsCol).getOrElse(ts.tsCol))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // a pinned version is an immutable historical state — writes target

@@ -129,14 +129,17 @@ final class GraftTsBatchWrite(
       //     not deleted, so a reader pinned on a pre-overwrite version
       //     keeps resolving (the compact/retention rule; bytes reclaim via
       //     expireSnapshots).
+      // same collision discipline as TsTable.archiveFile (length-checked
+      // dedupe, loud failure on a different-length name collision) — a
+      // delete-on-rename-failure fallback could silently discard the only
+      // copy of history an older manifest references
+      val table = TsTable.open(spark, path)
       def purge(dir: Path, rel: String): Unit = fs.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
         if (st.isDirectory) {
           if (!n.startsWith("_") && !n.startsWith(".")) purge(st.getPath, s"$rel$n/")
         } else if (!n.startsWith("_") && !n.startsWith(".")) {
-          val target = new Path(new Path(root, "_ts_archive"), s"$rel$n")
-          fs.mkdirs(target.getParent)
-          if (!fs.rename(st.getPath, target)) fs.delete(st.getPath, false)
+          table.archiveFile(fs, s"$rel$n")
         }
       }
       purge(root, "")

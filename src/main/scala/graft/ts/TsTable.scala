@@ -600,6 +600,13 @@ final class TsTable private (
         }
         if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
       }
+      // loose ROOT-LEVEL archived files too (their manifest key is the bare
+      // name): the overwrite purge and restore of unpartitioned/hybrid
+      // layouts archive files directly under _ts_archive/ — skipping them
+      // here would grow that portion of the archive unboundedly
+      fs.listStatus(archRoot).filter(_.isFile).foreach { f =>
+        if (!referenced.contains(f.getPath.getName)) fs.delete(f.getPath, false)
+      }
     }
     expired.foreach(v =>
       fs.delete(new Path(path, TsTable.manifestName(v)), false))
@@ -679,7 +686,7 @@ final class TsTable private (
     * different-length collision means two generations shared a filename
     * (UUID part names make that a corruption signal, not a race) and
     * fails loudly rather than silently overwriting history. */
-  private def archiveFile(fs: org.apache.hadoop.fs.FileSystem, relPath: String): Unit = {
+  private[graft] def archiveFile(fs: org.apache.hadoop.fs.FileSystem, relPath: String): Unit = {
     val live = new Path(path, relPath)
     val target = new Path(new Path(path, TsTable.ArchiveDir), relPath)
     if (fs.exists(target)) {
@@ -902,7 +909,14 @@ object TsTable {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
     val target = new Path(path, manifestName(m.version))
-    val tmp = new Path(target.toString + ".tmp")
+    // WRITER-UNIQUE temp name: a shared ".tmp" would let two writers racing
+    // to the same version number write the same temp file, and one could
+    // rename a file the other was mid-writing — installing a torn or
+    // foreign manifest body under its version. With a unique suffix each
+    // writer renames only its own fully-written bytes; the TARGET rename
+    // below remains the CAS.
+    val tmp = new Path(
+      target.toString + s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val body = (s"version=${m.version};action=${m.action}\n" +
       m.tsCol + "\n" + m.schema.json + "\n" +
       m.files.map { case (p, sz) => s"$p\t$sz" }.mkString("\n") + "\n")
@@ -910,8 +924,12 @@ object TsTable {
     try out.write(body.getBytes("UTF-8")) finally out.close()
     // rename-as-CAS: a racing writer that already installed this version
     // number makes the rename fail — surfaced, not silently overwritten
-    require(fs.rename(tmp, target),
-      s"concurrent commit detected: version ${m.version} already exists at $target")
+    // (and the loser's temp file is reclaimed, not left to accumulate)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalArgumentException(
+        s"concurrent commit detected: version ${m.version} already exists at $target")
+    }
   }
 
   private[ts] def readManifest(spark: SparkSession, path: String,
