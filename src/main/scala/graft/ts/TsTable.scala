@@ -536,7 +536,13 @@ final class TsTable private (
     * with the data). Commits a new "restore" version — history moves
     * FORWARD to an old state, it is never rewritten. Cost: O(bytes copied
     * back from archive) — only files a later compact/retention/overwrite
-    * displaced; a restore to the current state copies nothing. The append
+    * displaced; a restore to the current state copies nothing. The copy
+    * itself is DISTRIBUTED (one Spark task per displaced file, each
+    * streaming archive→live through its executor's filesystem client), so
+    * restoring a version displaced by a large compaction moves bytes at
+    * cluster write bandwidth — never through the driver JVM, never
+    * sequentially; the driver handles only the O(#files) metadata
+    * (resolution, retirement renames, the manifest commit). The append
     * monotonicity guard re-anchors on the restored maxDt naturally.
     * Returns the new version number. */
   def restore(version: Long): Long = {
@@ -558,14 +564,31 @@ final class TsTable private (
       }
     }
     liveNow.filterNot(target.contains).foreach(archiveFile(fs, _))
-    // 2. copy displaced target files back from the archive
-    resolved.filterNot(_._4).foreach { case (_, archived, _, _) =>
+    // 2. copy displaced target files back from the archive — executor-side
+    // and parallel (see scaladoc cost model): the displaced list after a
+    // big compaction can approach the whole table, and FileUtil.copy on
+    // the driver would stream every byte through one JVM sequentially.
+    // One task per file; overwrite=true makes a retried task idempotent.
+    val displaced = resolved.filterNot(_._4).map { case (_, archived, _, _) =>
       val rel = archived.toString.stripPrefix(
         new Path(root, TsTable.ArchiveDir).toString).stripPrefix("/")
-      val dst = new Path(path, rel)
-      fs.mkdirs(dst.getParent)
-      org.apache.hadoop.fs.FileUtil.copy(fs, archived, fs, dst,
-        false /* keep the archived source */, spark.sparkContext.hadoopConfiguration)
+      (archived.toString, new Path(path, rel).toString)
+    }
+    if (displaced.nonEmpty) {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val slices = math.min(displaced.length,
+        spark.sparkContext.defaultParallelism).max(1)
+      spark.sparkContext.parallelize(displaced, slices)
+        .foreach { case (src, dst) =>
+          val sp = new Path(src)
+          val dp = new Path(dst)
+          val dstFs = dp.getFileSystem(conf.value)
+          dstFs.mkdirs(dp.getParent)
+          org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(conf.value), sp,
+            dstFs, dp, false /* keep the archived source */,
+            true /* overwrite: task retries re-copy */, conf.value)
+        }
     }
     // 3. the version's own schema becomes the stored descriptor again
     // (reopen via TsTable.open for a handle carrying it; this handle keeps

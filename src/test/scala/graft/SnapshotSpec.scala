@@ -206,6 +206,44 @@ class SnapshotSpec extends SparkSpec {
       "the restored version stays pinnable after the re-archive")
   }
 
+  test("restore's archive copy-back runs as a distributed Spark job — one " +
+      "task per displaced file, never a sequential driver byte loop") {
+    val (t, store, _) = build("distcp")
+    val good = t.currentVersion.get
+    val goodRows = ids(t.toDF)
+    t.dropBefore("2024-01-05") // archives every day — ALL files displaced
+    val displaced = TsTable.openAt(spark, store, good).resolvedFiles.count(!_._4)
+    assert(displaced >= 2, s"fixture must displace multiple files, got $displaced")
+    // restore's only Spark job is the copy itself (everything else is
+    // driver metadata), so the stages observed during it ARE the copy:
+    // a one-task-per-file job proves the bytes moved executor-side in
+    // parallel, and any stage at all proves they did not move through a
+    // driver-side FileUtil loop (which schedules no job).
+    val taskCounts = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        taskCounts.add(s.stageInfo.numTasks)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      t.restore(good)
+      val deadline = System.currentTimeMillis() + 10000
+      while (taskCounts.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    val counts = taskCounts.asScala.map(_.intValue).toSeq
+    // one task per file, capped by the cluster's parallelism (local[4] here)
+    val expected = math.min(displaced, spark.sparkContext.defaultParallelism)
+    assert(expected >= 2 && counts.contains(expected),
+      s"expected a copy job with min(#displaced=$displaced, parallelism=" +
+        s"${spark.sparkContext.defaultParallelism})=$expected tasks, " +
+        s"saw stages with task counts: $counts")
+    assert(ids(TsTable.open(spark, store).toDF) == goodRows,
+      "distributed restore must reproduce the pinned state exactly")
+  }
+
   test("a foreign in-place rewrite of a manifested file is detected, not served") {
     val (t, store, fs) = build("guard")
     val pinned = t.currentVersion.get
