@@ -222,6 +222,32 @@ object TimeSeriesPack extends QueryPack {
         .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
   }
 
+  /** A3+ row-level delete round-trip (`TsTable.deleteWhere` — the
+    * `DELETE FROM t WHERE …` verb, the GDPR/bad-producer operation the
+    * snapshot lifecycle was missing): four days land in two appends, then
+    * a copy-on-write delete removes a modulo-selected user cohort's rows
+    * inside a mid-range two-day window, and the FULL range reads back.
+    * The oracle applies the complementary predicate to raw events, so
+    * this hash-checks hit-file pruning, survivor rewrite, the swap, and
+    * the "delete" version commit end-to-end; the empty-hit fast path,
+    * pre-delete pin survival, untouched-file stability, and SQL
+    * null-predicate semantics are asserted in TsTableSpec. */
+  def deleteRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tsdelete_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cut = lit("2024-01-02 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    t.append(ev.where(col("ts") >= cut))
+    t.deleteWhere(col("user_id") % 7 === 3 &&
+      col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"))
+    eventsProjection(
+      TsTable.open(s, store)
+        .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
+  }
+
   // Query rectangle as FRACTIONS of each dimension's [min, max] span —
   // the fixture's user_id domain scales with SF, so absolute bounds
   // would select nothing at one scale and everything at another. Both
@@ -699,6 +725,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_snapshot" -> snapshotRoundtrip,
     "q_ts_history" -> tsHistory,
     "q_ts_restore" -> restoreRoundtrip,
+    "q_ts_delete" -> deleteRoundtrip,
     "q_zorder_cluster" -> zorderRect,
     "q_ts_stats" -> tsStatsReport,
     "q_filter_project" -> filterProject,
@@ -803,6 +830,15 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_snapshot" ->
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+    // deleteWhere removes exactly the predicate-TRUE rows; the survivors
+    // are the build slice under the complementary predicate.
+    "q_ts_delete" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+         |  AND NOT (user_id % 7 = 3
+         |    AND date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-02 00:00:00'
+         |    AND date_trunc('microseconds', ts) < TIMESTAMP '2024-01-04 00:00:00')
          |ORDER BY event_id""".stripMargin,
     "q_ts_stats" ->
       s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS p_date,

@@ -442,6 +442,111 @@ final class TsTable private (
     dropped
   }
 
+  /** Row-level DELETE, copy-on-write (the GDPR / bad-producer verb —
+    * `DELETE FROM t WHERE …` for this table format): removes every row the
+    * predicate evaluates TRUE on (null/UNKNOWN keeps the row, SQL DELETE
+    * semantics) and commits a "delete" version; a pre-delete pin still
+    * serves the removed rows (archive-not-delete, the compact rule).
+    *
+    * Mechanics, O(hit files) — never a table rewrite:
+    *   1. PRUNE: one scan finds the files holding matching rows. The
+    *      predicate reaches the parquet scan (row-group min/max stats skip
+    *      non-matching files; include ts bounds for time-scoped deletes so
+    *      the sorted layout prunes hardest). The driver collects one row
+    *      per HIT file (path + hit count) — bounded by the file count,
+    *      never rows.
+    *   2. REWRITE: one distributed job reads only the hit files and writes
+    *      each affected day's survivors back as `filesPerDay` ts-sorted
+    *      file(s) into an invisible `_delete_tmp` staging dir (a crash
+    *      here leaves only re-runnable temp state).
+    *   3. SWAP + COMMIT: hit originals are archived (pinned readers keep
+    *      resolving them), survivor files move in, and the next version
+    *      commits. A crash mid-swap is recoverable: every archived file
+    *      remains resolvable through the previous manifest.
+    *
+    * A partially-hit day afterwards holds its untouched files plus the
+    * survivor file, whose ts span OVERLAPS theirs — correct (reads are
+    * predicate-driven, not order-driven) but less skip-tight; `compact`
+    * restores the contiguous-slice layout. Returns the number of rows
+    * deleted (0 = no hit, in which case nothing is rewritten and no
+    * version commits). */
+  def deleteWhere(predicate: org.apache.spark.sql.Column,
+                  filesPerDay: Int = 1): Long = {
+    require(filesPerDay >= 1, "filesPerDay must be >= 1")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // same µs-instant encoding rationale as appendValidated
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val hitAgg = raw.where(predicate)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"))
+      .collect() // one row per HIT file — O(#hit files), documented above
+    if (hitAgg.isEmpty) return 0L // empty-hit fast path: no rewrite, no commit
+    val deleted = hitAgg.map(_.getLong(1)).sum
+    val rootPath = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
+    def relOf(fileUri: String): String = {
+      val p = new Path(fileUri).toUri.getPath
+      require(p.startsWith(rootPath + "/"),
+        s"deleteWhere: scanned file $fileUri resolves outside the table root")
+      p.substring(rootPath.length + 1)
+    }
+    val hitRel = hitAgg.map(r => relOf(r.getString(0))).toSeq
+    val (dated, loose) = hitRel.partition(_.contains("/"))
+    val keep = !coalesce(predicate, lit(false))
+    val tmp = new Path(root, "_delete_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // 2. survivors of the hit files only, one job per layout family
+    if (dated.nonEmpty) {
+      val nDays = dated.map(_.split("/").init.mkString("/")).distinct.length
+      val df = spark.read.option("basePath", path)
+        .schema(withPartCol(storedSchema))
+        .parquet(dated.map(r => new Path(root, r).toString): _*)
+        .where(keep)
+      val placed =
+        if (filesPerDay == 1) df.repartition(col(PartCol))
+        else df.repartitionByRange((nDays * filesPerDay).max(1),
+          col(PartCol), col(tsCol))
+      val writer = placed
+        .sortWithinPartitions(col(PartCol), col(tsCol))
+        .write.mode("overwrite")
+        .option("compression", writeOptions.codec)
+      writeOptions.rowGroupBytes.foreach(b =>
+        writer.option("parquet.block.size", b.toString))
+      writer.partitionBy(PartCol).parquet(new Path(tmp, "dated").toString)
+    }
+    if (loose.nonEmpty) { // attached plain/hybrid layouts: root-level files
+      val writer = spark.read.schema(storedSchema)
+        .parquet(loose.map(r => new Path(root, r).toString): _*)
+        .withColumn(PartCol, lit(null).cast(DateType)) // predicate may name it
+        .where(keep)
+        .drop(PartCol)
+        .repartitionByRange(loose.length.max(1), col(tsCol))
+        .sortWithinPartitions(col(tsCol))
+        .write.mode("overwrite")
+        .option("compression", writeOptions.codec)
+      writeOptions.rowGroupBytes.foreach(b =>
+        writer.option("parquet.block.size", b.toString))
+      writer.parquet(new Path(tmp, "loose").toString)
+    }
+    // 3. swap: archive the hit originals, move the survivor files in
+    hitRel.foreach(archiveFile(fs, _))
+    val datedTmp = new Path(tmp, "dated")
+    if (fs.exists(datedTmp)) {
+      fs.listStatus(datedTmp).filter(_.isDirectory).foreach { d =>
+        val liveDir = new Path(root, d.getPath.getName)
+        fs.mkdirs(liveDir)
+        dataFiles(fs, d.getPath).foreach(f =>
+          fs.rename(f, new Path(liveDir, f.getName)))
+      }
+    }
+    val looseTmp = new Path(tmp, "loose")
+    if (fs.exists(looseTmp))
+      dataFiles(fs, looseTmp).foreach(f => fs.rename(f, new Path(root, f.getName)))
+    fs.delete(tmp, true)
+    commitVersion("delete")
+    deleted
+  }
+
   /** Compact every day partition holding more than `targetFiles` data files;
     * returns the dates rewritten. Driver-side listing picks the candidates
     * (O(#partitions) metadata), each rewrite costs one day. */

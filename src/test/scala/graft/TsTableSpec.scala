@@ -236,6 +236,64 @@ class TsTableSpec extends SparkSpec {
     assert(rows.toSeq == rows.sortBy(_.getTime).toSeq)
   }
 
+  test("deleteWhere: copy-on-write delete across partitions; untouched files " +
+      "keep their bytes; pre-delete pin survives; empty hit no-ops") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows(Seq(
+      ("2024-03-01 10:00:00", 1L, 1.0),
+      ("2024-03-01 11:00:00", 2L, 2.0),
+      ("2024-03-02 10:00:00", 2L, 3.0),
+      ("2024-03-02 11:00:00", 3L, 4.0),
+      ("2024-03-03 10:00:00", 3L, 5.0),
+      ("2024-03-03 11:00:00", 4L, 6.0)))) // user 2 only in days 1-2
+    val pinned = tab.currentVersion.get
+    def filesOf(day: String): Set[String] =
+      new java.io.File(dir, s"p_date=$day").listFiles
+        .map(_.getName).filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    val day3Before = filesOf("2024-03-03")
+    val deleted = tab.deleteWhere(col("user_id") === 2L)
+    assert(deleted == 2L)
+    assert(tab.toDF.count() == 4)
+    assert(tab.toDF.where(col("user_id") === 2L).count() == 0)
+    assert(tab.snapshotVersions.last._2 == "delete")
+    // the day without hits is NOT rewritten — copy-on-write touches hit files only
+    assert(filesOf("2024-03-03") == day3Before)
+    // the pre-delete pin still serves the removed rows (archive-not-delete)
+    assert(tab.openAt(pinned).toDF.count() == 6)
+    // rewritten days stay readable and ts-sorted through the normal path
+    val day1 = tab.readRange(t("2024-03-01 00:00:00"), t("2024-03-01 23:59:59"))
+      .collect()
+    assert(day1.map(_.getLong(1)).toSeq == Seq(1L))
+    // empty hit: fast path — no rewrite, no version commit
+    val v = tab.currentVersion.get
+    assert(tab.deleteWhere(col("user_id") === 99L) == 0L)
+    assert(tab.currentVersion.get == v)
+    // SQL DELETE semantics: a null (UNKNOWN) predicate keeps every row
+    assert(tab.deleteWhere(lit(null).cast("boolean")) == 0L)
+    assert(tab.toDF.count() == 4)
+  }
+
+  test("deleteWhere: time-scoped delete can empty a whole day; edge aggregates " +
+      "and later appends stay correct") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows(Seq(
+      ("2024-03-01 10:00:00", 1L, 1.0),
+      ("2024-03-02 10:00:00", 2L, 2.0),
+      ("2024-03-03 10:00:00", 3L, 3.0))))
+    val n = tab.deleteWhere(col("ts").between(
+      lit("2024-03-02 00:00:00").cast("timestamp"),
+      lit("2024-03-02 23:59:59").cast("timestamp")))
+    assert(n == 1L)
+    assert(tab.toDF.count() == 2)
+    assert(tab.minDt.contains(t("2024-03-01 10:00:00")))
+    assert(tab.maxDt.contains(t("2024-03-03 10:00:00")))
+    // the append monotonicity guard re-anchors on the surviving max
+    tab.append(mkRows(Seq(("2024-03-04 09:00:00", 9L, 9.0))))
+    assert(tab.toDF.count() == 3)
+  }
+
   test("schema evolution: added column null-backfills history, survives reopen") {
     val dir = freshDir()
     val tab = TsTable.create(spark, dir, schema)
