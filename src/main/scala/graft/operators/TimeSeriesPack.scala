@@ -248,6 +248,33 @@ object TimeSeriesPack extends QueryPack {
         .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
   }
 
+  /** A3+ incremental-read round-trip (`TsTable.changesBetween` — the CDF
+    * "what arrived since the last training run" verb): a first batch lands
+    * and its version is the consumer's checkpoint; a second batch lands, a
+    * compaction rewrites the cut day (archiving one of the new batch's
+    * files — the diff must resolve it through the archive), and a third
+    * batch lands. `changesBetween(checkpoint, current)` must return
+    * exactly batches 2+3: appends are file-additive so the metadata-only
+    * manifest diff identifies the added files, and the compact version in
+    * between contributes nothing. The oracle is the raw events at-or-after
+    * the first cut, hash-checking the whole chain; no-false-adds across
+    * maintenance and full-history equivalence are asserted in
+    * SnapshotSpec. */
+  def changesRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tschanges_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cut1 = lit("2024-01-02 12:00:00").cast("timestamp")
+    val cut2 = lit("2024-01-03 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut1))
+    val checkpoint = t.currentVersion.get
+    t.append(ev.where(col("ts") >= cut1 && col("ts") < cut2))
+    t.compactAll(targetFiles = 1) // rewrites the two cut days
+    t.append(ev.where(col("ts") >= cut2))
+    eventsProjection(t.changesBetween(checkpoint, t.currentVersion.get))
+  }
+
   // Query rectangle as FRACTIONS of each dimension's [min, max] span —
   // the fixture's user_id domain scales with SF, so absolute bounds
   // would select nothing at one scale and everything at another. Both
@@ -726,6 +753,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_history" -> tsHistory,
     "q_ts_restore" -> restoreRoundtrip,
     "q_ts_delete" -> deleteRoundtrip,
+    "q_ts_changes" -> changesRoundtrip,
     "q_zorder_cluster" -> zorderRect,
     "q_ts_stats" -> tsStatsReport,
     "q_filter_project" -> filterProject,
@@ -830,6 +858,14 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_snapshot" ->
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+    // changesBetween(checkpoint, current) = the rows appended after the
+    // checkpoint (batches 2+3 = everything at-or-after the first cut);
+    // the intervening compact contributes no false adds.
+    "q_ts_changes" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-02 12:00:00'
+         |  AND date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
          |ORDER BY event_id""".stripMargin,
     // deleteWhere removes exactly the predicate-TRUE rows; the survivors
     // are the build slice under the complementary predicate.

@@ -630,6 +630,53 @@ final class TsTable private (
   def readRange(start: Timestamp, end: Timestamp, asOf: Long): DataFrame =
     openAt(asOf).readRange(start, end)
 
+  /** Incremental read — the CDF "what arrived since the last run" verb:
+    * rows ADDED between `fromVersion` (exclusive) and `toVersion`
+    * (inclusive), as a metadata-derived file-set diff. Appends (facade or
+    * V2 connector) are file-additive, so the rows added by each `append`/
+    * `overwrite` version in the range are exactly its manifest's files not
+    * present in the previous manifest; those files are then read wherever
+    * they now live (a later compact may have archived them — resolution
+    * goes through the snapshot machinery). Versions produced by `compact`,
+    * retention, `deleteWhere`, and `restore` contribute NO rows: they
+    * rewrite or remove existing data, never add it (so an incremental
+    * consumer sees no false adds across maintenance — asserted in
+    * SnapshotSpec). Removals are not surfaced here — diff `history` /
+    * `snapshotVersions` actions ("retention"/"delete"/"restore" in the
+    * range signal them) or anti-join pinned reads when row-level removal
+    * tracking matters. An `overwrite` is a rebase: its full new content
+    * counts as added, and the prior content's disappearance is signalled
+    * by the action, not by rows.
+    *
+    * Cost: O(#versions in range) manifest reads + one distributed scan of
+    * ONLY the added files — never the whole table (the q_corpus_diff
+    * md5-anti-join pays two full scans for the same answer when no
+    * version history exists). Serves each row under `toVersion`'s schema
+    * (older files null-fill evolved columns, the appendEvolved rule). */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changesBetween: need fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val manifests = (fromVersion to toVersion)
+      .map(v => v -> TsTable.readManifest(spark, path, v)).toMap
+    val added = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val m = manifests(v)
+      if (m.action != "append" && m.action != "overwrite" && m.action != "create")
+        Seq.empty
+      else {
+        val prev = manifests(v - 1).files.map(_._1).toSet
+        m.files.filterNot(f => prev.contains(f._1))
+      }
+    }.distinct
+    val serving = manifests(toVersion)
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], serving.schema)
+    else
+      new TsSnapshot(spark, path, serving.tsCol,
+        TsManifest(toVersion, "changes", serving.tsCol, serving.schema, added))
+        .toDF
+  }
+
   /** Roll the LIVE table back to a committed version (the Delta `RESTORE`
     * analogue — mistake recovery: a bad batch landed, an overwrite was
     * wrong, retention dropped too much). Mechanics: every current live

@@ -206,6 +206,34 @@ class SnapshotSpec extends SparkSpec {
       "the restored version stays pinnable after the re-archive")
   }
 
+  test("changesBetween returns exactly the appended rows; maintenance " +
+      "versions contribute no false adds; compacted-away files resolve " +
+      "through the archive") {
+    val (t, store, _) = build("changes")
+    val from = 2L // after the FIRST append (create=1, append=2, append=3)
+    val batch2 = ids(t.toDF).toSet -- ids(t.openAt(from).toDF).toSet
+    // maintenance between the appends being diffed: compact rewrites the
+    // cut day (archiving one of batch 2's files), retention drops a day
+    t.compactAll(targetFiles = 1)
+    val afterCompact = t.currentVersion.get
+    // compact alone adds nothing
+    assert(t.changesBetween(3L, afterCompact).count() == 0,
+      "a compact version must surface no added rows")
+    // append a fifth day on top
+    val hi = lit("2024-01-06 00:00:00").cast("timestamp")
+    val lo = lit("2024-01-05 00:00:00").cast("timestamp")
+    t.append(Tables.events(spark, sf0001).where(col("ts") >= lo && col("ts") < hi))
+    val day5 = ids(Tables.events(spark, sf0001)
+      .where(col("ts") >= lo && col("ts") < hi)).toSet
+    val changed = ids(t.changesBetween(from, t.currentVersion.get)).toSet
+    assert(changed == (batch2 ++ day5),
+      "changes = batch 2 (resolved through the archive post-compact) + batch 3")
+    // full-history diff equals the current table
+    assert(ids(t.changesBetween(1L, t.currentVersion.get)).toSet == ids(t.toDF).toSet)
+    // degenerate range is rejected
+    intercept[IllegalArgumentException](t.changesBetween(3L, 3L))
+  }
+
   test("restore's archive copy-back runs as a distributed Spark job — one " +
       "task per displaced file, never a sequential driver byte loop") {
     val (t, store, _) = build("distcp")
