@@ -1,0 +1,139 @@
+package graft.sources
+
+import graft.ts.TsTable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util.{Map => JMap}
+
+/** SQL-catalog face of the `graft-ts` connector — the piece that makes
+  * time travel a first-class SQL citizen instead of a DataFrame-only
+  * option:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft_ts",
+  *                  "graft.sources.GraftTsCatalog")
+  *   SELECT * FROM graft_ts.`/data/trades`                  -- live table
+  *   SELECT * FROM graft_ts.`/data/trades` VERSION AS OF 3  -- pinned
+  *   SELECT * FROM graft_ts.`/data/trades`
+  *     TIMESTAMP AS OF '2024-01-02 00:00:00'                -- by commit time
+  *   INSERT INTO graft_ts.`/data/trades` SELECT ...         -- ordered append
+  *   CREATE TABLE graft_ts.`/data/new` (ts TIMESTAMP, v DOUBLE)
+  * }}}
+  *
+  * The identifier IS the store path (Delta's path-catalog convention):
+  * `graft_ts.`/abs/path`` resolves `TsTable.open` on that directory;
+  * multi-part identifiers join with '/'. `VERSION AS OF v` serves the
+  * SAME pinned table as `option("asOf", v)` — one [[GraftTsV2Table]]
+  * wrapping the version's snapshot file index, so schema-per-version,
+  * archive resolution, pruned scans, and the pinned-write refusal are
+  * shared, not reimplemented (parity asserted in GraftTsSourceSpec).
+  * `TIMESTAMP AS OF t` resolves to the newest version whose manifest was
+  * committed at-or-before `t` (manifest file modification time — wall
+  * clock of the commit's rename; a filesystem migration that rewrites
+  * mtimes coarsens this, version pins stay exact).
+  *
+  * Scale notes: resolution is O(1) directory metadata (descriptor +
+  * manifest reads); scans/writes are the connector's stock distributed
+  * paths. Catalog verbs that would mutate user data wholesale
+  * (drop/rename/alter) are refused — table lifecycle stays with the
+  * facade's explicit, snapshot-committing verbs.
+  */
+final class GraftTsCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft_ts"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** The identifier is the path: `graft_ts.`/a/b`` → "/a/b". */
+  private def pathOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  private def exists(path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Path-addressed catalog: there is no namespace to enumerate. */
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  override def tableExists(ident: Identifier): Boolean = exists(pathOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    if (!exists(path)) throw new NoSuchTableException(ident)
+    new GraftTsV2Table(spark, TsTable.open(spark, path), None)
+  }
+
+  /** `VERSION AS OF v` — the SQL face of `option("asOf", v)`/`openAt`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    if (!exists(path)) throw new NoSuchTableException(ident)
+    val v =
+      try version.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"VERSION AS OF takes a graft-ts snapshot version number, got '$version'")
+      }
+    new GraftTsV2Table(spark, TsTable.open(spark, path),
+      Some(TsTable.openAt(spark, path, v)))
+  }
+
+  /** `TIMESTAMP AS OF t` (micros since epoch from the parser): newest
+    * version committed at-or-before `t`. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = pathOf(ident)
+    if (!exists(path)) throw new NoSuchTableException(ident)
+    val commits = TsTable.versionCommitMs(spark, path)
+    require(commits.nonEmpty,
+      s"TIMESTAMP AS OF on '$path': the table has no committed snapshot versions")
+    val atOrBefore = commits.filter(_._2 * 1000L <= timestampMicros)
+    require(atOrBefore.nonEmpty,
+      s"TIMESTAMP AS OF on '$path': no version committed at or before " +
+        s"${java.time.Instant.ofEpochMilli(timestampMicros / 1000L)} " +
+        s"(earliest commit: ${java.time.Instant.ofEpochMilli(commits.map(_._2).min)})")
+    loadTable(ident, atOrBefore.maxBy(_._2)._1.toString)
+  }
+
+  /** `CREATE TABLE graft_ts.`/path`` (ts TIMESTAMP, …)` → `TsTable.create`
+    * (partition transforms are refused: the daily layout is the format's
+    * own, not user-declarable). */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-ts tables manage their own daily time partitioning; " +
+        "PARTITIONED BY is not accepted")
+    val path = pathOf(ident)
+    val tsCol = Option(properties.get("tsCol")).getOrElse("ts")
+    TsTable.create(spark, path, schema, tsCol)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-ts schema changes go through TsTable.appendEvolved, which " +
+        "commits a snapshot version; ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "refusing to drop a path-addressed graft-ts store through SQL; " +
+        "delete the directory explicitly if that is really what you want")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "a graft-ts table's identity IS its path; move the directory " +
+        "explicitly to rename it")
+}

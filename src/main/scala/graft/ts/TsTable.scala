@@ -1058,6 +1058,23 @@ object TsTable {
   private[ts] def manifestName(v: Long): String =
     f"$VersionsDir/v$v%08d.manifest"
 
+  /** (version, commit wall-clock ms) pairs, ascending by version, from the
+    * manifest files' modification times — the commit instant is the
+    * manifest's install rename, so mtime IS the commit time on any
+    * filesystem that stamps renames/creates (a migration that rewrites
+    * mtimes coarsens TIMESTAMP AS OF resolution; version pins stay
+    * exact). One directory listing, metadata-only. */
+  private[graft] def versionCommitMs(spark: SparkSession, path: String): Seq[(Long, Long)] = {
+    val dir = new Path(path, VersionsDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator.filter(_.isFile)
+      .flatMap(st => st.getPath.getName match {
+        case ManifestRe(n) => Some((n.toLong, st.getModificationTime))
+        case _ => None
+      }).toSeq.sortBy(_._1)
+  }
+
   /** Committed version numbers (unordered) from one directory listing. */
   private[ts] def listVersions(spark: SparkSession, path: String): Seq[Long] = {
     val dir = new Path(path, VersionsDir)

@@ -249,4 +249,55 @@ class GraftTsSourceSpec extends SparkSpec {
     assert(scan.partitionFilters.nonEmpty)
     assert(rows.collect().map(_.getLong(0)).toSeq == Seq(4L, 5L))
   }
+
+  test("catalog SQL face: VERSION AS OF matches option(asOf) exactly; " +
+      "TIMESTAMP AS OF resolves by commit time; INSERT INTO appends; " +
+      "live SELECT tracks mutations") {
+    val dir = freshDir()
+    val t = TsTable.create(spark, dir, schema)
+    append(mkRows(Seq(("2024-03-01 10:00:00", 1L, 1.0))), dir)
+    val pinned = t.currentVersion.get
+    Thread.sleep(50) // manifest mtime granularity straddle
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(50)
+    append(mkRows(Seq(("2024-03-02 10:00:00", 2L, 2.0))), dir)
+    // live catalog read sees both rows
+    assert(spark.sql(s"SELECT count(*) FROM graft_ts.`$dir`").head.getLong(0) == 2L)
+    // VERSION AS OF serves the SAME snapshot as the option path
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_ts.`$dir` VERSION AS OF $pinned ORDER BY user_id")
+    val viaOpt = spark.read.format("graft-ts").option("asOf", pinned.toString)
+      .load(dir).orderBy("user_id")
+    assert(viaSql.schema == viaOpt.schema)
+    assert(viaSql.collect().toSeq == viaOpt.collect().toSeq)
+    assert(viaSql.collect().map(_.getLong(1)).toSeq == Seq(1L))
+    // TIMESTAMP AS OF between the two appends resolves to the first
+    val lit0 = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(betweenMs))
+    assert(spark.sql(
+      s"SELECT user_id FROM graft_ts.`$dir` TIMESTAMP AS OF '$lit0'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // ...and before the first commit it refuses loudly
+    val early = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ts.`$dir` TIMESTAMP AS OF '2000-01-01 00:00:00'")
+      .collect())
+    assert(early.getMessage.contains("no version committed"))
+    // INSERT INTO goes through the ordered-append write path...
+    spark.sql(s"INSERT INTO graft_ts.`$dir` " +
+      "SELECT TIMESTAMP '2024-03-03 10:00:00', CAST(3 AS BIGINT), 3.0")
+    assert(spark.sql(s"SELECT count(*) FROM graft_ts.`$dir`").head.getLong(0) == 3L)
+    // ...including the monotonicity guard
+    val bad = intercept[Exception](spark.sql(s"INSERT INTO graft_ts.`$dir` " +
+      "SELECT TIMESTAMP '2024-01-01 00:00:00', CAST(9 AS BIGINT), 9.0"))
+    assert(bad.getMessage.contains("append-ordered") ||
+      Option(bad.getCause).exists(_.getMessage.contains("append-ordered")))
+    // the pin predates both inserts and still serves exactly one row
+    assert(spark.sql(s"SELECT count(*) FROM graft_ts.`$dir` VERSION AS OF $pinned")
+      .head.getLong(0) == 1L)
+    // an unknown store path is a catalog-level NoSuchTable, not a crash
+    val missing = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_ts.`$dir/nope` VERSION AS OF 1").collect())
+    assert(missing.getMessage.toLowerCase.contains("table"))
+  }
 }

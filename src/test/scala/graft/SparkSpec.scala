@@ -17,6 +17,7 @@ object SparkSpec {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.graft_ts", "graft.sources.GraftTsCatalog")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
