@@ -10,47 +10,60 @@ import org.apache.spark.sql.functions._
   *
   * A single-column sort prunes scans on that column only; a 100 TB table
   * queried by `x BETWEEN … AND y BETWEEN …` needs BOTH dimensions locally
-  * clustered. The Morton code interleaves the bits of the two dimensions'
-  * 16-bit grid ranks, so sorting by it places rows that are close in
-  * (x, y) space close in the file layout:
+  * clustered. The Morton code interleaves the bits of the dimensions'
+  * grid ranks round-robin, so sorting by it places rows that are close in
+  * the k-dimensional value space close in the file layout:
   *
-  *   - the TOP `PrefixBits` bits of the code become an explicit `zbucket`
+  *   - the TOP prefix bits of the code become an explicit `zbucket`
   *     partition directory. A prefix of the interleaved code is itself a
-  *     RECTANGLE in (x, y) space (the first p bits pin the top p/2 bits of
-  *     each dimension), so the driver can decode each bucket's exact
-  *     bounding box and turn a query rectangle into a `zbucket IN (…)`
-  *     partition filter — pruning at the FILE-LISTING level, before any
-  *     footer is opened (same mechanism the IVF store uses for cells);
-  *   - WITHIN each bucket, rows are sorted by the full code, so both
-  *     dimensions' per-row-group min/max footer stats stay tight and the
+  *     BOX in rank space (k·h prefix bits pin the top h bits of every
+  *     dimension), so the driver can decode each bucket's exact bounding
+  *     box and turn a query box into a `zbucket IN (…)` partition
+  *     filter — pruning at the FILE-LISTING level, before any footer is
+  *     opened (same mechanism the IVF store uses for cells);
+  *   - WITHIN each bucket, rows are sorted by the full code, so every
+  *     dimension's per-row-group min/max footer stats stay tight and the
   *     pushed-down residual predicate skips row groups inside the
   *     surviving buckets.
   *
   * The bucket filter is CONSERVATIVE by construction (a bucket is read iff
-  * its decoded bounding box intersects the query rectangle — grid ranks
-  * are monotone in the raw values, so no qualifying row can live in a
-  * pruned bucket) and the exact predicate is re-applied on the surviving
-  * rows, so results are byte-identical to an unclustered scan: the oracle
-  * for `q_zorder_cluster` is the plain SQL rectangle query on `events`.
+  * its decoded bounding box intersects the query box — grid ranks are
+  * monotone in the raw values, so no qualifying row can live in a pruned
+  * bucket) and the exact predicate is re-applied on the surviving rows, so
+  * results are byte-identical to an unclustered scan: the oracle for
+  * `q_zorder_cluster` is the plain SQL rectangle query on `events`.
+  *
+  * Dimensionality: 2-D is the canonical special case (16-bit ranks,
+  * 32-bit codes, 4-bit prefix = 16 bucket dirs); k dimensions interleave
+  * round-robin with `bitsFor(k) = min(16, 63/k)` bits per dimension (the
+  * code must fit a long) and `2k` prefix bits (4^k buckets, 2 bits per
+  * dimension — the same per-dim fan-out at every k). All layout
+  * parameters are pure functions of k, so a store's geometry is fully
+  * determined by its meta sidecar's bound count — nothing else to record,
+  * nothing to version.
   *
   * Scale notes: the build is one tiny min/max aggregate plus one shuffle
   * by bucket (the once-paid layout cost, amortized over every later
   * rectangle query — the q_join_bucketed ledger); the code itself is a
-  * chain of codegen'd bit ops (shift/and/or), no UDF. `Bits = 16` per
-  * dimension bounds the grid at 65536² cells — finer than any file count
-  * a table reaches, and the bucket fan-out is governed independently by
-  * `PrefixBits`.
+  * chain of codegen'd bit ops (shift/and/or), no UDF.
   */
 object ZOrderLayout {
 
-  /** Grid resolution per dimension (16-bit ranks → 32-bit Morton codes,
-    * comfortably inside a long). */
+  /** Grid resolution per dimension in 2-D (16-bit ranks → 32-bit Morton
+    * codes, comfortably inside a long). */
   val Bits = 16
 
-  /** Bits of Morton prefix promoted to the `zbucket` partition column:
-    * 2^PrefixBits directories, PrefixBits/2 bits per dimension (keep it
-    * even so buckets decode to exact rectangles). */
+  /** Bits of Morton prefix promoted to the `zbucket` partition column in
+    * 2-D: 2^PrefixBits directories, PrefixBits/2 bits per dimension. */
   val PrefixBits = 4
+
+  /** Per-dimension rank width for a k-dim layout: the full 16 while k·bits
+    * fits a long's positive range, degrading evenly past 3 dimensions. */
+  def bitsFor(k: Int): Int = math.min(Bits, 63 / k)
+
+  /** Prefix bits for a k-dim layout: 2 per dimension (4^k bucket dirs) —
+    * the 2-D PrefixBits rule at every k. */
+  def prefixFor(k: Int): Int = 2 * k
 
   private val MaxCell = (1L << Bits) - 1
   private val FingerprintFile = "_zorder_fingerprint"
@@ -60,55 +73,85 @@ object ZOrderLayout {
     * column — metadata-scale, computed once at build). */
   final case class Meta(xMin: Double, xMax: Double, yMin: Double, yMax: Double)
 
-  /** Grid rank of a raw value: floor-scaled into [0, 2^Bits). Monotone
+  /** k-dimensional bounds, one (min, max) per clustered column in build
+    * order. `k = bounds.length` determines the whole layout geometry. */
+  final case class MetaN(bounds: Seq[(Double, Double)]) {
+    def k: Int = bounds.length
+  }
+
+  /** Grid rank of a raw value: floor-scaled into [0, maxCell]. Monotone
     * non-decreasing in `v`, which is what makes bucket pruning safe. */
-  def rankOf(v: Double, mn: Double, mx: Double): Long = {
+  def rankOf(v: Double, mn: Double, mx: Double, maxCell: Long = MaxCell): Long = {
     val span = if (mx > mn) mx - mn else 1.0
-    math.min(MaxCell, math.max(0L, ((v - mn) / span * MaxCell).toLong))
+    math.min(maxCell, math.max(0L, ((v - mn) / span * maxCell).toLong))
   }
 
   /** Column form of [[rankOf]] — same floor arithmetic, codegen'd. */
-  private def rankCol(c: Column, mn: Double, mx: Double): Column = {
+  private def rankCol(c: Column, mn: Double, mx: Double, maxCell: Long): Column = {
     val span = if (mx > mn) mx - mn else 1.0
-    least(greatest(((c.cast("double") - lit(mn)) / lit(span) * lit(MaxCell.toDouble))
-      .cast("long"), lit(0L)), lit(MaxCell))
+    least(greatest(((c.cast("double") - lit(mn)) / lit(span) * lit(maxCell.toDouble))
+      .cast("long"), lit(0L)), lit(maxCell))
   }
 
-  /** Morton interleave: x's bit i lands at position 2i, y's at 2i+1 (so
-    * the most significant pair is (y15, x15)). Pure bit ops — stays in
-    * whole-stage codegen. */
-  private def interleave(x: Column, y: Column): Column =
-    (0 until Bits).map { i =>
-      shiftleft(x.bitwiseAND(lit(1L << i)), i)
-        .bitwiseOR(shiftleft(y.bitwiseAND(lit(1L << i)), i + 1))
-    }.reduce(_ bitwiseOR _)
+  /** Round-robin Morton interleave: dimension j's bit i lands at output
+    * position i·k + j (so the most significant group is every dimension's
+    * top bit, last dimension highest). Pure bit ops — stays in
+    * whole-stage codegen. The 2-D layout (x bit i → 2i, y bit i → 2i+1)
+    * is exactly the k = 2 case. */
+  private def interleaveN(ranks: Seq[Column], bits: Int): Column = {
+    val k = ranks.length
+    (for (j <- 0 until k; i <- 0 until bits) yield
+      shiftleft(ranks(j).bitwiseAND(lit(1L << i)), i * (k - 1) + j))
+      .reduce(_ bitwiseOR _)
+  }
 
-  /** Decoded bounding box of one zbucket: the bucket id's bits are the top
-    * PrefixBits/2 bits of each dimension's rank. */
+  /** Decoded bounding box of one zbucket in 2-D — see [[bucketBoxN]]. */
   def bucketBox(b: Int): (Long, Long, Long, Long) = {
-    val half = PrefixBits / 2
-    var xTop = 0L; var yTop = 0L
-    for (i <- 0 until half) {
-      // bucket bit 2i is x's rank bit (Bits - half + i); 2i+1 is y's
-      xTop |= ((b >> (2 * i)) & 1L) << i
-      yTop |= ((b >> (2 * i + 1)) & 1L) << i
+    val Seq((xLo, xHi), (yLo, yHi)) = bucketBoxN(b, 2, Bits, PrefixBits)
+    (xLo, xHi, yLo, yHi)
+  }
+
+  /** Decoded per-dimension rank box of one zbucket: the bucket id's bits
+    * are the top `prefix/k` bits of each dimension's rank (bucket bit
+    * i·k + j is dimension j's rank bit `bits - prefix/k + i`). */
+  def bucketBoxN(b: Int, k: Int, bits: Int, prefix: Int): Seq[(Long, Long)] = {
+    val h = prefix / k
+    (0 until k).map { j =>
+      var top = 0L
+      for (i <- 0 until h) top |= ((b >> (i * k + j)) & 1L) << i
+      val w = bits - h
+      (top << w, ((top + 1) << w) - 1)
     }
-    val w = Bits - half
-    (xTop << w, ((xTop + 1) << w) - 1, yTop << w, ((yTop + 1) << w) - 1)
   }
 
   /** Write the clustered copy: one directory per Morton-prefix bucket,
-    * rows sorted by the full code within each file. */
+    * rows sorted by the full code within each file. 2-D special case of
+    * [[buildN]] (identical bytes and bucket numbering). */
   def build(df: DataFrame, xCol: String, yCol: String, path: String): Meta = {
+    val m = buildN(df, Seq(xCol, yCol), path)
+    Meta(m.bounds(0)._1, m.bounds(0)._2, m.bounds(1)._1, m.bounds(1)._2)
+  }
+
+  /** k-dimensional clustered build. ≥2 columns (a single column wants a
+    * plain sort, not a space-filling curve); ≤8 keeps the 4^k bucket
+    * fan-out a directory count, not a partition explosion. */
+  def buildN(df: DataFrame, cols: Seq[String], path: String): MetaN = {
+    require(cols.length >= 2, "z-order needs at least 2 columns (use a plain sort for 1)")
+    require(cols.length <= 8, s"z-order supports up to 8 dimensions, got ${cols.length}")
+    val k = cols.length
+    val bits = bitsFor(k)
+    val maxCell = (1L << bits) - 1
     val spark = df.sparkSession
-    val Array(r) = df.agg(
-      min(col(xCol).cast("double")), max(col(xCol).cast("double")),
-      min(col(yCol).cast("double")), max(col(yCol).cast("double"))).collect()
-    require(!r.isNullAt(0) && !r.isNullAt(2),
-      s"cannot z-order an empty input (no rows to derive $xCol/$yCol bounds from)")
-    val meta = Meta(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
-    val z = interleave(rankCol(col(xCol), meta.xMin, meta.xMax),
-      rankCol(col(yCol), meta.yMin, meta.yMax))
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val r = df.agg(aggs.head, aggs.tail: _*).head
+    require(!r.isNullAt(0),
+      s"cannot z-order an empty input (no rows to derive ${cols.mkString("/")} bounds from)")
+    val meta = MetaN(cols.indices.map(j => (r.getDouble(2 * j), r.getDouble(2 * j + 1))))
+    val z = interleaveN(
+      cols.indices.map(j =>
+        rankCol(col(cols(j)), meta.bounds(j)._1, meta.bounds(j)._2, maxCell)),
+      bits)
     val storePath = new Path(path)
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(storePath)) {
@@ -130,13 +173,13 @@ object ZOrderLayout {
     }
     df.withColumn("zkey", z)
       .withColumn("zbucket",
-        shiftright(col("zkey"), 2 * Bits - PrefixBits).cast("int"))
+        shiftright(col("zkey"), k * bits - prefixFor(k)).cast("int"))
       .repartition(col("zbucket"))
       .sortWithinPartitions(col("zbucket"), col("zkey"))
       .drop("zkey")
       .write.mode("overwrite").partitionBy("zbucket").parquet(path)
     IvfIndex.writeSidecar(spark, path, MetaFile,
-      s"${meta.xMin},${meta.xMax},${meta.yMin},${meta.yMax}")
+      meta.bounds.flatMap(b => Seq(b._1, b._2)).mkString(","))
     meta
   }
 
@@ -145,41 +188,77 @@ object ZOrderLayout {
     * after the data + meta sidecar, so a crashed build has no fingerprint
     * and is rebuilt. Returns true when a build ran. */
   def buildIfNeeded(df: DataFrame, xCol: String, yCol: String, path: String,
-                    fingerprint: String): Boolean = {
+                    fingerprint: String): Boolean =
+    buildIfNeededN(df, Seq(xCol, yCol), path, fingerprint)
+
+  /** k-dim [[buildIfNeeded]]. The parameter tag pins the full geometry
+    * (column list, per-dim bits, prefix), so a store built at another
+    * dimensionality under the same path rebuilds rather than mis-serves.
+    * For k = 2 the tag reduces to the historical `x:y:b16:p4` form —
+    * existing 2-D stores stay amortized. */
+  def buildIfNeededN(df: DataFrame, cols: Seq[String], path: String,
+                     fingerprint: String): Boolean = {
     val spark = df.sparkSession
-    val full = s"$fingerprint:$xCol:$yCol:b$Bits:p$PrefixBits"
+    val k = cols.length
+    val full = s"$fingerprint:${cols.mkString(":")}:b${bitsFor(k)}:p${prefixFor(k)}"
     if (IvfIndex.readSidecar(spark, path, FingerprintFile).contains(full)) false
     else {
-      build(df, xCol, yCol, path)
+      buildN(df, cols, path)
       IvfIndex.writeSidecar(spark, path, FingerprintFile, full)
       true
     }
   }
 
-  /** Read back the stored normalization bounds of a built layout. */
+  /** Read back the stored normalization bounds of a 2-D layout. */
   def readMeta(spark: SparkSession, path: String): Meta = {
-    val raw = IvfIndex.readSidecar(spark, path, MetaFile)
-      .getOrElse(sys.error(s"$path is not a z-order store (no $MetaFile)"))
-    val Array(a, b, c, d) = raw.split(',').map(_.toDouble)
-    Meta(a, b, c, d)
+    val m = readMetaN(spark, path)
+    require(m.k == 2, s"$path is a ${m.k}-dimensional z-order store, not 2-D")
+    Meta(m.bounds(0)._1, m.bounds(0)._2, m.bounds(1)._1, m.bounds(1)._2)
   }
 
-  /** Rectangle query over the clustered layout: decode the query corners
-    * to grid ranks, keep only buckets whose bounding box intersects, and
-    * re-apply the exact predicate. The bucket list is a plan-time literal
-    * IN — Catalyst prunes the partition directories at file listing. */
+  /** Stored bounds of a built layout at any dimensionality (the sidecar
+    * is the flat min,max list per dimension; its length IS the k). */
+  def readMetaN(spark: SparkSession, path: String): MetaN = {
+    val raw = IvfIndex.readSidecar(spark, path, MetaFile)
+      .getOrElse(sys.error(s"$path is not a z-order store (no $MetaFile)"))
+    val ds = raw.split(',').map(_.toDouble)
+    require(ds.length >= 4 && ds.length % 2 == 0,
+      s"$path has a malformed z-order meta sidecar (${ds.length} values)")
+    MetaN(ds.grouped(2).map(a => (a(0), a(1))).toSeq)
+  }
+
+  /** 2-D rectangle query — the k = 2 case of [[queryBox]]. */
   def queryRect(spark: SparkSession, path: String, xCol: String, yCol: String,
-                xLo: Double, xHi: Double, yLo: Double, yHi: Double): DataFrame = {
-    val m = readMeta(spark, path)
-    val (qxLo, qxHi) = (rankOf(xLo, m.xMin, m.xMax), rankOf(xHi, m.xMin, m.xMax))
-    val (qyLo, qyHi) = (rankOf(yLo, m.yMin, m.yMax), rankOf(yHi, m.yMin, m.yMax))
-    val buckets = (0 until (1 << PrefixBits)).filter { b =>
-      val (bxLo, bxHi, byLo, byHi) = bucketBox(b)
-      bxLo <= qxHi && qxLo <= bxHi && byLo <= qyHi && qyLo <= byHi
+                xLo: Double, xHi: Double, yLo: Double, yHi: Double): DataFrame =
+    queryBox(spark, path, Seq(xCol, yCol), Seq(xLo, yLo), Seq(xHi, yHi))
+
+  /** k-dimensional box query over the clustered layout: decode the query
+    * corners to grid ranks, keep only buckets whose bounding box
+    * intersects, and re-apply the exact predicate. The bucket list is a
+    * plan-time literal IN — Catalyst prunes the partition directories at
+    * file listing. */
+  def queryBox(spark: SparkSession, path: String, cols: Seq[String],
+               lo: Seq[Double], hi: Seq[Double]): DataFrame = {
+    val m = readMetaN(spark, path)
+    val k = cols.length
+    require(m.k == k,
+      s"$path is a ${m.k}-dimensional z-order store; queried with $k columns")
+    require(lo.length == k && hi.length == k,
+      s"queryBox needs one (lo, hi) pair per column")
+    val bits = bitsFor(k)
+    val maxCell = (1L << bits) - 1
+    val qr = cols.indices.map { j =>
+      (rankOf(lo(j), m.bounds(j)._1, m.bounds(j)._2, maxCell),
+        rankOf(hi(j), m.bounds(j)._1, m.bounds(j)._2, maxCell))
+    }
+    val buckets = (0 until (1 << prefixFor(k))).filter { b =>
+      bucketBoxN(b, k, bits, prefixFor(k)).zip(qr).forall {
+        case ((bLo, bHi), (qLo, qHi)) => bLo <= qHi && qLo <= bHi
+      }
     }
     spark.read.parquet(path)
-      .where(col("zbucket").isin(buckets: _*) &&
-        col(xCol) >= xLo && col(xCol) <= xHi &&
-        col(yCol) >= yLo && col(yCol) <= yHi)
+      .where(cols.indices.map(j =>
+        col(cols(j)) >= lo(j) && col(cols(j)) <= hi(j))
+        .foldLeft(col("zbucket").isin(buckets: _*))(_ && _))
   }
 }

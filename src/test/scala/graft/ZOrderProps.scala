@@ -32,6 +32,23 @@ class ZOrderProps extends SparkSpec {
       }
   }
 
+  test("k-dim bucket boxes tile rank space exactly (k = 3 and k = 4)") {
+    for (k <- Seq(3, 4)) {
+      val bits = ZOrderLayout.bitsFor(k)
+      val prefix = ZOrderLayout.prefixFor(k)
+      val gridMax = (1L << bits) - 1
+      val boxes = (0 until (1 << prefix))
+        .map(b => ZOrderLayout.bucketBoxN(b, k, bits, prefix))
+      val pts = for (seed <- 1L to 100L) yield sample(
+        Gen.listOfN(k, Gen.chooseNum(0L, gridMax)), seed * 7 + k)
+      (pts ++ Seq(List.fill(k)(0L), List.fill(k)(gridMax))).foreach { p =>
+        val owners = boxes.count(_.zip(p).forall {
+          case ((lo, hi), r) => r >= lo && r <= hi })
+        assert(owners == 1, s"k=$k rank ${p.mkString(",")} owned by $owners boxes")
+      }
+    }
+  }
+
   private val dataGen: Gen[List[(Long, Double)]] =
     Gen.chooseNum(5, 120).flatMap { n =>
       Gen.listOfN(n, Gen.zip(Gen.chooseNum(-5000L, 5000L),

@@ -77,6 +77,41 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("3-column z-order: a 3-predicate box prunes bucket directories AND " +
+      "equals the plain scan exactly") {
+    val cols = Seq("user_id", "value", "event_id")
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val path = java.nio.file.Files.createTempDirectory("zorder3d").toString + "/store"
+    ZOrderLayout.buildN(ev, cols, path)
+    val m = ZOrderLayout.readMetaN(spark, path)
+    assert(m.k == 3)
+    def at(j: Int, f: Double) =
+      m.bounds(j)._1 + f * (m.bounds(j)._2 - m.bounds(j)._1)
+    val lo = Seq(at(0, 0.2), at(1, 0.1), at(2, 0.15))
+    val hi = Seq(at(0, 0.45), at(1, 0.4), at(2, 0.6))
+    val q = ZOrderLayout.queryBox(spark, path, cols, lo, hi)
+    q.collect()
+    // pruning fires on the THIRD predicate dimension too: a 2-D layout
+    // could never prune on event_id
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+    val total = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("zbucket="))
+      .map(d => d.listFiles().count(_.getName.startsWith("part-"))).sum
+    assert(scanned > 0 && scanned < total,
+      s"scanned $scanned of $total files — 3-D zbucket dirs not pruned")
+    // conservativeness: byte-identical to the unclustered scan
+    val got = q.select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val exp = ev.where(
+      col("user_id") >= lo(0) && col("user_id") <= hi(0) &&
+        col("value") >= lo(1) && col("value") <= hi(1) &&
+        col("event_id") >= lo(2) && col("event_id") <= hi(2))
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == exp)
+    assert(got.nonEmpty, "3-D box must select something at sf0.001")
+  }
+
   test("buildIfNeeded amortizes: unchanged input does not rebuild") {
     store(sf0001) // ensure built
     val fp = graft.operators.IvfIndex.inputFingerprint(
