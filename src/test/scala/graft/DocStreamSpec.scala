@@ -382,6 +382,63 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest gate's downstream TsTable restored mid-stream: the stream " +
+      "continues, the table rolls back but the gate's memory does not, " +
+      "and history stays linear") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.SigStore
+    import graft.ts.TsTable
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+
+    val all = fixtureDocs(120)
+    val (corpusDocs, rest) = all.splitAt(80)
+    val chunks = rest.sortBy(_.doc_id).grouped(14).map(_.toSeq).toSeq
+    val sig = java.nio.file.Files
+      .createTempDirectory("graft-ingest-restore").toString + "/sig"
+    assert(SigStore.buildIfNeeded(corpusDocs.toDF(), sig, "restoretest",
+      "doc_id", "text", "lang"))
+    val tdir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-ts").toString + "/store"
+    val table = TsTable.create(spark, tdir,
+      StructType(Seq(StructField("ts", TimestampType),
+        StructField("doc_id", LongType))), tsCol = "ts")
+    val ms = MemoryStream[Doc]
+    val q = DocStream.ingestGateSink(ms.toDF(), sig,
+        "doc_id", "text", "lang", tau = 0.8) { adm =>
+        table.append(adm.select(col("ts"), col("doc_id")))
+      }.start()
+    try {
+      ms.addData(chunks.head); q.processAllAvailable()
+      val good = table.currentVersion.get
+      val goodIds = table.toDF.collect().map(_.getLong(1)).toSet
+      assert(goodIds.nonEmpty)
+      ms.addData(chunks(1)); q.processAllAvailable()
+      assert(table.toDF.count() > goodIds.size, "chunk 2 must admit something")
+      // operator decision BETWEEN microbatches: chunk 2 was bad — roll the
+      // TABLE back to the pin
+      table.restore(good)
+      assert(table.toDF.collect().map(_.getLong(1)).toSet == goodIds)
+      // the gate's memory is NOT rolled back: replaying chunk 2 re-admits
+      // nothing (its signatures are already stored), so a replay cannot
+      // silently undo the restore — re-admission is an explicit
+      // SigStore.delete, by design
+      ms.addData(chunks(1)); q.processAllAvailable()
+      assert(table.toDF.collect().map(_.getLong(1)).toSet == goodIds)
+      // the stream CONTINUES: later chunks keep admitting and landing
+      // (the sink re-anchors on the restored max, it does not fail)
+      chunks.drop(2).foreach { c => ms.addData(c); q.processAllAvailable() }
+      val finalIds = table.toDF.collect().map(_.getLong(1)).toSet
+      assert((finalIds -- goodIds).nonEmpty, "post-restore chunks must land")
+      assert(finalIds.intersect(chunks(1).map(_.doc_id).toSet).isEmpty,
+        "rolled-back rows must not reappear")
+      // history is linear and moved FORWARD through the restore
+      val hist = table.snapshotVersions
+      assert(hist.map(_._1) == (1L to hist.length).toSeq)
+      assert(hist.map(_._2).contains("restore"))
+    } finally q.stop()
+  }
+
   test("streaming ANN serving: chunked probe stream through the IVF store == " +
       "one batch knnJoin of the same probes") {
     import spark.implicits._

@@ -840,6 +840,39 @@ class TsStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("sink survives a mid-stream restore: the next microbatch re-anchors " +
+      "on the restored max; history stays linear") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("ts_stream_restore").toString
+    val table = TsTable.create(spark, s"$dir/store",
+      Seq(ev(0, "2024-01-01 00:00:00")).toDF().schema, tsCol = "ts")
+    val ms = MemoryStream[Ev]
+    val sink = TsStream.appendSink(ms.toDF(), table, s"$dir/ckpt")
+    ms.addData(ev(1, "2024-01-01 10:00:00"))
+    TsStream.drain(sink)
+    val good = table.currentVersion.get
+    // a bad microbatch lands (clock-skewed producer jumped four days ahead)
+    ms.addData(ev(2, "2024-01-05 10:00:00"))
+    TsStream.drain(sink)
+    // operator rolls the table back BETWEEN microbatches
+    table.restore(good)
+    assert(table.toDF.count() == 1)
+    // the stream continues: this ts would REGRESS against the bad batch's
+    // max (2024-01-05) but is valid against the restored state — the sink
+    // must re-anchor on the restored maxDt, not fail on a stale one
+    ms.addData(ev(3, "2024-01-02 09:00:00"))
+    TsStream.drain(sink)
+    assert(table.toDF.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // history moved FORWARD through the restore — linear, never rewritten
+    val hist = table.snapshotVersions
+    assert(hist.map(_._2) == Seq("create", "append", "append", "restore", "append"))
+    assert(hist.map(_._1) == (1L to hist.length).toSeq)
+    // the pre-restore state (bad batch included) is still pinnable
+    assert(table.openAt(3L).toDF.count() == 2)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("sink fragmentation heals: many microbatches → compactAll → same content") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
