@@ -311,6 +311,60 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  // third-dimension fractions for the 3-D clustered box (q_zorder_3d)
+  private[operators] val ZzFrac = (0.15, 0.6)
+
+  /** B1+ THREE-dimensional z-order (ZOrderLayout.buildN/queryBox): events
+    * clustered along a k = 3 Morton curve over (user_id, value,
+    * event_id) — 64 bucket directories, 2 prefix bits per dimension — so
+    * a 3-predicate box prunes at the file-listing level on ALL three
+    * columns, which neither a sort nor the 2-D layout can give the third
+    * predicate. Same conservativeness contract as q_zorder_cluster
+    * (bucket pruning + exact re-filter ⇒ byte-identical to the plain
+    * scan), so the oracle is the plain 3-predicate SQL; 3-D pruning and
+    * k = 3/4 box-tiling are asserted in ZOrderSpec/ZOrderProps. */
+  def zorderBox3(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.stable(s, s"graft_zorder3_${StoreDirs.pathKey(dir)}")
+    val fp = IvfIndex.inputFingerprint(s, s"$dir/events.parquet")
+    val cols = Seq("user_id", "value", "event_id")
+    ZOrderLayout.buildIfNeededN(
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("value"), col("ts")),
+      cols, store, fp)
+    val m = ZOrderLayout.readMetaN(s, store)
+    def at(j: Int, f: Double) =
+      m.bounds(j)._1 + f * (m.bounds(j)._2 - m.bounds(j)._1)
+    ZOrderLayout.queryBox(s, store, cols,
+      Seq(at(0, ZxFrac._1), at(1, ZyFrac._1), at(2, ZzFrac._1)),
+      Seq(at(0, ZxFrac._2), at(1, ZyFrac._2), at(2, ZzFrac._2)))
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** A3+ SQL-face time travel through the catalog (GraftTsCatalog): the
+    * q_ts_snapshot lifecycle — pin, then compact + retention damage — but
+    * the pinned read is issued as `SELECT … VERSION AS OF v` against
+    * `graft_ts.`store``, resolving through Spark's catalog time-travel
+    * spec into the same snapshot file index the option("asOf") path uses.
+    * The oracle is the pre-mutation slice, hash-checking the SQL route
+    * end-to-end; option-path parity, TIMESTAMP AS OF, INSERT, and DELETE
+    * SQL faces are asserted in GraftTsSourceSpec. */
+  def sqlAsOfRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tssqlasof_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cut = lit("2024-01-02 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    t.append(ev.where(col("ts") >= cut))
+    val pinned = t.currentVersion.get
+    t.compactAll(targetFiles = 1)
+    t.dropBefore("2024-01-03")
+    eventsProjection(
+      s.sql(s"SELECT * FROM graft_ts.`$store` VERSION AS OF $pinned"))
+  }
+
   /** A7+ per-day layout report (`TsTable.partitionStats` — the
     * IvfIndex.cellStats analogue): build four days, report each day's
     * file count and rows. File counts are deterministic under
@@ -754,7 +808,9 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_restore" -> restoreRoundtrip,
     "q_ts_delete" -> deleteRoundtrip,
     "q_ts_changes" -> changesRoundtrip,
+    "q_ts_sql_asof" -> sqlAsOfRoundtrip,
     "q_zorder_cluster" -> zorderRect,
+    "q_zorder_3d" -> zorderBox3,
     "q_ts_stats" -> tsStatsReport,
     "q_filter_project" -> filterProject,
     "q_scalar_datetime" -> scalarDatetime,
@@ -859,6 +915,13 @@ object TimeSeriesPack extends QueryPack {
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
          |ORDER BY event_id""".stripMargin,
+    // The SQL VERSION AS OF pin predates compact+retention, so the
+    // catalog-routed read returns the full pre-mutation build slice —
+    // same oracle as the API-path q_ts_snapshot.
+    "q_ts_sql_asof" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+         |ORDER BY event_id""".stripMargin,
     // changesBetween(checkpoint, current) = the rows appended after the
     // checkpoint (batches 2+3 = everything at-or-after the first cut);
     // the intervening compact contributes no false adds.
@@ -897,6 +960,27 @@ object TimeSeriesPack extends QueryPack {
          |  epoch_us(date_trunc('microseconds', ts)) AS ts_us FROM events, b
          |WHERE user_id >= xlo AND user_id <= xhi
          |  AND value >= ylo AND value <= yhi
+         |ORDER BY event_id""".stripMargin,
+    // 3-D clustered box: bucket pruning is conservative and the exact
+    // predicate re-applies, so the result equals the plain 3-predicate
+    // scan (bounds derived from the same min/max with the same IEEE ops).
+    "q_zorder_3d" ->
+      s"""WITH mm AS (SELECT CAST(min(user_id) AS DOUBLE) AS x0,
+         |    CAST(max(user_id) AS DOUBLE) AS x1,
+         |    min(value) AS y0, max(value) AS y1,
+         |    CAST(min(event_id) AS DOUBLE) AS z0,
+         |    CAST(max(event_id) AS DOUBLE) AS z1 FROM events),
+         |b AS (SELECT x0 + ${ZxFrac._1} * (x1 - x0) AS xlo,
+         |    x0 + ${ZxFrac._2} * (x1 - x0) AS xhi,
+         |    y0 + ${ZyFrac._1} * (y1 - y0) AS ylo,
+         |    y0 + ${ZyFrac._2} * (y1 - y0) AS yhi,
+         |    z0 + ${ZzFrac._1} * (z1 - z0) AS zlo,
+         |    z0 + ${ZzFrac._2} * (z1 - z0) AS zhi FROM mm)
+         |SELECT event_id, user_id, value,
+         |  epoch_us(date_trunc('microseconds', ts)) AS ts_us FROM events, b
+         |WHERE user_id >= xlo AND user_id <= xhi
+         |  AND value >= ylo AND value <= yhi
+         |  AND event_id >= zlo AND event_id <= zhi
          |ORDER BY event_id""".stripMargin,
     "q_filter_project" ->
       """SELECT event_id, user_id, value FROM events

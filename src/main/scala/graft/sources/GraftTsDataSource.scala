@@ -110,10 +110,14 @@ final class GraftTsDataSource extends TableProvider with DataSourceRegister {
 
 /** One graft-ts store as a V2 Table: reads via the parquet V2 scan with
   * connector-derived partition pruning, writes via the ordered-append
-  * enforcing [[GraftTsWriteBuilder]]. */
+  * enforcing [[GraftTsWriteBuilder]], row-level `DELETE FROM … WHERE …`
+  * via the facade's copy-on-write [[TsTable.deleteWhere]] (so a SQL
+  * delete prunes to hit files, archives the originals for pinned
+  * readers, and commits a "delete" version exactly like the API verb). */
 final class GraftTsV2Table(spark: SparkSession, ts: TsTable,
                            snapshot: Option[graft.ts.TsSnapshot] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   // The connector's timestamp encoding is INT64 micros (see
   // TsTable.appendValidated: INT96 is deprecated and unfilterable). The V2
@@ -166,6 +170,61 @@ final class GraftTsV2Table(spark: SparkSession, ts: TsTable,
       throw new UnsupportedOperationException(
         s"${name()} is a pinned snapshot (asOf) — time-traveled tables are read-only")
     new GraftTsWriteBuilder(spark, ts, info)
+  }
+
+  /** Translatability gate for SQL DELETE: every conjunct must map onto a
+    * Column predicate; refusing here makes Spark surface a clear
+    * "cannot delete" error instead of this connector guessing at
+    * semantics it cannot honor. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    snapshot.isEmpty && filters.forall(GraftTsV2Table.filterToColumn(_).isDefined)
+
+  /** `DELETE FROM graft_ts.`path`` WHERE …` → the facade's copy-on-write
+    * delete (hit-file pruning, survivor rewrite, archive, "delete"
+    * version commit). Conjuncts arrive pre-split; an empty array is the
+    * TRUNCATE form and deletes every row. */
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    if (snapshot.isDefined)
+      throw new UnsupportedOperationException(
+        s"${name()} is a pinned snapshot (asOf) — time-traveled tables are read-only")
+    val pred = filters.map(f => GraftTsV2Table.filterToColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-ts DELETE: cannot translate filter $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    ts.deleteWhere(pred)
+    spark.catalog.refreshByPath(ts.path)
+  }
+}
+
+object GraftTsV2Table {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.{sources => sf}
+
+  /** V1 Filter → Column, conservative (None = not translatable; the
+    * delete is then refused rather than approximated). */
+  private[sources] def filterToColumn(f: sf.Filter): Option[Column] = f match {
+    case sf.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sf.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sf.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sf.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sf.LessThan(a, v) => Some(col(a) < lit(v))
+    case sf.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sf.In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case sf.IsNull(a) => Some(col(a).isNull)
+    case sf.IsNotNull(a) => Some(col(a).isNotNull)
+    case sf.And(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc && rc
+    case sf.Or(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
+    case sf.Not(c) => filterToColumn(c).map(!_)
+    case sf.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sf.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sf.StringContains(a, v) => Some(col(a).contains(v))
+    case sf.AlwaysTrue() => Some(lit(true))
+    case sf.AlwaysFalse() => Some(lit(false))
+    case _ => None
   }
 }
 

@@ -300,4 +300,31 @@ class GraftTsSourceSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft_ts.`$dir/nope` VERSION AS OF 1").collect())
     assert(missing.getMessage.toLowerCase.contains("table"))
   }
+
+  test("SQL DELETE FROM routes through the copy-on-write delete: rows go, " +
+      "a pre-delete pin keeps them, untranslatable predicates are refused") {
+    val dir = freshDir()
+    val t = TsTable.create(spark, dir, schema)
+    append(mkRows((1 to 6).map(d =>
+      (f"2024-03-0$d%d 10:00:00", d.toLong, d.toDouble))), dir)
+    val pinned = t.currentVersion.get
+    spark.sql(s"DELETE FROM graft_ts.`$dir` " +
+      "WHERE user_id >= 2 AND user_id <= 3")
+    assert(spark.sql(s"SELECT user_id FROM graft_ts.`$dir` ORDER BY user_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 4L, 5L, 6L))
+    // the SQL delete committed a "delete" version like the facade verb
+    assert(TsTable.open(spark, dir).snapshotVersions.last._2 == "delete")
+    // the pre-delete pin still serves all six rows
+    assert(spark.sql(s"SELECT count(*) FROM graft_ts.`$dir` VERSION AS OF $pinned")
+      .head.getLong(0) == 6L)
+    // time predicates translate too (ts conjuncts reach the same path)
+    spark.sql(s"DELETE FROM graft_ts.`$dir` " +
+      "WHERE ts >= TIMESTAMP '2024-03-06 00:00:00'")
+    assert(spark.sql(s"SELECT max(user_id) FROM graft_ts.`$dir`")
+      .head.getLong(0) == 5L)
+    // an untranslatable predicate is refused loudly, not approximated
+    val e = intercept[Exception](spark.sql(
+      s"DELETE FROM graft_ts.`$dir` WHERE user_id % 2 = 0"))
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+  }
 }
