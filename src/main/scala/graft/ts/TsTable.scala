@@ -387,33 +387,66 @@ final class TsTable private (
     * O(table). Returns false (no-op) if the partition is missing or already
     * at or under `targetFiles`.
     */
-  def compact(date: String, targetFiles: Int = 1): Boolean = {
+  def compact(date: String, targetFiles: Int = 1): Boolean =
+    compactDays(Seq(date), targetFiles).nonEmpty
+
+  /** Compact SEVERAL day partitions in ONE read job + ONE write job + ONE
+    * version commit — the batched form of [[compact]], and the shape that
+    * matters after a long streaming-sink run: healing 300 fragmented days
+    * as 300 sequential per-day jobs is 300 job-scheduling round-trips and
+    * 300 manifest commits, where one range-shuffled job rewrites them all
+    * at full cluster width (each task still writes whole ts-sorted
+    * slices, so the per-file contiguity invariant holds). Days already at
+    * or under `targetFiles` are skipped; returns the dates rewritten.
+    * Same crash discipline as the single-day path: the rewrite
+    * materializes into an invisible `_compact_tmp_batch` before any live
+    * file moves, replaced files are archived for pinned readers, and a
+    * mid-swap crash leaves every archived file resolvable through the
+    * previous manifest. */
+  def compactDays(dates: Seq[String], targetFiles: Int = 1): Seq[String] = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
-    require(DateDirRe.matches(date), s"date must be YYYY-MM-DD, got '$date'")
+    dates.foreach(d =>
+      require(DateDirRe.matches(d), s"date must be YYYY-MM-DD, got '$d'"))
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partDir = new Path(root, s"$PartCol=$date")
-    if (!fs.exists(partDir)) return false
-    val oldFiles = dataFiles(fs, partDir)
-    if (oldFiles.length <= targetFiles) return false
+    val hit = dates.distinct.sorted.filter { d =>
+      val dir = new Path(root, s"$PartCol=$d")
+      fs.exists(dir) && dataFiles(fs, dir).length > targetFiles
+    }
+    if (hit.isEmpty) return Seq.empty
     // Same µs-instant encoding rationale as appendValidated.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    val tmp = new Path(root, s"_compact_tmp_$date")
+    val tmp = new Path(root, "_compact_tmp_batch")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    val day = raw.where(col(PartCol) === to_date(lit(date))).drop(PartCol)
-    val writer = day
-      .repartitionByRange(targetFiles, col(tsCol))
-      .sortWithinPartitions(col(tsCol))
+    // in-plan to_date literals (session zone, pinned UTC) — the same rule
+    // that wrote p_date; a driver-side java.sql.Date would go through the
+    // JVM default zone (the readRange boundary hazard). Foldable, so
+    // partition pruning still sees constant values.
+    val days = raw.where(
+      hit.map(d => col(PartCol) === to_date(lit(d))).reduce(_ || _))
+    // targetFiles=1: hash by day — one task → one sorted file per day;
+    // >1: range on (day, ts) — each heavy day splits into ~targetFiles
+    // contiguous ts slices (the append filesPerDay rule)
+    val placed =
+      if (targetFiles == 1) days.repartition(col(PartCol))
+      else days.repartitionByRange(
+        (hit.length * targetFiles).max(1), col(PartCol), col(tsCol))
+    val writer = placed
+      .sortWithinPartitions(col(PartCol), col(tsCol))
       .write.mode("overwrite")
       .option("compression", writeOptions.codec)
     writeOptions.rowGroupBytes.foreach(b => writer.option("parquet.block.size", b.toString))
-    writer.parquet(tmp.toString) // materializes BEFORE any old file is touched
-    val newFiles = dataFiles(fs, tmp)
-    oldFiles.foreach(f => archiveFile(fs, s"$PartCol=$date/${f.getName}"))
-    newFiles.foreach(f => fs.rename(f, new Path(partDir, f.getName)))
+    writer.partitionBy(PartCol).parquet(tmp.toString) // lands BEFORE any swap
+    hit.foreach { d =>
+      val partDir = new Path(root, s"$PartCol=$d")
+      dataFiles(fs, partDir).foreach(f => archiveFile(fs, s"$PartCol=$d/${f.getName}"))
+      val tmpDay = new Path(tmp, s"$PartCol=$d")
+      if (fs.exists(tmpDay))
+        dataFiles(fs, tmpDay).foreach(f => fs.rename(f, new Path(partDir, f.getName)))
+    }
     fs.delete(tmp, true)
     commitVersion("compact")
-    true
+    hit
   }
 
   /** Retention: drop every day partition strictly BEFORE `date` (UTC ISO
@@ -547,17 +580,12 @@ final class TsTable private (
     deleted
   }
 
-  /** Compact every day partition holding more than `targetFiles` data files;
-    * returns the dates rewritten. Driver-side listing picks the candidates
-    * (O(#partitions) metadata), each rewrite costs one day. */
-  def compactAll(targetFiles: Int = 1): Seq[String] = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    partitionDates.sorted.filter { d =>
-      dataFiles(fs, new Path(root, s"$PartCol=$d")).length > targetFiles &&
-        compact(d, targetFiles)
-    }
-  }
+  /** Compact every day partition holding more than `targetFiles` data
+    * files; returns the dates rewritten. Driver-side listing picks the
+    * candidates (O(#partitions) metadata); ALL selected days rewrite in
+    * one batched job + one version commit ([[compactDays]]). */
+  def compactAll(targetFiles: Int = 1): Seq[String] =
+    compactDays(partitionDates, targetFiles)
 
   /** Register the table under `name` for `spark.sql` access. The view keeps
     * the `p_date` partition column so SQL range queries can write the same
@@ -1058,21 +1086,37 @@ object TsTable {
   private[ts] def manifestName(v: Long): String =
     f"$VersionsDir/v$v%08d.manifest"
 
-  /** (version, commit wall-clock ms) pairs, ascending by version, from the
-    * manifest files' modification times — the commit instant is the
-    * manifest's install rename, so mtime IS the commit time on any
-    * filesystem that stamps renames/creates (a migration that rewrites
-    * mtimes coarsens TIMESTAMP AS OF resolution; version pins stay
-    * exact). One directory listing, metadata-only. */
+  /** (version, commit wall-clock ms) pairs, ascending by version. The
+    * commit instant comes from each manifest's own `commitMs` header
+    * (stamped at write, immune to filesystem migrations); manifests
+    * that predate the field fall back to the file's modification time —
+    * the install rename's wall clock on any mtime-stamping filesystem.
+    * One directory listing + one small read per version, metadata-only. */
   private[graft] def versionCommitMs(spark: SparkSession, path: String): Seq[(Long, Long)] = {
     val dir = new Path(path, VersionsDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).iterator.filter(_.isFile)
       .flatMap(st => st.getPath.getName match {
-        case ManifestRe(n) => Some((n.toLong, st.getModificationTime))
+        case ManifestRe(n) =>
+          val v = n.toLong
+          val recorded = readManifestHeader(fs, st.getPath).get("commitMs")
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+          Some((v, recorded.getOrElse(st.getModificationTime)))
         case _ => None
       }).toSeq.sortBy(_._1)
+  }
+
+  /** First-line key=value header of a manifest (cheap: one small read). */
+  private def readManifestHeader(fs: org.apache.hadoop.fs.FileSystem,
+                                 p: Path): Map[String, String] = {
+    val in = fs.open(p)
+    val first =
+      try new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8")).readLine()
+      finally in.close()
+    if (first == null) Map.empty
+    else first.split(";").map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
   }
 
   /** Committed version numbers (unordered) from one directory listing. */
@@ -1109,7 +1153,11 @@ object TsTable {
     // below remains the CAS.
     val tmp = new Path(
       target.toString + s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val body = (s"version=${m.version};action=${m.action}\n" +
+    // commitMs rides in the header so TIMESTAMP AS OF resolution survives
+    // filesystem migrations that rewrite mtimes (readers that predate the
+    // field fall back to the manifest file's own mtime)
+    val body = (s"version=${m.version};action=${m.action}" +
+      s";commitMs=${System.currentTimeMillis()}\n" +
       m.tsCol + "\n" + m.schema.json + "\n" +
       m.files.map { case (p, sz) => s"$p\t$sz" }.mkString("\n") + "\n")
     val out = fs.create(tmp, true)

@@ -59,6 +59,25 @@ class CompactSpec extends SparkSpec {
     assert(!fs.listStatus(new Path(store)).exists(_.getPath.getName.startsWith("_compact_tmp")))
   }
 
+  test("compactDays batches: several fragmented days rewrite under ONE " +
+      "version commit, a pinned pre-compact reader still resolves") {
+    val (t, store, fs) = buildFragmented("batchdays")
+    val before = t.toDF.orderBy("event_id").collect().toSeq
+    val pinned = t.currentVersion.get
+    val fragmented = Seq("2024-01-02", "2024-01-03")
+    fragmented.foreach(d => assert(partFiles(fs, store, d).length == 2))
+    val versionsBefore = t.snapshotVersions.length
+    assert(t.compactAll(targetFiles = 1) == fragmented)
+    // one batched job → ONE compact version, not one per day
+    val hist = t.snapshotVersions
+    assert(hist.length == versionsBefore + 1)
+    assert(hist.last._2 == "compact")
+    fragmented.foreach(d => assert(partFiles(fs, store, d).length == 1))
+    assert(t.toDF.orderBy("event_id").collect().toSeq == before)
+    // the pre-compact pin resolves the archived originals
+    assert(t.openAt(pinned).toDF.count() == before.size.toLong)
+  }
+
   test("compacted file is ts-sorted within itself") {
     val (t, store, fs) = buildFragmented("sorted")
     assert(t.compact("2024-01-02"))
