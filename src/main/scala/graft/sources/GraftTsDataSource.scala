@@ -58,9 +58,43 @@ import scala.jdk.CollectionConverters._
   * driver-side renames of `_tmp-` staged files (invisible to concurrent
   * readers until commit).
   */
-final class GraftTsDataSource extends TableProvider with DataSourceRegister {
+final class GraftTsDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft-ts"
+
+  // ── streaming read face (V1 Source): `spark.readStream.format("graft-ts")`
+  // — each microbatch is the rows appended between snapshot versions; see
+  // GraftTsStreamSource. The batch Table below advertises no
+  // MICRO_BATCH_READ capability, so Spark routes streaming reads here.
+
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-ts: the stream schema comes from the store descriptor; a " +
+        "user-specified schema could silently misalign served batches")
+    (shortName(), TsTable.open(SparkSession.active,
+      parameters.getOrElse("path", throw new IllegalArgumentException(
+        "graft-ts: a single 'path' is required (load(path))")),
+      parameters.getOrElse("tsCol", "ts")).schema)
+  }
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+                            metadataPath: String, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new org.apache.spark.sql.graft.GraftTsStreamSource(sqlContext,
+      parameters.getOrElse("path", throw new IllegalArgumentException(
+        "graft-ts: a single 'path' is required (load(path))")),
+      parameters.get("startingVersion").map { raw =>
+        try raw.trim.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"startingVersion must be a snapshot version number, got '$raw'")
+        }
+      })
 
   // Schema always comes from the store descriptor (or parquet footers for
   // attached plain layouts) — a user-supplied schema could silently widen

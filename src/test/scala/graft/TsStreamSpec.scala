@@ -840,6 +840,66 @@ class TsStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("incremental readStream: appended commits arrive as version-keyed " +
+      "microbatches, maintenance emits nothing, a checkpointed restart " +
+      "resumes from the committed version, startingVersion replays") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ts_stream_src").toString
+    val store = s"$dir/store"
+    val first = Seq(ev(1, "2024-01-01 10:00:00")).toDF()
+    val table = TsTable.create(spark, store, first.schema, tsCol = "ts")
+    table.append(first) // PRE-stream commit: not served by default
+    def collector(into: scala.collection.mutable.Set[Long])
+        : (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, _) => { into ++= b.select("event_id").collect().map(_.getLong(0)); () }
+    val got = scala.collection.mutable.Set[Long]()
+    val q = spark.readStream.format("graft-ts").load(store)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(collector(got)).start()
+    try {
+      q.processAllAvailable()
+      assert(got.isEmpty, "pre-stream history must not replay by default")
+      table.append(Seq(ev(2, "2024-01-02 10:00:00")).toDF())
+      table.append(Seq(ev(3, "2024-01-02 11:00:00")).toDF())
+      q.processAllAvailable()
+      assert(got.toSet == Set(2L, 3L))
+      // maintenance commits emit NOTHING: compact rewrites day 2 (its two
+      // files merge), delete removes a row — neither re-feeds the stream
+      assert(table.compactAll(targetFiles = 1) == Seq("2024-01-02"))
+      assert(table.deleteWhere(col("event_id") === 2L) == 1L)
+      q.processAllAvailable()
+      assert(got.toSet == Set(2L, 3L), "maintenance must not re-emit rows")
+      table.append(Seq(ev(4, "2024-01-03 09:00:00")).toDF())
+      q.processAllAvailable()
+      assert(got.toSet == Set(2L, 3L, 4L))
+    } finally q.stop()
+    // restart against the SAME checkpoint: only commits after the stored
+    // offset arrive (version offsets round-trip the checkpoint)
+    table.append(Seq(ev(5, "2024-01-04 09:00:00")).toDF())
+    val got2 = scala.collection.mutable.Set[Long]()
+    val q2 = spark.readStream.format("graft-ts").load(store)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(collector(got2)).start()
+    try {
+      q2.processAllAvailable()
+      assert(got2.toSet == Set(5L), "restart must resume, not replay")
+    } finally q2.stop()
+    // startingVersion=0 replays every APPENDED row from creation — the
+    // delete's removal is an action, not rows (documented CDF semantic:
+    // the deleted row's append still happened; its file resolves from
+    // the archive)
+    val got3 = scala.collection.mutable.Set[Long]()
+    val q3 = spark.readStream.format("graft-ts")
+      .option("startingVersion", "0").load(store)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt3")
+      .foreachBatch(collector(got3)).start()
+    try {
+      q3.processAllAvailable()
+      assert(got3.toSet == Set(1L, 2L, 3L, 4L, 5L))
+    } finally q3.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("sink survives a mid-stream restore: the next microbatch re-anchors " +
       "on the restored max; history stays linear") {
     import spark.implicits._
