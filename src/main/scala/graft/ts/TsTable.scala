@@ -407,6 +407,14 @@ final class TsTable private (
     require(targetFiles >= 1, "targetFiles must be >= 1")
     dates.foreach(d =>
       require(DateDirRe.matches(d), s"date must be YYYY-MM-DD, got '$d'"))
+    // REWRITE verbs must run against the LIVE descriptor: a stale handle
+    // held across an appendEvolved serves a narrower projection — fine
+    // for reads, destructive for a rewrite (it would drop the evolved
+    // columns from the rewritten files and commit a narrowed manifest).
+    // Delegate once to a freshly-opened handle when the descriptor moved.
+    val serving = TsTable.open(spark, path, tsCol)
+    if (serving.schema != storedSchema)
+      return serving.compactDays(dates, targetFiles)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hit = dates.distinct.sorted.filter { d =>
@@ -506,6 +514,12 @@ final class TsTable private (
   def deleteWhere(predicate: org.apache.spark.sql.Column,
                   filesPerDay: Int = 1): Long = {
     require(filesPerDay >= 1, "filesPerDay must be >= 1")
+    // same stale-handle rule as compactDays: a rewrite through a
+    // pre-evolution projection would drop evolved columns — delegate to
+    // the live descriptor's handle when the schema moved
+    val serving = TsTable.open(spark, path, tsCol)
+    if (serving.schema != storedSchema)
+      return serving.deleteWhere(predicate, filesPerDay)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // same µs-instant encoding rationale as appendValidated

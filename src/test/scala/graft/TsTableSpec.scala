@@ -294,6 +294,32 @@ class TsTableSpec extends SparkSpec {
     assert(tab.toDF.count() == 3)
   }
 
+  test("rewrite verbs through a stale pre-evolution handle do not drop " +
+      "evolved columns (they delegate to the live descriptor)") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows(Seq(("2024-03-01 10:00:00", 1L, 1.0))))
+    val evolvedBatch = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(t("2024-03-01 11:00:00"), 2L, 2.0, "x")), 1),
+      StructType(schema.fields :+ StructField("tag", StringType)))
+    val evolved = tab.appendEvolved(evolvedBatch) // same day → 2 files
+    assert(evolved.schema.fieldNames.contains("tag"))
+    // `tab` is now STALE (still serves the 3-column projection); a compact
+    // through it must still rewrite under the LIVE 4-column descriptor
+    assert(tab.compactAll(targetFiles = 1) == Seq("2024-03-01"))
+    val re = TsTable.open(spark, dir)
+    assert(re.schema.fieldNames.contains("tag"))
+    assert(re.toDF.where(col("tag") === "x").count() == 1,
+      "compaction through a stale handle dropped an evolved column")
+    // same rule for the stale-handle delete
+    assert(tab.deleteWhere(col("user_id") === 1L) == 1L)
+    val re2 = TsTable.open(spark, dir)
+    assert(re2.toDF.where(col("tag") === "x").count() == 1,
+      "delete through a stale handle dropped an evolved column")
+    assert(re2.toDF.count() == 1)
+  }
+
   test("schema evolution: added column null-backfills history, survives reopen") {
     val dir = freshDir()
     val tab = TsTable.create(spark, dir, schema)
