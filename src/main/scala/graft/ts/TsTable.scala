@@ -791,6 +791,59 @@ final class TsTable private (
     commitVersion("restore", Some(snap.schema))
   }
 
+  /** Materialize a committed version as an INDEPENDENT new table at
+    * `destPath` (the Delta deep-CLONE analogue — the sandbox verb:
+    * reproduce-a-training-run, test-against-prod-data, fork-then-mutate
+    * without touching the source). The version's resolved files (live or
+    * archived) copy to the destination's live tree under their
+    * table-relative paths via the same one-task-per-file distributed copy
+    * `restore` uses — bytes move at cluster bandwidth, never through the
+    * driver. The clone gets the version's own schema descriptor and a
+    * fresh v1 "clone" commit; nothing links it back, so source expiry/
+    * mutation cannot invalidate it (that independence is what
+    * distinguishes this from `openAt`, which is a zero-copy pin).
+    * Refuses a non-empty destination. Returns the new table's handle. */
+  def cloneAt(version: Long, destPath: String): TsTable = {
+    val snap = openAt(version)
+    val destRoot = new Path(destPath)
+    val fs = destRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(destRoot) || fs.listStatus(destRoot).isEmpty,
+      s"cloneAt: destination '$destPath' exists and is not empty — " +
+        "refusing to mix a clone into foreign files")
+    fs.mkdirs(destRoot)
+    val srcRoot = new Path(path)
+    // resolvedFiles builds its paths from the unqualified table root, so a
+    // prefix strip (archive first — it nests under the root) is exact
+    val archPrefix = new Path(srcRoot, TsTable.ArchiveDir).toString + "/"
+    val livePrefix = srcRoot.toString + "/"
+    val pairs = snap.resolvedFiles.map { case (_, resolved, _, _) =>
+      val s = resolved.toString
+      val rel = if (s.startsWith(archPrefix)) s.stripPrefix(archPrefix)
+        else s.stripPrefix(livePrefix)
+      (s, new Path(destPath, rel).toString)
+    }
+    if (pairs.nonEmpty) {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val slices = math.min(pairs.length,
+        spark.sparkContext.defaultParallelism).max(1)
+      spark.sparkContext.parallelize(pairs, slices).foreach { case (src, dst) =>
+        val sp = new Path(src)
+        val dp = new Path(dst)
+        val dstFs = dp.getFileSystem(conf.value)
+        dstFs.mkdirs(dp.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(conf.value), sp,
+          dstFs, dp, false, true /* overwrite: task retries re-copy */,
+          conf.value)
+      }
+    }
+    TsTable.writeDescriptor(spark, destPath, snap.schema, snap.tsCol,
+      writeOptions)
+    val t = new TsTable(spark, destPath, snap.tsCol, snap.schema, writeOptions)
+    t.commitVersion("clone", Some(snap.schema))
+    t
+  }
+
   /** Reclaim history: keep the newest `keepLast` manifests, delete older
     * ones, and delete every ARCHIVED file no retained manifest references
     * (live-tree files are never touched — they belong to the current

@@ -206,6 +206,30 @@ class SnapshotSpec extends SparkSpec {
       "the restored version stays pinnable after the re-archive")
   }
 
+  test("cloneAt materializes a version as an INDEPENDENT table: equals the " +
+      "pin (through the archive), survives source expiry, mutates alone") {
+    val (t, store, _) = build("clone")
+    val pinned = t.currentVersion.get
+    val want = ids(t.toDF)
+    // source maintenance AFTER the pin: the clone must pull archived bytes
+    t.compactAll(targetFiles = 1)
+    t.dropBefore("2024-01-03")
+    val dest = store + "_clone"
+    val clone = t.cloneAt(pinned, dest)
+    assert(ids(clone.toDF) == want, "clone must equal the pinned state")
+    assert(clone.snapshotVersions == Seq((1L, "clone")))
+    // independence (vs openAt's zero-copy pin): source expiry reclaims the
+    // archived bytes, the clone keeps serving its own copies
+    t.expireSnapshots(keepLast = 1)
+    assert(ids(TsTable.open(spark, dest).toDF) == want)
+    // ...and mutating the clone leaves the source untouched
+    val srcRows = TsTable.open(spark, store).toDF.count()
+    assert(clone.deleteWhere(col("event_id") % 2 === 0) > 0)
+    assert(TsTable.open(spark, store).toDF.count() == srcRows)
+    // a non-empty destination is refused, not mixed into
+    intercept[IllegalArgumentException](t.cloneAt(t.currentVersion.get, dest))
+  }
+
   test("changesBetween returns exactly the appended rows; maintenance " +
       "versions contribute no false adds; compacted-away files resolve " +
       "through the archive") {
