@@ -311,6 +311,35 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** A3+ deep-clone round-trip (`TsTable.cloneAt` — the sandbox verb): the
+    * restore fixture's lifecycle, but instead of rolling the source back,
+    * the pinned pre-damage version is MATERIALIZED as an independent new
+    * table (distributed one-task-per-file copy, live + archived sources,
+    * fresh v1 "clone" commit) and the clone's full-range read is checked.
+    * The oracle is the pre-damage slice, hash-checking resolution→copy→
+    * descriptor→read end-to-end; independence from source expiry and
+    * mutation is asserted in SnapshotSpec. */
+  def cloneRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tsclone_${StoreDirs.pathKey(dir)}")
+    val dest = StoreDirs.scratch(s, s"graft_tsclonedst_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cut = lit("2024-01-02 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    t.append(ev.where(col("ts") >= cut))
+    val pinned = t.currentVersion.get
+    // damage the source: the clone must resolve through the archive
+    t.append(Tables.events(s, dir).where(col("ts") >= hi &&
+      col("ts") < lit("2024-01-06 00:00:00").cast("timestamp")))
+    t.compactAll(targetFiles = 1)
+    t.dropBefore("2024-01-03")
+    t.cloneAt(pinned, dest)
+    eventsProjection(
+      TsTable.open(s, dest)
+        .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
+  }
+
   // third-dimension fractions for the 3-D clustered box (q_zorder_3d)
   private[operators] val ZzFrac = (0.15, 0.6)
 
@@ -809,6 +838,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_delete" -> deleteRoundtrip,
     "q_ts_changes" -> changesRoundtrip,
     "q_ts_sql_asof" -> sqlAsOfRoundtrip,
+    "q_ts_clone" -> cloneRoundtrip,
     "q_zorder_cluster" -> zorderRect,
     "q_zorder_3d" -> zorderBox3,
     "q_ts_stats" -> tsStatsReport,
@@ -912,6 +942,12 @@ object TimeSeriesPack extends QueryPack {
     // read returns the FULL pre-mutation build slice (everything below the
     // build bound; the closed upper read bound admits nothing beyond it).
     "q_ts_snapshot" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+    // The cloned version predates the damage (fifth-day append, compact,
+    // retention), so the clone's full-range read equals the build slice.
+    "q_ts_clone" ->
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
          |ORDER BY event_id""".stripMargin,

@@ -37,6 +37,8 @@ class SnapshotProps extends SparkSpec {
   private case class Append(days: Int, rowsPerDay: Int, twoBatches: Boolean) extends Verb
   private case object CompactAll extends Verb
   private case class DropOldest(n: Int) extends Verb
+  private case class DeleteMod(m: Int) extends Verb
+  private case object RestoreEarlier extends Verb
 
   private val verbGen: Gen[Verb] = Gen.frequency(
     6 -> (for {
@@ -44,7 +46,9 @@ class SnapshotProps extends SparkSpec {
       two <- Gen.oneOf(true, false)
     } yield Append(d, r, two)),
     2 -> Gen.const(CompactAll),
-    2 -> Gen.chooseNum(1, 2).map(DropOldest.apply))
+    2 -> Gen.chooseNum(1, 2).map(DropOldest.apply),
+    2 -> Gen.chooseNum(2, 4).map(DeleteMod.apply),
+    1 -> Gen.const(RestoreEarlier))
 
   private val scriptGen: Gen[List[Verb]] = for {
     n <- Gen.chooseNum(4, 7)
@@ -66,6 +70,8 @@ class SnapshotProps extends SparkSpec {
       // version -> expected live multiset at that commit
       var expected = Map[Long, Seq[(Long, Long)]](
         t.currentVersion.get -> Seq.empty)
+      // version -> rows APPENDED by that commit (the changesBetween model)
+      var appendedAt = Map.empty[Long, Seq[(Long, Long)]]
 
       def record(): Unit =
         expected += t.currentVersion.get -> live.values.flatten.toSeq
@@ -81,13 +87,14 @@ class SnapshotProps extends SparkSpec {
           }
           nextDay += days
           val flat = newRows.flatMap(_._2)
+          def land(batch: Seq[(Long, Long)]): Unit = {
+            t.append(mk(batch)); live = merge(live, group(batch)); record()
+            appendedAt += t.currentVersion.get -> batch
+          }
           if (twoBatches && flat.length > 1) {
             val (a, b) = flat.splitAt(flat.length / 2)
-            t.append(mk(a)); live = merge(live, group(a)); record()
-            t.append(mk(b)); live = merge(live, group(b)); record()
-          } else {
-            t.append(mk(flat)); live = merge(live, group(flat)); record()
-          }
+            land(a); land(b)
+          } else land(flat)
         case CompactAll =>
           // content-preserving; commits one version per multi-file day
           t.compactAll(targetFiles = 1)
@@ -102,6 +109,26 @@ class SnapshotProps extends SparkSpec {
               .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
             t.dropBefore(iso)
             live = live.filter(_._1 >= cutoffDay)
+            record()
+          }
+        case DeleteMod(m) =>
+          val hits = live.values.flatten.count(_._2 % m == 0)
+          val deleted = t.deleteWhere(
+            org.apache.spark.sql.functions.col("v") % m ===
+              org.apache.spark.sql.functions.lit(0))
+          assert(deleted == hits.toLong,
+            s"seed delete: engine removed $deleted, model expected $hits")
+          if (hits > 0) { // no hit = no commit, model unchanged
+            live = live.map { case (d, rs) => d -> rs.filterNot(_._2 % m == 0) }
+              .filter(_._2.nonEmpty)
+            record()
+          }
+        case RestoreEarlier =>
+          val candidates = expected.keys.toSeq.sorted
+          if (candidates.length >= 2) {
+            val target = candidates(candidates.length / 2)
+            t.restore(target)
+            live = group(expected(target))
             record()
           }
       }
@@ -121,6 +148,21 @@ class SnapshotProps extends SparkSpec {
       val liveNow = t.toDF.collect()
         .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).sorted.toSeq
       assert(liveNow == live.values.flatten.toSeq.sorted, s"seed=$seed live")
+      // changesBetween == the union of the model's per-append deltas in
+      // range, whatever maintenance/delete/restore happened in between
+      def changesCheck(v1: Long, v2: Long): Unit = {
+        val want = appendedAt
+          .filter { case (v, _) => v > v1 && v <= v2 }
+          .values.flatten.toSeq.sorted
+        val got = t.changesBetween(v1, v2).collect()
+          .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).sorted.toSeq
+        assert(got == want,
+          s"seed=$seed changes($v1,$v2): got ${got.size}, want ${want.size}")
+      }
+      if (retained.length >= 2) {
+        changesCheck(retained.head, retained.last)
+        changesCheck(retained(retained.length / 2), retained.last)
+      }
     }
   }
 
