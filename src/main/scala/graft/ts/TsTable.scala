@@ -1229,10 +1229,29 @@ object TsTable {
       m.files.map { case (p, sz) => s"$p\t$sz" }.mkString("\n") + "\n")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    // rename-as-CAS: a racing writer that already installed this version
-    // number makes the rename fail — surfaced, not silently overwritten
-    // (and the loser's temp file is reclaimed, not left to accumulate)
-    if (!fs.rename(tmp, target)) {
+    // Install-as-CAS: a racing writer that already installed this version
+    // number must FAIL here — surfaced, not silently overwritten. On
+    // HDFS-contract filesystems rename(dst-exists) returns false and the
+    // rename is the CAS. On the LOCAL filesystem, Hadoop's rename falls
+    // through to POSIX rename(2), which silently REPLACES an existing
+    // destination — so there the install is a hard link instead:
+    // link(2) is kernel-atomic and fails with EEXIST if the target
+    // appeared, which is exactly compare-and-swap (raced in
+    // ManifestRaceSpec: 20 rounds, exactly one winner each).
+    val installed =
+      if ("file".equalsIgnoreCase(target.toUri.getScheme) ||
+          "file".equalsIgnoreCase(fs.getScheme)) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath),
+            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+          fs.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else fs.rename(tmp, target)
+    if (!installed) {
       fs.delete(tmp, false)
       throw new IllegalArgumentException(
         s"concurrent commit detected: version ${m.version} already exists at $target")

@@ -208,13 +208,14 @@ class SnapshotSpec extends SparkSpec {
 
   test("cloneAt materializes a version as an INDEPENDENT table: equals the " +
       "pin (through the archive), survives source expiry, mutates alone") {
-    val (t, store, _) = build("clone")
+    val (t, store, fsc) = build("clone")
     val pinned = t.currentVersion.get
     val want = ids(t.toDF)
     // source maintenance AFTER the pin: the clone must pull archived bytes
     t.compactAll(targetFiles = 1)
     t.dropBefore("2024-01-03")
     val dest = store + "_clone"
+    fsc.delete(new Path(dest), true) // residue from a previous run
     val clone = t.cloneAt(pinned, dest)
     assert(ids(clone.toDF) == want, "clone must equal the pinned state")
     assert(clone.snapshotVersions == Seq((1L, "clone")))
