@@ -622,6 +622,14 @@ final class TsTable private (
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** Whether `version`'s manifest is still retained (not yet expired) —
+    * one metadata existence check, O(1). The cheap guard an incremental
+    * consumer uses before `changesBetween`/`openAt`. */
+  def hasVersion(version: Long): Boolean = {
+    val p = new Path(path, TsTable.manifestName(version))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Committed (version, action) pairs, ascending — the table's mutation
     * history (create / append / compact / retention). */
   def snapshotVersions: Seq[(Long, String)] =

@@ -81,10 +81,12 @@ final class GraftTsStreamSource(sqlContext: SQLContext, path: String,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
-        val oldest = table.snapshotVersions.headOption.map(_._1).getOrElse(0L)
+        // common path first: `from` still retained → a pure version-range
+        // diff, O(1) existence check (not an O(#versions) history walk)
         val aligned =
-          if (from >= oldest) table.changesBetween(from, to)
+          if (from >= 1 && table.hasVersion(from)) table.changesBetween(from, to)
           else {
+            val oldest = table.snapshotVersions.headOption.map(_._1).getOrElse(0L)
             // replay from before the retained history (startingVersion
             // under the expiry horizon): the earliest retained version's
             // FULL state stands in for the expired prefix, then diffs.

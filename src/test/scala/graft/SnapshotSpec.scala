@@ -206,6 +206,23 @@ class SnapshotSpec extends SparkSpec {
       "the restored version stays pinnable after the re-archive")
   }
 
+  test("changesBetween plans a scan of ONLY the added files (metadata diff, " +
+      "never a table scan)") {
+    val (t, store, fs) = build("chfiles")
+    // live layout: append1 = 2 files (01-01, 01-02a), append2 = 3 files
+    val all = fs.listStatus(new Path(store)).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("p_date="))
+      .flatMap(d => fs.listStatus(d.getPath)).count(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    assert(all == 5, s"fixture expects 5 live files, got $all")
+    val df = t.changesBetween(2L, 3L) // just the SECOND append's rows
+    df.collect()
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+    assert(scanned == 3,
+      s"changesBetween(2,3) must scan exactly the 3 added files, scanned $scanned of $all")
+  }
+
   test("cloneAt materializes a version as an INDEPENDENT table: equals the " +
       "pin (through the archive), survives source expiry, mutates alone") {
     val (t, store, fsc) = build("clone")
