@@ -912,7 +912,8 @@ final class TsTable private (
     // already landed would report FAILURE for a metadata race, leaving a
     // torn visible-but-"failed" batch a retry would double-append.
     var next = 0L
-    var attempt = 0
+    var lastBase = -1L // newest version observed on the previous attempt
+    var stuck = 0
     var committed = false
     while (!committed) {
       // loose ROOT-LEVEL data files too (the attached plain/hybrid layout
@@ -940,8 +941,20 @@ final class TsTable private (
       } catch {
         case e: IllegalArgumentException
             if e.getMessage != null && e.getMessage.contains("concurrent commit") =>
-          attempt += 1
-          if (attempt >= 5) throw e
+          // Losing a race means ANOTHER writer installed our target — the
+          // system made progress, so retrying cannot livelock; under
+          // sustained contention a writer may lose many races in a row
+          // (raced in ManifestRaceSpec: 2 threads × 10 tight-loop commits
+          // each, all must land). Give up only when the observed version
+          // did NOT advance across attempts — a manifest occupying our
+          // target that the listing cannot see is corruption, not a race.
+          if (next - 1 == lastBase) {
+            stuck += 1
+            if (stuck >= 5) throw e
+          } else {
+            lastBase = next - 1
+            stuck = 0
+          }
       }
     }
     // Bounded history (the Iceberg previous-versions-max rule): each

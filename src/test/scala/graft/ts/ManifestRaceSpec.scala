@@ -55,4 +55,36 @@ class ManifestRaceSpec extends graft.SparkSpec {
       .map(_.getPath.getName).filter(_.endsWith(".tmp"))
     assert(tmps.isEmpty, s"temp residue: ${tmps.mkString(",")}")
   }
+
+  test("commitVersion CAS-retry: two concurrent committers both land, on " +
+      "distinct versions, history linear with every action present") {
+    val dir = java.nio.file.Files.createTempDirectory("commit_race").toString
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", LongType)))
+    val t = TsTable.create(spark, dir, schema) // v1
+    val perThread = 10
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("left", "right").map { tag =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          for (i <- 1 to perThread) t.commitVersion(s"race-$tag-$i")
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(errors.asScala.isEmpty,
+      s"a committer failed despite the retry loop: ${errors.asScala.headOption}")
+    val hist = t.snapshotVersions
+    // linear, gapless history: every commit took a DISTINCT version
+    assert(hist.map(_._1) == (1L to (1 + 2 * perThread).toLong),
+      s"history not linear: ${hist.map(_._1)}")
+    // no commit was silently clobbered: all 20 racing actions are present
+    val actions = hist.map(_._2).toSet
+    for (tag <- Seq("left", "right"); i <- 1 to perThread)
+      assert(actions.contains(s"race-$tag-$i"), s"lost commit race-$tag-$i")
+  }
 }
