@@ -159,10 +159,9 @@ class SnapshotProps extends SparkSpec {
         assert(got == want,
           s"seed=$seed changes($v1,$v2): got ${got.size}, want ${want.size}")
       }
-      if (retained.length >= 2) {
-        changesCheck(retained.head, retained.last)
+      if (retained.length >= 2) changesCheck(retained.head, retained.last)
+      if (retained.length > 2) // mid == last at length 2 (degenerate range)
         changesCheck(retained(retained.length / 2), retained.last)
-      }
     }
   }
 
