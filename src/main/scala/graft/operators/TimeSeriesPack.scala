@@ -311,6 +311,39 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** B10+ the streaming incremental SOURCE, oracle-checked end-to-end —
+    * rare for a stream, possible here because `Trigger.AvailableNow`
+    * drains deterministically: the q_ts_changes lifecycle (checkpoint
+    * after batch 1; batch 2; a compact that archives one of its files;
+    * batch 3), then `readStream.format("graft-ts")` with
+    * `startingVersion = checkpoint` runs TO COMPLETION into a memory
+    * sink, and the drained table must hash-match the same oracle as the
+    * batch `changesBetween` — proving version offsets, the
+    * maintenance-emits-nothing rule, and archive resolution through the
+    * actual streaming engine, not a spec harness. Restart/resume and
+    * replay semantics are asserted in TsStreamSpec. */
+  def streamChangesRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tsstrch_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cut1 = lit("2024-01-02 12:00:00").cast("timestamp")
+    val cut2 = lit("2024-01-03 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut1))
+    val checkpoint = t.currentVersion.get
+    t.append(ev.where(col("ts") >= cut1 && col("ts") < cut2))
+    t.compactAll(targetFiles = 1)
+    t.append(ev.where(col("ts") >= cut2))
+    val sink = s"gts_stream_changes_${StoreDirs.pathKey(dir)}"
+    val q = s.readStream.format("graft-ts")
+      .option("startingVersion", checkpoint.toString).load(store)
+      .writeStream.format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    eventsProjection(s.table(sink))
+  }
+
   /** A3+ deep-clone round-trip (`TsTable.cloneAt` — the sandbox verb): the
     * restore fixture's lifecycle, but instead of rolling the source back,
     * the pinned pre-damage version is MATERIALIZED as an independent new
@@ -837,6 +870,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_restore" -> restoreRoundtrip,
     "q_ts_delete" -> deleteRoundtrip,
     "q_ts_changes" -> changesRoundtrip,
+    "q_ts_stream_changes" -> streamChangesRoundtrip,
     "q_ts_sql_asof" -> sqlAsOfRoundtrip,
     "q_ts_clone" -> cloneRoundtrip,
     "q_zorder_cluster" -> zorderRect,
@@ -944,6 +978,13 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_snapshot" ->
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+    // The drained stream (startingVersion = checkpoint) serves exactly
+    // what the batch changesBetween serves — same oracle.
+    "q_ts_stream_changes" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-02 12:00:00'
+         |  AND date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
          |ORDER BY event_id""".stripMargin,
     // The cloned version predates the damage (fifth-day append, compact,
     // retention), so the clone's full-range read equals the build slice.
