@@ -344,6 +344,39 @@ object TimeSeriesPack extends QueryPack {
     eventsProjection(s.table(sink))
   }
 
+  /** B10+ table-to-table streaming PIPE, oracle-checked: a source store
+    * lands three ordered appends, then `readStream.format("graft-ts")`
+    * (startingVersion = 0: full replay) flows through
+    * `TsStream.appendSink` into a SECOND store under
+    * `Trigger.AvailableNow`, and the destination's full-range read must
+    * hash-match the original slice — the incremental source and the
+    * ordered sink composed end-to-end through the real streaming engine,
+    * no test harness in the loop (the CDC mirror shape: replicate a
+    * table by tailing its commits). */
+  def streamPipeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = StoreDirs.scratch(s, s"graft_tspipe_src_${StoreDirs.pathKey(dir)}")
+    val dst = StoreDirs.scratch(s, s"graft_tspipe_dst_${StoreDirs.pathKey(dir)}")
+    val ckpt = StoreDirs.scratch(s, s"graft_tspipe_ck_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-03 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, src, ev.schema, tsCol = "ts")
+    val cut1 = lit("2024-01-01 12:00:00").cast("timestamp")
+    val cut2 = lit("2024-01-02 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut1))
+    t.append(ev.where(col("ts") >= cut1 && col("ts") < cut2))
+    t.append(ev.where(col("ts") >= cut2))
+    val dstT = TsTable.create(s, dst, ev.schema, tsCol = "ts")
+    val q = graft.streaming.TsStream.appendSink(
+        s.readStream.format("graft-ts").option("startingVersion", "0").load(src),
+        dstT, ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    eventsProjection(
+      TsTable.open(s, dst)
+        .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")))
+  }
+
   /** A3+ deep-clone round-trip (`TsTable.cloneAt` — the sandbox verb): the
     * restore fixture's lifecycle, but instead of rolling the source back,
     * the pinned pre-damage version is MATERIALIZED as an independent new
@@ -871,6 +904,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_delete" -> deleteRoundtrip,
     "q_ts_changes" -> changesRoundtrip,
     "q_ts_stream_changes" -> streamChangesRoundtrip,
+    "q_ts_stream_pipe" -> streamPipeRoundtrip,
     "q_ts_sql_asof" -> sqlAsOfRoundtrip,
     "q_ts_clone" -> cloneRoundtrip,
     "q_zorder_cluster" -> zorderRect,
@@ -985,6 +1019,12 @@ object TimeSeriesPack extends QueryPack {
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-02 12:00:00'
          |  AND date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+    // The piped destination holds exactly the source's appended rows; the
+    // closed upper read bound admits nothing (source built below it).
+    "q_ts_stream_pipe" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-03 00:00:00'
          |ORDER BY event_id""".stripMargin,
     // The cloned version predates the damage (fifth-day append, compact,
     // retention), so the clone's full-range read equals the build slice.
