@@ -311,6 +311,35 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** A3+ row-level update round-trip (`TsTable.updateWhere` — the
+    * redaction/correction verb, `deleteWhere`'s sibling): four days land,
+    * then a copy-on-write update redacts a modulo-selected cohort's
+    * `props` and zeroes its `value` inside a mid-range window, and the
+    * FULL range reads back. The oracle replays the assignment as CASE
+    * WHEN over raw events, hash-checking hit-file pruning, the
+    * conditional rewrite (non-hit rows byte-identical), the swap, and
+    * the "update" version commit; pin survival, row-expression
+    * semantics, and the ts-assignment refusal are asserted in
+    * TsTableSpec. */
+  def updateRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tsupdate_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cut = lit("2024-01-02 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    t.append(ev.where(col("ts") >= cut))
+    t.updateWhere(
+      col("user_id") % 5 === 1 &&
+        col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"),
+      Map("props" -> lit("""{"redacted":true}"""),
+        "value" -> lit(0.0)))
+    eventsProjection(
+      TsTable.open(s, store)
+        .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
+  }
+
   /** B10+ the streaming incremental SOURCE, oracle-checked end-to-end —
     * rare for a stream, possible here because `Trigger.AvailableNow`
     * drains deterministically: the q_ts_changes lifecycle (checkpoint
@@ -902,6 +931,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_history" -> tsHistory,
     "q_ts_restore" -> restoreRoundtrip,
     "q_ts_delete" -> deleteRoundtrip,
+    "q_ts_update" -> updateRoundtrip,
     "q_ts_changes" -> changesRoundtrip,
     "q_ts_stream_changes" -> streamChangesRoundtrip,
     "q_ts_stream_pipe" -> streamPipeRoundtrip,
@@ -1039,6 +1069,21 @@ object TimeSeriesPack extends QueryPack {
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
          |ORDER BY event_id""".stripMargin,
+    // updateWhere redacts exactly the predicate-TRUE rows; every other
+    // row (including the hit files' non-matching rows) is unchanged.
+    "q_ts_update" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |  CASE WHEN user_id % 5 = 1
+        |    AND date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-02 00:00:00'
+        |    AND date_trunc('microseconds', ts) < TIMESTAMP '2024-01-04 00:00:00'
+        |  THEN 0.0 ELSE value END AS value,
+        |  CASE WHEN user_id % 5 = 1
+        |    AND date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-02 00:00:00'
+        |    AND date_trunc('microseconds', ts) < TIMESTAMP '2024-01-04 00:00:00'
+        |  THEN '{"redacted":true}' ELSE props END AS props
+        |FROM events
+        |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+        |ORDER BY event_id""".stripMargin,
     // changesBetween(checkpoint, current) = the rows appended after the
     // checkpoint (batches 2+3 = everything at-or-after the first cut);
     // the intervening compact contributes no false adds.

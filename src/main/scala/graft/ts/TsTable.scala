@@ -520,6 +520,57 @@ final class TsTable private (
     val serving = TsTable.open(spark, path, tsCol)
     if (serving.schema != storedSchema)
       return serving.deleteWhere(predicate, filesPerDay)
+    cowRewrite(predicate, "delete", filesPerDay)((df, cond) => df.where(!cond))
+  }
+
+  /** Row-level UPDATE, copy-on-write — `deleteWhere`'s sibling and the
+    * redaction/correction verb (`UPDATE t SET … WHERE …`): every row the
+    * predicate evaluates TRUE on gets the assigned column expressions
+    * (evaluated against the row, cast to the column's stored type);
+    * everything else — including the hit files' non-matching rows —
+    * rewrites byte-identically. Same O(hit files) pruning, staging, and
+    * archive discipline as delete; commits an "update" version, so a
+    * pre-update pin still serves the original values. The ts column (and
+    * the partition column) cannot be assigned: the table is
+    * append-ordered and `ts` is a row's placement identity — moving a
+    * row in time is a delete + append, not an update. Returns the number
+    * of rows updated (0 = no hit, nothing rewritten, no commit). */
+  def updateWhere(predicate: org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column],
+                  filesPerDay: Int = 1): Long = {
+    require(filesPerDay >= 1, "filesPerDay must be >= 1")
+    require(assignments.nonEmpty, "updateWhere: no assignments")
+    require(!assignments.keySet.exists(_.equalsIgnoreCase(tsCol)),
+      s"updateWhere: '$tsCol' is the table's order identity — move a row " +
+        "in time with deleteWhere + append, not an update")
+    require(!assignments.keySet.exists(_.equalsIgnoreCase(PartCol)),
+      s"updateWhere: '$PartCol' is derived from '$tsCol', not assignable")
+    val unknown = assignments.keySet.filterNot(storedSchema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"updateWhere: unknown columns ${unknown.mkString(", ")}")
+    val serving = TsTable.open(spark, path, tsCol)
+    if (serving.schema != storedSchema)
+      return serving.updateWhere(predicate, assignments, filesPerDay)
+    cowRewrite(predicate, "update", filesPerDay) { (df, cond) =>
+      df.select(df.columns.map { c =>
+        if (assignments.contains(c))
+          when(cond, assignments(c).cast(storedSchema(c).dataType))
+            .otherwise(col(c)).as(c)
+        else col(c)
+      }.toSeq: _*)
+    }
+  }
+
+  /** Shared copy-on-write core of [[deleteWhere]]/[[updateWhere]]: prune
+    * to the files holding predicate-TRUE rows (pushed predicates +
+    * row-group stats; O(#hit files) driver metadata), apply `xform` to
+    * ONLY those files' rows (receiving the null-safe hit condition),
+    * stage into an invisible temp, archive the originals (pinned readers
+    * keep resolving), move the rewrites in, commit `action`. Returns the
+    * predicate-TRUE row count; 0 hits = nothing rewritten, no commit. */
+  private def cowRewrite(predicate: org.apache.spark.sql.Column,
+                         action: String, filesPerDay: Int)(
+      xform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // same µs-instant encoding rationale as appendValidated
@@ -529,26 +580,25 @@ final class TsTable private (
       .agg(count(lit(1)).as("n"))
       .collect() // one row per HIT file — O(#hit files), documented above
     if (hitAgg.isEmpty) return 0L // empty-hit fast path: no rewrite, no commit
-    val deleted = hitAgg.map(_.getLong(1)).sum
+    val hits = hitAgg.map(_.getLong(1)).sum
     val rootPath = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
     def relOf(fileUri: String): String = {
       val p = new Path(fileUri).toUri.getPath
       require(p.startsWith(rootPath + "/"),
-        s"deleteWhere: scanned file $fileUri resolves outside the table root")
+        s"$action: scanned file $fileUri resolves outside the table root")
       p.substring(rootPath.length + 1)
     }
     val hitRel = hitAgg.map(r => relOf(r.getString(0))).toSeq
     val (dated, loose) = hitRel.partition(_.contains("/"))
-    val keep = !coalesce(predicate, lit(false))
+    val cond = coalesce(predicate, lit(false)) // null/UNKNOWN = not hit
     val tmp = new Path(root, "_delete_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    // 2. survivors of the hit files only, one job per layout family
+    // 2. rewrite of the hit files only, one job per layout family
     if (dated.nonEmpty) {
       val nDays = dated.map(_.split("/").init.mkString("/")).distinct.length
-      val df = spark.read.option("basePath", path)
+      val df = xform(spark.read.option("basePath", path)
         .schema(withPartCol(storedSchema))
-        .parquet(dated.map(r => new Path(root, r).toString): _*)
-        .where(keep)
+        .parquet(dated.map(r => new Path(root, r).toString): _*), cond)
       val placed =
         if (filesPerDay == 1) df.repartition(col(PartCol))
         else df.repartitionByRange((nDays * filesPerDay).max(1),
@@ -562,10 +612,10 @@ final class TsTable private (
       writer.partitionBy(PartCol).parquet(new Path(tmp, "dated").toString)
     }
     if (loose.nonEmpty) { // attached plain/hybrid layouts: root-level files
-      val writer = spark.read.schema(storedSchema)
-        .parquet(loose.map(r => new Path(root, r).toString): _*)
-        .withColumn(PartCol, lit(null).cast(DateType)) // predicate may name it
-        .where(keep)
+      val writer = xform(spark.read.schema(storedSchema)
+          .parquet(loose.map(r => new Path(root, r).toString): _*)
+          .withColumn(PartCol, lit(null).cast(DateType)), // predicate may name it
+          cond)
         .drop(PartCol)
         .repartitionByRange(loose.length.max(1), col(tsCol))
         .sortWithinPartitions(col(tsCol))
@@ -575,7 +625,7 @@ final class TsTable private (
         writer.option("parquet.block.size", b.toString))
       writer.parquet(new Path(tmp, "loose").toString)
     }
-    // 3. swap: archive the hit originals, move the survivor files in
+    // 3. swap: archive the hit originals, move the rewritten files in
     hitRel.foreach(archiveFile(fs, _))
     val datedTmp = new Path(tmp, "dated")
     if (fs.exists(datedTmp)) {
@@ -590,8 +640,8 @@ final class TsTable private (
     if (fs.exists(looseTmp))
       dataFiles(fs, looseTmp).foreach(f => fs.rename(f, new Path(root, f.getName)))
     fs.delete(tmp, true)
-    commitVersion("delete")
-    deleted
+    commitVersion(action)
+    hits
   }
 
   /** Compact every day partition holding more than `targetFiles` data

@@ -274,6 +274,39 @@ class TsTableSpec extends SparkSpec {
     assert(tab.toDF.count() == 4)
   }
 
+  test("updateWhere: copy-on-write in-place update; pin keeps originals; " +
+      "row expressions see the row; ts/unknown columns refused; empty hit no-ops") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows(Seq(
+      ("2024-03-01 10:00:00", 1L, 1.0),
+      ("2024-03-02 10:00:00", 2L, 2.0),
+      ("2024-03-03 10:00:00", 3L, 3.0))))
+    val pinned = tab.currentVersion.get
+    val n = tab.updateWhere(col("user_id") === 2L, Map("value" -> lit(99.0)))
+    assert(n == 1L)
+    assert(tab.toDF.count() == 3, "update must not lose rows")
+    assert(tab.toDF.where(col("value") === 99.0).collect()
+      .map(_.getLong(1)).toSeq == Seq(2L))
+    assert(tab.snapshotVersions.last._2 == "update")
+    // the pre-update pin still serves the original value
+    assert(tab.openAt(pinned).toDF.where(col("value") === 99.0).count() == 0)
+    assert(tab.openAt(pinned).toDF.where(col("user_id") === 2L).head.getDouble(2) == 2.0)
+    // assignment expressions evaluate against the ROW
+    assert(tab.updateWhere(col("user_id") === 3L,
+      Map("value" -> (col("value") * 2))) == 1L)
+    assert(tab.toDF.where(col("user_id") === 3L).head.getDouble(2) == 6.0)
+    // the ts column and unknown columns are refused up front
+    intercept[IllegalArgumentException](
+      tab.updateWhere(lit(true), Map("ts" -> lit(null))))
+    intercept[IllegalArgumentException](
+      tab.updateWhere(lit(true), Map("nope" -> lit(1))))
+    // empty hit: no rewrite, no commit
+    val v = tab.currentVersion.get
+    assert(tab.updateWhere(col("user_id") === 99L, Map("value" -> lit(0.0))) == 0L)
+    assert(tab.currentVersion.get == v)
+  }
+
   test("deleteWhere: time-scoped delete can empty a whole day; edge aggregates " +
       "and later appends stay correct") {
     val dir = freshDir()
