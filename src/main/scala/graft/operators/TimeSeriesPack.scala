@@ -340,6 +340,45 @@ object TimeSeriesPack extends QueryPack {
         .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
   }
 
+  /** A3+ upsert round-trip (`TsTable.mergeInto` — the `MERGE INTO` verb,
+    * completing the DML triple): four days land in two appends, then ONE
+    * merge both corrects a cohort (matched rows: value doubled, props
+    * redacted — the source also carries user_id/event_type unchanged,
+    * exercising the default all-source-columns update set) and BACKFILLS
+    * day-5 events shifted 72 h into the table's past — inserts a
+    * monotonic `append` would reject. The oracle replays the matched side
+    * as a LEFT JOIN + CASE and the insert side as a UNION ALL, so the
+    * hash checks key semi-join hit pruning, the joined conditional
+    * rewrite, backfill placement into existing day partitions, and the
+    * single "merge" commit end-to-end. Cardinality rejection, update-only
+    * /insert-only modes, pin survival, and null-ts insert rejection are
+    * asserted in TsTableSpec. */
+  def mergeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tsmerge_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cut = lit("2024-01-02 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    t.append(ev.where(col("ts") >= cut))
+    val updSrc = ev.where(col("user_id") % 6 === 2 &&
+        col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value") * 2).as("value"),
+        lit("""{"corrected":true}""").as("props"))
+    val insSrc = Tables.events(s, dir)
+      .where(col("ts") >= hi &&
+        col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
+      .select(col("event_id"),
+        (col("ts") - expr("INTERVAL 72 HOURS")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    t.mergeInto(updSrc.unionByName(insSrc), keys = Seq("event_id"))
+    eventsProjection(
+      TsTable.open(s, store)
+        .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
+  }
+
   /** B10+ the streaming incremental SOURCE, oracle-checked end-to-end —
     * rare for a stream, possible here because `Trigger.AvailableNow`
     * drains deterministically: the q_ts_changes lifecycle (checkpoint
@@ -932,6 +971,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_restore" -> restoreRoundtrip,
     "q_ts_delete" -> deleteRoundtrip,
     "q_ts_update" -> updateRoundtrip,
+    "q_ts_merge" -> mergeRoundtrip,
     "q_ts_changes" -> changesRoundtrip,
     "q_ts_stream_changes" -> streamChangesRoundtrip,
     "q_ts_stream_pipe" -> streamPipeRoundtrip,
@@ -1083,6 +1123,41 @@ object TimeSeriesPack extends QueryPack {
         |  THEN '{"redacted":true}' ELSE props END AS props
         |FROM events
         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    // mergeInto: matched rows take the source's columns (replayed as a
+    // LEFT JOIN + CASE on the match marker — the source carried the
+    // original user_id/event_type, so only value/props visibly change);
+    // unmatched source rows (day-5 events shifted 72 h back) insert as
+    // backfill into existing day partitions.
+    "q_ts_merge" ->
+      """WITH base AS (
+        |  SELECT * FROM events
+        |  WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+        |), upd AS (
+        |  SELECT event_id, value * 2 AS value, '{"corrected":true}' AS props
+        |  FROM base
+        |  WHERE user_id % 6 = 2
+        |    AND date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-02 00:00:00'
+        |    AND date_trunc('microseconds', ts) < TIMESTAMP '2024-01-04 00:00:00'
+        |), ins AS (
+        |  SELECT event_id, ts - INTERVAL 72 HOUR AS ts, user_id, event_type,
+        |    value, props
+        |  FROM events
+        |  WHERE date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-05 00:00:00'
+        |    AND date_trunc('microseconds', ts) < TIMESTAMP '2024-01-06 00:00:00'
+        |), merged AS (
+        |  SELECT b.event_id, b.ts, b.user_id, b.event_type,
+        |    CASE WHEN u.event_id IS NOT NULL THEN u.value ELSE b.value END AS value,
+        |    CASE WHEN u.event_id IS NOT NULL THEN u.props ELSE b.props END AS props
+        |  FROM base b LEFT JOIN upd u ON b.event_id = u.event_id
+        |  UNION ALL
+        |  SELECT event_id, ts, user_id, event_type, value, props FROM ins
+        |)
+        |SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+        |  props
+        |FROM merged
+        |WHERE date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND date_trunc('microseconds', ts) <= TIMESTAMP '2024-01-05 00:00:00'
         |ORDER BY event_id""".stripMargin,
     // changesBetween(checkpoint, current) = the rows appended after the
     // checkpoint (batches 2+3 = everything at-or-after the first cut);

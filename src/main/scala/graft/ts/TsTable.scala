@@ -561,44 +561,212 @@ final class TsTable private (
     }
   }
 
-  /** Shared copy-on-write core of [[deleteWhere]]/[[updateWhere]]: prune
-    * to the files holding predicate-TRUE rows (pushed predicates +
-    * row-group stats; O(#hit files) driver metadata), apply `xform` to
-    * ONLY those files' rows (receiving the null-safe hit condition),
-    * stage into an invisible temp, archive the originals (pinned readers
-    * keep resolving), move the rewrites in, commit `action`. Returns the
+  /** Upsert — the `MERGE INTO t USING s ON …` verb, completing the DML
+    * triple with [[deleteWhere]]/[[updateWhere]]: each `source` row whose
+    * `keys` values match an existing row UPDATES it in place (the matched
+    * row's `updateCols` take the source row's values — by default every
+    * non-key source column except the ts column), and each source row with
+    * no match is INSERTED into its ts-derived day partition — including
+    * days in the table's PAST, the backfill `append`'s monotonicity
+    * contract deliberately forbids (late-arriving data lands here, ordered
+    * ingest stays on `append`). One "merge" version commits for the whole
+    * upsert; a pre-merge pin still serves the original rows.
+    *
+    * Mechanics and scale shape:
+    *   - MATCHED side is `updateWhere`'s O(hit files) copy-on-write: a
+    *     key semi-join finds the files holding matched rows (the source is
+    *     typically small — AQE broadcasts it and the probe never
+    *     shuffles), only those files rewrite, non-matched rows in them
+    *     byte-identically.
+    *   - NOT-MATCHED side is one key anti-join projecting the source onto
+    *     the table schema (absent columns null-fill, `appendEvolved`'s
+    *     rule) — inserted rows ride the SAME staged write as the
+    *     rewrites, so a day receiving both stays one ts-sorted file set
+    *     and the swap is a single archive-and-move.
+    *   - SQL MERGE's cardinality rule is enforced: a source with two rows
+    *     for one key is rejected before anything rewrites.
+    *
+    * A backfilled day's new file ts-OVERLAPS its older files (correct —
+    * reads are predicate-driven; `compact` restores the contiguous-slice
+    * layout, same note as `deleteWhere`). `changesBetween` treats a
+    * "merge" version as row-free maintenance: its inserts share files
+    * with rewritten survivors, so a file-set diff cannot isolate the adds
+    * — incremental consumers resync when the action log shows a merge
+    * (the documented delete/restore rule).
+    *
+    * @param source     one row per upsert; columns ⊆ table columns; must
+    *                   carry `keys` and (when `insert`) the ts column.
+    * @param keys       match identity (e.g. the event id). Key columns
+    *                   never update.
+    * @param updateCols override of the matched-row column set; empty =
+    *                   all non-key source columns except ts. Pass
+    *                   `insert = true` with a keys+ts-only source for an
+    *                   insert-only (ignore-duplicates) merge.
+    * @param insert     false = update-only merge (unmatched source rows
+    *                   are ignored).
+    * @return (matched-and-updated count, inserted count); (0, 0) =
+    *         nothing to do, no version committed. */
+  def mergeInto(source: DataFrame, keys: Seq[String],
+                updateCols: Seq[String] = Seq.empty,
+                insert: Boolean = true,
+                filesPerDay: Int = 1): TsTable.MergeResult = {
+    require(filesPerDay >= 1, "filesPerDay must be >= 1")
+    require(keys.nonEmpty, "mergeInto: no key columns")
+    val srcCols = source.schema.fieldNames.toSeq
+    keys.foreach { k =>
+      require(srcCols.contains(k), s"mergeInto: source is missing key column '$k'")
+      require(storedSchema.fieldNames.contains(k),
+        s"mergeInto: key column '$k' is not a table column")
+    }
+    val foreign = srcCols.filterNot(storedSchema.fieldNames.contains)
+    require(foreign.isEmpty,
+      s"mergeInto: source columns ${foreign.mkString(", ")} are not table columns")
+    require(updateCols.forall(srcCols.contains),
+      s"mergeInto: updateCols ${updateCols.filterNot(srcCols.contains).mkString(", ")} missing from source")
+    val upd =
+      if (updateCols.nonEmpty) updateCols
+      else srcCols.filterNot(c => keys.contains(c) || c.equalsIgnoreCase(tsCol))
+    require(!upd.exists(_.equalsIgnoreCase(tsCol)),
+      s"mergeInto: '$tsCol' is a row's placement identity — move a row in " +
+        "time with deleteWhere + a ts-bearing insert, not an update")
+    require(!upd.exists(_.equalsIgnoreCase(PartCol)),
+      s"mergeInto: '$PartCol' is derived from '$tsCol', not assignable")
+    require(upd.forall(c => !keys.contains(c)),
+      s"mergeInto: key columns (${upd.filter(keys.contains).mkString(", ")}) are not updatable")
+    require(upd.nonEmpty || insert,
+      "mergeInto: nothing to do — no update columns and insert = false")
+    require(!insert || srcCols.contains(tsCol),
+      s"mergeInto: inserts need '$tsCol' in the source to place rows")
+    // same stale-handle rule as the other rewrite verbs
+    val serving = TsTable.open(spark, path, tsCol)
+    if (serving.schema != storedSchema)
+      return serving.mergeInto(source, keys, updateCols, insert, filesPerDay)
+    // SQL MERGE cardinality rule: at most one source row per key
+    val keyCols = keys.map(col)
+    val dup = source.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"mergeInto: source has ${dup.headOption.map(_.getLong(keys.length)).getOrElse(0L)} rows " +
+        s"for key (${dup.headOption.map(r => keys.indices.map(r.get).mkString(", ")).getOrElse("")}) — " +
+        "SQL MERGE cardinality violation")
+    // MATCHED discovery: O(#hit files) driver metadata, skipped when
+    // nothing will update
+    val (hitRel, matched) =
+      if (upd.isEmpty) (Seq.empty[String], 0L)
+      else {
+        // input_file_name() must bind BELOW the join (it rejects
+        // multi-source plans), so stamp each table row with its file first
+        val hitAgg = raw.withColumn("__f", input_file_name())
+          .join(source.select(keyCols: _*), keys, "left_semi")
+          .groupBy(col("__f").as("f")).agg(count(lit(1)).as("n"))
+          .collect()
+        (relativize(hitAgg.map(_.getString(0)).toSeq, "merge"),
+          hitAgg.map(_.getLong(1)).sum)
+      }
+    // NOT-MATCHED side: project onto the stored schema, derive p_date
+    val insOpt: Option[(DataFrame, Long, Int)] =
+      if (!insert) None
+      else {
+        val proj = source.join(raw.select(keyCols: _*), keys, "left_anti")
+          .select(storedSchema.fields.map { f =>
+            (if (srcCols.contains(f.name)) col(f.name).cast(f.dataType)
+             else lit(null).cast(f.dataType)).as(f.name)
+          }.toSeq: _*)
+          .withColumn(PartCol, to_date(col(tsCol)))
+        proj.persist()
+        val st = proj.agg(count(lit(1)), count(col(tsCol)),
+          countDistinct(col(PartCol))).head
+        val (n, nTs, nDays) = (st.getLong(0), st.getLong(1), st.getLong(2))
+        if (n == 0) { proj.unpersist(); None }
+        else if (n != nTs) {
+          proj.unpersist()
+          throw new IllegalArgumentException(
+            s"mergeInto: ${n - nTs} insert row(s) carry a null '$tsCol'")
+        } else Some((proj, n, nDays.toInt))
+      }
+    if (hitRel.isEmpty && insOpt.isEmpty) return TsTable.MergeResult(0L, 0L)
+    try {
+      cowExec(hitRel, "merge", filesPerDay,
+        inserts = insOpt.map(_._1), insertDays = insOpt.map(_._3).getOrElse(0)) { df =>
+        val marked = source.select(
+          (keyCols ++ upd.map(c => col(c).as(s"__u_$c")) :+
+            lit(true).as("__matched")): _*)
+        df.join(marked, keys, "left")
+          .select(df.columns.map { c =>
+            if (upd.contains(c))
+              when(col("__matched"), col(s"__u_$c").cast(storedSchema(c).dataType))
+                .otherwise(col(c)).as(c)
+            else col(c)
+          }.toSeq: _*)
+      }
+    } finally insOpt.foreach(_._1.unpersist())
+    TsTable.MergeResult(matched, insOpt.map(_._2).getOrElse(0L))
+  }
+
+  /** Shared copy-on-write discovery for [[deleteWhere]]/[[updateWhere]]:
+    * prune to the files holding predicate-TRUE rows (pushed predicates +
+    * row-group stats; O(#hit files) driver metadata), then hand the hit
+    * set and the null-safe hit condition to [[cowExec]]. Returns the
     * predicate-TRUE row count; 0 hits = nothing rewritten, no commit. */
   private def cowRewrite(predicate: org.apache.spark.sql.Column,
                          action: String, filesPerDay: Int)(
       xform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // same µs-instant encoding rationale as appendValidated
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val hitAgg = raw.where(predicate)
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("n"))
       .collect() // one row per HIT file — O(#hit files), documented above
     if (hitAgg.isEmpty) return 0L // empty-hit fast path: no rewrite, no commit
     val hits = hitAgg.map(_.getLong(1)).sum
+    val cond = coalesce(predicate, lit(false)) // null/UNKNOWN = not hit
+    cowExec(relativize(hitAgg.map(_.getString(0)).toSeq, action), action,
+      filesPerDay, inserts = None, insertDays = 0)(df => xform(df, cond))
+    hits
+  }
+
+  /** Table-root-relative paths of scanned file URIs, refusing anything that
+    * resolves outside the root (a scan can only ever surface table files —
+    * this is the tamper guard, not a normalization). */
+  private def relativize(fileUris: Seq[String], action: String): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootPath = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
-    def relOf(fileUri: String): String = {
-      val p = new Path(fileUri).toUri.getPath
+    fileUris.map { u =>
+      val p = new Path(u).toUri.getPath
       require(p.startsWith(rootPath + "/"),
-        s"$action: scanned file $fileUri resolves outside the table root")
+        s"$action: scanned file $u resolves outside the table root")
       p.substring(rootPath.length + 1)
     }
-    val hitRel = hitAgg.map(r => relOf(r.getString(0))).toSeq
+  }
+
+  /** Copy-on-write staging + swap + commit, shared by the predicate verbs
+    * ([[cowRewrite]]) and [[mergeInto]]: apply `xform` to ONLY the hit
+    * files' rows, union in `inserts` (already carrying `p_date`; merge's
+    * NOT-MATCHED rows), stage into an invisible temp, archive the hit
+    * originals (pinned readers keep resolving), move the staged files in,
+    * commit `action`. `insertDays` sizes the range-split when
+    * `filesPerDay > 1` (an upper bound on the insert-side day count). */
+  private def cowExec(hitRel: Seq[String], action: String, filesPerDay: Int,
+                      inserts: Option[DataFrame], insertDays: Int)(
+      xform: DataFrame => DataFrame): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // same µs-instant encoding rationale as appendValidated
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val (dated, loose) = hitRel.partition(_.contains("/"))
-    val cond = coalesce(predicate, lit(false)) // null/UNKNOWN = not hit
     val tmp = new Path(root, "_delete_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    // 2. rewrite of the hit files only, one job per layout family
-    if (dated.nonEmpty) {
-      val nDays = dated.map(_.split("/").init.mkString("/")).distinct.length
-      val df = xform(spark.read.option("basePath", path)
-        .schema(withPartCol(storedSchema))
-        .parquet(dated.map(r => new Path(root, r).toString): _*), cond)
+    // 2. rewrite of the hit files only (+ merge inserts), one job per
+    //    layout family
+    if (dated.nonEmpty || inserts.nonEmpty) {
+      val nDays =
+        dated.map(_.split("/").init.mkString("/")).distinct.length + insertDays
+      val parts = Seq.newBuilder[DataFrame]
+      if (dated.nonEmpty)
+        parts += xform(spark.read.option("basePath", path)
+          .schema(withPartCol(storedSchema))
+          .parquet(dated.map(r => new Path(root, r).toString): _*))
+      inserts.foreach(parts += _)
+      val df = parts.result().reduce(_.unionByName(_))
       val placed =
         if (filesPerDay == 1) df.repartition(col(PartCol))
         else df.repartitionByRange((nDays * filesPerDay).max(1),
@@ -614,8 +782,7 @@ final class TsTable private (
     if (loose.nonEmpty) { // attached plain/hybrid layouts: root-level files
       val writer = xform(spark.read.schema(storedSchema)
           .parquet(loose.map(r => new Path(root, r).toString): _*)
-          .withColumn(PartCol, lit(null).cast(DateType)), // predicate may name it
-          cond)
+          .withColumn(PartCol, lit(null).cast(DateType))) // predicate may name it
         .drop(PartCol)
         .repartitionByRange(loose.length.max(1), col(tsCol))
         .sortWithinPartitions(col(tsCol))
@@ -641,7 +808,6 @@ final class TsTable private (
       dataFiles(fs, looseTmp).foreach(f => fs.rename(f, new Path(root, f.getName)))
     fs.delete(tmp, true)
     commitVersion(action)
-    hits
   }
 
   /** Compact every day partition holding more than `targetFiles` data
@@ -1200,6 +1366,10 @@ object TsWriteOptions {
 }
 
 object TsTable {
+  /** What a [[TsTable.mergeInto]] did: matched-row updates vs new-row
+    * inserts (both 0 = nothing happened, no version committed). */
+  final case class MergeResult(updated: Long, inserted: Long)
+
   /** Hive partition column: one directory per UTC day, like the reference's
     * one HDF5 group per day (`yYYYY/mMM/dDD`). */
   val PartCol = "p_date"

@@ -307,6 +307,103 @@ class TsTableSpec extends SparkSpec {
     assert(tab.currentVersion.get == v)
   }
 
+  test("mergeInto: matched rows update, unmatched insert as backfill; " +
+      "untouched files keep their bytes; pin survives; one merge commit") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows(Seq(
+      ("2024-03-01 10:00:00", 1L, 1.0),
+      ("2024-03-02 10:00:00", 2L, 2.0),
+      ("2024-03-03 10:00:00", 3L, 3.0))))
+    val pinned = tab.currentVersion.get
+    def filesOf(day: String): Set[String] =
+      new java.io.File(dir, s"p_date=$day").listFiles
+        .map(_.getName).filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    val day3Before = filesOf("2024-03-03")
+    // one source row matches user 2's key; one lands in day 1's PAST-day
+    // partition and one in a brand-new past day — both appends would reject
+    val src = mkRows(Seq(
+      ("2024-03-02 10:00:00", 2L, 99.0),   // matched → update
+      ("2024-03-01 23:00:00", 7L, 7.0),    // backfill into existing day 1
+      ("2024-02-28 09:00:00", 8L, 8.0)))   // backfill into a NEW past day
+    val r = tab.mergeInto(src, keys = Seq("ts", "user_id"))
+    assert(r == TsTable.MergeResult(1L, 2L))
+    assert(tab.toDF.count() == 5)
+    assert(tab.toDF.where(col("user_id") === 2L).head.getDouble(2) == 99.0)
+    assert(tab.toDF.where(col("user_id") === 8L).count() == 1)
+    assert(new java.io.File(dir, "p_date=2024-02-28").isDirectory)
+    // ONE "merge" version for the whole upsert
+    assert(tab.snapshotVersions.last._2 == "merge")
+    assert(tab.currentVersion.get == pinned + 1)
+    // the no-hit day is untouched; the pre-merge pin serves the old state
+    assert(filesOf("2024-03-03") == day3Before)
+    assert(tab.openAt(pinned).toDF.count() == 3)
+    assert(tab.openAt(pinned).toDF.where(col("user_id") === 2L)
+      .head.getDouble(2) == 2.0)
+    // maxDt/minDt still correct after backfill widened the day range
+    assert(tab.minDt.get == t("2024-02-28 09:00:00"))
+    assert(tab.maxDt.get == t("2024-03-03 10:00:00"))
+    // backfilled day reads in ts order through readRange
+    assert(tab.readRange(t("2024-03-01 00:00:00"), t("2024-03-01 23:59:59"))
+      .orderBy("ts").collect().map(_.getLong(1)).toSeq == Seq(1L, 7L))
+  }
+
+  test("mergeInto: modes, cardinality rule, and argument validation") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows(Seq(
+      ("2024-03-01 10:00:00", 1L, 1.0),
+      ("2024-03-02 10:00:00", 2L, 2.0))))
+    // update-only: unmatched source rows are IGNORED, nothing inserts
+    val r1 = tab.mergeInto(mkRows(Seq(
+        ("2024-03-01 10:00:00", 1L, 11.0),
+        ("2024-03-09 10:00:00", 9L, 9.0))),
+      keys = Seq("ts", "user_id"), insert = false)
+    assert(r1 == TsTable.MergeResult(1L, 0L))
+    assert(tab.toDF.count() == 2)
+    assert(tab.toDF.where(col("user_id") === 1L).head.getDouble(2) == 11.0)
+    // insert-only (keys-only update set): matched rows untouched, and the
+    // matched side never even scans — updated reports 0
+    val r2 = tab.mergeInto(
+      mkRows(Seq(("2024-03-01 10:00:00", 1L, 55.0),
+        ("2024-03-04 10:00:00", 4L, 4.0)))
+        .select(col("ts"), col("user_id")), // keys + ts only
+      keys = Seq("ts", "user_id"))
+    assert(r2 == TsTable.MergeResult(0L, 1L))
+    assert(tab.toDF.where(col("user_id") === 1L).head.getDouble(2) == 11.0,
+      "insert-only merge must not touch matched rows")
+    assert(tab.toDF.count() == 3)
+    // explicit updateCols subset still works
+    val v0 = tab.currentVersion.get
+    assert(tab.mergeInto(mkRows(Seq(("2024-03-01 10:00:00", 1L, 11.0))),
+      keys = Seq("ts", "user_id"), updateCols = Seq("value"),
+      insert = false) == TsTable.MergeResult(1L, 0L))
+    // nothing-to-do merge (no match, insert off): no commit
+    assert(tab.mergeInto(mkRows(Seq(("2024-03-09 10:00:00", 9L, 9.0))),
+      keys = Seq("ts", "user_id"), insert = false) == TsTable.MergeResult(0L, 0L))
+    assert(tab.currentVersion.get == v0 + 1) // only the first of the two committed
+    // SQL MERGE cardinality rule: two source rows for one key → reject
+    intercept[IllegalArgumentException](tab.mergeInto(mkRows(Seq(
+        ("2024-03-01 10:00:00", 1L, 1.0),
+        ("2024-03-01 10:00:00", 1L, 2.0))),
+      keys = Seq("ts", "user_id")))
+    // null insert ts → reject (rows would be unplaceable)
+    val nullTs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(null, 77L, 7.0)), 1), schema)
+    intercept[IllegalArgumentException](
+      tab.mergeInto(nullTs, keys = Seq("user_id")))
+    // validation: unknown key / foreign source column / ts as updateCol
+    intercept[IllegalArgumentException](
+      tab.mergeInto(mkRows(Seq(("2024-03-01 10:00:00", 1L, 1.0))),
+        keys = Seq("nope")))
+    intercept[IllegalArgumentException](
+      tab.mergeInto(mkRows(Seq(("2024-03-01 10:00:00", 1L, 1.0)))
+        .withColumn("extra", lit(1)), keys = Seq("user_id")))
+    intercept[IllegalArgumentException](
+      tab.mergeInto(mkRows(Seq(("2024-03-01 10:00:00", 1L, 1.0))),
+        keys = Seq("user_id"), updateCols = Seq("ts")))
+  }
+
   test("deleteWhere: time-scoped delete can empty a whole day; edge aggregates " +
       "and later appends stay correct") {
     val dir = freshDir()
