@@ -178,16 +178,25 @@ final class GraftTsV2Table(spark: SparkSession, ts: TsTable,
     * DateType through the user-specified schema, so directory values never
     * go through inference. A fresh Table (every `load()`) gets a fresh
     * listing; writes invalidate the shared FileStatusCache via
-    * `refreshByPath` at commit. */
+    * `refreshByPath` at commit. Live reads go through the span-skipping
+    * index ([[GraftTsStatsFileIndex]]) whenever the current manifest
+    * carries per-file ts spans — sub-day file pruning at planning time;
+    * stale spans are impossible (immutable UUID-named files) and files
+    * without spans are never skipped, so this degrades to the plain
+    * listing, never to wrong results. */
   private[sources] lazy val fileIndex: PartitioningAwareFileIndex =
     snapshot match {
       case Some(snap) =>
         new GraftTsSnapshotFileIndex(spark, new Path(ts.path), snap)
       case None =>
-        new InMemoryFileIndex(spark, Seq(new Path(ts.path)), Map.empty[String, String],
-          Some(StructType(ts.schema.fields :+
-            StructField(TsTable.PartCol, DateType, nullable = true))),
-          FileStatusCache.getOrCreate(spark), None, None)
+        val full = StructType(ts.schema.fields :+
+          StructField(TsTable.PartCol, DateType, nullable = true))
+        val spans = ts.currentFileTsSpans
+        if (spans.nonEmpty)
+          new GraftTsStatsFileIndex(spark, new Path(ts.path), full, spans, ts.tsCol)
+        else
+          new InMemoryFileIndex(spark, Seq(new Path(ts.path)), Map.empty[String, String],
+            Some(full), FileStatusCache.getOrCreate(spark), None, None)
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

@@ -65,6 +65,41 @@ final class GraftTsSnapshotFileIndex(
 
   override def partitionSpec(): PartitionSpec = spec
 
+  // span-skip index: manifest spans keyed by the RESOLVED path each file
+  // serves from (UUID basenames are unique, so name-level matching is
+  // exact across the live/archive split)
+  private lazy val spanByPath: Map[Path, (Long, Long)] = {
+    val byName = snapshot.fileTsSpans.map { case (rel, s) =>
+      rel.split("/").last -> s
+    }
+    statuses.flatMap { case (_, st) =>
+      byName.get(st.getPath.getName).map(st.getPath -> _)
+    }.toMap
+  }
+
+  /** Same planning-time file skipping as the live index
+    * ([[GraftTsStatsFileIndex]]): drop files whose recorded closed ts
+    * span cannot intersect the pushed ts bounds; spanless files always
+    * survive. Pinned reads of a narrow window over a long-history
+    * version stop planning the whole version's file set. */
+  override def listFiles(
+      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+    val dirs = super.listFiles(partitionFilters, dataFilters)
+    if (spanByPath.isEmpty) return dirs
+    val (lo, hi) = GraftTsStatsFileIndex.tsBounds(dataFilters, snapshot.tsCol)
+    if (lo.isEmpty && hi.isEmpty) return dirs
+    dirs.map { pd =>
+      pd.copy(files = pd.files.filter { f =>
+        spanByPath.get(f.getPath) match {
+          case Some((mn, mx)) => lo.forall(mx >= _) && hi.forall(mn <= _)
+          case None => true
+        }
+      })
+    }
+  }
+
   override protected def leafFiles: mutable.LinkedHashMap[Path, FileStatus] =
     mutable.LinkedHashMap(statuses.map(s => s._2.getPath -> s._2): _*)
 

@@ -1,0 +1,111 @@
+package graft.sources
+
+import graft.ts.TsTable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.{StructType, TimestampType}
+
+/** The live V2 file index with MANIFEST-LEVEL file skipping: the standard
+  * directory-listing index (membership stays listing-driven — the live
+  * read's contract), except that `listFiles` consults the current
+  * manifest's per-file ts spans (footer stats recorded at commit,
+  * [[TsTable]] manifests) and drops files whose closed span cannot
+  * intersect the scan's pushed ts bounds.
+  *
+  * Why this matters at 100 TB: partition pruning already skips whole DAYS,
+  * and parquet row-group stats skip within a file at read time — but every
+  * surviving file still becomes planner work (split enumeration, a task,
+  * a footer RPC). A day holding many files with disjoint ts slices
+  * (`filesPerDay > 1` writes, pre-compaction append runs) plans them ALL
+  * for a narrow in-day range. The span index removes them at PLANNING
+  * time, driver-side, zero I/O — the Iceberg/Delta data-skipping argument
+  * applied to the one column this format orders by.
+  *
+  * Soundness: a file missing from the span map is always kept (pre-stats
+  * manifests, foreign encodings, orphans not yet committed), and bound
+  * extraction is conservative (strict bounds widen to closed; anything
+  * unrecognized contributes nothing). Skipping only ever removes files
+  * whose recorded [min, max] provably cannot match — and spans never go
+  * stale because data files are immutable under UUID names (a rewrite
+  * produces NEW names; a restore copies back byte-identical content). */
+final class GraftTsStatsFileIndex(
+    spark: SparkSession,
+    rootPath: Path,
+    userSchema: StructType,
+    spans: Map[String, (Long, Long)],
+    tsCol: String)
+  extends InMemoryFileIndex(spark, Seq(rootPath), Map.empty[String, String],
+    Some(userSchema), FileStatusCache.getOrCreate(spark), None, None) {
+
+  // the listing serves QUALIFIED paths — key the span map the same way
+  private lazy val byPath: Map[String, (Long, Long)] = {
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    spans.map { case (rel, span) =>
+      fs.makeQualified(new Path(rootPath, rel)).toString -> span
+    }
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val dirs = super.listFiles(partitionFilters, dataFilters)
+    if (byPath.isEmpty) return dirs
+    val (lo, hi) = GraftTsStatsFileIndex.tsBounds(dataFilters, tsCol)
+    if (lo.isEmpty && hi.isEmpty) return dirs
+    dirs.map { pd =>
+      pd.copy(files = pd.files.filter { f =>
+        byPath.get(f.getPath.toString) match {
+          case Some((mn, mx)) => lo.forall(mx >= _) && hi.forall(mn <= _)
+          case None => true // no span recorded → never skip
+        }
+      })
+    }
+  }
+}
+
+object GraftTsStatsFileIndex {
+
+  /** Closed [lo, hi] µs bounds implied by the scan's top-level ts
+    * conjuncts (either operand order). Strict comparisons widen to their
+    * closed form — a file whose span touches the bound exactly is kept
+    * even though its edge rows may not match; conservative by
+    * construction, mirroring [[GraftTsScanBuilder.derivedDateBounds]]. */
+  private[sources] def tsBounds(filters: Seq[Expression],
+                                tsCol: String): (Option[Long], Option[Long]) = {
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def tightenLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
+    def tightenHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+    def isTs(e: Expression): Boolean = e match {
+      case a: AttributeReference =>
+        a.name.equalsIgnoreCase(tsCol) && a.dataType == TimestampType
+      case _ => false
+    }
+    filters.foreach {
+      case GreaterThanOrEqual(a, Literal(us: Long, TimestampType)) if isTs(a) =>
+        tightenLo(us)
+      case GreaterThan(a, Literal(us: Long, TimestampType)) if isTs(a) =>
+        tightenLo(us)
+      case LessThanOrEqual(a, Literal(us: Long, TimestampType)) if isTs(a) =>
+        tightenHi(us)
+      case LessThan(a, Literal(us: Long, TimestampType)) if isTs(a) =>
+        tightenHi(us)
+      case EqualTo(a, Literal(us: Long, TimestampType)) if isTs(a) =>
+        tightenLo(us); tightenHi(us)
+      case EqualTo(Literal(us: Long, TimestampType), a) if isTs(a) =>
+        tightenLo(us); tightenHi(us)
+      case GreaterThanOrEqual(Literal(us: Long, TimestampType), a) if isTs(a) =>
+        tightenHi(us)
+      case GreaterThan(Literal(us: Long, TimestampType), a) if isTs(a) =>
+        tightenHi(us)
+      case LessThanOrEqual(Literal(us: Long, TimestampType), a) if isTs(a) =>
+        tightenLo(us)
+      case LessThan(Literal(us: Long, TimestampType), a) if isTs(a) =>
+        tightenLo(us)
+      case _ => ()
+    }
+    (lo, hi)
+  }
+}

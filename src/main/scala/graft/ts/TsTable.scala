@@ -134,16 +134,21 @@ final class TsTable private (
     else raw.where(col(PartCol) === to_date(lit(if (last) dates.max else dates.min)))
       .drop(PartCol)
 
-  /** Earliest timestamp, None if empty. O(one partition), like the
-    * reference's first-row-of-first-partition read: a directory listing
-    * picks the edge day, the aggregate scans only that day's file(s) (and
-    * within them, Parquet footer min/max stats). */
-  def minDt: Option[Timestamp] = edgeAgg(last = false, min)
+  /** Earliest timestamp, None if empty. Metadata-only when the current
+    * manifest carries a complete ts-span index ([[statsEdge]] — a fold
+    * over per-file footer stats recorded at commit); otherwise O(one
+    * partition), like the reference's first-row-of-first-partition read:
+    * a directory listing picks the edge day, the aggregate scans only
+    * that day's file(s) (and within them, Parquet footer min/max stats). */
+  def minDt: Option[Timestamp] =
+    statsEdge(last = false).orElse(edgeAgg(last = false, min))
 
-  /** Latest timestamp, None if empty. O(one partition) — see `minDt`. This
-    * is also the append monotonicity guard, so appends cost O(edge
-    * partition), not O(table). */
-  def maxDt: Option[Timestamp] = edgeAgg(last = true, max)
+  /** Latest timestamp, None if empty. Metadata-only via the manifest span
+    * index when complete, O(one partition) otherwise — see `minDt`. This
+    * is also the append monotonicity guard, so appends cost O(metadata)
+    * on a span-indexed table, never O(table). */
+  def maxDt: Option[Timestamp] =
+    statsEdge(last = true).orElse(edgeAgg(last = true, max))
 
   /** Edge-partition aggregate with a correctness fallback: if the edge
     * slice aggregates to null while partition directories EXIST (a leftover
@@ -1132,27 +1137,27 @@ final class TsTable private (
     var stuck = 0
     var committed = false
     while (!committed) {
-      // loose ROOT-LEVEL data files too (the attached plain/hybrid layout
-      // the live read serves) — a manifest that listed only partition dirs
-      // would make a pinned read silently narrower than the live state
-      val rootFiles = fs.listStatus(root).iterator
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-        .map(st => (st.getPath.getName, st.getLen))
-        .toSeq
-      val files = rootFiles ++ partitionDates.sorted.flatMap { d =>
-        val dir = new Path(root, s"$PartCol=$d")
-        fs.listStatus(dir).iterator
-          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith("."))
-          .map(st => (s"$PartCol=$d/${st.getPath.getName}", st.getLen))
-          .toSeq
-      }
-      next = currentVersion.getOrElse(0L) + 1
+      val files = listLiveFiles(fs)
+      val prevV = currentVersion
+      next = prevV.getOrElse(0L) + 1
+      // Per-file ts spans: carry forward unchanged files' spans from the
+      // previous manifest (path + length match — UUID part names make a
+      // same-name-different-bytes collision a corruption signal, not a
+      // case to survive), then footer-read only the files this commit
+      // actually added/rewrote. O(new files) footer metadata, zero data
+      // pages — the skip index stays cheap even at a 100 TB table size.
+      val carried = prevV.map { v =>
+        val pm = TsTable.readManifest(spark, path, v)
+        val prevLen = pm.files.toMap
+        val nowLen = files.toMap
+        pm.stats.filter { case (p, _) =>
+          nowLen.get(p).exists(l => prevLen.get(p).contains(l)) }
+      }.getOrElse(Map.empty[String, (Long, Long)])
+      val fresh = collectTsSpans(files.map(_._1).filterNot(carried.contains))
       try {
         TsTable.writeManifest(spark, path,
           TsManifest(next, action, tsCol,
-            schemaOverride.getOrElse(storedSchema), files))
+            schemaOverride.getOrElse(storedSchema), files, carried ++ fresh))
         committed = true
       } catch {
         case e: IllegalArgumentException
@@ -1182,6 +1187,83 @@ final class TsTable private (
       TsTable.DefaultMaxVersions)
     if (keep > 0 && next > keep) expireSnapshots(keepLast = keep.toInt)
     next
+  }
+
+  /** Relative path + size of every LIVE data file — loose ROOT-LEVEL files
+    * too (the attached plain/hybrid layout the live read serves): a
+    * listing that covered only partition dirs would make a pinned read
+    * silently narrower than the live state. O(#partitions) metadata. */
+  private def listLiveFiles(
+      fs: org.apache.hadoop.fs.FileSystem): Seq[(String, Long)] = {
+    val root = new Path(path)
+    val rootFiles = fs.listStatus(root).iterator
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => (st.getPath.getName, st.getLen))
+      .toSeq
+    rootFiles ++ partitionDates.sorted.flatMap { d =>
+      val dir = new Path(root, s"$PartCol=$d")
+      fs.listStatus(dir).iterator
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => (s"$PartCol=$d/${st.getPath.getName}", st.getLen))
+        .toSeq
+    }
+  }
+
+  /** Footer ts spans for `relPaths` (closed, epoch µs). Driver-side for a
+    * handful of files; one-task-per-file distributed beyond that, so the
+    * first commit over a large attached tree reads footers at cluster
+    * bandwidth, not through one JVM. Files without usable stats are
+    * simply absent from the result (never skipped later). */
+  private def collectTsSpans(relPaths: Seq[String]): Map[String, (Long, Long)] = {
+    if (relPaths.isEmpty) return Map.empty
+    val rootStr = path
+    val tc = tsCol
+    if (relPaths.length <= 16) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      relPaths.flatMap(r =>
+        TsTable.footerTsSpan(conf, new Path(rootStr, r), tc).map(r -> _)).toMap
+    } else {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val slices = math.min(relPaths.length,
+        spark.sparkContext.defaultParallelism).max(1)
+      spark.sparkContext.parallelize(relPaths, slices)
+        .flatMap(r =>
+          TsTable.footerTsSpan(conf.value, new Path(rootStr, r), tc).map(r -> _))
+        .collect().toMap
+    }
+  }
+
+  /** The current manifest's per-file ts spans (relative path → closed µs
+    * span) — the V2 scan's file-skip index. Empty when no version exists
+    * or the manifest predates span stats. */
+  private[graft] def currentFileTsSpans: Map[String, (Long, Long)] =
+    currentVersion
+      .map(v => TsTable.readManifest(spark, path, v).stats)
+      .getOrElse(Map.empty)
+
+  /** Manifest-stats fast path for [[minDt]]/[[maxDt]]: when the current
+    * manifest's file set matches the live listing exactly (path + size)
+    * and every file carries a ts span, the edge instant is a pure
+    * metadata fold — NO data scan, which takes the per-append
+    * monotonicity guard from O(edge partition read) to O(metadata). Any
+    * mismatch (orphans from a crashed append, files attached outside the
+    * facade, statless footers) returns None and the edge-partition
+    * aggregate answers instead. */
+  private def statsEdge(last: Boolean): Option[Timestamp] = {
+    val v = currentVersion.getOrElse(return None)
+    val m = TsTable.readManifest(spark, path, v)
+    if (m.files.isEmpty) return None
+    if (!m.files.forall(f => m.stats.contains(f._1))) return None
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (listLiveFiles(fs).toSet != m.files.toSet) return None
+    val us =
+      if (last) m.stats.valuesIterator.map(_._2).max
+      else m.stats.valuesIterator.map(_._1).min
+    Some(Timestamp.from(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToInstant(us)))
   }
 
   /** Move a replaced/expired live data file into the archive, preserving
@@ -1228,6 +1310,11 @@ final class TsSnapshot private[ts] (
   def action: String = manifest.action
   def schema: StructType = manifest.schema
   private[ts] def manifestFiles: Seq[(String, Long)] = manifest.files
+
+  /** The version's per-file ts spans (relative path → closed µs span) —
+    * consumed by the snapshot file index for planning-time file skipping.
+    * Empty on pre-stats manifests. */
+  private[graft] def fileTsSpans: Map[String, (Long, Long)] = manifest.stats
 
   /** (live files, archived files) as fully-qualified path strings.
     * A `def`, not a cached val: every DataFrame construction re-resolves
@@ -1312,21 +1399,41 @@ final class TsSnapshot private[ts] (
 
   /** Closed-interval time-range read over the pinned version — the same
     * two-level pruning contract as the live `readRange` (partition-value
-    * pruning on `p_date`, ts predicate pushed to the parquet row groups). */
-  def readRange(start: Timestamp, end: Timestamp): DataFrame =
-    raw.where(col(PartCol).between(to_date(lit(start)), to_date(lit(end))) &&
+    * pruning on `p_date`, ts predicate pushed to the parquet row groups),
+    * plus a THIRD level the manifest makes free: files whose recorded ts
+    * span cannot intersect [start, end] never enter the explicit file
+    * list at all (spanless files always do — soundness over coverage). */
+  def readRange(start: Timestamp, end: Timestamp): DataFrame = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val lo = DateTimeUtils.fromJavaTimestamp(start)
+    val hi = DateTimeUtils.fromJavaTimestamp(end)
+    val sub = manifest.copy(files = manifest.files.filter { case (rel, _) =>
+      manifest.stats.get(rel) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    })
+    new TsSnapshot(spark, tablePath, tsCol, sub).raw
+      .where(col(PartCol).between(to_date(lit(start)), to_date(lit(end))) &&
         col(tsCol).between(lit(start), lit(end)))
       .drop(PartCol)
+  }
 }
 
 /** One committed version: the action that produced it, the serving schema,
-  * and (table-relative path, size) of every data file. */
+  * (table-relative path, size) of every data file, and — for files whose
+  * parquet footers carried usable ts statistics — the file's closed ts
+  * span in epoch MICROS (`stats`, keyed by relative path). The span map is
+  * best-effort metadata: a file absent from it is simply never skipped
+  * (attached foreign encodings, statless footers, pre-stats manifests all
+  * degrade to the old scan-everything behavior, never to wrong results). */
 private[ts] final case class TsManifest(
     version: Long,
     action: String,
     tsCol: String,
     schema: StructType,
-    files: Seq[(String, Long)])
+    files: Seq[(String, Long)],
+    stats: Map[String, (Long, Long)] = Map.empty)
 
 /** Write-side sizing/compression knobs — the analogue of the reference's
   * `create_ts(..., filters=, expectedrows_per_partition=, chunkshape=)`
@@ -1467,7 +1574,11 @@ object TsTable {
     val body = (s"version=${m.version};action=${m.action}" +
       s";commitMs=${System.currentTimeMillis()}\n" +
       m.tsCol + "\n" + m.schema.json + "\n" +
-      m.files.map { case (p, sz) => s"$p\t$sz" }.mkString("\n") + "\n")
+      m.files.map { case (p, sz) =>
+        // optional 4-field form: path \t size \t tsMinUs \t tsMaxUs
+        s"$p\t$sz" + m.stats.get(p).map { case (mn, mx) => s"\t$mn\t$mx" }
+          .getOrElse("")
+      }.mkString("\n") + "\n")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     // Install-as-CAS: a racing writer that already installed this version
@@ -1511,12 +1622,77 @@ object TsTable {
     val lines = text.split("\n")
     val head = lines(0).split(";").map(_.split("=", 2))
       .collect { case Array(k, v) => k -> v }.toMap
-    val files = lines.drop(3).iterator.filter(_.nonEmpty).map { l =>
-      val Array(p, sz) = l.split("\t", 2)
-      (p, sz.toLong)
+    val parsed = lines.drop(3).iterator.filter(_.nonEmpty).map { l =>
+      l.split("\t") match {
+        case Array(p, sz, mn, mx) => (p, sz.toLong, Some((mn.toLong, mx.toLong)))
+        case Array(p, sz) => (p, sz.toLong, None) // pre-stats manifest line
+        case other => throw new IllegalArgumentException(
+          s"malformed manifest line '${l}' in $target")
+      }
     }.toSeq
     TsManifest(head("version").toLong, head("action"), lines(1).trim,
-      DataType.fromJson(lines(2)).asInstanceOf[StructType], files)
+      DataType.fromJson(lines(2)).asInstanceOf[StructType],
+      parsed.map(f => (f._1, f._2)),
+      parsed.collect { case (p, _, Some(span)) => p -> span }.toMap)
+  }
+
+  /** Closed ts span (epoch µs) of one parquet file, from footer metadata
+    * ONLY — no data pages read. Usable iff the ts column is physically
+    * INT64 TIMESTAMP (µs/ms/ns, UTC-adjusted — every engine-written file
+    * is µs, `appendValidated`'s outputTimestampType pin) and EVERY row
+    * group carries non-null min/max statistics. Anything else → None and
+    * the file just never gets skipped (INT96 attachments, statless
+    * writers, local-semantics NTZ — soundness over coverage). Static and
+    * Configuration-fed so commit-time collection can run one task per
+    * file on executors. */
+  private[ts] def footerTsSpan(conf: org.apache.hadoop.conf.Configuration,
+                               file: Path, tsCol: String): Option[(Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import scala.jdk.CollectionConverters._
+    try {
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala
+        if (blocks.isEmpty) return None
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        for (b <- blocks) {
+          val c = b.getColumns.asScala.find(_.getPath.toDotString == tsCol)
+            .getOrElse(return None)
+          val pt = c.getPrimitiveType
+          if (pt.getPrimitiveTypeName != PrimitiveTypeName.INT64) return None
+          // scale > 0: multiply to µs; -1: ns, floor-divide (matches the
+          // events loader's `div 1000` floor rule)
+          val scale = pt.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                if t.isAdjustedToUTC =>
+              t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+                case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+                case LogicalTypeAnnotation.TimeUnit.NANOS => -1L
+              }
+            case _ => return None
+          }
+          val st = c.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue) return None
+          (st.genericGetMin, st.genericGetMax) match {
+            case (lo: java.lang.Long, hi: java.lang.Long) =>
+              val (l, h) =
+                if (scale == -1L)
+                  (Math.floorDiv(lo.longValue, 1000L),
+                    Math.floorDiv(hi.longValue, 1000L))
+                else (lo.longValue * scale, hi.longValue * scale)
+              if (l < mn) mn = l
+              if (h > mx) mx = h
+            case _ => return None
+          }
+        }
+        Some((mn, mx))
+      } finally rd.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Pin a committed version of the table at `path` — usable without a
