@@ -62,16 +62,45 @@ final class TsTable private (
     * where sorted row-groups make it a stats-level skip.
     */
   def readRange(start: Timestamp, end: Timestamp): DataFrame = {
-    // Day bounds are computed IN-PLAN via to_date on the timestamp literal,
-    // so they resolve under the session timezone (pinned UTC) — the same
-    // rule that wrote p_date. A driver-side `new java.sql.Date(millis)`
-    // would go through the JVM default TZ and could exclude the boundary
-    // partition on hosts west of UTC. Both foldable, so partition pruning
-    // still sees constant bounds (asserted in TsTableSpec).
-    raw
-      .where(col(PartCol).between(to_date(lit(start)), to_date(lit(end))) &&
-        col(tsCol).between(lit(start), lit(end)))
-      .drop(PartCol)
+    // Span fast path: when the current manifest covers the live file set
+    // exactly and every file carries a footer ts span, build the scan
+    // from the explicit SPAN-PRUNED file list — files whose closed span
+    // cannot intersect [start, end] never enter planning (on top of the
+    // day-dir and row-group pruning below). Any mismatch (orphans,
+    // attached files, statless footers, stale pre-evolution handle)
+    // falls back to the directory-listing scan.
+    spanPrunedRange(start, end).getOrElse {
+      // Day bounds are computed IN-PLAN via to_date on the timestamp
+      // literal, so they resolve under the session timezone (pinned UTC)
+      // — the same rule that wrote p_date. A driver-side
+      // `new java.sql.Date(millis)` would go through the JVM default TZ
+      // and could exclude the boundary partition on hosts west of UTC.
+      // Both foldable, so partition pruning still sees constant bounds
+      // (asserted in TsTableSpec).
+      raw
+        .where(col(PartCol).between(to_date(lit(start)), to_date(lit(end))) &&
+          col(tsCol).between(lit(start), lit(end)))
+        .drop(PartCol)
+    }
+  }
+
+  /** [[readRange]]'s manifest route: Some(pruned frame) iff the span
+    * index is complete AND authoritative for the live state (same
+    * file-set equality guard as [[statsEdge]]; same-schema guard keeps a
+    * stale pre-evolution handle serving ITS projection via the fallback
+    * instead of the manifest's wider one). Metadata cost: one version
+    * listing + one manifest read + one live listing — noise next to any
+    * distributed scan it prunes. */
+  private def spanPrunedRange(start: Timestamp,
+                              end: Timestamp): Option[DataFrame] = {
+    val v = currentVersion.getOrElse(return None)
+    val m = TsTable.readManifest(spark, path, v)
+    if (m.files.isEmpty) return None
+    if (m.schema != storedSchema) return None
+    if (!m.files.forall(f => m.stats.contains(f._1))) return None
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (listLiveFiles(fs).toSet != m.files.toSet) return None
+    Some(new TsSnapshot(spark, path, tsCol, m).readRange(start, end))
   }
 
   /** Per-day layout observability (the IvfIndex.cellStats analogue): one

@@ -123,6 +123,13 @@ class TsStatsSkipSpec extends graft.SparkSpec {
       lit("2024-03-01 10:00:00").cast("timestamp")))
     assert(planned(morning) == 1, "span skip must drop the evening file")
     assert(morning.collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+    // the facade's live readRange rides the same span index: the
+    // morning-only window plans ONE file through the explicit-list route
+    val facade = tab.readRange(t("2024-03-01 07:00:00"), t("2024-03-01 10:00:00"))
+    assert(facade.collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+    val facadeFiles = facade.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics.get("numFiles").map(_.value).getOrElse(0L)).sum
+    assert(facadeFiles == 1, s"live readRange planned $facadeFiles files, want 1")
     // boundary touch: a range ending exactly at a file's min keeps it
     val touch = v2().where(col("ts") <= lit("2024-03-01 18:00:00").cast("timestamp"))
     assert(planned(touch) == 2, "closed-span touch must keep the file")
