@@ -445,6 +445,40 @@ object TimeSeriesPack extends QueryPack {
         .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")))
   }
 
+  /** B10+ the NATIVE streaming sink, oracle-checked: q_ts_stream_pipe's
+    * CDC-mirror shape, but the destination side is
+    * `writeStream.format("graft-ts")` — no `foreachBatch` glue, no table
+    * handle on the user side at all; the connector owns ordered append,
+    * span-stats commits, and the manifest-stamped (sink id, batch id)
+    * exactly-once guard. Drained under `Trigger.AvailableNow`, the
+    * destination's full-range read must hash-match the source slice.
+    * Replay dedup, restart increments, and mode/partitionBy refusals are
+    * asserted in GraftTsSinkSpec. */
+  def streamSinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = StoreDirs.scratch(s, s"graft_tssink_src_${StoreDirs.pathKey(dir)}")
+    val dst = StoreDirs.scratch(s, s"graft_tssink_dst_${StoreDirs.pathKey(dir)}")
+    val ckpt = StoreDirs.scratch(s, s"graft_tssink_ck_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-03 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, src, ev.schema, tsCol = "ts")
+    val cut1 = lit("2024-01-01 12:00:00").cast("timestamp")
+    val cut2 = lit("2024-01-02 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut1))
+    t.append(ev.where(col("ts") >= cut1 && col("ts") < cut2))
+    t.append(ev.where(col("ts") >= cut2))
+    TsTable.create(s, dst, ev.schema, tsCol = "ts")
+    val q = s.readStream.format("graft-ts")
+      .option("startingVersion", "0").load(src)
+      .writeStream.format("graft-ts")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination()
+    eventsProjection(
+      TsTable.open(s, dst)
+        .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")))
+  }
+
   /** A3+ deep-clone round-trip (`TsTable.cloneAt` — the sandbox verb): the
     * restore fixture's lifecycle, but instead of rolling the source back,
     * the pinned pre-damage version is MATERIALIZED as an independent new
@@ -975,6 +1009,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_changes" -> changesRoundtrip,
     "q_ts_stream_changes" -> streamChangesRoundtrip,
     "q_ts_stream_pipe" -> streamPipeRoundtrip,
+    "q_ts_stream_sink" -> streamSinkRoundtrip,
     "q_ts_sql_asof" -> sqlAsOfRoundtrip,
     "q_ts_clone" -> cloneRoundtrip,
     "q_zorder_cluster" -> zorderRect,
@@ -1093,6 +1128,11 @@ object TimeSeriesPack extends QueryPack {
     // The piped destination holds exactly the source's appended rows; the
     // closed upper read bound admits nothing (source built below it).
     "q_ts_stream_pipe" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-03 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+    // Same mirror contract through the NATIVE sink (no foreachBatch).
+    "q_ts_stream_sink" ->
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-03 00:00:00'
          |ORDER BY event_id""".stripMargin,

@@ -59,9 +59,43 @@ import scala.jdk.CollectionConverters._
   * readers until commit).
   */
 final class GraftTsDataSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-ts"
+
+  /** `df.writeStream.format("graft-ts").start(path)` — the native ordered
+    * streaming sink (exactly-once via manifest-stamped batch ids; see
+    * [[org.apache.spark.sql.graft.GraftTsStreamSink]]). The sink identity
+    * is the query's checkpoint location, so distinct queries never dedup
+    * each other's batches and a moved checkpoint is a NEW identity. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-ts sink: append output mode only (an ordered log has no " +
+        s"update/complete semantics), got $outputMode")
+    require(partitionColumns.isEmpty,
+      "graft-ts sink: partitioning is derived from the ts column; " +
+        "partitionBy is not supported")
+    val p = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-ts: a single 'path' is required (start(path))"))
+    val filesPerDay = parameters.get("filesPerDay").map { raw =>
+      try raw.trim.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"filesPerDay must be an integer, got '$raw'")
+      }
+    }.getOrElse(1)
+    val sinkId = parameters.get("checkpointLocation")
+      .map(c => java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(c).toLong & 0xffffffffL))
+      .getOrElse("nocheckpoint")
+    new org.apache.spark.sql.graft.GraftTsStreamSink(sqlContext, p,
+      parameters.getOrElse("tsCol", "ts"), filesPerDay, sinkId)
+  }
 
   // ── streaming read face (V1 Source): `spark.readStream.format("graft-ts")`
   // — each microbatch is the rows appended between snapshot versions; see

@@ -224,7 +224,16 @@ final class TsTable private (
     * @param strict      reject batches that are not ts-sorted in physical
     *                    row order (reference ValueError parity).
     */
-  def append(batch: DataFrame, filesPerDay: Int = 1, strict: Boolean = false): Unit = {
+  def append(batch: DataFrame, filesPerDay: Int = 1, strict: Boolean = false): Unit =
+    appendWithMeta(batch, filesPerDay, strict, Map.empty)
+
+  /** [[append]] plus caller-supplied manifest header metadata — how the
+    * streaming sink stamps its (sink id, micro-batch id) watermark into
+    * the commit it produces, making a checkpoint-replayed batch
+    * detectable (GraftTsStreamSink). */
+  def appendWithMeta(batch: DataFrame, filesPerDay: Int,
+                                    strict: Boolean,
+                                    meta: Map[String, String]): Unit = {
     require(filesPerDay >= 1, "filesPerDay must be >= 1")
     val names = batch.schema.fieldNames.toSeq
     require(names.contains(tsCol), s"batch is missing ts column '$tsCol'")
@@ -234,9 +243,9 @@ final class TsTable private (
     // message, not an AnalysisException out of the strict-mode window query.
     if (strict) {
       val pinned = batch.persist()
-      try appendValidated(pinned, filesPerDay, strict = true)
+      try appendValidated(pinned, filesPerDay, strict = true, meta)
       finally pinned.unpersist()
-    } else appendValidated(batch, filesPerDay, strict = false)
+    } else appendValidated(batch, filesPerDay, strict = false, meta)
   }
 
   /** Schema-EVOLVING append — the one deliberate departure from `append`'s
@@ -302,7 +311,9 @@ final class TsTable private (
     * write); the caller-facing `append` persists it first so the row order
     * VALIDATED is the row order WRITTEN even for nondeterministic or
     * re-shuffled sources (and the input is computed once, not thrice). */
-  private def appendValidated(batch: DataFrame, filesPerDay: Int, strict: Boolean): Unit = {
+  private def appendValidated(batch: DataFrame, filesPerDay: Int,
+                              strict: Boolean,
+                              meta: Map[String, String] = Map.empty): Unit = {
     // µs-instant physical encoding: INT96 (Spark's parquet default) is
     // deprecated AND unfilterable — ParquetFilters cannot build row-group
     // predicates over INT96, so the sorted-row-group stats-skipping this
@@ -346,7 +357,7 @@ final class TsTable private (
     writeOptions.rowGroupBytes.foreach(b => writer.option("parquet.block.size", b.toString))
     writeOptions.maxRecordsPerFile.foreach(n => writer.option("maxRecordsPerFile", n.toString))
     writer.partitionBy(PartCol).parquet(path)
-    commitVersion("append")
+    commitVersion("append", meta = meta)
   }
 
   /** Strict-mode validation (reference ValueError parity, SURVEY §5.2.4
@@ -1152,7 +1163,8 @@ final class TsTable private (
     * files. Cost: one listing per day partition — the same O(#partitions)
     * metadata walk `partitionStats` does, never O(rows). */
   private[graft] def commitVersion(action: String,
-                                   schemaOverride: Option[StructType] = None): Long = {
+                                   schemaOverride: Option[StructType] = None,
+                                   meta: Map[String, String] = Map.empty): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // CAS-retry loop: losing the rename race means another writer took the
@@ -1186,7 +1198,8 @@ final class TsTable private (
       try {
         TsTable.writeManifest(spark, path,
           TsManifest(next, action, tsCol,
-            schemaOverride.getOrElse(storedSchema), files, carried ++ fresh))
+            schemaOverride.getOrElse(storedSchema), files, carried ++ fresh,
+            meta))
         committed = true
       } catch {
         case e: IllegalArgumentException
@@ -1263,6 +1276,22 @@ final class TsTable private (
           TsTable.footerTsSpan(conf.value, new Path(rootStr, r), tc).map(r -> _))
         .collect().toMap
     }
+  }
+
+  /** Newest committed micro-batch id a given SINK identity has landed —
+    * the [[org.apache.spark.sql.graft.GraftTsStreamSink]] replay guard:
+    * walk manifests newest→oldest (header reads only, one line each) and
+    * return the first commit stamped `streamSink == sinkId`. In steady
+    * state the newest append carries the stamp, so this is one read;
+    * bounded by retained history when the sink has never written. */
+  def lastSinkBatch(sinkId: String): Option[Long] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TsTable.listVersions(spark, path).sorted.reverse.iterator
+      .map(v => TsTable.readManifestHeaderAt(fs, path, v))
+      .collectFirst {
+        case h if h.get("streamSink").contains(sinkId) &&
+          h.contains("streamBatch") => h("streamBatch").toLong
+      }
   }
 
   /** The current manifest's per-file ts spans (relative path → closed µs
@@ -1462,7 +1491,8 @@ private[ts] final case class TsManifest(
     tsCol: String,
     schema: StructType,
     files: Seq[(String, Long)],
-    stats: Map[String, (Long, Long)] = Map.empty)
+    stats: Map[String, (Long, Long)] = Map.empty,
+    meta: Map[String, String] = Map.empty)
 
 /** Write-side sizing/compression knobs — the analogue of the reference's
   * `create_ts(..., filters=, expectedrows_per_partition=, chunkshape=)`
@@ -1551,6 +1581,11 @@ object TsTable {
       }).toSeq.sortBy(_._1)
   }
 
+  /** Header of version `v`'s manifest at `path` (one small read). */
+  private[ts] def readManifestHeaderAt(fs: org.apache.hadoop.fs.FileSystem,
+                                       path: String, v: Long): Map[String, String] =
+    readManifestHeader(fs, new Path(path, manifestName(v)))
+
   /** First-line key=value header of a manifest (cheap: one small read). */
   private def readManifestHeader(fs: org.apache.hadoop.fs.FileSystem,
                                  p: Path): Map[String, String] = {
@@ -1600,8 +1635,14 @@ object TsTable {
     // commitMs rides in the header so TIMESTAMP AS OF resolution survives
     // filesystem migrations that rewrite mtimes (readers that predate the
     // field fall back to the manifest file's own mtime)
+    m.meta.foreach { case (k, v) =>
+      require(k.matches("[A-Za-z0-9_.-]+") && v.matches("[A-Za-z0-9_.-]*") &&
+          !Set("version", "action", "commitMs").contains(k),
+        s"manifest meta key/value '$k=$v' must be [A-Za-z0-9_.-] and not reserved")
+    }
     val body = (s"version=${m.version};action=${m.action}" +
-      s";commitMs=${System.currentTimeMillis()}\n" +
+      s";commitMs=${System.currentTimeMillis()}" +
+      m.meta.toSeq.sorted.map { case (k, v) => s";$k=$v" }.mkString + "\n" +
       m.tsCol + "\n" + m.schema.json + "\n" +
       m.files.map { case (p, sz) =>
         // optional 4-field form: path \t size \t tsMinUs \t tsMaxUs
@@ -1662,7 +1703,8 @@ object TsTable {
     TsManifest(head("version").toLong, head("action"), lines(1).trim,
       DataType.fromJson(lines(2)).asInstanceOf[StructType],
       parsed.map(f => (f._1, f._2)),
-      parsed.collect { case (p, _, Some(span)) => p -> span }.toMap)
+      parsed.collect { case (p, _, Some(span)) => p -> span }.toMap,
+      head -- Seq("version", "action", "commitMs"))
   }
 
   /** Closed ts span (epoch µs) of one parquet file, from footer metadata
