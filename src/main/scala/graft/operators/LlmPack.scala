@@ -424,6 +424,66 @@ object LlmPack extends QueryPack {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  // Fixed ranked-retrieval query (all three terms exist in the fixture
+  // corpus at every SF); BM25 constants k1 = 1.2, b = 0.75.
+  private[operators] val Bm25Terms = Seq("vector", "join", "stream")
+
+  /** B9 BM25 ranked retrieval — the keyword-search verb (find the
+    * documents most relevant to a fixed term set, Okapi BM25 weighting):
+    * per-doc length + per-term tf in ONE exploded-token aggregation
+    * (map-side combine collapses to one row per doc), corpus stats
+    * (N, Σdl, per-term df) as a single broadcast 1-row aggregate, score
+    * projection, and a TakeOrdered top-10 — one plan, no shuffle wider
+    * than the per-doc aggregate (the aggregate subtree feeds both the
+    * stats row and the scoring branch, the tfidfTerms/df sharing shape).
+    *
+    * Scoring uses the RATIONAL idf `(N − df + 0.5)/(df + 0.5)` instead of
+    * Lucene's `ln(1 + …)`: the oracle hashes the score, `ln` is a libm
+    * call with no cross-implementation bit guarantee, and the map
+    * `x ↦ ln(1+x)` is strictly monotone — identical ranking, hashable
+    * arithmetic (the tfidfTerms rule). Constants are pre-folded literals
+    * (2.2, 0.25) so neither engine's own folding order can shift a bit;
+    * the cross-term sum is a FIXED three-operand addition chain, never a
+    * reduce over nondeterministic row order. */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val Seq(t1, t2, t3) = Bm25Terms
+    val tk = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val perDoc = tk.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("dl"),
+      sum(when(col("tok") === t1, 1L).otherwise(0L)).as("tf1"),
+      sum(when(col("tok") === t2, 1L).otherwise(0L)).as("tf2"),
+      sum(when(col("tok") === t3, 1L).otherwise(0L)).as("tf3"))
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+      sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+    def termScore(tf: String, df0: String): org.apache.spark.sql.Column = {
+      val tfd = col(tf).cast("double")
+      val dfd = col(df0).cast("double")
+      val nd = col("n_docs").cast("double")
+      val dld = col("dl").cast("double")
+      val avgdl = col("sum_dl").cast("double") / nd
+      when(col(tf) > 0,
+        ((nd - dfd + lit(0.5)) / (dfd + lit(0.5))) *
+          ((tfd * lit(2.2)) /
+            (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (dld / avgdl)))))
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("matched",
+        (col("tf1") > 0).cast("long") + (col("tf2") > 0).cast("long") +
+          (col("tf3") > 0).cast("long"))
+      .withColumn("score",
+        termScore("tf1", "df1") + termScore("tf2", "df2") +
+          termScore("tf3", "df3"))
+      .where(col("score") > 0.0)
+      .select(col("doc_id"), col("dl"), col("matched"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   private val VocabK = 16 // closed-vocabulary size for the coverage audit
 
   /** B9 tokenizer-coverage audit: per-doc OOV rate against the corpus'
@@ -1294,6 +1354,7 @@ object LlmPack extends QueryPack {
     "q_token_topk" -> tokenTopk,
     "q_vocab_coverage" -> vocabCoverage,
     "q_tfidf_terms" -> tfidfTerms,
+    "q_text_bm25" -> bm25Search,
     "q_quality_gopher" -> qualityGopher,
     "q_embed_centroids" -> embedCentroids,
     "q_embed_kmeans" -> embedKmeans,
@@ -1738,6 +1799,43 @@ object LlmPack extends QueryPack {
         |    ORDER BY sim DESC, c_label) AS rn FROM sc)
         |SELECT vec_id, label, c_label AS pred_label, sim FROM r
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // BM25 with the rational idf — the score expression mirrors the Spark
+    // shape token for token (pre-folded 2.2/0.25 literals, fixed
+    // three-operand sum), so the double hashes cross-engine.
+    "q_text_bm25" -> {
+      val cases = Bm25Terms.zipWithIndex.map { case (_, i0) =>
+        val i = i0 + 1
+        s"""(CASE WHEN tf$i > 0 THEN
+           |  ((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+           |    / (CAST(df$i AS DOUBLE) + 0.5))
+           |  * ((CAST(tf$i AS DOUBLE) * 2.2)
+           |    / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75
+           |      * (CAST(dl AS DOUBLE)
+           |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+           |ELSE 0.0 END)""".stripMargin
+      }.mkString("\n + ")
+      val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS tf${i + 1}"
+      }.mkString(",\n  ")
+      val dfs = Bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS df${i + 1}")
+        .mkString(",\n  ")
+      s"""WITH tk AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+         |pd AS (SELECT doc_id, count(*) AS dl,
+         |  $tfs
+         |  FROM tk GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         |  $dfs
+         |  FROM pd),
+         |sc AS (SELECT doc_id, dl,
+         |  CAST(tf1 > 0 AS BIGINT) + CAST(tf2 > 0 AS BIGINT)
+         |    + CAST(tf3 > 0 AS BIGINT) AS matched,
+         |  $cases AS score
+         |  FROM pd, st)
+         |SELECT doc_id, CAST(dl AS BIGINT) AS dl, matched, score
+         |FROM sc WHERE score > 0.0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
     // Score mirrors the Spark expression shape exactly: (tf·N) exact, ONE
     // division — see tfidfTerms on why ln() cannot be hashed.
     "q_tfidf_terms" ->

@@ -37,6 +37,15 @@ class PlanAuditSpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("bm25: top-10 is a TakeOrdered, stats row broadcasts, no token-key " +
+      "shuffle beyond the per-doc aggregate") {
+    val p = plan(graft.operators.LlmPack.bm25Search(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no wide join belongs here:\n$p")
+  }
+
   test("salted join: SMJ on (key, salt) — hot keys spread across partitions") {
     val p = plan(RelationalPack.joinSalted(spark, sf0001))
     assert(p.contains("SortMergeJoin"), s"salted join must shuffle-join:\n$p")
