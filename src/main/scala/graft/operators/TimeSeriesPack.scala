@@ -222,6 +222,34 @@ object TimeSeriesPack extends QueryPack {
         .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
   }
 
+  /** B1+ the SQL-procedure surface, oracle-checked: the restore fixture's
+    * lifecycle (build → pin → damage with a fifth-day append + compact +
+    * retention), but the mistake-recovery verb runs as
+    * `CALL graft_ts.system.restore(...)` — the Iceberg-style maintenance
+    * face — followed by a `CALL ... compact` to prove the procedures
+    * chain. The full-range read must equal the pre-damage slice, the same
+    * oracle as q_ts_restore; per-procedure reports and expire_snapshots
+    * are asserted in GraftTsProceduresSpec. */
+  def sqlCallRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tscall_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cut = lit("2024-01-02 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    t.append(ev.where(col("ts") >= cut))
+    val pinned = t.currentVersion.get
+    t.append(Tables.events(s, dir).where(col("ts") >= hi &&
+      col("ts") < lit("2024-01-06 00:00:00").cast("timestamp")))
+    t.compactAll(targetFiles = 1)
+    t.dropBefore("2024-01-03")
+    s.sql(s"CALL graft_ts.system.restore(`table` => '$store', version => $pinned)")
+    s.sql(s"CALL graft_ts.system.compact(`table` => '$store')")
+    eventsProjection(
+      TsTable.open(s, store)
+        .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
+  }
+
   /** A3+ row-level delete round-trip (`TsTable.deleteWhere` — the
     * `DELETE FROM t WHERE …` verb, the GDPR/bad-producer operation the
     * snapshot lifecycle was missing): four days land in two appends, then
@@ -1003,6 +1031,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_snapshot" -> snapshotRoundtrip,
     "q_ts_history" -> tsHistory,
     "q_ts_restore" -> restoreRoundtrip,
+    "q_ts_sql_call" -> sqlCallRoundtrip,
     "q_ts_delete" -> deleteRoundtrip,
     "q_ts_update" -> updateRoundtrip,
     "q_ts_merge" -> mergeRoundtrip,
@@ -1108,6 +1137,12 @@ object TimeSeriesPack extends QueryPack {
     // the full-range live read equals the original build slice exactly
     // (the fifth-day append, compaction, and retention all roll back).
     "q_ts_restore" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+    // Same pre-damage slice via CALL restore + CALL compact (results are
+    // layout-invariant, so the post-restore compaction changes nothing).
+    "q_ts_sql_call" ->
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
          |ORDER BY event_id""".stripMargin,

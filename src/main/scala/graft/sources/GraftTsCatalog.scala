@@ -45,9 +45,28 @@ import java.util.{Map => JMap}
   * (drop/rename/alter) are refused — table lifecycle stays with the
   * facade's explicit, snapshot-committing verbs.
   */
-final class GraftTsCatalog extends TableCatalog {
+final class GraftTsCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "graft_ts"
+
+  /** Maintenance procedures live under the `system` namespace (the
+    * Iceberg convention): `CALL graft_ts.system.compact(...)` etc —
+    * see [[GraftTsProcedures]]. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftTsProcedures.names.map(n => Identifier.of(Array("system"), n))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val known = ident.namespace().sameElements(Array("system"))
+    (if (known) GraftTsProcedures.load(ident.name()) else None).getOrElse(
+      throw new RuntimeException(
+        s"graft-ts: unknown procedure $ident; available: " +
+          GraftTsProcedures.names.map(n => s"$catalogName.system.$n")
+            .mkString(", ")))
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name

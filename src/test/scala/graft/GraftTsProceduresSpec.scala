@@ -1,0 +1,80 @@
+package graft
+
+import graft.ts.TsTable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+
+/** The `CALL graft_ts.system.*` maintenance procedures: each delegates to
+  * the facade verb and returns its report as rows, so the whole store
+  * lifecycle is drivable from SQL alone. */
+class GraftTsProceduresSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType), StructField("user_id", LongType),
+    StructField("value", DoubleType)))
+
+  private def mkRows(rows: Seq[(String, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (s, u, v) => (Timestamp.valueOf(s), u, v) }
+      .toDF("ts", "user_id", "value")
+  }
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("ts_proc_spec").toString
+
+  test("CALL compact / history / restore / expire_snapshots drive the " +
+      "facade verbs and report as rows") {
+    val dir = freshDir()
+    val t = TsTable.create(spark, dir, schema)
+    t.append(mkRows(Seq(("2024-03-01 08:00:00", 1L, 1.0))))
+    t.append(mkRows(Seq(("2024-03-01 12:00:00", 2L, 2.0))))
+    t.append(mkRows(Seq(("2024-03-02 09:00:00", 3L, 3.0))))
+    val pinned = t.currentVersion.get
+
+    // history: one row per retained version, straight from the manifests
+    val hist = spark.sql(s"CALL graft_ts.system.history(`table` => '$dir')")
+    assert(hist.columns.toSeq == Seq("version", "action", "n_files", "n_bytes"))
+    val acts = hist.orderBy("version").collect().map(_.getString(1)).toSeq
+    assert(acts == Seq("create", "append", "append", "append"))
+
+    // compact: day 1 holds two files → rewritten; the report names it
+    val compacted = spark.sql(
+      s"CALL graft_ts.system.compact(`table` => '$dir', target_files => 1)")
+    assert(compacted.collect().map(_.getString(0)).toSeq == Seq("2024-03-01"))
+    assert(new java.io.File(dir, "p_date=2024-03-01").listFiles
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")) == 1)
+    // data intact through SQL read
+    assert(spark.sql(s"SELECT count(*) FROM graft_ts.`$dir`").head.getLong(0) == 3)
+
+    // restore to the pre-compact pin: returns (restored, new current)
+    val restored = spark.sql(
+      s"CALL graft_ts.system.restore(`table` => '$dir', version => $pinned)")
+      .head
+    assert(restored.getLong(0) == pinned)
+    assert(restored.getLong(1) > pinned)
+    assert(TsTable.open(spark, dir).snapshotVersions.last._2 == "restore")
+    assert(spark.sql(s"SELECT count(*) FROM graft_ts.`$dir`").head.getLong(0) == 3)
+
+    // expire_snapshots: keep the newest only; the report lists the expired
+    val before = TsTable.open(spark, dir).snapshotVersions.map(_._1)
+    val expired = spark.sql(
+      s"CALL graft_ts.system.expire_snapshots(`table` => '$dir', keep_last => 1)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(expired == before.init)
+    assert(TsTable.open(spark, dir).snapshotVersions.map(_._1) == Seq(before.last))
+
+    // unknown procedure → a clear error; Spark wraps it in
+    // FAILED_TO_LOAD_ROUTINE, our message rides the cause chain
+    val e = intercept[Exception](
+      spark.sql(s"CALL graft_ts.system.nope(`table` => '$dir')"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("FAILED_TO_LOAD_ROUTINE") || msgs.contains("compact"),
+      msgs)
+  }
+}
