@@ -250,6 +250,53 @@ object TimeSeriesPack extends QueryPack {
         .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
   }
 
+  /** A3+ CHECK-constraint round-trip (`TsTable.addCheck` — the ingest
+    * quality gate): a constrained store accepts two clean appends,
+    * REJECTS a third whose rows violate (nothing lands, no version
+    * commits), rejects an update that would redact a value into
+    * violation, then accepts a compliant update. The oracle is the clean
+    * slice with the compliant update applied — hash-checking that the
+    * gate blocked exactly the bad writes and admitted the good ones.
+    * NULL-passes semantics, per-row V2 INSERT enforcement, descriptor
+    * persistence, and dropCheck are asserted in TsCheckSpec. */
+  def constraintRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tscheck_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t0 = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val t = t0.addCheck("typed", "event_type IS NOT NULL")
+    val cut = lit("2024-01-02 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    t.append(ev.where(col("ts") >= cut))
+    // a poisoned batch: day-5 rows with event_type nulled out → rejected
+    val poisoned = Tables.events(s, dir)
+      .where(col("ts") >= hi &&
+        col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
+      .withColumn("event_type",
+        when(col("user_id") % 2 === 0, lit(null).cast("string"))
+          .otherwise(col("event_type")))
+    val rejected =
+      try { t.append(poisoned); false }
+      catch { case _: IllegalArgumentException => true }
+    require(rejected, "q_ts_constraint: the poisoned append must be rejected")
+    // an update into violation → rejected; a compliant one → applied
+    val bad =
+      try {
+        t.updateWhere(col("user_id") % 9 === 4,
+          Map("event_type" -> lit(null).cast("string")))
+        false
+      } catch { case _: IllegalArgumentException => true }
+    require(bad, "q_ts_constraint: the violating update must be rejected")
+    t.updateWhere(
+      col("user_id") % 9 === 4 &&
+        col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"),
+      Map("event_type" -> lit("audited")))
+    eventsProjection(
+      TsTable.open(s, store)
+        .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
+  }
+
   /** A3+ row-level delete round-trip (`TsTable.deleteWhere` — the
     * `DELETE FROM t WHERE …` verb, the GDPR/bad-producer operation the
     * snapshot lifecycle was missing): four days land in two appends, then
@@ -1033,6 +1080,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_restore" -> restoreRoundtrip,
     "q_ts_sql_call" -> sqlCallRoundtrip,
     "q_ts_delete" -> deleteRoundtrip,
+    "q_ts_constraint" -> constraintRoundtrip,
     "q_ts_update" -> updateRoundtrip,
     "q_ts_merge" -> mergeRoundtrip,
     "q_ts_changes" -> changesRoundtrip,
@@ -1242,6 +1290,18 @@ object TimeSeriesPack extends QueryPack {
          |WHERE date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-02 12:00:00'
          |  AND date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
          |ORDER BY event_id""".stripMargin,
+    // The gate admits exactly the clean slice; the one compliant update
+    // replays as CASE WHEN (the rejected writes contribute nothing).
+    "q_ts_constraint" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+        |  CASE WHEN user_id % 9 = 4
+        |    AND date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-02 00:00:00'
+        |    AND date_trunc('microseconds', ts) < TIMESTAMP '2024-01-04 00:00:00'
+        |  THEN 'audited' ELSE event_type END AS event_type,
+        |  value, props
+        |FROM events
+        |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+        |ORDER BY event_id""".stripMargin,
     // deleteWhere removes exactly the predicate-TRUE rows; the survivors
     // are the build slice under the complementary predicate.
     "q_ts_delete" ->

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util.{Map => JMap}
@@ -141,10 +141,28 @@ final class GraftTsCatalog extends TableCatalog
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-ts schema changes go through TsTable.appendEvolved, which " +
-        "commits a snapshot version; ALTER TABLE is not supported")
+  /** `ALTER TABLE graft_ts.`/path`` ADD COLUMNS (x DOUBLE, …)` — the SQL
+    * face of the facade's pure-DDL evolution ([[TsTable.addColumns]]):
+    * descriptor widens, existing files null-fill on read, an "evolve"
+    * version commits. Only top-level ADD COLUMN is accepted; every other
+    * change (drop/rename/retype/reorder) would rewrite or reinterpret
+    * history and is refused. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.length != changes.length || adds.isEmpty)
+      throw new UnsupportedOperationException(
+        "graft-ts supports ALTER TABLE … ADD COLUMNS only (pure-DDL " +
+          "schema widening; history is never rewritten) — drop/rename/" +
+          "retype go through explicit new tables")
+    val fields = adds.map { a =>
+      require(a.fieldNames().length == 1,
+        s"graft-ts ADD COLUMNS: nested field '${a.fieldNames().mkString(".")}' " +
+          "is not supported — add a top-level column")
+      StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+    }
+    TsTable.open(spark, pathOf(ident)).addColumns(fields)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

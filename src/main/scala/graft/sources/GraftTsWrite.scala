@@ -95,9 +95,16 @@ final class GraftTsWrite(
       if (truncateFirst) None
       else ts.maxDt.map(DateTimeUtils.fromJavaTimestamp)
     val tsIdx = ts.schema.fieldIndex(ts.tsCol)
+    // CHECK constraints compile ONCE on the driver to schema-bound
+    // expressions; each task evaluates them per row (null = pass folded
+    // in at compile time), so a SQL INSERT obeys the same gate as the
+    // facade's batch pass — with no extra pass over the data.
+    val checksBound = ts.checks.map { case (n, sql) =>
+      (n, sql, org.apache.spark.sql.graft.CheckPredicates.bind(spark, ts.schema, sql))
+    }
     new GraftTsBatchWrite(spark, ts.path, queryId, truncateFirst,
       new SerializableConfiguration(job.getConfiguration), factory, ts.schema,
-      tsIdx, storedMaxUs, sqlConf.sessionLocalTimeZone)
+      tsIdx, storedMaxUs, sqlConf.sessionLocalTimeZone, checksBound)
   }
 }
 
@@ -107,12 +114,13 @@ final case class GraftTsCommitMessage(files: Seq[(String, String)])
 final class GraftTsBatchWrite(
     spark: SparkSession, path: String, queryId: String, truncateFirst: Boolean,
     conf: SerializableConfiguration, factory: OutputWriterFactory,
-    schema: StructType, tsIdx: Int, storedMaxUs: Option[Long], zone: String)
+    schema: StructType, tsIdx: Int, storedMaxUs: Option[Long], zone: String,
+    checks: Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     GraftTsWriterFactory(path, queryId, conf, factory, schema, tsIdx,
-      storedMaxUs, zone)
+      storedMaxUs, zone, checks)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
@@ -173,12 +181,13 @@ final class GraftTsBatchWrite(
 final case class GraftTsWriterFactory(
     path: String, queryId: String, conf: SerializableConfiguration,
     factory: OutputWriterFactory, schema: StructType, tsIdx: Int,
-    storedMaxUs: Option[Long], zone: String)
+    storedMaxUs: Option[Long], zone: String,
+    checks: Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftTsDataWriter(path, queryId, conf.value, factory, schema, tsIdx,
-      storedMaxUs, ZoneId.of(zone), partitionId, taskId)
+      storedMaxUs, ZoneId.of(zone), partitionId, taskId, checks)
 }
 
 /** Task-side writer: one sorted parquet file per day encountered. Rows
@@ -187,8 +196,15 @@ final case class GraftTsWriterFactory(
 final class GraftTsDataWriter(
     path: String, queryId: String, conf: Configuration,
     factory: OutputWriterFactory, schema: StructType, tsIdx: Int,
-    storedMaxUs: Option[Long], zone: ZoneId, partitionId: Int, taskId: Long)
+    storedMaxUs: Option[Long], zone: ZoneId, partitionId: Int, taskId: Long,
+    checks: Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
   extends DataWriter[InternalRow] {
+
+  // CHECK predicates, codegen-compiled once per task (coalesce-to-true is
+  // already folded in, so eval() == false IS a violation)
+  private val checkPreds = checks.map { case (n, sql, e) =>
+    (n, sql, org.apache.spark.sql.catalyst.expressions.Predicate.create(e))
+  }
 
   private val ctx = new TaskAttemptContextImpl(conf,
     new TaskAttemptID(new TaskID(new JobID(queryId, 0), TaskType.MAP, partitionId), 0))
@@ -214,6 +230,11 @@ final class GraftTsDataWriter(
       throw new IllegalStateException(
         "graft-ts append: rows arrived unsorted despite required ordering")
     prevUs = us
+    checkPreds.foreach { case (n, sql, p) =>
+      if (!p.eval(row))
+        throw new IllegalArgumentException(
+          s"graft-ts append: row violates CHECK constraint '$n' ($sql)")
+    }
     val day = DateTimeUtils.microsToDays(us, zone)
     if (day != curDay) roll(day)
     cur.write(row)

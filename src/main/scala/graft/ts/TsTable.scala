@@ -44,9 +44,13 @@ final class TsTable private (
     val path: String,
     val tsCol: String,
     private val storedSchema: StructType,
-    val writeOptions: TsWriteOptions) {
+    val writeOptions: TsWriteOptions,
+    private val tableChecks: Seq[(String, String)] = Seq.empty) {
 
   import TsTable._
+
+  /** Declared CHECK constraints, (name, SQL predicate) — see [[addCheck]]. */
+  def checks: Seq[(String, String)] = tableChecks
 
   /** Full table as a DataFrame (data columns only; partition column dropped). */
   def toDF: DataFrame = raw.drop(PartCol)
@@ -292,7 +296,7 @@ final class TsTable private (
       !f.nullable && !batchFields.contains(f.name))
     val evolved =
       if (!needRewrite) this
-      else new TsTable(spark, path, tsCol, union, writeOptions)
+      else new TsTable(spark, path, tsCol, union, writeOptions, tableChecks)
     val aligned = batch.select(union.fields.map(f =>
       if (batchFields.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
@@ -303,9 +307,119 @@ final class TsTable private (
     // descriptor — recovered by the next evolve — never a corrupt table.
     evolved.append(aligned, filesPerDay, strict)
     if (needRewrite)
-      TsTable.writeDescriptor(spark, path, union, tsCol, writeOptions)
+      TsTable.writeDescriptor(spark, path, union, tsCol, writeOptions,
+        tableChecks)
     evolved
   }
+
+  /** Pure-DDL schema evolution — [[appendEvolved]]'s descriptor rule
+    * without a batch (the `ALTER TABLE … ADD COLUMNS` verb, wired to SQL
+    * through GraftTsCatalog): the stored descriptor widens to
+    * stored-order-then-additions, existing files null-fill the added
+    * columns on read (raw reads with the EXPLICIT stored schema), and an
+    * "evolve" version commits so the change is pinnable and auditable —
+    * a pre-evolve pin serves the narrow schema, time travel crosses the
+    * evolution. O(metadata): no data rewrite, ever. Added columns are
+    * forced nullable (every existing row lacks them); name collisions
+    * and the reserved partition column are refused. Returns the handle
+    * carrying the widened schema (`this` keeps serving its projection,
+    * the appendEvolved rule). */
+  def addColumns(cols: Seq[StructField]): TsTable = {
+    require(cols.nonEmpty, "addColumns: no columns")
+    val clash = cols.map(_.name).filter(n =>
+      storedSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(clash.isEmpty,
+      s"addColumns: column(s) ${clash.mkString(", ")} already exist")
+    require(!cols.exists(_.name.equalsIgnoreCase(PartCol)),
+      s"addColumns: '$PartCol' is reserved for the partition column")
+    val dup = cols.groupBy(_.name.toLowerCase).collect {
+      case (n, vs) if vs.length > 1 => n }
+    require(dup.isEmpty, s"addColumns: duplicate column(s) ${dup.mkString(", ")}")
+    val union = StructType(storedSchema.fields ++
+      cols.map(_.copy(nullable = true)))
+    TsTable.writeDescriptor(spark, path, union, tsCol, writeOptions,
+      tableChecks)
+    val t = new TsTable(spark, path, tsCol, union, writeOptions, tableChecks)
+    t.commitVersion("evolve", Some(union))
+    t
+  }
+
+  /** Declare a CHECK constraint (the Delta `ADD CONSTRAINT` analogue —
+    * the ingest-quality gate a training-data table needs): `predicateSql`
+    * is a boolean SQL expression over the table's columns; from now on
+    * every write of new or modified rows must satisfy it — `append` (all
+    * faces: facade, V2 INSERT, streaming sink), `appendEvolved`,
+    * `updateWhere`, and `mergeInto` reject a batch containing a
+    * violating row BEFORE anything lands. SQL CHECK semantics: NULL
+    * (unknown) passes, only FALSE violates. By default the EXISTING
+    * table must already satisfy the constraint (one distributed scan —
+    * `validateExisting = false` skips it for known-clean 100 TB tables).
+    * `restore`/time travel can still serve pre-constraint history: the
+    * gate guards writes, not reads. Persisted in the descriptor; commits
+    * a "constraint" version for auditability. Returns the handle
+    * carrying the constraint. */
+  def addCheck(name: String, predicateSql: String,
+               validateExisting: Boolean = true): TsTable = {
+    require(name.matches("[A-Za-z0-9_.-]+"),
+      s"addCheck: constraint name '$name' must be [A-Za-z0-9_.-]+")
+    require(!tableChecks.exists(_._1.equalsIgnoreCase(name)),
+      s"addCheck: constraint '$name' already exists")
+    // the predicate must parse, resolve against THIS schema, and be boolean
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storedSchema)
+      .where(expr(predicateSql))
+    probe.queryExecution.analyzed // force analysis: unknown columns fail here
+    if (validateExisting) {
+      firstViolation(toDF, Seq(name -> predicateSql)).foreach { case (n, cnt) =>
+        throw new IllegalArgumentException(
+          s"addCheck: $cnt existing row(s) violate '$n' ($predicateSql) — " +
+            "clean the table first or pass validateExisting = false")
+      }
+    }
+    val next = tableChecks :+ (name -> predicateSql)
+    TsTable.writeDescriptor(spark, path, storedSchema, tsCol, writeOptions, next)
+    val t = new TsTable(spark, path, tsCol, storedSchema, writeOptions, next)
+    t.commitVersion("constraint", meta = Map("check" -> name))
+    t
+  }
+
+  /** Remove a CHECK constraint; returns the handle without it. */
+  def dropCheck(name: String): TsTable = {
+    require(tableChecks.exists(_._1.equalsIgnoreCase(name)),
+      s"dropCheck: no constraint '$name' (have: ${tableChecks.map(_._1).mkString(", ")})")
+    val next = tableChecks.filterNot(_._1.equalsIgnoreCase(name))
+    TsTable.writeDescriptor(spark, path, storedSchema, tsCol, writeOptions, next)
+    val t = new TsTable(spark, path, tsCol, storedSchema, writeOptions, next)
+    t.commitVersion("constraint", meta = Map("check" -> name))
+    t
+  }
+
+  /** First violated constraint over `df`, as (name, violating-row count) —
+    * ONE aggregate pass computing every constraint's violation count
+    * simultaneously (SQL CHECK rule: only FALSE violates, NULL passes).
+    * None = all pass or no constraints. */
+  private def firstViolation(df: DataFrame,
+      cs: Seq[(String, String)]): Option[(String, Long)] = {
+    if (cs.isEmpty) return None
+    val aggs = cs.zipWithIndex.map { case ((_, sql), i) =>
+      sum(when(coalesce(expr(sql), lit(true)) === false, 1L).otherwise(0L))
+        .as(s"__viol_$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    cs.indices.collectFirst {
+      case i if !row.isNullAt(i) && row.getLong(i) > 0 => (cs(i)._1, row.getLong(i))
+    }
+  }
+
+  /** Enforcement shared by every batch write face: throws on the first
+    * violated constraint. */
+  private[graft] def enforceChecks(df: DataFrame, verb: String): Unit =
+    firstViolation(df, tableChecks).foreach { case (n, cnt) =>
+      val sql = tableChecks.find(_._1 == n).map(_._2).getOrElse("")
+      throw new IllegalArgumentException(
+        s"$verb: $cnt row(s) violate CHECK constraint '$n' ($sql) — " +
+          "nothing was written")
+    }
 
   /** Strict mode evaluates the batch three times (order validation, stats,
     * write); the caller-facing `append` persists it first so the row order
@@ -329,6 +443,7 @@ final class TsTable private (
     if (stats.getLong(1) == 0L) return // empty batch: no-op
     if (stats.getLong(1) != stats.getLong(2))
       throw new IllegalArgumentException(s"append: null values in '$tsCol'")
+    if (tableChecks.nonEmpty) enforceChecks(batch, "append") // one agg pass
     val nDays = stats.getLong(3)
     val batchMin = stats.getAs[Timestamp](0)
     maxDt.foreach { cur =>
@@ -596,7 +711,8 @@ final class TsTable private (
     val serving = TsTable.open(spark, path, tsCol)
     if (serving.schema != storedSchema)
       return serving.updateWhere(predicate, assignments, filesPerDay)
-    cowRewrite(predicate, "update", filesPerDay) { (df, cond) =>
+    cowRewrite(predicate, "update", filesPerDay,
+        enforceAfterRewrite = true) { (df, cond) =>
       df.select(df.columns.map { c =>
         if (assignments.contains(c))
           when(cond, assignments(c).cast(storedSchema(c).dataType))
@@ -732,7 +848,8 @@ final class TsTable private (
     if (hitRel.isEmpty && insOpt.isEmpty) return TsTable.MergeResult(0L, 0L)
     try {
       cowExec(hitRel, "merge", filesPerDay,
-        inserts = insOpt.map(_._1), insertDays = insOpt.map(_._3).getOrElse(0)) { df =>
+        inserts = insOpt.map(_._1), insertDays = insOpt.map(_._3).getOrElse(0),
+        enforceAfterRewrite = true) { df =>
         val marked = source.select(
           (keyCols ++ upd.map(c => col(c).as(s"__u_$c")) :+
             lit(true).as("__matched")): _*)
@@ -754,7 +871,8 @@ final class TsTable private (
     * set and the null-safe hit condition to [[cowExec]]. Returns the
     * predicate-TRUE row count; 0 hits = nothing rewritten, no commit. */
   private def cowRewrite(predicate: org.apache.spark.sql.Column,
-                         action: String, filesPerDay: Int)(
+                         action: String, filesPerDay: Int,
+                         enforceAfterRewrite: Boolean = false)(
       xform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
     val hitAgg = raw.where(predicate)
       .groupBy(input_file_name().as("f"))
@@ -764,7 +882,8 @@ final class TsTable private (
     val hits = hitAgg.map(_.getLong(1)).sum
     val cond = coalesce(predicate, lit(false)) // null/UNKNOWN = not hit
     cowExec(relativize(hitAgg.map(_.getString(0)).toSeq, action), action,
-      filesPerDay, inserts = None, insertDays = 0)(df => xform(df, cond))
+      filesPerDay, inserts = None, insertDays = 0,
+      enforceAfterRewrite)(df => xform(df, cond))
     hits
   }
 
@@ -791,7 +910,8 @@ final class TsTable private (
     * commit `action`. `insertDays` sizes the range-split when
     * `filesPerDay > 1` (an upper bound on the insert-side day count). */
   private def cowExec(hitRel: Seq[String], action: String, filesPerDay: Int,
-                      inserts: Option[DataFrame], insertDays: Int)(
+                      inserts: Option[DataFrame], insertDays: Int,
+                      enforceAfterRewrite: Boolean = false)(
       xform: DataFrame => DataFrame): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -836,6 +956,26 @@ final class TsTable private (
       writeOptions.rowGroupBytes.foreach(b =>
         writer.option("parquet.block.size", b.toString))
       writer.parquet(new Path(tmp, "loose").toString)
+    }
+    // 2½. constraint gate on the STAGED output (update/merge can modify
+    // rows into violation; delete can't and skips this): validating the
+    // already-written staging files costs one cheap re-read, never a
+    // recompute of the rewrite, and a violation aborts BEFORE anything
+    // archives — the live table is untouched.
+    if (enforceAfterRewrite && tableChecks.nonEmpty) {
+      val parts = Seq.newBuilder[DataFrame]
+      val datedStage = new Path(tmp, "dated")
+      if (fs.exists(datedStage))
+        parts += spark.read.option("basePath", datedStage.toString)
+          .schema(withPartCol(storedSchema)).parquet(datedStage.toString)
+          .drop(PartCol)
+      val looseStage = new Path(tmp, "loose")
+      if (fs.exists(looseStage))
+        parts += spark.read.schema(storedSchema).parquet(looseStage.toString)
+      parts.result().reduceOption(_.unionByName(_)).foreach { staged =>
+        try enforceChecks(staged, action)
+        catch { case e: Throwable => fs.delete(tmp, true); throw e }
+      }
     }
     // 3. swap: archive the hit originals, move the rewritten files in
     hitRel.foreach(archiveFile(fs, _))
@@ -1056,7 +1196,8 @@ final class TsTable private (
     // 3. the version's own schema becomes the stored descriptor again
     // (reopen via TsTable.open for a handle carrying it; this handle keeps
     // serving its constructed projection, the appendEvolved rule)
-    TsTable.writeDescriptor(spark, path, snap.schema, snap.tsCol, writeOptions)
+    TsTable.writeDescriptor(spark, path, snap.schema, snap.tsCol, writeOptions,
+      tableChecks)
     commitVersion("restore", Some(snap.schema))
   }
 
@@ -1107,8 +1248,9 @@ final class TsTable private (
       }
     }
     TsTable.writeDescriptor(spark, destPath, snap.schema, snap.tsCol,
-      writeOptions)
-    val t = new TsTable(spark, destPath, snap.tsCol, snap.schema, writeOptions)
+      writeOptions, tableChecks)
+    val t = new TsTable(spark, destPath, snap.tsCol, snap.schema, writeOptions,
+      tableChecks)
     t.commitVersion("clone", Some(snap.schema))
     t
   }
@@ -1802,18 +1944,35 @@ object TsTable {
     * not partial bytes). */
   private[ts] def writeDescriptor(spark: SparkSession, path: String,
                                   schema: StructType, tsCol: String,
-                                  writeOptions: TsWriteOptions): Unit = {
+                                  writeOptions: TsWriteOptions,
+                                  checks: Seq[(String, String)] = Seq.empty): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(dir, SchemaFile)
     val tmp = new Path(dir, SchemaFile + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write((schema.json + "\n" + tsCol + "\n" + writeOptions.encode + "\n")
-      .getBytes("UTF-8"))
+    // line 4 (optional): CHECK constraints — base64 SQL so arbitrary
+    // predicate text never collides with the descriptor's line format
+    val checksLine =
+      if (checks.isEmpty) ""
+      else "checks=" + checks.map { case (n, sql) =>
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(sql.getBytes("UTF-8"))
+        s"$n:$b64"
+      }.mkString(",") + "\n"
+    try out.write((schema.json + "\n" + tsCol + "\n" + writeOptions.encode +
+      "\n" + checksLine).getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(target)) fs.delete(target, false)
     require(fs.rename(tmp, target), s"failed to install schema descriptor at $target")
   }
+
+  private def decodeChecks(line: String): Seq[(String, String)] =
+    if (!line.startsWith("checks=") || line == "checks=") Seq.empty
+    else line.stripPrefix("checks=").split(",").toSeq.map { part =>
+      val Array(n, b64) = part.split(":", 2)
+      (n, new String(java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+    }
 
   /** Attach to an existing table; schema + write options come from the
     * stored descriptor (or, for plain partitioned-Parquet dirs, from the
@@ -1829,8 +1988,9 @@ object TsTable {
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       val lines = text.trim.split("\n")
       val opts = if (lines.length >= 3) TsWriteOptions.decode(lines(2)) else TsWriteOptions()
+      val checks = if (lines.length >= 4) decodeChecks(lines(3).trim) else Seq.empty
       new TsTable(spark, path, lines(1).trim,
-        DataType.fromJson(lines(0)).asInstanceOf[StructType], opts)
+        DataType.fromJson(lines(0)).asInstanceOf[StructType], opts, checks)
     } else {
       val inferred = spark.read.parquet(path).schema
       val dataSchema = StructType(inferred.filterNot(_.name == PartCol))

@@ -77,4 +77,37 @@ class GraftTsProceduresSpec extends SparkSpec {
     assert(msgs.contains("FAILED_TO_LOAD_ROUTINE") || msgs.contains("compact"),
       msgs)
   }
+
+  test("ALTER TABLE ADD COLUMNS: pure-DDL widening, old files null-fill, " +
+      "pre-evolve pins serve the narrow schema, destructive changes refused") {
+    val dir = freshDir()
+    val t = TsTable.create(spark, dir, schema)
+    t.append(mkRows(Seq(("2024-03-01 10:00:00", 1L, 1.0))))
+    val pinned = t.currentVersion.get
+    spark.sql(s"ALTER TABLE graft_ts.`$dir` ADD COLUMNS (tag STRING, n INT)")
+    // widened schema serves immediately; existing rows null-fill
+    val widened = spark.sql(s"SELECT * FROM graft_ts.`$dir`")
+    assert(widened.columns.toSeq == Seq("ts", "user_id", "value", "tag", "n"))
+    val r = widened.head
+    assert(r.isNullAt(3) && r.isNullAt(4))
+    // an "evolve" version committed; the pre-evolve pin is still narrow
+    val reopened = TsTable.open(spark, dir)
+    assert(reopened.snapshotVersions.last._2 == "evolve")
+    assert(spark.sql(
+        s"SELECT * FROM graft_ts.`$dir` VERSION AS OF $pinned")
+      .columns.toSeq == Seq("ts", "user_id", "value"))
+    // appends through the widened table carry the new columns
+    import spark.implicits._
+    reopened.append(Seq((Timestamp.valueOf("2024-03-02 10:00:00"), 2L, 2.0,
+        "x", 5)).toDF("ts", "user_id", "value", "tag", "n"))
+    assert(spark.sql(s"SELECT tag FROM graft_ts.`$dir` WHERE user_id = 2")
+      .head.getString(0) == "x")
+    // name collision and destructive changes are refused
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE graft_ts.`$dir` ADD COLUMNS (value DOUBLE)"))
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE graft_ts.`$dir` DROP COLUMN tag"))
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE graft_ts.`$dir` RENAME COLUMN tag TO label"))
+  }
 }
