@@ -454,6 +454,45 @@ object TimeSeriesPack extends QueryPack {
         .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
   }
 
+  /** A3+ SQL MERGE INTO, oracle-checked: exactly q_ts_merge's scenario —
+    * corrections for a cohort plus 72-h-shifted day-5 backfill — but
+    * driven through `spark.sql("MERGE INTO graft_ts.`store` …")`: the
+    * injected GraftDmlRule translates the star-upsert shape onto
+    * `TsTable.mergeInto` (ON keys (event_id, ts); star SET/INSERT), so
+    * the same oracle hash-checks the whole SQL path. Update-only/
+    * insert-only SQL shapes, SQL UPDATE, and the refusal surface are
+    * asserted in GraftTsDmlSpec. */
+  def sqlMergeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tssqlmerge_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cut = lit("2024-01-02 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    t.append(ev.where(col("ts") >= cut))
+    val updSrc = ev.where(col("user_id") % 6 === 2 &&
+        col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value") * 2).as("value"),
+        lit("""{"corrected":true}""").as("props"))
+    val insSrc = Tables.events(s, dir)
+      .where(col("ts") >= hi &&
+        col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
+      .select(col("event_id"),
+        (col("ts") - expr("INTERVAL 72 HOURS")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    updSrc.unionByName(insSrc).createOrReplaceTempView("graft_sql_merge_src")
+    s.sql(
+      s"""MERGE INTO graft_ts.`$store` t USING graft_sql_merge_src s
+         |ON t.event_id = s.event_id AND t.ts = s.ts
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    eventsProjection(
+      TsTable.open(s, store)
+        .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
+  }
+
   /** B10+ the streaming incremental SOURCE, oracle-checked end-to-end —
     * rare for a stream, possible here because `Trigger.AvailableNow`
     * drains deterministically: the q_ts_changes lifecycle (checkpoint
@@ -1083,6 +1122,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_constraint" -> constraintRoundtrip,
     "q_ts_update" -> updateRoundtrip,
     "q_ts_merge" -> mergeRoundtrip,
+    "q_ts_sql_merge" -> sqlMergeRoundtrip,
     "q_ts_changes" -> changesRoundtrip,
     "q_ts_stream_changes" -> streamChangesRoundtrip,
     "q_ts_stream_pipe" -> streamPipeRoundtrip,
@@ -1123,7 +1163,12 @@ object TimeSeriesPack extends QueryPack {
       |  ON e.user_id = o.o_custkey AND date_trunc('microseconds', e.ts) >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = oraclesBase
+    // The SQL MERGE key replays q_ts_merge's scenario verbatim through
+    // spark.sql -- identical expected state, identical oracle.
+    .updated("q_ts_sql_merge", oraclesBase("q_ts_merge"))
+
+  private val oraclesBase: Map[String, String] = Map(
     // date_trunc('microseconds', …) on the DuckDB side: events.ts physically
     // carries ns digits; Spark sees it floored to µs, so the oracle must
     // filter on the floored value too or exact-boundary rows could diverge.

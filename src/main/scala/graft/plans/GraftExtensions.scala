@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => BackwardAsOfStrategy)
+    // SQL UPDATE / MERGE INTO on graft-ts tables → the facade's
+    // copy-on-write verbs (GraftDmlRules scaladoc has the contract)
+    ext.injectPostHocResolutionRule(session =>
+      org.apache.spark.sql.graft.GraftDmlRule(session))
     register(ext, "graft_dot",
       "graft_dot(a, b) - codegen'd dot product of two array<double>") {
       case Seq(a, b) => DotProduct(a, b)

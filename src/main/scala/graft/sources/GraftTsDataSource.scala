@@ -182,8 +182,8 @@ final class GraftTsDataSource extends TableProvider with DataSourceRegister
   * via the facade's copy-on-write [[TsTable.deleteWhere]] (so a SQL
   * delete prunes to hit files, archives the originals for pinned
   * readers, and commits a "delete" version exactly like the API verb). */
-final class GraftTsV2Table(spark: SparkSession, ts: TsTable,
-                           snapshot: Option[graft.ts.TsSnapshot] = None)
+final class GraftTsV2Table(spark: SparkSession, val ts: TsTable,
+                           val snapshot: Option[graft.ts.TsSnapshot] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 

@@ -759,16 +759,17 @@ final class TsTable private (
     *                   carry `keys` and (when `insert`) the ts column.
     * @param keys       match identity (e.g. the event id). Key columns
     *                   never update.
-    * @param updateCols override of the matched-row column set; empty =
-    *                   all non-key source columns except ts. Pass
-    *                   `insert = true` with a keys+ts-only source for an
-    *                   insert-only (ignore-duplicates) merge.
+    * @param updateCols matched-row column set: None (default) = all
+    *                   non-key source columns except ts; Some(cols) =
+    *                   exactly those; Some(Nil) = update NOTHING — the
+    *                   insert-only (ignore-duplicates) merge, whatever
+    *                   extra columns the source carries.
     * @param insert     false = update-only merge (unmatched source rows
     *                   are ignored).
     * @return (matched-and-updated count, inserted count); (0, 0) =
     *         nothing to do, no version committed. */
   def mergeInto(source: DataFrame, keys: Seq[String],
-                updateCols: Seq[String] = Seq.empty,
+                updateCols: Option[Seq[String]] = None,
                 insert: Boolean = true,
                 filesPerDay: Int = 1): TsTable.MergeResult = {
     require(filesPerDay >= 1, "filesPerDay must be >= 1")
@@ -782,11 +783,10 @@ final class TsTable private (
     val foreign = srcCols.filterNot(storedSchema.fieldNames.contains)
     require(foreign.isEmpty,
       s"mergeInto: source columns ${foreign.mkString(", ")} are not table columns")
-    require(updateCols.forall(srcCols.contains),
-      s"mergeInto: updateCols ${updateCols.filterNot(srcCols.contains).mkString(", ")} missing from source")
-    val upd =
-      if (updateCols.nonEmpty) updateCols
-      else srcCols.filterNot(c => keys.contains(c) || c.equalsIgnoreCase(tsCol))
+    require(updateCols.forall(_.forall(srcCols.contains)),
+      s"mergeInto: updateCols ${updateCols.getOrElse(Seq.empty).filterNot(srcCols.contains).mkString(", ")} missing from source")
+    val upd = updateCols.getOrElse(
+      srcCols.filterNot(c => keys.contains(c) || c.equalsIgnoreCase(tsCol)))
     require(!upd.exists(_.equalsIgnoreCase(tsCol)),
       s"mergeInto: '$tsCol' is a row's placement identity — move a row in " +
         "time with deleteWhere + a ts-bearing insert, not an update")

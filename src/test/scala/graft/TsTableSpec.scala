@@ -376,7 +376,7 @@ class TsTableSpec extends SparkSpec {
     // explicit updateCols subset still works
     val v0 = tab.currentVersion.get
     assert(tab.mergeInto(mkRows(Seq(("2024-03-01 10:00:00", 1L, 11.0))),
-      keys = Seq("ts", "user_id"), updateCols = Seq("value"),
+      keys = Seq("ts", "user_id"), updateCols = Some(Seq("value")),
       insert = false) == TsTable.MergeResult(1L, 0L))
     // nothing-to-do merge (no match, insert off): no commit
     assert(tab.mergeInto(mkRows(Seq(("2024-03-09 10:00:00", 9L, 9.0))),
@@ -401,7 +401,14 @@ class TsTableSpec extends SparkSpec {
         .withColumn("extra", lit(1)), keys = Seq("user_id")))
     intercept[IllegalArgumentException](
       tab.mergeInto(mkRows(Seq(("2024-03-01 10:00:00", 1L, 1.0))),
-        keys = Seq("user_id"), updateCols = Seq("ts")))
+        keys = Seq("user_id"), updateCols = Some(Seq("ts"))))
+    // Some(Nil): update NOTHING even though the source carries data cols
+    val vNil = tab.currentVersion.get
+    assert(tab.mergeInto(mkRows(Seq(("2024-03-01 10:00:00", 1L, 77.0))),
+      keys = Seq("ts", "user_id"), updateCols = Some(Seq.empty))
+      == TsTable.MergeResult(0L, 0L))
+    assert(tab.currentVersion.get == vNil)
+    assert(tab.toDF.where(col("user_id") === 1L).head.getDouble(2) == 11.0)
   }
 
   test("deleteWhere: time-scoped delete can empty a whole day; edge aggregates " +
