@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.ts.TsTable
+import graft.ts.{TsRollup, TsTable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -452,6 +452,36 @@ object TimeSeriesPack extends QueryPack {
     eventsProjection(
       TsTable.open(s, store)
         .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
+  }
+
+  /** B1+ incrementally-synced rollup (`TsRollup.sync` — the materialized
+    * hourly aggregate a dashboard serves instead of raw events): the
+    * source lands in THREE appends with a sync after each — the second
+    * cut splits an hour bucket, so the partial-bucket recompute path
+    * runs, and each sync's read is bounded by the changed span (cursor in
+    * the rollup's own commit log, changesBetween + mergeInto underneath).
+    * The final rollup must hash-match the full per-hour aggregate
+    * computed directly on raw events. Cursor semantics, no-change
+    * no-commit, and the expired-cursor full rebuild are asserted in
+    * TsRollupSpec. */
+  def rollupRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tsroll_src_${StoreDirs.pathKey(dir)}")
+    val roll = StoreDirs.scratch(s, s"graft_tsroll_dst_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cut1 = lit("2024-01-02 12:30:00").cast("timestamp") // mid-bucket
+    val cut2 = lit("2024-01-03 12:30:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut1))
+    TsRollup.sync(t, roll, 3600L, "value")
+    t.append(ev.where(col("ts") >= cut1 && col("ts") < cut2))
+    TsRollup.sync(t, roll, 3600L, "value")
+    t.append(ev.where(col("ts") >= cut2))
+    TsRollup.sync(t, roll, 3600L, "value")
+    TsTable.open(s, roll).toDF
+      .select(unix_micros(col("ts")).as("ts_us"), col("n_rows"),
+        col("v_min"), col("v_max"), col("v_sum").cast("double").as("v_sum"))
+      .orderBy(col("ts_us"))
   }
 
   /** A3+ SQL MERGE INTO, oracle-checked: exactly q_ts_merge's scenario —
@@ -1123,6 +1153,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_update" -> updateRoundtrip,
     "q_ts_merge" -> mergeRoundtrip,
     "q_ts_sql_merge" -> sqlMergeRoundtrip,
+    "q_ts_rollup" -> rollupRoundtrip,
     "q_ts_changes" -> changesRoundtrip,
     "q_ts_stream_changes" -> streamChangesRoundtrip,
     "q_ts_stream_pipe" -> streamPipeRoundtrip,
@@ -1347,6 +1378,16 @@ object TimeSeriesPack extends QueryPack {
         |FROM events
         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
         |ORDER BY event_id""".stripMargin,
+    // The rollup equals the direct per-hour aggregate on the raw slice:
+    // integer-div bucket starts, DECIMAL-exact sum surfaced as double
+    // (the sum_value convention).
+    "q_ts_rollup" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ts_us,
+        |  count(*) AS n_rows, min(value) AS v_min, max(value) AS v_max,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v_sum
+        |FROM events
+        |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+        |GROUP BY 1 ORDER BY ts_us""".stripMargin,
     // deleteWhere removes exactly the predicate-TRUE rows; the survivors
     // are the build slice under the complementary predicate.
     "q_ts_delete" ->

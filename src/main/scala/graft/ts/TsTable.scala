@@ -1436,6 +1436,17 @@ final class TsTable private (
       }
   }
 
+  /** Newest committed value of a manifest-header meta key (same
+    * newest→oldest header walk as [[lastSinkBatch]]) — how consumers that
+    * persist their own progress inside the table's commit log (the
+    * rollup sync cursor) read it back. */
+  private[ts] def latestMeta(key: String): Option[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TsTable.listVersions(spark, path).sorted.reverse.iterator
+      .map(v => TsTable.readManifestHeaderAt(fs, path, v))
+      .collectFirst { case h if h.contains(key) => h(key) }
+  }
+
   /** The current manifest's per-file ts spans (relative path → closed µs
     * span) — the V2 scan's file-skip index. Empty when no version exists
     * or the manifest predates span stats. */

@@ -1,0 +1,84 @@
+package graft.ts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType, TimestampType}
+
+import java.sql.Timestamp
+
+/** The incrementally-synced rollup: cursor in the commit log, per-sync
+  * cost bounded by the changed span, partial buckets recompute, expired
+  * cursors rebuild. */
+class TsRollupSpec extends graft.SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType), StructField("user_id", LongType),
+    StructField("value", DoubleType)))
+
+  private def mkRows(rows: Seq[(String, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (s, u, v) => (Timestamp.valueOf(s), u, v) }
+      .toDF("ts", "user_id", "value")
+  }
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("ts_rollup_spec").toString
+
+  private def expected(src: TsTable): Seq[(Long, Long, Double, Double)] =
+    src.toDF
+      .groupBy(expr("(unix_micros(ts) div 3600000000) * 3600000000").as("b"))
+      .agg(count(lit(1)).as("n"), min("value").as("mn"), max("value").as("mx"))
+      .orderBy("b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+
+  private def actual(dst: TsTable): Seq[(Long, Long, Double, Double)] =
+    dst.toDF.select(unix_micros(col("ts")), col("n_rows"), col("v_min"),
+        col("v_max"))
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+
+  test("sync after each append keeps the rollup equal to the full " +
+      "aggregate; partial buckets recompute; no-change syncs commit nothing") {
+    val srcDir = freshDir(); val dstDir = freshDir()
+    val src = TsTable.create(spark, srcDir, schema)
+    // batch 1 ends MID-bucket (10:00–11:00 split across appends)
+    src.append(mkRows(Seq(
+      ("2024-03-01 09:10:00", 1L, 1.0), ("2024-03-01 10:20:00", 2L, 2.0))))
+    var dst = TsRollup.sync(src, dstDir, 3600L, "value")
+    assert(actual(dst) == expected(src))
+    // batch 2 adds to the SAME 10:00 bucket (partial-bucket recompute)
+    // and opens new ones
+    src.append(mkRows(Seq(
+      ("2024-03-01 10:40:00", 3L, 30.0), ("2024-03-01 12:05:00", 4L, 4.0))))
+    dst = TsRollup.sync(src, dstDir, 3600L, "value")
+    assert(actual(dst) == expected(src))
+    assert(dst.toDF.where(unix_micros(col("ts")) ===
+        Timestamp.valueOf("2024-03-01 10:00:00").getTime * 1000L)
+      .head.getLong(1) == 2L, "the 10:00 bucket must hold both rows")
+    // a no-change sync commits nothing
+    val v = dst.currentVersion.get
+    dst = TsRollup.sync(src, dstDir, 3600L, "value")
+    assert(dst.currentVersion.get == v)
+    // a maintenance-only source commit advances the cursor without rows
+    src.compactAll(targetFiles = 1)
+    dst = TsRollup.sync(src, dstDir, 3600L, "value")
+    assert(dst.currentVersion.get == v + 1)
+    assert(dst.snapshotVersions.last._2 == "rollup")
+    assert(actual(dst) == expected(src))
+  }
+
+  test("an expired cursor degrades to a full rebuild, not staleness") {
+    val srcDir = freshDir(); val dstDir = freshDir()
+    val src = TsTable.create(spark, srcDir, schema)
+    src.append(mkRows(Seq(("2024-03-01 09:10:00", 1L, 1.0))))
+    TsRollup.sync(src, dstDir, 3600L, "value")
+    // blow away the cursor's manifest on the source
+    src.append(mkRows(Seq(("2024-03-02 09:10:00", 2L, 2.0))))
+    src.append(mkRows(Seq(("2024-03-03 09:10:00", 3L, 3.0))))
+    src.expireSnapshots(keepLast = 1)
+    val dst = TsRollup.sync(src, dstDir, 3600L, "value")
+    assert(actual(dst) == expected(src))
+  }
+}
