@@ -227,7 +227,8 @@ final class GraftTsV2Table(spark: SparkSession, val ts: TsTable,
           StructField(TsTable.PartCol, DateType, nullable = true))
         val spans = ts.currentFileTsSpans
         if (spans.nonEmpty)
-          new GraftTsStatsFileIndex(spark, new Path(ts.path), full, spans, ts.tsCol)
+          new GraftTsStatsFileIndex(spark, new Path(ts.path), full, spans,
+            ts.tsCol, ts.currentFileColSpans)
         else
           new InMemoryFileIndex(spark, Seq(new Path(ts.path)), Map.empty[String, String],
             Some(full), FileStatusCache.getOrCreate(spark), None, None)

@@ -36,29 +36,51 @@ final class GraftTsStatsFileIndex(
     rootPath: Path,
     userSchema: StructType,
     spans: Map[String, (Long, Long)],
-    tsCol: String)
+    tsCol: String,
+    colSpans: Map[String, Map[String, graft.ts.ColSpan]] = Map.empty)
   extends InMemoryFileIndex(spark, Seq(rootPath), Map.empty[String, String],
     Some(userSchema), FileStatusCache.getOrCreate(spark), None, None) {
 
-  // the listing serves QUALIFIED paths — key the span map the same way
-  private lazy val byPath: Map[String, (Long, Long)] = {
+  // the listing serves QUALIFIED paths — key the span maps the same way
+  private lazy val qualify: String => String = {
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    spans.map { case (rel, span) =>
-      fs.makeQualified(new Path(rootPath, rel)).toString -> span
-    }
+    rel => fs.makeQualified(new Path(rootPath, rel)).toString
   }
+
+  private lazy val byPath: Map[String, (Long, Long)] =
+    spans.map { case (rel, span) => qualify(rel) -> span }
+
+  private lazy val colByPath: Map[String, Map[String, graft.ts.ColSpan]] =
+    colSpans.map { case (rel, cs) => qualify(rel) -> cs }
+
+  // every column any file has a recorded span for (statsCols, effectively)
+  private lazy val statCols: Seq[String] =
+    colSpans.valuesIterator.flatMap(_.keysIterator).toSet.toSeq
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val dirs = super.listFiles(partitionFilters, dataFilters)
-    if (byPath.isEmpty) return dirs
+    if (byPath.isEmpty && colByPath.isEmpty) return dirs
     val (lo, hi) = GraftTsStatsFileIndex.tsBounds(dataFilters, tsCol)
-    if (lo.isEmpty && hi.isEmpty) return dirs
+    // bounds per stats column, from the same pushed conjuncts
+    val colBounds = statCols.flatMap { c =>
+      val b = GraftTsStatsFileIndex.numBounds(dataFilters, c)
+      if (b._1.isEmpty && b._2.isEmpty) None else Some((c, b._1, b._2))
+    }
+    if (lo.isEmpty && hi.isEmpty && colBounds.isEmpty) return dirs
     dirs.map { pd =>
       pd.copy(files = pd.files.filter { f =>
-        byPath.get(f.getPath.toString) match {
+        val p = f.getPath.toString
+        val tsKeep = byPath.get(p) match {
           case Some((mn, mx)) => lo.forall(mx >= _) && hi.forall(mn <= _)
           case None => true // no span recorded → never skip
+        }
+        tsKeep && colBounds.forall { case (c, cLo, cHi) =>
+          colByPath.get(p).flatMap(_.get(c)) match {
+            case Some(s0) =>
+              cLo.forall(s0.hiBD >= _) && cHi.forall(s0.loBD <= _)
+            case None => true
+          }
         }
       })
     }
@@ -104,6 +126,48 @@ object GraftTsStatsFileIndex {
         tightenLo(us)
       case LessThan(Literal(us: Long, TimestampType), a) if isTs(a) =>
         tightenLo(us)
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
+  /** Closed [lo, hi] BigDecimal bounds implied on a NUMERIC stats column
+    * by the scan's top-level conjuncts — the generic sibling of
+    * [[tsBounds]] (strict widens to closed, unrecognized shapes
+    * contribute nothing; BigDecimal so integral spans never round). */
+  private[sources] def numBounds(filters: Seq[Expression], name: String)
+      : (Option[BigDecimal], Option[BigDecimal]) = {
+    var lo: Option[BigDecimal] = None
+    var hi: Option[BigDecimal] = None
+    def tightenLo(v: BigDecimal): Unit = lo = Some(lo.fold(v)(_.max(v)))
+    def tightenHi(v: BigDecimal): Unit = hi = Some(hi.fold(v)(_.min(v)))
+    def isCol(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name.equalsIgnoreCase(name)
+      case _ => false
+    }
+    def num(l: Any): Option[BigDecimal] = l match {
+      case v: Long => Some(BigDecimal(v))
+      case v: Int => Some(BigDecimal(v))
+      case v: Short => Some(BigDecimal(v.toInt))
+      case v: Byte => Some(BigDecimal(v.toInt))
+      case v: Double if java.lang.Double.isFinite(v) => Some(BigDecimal(v))
+      case v: Float if java.lang.Float.isFinite(v) => Some(BigDecimal(v.toDouble))
+      case v: org.apache.spark.sql.types.Decimal => Some(v.toBigDecimal)
+      case _ => None
+    }
+    filters.foreach {
+      case GreaterThanOrEqual(a, Literal(v, _)) if isCol(a) => num(v).foreach(tightenLo)
+      case GreaterThan(a, Literal(v, _)) if isCol(a) => num(v).foreach(tightenLo)
+      case LessThanOrEqual(a, Literal(v, _)) if isCol(a) => num(v).foreach(tightenHi)
+      case LessThan(a, Literal(v, _)) if isCol(a) => num(v).foreach(tightenHi)
+      case EqualTo(a, Literal(v, _)) if isCol(a) =>
+        num(v).foreach { b => tightenLo(b); tightenHi(b) }
+      case EqualTo(Literal(v, _), a) if isCol(a) =>
+        num(v).foreach { b => tightenLo(b); tightenHi(b) }
+      case GreaterThanOrEqual(Literal(v, _), a) if isCol(a) => num(v).foreach(tightenHi)
+      case GreaterThan(Literal(v, _), a) if isCol(a) => num(v).foreach(tightenHi)
+      case LessThanOrEqual(Literal(v, _), a) if isCol(a) => num(v).foreach(tightenLo)
+      case LessThan(Literal(v, _), a) if isCol(a) => num(v).foreach(tightenLo)
       case _ => ()
     }
     (lo, hi)

@@ -1329,19 +1329,22 @@ final class TsTable private (
       // case to survive), then footer-read only the files this commit
       // actually added/rewrote. O(new files) footer metadata, zero data
       // pages — the skip index stays cheap even at a 100 TB table size.
-      val carried = prevV.map { v =>
+      val (carried, carriedCols) = prevV.map { v =>
         val pm = TsTable.readManifest(spark, path, v)
         val prevLen = pm.files.toMap
         val nowLen = files.toMap
-        pm.stats.filter { case (p, _) =>
-          nowLen.get(p).exists(l => prevLen.get(p).contains(l)) }
-      }.getOrElse(Map.empty[String, (Long, Long)])
-      val fresh = collectTsSpans(files.map(_._1).filterNot(carried.contains))
+        def same(p: String) = nowLen.get(p).exists(l => prevLen.get(p).contains(l))
+        (pm.stats.filter { case (p, _) => same(p) },
+          pm.colStats.filter { case (p, _) => same(p) })
+      }.getOrElse((Map.empty[String, (Long, Long)],
+        Map.empty[String, Map[String, ColSpan]]))
+      val (fresh, freshCols) =
+        collectSpans(files.map(_._1).filterNot(carried.contains))
       try {
         TsTable.writeManifest(spark, path,
           TsManifest(next, action, tsCol,
             schemaOverride.getOrElse(storedSchema), files, carried ++ fresh,
-            meta))
+            meta, carriedCols ++ freshCols))
         committed = true
       } catch {
         case e: IllegalArgumentException
@@ -1400,24 +1403,30 @@ final class TsTable private (
     * first commit over a large attached tree reads footers at cluster
     * bandwidth, not through one JVM. Files without usable stats are
     * simply absent from the result (never skipped later). */
-  private def collectTsSpans(relPaths: Seq[String]): Map[String, (Long, Long)] = {
-    if (relPaths.isEmpty) return Map.empty
+  private def collectSpans(relPaths: Seq[String])
+      : (Map[String, (Long, Long)], Map[String, Map[String, ColSpan]]) = {
+    if (relPaths.isEmpty) return (Map.empty, Map.empty)
     val rootStr = path
     val tc = tsCol
-    if (relPaths.length <= 16) {
-      val conf = spark.sparkContext.hadoopConfiguration
-      relPaths.flatMap(r =>
-        TsTable.footerTsSpan(conf, new Path(rootStr, r), tc).map(r -> _)).toMap
-    } else {
-      val conf = new org.apache.spark.util.SerializableConfiguration(
-        spark.sparkContext.hadoopConfiguration)
-      val slices = math.min(relPaths.length,
-        spark.sparkContext.defaultParallelism).max(1)
-      spark.sparkContext.parallelize(relPaths, slices)
-        .flatMap(r =>
-          TsTable.footerTsSpan(conf.value, new Path(rootStr, r), tc).map(r -> _))
-        .collect().toMap
+    val cols = writeOptions.statsCols
+    def harvest(conf: org.apache.hadoop.conf.Configuration, r: String) = {
+      val (ts0, cs) = TsTable.footerSpans(conf, new Path(rootStr, r), tc, cols)
+      (r, ts0, cs)
     }
+    val all: Seq[(String, Option[(Long, Long)], Map[String, ColSpan])] =
+      if (relPaths.length <= 16) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        relPaths.map(harvest(conf, _))
+      } else {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        val slices = math.min(relPaths.length,
+          spark.sparkContext.defaultParallelism).max(1)
+        spark.sparkContext.parallelize(relPaths, slices)
+          .map(r => harvest(conf.value, r)).collect().toSeq
+      }
+    (all.collect { case (r, Some(s0), _) => r -> s0 }.toMap,
+      all.collect { case (r, Some(_), cs) if cs.nonEmpty => r -> cs }.toMap)
   }
 
   /** Newest committed micro-batch id a given SINK identity has landed —
@@ -1453,6 +1462,14 @@ final class TsTable private (
   private[graft] def currentFileTsSpans: Map[String, (Long, Long)] =
     currentVersion
       .map(v => TsTable.readManifest(spark, path, v).stats)
+      .getOrElse(Map.empty)
+
+  /** The current manifest's per-file stats-column spans (relative path →
+    * column → closed span) — the generic data-skipping index over
+    * `writeOptions.statsCols`. */
+  private[graft] def currentFileColSpans: Map[String, Map[String, ColSpan]] =
+    currentVersion
+      .map(v => TsTable.readManifest(spark, path, v).colStats)
       .getOrElse(Map.empty)
 
   /** Manifest-stats fast path for [[minDt]]/[[maxDt]]: when the current
@@ -1638,6 +1655,18 @@ final class TsSnapshot private[ts] (
   * best-effort metadata: a file absent from it is simply never skipped
   * (attached foreign encodings, statless footers, pre-stats manifests all
   * degrade to the old scan-everything behavior, never to wrong results). */
+/** Closed min/max of one column in one file, numeric-exact across integer
+  * and floating encodings: `typ` 'l' = integral (lo/hi parse as Long),
+  * 'd' = floating (lo/hi are Double.toString round-trips). Comparisons go
+  * through BigDecimal so a Long span never loses precision against a
+  * Double predicate bound. */
+private[graft] final case class ColSpan(typ: Char, lo: String, hi: String) {
+  def loBD: BigDecimal =
+    if (typ == 'l') BigDecimal(lo.toLong) else BigDecimal(lo.toDouble)
+  def hiBD: BigDecimal =
+    if (typ == 'l') BigDecimal(hi.toLong) else BigDecimal(hi.toDouble)
+}
+
 private[ts] final case class TsManifest(
     version: Long,
     action: String,
@@ -1645,7 +1674,8 @@ private[ts] final case class TsManifest(
     schema: StructType,
     files: Seq[(String, Long)],
     stats: Map[String, (Long, Long)] = Map.empty,
-    meta: Map[String, String] = Map.empty)
+    meta: Map[String, String] = Map.empty,
+    colStats: Map[String, Map[String, ColSpan]] = Map.empty)
 
 /** Write-side sizing/compression knobs — the analogue of the reference's
   * `create_ts(..., filters=, expectedrows_per_partition=, chunkshape=)`
@@ -1667,10 +1697,14 @@ private[ts] final case class TsManifest(
 final case class TsWriteOptions(
     codec: String = "snappy",
     rowGroupBytes: Option[Long] = None,
-    maxRecordsPerFile: Option[Long] = None) {
+    maxRecordsPerFile: Option[Long] = None,
+    statsCols: Seq[String] = Seq.empty) {
+  require(statsCols.forall(_.matches("[A-Za-z0-9_.-]+")),
+    s"statsCols must be simple column names, got ${statsCols.mkString(", ")}")
   private[ts] def encode: String =
     s"codec=$codec;rowGroupBytes=${rowGroupBytes.getOrElse("")};" +
-      s"maxRecordsPerFile=${maxRecordsPerFile.getOrElse("")}"
+      s"maxRecordsPerFile=${maxRecordsPerFile.getOrElse("")};" +
+      s"statsCols=${statsCols.mkString("|")}"
 }
 
 object TsWriteOptions {
@@ -1680,7 +1714,9 @@ object TsWriteOptions {
     TsWriteOptions(
       codec = kv.getOrElse("codec", "snappy"),
       rowGroupBytes = kv.get("rowGroupBytes").map(_.toLong),
-      maxRecordsPerFile = kv.get("maxRecordsPerFile").map(_.toLong))
+      maxRecordsPerFile = kv.get("maxRecordsPerFile").map(_.toLong),
+      statsCols = kv.get("statsCols").toSeq
+        .flatMap(_.split("\\|")).filter(_.nonEmpty))
   }
 }
 
@@ -1798,9 +1834,16 @@ object TsTable {
       m.meta.toSeq.sorted.map { case (k, v) => s";$k=$v" }.mkString + "\n" +
       m.tsCol + "\n" + m.schema.json + "\n" +
       m.files.map { case (p, sz) =>
-        // optional 4-field form: path \t size \t tsMinUs \t tsMaxUs
-        s"$p\t$sz" + m.stats.get(p).map { case (mn, mx) => s"\t$mn\t$mx" }
-          .getOrElse("")
+        // optional forms: path \t size [\t tsMinUs \t tsMaxUs
+        //                 [\t col=typ:lo:hi,col2=…]] — column spans only
+        // ride alongside a ts span (engine-written files always have one)
+        s"$p\t$sz" + m.stats.get(p).map { case (mn, mx) =>
+          s"\t$mn\t$mx" + m.colStats.get(p).filter(_.nonEmpty).map { cs =>
+            "\t" + cs.toSeq.sortBy(_._1).map { case (c, s0) =>
+              s"$c=${s0.typ}:${s0.lo}:${s0.hi}"
+            }.mkString(",")
+          }.getOrElse("")
+        }.getOrElse("")
       }.mkString("\n") + "\n")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -1845,10 +1888,19 @@ object TsTable {
     val lines = text.split("\n")
     val head = lines(0).split(";").map(_.split("=", 2))
       .collect { case Array(k, v) => k -> v }.toMap
+    def parseCols(p: String, raw: String): (String, Map[String, ColSpan]) =
+      p -> raw.split(",").iterator.filter(_.nonEmpty).map { part =>
+        val Array(c, spec) = part.split("=", 2)
+        val Array(t, lo, hi) = spec.split(":", 3)
+        c -> ColSpan(t.head, lo, hi)
+      }.toMap
     val parsed = lines.drop(3).iterator.filter(_.nonEmpty).map { l =>
       l.split("\t") match {
-        case Array(p, sz, mn, mx) => (p, sz.toLong, Some((mn.toLong, mx.toLong)))
-        case Array(p, sz) => (p, sz.toLong, None) // pre-stats manifest line
+        case Array(p, sz, mn, mx, cols) =>
+          (p, sz.toLong, Some((mn.toLong, mx.toLong)), Some(parseCols(p, cols)))
+        case Array(p, sz, mn, mx) =>
+          (p, sz.toLong, Some((mn.toLong, mx.toLong)), None)
+        case Array(p, sz) => (p, sz.toLong, None, None) // pre-stats line
         case other => throw new IllegalArgumentException(
           s"malformed manifest line '${l}' in $target")
       }
@@ -1856,8 +1908,9 @@ object TsTable {
     TsManifest(head("version").toLong, head("action"), lines(1).trim,
       DataType.fromJson(lines(2)).asInstanceOf[StructType],
       parsed.map(f => (f._1, f._2)),
-      parsed.collect { case (p, _, Some(span)) => p -> span }.toMap,
-      head -- Seq("version", "action", "commitMs"))
+      parsed.collect { case (p, _, Some(span), _) => p -> span }.toMap,
+      head -- Seq("version", "action", "commitMs"),
+      parsed.flatMap(_._4).toMap)
   }
 
   /** Closed ts span (epoch µs) of one parquet file, from footer metadata
@@ -1870,7 +1923,17 @@ object TsTable {
     * Configuration-fed so commit-time collection can run one task per
     * file on executors. */
   private[ts] def footerTsSpan(conf: org.apache.hadoop.conf.Configuration,
-                               file: Path, tsCol: String): Option[(Long, Long)] = {
+                               file: Path, tsCol: String): Option[(Long, Long)] =
+    footerSpans(conf, file, tsCol, Seq.empty)._1
+
+  /** One footer open, two harvests: the ts span (see [[footerTsSpan]]'s
+    * usability rules) and — independently, best-effort per column — the
+    * min/max of each requested stats column (INT32/INT64 → 'l',
+    * FLOAT/DOUBLE → 'd'; a column missing stats in ANY row group, or
+    * carrying non-finite bounds, is simply dropped — never skipped on). */
+  private[ts] def footerSpans(conf: org.apache.hadoop.conf.Configuration,
+                              file: Path, tsCol: String, cols: Seq[String])
+      : (Option[(Long, Long)], Map[String, ColSpan]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -1880,43 +1943,89 @@ object TsTable {
       val rd = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
         val blocks = rd.getFooter.getBlocks.asScala
-        if (blocks.isEmpty) return None
+        if (blocks.isEmpty) return (None, Map.empty)
+
+        // ── ts span (all-or-nothing across row groups)
+        var tsOk = true
         var mn = Long.MaxValue
         var mx = Long.MinValue
-        for (b <- blocks) {
-          val c = b.getColumns.asScala.find(_.getPath.toDotString == tsCol)
-            .getOrElse(return None)
-          val pt = c.getPrimitiveType
-          if (pt.getPrimitiveTypeName != PrimitiveTypeName.INT64) return None
-          // scale > 0: multiply to µs; -1: ns, floor-divide (matches the
-          // events loader's `div 1000` floor rule)
-          val scale = pt.getLogicalTypeAnnotation match {
-            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-                if t.isAdjustedToUTC =>
-              t.getUnit match {
-                case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
-                case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
-                case LogicalTypeAnnotation.TimeUnit.NANOS => -1L
-              }
-            case _ => return None
-          }
-          val st = c.getStatistics
-          if (st == null || st.isEmpty || !st.hasNonNullValue) return None
-          (st.genericGetMin, st.genericGetMax) match {
-            case (lo: java.lang.Long, hi: java.lang.Long) =>
-              val (l, h) =
+        for (b <- blocks if tsOk) {
+          val span = for {
+            c <- b.getColumns.asScala.find(_.getPath.toDotString == tsCol)
+            if c.getPrimitiveType.getPrimitiveTypeName == PrimitiveTypeName.INT64
+            scale <- c.getPrimitiveType.getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                  if t.isAdjustedToUTC =>
+                t.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => Some(1L)
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(1000L)
+                  case LogicalTypeAnnotation.TimeUnit.NANOS => Some(-1L)
+                }
+              case _ => None
+            }
+            st <- Option(c.getStatistics)
+            if !st.isEmpty && st.hasNonNullValue
+            span <- (st.genericGetMin, st.genericGetMax) match {
+              case (lo: java.lang.Long, hi: java.lang.Long) =>
+                // -1: ns, floor-divide (the events loader's `div 1000` rule)
                 if (scale == -1L)
-                  (Math.floorDiv(lo.longValue, 1000L),
-                    Math.floorDiv(hi.longValue, 1000L))
-                else (lo.longValue * scale, hi.longValue * scale)
+                  Some((Math.floorDiv(lo.longValue, 1000L),
+                    Math.floorDiv(hi.longValue, 1000L)))
+                else Some((lo.longValue * scale, hi.longValue * scale))
+              case _ => None
+            }
+          } yield span
+          span match {
+            case Some((l, h)) =>
               if (l < mn) mn = l
               if (h > mx) mx = h
-            case _ => return None
+            case None => tsOk = false
           }
         }
-        Some((mn, mx))
+
+        // ── per-column spans (each column all-or-nothing independently)
+        val colSpans = cols.flatMap { name =>
+          var typ = ' '
+          var loL = Long.MaxValue; var hiL = Long.MinValue
+          var loD = Double.MaxValue; var hiD = Double.MinValue
+          var ok = true
+          for (b <- blocks if ok) {
+            b.getColumns.asScala.find(_.getPath.toDotString == name) match {
+              case Some(c) =>
+                val st = c.getStatistics
+                if (st == null || st.isEmpty || !st.hasNonNullValue) ok = false
+                else (st.genericGetMin, st.genericGetMax) match {
+                  case (lo: java.lang.Long, hi: java.lang.Long) =>
+                    typ = 'l'
+                    loL = math.min(loL, lo.longValue)
+                    hiL = math.max(hiL, hi.longValue)
+                  case (lo: java.lang.Integer, hi: java.lang.Integer) =>
+                    typ = 'l'
+                    loL = math.min(loL, lo.longValue)
+                    hiL = math.max(hiL, hi.longValue)
+                  case (lo: java.lang.Double, hi: java.lang.Double) =>
+                    typ = 'd'
+                    loD = math.min(loD, lo.doubleValue)
+                    hiD = math.max(hiD, hi.doubleValue)
+                  case (lo: java.lang.Float, hi: java.lang.Float) =>
+                    typ = 'd'
+                    loD = math.min(loD, lo.doubleValue)
+                    hiD = math.max(hiD, hi.doubleValue)
+                  case _ => ok = false
+                }
+              case None => ok = false
+            }
+          }
+          if (!ok || typ == ' ') None
+          else if (typ == 'l') Some(name -> ColSpan('l', loL.toString, hiL.toString))
+          else if (java.lang.Double.isFinite(loD) && java.lang.Double.isFinite(hiD))
+            Some(name -> ColSpan('d', loD.toString, hiD.toString))
+          else None // NaN/±Inf bounds are not skippable-on
+        }.toMap
+
+        (if (tsOk) Some((mn, mx)) else None, colSpans)
       } finally rd.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(_) => (None, Map.empty) }
   }
 
   /** Pin a committed version of the table at `path` — usable without a
@@ -1939,6 +2048,9 @@ object TsTable {
       s"'$tsCol' must be TimestampType, got ${schema(tsCol).dataType}")
     require(!schema.fieldNames.contains(PartCol),
       s"'$PartCol' is reserved for the partition column")
+    require(writeOptions.statsCols.forall(schema.fieldNames.contains),
+      s"statsCols ${writeOptions.statsCols.filterNot(schema.fieldNames.contains).mkString(", ")} " +
+        "are not table columns")
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)

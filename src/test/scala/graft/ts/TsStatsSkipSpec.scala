@@ -186,6 +186,56 @@ class TsStatsSkipSpec extends graft.SparkSpec {
     assert(pv2.collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("statsCols: per-column spans skip files on non-ts predicates; " +
+      "unindexed and string columns never skip") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema,
+      writeOptions = TsWriteOptions(statsCols = Seq("user_id", "value")))
+    // two files in one day with disjoint user_id AND value ranges
+    tab.append(mkRows(Seq(
+      ("2024-03-01 08:00:00", 1L, 1.0), ("2024-03-01 09:00:00", 9L, 3.0))))
+    tab.append(mkRows(Seq(
+      ("2024-03-01 18:00:00", 100L, 50.0), ("2024-03-01 19:00:00", 110L, 60.0))))
+    val m = TsTable.readManifest(spark, dir, tab.currentVersion.get)
+    assert(m.colStats.nonEmpty &&
+      m.files.forall(f => m.colStats.get(f._1).exists(_.keySet ==
+        Set("user_id", "value"))), m.colStats.toString)
+    def planned(q: DataFrame): Int = {
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          unwrap(a.executedPlan)
+        case other => other.collectLeaves().flatMap {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            unwrap(a.executedPlan)
+          case l => Seq(l)
+        }
+      }
+      val scan = unwrap(q.queryExecution.executedPlan).collectFirst {
+        case b: BatchScanExec if b.scan.isInstanceOf[ParquetScan] =>
+          b.scan.asInstanceOf[ParquetScan]
+      }.getOrElse(fail("no V2 parquet scan"))
+      scan.fileIndex.listFiles(scan.partitionFilters, scan.dataFilters)
+        .map(_.files.size).sum
+    }
+    def v2() = spark.read.format("graft-ts").load(dir)
+    // a point lookup on user_id plans only the covering file
+    val pt = v2().where(col("user_id") === 105L)
+    assert(planned(pt) == 1, "user_id span skip must drop the morning file")
+    assert(pt.collect().map(_.getLong(1)).toSeq == Seq.empty) // 105 absent but in-range
+    // a value range covering only the first file
+    val vr = v2().where(col("value") < 10.0)
+    assert(planned(vr) == 1, "value span skip must drop the evening file")
+    assert(vr.collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 9L))
+    // both bounds plus ts compose
+    val both = v2().where(col("user_id") >= 100L &&
+      col("ts") >= lit("2024-03-01 12:00:00").cast("timestamp"))
+    assert(planned(both) == 1)
+    assert(both.count() == 2)
+    // a predicate on an UNINDEXED column skips nothing
+    assert(planned(v2().where(col("value") === col("value") + 0 || col("user_id").isNotNull)) == 2)
+  }
+
   test("manifest span round-trip and pre-stats line compatibility") {
     val dir = freshDir()
     val tab = TsTable.create(spark, dir, schema)
