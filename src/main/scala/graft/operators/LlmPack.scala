@@ -484,6 +484,42 @@ object LlmPack extends QueryPack {
       .limit(10)
   }
 
+  // PII patterns shared by the Spark and DuckDB sides of q_text_redact —
+  // deliberately restricted to the regex subset Java (Spark) and RE2
+  // (DuckDB) treat identically: character classes, bounded repetition,
+  // \b word boundaries; no backrefs, no lookaround.
+  private[operators] val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val PiiIpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[operators] val PiiPhoneRe = "\\+[0-9]{8,15}"
+
+  /** B9 PII scrubbing — the redaction pass every shared training corpus
+    * runs before release: emails, IPv4 addresses, and international-form
+    * phone numbers replace with typed tags, in one map-only projection
+    * (three chained codegen'd `regexp_replace`s — no UDF, no shuffle; at
+    * 100 TB this is a pure scan-transform-write pass). The fixture corpus
+    * carries no PII, so the key SEEDS each document with
+    * deterministically derived contact strings first (email/IP/phone
+    * from doc_id), then redacts — the oracle replays seed + redaction,
+    * so the hash proves the patterns fire on every planted instance and
+    * nothing else. Replacement order is part of the contract (email
+    * before IP before phone; identical both sides). */
+  def redactPii(s: SparkSession, dir: String): DataFrame = {
+    val seeded = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com"),
+        lit(" from 10."), col("doc_id") % 256, lit("."),
+        (col("doc_id") / 256).cast("long") % 256, lit(".7"),
+        lit(" tel +1"), lpad((col("doc_id") % 10000000).cast("string"), 7, "0")
+      ).as("text"))
+    seeded.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), PiiEmailRe, "<EMAIL>"),
+          PiiIpRe, "<IP>"),
+        PiiPhoneRe, "<PHONE>").as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   private val VocabK = 16 // closed-vocabulary size for the coverage audit
 
   /** B9 tokenizer-coverage audit: per-doc OOV rate against the corpus'
@@ -1355,6 +1391,7 @@ object LlmPack extends QueryPack {
     "q_vocab_coverage" -> vocabCoverage,
     "q_tfidf_terms" -> tfidfTerms,
     "q_text_bm25" -> bm25Search,
+    "q_text_redact" -> redactPii,
     "q_quality_gopher" -> qualityGopher,
     "q_embed_centroids" -> embedCentroids,
     "q_embed_kmeans" -> embedKmeans,
@@ -1799,6 +1836,22 @@ object LlmPack extends QueryPack {
         |    ORDER BY sim DESC, c_label) AS rn FROM sc)
         |SELECT vec_id, label, c_label AS pred_label, sim FROM r
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // Seed + redact replayed with the same Java/RE2-portable patterns
+    // and the same replacement order.
+    "q_text_redact" ->
+      s"""WITH seeded AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@example.com'
+         |    || ' from 10.' || (doc_id % 256) || '.'
+         |    || (CAST(doc_id / 256 AS BIGINT) % 256) || '.7'
+         |    || ' tel +1' || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0')
+         |    AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$PiiEmailRe', '<EMAIL>', 'g'),
+         |    '$PiiIpRe', '<IP>', 'g'),
+         |    '$PiiPhoneRe', '<PHONE>', 'g') AS redacted
+         |FROM seeded ORDER BY doc_id""".stripMargin,
     // BM25 with the rational idf — the score expression mirrors the Spark
     // shape token for token (pre-folded 2.2/0.25 literals, fixed
     // three-operand sum), so the double hashes cross-engine.
