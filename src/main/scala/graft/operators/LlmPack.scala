@@ -751,6 +751,15 @@ object LlmPack extends QueryPack {
     SimilaritySearch.bruteForceTopK(Tables.embeddings(s, dir),
       idCol = "vec_id", vecCol = "embedding", probeId = 0L, k = 10)
 
+  /** B9 hybrid (metadata-filtered) retrieval: q_sim_topk restricted to
+    * the label % 3 = 1 slice — the predicate evaluates before scoring
+    * (SimilaritySearch.bruteForceTopKFiltered), so selectivity cuts the
+    * FLOP cost instead of over-fetch-then-post-filter. */
+  def simTopkFiltered(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.bruteForceTopKFiltered(Tables.embeddings(s, dir),
+      idCol = "vec_id", vecCol = "embedding", probeId = 0L, k = 10,
+      filter = col("label") % 3 === 1)
+
   private val KnnProbes = 16L // probe set: vec_id < 16
   private val KnnK = 3
 
@@ -1396,6 +1405,7 @@ object LlmPack extends QueryPack {
     "q_embed_centroids" -> embedCentroids,
     "q_embed_kmeans" -> embedKmeans,
     "q_sim_topk" -> simTopk,
+    "q_sim_topk_filtered" -> simTopkFiltered,
     "q_knn_join" -> knnJoin,
     "q_knn_join_lsh" -> knnJoinLshQ,
     "q_knn_join_ivf" -> knnJoinIvf,
@@ -1970,6 +1980,13 @@ object LlmPack extends QueryPack {
         |      FROM s)
         |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id, sim
         |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "q_sim_topk_filtered" ->
+      """WITH p AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |      WHERE vec_id <> 0 AND label % 3 = 1)
+        |SELECT vec_id, round(list_dot_product(v, p)
+        |  / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(p, p))), 6) AS sim
+        |FROM e, p ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_sim_topk" ->
       """WITH p AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0)

@@ -39,6 +39,29 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** HYBRID search: exact top-k cosine neighbors of `probeId` among only
+    * the corpus rows satisfying `filter` — the metadata-filtered
+    * retrieval shape ("nearest English documents", "same tenant only")
+    * that partition-blind ANN indexes struggle with and a brute-force
+    * pass gets for free: the predicate evaluates BEFORE scoring and
+    * pushes to the scan, so a selective filter cuts the FLOP cost
+    * proportionally instead of over-fetching and post-filtering. The
+    * probe is looked up UNfiltered — its own metadata need not qualify. */
+  def bruteForceTopKFiltered(emb: DataFrame, idCol: String, vecCol: String,
+                             probeId: Long, k: Int,
+                             filter: org.apache.spark.sql.Column): DataFrame = {
+    val v = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"),
+      coalesce(filter, lit(false)).as("__keep"))
+    val probe = v.where(col("vec_id") === probeId).select(col("v").as("p"))
+    v.where(col("vec_id") =!= probeId && col("__keep"))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(VectorFns.cosine(col("v"), col("p")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Batch exact kNN join: for EVERY probe row, its k nearest corpus
     * neighbors by cosine (self-matches excluded) — the retrieval /
     * hard-negative-mining shape, i.e. `bruteForceTopK` for a probe SET in
