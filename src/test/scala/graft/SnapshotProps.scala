@@ -39,6 +39,7 @@ class SnapshotProps extends SparkSpec {
   private case class DropOldest(n: Int) extends Verb
   private case class DeleteMod(m: Int) extends Verb
   private case object RestoreEarlier extends Verb
+  private case class MergeBackfill(rows: Int) extends Verb
 
   private val verbGen: Gen[Verb] = Gen.frequency(
     6 -> (for {
@@ -48,7 +49,8 @@ class SnapshotProps extends SparkSpec {
     2 -> Gen.const(CompactAll),
     2 -> Gen.chooseNum(1, 2).map(DropOldest.apply),
     2 -> Gen.chooseNum(2, 4).map(DeleteMod.apply),
-    1 -> Gen.const(RestoreEarlier))
+    1 -> Gen.const(RestoreEarlier),
+    2 -> Gen.chooseNum(1, 3).map(MergeBackfill.apply))
 
   private val scriptGen: Gen[List[Verb]] = for {
     n <- Gen.chooseNum(4, 7)
@@ -121,6 +123,25 @@ class SnapshotProps extends SparkSpec {
           if (hits > 0) { // no hit = no commit, model unchanged
             live = live.map { case (d, rs) => d -> rs.filterNot(_._2 % m == 0) }
               .filter(_._2.nonEmpty)
+            record()
+          }
+        case MergeBackfill(n) =>
+          // upsert via mergeInto: fresh (ts, v) pairs land as BACKFILL
+          // inserts into the OLDEST live day (+30 s offsets Append never
+          // writes, so matched = 0 is provable); the model adds them to
+          // the live multiset but NOT to the per-append deltas —
+          // changesBetween's documented contract treats a "merge" version
+          // as row-free, and the final changesCheck proves it
+          if (live.nonEmpty) {
+            val day0 = live.keys.min
+            val newRows = (0 until n).map { r =>
+              val id = nextId; nextId += 1
+              (base + day0.toLong * DayMs + r * 60000L + 30000L, id)
+            }
+            val res = t.mergeInto(mk(newRows), keys = Seq("ts", "v"))
+            assert(res == TsTable.MergeResult(0L, n.toLong),
+              s"merge backfill: got $res, want (0, $n)")
+            live = merge(live, group(newRows))
             record()
           }
         case RestoreEarlier =>
