@@ -484,6 +484,31 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("ts_us"))
   }
 
+  /** A3+ out-of-order insert round-trip (`TsTable.backfill` — `append`
+    * minus the monotonicity guard, the late-data verb): days 1, 3, 4
+    * land in order with day 2 SKIPPED — at which point the ordered
+    * append can never supply it — then one backfill inserts the missing
+    * day plus a slice of extra day-1 rows, and the FULL range reads
+    * back. The oracle is the whole four-day slice, hash-checking
+    * day-dir creation in the table's past, overlap-tolerant reads, and
+    * the file-additive "backfill" commit (whose rows, unlike a merge's,
+    * stay visible to changesBetween — asserted in TsTableSpec along with
+    * the CHECK gate and empty/null handling). */
+  def backfillRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tsbackfill_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val d2lo = lit("2024-01-02 00:00:00").cast("timestamp")
+    val d2hi = lit("2024-01-03 00:00:00").cast("timestamp")
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    t.append(ev.where(col("ts") < d2lo))
+    t.append(ev.where(col("ts") >= d2hi))
+    t.backfill(ev.where(col("ts") >= d2lo && col("ts") < d2hi))
+    eventsProjection(
+      TsTable.open(s, store)
+        .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
+  }
+
   /** A3+ SQL MERGE INTO, oracle-checked: exactly q_ts_merge's scenario —
     * corrections for a cohort plus 72-h-shifted day-5 backfill — but
     * driven through `spark.sql("MERGE INTO graft_ts.`store` …")`: the
@@ -1152,6 +1177,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_constraint" -> constraintRoundtrip,
     "q_ts_update" -> updateRoundtrip,
     "q_ts_merge" -> mergeRoundtrip,
+    "q_ts_backfill" -> backfillRoundtrip,
     "q_ts_sql_merge" -> sqlMergeRoundtrip,
     "q_ts_rollup" -> rollupRoundtrip,
     "q_ts_changes" -> changesRoundtrip,
@@ -1323,6 +1349,12 @@ object TimeSeriesPack extends QueryPack {
         |FROM events
         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
         |ORDER BY event_id""".stripMargin,
+    // The backfilled store holds exactly the four-day slice, whatever
+    // order the days arrived in.
+    "q_ts_backfill" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+         |ORDER BY event_id""".stripMargin,
     // mergeInto: matched rows take the source's columns (replayed as a
     // LEFT JOIN + CASE on the match marker — the source carried the
     // original user_id/event_type, so only value/props visibly change);

@@ -93,8 +93,11 @@ final class GraftTsDataSource extends TableProvider with DataSourceRegister
       .map(c => java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(c).toLong & 0xffffffffL))
       .getOrElse("nocheckpoint")
+    val lateData = parameters.getOrElse("lateData", "fail")
+    require(lateData == "fail" || lateData == "backfill",
+      s"graft-ts sink: lateData must be 'fail' or 'backfill', got '$lateData'")
     new org.apache.spark.sql.graft.GraftTsStreamSink(sqlContext, p,
-      parameters.getOrElse("tsCol", "ts"), filesPerDay, sinkId)
+      parameters.getOrElse("tsCol", "ts"), filesPerDay, sinkId, lateData)
   }
 
   // ── streaming read face (V1 Source): `spark.readStream.format("graft-ts")`

@@ -344,6 +344,49 @@ final class TsTable private (
     t
   }
 
+  /** Out-of-order bulk INSERT — `append` without the monotonicity guard
+    * (the late-data verb `mergeInto` carries as its NOT-MATCHED side,
+    * exposed directly): every row lands in its ts-derived day partition,
+    * including days in the table's past; nothing is matched, nothing
+    * rewrites, no existing file is touched. One "backfill" version
+    * commits — and because a backfill ADDS files and never rewrites
+    * them, `changesBetween` serves its rows incrementally exactly like
+    * an append's (unlike merge, whose inserts share files with
+    * rewrites). Schema/null-ts/CHECK rules are `append`'s. A backfilled
+    * day's new file ts-OVERLAPS its older files (correct — reads are
+    * predicate-driven; `compact` restores the contiguous layout).
+    * Returns the number of rows inserted (0 = no commit). */
+  def backfill(batch: DataFrame, filesPerDay: Int = 1): Long =
+    backfillWithMeta(batch, filesPerDay, Map.empty)
+
+  def backfillWithMeta(batch: DataFrame, filesPerDay: Int,
+                                      meta: Map[String, String]): Long = {
+    require(filesPerDay >= 1, "filesPerDay must be >= 1")
+    val names = batch.schema.fieldNames.toSeq
+    require(names.contains(tsCol), s"batch is missing ts column '$tsCol'")
+    require(names.toSet == storedSchema.fieldNames.toSet,
+      s"batch columns ${names.mkString(",")} != table columns ${storedSchema.fieldNames.mkString(",")}")
+    val serving = TsTable.open(spark, path, tsCol)
+    if (serving.schema != storedSchema)
+      return serving.backfillWithMeta(batch, filesPerDay, meta)
+    val proj = batch
+      .select(storedSchema.fieldNames.map(col).toSeq: _*)
+      .withColumn(PartCol, to_date(col(tsCol)))
+    proj.persist()
+    try {
+      val st = proj.agg(count(lit(1)), count(col(tsCol)),
+        countDistinct(col(PartCol))).head
+      val (n, nTs, nDays) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      if (n == 0) return 0L
+      require(n == nTs, s"backfill: null values in '$tsCol'")
+      if (tableChecks.nonEmpty) enforceChecks(proj.drop(PartCol), "backfill")
+      cowExec(Seq.empty, "backfill", filesPerDay,
+        inserts = Some(proj), insertDays = nDays.toInt,
+        meta = meta)(identity)
+      n
+    } finally proj.unpersist()
+  }
+
   /** Declare a CHECK constraint (the Delta `ADD CONSTRAINT` analogue —
     * the ingest-quality gate a training-data table needs): `predicateSql`
     * is a boolean SQL expression over the table's columns; from now on
@@ -911,7 +954,8 @@ final class TsTable private (
     * `filesPerDay > 1` (an upper bound on the insert-side day count). */
   private def cowExec(hitRel: Seq[String], action: String, filesPerDay: Int,
                       inserts: Option[DataFrame], insertDays: Int,
-                      enforceAfterRewrite: Boolean = false)(
+                      enforceAfterRewrite: Boolean = false,
+                      meta: Map[String, String] = Map.empty)(
       xform: DataFrame => DataFrame): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -992,7 +1036,7 @@ final class TsTable private (
     if (fs.exists(looseTmp))
       dataFiles(fs, looseTmp).foreach(f => fs.rename(f, new Path(root, f.getName)))
     fs.delete(tmp, true)
-    commitVersion(action)
+    commitVersion(action, meta = meta)
   }
 
   /** Compact every day partition holding more than `targetFiles` data
@@ -1111,8 +1155,9 @@ final class TsTable private (
       .map(v => v -> TsTable.readManifest(spark, path, v)).toMap
     val added = ((fromVersion + 1) to toVersion).flatMap { v =>
       val m = manifests(v)
-      if (m.action != "append" && m.action != "overwrite" && m.action != "create")
-        Seq.empty
+      if (m.action != "append" && m.action != "overwrite" &&
+          m.action != "create" && m.action != "backfill")
+        Seq.empty // maintenance/rewrite verbs contribute no rows
       else {
         val prev = manifests(v - 1).files.map(_._1).toSet
         m.files.filterNot(f => prev.contains(f._1))

@@ -38,7 +38,8 @@ import org.apache.spark.sql.execution.streaming.Sink
   * semantics). `partitionBy` is refused — placement is derived from ts. */
 final class GraftTsStreamSink(sqlContext: SQLContext, path: String,
                               tsCol: String, filesPerDay: Int,
-                              sinkId: String) extends Sink {
+                              sinkId: String,
+                              lateData: String = "fail") extends Sink {
 
   private val spark = sqlContext.sparkSession
     .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -56,13 +57,28 @@ final class GraftTsStreamSink(sqlContext: SQLContext, path: String,
     }
     if (lastCommitted.exists(batchId <= _)) return // checkpoint replay
     // materialize the streaming batch as a normal DataFrame (the
-    // foreachBatch mechanism, inverted from the source's wrap)
+    // foreachBatch mechanism, inverted from the source's wrap); persisted
+    // because both landing paths aggregate it before writing it
     val batch = spark.internalCreateDataFrame(
-      data.queryExecution.toRdd, data.schema, isStreaming = false)
-    table.appendWithMeta(batch, filesPerDay, strict = false,
-      Map("streamSink" -> sinkId, "streamBatch" -> batchId.toString))
-    spark.catalog.refreshByPath(path)
-    lastCommitted = Some(batchId)
+      data.queryExecution.toRdd, data.schema, isStreaming = false).persist()
+    try {
+      val stamp = Map("streamSink" -> sinkId, "streamBatch" -> batchId.toString)
+      // option("lateData", "backfill"): a batch reaching behind the stored
+      // max lands through the out-of-order insert verb (ONE stamped
+      // "backfill" commit — changesBetween still serves its rows) instead
+      // of failing the query. Default keeps append's ordered contract.
+      val landLate = lateData == "backfill" && {
+        val mn = batch.agg(
+          org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.col(tsCol))).head
+        !mn.isNullAt(0) &&
+          table.maxDt.exists(mx => mn.getTimestamp(0).before(mx))
+      }
+      if (landLate) table.backfillWithMeta(batch, filesPerDay, stamp)
+      else table.appendWithMeta(batch, filesPerDay, strict = false, stamp)
+      spark.catalog.refreshByPath(path)
+      lastCommitted = Some(batchId)
+    } finally batch.unpersist()
   }
 
   override def toString: String = s"GraftTsStreamSink[$path]"

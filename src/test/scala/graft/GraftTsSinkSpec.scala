@@ -85,6 +85,49 @@ class GraftTsSinkSpec extends SparkSpec {
     assert(TsTable.open(spark, dst).lastSinkBatch("aaaa").contains(7L))
   }
 
+  test("lateData=backfill: a time-regressing micro-batch lands as a " +
+      "stamped backfill instead of failing; the default mode still fails") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def df(ms: MemoryStream[Long]) = ms.toDF().select(
+      timestamp_seconds(col("value")).as("ts"),
+      col("value").as("user_id"), lit(1.0).as("value"))
+    val day2 = Timestamp.valueOf("2024-03-02 10:00:00").toInstant.getEpochSecond
+    val day1 = Timestamp.valueOf("2024-03-01 10:00:00").toInstant.getEpochSecond
+    // tolerant sink: day-2 batch, then a LATE day-1 batch — both land
+    val dstA = freshDir(); val ckptA = freshDir()
+    TsTable.create(spark, dstA, schema)
+    val msA = MemoryStream[Long]
+    def drainA(): Unit = {
+      val q = df(msA).writeStream.format("graft-ts")
+        .option("checkpointLocation", ckptA)
+        .option("lateData", "backfill")
+        .trigger(Trigger.AvailableNow()).start(dstA)
+      q.awaitTermination()
+    }
+    msA.addData(day2); drainA()
+    msA.addData(day1); drainA()
+    val a = TsTable.open(spark, dstA)
+    assert(a.toDF.count() == 2)
+    assert(a.snapshotVersions.map(_._2).takeRight(2) == Seq("append", "backfill"))
+    assert(a.minDt.get == Timestamp.valueOf("2024-03-01 10:00:00"))
+    // default sink: the late batch fails the query, nothing lands from it
+    val dstB = freshDir(); val ckptB = freshDir()
+    TsTable.create(spark, dstB, schema)
+    val msB = MemoryStream[Long]
+    def drainB(): Unit = {
+      val q = df(msB).writeStream.format("graft-ts")
+        .option("checkpointLocation", ckptB)
+        .trigger(Trigger.AvailableNow()).start(dstB)
+      q.awaitTermination()
+    }
+    msB.addData(day2); drainB()
+    msB.addData(day1)
+    intercept[Exception](drainB())
+    assert(TsTable.open(spark, dstB).toDF.count() == 1)
+  }
+
   test("sink refuses non-append output modes and partitionBy") {
     val dst = freshDir()
     TsTable.create(spark, dst, schema)

@@ -348,6 +348,40 @@ class TsTableSpec extends SparkSpec {
       .orderBy("ts").collect().map(_.getLong(1)).toSeq == Seq(1L, 7L))
   }
 
+  test("backfill: out-of-order bulk insert into past days; changesBetween " +
+      "serves it; empty/no-ts batches behave like append's") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows(Seq(("2024-03-01 10:00:00", 1L, 1.0))))
+    tab.append(mkRows(Seq(("2024-03-03 10:00:00", 3L, 3.0))))
+    val checkpoint = tab.currentVersion.get
+    // a monotonic append can no longer create day 2 — backfill can
+    intercept[IllegalArgumentException](
+      tab.append(mkRows(Seq(("2024-03-02 10:00:00", 2L, 2.0)))))
+    assert(tab.backfill(mkRows(Seq(
+      ("2024-03-02 10:00:00", 2L, 2.0),
+      ("2024-03-01 23:00:00", 9L, 9.0)))) == 2L)
+    assert(tab.snapshotVersions.last._2 == "backfill")
+    assert(tab.toDF.count() == 4)
+    assert(new java.io.File(dir, "p_date=2024-03-02").isDirectory)
+    assert(tab.readRange(t("2024-03-01 00:00:00"), t("2024-03-01 23:59:59"))
+      .orderBy("ts").collect().map(_.getLong(1)).toSeq == Seq(1L, 9L))
+    // unlike merge, a backfill is file-additive — incremental reads serve it
+    assert(tab.changesBetween(checkpoint, tab.currentVersion.get).collect()
+      .map(_.getLong(1)).sorted.toSeq == Seq(2L, 9L))
+    // empty backfill: no commit; null ts: rejected
+    val v = tab.currentVersion.get
+    assert(tab.backfill(mkRows(Seq.empty)) == 0L)
+    assert(tab.currentVersion.get == v)
+    intercept[IllegalArgumentException](tab.backfill(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(null, 7L, 7.0)), 1), schema)))
+    // CHECK constraints gate backfills too
+    val checked = tab.addCheck("nonneg", "value >= 0")
+    intercept[IllegalArgumentException](
+      checked.backfill(mkRows(Seq(("2024-03-02 11:00:00", 8L, -1.0)))))
+    assert(checked.toDF.count() == 4)
+  }
+
   test("mergeInto: modes, cardinality rule, and argument validation") {
     val dir = freshDir()
     val tab = TsTable.create(spark, dir, schema)
