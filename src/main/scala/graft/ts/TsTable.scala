@@ -796,7 +796,9 @@ final class TsTable private (
     * "merge" version as row-free maintenance: its inserts share files
     * with rewritten survivors, so a file-set diff cannot isolate the adds
     * — incremental consumers resync when the action log shows a merge
-    * (the documented delete/restore rule).
+    * (the documented delete/restore rule). A merge that matched NOTHING
+    * commits as "backfill" instead — pure insertion is file-additive and
+    * stays changes-visible.
     *
     * @param source     one row per upsert; columns ⊆ table columns; must
     *                   carry `keys` and (when `insert`) the ts column.
@@ -889,8 +891,13 @@ final class TsTable private (
         } else Some((proj, n, nDays.toInt))
       }
     if (hitRel.isEmpty && insOpt.isEmpty) return TsTable.MergeResult(0L, 0L)
+    // a merge that rewrites NOTHING is pure insertion — file-additive, so
+    // committing it as "backfill" keeps its rows visible to incremental
+    // readers (changesBetween serves backfill commits; a rewriting merge
+    // stays row-free there because inserts share files with rewrites)
+    val action = if (hitRel.isEmpty) "backfill" else "merge"
     try {
-      cowExec(hitRel, "merge", filesPerDay,
+      cowExec(hitRel, action, filesPerDay,
         inserts = insOpt.map(_._1), insertDays = insOpt.map(_._3).getOrElse(0),
         enforceAfterRewrite = true) { df =>
         val marked = source.select(

@@ -141,8 +141,11 @@ class SnapshotProps extends SparkSpec {
             val res = t.mergeInto(mk(newRows), keys = Seq("ts", "v"))
             assert(res == TsTable.MergeResult(0L, n.toLong),
               s"merge backfill: got $res, want (0, $n)")
+            assert(t.snapshotVersions.last._2 == "backfill",
+              "an all-insert merge must commit as a backfill")
             live = merge(live, group(newRows))
             record()
+            appendedAt += t.currentVersion.get -> newRows
           }
         case RestoreEarlier =>
           val candidates = expected.keys.toSeq.sorted
