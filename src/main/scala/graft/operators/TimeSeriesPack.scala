@@ -484,6 +484,45 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("ts_us"))
   }
 
+  /** B5+ time-weighted average (TWAP — the irregular-sampling mean the
+    * reference's financial domain actually wants; an arithmetic mean
+    * over-weights bursts): per (user, day), each sample holds its value
+    * until the next sample, so the day's TWAP is Σ(value·Δt)/ΣΔt over
+    * consecutive-pair intervals (the last sample holds nothing). One
+    * window pass computes the lead timestamps (shuffle on user — day
+    * rides along), then a hash aggregate; Σ(value·Δt) is DECIMAL-exact
+    * (order-independent), and the single final division is one IEEE op on
+    * identically-derived operands, so the double hashes cross-engine. */
+  def windowTwap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("d"),
+        unix_micros(col("ts")).as("us"), col("value"), col("event_id"))
+      .withColumn("nxt", lead(col("us"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .withColumn("dt", col("nxt") - col("us"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("sum_dt_us"),
+        // (15,6) × (19,0): exact in both engines — inside Spark's
+        // 38-digit cap (a (18,6) × long product would hit it and silently
+        // DROP a scale digit), and wide enough that DuckDB runs the
+        // multiply in int128 instead of overflowing int64 storage
+        sum(col("value").cast("decimal(15,6)") *
+          col("dt").cast("decimal(19,0)")).as("vdt"))
+      .select(col("user_id"), col("d").as("day"), col("n_intervals"),
+        col("sum_dt_us"), col("vdt").cast("decimal(38,6)").as("vdt"),
+        // the raw double division can differ by an ulp cross-engine (the
+        // engines' decimal→double casts round differently at full
+        // precision), so the surfaced TWAP quantizes to 6dp — the
+        // resample_interp rule; vdt stays DECIMAL-exact as evidence
+        (floor((col("vdt").cast("double") / col("sum_dt_us").cast("double")) *
+          lit(1e6) + lit(0.5)) / lit(1e6)).as("twap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** A3+ out-of-order insert round-trip (`TsTable.backfill` — `append`
     * minus the monotonicity guard, the late-data verb): days 1, 3, 4
     * land in order with day 2 SKIPPED — at which point the ordered
@@ -1200,6 +1239,7 @@ object TimeSeriesPack extends QueryPack {
     "q_window_moving_avg" -> windowMovingAvg,
     "q_window_ewma" -> windowEwma,
     "q_window_delta" -> windowDelta,
+    "q_window_twap" -> windowTwap,
     "q_asof_join" -> asofJoin,
     "q_asof_join_tol" -> asofJoinTolerance,
     "q_asof_join_merged" -> asofJoinMerged,
@@ -1349,6 +1389,22 @@ object TimeSeriesPack extends QueryPack {
         |FROM events
         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
         |ORDER BY event_id""".stripMargin,
+    // TWAP replayed with the same pairing (lead over (us, event_id)),
+    // DECIMAL-exact numerator, and ONE final double division.
+    "q_window_twap" ->
+      """WITH e AS (SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+        |    epoch_us(ts) AS us, value, event_id FROM events),
+        |x AS (SELECT user_id, d, us, value,
+        |    lead(us) OVER (PARTITION BY user_id, d ORDER BY us, event_id) AS nxt
+        |  FROM e),
+        |p AS (SELECT user_id, d, value, nxt - us AS dt FROM x WHERE nxt IS NOT NULL)
+        |SELECT user_id, d AS day, count(*) AS n_intervals,
+        |  CAST(sum(dt) AS BIGINT) AS sum_dt_us,
+        |  CAST(sum(CAST(value AS DECIMAL(15,6)) * CAST(dt AS DECIMAL(19,0)))
+        |    AS DECIMAL(38,6)) AS vdt,
+        |  floor(CAST(sum(CAST(value AS DECIMAL(15,6)) * CAST(dt AS DECIMAL(19,0))) AS DOUBLE)
+        |    / CAST(sum(dt) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS twap
+        |FROM p GROUP BY user_id, d ORDER BY user_id, day""".stripMargin,
     // The backfilled store holds exactly the four-day slice, whatever
     // order the days arrived in.
     "q_ts_backfill" ->
