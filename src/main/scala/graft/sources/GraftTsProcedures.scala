@@ -128,8 +128,21 @@ private[sources] object GraftTsProcedures {
     }
   }
 
+  private val VacuumStaging = new Proc("vacuum_staging",
+    "Delete crash-leftover staging (aged _delete_tmp/_compact_tmp_* dirs, " +
+      "_tmp-* files) older than older_than_ms; returns the removed paths",
+    Array(in("table", StringType),
+      inDefault("older_than_ms", LongType, "86400000"))) {
+    private val out = StructType(Seq(StructField("removed", StringType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val removed = TsTable.open(spark, input.getUTF8String(0).toString)
+        .vacuumStaging(input.getLong(1))
+      result(out, removed.map(row(_)))
+    }
+  }
+
   private val all: Seq[Proc] =
-    Seq(Compact, ExpireSnapshots, Restore, History)
+    Seq(Compact, ExpireSnapshots, Restore, History, VacuumStaging)
 
   def names: Array[String] = all.map(_.name()).toArray
 

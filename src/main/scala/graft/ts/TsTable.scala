@@ -1428,6 +1428,42 @@ final class TsTable private (
     next
   }
 
+  /** Reclaim crash leftovers — the janitor every staged-write design
+    * needs: a killed rewrite leaves `_delete_tmp`/`_compact_tmp_*`
+    * directories, a killed V2 write leaves `_tmp-*` files inside day
+    * partitions. All are invisible to reads (the underscore rule) but
+    * hold real bytes forever. Deletes those older than `olderThanMs`
+    * (mtime; default 24 h, so a CONCURRENTLY RUNNING writer's fresh
+    * staging is never yanked from under it) and returns the paths
+    * removed. Metadata-only: one listing pass, no data reads, no version
+    * commit (nothing visible changed). */
+  def vacuumStaging(olderThanMs: Long = 86400000L): Seq[String] = {
+    require(olderThanMs >= 0, "olderThanMs must be >= 0")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val removed = Seq.newBuilder[String]
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory &&
+          (n == "_delete_tmp" || n.startsWith("_compact_tmp_")) &&
+          st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, true)
+        removed += n
+      } else if (st.isDirectory && n.startsWith(s"$PartCol=")) {
+        fs.listStatus(st.getPath).foreach { f =>
+          if (f.isFile && f.getPath.getName.startsWith("_tmp-") &&
+              f.getModificationTime < cutoff) {
+            fs.delete(f.getPath, false)
+            removed += s"$n/${f.getPath.getName}"
+          }
+        }
+      }
+    }
+    removed.result()
+  }
+
   /** Relative path + size of every LIVE data file — loose ROOT-LEVEL files
     * too (the attached plain/hybrid layout the live read serves): a
     * listing that covered only partition dirs would make a pinned read

@@ -78,6 +78,30 @@ class GraftTsProceduresSpec extends SparkSpec {
       msgs)
   }
 
+  test("CALL vacuum_staging reclaims aged crash leftovers, spares fresh " +
+      "staging and live data") {
+    val dir = freshDir()
+    val t = TsTable.create(spark, dir, schema)
+    t.append(mkRows(Seq(("2024-03-01 10:00:00", 1L, 1.0))))
+    // plant leftovers: an aged rewrite staging dir, an aged V2 temp file,
+    // and a FRESH staging dir that must survive
+    val old1 = new java.io.File(dir, "_delete_tmp"); old1.mkdirs()
+    new java.io.File(old1, "part-x.parquet").createNewFile()
+    val tmpF = new java.io.File(dir, "p_date=2024-03-01/_tmp-crashed.parquet")
+    tmpF.createNewFile()
+    val fresh = new java.io.File(dir, "_compact_tmp_batch"); fresh.mkdirs()
+    old1.setLastModified(System.currentTimeMillis() - 7200000L)
+    tmpF.setLastModified(System.currentTimeMillis() - 7200000L)
+    val removed = spark.sql(
+      s"CALL graft_ts.system.vacuum_staging(`table` => '$dir', older_than_ms => ${3600000L})")
+      .collect().map(_.getString(0)).toSet
+    assert(removed == Set("_delete_tmp", "p_date=2024-03-01/_tmp-crashed.parquet"),
+      removed.toString)
+    assert(!old1.exists && !tmpF.exists)
+    assert(fresh.exists, "fresh staging must survive the age guard")
+    assert(TsTable.open(spark, dir).toDF.count() == 1, "live data untouched")
+  }
+
   test("ALTER TABLE ADD COLUMNS: pure-DDL widening, old files null-fill, " +
       "pre-evolve pins serve the narrow schema, destructive changes refused") {
     val dir = freshDir()
