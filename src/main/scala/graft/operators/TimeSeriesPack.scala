@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.ts.{TsRollup, TsTable}
+import graft.ts.{TsRollup, TsTable, TsWriteOptions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -546,6 +546,31 @@ object TimeSeriesPack extends QueryPack {
     eventsProjection(
       TsTable.open(s, store)
         .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
+  }
+
+  /** B1+ Bloom point lookup (`TsTable.lookupEq` over declared
+    * `bloomCols` — the needle-query verb: one cohort's rows out of a
+    * table whose files' min/max user-id spans all overlap, so span
+    * skipping alone keeps everything): four days land in two appends
+    * into a table created with `bloomCols = user_id`, each commit
+    * harvesting per-file membership bits into the version sidecar, and
+    * the lookup reads only files whose filter might hold a probed id —
+    * with the exact IN-predicate re-applied on the survivors. The oracle
+    * is the plain `WHERE user_id IN (…)` slice, hash-checking that
+    * metadata pruning never drops a matching row; that pruning DOES
+    * happen (candidate lists shrink to the owning file), fallbacks, and
+    * self-healing are asserted in TsBloomSpec. */
+  def pointLookupRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tslookup_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts",
+      writeOptions = TsWriteOptions(bloomCols = Seq("user_id")))
+    val cut = lit("2024-01-02 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    t.append(ev.where(col("ts") >= cut))
+    eventsProjection(
+      TsTable.open(s, store).lookupEq("user_id", Seq(3L, 7L, 11L)))
   }
 
   /** A3+ SQL MERGE INTO, oracle-checked: exactly q_ts_merge's scenario —
@@ -1217,6 +1242,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_update" -> updateRoundtrip,
     "q_ts_merge" -> mergeRoundtrip,
     "q_ts_backfill" -> backfillRoundtrip,
+    "q_ts_point_lookup" -> pointLookupRoundtrip,
     "q_ts_sql_merge" -> sqlMergeRoundtrip,
     "q_ts_rollup" -> rollupRoundtrip,
     "q_ts_changes" -> changesRoundtrip,
@@ -1410,6 +1436,14 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_backfill" ->
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+    // Bloom point lookup: metadata pruning is invisible to results — the
+    // oracle is the plain IN-slice, and a dropped matching row would
+    // hash-mismatch.
+    "q_ts_point_lookup" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+         |  AND user_id IN (3, 7, 11)
          |ORDER BY event_id""".stripMargin,
     // mergeInto: matched rows take the source's columns (replayed as a
     // LEFT JOIN + CASE on the match marker — the source carried the

@@ -107,6 +107,89 @@ final class TsTable private (
     Some(new TsSnapshot(spark, path, tsCol, m).readRange(start, end))
   }
 
+  /** Equality point lookup — `SELECT … WHERE column IN (values)` served
+    * through the table's file-skipping indexes (the Delta/Iceberg
+    * metadata-skipping analogue, and the verb min/max spans cannot serve
+    * on a high-cardinality UNCLUSTERED column: every file's [lo, hi]
+    * span covers everything, so span skipping keeps all files, while
+    * per-file Bloom bits — declared via `TsWriteOptions(bloomCols = …)`,
+    * harvested at commit, carried forward like spans — keep only files
+    * that MIGHT hold a probed value). Pruning is metadata-only and
+    * conservative: a file is skipped only when its declared-stats span
+    * excludes every value OR its Bloom filter rejects every value's
+    * hash; files without index entries are always read, and any
+    * authority mismatch (foreign files, stale pre-evolution handle,
+    * pre-index manifests) falls back to the plain filtered scan —
+    * soundness over coverage, the spanPrunedRange rule. The exact
+    * predicate re-applies on the survivors, so a Bloom false positive
+    * costs I/O, never correctness. At 100 TB this turns a needle query
+    * (one user's rows, one bad producer's ids) from a full-table scan
+    * into O(files actually holding the needle) reads. */
+  def lookupEq(column: String, values: Seq[Any]): DataFrame = {
+    require(storedSchema.fieldNames.contains(column),
+      s"lookupEq: unknown column '$column'")
+    require(values.nonEmpty && values.forall(_ != null),
+      "lookupEq: need at least one non-null probe value")
+    val pred = col(column).isin(values: _*)
+    bloomCandidateFiles(column, values) match {
+      case None => toDF.where(pred)
+      case Some(cands) if cands.isEmpty =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storedSchema)
+      case Some(cands) =>
+        val m = TsTable.readManifest(spark, path, currentVersion.get)
+        val keep = cands.toSet
+        new TsSnapshot(spark, path, tsCol,
+          m.copy(files = m.files.filter(f => keep(f._1))))
+          .toDF.where(pred)
+    }
+  }
+
+  /** [[lookupEq]]'s pruning: Some(candidate relative paths) when the
+    * current manifest is authoritative for the live state AND some
+    * skipping index exists for the column (Bloom sidecar entries or
+    * declared-stats spans); None = no index / not authoritative, caller
+    * scans everything. Package-visible for spec assertions. */
+  private[graft] def bloomCandidateFiles(column: String,
+      values: Seq[Any]): Option[Seq[String]] = {
+    val v = currentVersion.getOrElse(return None)
+    val m = TsTable.readManifest(spark, path, v)
+    if (m.schema != storedSchema) return None
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (listLiveFiles(fs).toSet != m.files.toSet) return None
+    val blooms = TsTable.readBloomSidecar(fs, path, v)
+      .flatMap { case (p, cols) => cols.get(column).map(p -> _) }
+    val spans = m.colStats
+      .flatMap { case (p, cs) => cs.get(column).map(p -> _) }
+    if (blooms.isEmpty && spans.isEmpty) return None
+    val dt = storedSchema(column).dataType
+    val hashes = values.map(
+      org.apache.spark.sql.graft.BloomExprs.hashLiteral(_, dt))
+    // numeric probes also test the declared-stats span; a non-numeric
+    // probe set (or partially-numeric — all-or-nothing for soundness)
+    // relies on the Bloom bits alone
+    val nums: Seq[BigDecimal] = values.flatMap {
+      case n: java.lang.Number => Some(BigDecimal(n.toString))
+      case _ => None
+    }
+    val spanUsable = nums.length == values.length
+    Some(m.files.map(_._1).filter { p =>
+      val spanHit = spans.get(p) match {
+        case Some(s0) if spanUsable =>
+          nums.exists(x => x >= s0.loBD && x <= s0.hiBD)
+        case _ => true
+      }
+      val bloomHit = blooms.get(p) match {
+        case Some(bytes) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          hashes.exists(bf.mightContainLong)
+        case None => true
+      }
+      spanHit && bloomHit
+    })
+  }
+
   /** Per-day layout observability (the IvfIndex.cellStats analogue): one
     * row per `p_date=` directory with file count, bytes, and rows — the
     * report that justifies reaching for `compact` (many small files) or
@@ -1341,8 +1424,10 @@ final class TsTable private (
         if (!referenced.contains(f.getPath.getName)) fs.delete(f.getPath, false)
       }
     }
-    expired.foreach(v =>
-      fs.delete(new Path(path, TsTable.manifestName(v)), false))
+    expired.foreach { v =>
+      fs.delete(new Path(path, TsTable.manifestName(v)), false)
+      fs.delete(new Path(path, TsTable.bloomsName(v)), false) // sidecar too
+    }
     expired
   }
 
@@ -1381,26 +1466,50 @@ final class TsTable private (
       // case to survive), then footer-read only the files this commit
       // actually added/rewrote. O(new files) footer metadata, zero data
       // pages — the skip index stays cheap even at a 100 TB table size.
-      val (carried, carriedCols) = prevV.map { v =>
+      val (carried, carriedCols, carriedBlooms) = prevV.map { v =>
         val pm = TsTable.readManifest(spark, path, v)
         val prevLen = pm.files.toMap
         val nowLen = files.toMap
         def same(p: String) = nowLen.get(p).exists(l => prevLen.get(p).contains(l))
+        val pb =
+          if (writeOptions.bloomCols.isEmpty) TsTable.NoBlooms
+          else TsTable.readBloomSidecar(fs, path, v)
+            .filter { case (p, _) => same(p) }
         (pm.stats.filter { case (p, _) => same(p) },
-          pm.colStats.filter { case (p, _) => same(p) })
+          pm.colStats.filter { case (p, _) => same(p) }, pb)
       }.getOrElse((Map.empty[String, (Long, Long)],
-        Map.empty[String, Map[String, ColSpan]]))
+        Map.empty[String, Map[String, ColSpan]], TsTable.NoBlooms))
       val (fresh, freshCols) =
         collectSpans(files.map(_._1).filterNot(carried.contains))
+      // Bloom sidecar: carried forward like spans; the files without an
+      // entry (normally exactly this commit's additions; everything, once,
+      // after a crash lost a sidecar — self-healing) harvest in ONE
+      // column-pruned scan. Written to a writer-unique temp FIRST and
+      // renamed to its final name only after the manifest CAS succeeds —
+      // the version number is then exclusively owned. A crash between the
+      // two degrades lookups to no-skipping, never to wrong results.
+      val blooms =
+        if (writeOptions.bloomCols.isEmpty) TsTable.NoBlooms
+        else carriedBlooms ++ harvestBlooms(
+          files.map(_._1).filter(_.contains("/"))
+            .filterNot(carriedBlooms.contains))
+      val bloomTmp: Option[Path] =
+        if (blooms.isEmpty) None
+        else Some(TsTable.writeBloomSidecarTmp(fs, path, next, blooms))
       try {
         TsTable.writeManifest(spark, path,
           TsManifest(next, action, tsCol,
             schemaOverride.getOrElse(storedSchema), files, carried ++ fresh,
             meta, carriedCols ++ freshCols))
         committed = true
+        bloomTmp.foreach { t =>
+          if (!fs.rename(t, new Path(path, TsTable.bloomsName(next))))
+            fs.delete(t, false)
+        }
       } catch {
         case e: IllegalArgumentException
             if e.getMessage != null && e.getMessage.contains("concurrent commit") =>
+          bloomTmp.foreach(fs.delete(_, false))
           // Losing a race means ANOTHER writer installed our target — the
           // system made progress, so retrying cannot livelock; under
           // sustained contention a writer may lose many races in a row
@@ -1454,6 +1563,16 @@ final class TsTable private (
       } else if (st.isDirectory && n.startsWith(s"$PartCol=")) {
         fs.listStatus(st.getPath).foreach { f =>
           if (f.isFile && f.getPath.getName.startsWith("_tmp-") &&
+              f.getModificationTime < cutoff) {
+            fs.delete(f.getPath, false)
+            removed += s"$n/${f.getPath.getName}"
+          }
+        }
+      } else if (st.isDirectory && n == TsTable.VersionsDir) {
+        // bloom-sidecar temps orphaned by a lost commit race or a crash
+        // between manifest install and the sidecar rename
+        fs.listStatus(st.getPath).foreach { f =>
+          if (f.isFile && f.getPath.getName.endsWith(".tmp") &&
               f.getModificationTime < cutoff) {
             fs.delete(f.getPath, false)
             removed += s"$n/${f.getPath.getName}"
@@ -1515,6 +1634,40 @@ final class TsTable private (
       }
     (all.collect { case (r, Some(s0), _) => r -> s0 }.toMap,
       all.collect { case (r, Some(_), cs) if cs.nonEmpty => r -> cs }.toMap)
+  }
+
+  /** Per-file Bloom membership bits over `writeOptions.bloomCols` for the
+    * given table-relative DATED files (the engine-written layout; loose
+    * attached root-level files simply never get blooms and are never
+    * skipped) — ONE column-pruned distributed scan of ONLY those files,
+    * grouped by source file: each file's declared columns hash
+    * (xxhash64, seed 42 — the probe-side contract) into a fixed
+    * `bloomBits`-bit filter map-side (BloomFilterAggregate is a
+    * TypedImperativeAggregate, so partials combine per partition). Cost:
+    * O(new files) data read — normally the files this commit just
+    * wrote — and O(#files × cols × bits/8) driver/sidecar bytes. A file
+    * whose declared column is all-null simply gets no entry. */
+  private def harvestBlooms(relPaths: Seq[String])
+      : Map[String, Map[String, Array[Byte]]] = {
+    if (relPaths.isEmpty) return TsTable.NoBlooms
+    val cols = writeOptions.bloomCols.filter(storedSchema.fieldNames.contains)
+    if (cols.isEmpty) return TsTable.NoBlooms
+    val root = new Path(path)
+    val df = spark.read.option("basePath", path)
+      .schema(withPartCol(storedSchema))
+      .parquet(relPaths.map(r => new Path(root, r).toString): _*)
+    // capacity at bits/items ≈ 10 → ~7 hash functions, ~1% fpp at capacity
+    val items = (writeOptions.bloomBits / 10L).max(1L)
+    val aggs = cols.map(c => org.apache.spark.sql.graft.BloomExprs
+      .bloomAgg(xxhash64(col(c)), items, writeOptions.bloomBits).as(s"__b_$c"))
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.iterator.map { r =>
+      val rel = relativize(Seq(r.getString(0)), "bloom").head
+      rel -> cols.zipWithIndex.flatMap { case (c, i) =>
+        Option(r.get(i + 1)).map(b => c -> b.asInstanceOf[Array[Byte]])
+      }.toMap
+    }.filter(_._2.nonEmpty).toMap
   }
 
   /** Newest committed micro-batch id a given SINK identity has landed —
@@ -1786,13 +1939,19 @@ final case class TsWriteOptions(
     codec: String = "snappy",
     rowGroupBytes: Option[Long] = None,
     maxRecordsPerFile: Option[Long] = None,
-    statsCols: Seq[String] = Seq.empty) {
+    statsCols: Seq[String] = Seq.empty,
+    bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Long = 262144L) {
   require(statsCols.forall(_.matches("[A-Za-z0-9_.-]+")),
     s"statsCols must be simple column names, got ${statsCols.mkString(", ")}")
+  require(bloomCols.forall(_.matches("[A-Za-z0-9_.-]+")),
+    s"bloomCols must be simple column names, got ${bloomCols.mkString(", ")}")
+  require(bloomBits >= 64, s"bloomBits must be >= 64, got $bloomBits")
   private[ts] def encode: String =
     s"codec=$codec;rowGroupBytes=${rowGroupBytes.getOrElse("")};" +
       s"maxRecordsPerFile=${maxRecordsPerFile.getOrElse("")};" +
-      s"statsCols=${statsCols.mkString("|")}"
+      s"statsCols=${statsCols.mkString("|")};" +
+      s"bloomCols=${bloomCols.mkString("|")};bloomBits=$bloomBits"
 }
 
 object TsWriteOptions {
@@ -1804,7 +1963,10 @@ object TsWriteOptions {
       rowGroupBytes = kv.get("rowGroupBytes").map(_.toLong),
       maxRecordsPerFile = kv.get("maxRecordsPerFile").map(_.toLong),
       statsCols = kv.get("statsCols").toSeq
-        .flatMap(_.split("\\|")).filter(_.nonEmpty))
+        .flatMap(_.split("\\|")).filter(_.nonEmpty),
+      bloomCols = kv.get("bloomCols").toSeq
+        .flatMap(_.split("\\|")).filter(_.nonEmpty),
+      bloomBits = kv.get("bloomBits").map(_.toLong).getOrElse(262144L))
   }
 }
 
@@ -1836,6 +1998,67 @@ object TsTable {
 
   private[ts] def manifestName(v: Long): String =
     f"$VersionsDir/v$v%08d.manifest"
+
+  /** Bloom sidecar path for version `v` — rides next to the manifest,
+    * expires with it. Kept OUT of the manifest body: the bits are
+    * kilobytes per file per column, and every manifest read (history,
+    * changesBetween, snapshot resolution) would otherwise pay them. */
+  private[ts] def bloomsName(v: Long): String =
+    f"$VersionsDir/v$v%08d.blooms"
+
+  /** The canonical empty bloom map (helps type inference at call sites). */
+  private[ts] val NoBlooms: Map[String, Map[String, Array[Byte]]] = Map.empty
+
+  /** Write the bloom sidecar body to a WRITER-UNIQUE temp under
+    * `_ts_versions` and return its path; the caller renames it to the
+    * final name only AFTER the manifest CAS succeeds (the version number
+    * is then exclusively owned) and deletes it on a lost race. A crash
+    * between manifest install and the rename degrades lookups to
+    * no-skipping until the next commit re-harvests — never wrong
+    * results. Format: one header line, then `relpath TAB col TAB
+    * base64(bits)` per entry. */
+  private[ts] def writeBloomSidecarTmp(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, v: Long,
+      blooms: Map[String, Map[String, Array[Byte]]]): Path = {
+    val tmp = new Path(path,
+      bloomsName(v) + s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val enc = java.util.Base64.getEncoder
+    val body = new StringBuilder(s"version=$v\n")
+    blooms.toSeq.sortBy(_._1).foreach { case (p, cols) =>
+      cols.toSeq.sortBy(_._1).foreach { case (c, bytes) =>
+        body.append(p).append('\t').append(c).append('\t')
+          .append(enc.encodeToString(bytes)).append('\n')
+      }
+    }
+    fs.mkdirs(new Path(path, VersionsDir))
+    val out = fs.create(tmp, true)
+    try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+    tmp
+  }
+
+  /** The bloom sidecar of version `v`, tolerant of absence (pre-bloom
+    * versions, a crash-lost sidecar): relative path → column → serialized
+    * filter bytes. One small read, driver-side. */
+  private[ts] def readBloomSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, v: Long): Map[String, Map[String, Array[Byte]]] = {
+    val p = new Path(path, bloomsName(v))
+    if (!fs.exists(p)) return NoBlooms
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val dec = java.util.Base64.getDecoder
+    text.split("\n").iterator.drop(1).filter(_.nonEmpty).toSeq
+      .flatMap { l =>
+        l.split("\t", 3) match {
+          case Array(rel, c, b64) =>
+            scala.util.Try((rel, c, dec.decode(b64))).toOption
+          case _ => None // torn line: drop the entry, never the read
+        }
+      }
+      .groupBy(_._1)
+      .map { case (rel, rows) => rel -> rows.map(r => r._2 -> r._3).toMap }
+  }
 
   /** (version, commit wall-clock ms) pairs, ascending by version. The
     * commit instant comes from each manifest's own `commitMs` header
@@ -2138,6 +2361,9 @@ object TsTable {
       s"'$PartCol' is reserved for the partition column")
     require(writeOptions.statsCols.forall(schema.fieldNames.contains),
       s"statsCols ${writeOptions.statsCols.filterNot(schema.fieldNames.contains).mkString(", ")} " +
+        "are not table columns")
+    require(writeOptions.bloomCols.forall(schema.fieldNames.contains),
+      s"bloomCols ${writeOptions.bloomCols.filterNot(schema.fieldNames.contains).mkString(", ")} " +
         "are not table columns")
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

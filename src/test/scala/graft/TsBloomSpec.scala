@@ -1,0 +1,161 @@
+package graft
+
+import graft.ts.{TsTable, TsWriteOptions}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom point-lookup index: per-file membership bits over declared
+  * `bloomCols`, harvested at commit into a version sidecar, carried
+  * forward like ts spans, and consumed by `TsTable.lookupEq` — the
+  * needle-query verb min/max spans cannot serve on an unclustered
+  * high-cardinality column. Covers: skipping actually happens (candidate
+  * lists shrink to the owning file), absent-value fast path, correctness
+  * parity vs the full filtered scan, conservative fallbacks (foreign
+  * file, lost sidecar), self-healing re-harvest, compact survival, and
+  * sidecar expiry. */
+class TsBloomSpec extends SparkSpec {
+
+  private def freshStore(tag: String): (String, org.apache.hadoop.fs.FileSystem) = {
+    val store = new java.io.File(sys.props("java.io.tmpdir"), s"graft_bloom_$tag").toString
+    val p = new Path(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    (store, fs)
+  }
+
+  /** Three single-day appends with DISJOINT user_id ranges per day, so a
+    * user's rows live in exactly one file and the bloom verdict is
+    * checkable: day d holds user ids in [1000·d, 1000·d + 49]. */
+  private def build(tag: String,
+      opts: TsWriteOptions = TsWriteOptions(bloomCols = Seq("user_id")))
+      : (TsTable, String, org.apache.hadoop.fs.FileSystem) = {
+    val (store, fs) = freshStore(tag)
+    import spark.implicits._
+    def day(d: Int): DataFrame =
+      (0 until 200).map { i =>
+        (java.sql.Timestamp.valueOf(f"2024-01-0$d%d 00:00:${i % 60}%02d"),
+          1000L * d + i % 50, s"u${1000 * d + i % 50}", i.toDouble)
+      }.toDF("ts", "user_id", "tag", "value")
+    val t = TsTable.create(spark, store, day(1).schema, tsCol = "ts",
+      writeOptions = opts)
+    t.append(day(1)); t.append(day(2)); t.append(day(3))
+    (t, store, fs)
+  }
+
+  test("lookupEq prunes to the single file holding the probed ids and matches the full scan") {
+    val (t, _, _) = build("prune")
+    val cands = t.bloomCandidateFiles("user_id", Seq(2007L))
+    assert(cands.isDefined, "index should be authoritative")
+    assert(cands.get.length == 1, s"expected 1 candidate file, got ${cands.get}")
+    assert(cands.get.head.startsWith("p_date=2024-01-02/"))
+    val got = t.lookupEq("user_id", Seq(2007L))
+      .select("ts", "user_id", "value").collect().toSet
+    val want = t.toDF.where(col("user_id") === 2007L)
+      .select("ts", "user_id", "value").collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("multi-value probe unions candidate files; string column probes work") {
+    val (t, _, _) = build("multi",
+      TsWriteOptions(bloomCols = Seq("user_id", "tag")))
+    val cands = t.bloomCandidateFiles("user_id", Seq(1003L, 3004L))
+    assert(cands.get.length == 2)
+    // string bloom column: probe under StringType
+    val byTag = t.bloomCandidateFiles("tag", Seq("u3004"))
+    assert(byTag.get.length == 1 && byTag.get.head.startsWith("p_date=2024-01-03/"))
+    val got = t.lookupEq("tag", Seq("u3004")).count()
+    assert(got == t.toDF.where(col("tag") === "u3004").count() && got > 0)
+  }
+
+  test("absent value: zero candidates, empty result, no data job needed") {
+    val (t, _, _) = build("absent")
+    assert(t.bloomCandidateFiles("user_id", Seq(999999L)).get.isEmpty)
+    assert(t.lookupEq("user_id", Seq(999999L)).isEmpty)
+  }
+
+  test("blooms carry forward across appends: sidecar covers every file at each version") {
+    val (t, store, fs) = build("carry")
+    // current version = 4 (create + 3 appends); all 3 day files indexed
+    val side = graft.ts.TsBloomSpecAccess.sidecar(spark, fs, store, t.currentVersion.get)
+    assert(side.keySet.map(_.split("/").head) ==
+      Set("p_date=2024-01-01", "p_date=2024-01-02", "p_date=2024-01-03"))
+    assert(side.values.forall(_.contains("user_id")))
+  }
+
+  test("foreign file attached → not authoritative → full-scan fallback stays correct") {
+    val (t, store, fs) = build("foreign")
+    // attach a raw parquet file the manifest has never seen
+    import spark.implicits._
+    Seq((java.sql.Timestamp.valueOf("2024-01-02 09:00:00"), 777L, "x", 1.0))
+      .toDF("ts", "user_id", "tag", "value")
+      .write.mode("append").parquet(store + "/p_date=2024-01-02")
+    assert(t.bloomCandidateFiles("user_id", Seq(777L)).isEmpty)
+    assert(t.lookupEq("user_id", Seq(777L)).count() == 1)
+  }
+
+  test("lost sidecar degrades to no-skipping and the next commit self-heals it") {
+    val (t, store, fs) = build("heal")
+    val v = t.currentVersion.get
+    fs.delete(new Path(store, f"_ts_versions/v$v%08d.blooms"), false)
+    // colStats spans are absent (no statsCols declared) → no index left
+    assert(t.bloomCandidateFiles("user_id", Seq(2007L)).isEmpty)
+    assert(t.lookupEq("user_id", Seq(2007L)).count() ==
+      t.toDF.where(col("user_id") === 2007L).count())
+    // next commit re-harvests EVERY file, not just the new one
+    import spark.implicits._
+    t.append(Seq((java.sql.Timestamp.valueOf("2024-01-04 00:00:00"), 4000L, "u4000", 0.0))
+      .toDF("ts", "user_id", "tag", "value"))
+    val cands = t.bloomCandidateFiles("user_id", Seq(2007L))
+    assert(cands.isDefined && cands.get.length == 1)
+  }
+
+  test("compact rewrites get fresh blooms; lookups stay correct and pruned") {
+    val (t, store, fs) = build("compact")
+    import spark.implicits._
+    // fragment day 2 with a second file, then compact it back to one
+    t.append(Seq((java.sql.Timestamp.valueOf("2024-01-03 23:59:59"), 2007L, "late", 9.0))
+      .toDF("ts", "user_id", "tag", "value"))
+    t.compactAll(targetFiles = 1)
+    val cands = t.bloomCandidateFiles("user_id", Seq(2007L))
+    assert(cands.isDefined && cands.get.length == 2,
+      s"2007 lives in day-2 and the late day-3 row: $cands")
+    assert(t.lookupEq("user_id", Seq(2007L)).count() ==
+      t.toDF.where(col("user_id") === 2007L).count())
+  }
+
+  test("expireSnapshots deletes expired bloom sidecars with their manifests") {
+    val (t, store, fs) = build("expire")
+    val before = t.currentVersion.get
+    t.expireSnapshots(keepLast = 1)
+    (1L until before).foreach { v =>
+      assert(!fs.exists(new Path(store, f"_ts_versions/v$v%08d.blooms")))
+      assert(!fs.exists(new Path(store, f"_ts_versions/v$v%08d.manifest")))
+    }
+    assert(fs.exists(new Path(store, f"_ts_versions/v$before%08d.blooms")))
+  }
+
+  test("declared-stats span intersects with blooms: clustered numeric column skips by span alone") {
+    val (t, _, _) = build("span",
+      TsWriteOptions(statsCols = Seq("user_id"), bloomCols = Seq("value")))
+    // user_id has NO bloom, but per-day disjoint ranges give tight spans
+    val cands = t.bloomCandidateFiles("user_id", Seq(1003L))
+    assert(cands.isDefined && cands.get.length == 1)
+    assert(cands.get.head.startsWith("p_date=2024-01-01/"))
+  }
+
+  test("create refuses bloomCols outside the schema; lookupEq validates inputs") {
+    val (store, _) = freshStore("refuse")
+    import spark.implicits._
+    val df = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L))
+      .toDF("ts", "user_id")
+    intercept[IllegalArgumentException] {
+      TsTable.create(spark, store, df.schema, tsCol = "ts",
+        writeOptions = TsWriteOptions(bloomCols = Seq("nope")))
+    }
+    val (t, _, _) = build("refuse2")
+    intercept[IllegalArgumentException] { t.lookupEq("nope", Seq(1L)) }
+    intercept[IllegalArgumentException] { t.lookupEq("user_id", Seq.empty) }
+    intercept[IllegalArgumentException] { t.lookupEq("user_id", Seq(null)) }
+  }
+}
