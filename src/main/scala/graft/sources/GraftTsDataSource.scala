@@ -231,7 +231,7 @@ final class GraftTsV2Table(spark: SparkSession, val ts: TsTable,
         val spans = ts.currentFileTsSpans
         if (spans.nonEmpty)
           new GraftTsStatsFileIndex(spark, new Path(ts.path), full, spans,
-            ts.tsCol, ts.currentFileColSpans)
+            ts.tsCol, ts.currentFileColSpans, ts.currentFileBlooms)
         else
           new InMemoryFileIndex(spark, Seq(new Path(ts.path)), Map.empty[String, String],
             Some(full), FileStatusCache.getOrCreate(spark), None, None)

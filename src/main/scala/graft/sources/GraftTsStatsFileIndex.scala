@@ -4,7 +4,7 @@ import graft.ts.TsTable
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, XxHash64}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.{StructType, TimestampType}
 
@@ -37,7 +37,8 @@ final class GraftTsStatsFileIndex(
     userSchema: StructType,
     spans: Map[String, (Long, Long)],
     tsCol: String,
-    colSpans: Map[String, Map[String, graft.ts.ColSpan]] = Map.empty)
+    colSpans: Map[String, Map[String, graft.ts.ColSpan]] = Map.empty,
+    blooms: Map[String, Map[String, Array[Byte]]] = Map.empty)
   extends InMemoryFileIndex(spark, Seq(rootPath), Map.empty[String, String],
     Some(userSchema), FileStatusCache.getOrCreate(spark), None, None) {
 
@@ -57,17 +58,37 @@ final class GraftTsStatsFileIndex(
   private lazy val statCols: Seq[String] =
     colSpans.valuesIterator.flatMap(_.keysIterator).toSet.toSeq
 
+  // deserialized once per index instance (a fresh Table — every load() —
+  // gets a fresh index); O(#files × bits/8) driver memory while planning
+  private lazy val bloomByPath
+      : Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+    blooms.map { case (rel, cols) =>
+      qualify(rel) -> cols.map { case (c, bytes) =>
+        c -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+      }
+    }
+
+  private lazy val bloomCols: Seq[String] =
+    blooms.valuesIterator.flatMap(_.keysIterator).toSet.toSeq
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val dirs = super.listFiles(partitionFilters, dataFilters)
-    if (byPath.isEmpty && colByPath.isEmpty) return dirs
+    if (byPath.isEmpty && colByPath.isEmpty && bloomByPath.isEmpty) return dirs
     val (lo, hi) = GraftTsStatsFileIndex.tsBounds(dataFilters, tsCol)
     // bounds per stats column, from the same pushed conjuncts
     val colBounds = statCols.flatMap { c =>
       val b = GraftTsStatsFileIndex.numBounds(dataFilters, c)
       if (b._1.isEmpty && b._2.isEmpty) None else Some((c, b._1, b._2))
     }
-    if (lo.isEmpty && hi.isEmpty && colBounds.isEmpty) return dirs
+    // per-conjunct equality probe hashes on bloom-indexed columns — a file
+    // must might-contain at least one hash of EVERY equality conjunct
+    val bloomProbes = bloomCols.flatMap { c =>
+      GraftTsStatsFileIndex.eqProbeHashes(dataFilters, c).map(c -> _)
+    }
+    if (lo.isEmpty && hi.isEmpty && colBounds.isEmpty && bloomProbes.isEmpty)
+      return dirs
     dirs.map { pd =>
       pd.copy(files = pd.files.filter { f =>
         val p = f.getPath.toString
@@ -80,6 +101,11 @@ final class GraftTsStatsFileIndex(
             case Some(s0) =>
               cLo.forall(s0.hiBD >= _) && cHi.forall(s0.loBD <= _)
             case None => true
+          }
+        } && bloomProbes.forall { case (c, hashes) =>
+          bloomByPath.get(p).flatMap(_.get(c)) match {
+            case Some(bf) => hashes.exists(bf.mightContainLong)
+            case None => true // no bits recorded → never skip
           }
         }
       })
@@ -129,6 +155,42 @@ object GraftTsStatsFileIndex {
       case _ => ()
     }
     (lo, hi)
+  }
+
+  /** Equality probe HASH-SETS on `name` implied by the scan's top-level
+    * conjuncts, one entry per `=` / `IN` conjunct (each prunes
+    * independently: the row set needs every conjunct true, so a file must
+    * might-contain at least one value of each). Hashes are xxhash64
+    * (seed 42) of the CATALYST-internal literal under the column's own
+    * type — exactly the build-side `functions.xxhash64(col)` contract —
+    * and only literals already of the column's type participate (a
+    * comparison Catalyst chose to cast differently contributes nothing:
+    * conservative). Null values never hash (SQL equality with null never
+    * matches a stored row); a conjunct left with NO hashable values
+    * contributes nothing rather than pruning everything. */
+  private[sources] def eqProbeHashes(filters: Seq[Expression],
+                                     name: String): Seq[Seq[Long]] = {
+    def hash(v: Any, dt: org.apache.spark.sql.types.DataType): Option[Long] =
+      if (v == null) None
+      else Some(new XxHash64(Seq(Literal(v, dt))).eval(null).asInstanceOf[Long])
+    filters.flatMap {
+      case EqualTo(a: AttributeReference, l @ Literal(v, _))
+          if a.name.equalsIgnoreCase(name) && l.dataType == a.dataType =>
+        hash(v, a.dataType).map(Seq(_))
+      case EqualTo(l @ Literal(v, _), a: AttributeReference)
+          if a.name.equalsIgnoreCase(name) && l.dataType == a.dataType =>
+        hash(v, a.dataType).map(Seq(_))
+      case In(a: AttributeReference, list)
+          if a.name.equalsIgnoreCase(name) && list.forall(e =>
+            e.isInstanceOf[Literal] && e.dataType == a.dataType) =>
+        val hs = list.flatMap { case Literal(v, _) => hash(v, a.dataType) }
+        if (hs.nonEmpty) Some(hs) else None
+      case InSet(a: AttributeReference, hset)
+          if a.name.equalsIgnoreCase(name) =>
+        val hs = hset.toSeq.flatMap(v => hash(v, a.dataType))
+        if (hs.nonEmpty) Some(hs) else None
+      case _ => None
+    }
   }
 
   /** Closed [lo, hi] BigDecimal bounds implied on a NUMERIC stats column

@@ -1713,6 +1713,15 @@ final class TsTable private (
       .map(v => TsTable.readManifest(spark, path, v).colStats)
       .getOrElse(Map.empty)
 
+  /** The current version's bloom sidecar (relative path → column →
+    * serialized filter bytes) — the V2 scan's equality-skip index over
+    * `writeOptions.bloomCols`. Empty when no sidecar exists. */
+  private[graft] def currentFileBlooms: Map[String, Map[String, Array[Byte]]] =
+    currentVersion.map { v =>
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      TsTable.readBloomSidecar(fs, path, v)
+    }.getOrElse(TsTable.NoBlooms)
+
   /** Manifest-stats fast path for [[minDt]]/[[maxDt]]: when the current
     * manifest's file set matches the live listing exactly (path + size)
     * and every file carries a ts span, the edge instant is a pure

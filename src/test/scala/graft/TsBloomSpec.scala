@@ -144,6 +144,28 @@ class TsBloomSpec extends SparkSpec {
     assert(cands.get.head.startsWith("p_date=2024-01-01/"))
   }
 
+  test("V2 scan consumes the bloom index: a plain SQL equality/IN predicate skips files at planning time") {
+    val (t, store, _) = build("v2")
+    val q = spark.read.format("graft-ts").load(store)
+      .where(col("user_id") === 2007L)
+    val plan = q.queryExecution.executedPlan
+    val scan = V2ScanAccess.parquetScan(plan)
+    val files = scan.fileIndex
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.files.length).sum
+    assert(files == 1, s"expected 1 bloom-surviving file, scanned $files:\n$plan")
+    assert(q.count() == t.toDF.where(col("user_id") === 2007L).count())
+    // IN-list probes union per-value verdicts: two days survive
+    val q2 = spark.read.format("graft-ts").load(store)
+      .where(col("user_id").isin(1003L, 3004L))
+    val scan2 = V2ScanAccess.parquetScan(q2.queryExecution.executedPlan)
+    val files2 = scan2.fileIndex
+      .listFiles(scan2.partitionFilters, scan2.dataFilters)
+      .map(_.files.length).sum
+    assert(files2 == 2, s"expected 2 bloom-surviving files, scanned $files2")
+    assert(q2.count() == t.toDF.where(col("user_id").isin(1003L, 3004L)).count())
+  }
+
   test("create refuses bloomCols outside the schema; lookupEq validates inputs") {
     val (store, _) = freshStore("refuse")
     import spark.implicits._
