@@ -57,6 +57,48 @@ object StatsPack extends QueryPack {
       .orderBy(col("l_returnflag"))
   }
 
+  /** B4+ per-series autocorrelation function (pandas `s.autocorr(lag)`
+    * for lag 1..3): each user's event-value series, ordered by
+    * (ts, event_id), correlates with its own lag-shifted self — the
+    * persistence/stationarity diagnostic read before fitting any AR
+    * model, and the whole-series complement of [[windowRollCorr]]'s
+    * rolling local signal. ONE window pass computes all three shifted
+    * companions off a single user_id exchange; the pairs unpivot
+    * (`stack` — three rows per event, no join) and aggregate per
+    * (user, lag) under the statsCorr determinism layout: DECIMAL-exact
+    * power sums, identical double algebra on both engines, 6dp round,
+    * NULL on degenerate series (n ≤ 1 or zero variance in either
+    * operand). Estimator note: this is the PAIRWISE Pearson correlation
+    * (pandas `Series.autocorr` semantics) — each lag's mean/variance
+    * come from its own overlap window — not the Box-Jenkins ACF that
+    * normalizes every lag by the full-series variance. */
+  def statsAcf(s: SparkSession, dir: String): DataFrame = {
+    def d28(c: Column) = sum(c.cast("decimal(28,4)")).cast("double")
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("value"),
+        lag(col("value"), 1).over(wOrd).as("y1"),
+        lag(col("value"), 2).over(wOrd).as("y2"),
+        lag(col("value"), 3).over(wOrd).as("y3"))
+      .selectExpr("user_id", "value AS x",
+        "stack(3, 1, y1, 2, y2, 3, y3) AS (lag_k, y)")
+      .where(col("y").isNotNull)
+      .groupBy(col("user_id"), col("lag_k"))
+      .agg(count(lit(1)).as("n"),
+        d28(col("x")).as("sx"), d28(col("y")).as("sy"),
+        d28(col("x") * col("y")).as("sxy"),
+        d28(col("x") * col("x")).as("sxx"),
+        d28(col("y") * col("y")).as("syy"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("vx", col("sxx") - col("sx") * col("sx") / col("nd"))
+      .withColumn("vy", col("syy") - col("sy") * col("sy") / col("nd"))
+      .select(col("user_id"), col("lag_k"), col("n"),
+        when(col("n") > 1 && col("vx") > 0 && col("vy") > 0,
+          round((col("sxy") - col("sx") * col("sy") / col("nd")) /
+            (sqrt(col("vx")) * sqrt(col("vy"))), 6)).as("acf"))
+      .orderBy(col("user_id"), col("lag_k"))
+  }
+
   private val RollK = 20 // rolling-corr frame length (rows)
 
   /** B5+ rolling lag-1 autocorrelation (pandas
@@ -542,6 +584,7 @@ object StatsPack extends QueryPack {
     "q_window_median" -> windowMedian,
     "q_window_hampel" -> windowHampel,
     "q_stats_corr" -> statsCorr,
+    "q_stats_acf" -> statsAcf,
     "q_window_rollcorr" -> windowRollCorr,
     "q_window_zscore" -> windowZscore,
     "q_window_cusum" -> windowCusum,
@@ -613,6 +656,37 @@ object StatsPack extends QueryPack {
         |round((sxy - sx * sy / nd) /
         |  (sqrt(sxx - sx * sx / nd) * sqrt(syy - sy * sy / nd)), 6) AS corr_qp
         |FROM d ORDER BY l_returnflag""".stripMargin,
+    // Pairwise Pearson ACF: each lag's pairs re-derive their own moments
+    // (the pandas Series.autocorr estimator) — decimal-exact power sums,
+    // shared double algebra, NULL on degenerate series.
+    "q_stats_acf" ->
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+        |    event_id, value FROM events),
+        |p AS (SELECT user_id, value,
+        |  lag(value, 1) OVER w AS y1,
+        |  lag(value, 2) OVER w AS y2,
+        |  lag(value, 3) OVER w AS y3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |u AS (
+        |  SELECT user_id, 1 AS lag_k, value AS x, y1 AS y FROM p WHERE y1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, 2, value, y2 FROM p WHERE y2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, 3, value, y3 FROM p WHERE y3 IS NOT NULL),
+        |m AS (SELECT user_id, lag_k, count(*) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy
+        |  FROM u GROUP BY user_id, lag_k),
+        |d AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+        |  sxx - sx * sx / CAST(n AS DOUBLE) AS vx,
+        |  syy - sy * sy / CAST(n AS DOUBLE) AS vy FROM m)
+        |SELECT user_id, lag_k, CAST(n AS BIGINT) AS n,
+        |CASE WHEN n > 1 AND vx > 0 AND vy > 0
+        |     THEN round((sxy - sx * sy / nd) / (sqrt(vx) * sqrt(vy)), 6) END AS acf
+        |FROM d ORDER BY user_id, lag_k""".stripMargin,
     "q_window_rollcorr" ->
       s"""WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value
          |  FROM events),
