@@ -573,6 +573,32 @@ object TimeSeriesPack extends QueryPack {
       TsTable.open(s, store).lookupEq("user_id", Seq(3L, 7L, 11L)))
   }
 
+  /** B1+ pure-DDL column drop round-trip (`TsTable.dropColumns` — the
+    * `ALTER TABLE … DROP COLUMNS` verb, `addColumns`'s inverse): four
+    * days land carrying `props`, the drop narrows the descriptor
+    * WITHOUT touching a data byte (O(metadata) — reads project by name
+    * and simply stop materializing the column), and the full range reads
+    * back props-less. The oracle is the props-less slice, hash-checking
+    * that narrowing loses nothing else; the re-add tombstone, pre-drop
+    * pins, CHECK/ts refusals, index-column narrowing, and byte age-out
+    * under compaction are asserted in TsDropColumnSpec, the SQL face in
+    * GraftTsDmlSpec. */
+  def dropColumnRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tsdropcol_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cut = lit("2024-01-02 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    t.append(ev.where(col("ts") >= cut))
+    t.dropColumns(Seq("props"))
+    TsTable.open(s, store)
+      .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** A3+ SQL MERGE INTO, oracle-checked: exactly q_ts_merge's scenario —
     * corrections for a cohort plus 72-h-shifted day-5 backfill — but
     * driven through `spark.sql("MERGE INTO graft_ts.`store` …")`: the
@@ -1243,6 +1269,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_merge" -> mergeRoundtrip,
     "q_ts_backfill" -> backfillRoundtrip,
     "q_ts_point_lookup" -> pointLookupRoundtrip,
+    "q_ts_drop_column" -> dropColumnRoundtrip,
     "q_ts_sql_merge" -> sqlMergeRoundtrip,
     "q_ts_rollup" -> rollupRoundtrip,
     "q_ts_changes" -> changesRoundtrip,
@@ -1437,6 +1464,13 @@ object TimeSeriesPack extends QueryPack {
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
          |ORDER BY event_id""".stripMargin,
+    // Column drop is metadata-only narrowing: everything except props
+    // must survive byte-identically.
+    "q_ts_drop_column" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events
+        |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+        |ORDER BY event_id""".stripMargin,
     // Bloom point lookup: metadata pruning is invisible to results — the
     // oracle is the plain IN-slice, and a dropped matching row would
     // hash-mismatch.

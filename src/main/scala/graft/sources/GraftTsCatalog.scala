@@ -141,26 +141,41 @@ final class GraftTsCatalog extends TableCatalog
     loadTable(ident)
   }
 
-  /** `ALTER TABLE graft_ts.`/path`` ADD COLUMNS (x DOUBLE, …)` — the SQL
-    * face of the facade's pure-DDL evolution ([[TsTable.addColumns]]):
-    * descriptor widens, existing files null-fill on read, an "evolve"
-    * version commits. Only top-level ADD COLUMN is accepted; every other
-    * change (drop/rename/retype/reorder) would rewrite or reinterpret
-    * history and is refused. */
+  /** `ALTER TABLE graft_ts.`/path`` ADD COLUMNS (x DOUBLE, …)` /
+    * `DROP COLUMN[S] …` — the SQL faces of the facade's pure-DDL
+    * evolution ([[TsTable.addColumns]] / [[TsTable.dropColumns]]):
+    * descriptor widens or narrows, existing files null-fill (add) or
+    * stop projecting (drop) on read, an "evolve" version commits, and
+    * dropped names are tombstoned against re-adding (stale-byte
+    * resurrection — the TsTable.dropColumns scaladoc). A mixed or other
+    * change set (rename/retype/reorder) would reinterpret history and is
+    * refused. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val adds = changes.collect { case a: TableChange.AddColumn => a }
-    if (adds.length != changes.length || adds.isEmpty)
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    if (adds.length + drops.length != changes.length ||
+        (adds.isEmpty && drops.isEmpty) || (adds.nonEmpty && drops.nonEmpty))
       throw new UnsupportedOperationException(
-        "graft-ts supports ALTER TABLE … ADD COLUMNS only (pure-DDL " +
-          "schema widening; history is never rewritten) — drop/rename/" +
+        "graft-ts supports ALTER TABLE … ADD COLUMNS or DROP COLUMNS only " +
+          "(pure-DDL evolution; history is never rewritten) — rename/" +
           "retype go through explicit new tables")
-    val fields = adds.map { a =>
-      require(a.fieldNames().length == 1,
-        s"graft-ts ADD COLUMNS: nested field '${a.fieldNames().mkString(".")}' " +
-          "is not supported — add a top-level column")
-      StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+    if (adds.nonEmpty) {
+      val fields = adds.map { a =>
+        require(a.fieldNames().length == 1,
+          s"graft-ts ADD COLUMNS: nested field '${a.fieldNames().mkString(".")}' " +
+            "is not supported — add a top-level column")
+        StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+      }
+      TsTable.open(spark, pathOf(ident)).addColumns(fields)
+    } else {
+      val names = drops.map { d =>
+        require(d.fieldNames().length == 1,
+          s"graft-ts DROP COLUMNS: nested field '${d.fieldNames().mkString(".")}' " +
+            "is not supported — drop a top-level column")
+        d.fieldNames()(0)
+      }
+      TsTable.open(spark, pathOf(ident)).dropColumns(names)
     }
-    TsTable.open(spark, pathOf(ident)).addColumns(fields)
     loadTable(ident)
   }
 

@@ -45,12 +45,16 @@ final class TsTable private (
     val tsCol: String,
     private val storedSchema: StructType,
     val writeOptions: TsWriteOptions,
-    private val tableChecks: Seq[(String, String)] = Seq.empty) {
+    private val tableChecks: Seq[(String, String)] = Seq.empty,
+    private val droppedCols: Seq[String] = Seq.empty) {
 
   import TsTable._
 
   /** Declared CHECK constraints, (name, SQL predicate) — see [[addCheck]]. */
   def checks: Seq[(String, String)] = tableChecks
+
+  /** Names retired by [[dropColumns]] — see its re-add guard. */
+  def dropped: Seq[String] = droppedCols
 
   /** Full table as a DataFrame (data columns only; partition column dropped). */
   def toDF: DataFrame = raw.drop(PartCol)
@@ -368,6 +372,15 @@ final class TsTable private (
     }
     val added = batch.schema.fields
       .filterNot(f => storedSchema.fieldNames.contains(f.name))
+    // the dropColumns re-add guard: un-rewritten files still physically
+    // carry a dropped column's OLD bytes, and parquet resolves by name —
+    // re-adding the name would resurrect stale values row-by-row
+    val retired = added.map(_.name)
+      .filter(n => droppedCols.exists(_.equalsIgnoreCase(n)))
+    require(retired.isEmpty,
+      s"append: column(s) ${retired.mkString(", ")} were dropped from this " +
+        "table and files may still carry their old bytes — re-adding the " +
+        "name would resurrect stale values; use a new column name")
     val union = StructType(
       storedSchema.fields.map(_.copy(nullable = true)) ++
         added.map(_.copy(nullable = true)))
@@ -379,7 +392,8 @@ final class TsTable private (
       !f.nullable && !batchFields.contains(f.name))
     val evolved =
       if (!needRewrite) this
-      else new TsTable(spark, path, tsCol, union, writeOptions, tableChecks)
+      else new TsTable(spark, path, tsCol, union, writeOptions, tableChecks,
+        droppedCols)
     val aligned = batch.select(union.fields.map(f =>
       if (batchFields.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
@@ -391,7 +405,7 @@ final class TsTable private (
     evolved.append(aligned, filesPerDay, strict)
     if (needRewrite)
       TsTable.writeDescriptor(spark, path, union, tsCol, writeOptions,
-        tableChecks)
+        tableChecks, droppedCols)
     evolved
   }
 
@@ -418,12 +432,85 @@ final class TsTable private (
     val dup = cols.groupBy(_.name.toLowerCase).collect {
       case (n, vs) if vs.length > 1 => n }
     require(dup.isEmpty, s"addColumns: duplicate column(s) ${dup.mkString(", ")}")
+    // the dropColumns re-add guard (see appendEvolved's rationale)
+    val retired = cols.map(_.name)
+      .filter(n => droppedCols.exists(_.equalsIgnoreCase(n)))
+    require(retired.isEmpty,
+      s"addColumns: column(s) ${retired.mkString(", ")} were dropped from " +
+        "this table and files may still carry their old bytes — re-adding " +
+        "the name would resurrect stale values; use a new column name")
     val union = StructType(storedSchema.fields ++
       cols.map(_.copy(nullable = true)))
     TsTable.writeDescriptor(spark, path, union, tsCol, writeOptions,
-      tableChecks)
-    val t = new TsTable(spark, path, tsCol, union, writeOptions, tableChecks)
+      tableChecks, droppedCols)
+    val t = new TsTable(spark, path, tsCol, union, writeOptions, tableChecks,
+      droppedCols)
     t.commitVersion("evolve", Some(union))
+    t
+  }
+
+  /** Pure-DDL column DROP — [[addColumns]]'s inverse (`ALTER TABLE …
+    * DROP COLUMNS`, wired to SQL through GraftTsCatalog), O(metadata):
+    * the stored descriptor narrows, existing files keep their bytes
+    * (reads project by name through the EXPLICIT stored schema, so the
+    * dropped column is simply never materialized — no data rewrite,
+    * ever), and an "evolve" version commits so the drop is pinnable: a
+    * pre-drop `openAt`/`VERSION AS OF` still serves the column, because
+    * manifests record each version's schema. The bytes age out as later
+    * rewrites (compact / delete / update) re-materialize files through
+    * the narrowed schema.
+    *
+    * The one hazard of name-resolved storage is guarded, not ignored:
+    * RE-ADDING a dropped name would resurrect stale bytes from
+    * un-rewritten files, so dropped names are recorded in the descriptor
+    * and refused by `addColumns`/`appendEvolved` forever after (Delta
+    * solves this with column-mapping ids; recording the tombstone is the
+    * honest equivalent without rewriting history). `restore`/`cloneAt`
+    * to a pre-drop version clears the tombstone — the column is
+    * legitimately back, schema and bytes agree again.
+    *
+    * Refused: the ts column (placement identity), unknown names, and
+    * columns referenced by a CHECK constraint (drop the check first —
+    * failing later at write time with an analysis error would be the
+    * rotten alternative). Declared stats/bloom index columns narrow
+    * automatically. Returns the handle carrying the narrowed schema
+    * (`this` keeps serving its projection, the appendEvolved rule —
+    * which for a DROPPED column means a stale handle still reads it;
+    * reopen for the narrowed view). */
+  def dropColumns(names: Seq[String]): TsTable = {
+    require(names.nonEmpty, "dropColumns: no columns")
+    require(!names.exists(_.equalsIgnoreCase(tsCol)),
+      s"dropColumns: '$tsCol' is the table's order identity and cannot be dropped")
+    val unknown = names.filterNot(n =>
+      storedSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(unknown.isEmpty,
+      s"dropColumns: unknown column(s) ${unknown.mkString(", ")}")
+    val narrowed = StructType(storedSchema.fields.filterNot(f =>
+      names.exists(_.equalsIgnoreCase(f.name))))
+    // every CHECK must still resolve against the narrowed schema
+    tableChecks.foreach { case (n, sql) =>
+      val ok = scala.util.Try {
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], narrowed)
+          .where(expr(sql)).queryExecution.analyzed
+      }.isSuccess
+      require(ok,
+        s"dropColumns: CHECK constraint '$n' ($sql) references a dropped " +
+          "column — dropCheck it first")
+    }
+    val canonical = storedSchema.fieldNames
+      .filter(f => names.exists(_.equalsIgnoreCase(f))).toSeq
+    val newOpts = writeOptions.copy(
+      statsCols = writeOptions.statsCols.filterNot(c =>
+        canonical.exists(_.equalsIgnoreCase(c))),
+      bloomCols = writeOptions.bloomCols.filterNot(c =>
+        canonical.exists(_.equalsIgnoreCase(c))))
+    val newDropped = droppedCols ++ canonical
+    TsTable.writeDescriptor(spark, path, narrowed, tsCol, newOpts,
+      tableChecks, newDropped)
+    val t = new TsTable(spark, path, tsCol, narrowed, newOpts, tableChecks,
+      newDropped)
+    t.commitVersion("evolve", Some(narrowed))
     t
   }
 
@@ -503,8 +590,10 @@ final class TsTable private (
       }
     }
     val next = tableChecks :+ (name -> predicateSql)
-    TsTable.writeDescriptor(spark, path, storedSchema, tsCol, writeOptions, next)
-    val t = new TsTable(spark, path, tsCol, storedSchema, writeOptions, next)
+    TsTable.writeDescriptor(spark, path, storedSchema, tsCol, writeOptions,
+      next, droppedCols)
+    val t = new TsTable(spark, path, tsCol, storedSchema, writeOptions, next,
+      droppedCols)
     t.commitVersion("constraint", meta = Map("check" -> name))
     t
   }
@@ -514,8 +603,10 @@ final class TsTable private (
     require(tableChecks.exists(_._1.equalsIgnoreCase(name)),
       s"dropCheck: no constraint '$name' (have: ${tableChecks.map(_._1).mkString(", ")})")
     val next = tableChecks.filterNot(_._1.equalsIgnoreCase(name))
-    TsTable.writeDescriptor(spark, path, storedSchema, tsCol, writeOptions, next)
-    val t = new TsTable(spark, path, tsCol, storedSchema, writeOptions, next)
+    TsTable.writeDescriptor(spark, path, storedSchema, tsCol, writeOptions,
+      next, droppedCols)
+    val t = new TsTable(spark, path, tsCol, storedSchema, writeOptions, next,
+      droppedCols)
     t.commitVersion("constraint", meta = Map("check" -> name))
     t
   }
@@ -1330,9 +1421,13 @@ final class TsTable private (
     }
     // 3. the version's own schema becomes the stored descriptor again
     // (reopen via TsTable.open for a handle carrying it; this handle keeps
-    // serving its constructed projection, the appendEvolved rule)
+    // serving its constructed projection, the appendEvolved rule).
+    // Restoring to a pre-drop state clears that column's tombstone: the
+    // schema carries it again and the files' bytes are authoritative.
     TsTable.writeDescriptor(spark, path, snap.schema, snap.tsCol, writeOptions,
-      tableChecks)
+      tableChecks,
+      droppedCols.filterNot(d =>
+        snap.schema.fieldNames.exists(_.equalsIgnoreCase(d))))
     commitVersion("restore", Some(snap.schema))
   }
 
@@ -1382,10 +1477,14 @@ final class TsTable private (
           conf.value)
       }
     }
+    // a clone of a pre-drop version legitimately carries the column (the
+    // restore rule); tombstones only follow for names still absent
+    val cloneDropped = droppedCols.filterNot(d =>
+      snap.schema.fieldNames.exists(_.equalsIgnoreCase(d)))
     TsTable.writeDescriptor(spark, destPath, snap.schema, snap.tsCol,
-      writeOptions, tableChecks)
+      writeOptions, tableChecks, cloneDropped)
     val t = new TsTable(spark, destPath, snap.tsCol, snap.schema, writeOptions,
-      tableChecks)
+      tableChecks, cloneDropped)
     t.commitVersion("clone", Some(snap.schema))
     t
   }
@@ -2391,7 +2490,8 @@ object TsTable {
   private[ts] def writeDescriptor(spark: SparkSession, path: String,
                                   schema: StructType, tsCol: String,
                                   writeOptions: TsWriteOptions,
-                                  checks: Seq[(String, String)] = Seq.empty): Unit = {
+                                  checks: Seq[(String, String)] = Seq.empty,
+                                  dropped: Seq[String] = Seq.empty): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(dir, SchemaFile)
@@ -2406,8 +2506,14 @@ object TsTable {
           .encodeToString(sql.getBytes("UTF-8"))
         s"$n:$b64"
       }.mkString(",") + "\n"
+    // line 5 (optional): names retired by dropColumns — the re-add guard's
+    // persistent memory (an empty checks line keeps line numbering fixed)
+    val droppedLine =
+      if (dropped.isEmpty) ""
+      else (if (checksLine.isEmpty) "checks=\n" else "") +
+        "dropped=" + dropped.mkString("|") + "\n"
     try out.write((schema.json + "\n" + tsCol + "\n" + writeOptions.encode +
-      "\n" + checksLine).getBytes("UTF-8"))
+      "\n" + checksLine + droppedLine).getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(target)) fs.delete(target, false)
     require(fs.rename(tmp, target), s"failed to install schema descriptor at $target")
@@ -2435,8 +2541,13 @@ object TsTable {
       val lines = text.trim.split("\n")
       val opts = if (lines.length >= 3) TsWriteOptions.decode(lines(2)) else TsWriteOptions()
       val checks = if (lines.length >= 4) decodeChecks(lines(3).trim) else Seq.empty
+      val dropped =
+        if (lines.length >= 5 && lines(4).trim.startsWith("dropped="))
+          lines(4).trim.stripPrefix("dropped=").split("\\|").toSeq.filter(_.nonEmpty)
+        else Seq.empty
       new TsTable(spark, path, lines(1).trim,
-        DataType.fromJson(lines(0)).asInstanceOf[StructType], opts, checks)
+        DataType.fromJson(lines(0)).asInstanceOf[StructType], opts, checks,
+        dropped)
     } else {
       val inferred = spark.read.parquet(path).schema
       val dataSchema = StructType(inferred.filterNot(_.name == PartCol))

@@ -126,12 +126,17 @@ class GraftTsProceduresSpec extends SparkSpec {
         "x", 5)).toDF("ts", "user_id", "value", "tag", "n"))
     assert(spark.sql(s"SELECT tag FROM graft_ts.`$dir` WHERE user_id = 2")
       .head.getString(0) == "x")
-    // name collision and destructive changes are refused
+    // name collision and history-reinterpreting changes are refused
     intercept[Exception](
       spark.sql(s"ALTER TABLE graft_ts.`$dir` ADD COLUMNS (value DOUBLE)"))
     intercept[Exception](
-      spark.sql(s"ALTER TABLE graft_ts.`$dir` DROP COLUMN tag"))
-    intercept[Exception](
       spark.sql(s"ALTER TABLE graft_ts.`$dir` RENAME COLUMN tag TO label"))
+    // DROP COLUMN narrows via the pure-DDL drop (TsDropColumnSpec has the
+    // full surface); the dropped name tombstones against SQL re-add
+    spark.sql(s"ALTER TABLE graft_ts.`$dir` DROP COLUMN n")
+    assert(spark.sql(s"SELECT * FROM graft_ts.`$dir`").columns.toSeq ==
+      Seq("ts", "user_id", "value", "tag"))
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE graft_ts.`$dir` ADD COLUMNS (n INT)"))
   }
 }
