@@ -404,6 +404,58 @@ object StatsPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** B9+ LEAKAGE-SAFE train/val/test split: [[splitAssign]] hashes each
+    * doc independently, which lets two copies of the same text land in
+    * train AND test — the classic eval-contamination leak a dedup pass
+    * upstream only partially closes (any copy that survives curation
+    * thresholds differently re-opens it). This variant assigns the whole
+    * exact-duplicate cluster atomically: docs group by the canonical
+    * normalized-content hash (q_dedup_exact's key), the cluster's
+    * canonical id (min doc_id) goes through the SAME md5 hex-window gate,
+    * and every member inherits the verdict — so a duplicated document can
+    * never straddle splits, and adding copies never reassigns existing
+    * ones (the canonical id is stable under insertion of higher ids).
+    * ONE shuffle on the content hash (the q_dedup_exact exchange; the
+    * min-over-cluster window needs no second exchange); near-dup-cluster
+    * atomicity composes by swapping the grouping key for NearDedup's
+    * cluster label — same shape, exercised at spec level. */
+  def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    val wCk = Window.partitionBy(col("ck"))
+    val h4 = substring(md5(col("canon_id").cast("string")), 1, 4)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        sha2(graft.functions.TextFns.normalize(col("text")), 256).as("ck"))
+      .withColumn("canon_id", min(col("doc_id")).over(wCk))
+      .select(col("doc_id"), col("canon_id"),
+        when(h4 < TestMax, "test")
+          .when(h4 < ValMax, "val")
+          .otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The generalized leakage-safe gate [[splitLeakageSafe]]'s scaladoc
+    * promises: assign `split` by an ARBITRARY cluster labeling —
+    * (doc_id, cluster_id) rows from any dedup family (exact hash,
+    * minhash connected components via `NearDedup.clusterPairs`,
+    * embedding clusters); unlabeled docs are their own cluster. A left
+    * join on id (the label side is the small one — clustered docs only —
+    * so AQE broadcasts it and the corpus never shuffles), then the same
+    * md5 hex-window verdict on the cluster's canonical id. Asserted
+    * cluster-atomic and singleton-compatible with [[splitAssign]] in
+    * StatsPackSpec. */
+  def splitByCluster(docs: DataFrame, idCol: String,
+                     clusters: DataFrame): DataFrame = {
+    val cl = clusters.select(col("doc_id").as(idCol), col("cluster_id"))
+    val h4 = substring(md5(col("canon_id").cast("string")), 1, 4)
+    docs.select(col(idCol))
+      .join(cl, Seq(idCol), "left")
+      .withColumn("canon_id", coalesce(col("cluster_id"), col(idCol)))
+      .select(col(idCol), col("canon_id"),
+        when(h4 < TestMax, "test")
+          .when(h4 < ValMax, "val")
+          .otherwise("train").as("split"))
+  }
+
   /** B5+ rolling exact median (trailing 5 rows per user): the robust-center
     * sibling of q_window_moving_avg — the de-noising smoother pandas users
     * write as `rolling(5).median()`. Spark has no exact-percentile WINDOW
@@ -595,7 +647,8 @@ object StatsPack extends QueryPack {
     "q_histogram" -> histogram,
     "q_window_running" -> windowRunning,
     "q_feature_lags" -> featureLags,
-    "q_split_assign" -> splitAssign)
+    "q_split_assign" -> splitAssign,
+    "q_split_leakage_safe" -> splitLeakageSafe)
 
   def oracles: Map[String, String] = Map(
     "q_anomaly_mad" ->
@@ -809,5 +862,20 @@ object StatsPack extends QueryPack {
          |CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$TestMax' THEN 'test'
          |     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$ValMax' THEN 'val'
          |     ELSE 'train' END AS split
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Leakage-safe split: the whole exact-dup cluster inherits its
+    // canonical id's verdict, so duplicated text never straddles splits.
+    "q_split_leakage_safe" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS ck
+         |  FROM documents),
+         |c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ck) AS canon_id
+         |  FROM k),
+         |h AS (SELECT doc_id, canon_id,
+         |    substr(md5(CAST(canon_id AS VARCHAR)), 1, 4) AS h4 FROM c)
+         |SELECT doc_id, canon_id,
+         |CASE WHEN h4 < '$TestMax' THEN 'test'
+         |     WHEN h4 < '$ValMax' THEN 'val'
+         |     ELSE 'train' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin)
 }

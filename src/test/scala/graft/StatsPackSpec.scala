@@ -228,4 +228,37 @@ class StatsPackSpec extends SparkSpec {
       assert(math.abs(got(id) - m) < 1e-9, s"event $id: ${got(id)} vs $m")
     }
   }
+
+  test("splitByCluster: near-dup clusters are split-atomic; singletons agree with splitAssign") {
+    val docs = Tables.documents(spark, sf0001)
+    val clusters = graft.operators.NearDedup.clusterPairs(
+      graft.operators.NearDedup.minhashLsh(docs,
+        idCol = "doc_id", textCol = "text", partCol = "lang", tau = 0.8,
+        materialize = Some(true)))
+    val assigned = StatsPack.splitByCluster(docs, "doc_id", clusters)
+    assert(assigned.count() == docs.count())
+    // atomicity: no cluster straddles two splits
+    val straddlers = assigned.groupBy(col("canon_id"))
+      .agg(countDistinct(col("split")).as("k"))
+      .where(col("k") > 1).count()
+    assert(straddlers == 0)
+    // near-dup members really do share their canonical id's split
+    val clustered = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clustered.nonEmpty, "fixture should contain near-dup clusters")
+    val bySplit = assigned.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    clustered.foreach { case (doc, cl) =>
+      assert(bySplit(doc)._1 == cl)
+      assert(bySplit(doc)._2 == bySplit.getOrElse(cl, bySplit(doc))._2)
+    }
+    // singletons (no cluster label) carry exactly splitAssign's verdict
+    val perDoc = StatsPack.splitAssign(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    bySplit.foreach { case (doc, (canon, split)) =>
+      if (!clustered.contains(doc)) {
+        assert(canon == doc)
+        assert(split == perDoc(doc), s"singleton $doc diverged from splitAssign")
+      }
+    }
+  }
 }
