@@ -141,8 +141,30 @@ private[sources] object GraftTsProcedures {
     }
   }
 
+  private val Detail = new Proc("detail",
+    "One-row table summary (TsTable.detail — the DESCRIBE DETAIL " +
+      "analogue): live layout, snapshot/archive footprint, declared " +
+      "indexes and constraints; metadata-only",
+    Array(in("table", StringType))) {
+    private val out = StructType(Seq(
+      StructField("path", StringType), StructField("ts_col", StringType),
+      StructField("n_columns", IntegerType),
+      StructField("n_partitions", LongType), StructField("n_files", LongType),
+      StructField("n_bytes", LongType), StructField("n_versions", LongType),
+      StructField("current_version", LongType),
+      StructField("n_archived_files", LongType),
+      StructField("n_archived_bytes", LongType),
+      StructField("stats_cols", StringType),
+      StructField("bloom_cols", StringType),
+      StructField("checks", StringType), StructField("dropped", StringType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val r = TsTable.open(spark, input.getUTF8String(0).toString).detail.head()
+      result(out, Seq(row(r.toSeq: _*)))
+    }
+  }
+
   private val all: Seq[Proc] =
-    Seq(Compact, ExpireSnapshots, Restore, History, VacuumStaging)
+    Seq(Compact, ExpireSnapshots, Restore, History, VacuumStaging, Detail)
 
   def names: Array[String] = all.map(_.name()).toArray
 

@@ -1286,6 +1286,41 @@ final class TsTable private (
   def registerViewAt(name: String, version: Long): Unit =
     openAt(version).raw.createOrReplaceTempView(name)
 
+  /** One-row table summary (the Delta `DESCRIBE DETAIL` analogue) — the
+    * at-a-glance state an operator reads before reaching for
+    * maintenance: live layout (partitions / files / bytes — a high
+    * files-per-partition ratio argues `compact`), snapshot state
+    * (version count and archive footprint — growth argues
+    * `expireSnapshots`), and the declared write-side contracts
+    * (stats/bloom index columns, CHECK constraints, drop tombstones).
+    * METADATA ONLY: directory listings plus one version listing, no data
+    * read, no manifest bodies — O(#partitions + #archived files) driver
+    * work at any table size. */
+  def detail: DataFrame = {
+    import spark.implicits._
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = listLiveFiles(fs)
+    val vs = TsTable.listVersions(spark, path)
+    val archRoot = new Path(path, TsTable.ArchiveDir)
+    var archN = 0L
+    var archB = 0L
+    if (fs.exists(archRoot)) {
+      val it = fs.listFiles(archRoot, true)
+      while (it.hasNext) { val f = it.next(); archN += 1; archB += f.getLen }
+    }
+    Seq((path, tsCol, storedSchema.fieldNames.length,
+      partitionDates.length.toLong, files.length.toLong, files.map(_._2).sum,
+      vs.length.toLong, if (vs.isEmpty) 0L else vs.max,
+      archN, archB,
+      writeOptions.statsCols.mkString(","),
+      writeOptions.bloomCols.mkString(","),
+      tableChecks.map(_._1).mkString(","),
+      droppedCols.mkString(",")))
+      .toDF("path", "ts_col", "n_columns", "n_partitions", "n_files",
+        "n_bytes", "n_versions", "current_version", "n_archived_files",
+        "n_archived_bytes", "stats_cols", "bloom_cols", "checks", "dropped")
+  }
+
   /** Mutation history as a DataFrame — one row per committed version:
     * (version, action, n_files, n_bytes), straight from the manifests
     * (O(#versions) sidecar reads, no data access). The table-format

@@ -78,6 +78,31 @@ class GraftTsProceduresSpec extends SparkSpec {
       msgs)
   }
 
+  test("CALL detail reports the one-row table summary, metadata-only") {
+    val dir = freshDir()
+    val t = TsTable.create(spark, dir, schema,
+      writeOptions = graft.ts.TsWriteOptions(statsCols = Seq("user_id"),
+        bloomCols = Seq("user_id")))
+    t.append(mkRows(Seq(("2024-03-01 08:00:00", 1L, 1.0))))
+    t.append(mkRows(Seq(("2024-03-02 09:00:00", 2L, 2.0))))
+    val d = spark.sql(s"CALL graft_ts.system.detail(`table` => '$dir')").head
+    assert(d.getString(0) == dir && d.getString(1) == "ts")
+    assert(d.getInt(2) == 3)        // ts, user_id, value
+    assert(d.getLong(3) == 2L)      // two day partitions
+    assert(d.getLong(4) == 2L)      // one file each
+    assert(d.getLong(5) > 0L)
+    assert(d.getLong(6) == 3L && d.getLong(7) == 3L) // create + 2 appends
+    assert(d.getLong(8) == 0L)      // nothing archived yet
+    assert(d.getString(10) == "user_id" && d.getString(11) == "user_id")
+    // facade face agrees
+    val f = TsTable.open(spark, dir).detail.head
+    assert(f.getLong(4) == 2L && f.getString(11) == "user_id")
+    // archive footprint moves after retention drops a day
+    t.dropBefore("2024-03-02")
+    val d2 = spark.sql(s"CALL graft_ts.system.detail(`table` => '$dir')").head
+    assert(d2.getLong(3) == 1L && d2.getLong(8) >= 1L && d2.getLong(9) > 0L)
+  }
+
   test("CALL vacuum_staging reclaims aged crash leftovers, spares fresh " +
       "staging and live data") {
     val dir = freshDir()
