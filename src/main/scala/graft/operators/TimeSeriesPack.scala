@@ -863,6 +863,74 @@ object TimeSeriesPack extends QueryPack {
     * a deterministic tiebreak both engines replay identically — then one
     * hash aggregation; the two window passes share a single (bucket, type)
     * shuffle. */
+  private val LttbBuckets = 12L
+
+  /** B5/B6+ visual downsampling — largest-triangle-three-buckets, the
+    * parallel bucketed variant (Steinarsson 2013; the `lttb` Grafana/
+    * Timescale serve their charts with): each user's series reduces to
+    * ≤ 12 points that preserve visual shape — per rank-space bucket,
+    * keep the point forming the LARGEST triangle against the
+    * neighboring buckets' average points (classic LTTB uses the
+    * previously SELECTED point as the left vertex, which serializes the
+    * scan; substituting the previous bucket's average — the variant
+    * Steinarsson evaluates as near-identical — makes every bucket
+    * independently computable, i.e. one distributed pass instead of a
+    * per-series sequential fold). Series endpoints stay anchored like
+    * the original: the first/last bucket select their first/last point.
+    * Shape: one rank window (user exchange), one bucket aggregate
+    * (map-side combined; decimal-exact sums so both engines derive
+    * bit-identical averages), one small per-(user,bucket) neighbor
+    * window, a join of points to their bucket's neighbor stats, one
+    * selection window. At 100 TB: the dashboard query — 1 B points per
+    * series become 12 without any driver involvement; area arithmetic is
+    * the same IEEE chain on both engines, so argmax agrees bit-for-bit
+    * (ties break on event_id). */
+  def downsampleLttb(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val pts = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(wU))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .withColumn("b", expr(s"((rn - 1) * $LttbBuckets) DIV n"))
+    val bstats = pts.groupBy(col("user_id"), col("b"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("us").cast("decimal(38,0)")).as("sx"),
+        sum(col("value").cast("decimal(28,4)")).as("sy"))
+      .select(col("user_id"), col("b"),
+        (col("sx").cast("double") / col("cnt")).as("ax"),
+        (col("sy").cast("double") / col("cnt")).as("ay"))
+    val wB = Window.partitionBy(col("user_id")).orderBy(col("b"))
+    val nb = bstats
+      .select(col("user_id"), col("b"),
+        coalesce(lag(col("ax"), 1).over(wB), col("ax")).as("px"),
+        coalesce(lag(col("ay"), 1).over(wB), col("ay")).as("py"),
+        coalesce(lead(col("ax"), 1).over(wB), col("ax")).as("nx"),
+        coalesce(lead(col("ay"), 1).over(wB), col("ay")).as("ny"))
+    val scored = pts.join(nb, Seq("user_id", "b"))
+      .withColumn("area", abs(
+        col("px") * (col("value") - col("ny")) +
+          col("us").cast("double") * (col("ny") - col("py")) +
+          col("nx") * (col("py") - col("value"))))
+      .withColumn("maxb", expr(s"((n - 1) * $LttbBuckets) DIV n"))
+      .withColumn("k1",
+        when(col("b") === 0, col("rn").cast("long"))
+          .when(col("b") === col("maxb"), col("n") - col("rn"))
+          .otherwise(lit(0L)))
+    val wSel = Window.partitionBy(col("user_id"), col("b"))
+      .orderBy(col("k1"), col("area").desc, col("event_id"))
+    // the area itself is NOT surfaced: at epoch-µs x-scale it is O(1e12),
+    // past the magnitude where a 6dp round is even representable in a
+    // double — the engines agree on the argmax (identical IEEE chain) but
+    // not on a cosmetic re-round of the raw score
+    scored.withColumn("rk", row_number().over(wSel))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("b"), col("event_id"), col("us").as("ts_us"),
+        col("value"))
+      .orderBy(col("user_id"), col("b"))
+  }
+
   def resampleOhlc(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = Tables.events(s, dir).select(col("event_type"),
@@ -1284,6 +1352,7 @@ object TimeSeriesPack extends QueryPack {
     "q_filter_project" -> filterProject,
     "q_scalar_datetime" -> scalarDatetime,
     "q_resample_ohlc" -> resampleOhlc,
+    "q_downsample_lttb" -> downsampleLttb,
     "q_resample_ffill" -> resampleFfill,
     "q_resample_interp" -> resampleInterp,
     "q_window_tumbling" -> windowTumbling,
@@ -1464,6 +1533,39 @@ object TimeSeriesPack extends QueryPack {
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
          |ORDER BY event_id""".stripMargin,
+    // Parallel LTTB: bucket averages from decimal-exact sums, the same
+    // IEEE area chain, endpoint anchors, event_id tiebreak.
+    "q_downsample_lttb" ->
+      s"""WITH e AS (SELECT user_id,
+         |    epoch_us(date_trunc('microseconds', ts)) AS us, event_id, value
+         |  FROM events),
+         |p AS (SELECT user_id, us, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM e),
+         |pb AS (SELECT *, ((rn - 1) * $LttbBuckets) // n AS b FROM p),
+         |bs AS (SELECT user_id, b, count(*) AS cnt,
+         |    CAST(sum(CAST(us AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS ax,
+         |    CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS ay
+         |  FROM pb GROUP BY user_id, b),
+         |nb AS (SELECT user_id, b,
+         |    coalesce(lag(ax) OVER w, ax) AS px,
+         |    coalesce(lag(ay) OVER w, ay) AS py,
+         |    coalesce(lead(ax) OVER w, ax) AS nx,
+         |    coalesce(lead(ay) OVER w, ay) AS ny
+         |  FROM bs WINDOW w AS (PARTITION BY user_id ORDER BY b)),
+         |sc AS (SELECT pb.user_id, pb.b, pb.event_id, pb.us, pb.value,
+         |    pb.rn, pb.n,
+         |    abs(nb.px * (pb.value - nb.ny)
+         |        + CAST(pb.us AS DOUBLE) * (nb.ny - nb.py)
+         |        + nb.nx * (nb.py - pb.value)) AS area,
+         |    ((pb.n - 1) * $LttbBuckets) // pb.n AS maxb
+         |  FROM pb JOIN nb USING (user_id, b)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, b ORDER BY
+         |    CASE WHEN b = 0 THEN rn WHEN b = maxb THEN n - rn ELSE 0 END,
+         |    area DESC, event_id) AS rk FROM sc)
+         |SELECT user_id, b, event_id, us AS ts_us, value
+         |FROM r WHERE rk = 1 ORDER BY user_id, b""".stripMargin,
     // Column drop is metadata-only narrowing: everything except props
     // must survive byte-identically.
     "q_ts_drop_column" ->

@@ -113,4 +113,27 @@ class WindowOpsSpec extends SparkSpec {
       assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx in:\n$plan")
     }
   }
+
+  test("LTTB downsample: ≤12 points per user, one per bucket, endpoints anchored, members of the series") {
+    val got = graft.operators.TimeSeriesPack.downsampleLttb(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = got.groupBy(_._1)
+    val src = series // (user -> ordered (event_id, value)); order is (ts, event_id)
+    val full = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(byUser.keySet == full.keySet)
+    byUser.foreach { case (u, pts) =>
+      assert(pts.length <= 12)
+      assert(pts.map(_._2).distinct.length == pts.length, s"user $u: duplicate buckets")
+      val ordered = full(u).sortBy(t => (t._2, t._3))
+      // endpoint anchors: the series' first and last points are selected
+      val selectedIds = pts.map(_._3).toSet
+      assert(selectedIds.contains(ordered.head._3), s"user $u: first point not anchored")
+      assert(selectedIds.contains(ordered.last._3), s"user $u: last point not anchored")
+      // every selected point is a real member of the series
+      assert(selectedIds.subsetOf(ordered.map(_._3).toSet))
+    }
+  }
 }
