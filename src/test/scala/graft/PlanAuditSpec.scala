@@ -543,6 +543,38 @@ class PlanAuditSpec extends SparkSpec {
       s"melt must not add exchanges over the wide pivot:\n$p")
   }
 
+  test("stats_acf: all three lags off ONE user exchange; the (user, lag) " +
+      "aggregate is map-side combined") {
+    val p = plan(graft.operators.StatsPack.statsAcf(spark, sf0001))
+    assert(!p.contains("Join"), s"ACF needs no join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 2, // window(user) + agg(user, lag)
+      s"expected ≤2 hash exchanges (window + final agg), got $hashEx:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine on the agg:\n$p")
+    // one Window covers all three lag companions
+    assert("Window ".r.findAllIn(p).length == 1, s"expected one window:\n$p")
+  }
+
+  test("split_leakage_safe: one content-hash exchange, no join, no cartesian") {
+    val p = plan(graft.operators.StatsPack.splitLeakageSafe(spark, sf0001))
+    assert(!p.contains("Join"), s"the exact-dup gate needs no join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly the ck window exchange, got $hashEx:\n$p")
+  }
+
+  test("downsample_lttb: the neighbor-stats side broadcasts; no wide join, " +
+      "bounded exchanges") {
+    val df = graft.operators.TimeSeriesPack.downsampleLttb(spark, sf0001)
+    df.collect() // let AQE finalize the join strategy
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-(user,bucket) stats (users × 12 rows) must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no wide join belongs here:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 4, // rank window, bucket agg, neighbor window, selection
+      s"expected ≤4 hash exchanges, got $hashEx:\n$p")
+  }
+
   test("executed plans run inside whole-stage codegen (AQE final plans)") {
     // AQE shows codegen stages only once the final plan materializes, so
     // execute first; a representative read, agg and join query each.
