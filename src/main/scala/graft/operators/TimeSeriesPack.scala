@@ -350,6 +350,44 @@ object TimeSeriesPack extends QueryPack {
     eventsProjection(t.changesBetween(checkpoint, t.currentVersion.get))
   }
 
+  /** A3+ row-level change-feed round-trip (`TsTable.changeFeed` — the
+    * full CDF verb, [[changesRoundtrip]]'s row-level sibling): from a
+    * checkpoint after batch 1, a second batch lands (insert-only
+    * version), a copy-on-write DELETE removes a cohort's mid-range rows,
+    * and a copy-on-write UPDATE doubles another cohort's values.
+    * `changeFeed(checkpoint, current)` must reconstruct all three: batch
+    * 2 as `insert`s, the deleted rows as `delete`s, and the update as
+    * pre-image `delete` / post-image `insert` PAIRS at one version — the
+    * diff-based (Iceberg-changelog-style) feed derived from archived
+    * originals vs replacement files, with rewritten-but-unchanged
+    * survivor rows cancelling exactly under `EXCEPT ALL`. The oracle
+    * replays the verbs relationally (versions surface as deltas from the
+    * checkpoint so the oracle never hardcodes absolute version numbers);
+    * empty ranges, maintenance silence, and merge feeds are asserted in
+    * SnapshotSpec. */
+  def cdfRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tscdf_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cut = lit("2024-01-02 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    val checkpoint = t.currentVersion.get
+    t.append(ev.where(col("ts") >= cut))
+    t.deleteWhere(col("user_id") % 7 === 3 &&
+      col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"))
+    t.updateWhere(col("user_id") % 5 === 1 &&
+        col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"),
+      Map("value" -> (col("value") * 2)))
+    t.changeFeed(checkpoint, t.currentVersion.get)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"),
+        col("_change_type").as("change_type"),
+        (col("_commit_version") - checkpoint).as("delta_v"))
+      .orderBy(col("delta_v"), col("change_type"), col("event_id"))
+  }
+
   // Query rectangle as FRACTIONS of each dimension's [min, max] span —
   // the fixture's user_id domain scales with SF, so absolute bounds
   // would select nothing at one scale and everything at another. Both
@@ -1341,6 +1379,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_sql_merge" -> sqlMergeRoundtrip,
     "q_ts_rollup" -> rollupRoundtrip,
     "q_ts_changes" -> changesRoundtrip,
+    "q_ts_cdf" -> cdfRoundtrip,
     "q_ts_stream_changes" -> streamChangesRoundtrip,
     "q_ts_stream_pipe" -> streamPipeRoundtrip,
     "q_ts_stream_sink" -> streamSinkRoundtrip,
@@ -1624,6 +1663,44 @@ object TimeSeriesPack extends QueryPack {
          |WHERE date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-02 12:00:00'
          |  AND date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
          |ORDER BY event_id""".stripMargin,
+    // The change feed reconstructs the verbs relationally: batch 2 as
+    // inserts at the first post-checkpoint version, the deleted cohort as
+    // deletes, the update as pre/post pairs at one version (the engine's
+    // update applies only to rows surviving the earlier delete — NOT
+    // delpred below).
+    "q_ts_cdf" ->
+      """WITH base AS (
+        |  SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id,
+        |    event_type, value, props
+        |  FROM events
+        |  WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+        |), b2 AS (
+        |  SELECT * FROM base WHERE ts >= TIMESTAMP '2024-01-02 12:00:00'
+        |), del AS (
+        |  SELECT * FROM base
+        |  WHERE user_id % 7 = 3 AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-04 00:00:00'
+        |), upd AS (
+        |  SELECT * FROM base
+        |  WHERE NOT (user_id % 7 = 3 AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-04 00:00:00')
+        |    AND user_id % 5 = 1 AND ts < TIMESTAMP '2024-01-03 00:00:00'
+        |), feed AS (
+        |  SELECT event_id, ts, user_id, event_type, value, props,
+        |    'insert' AS change_type, CAST(1 AS BIGINT) AS delta_v FROM b2
+        |  UNION ALL
+        |  SELECT event_id, ts, user_id, event_type, value, props,
+        |    'delete', 2 FROM del
+        |  UNION ALL
+        |  SELECT event_id, ts, user_id, event_type, value, props,
+        |    'delete', 3 FROM upd
+        |  UNION ALL
+        |  SELECT event_id, ts, user_id, event_type, value * 2, props,
+        |    'insert', 3 FROM upd
+        |)
+        |SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+        |  props, change_type, delta_v
+        |FROM feed ORDER BY delta_v, change_type, event_id""".stripMargin,
     // The gate admits exactly the clean slice; the one compliant update
     // replays as CASE WHEN (the rejected writes contribute nothing).
     "q_ts_constraint" ->

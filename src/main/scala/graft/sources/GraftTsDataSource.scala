@@ -111,11 +111,25 @@ final class GraftTsDataSource extends TableProvider with DataSourceRegister
     require(schema.isEmpty,
       "graft-ts: the stream schema comes from the store descriptor; a " +
         "user-specified schema could silently misalign served batches")
-    (shortName(), TsTable.open(SparkSession.active,
+    val tableSchema = TsTable.open(SparkSession.active,
       parameters.getOrElse("path", throw new IllegalArgumentException(
         "graft-ts: a single 'path' is required (load(path))")),
-      parameters.getOrElse("tsCol", "ts")).schema)
+      parameters.getOrElse("tsCol", "ts")).schema
+    (shortName(),
+      if (readChangeFeed(parameters))
+        org.apache.spark.sql.graft.GraftTsStreamSource.cdfSchema(tableSchema)
+      else tableSchema)
   }
+
+  private def readChangeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists { raw =>
+      raw.trim.toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"readChangeFeed must be true or false, got '$other'")
+      }
+    }
 
   override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
                             metadataPath: String, schema: Option[StructType],
@@ -131,7 +145,8 @@ final class GraftTsDataSource extends TableProvider with DataSourceRegister
           throw new IllegalArgumentException(
             s"startingVersion must be a snapshot version number, got '$raw'")
         }
-      })
+      },
+      readChangeFeed(parameters))
 
   // Schema always comes from the store descriptor (or parquet footers for
   // attached plain layouts) — a user-supplied schema could silently widen

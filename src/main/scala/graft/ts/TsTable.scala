@@ -1389,6 +1389,99 @@ final class TsTable private (
         .toDF
   }
 
+  /** Row-level change feed — the full-CDF sibling of [[changesBetween]]
+    * (which serves only ADDS, metadata-only): every row-level change
+    * between `fromVersion` (exclusive) and `toVersion` (inclusive), as
+    * the table's columns under `toVersion`'s schema plus `_change_type`
+    * (`"insert"` | `"delete"`) and `_commit_version`. This is the
+    * RECONSTRUCTED change feed (the Iceberg-changelog approach, vs
+    * Delta CDF's write-time `_change_data` files): no bytes are written
+    * at commit time; the feed is derived on demand by diffing each
+    * version's file set against its predecessor's — possible here
+    * because copy-on-write ARCHIVES the originals it displaces, so both
+    * sides of every rewrite remain readable until `expireSnapshots`.
+    *
+    * Per version in the range:
+    *   - `create`/`append`/`backfill` are file-additive: the added
+    *     files' rows emit as `insert` — no diff job, same cost as
+    *     [[changesBetween]].
+    *   - `delete`/`update`/`merge`/`overwrite`/`retention`/`restore`
+    *     (and any unrecognized verb, conservatively) row-diff: rows in
+    *     the displaced files but not the replacement files emit as
+    *     `delete`, the reverse as `insert` (multiset `EXCEPT ALL`, so
+    *     rewritten-but-unchanged survivor rows cancel exactly). An
+    *     UPDATE therefore surfaces as a delete/insert PAIR at one
+    *     `_commit_version` — pre-image and post-image; a MERGE's mixed
+    *     rewrite+insert files resolve correctly row-wise (the file-set
+    *     diff in `changesBetween` cannot isolate a merge's adds — this
+    *     can, which is why incremental consumers that must survive
+    *     merges resync through the change feed).
+    *   - `compact`/`evolve`/`constraint`/`clone` are content-preserving
+    *     by construction and emit nothing without reading anything.
+    *
+    * Cost: O(bytes of files TOUCHED by changes in the range) — each
+    * rewrite version pays one scan of its displaced + replacement files
+    * and a hash shuffle for the multiset diff; append versions pay one
+    * scan of the added files; the table itself is never fully read.
+    * Columns must be comparable for `EXCEPT ALL` (no MapType — true of
+    * every graft-ts-writable schema). Rows read under each version's own
+    * schema and align to `toVersion`'s by name (missing evolved columns
+    * null-fill — the appendEvolved rule). */
+  def changeFeed(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changeFeed: need fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val manifests = (fromVersion to toVersion)
+      .map(v => v -> TsTable.readManifest(spark, path, v)).toMap
+    val serving = manifests(toVersion)
+    val outSchema = serving.schema
+      .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+      .add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false)
+    def align(df: DataFrame): DataFrame =
+      df.select(serving.schema.fields.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    def subsetDF(m: TsManifest, files: Seq[(String, Long)]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], serving.schema)
+      else align(new TsSnapshot(spark, path, m.tsCol,
+        TsManifest(m.version, "cdf", m.tsCol, m.schema, files)).toDF)
+    val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val m = manifests(v)
+      val prev = manifests(v - 1)
+      val prevSet = prev.files.map(_._1).toSet
+      val curSet = m.files.map(_._1).toSet
+      val added = m.files.filterNot(f => prevSet.contains(f._1))
+      val removed = prev.files.filterNot(f => curSet.contains(f._1))
+      m.action match {
+        case "create" | "append" | "backfill" =>
+          if (added.isEmpty) Seq.empty
+          else Seq(subsetDF(m, added)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        case "compact" | "evolve" | "constraint" | "clone" =>
+          Seq.empty // content-preserving: same rows before and after
+        case _ => // delete/update/merge/overwrite/retention/restore/unknown
+          if (added.isEmpty && removed.isEmpty) Seq.empty
+          else {
+            val pre = subsetDF(prev, removed)
+            val post = subsetDF(m, added)
+            Seq(
+              pre.exceptAll(post)
+                .withColumn("_change_type", lit("delete"))
+                .withColumn("_commit_version", lit(v)),
+              post.exceptAll(pre)
+                .withColumn("_change_type", lit("insert"))
+                .withColumn("_commit_version", lit(v)))
+          }
+      }
+    }
+    parts.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema))
+  }
+
   /** Roll the LIVE table back to a committed version (the Delta `RESTORE`
     * analogue — mistake recovery: a bad batch landed, an overwrite was
     * wrong, retention dropped too much). Mechanics: every current live

@@ -42,15 +42,28 @@ import org.apache.spark.sql.types.StructType
   * dropped from served batches (the stream's contract is its declared
   * schema); a restore to a pre-evolution schema fails the query loudly
   * rather than serving misaligned rows.
+  *
+  * `readChangeFeed = true` switches the source onto
+  * [[graft.ts.TsTable.changeFeed]]: batches carry `_change_type`
+  * (`insert`/`delete`) and `_commit_version`, and the verbs the plain
+  * source must stay silent on (`deleteWhere`/`updateWhere`/`mergeInto`/
+  * retention/`restore`) stream their row-level effects — the shape a
+  * downstream mirror needs to track deletions instead of resyncing. A
+  * `startingVersion` below the retained horizon serves the earliest
+  * retained full state as synthetic `insert`s at that version (the same
+  * stand-in rule as the plain source), then row-diffs forward.
   */
 final class GraftTsStreamSource(sqlContext: SQLContext, path: String,
-                                startingVersion: Option[Long]) extends Source {
+                                startingVersion: Option[Long],
+                                readChangeFeed: Boolean = false) extends Source {
 
   private val spark = sqlContext.sparkSession
     .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
   private val table = TsTable.open(spark, path)
 
-  override val schema: StructType = table.schema
+  override val schema: StructType =
+    if (readChangeFeed) GraftTsStreamSource.cdfSchema(table.schema)
+    else table.schema
 
   /** Versions at-or-before this are the consumed baseline of a FRESH
     * stream (getBatch with start = None): "new commits only" by default.
@@ -81,10 +94,13 @@ final class GraftTsStreamSource(sqlContext: SQLContext, path: String,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
+        def diff(lo: Long, hi: Long): DataFrame =
+          if (readChangeFeed) table.changeFeed(lo, hi)
+          else table.changesBetween(lo, hi)
         // common path first: `from` still retained → a pure version-range
         // diff, O(1) existence check (not an O(#versions) history walk)
         val aligned =
-          if (from >= 1 && table.hasVersion(from)) table.changesBetween(from, to)
+          if (from >= 1 && table.hasVersion(from)) diff(from, to)
           else {
             val oldest = table.snapshotVersions.headOption.map(_._1).getOrElse(0L)
             // replay from before the retained history (startingVersion
@@ -92,10 +108,16 @@ final class GraftTsStreamSource(sqlContext: SQLContext, path: String,
             // FULL state stands in for the expired prefix, then diffs.
             // For a table created through this engine, version 1 is the
             // empty "create" state, so startingVersion=0 = every append.
-            val base = TsTable.openAt(spark, path, oldest).toDF
+            // In change-feed mode the stand-in rows are synthetic inserts
+            // stamped with the horizon version they stand in for.
+            val base0 = TsTable.openAt(spark, path, oldest).toDF
+            val base =
+              if (!readChangeFeed) base0
+              else base0
+                .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
+                .withColumn("_commit_version", org.apache.spark.sql.functions.lit(oldest))
             if (to == oldest) base
-            else base.unionByName(table.changesBetween(oldest, to),
-              allowMissingColumns = true)
+            else base.unionByName(diff(oldest, to), allowMissingColumns = true)
           }
         aligned.select(schema.fieldNames.map(col).toSeq: _*) // pin declared schema
       }
@@ -104,4 +126,12 @@ final class GraftTsStreamSource(sqlContext: SQLContext, path: String,
   }
 
   override def stop(): Unit = ()
+}
+
+object GraftTsStreamSource {
+  /** The change-feed stream schema: the table's columns plus the Delta-CDF
+    * convention pair. */
+  def cdfSchema(tableSchema: StructType): StructType = tableSchema
+    .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+    .add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false)
 }

@@ -276,6 +276,82 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.changesBetween(3L, 3L))
   }
 
+  test("changeFeed: compact is silent, delete feeds its removed rows, " +
+      "retention feeds the dropped days — with survivor rows cancelling " +
+      "exactly under the multiset diff") {
+    val (t, _, _) = build("cdf")
+    val vBase = t.currentVersion.get
+    val baseIds = ids(t.toDF).toSet
+    t.compactAll(targetFiles = 1)
+    assert(t.changeFeed(vBase, t.currentVersion.get).count() == 0,
+      "a compact version is content-preserving — the feed must be empty")
+    val delPred = col("user_id") % 3 === 1
+    val expectDel = ids(t.toDF.where(delPred)).toSet
+    t.deleteWhere(delPred)
+    val vDel = t.currentVersion.get
+    val delFeed = t.changeFeed(vDel - 1, vDel).collect()
+    assert(delFeed.forall(_.getAs[String]("_change_type") == "delete"),
+      "a pure delete feeds no inserts")
+    assert(delFeed.map(_.getAs[Long]("event_id")).toSet == expectDel)
+    val expectDropped = ids(t.toDF.where(
+      col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))).toSet
+    t.dropBefore("2024-01-03")
+    val vRet = t.currentVersion.get
+    val retFeed = t.changeFeed(vRet - 1, vRet).collect()
+    assert(retFeed.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(retFeed.map(_.getAs[Long]("event_id")).toSet == expectDropped)
+    // whole-history feed NETS to the live table: per row id, inserts
+    // minus deletes leaves exactly the surviving rows (nothing here
+    // deletes-then-reinserts, so net is 0 or 1 per id)
+    val net = t.changeFeed(1L, vRet)
+      .groupBy(col("event_id"))
+      .agg(sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("n"))
+      .where(col("n") === 1)
+    assert(ids(net) == ids(t.toDF),
+      "replaying the full feed must reconstruct the live table")
+    assert(baseIds.nonEmpty)
+    intercept[IllegalArgumentException](t.changeFeed(vRet, vRet))
+  }
+
+  test("changeFeed reconstructs a MERGE row-wise — the update pre/post " +
+      "pairs and the inserts changesBetween's file-set diff cannot see") {
+    val (t, _, _) = build("cdfmerge")
+    val vPre = t.currentVersion.get
+    val updPred = col("user_id") % 4 === 2 &&
+      col("ts") < lit("2024-01-02 00:00:00").cast("timestamp")
+    val updSrc = t.toDF.where(updPred)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value") + 100).as("value"), col("props"))
+    val lo = lit("2024-01-05 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-06 00:00:00").cast("timestamp")
+    val insSrc = Tables.events(spark, sf0001)
+      .where(col("ts") >= lo && col("ts") < hi)
+      .select((col("ts") - org.apache.spark.sql.functions.expr("INTERVAL 96 HOURS")).as("ts"),
+        col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
+    val updIds = ids(t.toDF.where(updPred)).toSet
+    val insIds = ids(insSrc).toSet
+    val r = t.mergeInto(updSrc.unionByName(insSrc), keys = Seq("event_id", "ts"))
+    assert(r.updated == updIds.size && r.inserted == insIds.size)
+    val vPost = t.currentVersion.get
+    // the file-set diff documents its merge blindness...
+    assert(t.changesBetween(vPre, vPost).count() == 0)
+    // ...the row diff sees everything
+    val feed = t.changeFeed(vPre, vPost).collect()
+    val inserts = feed.filter(_.getAs[String]("_change_type") == "insert")
+    val deletes = feed.filter(_.getAs[String]("_change_type") == "delete")
+    assert(deletes.map(_.getAs[Long]("event_id")).toSet == updIds,
+      "pre-images: exactly the matched rows")
+    assert(inserts.map(_.getAs[Long]("event_id")).toSet == (updIds ++ insIds),
+      "post-images + merge inserts")
+    val preVal = deletes.map(d =>
+      d.getAs[Long]("event_id") -> d.getAs[Double]("value")).toMap
+    assert(inserts.filter(r0 => updIds.contains(r0.getAs[Long]("event_id")))
+      .forall(r0 => r0.getAs[Double]("value") ==
+        preVal(r0.getAs[Long]("event_id")) + 100),
+      "each post-image value = its pre-image + 100")
+    assert(feed.forall(_.getAs[Long]("_commit_version") == vPost))
+  }
+
   test("restore's archive copy-back runs as a distributed Spark job — one " +
       "task per displaced file, never a sequential driver byte loop") {
     val (t, store, _) = build("distcp")

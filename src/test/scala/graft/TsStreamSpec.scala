@@ -900,6 +900,68 @@ class TsStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("change-feed readStream: deletes and updates stream as row-level " +
+      "_change_type batches; plain mode stays silent on them; horizon " +
+      "replay serves synthetic inserts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ts_stream_cdf").toString
+    val store = s"$dir/store"
+    val first = Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 11:00:00")).toDF()
+    val table = TsTable.create(spark, store, first.schema, tsCol = "ts")
+    table.append(first)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val q = spark.readStream.format("graft-ts")
+      .option("readChangeFeed", "true").load(store)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select("event_id", "_change_type", "_commit_version")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(got.isEmpty, "pre-stream history must not replay by default")
+      table.append(Seq(ev(3, "2024-01-02 10:00:00")).toDF())
+      q.processAllAvailable()
+      assert(got.toSet == Set((3L, "insert", table.currentVersion.get)))
+      got.clear()
+      table.deleteWhere(col("event_id") === 1L)
+      val vDel = table.currentVersion.get
+      table.updateWhere(col("event_id") === 2L, Map("value" -> lit(9.0)))
+      val vUpd = table.currentVersion.get
+      q.processAllAvailable()
+      assert(got.toSet == Set(
+        (1L, "delete", vDel),
+        (2L, "delete", vUpd), (2L, "insert", vUpd)),
+        "delete feeds its row; update feeds a pre/post pair")
+      // compact: content-preserving, silent in CDF mode too
+      got.clear()
+      table.compactAll(targetFiles = 1)
+      q.processAllAvailable()
+      assert(got.isEmpty, "compact must stay silent in change-feed mode")
+    } finally q.stop()
+    // horizon replay: expire history so startingVersion=0 predates the
+    // retained manifests — the earliest retained full state stands in as
+    // synthetic inserts stamped with the horizon version
+    table.expireSnapshots(keepLast = 1)
+    val horizon = table.snapshotVersions.head._1
+    val got2 = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val q2 = spark.readStream.format("graft-ts")
+      .option("readChangeFeed", "true").option("startingVersion", "0").load(store)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt2")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got2 ++= b.select("event_id", "_change_type", "_commit_version")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        ()
+      }.start()
+    try {
+      q2.processAllAvailable()
+      assert(got2.toSet == Set((2L, "insert", horizon), (3L, "insert", horizon)),
+        "horizon stand-in = surviving rows as synthetic inserts")
+    } finally q2.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("sink survives a mid-stream restore: the next microbatch re-anchors " +
       "on the restored max; history stays linear") {
     import spark.implicits._
