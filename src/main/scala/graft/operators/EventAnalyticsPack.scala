@@ -328,7 +328,48 @@ object EventAnalyticsPack extends QueryPack {
           .as("mean_value"))
       .orderBy(col("dow_mon0"), col("hr"))
 
+  /** Touch channels credited by [[attribution]]; `error` events are
+    * explicitly non-attributable noise. Plan-time literals, enumerated
+    * identically in the oracle. */
+  private val TouchTypes = Seq("view", "click", "signup")
+  private val AttributionWindowUs = 24L * 3600 * 1000000 // 24 h lookback
+
+  /** B9+ last-touch attribution — the marketing/campaign workflow run
+    * after sessionize/funnel: each `purchase` is credited to the SAME
+    * user's most recent preceding touch event (`view`/`click`/`signup` —
+    * `error` rows never attribute) within a 24 h lookback, else to
+    * `"none"`. ONE user_id exchange: two `last(…, ignoreNulls)` passes
+    * over the same ordered frame pick the channel and its timestamp from
+    * the same row (both conditioned on the same touch predicate, same
+    * ORDER BY ts, event_id — tie-free because event_id is unique), then
+    * the purchase filter and the lookback test are row-local.
+    * Per-conversion rows are emitted (bounded by purchases, ~1/5 of the
+    * stream) so the oracle checks the ASSIGNMENT itself, not just channel
+    * totals; any rollup composes on top. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val isTouch = col("event_type").isin(TouchTypes.map(x => x: Any): _*)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("*"), // one select → ONE Window node for both passes
+        last(when(isTouch, col("event_type")), ignoreNulls = true)
+          .over(w).as("ch"),
+        last(when(isTouch, unix_micros(col("ts"))), ignoreNulls = true)
+          .over(w).as("tts"))
+      .where(col("event_type") === "purchase")
+      .withColumn("gap0", unix_micros(col("ts")) - col("tts"))
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        when(col("tts").isNotNull && col("gap0") <= AttributionWindowUs,
+          col("ch")).otherwise(lit("none")).as("channel"),
+        when(col("tts").isNotNull && col("gap0") <= AttributionWindowUs,
+          col("gap0")).as("gap_us"),
+        col("value"))
+      .orderBy(col("conv_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> attribution,
     "q_scd2" -> scd2,
     "q_time_features" -> timeFeatures,
     "q_event_gaps" -> eventGaps,
@@ -342,6 +383,27 @@ object EventAnalyticsPack extends QueryPack {
     "q_session_stats" -> sessionStats)
 
   def oracles: Map[String, String] = Map(
+    // Two IGNORE-NULLS last_value passes over the identical tie-free frame
+    // pick the channel and its timestamp from the same touch row; the 24 h
+    // lookback and the 'none' fallback are row-local CASEs.
+    "q_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |  epoch_us(date_trunc('microseconds', ts)) AS us FROM events),
+        |t AS (SELECT *,
+        |  last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+        |    THEN event_type END IGNORE NULLS) OVER w AS ch,
+        |  last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+        |    THEN us END IGNORE NULLS) OVER w AS tts
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS conv_id, user_id,
+        |  CASE WHEN tts IS NOT NULL AND us - tts <= 86400000000
+        |    THEN ch ELSE 'none' END AS channel,
+        |  CASE WHEN tts IS NOT NULL AND us - tts <= 86400000000
+        |    THEN us - tts END AS gap_us,
+        |  value
+        |FROM t WHERE event_type = 'purchase'
+        |ORDER BY conv_id""".stripMargin,
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |  epoch_us(date_trunc('microseconds', ts)) AS us FROM events),

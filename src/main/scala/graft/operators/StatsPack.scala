@@ -99,6 +99,74 @@ object StatsPack extends QueryPack {
       .orderBy(col("user_id"), col("lag_k"))
   }
 
+  /** B4+ per-series OLS trend (pandas `np.polyfit(x, y, 1)` / SQL
+    * `regr_slope`/`regr_intercept`/`regr_r2` per group): each user's
+    * value series regressed on elapsed HOURS since the user's own first
+    * event — the drift estimator read next to [[statsAcf]]'s persistence
+    * diagnostic. The per-user time origin keeps x small (≤ ~100 h) so
+    * the DECIMAL-exact power-sum layout holds with the same 28,4
+    * quantization as every stats key; anchoring at each user's min also
+    * makes the intercept meaningful (value level at the series start).
+    * ONE user_id exchange: the window min(ts) and the groupBy reuse the
+    * same hash partitioning (PlanAuditSpec asserts a single exchange).
+    * Degenerate series (n ≤ 1 or zero x-variance) emit NULL slope and
+    * intercept; r2 additionally NULLs on zero y-variance — exact
+    * arithmetic guards, not engine Inf/NaN conventions. */
+  def statsTrend(s: SparkSession, dir: String): DataFrame = {
+    def d28(c: Column) = sum(c.cast("decimal(28,4)")).cast("double")
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("value"),
+        ((unix_micros(col("ts")) -
+          min(unix_micros(col("ts"))).over(w)) / lit(3.6e9)).as("x"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        d28(col("x")).as("sx"), d28(col("value")).as("sy"),
+        d28(col("x") * col("value")).as("sxy"),
+        d28(col("x") * col("x")).as("sxx"),
+        d28(col("value") * col("value")).as("syy"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("vx", col("sxx") - col("sx") * col("sx") / col("nd"))
+      .withColumn("vy", col("syy") - col("sy") * col("sy") / col("nd"))
+      .withColumn("cxy", col("sxy") - col("sx") * col("sy") / col("nd"))
+      .withColumn("slope0", col("cxy") / col("vx"))
+      .select(col("user_id"), col("n"),
+        when(col("n") > 1 && col("vx") > 0,
+          round(col("slope0"), 6)).as("slope_per_hour"),
+        when(col("n") > 1 && col("vx") > 0,
+          round(col("sy") / col("nd") - col("slope0") * (col("sx") / col("nd")),
+            6)).as("intercept"),
+        when(col("n") > 1 && col("vx") > 0 && col("vy") > 0,
+          round(col("cxy") * col("cxy") / (col("vx") * col("vy")), 6)).as("r2"))
+      .orderBy(col("user_id"))
+  }
+
+  /** B4+ seasonal (hour-of-day) profile per event type — the detrending
+    * table a forecaster or anomaly detector builds before modeling:
+    * per (event_type, hour 0-23), the row count, the hour's mean value,
+    * and the seasonal index (hour mean ÷ the type's overall mean; 1.0 =
+    * flat). The raw stream collapses map-side to ≤ |types| × 24 rows
+    * before anything wide happens; the per-type totals come from a
+    * window over the TINY aggregate (never a second scan), summing in
+    * DECIMAL so the window's fold order cannot perturb the double. */
+  def statsSeasonal(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,4)")).as("sv"))
+    val w = Window.partitionBy(col("event_type"))
+    hourly
+      .withColumn("tot_n", sum(col("n")).over(w))
+      .withColumn("tot_s", sum(col("sv")).over(w))
+      .select(col("event_type"), col("hr"), col("n"),
+        round(col("sv").cast("double") / col("n").cast("double"), 6)
+          .as("mean_value"),
+        round((col("sv").cast("double") / col("n").cast("double")) /
+          (col("tot_s").cast("double") / col("tot_n").cast("double")), 6)
+          .as("seasonal_index"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
   private val RollK = 20 // rolling-corr frame length (rows)
 
   /** B5+ rolling lag-1 autocorrelation (pandas
@@ -637,6 +705,8 @@ object StatsPack extends QueryPack {
     "q_window_hampel" -> windowHampel,
     "q_stats_corr" -> statsCorr,
     "q_stats_acf" -> statsAcf,
+    "q_stats_trend" -> statsTrend,
+    "q_stats_seasonal" -> statsSeasonal,
     "q_window_rollcorr" -> windowRollCorr,
     "q_window_zscore" -> windowZscore,
     "q_window_cusum" -> windowCusum,
@@ -740,6 +810,50 @@ object StatsPack extends QueryPack {
         |CASE WHEN n > 1 AND vx > 0 AND vy > 0
         |     THEN round((sxy - sx * sy / nd) / (sqrt(vx) * sqrt(vy)), 6) END AS acf
         |FROM d ORDER BY user_id, lag_k""".stripMargin,
+    // Same determinism layout as q_stats_acf: the x axis is exact integer
+    // µs differenced against the user's own min (one window), divided by
+    // the same double literal on both engines; power sums quantize at
+    // DECIMAL(28,4); identical double algebra end-to-end.
+    "q_stats_trend" ->
+      """WITH e AS (SELECT user_id, value,
+        |  (epoch_us(date_trunc('microseconds', ts)) -
+        |   min(epoch_us(date_trunc('microseconds', ts)))
+        |     OVER (PARTITION BY user_id)) / 3600000000.0 AS x
+        |  FROM events),
+        |m AS (SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(x * value AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS syy
+        |  FROM e GROUP BY user_id),
+        |d AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+        |  sxx - sx * sx / CAST(n AS DOUBLE) AS vx,
+        |  syy - sy * sy / CAST(n AS DOUBLE) AS vy,
+        |  sxy - sx * sy / CAST(n AS DOUBLE) AS cxy FROM m)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n > 1 AND vx > 0
+        |    THEN round(cxy / vx, 6) END AS slope_per_hour,
+        |  CASE WHEN n > 1 AND vx > 0
+        |    THEN round(sy / nd - (cxy / vx) * (sx / nd), 6) END AS intercept,
+        |  CASE WHEN n > 1 AND vx > 0 AND vy > 0
+        |    THEN round(cxy * cxy / (vx * vy), 6) END AS r2
+        |FROM d ORDER BY user_id""".stripMargin,
+    // Hour means and per-type totals both come off exact DECIMAL sums
+    // (the window total sums the DECIMAL, so fold order cannot perturb
+    // the double); the index is one double division chain on both sides.
+    "q_stats_seasonal" ->
+      """WITH h AS (SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+        |    count(*) AS n, sum(CAST(value AS DECIMAL(28,4))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT *, sum(n) OVER (PARTITION BY event_type) AS tot_n,
+        |  sum(sv) OVER (PARTITION BY event_type) AS tot_s FROM h)
+        |SELECT event_type, hr, CAST(n AS BIGINT) AS n,
+        |  round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_value,
+        |  round((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    (CAST(tot_s AS DOUBLE) / CAST(tot_n AS DOUBLE)), 6)
+        |    AS seasonal_index
+        |FROM t ORDER BY event_type, hr""".stripMargin,
     "q_window_rollcorr" ->
       s"""WITH e AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value
          |  FROM events),

@@ -555,6 +555,26 @@ class PlanAuditSpec extends SparkSpec {
     assert("Window ".r.findAllIn(p).length == 1, s"expected one window:\n$p")
   }
 
+  test("stats_trend: the window min(ts) and the OLS aggregate share ONE " +
+      "user exchange; no join") {
+    val p = plan(graft.operators.StatsPack.statsTrend(spark, sf0001))
+    assert(!p.contains("Join"), s"per-series OLS needs no join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, // window(user); groupBy(user) reuses the partitioning
+      s"expected exactly one user_id exchange, got $hashEx:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine on the agg:\n$p")
+  }
+
+  test("attribution: both last-touch passes ride ONE user window on one " +
+      "exchange; no join, purchase filter downstream") {
+    val p = plan(graft.operators.EventAnalyticsPack.attribution(spark, sf0001))
+    assert(!p.contains("Join"), s"last-touch attribution needs no join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly one user_id exchange, got $hashEx:\n$p")
+    assert("Window ".r.findAllIn(p).length == 1,
+      s"both IGNORE-NULLS passes must share one Window:\n$p")
+  }
+
   test("split_leakage_safe: one content-hash exchange, no join, no cartesian") {
     val p = plan(graft.operators.StatsPack.splitLeakageSafe(spark, sf0001))
     assert(!p.contains("Join"), s"the exact-dup gate needs no join:\n$p")

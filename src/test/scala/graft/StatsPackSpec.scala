@@ -32,6 +32,32 @@ class StatsPackSpec extends SparkSpec {
     }
   }
 
+  test("moment-derived OLS trend matches Spark's builtin regr_* kernels") {
+    val derived = StatsPack.statsTrend(spark, sf001).collect()
+      .filter(r => !r.isNullAt(2) && !r.isNullAt(4))
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val builtin = Tables.events(spark, sf001)
+      .select(col("user_id"), col("value"),
+        ((unix_micros(col("ts")) -
+          min(unix_micros(col("ts"))).over(w)) / lit(3.6e9)).as("x"))
+      .groupBy(col("user_id"))
+      .agg(regr_slope(col("value"), col("x")).as("sl"),
+        regr_intercept(col("value"), col("x")).as("ic"),
+        regr_r2(col("value"), col("x")).as("r2"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(derived.nonEmpty && derived.keySet.subsetOf(builtin.keySet))
+    for ((u, (sl, ic, r2)) <- derived) {
+      val (bsl, bic, br2) = builtin(u)
+      assert(math.abs(sl - bsl) < 1e-6, s"user $u slope $sl vs $bsl")
+      assert(math.abs(ic - bic) < 1e-5, s"user $u intercept $ic vs $bic")
+      assert(math.abs(r2 - br2) < 1e-6, s"user $u r2 $r2 vs $br2")
+    }
+  }
+
   test("approx_percentile (t-digest) lands within 1% of the exact percentiles") {
     val exact = StatsPack.percentiles(spark, sf001).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(5)))
