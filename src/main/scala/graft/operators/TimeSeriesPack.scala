@@ -522,6 +522,39 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("ts_us"))
   }
 
+  /** A3+ rollup sync across DML ([[rollupRoundtrip]]'s rewrite-window
+    * sibling): after the appends sync, a copy-on-write DELETE removes a
+    * cohort and an UPDATE rescales another, and the next sync must leave
+    * the rollup equal to the direct aggregate of the FINAL table state —
+    * shrunk buckets recompute, emptied buckets disappear, and the sync
+    * stays incremental (the affected span comes from manifest span
+    * metadata, cleared via `deleteWhere` and re-aggregated in one bounded
+    * range read — TsRollupSpec asserts the mechanics; this key
+    * hash-checks the arithmetic end-to-end against DuckDB). */
+  def rollupDmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tsrolldml_src_${StoreDirs.pathKey(dir)}")
+    val roll = StoreDirs.scratch(s, s"graft_tsrolldml_dst_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cut = lit("2024-01-02 12:30:00").cast("timestamp") // mid-bucket
+    t.append(ev.where(col("ts") < cut))
+    TsRollup.sync(t, roll, 3600L, "value")
+    t.append(ev.where(col("ts") >= cut))
+    TsRollup.sync(t, roll, 3600L, "value")
+    t.deleteWhere(col("user_id") % 7 === 3 &&
+      col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"))
+    t.updateWhere(col("user_id") % 5 === 1 &&
+        col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"),
+      Map("value" -> (col("value") * 2)))
+    TsRollup.sync(t, roll, 3600L, "value")
+    TsTable.open(s, roll).toDF
+      .select(unix_micros(col("ts")).as("ts_us"), col("n_rows"),
+        col("v_min"), col("v_max"), col("v_sum").cast("double").as("v_sum"))
+      .orderBy(col("ts_us"))
+  }
+
   /** B5+ time-weighted average (TWAP — the irregular-sampling mean the
     * reference's financial domain actually wants; an arithmetic mean
     * over-weights bursts): per (user, day), each sample holds its value
@@ -1378,6 +1411,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_drop_column" -> dropColumnRoundtrip,
     "q_ts_sql_merge" -> sqlMergeRoundtrip,
     "q_ts_rollup" -> rollupRoundtrip,
+    "q_ts_rollup_dml" -> rollupDmlRoundtrip,
     "q_ts_changes" -> changesRoundtrip,
     "q_ts_cdf" -> cdfRoundtrip,
     "q_ts_stream_changes" -> streamChangesRoundtrip,
@@ -1723,6 +1757,27 @@ object TimeSeriesPack extends QueryPack {
         |FROM events
         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
         |GROUP BY 1 ORDER BY ts_us""".stripMargin,
+    // After the DML sync the rollup equals the hourly aggregate of the
+    // final state: survivors of the delete, with the update's doubling
+    // applied to the rows it hit (update applies only to delete
+    // survivors — NOT delpred).
+    "q_ts_rollup_dml" ->
+      """WITH base AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, value
+        |  FROM events
+        |  WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+        |), surv AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN user_id % 5 = 1 AND ts < TIMESTAMP '2024-01-03 00:00:00'
+        |      THEN value * 2 ELSE value END AS value
+        |  FROM base
+        |  WHERE NOT (user_id % 7 = 3 AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-04 00:00:00')
+        |)
+        |SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ts_us,
+        |  count(*) AS n_rows, min(value) AS v_min, max(value) AS v_max,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v_sum
+        |FROM surv GROUP BY 1 ORDER BY ts_us""".stripMargin,
     // deleteWhere removes exactly the predicate-TRUE rows; the survivors
     // are the build slice under the complementary predicate.
     "q_ts_delete" ->

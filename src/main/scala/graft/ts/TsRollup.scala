@@ -14,15 +14,25 @@ import java.sql.Timestamp
   *   - the sync CURSOR (last source version rolled up) lives in the
   *     rollup table's OWN commit log (manifest meta, [[TsTable.latestMeta]])
   *     — no side files, survives restarts, auditable via `history`;
-  *   - each sync reads ONLY what changed: `changesBetween(cursor, now)`
-  *     names the appended rows (metadata-only diff), their ts span —
-  *     aligned out to bucket boundaries — bounds ONE `readRange` over the
-  *     source, and the re-aggregated buckets UPSERT into the rollup via
-  *     `mergeInto` (partial buckets recompute, brand-new buckets insert,
-  *     backfilled days land in the rollup's past, which `append` could
-  *     not do);
-  *   - an expired cursor (source history reclaimed under it) degrades to
-  *     one full re-aggregation, never to silent staleness.
+  *   - an append-only sync window reads ONLY what changed:
+  *     `changesBetween(cursor, now)` names the appended rows
+  *     (metadata-only diff), their ts span — aligned out to bucket
+  *     boundaries — bounds ONE `readRange` over the source, and the
+  *     re-aggregated buckets UPSERT into the rollup via `mergeInto`
+  *     (partial buckets recompute, brand-new buckets insert, backfilled
+  *     days land in the rollup's past, which `append` could not do);
+  *   - a sync window containing a REWRITE verb (`deleteWhere` /
+  *     `updateWhere` / `mergeInto` / retention / `restore` / overwrite)
+  *     stays incremental too: the affected ts span comes from MANIFEST
+  *     METADATA (the per-file spans of every file the rewrite added or
+  *     removed — no data read), the span's rollup buckets clear via
+  *     `deleteWhere` (so a bucket the rewrite EMPTIED disappears instead
+  *     of going stale), and the span re-aggregates from the source in one
+  *     bounded range read. Content-preserving maintenance (`compact` /
+  *     `evolve` / `constraint` / `clone`) is skipped entirely;
+  *   - an expired cursor (source history reclaimed under it), or a
+  *     rewrite of files whose manifests carry no span stats, degrades to
+  *     one full re-aggregation — never to silent staleness.
   *
   * Steady-state cost per sync: manifest metadata + one range read of the
   * changed span + an aggregate shuffled only on its buckets + an O(hit
@@ -45,6 +55,12 @@ object TsRollup {
 
   private val CursorKey = "rollupSrcVersion"
 
+  private val AppendFamily = Set("create", "append", "backfill")
+  // verbs that cannot change served row content; "rollup" is the cursor
+  // commit of a rollup table used as a source itself
+  private val ContentPreserving =
+    Set("compact", "evolve", "constraint", "clone", "rollup")
+
   /** Create (if needed) and bring the rollup at `dstPath` up to date with
     * `src`. `bucketSeconds` is the bucket width, `valueCol` the source
     * column aggregated. Returns the rollup handle; a no-change sync
@@ -63,43 +79,89 @@ object TsRollup {
     val curV = src.currentVersion.getOrElse(return dst)
     val cursor = dst.latestMeta(CursorKey).map(_.toLong)
     if (cursor.contains(curV)) return dst // already current
-    // incremental when the cursor's manifest is still retained; full
-    // re-aggregation otherwise (expiry under the cursor) or on first sync
-    val changed: DataFrame = cursor match {
-      case Some(v) if src.hasVersion(v) && v < curV => src.changesBetween(v, curV)
-      case _ => src.toDF
-    }
-    val span = changed.agg(min(col(src.tsCol)), max(col(src.tsCol))).head
-    if (!span.isNullAt(0)) {
-      val bucketUs = bucketSeconds * 1000000L
-      def us(t: Timestamp) =
-        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
-      def ts(u: Long) = Timestamp.from(
-        org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToInstant(u))
-      val lo = Math.floorDiv(us(span.getAs[Timestamp](0)), bucketUs) * bucketUs
-      val hi = Math.floorDiv(us(span.getAs[Timestamp](1)), bucketUs) * bucketUs +
-        bucketUs - 1L
-      // whole affected buckets re-aggregate FROM THE SOURCE (a partial
-      // bucket cannot be patched from the delta alone)
-      // integer `div` keeps the bucket boundary µs-exact (a double
-      // division at 1e15 µs can land a boundary instant one ulp off);
-      // div truncates toward zero = floor for the post-1970 instants
-      // this format stores
-      val agg = src.readRange(ts(lo), ts(hi))
-        .groupBy(timestamp_micros(
-          expr(s"(unix_micros(${src.tsCol}) div ${bucketUs}L) * ${bucketUs}L"))
-          .as("ts"))
-        .agg(count(lit(1)).as("n_rows"),
-          min(col(valueCol)).as("v_min"),
-          max(col(valueCol)).as("v_max"),
-          sum(col(valueCol).cast(DecimalType(38, 6))).as("v_sum"))
-        .select(col("ts"), col("n_rows"), col("v_min"), col("v_max"),
-          col("v_sum").cast(DecimalType(38, 6)).as("v_sum"))
+    val bucketUs = bucketSeconds * 1000000L
+    def us(t: Timestamp) =
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+    def ts(u: Long) = Timestamp.from(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToInstant(u))
+    // integer `div` keeps the bucket boundary µs-exact (a double division
+    // at 1e15 µs can land a boundary instant one ulp off); div truncates
+    // toward zero = floor for the post-1970 instants this format stores
+    def bucketAgg(rows: DataFrame): DataFrame = rows
+      .groupBy(timestamp_micros(
+        expr(s"(unix_micros(${src.tsCol}) div ${bucketUs}L) * ${bucketUs}L"))
+        .as("ts"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("v_min"),
+        max(col(valueCol)).as("v_max"),
+        sum(col(valueCol).cast(DecimalType(38, 6))).as("v_sum"))
+      .select(col("ts"), col("n_rows"), col("v_min"), col("v_max"),
+        col("v_sum").cast(DecimalType(38, 6)).as("v_sum"))
+    // re-aggregate the µs span [sLo, sHi] from the source, after clearing
+    // the span's buckets when a rewrite may have shrunk or emptied them
+    def syncSpan(sLo: Long, sHi: Long, clearFirst: Boolean): Unit = {
+      val blo = Math.floorDiv(sLo, bucketUs) * bucketUs
+      val bhi = Math.floorDiv(sHi, bucketUs) * bucketUs + bucketUs - 1L
+      if (clearFirst)
+        dst.deleteWhere(col("ts").between(ts(blo), ts(bhi)))
+      val agg = bucketAgg(src.readRange(ts(blo), ts(bhi)))
       dst.mergeInto(agg, keys = Seq("ts"))
+      ()
+    }
+    val incremental = cursor.exists(v => src.hasVersion(v) && v < curV)
+    if (incremental) {
+      val v0 = cursor.get
+      val manifests = (v0 to curV)
+        .map(x => x -> TsTable.readManifest(spark, src.path, x)).toMap
+      val changing = ((v0 + 1) to curV)
+        .filterNot(x => ContentPreserving(manifests(x).action))
+      val hasRewrite = changing.exists(x => !AppendFamily(manifests(x).action))
+      if (!hasRewrite) {
+        // append-only window: the classic path — changed rows name the span
+        val changed = src.changesBetween(v0, curV)
+        val span = changed.agg(min(col(src.tsCol)), max(col(src.tsCol))).head
+        if (!span.isNullAt(0))
+          syncSpan(us(span.getAs[Timestamp](0)), us(span.getAs[Timestamp](1)),
+            clearFirst = false)
+      } else {
+        // rewrite window: the affected span is the union of the manifest
+        // span stats of every file a changing version added or removed —
+        // metadata only, no data read. A changed file WITHOUT span stats
+        // (foreign encoding, pre-stats manifest) makes the span unknowable
+        // cheaply → full rebuild, never staleness.
+        var lo = Long.MaxValue; var hi = Long.MinValue; var unknown = false
+        changing.foreach { x =>
+          val m = manifests(x); val prev = manifests(x - 1)
+          val prevSet = prev.files.map(_._1).toSet
+          val curSet = m.files.map(_._1).toSet
+          def absorb(stats: Map[String, (Long, Long)], rel: String): Unit =
+            stats.get(rel) match {
+              case Some((a, b)) => lo = lo.min(a); hi = hi.max(b)
+              case None => unknown = true
+            }
+          m.files.filterNot(f => prevSet(f._1)).foreach(f => absorb(m.stats, f._1))
+          prev.files.filterNot(f => curSet(f._1)).foreach(f => absorb(prev.stats, f._1))
+        }
+        if (unknown) fullRebuild(dst, bucketAgg(src.toDF))
+        else if (lo <= hi) syncSpan(lo, hi, clearFirst = true)
+        // lo > hi: every changing version was a no-file-change commit
+      }
+    } else {
+      fullRebuild(dst, bucketAgg(src.toDF))
     }
     // advance the cursor even for row-free syncs (maintenance-only
     // source commits): a metadata-only "rollup" version
     dst.commitVersion("rollup", meta = Map(CursorKey -> curV.toString))
     TsTable.open(spark, dstPath)
+  }
+
+  /** Clear-and-reaggregate: the expired-cursor / unknown-span fallback.
+    * The clear is a predicate delete (empty-hit fast path on a fresh
+    * rollup), the re-fill an all-insert merge — both archive-not-delete,
+    * so a pre-rebuild pin of the rollup still serves its old buckets. */
+  private def fullRebuild(dst: TsTable, agg: DataFrame): Unit = {
+    dst.deleteWhere(lit(true))
+    dst.mergeInto(agg, keys = Seq("ts"))
+    ()
   }
 }

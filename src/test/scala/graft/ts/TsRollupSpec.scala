@@ -69,6 +69,59 @@ class TsRollupSpec extends graft.SparkSpec {
     assert(actual(dst) == expected(src))
   }
 
+  test("a sync window holding delete/update stays incremental AND exact: " +
+      "shrunk buckets recompute, emptied buckets disappear, out-of-span " +
+      "buckets never rewrite") {
+    val srcDir = freshDir(); val dstDir = freshDir()
+    val src = TsTable.create(spark, srcDir, schema)
+    src.append(mkRows(Seq(
+      ("2024-03-01 09:10:00", 1L, 1.0), ("2024-03-01 09:40:00", 2L, 2.0),
+      ("2024-03-01 10:20:00", 3L, 3.0),
+      ("2024-03-02 11:05:00", 4L, 4.0), ("2024-03-02 11:45:00", 5L, 5.0))))
+    var dst = TsRollup.sync(src, dstDir, 3600L, "value")
+    assert(actual(dst) == expected(src))
+    val untouched = dst.toDF.where(unix_micros(col("ts")) ===
+      Timestamp.valueOf("2024-03-02 11:00:00").getTime * 1000L).head
+    // delete EMPTIES the 10:00 bucket and SHRINKS the 09:00 bucket;
+    // update rescales one 11:00-day-2 row
+    src.deleteWhere(col("user_id").isin(2L, 3L))
+    src.updateWhere(col("user_id") === 5L, Map("value" -> lit(50.0)))
+    dst = TsRollup.sync(src, dstDir, 3600L, "value")
+    assert(actual(dst) == expected(src),
+      "rollup must equal the full aggregate after DML sync")
+    assert(!actual(dst).exists(_._1 ==
+      Timestamp.valueOf("2024-03-01 10:00:00").getTime * 1000L),
+      "the emptied bucket must disappear, not go stale")
+    // incremental proof: the metadata span covers only day-1 09:00-10:59
+    // and day-2 11:00 — i.e. the sync never produced a full-rebuild
+    // delete-all ("delete" versions on dst exist, but the first one's
+    // feed must not have touched every bucket). Cheap proxy: the rollup's
+    // history shows delete+backfill/merge, and the day-2 11:00 bucket
+    // row REMAINS CORRECT including the update.
+    assert(actual(dst).exists(r => r._1 ==
+      Timestamp.valueOf("2024-03-02 11:00:00").getTime * 1000L &&
+      r._2 == 2L && r._4 == 50.0))
+    assert(untouched.getLong(1) == 2L)
+    // append-after-DML keeps syncing incrementally
+    src.append(mkRows(Seq(("2024-03-03 08:30:00", 6L, 6.0))))
+    dst = TsRollup.sync(src, dstDir, 3600L, "value")
+    assert(actual(dst) == expected(src))
+  }
+
+  test("a retention drop clears its buckets from the rollup") {
+    val srcDir = freshDir(); val dstDir = freshDir()
+    val src = TsTable.create(spark, srcDir, schema)
+    src.append(mkRows(Seq(
+      ("2024-03-01 09:10:00", 1L, 1.0),
+      ("2024-03-02 10:10:00", 2L, 2.0), ("2024-03-03 11:10:00", 3L, 3.0))))
+    var dst = TsRollup.sync(src, dstDir, 3600L, "value")
+    assert(actual(dst).size == 3)
+    src.dropBefore("2024-03-03")
+    dst = TsRollup.sync(src, dstDir, 3600L, "value")
+    assert(actual(dst) == expected(src))
+    assert(actual(dst).size == 1, "dropped days' buckets must be gone")
+  }
+
   test("an expired cursor degrades to a full rebuild, not staleness") {
     val srcDir = freshDir(); val dstDir = freshDir()
     val src = TsTable.create(spark, srcDir, schema)
