@@ -186,6 +186,29 @@ class SnapshotProps extends SparkSpec {
       if (retained.length >= 2) changesCheck(retained.head, retained.last)
       if (retained.length > 2) // mid == last at length 2 (degenerate range)
         changesCheck(retained(retained.length / 2), retained.last)
+      // changeFeed replay: state(v1) + inserts − deletes == state(v2) as
+      // MULTISETS, across every verb — delete, retention, restore, merge
+      // included (the full-CDF invariant changesBetween cannot offer)
+      def multi(rows: Seq[(Long, Long)]): Map[(Long, Long), Int] =
+        rows.groupBy(identity).view.mapValues(_.size).toMap
+      def feedCheck(v1: Long, v2: Long): Unit = {
+        val feed = t.changeFeed(v1, v2).collect()
+        val ins = multi(feed.filter(_.getAs[String]("_change_type") == "insert")
+          .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq)
+        val del = multi(feed.filter(_.getAs[String]("_change_type") == "delete")
+          .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq)
+        val start = multi(expected(v1))
+        val got = (start.keySet ++ ins.keySet ++ del.keySet).flatMap { k =>
+          val n = start.getOrElse(k, 0) + ins.getOrElse(k, 0) - del.getOrElse(k, 0)
+          assert(n >= 0, s"seed=$seed feed($v1,$v2): $k net-negative ($n)")
+          if (n > 0) Some(k -> n) else None
+        }.toMap
+        assert(got == multi(expected(v2)),
+          s"seed=$seed feed($v1,$v2): replay does not reconstruct v$v2")
+      }
+      val known = retained.filter(expected.contains)
+      if (known.length >= 2) feedCheck(known.head, known.last)
+      if (known.length > 2) feedCheck(known(known.length / 2), known.last)
     }
   }
 
