@@ -970,6 +970,57 @@ object LlmPack extends QueryPack {
       .orderBy(col("vec_id"))
   }
 
+  private val SemTau = 0.45 // within-cluster cosine threshold (SemDeDup §3)
+
+  /** B9+ SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic
+    * deduplication with the pair search BUCKETED BY K-MEANS CLUSTER —
+    * the published recipe for embedding dedup past the all-pairs/LSH
+    * crossover: cluster the corpus (here [[embedKmeansIter]]'s three
+    * oracle-deterministic Lloyd rounds), compare vectors only WITHIN
+    * their assigned cluster (cosine ≥ τ on the same rounded kernel as
+    * q_dedup_embed), and keep one representative per within-cluster
+    * duplicate group (the min-id canonical, via the same
+    * clusterPairs/pruneByLosers machinery as the text family). Output:
+    * the keep-list with each survivor's semantic cluster.
+    *
+    * Scale shape: the candidate join is equi-keyed on the cluster id —
+    * one shuffle each side, per-cluster all-pairs, NO corpus-wide
+    * quadratic term. Cluster count grows with the corpus (SemDeDup runs
+    * ~100k clusters at web scale) so mean cluster size — and with it the
+    * per-task pair cost — stays bounded; a pathologically hot cluster is
+    * a k (re-clustering) knob, not a plan hazard, and the documented
+    * trade vs q_dedup_embed is RECALL: cross-cluster near-dups are
+    * unseen by construction (the paper's accepted approximation).
+    * AnnSpec-style recall is not claimed; determinism is — every
+    * centroid component and similarity rounds to 6dp before any
+    * comparison, so the full three-round pipeline + pair graph + CC +
+    * keep-list carries a DuckDB hash oracle end-to-end. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val assign = embedKmeansIter(s, dir).select(col("vec_id"), col("cluster"))
+    val av = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .join(assign, "vec_id")
+    val a = av.select(col("cluster"), col("vec_id").as("a_id"), col("v").as("va"))
+    val b = av.select(col("cluster").as("cluster_b"), col("vec_id").as("b_id"),
+      col("v").as("vb"))
+    val pairs = a.join(b,
+        col("cluster") === col("cluster_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VectorFns.cosine(col("va"), col("vb")), 6).as("sim"))
+      .where(col("sim") >= SemTau)
+      .select(col("a_id"), col("b_id"))
+    val (clusters, edgeBound) = NearDedup.clusterPairsCounted(pairs)
+    val losers = clusters.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("vec_id"))
+    NearDedup.pruneByLosers(
+        av.select(col("vec_id"), col("cluster")), losers, edgeBound,
+        idCol = "vec_id")
+      .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+        "vec_id")
+      .select(col("vec_id"), col("cluster"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
   /** B9 rolling-hash fingerprints (winnowing/MOSS — NearDedup.winnow), in
     * the md5-bit form so the key carries a FULL DuckDB value oracle: each
     * gram hash is the first 60 bits of md5 (15 hex digits — non-negative,
@@ -1418,6 +1469,7 @@ object LlmPack extends QueryPack {
     "q_dedup_embed" -> dedupEmbed,
     "q_dedup_embed_cluster" -> dedupEmbedCluster,
     "q_dedup_embed_canonical" -> dedupEmbedCanonical,
+    "q_dedup_semantic" -> dedupSemantic,
     "q_fingerprint_winnow" -> fingerprintWinnow,
     "q_multimodal_meta" -> multimodalMeta,
     "q_multimodal_frames" -> multimodalFrames,
@@ -1434,7 +1486,10 @@ object LlmPack extends QueryPack {
     * (the q_embed_centroids aggregate), scores every vector against it
     * with the q_embed_kmeans rounded cosine, and takes the argmax with the
     * same (sim DESC, cluster ASC) tie rule the Spark struct-max encodes. */
-  private val kmeansIterOracle: String = {
+  /** The unrolled-Lloyd CTE chain (a0..a[[KmIters]]), shared by the
+    * q_embed_kmeans_iter oracle and the q_dedup_semantic oracle (which
+    * buckets its pair search by the final assignment). */
+  private val kmeansIterCtes: String = {
     val iters = (1 to KmIters).map { i =>
       val prev = s"a${i - 1}"
       s"""c$i AS (SELECT cl, list(round(avg_x, 6) ORDER BY pos) AS cv FROM (
@@ -1452,11 +1507,14 @@ object LlmPack extends QueryPack {
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY sim DESC, c_cl) AS rn FROM s$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH a0 AS (SELECT vec_id, CAST(label AS INTEGER) AS cl,
+    s"""a0 AS (SELECT vec_id, CAST(label AS INTEGER) AS cl,
        |    embedding::DOUBLE[] AS v FROM embeddings),
-       |$iters
-       |SELECT vec_id, cl AS cluster, sim FROM a$KmIters ORDER BY vec_id""".stripMargin
+       |$iters""".stripMargin
   }
+
+  private val kmeansIterOracle: String =
+    s"""WITH $kmeansIterCtes
+       |SELECT vec_id, cl AS cluster, sim FROM a$KmIters ORDER BY vec_id""".stripMargin
 
   /** Shared CTE for the embedding-dedup family: the τ=0.45 cosine pair
     * graph (q_dedup_embed's own oracle core). */
@@ -1965,6 +2023,31 @@ object LlmPack extends QueryPack {
          |LEFT JOIN cl ON m.vec_id = cl.vec_id
          |WHERE cl.vec_id IS NULL OR cl.vec_id = cl.cluster_id
          |ORDER BY m.vec_id""".stripMargin,
+    // SemDeDup replayed relationally: the unrolled-Lloyd chain pins the
+    // cluster assignment, pairs form only within a cluster at the same
+    // rounded cosine kernel, reachability labels the duplicate groups by
+    // min id, and the keep-list drops every non-label member.
+    "q_dedup_semantic" ->
+      s"""WITH RECURSIVE $kmeansIterCtes,
+         |pr AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM a$KmIters x JOIN a$KmIters y
+         |    ON x.cl = y.cl AND x.vec_id < y.vec_id
+         |  WHERE round(list_dot_product(x.v, y.v)
+         |    / (sqrt(list_dot_product(x.v, x.v))
+         |       * sqrt(list_dot_product(y.v, y.v))), 6) >= $SemTau),
+         |e AS (SELECT a_id AS u, b_id AS v2 FROM pr
+         |      UNION ALL SELECT b_id, a_id FROM pr),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT u, u FROM e
+         |  UNION
+         |  SELECT e.u, reach.r FROM e JOIN reach ON e.v2 = reach.node),
+         |cc AS (SELECT node AS vec_id, min(r) AS cluster_id
+         |       FROM reach GROUP BY node)
+         |SELECT a.vec_id, a.cl AS cluster, m.label FROM a$KmIters a
+         |JOIN embeddings m ON m.vec_id = a.vec_id
+         |LEFT JOIN cc ON a.vec_id = cc.vec_id
+         |WHERE cc.vec_id IS NULL OR cc.vec_id = cc.cluster_id
+         |ORDER BY a.vec_id""".stripMargin,
     // Same dot/(norm·norm) formulation as q_sim_topk; ranking happens on
     // the ROUNDED sim on both sides so float-tie order can't diverge.
     "q_knn_join" ->

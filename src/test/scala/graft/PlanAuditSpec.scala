@@ -575,6 +575,15 @@ class PlanAuditSpec extends SparkSpec {
       s"both IGNORE-NULLS passes must share one Window:\n$p")
   }
 
+  test("dedup_semantic: the pair search is EQUI-KEYED on the k-means " +
+      "cluster — no cartesian, no broadcast-nested-loop corpus square") {
+    val p = plan(graft.operators.LlmPack.dedupSemantic(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), s"cartesian in SemDeDup:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop corpus square in SemDeDup:\n$p")
+    assert(p.contains("cluster"), p)
+  }
+
   test("split_leakage_safe: one content-hash exchange, no join, no cartesian") {
     val p = plan(graft.operators.StatsPack.splitLeakageSafe(spark, sf0001))
     assert(!p.contains("Join"), s"the exact-dup gate needs no join:\n$p")
