@@ -970,6 +970,27 @@ object LlmPack extends QueryPack {
       .orderBy(col("vec_id"))
   }
 
+  private val OutlierTau = 0.0 // below: not even weakly aligned with own class
+
+  /** B9+ centroid-distance outliers — the prune-the-junk curation step run
+    * next to dedup (mislabeled / off-distribution vectors hurt contrastive
+    * training more than duplicates): each vector's rounded cosine to its
+    * OWN label's 6dp centroid ([[codebook]] — the same broadcast KB-sized
+    * table as q_embed_kmeans), flagged when the alignment drops below τ=0
+    * (on this isotropic fixture ~p10; a real deployment tunes τ per
+    * corpus). One corpus scan, broadcast codebook join, row-local score —
+    * zero wide shuffles beyond the determinism sort. */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    emb.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .join(broadcast(codebook(emb)), col("label") === col("c_label"))
+      .select(col("vec_id"), col("label"),
+        round(VectorFns.cosine(col("v"), col("cv")), 6).as("sim_centroid"))
+      .withColumn("is_outlier", col("sim_centroid") < lit(OutlierTau))
+      .orderBy(col("vec_id"))
+  }
+
   private val SemTau = 0.45 // within-cluster cosine threshold (SemDeDup §3)
 
   /** B9+ SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic
@@ -1470,6 +1491,7 @@ object LlmPack extends QueryPack {
     "q_dedup_embed_cluster" -> dedupEmbedCluster,
     "q_dedup_embed_canonical" -> dedupEmbedCanonical,
     "q_dedup_semantic" -> dedupSemantic,
+    "q_embed_outliers" -> embedOutliers,
     "q_fingerprint_winnow" -> fingerprintWinnow,
     "q_multimodal_meta" -> multimodalMeta,
     "q_multimodal_frames" -> multimodalFrames,
@@ -2023,6 +2045,25 @@ object LlmPack extends QueryPack {
          |LEFT JOIN cl ON m.vec_id = cl.vec_id
          |WHERE cl.vec_id IS NULL OR cl.vec_id = cl.cluster_id
          |ORDER BY m.vec_id""".stripMargin,
+    // The q_embed_centroids aggregate rebuilt inline (6dp components),
+    // then one rounded cosine per vector against its own label's centroid.
+    "q_embed_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |c AS (SELECT label, list(round(m, 6) ORDER BY pos) AS cv FROM (
+         |    SELECT label, pos, avg(x) AS m FROM (
+         |      SELECT label, generate_subscripts(v, 1) AS pos,
+         |        CAST(unnest(v) AS DOUBLE) AS x FROM e)
+         |    GROUP BY label, pos)
+         |  GROUP BY label),
+         |s AS (SELECT e.vec_id, e.label,
+         |    round(list_dot_product(e.v, c.cv)
+         |      / (sqrt(list_dot_product(e.v, e.v))
+         |         * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim_centroid
+         |  FROM e JOIN c ON e.label = c.label)
+         |SELECT vec_id, label, sim_centroid,
+         |  sim_centroid < $OutlierTau AS is_outlier
+         |FROM s ORDER BY vec_id""".stripMargin,
     // SemDeDup replayed relationally: the unrolled-Lloyd chain pins the
     // cluster assignment, pairs form only within a cluster at the same
     // rounded cosine kernel, reachability labels the duplicate groups by
