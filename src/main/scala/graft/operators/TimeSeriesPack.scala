@@ -936,6 +936,14 @@ object TimeSeriesPack extends QueryPack {
     * shuffle. */
   private val LttbBuckets = 12L
 
+  /** The LTTB rank→bucket map over (`rn` int, `n` long) columns. `rn` is
+    * IntegerType (row_number) and MUST widen before the multiply: the int
+    * product wraps past rn ≈ 179M, and the scaladoc advertises 1B-point
+    * series. Package-visible so the overflow regression spec exercises
+    * the exact expression the operator plans. */
+  private[graft] def lttbBucketExpr: org.apache.spark.sql.Column =
+    expr(s"((CAST(rn AS BIGINT) - 1) * $LttbBuckets) DIV n")
+
   /** B5/B6+ visual downsampling — largest-triangle-three-buckets, the
     * parallel bucketed variant (Steinarsson 2013; the `lttb` Grafana/
     * Timescale serve their charts with): each user's series reduces to
@@ -964,7 +972,7 @@ object TimeSeriesPack extends QueryPack {
         col("event_id"), col("value"))
       .withColumn("rn", row_number().over(wU))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
-      .withColumn("b", expr(s"((rn - 1) * $LttbBuckets) DIV n"))
+      .withColumn("b", lttbBucketExpr)
     val bstats = pts.groupBy(col("user_id"), col("b"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("us").cast("decimal(38,0)")).as("sx"),
@@ -1616,7 +1624,7 @@ object TimeSeriesPack extends QueryPack {
          |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
          |    count(*) OVER (PARTITION BY user_id) AS n
          |  FROM e),
-         |pb AS (SELECT *, ((rn - 1) * $LttbBuckets) // n AS b FROM p),
+         |pb AS (SELECT *, ((CAST(rn AS BIGINT) - 1) * $LttbBuckets) // n AS b FROM p),
          |bs AS (SELECT user_id, b, count(*) AS cnt,
          |    CAST(sum(CAST(us AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS ax,
          |    CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS ay

@@ -98,9 +98,10 @@ final class GraftTsStatsFileIndex(
         }
         tsKeep && colBounds.forall { case (c, cLo, cHi) =>
           colByPath.get(p).flatMap(_.get(c)) match {
-            case Some(s0) =>
+            // 'e' = harvested-but-unskippable marker: keep the file
+            case Some(s0) if s0.typ != 'e' =>
               cLo.forall(s0.hiBD >= _) && cHi.forall(s0.loBD <= _)
-            case None => true
+            case _ => true
           }
         } && bloomProbes.forall { case (c, hashes) =>
           bloomByPath.get(p).flatMap(_.get(c)) match {

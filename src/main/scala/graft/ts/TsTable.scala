@@ -135,13 +135,16 @@ final class TsTable private (
     require(values.nonEmpty && values.forall(_ != null),
       "lookupEq: need at least one non-null probe value")
     val pred = col(column).isin(values: _*)
-    bloomCandidateFiles(column, values) match {
+    bloomCandidatesWithManifest(column, values) match {
       case None => toDF.where(pred)
-      case Some(cands) if cands.isEmpty =>
+      case Some((_, cands)) if cands.isEmpty =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storedSchema)
-      case Some(cands) =>
-        val m = TsTable.readManifest(spark, path, currentVersion.get)
+      case Some((m, cands)) =>
+        // Build the snapshot from the SAME manifest the candidate pass
+        // validated — re-reading currentVersion here would race a
+        // concurrent commit: version N's candidate list filtering version
+        // N+1's file set silently drops rows the new commit added.
         val keep = cands.toSet
         new TsSnapshot(spark, path, tsCol,
           m.copy(files = m.files.filter(f => keep(f._1))))
@@ -155,7 +158,14 @@ final class TsTable private (
     * declared-stats spans); None = no index / not authoritative, caller
     * scans everything. Package-visible for spec assertions. */
   private[graft] def bloomCandidateFiles(column: String,
-      values: Seq[Any]): Option[Seq[String]] = {
+      values: Seq[Any]): Option[Seq[String]] =
+    bloomCandidatesWithManifest(column, values).map(_._2)
+
+  /** [[bloomCandidateFiles]] plus the exact manifest the verdict was
+    * computed against, so the consumer reads that file set and no other —
+    * one authority check covers both the pruning and the scan. */
+  private[graft] def bloomCandidatesWithManifest(column: String,
+      values: Seq[Any]): Option[(TsManifest, Seq[String])] = {
     val v = currentVersion.getOrElse(return None)
     val m = TsTable.readManifest(spark, path, v)
     if (m.schema != storedSchema) return None
@@ -177,9 +187,10 @@ final class TsTable private (
       case _ => None
     }
     val spanUsable = nums.length == values.length
-    Some(m.files.map(_._1).filter { p =>
+    Some(m -> m.files.map(_._1).filter { p =>
       val spanHit = spans.get(p) match {
-        case Some(s0) if spanUsable =>
+        // 'e' = harvested-but-unskippable marker: keep the file
+        case Some(s0) if spanUsable && s0.typ != 'e' =>
           nums.exists(x => x >= s0.loBD && x <= s0.hiBD)
         case _ => true
       }
@@ -1551,12 +1562,57 @@ final class TsTable private (
     // (reopen via TsTable.open for a handle carrying it; this handle keeps
     // serving its constructed projection, the appendEvolved rule).
     // Restoring to a pre-drop state clears that column's tombstone: the
-    // schema carries it again and the files' bytes are authoritative.
-    TsTable.writeDescriptor(spark, path, snap.schema, snap.tsCol, writeOptions,
-      tableChecks,
-      droppedCols.filterNot(d =>
-        snap.schema.fieldNames.exists(_.equalsIgnoreCase(d))))
-    commitVersion("restore", Some(snap.schema))
+    // schema carries it again and the files' bytes are authoritative —
+    // and its statsCols/bloomCols membership comes back with it
+    // (optionsForRestoredSchema), not the current handle's post-drop
+    // narrowing, so span/Bloom skipping on the column survives the trip.
+    val restoredOpts = optionsForRestoredSchema(snap)
+    val restoredDropped = droppedCols.filterNot(d =>
+      snap.schema.fieldNames.exists(_.equalsIgnoreCase(d)))
+    TsTable.writeDescriptor(spark, path, snap.schema, snap.tsCol,
+      restoredOpts, tableChecks, restoredDropped)
+    // commit through a handle carrying the RESTORED schema and options —
+    // committing on `this` would harvest the restore version's spans and
+    // Bloom bits under the pre-restore narrowing, leaving the resurrected
+    // column declared in the descriptor but index-blind until the commit
+    // after next
+    new TsTable(spark, path, snap.tsCol, snap.schema, restoredOpts,
+      tableChecks, restoredDropped)
+      .commitVersion("restore", Some(snap.schema))
+  }
+
+  /** Write options consistent with a restore/clone to `snap`'s schema.
+    * `dropColumns` narrows statsCols/bloomCols when a column leaves; a
+    * restore to a pre-drop version brings the column back, so its former
+    * index membership must come back too — re-derived from the target
+    * version's OWN artifacts (a manifest colStats entry ⇒ it was a stats
+    * column there; a Bloom-sidecar entry ⇒ a bloom column), the only
+    * record that survives the descriptor rewrite. Conservative on both
+    * edges: an expired sidecar just means the membership stays narrowed
+    * (skipping is an optimization, never correctness), and columns the
+    * target schema lacks (added after the target version) are filtered
+    * out so the descriptor never declares an index on a column the
+    * restored schema cannot serve. */
+  private def optionsForRestoredSchema(snap: TsSnapshot): TsWriteOptions = {
+    val inSchema: String => Boolean =
+      c => snap.schema.fieldNames.exists(_.equalsIgnoreCase(c))
+    val resurrected = droppedCols.filter(inSchema)
+    val base = writeOptions.copy(
+      statsCols = writeOptions.statsCols.filter(inSchema),
+      bloomCols = writeOptions.bloomCols.filter(inSchema))
+    if (resurrected.isEmpty) return base
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statColsAt = snap.manifestColStats.valuesIterator
+      .flatMap(_.keysIterator).toSet
+    val bloomColsAt = TsTable.readBloomSidecar(fs, path, snap.version)
+      .valuesIterator.flatMap(_.keysIterator).toSet
+    base.copy(
+      statsCols = base.statsCols ++ resurrected.filter(c =>
+        statColsAt.contains(c) &&
+          !base.statsCols.exists(_.equalsIgnoreCase(c))),
+      bloomCols = base.bloomCols ++ resurrected.filter(c =>
+        bloomColsAt.contains(c) &&
+          !base.bloomCols.exists(_.equalsIgnoreCase(c))))
   }
 
   /** Materialize a committed version as an INDEPENDENT new table at
@@ -1609,9 +1665,13 @@ final class TsTable private (
     // restore rule); tombstones only follow for names still absent
     val cloneDropped = droppedCols.filterNot(d =>
       snap.schema.fieldNames.exists(_.equalsIgnoreCase(d)))
+    // a resurrected column regains its index membership exactly as in
+    // restore — derived from the SOURCE version's artifacts before the
+    // clone writes its own descriptor
+    val cloneOpts = optionsForRestoredSchema(snap)
     TsTable.writeDescriptor(spark, destPath, snap.schema, snap.tsCol,
-      writeOptions, tableChecks, cloneDropped)
-    val t = new TsTable(spark, destPath, snap.tsCol, snap.schema, writeOptions,
+      cloneOpts, tableChecks, cloneDropped)
+    val t = new TsTable(spark, destPath, snap.tsCol, snap.schema, cloneOpts,
       tableChecks, cloneDropped)
     t.commitVersion("clone", Some(snap.schema))
     t
@@ -1706,20 +1766,34 @@ final class TsTable private (
           pm.colStats.filter { case (p, _) => same(p) }, pb)
       }.getOrElse((Map.empty[String, (Long, Long)],
         Map.empty[String, Map[String, ColSpan]], TsTable.NoBlooms))
+      // carry-forward is PER-COLUMN aware: a file skips re-collection only
+      // when its carried entry covers every currently-declared column —
+      // so a column newly (re-)declared (restore to a pre-drop version,
+      // bloomCols/statsCols widened on reopen) gets harvested for
+      // already-live files at this commit instead of staying index-blind
+      // behind a file-level carried entry forever
+      val declaredStats = writeOptions.statsCols
+        .filter(storedSchema.fieldNames.contains).toSet
       val (fresh, freshCols) =
-        collectSpans(files.map(_._1).filterNot(carried.contains))
-      // Bloom sidecar: carried forward like spans; the files without an
-      // entry (normally exactly this commit's additions; everything, once,
-      // after a crash lost a sidecar — self-healing) harvest in ONE
-      // column-pruned scan. Written to a writer-unique temp FIRST and
-      // renamed to its final name only after the manifest CAS succeeds —
-      // the version number is then exclusively owned. A crash between the
-      // two degrades lookups to no-skipping, never to wrong results.
+        collectSpans(files.map(_._1).filterNot(p =>
+          carried.contains(p) && declaredStats.subsetOf(
+            carriedCols.get(p).map(_.keySet).getOrElse(Set.empty))))
+      // Bloom sidecar: carried forward like spans; the files without a
+      // covering entry (normally exactly this commit's additions;
+      // everything, once, after a crash lost a sidecar — self-healing)
+      // harvest in ONE column-pruned scan. Written to a writer-unique temp
+      // FIRST and renamed to its final name only after the manifest CAS
+      // succeeds — the version number is then exclusively owned. A crash
+      // between the two degrades lookups to no-skipping, never to wrong
+      // results.
+      val declaredBlooms = writeOptions.bloomCols
+        .filter(storedSchema.fieldNames.contains).toSet
       val blooms =
         if (writeOptions.bloomCols.isEmpty) TsTable.NoBlooms
         else carriedBlooms ++ harvestBlooms(
           files.map(_._1).filter(_.contains("/"))
-            .filterNot(carriedBlooms.contains))
+            .filterNot(p => carriedBlooms.get(p).exists(cols =>
+              declaredBlooms.subsetOf(cols.keySet))))
       val bloomTmp: Option[Path] =
         if (blooms.isEmpty) None
         else Some(TsTable.writeBloomSidecarTmp(fs, path, next, blooms))
@@ -1889,10 +1963,22 @@ final class TsTable private (
       .bloomAgg(xxhash64(col(c)), items, writeOptions.bloomBits).as(s"__b_$c"))
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
+    // a null aggregate means the file holds ZERO non-null values of the
+    // column (all-null, or pre-evolution files that lack it) — record an
+    // EMPTY filter rather than omitting the entry: every probe rejects
+    // (sound — SQL equality with null never matches), and carry-forward
+    // sees the column covered instead of re-scanning the file per commit
+    lazy val emptyBits: Array[Byte] = {
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .create((writeOptions.bloomBits / 10L).max(1L), writeOptions.bloomBits)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
     rows.iterator.map { r =>
       val rel = relativize(Seq(r.getString(0)), "bloom").head
-      rel -> cols.zipWithIndex.flatMap { case (c, i) =>
-        Option(r.get(i + 1)).map(b => c -> b.asInstanceOf[Array[Byte]])
+      rel -> cols.zipWithIndex.map { case (c, i) =>
+        c -> Option(r.get(i + 1)).fold(emptyBits)(_.asInstanceOf[Array[Byte]])
       }.toMap
     }.filter(_._2.nonEmpty).toMap
   }
@@ -2015,6 +2101,8 @@ final class TsSnapshot private[ts] (
   def action: String = manifest.action
   def schema: StructType = manifest.schema
   private[ts] def manifestFiles: Seq[(String, Long)] = manifest.files
+  private[ts] def manifestColStats: Map[String, Map[String, ColSpan]] =
+    manifest.colStats
 
   /** The version's per-file ts spans (relative path → closed µs span) —
     * consumed by the snapshot file index for planning-time file skipping.
@@ -2252,23 +2340,31 @@ object TsTable {
     * between manifest install and the rename degrades lookups to
     * no-skipping until the next commit re-harvests — never wrong
     * results. Format: one header line, then `relpath TAB col TAB
-    * base64(bits)` per entry. */
+    * base64(bits)` per entry. Entries STREAM to the output one line at a
+    * time — at the default 262144 bloomBits an entry is ~43 KiB of
+    * base64 per file per column, so materializing the whole body first
+    * (the naive StringBuilder) would cost multi-GB driver strings per
+    * commit on a 100k-file table; peak memory here is one entry. */
   private[ts] def writeBloomSidecarTmp(fs: org.apache.hadoop.fs.FileSystem,
       path: String, v: Long,
       blooms: Map[String, Map[String, Array[Byte]]]): Path = {
     val tmp = new Path(path,
       bloomsName(v) + s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val enc = java.util.Base64.getEncoder
-    val body = new StringBuilder(s"version=$v\n")
-    blooms.toSeq.sortBy(_._1).foreach { case (p, cols) =>
-      cols.toSeq.sortBy(_._1).foreach { case (c, bytes) =>
-        body.append(p).append('\t').append(c).append('\t')
-          .append(enc.encodeToString(bytes)).append('\n')
-      }
-    }
     fs.mkdirs(new Path(path, VersionsDir))
     val out = fs.create(tmp, true)
-    try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+    try {
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(out, "UTF-8"), 1 << 16)
+      w.write(s"version=$v\n")
+      blooms.toSeq.sortBy(_._1).foreach { case (p, cols) =>
+        cols.toSeq.sortBy(_._1).foreach { case (c, bytes) =>
+          w.write(p); w.write('\t'); w.write(c); w.write('\t')
+          w.write(enc.encodeToString(bytes)); w.write('\n')
+        }
+      }
+      w.flush()
+    } finally out.close()
     tmp
   }
 
@@ -2280,18 +2376,22 @@ object TsTable {
     val p = new Path(path, bloomsName(v))
     if (!fs.exists(p)) return NoBlooms
     val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
     val dec = java.util.Base64.getDecoder
-    text.split("\n").iterator.drop(1).filter(_.nonEmpty).toSeq
-      .flatMap { l =>
-        l.split("\t", 3) match {
-          case Array(rel, c, b64) =>
-            scala.util.Try((rel, c, dec.decode(b64))).toOption
-          case _ => None // torn line: drop the entry, never the read
-        }
-      }
+    // decode per line while streaming: the retained map holds the raw
+    // filter bytes only, never the (1/3 larger) base64 text of the whole
+    // sidecar alongside it
+    val entries =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .drop(1).filter(_.nonEmpty)
+        .flatMap { l =>
+          l.split("\t", 3) match {
+            case Array(rel, c, b64) =>
+              scala.util.Try((rel, c, dec.decode(b64))).toOption
+            case _ => None // torn line: drop the entry, never the read
+          }
+        }.toSeq
+      finally in.close()
+    entries
       .groupBy(_._1)
       .map { case (rel, rows) => rel -> rows.map(r => r._2 -> r._3).toMap }
   }
@@ -2563,11 +2663,17 @@ object TsTable {
               case None => ok = false
             }
           }
-          if (!ok || typ == ' ') None
+          // 'e' = harvested, nothing skippable (all-null column, absent
+          // column, statless writer, NaN/±Inf bounds). Readers KEEP such
+          // files; recording the marker instead of omitting the entry is
+          // what lets commit-time carry-forward see the column as covered —
+          // without it, a declared column that yields no span would force
+          // a footer re-read of the file on EVERY subsequent commit.
+          if (!ok || typ == ' ') Some(name -> ColSpan('e', "0", "0"))
           else if (typ == 'l') Some(name -> ColSpan('l', loL.toString, hiL.toString))
           else if (java.lang.Double.isFinite(loD) && java.lang.Double.isFinite(hiD))
             Some(name -> ColSpan('d', loD.toString, hiD.toString))
-          else None // NaN/±Inf bounds are not skippable-on
+          else Some(name -> ColSpan('e', "0", "0"))
         }.toMap
 
         (if (tsOk) Some((mn, mx)) else None, colSpans)

@@ -166,6 +166,54 @@ class TsBloomSpec extends SparkSpec {
     assert(q2.count() == t.toDF.where(col("user_id").isin(1003L, 3004L)).count())
   }
 
+  test("the candidate pass returns the manifest it validated: prune and scan share one authority check") {
+    val (t, _, _) = build("race")
+    val Some((mVersion, mFiles, cands)) =
+      graft.ts.TsBloomSpecAccess.candidatesWithManifest(t, "user_id", Seq(2007L))
+    assert(mVersion == t.currentVersion.get)
+    assert(cands.forall(mFiles.contains),
+      "candidates must come from the validated manifest's own file set")
+    // a commit lands BETWEEN the candidate pass and the scan: the probed
+    // user gains rows in a NEW file the old candidate list cannot know.
+    // lookupEq must never pair version-N candidates with version-N+1's
+    // file set — a fresh call revalidates and sees the new rows.
+    import spark.implicits._
+    t.append(Seq((java.sql.Timestamp.valueOf("2024-01-04 00:00:00"),
+      2007L, "late", 42.0)).toDF("ts", "user_id", "tag", "value"))
+    val Some((mv2, _, cands2)) =
+      graft.ts.TsBloomSpecAccess.candidatesWithManifest(t, "user_id", Seq(2007L))
+    assert(mv2 == mVersion + 1, "revalidation must see the new commit")
+    assert(cands2.length == cands.length + 1,
+      s"the new file holding 2007 must join the candidates: $cands2")
+    assert(t.lookupEq("user_id", Seq(2007L)).count() ==
+      t.toDF.where(col("user_id") === 2007L).count())
+  }
+
+  test("an all-null bloom column records an empty filter: probes skip the file, commits do not re-scan it") {
+    val (store, fs) = freshStore("allnull")
+    import spark.implicits._
+    def day(d: Int, id: Any): DataFrame =
+      (0 until 20).map { i =>
+        (java.sql.Timestamp.valueOf(f"2024-01-0$d%d 00:00:${i % 60}%02d"),
+          id.asInstanceOf[java.lang.Long], i.toDouble)
+      }.toDF("ts", "user_id", "value")
+    val t = TsTable.create(spark, store, day(1, 1001L).schema, tsCol = "ts",
+      writeOptions = TsWriteOptions(bloomCols = Seq("user_id")))
+    t.append(day(1, 1001L))
+    t.append(day(2, null)) // day 2's user_id is ALL NULL
+    // the all-null file still has a sidecar entry (the empty filter) …
+    val side = graft.ts.TsBloomSpecAccess.sidecar(spark, fs, store,
+      t.currentVersion.get)
+    assert(side.keySet.map(_.split("/").head) ==
+      Set("p_date=2024-01-01", "p_date=2024-01-02"))
+    assert(side.values.forall(_.contains("user_id")))
+    // … and every probe rejects it: null never equals anything
+    val cands = t.bloomCandidateFiles("user_id", Seq(1001L))
+    assert(cands.isDefined && cands.get.length == 1 &&
+      cands.get.head.startsWith("p_date=2024-01-01/"), s"got $cands")
+    assert(t.lookupEq("user_id", Seq(1001L)).count() == 20)
+  }
+
   test("create refuses bloomCols outside the schema; lookupEq validates inputs") {
     val (store, _) = freshStore("refuse")
     import spark.implicits._

@@ -126,6 +126,50 @@ class TsDropColumnSpec extends SparkSpec {
     assert(reopened.toDF.count() == ev.count())
   }
 
+  test("restore to a pre-drop version resurrects the column's stats/bloom index membership") {
+    val (t, store, _) = build("restoreidx",
+      TsWriteOptions(statsCols = Seq("user_id", "value"),
+        bloomCols = Seq("user_id")))
+    val preDrop = t.currentVersion.get
+    t.dropColumns(Seq("user_id"))
+    val narrowed = TsTable.open(spark, store)
+    assert(narrowed.writeOptions.statsCols == Seq("value"))
+    assert(narrowed.writeOptions.bloomCols.isEmpty)
+    narrowed.restore(preDrop)
+    val back = TsTable.open(spark, store)
+    // membership came back from the target version's own artifacts — not
+    // the narrowed handle's post-drop options
+    assert(back.writeOptions.statsCols.toSet == Set("user_id", "value"),
+      s"statsCols lost on restore: ${back.writeOptions.statsCols}")
+    assert(back.writeOptions.bloomCols == Seq("user_id"),
+      s"bloomCols lost on restore: ${back.writeOptions.bloomCols}")
+    // and the index actually SERVES again: the restore commit harvested
+    // under the restored membership, so pruning is live immediately
+    val probe = back.toDF.select("user_id").where(col("user_id").isNotNull)
+      .limit(1).collect().head.getLong(0)
+    val cands = back.bloomCandidateFiles("user_id", Seq(probe))
+    assert(cands.isDefined, "bloom index not authoritative after restore")
+    assert(back.lookupEq("user_id", Seq(probe)).count() ==
+      back.toDF.where(col("user_id") === probe).count())
+  }
+
+  test("cloneAt a pre-drop version gives the clone the resurrected index membership") {
+    val (t, store, fs) = build("cloneidx",
+      TsWriteOptions(statsCols = Seq("user_id"), bloomCols = Seq("user_id")))
+    val preDrop = t.currentVersion.get
+    t.dropColumns(Seq("user_id"))
+    val dest = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_dropcol_cloneidx_dest").toString
+    val dp = new Path(dest)
+    if (fs.exists(dp)) fs.delete(dp, true)
+    val clone = TsTable.open(spark, store).cloneAt(preDrop, dest)
+    assert(clone.schema.fieldNames.contains("user_id"))
+    assert(clone.writeOptions.statsCols == Seq("user_id"))
+    assert(clone.writeOptions.bloomCols == Seq("user_id"))
+    val reopened = TsTable.open(spark, dest)
+    assert(reopened.writeOptions.bloomCols == Seq("user_id"))
+  }
+
   test("restore to a pre-drop version brings the column AND clears its tombstone") {
     val (t, store, _) = build("restorecase")
     val preDrop = t.currentVersion.get

@@ -136,4 +136,24 @@ class WindowOpsSpec extends SparkSpec {
       assert(selectedIds.subsetOf(ordered.map(_._3).toSet))
     }
   }
+
+  test("LTTB bucket map survives billion-row ranks: the int rank widens before the multiply") {
+    import spark.implicits._
+    // rn is IntegerType exactly as row_number() produces it; at rn = 1e9
+    // the unwidened int product (rn-1)*12 wraps negative. The operator's
+    // OWN expression (TimeSeriesPack.lttbBucketExpr) must keep buckets in
+    // [0, 12) and monotone in rank.
+    val rows = Seq(
+      (1, 1200000000L), (100000000, 1200000000L), (179000000, 1200000000L),
+      (500000000, 1200000000L), (1000000000, 1200000000L),
+      (1200000000, 1200000000L))
+      .toDF("rn", "n")
+    val got = rows
+      .withColumn("b", graft.operators.TimeSeriesPack.lttbBucketExpr)
+      .orderBy(col("rn"))
+      .select("b").as[Long].collect()
+    assert(got.forall(b => b >= 0 && b < 12), s"buckets out of range: ${got.toSeq}")
+    assert(got.toSeq == got.toSeq.sorted, s"buckets not monotone in rank: ${got.toSeq}")
+    assert(got.head == 0 && got.last == 11, s"endpoints not anchored: ${got.toSeq}")
+  }
 }
