@@ -619,6 +619,42 @@ object TimeSeriesPack extends QueryPack {
         .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")))
   }
 
+  /** B1+ runtime file-group pruning ([[graft.sources.GraftTsRuntimeFilteredScan]]
+    * — dynamic partition pruning for a table whose partition column is
+    * connector-internal): four days of events land in a `bloomCols =
+    * user_id` store, then plain declarative SQL — the V2 read equi-joined
+    * against a selective broadcast dimension — lets Spark's
+    * PartitionPruning rule plant a `dynamicpruning` subquery on the scan,
+    * and the materialized join keys prune FILES through the Bloom
+    * sidecars before any task launches. No `lookupEq` call, no hint: the
+    * user writes the join, the engine reaches lookupEq's I/O shape. The
+    * oracle replays the identical join+aggregate in SQL, hash-checking
+    * that runtime pruning never drops a matching row; that the pruning
+    * HAPPENS (file counts shrink, the filter arrives pre-task) is
+    * asserted in GraftTsRuntimeFilterSpec. At 100 TB this is the
+    * fact-×-small-dim pattern: the fact side plans only files whose
+    * index admits at least one live key. */
+  def runtimePruneJoin(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tsrtprune_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts",
+      writeOptions = TsWriteOptions(bloomCols = Seq("user_id")))
+    val cut = lit("2024-01-03 00:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    t.append(ev.where(col("ts") >= cut))
+    val fact = s.read.format("graft-ts").load(store)
+    // a sparse cohort (~1% of users) from a REAL source, so the selective
+    // Filter node survives optimization for the pruning rule to see
+    val dim = Tables.events(s, dir).select(col("user_id"))
+      .where(col("user_id") % 97 === 3).distinct()
+    fact.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** B1+ Bloom point lookup (`TsTable.lookupEq` over declared
     * `bloomCols` — the needle-query verb: one cohort's rows out of a
     * table whose files' min/max user-id spans all overlap, so span
@@ -1416,6 +1452,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_merge" -> mergeRoundtrip,
     "q_ts_backfill" -> backfillRoundtrip,
     "q_ts_point_lookup" -> pointLookupRoundtrip,
+    "q_ts_runtime_prune" -> runtimePruneJoin,
     "q_ts_drop_column" -> dropColumnRoundtrip,
     "q_ts_sql_merge" -> sqlMergeRoundtrip,
     "q_ts_rollup" -> rollupRoundtrip,
@@ -1662,6 +1699,19 @@ object TimeSeriesPack extends QueryPack {
          |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
          |  AND user_id IN (3, 7, 11)
          |ORDER BY event_id""".stripMargin,
+    // runtime file pruning: the join itself is plain SQL — the engine-side
+    // file skipping must be invisible in the result
+    "q_ts_runtime_prune" ->
+      """WITH fact AS (
+        |  SELECT * FROM events
+        |  WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+        |), dim AS (
+        |  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 3
+        |)
+        |SELECT f.user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(f.value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        |FROM fact f JOIN dim d USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // mergeInto: matched rows take the source's columns (replayed as a
     // LEFT JOIN + CASE on the match marker — the source carried the
     // original user_id/event_type, so only value/props visibly change);

@@ -252,12 +252,22 @@ final class GraftTsV2Table(spark: SparkSession, val ts: TsTable,
             Some(full), FileStatusCache.getOrCreate(spark), None, None)
     }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // a pinned table scans with ITS version's tsCol (manifests record it
     // precisely so time travel crosses schema evolution) — the live
     // table's tsCol could push ts predicates against the wrong column
+    val scanTsCol = snapshot.map(_.tsCol).getOrElse(ts.tsCol)
+    // runtime-filterable columns: everything a join-driven IN probe can
+    // skip files with — Bloom sidecars, declared-stats spans, and the ts
+    // span index itself. Typed from THIS scan's schema (the pinned
+    // version's own, for time travel).
+    val filterable = (ts.writeOptions.bloomCols ++ ts.writeOptions.statsCols
+        :+ scanTsCol)
+      .flatMap(n => schema().fields.find(_.name.equalsIgnoreCase(n)))
+      .map(f => f.name -> f.dataType).toMap
     new GraftTsScanBuilder(spark, fileIndex, schema(), schema(), options,
-      snapshot.map(_.tsCol).getOrElse(ts.tsCol))
+      scanTsCol, filterable)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // a pinned version is an immutable historical state — writes target
@@ -334,13 +344,25 @@ object GraftTsV2Table {
 final class GraftTsScanBuilder(
     spark: SparkSession, fileIndex: PartitioningAwareFileIndex,
     schema: StructType, dataSchema: StructType,
-    options: CaseInsensitiveStringMap, tsCol: String)
+    options: CaseInsensitiveStringMap, tsCol: String,
+    runtimeFilterable: Map[String, org.apache.spark.sql.types.DataType] =
+      Map.empty)
   extends ParquetScanBuilder(spark, fileIndex, schema, dataSchema, options) {
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
     super.pushFilters(
       filters ++ GraftTsScanBuilder.derivedDateBounds(
         filters, tsCol, spark.sessionState.conf.sessionLocalTimeZone))
+
+  /** The stock parquet scan, wrapped for runtime file-group filtering when
+    * the table declares skippable index columns (bloomCols/statsCols/ts —
+    * see [[GraftTsRuntimeFilteredScan]]). */
+  override def build()
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
+    val p = super.build()
+    if (runtimeFilterable.isEmpty) p
+    else new GraftTsRuntimeFilteredScan(p, runtimeFilterable)
+  }
 }
 
 object GraftTsScanBuilder {

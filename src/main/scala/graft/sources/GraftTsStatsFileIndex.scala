@@ -145,6 +145,13 @@ object GraftTsStatsFileIndex {
         tightenLo(us); tightenHi(us)
       case EqualTo(Literal(us: Long, TimestampType), a) if isTs(a) =>
         tightenLo(us); tightenHi(us)
+      // an IN probe set (static, or a runtime join-key filter) implies the
+      // closed [min, max] of its values — conservative: any non-conforming
+      // member voids the whole conjunct's contribution
+      case In(a, list) if isTs(a) && list.nonEmpty && list.forall {
+            case Literal(_: Long, TimestampType) => true; case _ => false } =>
+        val us = list.map { case Literal(v: Long, TimestampType) => v }
+        tightenLo(us.min); tightenHi(us.max)
       case GreaterThanOrEqual(Literal(us: Long, TimestampType), a) if isTs(a) =>
         tightenHi(us)
       case GreaterThan(Literal(us: Long, TimestampType), a) if isTs(a) =>
@@ -227,6 +234,15 @@ object GraftTsStatsFileIndex {
         num(v).foreach { b => tightenLo(b); tightenHi(b) }
       case EqualTo(Literal(v, _), a) if isCol(a) =>
         num(v).foreach { b => tightenLo(b); tightenHi(b) }
+      // IN probe set → closed [min, max] (the tsBounds rule); all-or-nothing
+      // so a partially-numeric list contributes nothing
+      case In(a, list) if isCol(a) && list.nonEmpty &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        val bs = list.map { case Literal(v, _) => num(v) }
+        if (bs.forall(_.isDefined)) {
+          val vals = bs.map(_.get)
+          tightenLo(vals.min); tightenHi(vals.max)
+        }
       case GreaterThanOrEqual(Literal(v, _), a) if isCol(a) => num(v).foreach(tightenHi)
       case GreaterThan(Literal(v, _), a) if isCol(a) => num(v).foreach(tightenHi)
       case LessThanOrEqual(Literal(v, _), a) if isCol(a) => num(v).foreach(tightenLo)

@@ -1,0 +1,149 @@
+package graft
+
+import graft.sources.{GraftTsRuntimeFilteredScan, GraftTsV2Table}
+import graft.ts.{TsTable, TsWriteOptions}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Runtime file-group filtering on the graft-ts V2 scan
+  * ([[GraftTsRuntimeFilteredScan]]): when the table is equi-joined against
+  * a selective side, the materialized join keys arrive as V2 IN predicates
+  * BEFORE tasks launch and prune files through the Bloom/span indexes —
+  * dynamic partition pruning for a table whose partition column is
+  * connector-internal. Covers: direct filter() pruning via Bloom bits and
+  * via declared-stats spans, conservative no-ops (unknown column,
+  * unindexed file), end-to-end DPP injection on a broadcast join with
+  * result parity, and the IN-derived static span bounds. */
+class GraftTsRuntimeFilterSpec extends SparkSpec {
+
+  private def freshStore(tag: String): (String, org.apache.hadoop.fs.FileSystem) = {
+    val store = new java.io.File(sys.props("java.io.tmpdir"), s"graft_rtf_$tag").toString
+    val p = new Path(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    (store, fs)
+  }
+
+  /** Three single-day appends with DISJOINT user_id ranges per day (day d
+    * holds ids [1000·d, 1000·d + 49]) so the pruning verdict is exact. */
+  private def build(tag: String, opts: TsWriteOptions)
+      : (TsTable, String) = {
+    val (store, _) = freshStore(tag)
+    import spark.implicits._
+    def day(d: Int): DataFrame =
+      (0 until 200).map { i =>
+        (java.sql.Timestamp.valueOf(f"2024-01-0$d%d 00:00:${i % 60}%02d"),
+          1000L * d + i % 50, i.toDouble)
+      }.toDF("ts", "user_id", "value")
+    val t = TsTable.create(spark, store, day(1).schema, tsCol = "ts",
+      writeOptions = opts)
+    t.append(day(1)); t.append(day(2)); t.append(day(3))
+    (t, store)
+  }
+
+  private def fileCount(scan: org.apache.spark.sql.connector.read.Scan): Int =
+    scan.toBatch.planInputPartitions().map {
+      case fp: FilePartition => fp.files.length
+      case _ => 0
+    }.sum
+
+  private def freshScan(t: TsTable)
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
+    new GraftTsV2Table(spark, t)
+      .newScanBuilder(CaseInsensitiveStringMap.empty).build()
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+
+  test("a runtime IN predicate prunes files through the Bloom index before tasks launch") {
+    val (t, _) = build("bloom", TsWriteOptions(bloomCols = Seq("user_id")))
+    val scan = freshScan(t)
+    assert(scan.isInstanceOf[GraftTsRuntimeFilteredScan])
+    assert(fileCount(scan) == 3, "unfiltered scan plans every file")
+    val rtf = scan.asInstanceOf[SupportsRuntimeV2Filtering]
+    assert(rtf.filterAttributes().map(_.fieldNames.last).toSet
+      .contains("user_id"))
+    rtf.filter(Array(new Predicate("IN",
+      Array(Expressions.column("user_id"), Expressions.literal(2007L)))))
+    assert(fileCount(scan) == 1,
+      "the runtime keys must prune to the single file whose Bloom admits them")
+  }
+
+  test("a runtime IN predicate prunes files through declared-stats spans (no Bloom declared)") {
+    val (t, _) = build("span", TsWriteOptions(statsCols = Seq("user_id")))
+    val scan = freshScan(t)
+    val rtf = scan.asInstanceOf[SupportsRuntimeV2Filtering]
+    rtf.filter(Array(new Predicate("IN",
+      Array(Expressions.column("user_id"),
+        Expressions.literal(1003L), Expressions.literal(1040L)))))
+    // both probes live in day 1's disjoint span; days 2-3 are excluded by
+    // the IN-derived [min, max] bound
+    assert(fileCount(scan) == 1)
+  }
+
+  test("conservative no-ops: unknown predicate shapes and unindexed tables keep every file") {
+    val (t, _) = build("noop", TsWriteOptions(bloomCols = Seq("user_id")))
+    val scan = freshScan(t)
+    val rtf = scan.asInstanceOf[SupportsRuntimeV2Filtering]
+    // a predicate on a column the index never declared: contributes nothing
+    rtf.filter(Array(new Predicate("IN",
+      Array(Expressions.column("value"), Expressions.literal(7.0)))))
+    // an opaque predicate shape: contributes nothing
+    rtf.filter(Array(new Predicate("IS_NOT_NULL",
+      Array(Expressions.column("user_id")))))
+    assert(fileCount(scan) == 3, "no usable runtime key may never skip")
+  }
+
+  test("end-to-end: a broadcast join against a selective dim plants a dynamicpruning filter and results match") {
+    val (t, store) = build("e2e", TsWriteOptions(bloomCols = Seq("user_id")))
+    import spark.implicits._
+    // the dim must be a REAL source (not a LocalRelation): Catalyst folds a
+    // filter over local rows away at optimize time, and the pruning rule
+    // needs to SEE the selective Filter node on the filtering side
+    val dimPath = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_rtf_e2e_dim").toString
+    Seq((2007L, "gold"), (2013L, "gold"), (1001L, "silver"))
+      .toDF("user_id", "tier")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val fact = spark.read.format("graft-ts").load(store)
+    val q = fact.join(broadcast(dim.where(col("tier") === "gold")), Seq("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    val got = q.collect().head
+    // oracle on the facade read
+    val want = t.toDF.join(dim.where(col("tier") === "gold"), Seq("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv")).collect().head
+    assert(got == want, s"join result diverged: $got vs $want")
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.toLowerCase.contains("dynamicpruning"),
+      s"expected a runtime pruning filter on the V2 scan:\n$planStr")
+  }
+
+  test("the registered q_ts_runtime_prune query plans a dynamicpruning filter on its V2 scan") {
+    val q = graft.operators.TimeSeriesPack.runtimePruneJoin(spark, sf0001)
+    q.collect() // force the final adaptive plan
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.toLowerCase.contains("dynamicpruning"),
+      s"q_ts_runtime_prune lost its runtime pruning filter:\n$planStr")
+  }
+
+  test("static IN predicates now derive span bounds too: WHERE ts IN (...) prunes by file span") {
+    val (t, store) = build("statictsin", TsWriteOptions())
+    val q = spark.read.format("graft-ts").load(store)
+      .where(col("ts").isin(
+        java.sql.Timestamp.valueOf("2024-01-02 00:00:05"),
+        java.sql.Timestamp.valueOf("2024-01-02 00:00:07")))
+    val scan = V2ScanAccess.parquetScan(q.queryExecution.executedPlan)
+    val files = scan.fileIndex
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.files.length).sum
+    assert(files == 1, s"ts IN should span-prune to day 2's file, kept $files")
+    assert(q.count() == t.toDF.where(col("ts").isin(
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:05"),
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:07"))).count())
+  }
+}
