@@ -980,6 +980,45 @@ object TimeSeriesPack extends QueryPack {
   private[graft] def lttbBucketExpr: org.apache.spark.sql.Column =
     expr(s"((CAST(rn AS BIGINT) - 1) * $LttbBuckets) DIV n")
 
+  /** B5+ drawdown — the canonical risk statistic the reference's finance
+    * users compute from `read_range` → pandas `cummax` over a cumulative
+    * PnL curve: per user, equity = running sum of `value − DrawdownBench`
+    * in (ts, event_id) order, peak = running max of equity, drawdown =
+    * peak − equity; surface each user's MAXIMUM drawdown and the event where the
+    * trough occurs (argmax ties break on event_id — deterministic in both
+    * engines). All arithmetic is decimal-exact end to end, so the oracle
+    * hash-matches bit for bit with no float quantization. Shape: equity
+    * and peak share ONE user_id window exchange (same partition + order);
+    * the argmax selection re-sorts within the same partitioning — one
+    * shuffle total, the running/ewma rule. At 100 TB: per-series
+    * prefix-scans parallelize across users; no driver state. */
+  /** The PnL benchmark: `value` is nonnegative in this schema, so the raw
+    * cumulative sum would be monotone (every drawdown trivially 0); the
+    * per-event increment is `value − DrawdownBench` — a position P&L
+    * against a fixed reference, the shape a real equity curve has. ONE
+    * IEEE subtraction before the decimal quantization, replayed
+    * identically by the oracle. */
+  private[graft] val DrawdownBench = 50.0
+
+  def windowDrawdown(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val curve = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        (col("value") - lit(DrawdownBench)).cast("decimal(18,4)").as("v"))
+      .withColumn("equity", sum(col("v")).over(w))
+      .withColumn("peak", max(col("equity")).over(w))
+      .withColumn("dd", (col("peak") - col("equity")).cast("decimal(38,4)"))
+    val sel = Window.partitionBy(col("user_id"))
+      .orderBy(col("dd").desc, col("event_id"))
+    curve.withColumn("rk", row_number().over(sel))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("dd").as("max_drawdown"),
+        col("event_id").as("trough_event_id"))
+      .orderBy(col("user_id"))
+  }
+
   /** B5/B6+ visual downsampling — largest-triangle-three-buckets, the
     * parallel bucketed variant (Steinarsson 2013; the `lttb` Grafana/
     * Timescale serve their charts with): each user's series reduces to
@@ -1480,6 +1519,7 @@ object TimeSeriesPack extends QueryPack {
     "q_window_ewma" -> windowEwma,
     "q_window_delta" -> windowDelta,
     "q_window_twap" -> windowTwap,
+    "q_window_drawdown" -> windowDrawdown,
     "q_asof_join" -> asofJoin,
     "q_asof_join_tol" -> asofJoinTolerance,
     "q_asof_join_merged" -> asofJoinMerged,
@@ -1645,6 +1685,29 @@ object TimeSeriesPack extends QueryPack {
         |  floor(CAST(sum(CAST(value AS DECIMAL(15,6)) * CAST(dt AS DECIMAL(19,0))) AS DOUBLE)
         |    / CAST(sum(dt) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS twap
         |FROM p GROUP BY user_id, d ORDER BY user_id, day""".stripMargin,
+    // Drawdown: decimal-exact equity/peak chain, argmax trough with the
+    // event_id tiebreak — bit-identical in both engines.
+    "q_window_drawdown" ->
+      s"""WITH p AS (
+        |  SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS us,
+        |    event_id, CAST(value - $DrawdownBench AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id, us, event_id,
+        |    sum(v) OVER (PARTITION BY user_id ORDER BY us, event_id) AS equity
+        |  FROM p),
+        |d AS (
+        |  SELECT user_id, us, event_id, equity,
+        |    max(equity) OVER (PARTITION BY user_id ORDER BY us, event_id) AS peak
+        |  FROM e),
+        |r AS (
+        |  SELECT user_id, event_id,
+        |    CAST(peak - equity AS DECIMAL(38,4)) AS dd,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY (peak - equity) DESC, event_id) AS rk
+        |  FROM d)
+        |SELECT user_id, dd AS max_drawdown, event_id AS trough_event_id
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
     // The backfilled store holds exactly the four-day slice, whatever
     // order the days arrived in.
     "q_ts_backfill" ->

@@ -146,7 +146,14 @@ final class GraftTsDataSource extends TableProvider with DataSourceRegister
             s"startingVersion must be a snapshot version number, got '$raw'")
         }
       },
-      readChangeFeed(parameters))
+      readChangeFeed(parameters),
+      parameters.get("maxVersionsPerTrigger").map { raw =>
+        try raw.trim.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"maxVersionsPerTrigger must be a positive integer, got '$raw'")
+        }
+      })
 
   // Schema always comes from the store descriptor (or parquet footers for
   // attached plain layouts) — a user-supplied schema could silently widen

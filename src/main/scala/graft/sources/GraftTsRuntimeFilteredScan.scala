@@ -69,6 +69,34 @@ final class GraftTsRuntimeFilteredScan(
     if (exprs.nonEmpty) runtimeDataFilters = runtimeDataFilters ++ exprs
   }
 
+  /** Statistics from the PRUNED file listing — the stock V2 `FileScan`
+    * estimate multiplies the WHOLE index's bytes by the column-width
+    * ratio, so a one-day slice of a 100 TB table reports 100 TB and the
+    * planner never broadcasts it. This override runs the same formula
+    * over `listFiles(partitionFilters, dataFilters ++ runtime)` — the
+    * exact file set the scan will read after date-partition, ts-span,
+    * Bloom, and runtime-key skipping — which is what lets a narrow range
+    * read join as the build side without a hint. One in-memory listing
+    * pass at planning time; no I/O. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val prunedBytes = fileIndex
+      .listFiles(partitionFilters, dataFilters ++ runtimeDataFilters)
+      .flatMap(_.files).map(_.getLen).sum
+    val fullRow =
+      (dataSchema.defaultSize + fileIndex.partitionSchema.defaultSize).toDouble
+    val readRow =
+      (readDataSchema.defaultSize + readPartitionSchema.defaultSize).toDouble
+    val size = (conf.fileCompressionFactor * prunedBytes *
+      (if (fullRow > 0) readRow / fullRow else 1.0)).toLong
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
   // widened to public so the re-planning instance below is callable; the
   // inner instance carries the merged filters baked into its base scan and
   // an empty runtime list, so it computes partitions the stock way

@@ -42,6 +42,16 @@ case class PointHampel(key: Long, ts: java.sql.Timestamp, value: Double,
   * doubles) plus the key's last event time for idle eviction. */
 case class HampelState(vals: Seq[Double], lastTsUs: Long)
 
+/** [[TsStream.drawdownPerKey]] output: the point plus its running equity
+  * (cumulative value), running peak, and drawdown from peak. */
+case class PointDrawdown(key: Long, ts: java.sql.Timestamp, value: Double,
+                         equity: Double, peak: Double, drawdown: Double)
+
+/** Per-key drawdown state: running (equity, peak) in exact 1e-4 units —
+  * the batch operator's DECIMAL(18,4) quantum — plus the key's last event
+  * time for idle eviction. */
+case class DrawdownState(equityE4: Long, peakE4: Long, lastTsUs: Long)
+
 case class PointAsOf(key: Long, ts: java.sql.Timestamp, value: Double,
                      r_ts: Option[java.sql.Timestamp], r_value: Option[Double])
 
@@ -384,6 +394,56 @@ object TsStream extends Serializable {
             }
             if (pts.nonEmpty) {
               state.update(CusumState(s))
+              state.setTimeoutTimestamp(usOf(pts.last.ts) / 1000L + idleHorizonMs)
+            }
+            out.iterator
+          })
+  }
+
+  /** Streaming drawdown — the live risk gate, the O(1)-state twin of the
+    * registered batch key `TimeSeriesPack.windowDrawdown`
+    * (q_window_drawdown): per key, the running equity (cumulative
+    * `value − benchmark`, the per-point P&L increment), the running peak,
+    * and the drawdown from peak, emitted per point as data arrives
+    * (kill-switches, exposure monitors, live PnL dashboards).
+    *
+    * Exactness: arithmetic runs in exact 1e-4 integer units — the SAME
+    * quantum as the batch operator's DECIMAL(18,4) chain — so an ordered
+    * replay reproduces the batch equity/peak/drawdown curve EXACTLY, and
+    * each key's running max drawdown equals the batch key's
+    * `max_drawdown` (TsStreamSpec, chunk-boundary invariant included).
+    * State per key: two longs + one timestamp — O(1), not O(stream).
+    * Ordering/eviction contract mirrors [[deltasPerKey]]: event-time
+    * order within a microbatch, arrival order across batches, idle keys
+    * evicted past the watermark horizon. */
+  def drawdownPerKey(points: Dataset[KeyedPoint], benchmark: Double = 0.0,
+                     watermark: String = "1 hour",
+                     idleHorizonMs: Long = 3600000L): Dataset[PointDrawdown] = {
+    import points.sparkSession.implicits._
+    points.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, it: Iterator[KeyedPoint], state: GroupState[DrawdownState]) =>
+          if (state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else {
+            val pts = it.toArray.sortBy(p => usOf(p.ts))
+            var eq = state.getOption.map(_.equityE4).getOrElse(0L)
+            var pk = state.getOption.map(_.peakE4).getOrElse(Long.MinValue)
+            val out = pts.map { p =>
+              // ONE IEEE subtraction then the batch operator's
+              // DECIMAL(18,4) cast, as an exact long — the increment is
+              // the point's P&L against the declared benchmark
+              val vI = (BigDecimal(p.value - benchmark)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000)
+                .toLongExact
+              eq += vI
+              if (eq > pk) pk = eq
+              PointDrawdown(key, p.ts, p.value,
+                eq.toDouble / 1e4, pk.toDouble / 1e4, (pk - eq).toDouble / 1e4)
+            }
+            if (pts.nonEmpty) {
+              state.update(DrawdownState(eq, pk, usOf(pts.last.ts)))
               state.setTimeoutTimestamp(usOf(pts.last.ts) / 1000L + idleHorizonMs)
             }
             out.iterator

@@ -28,7 +28,10 @@ import org.apache.spark.sql.types.StructType
   *     its checkpointed version — exactly-once relative to commits;
   *   - `startingVersion` replays history from that version (0 = from the
   *     table's creation, manifests permitting); omitted, the stream
-  *     serves only commits made after it starts (the CDC tail shape).
+  *     serves only commits made after it starts (the CDC tail shape);
+  *   - `maxVersionsPerTrigger` caps how many commits one microbatch may
+  *     span (the Delta `maxFilesPerTrigger` analogue): a large backlog
+  *     drains in bounded batches instead of one giant catch-up batch.
   *
   * Scale notes: `getOffset` is one directory listing (metadata);
   * `getBatch` plans a distributed parquet scan of ONLY the files the
@@ -55,7 +58,12 @@ import org.apache.spark.sql.types.StructType
   */
 final class GraftTsStreamSource(sqlContext: SQLContext, path: String,
                                 startingVersion: Option[Long],
-                                readChangeFeed: Boolean = false) extends Source {
+                                readChangeFeed: Boolean = false,
+                                maxVersionsPerTrigger: Option[Long] = None)
+    extends Source {
+
+  require(maxVersionsPerTrigger.forall(_ >= 1),
+    s"maxVersionsPerTrigger must be >= 1, got ${maxVersionsPerTrigger.get}")
 
   private val spark = sqlContext.sparkSession
     .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -79,16 +87,34 @@ final class GraftTsStreamSource(sqlContext: SQLContext, path: String,
     case other => other.json.trim.toLong
   }
 
+  /** Highest version this source has handed out in a batch — the rate
+    * limiter's floor. Restart-safe by the V1 Source contract: the engine
+    * replays `getBatch` with the checkpointed range before polling for
+    * new offsets (the FileStreamSource/Delta-source repositioning rule),
+    * so a capped `getOffset` can never regress below the commit log. */
+  @volatile private var positioned: Option[Long] = None
+
   override def getOffset: Option[Offset] = {
     // re-open per poll: the listing must see commits made through OTHER
     // handles (the facade, the V2 writer, a foreign session). The engine
     // dedups: an offset equal to the last committed one plans no batch.
-    TsTable.open(spark, path).currentVersion.map(LongOffset(_))
+    val live = TsTable.open(spark, path).currentVersion.getOrElse(return None)
+    val capped = maxVersionsPerTrigger match {
+      // backlog admission control (the Delta maxFilesPerTrigger analogue):
+      // a stream started with startingVersion far in the past — or resumed
+      // after downtime — drains its backlog in bounded microbatches
+      // instead of planning one giant catch-up batch whose shuffle state
+      // must fit at once
+      case Some(m) => math.min(live, positioned.getOrElse(baseline) + m)
+      case None => live
+    }
+    Some(LongOffset(capped))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(baseline)
     val to = versionOf(end)
+    positioned = Some(positioned.fold(to)(math.max(_, to)))
     val batch =
       if (to <= from)
         spark.createDataFrame(

@@ -131,6 +131,26 @@ class GraftTsRuntimeFilterSpec extends SparkSpec {
       s"q_ts_runtime_prune lost its runtime pruning filter:\n$planStr")
   }
 
+  test("reported scan statistics shrink with pruning: a narrow range read can be broadcast by size") {
+    val (_, store) = build("stats", TsWriteOptions(bloomCols = Seq("user_id")))
+    def scanBytes(df: org.apache.spark.sql.DataFrame): Long =
+      V2ScanAccess.parquetScan(df.queryExecution.executedPlan)
+        .estimateStatistics().sizeInBytes().orElse(Long.MaxValue)
+    val full = scanBytes(spark.read.format("graft-ts").load(store))
+    // the upper bound stays strictly inside day 2: a bound at exactly the
+    // next midnight conservatively keeps the boundary file (closed-span
+    // widening), which is correct but not what this ratio assertion pins
+    val narrow = scanBytes(spark.read.format("graft-ts").load(store)
+      .where(col("ts") >= java.sql.Timestamp.valueOf("2024-01-02 00:00:00") &&
+        col("ts") <= java.sql.Timestamp.valueOf("2024-01-02 12:00:00")))
+    // the estimate must track the PRUNED file set (1 of 3 days), not the
+    // table size — this is what lets the planner auto-broadcast a narrow
+    // slice of a 100 TB table without a hint
+    assert(narrow > 0 && narrow < full,
+      s"narrow=$narrow full=$full: statistics ignore partition pruning")
+    assert(narrow <= full / 2, s"narrow=$narrow full=$full: expected ~1/3")
+  }
+
   test("static IN predicates now derive span bounds too: WHERE ts IN (...) prunes by file span") {
     val (t, store) = build("statictsin", TsWriteOptions())
     val q = spark.read.format("graft-ts").load(store)

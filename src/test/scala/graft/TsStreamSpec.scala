@@ -900,6 +900,51 @@ class TsStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("maxVersionsPerTrigger drains a backlog in bounded microbatches and " +
+      "a checkpointed restart stays exactly-once") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ts_stream_rate").toString
+    val store = s"$dir/store"
+    val first = Seq(ev(1, "2024-01-01 10:00:00")).toDF()
+    val table = TsTable.create(spark, store, first.schema, tsCol = "ts")
+    table.append(first)
+    (2 to 6).foreach(i => table.append(Seq(ev(i, s"2024-01-0$i 10:00:00")).toDF()))
+    // 7 commits exist (create + 6 appends); replay from 0 capped at 2
+    // versions per trigger must take >= 4 non-empty microbatches
+    val batches = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q = spark.readStream.format("graft-ts")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "2").load(store)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.select("event_id").collect().map(_.getLong(0)).toSet
+        if (ids.nonEmpty) batches.synchronized { batches += ids }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batches.flatten.toSet == (1L to 6L).toSet, s"lost rows: $batches")
+      assert(batches.length >= 3,
+        s"a 6-append backlog at 2 versions/trigger must split: $batches")
+      assert(batches.forall(_.size <= 2), s"a batch exceeded the cap: $batches")
+    } finally q.stop()
+    // restart against the same checkpoint: the cap must not regress the
+    // committed offset (the positioned floor) — only NEW commits arrive
+    table.append(Seq(ev(7, "2024-01-07 10:00:00")).toDF())
+    val got2 = scala.collection.mutable.Set[Long]()
+    val q2 = spark.readStream.format("graft-ts")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "2").load(store)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got2 ++= b.select("event_id").collect().map(_.getLong(0)); ()
+      }.start()
+    try {
+      q2.processAllAvailable()
+      assert(got2.toSet == Set(7L), s"restart must resume exactly-once, got $got2")
+    } finally q2.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("change-feed readStream: deletes and updates stream as row-level " +
       "_change_type batches; plain mode stays silent on them; horizon " +
       "replay serves synthetic inserts") {
@@ -1148,6 +1193,70 @@ class TsStreamSpec extends SparkSpec {
         val os = spark.table("stream_hampel_os").as[PointHampel].collect()
           .map(p => (p.key, us(p.ts), p.value) -> ((p.med, p.mad, p.is_outlier))).toMap
         assert(os == got.view.mapValues(p => (p.med, p.mad, p.is_outlier)).toMap)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
+  test("streaming drawdown == batch windowDrawdown exactly on ordered chunked replay") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.{KeyedPoint, PointDrawdown}
+    def us(ts: Timestamp): Long = (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    val rows = Tables.events(spark, sf0001)
+      .select($"user_id".as("key"), $"ts", $"value", $"event_id")
+      .collect().sortBy(r => (r.getTimestamp(1).getTime, r.getLong(3)))
+      .map(r => KeyedPoint(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val bench = 50.0 // TimeSeriesPack.DrawdownBench — batch parity needs it
+    val ms = MemoryStream[KeyedPoint]
+    val q = TsStream.drawdownPerKey(ms.toDS(), benchmark = bench,
+        watermark = "1 hour", idleHorizonMs = 10L * 365 * 24 * 3600 * 1000)
+      .writeStream.format("memory").queryName("stream_dd")
+      .outputMode("append").start()
+    try {
+      rows.grouped((rows.length / 5).max(1)).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val got = spark.table("stream_dd").as[PointDrawdown].collect()
+        .map(p => (p.key, us(p.ts), p.value) -> p).toMap
+      assert(got.size == rows.length, "one emission per point")
+      // per-point parity vs a driver-side fold in the same 1e-4 units
+      def e4(x: Double): Long =
+        (BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000)
+          .toLongExact
+      val maxDdByKey = scala.collection.mutable.Map.empty[Long, Long]
+      rows.groupBy(_.key).foreach { case (k, ps) =>
+        var eq = 0L; var pk = Long.MinValue
+        ps.foreach { p =>
+          eq += e4(p.value - bench); if (eq > pk) pk = eq
+          val g = got((p.key, us(p.ts), p.value))
+          assert(e4(g.equity) == eq && e4(g.peak) == pk &&
+            e4(g.drawdown) == pk - eq,
+            s"key $k point ${p.ts}: stream (${g.equity},${g.peak},${g.drawdown})")
+          maxDdByKey(k) = math.max(maxDdByKey.getOrElse(k, 0L), pk - eq)
+        }
+      }
+      // each key's running max drawdown equals the registered batch key
+      val batch = graft.operators.TimeSeriesPack.windowDrawdown(spark, sf0001)
+        .collect().map(r => r.getLong(0) ->
+          (r.getDecimal(1).movePointRight(4).longValueExact())).toMap
+      assert(batch.keySet == maxDdByKey.keySet)
+      batch.foreach { case (k, dd) =>
+        assert(maxDdByKey(k) == dd,
+          s"key $k: stream max dd ${maxDdByKey(k)} vs batch $dd")
+      }
+      assert(maxDdByKey.values.exists(_ > 0), "drawdowns should occur on real data")
+      // chunk-boundary invariance: one-shot replay emits identically
+      val ms2 = MemoryStream[KeyedPoint]
+      val q2 = TsStream.drawdownPerKey(ms2.toDS(), benchmark = bench,
+          watermark = "1 hour", idleHorizonMs = 10L * 365 * 24 * 3600 * 1000)
+        .writeStream.format("memory").queryName("stream_dd_os")
+        .outputMode("append").start()
+      try {
+        ms2.addData(rows.toSeq); q2.processAllAvailable()
+        val os = spark.table("stream_dd_os").as[PointDrawdown].collect()
+          .map(p => (p.key, us(p.ts), p.value) ->
+            ((p.equity, p.peak, p.drawdown))).toMap
+        assert(os == got.view.mapValues(p => (p.equity, p.peak, p.drawdown)).toMap)
       } finally q2.stop()
     } finally q.stop()
   }
