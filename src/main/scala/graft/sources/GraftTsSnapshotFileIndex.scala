@@ -65,36 +65,80 @@ final class GraftTsSnapshotFileIndex(
 
   override def partitionSpec(): PartitionSpec = spec
 
-  // span-skip index: manifest spans keyed by the RESOLVED path each file
-  // serves from (UUID basenames are unique, so name-level matching is
-  // exact across the live/archive split)
-  private lazy val spanByPath: Map[Path, (Long, Long)] = {
-    val byName = snapshot.fileTsSpans.map { case (rel, s) =>
-      rel.split("/").last -> s
-    }
+  // skip indexes: manifest spans/colStats and the version's Bloom sidecar,
+  // keyed by the RESOLVED path each file serves from (UUID basenames are
+  // unique, so name-level matching is exact across the live/archive split)
+  private def resolveByName[A](byRel: Map[String, A]): Map[Path, A] = {
+    val byName = byRel.map { case (rel, a) => rel.split("/").last -> a }
     statuses.flatMap { case (_, st) =>
       byName.get(st.getPath.getName).map(st.getPath -> _)
     }.toMap
   }
 
+  private lazy val spanByPath: Map[Path, (Long, Long)] =
+    resolveByName(snapshot.fileTsSpans)
+
+  private lazy val colByPath: Map[Path, Map[String, graft.ts.ColSpan]] =
+    resolveByName(snapshot.manifestColStats)
+
+  private lazy val statCols: Seq[String] =
+    colByPath.valuesIterator.flatMap(_.keysIterator).toSet.toSeq
+
+  private lazy val bloomByPath
+      : Map[Path, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+    resolveByName(snapshot.fileBlooms).map { case (p, cols) =>
+      p -> cols.map { case (c, bytes) =>
+        c -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+      }
+    }
+
+  private lazy val bloomCols: Seq[String] =
+    bloomByPath.valuesIterator.flatMap(_.keysIterator).toSet.toSeq
+
   /** Same planning-time file skipping as the live index
     * ([[GraftTsStatsFileIndex]]): drop files whose recorded closed ts
-    * span cannot intersect the pushed ts bounds; spanless files always
-    * survive. Pinned reads of a narrow window over a long-history
-    * version stop planning the whole version's file set. */
+    * span cannot intersect the pushed ts bounds, whose declared-stats
+    * span excludes every probed value, or whose Bloom bits reject every
+    * equality probe; unindexed files always survive. A pinned needle
+    * query (one user's rows as of last month's version) plans the same
+    * file set the live lookup would — time travel keeps the indexes. */
   override def listFiles(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
     val dirs = super.listFiles(partitionFilters, dataFilters)
-    if (spanByPath.isEmpty) return dirs
+    if (spanByPath.isEmpty && colByPath.isEmpty && bloomByPath.isEmpty)
+      return dirs
     val (lo, hi) = GraftTsStatsFileIndex.tsBounds(dataFilters, snapshot.tsCol)
-    if (lo.isEmpty && hi.isEmpty) return dirs
+    val colBounds = statCols.flatMap { c =>
+      val b = GraftTsStatsFileIndex.numBounds(dataFilters, c)
+      if (b._1.isEmpty && b._2.isEmpty) None else Some((c, b._1, b._2))
+    }
+    val bloomProbes = bloomCols.flatMap { c =>
+      GraftTsStatsFileIndex.eqProbeHashes(dataFilters, c).map(c -> _)
+    }
+    if (lo.isEmpty && hi.isEmpty && colBounds.isEmpty && bloomProbes.isEmpty)
+      return dirs
     dirs.map { pd =>
       pd.copy(files = pd.files.filter { f =>
-        spanByPath.get(f.getPath) match {
+        val p = f.getPath
+        val tsKeep = spanByPath.get(p) match {
           case Some((mn, mx)) => lo.forall(mx >= _) && hi.forall(mn <= _)
           case None => true
+        }
+        tsKeep && colBounds.forall { case (c, cLo, cHi) =>
+          colByPath.get(p).flatMap(_.get(c)) match {
+            // 'e' = harvested-but-unskippable marker: keep the file
+            case Some(s0) if s0.typ != 'e' =>
+              cLo.forall(s0.hiBD >= _) && cHi.forall(s0.loBD <= _)
+            case _ => true
+          }
+        } && bloomProbes.forall { case (c, hashes) =>
+          bloomByPath.get(p).flatMap(_.get(c)) match {
+            case Some(bf) => hashes.exists(bf.mightContainLong)
+            case None => true
+          }
         }
       })
     }

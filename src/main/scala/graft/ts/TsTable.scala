@@ -2101,8 +2101,18 @@ final class TsSnapshot private[ts] (
   def action: String = manifest.action
   def schema: StructType = manifest.schema
   private[ts] def manifestFiles: Seq[(String, Long)] = manifest.files
-  private[ts] def manifestColStats: Map[String, Map[String, ColSpan]] =
+  private[graft] def manifestColStats: Map[String, Map[String, ColSpan]] =
     manifest.colStats
+
+  /** The version's Bloom sidecar (relative path → column → filter bytes),
+    * tolerant of absence — consumed by the snapshot file index so a
+    * pinned needle query skips files exactly like a live one. One small
+    * driver-side read per index instance. */
+  private[graft] def fileBlooms: Map[String, Map[String, Array[Byte]]] = {
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TsTable.readBloomSidecar(fs, tablePath, version)
+  }
 
   /** The version's per-file ts spans (relative path → closed µs span) —
     * consumed by the snapshot file index for planning-time file skipping.

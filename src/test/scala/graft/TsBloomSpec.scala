@@ -214,6 +214,26 @@ class TsBloomSpec extends SparkSpec {
     assert(t.lookupEq("user_id", Seq(1001L)).count() == 20)
   }
 
+  test("a pinned (asOf) V2 read keeps the Bloom/span indexes: time travel skips files too") {
+    val (t, store, _) = build("pinned")
+    val v = t.currentVersion.get
+    import spark.implicits._
+    // later maintenance displaces day 2 (compact) and adds day 4 — the pin
+    // must keep serving ITS file set, still pruned by ITS sidecar
+    t.append(Seq((java.sql.Timestamp.valueOf("2024-01-04 00:00:00"), 4000L, "u4000", 0.0))
+      .toDF("ts", "user_id", "tag", "value"))
+    t.compactAll(targetFiles = 1)
+    val q = spark.read.format("graft-ts").option("asOf", v).load(store)
+      .where(col("user_id") === 2007L)
+    val scan = V2ScanAccess.parquetScan(q.queryExecution.executedPlan)
+    val files = scan.fileIndex
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.files.length).sum
+    assert(files == 1, s"pinned read should bloom-skip to 1 file, kept $files")
+    assert(q.count() == t.openAt(v).toDF.where(col("user_id") === 2007L).count()
+      && q.count() > 0)
+  }
+
   test("create refuses bloomCols outside the schema; lookupEq validates inputs") {
     val (store, _) = freshStore("refuse")
     import spark.implicits._
