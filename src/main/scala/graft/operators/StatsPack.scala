@@ -72,6 +72,55 @@ object StatsPack extends QueryPack {
     * (pandas `Series.autocorr` semantics) — each lag's mean/variance
     * come from its own overlap window — not the Box-Jenkins ACF that
     * normalizes every lag by the full-series variance. */
+  /** B4+ lead-lag CROSS-correlation — the "does this series follow the
+    * market" question ACF cannot answer: each user's HOURLY mean series
+    * is correlated against the GLOBAL hourly mean at lags 0/1/2 hours
+    * (xcorr at lag k pairs the user's hour t with the global hour t−k; a
+    * high lag-1 value means the user tracks yesterday's... last hour's
+    * aggregate — the market-beta / leader-follower shape). Pairs exist
+    * only where both series have the hour (inner join on the grid —
+    * pairwise semantics, the statsAcf estimator). The per-hour series is
+    * the hourly SUM, not the mean: the sum is DECIMAL-exact, and its
+    * double image is bit-identical on both engines (unscaled 1e-4-unit
+    * values stay far below 2^53, so int→double is exact and the /10⁴ is
+    * one correctly-rounded division) — a mean's double division would
+    * reintroduce the cross-engine ulp drift the decimal layer exists to
+    * kill, and the covariance numerator amplifies it. Power sums then
+    * quantize at DECIMAL(28,4) (order-independent), identical double
+    * algebra, 6dp round, NULL on degenerate windows — the statsAcf
+    * layout. Shape: two per-hour aggregates (map-side combined), the
+    * ≤ #hours global series BROADCAST to the user grid, one (user, lag)
+    * aggregate — the corpus never shuffles on a data-dependent key. */
+  def statsXcorr(s: SparkSession, dir: String): DataFrame = {
+    def d28s(c: Column) = sum(c.cast("decimal(28,4)")).cast("double")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+        col("value"))
+    val u = ev.groupBy(col("user_id"), col("h"))
+      .agg(d28s(col("value")).as("x"))
+    val g0 = ev.groupBy(col("h"))
+      .agg(d28s(col("value")).as("gx"))
+    val gk = (0 to 2).map(k => g0.select(
+        (col("h") + expr(s"INTERVAL $k HOURS")).as("h"),
+        lit(k).as("lag_k"), col("gx")))
+      .reduce(_.unionByName(_))
+    u.join(broadcast(gk), Seq("h"))
+      .groupBy(col("user_id"), col("lag_k"))
+      .agg(count(lit(1)).as("n"),
+        d28s(col("x")).as("sx"), d28s(col("gx")).as("sy"),
+        d28s(col("x") * col("gx")).as("sxy"),
+        d28s(col("x") * col("x")).as("sxx"),
+        d28s(col("gx") * col("gx")).as("syy"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("vx", col("sxx") - col("sx") * col("sx") / col("nd"))
+      .withColumn("vy", col("syy") - col("sy") * col("sy") / col("nd"))
+      .select(col("user_id"), col("lag_k"), col("n"),
+        when(col("n") > 1 && col("vx") > 0 && col("vy") > 0,
+          round((col("sxy") - col("sx") * col("sy") / col("nd")) /
+            (sqrt(col("vx")) * sqrt(col("vy"))), 6)).as("xcorr"))
+      .orderBy(col("user_id"), col("lag_k"))
+  }
+
   def statsAcf(s: SparkSession, dir: String): DataFrame = {
     def d28(c: Column) = sum(c.cast("decimal(28,4)")).cast("double")
     val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -705,6 +754,7 @@ object StatsPack extends QueryPack {
     "q_window_hampel" -> windowHampel,
     "q_stats_corr" -> statsCorr,
     "q_stats_acf" -> statsAcf,
+    "q_stats_xcorr" -> statsXcorr,
     "q_stats_trend" -> statsTrend,
     "q_stats_seasonal" -> statsSeasonal,
     "q_window_rollcorr" -> windowRollCorr,
@@ -779,6 +829,38 @@ object StatsPack extends QueryPack {
         |round((sxy - sx * sy / nd) /
         |  (sqrt(sxx - sx * sx / nd) * sqrt(syy - sy * sy / nd)), 6) AS corr_qp
         |FROM d ORDER BY l_returnflag""".stripMargin,
+    // Lead-lag xcorr vs the global hourly series: decimal-exact hourly
+    // SUMS (bit-identical doubles), the statsAcf moment/rounding layout.
+    "q_stats_xcorr" ->
+      """WITH e AS (SELECT user_id,
+        |    date_trunc('hour', date_trunc('microseconds', ts)) AS h, value
+        |  FROM events),
+        |u AS (SELECT user_id, h,
+        |    CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS x
+        |  FROM e GROUP BY user_id, h),
+        |g AS (SELECT h,
+        |    CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS gx
+        |  FROM e GROUP BY h),
+        |gk AS (
+        |  SELECT h AS h0, 0 AS lag_k, gx FROM g
+        |  UNION ALL SELECT h + INTERVAL 1 HOUR, 1, gx FROM g
+        |  UNION ALL SELECT h + INTERVAL 2 HOUR, 2, gx FROM g),
+        |j AS (SELECT u.user_id, gk.lag_k, u.x, gk.gx
+        |  FROM u JOIN gk ON u.h = gk.h0),
+        |m AS (SELECT user_id, lag_k, count(*) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(gx AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(x * gx AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(gx * gx AS DECIMAL(28,4))) AS DOUBLE) AS syy
+        |  FROM j GROUP BY user_id, lag_k),
+        |d AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+        |  sxx - sx * sx / CAST(n AS DOUBLE) AS vx,
+        |  syy - sy * sy / CAST(n AS DOUBLE) AS vy FROM m)
+        |SELECT user_id, lag_k, CAST(n AS BIGINT) AS n,
+        |CASE WHEN n > 1 AND vx > 0 AND vy > 0
+        |     THEN round((sxy - sx * sy / nd) / (sqrt(vx) * sqrt(vy)), 6) END AS xcorr
+        |FROM d ORDER BY user_id, lag_k""".stripMargin,
     // Pairwise Pearson ACF: each lag's pairs re-derive their own moments
     // (the pandas Series.autocorr estimator) — decimal-exact power sums,
     // shared double algebra, NULL on degenerate series.

@@ -374,6 +374,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("window drawdown: one user_id exchange feeds equity, peak, and the argmax; no join") {
+    val p = plan(graft.operators.TimeSeriesPack.windowDrawdown(spark, sf0001))
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"equity/peak/argmax should share one user_id exchange:\n$p")
+    assert(!p.contains("Join"),
+      s"the curve derives from windows, not a self-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("window hampel: one user_id exchange feeds the whole frame compute; no join") {
     val p = plan(graft.operators.StatsPack.windowHampel(spark, sf0001))
     assert("hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
