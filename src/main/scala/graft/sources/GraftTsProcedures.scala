@@ -113,6 +113,26 @@ private[sources] object GraftTsProcedures {
     }
   }
 
+  private val Clone = new Proc("clone",
+    "Materialize a committed version as an INDEPENDENT table at dest " +
+      "(TsTable.cloneAt — deep clone via the distributed one-task-per-file " +
+      "copy; nothing links back to the source); returns the clone's " +
+      "location and size",
+    Array(in("table", StringType), in("version", LongType),
+      in("dest", StringType))) {
+    private val out = StructType(Seq(
+      StructField("dest", StringType),
+      StructField("cloned_version", LongType),
+      StructField("n_files", LongType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val t = TsTable.open(spark, input.getUTF8String(0).toString)
+      val v = input.getLong(1)
+      val dest = input.getUTF8String(2).toString
+      val clone = t.cloneAt(v, dest)
+      result(out, Seq(row(dest, v, clone.detail.head().getLong(4))))
+    }
+  }
+
   private val History = new Proc("history",
     "The table's commit log: one row per retained snapshot version " +
       "(metadata-only; bounded by the retained-history ceiling)",
@@ -164,7 +184,8 @@ private[sources] object GraftTsProcedures {
   }
 
   private val all: Seq[Proc] =
-    Seq(Compact, ExpireSnapshots, Restore, History, VacuumStaging, Detail)
+    Seq(Compact, ExpireSnapshots, Restore, Clone, History, VacuumStaging,
+      Detail)
 
   def names: Array[String] = all.map(_.name()).toArray
 

@@ -78,6 +78,23 @@ class GraftTsProceduresSpec extends SparkSpec {
       msgs)
   }
 
+  test("CALL clone materializes an independent table at dest and reports its size") {
+    val dir = freshDir()
+    val t = TsTable.create(spark, dir, schema)
+    t.append(mkRows(Seq(("2024-03-01 08:00:00", 1L, 1.0))))
+    val pinned = t.currentVersion.get
+    t.append(mkRows(Seq(("2024-03-02 09:00:00", 2L, 2.0))))
+    val dest = freshDir() + "/clone"
+    val r = spark.sql(s"CALL graft_ts.system.clone(`table` => '$dir', " +
+      s"version => $pinned, dest => '$dest')").collect().head
+    assert(r.getString(0) == dest && r.getLong(1) == pinned && r.getLong(2) == 1L)
+    // the clone serves the pinned state and is INDEPENDENT of the source
+    val c = TsTable.open(spark, dest)
+    assert(c.toDF.count() == 1)
+    t.deleteWhere(col("user_id") === 1L)
+    assert(c.toDF.count() == 1, "source mutation must not touch the clone")
+  }
+
   test("CALL detail reports the one-row table summary, metadata-only") {
     val dir = freshDir()
     val t = TsTable.create(spark, dir, schema,
