@@ -151,6 +151,25 @@ class GraftTsRuntimeFilterSpec extends SparkSpec {
     assert(narrow <= full / 2, s"narrow=$narrow full=$full: expected ~1/3")
   }
 
+  test("parquet aggregate pushdown works through the connector: MIN/MAX/COUNT answer from footers") {
+    val (t, store) = build("aggpush", TsWriteOptions())
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val q = spark.read.format("graft-ts").load(store)
+        .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx"),
+          count(lit(1)).as("n"))
+      val scan = V2ScanAccess.parquetScan(q.queryExecution.executedPlan)
+      val meta = scan.description()
+      assert(meta.contains(
+        "PushedAggregation: [MIN(user_id), MAX(user_id), COUNT(*)]"),
+        s"aggregates not pushed to footers:\n$meta")
+      val r = q.collect().head
+      assert(r.getLong(0) == 1000L && r.getLong(1) == 3049L && r.getLong(2) == 600L)
+    } finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("static IN predicates now derive span bounds too: WHERE ts IN (...) prunes by file span") {
     val (t, store) = build("statictsin", TsWriteOptions())
     val q = spark.read.format("graft-ts").load(store)
