@@ -942,6 +942,45 @@ object LlmPack extends QueryPack {
     SimilaritySearch.cosinePairs(Tables.embeddings(s, dir),
       idCol = "vec_id", vecCol = "embedding", tau = 0.45, dim = 64)
 
+  /** The embedding-decontamination gate (raw cosine ≥ τ after the 6dp
+    * round, the dedupEmbed convention): the isotropic fixture's
+    * cross-set cosines top out ≈ 0.5, so 0.35 flags a small real set. */
+  private val EmbedDeconTau = 0.35
+
+  /** B9+ EMBEDDING-based decontamination — the semantic arm of the
+    * decontaminate family (exact/overlap/Bloom are n-gram keys and miss
+    * PARAPHRASED benchmark leakage; an embedding match catches reworded
+    * eval questions): a corpus vector is contaminated when its cosine
+    * against ANY benchmark vector reaches τ. One row per contaminated
+    * vector with its best-matching benchmark (max sim, ties → lowest
+    * bench id — a struct-max, no second pass) and its hit count. 100 TB
+    * shape: the benchmark side is SMALL by nature (eval suites are MBs,
+    * corpora are TBs) — it BROADCASTS into a nested-loop join with the
+    * codegen'd cosine kernel, the corpus side scans once and never
+    * shuffles; past a few thousand benchmark vectors the same gate runs
+    * through the IVF store (q_sim_ann machinery) with candidates
+    * rescored exactly. Sim rounds at 6dp BEFORE the threshold on both
+    * engines (the dedupEmbed parity rule). */
+  def decontaminateEmbed(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bench = emb.where(pmod(col("vec_id"), lit(41L)) === 7L)
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"))
+    emb.where(pmod(col("vec_id"), lit(41L)) =!= 7L)
+      .join(broadcast(bench))
+      .withColumn("sim",
+        round(graft.functions.VectorFns.cosine(col("v"), col("bv")), 6))
+      .where(col("sim") >= EmbedDeconTau)
+      .select(col("vec_id"),
+        struct(col("sim"), (-col("bench_id")).as("nb"),
+          col("bench_id")).as("hit"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("hit")).as("best"), count(lit(1)).as("n_hits"))
+      .select(col("vec_id"), col("best.bench_id").as("bench_id"),
+        col("best.sim").as("sim"), col("n_hits"))
+      .orderBy(col("vec_id"))
+  }
+
   /** B9+ semantic dedup carried to CLUSTERS: connected components over the
     * q_dedup_embed cosine pair graph — the same min-label machinery as the
     * text family (NearDedup.clusterPairs: size-adaptive driver union-find
@@ -1488,6 +1527,7 @@ object LlmPack extends QueryPack {
     "q_lang_id" -> langId,
     "q_token_bpe" -> tokenBpe,
     "q_dedup_embed" -> dedupEmbed,
+    "q_decontaminate_embed" -> decontaminateEmbed,
     "q_dedup_embed_cluster" -> dedupEmbedCluster,
     "q_dedup_embed_canonical" -> dedupEmbedCanonical,
     "q_dedup_semantic" -> dedupSemantic,
@@ -2012,6 +2052,25 @@ object LlmPack extends QueryPack {
     // threshold compares the ROUNDED sim on both sides, mirroring the Spark
     // plan (round → filter). Valid because dedupEmbed dispatches to the
     // exact all-pairs plan at fixture scale — recall is 1, not probabilistic.
+    // Embedding decontamination: cross-set cosine at the dedup parity
+    // rules; best hit = (sim DESC, bench_id ASC) — the struct-max order.
+    "q_decontaminate_embed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 41 = 7),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 41 <> 7),
+        |s AS (SELECT c.vec_id, b.bench_id,
+        |    round(list_dot_product(c.v, b.bv)
+        |      / (sqrt(list_dot_product(c.v, c.v))
+        |         * sqrt(list_dot_product(b.bv, b.bv))), 6) AS sim
+        |  FROM c CROSS JOIN b),
+        |f AS (SELECT * FROM s WHERE sim >= 0.35),
+        |r AS (SELECT vec_id, bench_id, sim,
+        |    count(*) OVER (PARTITION BY vec_id) AS n_hits,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, bench_id) AS rk
+        |  FROM f)
+        |SELECT vec_id, bench_id, sim, n_hits FROM r WHERE rk = 1
+        |ORDER BY vec_id""".stripMargin,
     "q_dedup_embed" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
