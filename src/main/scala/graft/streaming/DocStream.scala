@@ -101,6 +101,38 @@ object DocStream {
     * with < 3 tokens have no shingles and pass (same as batch). Batch
     * parity on chunked replay is proven in DocStreamSpec against the
     * identical-filter batch predicate. */
+  /** EMBEDDING-decontamination gate for a vector stream — the semantic
+    * sibling of [[decontaminateStream]] (n-gram Bloom misses PARAPHRASED
+    * leakage; a cosine hit catches reworded eval questions): drop every
+    * row whose vector reaches cosine ≥ `tau` (after the 6dp round — the
+    * batch key's parity rule) against ANY benchmark vector. The benchmark
+    * embeds in the PLAN as a literal array (it is small by nature — eval
+    * suites, not corpora; the `maxBenchVectors` probe refuses a misuse
+    * loudly rather than melting the driver), so per microbatch this is a
+    * stateless codegen'd filter: no join, no state, no shuffle — the
+    * exact `q_decontaminate_embed` predicate, so live and nightly gates
+    * cannot drift (chunk-replay parity in DocStreamSpec). */
+  def decontaminateEmbedStream(vecs: DataFrame, benchmark: DataFrame,
+                               vecCol: String = "embedding",
+                               tau: Double = 0.35,
+                               maxBenchVectors: Int = 65536): DataFrame = {
+    // bounded driver materialization: the benchmark side only, with a
+    // limit+1 probe (the vocab-ceiling rule)
+    val bench = benchmark.select(col(vecCol).cast("array<double>"))
+      .limit(maxBenchVectors + 1).collect().map(_.getSeq[Double](0).toSeq)
+    require(bench.length <= maxBenchVectors,
+      s"decontaminateEmbedStream: benchmark exceeds $maxBenchVectors " +
+        "vectors — route the gate through the IVF store instead")
+    if (bench.isEmpty) vecs // empty benchmark: nothing to block
+    else {
+      val benchLit = typedLit(bench.toSeq)
+      val v = col(vecCol).cast("array<double>")
+      val hit = exists(benchLit,
+        b => round(graft.functions.VectorFns.cosine(v, b), 6) >= lit(tau))
+      vecs.where(!hit)
+    }
+  }
+
   def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
                           textCol: String = "text",
                           estimatedItems: Long = 1L << 17,

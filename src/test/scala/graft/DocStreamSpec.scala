@@ -291,6 +291,49 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embedding-decontamination stream == the batch gate on chunked replay; " +
+      "flagged set matches q_decontaminate_embed's complement") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val bench = emb.filter(_._1 % 41 == 7)
+    val corpus = emb.filter(_._1 % 41 != 7)
+    val benchDf = bench.toSeq.toDF("vec_id", "embedding")
+    // batch truth #1: the same stateless predicate on a batch frame
+    val batchKept = DocStream.decontaminateEmbedStream(
+        corpus.toSeq.toDF("vec_id", "embedding"), benchDf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // batch truth #2: the registered key flags exactly the complement
+    val flagged = graft.operators.LlmPack.decontaminateEmbed(spark, sf0001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept.intersect(flagged).isEmpty)
+    assert(batchKept ++ flagged == corpus.map(_._1).toSet)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = DocStream.decontaminateEmbedStream(
+        ms.toDF().toDF("vec_id", "embedding"), benchDf)
+      .select($"vec_id").writeStream.format("memory")
+      .queryName("decon_embed_stream").outputMode("append").start()
+    try {
+      corpus.grouped(40).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val got = spark.table("decon_embed_stream").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == batchKept,
+        s"missing=${batchKept -- got} unexpected=${got -- batchKept}")
+      assert(flagged.nonEmpty && got.nonEmpty) // the gate discriminates
+    } finally q.stop()
+    // the misuse guard refuses an oversized benchmark loudly
+    val e = intercept[IllegalArgumentException] {
+      DocStream.decontaminateEmbedStream(
+        corpus.toSeq.toDF("vec_id", "embedding"), benchDf,
+        maxBenchVectors = bench.length - 1)
+    }
+    assert(e.getMessage.contains("IVF"))
+  }
+
   test("the live corpus gate composes: decontaminate -> quality -> dedup " +
       "in ONE streaming query equals the batch chain") {
     import spark.implicits._
