@@ -107,15 +107,17 @@ object DocStream {
     * row whose vector reaches cosine ≥ `tau` (after the 6dp round — the
     * batch key's parity rule) against ANY benchmark vector. The benchmark
     * embeds in the PLAN as a literal array (it is small by nature — eval
-    * suites, not corpora; the `maxBenchVectors` probe refuses a misuse
-    * loudly rather than melting the driver), so per microbatch this is a
-    * stateless codegen'd filter: no join, no state, no shuffle — the
-    * exact `q_decontaminate_embed` predicate, so live and nightly gates
-    * cannot drift (chunk-replay parity in DocStreamSpec). */
+    * suites, not corpora; the literal rides the serialized plan to every
+    * task, so the default ceiling is sized for ~8 MB at dim 64, and the
+    * limit+1 probe refuses a misuse loudly rather than melting the
+    * driver), so per microbatch this is a stateless codegen'd filter: no
+    * join, no state, no shuffle — the exact `q_decontaminate_embed`
+    * predicate, so live and nightly gates cannot drift (chunk-replay
+    * parity in DocStreamSpec). */
   def decontaminateEmbedStream(vecs: DataFrame, benchmark: DataFrame,
                                vecCol: String = "embedding",
                                tau: Double = 0.35,
-                               maxBenchVectors: Int = 65536): DataFrame = {
+                               maxBenchVectors: Int = 16384): DataFrame = {
     // bounded driver materialization: the benchmark side only, with a
     // limit+1 probe (the vocab-ceiling rule)
     val bench = benchmark.select(col(vecCol).cast("array<double>"))

@@ -1626,7 +1626,12 @@ final class TsTable private (
     * fresh v1 "clone" commit; nothing links it back, so source expiry/
     * mutation cannot invalidate it (that independence is what
     * distinguishes this from `openAt`, which is a zero-copy pin).
-    * Refuses a non-empty destination. Returns the new table's handle. */
+    * Deliberately DEEP-only: a shallow (metadata-only) clone would hold
+    * cross-table file references, and the source's `expireSnapshots`
+    * would then delete archived bytes another table still serves — the
+    * zero-copy read of a version is `openAt`/`option("asOf")`, which
+    * stays inside the one-table expiry invariant. Refuses a non-empty
+    * destination. Returns the new table's handle. */
   def cloneAt(version: Long, destPath: String): TsTable = {
     val snap = openAt(version)
     val destRoot = new Path(destPath)

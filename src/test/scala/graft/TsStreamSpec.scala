@@ -972,6 +972,11 @@ class TsStreamSpec extends SparkSpec {
       got.clear()
       table.deleteWhere(col("event_id") === 1L)
       val vDel = table.currentVersion.get
+      // drain the delete's batch BEFORE the update rewrites the same day:
+      // the source's concurrency contract (scaladoc) — a rewrite landing
+      // while a planned batch still executes displaces its files mid-read;
+      // real writers serialize rewrite verbs with the stream's progress
+      q.processAllAvailable()
       table.updateWhere(col("event_id") === 2L, Map("value" -> lit(9.0)))
       val vUpd = table.currentVersion.get
       q.processAllAvailable()
