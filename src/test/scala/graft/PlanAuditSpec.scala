@@ -374,6 +374,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("stats xcorr: the global hourly series broadcasts; the corpus never shuffles on a data key") {
+    val p = plan(graft.operators.StatsPack.statsXcorr(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the <=#hours global series must broadcast to the user grid:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the hour join must never shuffle both sides:\n$p")
+  }
+
+  test("decontaminate embed: the benchmark side broadcasts; the corpus side never shuffles") {
+    val p = plan(graft.operators.LlmPack.decontaminateEmbed(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the benchmark vectors must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the cosine gate must never shuffle the corpus:\n$p")
+  }
+
   test("window drawdown: one user_id exchange feeds equity, peak, and the argmax; no join") {
     val p = plan(graft.operators.TimeSeriesPack.windowDrawdown(spark, sf0001))
     assert("hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
