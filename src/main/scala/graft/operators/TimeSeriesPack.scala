@@ -584,11 +584,15 @@ object TimeSeriesPack extends QueryPack {
         sum(col("value").cast("decimal(15,6)") *
           col("dt").cast("decimal(19,0)")).as("vdt"))
       .select(col("user_id"), col("d").as("day"), col("n_intervals"),
-        col("sum_dt_us"), col("vdt").cast("decimal(38,6)").as("vdt"),
+        col("sum_dt_us"),
         // the raw double division can differ by an ulp cross-engine (the
         // engines' decimal→double casts round differently at full
         // precision), so the surfaced TWAP quantizes to 6dp — the
-        // resample_interp rule; vdt stays DECIMAL-exact as evidence
+        // resample_interp rule. The DECIMAL-exact vdt numerator stays
+        // interior only: surfacing it as DECIMAL(38,6) was the r15/r16
+        // hash red — the driver's hasher canonicalizes int128-backed
+        // wide decimals differently per engine, so no column wider than
+        // DECIMAL(18,x) may reach a surfaced schema (Det.scala rule).
         (floor((col("vdt").cast("double") / col("sum_dt_us").cast("double")) *
           lit(1e6) + lit(0.5)) / lit(1e6)).as("twap"))
       .orderBy(col("user_id"), col("day"))
@@ -1009,7 +1013,12 @@ object TimeSeriesPack extends QueryPack {
         (col("value") - lit(DrawdownBench)).cast("decimal(18,4)").as("v"))
       .withColumn("equity", sum(col("v")).over(w))
       .withColumn("peak", max(col("equity")).over(w))
-      .withColumn("dd", (col("peak") - col("equity")).cast("decimal(38,4)"))
+      // peak − equity narrows to DECIMAL(18,4): the subtraction's exact
+      // scale is 4 so the cast never rounds, 14 integer digits hold any
+      // realistic PnL range, and the surfaced schema stays inside the
+      // precision ≤ 18 band the driver's hasher canonicalizes identically
+      // cross-engine (surfacing (38,4) was the r16 hash red).
+      .withColumn("dd", (col("peak") - col("equity")).cast("decimal(18,4)"))
     val sel = Window.partitionBy(col("user_id"))
       .orderBy(col("dd").desc, col("event_id"))
     curve.withColumn("rk", row_number().over(sel))
@@ -1680,8 +1689,6 @@ object TimeSeriesPack extends QueryPack {
         |p AS (SELECT user_id, d, value, nxt - us AS dt FROM x WHERE nxt IS NOT NULL)
         |SELECT user_id, d AS day, count(*) AS n_intervals,
         |  CAST(sum(dt) AS BIGINT) AS sum_dt_us,
-        |  CAST(sum(CAST(value AS DECIMAL(15,6)) * CAST(dt AS DECIMAL(19,0)))
-        |    AS DECIMAL(38,6)) AS vdt,
         |  floor(CAST(sum(CAST(value AS DECIMAL(15,6)) * CAST(dt AS DECIMAL(19,0))) AS DOUBLE)
         |    / CAST(sum(dt) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS twap
         |FROM p GROUP BY user_id, d ORDER BY user_id, day""".stripMargin,
@@ -1702,7 +1709,7 @@ object TimeSeriesPack extends QueryPack {
         |  FROM e),
         |r AS (
         |  SELECT user_id, event_id,
-        |    CAST(peak - equity AS DECIMAL(38,4)) AS dd,
+        |    CAST(peak - equity AS DECIMAL(18,4)) AS dd,
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY (peak - equity) DESC, event_id) AS rk
         |  FROM d)

@@ -93,8 +93,17 @@ final class GraftTsSnapshotFileIndex(
       }
     }
 
-  private lazy val bloomCols: Seq[String] =
-    bloomByPath.valuesIterator.flatMap(_.keysIterator).toSet.toSeq
+  // probe-GATING names come from the table descriptor (one tiny read),
+  // NOT from the sidecar: a pure range read over a large pinned table
+  // must not pay the full per-file/per-column Bloom sidecar in driver
+  // memory when the filters carry no equality probe. bloomByPath is only
+  // forced once a declared column is actually probed. A column whose
+  // Bloom membership existed at the pinned version but was later dropped
+  // from the descriptor simply loses its skip (sound — every file kept).
+  private lazy val declaredBloomCols: Seq[String] =
+    scala.util.Try(
+      TsTable.open(snapshot.spark, snapshot.tablePath).writeOptions.bloomCols
+    ).getOrElse(Seq.empty)
 
   /** Same planning-time file skipping as the live index
     * ([[GraftTsStatsFileIndex]]): drop files whose recorded closed ts
@@ -108,14 +117,14 @@ final class GraftTsSnapshotFileIndex(
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
     val dirs = super.listFiles(partitionFilters, dataFilters)
-    if (spanByPath.isEmpty && colByPath.isEmpty && bloomByPath.isEmpty)
+    if (spanByPath.isEmpty && colByPath.isEmpty && declaredBloomCols.isEmpty)
       return dirs
     val (lo, hi) = GraftTsStatsFileIndex.tsBounds(dataFilters, snapshot.tsCol)
     val colBounds = statCols.flatMap { c =>
       val b = GraftTsStatsFileIndex.numBounds(dataFilters, c)
       if (b._1.isEmpty && b._2.isEmpty) None else Some((c, b._1, b._2))
     }
-    val bloomProbes = bloomCols.flatMap { c =>
+    val bloomProbes = declaredBloomCols.flatMap { c =>
       GraftTsStatsFileIndex.eqProbeHashes(dataFilters, c).map(c -> _)
     }
     if (lo.isEmpty && hi.isEmpty && colBounds.isEmpty && bloomProbes.isEmpty)

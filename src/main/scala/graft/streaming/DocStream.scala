@@ -131,7 +131,11 @@ object DocStream {
       val v = col(vecCol).cast("array<double>")
       val hit = exists(benchLit,
         b => round(graft.functions.VectorFns.cosine(v, b), 6) >= lit(tau))
-      vecs.where(!hit)
+      // null/zero-norm vectors: cosine is null, exists() under
+      // three-valued logic is null, and a bare where(!hit) would DROP the
+      // row — but the batch gate's (sim >= tau IS NULL -> false) keeps it
+      // un-flagged. coalesce pins the stream to the batch semantics.
+      vecs.where(!coalesce(hit, lit(false)))
     }
   }
 

@@ -1964,8 +1964,14 @@ final class TsTable private (
       .parquet(relPaths.map(r => new Path(root, r).toString): _*)
     // capacity at bits/items ≈ 10 → ~7 hash functions, ~1% fpp at capacity
     val items = (writeOptions.bloomBits / 10L).max(1L)
+    // xxhash64 is non-nullable (a null input hashes to the seed), so the
+    // aggregate must be fed null for null cells — otherwise every mixed
+    // file's filter carries the seed hash and an all-null file yields a
+    // seed-only filter instead of the NULL aggregate the emptyBits path
+    // records. when() keeps nulls genuinely excluded.
     val aggs = cols.map(c => org.apache.spark.sql.graft.BloomExprs
-      .bloomAgg(xxhash64(col(c)), items, writeOptions.bloomBits).as(s"__b_$c"))
+      .bloomAgg(when(col(c).isNotNull, xxhash64(col(c))), items,
+        writeOptions.bloomBits).as(s"__b_$c"))
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
     // a null aggregate means the file holds ZERO non-null values of the
@@ -2128,12 +2134,12 @@ final class TsSnapshot private[ts] (
     * A `def`, not a cached val: every DataFrame construction re-resolves
     * against the CURRENT live/archive split, so a snapshot handle held
     * across a maintenance pass keeps working — you rebuild the frame, it
-    * finds the files wherever they now are. (An already-built frame — or
-    * a view registered from one — captures one resolution; a maintenance
-    * pass that moves its files mid-read surfaces as FAILED_READ_FILE, and
-    * the recovery is to rebuild/re-register: the bytes still exist until
-    * `expireSnapshots`, which is the improvement over the pre-snapshot
-    * layout where they were simply gone.) */
+    * finds the files wherever they now are. An already-built frame — or
+    * a view registered from one — captures one resolution, but each TASK
+    * re-resolves at file-open time through the archive-resolving format
+    * (`raw`'s scaladoc), so a maintenance pass moving files mid-read is
+    * survived in place; only `expireSnapshots` (bytes actually deleted)
+    * still fails a captured frame. */
   private def resolved: (Seq[String], Seq[String]) = {
     val (live, arch) = resolvedFiles.partition(_._4)
     (live.map(_._2.toString), arch.map(_._2.toString))
@@ -2186,8 +2192,18 @@ final class TsSnapshot private[ts] (
     * live tree and the archive (same `p_date=` layout under each base);
     * loose root-level files (attached plain/hybrid layouts) read without a
     * basePath and carry a null `p_date` — the live read's semantic for
-    * unpartitioned data. */
+    * unpartitioned data.
+    *
+    * Reads go through the archive-RESOLVING parquet format
+    * ([[org.apache.spark.sql.graft.ArchiveResolvingParquetFileFormat]]):
+    * the file list is resolved at PLAN time against the current
+    * live/archive split, and each task re-resolves at OPEN time, so a
+    * copy-on-write verb displacing a just-planned file mid-execution
+    * (the plan-vs-execute window) degrades to a same-bytes retry at the
+    * mirrored path instead of FILE_NOT_EXIST — a pinned read or a
+    * streaming microbatch survives concurrent maintenance outright. */
   def raw: DataFrame = {
+    val fmt = classOf[org.apache.spark.sql.graft.ArchiveResolvingParquetFileFormat].getName
     val all = resolvedFiles
     val withPart = TsTable.withPartColPublic(schema)
     val (dated, undated) = all.partition(_._1.nonEmpty)
@@ -2196,9 +2212,11 @@ final class TsSnapshot private[ts] (
       new Path(tablePath, ArchiveDir).toString -> arch.map(_._2.toString))
       .filter(_._2.nonEmpty)
       .map { case (base, files) =>
-        spark.read.option("basePath", base).schema(withPart).parquet(files: _*)
+        spark.read.format(fmt).option("basePath", base).schema(withPart)
+          .load(files: _*)
       } ++ (if (undated.isEmpty) Seq.empty else Seq(
-        spark.read.schema(schema).parquet(undated.map(_._2.toString): _*)
+        spark.read.format(fmt).schema(schema)
+          .load(undated.map(_._2.toString): _*)
           .withColumn(PartCol, lit(null).cast(DateType))))
     parts.reduceOption(_.unionByName(_)).getOrElse(
       spark.createDataFrame(

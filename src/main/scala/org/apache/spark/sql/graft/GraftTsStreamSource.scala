@@ -47,18 +47,20 @@ import org.apache.spark.sql.types.StructType
   * rather than serving misaligned rows.
   *
   * Concurrency contract: a microbatch resolves its file paths when the
-  * batch is PLANNED (getBatch), against the live/archive split as of that
-  * moment. A copy-on-write verb (deleteWhere/updateWhere/mergeInto/
-  * compact/restore) that lands while the batch is still EXECUTING can
-  * displace a just-planned file into `_ts_archive/`, failing the batch
-  * with FILE_NOT_EXIST — the same plan-vs-execute window every
-  * live-listing read of this format has (the compact scaladoc's rule).
-  * Nothing is lost: offsets only advance on batch COMMIT, so a restarted
-  * query re-plans the same version range, re-resolves through the
-  * archive, and serves identical rows (exactly-once preserved). Writers
-  * that must never trip a live consumer should serialize rewrite verbs
-  * with the stream's progress (the maintenance-window discipline) —
-  * appends/backfills are file-additive and never displace anything.
+  * batch is PLANNED (getBatch), against the live/archive split as of
+  * that moment — and each task RE-resolves at file-open time through
+  * [[ArchiveResolvingParquetFileFormat]] (copy-on-write displaces files
+  * by renaming them into `_ts_archive/` under the same relative path, so
+  * the fallback location is derivable from the planned path alone). A
+  * deleteWhere/updateWhere/mergeInto/compact/restore landing while the
+  * batch still executes therefore does NOT kill the consumer: the task
+  * re-reads the same bytes from the mirrored path (race case asserted in
+  * TsStreamSpec / SnapshotSpec). Only `expireSnapshots` — which deletes
+  * archived bytes outright — can fail an in-flight batch, and offsets
+  * only advance on batch COMMIT, so even then a restarted query re-plans
+  * the same version range against the retained horizon (exactly-once
+  * preserved). Appends/backfills are file-additive and never displace
+  * anything.
   *
   * `readChangeFeed = true` switches the source onto
   * [[graft.ts.TsTable.changeFeed]]: batches carry `_change_type`

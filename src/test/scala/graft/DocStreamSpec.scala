@@ -301,22 +301,30 @@ class DocStreamSpec extends SparkSpec {
     val bench = emb.filter(_._1 % 41 == 7)
     val corpus = emb.filter(_._1 % 41 != 7)
     val benchDf = bench.toSeq.toDF("vec_id", "embedding")
+    // a null-vector row must PASS the gate un-flagged in BOTH engines:
+    // cosine is null, exists() is null under three-valued logic, and the
+    // batch key's (sim >= tau IS NULL -> false) keeps the row — the
+    // stream's coalesce(hit, false) pins the same semantics
+    val nullRow = (-1L, null: Seq[Double])
+    val corpusPlus = corpus :+ nullRow
     // batch truth #1: the same stateless predicate on a batch frame
     val batchKept = DocStream.decontaminateEmbedStream(
-        corpus.toSeq.toDF("vec_id", "embedding"), benchDf)
+        corpusPlus.toSeq.toDF("vec_id", "embedding"), benchDf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept.contains(-1L),
+      "null-embedding row must pass the gate un-flagged (batch parity)")
     // batch truth #2: the registered key flags exactly the complement
     val flagged = graft.operators.LlmPack.decontaminateEmbed(spark, sf0001)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(batchKept.intersect(flagged).isEmpty)
-    assert(batchKept ++ flagged == corpus.map(_._1).toSet)
+    assert((batchKept - -1L) ++ flagged == corpus.map(_._1).toSet)
     val ms = MemoryStream[(Long, Seq[Double])]
     val q = DocStream.decontaminateEmbedStream(
         ms.toDF().toDF("vec_id", "embedding"), benchDf)
       .select($"vec_id").writeStream.format("memory")
       .queryName("decon_embed_stream").outputMode("append").start()
     try {
-      corpus.grouped(40).foreach { chunk =>
+      corpusPlus.grouped(40).foreach { chunk =>
         ms.addData(chunk.toSeq); q.processAllAvailable()
       }
       val got = spark.table("decon_embed_stream").collect()

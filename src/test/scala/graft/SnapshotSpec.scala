@@ -223,6 +223,31 @@ class SnapshotSpec extends SparkSpec {
       s"changesBetween(2,3) must scan exactly the 3 added files, scanned $scanned of $all")
   }
 
+  test("the plan-vs-execute race is survived in place: a frame built BEFORE " +
+      "maintenance collects correctly AFTER its files are displaced " +
+      "(execution-time archive resolution)") {
+    val (t, _, _) = build("race")
+    val before = ids(t.toDF)
+    // 1) pinned frame: CONSTRUCTED now — file paths resolve to the LIVE
+    //    tree at this moment (this is exactly a streaming getBatch's
+    //    position: batch planned, not yet executed)
+    val pinnedDf = t.openAt(t.currentVersion.get).toDF
+    // 2) change-feed frame over the same still-live files
+    val cdfDf = t.changeFeed(1L, t.currentVersion.get)
+    // maintenance lands BETWEEN plan and execute: compact + retention
+    // rename every planned file into _ts_archive/
+    t.compactAll(targetFiles = 1)
+    t.dropBefore("2024-01-03")
+    // 3) execution: each task re-resolves at file-open time through the
+    //    archive-resolving format — same bytes, mirrored path. Pre-fix
+    //    both collects died with FILE_NOT_EXIST.
+    assert(ids(pinnedDf) == before,
+      "a pre-maintenance frame must survive displacement mid-read")
+    assert(cdfDf.where(col("_change_type") === "insert")
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq == before,
+      "a planned change-feed batch must survive displacement mid-read")
+  }
+
   test("cloneAt materializes a version as an INDEPENDENT table: equals the " +
       "pin (through the archive), survives source expiry, mutates alone") {
     val (t, store, fsc) = build("clone")

@@ -207,6 +207,24 @@ class TsBloomSpec extends SparkSpec {
     assert(side.keySet.map(_.split("/").head) ==
       Set("p_date=2024-01-01", "p_date=2024-01-02"))
     assert(side.values.forall(_.contains("user_id")))
+    // … and that entry IS the canonical empty filter bit-for-bit: nulls
+    // are excluded from the hash feed (when(isNotNull, xxhash64)), so the
+    // all-null aggregate is genuinely NULL and the emptyBits fallback
+    // records a zero-item filter — not a seed-hash-polluted one that only
+    // rejected probes through the filter's fpp
+    val bloomBits = graft.ts.TsWriteOptions().bloomBits
+    val emptyBits = {
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .create((bloomBits / 10L).max(1L), bloomBits)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val day2Entry = side.collectFirst {
+      case (k, v) if k.startsWith("p_date=2024-01-02") => v("user_id")
+    }.get
+    assert(java.util.Arrays.equals(day2Entry, emptyBits),
+      "all-null file must record the canonical EMPTY filter")
     // … and every probe rejects it: null never equals anything
     val cands = t.bloomCandidateFiles("user_id", Seq(1001L))
     assert(cands.isDefined && cands.get.length == 1 &&

@@ -972,11 +972,11 @@ class TsStreamSpec extends SparkSpec {
       got.clear()
       table.deleteWhere(col("event_id") === 1L)
       val vDel = table.currentVersion.get
-      // drain the delete's batch BEFORE the update rewrites the same day:
-      // the source's concurrency contract (scaladoc) — a rewrite landing
-      // while a planned batch still executes displaces its files mid-read;
-      // real writers serialize rewrite verbs with the stream's progress
-      q.processAllAvailable()
+      // NO drain between the rewrite verbs: the update displaces the
+      // delete's files while both are unconsumed — execution-time archive
+      // resolution (ArchiveResolvingParquetFileFormat) serves the
+      // delete-version diff from the mirrored paths, so a live consumer
+      // needs no maintenance-window serialization
       table.updateWhere(col("event_id") === 2L, Map("value" -> lit(9.0)))
       val vUpd = table.currentVersion.get
       q.processAllAvailable()

@@ -8,9 +8,25 @@ matching SQL from oracle_sql.json in DuckDB over the raw tables in <sfDir>,
 and compares: column names (sorted), row count, and exact values in emitted
 row order. Stricter than (or equal to) the driver's hash compare.
 """
-import sys, json, math
+import sys, json, math, re
 
 import duckdb
+
+# The driver's hasher canonicalizes int128-backed wide decimals
+# differently per engine (pyarrow decimal128 vs DuckDB's native decimal
+# rendering), so a value-identical result can still hash-mismatch — the
+# r15/r16 q_window_twap / q_window_drawdown failure mode. No surfaced
+# column may be wider than DECIMAL(18,x) on EITHER side.
+MAX_SURFACED_DECIMAL_PRECISION = 18
+
+
+def wide_decimal_cols(cols, types):
+    bad = []
+    for c, t in zip(cols, types):
+        m = re.match(r"DECIMAL\((\d+),", str(t).upper())
+        if m and int(m.group(1)) > MAX_SURFACED_DECIMAL_PRECISION:
+            bad.append(f"{c}:{t}")
+    return bad
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -43,6 +59,13 @@ def main():
             exp = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: error: {e}")
+            n_fail += 1
+            continue
+        wide = (["spark " + s for s in wide_decimal_cols(got_cols, got_rel.types)]
+                + ["oracle " + s for s in wide_decimal_cols(exp_cols, exp_rel.types)])
+        if wide:
+            print(f"FAIL {name}: surfaced decimal precision > "
+                  f"{MAX_SURFACED_DECIMAL_PRECISION} (driver hash hazard): {wide}")
             n_fail += 1
             continue
         if sorted(got_cols) != sorted(exp_cols):
