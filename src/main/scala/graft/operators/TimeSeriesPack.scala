@@ -694,6 +694,31 @@ object TimeSeriesPack extends QueryPack {
     * pins, CHECK/ts refusals, index-column narrowing, and byte age-out
     * under compaction are asserted in TsDropColumnSpec, the SQL face in
     * GraftTsDmlSpec. */
+  /** A-evolution+ pure-DDL column RENAME (`TsTable.renameColumn` — the
+    * Delta/Iceberg column-mapping verb, over Spark's parquet field ids):
+    * days 1-2 land under `value`, the column renames to `px` mid-history
+    * (O(metadata), no rewrite), days 3-4 land under the NEW name — then
+    * the full range reads back with `px` serving BOTH generations (the
+    * old files' footers still say "value"; field ids map them). A row
+    * lost or null-filled across the rename hash-mismatches the oracle,
+    * which is the plain slice with `value` aliased `px`. Pinned
+    * pre-rename reads, tombstones, and refusals are TsRenameColumnSpec's. */
+  def renameColumnRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tsrename_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
+    val cut = lit("2024-01-03 00:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    val renamed = t.renameColumn("value", "px")
+    renamed.append(ev.where(col("ts") >= cut).withColumnRenamed("value", "px"))
+    TsTable.open(s, store)
+      .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("px"), col("props"))
+      .orderBy(col("event_id"))
+  }
+
   def dropColumnRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val store = StoreDirs.scratch(s, s"graft_tsdropcol_${StoreDirs.pathKey(dir)}")
     val hi = lit("2024-01-05 00:00:00").cast("timestamp")
@@ -1502,6 +1527,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_point_lookup" -> pointLookupRoundtrip,
     "q_ts_runtime_prune" -> runtimePruneJoin,
     "q_ts_drop_column" -> dropColumnRoundtrip,
+    "q_ts_rename" -> renameColumnRoundtrip,
     "q_ts_sql_merge" -> sqlMergeRoundtrip,
     "q_ts_rollup" -> rollupRoundtrip,
     "q_ts_rollup_dml" -> rollupDmlRoundtrip,
@@ -1754,6 +1780,14 @@ object TimeSeriesPack extends QueryPack {
          |    area DESC, event_id) AS rk FROM sc)
          |SELECT user_id, b, event_id, us AS ts_us, value
          |FROM r WHERE rk = 1 ORDER BY user_id, b""".stripMargin,
+    // Column rename is metadata-only relabeling: every row must survive
+    // byte-identically under the new name, across both file generations.
+    "q_ts_rename" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |  value AS px, props
+        |FROM events
+        |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+        |ORDER BY event_id""".stripMargin,
     // Column drop is metadata-only narrowing: everything except props
     // must survive byte-identically.
     "q_ts_drop_column" ->

@@ -135,6 +135,25 @@ object ZOrderLayout {
   /** k-dimensional clustered build. ≥2 columns (a single column wants a
     * plain sort, not a space-filling curve); ≤8 keeps the 4^k bucket
     * fan-out a directory count, not a partition explosion. */
+  /** Morton code as a plain Column over raw columns with given bounds —
+    * the reusable kernel behind [[buildN]], exposed for
+    * `TsTable.compact(clusterBy = …)`: a governed day rewrite sorts by
+    * this code instead of ts, so the day's files become 2-D (or k-D)
+    * tiles and the per-file colStats spans turn rectangle predicates
+    * into file skips. Same rank + interleave arithmetic as the
+    * standalone store build; pure codegen'd bit ops. */
+  def codeColumn(cols: Seq[Column], bounds: Seq[(Double, Double)]): Column = {
+    require(cols.length >= 2 && cols.length == bounds.length,
+      s"codeColumn: need >= 2 columns with one (min,max) each, " +
+        s"got ${cols.length} cols / ${bounds.length} bounds")
+    val k = cols.length
+    val bits = bitsFor(k)
+    val maxCell = (1L << bits) - 1
+    interleaveN(
+      cols.zip(bounds).map { case (c, (mn, mx)) => rankCol(c, mn, mx, maxCell) },
+      bits)
+  }
+
   def buildN(df: DataFrame, cols: Seq[String], path: String): MetaN = {
     require(cols.length >= 2, "z-order needs at least 2 columns (use a plain sort for 1)")
     require(cols.length <= 8, s"z-order supports up to 8 dimensions, got ${cols.length}")

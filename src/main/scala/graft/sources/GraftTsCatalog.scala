@@ -142,24 +142,35 @@ final class GraftTsCatalog extends TableCatalog
   }
 
   /** `ALTER TABLE graft_ts.`/path`` ADD COLUMNS (x DOUBLE, …)` /
-    * `DROP COLUMN[S] …` — the SQL faces of the facade's pure-DDL
-    * evolution ([[TsTable.addColumns]] / [[TsTable.dropColumns]]):
-    * descriptor widens or narrows, existing files null-fill (add) or
-    * stop projecting (drop) on read, an "evolve" version commits, and
-    * dropped names are tombstoned against re-adding (stale-byte
-    * resurrection — the TsTable.dropColumns scaladoc). A mixed or other
-    * change set (rename/retype/reorder) would reinterpret history and is
+    * `DROP COLUMN[S] …` / `RENAME COLUMN a TO b` — the SQL faces of the
+    * facade's pure-DDL evolution ([[TsTable.addColumns]] /
+    * [[TsTable.dropColumns]] / [[TsTable.renameColumn]]): the descriptor
+    * changes, existing files null-fill (add), stop projecting (drop), or
+    * relabel by parquet field id (rename) on read; an evolution version
+    * commits, and retired names are tombstoned against reuse (stale-byte
+    * and stale-index resurrection — the TsTable scaladocs). A mixed or
+    * other change set (retype/reorder) would reinterpret history and is
     * refused. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
-    if (adds.length + drops.length != changes.length ||
-        (adds.isEmpty && drops.isEmpty) || (adds.nonEmpty && drops.nonEmpty))
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val kinds = Seq(adds.nonEmpty, drops.nonEmpty, renames.nonEmpty).count(identity)
+    if (adds.length + drops.length + renames.length != changes.length ||
+        kinds != 1)
       throw new UnsupportedOperationException(
-        "graft-ts supports ALTER TABLE … ADD COLUMNS or DROP COLUMNS only " +
-          "(pure-DDL evolution; history is never rewritten) — rename/" +
-          "retype go through explicit new tables")
-    if (adds.nonEmpty) {
+        "graft-ts supports ALTER TABLE … ADD COLUMNS, DROP COLUMNS, or " +
+          "RENAME COLUMN only (pure-DDL evolution; history is never " +
+          "rewritten) — retype goes through explicit new tables")
+    if (renames.nonEmpty) {
+      require(renames.length == 1, "graft-ts RENAME COLUMN: one at a time")
+      val r = renames.head
+      require(r.fieldNames().length == 1,
+        s"graft-ts RENAME COLUMN: nested field '${r.fieldNames().mkString(".")}' " +
+          "is not supported — rename a top-level column")
+      TsTable.open(spark, pathOf(ident))
+        .renameColumn(r.fieldNames()(0), r.newName())
+    } else if (adds.nonEmpty) {
       val fields = adds.map { a =>
         require(a.fieldNames().length == 1,
           s"graft-ts ADD COLUMNS: nested field '${a.fieldNames().mkString(".")}' " +

@@ -70,13 +70,22 @@ private[sources] object GraftTsProcedures {
 
   private val Compact = new Proc("compact",
     "Rewrite every day partition holding more than target_files data files " +
-      "(TsTable.compactAll); returns the rewritten dates",
+      "(TsTable.compactAll); returns the rewritten dates. Optional " +
+      "cluster_by ('colA,colB[,…]') re-sorts each day along the Morton " +
+      "curve of the named columns instead of ts (z-order re-clustering on " +
+      "the governed store — rectangle predicates then skip files via the " +
+      "per-file colStats spans)",
     Array(in("table", StringType),
-      inDefault("target_files", IntegerType, "1"))) {
+      inDefault("target_files", IntegerType, "1"),
+      inDefault("cluster_by", StringType, "''"))) {
     private val out = StructType(Seq(StructField("p_date", StringType)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val clusterBy =
+        if (input.isNullAt(2)) Seq.empty[String]
+        else input.getUTF8String(2).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
       val days = TsTable.open(spark, input.getUTF8String(0).toString)
-        .compactAll(input.getInt(1))
+        .compactAll(input.getInt(1), clusterBy)
       result(out, days.map(row(_)))
     }
   }

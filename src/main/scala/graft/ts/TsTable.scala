@@ -46,9 +46,29 @@ final class TsTable private (
     private val storedSchema: StructType,
     val writeOptions: TsWriteOptions,
     private val tableChecks: Seq[(String, String)] = Seq.empty,
-    private val droppedCols: Seq[String] = Seq.empty) {
+    private val droppedCols: Seq[String] = Seq.empty,
+    // field-id high-water (0 = pre-id table, by-name semantics): the next
+    // id any evolution verb may assign; never decreases, ids never reused
+    private val nextFieldId: Long = 0L) {
 
   import TsTable._
+
+  /** Re-attach the descriptor's parquet field ids to a frame about to be
+    * WRITTEN as table data. Id metadata rides AttributeReferences through
+    * filters/repartitions/sorts, but a `withColumn` replacement (update
+    * assignments) or a user-supplied batch (append/backfill/merge source)
+    * drops it — and a file written with a missing id would null-fill that
+    * column on every id-resolved read. One narrow projection immediately
+    * before each write funnel makes ids unconditional; pass-through for
+    * pre-id tables and non-table columns (`p_date`). */
+  private def withFieldIds(df: DataFrame): DataFrame =
+    if (!hasFieldIds(storedSchema)) df
+    else {
+      val byName = storedSchema.fields.map(f => f.name -> f.metadata).toMap
+      df.select(df.columns.map { n =>
+        byName.get(n).fold(col(n))(m => col(n).as(n, m))
+      }.toIndexedSeq: _*)
+    }
 
   /** Declared CHECK constraints, (name, SQL predicate) — see [[addCheck]]. */
   def checks: Seq[(String, String)] = tableChecks
@@ -59,9 +79,15 @@ final class TsTable private (
   /** Full table as a DataFrame (data columns only; partition column dropped). */
   def toDF: DataFrame = raw.drop(PartCol)
 
-  /** Raw frame including the `p_date` partition column. */
+  /** Raw frame including the `p_date` partition column. Served through
+    * the archive-resolving parquet format
+    * ([[org.apache.spark.sql.graft.ArchiveResolvingParquetFileFormat]]):
+    * tasks re-resolve displaced files at open time (the plan-vs-execute
+    * rule), and on an id-stamped table an attached FOREIGN (id-less)
+    * file falls back to by-name resolution instead of refusing. */
   def raw: DataFrame =
-    spark.read.schema(withPartCol(storedSchema)).parquet(path)
+    spark.read.format(TsTable.ReadFmt)
+      .schema(withPartCol(storedSchema)).load(path)
 
   /** Closed-interval time-range read: rows with `start <= ts <= end`
     * (the reference filters `timestamp >= start & timestamp <= end`).
@@ -394,7 +420,8 @@ final class TsTable private (
         "name would resurrect stale values; use a new column name")
     val union = StructType(
       storedSchema.fields.map(_.copy(nullable = true)) ++
-        added.map(_.copy(nullable = true)))
+        stampAdded(added.map(_.copy(nullable = true))))
+    val bumpedNext = bumpNextFieldId(added.length)
     // the descriptor must also be rewritten when a NARROWER batch is about
     // to null-fill a column the stored schema declares non-nullable —
     // otherwise Catalyst's non-null constraint propagation would reason
@@ -404,7 +431,7 @@ final class TsTable private (
     val evolved =
       if (!needRewrite) this
       else new TsTable(spark, path, tsCol, union, writeOptions, tableChecks,
-        droppedCols)
+        droppedCols, bumpedNext)
     val aligned = batch.select(union.fields.map(f =>
       if (batchFields.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
@@ -416,9 +443,23 @@ final class TsTable private (
     evolved.append(aligned, filesPerDay, strict)
     if (needRewrite)
       TsTable.writeDescriptor(spark, path, union, tsCol, writeOptions,
-        tableChecks, droppedCols)
+        tableChecks, droppedCols, bumpedNext)
     evolved
   }
+
+  /** Fresh ids for evolution-added columns (pass-through on pre-id
+    * tables); ids come from the high-water and are never reused. */
+  private def stampAdded(added: Seq[StructField]): Seq[StructField] =
+    if (!hasFieldIds(storedSchema) || added.isEmpty) added
+    else stampFieldIds(StructType(added), effectiveNextFieldId).fields.toSeq
+
+  private def effectiveNextFieldId: Long =
+    if (!hasFieldIds(storedSchema)) 0L
+    else math.max(nextFieldId,
+      storedSchema.fields.map(TsTable.fieldId).max + 1)
+
+  private def bumpNextFieldId(added: Int): Long =
+    if (!hasFieldIds(storedSchema)) 0L else effectiveNextFieldId + added
 
   /** Pure-DDL schema evolution — [[appendEvolved]]'s descriptor rule
     * without a batch (the `ALTER TABLE … ADD COLUMNS` verb, wired to SQL
@@ -451,11 +492,12 @@ final class TsTable private (
         "this table and files may still carry their old bytes — re-adding " +
         "the name would resurrect stale values; use a new column name")
     val union = StructType(storedSchema.fields ++
-      cols.map(_.copy(nullable = true)))
+      stampAdded(cols.map(_.copy(nullable = true))))
+    val bumpedNext = bumpNextFieldId(cols.length)
     TsTable.writeDescriptor(spark, path, union, tsCol, writeOptions,
-      tableChecks, droppedCols)
+      tableChecks, droppedCols, bumpedNext)
     val t = new TsTable(spark, path, tsCol, union, writeOptions, tableChecks,
-      droppedCols)
+      droppedCols, bumpedNext)
     t.commitVersion("evolve", Some(union))
     t
   }
@@ -518,10 +560,89 @@ final class TsTable private (
         canonical.exists(_.equalsIgnoreCase(c))))
     val newDropped = droppedCols ++ canonical
     TsTable.writeDescriptor(spark, path, narrowed, tsCol, newOpts,
-      tableChecks, newDropped)
+      tableChecks, newDropped, effectiveNextFieldId)
     val t = new TsTable(spark, path, tsCol, narrowed, newOpts, tableChecks,
-      newDropped)
+      newDropped, effectiveNextFieldId)
     t.commitVersion("evolve", Some(narrowed))
+    t
+  }
+
+  /** Pure-DDL column RENAME (`ALTER TABLE … RENAME COLUMN`, wired to SQL
+    * through GraftTsCatalog) — O(metadata), no file is read or written.
+    * Possible because tables created by this engine are parquet
+    * field-id stamped from birth (see [[TsTable.FieldIdKey]]): files
+    * resolve read columns by ID, so the descriptor/manifest name is a
+    * pure label — old files keep the old NAME in their footers but serve
+    * the renamed column exactly (the Delta/Iceberg column-mapping
+    * semantics, on Spark's public parquet mechanism). A "rename" version
+    * commits, so the change is pinnable: a pre-rename `openAt` serves
+    * the OLD name (each version's own schema, the evolution rule), while
+    * `changesBetween`/`changeFeed` serve everything under the TO-version's
+    * names (ids align the generations).
+    *
+    * The old name retires into the tombstone list: per-file index
+    * sidecars (Bloom bits, col spans) are keyed by their harvest-time
+    * name, so a future column reusing the name would be gated by STALE
+    * statistics — refusing the reuse keeps skipping sound; pre-rename
+    * files simply lose their skip under the new name (kept, never
+    * wrongly skipped) until a rewrite re-harvests them.
+    *
+    * Refused: pre-field-id tables (their files resolve by name — a DDL
+    * rename would null the column's history; materialize through
+    * `cloneAt` on a current-format table instead), name collisions with
+    * live or retired columns, the reserved partition column, and columns
+    * referenced by a CHECK constraint (drop the check first — its SQL
+    * text cannot be rewritten safely). Renaming the ts column itself is
+    * allowed; the descriptor's order identity follows. Declared
+    * stats/bloom membership follows the rename. Returns the handle
+    * carrying the renamed schema (`this` keeps serving the old
+    * projection, the appendEvolved rule — reopen for the new view). */
+  def renameColumn(oldName: String, newName: String): TsTable = {
+    require(TsTable.hasFieldIds(storedSchema),
+      "renameColumn: this table predates field-id stamping — its files " +
+        "resolve columns by NAME, so a pure-DDL rename would null the " +
+        "column's history; rebuild the store (e.g. via cloneAt into a " +
+        "freshly created table) to upgrade")
+    val field = storedSchema.fields.find(_.name.equalsIgnoreCase(oldName))
+    require(field.isDefined, s"renameColumn: unknown column '$oldName'")
+    val canonicalOld = field.get.name
+    require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"renameColumn: '$newName' is not a plain column name")
+    require(!newName.equalsIgnoreCase(PartCol),
+      s"renameColumn: '$PartCol' is reserved for the partition column")
+    require(!newName.equalsIgnoreCase(canonicalOld),
+      s"renameColumn: '$oldName' -> '$newName' is a no-op")
+    require(!storedSchema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"renameColumn: column '$newName' already exists")
+    require(!droppedCols.exists(_.equalsIgnoreCase(newName)),
+      s"renameColumn: '$newName' was retired by an earlier drop/rename " +
+        "and its stale per-file index entries would gate the new name; " +
+        "use a fresh name")
+    val renamed = StructType(storedSchema.fields.map(f =>
+      if (f.name == canonicalOld) f.copy(name = newName) else f))
+    // every CHECK must still resolve under the renamed schema — the SQL
+    // text references columns by name and cannot be rewritten safely
+    tableChecks.foreach { case (n, sql) =>
+      val ok = scala.util.Try {
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], renamed)
+          .where(expr(sql)).queryExecution.analyzed
+      }.isSuccess
+      require(ok,
+        s"renameColumn: CHECK constraint '$n' ($sql) references " +
+          s"'$canonicalOld' — dropCheck it, rename, re-add under the new name")
+    }
+    def follow(cols: Seq[String]): Seq[String] =
+      cols.map(c => if (c.equalsIgnoreCase(canonicalOld)) newName else c)
+    val newOpts = writeOptions.copy(statsCols = follow(writeOptions.statsCols),
+      bloomCols = follow(writeOptions.bloomCols))
+    val newTsCol = if (canonicalOld == tsCol) newName else tsCol
+    val newDropped = droppedCols :+ canonicalOld // retire the old label
+    TsTable.writeDescriptor(spark, path, renamed, newTsCol, newOpts,
+      tableChecks, newDropped, effectiveNextFieldId)
+    val t = new TsTable(spark, path, newTsCol, renamed, newOpts, tableChecks,
+      newDropped, effectiveNextFieldId)
+    t.commitVersion("rename", Some(renamed))
     t
   }
 
@@ -602,9 +723,9 @@ final class TsTable private (
     }
     val next = tableChecks :+ (name -> predicateSql)
     TsTable.writeDescriptor(spark, path, storedSchema, tsCol, writeOptions,
-      next, droppedCols)
+      next, droppedCols, effectiveNextFieldId)
     val t = new TsTable(spark, path, tsCol, storedSchema, writeOptions, next,
-      droppedCols)
+      droppedCols, effectiveNextFieldId)
     t.commitVersion("constraint", meta = Map("check" -> name))
     t
   }
@@ -615,9 +736,9 @@ final class TsTable private (
       s"dropCheck: no constraint '$name' (have: ${tableChecks.map(_._1).mkString(", ")})")
     val next = tableChecks.filterNot(_._1.equalsIgnoreCase(name))
     TsTable.writeDescriptor(spark, path, storedSchema, tsCol, writeOptions,
-      next, droppedCols)
+      next, droppedCols, effectiveNextFieldId)
     val t = new TsTable(spark, path, tsCol, storedSchema, writeOptions, next,
-      droppedCols)
+      droppedCols, effectiveNextFieldId)
     t.commitVersion("constraint", meta = Map("check" -> name))
     t
   }
@@ -681,8 +802,8 @@ final class TsTable private (
             "(the table is append-ordered; out-of-order appends are rejected)")
     }
 
-    val withDate = batch
-      .select(storedSchema.fieldNames.map(col).toSeq: _*) // canonical column order
+    val withDate = withFieldIds(batch
+      .select(storedSchema.fieldNames.map(col).toSeq: _*)) // canonical column order
       .withColumn(PartCol, to_date(col(tsCol)))
     // filesPerDay=1: hash-shuffle by day, one task → one sorted file per day.
     // filesPerDay>1: range-shuffle on (day, ts) into nDays·filesPerDay slots,
@@ -775,8 +896,9 @@ final class TsTable private (
     * O(table). Returns false (no-op) if the partition is missing or already
     * at or under `targetFiles`.
     */
-  def compact(date: String, targetFiles: Int = 1): Boolean =
-    compactDays(Seq(date), targetFiles).nonEmpty
+  def compact(date: String, targetFiles: Int = 1,
+              clusterBy: Seq[String] = Seq.empty): Boolean =
+    compactDays(Seq(date), targetFiles, clusterBy).nonEmpty
 
   /** Compact SEVERAL day partitions in ONE read job + ONE write job + ONE
     * version commit — the batched form of [[compact]], and the shape that
@@ -791,10 +913,26 @@ final class TsTable private (
     * file moves, replaced files are archived for pinned readers, and a
     * mid-swap crash leaves every archived file resolvable through the
     * previous manifest. */
-  def compactDays(dates: Seq[String], targetFiles: Int = 1): Seq[String] = {
+  def compactDays(dates: Seq[String], targetFiles: Int = 1,
+                  clusterBy: Seq[String] = Seq.empty): Seq[String] = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     dates.foreach(d =>
       require(DateDirRe.matches(d), s"date must be YYYY-MM-DD, got '$d'"))
+    if (clusterBy.nonEmpty) {
+      require(clusterBy.length >= 2,
+        "clusterBy needs >= 2 columns — a 1-D cluster is the plain " +
+          "ts-sorted compact (or sort the day by that column externally)")
+      val missing = clusterBy.filterNot(storedSchema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"compact clusterBy: unknown column(s) ${missing.mkString(", ")}")
+      clusterBy.foreach { c =>
+        val dt = storedSchema(c).dataType
+        require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+          dt == TimestampType || dt == DateType,
+          s"compact clusterBy: '$c' is ${dt.simpleString} — z-order ranks " +
+            "need a numeric/temporal axis")
+      }
+    }
     // REWRITE verbs must run against the LIVE descriptor: a stale handle
     // held across an appendEvolved serves a narrower projection — fine
     // for reads, destructive for a rewrite (it would drop the evolved
@@ -802,12 +940,15 @@ final class TsTable private (
     // Delegate once to a freshly-opened handle when the descriptor moved.
     val serving = TsTable.open(spark, path, tsCol)
     if (serving.schema != storedSchema)
-      return serving.compactDays(dates, targetFiles)
+      return serving.compactDays(dates, targetFiles, clusterBy)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hit = dates.distinct.sorted.filter { d =>
       val dir = new Path(root, s"$PartCol=$d")
-      fs.exists(dir) && dataFiles(fs, dir).length > targetFiles
+      // bin-packing skips days already at target; RE-CLUSTERING is a
+      // re-sort, so any existing day qualifies regardless of file count
+      fs.exists(dir) && (if (clusterBy.nonEmpty) dataFiles(fs, dir).nonEmpty
+        else dataFiles(fs, dir).length > targetFiles)
     }
     if (hit.isEmpty) return Seq.empty
     // Same µs-instant encoding rationale as appendValidated.
@@ -822,13 +963,37 @@ final class TsTable private (
       hit.map(d => col(PartCol) === to_date(lit(d))).reduce(_ || _))
     // targetFiles=1: hash by day — one task → one sorted file per day;
     // >1: range on (day, ts) — each heavy day splits into ~targetFiles
-    // contiguous ts slices (the append filesPerDay rule)
-    val placed =
-      if (targetFiles == 1) days.repartition(col(PartCol))
-      else days.repartitionByRange(
-        (hit.length * targetFiles).max(1), col(PartCol), col(tsCol))
-    val writer = placed
-      .sortWithinPartitions(col(PartCol), col(tsCol))
+    // contiguous ts slices (the append filesPerDay rule).
+    // clusterBy (>= 2 cols): the day re-sorts along the Morton curve of
+    // the named columns instead of ts — files become k-D tiles, and the
+    // per-file colStats spans of DECLARED statsCols turn rectangle
+    // predicates into planning-time file skips on the governed store
+    // (the standalone ZOrderLayout, without leaving the format). The
+    // trade is explicit: a clustered day's files are no longer
+    // ts-contiguous, so the ts span index degrades to day granularity
+    // for that day until a plain compact restores it.
+    val sorted = {
+      val d = withFieldIds(days)
+      if (clusterBy.nonEmpty) {
+        val aggs = clusterBy.flatMap(c =>
+          Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+        val r = d.agg(aggs.head, aggs.tail: _*).head // 1 driver row: bounds
+        require(!r.isNullAt(0),
+          s"compact clusterBy: no rows to derive ${clusterBy.mkString("/")} bounds from")
+        val bounds = clusterBy.indices.map(j => (r.getDouble(2 * j), r.getDouble(2 * j + 1)))
+        val z = graft.operators.ZOrderLayout.codeColumn(clusterBy.map(col), bounds)
+        d.withColumn("__zcode", z)
+          .repartitionByRange((hit.length * targetFiles).max(1),
+            col(PartCol), col("__zcode"))
+          .sortWithinPartitions(col(PartCol), col("__zcode"))
+          .drop("__zcode") // projection preserves the in-partition order
+      } else if (targetFiles == 1)
+        d.repartition(col(PartCol)).sortWithinPartitions(col(PartCol), col(tsCol))
+      else d.repartitionByRange(
+          (hit.length * targetFiles).max(1), col(PartCol), col(tsCol))
+        .sortWithinPartitions(col(PartCol), col(tsCol))
+    }
+    val writer = sorted
       .write.mode("overwrite")
       .option("compression", writeOptions.codec)
     writeOptions.rowGroupBytes.foreach(b => writer.option("parquet.block.size", b.toString))
@@ -1163,11 +1328,12 @@ final class TsTable private (
         dated.map(_.split("/").init.mkString("/")).distinct.length + insertDays
       val parts = Seq.newBuilder[DataFrame]
       if (dated.nonEmpty)
-        parts += xform(spark.read.option("basePath", path)
+        parts += xform(spark.read.format(TsTable.ReadFmt)
+          .option("basePath", path)
           .schema(withPartCol(storedSchema))
-          .parquet(dated.map(r => new Path(root, r).toString): _*))
+          .load(dated.map(r => new Path(root, r).toString): _*))
       inserts.foreach(parts += _)
-      val df = parts.result().reduce(_.unionByName(_))
+      val df = withFieldIds(parts.result().reduce(_.unionByName(_)))
       val placed =
         if (filesPerDay == 1) df.repartition(col(PartCol))
         else df.repartitionByRange((nDays * filesPerDay).max(1),
@@ -1181,10 +1347,11 @@ final class TsTable private (
       writer.partitionBy(PartCol).parquet(new Path(tmp, "dated").toString)
     }
     if (loose.nonEmpty) { // attached plain/hybrid layouts: root-level files
-      val writer = xform(spark.read.schema(storedSchema)
-          .parquet(loose.map(r => new Path(root, r).toString): _*)
+      val writer = withFieldIds(xform(spark.read.format(TsTable.ReadFmt)
+          .schema(storedSchema)
+          .load(loose.map(r => new Path(root, r).toString): _*)
           .withColumn(PartCol, lit(null).cast(DateType))) // predicate may name it
-        .drop(PartCol)
+        .drop(PartCol))
         .repartitionByRange(loose.length.max(1), col(tsCol))
         .sortWithinPartitions(col(tsCol))
         .write.mode("overwrite")
@@ -1235,8 +1402,9 @@ final class TsTable private (
     * files; returns the dates rewritten. Driver-side listing picks the
     * candidates (O(#partitions) metadata); ALL selected days rewrite in
     * one batched job + one version commit ([[compactDays]]). */
-  def compactAll(targetFiles: Int = 1): Seq[String] =
-    compactDays(partitionDates, targetFiles)
+  def compactAll(targetFiles: Int = 1,
+                 clusterBy: Seq[String] = Seq.empty): Seq[String] =
+    compactDays(partitionDates, targetFiles, clusterBy)
 
   /** Register the table under `name` for `spark.sql` access. The view keeps
     * the `p_date` partition column so SQL range queries can write the same
@@ -1456,8 +1624,14 @@ final class TsTable private (
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], serving.schema)
-      else align(new TsSnapshot(spark, path, m.tsCol,
-        TsManifest(m.version, "cdf", m.tsCol, m.schema, files)).toDF)
+      else {
+        // a renameColumn between m and toVersion changes the LABEL only:
+        // field ids align m's schema to the serving names, so the align()
+        // null-fill stays reserved for genuinely-absent (evolved) columns
+        val readSchema = TsTable.alignNamesByIds(m.schema, serving.schema)
+        align(new TsSnapshot(spark, path, m.tsCol,
+          TsManifest(m.version, "cdf", m.tsCol, readSchema, files)).toDF)
+      }
     val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
       val m = manifests(v)
       val prev = manifests(v - 1)
@@ -1471,7 +1645,7 @@ final class TsTable private (
           else Seq(subsetDF(m, added)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
-        case "compact" | "evolve" | "constraint" | "clone" =>
+        case "compact" | "evolve" | "constraint" | "clone" | "rename" =>
           Seq.empty // content-preserving: same rows before and after
         case _ => // delete/update/merge/overwrite/retention/restore/unknown
           if (added.isEmpty && removed.isEmpty) Seq.empty
@@ -1569,15 +1743,21 @@ final class TsTable private (
     val restoredOpts = optionsForRestoredSchema(snap)
     val restoredDropped = droppedCols.filterNot(d =>
       snap.schema.fieldNames.exists(_.equalsIgnoreCase(d)))
+    // the field-id high-water NEVER rolls back with a restore — a later
+    // re-add must not recycle an id the displaced-era files still carry
+    val restoredNext =
+      if (!TsTable.hasFieldIds(snap.schema)) 0L
+      else math.max(effectiveNextFieldId,
+        snap.schema.fields.map(TsTable.fieldId).max + 1)
     TsTable.writeDescriptor(spark, path, snap.schema, snap.tsCol,
-      restoredOpts, tableChecks, restoredDropped)
+      restoredOpts, tableChecks, restoredDropped, restoredNext)
     // commit through a handle carrying the RESTORED schema and options —
     // committing on `this` would harvest the restore version's spans and
     // Bloom bits under the pre-restore narrowing, leaving the resurrected
     // column declared in the descriptor but index-blind until the commit
     // after next
     new TsTable(spark, path, snap.tsCol, snap.schema, restoredOpts,
-      tableChecks, restoredDropped)
+      tableChecks, restoredDropped, restoredNext)
       .commitVersion("restore", Some(snap.schema))
   }
 
@@ -1674,10 +1854,14 @@ final class TsTable private (
     // restore — derived from the SOURCE version's artifacts before the
     // clone writes its own descriptor
     val cloneOpts = optionsForRestoredSchema(snap)
+    val cloneNext =
+      if (!TsTable.hasFieldIds(snap.schema)) 0L
+      else math.max(effectiveNextFieldId,
+        snap.schema.fields.map(TsTable.fieldId).max + 1)
     TsTable.writeDescriptor(spark, destPath, snap.schema, snap.tsCol,
-      cloneOpts, tableChecks, cloneDropped)
+      cloneOpts, tableChecks, cloneDropped, cloneNext)
     val t = new TsTable(spark, destPath, snap.tsCol, snap.schema, cloneOpts,
-      tableChecks, cloneDropped)
+      tableChecks, cloneDropped, cloneNext)
     t.commitVersion("clone", Some(snap.schema))
     t
   }
@@ -1959,9 +2143,9 @@ final class TsTable private (
     val cols = writeOptions.bloomCols.filter(storedSchema.fieldNames.contains)
     if (cols.isEmpty) return TsTable.NoBlooms
     val root = new Path(path)
-    val df = spark.read.option("basePath", path)
+    val df = spark.read.format(TsTable.ReadFmt).option("basePath", path)
       .schema(withPartCol(storedSchema))
-      .parquet(relPaths.map(r => new Path(root, r).toString): _*)
+      .load(relPaths.map(r => new Path(root, r).toString): _*)
     // capacity at bits/items ≈ 10 → ~7 hash functions, ~1% fpp at capacity
     val items = (writeOptions.bloomBits / 10L).max(1L)
     // xxhash64 is non-nullable (a null input hashes to the seed), so the
@@ -2187,6 +2371,16 @@ final class TsSnapshot private[ts] (
   /** The pinned version as a DataFrame (data columns only). */
   def toDF: DataFrame = raw.drop(PartCol)
 
+  /** The pinned version under TARGET's column labels: field ids map this
+    * version's names onto target's matching ids (identity when either
+    * side predates id stamping, and for columns target no longer has) —
+    * how a stream's horizon stand-in crosses a `renameColumn` that
+    * happened after this version committed. */
+  def toDFAs(target: StructType): DataFrame =
+    new TsSnapshot(spark, tablePath, tsCol,
+      manifest.copy(schema = TsTable.alignNamesByIds(manifest.schema, target)))
+      .toDF
+
   /** Pinned frame including the partition column. Explicit file lists with
     * `basePath` keep Hive partition-value derivation intact for both the
     * live tree and the archive (same `p_date=` layout under each base);
@@ -2203,7 +2397,7 @@ final class TsSnapshot private[ts] (
     * mirrored path instead of FILE_NOT_EXIST — a pinned read or a
     * streaming microbatch survives concurrent maintenance outright. */
   def raw: DataFrame = {
-    val fmt = classOf[org.apache.spark.sql.graft.ArchiveResolvingParquetFileFormat].getName
+    val fmt = TsTable.ReadFmt
     val all = resolvedFiles
     val withPart = TsTable.withPartColPublic(schema)
     val (dated, undated) = all.partition(_._1.nonEmpty)
@@ -2350,6 +2544,53 @@ object TsTable {
 
   private def withPartCol(s: StructType): StructType =
     StructType(s.fields :+ StructField(PartCol, DateType, nullable = true))
+
+  /** Parquet field-id metadata key — Spark's own column-mapping hook
+    * (`spark.sql.parquet.fieldId.{read,write}.enabled`): files written
+    * with ids in their footers resolve read-schema columns BY ID, names
+    * becoming pure labels. Tables created by this engine stamp ids
+    * 1..n at `create` and assign fresh ids on evolution (never reused —
+    * the `nextFieldId` high-water in the descriptor), which is what makes
+    * [[TsTable.renameColumn]] a pure-DDL verb: old files keep the old
+    * NAME but the same ID, so a read under the renamed schema maps them
+    * exactly (the Delta/Iceberg column-mapping design, via Spark's public
+    * parquet mechanism instead of a custom resolver). */
+  private[graft] val FieldIdKey = "parquet.field.id"
+
+  /** The facade's parquet reader — archive-resolving + foreign-file
+    * name-fallback (see ArchiveResolvingParquetFileFormat). */
+  private[graft] val ReadFmt =
+    "org.apache.spark.sql.graft.ArchiveResolvingParquetFileFormat"
+
+  /** True when EVERY data column carries a field id (tables created at
+    * r17+; earlier descriptors — and attached plain dirs — have none and
+    * keep the by-name semantics everywhere). */
+  private[graft] def hasFieldIds(s: StructType): Boolean =
+    s.fields.nonEmpty && s.fields.forall(_.metadata.contains(FieldIdKey))
+
+  private[ts] def fieldId(f: StructField): Long =
+    f.metadata.getLong(FieldIdKey)
+
+  /** Stamp ids `startId..` onto fields in order (overwriting any
+    * user-provided value — id assignment is the table's, not the
+    * caller's). */
+  private[ts] def stampFieldIds(s: StructType, startId: Long = 1L): StructType =
+    StructType(s.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong(FieldIdKey, startId + i).build())
+    })
+
+  /** Rename `from`'s fields to the name the SAME id carries in `to`
+    * (identity when either side lacks ids, or for ids `to` no longer
+    * has) — how a pre-rename version's schema aligns to the current
+    * logical names for change feeds and horizon replay. */
+  private[graft] def alignNamesByIds(from: StructType, to: StructType): StructType =
+    if (!hasFieldIds(from) || !hasFieldIds(to)) from
+    else {
+      val byId = to.fields.map(f => fieldId(f) -> f.name).toMap
+      StructType(from.fields.map(f =>
+        byId.get(fieldId(f)).fold(f)(n => f.copy(name = n))))
+    }
 
   private[ts] def withPartColPublic(s: StructType): StructType = withPartCol(s)
 
@@ -2743,10 +2984,26 @@ object TsTable {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    writeDescriptor(spark, path, schema, tsCol, writeOptions)
-    val t = new TsTable(spark, path, tsCol, schema, writeOptions)
+    // every created table is field-id stamped from birth (ids 1..n) —
+    // files resolve read columns by ID, which is what makes renameColumn
+    // pure DDL and retires name-collision resurrection for these tables
+    val stamped = stampFieldIds(schema)
+    enableFieldIdResolution(spark)
+    writeDescriptor(spark, path, stamped, tsCol, writeOptions,
+      nextFieldId = stamped.fields.length + 1L)
+    val t = new TsTable(spark, path, tsCol, stamped, writeOptions,
+      nextFieldId = stamped.fields.length + 1L)
     t.commitVersion("create") // v1: the empty table is a pinnable state
     t
+  }
+
+  /** Field-id read/write resolution is a session conf, not a per-read
+    * option — flip it on once per session when an id-stamped table is
+    * touched. Safe globally: schemas WITHOUT id metadata (everything
+    * else in the session) are entirely unaffected. */
+  private[graft] def enableFieldIdResolution(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
   }
 
   /** (Re)write the schema descriptor via temp-file + rename, so a crash
@@ -2758,7 +3015,8 @@ object TsTable {
                                   schema: StructType, tsCol: String,
                                   writeOptions: TsWriteOptions,
                                   checks: Seq[(String, String)] = Seq.empty,
-                                  dropped: Seq[String] = Seq.empty): Unit = {
+                                  dropped: Seq[String] = Seq.empty,
+                                  nextFieldId: Long = 0L): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(dir, SchemaFile)
@@ -2775,12 +3033,18 @@ object TsTable {
       }.mkString(",") + "\n"
     // line 5 (optional): names retired by dropColumns — the re-add guard's
     // persistent memory (an empty checks line keeps line numbering fixed)
+    val needDropped = dropped.nonEmpty || nextFieldId > 0
     val droppedLine =
-      if (dropped.isEmpty) ""
+      if (!needDropped) ""
       else (if (checksLine.isEmpty) "checks=\n" else "") +
         "dropped=" + dropped.mkString("|") + "\n"
+    // line 6 (optional): the field-id high-water — ids are NEVER reused
+    // after a drop/rename, or old files' bytes would resurrect under a
+    // recycled id (empty placeholder lines keep numbering fixed)
+    val nextIdLine =
+      if (nextFieldId <= 0) "" else s"nextFieldId=$nextFieldId\n"
     try out.write((schema.json + "\n" + tsCol + "\n" + writeOptions.encode +
-      "\n" + checksLine + droppedLine).getBytes("UTF-8"))
+      "\n" + checksLine + droppedLine + nextIdLine).getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(target)) fs.delete(target, false)
     require(fs.rename(tmp, target), s"failed to install schema descriptor at $target")
@@ -2812,9 +3076,13 @@ object TsTable {
         if (lines.length >= 5 && lines(4).trim.startsWith("dropped="))
           lines(4).trim.stripPrefix("dropped=").split("\\|").toSeq.filter(_.nonEmpty)
         else Seq.empty
-      new TsTable(spark, path, lines(1).trim,
-        DataType.fromJson(lines(0)).asInstanceOf[StructType], opts, checks,
-        dropped)
+      val nextId = lines.drop(5).map(_.trim)
+        .find(_.startsWith("nextFieldId="))
+        .map(_.stripPrefix("nextFieldId=").toLong).getOrElse(0L)
+      val sch = DataType.fromJson(lines(0)).asInstanceOf[StructType]
+      if (hasFieldIds(sch)) enableFieldIdResolution(spark)
+      new TsTable(spark, path, lines(1).trim, sch, opts, checks, dropped,
+        nextId)
     } else {
       val inferred = spark.read.parquet(path).schema
       val dataSchema = StructType(inferred.filterNot(_.name == PartCol))

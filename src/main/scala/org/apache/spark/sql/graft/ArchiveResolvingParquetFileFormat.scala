@@ -50,16 +50,48 @@ final class ArchiveResolvingParquetFileFormat extends ParquetFileFormat {
       filters: Seq[Filter],
       options: Map[String, String],
       hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
+    import ArchiveResolvingParquetFileFormat._
+    // The V1 FileFormat path never copies the field-id session confs into
+    // the per-relation hadoopConf (the V2 ParquetScan factory does, which
+    // is why `spark.read.parquet` id-resolves and a raw V1 relation does
+    // not) — ParquetReadSupport reads them from hadoopConf, so set them
+    // here or an id-stamped schema silently null-fills renamed columns.
+    import org.apache.spark.sql.internal.SQLConf
+    hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
+      sparkSession.sessionState.conf.parquetFieldIdReadEnabled)
+    hadoopConf.setBoolean(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID.key,
+      sparkSession.sessionState.conf.ignoreMissingParquetFieldId)
+    // EACH super call writes its requested-schema into the Configuration
+    // it is handed and broadcasts that object BY REFERENCE in local mode —
+    // two readers sharing one Configuration would silently serve the
+    // second reader's schema to the first one's tasks. Copy per reader.
     val base = super.buildReaderWithPartitionValues(sparkSession, dataSchema,
-      partitionSchema, requiredSchema, filters, options, hadoopConf)
-    file => {
+      partitionSchema, requiredSchema, filters, options,
+      new Configuration(hadoopConf))
+    // FOREIGN-file fallback: an id-stamped table can still hold attached
+    // plain-parquet files (the hybrid-layout contract). Under field-id
+    // resolution those files refuse to read ("file schema doesn't contain
+    // any field Ids"), so a second reader with the ids STRIPPED stands by
+    // — it resolves that one file by NAME, the pre-id contract attached
+    // files were written against. Built only when the schema carries ids.
+    val nameBase: Option[PartitionedFile => Iterator[InternalRow]] =
+      if (!hasIds(dataSchema) && !hasIds(requiredSchema)) None
+      else Some(super.buildReaderWithPartitionValues(sparkSession,
+        stripIds(dataSchema), partitionSchema, stripIds(requiredSchema),
+        filters, options, new Configuration(hadoopConf)))
+    def open(file: PartitionedFile): Iterator[InternalRow] =
       try base(file)
       catch {
+        case e: Throwable if nameBase.isDefined && isMissingIdError(e) =>
+          nameBase.get(file)
+      }
+    file => {
+      try open(file)
+      catch {
         case e: java.io.FileNotFoundException =>
-          ArchiveResolvingParquetFileFormat.mirrorPath(
-              file.filePath.toString) match {
+          mirrorPath(file.filePath.toString) match {
             case Some(alt) =>
-              try base(file.copy(filePath = SparkPath.fromPathString(alt)))
+              try open(file.copy(filePath = SparkPath.fromPathString(alt)))
               catch { case _: java.io.FileNotFoundException => throw e }
             case None => throw e
           }
@@ -71,6 +103,23 @@ final class ArchiveResolvingParquetFileFormat extends ParquetFileFormat {
 object ArchiveResolvingParquetFileFormat {
   private val ArchiveSeg = "/_ts_archive/"
   private val PartSeg = "/p_date="
+  private val FieldIdKey = "parquet.field.id"
+
+  private def hasIds(s: StructType): Boolean =
+    s.fields.exists(_.metadata.contains(FieldIdKey))
+
+  private def stripIds(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(metadata =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(FieldIdKey).build())))
+
+  /** Spark's ParquetReadSupport refusal for an id-requesting schema over
+    * an id-less file — matched by message because the exception type is a
+    * plain RuntimeException (pinned by TsBloomSpec's foreign-file test). */
+  private def isMissingIdError(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(5).exists(t =>
+      Option(t.getMessage).exists(_.contains(
+        "Parquet file schema doesn't contain any field Ids")))
 
   /** The "other" location of a graft-ts data file: strip `_ts_archive`
     * if present, else insert it before the partition directory (or the

@@ -152,7 +152,9 @@ final class GraftTsStreamSource(sqlContext: SQLContext, path: String,
             // empty "create" state, so startingVersion=0 = every append.
             // In change-feed mode the stand-in rows are synthetic inserts
             // stamped with the horizon version they stand in for.
-            val base0 = TsTable.openAt(spark, path, oldest).toDF
+            // toDFAs: field ids relabel a pre-rename horizon version to
+            // the stream's declared (current-at-start) column names
+            val base0 = TsTable.openAt(spark, path, oldest).toDFAs(table.schema)
             val base =
               if (!readChangeFeed) base0
               else base0

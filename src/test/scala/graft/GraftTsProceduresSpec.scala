@@ -51,6 +51,15 @@ class GraftTsProceduresSpec extends SparkSpec {
     // data intact through SQL read
     assert(spark.sql(s"SELECT count(*) FROM graft_ts.`$dir`").head.getLong(0) == 3)
 
+    // compact with cluster_by: the z-order re-sort verb through SQL —
+    // any existing day qualifies (re-sort, not bin-packing), content holds
+    val reclustered = spark.sql(
+      s"CALL graft_ts.system.compact(`table` => '$dir', target_files => 1, " +
+        "cluster_by => 'user_id,value')")
+    assert(reclustered.collect().map(_.getString(0)).toSeq ==
+      Seq("2024-03-01", "2024-03-02"))
+    assert(spark.sql(s"SELECT count(*) FROM graft_ts.`$dir`").head.getLong(0) == 3)
+
     // restore to the pre-compact pin: returns (restored, new current)
     val restored = spark.sql(
       s"CALL graft_ts.system.restore(`table` => '$dir', version => $pinned)")
@@ -172,12 +181,17 @@ class GraftTsProceduresSpec extends SparkSpec {
     intercept[Exception](
       spark.sql(s"ALTER TABLE graft_ts.`$dir` ADD COLUMNS (value DOUBLE)"))
     intercept[Exception](
-      spark.sql(s"ALTER TABLE graft_ts.`$dir` RENAME COLUMN tag TO label"))
+      spark.sql(s"ALTER TABLE graft_ts.`$dir` ALTER COLUMN value TYPE INT"))
+    // RENAME COLUMN is pure DDL (field-id mapping): the pre-rename file's
+    // value serves under the new label
+    spark.sql(s"ALTER TABLE graft_ts.`$dir` RENAME COLUMN tag TO label")
+    assert(spark.sql(s"SELECT label FROM graft_ts.`$dir` WHERE user_id = 2")
+      .head.getString(0) == "x")
     // DROP COLUMN narrows via the pure-DDL drop (TsDropColumnSpec has the
     // full surface); the dropped name tombstones against SQL re-add
     spark.sql(s"ALTER TABLE graft_ts.`$dir` DROP COLUMN n")
     assert(spark.sql(s"SELECT * FROM graft_ts.`$dir`").columns.toSeq ==
-      Seq("ts", "user_id", "value", "tag"))
+      Seq("ts", "user_id", "value", "label"))
     intercept[Exception](
       spark.sql(s"ALTER TABLE graft_ts.`$dir` ADD COLUMNS (n INT)"))
   }

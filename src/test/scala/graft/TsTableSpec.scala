@@ -81,7 +81,13 @@ class TsTableSpec extends SparkSpec {
     tab.append(mkRows(Seq(
       ("2024-03-01 10:00:00", 1L, 1.0), ("2024-03-09 10:00:00", 2L, 2.0))))
     val re = TsTable.open(spark, dir)
-    assert(re.tsCol == "ts" && re.schema == schema)
+    // names/types round-trip exactly; the descriptor additionally carries
+    // the parquet field ids create() stamped (the renameColumn substrate)
+    assert(re.tsCol == "ts")
+    assert(re.schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq)
+    assert(re.schema.fields.forall(_.metadata.contains("parquet.field.id")),
+      "created tables must be field-id stamped from birth")
     assert(re.minDt.contains(t("2024-03-01 10:00:00")))
     assert(re.maxDt.contains(t("2024-03-09 10:00:00")))
   }

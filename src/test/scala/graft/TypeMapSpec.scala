@@ -48,7 +48,10 @@ class TypeMapSpec extends SparkSpec {
     tab.append(spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema))
     val got = TsTable.open(spark, dir)
-    assert(got.schema == schema)
+    // names/types round-trip; the descriptor additionally carries the
+    // parquet field ids create() stamps (the renameColumn substrate)
+    assert(got.schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq)
     assert(got.toDF.count() == 2)
   }
 }

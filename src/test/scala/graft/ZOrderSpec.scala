@@ -112,6 +112,56 @@ class ZOrderSpec extends SparkSpec {
     assert(got.nonEmpty, "3-D box must select something at sf0.001")
   }
 
+  test("TsTable.compact(clusterBy): a governed day re-clusters along the " +
+      "Morton curve in place — content identical, and a 2-predicate " +
+      "rectangle skips files via the existing colStats spans") {
+    import graft.ts.{TsTable, TsWriteOptions}
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_tszorder").toString
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val ev = Tables.events(spark, sf0001)
+      .where(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"))
+    val t = TsTable.create(spark, dir, ev.schema, tsCol = "ts",
+      writeOptions = TsWriteOptions(statsCols = Seq("user_id", "value")))
+    t.append(ev, filesPerDay = 8)
+    val before = t.toDF.orderBy(col("event_id")).collect().toSeq
+    val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "p_date=2024-01-01"))
+      .count(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    assert(nFiles >= 4, s"fixture expects a fragmented day, got $nFiles files")
+    // re-cluster the day by (user_id, value) WITHOUT leaving the format —
+    // same file count target, different sort axis
+    assert(t.compact("2024-01-01", targetFiles = nFiles,
+      clusterBy = Seq("user_id", "value")))
+    val re = TsTable.open(spark, dir)
+    assert(re.snapshotVersions.last._2 == "compact")
+    assert(re.toDF.orderBy(col("event_id")).collect().toSeq == before,
+      "re-clustering must be content-preserving")
+    // rectangle on the clustered dims through the V2 scan: the commit's
+    // colStats harvest recorded per-file (user_id, value) spans, and the
+    // Morton sort made those spans TILES — the corner rectangle must
+    // plan a strict subset of the day's files
+    val mm = re.toDF.agg(min(col("user_id")), max(col("user_id")),
+      min(col("value")), max(col("value"))).head
+    val (uLo, uHi, vLo, vHi) =
+      (mm.getLong(0), mm.getLong(1), mm.getDouble(2), mm.getDouble(3))
+    val uCut = uLo + ((uHi - uLo) * 0.25).toLong
+    val vCut = vLo + (vHi - vLo) * 0.25
+    val rect = col("user_id") <= uCut && col("value") <= vCut
+    val q = spark.read.format("graft-ts").load(dir).where(rect)
+    val scan = V2ScanAccess.parquetScan(q.queryExecution.executedPlan)
+    val planned = scan.fileIndex
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.files.length).sum
+    assert(planned > 0 && planned < nFiles,
+      s"corner rectangle planned $planned of $nFiles files — no span skip")
+    // and the skip is conservative: same rows as the facade full scan
+    assert(q.select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      re.toDF.where(rect).select(col("event_id")).collect()
+        .map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("buildIfNeeded amortizes: unchanged input does not rebuild") {
     store(sf0001) // ensure built
     val fp = graft.operators.IvfIndex.inputFingerprint(
