@@ -788,7 +788,8 @@ final class TsTable private (
     if (strict) requireSortedBatch(batch)
     val stats = batch.agg(
       min(col(tsCol)), count(lit(1)), count(col(tsCol)),
-      countDistinct(to_date(col(tsCol)))).head
+      countDistinct(to_date(col(tsCol))),
+      countDistinct(date_trunc("hour", col(tsCol)))).head
     if (stats.getLong(1) == 0L) return // empty batch: no-op
     if (stats.getLong(1) != stats.getLong(2))
       throw new IllegalArgumentException(s"append: null values in '$tsCol'")
@@ -810,8 +811,15 @@ final class TsTable private (
     // so a heavy day splits into ~filesPerDay files, each a contiguous
     // ts slice (range partitioning keeps per-file sortedness). This is the
     // 100 TB write path: no single task ever funnels a whole heavy day.
+    // fileSpan="hour": one range slot per distinct batch hour, ordered
+    // (day, hour, ts) — slot boundaries land at (or near) hour edges, and
+    // the recorded per-file ts spans stay EXACT either way, so the skip
+    // index serves as the effective sub-day partition at planning time.
     val placed =
-      if (filesPerDay == 1) withDate.repartition(col(PartCol))
+      if (writeOptions.fileSpan == "hour")
+        withDate.repartitionByRange(stats.getLong(4).toInt.max(1),
+          col(PartCol), date_trunc("hour", col(tsCol)), col(tsCol))
+      else if (filesPerDay == 1) withDate.repartition(col(PartCol))
       else withDate.repartitionByRange(
         (nDays * filesPerDay).toInt.max(1), col(PartCol), col(tsCol))
     val writer = placed
@@ -2492,17 +2500,29 @@ final case class TsWriteOptions(
     maxRecordsPerFile: Option[Long] = None,
     statsCols: Seq[String] = Seq.empty,
     bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Long = 262144L) {
+    bloomBits: Long = 262144L,
+    // "day" (default): append's filesPerDay knob shapes the day's files.
+    // "hour": every append range-slots the batch on (day, HOUR, ts) with
+    // one slot per distinct hour — a secondly-data day that would be a
+    // single multi-hundred-GB daily partition at 100 TB instead lands as
+    // ~24 hour-contiguous files, and the per-file ts-span index (exact
+    // regardless of slot boundaries) makes the manifest an effective
+    // HOUR partition: a 1-hour readRange plans a strict file subset
+    // without changing the on-disk daily layout (A7 contract intact).
+    fileSpan: String = "day") {
   require(statsCols.forall(_.matches("[A-Za-z0-9_.-]+")),
     s"statsCols must be simple column names, got ${statsCols.mkString(", ")}")
   require(bloomCols.forall(_.matches("[A-Za-z0-9_.-]+")),
     s"bloomCols must be simple column names, got ${bloomCols.mkString(", ")}")
   require(bloomBits >= 64, s"bloomBits must be >= 64, got $bloomBits")
+  require(fileSpan == "day" || fileSpan == "hour",
+    s"fileSpan must be 'day' or 'hour', got '$fileSpan'")
   private[ts] def encode: String =
     s"codec=$codec;rowGroupBytes=${rowGroupBytes.getOrElse("")};" +
       s"maxRecordsPerFile=${maxRecordsPerFile.getOrElse("")};" +
       s"statsCols=${statsCols.mkString("|")};" +
-      s"bloomCols=${bloomCols.mkString("|")};bloomBits=$bloomBits"
+      s"bloomCols=${bloomCols.mkString("|")};bloomBits=$bloomBits;" +
+      s"fileSpan=$fileSpan"
 }
 
 object TsWriteOptions {
@@ -2517,7 +2537,8 @@ object TsWriteOptions {
         .flatMap(_.split("\\|")).filter(_.nonEmpty),
       bloomCols = kv.get("bloomCols").toSeq
         .flatMap(_.split("\\|")).filter(_.nonEmpty),
-      bloomBits = kv.get("bloomBits").map(_.toLong).getOrElse(262144L))
+      bloomBits = kv.get("bloomBits").map(_.toLong).getOrElse(262144L),
+      fileSpan = kv.getOrElse("fileSpan", "day"))
   }
 }
 

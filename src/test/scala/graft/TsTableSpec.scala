@@ -227,6 +227,53 @@ class TsTableSpec extends SparkSpec {
     assert(tab.toDF.count() == 2001)
   }
 
+  test("fileSpan=hour: a dense day lands as ~hour-contiguous files and a " +
+      "1-hour range read plans a strict file subset (sub-day effective " +
+      "partitioning via the ts-span index)") {
+    import graft.ts.TsWriteOptions
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema,
+      writeOptions = TsWriteOptions(fileSpan = "hour"))
+    // a full synthetic day: one row every 20 s across all 24 hours (the
+    // local stand-in for the secondly multi-GB day at 100 TB)
+    val dense = (0 until 24 * 180).map { i =>
+      val sec = i * 20
+      (f"2024-03-01 ${sec / 3600}%02d:${(sec / 60) % 60}%02d:${sec % 60}%02d",
+        i.toLong, i.toDouble)
+    }
+    tab.append(mkRows(dense))
+    val files = new java.io.File(dir, "p_date=2024-03-01").listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 12,
+      s"hour-slotted day should hold ~24 files, got ${files.length}")
+    // each file's real span covers at most ~2 hours (slot boundaries sit
+    // at or near hour edges; spans are what the planner trusts)
+    files.foreach { f =>
+      val mm = spark.read.parquet(f.getPath)
+        .agg(org.apache.spark.sql.functions.min(col("ts")),
+          org.apache.spark.sql.functions.max(col("ts"))).head
+      val spanMs = mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime
+      assert(spanMs <= 2 * 3600 * 1000L,
+        s"file ${f.getName} spans ${spanMs / 60000} min — not hour-sliced")
+    }
+    // the V2 live read skips by per-file ts span: one probed hour plans a
+    // strict subset of the day's files (the effective hour partition)
+    val q = spark.read.format("graft-ts").load(dir).where(
+      col("ts") >= lit("2024-03-01 13:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-03-01 14:00:00").cast("timestamp"))
+    val scan = V2ScanAccess.parquetScan(q.queryExecution.executedPlan)
+    val planned = scan.fileIndex
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.files.length).sum
+    assert(planned >= 1 && planned <= 3,
+      s"1-hour probe planned $planned of ${files.length} files")
+    assert(q.count() == 180, "the probed hour holds exactly its rows")
+    // facade closed-interval readRange agrees
+    assert(tab.readRange(
+      java.sql.Timestamp.valueOf("2024-03-01 13:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-01 13:59:59")).count() == 180)
+  }
+
   test("files within a day partition are ts-sorted (write-side invariant)") {
     val dir = freshDir()
     val tab = TsTable.create(spark, dir, schema)
