@@ -719,6 +719,49 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** B1+ governed z-order re-clustering (`compact(clusterBy = …)` — the
+    * Delta `OPTIMIZE … ZORDER BY` verb on this store): two days land
+    * ts-sorted in several files each, then re-cluster along the
+    * (user_id, value) Morton curve WITHOUT leaving the format — content
+    * must survive byte-identically (the oracle is the plain slice), and
+    * the rectangle file-skip the re-sort buys is asserted in ZOrderSpec.
+    * At 100 TB: one range-shuffled rewrite of the named days, one commit;
+    * displaced originals archive for pinned readers. */
+  def clusterCompactRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tscluster_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-03 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts",
+      writeOptions = graft.ts.TsWriteOptions(statsCols = Seq("user_id", "value")))
+    t.append(ev, filesPerDay = 4)
+    t.compactAll(targetFiles = 4, clusterBy = Seq("user_id", "value"))
+    TsTable.open(s, store)
+      .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+  }
+
+  /** B1+ hour-aligned file slotting (`TsWriteOptions(fileSpan = "hour")`
+    * — the sub-day effective-partition knob for secondly data at 100 TB):
+    * a two-day append range-slots per distinct hour, and a 1-hour
+    * closed-interval readRange returns exactly that hour's rows (the
+    * oracle is the hour slice; the strict file-subset PLANNING claim is
+    * TsTableSpec's). */
+  def hourSpanRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tshour_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-03 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts",
+      writeOptions = graft.ts.TsWriteOptions(fileSpan = "hour"))
+    t.append(ev)
+    TsTable.open(s, store)
+      .readRange(ts("2024-01-01 09:00:00"), ts("2024-01-01 09:59:59"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+  }
+
   def dropColumnRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val store = StoreDirs.scratch(s, s"graft_tsdropcol_${StoreDirs.pathKey(dir)}")
     val hi = lit("2024-01-05 00:00:00").cast("timestamp")
@@ -1528,6 +1571,8 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_runtime_prune" -> runtimePruneJoin,
     "q_ts_drop_column" -> dropColumnRoundtrip,
     "q_ts_rename" -> renameColumnRoundtrip,
+    "q_ts_cluster" -> clusterCompactRoundtrip,
+    "q_ts_hour_span" -> hourSpanRoundtrip,
     "q_ts_sql_merge" -> sqlMergeRoundtrip,
     "q_ts_rollup" -> rollupRoundtrip,
     "q_ts_rollup_dml" -> rollupDmlRoundtrip,
@@ -1788,6 +1833,18 @@ object TimeSeriesPack extends QueryPack {
         |FROM events
         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
         |ORDER BY event_id""".stripMargin,
+    // Z-order re-clustering is content-preserving: the whole slice must
+    // survive the Morton re-sort byte-identically.
+    "q_ts_cluster" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-03 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+    // Hour-slotted files serve a 1-hour closed-interval range exactly.
+    "q_ts_hour_span" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-01 09:00:00'
+         |  AND date_trunc('microseconds', ts) <= TIMESTAMP '2024-01-01 09:59:59'
+         |ORDER BY event_id""".stripMargin,
     // Column drop is metadata-only narrowing: everything except props
     // must survive byte-identically.
     "q_ts_drop_column" ->

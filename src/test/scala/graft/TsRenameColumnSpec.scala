@@ -170,6 +170,40 @@ class TsRenameColumnSpec extends SparkSpec {
     assert(re.changeFeed(2L, 3L).count() == 0)
   }
 
+  test("a stream started AFTER a mid-history rename replays the horizon " +
+      "under the CURRENT labels (field ids align the generations)") {
+    val (t, store) = build("stream")
+    val renamed = t.renameColumn("value", "px")
+    renamed.append(day2.withColumnRenamed("value", "px"))
+    // expire history so startingVersion=0 forces the horizon stand-in —
+    // the earliest retained version PREDATES nothing here, so first expire
+    // down to a post-rename horizon… actually keep all: the create (v1)
+    // horizon exists, so replay walks create→append(value-era)→rename→
+    // append(px-era); the value-era diff must surface as px
+    val expected = TsTable.open(spark, store).toDF
+      .select(col("event_id"), col("px")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    val got = scala.collection.mutable.Map[Long, Any]()
+    val ckpt = java.nio.file.Files.createTempDirectory("ren_stream").toString
+    val q = spark.readStream.format("graft-ts")
+      .option("startingVersion", "0").load(store)
+      .writeStream.option("checkpointLocation", s"$ckpt/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        assert(b.columns.contains("px") && !b.columns.contains("value"))
+        b.select(col("event_id"), col("px")).collect().foreach(r =>
+          got(r.getLong(0)) = if (r.isNullAt(1)) null else r.getDouble(1))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(got.size == expected.size,
+        s"replay row count ${got.size} != ${expected.size}")
+      assert(got.forall { case (k, v) => expected(k) == v },
+        "value-era rows must stream under px with their values intact")
+    } finally q.stop()
+  }
+
   test("a pre-field-id table refuses rename loudly") {
     val (store, _) = freshStore("legacy")
     // an attached plain dir: no descriptor, schema inferred, no ids

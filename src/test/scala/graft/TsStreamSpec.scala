@@ -900,6 +900,44 @@ class TsStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("a rewrite landing MID-microbatch — after the batch planned, before " +
+      "it executed — cannot kill the consumer: tasks re-resolve displaced " +
+      "files through the archive (the literal plan-vs-execute race)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ts_stream_midbatch").toString
+    val store = s"$dir/store"
+    val first = Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 11:00:00"),
+      ev(3, "2024-01-01 12:00:00")).toDF()
+    val table = TsTable.create(spark, store, first.schema, tsCol = "ts")
+    table.append(first)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val displaced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // foreachBatch receives the ALREADY-PLANNED batch frame (files
+    // resolved at getBatch); running maintenance inside the body and THEN
+    // executing the frame is exactly a verb landing mid-batch. Gate it to
+    // ONE firing: an unconditional compact would commit a version per
+    // microbatch and processAllAvailable would never drain.
+    val q = spark.readStream.format("graft-ts")
+      .option("startingVersion", "0").load(store)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // isEmpty probes the planned files BEFORE displacement (a tiny
+        // pre-race job); the full collect below then re-executes the same
+        // plan AFTER the rewrite — the race, deterministically
+        if (!b.isEmpty && displaced.compareAndSet(false, true))
+          TsTable.open(spark, store).compactAll(targetFiles = 1,
+            clusterBy = Seq("user_id", "value")) // re-sort → displaces EVERY planned file
+        got ++= b.select("event_id").collect().map(_.getLong(0))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(got.toSet == Set(1L, 2L, 3L),
+        s"mid-batch displacement must be survived in place, got $got")
+    } finally q.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("maxVersionsPerTrigger drains a backlog in bounded microbatches and " +
       "a checkpointed restart stays exactly-once") {
     import spark.implicits._
