@@ -786,10 +786,16 @@ final class TsTable private (
     // writer re-reads session conf at execution time.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     if (strict) requireSortedBatch(batch)
-    val stats = batch.agg(
+    // the hour-count arm only when the table slots by hour: each extra
+    // DISTINCT aggregate widens the agg's Expand by one replica of the
+    // batch — a per-append cost day-span tables must not pay
+    val hourly = writeOptions.fileSpan == "hour"
+    val baseAggs = Seq(
       min(col(tsCol)), count(lit(1)), count(col(tsCol)),
-      countDistinct(to_date(col(tsCol))),
-      countDistinct(date_trunc("hour", col(tsCol)))).head
+      countDistinct(to_date(col(tsCol))))
+    val aggs = if (hourly)
+      baseAggs :+ countDistinct(date_trunc("hour", col(tsCol))) else baseAggs
+    val stats = batch.agg(aggs.head, aggs.tail: _*).head
     if (stats.getLong(1) == 0L) return // empty batch: no-op
     if (stats.getLong(1) != stats.getLong(2))
       throw new IllegalArgumentException(s"append: null values in '$tsCol'")
@@ -816,7 +822,7 @@ final class TsTable private (
     // the recorded per-file ts spans stay EXACT either way, so the skip
     // index serves as the effective sub-day partition at planning time.
     val placed =
-      if (writeOptions.fileSpan == "hour")
+      if (hourly)
         withDate.repartitionByRange(stats.getLong(4).toInt.max(1),
           col(PartCol), date_trunc("hour", col(tsCol)), col(tsCol))
       else if (filesPerDay == 1) withDate.repartition(col(PartCol))

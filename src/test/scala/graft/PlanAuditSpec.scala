@@ -28,6 +28,31 @@ class PlanAuditSpec extends SparkSpec {
       s"no filters pushed:\n$p")
   }
 
+  test("the archive-resolving facade read keeps vectorized batches AND " +
+      "pushed ts filters (the format swap must cost nothing on the hot path)") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_planaudit_fmt").toString
+    val p0 = new org.apache.hadoop.fs.Path(dir)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p0)) fs.delete(p0, true)
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf0001)
+      .where(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+    val t = graft.ts.TsTable.create(spark, dir, ev.schema, tsCol = "ts")
+    t.append(ev)
+    val rr = t.readRange(
+      java.sql.Timestamp.valueOf("2024-01-01 06:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 18:00:00"))
+    val p = plan(rr)
+    assert(p.contains("GraftTsParquet(archive-resolving)"),
+      s"facade read must go through the resolving format:\n$p")
+    assert(p.contains("Batched: true"),
+      s"the format swap dropped vectorized batches:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]].*"),
+      s"ts bounds not pushed through the resolving format:\n$p")
+    assert(p.contains("PartitionFilters: [") && p.contains("p_date"),
+      s"partition pruning lost:\n$p")
+  }
+
   test("dimension joins broadcast the small side; top-k plans TakeOrderedAndProject") {
     assert(plan(RelationalPack.joinBroadcast(spark, sf0001))
       .contains("BroadcastHashJoin"))
