@@ -73,6 +73,41 @@ class GraftTsRuntimeFilterSpec extends SparkSpec {
       "the runtime keys must prune to the single file whose Bloom admits them")
   }
 
+  test("after renameColumn on the Bloom column: runtime probes under the " +
+      "NEW name prune files written post-rename, keep (never wrongly skip) " +
+      "pre-rename files, and results stay exact") {
+    val (t, store) = build("renbloom", TsWriteOptions(bloomCols = Seq("user_id")))
+    val renamed = t.renameColumn("user_id", "uid")
+    import spark.implicits._
+    // a post-rename day: its files harvest Bloom bits under "uid"
+    renamed.append((0 until 200).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-04 00:00:${i % 60}%02d"),
+        4000L + i % 50, i.toDouble)
+    }.toDF("ts", "uid", "value"))
+    val t2 = TsTable.open(spark, store)
+    val scan = freshScan(t2)
+    assert(scan.isInstanceOf[GraftTsRuntimeFilteredScan])
+    assert(fileCount(scan) == 4)
+    val rtf = scan.asInstanceOf[SupportsRuntimeV2Filtering]
+    assert(rtf.filterAttributes().map(_.fieldNames.last).toSet.contains("uid"))
+    // a probe hitting only the POST-rename day: its file admits, the three
+    // pre-rename files stay (their sidecar entries are keyed by the
+    // harvest-time name — unskippable under the new label, never wrong)
+    rtf.filter(Array(new Predicate("IN",
+      Array(Expressions.column("uid"), Expressions.literal(4007L)))))
+    val kept = fileCount(scan)
+    assert(kept <= 4 && kept >= 1, s"kept $kept of 4")
+    // correctness is the contract: the V2 read under the new label equals
+    // the facade count across BOTH generations
+    val v2 = spark.read.format("graft-ts").load(store)
+    assert(v2.where(col("uid") === 2007L).count() ==
+      t2.toDF.where(col("uid") === 2007L).count())
+    assert(v2.where(col("uid") === 4007L).count() ==
+      t2.toDF.where(col("uid") === 4007L).count())
+    assert(t2.lookupEq("uid", Seq(2007L)).count() > 0 &&
+      t2.lookupEq("uid", Seq(4007L)).count() > 0)
+  }
+
   test("a runtime IN predicate prunes files through declared-stats spans (no Bloom declared)") {
     val (t, _) = build("span", TsWriteOptions(statsCols = Seq("user_id")))
     val scan = freshScan(t)

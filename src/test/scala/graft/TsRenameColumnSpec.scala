@@ -204,6 +204,25 @@ class TsRenameColumnSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("V2-written files (SQL INSERT INTO) carry field ids too: a rename " +
+      "after a connector write serves the inserted rows under the new label") {
+    val (t, store) = build("v2write")
+    // a connector write lands through GraftTsWrite (ParquetUtils
+    // prepareWrite over the id-stamped table schema) — if that path
+    // dropped the ids, the rename below would silently null this row
+    spark.sql(s"INSERT INTO graft_ts.`$store` VALUES " +
+      "(990001, TIMESTAMP '2024-01-02 00:00:01', 424242, 'purchase', 77.25, '{}')")
+    val renamed = TsTable.open(spark, store).renameColumn("value", "px")
+    val got = renamed.toDF.where(col("user_id") === 424242L)
+      .select(col("px")).collect()
+    assert(got.length == 1 && !got.head.isNullAt(0) &&
+      got.head.getDouble(0) == 77.25,
+      s"V2-written row lost its value across the rename: ${got.mkString}")
+    // …and the V2 read face agrees
+    assert(spark.sql(s"SELECT px FROM graft_ts.`$store` WHERE user_id = 424242")
+      .head.getDouble(0) == 77.25)
+  }
+
   test("a pre-field-id table refuses rename loudly") {
     val (store, _) = freshStore("legacy")
     // an attached plain dir: no descriptor, schema inferred, no ids
