@@ -92,6 +92,23 @@ class TsBloomSpec extends SparkSpec {
       .write.mode("append").parquet(store + "/p_date=2024-01-02")
     assert(t.bloomCandidateFiles("user_id", Seq(777L)).isEmpty)
     assert(t.lookupEq("user_id", Seq(777L)).count() == 1)
+    // facade reads name-resolve the id-less foreign file per task (the
+    // fallback reader); the stock V2 parquet scan has no per-file
+    // fallback, so it must fail LOUDLY — never silently null the row
+    assert(t.toDF.where(col("user_id") === 777L).count() == 1)
+    val v2 = scala.util.Try(
+      spark.read.format("graft-ts").load(store)
+        .where(col("user_id") === 777L).count())
+    v2 match {
+      case scala.util.Success(n) =>
+        assert(n == 1, s"V2 must serve the foreign row or refuse, got $n")
+      case scala.util.Failure(e) =>
+        def msgs(t0: Throwable): Iterator[String] =
+          Iterator.iterate(t0)(_.getCause).takeWhile(_ != null)
+            .flatMap(x => Option(x.getMessage))
+        assert(msgs(e).exists(_.contains("field Ids")),
+          s"V2 over a foreign file must refuse on the missing ids, got: $e")
+    }
   }
 
   test("lost sidecar degrades to no-skipping and the next commit self-heals it") {
