@@ -27,11 +27,12 @@ class SnapshotProps extends SparkSpec {
   private def sample[A](g: Gen[A], seed: Long): A =
     g.pureApply(Gen.Parameters.default, Seed(seed))
 
-  private def mk(rows: Seq[(Long, Long)]) = // (tsMs, id)
+  private def mk(rows: Seq[(Long, Long)], name: String = "v") = // (tsMs, id)
     spark.createDataFrame(
       spark.sparkContext.parallelize(
         rows.map { case (t, i) => Row(new Timestamp(t), i) }, 2),
-      schema)
+      StructType(Seq(StructField("ts", TimestampType),
+        StructField(name, LongType))))
 
   sealed private trait Verb
   private case class Append(days: Int, rowsPerDay: Int, twoBatches: Boolean) extends Verb
@@ -40,6 +41,7 @@ class SnapshotProps extends SparkSpec {
   private case class DeleteMod(m: Int) extends Verb
   private case object RestoreEarlier extends Verb
   private case class MergeBackfill(rows: Int) extends Verb
+  private case object Rename extends Verb
 
   private val verbGen: Gen[Verb] = Gen.frequency(
     6 -> (for {
@@ -50,7 +52,8 @@ class SnapshotProps extends SparkSpec {
     2 -> Gen.chooseNum(1, 2).map(DropOldest.apply),
     2 -> Gen.chooseNum(2, 4).map(DeleteMod.apply),
     1 -> Gen.const(RestoreEarlier),
-    2 -> Gen.chooseNum(1, 3).map(MergeBackfill.apply))
+    2 -> Gen.chooseNum(1, 3).map(MergeBackfill.apply),
+    2 -> Gen.const(Rename))
 
   private val scriptGen: Gen[List[Verb]] = for {
     n <- Gen.chooseNum(4, 7)
@@ -61,22 +64,33 @@ class SnapshotProps extends SparkSpec {
 
   test("model-based: every retained version serves exactly its committed " +
       "row multiset after arbitrary verb sequences; history stays ascending") {
+    var renamesRun = 0
     for (seed <- 1L to 4L) {
       val script = sample(scriptGen, seed)
       val dir = Files.createTempDirectory(s"snap_prop_$seed").toString
-      val t = TsTable.create(spark, dir, schema)
+      var t = TsTable.create(spark, dir, schema)
       // model state
       var nextDay = 0
       var nextId = 0L
       var live = Map.empty[Int, Seq[(Long, Long)]] // day -> rows
+      // the value column's CURRENT label (Rename toggles it; every model
+      // batch/predicate/key must follow, and restore rolls it back) —
+      // fresh labels each time, since renamed-away labels stay retired
+      var curName = "v"
+      var renameN = 0
       // version -> expected live multiset at that commit
       var expected = Map[Long, Seq[(Long, Long)]](
         t.currentVersion.get -> Seq.empty)
+      // version -> the value column's label as of that commit (so a
+      // restore can roll the model's label back with the descriptor)
+      var nameAt = Map[Long, String](t.currentVersion.get -> curName)
       // version -> rows APPENDED by that commit (the changesBetween model)
       var appendedAt = Map.empty[Long, Seq[(Long, Long)]]
 
-      def record(): Unit =
+      def record(): Unit = {
         expected += t.currentVersion.get -> live.values.flatten.toSeq
+        nameAt += t.currentVersion.get -> curName
+      }
 
       script.foreach {
         case Append(days, rowsPerDay, twoBatches) =>
@@ -90,7 +104,7 @@ class SnapshotProps extends SparkSpec {
           nextDay += days
           val flat = newRows.flatMap(_._2)
           def land(batch: Seq[(Long, Long)]): Unit = {
-            t.append(mk(batch)); live = merge(live, group(batch)); record()
+            t.append(mk(batch, curName)); live = merge(live, group(batch)); record()
             appendedAt += t.currentVersion.get -> batch
           }
           if (twoBatches && flat.length > 1) {
@@ -116,7 +130,7 @@ class SnapshotProps extends SparkSpec {
         case DeleteMod(m) =>
           val hits = live.values.flatten.count(_._2 % m == 0)
           val deleted = t.deleteWhere(
-            org.apache.spark.sql.functions.col("v") % m ===
+            org.apache.spark.sql.functions.col(curName) % m ===
               org.apache.spark.sql.functions.lit(0))
           assert(deleted == hits.toLong,
             s"seed delete: engine removed $deleted, model expected $hits")
@@ -138,7 +152,7 @@ class SnapshotProps extends SparkSpec {
               val id = nextId; nextId += 1
               (base + day0.toLong * DayMs + r * 60000L + 30000L, id)
             }
-            val res = t.mergeInto(mk(newRows), keys = Seq("ts", "v"))
+            val res = t.mergeInto(mk(newRows, curName), keys = Seq("ts", curName))
             assert(res == TsTable.MergeResult(0L, n.toLong),
               s"merge backfill: got $res, want (0, $n)")
             assert(t.snapshotVersions.last._2 == "backfill",
@@ -152,9 +166,23 @@ class SnapshotProps extends SparkSpec {
           if (candidates.length >= 2) {
             val target = candidates(candidates.length / 2)
             t.restore(target)
+            // the descriptor (and with it the value column's label)
+            // rolled back to the target's — reopen and follow
+            t = TsTable.open(spark, dir)
+            curName = nameAt(target)
             live = group(expected(target))
             record()
           }
+        case Rename =>
+          // content-preserving relabel: fresh target each time (renamed-
+          // away labels retire); commits a "rename" version serving the
+          // unchanged multiset, appends/deletes/merges follow the label
+          renameN += 1
+          val next = s"v_$renameN"
+          t = t.renameColumn(curName, next)
+          curName = next
+          renamesRun += 1
+          record()
       }
 
       val retained = t.snapshotVersions.map(_._1)
@@ -210,6 +238,9 @@ class SnapshotProps extends SparkSpec {
       if (known.length >= 2) feedCheck(known.head, known.last)
       if (known.length > 2) feedCheck(known(known.length / 2), known.last)
     }
+    assert(renamesRun > 0,
+      "the seed range must exercise Rename at least once — regenerate " +
+        "seeds if the generator drifts")
   }
 
   private def group(rows: Seq[(Long, Long)]): Map[Int, Seq[(Long, Long)]] =

@@ -223,6 +223,29 @@ class TsRenameColumnSpec extends SparkSpec {
       .head.getDouble(0) == 77.25)
   }
 
+  test("restore to a pre-rename version rolls the rename back cleanly: " +
+      "old label serves, the tombstone clears, and the name can rename again") {
+    val (t, store) = build("restore")
+    val preRename = t.currentVersion.get
+    val want = t.toDF.select(col("event_id"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    t.renameColumn("value", "px")
+    TsTable.open(spark, store).restore(preRename)
+    val re = TsTable.open(spark, store)
+    assert(re.schema.fieldNames.contains("value") &&
+      !re.schema.fieldNames.contains("px"),
+      "restore must revert the descriptor to the pre-rename labels")
+    val got = re.toDF.select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want, "content must survive the rename round-trip")
+    // the tombstone cleared with the restore ("value" is legitimately
+    // back), so evolving/renaming the label works again
+    val again = re.renameColumn("value", "price")
+    assert(again.schema.fieldNames.contains("price"))
+    assert(TsTable.open(spark, store).toDF
+      .where(col("price").isNotNull).count() == want.size)
+  }
+
   test("a pre-field-id table refuses rename loudly") {
     val (store, _) = freshStore("legacy")
     // an attached plain dir: no descriptor, schema inferred, no ids
