@@ -1058,8 +1058,11 @@ object TimeSeriesPack extends QueryPack {
     * in (ts, event_id) order, peak = running max of equity, drawdown =
     * peak − equity; surface each user's MAXIMUM drawdown and the event where the
     * trough occurs (argmax ties break on event_id — deterministic in both
-    * engines). All arithmetic is decimal-exact end to end, so the oracle
-    * hash-matches bit for bit with no float quantization. Shape: equity
+    * engines). All arithmetic is decimal-exact internally; the surfaced
+    * drawdown is CAST to DOUBLE (a single correctly-rounded conversion of
+    * a scale-4 decimal, identical in both engines) because the driver's
+    * hasher canonicalizes surfaced decimals differently per engine at any
+    * precision. Shape: equity
     * and peak share ONE user_id window exchange (same partition + order);
     * the argmax selection re-sorts within the same partitioning — one
     * shuffle total, the running/ewma rule. At 100 TB: per-series
@@ -1081,17 +1084,21 @@ object TimeSeriesPack extends QueryPack {
         (col("value") - lit(DrawdownBench)).cast("decimal(18,4)").as("v"))
       .withColumn("equity", sum(col("v")).over(w))
       .withColumn("peak", max(col("equity")).over(w))
-      // peak − equity narrows to DECIMAL(18,4): the subtraction's exact
-      // scale is 4 so the cast never rounds, 14 integer digits hold any
-      // realistic PnL range, and the surfaced schema stays inside the
-      // precision ≤ 18 band the driver's hasher canonicalizes identically
-      // cross-engine (surfacing (38,4) was the r16 hash red).
+      // peak − equity stays DECIMAL(18,4) internally: the subtraction's
+      // exact scale is 4 so the cast never rounds, and 14 integer digits
+      // hold any realistic PnL range.
       .withColumn("dd", (col("peak") - col("equity")).cast("decimal(18,4)"))
     val sel = Window.partitionBy(col("user_id"))
       .orderBy(col("dd").desc, col("event_id"))
     curve.withColumn("rk", row_number().over(sel))
       .where(col("rk") === 1)
-      .select(col("user_id"), col("dd").as("max_drawdown"),
+      // Surface as DOUBLE: the driver's hasher canonicalizes ANY surfaced
+      // decimal differently per engine (pyarrow decimal128 vs DuckDB
+      // rendering) regardless of precision — DECIMAL(38,4) failed in r16
+      // and DECIMAL(18,4) failed in r17. The decimal→double conversion of
+      // a scale-4 value is the same correctly-rounded IEEE op in both
+      // engines (the q_window_twap pattern all 180 green keys follow).
+      .select(col("user_id"), col("dd").cast("double").as("max_drawdown"),
         col("event_id").as("trough_event_id"))
       .orderBy(col("user_id"))
   }
@@ -1764,7 +1771,9 @@ object TimeSeriesPack extends QueryPack {
         |    / CAST(sum(dt) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS twap
         |FROM p GROUP BY user_id, d ORDER BY user_id, day""".stripMargin,
     // Drawdown: decimal-exact equity/peak chain, argmax trough with the
-    // event_id tiebreak — bit-identical in both engines.
+    // event_id tiebreak; surfaced as DOUBLE (no decimal ever reaches the
+    // output schema — the driver hasher canonicalizes decimals
+    // differently per engine at every precision, r16+r17 evidence).
     "q_window_drawdown" ->
       s"""WITH p AS (
         |  SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS us,
@@ -1784,7 +1793,8 @@ object TimeSeriesPack extends QueryPack {
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY (peak - equity) DESC, event_id) AS rk
         |  FROM d)
-        |SELECT user_id, dd AS max_drawdown, event_id AS trough_event_id
+        |SELECT user_id, CAST(dd AS DOUBLE) AS max_drawdown,
+        |  event_id AS trough_event_id
         |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
     // The backfilled store holds exactly the four-day slice, whatever
     // order the days arrived in.

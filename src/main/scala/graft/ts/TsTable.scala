@@ -349,6 +349,10 @@ final class TsTable private (
     *
     * @param filesPerDay >1 range-splits heavy days into several ts-sorted
     *                    files (each file still covers a contiguous ts slice).
+    *                    On `fileSpan = "hour"` tables the batch slots per
+    *                    distinct hour instead, and filesPerDay multiplies
+    *                    WITHIN each hour slot (distinctHours × filesPerDay
+    *                    range slices) — it is never silently ignored.
     * @param strict      reject batches that are not ts-sorted in physical
     *                    row order (reference ValueError parity).
     */
@@ -568,7 +572,9 @@ final class TsTable private (
   }
 
   /** Pure-DDL column RENAME (`ALTER TABLE … RENAME COLUMN`, wired to SQL
-    * through GraftTsCatalog) — O(metadata), no file is read or written.
+    * through GraftTsCatalog) — O(metadata): no data page is read or
+    * written (one footer open per live file verifies every served file
+    * carries field ids — the foreign-file guard below).
     * Possible because tables created by this engine are parquet
     * field-id stamped from birth (see [[TsTable.FieldIdKey]]): files
     * resolve read columns by ID, so the descriptor/manifest name is a
@@ -587,9 +593,10 @@ final class TsTable private (
     * files simply lose their skip under the new name (kept, never
     * wrongly skipped) until a rewrite re-harvests them.
     *
-    * Refused: pre-field-id tables (their files resolve by name — a DDL
-    * rename would null the column's history; materialize through
-    * `cloneAt` on a current-format table instead), name collisions with
+    * Refused: pre-field-id tables and id-stamped tables still holding
+    * attached id-less files (those files resolve by name — a DDL rename
+    * would null the column's history; [[migrateFieldIds]] upgrades
+    * either in place), name collisions with
     * live or retired columns, the reserved partition column, and columns
     * referenced by a CHECK constraint (drop the check first — its SQL
     * text cannot be rewritten safely). Renaming the ts column itself is
@@ -601,11 +608,28 @@ final class TsTable private (
     require(TsTable.hasFieldIds(storedSchema),
       "renameColumn: this table predates field-id stamping — its files " +
         "resolve columns by NAME, so a pure-DDL rename would null the " +
-        "column's history; rebuild the store (e.g. via cloneAt into a " +
-        "freshly created table) to upgrade")
+        "column's history; run migrateFieldIds() (one governed " +
+        "copy-on-write rewrite) to upgrade in place")
     val field = storedSchema.fields.find(_.name.equalsIgnoreCase(oldName))
     require(field.isDefined, s"renameColumn: unknown column '$oldName'")
     val canonicalOld = field.get.name
+    // an id-stamped table can still hold attached FOREIGN (id-less) files
+    // — the hybrid-layout contract serves them through the by-NAME
+    // fallback reader, which would resolve the renamed label against
+    // footers that only carry the old name and silently null-fill rows
+    // that were served pre-rename. Refuse, naming the in-place fix. Cost:
+    // one footer open per live file (no data pages) — the only rename
+    // step that is not pure descriptor metadata, and the price of the
+    // guarantee that a rename never loses served data.
+    locally {
+      val foreign = idlessLiveFiles()
+      require(foreign.isEmpty,
+        s"renameColumn: ${foreign.length} live data file(s) carry no " +
+          s"parquet field ids (attached/foreign parquet, e.g. " +
+          s"${foreign.take(3).mkString(", ")}) and resolve columns by " +
+          "NAME — a pure-DDL rename would silently null their history; " +
+          "run migrateFieldIds() first")
+    }
     require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"renameColumn: '$newName' is not a plain column name")
     require(!newName.equalsIgnoreCase(PartCol),
@@ -644,6 +668,91 @@ final class TsTable private (
       newDropped, effectiveNextFieldId)
     t.commitVersion("rename", Some(renamed))
     t
+  }
+
+  /** In-place upgrade to parquet field ids — the verb that makes
+    * [[renameColumn]] available on a table it refuses: ONE governed
+    * copy-on-write rewrite (the deleteWhere/updateWhere machinery with an
+    * identity projection and the id-stamped writer) of exactly the live
+    * files whose footers carry no field ids, committing a "migrate"
+    * version (content-preserving — the change feed emits no rows for it,
+    * like compact). Covers both refusal arms:
+    *
+    *   - a pre-field-id table (created before id stamping, or opened over
+    *     an attached plain parquet dir): the descriptor schema is stamped
+    *     with fresh ids 1..n FIRST, then every live file rewrites —
+    *     after which the table is indistinguishable from one created
+    *     id-stamped;
+    *   - an id-stamped table holding attached foreign (id-less) files
+    *     (the hybrid-layout contract): only those files rewrite.
+    *
+    * Crash discipline: a crash after the descriptor stamp but before the
+    * rewrite leaves a readable table (id-less files keep serving through
+    * the by-NAME fallback reader) on which rename still refuses and a
+    * re-run completes the migration; the rewrite itself stages into an
+    * invisible temp and archives originals for pinned readers (cowExec's
+    * rules). Returns the number of files rewritten (0 = already
+    * migrated; a descriptor-only stamp on an empty table still commits).
+    *
+    * Cost: one footer open per live file (the discovery) + one read and
+    * one write of ONLY the id-less files — never O(table) on a governed
+    * store where foreign attachments are the exception. Rewritten days
+    * bin-pack per day (`filesPerDay` splits heavy days, the append
+    * rule); run `compact` after on hour-slotted tables. */
+  def migrateFieldIds(filesPerDay: Int = 1): Int = {
+    require(filesPerDay >= 1, "filesPerDay must be >= 1")
+    // rewrite verbs run against the LIVE descriptor (the compactDays rule)
+    val serving = TsTable.open(spark, path, tsCol)
+    if (serving.schema != storedSchema)
+      return serving.migrateFieldIds(filesPerDay)
+    val target: TsTable =
+      if (TsTable.hasFieldIds(storedSchema)) this
+      else {
+        val stamped = TsTable.stampFieldIds(storedSchema)
+        TsTable.enableFieldIdResolution(spark)
+        TsTable.writeDescriptor(spark, path, stamped, tsCol, writeOptions,
+          tableChecks, droppedCols, stamped.fields.length + 1L)
+        new TsTable(spark, path, tsCol, stamped, writeOptions, tableChecks,
+          droppedCols, stamped.fields.length + 1L)
+      }
+    val idless = target.idlessLiveFiles()
+    if (idless.isEmpty) {
+      // descriptor-only upgrade (empty or fully-id-stamped files under a
+      // pre-id descriptor) still needs its pinnable "migrate" version
+      if (target ne this) target.commitVersion("migrate", Some(target.schema))
+      return 0
+    }
+    target.cowExec(idless, "migrate", filesPerDay,
+      inserts = None, insertDays = 0)(identity)
+    idless.length
+  }
+
+  /** Live data files whose parquet footers carry NO field ids — the files
+    * a pure-DDL rename cannot retarget ([[renameColumn]]'s guard,
+    * [[migrateFieldIds]]'s work list). One footer open per live file,
+    * zero data pages; driver-side for a handful of files, one task per
+    * file beyond (collectSpans' distribution rule). An unreadable footer
+    * counts as id-less — refusing loudly beats renaming over it. */
+  private def idlessLiveFiles(): Seq[String] = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rels = listLiveFiles(fs).map(_._1)
+    if (rels.isEmpty) return Seq.empty
+    val rootStr = path
+    if (rels.length <= 16) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      rels.filterNot(r =>
+        TsTable.footerHasFieldIds(conf, new Path(rootStr, r)))
+    } else {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val slices = math.min(rels.length,
+        spark.sparkContext.defaultParallelism).max(1)
+      spark.sparkContext.parallelize(rels, slices)
+        .filter(r => !TsTable.footerHasFieldIds(conf.value,
+          new Path(rootStr, r)))
+        .collect().toSeq.sorted
+    }
   }
 
   /** Out-of-order bulk INSERT — `append` without the monotonicity guard
@@ -817,13 +926,16 @@ final class TsTable private (
     // so a heavy day splits into ~filesPerDay files, each a contiguous
     // ts slice (range partitioning keeps per-file sortedness). This is the
     // 100 TB write path: no single task ever funnels a whole heavy day.
-    // fileSpan="hour": one range slot per distinct batch hour, ordered
-    // (day, hour, ts) — slot boundaries land at (or near) hour edges, and
-    // the recorded per-file ts spans stay EXACT either way, so the skip
-    // index serves as the effective sub-day partition at planning time.
+    // fileSpan="hour": one range slot per distinct batch hour (times
+    // filesPerDay — the knob folds into the slot count rather than being
+    // silently ignored), ordered (day, hour, ts) — slot boundaries land
+    // at (or near) hour edges, and the recorded per-file ts spans stay
+    // EXACT either way, so the skip index serves as the effective
+    // sub-day partition at planning time.
     val placed =
       if (hourly)
-        withDate.repartitionByRange(stats.getLong(4).toInt.max(1),
+        withDate.repartitionByRange(
+          (stats.getLong(4) * filesPerDay).toInt.max(1),
           col(PartCol), date_trunc("hour", col(tsCol)), col(tsCol))
       else if (filesPerDay == 1) withDate.repartition(col(PartCol))
       else withDate.repartitionByRange(
@@ -926,20 +1038,32 @@ final class TsTable private (
     * materializes into an invisible `_compact_tmp_batch` before any live
     * file moves, replaced files are archived for pinned readers, and a
     * mid-swap crash leaves every archived file resolvable through the
-    * previous manifest. */
+    * previous manifest.
+    *
+    * On `fileSpan = "hour"` tables, bin-packing is per HOUR slot, not per
+    * day: `targetFiles` means files per hour, a day already at or under
+    * one file per covered hour (per the current manifest's exact spans)
+    * is skipped, and a rewrite range-slots on (day, hour, ts) — so
+    * routine maintenance preserves the sub-day skip index instead of
+    * silently degrading 1-hour probes back to day granularity. */
   def compactDays(dates: Seq[String], targetFiles: Int = 1,
                   clusterBy: Seq[String] = Seq.empty): Seq[String] = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     dates.foreach(d =>
       require(DateDirRe.matches(d), s"date must be YYYY-MM-DD, got '$d'"))
-    if (clusterBy.nonEmpty) {
-      require(clusterBy.length >= 2,
+    // resolve clusterBy case-insensitively to the canonical stored names —
+    // the file's convention for every column-addressing verb (rename,
+    // drop, stats narrowing); validation and Morton coding use these
+    val cluster = clusterBy.map { c =>
+      storedSchema.fields.find(_.name.equalsIgnoreCase(c)).map(_.name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"requirement failed: compact clusterBy: unknown column '$c'"))
+    }
+    if (cluster.nonEmpty) {
+      require(cluster.length >= 2,
         "clusterBy needs >= 2 columns — a 1-D cluster is the plain " +
           "ts-sorted compact (or sort the day by that column externally)")
-      val missing = clusterBy.filterNot(storedSchema.fieldNames.contains)
-      require(missing.isEmpty,
-        s"compact clusterBy: unknown column(s) ${missing.mkString(", ")}")
-      clusterBy.foreach { c =>
+      cluster.foreach { c =>
         val dt = storedSchema(c).dataType
         require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
           dt == TimestampType || dt == DateType,
@@ -957,12 +1081,25 @@ final class TsTable private (
       return serving.compactDays(dates, targetFiles, clusterBy)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // hour-slotted tables bin-pack per HOUR slot, not per day — a plain
+    // day-granular compact would silently destroy the sub-day skip index
+    // fileSpan="hour" exists for. targetFiles then means files per hour.
+    val hourly = cluster.isEmpty && writeOptions.fileSpan == "hour"
+    val hourCover: Map[String, Int] =
+      if (hourly) manifestHourCover() else Map.empty
     val hit = dates.distinct.sorted.filter { d =>
       val dir = new Path(root, s"$PartCol=$d")
-      // bin-packing skips days already at target; RE-CLUSTERING is a
-      // re-sort, so any existing day qualifies regardless of file count
-      fs.exists(dir) && (if (clusterBy.nonEmpty) dataFiles(fs, dir).nonEmpty
-        else dataFiles(fs, dir).length > targetFiles)
+      // bin-packing skips days already at target (for hourly tables: at
+      // or under one file per covered hour slot, per the manifest's
+      // exact spans — a span-less file makes the day qualify, and the
+      // rewrite restores its span); RE-CLUSTERING is a re-sort, so any
+      // existing day qualifies regardless of file count
+      fs.exists(dir) && {
+        val n = dataFiles(fs, dir).length
+        if (cluster.nonEmpty) n > 0
+        else if (hourly) n > hourCover.getOrElse(d, 0).max(targetFiles)
+        else n > targetFiles
+      }
     }
     if (hit.isEmpty) return Seq.empty
     // Same µs-instant encoding rationale as appendValidated.
@@ -988,19 +1125,38 @@ final class TsTable private (
     // for that day until a plain compact restores it.
     val sorted = {
       val d = withFieldIds(days)
-      if (clusterBy.nonEmpty) {
-        val aggs = clusterBy.flatMap(c =>
+      if (cluster.nonEmpty) {
+        val aggs = cluster.flatMap(c =>
           Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
         val r = d.agg(aggs.head, aggs.tail: _*).head // 1 driver row: bounds
-        require(!r.isNullAt(0),
-          s"compact clusterBy: no rows to derive ${clusterBy.mkString("/")} bounds from")
-        val bounds = clusterBy.indices.map(j => (r.getDouble(2 * j), r.getDouble(2 * j + 1)))
-        val z = graft.operators.ZOrderLayout.codeColumn(clusterBy.map(col), bounds)
+        // every axis checked by name: an all-null non-first column would
+        // otherwise surface as a bare NPE from getDouble — the abort is
+        // safe either way (nothing has been rewritten yet), the message
+        // should name the column
+        cluster.zipWithIndex.foreach { case (c, j) =>
+          require(!r.isNullAt(2 * j) && !r.isNullAt(2 * j + 1),
+            s"compact clusterBy: column '$c' has no non-null values in " +
+              "the selected days — no Morton axis can be derived from it")
+        }
+        val bounds = cluster.indices.map(j => (r.getDouble(2 * j), r.getDouble(2 * j + 1)))
+        val z = graft.operators.ZOrderLayout.codeColumn(cluster.map(col), bounds)
         d.withColumn("__zcode", z)
           .repartitionByRange((hit.length * targetFiles).max(1),
             col(PartCol), col("__zcode"))
           .sortWithinPartitions(col(PartCol), col("__zcode"))
           .drop("__zcode") // projection preserves the in-partition order
+      } else if (hourly) {
+        // the append path's hour slotting replayed by maintenance: one
+        // range slot per distinct (day, hour) in the selected days
+        // (times targetFiles for finer slices), ordered (day, hour, ts)
+        // — the rewrite keeps the per-file spans hour-contiguous, so the
+        // sub-day skip index survives routine compaction. One extra
+        // countDistinct aggregate, paid by hour-slotted tables only.
+        val nSlots = d.agg(countDistinct(col(PartCol),
+          date_trunc("hour", col(tsCol)))).head.getLong(0)
+        d.repartitionByRange((nSlots * targetFiles).toInt.max(1),
+            col(PartCol), date_trunc("hour", col(tsCol)), col(tsCol))
+          .sortWithinPartitions(col(PartCol), col(tsCol))
       } else if (targetFiles == 1)
         d.repartition(col(PartCol)).sortWithinPartitions(col(PartCol), col(tsCol))
       else d.repartitionByRange(
@@ -1023,6 +1179,26 @@ final class TsTable private (
     commitVersion("compact")
     hit
   }
+
+  /** Distinct UTC hour buckets each day's live files cover, from the
+    * CURRENT manifest's exact per-file ts spans — [[compactDays]]'s
+    * skip test on hour-slotted tables (a day with one file per covered
+    * hour is already packed). Metadata-only: one manifest read, zero
+    * footers. Days holding any span-less file are ABSENT from the map
+    * (conservative: they qualify for a rewrite, which restores spans). */
+  private def manifestHourCover(): Map[String, Int] =
+    currentVersion.map { v =>
+      val m = TsTable.readManifest(spark, path, v)
+      m.files.map(_._1).filter(_.startsWith(s"$PartCol="))
+        .groupBy(_.split("/").head.stripPrefix(s"$PartCol="))
+        .flatMap { case (d, fls) =>
+          val spans = fls.flatMap(m.stats.get)
+          if (spans.length != fls.length) None
+          else Some(d -> spans.flatMap { case (lo, hi) =>
+            Math.floorDiv(lo, 3600000000L) to Math.floorDiv(hi, 3600000000L)
+          }.distinct.length)
+        }.toMap
+    }.getOrElse(Map.empty)
 
   /** Retention: drop every day partition strictly BEFORE `date` (UTC ISO
     * day); returns the dates dropped. The other maintenance half next to
@@ -1659,7 +1835,8 @@ final class TsTable private (
           else Seq(subsetDF(m, added)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
-        case "compact" | "evolve" | "constraint" | "clone" | "rename" =>
+        case "compact" | "evolve" | "constraint" | "clone" | "rename" |
+             "migrate" =>
           Seq.empty // content-preserving: same rows before and after
         case _ => // delete/update/merge/overwrite/retention/restore/unknown
           if (added.isEmpty && removed.isEmpty) Seq.empty
@@ -2873,6 +3050,27 @@ object TsTable {
   private[ts] def footerTsSpan(conf: org.apache.hadoop.conf.Configuration,
                                file: Path, tsCol: String): Option[(Long, Long)] =
     footerSpans(conf, file, tsCol, Seq.empty)._1
+
+  /** Whether EVERY top-level field in one parquet file's footer schema
+    * carries a field id — the rename-safety predicate (id-resolved reads
+    * retarget renamed columns; by-name files cannot). Footer metadata
+    * only, no data pages. An unreadable footer is `false`: the callers
+    * (rename guard, migrate discovery) must treat a file they cannot
+    * prove id-stamped as foreign. Static and Configuration-fed so
+    * discovery can run one task per file on executors. */
+  private[ts] def footerHasFieldIds(
+      conf: org.apache.hadoop.conf.Configuration, file: Path): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    try {
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val fields = rd.getFooter.getFileMetaData.getSchema.getFields.asScala
+        fields.nonEmpty && fields.forall(_.getId != null)
+      } finally rd.close()
+    } catch { case _: Exception => false }
+  }
 
   /** One footer open, two harvests: the ts span (see [[footerTsSpan]]'s
     * usability rules) and — independently, best-effort per column — the

@@ -59,8 +59,13 @@ final class ArchiveResolvingParquetFileFormat extends ParquetFileFormat {
     import org.apache.spark.sql.internal.SQLConf
     hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
       sparkSession.sessionState.conf.parquetFieldIdReadEnabled)
-    hadoopConf.setBoolean(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID.key,
-      sparkSession.sessionState.conf.ignoreMissingParquetFieldId)
+    // ignoreMissing is forced FALSE regardless of the session conf: this
+    // format carries its own, strictly better handling of id-less files
+    // (the by-NAME fallback reader below). Spark's lenient mode would
+    // suppress the missing-id error the fallback keys on and serve the
+    // foreign file as all-null rows — a silent correctness regression
+    // gated on an unrelated user setting.
+    hadoopConf.setBoolean(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID.key, false)
     // EACH super call writes its requested-schema into the Configuration
     // it is handed and broadcasts that object BY REFERENCE in local mode —
     // two readers sharing one Configuration would silently serve the
@@ -115,7 +120,10 @@ object ArchiveResolvingParquetFileFormat {
 
   /** Spark's ParquetReadSupport refusal for an id-requesting schema over
     * an id-less file — matched by message because the exception type is a
-    * plain RuntimeException (pinned by TsBloomSpec's foreign-file test). */
+    * plain RuntimeException. The message string is PINNED by
+    * TsBloomSpec("foreign file attached → not authoritative → full-scan
+    * fallback stays correct"): a Spark upgrade that rewords it fails that
+    * test loudly instead of silently disabling the name fallback. */
   private def isMissingIdError(e: Throwable): Boolean =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(5).exists(t =>
       Option(t.getMessage).exists(_.contains(

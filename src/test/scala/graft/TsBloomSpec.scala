@@ -111,6 +111,30 @@ class TsBloomSpec extends SparkSpec {
     }
   }
 
+  test("session fieldId.ignoreMissing=true cannot disable the foreign-file " +
+      "name fallback (the facade forces it false per reader)") {
+    val (t, store, _) = build("lenient")
+    import spark.implicits._
+    Seq((java.sql.Timestamp.valueOf("2024-01-02 09:00:00"), 778L, "x", 1.5))
+      .toDF("ts", "user_id", "tag", "value")
+      .write.mode("append").parquet(store + "/p_date=2024-01-02")
+    // Spark's lenient mode suppresses the missing-field-id error the
+    // fallback reader keys on and serves id-less files as ALL-NULL rows;
+    // the facade supplies its own strictly better fallback, so it must
+    // force the conf false regardless of the session setting
+    val key = "spark.sql.parquet.fieldId.ignoreMissing"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val row = t.toDF.where(col("user_id") === 778L).collect()
+      assert(row.length == 1 && row.head.getAs[Double]("value") == 1.5,
+        "the foreign row must NAME-resolve with its value, never null-fill")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("lost sidecar degrades to no-skipping and the next commit self-heals it") {
     val (t, store, fs) = build("heal")
     val v = t.currentVersion.get

@@ -256,5 +256,72 @@ class TsRenameColumnSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       t.renameColumn("value", "px"))
     assert(e.getMessage.contains("field-id"))
+    assert(e.getMessage.contains("migrateFieldIds"),
+      "the refusal must name the in-place fix")
+  }
+
+  test("migrateFieldIds upgrades a legacy table in place: refuse → migrate " +
+      "→ rename; pre-migrate rows serve by name, post-rename under the new " +
+      "label with no null-fill") {
+    val (store, _) = freshStore("migrate")
+    val d1 = Tables.events(spark, sf0001)
+      .where(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"))
+    d1.write.parquet(store) // attached plain dir: no descriptor, no ids
+    val want = d1.select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val t = TsTable.open(spark, store)
+    intercept[IllegalArgumentException](t.renameColumn("value", "px"))
+    // pre-migrate, the attached files serve by NAME (nothing is lost)
+    assert(t.toDF.where(col("value").isNotNull).count() == want.size)
+    val rewritten = t.migrateFieldIds()
+    assert(rewritten > 0, "the legacy files must rewrite")
+    val up = TsTable.open(spark, store)
+    assert(up.snapshotVersions.last._2 == "migrate")
+    val gotPre = up.toDF.select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotPre == want, "migrate is content-preserving")
+    assert(up.migrateFieldIds() == 0, "a second migrate is a no-op")
+    val preRename = up.currentVersion.get
+    up.renameColumn("value", "px")
+    val got = TsTable.open(spark, store).toDF
+      .select(col("event_id"), col("px")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want,
+      "migrated files must serve the renamed column, never null-fill")
+    // the pre-rename pin serves the OLD label (each version's own schema)
+    assert(TsTable.openAt(spark, store, preRename)
+      .schema.fieldNames.contains("value"))
+  }
+
+  test("rename refuses while an attached foreign (id-less) file is live; " +
+      "migrateFieldIds rewrites exactly that file and the rename then " +
+      "serves its rows under the new label") {
+    val (t, store) = build("foreign")
+    // attach a raw parquet file the table never wrote: id-less footers
+    val extra = Tables.events(spark, sf0001)
+      .where(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+      .limit(3).coalesce(1)
+    val extraIds = extra.select("event_id").collect().map(_.getLong(0)).toSet
+    extra.drop("p_date")
+      .write.mode("append").parquet(store + "/p_date=2024-01-02")
+    val e = intercept[IllegalArgumentException](t.renameColumn("value", "px"))
+    assert(e.getMessage.contains("migrateFieldIds") &&
+      e.getMessage.contains("field ids"),
+      s"the refusal must name the hazard and the fix, got: ${e.getMessage}")
+    val rewritten = t.migrateFieldIds()
+    assert(rewritten == 1, s"exactly the one foreign file rewrites, got $rewritten")
+    val up = TsTable.open(spark, store)
+    val ren = up.renameColumn("value", "px")
+    assert(ren.schema.fieldNames.contains("px"))
+    val re = TsTable.open(spark, store)
+    // the foreign rows survive the rename under the new label, non-null
+    val foreignRows = re.toDF.where(col("event_id").isInCollection(extraIds))
+      .select(col("event_id"), col("px")).collect()
+    assert(foreignRows.length == extraIds.size)
+    foreignRows.foreach(r => assert(!r.isNullAt(1),
+      s"event ${r.getLong(0)}: foreign row null-filled across the rename"))
+    assert(re.toDF.where(col("px").isNull).count() == 0,
+      "no row may lose its value across migrate + rename")
   }
 }

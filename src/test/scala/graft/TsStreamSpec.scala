@@ -1279,9 +1279,10 @@ class TsStreamSpec extends SparkSpec {
         }
       }
       // each key's running max drawdown equals the registered batch key
+      // max_drawdown surfaces as DOUBLE (scale-4 decimal cast once);
+      // e4 recovers the exact 1e-4 units.
       val batch = graft.operators.TimeSeriesPack.windowDrawdown(spark, sf0001)
-        .collect().map(r => r.getLong(0) ->
-          (r.getDecimal(1).movePointRight(4).longValueExact())).toMap
+        .collect().map(r => r.getLong(0) -> e4(r.getDouble(1))).toMap
       assert(batch.keySet == maxDdByKey.keySet)
       batch.foreach { case (k, dd) =>
         assert(maxDdByKey(k) == dd,

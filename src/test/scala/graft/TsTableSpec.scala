@@ -274,6 +274,105 @@ class TsTableSpec extends SparkSpec {
       java.sql.Timestamp.valueOf("2024-03-01 13:59:59")).count() == 180)
   }
 
+  test("compact on fileSpan=hour bin-packs per HOUR slot: a fragmented day " +
+      "heals to ~one file per hour (not one per day), a 1-hour probe still " +
+      "plans a strict file subset, and an already-packed day is skipped") {
+    import graft.ts.TsWriteOptions
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema,
+      writeOptions = TsWriteOptions(fileSpan = "hour"))
+    // fragment 8 hours with 16 half-hour appends (the streaming-sink
+    // shape: one file per micro-batch) — two files per hour
+    for (k <- 0 until 16) {
+      val rows = (0 until 30).map { i =>
+        val sec = k * 1800 + i * 60
+        (f"2024-03-01 ${sec / 3600}%02d:${(sec / 60) % 60}%02d:${sec % 60}%02d",
+          i.toLong, i.toDouble)
+      }
+      tab.append(mkRows(rows))
+    }
+    def dayFiles = new java.io.File(dir, "p_date=2024-03-01").listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(dayFiles.length == 16, s"expected 16 fragments, got ${dayFiles.length}")
+    // the regression under test: plain maintenance must NOT collapse the
+    // day to day-granularity — it re-slots per hour
+    assert(tab.compact("2024-03-01"))
+    val healed = dayFiles
+    assert(healed.length >= 4 && healed.length <= 10,
+      s"hour-slotted compact should land ~8 hour files, got ${healed.length}")
+    healed.foreach { f =>
+      val mm = spark.read.parquet(f.getPath)
+        .agg(org.apache.spark.sql.functions.min(col("ts")),
+          org.apache.spark.sql.functions.max(col("ts"))).head
+      val spanMs = mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime
+      assert(spanMs <= 2 * 3600 * 1000L,
+        s"file ${f.getName} spans ${spanMs / 60000} min — compact un-slotted the day")
+    }
+    // the sub-day skip index survives: a 1-hour probe plans a strict subset
+    val q = spark.read.format("graft-ts").load(dir).where(
+      col("ts") >= lit("2024-03-01 03:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-03-01 04:00:00").cast("timestamp"))
+    val scan = V2ScanAccess.parquetScan(q.queryExecution.executedPlan)
+    val planned = scan.fileIndex
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.files.length).sum
+    assert(planned >= 1 && planned <= 3,
+      s"1-hour probe planned $planned of ${healed.length} files post-compact")
+    assert(q.count() == 60, "the probed hour holds exactly its rows")
+    // idempotence: the healed day is at or under one file per covered
+    // hour (manifest spans), so a second compact is a no-op
+    assert(!TsTable.open(spark, dir).compact("2024-03-01"),
+      "an hour-packed day must not re-qualify for compaction")
+    assert(tab.toDF.count() == 16 * 30)
+  }
+
+  test("append on fileSpan=hour folds filesPerDay into the slot count " +
+      "instead of silently ignoring it") {
+    import graft.ts.TsWriteOptions
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema,
+      writeOptions = TsWriteOptions(fileSpan = "hour"))
+    // a 2-hour batch, filesPerDay=2 → 2 hours × 2 = 4 range slots
+    val rows = (0 until 240).map { i =>
+      val sec = i * 30
+      (f"2024-03-01 ${sec / 3600}%02d:${(sec / 60) % 60}%02d:${sec % 60}%02d",
+        i.toLong, i.toDouble)
+    }
+    tab.append(mkRows(rows), filesPerDay = 2)
+    val files = new java.io.File(dir, "p_date=2024-03-01").listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 3 && files.length <= 4,
+      s"2 hours × filesPerDay=2 should land ~4 files, got ${files.length}")
+  }
+
+  test("compact clusterBy resolves column names case-insensitively and " +
+      "names an all-null axis in its refusal") {
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema)
+    tab.append(mkRows(Seq(
+      ("2024-03-01 10:00:00", 1L, 1.0),
+      ("2024-03-01 11:00:00", 2L, 2.0),
+      ("2024-03-01 12:00:00", 3L, 3.0))))
+    // mixed-case names resolve to the canonical user_id/value columns
+    assert(tab.compact("2024-03-01", clusterBy = Seq("User_Id", "VALUE")))
+    assert(TsTable.open(spark, dir).toDF.count() == 3)
+    // an all-null axis refuses with the column named, before any rewrite
+    val dir2 = freshDir()
+    val tab2 = TsTable.create(spark, dir2, schema)
+    val data = Seq(
+      Row(t("2024-03-02 10:00:00"), 1L, null),
+      Row(t("2024-03-02 11:00:00"), 2L, null))
+    tab2.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 1), schema))
+    val e = intercept[IllegalArgumentException](
+      tab2.compact("2024-03-02", clusterBy = Seq("user_id", "value")))
+    assert(e.getMessage.contains("'value'") &&
+      e.getMessage.contains("no non-null"),
+      s"refusal must name the null axis, got: ${e.getMessage}")
+    assert(TsTable.open(spark, dir2).toDF.count() == 2,
+      "the refused compact must not have rewritten anything")
+  }
+
   test("files within a day partition are ts-sorted (write-side invariant)") {
     val dir = freshDir()
     val tab = TsTable.create(spark, dir, schema)

@@ -12,12 +12,15 @@ import sys, json, math, re
 
 import duckdb
 
-# The driver's hasher canonicalizes int128-backed wide decimals
-# differently per engine (pyarrow decimal128 vs DuckDB's native decimal
-# rendering), so a value-identical result can still hash-mismatch — the
-# r15/r16 q_window_twap / q_window_drawdown failure mode. No surfaced
-# column may be wider than DECIMAL(18,x) on EITHER side.
-MAX_SURFACED_DECIMAL_PRECISION = 18
+# The driver's hasher canonicalizes decimals differently per engine
+# (pyarrow decimal128 vs DuckDB's native decimal rendering), so a
+# value-identical result can still hash-mismatch. r17 disproved the
+# ">18 is the hazard" hypothesis: q_window_drawdown surfaced
+# DECIMAL(18,4) — inside the old safe band — and still hash-failed,
+# while all 180 green keys surface no decimal at all (decimal-exact
+# accumulate, DOUBLE/BIGINT surface, per Det.scala). The empirical rule:
+# NO surfaced DECIMAL column of any precision, on EITHER side.
+MAX_SURFACED_DECIMAL_PRECISION = 0
 
 
 def wide_decimal_cols(cols, types):
