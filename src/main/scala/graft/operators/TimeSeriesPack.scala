@@ -719,6 +719,61 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** A-evolution+ in-place FIELD-ID MIGRATION (`TsTable.migrateFieldIds`
+    * — the upgrade verb for pre-field-id / attached-foreign stores): days
+    * 1-2 land as a PLAIN parquet directory (no descriptor, no field ids —
+    * the attached-layout contract), the table migrates in place (ONE
+    * governed copy-on-write rewrite of exactly the id-less files,
+    * committing a content-preserving "migrate" version), renames
+    * `value` → `px` (legal only after the migration — rename refuses over
+    * by-name files), and days 3-4 append under the new name. The full
+    * read must serve BOTH generations under `px` with zero null-fill —
+    * the oracle is the plain slice with `value` aliased. Refusal arms,
+    * idempotence, and pins are TsRenameColumnSpec's. At 100 TB: discovery
+    * is one footer open per live file (distributed), the rewrite touches
+    * only id-less bytes. */
+  def migrateRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tsmigrate_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val cut = lit("2024-01-03 00:00:00").cast("timestamp")
+    ev.where(col("ts") < cut).write.parquet(store) // legacy: no ids
+    TsTable.open(s, store).migrateFieldIds()
+    val renamed = TsTable.open(s, store).renameColumn("value", "px")
+    renamed.append(ev.where(col("ts") >= cut).withColumnRenamed("value", "px"))
+    TsTable.open(s, store)
+      .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("px"), col("props"))
+      .orderBy(col("event_id"))
+  }
+
+  /** B1+ hour-slot-aware compaction (`compact` on a `fileSpan = "hour"`
+    * table): a day fragments across two appends that SPLIT one hour (the
+    * streaming-sink shape — two files land in hour 12), then compactAll
+    * bin-packs per HOUR slot, not per day, so routine maintenance
+    * preserves the sub-day skip index; the already-hour-packed second day
+    * is skipped via the manifest's exact spans (metadata-only). The
+    * oracle is the split hour's closed-interval slice — a row lost in
+    * the hour merge hash-mismatches. Planning claims (≤3-file probes,
+    * packed-day no-op) are TsTableSpec's. */
+  def hourCompactRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tshourcomp_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-03 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts",
+      writeOptions = graft.ts.TsWriteOptions(fileSpan = "hour"))
+    val cut = lit("2024-01-01 12:30:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    t.append(ev.where(col("ts") >= cut))
+    t.compactAll(targetFiles = 1)
+    TsTable.open(s, store)
+      .readRange(ts("2024-01-01 12:00:00"), ts("2024-01-01 12:59:59"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+  }
+
   /** B1+ governed z-order re-clustering (`compact(clusterBy = …)` — the
     * Delta `OPTIMIZE … ZORDER BY` verb on this store): two days land
     * ts-sorted in several files each, then re-cluster along the
@@ -1578,8 +1633,10 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_runtime_prune" -> runtimePruneJoin,
     "q_ts_drop_column" -> dropColumnRoundtrip,
     "q_ts_rename" -> renameColumnRoundtrip,
+    "q_ts_migrate" -> migrateRoundtrip,
     "q_ts_cluster" -> clusterCompactRoundtrip,
     "q_ts_hour_span" -> hourSpanRoundtrip,
+    "q_ts_hour_compact" -> hourCompactRoundtrip,
     "q_ts_sql_merge" -> sqlMergeRoundtrip,
     "q_ts_rollup" -> rollupRoundtrip,
     "q_ts_rollup_dml" -> rollupDmlRoundtrip,
@@ -1843,6 +1900,22 @@ object TimeSeriesPack extends QueryPack {
         |FROM events
         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
         |ORDER BY event_id""".stripMargin,
+    // Field-id migration + rename are content-preserving: both file
+    // generations (pre-migration plain parquet, post-rename appends) must
+    // serve under the new label with zero null-fill.
+    "q_ts_migrate" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |  value AS px, props
+        |FROM events
+        |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    // Hour-slot-aware compaction is content-preserving: the split hour's
+    // rows must survive the per-hour merge exactly.
+    "q_ts_hour_compact" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) >= TIMESTAMP '2024-01-01 12:00:00'
+         |  AND date_trunc('microseconds', ts) <= TIMESTAMP '2024-01-01 12:59:59'
+         |ORDER BY event_id""".stripMargin,
     // Z-order re-clustering is content-preserving: the whole slice must
     // survive the Morton re-sort byte-identically.
     "q_ts_cluster" ->

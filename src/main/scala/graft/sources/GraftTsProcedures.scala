@@ -157,6 +157,24 @@ private[sources] object GraftTsProcedures {
     }
   }
 
+  private val MigrateFieldIds = new Proc("migrate_field_ids",
+    "In-place upgrade to parquet field ids (TsTable.migrateFieldIds): one " +
+      "governed copy-on-write rewrite of exactly the live files whose " +
+      "footers carry no ids — the verb that makes RENAME COLUMN legal on " +
+      "a pre-field-id or attached-foreign store; commits a " +
+      "content-preserving 'migrate' version; returns the rewritten-file " +
+      "count (0 = already migrated)",
+    Array(in("table", StringType),
+      inDefault("files_per_day", IntegerType, "1"))) {
+    private val out =
+      StructType(Seq(StructField("rewritten_files", IntegerType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val n = TsTable.open(spark, input.getUTF8String(0).toString)
+        .migrateFieldIds(input.getInt(1))
+      result(out, Seq(row(n)))
+    }
+  }
+
   private val VacuumStaging = new Proc("vacuum_staging",
     "Delete crash-leftover staging (aged _delete_tmp/_compact_tmp_* dirs, " +
       "_tmp-* files) older than older_than_ms; returns the removed paths",
@@ -193,8 +211,8 @@ private[sources] object GraftTsProcedures {
   }
 
   private val all: Seq[Proc] =
-    Seq(Compact, ExpireSnapshots, Restore, Clone, History, VacuumStaging,
-      Detail)
+    Seq(Compact, ExpireSnapshots, Restore, Clone, History, MigrateFieldIds,
+      VacuumStaging, Detail)
 
   def names: Array[String] = all.map(_.name()).toArray
 

@@ -110,9 +110,14 @@ final class TsTable private (
       // `new java.sql.Date(millis)` would go through the JVM default TZ
       // and could exclude the boundary partition on hosts west of UTC.
       // Both foldable, so partition pruning still sees constant bounds
-      // (asserted in TsTableSpec).
+      // (asserted in TsTableSpec). The isNull arm keeps LOOSE root-level
+      // files (attached plain/hybrid layouts, p_date null) in the scan —
+      // `NULL BETWEEN a AND b` is NULL and would silently drop their
+      // rows; dated partitions still prune (the OR resolves per
+      // partition value), and the ts predicate filters loose rows.
       raw
-        .where(col(PartCol).between(to_date(lit(start)), to_date(lit(end))) &&
+        .where((col(PartCol).isNull ||
+            col(PartCol).between(to_date(lit(start)), to_date(lit(end)))) &&
           col(tsCol).between(lit(start), lit(end)))
         .drop(PartCol)
     }
@@ -2624,8 +2629,12 @@ final class TsSnapshot private[ts] (
         case None => true
       }
     })
+    // isNull arm: loose root-level files carry a null p_date (attached
+    // plain/hybrid layouts) — the live readRange rule; the span filter
+    // above and the ts predicate bound what they contribute.
     new TsSnapshot(spark, tablePath, tsCol, sub).raw
-      .where(col(PartCol).between(to_date(lit(start)), to_date(lit(end))) &&
+      .where((col(PartCol).isNull ||
+          col(PartCol).between(to_date(lit(start)), to_date(lit(end)))) &&
         col(tsCol).between(lit(start), lit(end)))
       .drop(PartCol)
   }

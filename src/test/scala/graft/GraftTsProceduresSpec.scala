@@ -104,6 +104,30 @@ class GraftTsProceduresSpec extends SparkSpec {
     assert(c.toDF.count() == 1, "source mutation must not touch the clone")
   }
 
+  test("CALL migrate_field_ids upgrades a legacy plain-parquet store from " +
+      "SQL alone: rename works after, rows survive, re-run is a no-op") {
+    val dir = freshDir()
+    // a legacy attached layout: plain parquet, no descriptor, no ids
+    mkRows(Seq(
+      ("2024-03-01 08:00:00", 1L, 1.0),
+      ("2024-03-01 12:00:00", 2L, 2.0))).write.mode("overwrite").parquet(dir)
+    val n = spark.sql(
+      s"CALL graft_ts.system.migrate_field_ids(`table` => '$dir')")
+    assert(n.columns.toSeq == Seq("rewritten_files"))
+    assert(n.head.getInt(0) > 0, "the legacy files must rewrite")
+    assert(TsTable.open(spark, dir).snapshotVersions.last._2 == "migrate")
+    // the upgrade's whole point: rename is now legal and loses nothing
+    TsTable.open(spark, dir).renameColumn("value", "px")
+    val got = spark.sql(
+      s"SELECT user_id, px FROM graft_ts.`$dir` ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 1.0), (2L, 2.0)))
+    // idempotent: everything already carries ids
+    assert(spark.sql(
+      s"CALL graft_ts.system.migrate_field_ids(`table` => '$dir')")
+      .head.getInt(0) == 0)
+  }
+
   test("CALL detail reports the one-row table summary, metadata-only") {
     val dir = freshDir()
     val t = TsTable.create(spark, dir, schema,

@@ -373,6 +373,33 @@ class TsTableSpec extends SparkSpec {
       "the refused compact must not have rewritten anything")
   }
 
+  test("readRange serves loose attached files: a plain (unpartitioned) " +
+      "parquet dir's rows carry a null p_date and must not be dropped by " +
+      "the day-bound predicate") {
+    val dir = freshDir()
+    new java.io.File(dir).delete() // write.parquet wants to create it
+    mkRows(Seq(
+      ("2024-03-01 10:00:00", 1L, 1.0),
+      ("2024-03-01 11:00:00", 2L, 2.0),
+      ("2024-03-02 10:00:00", 3L, 3.0))).write.parquet(dir)
+    val tab = TsTable.open(spark, dir)
+    // closed interval over the attached rows — NULL BETWEEN would drop all
+    val got = tab.readRange(t("2024-03-01 00:00:00"), t("2024-03-01 23:59:59"))
+      .orderBy("ts").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    // hybrid: an append adds a dated partition next to the loose files;
+    // a spanning range serves BOTH layout families
+    tab.append(mkRows(Seq(("2024-03-03 09:00:00", 4L, 4.0))))
+    val re = TsTable.open(spark, dir)
+    assert(re.readRange(t("2024-03-01 00:00:00"), t("2024-03-03 23:59:59"))
+      .count() == 4)
+    // pinned (snapshot) range read follows the same rule
+    val v = re.currentVersion.get
+    assert(TsTable.openAt(spark, dir, v)
+      .readRange(t("2024-03-01 00:00:00"), t("2024-03-03 23:59:59"))
+      .count() == 4)
+  }
+
   test("files within a day partition are ts-sorted (write-side invariant)") {
     val dir = freshDir()
     val tab = TsTable.create(spark, dir, schema)
