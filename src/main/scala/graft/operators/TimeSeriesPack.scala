@@ -684,6 +684,29 @@ object TimeSeriesPack extends QueryPack {
       TsTable.open(s, store).lookupEq("user_id", Seq(3L, 7L, 11L)))
   }
 
+  /** B1+ post-hoc index declaration (`TsTable.declareIndexing` — the
+    * `CREATE INDEX` analogue): the store lands UNINDEXED (no statsCols,
+    * no bloomCols — the user didn't know their probe column yet), then
+    * one `declareIndexing` call backfills per-file value spans AND
+    * user_id Bloom bits for every already-live file in a single
+    * "indexing" commit (footer reads + one column-pruned scan — never a
+    * table rewrite), and the needle probe reads through the fresh index.
+    * The oracle is the plain IN-slice: a row wrongly skipped by a
+    * backfilled filter hash-mismatches. That the probe actually PRUNES
+    * post-declare is TsBloomSpec's assertion. */
+  def indexingRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tsindexing_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val t = TsTable.create(s, store, ev.schema, tsCol = "ts") // no indexes
+    val cut = lit("2024-01-02 12:00:00").cast("timestamp")
+    t.append(ev.where(col("ts") < cut))
+    t.append(ev.where(col("ts") >= cut))
+    val indexed = TsTable.open(s, store)
+      .declareIndexing(statsCols = Seq("value"), bloomCols = Seq("user_id"))
+    eventsProjection(indexed.lookupEq("user_id", Seq(3L, 7L, 11L)))
+  }
+
   /** B1+ pure-DDL column drop round-trip (`TsTable.dropColumns` — the
     * `ALTER TABLE … DROP COLUMNS` verb, `addColumns`'s inverse): four
     * days land carrying `props`, the drop narrows the descriptor
@@ -759,7 +782,10 @@ object TimeSeriesPack extends QueryPack {
     * packed-day no-op) are TsTableSpec's. */
   def hourCompactRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val store = StoreDirs.scratch(s, s"graft_tshourcomp_${StoreDirs.pathKey(dir)}")
-    val hi = lit("2024-01-03 00:00:00").cast("timestamp")
+    // one day is the whole story (fragment → heal per hour); the
+    // packed-day SKIP arm is TsTableSpec's — a second day here would
+    // only fatten the store build the bench pays per rep
+    val hi = lit("2024-01-02 00:00:00").cast("timestamp")
     val ev = Tables.events(s, dir).where(col("ts") < hi)
     val t = TsTable.create(s, store, ev.schema, tsCol = "ts",
       writeOptions = graft.ts.TsWriteOptions(fileSpan = "hour"))
@@ -1630,6 +1656,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_merge" -> mergeRoundtrip,
     "q_ts_backfill" -> backfillRoundtrip,
     "q_ts_point_lookup" -> pointLookupRoundtrip,
+    "q_ts_indexing" -> indexingRoundtrip,
     "q_ts_runtime_prune" -> runtimePruneJoin,
     "q_ts_drop_column" -> dropColumnRoundtrip,
     "q_ts_rename" -> renameColumnRoundtrip,
@@ -1939,6 +1966,14 @@ object TimeSeriesPack extends QueryPack {
     // oracle is the plain IN-slice, and a dropped matching row would
     // hash-mismatch.
     "q_ts_point_lookup" ->
+      s"""SELECT $eventsProjectionSql FROM events
+         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+         |  AND user_id IN (3, 7, 11)
+         |ORDER BY event_id""".stripMargin,
+    // Post-hoc index declaration: the backfilled Bloom/span index must be
+    // invisible in results — same IN-slice as point_lookup, served
+    // through filters built AFTER the data landed.
+    "q_ts_indexing" ->
       s"""SELECT $eventsProjectionSql FROM events
          |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
          |  AND user_id IN (3, 7, 11)

@@ -175,6 +175,33 @@ private[sources] object GraftTsProcedures {
     }
   }
 
+  private val DeclareIndexing = new Proc("declare_indexing",
+    "Declare (or re-declare) the table's skip-index columns after data " +
+      "exists (TsTable.declareIndexing — the CREATE INDEX analogue): " +
+      "stats_cols get per-file min/max spans, bloom_cols get per-file " +
+      "membership bits; ONE 'indexing' commit backfills every live file " +
+      "missing the new columns (footers + one column-pruned scan). " +
+      "Comma-separated column lists; '' clears",
+    Array(in("table", StringType),
+      inDefault("stats_cols", StringType, "''"),
+      inDefault("bloom_cols", StringType, "''"))) {
+    private val out = StructType(Seq(
+      StructField("stats_cols", StringType),
+      StructField("bloom_cols", StringType),
+      StructField("indexed_version", LongType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      def cols(i: Int): Seq[String] =
+        if (input.isNullAt(i)) Seq.empty
+        else input.getUTF8String(i).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+      val t = TsTable.open(spark, input.getUTF8String(0).toString)
+        .declareIndexing(cols(1), cols(2))
+      result(out, Seq(row(
+        cols(1).mkString(","), cols(2).mkString(","),
+        t.currentVersion.getOrElse(-1L))))
+    }
+  }
+
   private val VacuumStaging = new Proc("vacuum_staging",
     "Delete crash-leftover staging (aged _delete_tmp/_compact_tmp_* dirs, " +
       "_tmp-* files) older than older_than_ms; returns the removed paths",
@@ -212,7 +239,7 @@ private[sources] object GraftTsProcedures {
 
   private val all: Seq[Proc] =
     Seq(Compact, ExpireSnapshots, Restore, Clone, History, MigrateFieldIds,
-      VacuumStaging, Detail)
+      DeclareIndexing, VacuumStaging, Detail)
 
   def names: Array[String] = all.map(_.name()).toArray
 

@@ -675,13 +675,51 @@ final class TsTable private (
     t
   }
 
+  /** Declare (or re-declare) the table's SKIP-INDEX columns after data
+    * already exists — the `CREATE INDEX` analogue the create-time-only
+    * `TsWriteOptions(statsCols/bloomCols)` surface lacks: users discover
+    * their hot probe columns months into ingestion, and recreating the
+    * table to index them is not a table operation. Descriptor-only DDL
+    * plus ONE "indexing" commit whose harvest BACKFILLS every live file
+    * missing the newly-declared columns (the per-column carry-forward in
+    * commitVersion): min/max column spans from footers (zero data pages,
+    * distributed one task per file) and Bloom bits from one
+    * column-pruned scan of exactly the uncovered files — the honest
+    * build-the-index cost, paid once, at cluster width. Narrowing simply
+    * stops future harvests; stale sidecar entries are never consulted
+    * for undeclared columns. Names resolve case-insensitively to the
+    * canonical stored labels (the file's convention). Returns the handle
+    * carrying the new declarations (`this` keeps its old ones — reopen
+    * or use the returned handle, the evolution rule). */
+  def declareIndexing(statsCols: Seq[String],
+                      bloomCols: Seq[String]): TsTable = {
+    def resolve(kind: String, cols: Seq[String]): Seq[String] = cols.map { c =>
+      storedSchema.fields.find(_.name.equalsIgnoreCase(c)).map(_.name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"requirement failed: declareIndexing: $kind column '$c' is not " +
+            "a table column"))
+    }
+    val rs = resolve("stats", statsCols)
+    val rb = resolve("bloom", bloomCols)
+    val newOpts = writeOptions.copy(statsCols = rs, bloomCols = rb)
+    TsTable.writeDescriptor(spark, path, storedSchema, tsCol, newOpts,
+      tableChecks, droppedCols, effectiveNextFieldId)
+    val t = new TsTable(spark, path, tsCol, storedSchema, newOpts,
+      tableChecks, droppedCols, effectiveNextFieldId)
+    t.commitVersion("indexing") // per-column carry-forward backfills here
+    t
+  }
+
   /** In-place upgrade to parquet field ids — the verb that makes
     * [[renameColumn]] available on a table it refuses: ONE governed
     * copy-on-write rewrite (the deleteWhere/updateWhere machinery with an
     * identity projection and the id-stamped writer) of exactly the live
     * files whose footers carry no field ids, committing a "migrate"
-    * version (content-preserving — the change feed emits no rows for it,
-    * like compact). Covers both refusal arms:
+    * version. The change feed treats it like any rewrite verb (file-diff
+    * reconstruction): a pure legacy upgrade cancels to zero emitted rows,
+    * while a migrate folding an ATTACHED foreign file into the governed
+    * store emits the attachment's rows as inserts — the first commit
+    * that can attribute them. Covers both refusal arms:
     *
     *   - a pre-field-id table (created before id stamping, or opened over
     *     an attached plain parquet dir): the descriptor schema is stamped
@@ -1840,8 +1878,15 @@ final class TsTable private (
           else Seq(subsetDF(m, added)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
+        // "migrate" deliberately takes the file-diff branch below, NOT
+        // this one: a migrate that folds an attached foreign file into
+        // the governed store genuinely ADDS rows relative to the previous
+        // manifest (the attachment bypassed every write funnel), and the
+        // exceptAll reconstruction emits exactly those as inserts — while
+        // a purely content-preserving migrate (legacy upgrade) cancels to
+        // nothing, at O(touched bytes) like any rewrite verb.
         case "compact" | "evolve" | "constraint" | "clone" | "rename" |
-             "migrate" =>
+             "indexing" =>
           Seq.empty // content-preserving: same rows before and after
         case _ => // delete/update/merge/overwrite/retention/restore/unknown
           if (added.isEmpty && removed.isEmpty) Seq.empty

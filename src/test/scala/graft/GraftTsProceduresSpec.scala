@@ -128,6 +128,25 @@ class GraftTsProceduresSpec extends SparkSpec {
       .head.getInt(0) == 0)
   }
 
+  test("CALL declare_indexing builds the skip index on an existing store " +
+      "from SQL alone: probes prune through the backfilled filters") {
+    val dir = freshDir()
+    val t = TsTable.create(spark, dir, schema) // no indexes declared
+    t.append(mkRows(Seq(
+      ("2024-03-01 08:00:00", 1L, 1.0), ("2024-03-01 09:00:00", 2L, 2.0))))
+    t.append(mkRows(Seq(("2024-03-02 08:00:00", 3L, 3.0))))
+    val r = spark.sql(
+      s"CALL graft_ts.system.declare_indexing(`table` => '$dir', " +
+        "bloom_cols => 'user_id')").head
+    assert(r.getString(1) == "user_id" && r.getLong(2) > 0)
+    val up = TsTable.open(spark, dir)
+    val cands = up.bloomCandidateFiles("user_id", Seq(3L))
+    assert(cands.isDefined && cands.get.length == 1 &&
+      cands.get.head.startsWith("p_date=2024-03-02/"),
+      s"backfilled bloom must prune to the owning file, got $cands")
+    assert(up.lookupEq("user_id", Seq(3L)).count() == 1)
+  }
+
   test("CALL detail reports the one-row table summary, metadata-only") {
     val dir = freshDir()
     val t = TsTable.create(spark, dir, schema,

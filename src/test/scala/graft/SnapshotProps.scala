@@ -42,6 +42,7 @@ class SnapshotProps extends SparkSpec {
   private case object RestoreEarlier extends Verb
   private case class MergeBackfill(rows: Int) extends Verb
   private case object Rename extends Verb
+  private case class ForeignMigrate(rows: Int) extends Verb
 
   private val verbGen: Gen[Verb] = Gen.frequency(
     6 -> (for {
@@ -53,7 +54,8 @@ class SnapshotProps extends SparkSpec {
     2 -> Gen.chooseNum(2, 4).map(DeleteMod.apply),
     1 -> Gen.const(RestoreEarlier),
     2 -> Gen.chooseNum(1, 3).map(MergeBackfill.apply),
-    2 -> Gen.const(Rename))
+    2 -> Gen.const(Rename),
+    2 -> Gen.chooseNum(1, 2).map(ForeignMigrate.apply))
 
   private val scriptGen: Gen[List[Verb]] = for {
     n <- Gen.chooseNum(4, 7)
@@ -65,6 +67,7 @@ class SnapshotProps extends SparkSpec {
   test("model-based: every retained version serves exactly its committed " +
       "row multiset after arbitrary verb sequences; history stays ascending") {
     var renamesRun = 0
+    var migratesRun = 0
     for (seed <- 1L to 4L) {
       val script = sample(scriptGen, seed)
       val dir = Files.createTempDirectory(s"snap_prop_$seed").toString
@@ -183,6 +186,33 @@ class SnapshotProps extends SparkSpec {
           curName = next
           renamesRun += 1
           record()
+        case ForeignMigrate(n) =>
+          // an id-less file attaches OUTSIDE the write funnels (the
+          // hybrid-layout contract), then migrateFieldIds folds it into
+          // the governed store: the "migrate" version's multiset gains
+          // the foreign rows. changesBetween skips them (not an
+          // append-family commit); changeFeed reconstructs them as
+          // INSERTS from the file diff — feedCheck proves the replay
+          // crosses the attachment exactly. +45 s offsets no other verb
+          // writes keep the rows identifiable.
+          if (live.nonEmpty) {
+            val day0 = live.keys.min
+            val rows = (0 until n).map { r =>
+              val id = nextId; nextId += 1
+              (base + day0.toLong * DayMs + r * 60000L + 45000L, id)
+            }
+            val iso = java.time.Instant.ofEpochMilli(base + day0.toLong * DayMs)
+              .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+            mk(rows, curName).coalesce(1).write.mode("append")
+              .parquet(s"$dir/p_date=$iso")
+            val rewritten = t.migrateFieldIds()
+            assert(rewritten == 1,
+              s"exactly the attached id-less file rewrites, got $rewritten")
+            assert(t.snapshotVersions.last._2 == "migrate")
+            live = merge(live, group(rows))
+            record()
+            migratesRun += 1
+          }
       }
 
       val retained = t.snapshotVersions.map(_._1)
@@ -241,6 +271,9 @@ class SnapshotProps extends SparkSpec {
     assert(renamesRun > 0,
       "the seed range must exercise Rename at least once — regenerate " +
         "seeds if the generator drifts")
+    assert(migratesRun > 0,
+      "the seed range must exercise ForeignMigrate at least once — " +
+        "regenerate seeds if the generator drifts")
   }
 
   private def group(rows: Seq[(Long, Long)]): Map[Int, Seq[(Long, Long)]] =

@@ -111,6 +111,37 @@ class TsBloomSpec extends SparkSpec {
     }
   }
 
+  test("declareIndexing backfills Bloom bits and value spans for " +
+      "already-live files in one 'indexing' commit: probes prune, names " +
+      "resolve case-insensitively, unknown columns refuse") {
+    val (t, store, fs) = build("declare", TsWriteOptions()) // NO indexes
+    // pre-declare: nothing authoritative to prune with
+    assert(t.bloomCandidateFiles("user_id", Seq(2007L)).isEmpty)
+    val ix = t.declareIndexing(statsCols = Seq("Value"),
+      bloomCols = Seq("User_Id")) // mixed case → canonical labels
+    assert(ix.snapshotVersions.last._2 == "indexing")
+    // the backfilled index is authoritative over every pre-existing file
+    val cands = ix.bloomCandidateFiles("user_id", Seq(2007L))
+    assert(cands.isDefined, "backfilled index should be authoritative")
+    assert(cands.get.length == 1 && cands.get.head.startsWith("p_date=2024-01-02/"),
+      s"expected the one owning file, got ${cands.get}")
+    val got = ix.lookupEq("user_id", Seq(2007L)).count()
+    assert(got == ix.toDF.where(col("user_id") === 2007L).count() && got > 0)
+    // the bloom sidecar covers every pre-existing file under the new column
+    val side = graft.ts.TsBloomSpecAccess.sidecar(spark, fs, store,
+      ix.currentVersion.get)
+    assert(side.size == 3 && side.values.forall(_.contains("user_id")))
+    // the declared VALUE spans backfilled into the manifest colStats too
+    val colSpans = ix.currentFileColSpans
+    assert(colSpans.nonEmpty && colSpans.values.forall(_.contains("value")))
+    // a probe for an absent value still fast-paths to zero candidates
+    assert(ix.bloomCandidateFiles("user_id", Seq(999999L)).get.isEmpty)
+    // unknown column refuses with the name
+    val e = intercept[IllegalArgumentException](
+      ix.declareIndexing(Seq("nope"), Seq.empty))
+    assert(e.getMessage.contains("'nope'"))
+  }
+
   test("session fieldId.ignoreMissing=true cannot disable the foreign-file " +
       "name fallback (the facade forces it false per reader)") {
     val (t, store, _) = build("lenient")
