@@ -800,6 +800,39 @@ object TimeSeriesPack extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** A-evolution+ pure-DDL TYPE WIDENING (`TsTable.widenColumn` — the
+    * Delta type-widening verb on the lossless ladder): days 1-2 land
+    * with `user_id` as INT and `value` as FLOAT (the narrow encodings a
+    * space-conscious producer started with), both columns widen mid-
+    * history (O(metadata) — old files keep their narrow bytes; Spark 4's
+    * reader-side type promotion serves them), days 3-4 land wide — the
+    * full range reads back BIGINT/DOUBLE across both generations. Oracle:
+    * the plain slice (fixture user_id IS bigint; float→double promotion
+    * of the narrowed values is exact for these magnitudes, replayed by
+    * the oracle's CAST chain). Pins, bloom re-harvest, refusals, and
+    * restore-across-widen are TsWidenColumnSpec's. */
+  def widenColumnRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = StoreDirs.scratch(s, s"graft_tswiden_${StoreDirs.pathKey(dir)}")
+    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).where(col("ts") < hi)
+    val narrow = ev
+      .withColumn("user_id", col("user_id").cast("int"))
+      .withColumn("value", col("value").cast("float"))
+    val cut = lit("2024-01-03 00:00:00").cast("timestamp")
+    val t = TsTable.create(s, store, narrow.schema, tsCol = "ts")
+    t.append(narrow.where(col("ts") < cut))
+    val wide = TsTable.open(s, store)
+      .widenColumn("user_id", org.apache.spark.sql.types.LongType)
+      .widenColumn("value", org.apache.spark.sql.types.DoubleType)
+    wide.append(ev.where(col("ts") >= cut)
+      .withColumn("value", col("value").cast("float").cast("double")))
+    TsTable.open(s, store)
+      .readRange(ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+  }
+
   /** B1+ governed z-order re-clustering (`compact(clusterBy = …)` — the
     * Delta `OPTIMIZE … ZORDER BY` verb on this store): two days land
     * ts-sorted in several files each, then re-cluster along the
@@ -1660,6 +1693,7 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_runtime_prune" -> runtimePruneJoin,
     "q_ts_drop_column" -> dropColumnRoundtrip,
     "q_ts_rename" -> renameColumnRoundtrip,
+    "q_ts_widen" -> widenColumnRoundtrip,
     "q_ts_migrate" -> migrateRoundtrip,
     "q_ts_cluster" -> clusterCompactRoundtrip,
     "q_ts_hour_span" -> hourSpanRoundtrip,
@@ -1924,6 +1958,16 @@ object TimeSeriesPack extends QueryPack {
     "q_ts_rename" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
         |  value AS px, props
+        |FROM events
+        |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    // Type widening is metadata-only: both generations must serve the
+    // wide types exactly. The narrow era went through float, so the
+    // oracle replays the float quantization before promoting — the
+    // promotion itself is value-identical.
+    "q_ts_widen" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |  CAST(CAST(value AS FLOAT) AS DOUBLE) AS value, props
         |FROM events
         |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
         |ORDER BY event_id""".stripMargin,

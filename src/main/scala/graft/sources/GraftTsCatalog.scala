@@ -155,14 +155,24 @@ final class GraftTsCatalog extends TableCatalog
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
-    val kinds = Seq(adds.nonEmpty, drops.nonEmpty, renames.nonEmpty).count(identity)
-    if (adds.length + drops.length + renames.length != changes.length ||
-        kinds != 1)
+    val retypes = changes.collect { case u: TableChange.UpdateColumnType => u }
+    val kinds = Seq(adds.nonEmpty, drops.nonEmpty, renames.nonEmpty,
+      retypes.nonEmpty).count(identity)
+    if (adds.length + drops.length + renames.length + retypes.length !=
+          changes.length || kinds != 1)
       throw new UnsupportedOperationException(
-        "graft-ts supports ALTER TABLE … ADD COLUMNS, DROP COLUMNS, or " +
-          "RENAME COLUMN only (pure-DDL evolution; history is never " +
-          "rewritten) — retype goes through explicit new tables")
-    if (renames.nonEmpty) {
+        "graft-ts supports ALTER TABLE … ADD COLUMNS, DROP COLUMNS, " +
+          "RENAME COLUMN, or ALTER COLUMN … TYPE (lossless widening) " +
+          "only — pure-DDL evolution; history is never rewritten")
+    if (retypes.nonEmpty) {
+      require(retypes.length == 1, "graft-ts ALTER COLUMN TYPE: one at a time")
+      val u = retypes.head
+      require(u.fieldNames().length == 1,
+        s"graft-ts ALTER COLUMN TYPE: nested field " +
+          s"'${u.fieldNames().mkString(".")}' is not supported")
+      TsTable.open(spark, pathOf(ident))
+        .widenColumn(u.fieldNames()(0), u.newDataType())
+    } else if (renames.nonEmpty) {
       require(renames.length == 1, "graft-ts RENAME COLUMN: one at a time")
       val r = renames.head
       require(r.fieldNames().length == 1,

@@ -3,7 +3,7 @@ package graft.ts
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DateType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType, TimestampType}
 
 import java.sql.Timestamp
 
@@ -673,6 +673,73 @@ final class TsTable private (
       newDropped, effectiveNextFieldId)
     t.commitVersion("rename", Some(renamed))
     t
+  }
+
+  /** Pure-DDL type WIDENING (`ALTER TABLE … ALTER COLUMN … TYPE` on the
+    * lossless ladder — the Delta type-widening verb): the descriptor's
+    * field changes to the wider type, old files keep their narrow
+    * physical encoding, and reads PROMOTE at the parquet column-reader
+    * level (Spark 4's reader-side type promotion — verified for the
+    * whole ladder below), so no data byte is touched. New appends write
+    * the wide type; a pre-widen pin serves the narrow type (each
+    * version's own schema); restore physically copies the narrow-era
+    * files back with the narrow descriptor, so a post-widen file never
+    * meets a narrow read.
+    *
+    * Ladder (lossless only): byte → short/int/long/double,
+    * short → int/long/double, int → long/double, float → double.
+    * long → double is REFUSED (loses precision past 2^53), as is any
+    * non-numeric or narrowing change.
+    *
+    * Index interplay: min/max spans compare through BigDecimal, so
+    * narrow-era spans keep pruning exactly. Bloom bits are
+    * TYPE-SENSITIVE (Spark hashes int and long differently), so a
+    * widened bloom column re-harvests under the widened schema in a
+    * follow-up "indexing" commit — the facade read promotes old files'
+    * values before hashing, so the rebuilt bits match every future
+    * probe. CHECK constraints must still analyze under the wide type
+    * (numeric predicates do; refused otherwise, like rename). */
+  def widenColumn(name: String, to: DataType): TsTable = {
+    val field = storedSchema.fields.find(_.name.equalsIgnoreCase(name))
+    require(field.isDefined, s"widenColumn: unknown column '$name'")
+    val canonical = field.get.name
+    val from = field.get.dataType
+    require(!canonical.equalsIgnoreCase(tsCol),
+      s"widenColumn: '$tsCol' is the table's time axis — its type is fixed")
+    require(TsTable.WidenLadder.get(from).exists(_.contains(to)),
+      s"widenColumn: ${from.simpleString} -> ${to.simpleString} is not a " +
+        "lossless widening (ladder: byte/short/int -> long or double, " +
+        "float -> double; long -> double would lose precision past 2^53)")
+    val widened = StructType(storedSchema.fields.map(f =>
+      if (f.name == canonical) f.copy(dataType = to) else f))
+    // every CHECK must still resolve under the widened schema (rename's rule)
+    tableChecks.foreach { case (n, sql) =>
+      val ok = scala.util.Try {
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+          .where(expr(sql)).queryExecution.analyzed
+      }.isSuccess
+      require(ok,
+        s"widenColumn: CHECK constraint '$n' ($sql) does not analyze over " +
+          s"${to.simpleString} — dropCheck it, widen, re-add")
+    }
+    // a bloom-indexed column's bits must re-harvest under the WIDE type:
+    // commit the widen with the column undeclared (its carried entries
+    // drop), then re-declare — the indexing commit backfills every file
+    // with values promoted by the read, matching future probe hashes
+    val inBloom = writeOptions.bloomCols.exists(_.equalsIgnoreCase(canonical))
+    val optsForWiden =
+      if (!inBloom) writeOptions
+      else writeOptions.copy(bloomCols =
+        writeOptions.bloomCols.filterNot(_.equalsIgnoreCase(canonical)))
+    TsTable.writeDescriptor(spark, path, widened, tsCol, optsForWiden,
+      tableChecks, droppedCols, effectiveNextFieldId)
+    val t = new TsTable(spark, path, tsCol, widened, optsForWiden,
+      tableChecks, droppedCols, effectiveNextFieldId)
+    t.commitVersion("widen", Some(widened))
+    if (inBloom)
+      t.declareIndexing(writeOptions.statsCols, writeOptions.bloomCols)
+    else t
   }
 
   /** Declare (or re-declare) the table's SKIP-INDEX columns after data
@@ -1886,7 +1953,7 @@ final class TsTable private (
         // a purely content-preserving migrate (legacy upgrade) cancels to
         // nothing, at O(touched bytes) like any rewrite verb.
         case "compact" | "evolve" | "constraint" | "clone" | "rename" |
-             "indexing" =>
+             "indexing" | "widen" =>
           Seq.empty // content-preserving: same rows before and after
         case _ => // delete/update/merge/overwrite/retention/restore/unknown
           if (added.isEmpty && removed.isEmpty) Seq.empty
@@ -2814,6 +2881,17 @@ object TsTable {
     * exactly (the Delta/Iceberg column-mapping design, via Spark's public
     * parquet mechanism instead of a custom resolver). */
   private[graft] val FieldIdKey = "parquet.field.id"
+
+  /** Lossless type-widening ladder ([[TsTable.widenColumn]]): every edge
+    * is exactly representable in the target (so promotion is
+    * value-identical), and every edge is supported by Spark 4's
+    * parquet reader-side type promotion for files keeping the narrow
+    * physical encoding. long → double is deliberately absent. */
+  private[ts] val WidenLadder: Map[DataType, Set[DataType]] = Map(
+    ByteType -> Set[DataType](ShortType, IntegerType, LongType, DoubleType),
+    ShortType -> Set[DataType](IntegerType, LongType, DoubleType),
+    IntegerType -> Set[DataType](LongType, DoubleType),
+    FloatType -> Set[DataType](DoubleType))
 
   /** The facade's parquet reader — archive-resolving + foreign-file
     * name-fallback (see ArchiveResolvingParquetFileFormat). */

@@ -147,6 +147,27 @@ class GraftTsProceduresSpec extends SparkSpec {
     assert(up.lookupEq("user_id", Seq(3L)).count() == 1)
   }
 
+  test("ALTER TABLE ALTER COLUMN TYPE: lossless widening through SQL — " +
+      "narrow files promote, lossy changes refuse") {
+    val dir = freshDir()
+    val narrow = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", IntegerType),
+      StructField("value", FloatType)))
+    val t = TsTable.create(spark, dir, narrow)
+    import spark.implicits._
+    t.append(Seq((Timestamp.valueOf("2024-03-01 10:00:00"), 7, 1.5f))
+      .toDF("ts", "user_id", "value"))
+    spark.sql(s"ALTER TABLE graft_ts.`$dir` ALTER COLUMN user_id TYPE BIGINT")
+    spark.sql(s"ALTER TABLE graft_ts.`$dir` ALTER COLUMN value TYPE DOUBLE")
+    val r = spark.sql(s"SELECT user_id, value FROM graft_ts.`$dir`").head
+    assert(r.getLong(0) == 7L && r.getDouble(1) == 1.5,
+      "the narrow file must promote value-identically through SQL")
+    assert(TsTable.open(spark, dir).snapshotVersions.count(_._2 == "widen") == 2)
+    // long -> double is lossy and refuses
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_ts.`$dir` ALTER COLUMN user_id TYPE DOUBLE"))
+  }
+
   test("CALL detail reports the one-row table summary, metadata-only") {
     val dir = freshDir()
     val t = TsTable.create(spark, dir, schema,

@@ -17,9 +17,11 @@ import java.sql.Timestamp
   * TsTableProps (each case runs real Spark jobs). */
 class SnapshotProps extends SparkSpec {
 
+  // tables START with the value column NARROW (int) so the Widen verb can
+  // promote it mid-script; ids stay int-safe by construction
   private val schema = StructType(Seq(
     StructField("ts", TimestampType),
-    StructField("v", LongType)))
+    StructField("v", IntegerType)))
 
   private val base = Timestamp.valueOf("2024-07-01 00:00:00").getTime
   private val DayMs = 86400000L
@@ -27,12 +29,16 @@ class SnapshotProps extends SparkSpec {
   private def sample[A](g: Gen[A], seed: Long): A =
     g.pureApply(Gen.Parameters.default, Seed(seed))
 
-  private def mk(rows: Seq[(Long, Long)], name: String = "v") = // (tsMs, id)
+  /** (tsMs, id) batch under the value column's CURRENT label and TYPE —
+    * every write face must follow the widen like it follows the rename. */
+  private def mk(rows: Seq[(Long, Long)], name: String = "v",
+                 wide: Boolean = false) =
     spark.createDataFrame(
       spark.sparkContext.parallelize(
-        rows.map { case (t, i) => Row(new Timestamp(t), i) }, 2),
+        rows.map { case (t, i) =>
+          Row(new Timestamp(t), if (wide) i else i.toInt) }, 2),
       StructType(Seq(StructField("ts", TimestampType),
-        StructField(name, LongType))))
+        StructField(name, if (wide) LongType else IntegerType))))
 
   sealed private trait Verb
   private case class Append(days: Int, rowsPerDay: Int, twoBatches: Boolean) extends Verb
@@ -43,6 +49,7 @@ class SnapshotProps extends SparkSpec {
   private case class MergeBackfill(rows: Int) extends Verb
   private case object Rename extends Verb
   private case class ForeignMigrate(rows: Int) extends Verb
+  private case object Widen extends Verb
 
   private val verbGen: Gen[Verb] = Gen.frequency(
     6 -> (for {
@@ -55,7 +62,8 @@ class SnapshotProps extends SparkSpec {
     1 -> Gen.const(RestoreEarlier),
     2 -> Gen.chooseNum(1, 3).map(MergeBackfill.apply),
     2 -> Gen.const(Rename),
-    2 -> Gen.chooseNum(1, 2).map(ForeignMigrate.apply))
+    2 -> Gen.chooseNum(1, 2).map(ForeignMigrate.apply),
+    2 -> Gen.const(Widen))
 
   private val scriptGen: Gen[List[Verb]] = for {
     n <- Gen.chooseNum(4, 7)
@@ -68,7 +76,8 @@ class SnapshotProps extends SparkSpec {
       "row multiset after arbitrary verb sequences; history stays ascending") {
     var renamesRun = 0
     var migratesRun = 0
-    for (seed <- 1L to 4L) {
+    var widensRun = 0
+    for (seed <- 1L to 6L) {
       val script = sample(scriptGen, seed)
       val dir = Files.createTempDirectory(s"snap_prop_$seed").toString
       var t = TsTable.create(spark, dir, schema)
@@ -81,18 +90,25 @@ class SnapshotProps extends SparkSpec {
       // fresh labels each time, since renamed-away labels stay retired
       var curName = "v"
       var renameN = 0
+      // whether the value column has widened int -> long (Widen flips it
+      // once; restore rolls it back with the descriptor) — every model
+      // batch must write the engine's CURRENT type
+      var isWide = false
       // version -> expected live multiset at that commit
       var expected = Map[Long, Seq[(Long, Long)]](
         t.currentVersion.get -> Seq.empty)
       // version -> the value column's label as of that commit (so a
       // restore can roll the model's label back with the descriptor)
       var nameAt = Map[Long, String](t.currentVersion.get -> curName)
+      // version -> whether the value column was wide as of that commit
+      var wideAt = Map[Long, Boolean](t.currentVersion.get -> isWide)
       // version -> rows APPENDED by that commit (the changesBetween model)
       var appendedAt = Map.empty[Long, Seq[(Long, Long)]]
 
       def record(): Unit = {
         expected += t.currentVersion.get -> live.values.flatten.toSeq
         nameAt += t.currentVersion.get -> curName
+        wideAt += t.currentVersion.get -> isWide
       }
 
       script.foreach {
@@ -107,7 +123,7 @@ class SnapshotProps extends SparkSpec {
           nextDay += days
           val flat = newRows.flatMap(_._2)
           def land(batch: Seq[(Long, Long)]): Unit = {
-            t.append(mk(batch, curName)); live = merge(live, group(batch)); record()
+            t.append(mk(batch, curName, isWide)); live = merge(live, group(batch)); record()
             appendedAt += t.currentVersion.get -> batch
           }
           if (twoBatches && flat.length > 1) {
@@ -155,7 +171,7 @@ class SnapshotProps extends SparkSpec {
               val id = nextId; nextId += 1
               (base + day0.toLong * DayMs + r * 60000L + 30000L, id)
             }
-            val res = t.mergeInto(mk(newRows, curName), keys = Seq("ts", curName))
+            val res = t.mergeInto(mk(newRows, curName, isWide), keys = Seq("ts", curName))
             assert(res == TsTable.MergeResult(0L, n.toLong),
               s"merge backfill: got $res, want (0, $n)")
             assert(t.snapshotVersions.last._2 == "backfill",
@@ -173,6 +189,7 @@ class SnapshotProps extends SparkSpec {
             // rolled back to the target's — reopen and follow
             t = TsTable.open(spark, dir)
             curName = nameAt(target)
+            isWide = wideAt(target) // the type rolled back with the files
             live = group(expected(target))
             record()
           }
@@ -203,7 +220,7 @@ class SnapshotProps extends SparkSpec {
             }
             val iso = java.time.Instant.ofEpochMilli(base + day0.toLong * DayMs)
               .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
-            mk(rows, curName).coalesce(1).write.mode("append")
+            mk(rows, curName, isWide).coalesce(1).write.mode("append")
               .parquet(s"$dir/p_date=$iso")
             val rewritten = t.migrateFieldIds()
             assert(rewritten == 1,
@@ -212,6 +229,16 @@ class SnapshotProps extends SparkSpec {
             live = merge(live, group(rows))
             record()
             migratesRun += 1
+          }
+        case Widen =>
+          // content-preserving type promotion: int -> long once; every
+          // later batch writes the wide type, pre-widen files promote at
+          // read, and a later restore rolls the type back with the files
+          if (!isWide) {
+            t = t.widenColumn(curName, LongType)
+            isWide = true
+            widensRun += 1
+            record()
           }
       }
 
@@ -222,13 +249,13 @@ class SnapshotProps extends SparkSpec {
       // resolution goes through the archive for pre-maintenance versions
       retained.filter(expected.contains).foreach { v =>
         val got = t.openAt(v).toDF.collect()
-          .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).sorted.toSeq
+          .map(r => (r.getTimestamp(0).getTime, r.getAs[Number](1).longValue)).sorted.toSeq
         assert(got == expected(v).sorted,
           s"seed=$seed version $v: got ${got.size} rows, want ${expected(v).size}")
       }
       // the live table equals the newest version
       val liveNow = t.toDF.collect()
-        .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).sorted.toSeq
+        .map(r => (r.getTimestamp(0).getTime, r.getAs[Number](1).longValue)).sorted.toSeq
       assert(liveNow == live.values.flatten.toSeq.sorted, s"seed=$seed live")
       // changesBetween == the union of the model's per-append deltas in
       // range, whatever maintenance/delete/restore happened in between
@@ -237,7 +264,7 @@ class SnapshotProps extends SparkSpec {
           .filter { case (v, _) => v > v1 && v <= v2 }
           .values.flatten.toSeq.sorted
         val got = t.changesBetween(v1, v2).collect()
-          .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).sorted.toSeq
+          .map(r => (r.getTimestamp(0).getTime, r.getAs[Number](1).longValue)).sorted.toSeq
         assert(got == want,
           s"seed=$seed changes($v1,$v2): got ${got.size}, want ${want.size}")
       }
@@ -252,9 +279,9 @@ class SnapshotProps extends SparkSpec {
       def feedCheck(v1: Long, v2: Long): Unit = {
         val feed = t.changeFeed(v1, v2).collect()
         val ins = multi(feed.filter(_.getAs[String]("_change_type") == "insert")
-          .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq)
+          .map(r => (r.getTimestamp(0).getTime, r.getAs[Number](1).longValue)).toSeq)
         val del = multi(feed.filter(_.getAs[String]("_change_type") == "delete")
-          .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq)
+          .map(r => (r.getTimestamp(0).getTime, r.getAs[Number](1).longValue)).toSeq)
         val start = multi(expected(v1))
         val got = (start.keySet ++ ins.keySet ++ del.keySet).flatMap { k =>
           val n = start.getOrElse(k, 0) + ins.getOrElse(k, 0) - del.getOrElse(k, 0)
@@ -274,6 +301,9 @@ class SnapshotProps extends SparkSpec {
     assert(migratesRun > 0,
       "the seed range must exercise ForeignMigrate at least once — " +
         "regenerate seeds if the generator drifts")
+    assert(widensRun > 0,
+      "the seed range must exercise Widen at least once — regenerate " +
+        "seeds if the generator drifts")
   }
 
   private def group(rows: Seq[(Long, Long)]): Map[Int, Seq[(Long, Long)]] =

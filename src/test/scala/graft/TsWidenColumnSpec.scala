@@ -1,0 +1,125 @@
+package graft
+
+import graft.ts.{TsTable, TsWriteOptions}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+
+/** `TsTable.widenColumn` — pure-DDL type widening on the lossless ladder:
+  * old files keep their narrow physical encoding and promote at read
+  * time; pins serve each version's own types; a widened bloom column
+  * re-harvests under the wide type (int and long hash differently);
+  * lossy/narrowing/unknown changes refuse; restore rolls the files AND
+  * the type back together. */
+class TsWidenColumnSpec extends SparkSpec {
+
+  private val narrowSchema = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("user_id", IntegerType),
+    StructField("value", FloatType)))
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private def mk(rows: Seq[(String, Int, Float)]) = {
+    val data = rows.map { case (ts0, u, v) =>
+      org.apache.spark.sql.Row(t(ts0), u, v) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), narrowSchema)
+  }
+
+  private def freshDir(tag: String): String = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_widen_$tag").toString
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    dir
+  }
+
+  test("widen int->long and float->double mid-history: narrow files " +
+      "promote, wide appends land wide, a pre-widen pin serves narrow") {
+    val dir = freshDir("mid")
+    val tab = TsTable.create(spark, dir, narrowSchema)
+    tab.append(mk(Seq(
+      ("2024-03-01 10:00:00", 1, 1.5f),
+      ("2024-03-01 11:00:00", 2, 2.5f))))
+    val preWiden = tab.currentVersion.get
+    val wide = TsTable.open(spark, dir)
+      .widenColumn("user_id", LongType)
+      .widenColumn("value", DoubleType)
+    assert(wide.schema("user_id").dataType == LongType)
+    assert(wide.schema("value").dataType == DoubleType)
+    assert(wide.snapshotVersions.count(_._2 == "widen") == 2)
+    // a wide append joins the narrow files
+    import spark.implicits._
+    wide.append(Seq((t("2024-03-02 09:00:00"), 3L, 3.5))
+      .toDF("ts", "user_id", "value"))
+    val re = TsTable.open(spark, dir)
+    val got = re.toDF.orderBy("ts").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)),
+      "narrow files must promote value-identically next to wide ones")
+    // range read crosses both generations
+    assert(re.readRange(t("2024-03-01 00:00:00"), t("2024-03-02 23:59:59"))
+      .count() == 3)
+    // the pre-widen pin serves the NARROW types (its own schema)
+    val pin = TsTable.openAt(spark, dir, preWiden)
+    assert(pin.schema("user_id").dataType == IntegerType)
+    assert(pin.toDF.collect().map(_.getInt(1)).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("a widened bloom column re-harvests under the wide type: probes " +
+      "prune and find (int/long hash differently)") {
+    val dir = freshDir("bloom")
+    val tab = TsTable.create(spark, dir, narrowSchema,
+      writeOptions = TsWriteOptions(bloomCols = Seq("user_id")))
+    tab.append(mk(Seq(("2024-03-01 10:00:00", 101, 1.0f))))
+    tab.append(mk(Seq(("2024-03-02 10:00:00", 202, 2.0f))))
+    val wide = TsTable.open(spark, dir).widenColumn("user_id", LongType)
+    assert(wide.writeOptions.bloomCols == Seq("user_id"),
+      "the bloom declaration must survive the widen")
+    assert(wide.snapshotVersions.last._2 == "indexing",
+      "the widen must re-harvest the column's bits under the wide type")
+    // probes hash LONG now — the rebuilt bits must both prune and find
+    val cands = wide.bloomCandidateFiles("user_id", Seq(202L))
+    assert(cands.isDefined && cands.get.length == 1 &&
+      cands.get.head.startsWith("p_date=2024-03-02/"),
+      s"post-widen probe must prune to the owning file, got $cands")
+    assert(wide.lookupEq("user_id", Seq(202L)).count() == 1,
+      "a wrongly-skipped file would lose this row")
+    assert(wide.bloomCandidateFiles("user_id", Seq(999L)).get.isEmpty)
+  }
+
+  test("refusals: lossy long->double, narrowing, unknown column, the ts axis") {
+    val dir = freshDir("refuse")
+    val tab = TsTable.create(spark, dir, StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("value", FloatType))))
+    val e1 = intercept[IllegalArgumentException](
+      tab.widenColumn("user_id", DoubleType))
+    assert(e1.getMessage.contains("lose precision"))
+    intercept[IllegalArgumentException](tab.widenColumn("value", FloatType))
+    intercept[IllegalArgumentException](tab.widenColumn("nope", LongType))
+    intercept[IllegalArgumentException](tab.widenColumn("ts", LongType))
+  }
+
+  test("restore across a widen rolls the files AND the narrow type back " +
+      "together — no wide file ever meets a narrow read") {
+    val dir = freshDir("restore")
+    val tab = TsTable.create(spark, dir, narrowSchema)
+    tab.append(mk(Seq(("2024-03-01 10:00:00", 1, 1.5f))))
+    val preWiden = tab.currentVersion.get
+    val wide = TsTable.open(spark, dir).widenColumn("value", DoubleType)
+    import spark.implicits._
+    wide.append(Seq((t("2024-03-02 09:00:00"), 2, 3.5))
+      .toDF("ts", "user_id", "value"))
+    wide.restore(preWiden)
+    val re = TsTable.open(spark, dir)
+    assert(re.schema("value").dataType == FloatType)
+    val rows = re.toDF.collect()
+    assert(rows.length == 1 && rows.head.getFloat(2) == 1.5f,
+      "restore must serve exactly the narrow-era state under narrow types")
+  }
+}
