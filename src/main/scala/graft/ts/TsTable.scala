@@ -3423,9 +3423,35 @@ object TsTable {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaPath = new Path(dir, SchemaFile)
-    if (fs.exists(metaPath)) {
-      val in = fs.open(metaPath)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val tmpPath = new Path(dir, SchemaFile + ".tmp")
+    def tryRead(): Option[String] =
+      try {
+        val in = fs.open(metaPath)
+        Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close())
+      } catch { case _: java.io.FileNotFoundException => None }
+    // writeDescriptor installs via delete+rename, so a concurrent open can
+    // land in a sub-ms window with no descriptor on disk. Treating that
+    // window as "no descriptor" would silently DOWNGRADE a governed table
+    // to an attached plain dir (inferred schema, no options, no ids) —
+    // retry briefly while either the descriptor or its tmp is visible,
+    // and refuse loudly on a crashed half-swap (tmp only, never healing).
+    val descriptor: Option[String] = tryRead().orElse {
+      var res: Option[String] = None
+      var i = 0
+      while (res.isEmpty && i < 10 &&
+          (fs.exists(tmpPath) || fs.exists(metaPath))) {
+        Thread.sleep(20L); res = tryRead(); i += 1
+      }
+      if (res.isEmpty && fs.exists(tmpPath))
+        throw new IllegalStateException(
+          s"$path: descriptor swap left only $SchemaFile.tmp (a crashed " +
+            "writeDescriptor) — re-run the interrupted DDL or remove the " +
+            "tmp before opening")
+      res
+    }
+    if (descriptor.isDefined) {
+      val text = descriptor.get
       val lines = text.trim.split("\n")
       val opts = if (lines.length >= 3) TsWriteOptions.decode(lines(2)) else TsWriteOptions()
       val checks = if (lines.length >= 4) decodeChecks(lines(3).trim) else Seq.empty

@@ -163,7 +163,29 @@ final class GraftTsStreamSource(sqlContext: SQLContext, path: String,
             if (to == oldest) base
             else base.unionByName(diff(oldest, to), allowMissingColumns = true)
           }
-        aligned.select(schema.fieldNames.map(col).toSeq: _*) // pin declared schema
+        // Pin the declared schema — NAME and TYPE. internalCreateDataFrame
+        // below trusts `schema` over the rows' actual layout, so a type
+        // mismatch would read UnsafeRow slots at the wrong width (silent
+        // wrongness, not an error). Two legitimate drifts exist:
+        //   - a pre-widen HORIZON under a stream declared post-widen:
+        //     narrow on disk, wide declared — a lossless upcast, applied;
+        //   - a widenColumn landing MID-STREAM: wide on disk, narrow
+        //     declared — refused loudly; restarting re-reads the
+        //     descriptor and adopts the wide schema (the evolution rule
+        //     this source already documents for restore).
+        aligned.select(schema.fields.map { f =>
+          val have = aligned.schema(f.name).dataType
+          if (have == f.dataType) col(f.name)
+          else if (org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(have, f.dataType))
+            col(f.name).cast(f.dataType).as(f.name)
+          else throw new IllegalStateException(
+            s"graft-ts stream: column '${f.name}' now serves as " +
+              s"${have.simpleString} but the stream declared " +
+              s"${f.dataType.simpleString} at start — the table's schema " +
+              "evolved mid-stream (widenColumn); restart the streaming " +
+              "query to adopt the new schema")
+        }.toSeq: _*)
       }
     spark.internalCreateDataFrame(
       batch.queryExecution.toRdd, schema, isStreaming = true)

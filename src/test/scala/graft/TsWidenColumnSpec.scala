@@ -105,6 +105,77 @@ class TsWidenColumnSpec extends SparkSpec {
     intercept[IllegalArgumentException](tab.widenColumn("ts", LongType))
   }
 
+  test("a stream started AFTER a mid-history widen replays both eras " +
+      "under the WIDE types (the pre-widen horizon upcasts losslessly)") {
+    val dir = freshDir("stream")
+    val tab = TsTable.create(spark, dir, narrowSchema)
+    tab.append(mk(Seq(("2024-03-01 10:00:00", 11, 1.5f))))
+    val wide = TsTable.open(spark, dir)
+      .widenColumn("user_id", LongType).widenColumn("value", DoubleType)
+    import spark.implicits._
+    wide.append(Seq((t("2024-03-02 09:00:00"), 22L, 2.5))
+      .toDF("ts", "user_id", "value"))
+    val got = scala.collection.mutable.Map[Long, Double]()
+    val ckpt = java.nio.file.Files.createTempDirectory("widen_stream").toString
+    val q = spark.readStream.format("graft-ts")
+      .option("startingVersion", "0").load(dir)
+      .writeStream.option("checkpointLocation", s"$ckpt/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        assert(b.schema("user_id").dataType == LongType &&
+          b.schema("value").dataType == DoubleType,
+          "the stream must serve its declared (post-widen) types")
+        b.collect().foreach(r => got(r.getLong(1)) = r.getDouble(2))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(got.toMap == Map(11L -> 1.5, 22L -> 2.5),
+        "narrow-era rows must replay upcast with their exact values")
+    } finally q.stop()
+  }
+
+  test("a widen landing MID-STREAM fails the query loudly with a restart " +
+      "instruction — never serves wide rows under the narrow declared " +
+      "schema — and the restarted stream adopts the wide types") {
+    val dir = freshDir("midstream")
+    val tab = TsTable.create(spark, dir, narrowSchema)
+    tab.append(mk(Seq(("2024-03-01 10:00:00", 1, 1.0f))))
+    val ckpt = java.nio.file.Files.createTempDirectory("widen_mid").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream.format("graft-ts")
+      .option("startingVersion", "0").load(dir)
+      .writeStream.option("checkpointLocation", s"$ckpt/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("user_id").collect()
+          .foreach(r => seen.add(r.getAs[Number](0).longValue))
+        ()
+      }.start()
+    val q = start()
+    try {
+      q.processAllAvailable() // drains the narrow era under int
+      TsTable.open(spark, dir).widenColumn("user_id", LongType)
+        .append { import spark.implicits._
+          Seq((t("2024-03-02 09:00:00"), 2L, 2.0f)).toDF("ts", "user_id", "value") }
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t0: Throwable): Iterator[String] =
+        Iterator.iterate(t0)(_.getCause).takeWhile(_ != null)
+          .flatMap(x => Option(x.getMessage))
+      assert(msgs(e).exists(m => m.contains("restart the streaming query")),
+        s"the refusal must name the fix, got: ${e.getMessage}")
+    } finally q.stop()
+    // the restarted query re-reads the descriptor: wide schema, and the
+    // post-widen batch (blocked above) now drains
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty, s"restart must succeed: ${q2.exception}")
+      assert(seen.contains(1L) && seen.contains(2L),
+        s"both eras must have streamed across the restart, got $seen")
+    } finally q2.stop()
+  }
+
   test("restore across a widen rolls the files AND the narrow type back " +
       "together — no wide file ever meets a narrow read") {
     val dir = freshDir("restore")
