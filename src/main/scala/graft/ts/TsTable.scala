@@ -483,6 +483,17 @@ final class TsTable private (
     * carrying the widened schema (`this` keeps serving its projection,
     * the appendEvolved rule). */
   def addColumns(cols: Seq[StructField]): TsTable = {
+    // pure-DDL verbs share the rewrite verbs' stale-handle rule: the
+    // descriptor re-writes from THIS handle's state, so a handle held
+    // across another session's evolution would silently drop the newer
+    // columns/checks/options — delegate to the live descriptor's handle
+    // when ANY descriptor state moved.
+    val serving = TsTable.open(spark, path, tsCol)
+    if (serving.schema != storedSchema || serving.checks != tableChecks ||
+        serving.dropped != droppedCols ||
+        serving.writeOptions != writeOptions)
+      return serving.addColumns(cols)
+
     require(cols.nonEmpty, "addColumns: no columns")
     val clash = cols.map(_.name).filter(n =>
       storedSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
@@ -540,6 +551,17 @@ final class TsTable private (
     * which for a DROPPED column means a stale handle still reads it;
     * reopen for the narrowed view). */
   def dropColumns(names: Seq[String]): TsTable = {
+    // pure-DDL verbs share the rewrite verbs' stale-handle rule: the
+    // descriptor re-writes from THIS handle's state, so a handle held
+    // across another session's evolution would silently drop the newer
+    // columns/checks/options — delegate to the live descriptor's handle
+    // when ANY descriptor state moved.
+    val serving = TsTable.open(spark, path, tsCol)
+    if (serving.schema != storedSchema || serving.checks != tableChecks ||
+        serving.dropped != droppedCols ||
+        serving.writeOptions != writeOptions)
+      return serving.dropColumns(names)
+
     require(names.nonEmpty, "dropColumns: no columns")
     require(!names.exists(_.equalsIgnoreCase(tsCol)),
       s"dropColumns: '$tsCol' is the table's order identity and cannot be dropped")
@@ -610,6 +632,17 @@ final class TsTable private (
     * carrying the renamed schema (`this` keeps serving the old
     * projection, the appendEvolved rule — reopen for the new view). */
   def renameColumn(oldName: String, newName: String): TsTable = {
+    // pure-DDL verbs share the rewrite verbs' stale-handle rule: the
+    // descriptor re-writes from THIS handle's state, so a handle held
+    // across another session's evolution would silently drop the newer
+    // columns/checks/options — delegate to the live descriptor's handle
+    // when ANY descriptor state moved.
+    val serving = TsTable.open(spark, path, tsCol)
+    if (serving.schema != storedSchema || serving.checks != tableChecks ||
+        serving.dropped != droppedCols ||
+        serving.writeOptions != writeOptions)
+      return serving.renameColumn(oldName, newName)
+
     require(TsTable.hasFieldIds(storedSchema),
       "renameColumn: this table predates field-id stamping — its files " +
         "resolve columns by NAME, so a pure-DDL rename would null the " +
@@ -700,6 +733,17 @@ final class TsTable private (
     * probe. CHECK constraints must still analyze under the wide type
     * (numeric predicates do; refused otherwise, like rename). */
   def widenColumn(name: String, to: DataType): TsTable = {
+    // pure-DDL verbs share the rewrite verbs' stale-handle rule: the
+    // descriptor re-writes from THIS handle's state, so a handle held
+    // across another session's evolution would silently drop the newer
+    // columns/checks/options — delegate to the live descriptor's handle
+    // when ANY descriptor state moved.
+    val serving = TsTable.open(spark, path, tsCol)
+    if (serving.schema != storedSchema || serving.checks != tableChecks ||
+        serving.dropped != droppedCols ||
+        serving.writeOptions != writeOptions)
+      return serving.widenColumn(name, to)
+
     val field = storedSchema.fields.find(_.name.equalsIgnoreCase(name))
     require(field.isDefined, s"widenColumn: unknown column '$name'")
     val canonical = field.get.name
@@ -760,6 +804,17 @@ final class TsTable private (
     * or use the returned handle, the evolution rule). */
   def declareIndexing(statsCols: Seq[String],
                       bloomCols: Seq[String]): TsTable = {
+    // pure-DDL verbs share the rewrite verbs' stale-handle rule: the
+    // descriptor re-writes from THIS handle's state, so a handle held
+    // across another session's evolution would silently drop the newer
+    // columns/checks/options — delegate to the live descriptor's handle
+    // when ANY descriptor state moved.
+    val serving = TsTable.open(spark, path, tsCol)
+    if (serving.schema != storedSchema || serving.checks != tableChecks ||
+        serving.dropped != droppedCols ||
+        serving.writeOptions != writeOptions)
+      return serving.declareIndexing(statsCols, bloomCols)
+
     def resolve(kind: String, cols: Seq[String]): Seq[String] = cols.map { c =>
       storedSchema.fields.find(_.name.equalsIgnoreCase(c)).map(_.name)
         .getOrElse(throw new IllegalArgumentException(
@@ -924,6 +979,17 @@ final class TsTable private (
     * carrying the constraint. */
   def addCheck(name: String, predicateSql: String,
                validateExisting: Boolean = true): TsTable = {
+    // pure-DDL verbs share the rewrite verbs' stale-handle rule: the
+    // descriptor re-writes from THIS handle's state, so a handle held
+    // across another session's evolution would silently drop the newer
+    // columns/checks/options — delegate to the live descriptor's handle
+    // when ANY descriptor state moved.
+    val serving = TsTable.open(spark, path, tsCol)
+    if (serving.schema != storedSchema || serving.checks != tableChecks ||
+        serving.dropped != droppedCols ||
+        serving.writeOptions != writeOptions)
+      return serving.addCheck(name, predicateSql, validateExisting)
+
     require(name.matches("[A-Za-z0-9_.-]+"),
       s"addCheck: constraint name '$name' must be [A-Za-z0-9_.-]+")
     require(!tableChecks.exists(_._1.equalsIgnoreCase(name)),
@@ -951,6 +1017,17 @@ final class TsTable private (
 
   /** Remove a CHECK constraint; returns the handle without it. */
   def dropCheck(name: String): TsTable = {
+    // pure-DDL verbs share the rewrite verbs' stale-handle rule: the
+    // descriptor re-writes from THIS handle's state, so a handle held
+    // across another session's evolution would silently drop the newer
+    // columns/checks/options — delegate to the live descriptor's handle
+    // when ANY descriptor state moved.
+    val serving = TsTable.open(spark, path, tsCol)
+    if (serving.schema != storedSchema || serving.checks != tableChecks ||
+        serving.dropped != droppedCols ||
+        serving.writeOptions != writeOptions)
+      return serving.dropCheck(name)
+
     require(tableChecks.exists(_._1.equalsIgnoreCase(name)),
       s"dropCheck: no constraint '$name' (have: ${tableChecks.map(_._1).mkString(", ")})")
     val next = tableChecks.filterNot(_._1.equalsIgnoreCase(name))

@@ -246,6 +246,20 @@ class TsRenameColumnSpec extends SparkSpec {
       .where(col("price").isNotNull).count() == want.size)
   }
 
+  test("a STALE handle's DDL delegates to the live descriptor: rename " +
+      "through a pre-evolution handle keeps the column another session " +
+      "added (no descriptor clobber)") {
+    val (t, store) = build("stale")
+    // evolve through a DIFFERENT handle — t's descriptor view is now stale
+    TsTable.open(spark, store).addColumns(Seq(StructField("extra", DoubleType)))
+    val renamed = t.renameColumn("value", "px") // must re-read, not clobber
+    assert(renamed.schema.fieldNames.contains("extra"),
+      "the stale-handle rename silently dropped the evolved column")
+    assert(renamed.schema.fieldNames.contains("px"))
+    assert(TsTable.open(spark, store).schema.fieldNames.toSet
+      .intersect(Set("extra", "px")) == Set("extra", "px"))
+  }
+
   test("a pre-field-id table refuses rename loudly") {
     val (store, _) = freshStore("legacy")
     // an attached plain dir: no descriptor, schema inferred, no ids
