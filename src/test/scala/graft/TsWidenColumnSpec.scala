@@ -176,6 +176,35 @@ class TsWidenColumnSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("compact after a widen ages the narrow bytes out: rewritten files " +
+      "are physically wide, a pre-widen pin still serves narrow through " +
+      "the archive") {
+    val dir = freshDir("compact")
+    val tab = TsTable.create(spark, dir, narrowSchema)
+    tab.append(mk(Seq(("2024-03-01 10:00:00", 1, 1.5f))))
+    tab.append(mk(Seq(("2024-03-01 11:00:00", 2, 2.5f))))
+    val preWiden = tab.currentVersion.get
+    val wide = TsTable.open(spark, dir)
+      .widenColumn("user_id", LongType).widenColumn("value", DoubleType)
+    assert(wide.compactAll(targetFiles = 1) == Seq("2024-03-01"))
+    // the rewritten file's PHYSICAL schema is the wide one
+    val file = new java.io.File(dir, "p_date=2024-03-01").listFiles
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val physical = spark.read.parquet(file.getPath).schema
+    assert(physical("user_id").dataType == LongType &&
+      physical("value").dataType == DoubleType,
+      s"compact must re-encode wide, got ${physical.simpleString}")
+    // content survived the widen + compact chain
+    val rows = TsTable.open(spark, dir).toDF.orderBy("ts").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, 1.5), (2L, 2.5)))
+    // the pre-widen pin resolves the archived NARROW files with its own
+    // narrow schema (each version's own types, served through _ts_archive)
+    val pin = TsTable.openAt(spark, dir, preWiden)
+    assert(pin.schema("user_id").dataType == IntegerType)
+    assert(pin.toDF.collect().map(_.getInt(1)).sorted.toSeq == Seq(1, 2))
+  }
+
   test("restore across a widen rolls the files AND the narrow type back " +
       "together — no wide file ever meets a narrow read") {
     val dir = freshDir("restore")
