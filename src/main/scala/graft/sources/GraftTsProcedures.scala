@@ -196,8 +196,12 @@ private[sources] object GraftTsProcedures {
           .filter(_.nonEmpty).toSeq
       val t = TsTable.open(spark, input.getUTF8String(0).toString)
         .declareIndexing(cols(1), cols(2))
+      // echo the CANONICAL resolved labels from the post-declare handle,
+      // not the caller's raw strings — mixed-case input resolves
+      // case-insensitively and the descriptor stores the canonical names
       result(out, Seq(row(
-        cols(1).mkString(","), cols(2).mkString(","),
+        t.writeOptions.statsCols.mkString(","),
+        t.writeOptions.bloomCols.mkString(","),
         t.currentVersion.getOrElse(-1L))))
     }
   }

@@ -866,9 +866,16 @@ final class TsTable private (
     * rule); run `compact` after on hour-slotted tables. */
   def migrateFieldIds(filesPerDay: Int = 1): Int = {
     require(filesPerDay >= 1, "filesPerDay must be >= 1")
-    // rewrite verbs run against the LIVE descriptor (the compactDays rule)
+    // the pre-field-id arm re-WRITES the descriptor from this handle's
+    // state, so migrate takes the pure-DDL verbs' FOUR-WAY staleness test
+    // (schema, checks, dropped, writeOptions — the widenColumn rule), not
+    // just compactDays' schema check: a stale handle stamping ids would
+    // otherwise silently clobber e.g. a CHECK another session added to
+    // the id-less table
     val serving = TsTable.open(spark, path, tsCol)
-    if (serving.schema != storedSchema)
+    if (serving.schema != storedSchema || serving.checks != tableChecks ||
+        serving.dropped != droppedCols ||
+        serving.writeOptions != writeOptions)
       return serving.migrateFieldIds(filesPerDay)
     val target: TsTable =
       if (TsTable.hasFieldIds(storedSchema)) this
@@ -1115,12 +1122,18 @@ final class TsTable private (
     // 100 TB write path: no single task ever funnels a whole heavy day.
     // fileSpan="hour": one range slot per distinct batch hour (times
     // filesPerDay — the knob folds into the slot count rather than being
-    // silently ignored), ordered (day, hour, ts) — slot boundaries land
-    // at (or near) hour edges, and the recorded per-file ts spans stay
-    // EXACT either way, so the skip index serves as the effective
-    // sub-day partition at planning time.
+    // silently ignored). At filesPerDay=1 the range key omits ts (the
+    // compactDays rule): equal (day, hour) keys cannot split, so no
+    // written file straddles an hour even under skewed per-hour counts —
+    // slots only merge into adjacent-hour files. With filesPerDay>1 the
+    // ts tiebreaker splits heavy hours into contiguous slices. The
+    // recorded per-file ts spans stay EXACT either way, so the skip
+    // index serves as the effective sub-day partition at planning time.
     val placed =
-      if (hourly)
+      if (hourly && filesPerDay == 1)
+        withDate.repartitionByRange(stats.getLong(4).toInt.max(1),
+          col(PartCol), date_trunc("hour", col(tsCol)))
+      else if (hourly)
         withDate.repartitionByRange(
           (stats.getLong(4) * filesPerDay).toInt.max(1),
           col(PartCol), date_trunc("hour", col(tsCol)), col(tsCol))
@@ -1272,19 +1285,22 @@ final class TsTable private (
     // day-granular compact would silently destroy the sub-day skip index
     // fileSpan="hour" exists for. targetFiles then means files per hour.
     val hourly = cluster.isEmpty && writeOptions.fileSpan == "hour"
-    val hourCover: Map[String, Int] =
-      if (hourly) manifestHourCover() else Map.empty
+    val hourPressure: Map[String, Int] =
+      if (hourly) manifestHourPressure() else Map.empty
     val hit = dates.distinct.sorted.filter { d =>
       val dir = new Path(root, s"$PartCol=$d")
-      // bin-packing skips days already at target (for hourly tables: at
-      // or under one file per covered hour slot, per the manifest's
-      // exact spans — a span-less file makes the day qualify, and the
-      // rewrite restores its span); RE-CLUSTERING is a re-sort, so any
-      // existing day qualifies regardless of file count
+      // bin-packing skips days already at target (for hourly tables: no
+      // single hour bucket covered by more than targetFiles files, per the
+      // manifest's exact spans — comparing TOTAL files to total covered
+      // hours would let a split hour hide behind a legacy multi-hour file
+      // forever; a span-less file makes the day qualify, and the rewrite
+      // restores its span); RE-CLUSTERING is a re-sort, so any existing
+      // day qualifies regardless of file count
       fs.exists(dir) && {
         val n = dataFiles(fs, dir).length
         if (cluster.nonEmpty) n > 0
-        else if (hourly) n > hourCover.getOrElse(d, 0).max(targetFiles)
+        else if (hourly)
+          n > 0 && hourPressure.getOrElse(d, Int.MaxValue) > targetFiles
         else n > targetFiles
       }
     }
@@ -1335,15 +1351,25 @@ final class TsTable private (
       } else if (hourly) {
         // the append path's hour slotting replayed by maintenance: one
         // range slot per distinct (day, hour) in the selected days
-        // (times targetFiles for finer slices), ordered (day, hour, ts)
-        // — the rewrite keeps the per-file spans hour-contiguous, so the
-        // sub-day skip index survives routine compaction. One extra
+        // (times targetFiles for finer slices). At targetFiles=1 the
+        // range key deliberately OMITS ts: equal (day, hour) keys cannot
+        // split across range partitions, so no rewritten file ever
+        // straddles an hour even when per-hour row counts are skewed
+        // (a sampled (day, hour, ts) boundary lands mid-hour under skew,
+        // and a straddling file would re-qualify the day under the
+        // per-bucket pressure test forever); slots can only MERGE into
+        // adjacent-hour files, which stay ts-contiguous. One extra
         // countDistinct aggregate, paid by hour-slotted tables only.
         val nSlots = d.agg(countDistinct(col(PartCol),
           date_trunc("hour", col(tsCol)))).head.getLong(0)
-        d.repartitionByRange((nSlots * targetFiles).toInt.max(1),
-            col(PartCol), date_trunc("hour", col(tsCol)), col(tsCol))
-          .sortWithinPartitions(col(PartCol), col(tsCol))
+        val slotted =
+          if (targetFiles == 1)
+            d.repartitionByRange(nSlots.toInt.max(1),
+              col(PartCol), date_trunc("hour", col(tsCol)))
+          else
+            d.repartitionByRange((nSlots * targetFiles).toInt.max(1),
+              col(PartCol), date_trunc("hour", col(tsCol)), col(tsCol))
+        slotted.sortWithinPartitions(col(PartCol), col(tsCol))
       } else if (targetFiles == 1)
         d.repartition(col(PartCol)).sortWithinPartitions(col(PartCol), col(tsCol))
       else d.repartitionByRange(
@@ -1367,24 +1393,28 @@ final class TsTable private (
     hit
   }
 
-  /** Distinct UTC hour buckets each day's live files cover, from the
-    * CURRENT manifest's exact per-file ts spans — [[compactDays]]'s
-    * skip test on hour-slotted tables (a day with one file per covered
-    * hour is already packed). Metadata-only: one manifest read, zero
-    * footers. Days holding any span-less file are ABSENT from the map
-    * (conservative: they qualify for a rewrite, which restores spans). */
-  private def manifestHourCover(): Map[String, Int] =
+  /** Per day, the MAX number of live files whose exact manifest ts spans
+    * intersect any single UTC hour bucket — [[compactDays]]'s skip test
+    * on hour-slotted tables (a day is packed when no hour is covered by
+    * more than targetFiles files; comparing total file count to the
+    * UNION of covered hours let a split hour hide behind a legacy
+    * multi-hour file forever — under-compaction that never healed).
+    * Days holding any span-less file map to Int.MaxValue (conservative:
+    * they qualify for a rewrite, which restores spans). Metadata-only:
+    * one manifest read, zero footers. */
+  private def manifestHourPressure(): Map[String, Int] =
     currentVersion.map { v =>
       val m = TsTable.readManifest(spark, path, v)
       m.files.map(_._1).filter(_.startsWith(s"$PartCol="))
         .groupBy(_.split("/").head.stripPrefix(s"$PartCol="))
-        .flatMap { case (d, fls) =>
+        .map { case (d, fls) =>
           val spans = fls.flatMap(m.stats.get)
-          if (spans.length != fls.length) None
-          else Some(d -> spans.flatMap { case (lo, hi) =>
+          d -> (if (spans.length != fls.length) Int.MaxValue
+          else spans.flatMap { case (lo, hi) =>
             Math.floorDiv(lo, 3600000000L) to Math.floorDiv(hi, 3600000000L)
-          }.distinct.length)
-        }.toMap
+          }.groupBy(identity).valuesIterator.map(_.size)
+            .maxOption.getOrElse(0))
+        }
     }.getOrElse(Map.empty)
 
   /** Retention: drop every day partition strictly BEFORE `date` (UTC ISO
@@ -2327,15 +2357,29 @@ final class TsTable private (
       // case to survive), then footer-read only the files this commit
       // actually added/rewrote. O(new files) footer metadata, zero data
       // pages — the skip index stays cheap even at a 100 TB table size.
+      val declaredBlooms = writeOptions.bloomCols
+        .filter(storedSchema.fieldNames.contains).toSet
       val (carried, carriedCols, carriedBlooms) = prevV.map { v =>
         val pm = TsTable.readManifest(spark, path, v)
         val prevLen = pm.files.toMap
         val nowLen = files.toMap
         def same(p: String) = nowLen.get(p).exists(l => prevLen.get(p).contains(l))
+        // bloom carry is filtered PER COLUMN to the currently-declared set,
+        // not just per file: bits are type-sensitive (int and long hash
+        // differently), so a widen commit that undeclared the column must
+        // not smuggle its stale narrow-type bits forward inside a map kept
+        // alive by the table's OTHER bloom columns — the follow-up indexing
+        // commit's subset coverage test would then skip the re-harvest and
+        // probes would wrongly skip narrow-era files (silent row loss from
+        // lookupEq). Dropping undeclared entries also makes any re-declare
+        // a genuine re-harvest (the declareIndexing contract).
         val pb =
           if (writeOptions.bloomCols.isEmpty) TsTable.NoBlooms
           else TsTable.readBloomSidecar(fs, path, v)
             .filter { case (p, _) => same(p) }
+            .map { case (p, cols) =>
+              p -> cols.filter { case (c, _) => declaredBlooms.contains(c) } }
+            .filter(_._2.nonEmpty)
         (pm.stats.filter { case (p, _) => same(p) },
           pm.colStats.filter { case (p, _) => same(p) }, pb)
       }.getOrElse((Map.empty[String, (Long, Long)],
@@ -2360,8 +2404,6 @@ final class TsTable private (
       // succeeds — the version number is then exclusively owned. A crash
       // between the two degrades lookups to no-skipping, never to wrong
       // results.
-      val declaredBlooms = writeOptions.bloomCols
-        .filter(storedSchema.fieldNames.contains).toSet
       val blooms =
         if (writeOptions.bloomCols.isEmpty) TsTable.NoBlooms
         else carriedBlooms ++ harvestBlooms(

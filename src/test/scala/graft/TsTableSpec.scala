@@ -326,6 +326,62 @@ class TsTableSpec extends SparkSpec {
     assert(tab.toDF.count() == 16 * 30)
   }
 
+  test("hourly compact heals a split hour hiding behind a legacy " +
+      "multi-hour file (per-hour-bucket pressure, not total-vs-covered), " +
+      "and compact(clusterBy) documents its un-slotting trade") {
+    import graft.ts.TsWriteOptions
+    val dir = freshDir()
+    val tab = TsTable.create(spark, dir, schema,
+      writeOptions = TsWriteOptions(fileSpan = "hour"))
+    // 6 dense hours, one row per minute → ~6 hour-slotted files
+    tab.append(mkRows((0 until 360).map { i =>
+      (f"2024-03-01 ${i / 60}%02d:${i % 60}%02d:00", i.toLong, i.toDouble)
+    }))
+    def dayFiles = new java.io.File(dir, "p_date=2024-03-01").listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    // the clusterBy trade, pinned: re-clustering an hourly day un-slots it
+    // (files become z-order tiles, no longer ts-contiguous — documented at
+    // compactDays; a later plain compact restores the hour slots)
+    assert(tab.compact("2024-03-01", clusterBy = Seq("user_id", "value")))
+    assert(dayFiles.length == 1,
+      s"clusterBy targetFiles=1 should land one z-tile, got ${dayFiles.length}")
+    val mm = spark.read.parquet(dayFiles.head.getPath)
+      .agg(min(col("ts")), max(col("ts"))).head
+    assert(mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime >
+      2 * 3600 * 1000L,
+      "the z-tile must span multiple hours — the documented un-slot trade")
+    // now split ONE hour with two out-of-order backfills (the late-data
+    // shape): 1 legacy multi-hour file + 2 files inside hour 02
+    tab.backfill(mkRows(Seq(
+      ("2024-03-01 02:05:30", 9001L, 1.0),
+      ("2024-03-01 02:15:30", 9002L, 2.0),
+      ("2024-03-01 02:25:30", 9003L, 3.0))))
+    tab.backfill(mkRows(Seq(
+      ("2024-03-01 02:35:30", 9004L, 4.0),
+      ("2024-03-01 02:45:30", 9005L, 5.0),
+      ("2024-03-01 02:55:30", 9006L, 6.0))))
+    assert(dayFiles.length == 3, s"expected 3 files, got ${dayFiles.length}")
+    // the regression: total files (3) <= covered hours (6) used to SKIP
+    // this day forever — hour 02 is covered by 3 files (> targetFiles=1),
+    // so the per-bucket pressure test must qualify and heal it
+    assert(TsTable.open(spark, dir).compact("2024-03-01"),
+      "a split hour behind a legacy multi-hour file must qualify")
+    val healed = dayFiles
+    healed.foreach { f =>
+      val s = spark.read.parquet(f.getPath)
+        .agg(min(col("ts")), max(col("ts"))).head
+      assert(s.getTimestamp(1).getTime - s.getTimestamp(0).getTime <=
+        2 * 3600 * 1000L,
+        s"file ${f.getName} still multi-hour after the heal")
+    }
+    assert(tab.readRange(t("2024-03-01 02:00:00"),
+      t("2024-03-01 02:59:59")).count() == 66)
+    assert(TsTable.open(spark, dir).toDF.count() == 366)
+    // idempotence holds under the new rule: one file per hour → skip
+    assert(!TsTable.open(spark, dir).compact("2024-03-01"),
+      "an hour-packed day must not re-qualify under the pressure test")
+  }
+
   test("append on fileSpan=hour folds filesPerDay into the slot count " +
       "instead of silently ignoring it") {
     import graft.ts.TsWriteOptions

@@ -91,6 +91,47 @@ class TsWidenColumnSpec extends SparkSpec {
     assert(wide.bloomCandidateFiles("user_id", Seq(999L)).get.isEmpty)
   }
 
+  test("widen with TWO declared bloom columns: the widened column still " +
+      "re-harvests (stale narrow bits must not ride the other column's " +
+      "carried sidecar map) and probes find narrow-era rows") {
+    val dir = freshDir("bloom2")
+    val schema2 = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("user_id", IntegerType),
+      StructField("other_id", LongType),
+      StructField("value", FloatType)))
+    val tab = TsTable.create(spark, dir, schema2,
+      writeOptions = TsWriteOptions(bloomCols = Seq("user_id", "other_id")))
+    def mk2(rows: Seq[(String, Int, Long, Float)]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        rows.map { case (ts0, u, o, v) =>
+          org.apache.spark.sql.Row(t(ts0), u, o, v) }, 2), schema2)
+    tab.append(mk2(Seq(("2024-03-01 10:00:00", 101, 9001L, 1.0f))))
+    tab.append(mk2(Seq(("2024-03-02 10:00:00", 202, 9002L, 2.0f))))
+    val wide = TsTable.open(spark, dir).widenColumn("user_id", LongType)
+    assert(wide.writeOptions.bloomCols == Seq("user_id", "other_id"),
+      "both bloom declarations must survive the widen")
+    // the regression: with a SECOND declared column keeping the per-file
+    // sidecar maps alive through the widen commit, the widened column's
+    // stale INT-hashed bits must still be dropped so the indexing commit
+    // genuinely re-harvests under LONG — otherwise probes hash the wide
+    // type against narrow-type bits and silently skip narrow-era files
+    val cands = wide.bloomCandidateFiles("user_id", Seq(202L))
+    assert(cands.isDefined && cands.get.length == 1 &&
+      cands.get.head.startsWith("p_date=2024-03-02/"),
+      s"post-widen probe must prune to the owning file, got $cands")
+    assert(wide.lookupEq("user_id", Seq(101L)).count() == 1,
+      "narrow-era row lost: stale narrow-type bits were carried forward")
+    assert(wide.lookupEq("user_id", Seq(202L)).count() == 1)
+    assert(wide.bloomCandidateFiles("user_id", Seq(999L)).get.isEmpty)
+    // the untouched second column's bits keep working across the widen
+    val other = wide.bloomCandidateFiles("other_id", Seq(9001L))
+    assert(other.isDefined && other.get.length == 1 &&
+      other.get.head.startsWith("p_date=2024-03-01/"),
+      s"the other bloom column must keep pruning, got $other")
+    assert(wide.lookupEq("other_id", Seq(9002L)).count() == 1)
+  }
+
   test("refusals: lossy long->double, narrowing, unknown column, the ts axis") {
     val dir = freshDir("refuse")
     val tab = TsTable.create(spark, dir, StructType(Seq(
