@@ -3,7 +3,7 @@ package graft.ts
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType, TimestampType}
 
 import java.sql.Timestamp
 
@@ -750,10 +750,12 @@ final class TsTable private (
     val from = field.get.dataType
     require(!canonical.equalsIgnoreCase(tsCol),
       s"widenColumn: '$tsCol' is the table's time axis — its type is fixed")
-    require(TsTable.WidenLadder.get(from).exists(_.contains(to)),
+    require(TsTable.canWiden(from, to),
       s"widenColumn: ${from.simpleString} -> ${to.simpleString} is not a " +
         "lossless widening (ladder: byte/short/int -> long or double, " +
-        "float -> double; long -> double would lose precision past 2^53)")
+        "float -> double, decimal(p,s) -> decimal(p+k,s); long -> double " +
+        "would lose precision past 2^53, and a decimal SCALE change " +
+        "re-encodes values instead of embedding them)")
     val widened = StructType(storedSchema.fields.map(f =>
       if (f.name == canonical) f.copy(dataType = to) else f))
     // every CHECK must still resolve under the widened schema (rename's rule)
@@ -1305,16 +1307,29 @@ final class TsTable private (
       }
     }
     if (hit.isEmpty) return Seq.empty
+    // Plan-time displaced capture — the rewrite conflict gate's identity
+    // AND the read set: the staging read loads EXACTLY these files rather
+    // than the day directories, so a file a concurrent append lands
+    // mid-rewrite is neither folded into the compacted output (duplicate
+    // rows) nor archived out from under its own commit (lost rows) —
+    // compact touches only what it planned, and the conflict gates
+    // (pre-swap liveness + commit-time manifest membership) judge exactly
+    // that set.
+    val (displaced, guarded) = captureDisplaced(fs,
+      hit.flatMap { d =>
+        dataFiles(fs, new Path(root, s"$PartCol=$d"))
+          .map(p => s"$PartCol=$d/${p.getName}")
+      }, "compact")
     // Same µs-instant encoding rationale as appendValidated.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val tmp = new Path(root, "_compact_tmp_batch")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    // in-plan to_date literals (session zone, pinned UTC) — the same rule
-    // that wrote p_date; a driver-side java.sql.Date would go through the
-    // JVM default zone (the readRange boundary hazard). Foldable, so
-    // partition pruning still sees constant values.
-    val days = raw.where(
-      hit.map(d => col(PartCol) === to_date(lit(d))).reduce(_ || _))
+    // explicit-file load with basePath: partition values (p_date) still
+    // derive from the directory layout, exactly as cowExec's dated read
+    val days = spark.read.format(TsTable.ReadFmt)
+      .option("basePath", path)
+      .schema(withPartCol(storedSchema))
+      .load(displaced.map(d => new Path(root, d._1).toString): _*)
     // targetFiles=1: hash by day — one task → one sorted file per day;
     // >1: range on (day, ts) — each heavy day splits into ~targetFiles
     // contiguous ts slices (the append filesPerDay rule).
@@ -1381,15 +1396,29 @@ final class TsTable private (
       .option("compression", writeOptions.codec)
     writeOptions.rowGroupBytes.foreach(b => writer.option("parquet.block.size", b.toString))
     writer.partitionBy(PartCol).parquet(tmp.toString) // lands BEFORE any swap
+    TsTable.rewriteRaceHook("staged", "compact")
+    requireDisplacedLive(fs, displaced, "compact", staged = tmp)
+    // swap: archive EXACTLY the planned inputs (never a fresh listing — a
+    // concurrent append's new file must stay live), then move the
+    // rewritten files in, recording each move for the conflict rollback
+    displaced.foreach { case (rel, _) => archiveFile(fs, rel) }
+    val movedIn = Seq.newBuilder[Path]
     hit.foreach { d =>
       val partDir = new Path(root, s"$PartCol=$d")
-      dataFiles(fs, partDir).foreach(f => archiveFile(fs, s"$PartCol=$d/${f.getName}"))
       val tmpDay = new Path(tmp, s"$PartCol=$d")
       if (fs.exists(tmpDay))
-        dataFiles(fs, tmpDay).foreach(f => fs.rename(f, new Path(partDir, f.getName)))
+        dataFiles(fs, tmpDay).foreach { f =>
+          val dst = new Path(partDir, f.getName)
+          fs.rename(f, dst)
+          movedIn += dst
+        }
     }
     fs.delete(tmp, true)
-    commitVersion("compact")
+    TsTable.rewriteRaceHook("swapped", "compact")
+    try commitVersion("compact", displaced = guarded)
+    catch { case e: TsTable.ConcurrentRewriteException =>
+      rollbackSwap(fs, displaced, movedIn.result()); throw e
+    }
     hit
   }
 
@@ -1709,13 +1738,96 @@ final class TsTable private (
     }
   }
 
+  /** Plan-time capture for the rewrite conflict gate: (relpath, length)
+    * of every file this rewrite will displace, split into the full set
+    * (what the verb physically archives/restores) and the GUARDED subset
+    * the plan-time manifest lists — the membership-testable set
+    * [[commitVersion]]'s gate re-judges against the manifest the commit
+    * replaces. A freshly-attached loose file no manifest has captured yet
+    * cannot be membership-tested and is exempt from the commit gate (the
+    * pre-swap liveness gate still covers it). A planned input already
+    * MISSING here means another rewrite took it between discovery and
+    * staging — conflict, before any work. */
+  private def captureDisplaced(fs: org.apache.hadoop.fs.FileSystem,
+                               hitRel: Seq[String], action: String)
+      : (Seq[(String, Long)], Seq[(String, Long)]) = {
+    val displaced = hitRel.map { r =>
+      val st = try fs.getFileStatus(new Path(path, r))
+      catch { case _: java.io.FileNotFoundException =>
+        throw new TsTable.ConcurrentRewriteException(
+          s"$action: planned input $r vanished before staging — another " +
+            "rewrite displaced it; retry the verb on a fresh handle")
+      }
+      r -> st.getLen
+    }
+    val planned = currentVersion
+      .map(v => TsTable.readManifest(spark, path, v).files.toMap)
+      .getOrElse(Map.empty[String, Long])
+    (displaced, displaced.filter { case (p, l) => planned.get(p).contains(l) })
+  }
+
+  /** Pre-swap conflict gate — the cheapest point to lose the race: after
+    * staging (all CPU spent, nothing live touched), every displaced file
+    * must STILL be live at its planned length. A pure filesystem check,
+    * so it also sees a concurrent writer's IN-FLIGHT swap (files archived
+    * ahead of a commit the manifest gate can't observe yet). On conflict:
+    * drop the staged temp, throw retryable — the live table is untouched. */
+  private def requireDisplacedLive(fs: org.apache.hadoop.fs.FileSystem,
+                                   displaced: Seq[(String, Long)],
+                                   action: String, staged: Path): Unit =
+    displaced.foreach { case (r, l) =>
+      val ok = try fs.getFileStatus(new Path(path, r)).getLen == l
+      catch { case _: java.io.FileNotFoundException => false }
+      if (!ok) {
+        fs.delete(staged, true)
+        throw new TsTable.ConcurrentRewriteException(
+          s"$action: planned input $r was displaced while staging " +
+            "(concurrent rewrite); staged output dropped, live table " +
+            "untouched — retry the verb on a fresh handle")
+      }
+    }
+
+  /** Roll a completed swap back after a commit-time conflict: delete the
+    * replacement files this verb moved live, then restore its archived
+    * inputs (archive → live rename; the same-length-twin arm of
+    * [[archiveFile]] deleted the live copy, so restoring re-lives the
+    * archived twin — identical bytes by construction). After this the
+    * live tree equals the winner's committed state and older pinned
+    * readers keep resolving (resolution is live-first). Idempotent:
+    * re-running skips files already in place. */
+  private def rollbackSwap(fs: org.apache.hadoop.fs.FileSystem,
+                           displaced: Seq[(String, Long)],
+                           movedIn: Seq[Path]): Unit = {
+    movedIn.foreach(p => if (fs.exists(p)) fs.delete(p, false))
+    displaced.foreach { case (rel, _) =>
+      val live = new Path(path, rel)
+      if (!fs.exists(live)) {
+        val arch = new Path(new Path(path, TsTable.ArchiveDir), rel)
+        if (fs.exists(arch)) { fs.mkdirs(live.getParent); fs.rename(arch, live) }
+      }
+    }
+  }
+
   /** Copy-on-write staging + swap + commit, shared by the predicate verbs
     * ([[cowRewrite]]) and [[mergeInto]]: apply `xform` to ONLY the hit
     * files' rows, union in `inserts` (already carrying `p_date`; merge's
     * NOT-MATCHED rows), stage into an invisible temp, archive the hit
     * originals (pinned readers keep resolving), move the staged files in,
     * commit `action`. `insertDays` sizes the range-split when
-    * `filesPerDay > 1` (an upper bound on the insert-side day count). */
+    * `filesPerDay > 1` (an upper bound on the insert-side day count).
+    *
+    * Concurrency: the displaced inputs are conflict-guarded end to end —
+    * captured with lengths at entry ([[captureDisplaced]]), re-checked
+    * live after staging ([[requireDisplacedLive]]), and membership-tested
+    * against the replaced manifest inside the commit CAS
+    * ([[commitVersion]]'s `displaced` gate); a commit-time conflict rolls
+    * the swap back ([[rollbackSwap]]) before rethrowing, so a losing verb
+    * leaves the table equal to the winner's state. Residual honesty: a
+    * listing-based manifest committed by a THIRD writer in the swap→commit
+    * window can still capture this verb's transient replacement files; the
+    * gate turns what was silent row resurrection/loss into a loud
+    * retryable abort, full serializability would need log-as-truth
+    * manifests. */
   private def cowExec(hitRel: Seq[String], action: String, filesPerDay: Int,
                       inserts: Option[DataFrame], insertDays: Int,
                       enforceAfterRewrite: Boolean = false,
@@ -1723,6 +1835,7 @@ final class TsTable private (
       xform: DataFrame => DataFrame): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (displaced, guarded) = captureDisplaced(fs, hitRel, action)
     // same µs-instant encoding rationale as appendValidated
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val (dated, loose) = hitRel.partition(_.contains("/"))
@@ -1787,22 +1900,37 @@ final class TsTable private (
         catch { case e: Throwable => fs.delete(tmp, true); throw e }
       }
     }
+    TsTable.rewriteRaceHook("staged", action)
+    requireDisplacedLive(fs, displaced, action, staged = tmp)
     // 3. swap: archive the hit originals, move the rewritten files in
+    // (recording each move for the commit-conflict rollback)
     hitRel.foreach(archiveFile(fs, _))
+    val movedIn = Seq.newBuilder[Path]
     val datedTmp = new Path(tmp, "dated")
     if (fs.exists(datedTmp)) {
       fs.listStatus(datedTmp).filter(_.isDirectory).foreach { d =>
         val liveDir = new Path(root, d.getPath.getName)
         fs.mkdirs(liveDir)
-        dataFiles(fs, d.getPath).foreach(f =>
-          fs.rename(f, new Path(liveDir, f.getName)))
+        dataFiles(fs, d.getPath).foreach { f =>
+          val dst = new Path(liveDir, f.getName)
+          fs.rename(f, dst)
+          movedIn += dst
+        }
       }
     }
     val looseTmp = new Path(tmp, "loose")
     if (fs.exists(looseTmp))
-      dataFiles(fs, looseTmp).foreach(f => fs.rename(f, new Path(root, f.getName)))
+      dataFiles(fs, looseTmp).foreach { f =>
+        val dst = new Path(root, f.getName)
+        fs.rename(f, dst)
+        movedIn += dst
+      }
     fs.delete(tmp, true)
-    commitVersion(action, meta = meta)
+    TsTable.rewriteRaceHook("swapped", action)
+    try commitVersion(action, meta = meta, displaced = guarded)
+    catch { case e: TsTable.ConcurrentRewriteException =>
+      rollbackSwap(fs, displaced, movedIn.result()); throw e
+    }
   }
 
   /** Compact every day partition holding more than `targetFiles` data
@@ -2334,7 +2462,8 @@ final class TsTable private (
     * metadata walk `partitionStats` does, never O(rows). */
   private[graft] def commitVersion(action: String,
                                    schemaOverride: Option[StructType] = None,
-                                   meta: Map[String, String] = Map.empty): Long = {
+                                   meta: Map[String, String] = Map.empty,
+                                   displaced: Seq[(String, Long)] = Seq.empty): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // CAS-retry loop: losing the rename race means another writer took the
@@ -2351,6 +2480,33 @@ final class TsTable private (
       val files = listLiveFiles(fs)
       val prevV = currentVersion
       next = prevV.getOrElse(0L) + 1
+      val prevM = prevV.map(v => TsTable.readManifest(spark, path, v))
+      // SEMANTIC conflict gate (rewrite verbs only — `displaced` is empty
+      // for append/DDL commits): every file this commit displaced must
+      // still be listed (path + length, the carry-forward identity) by
+      // the manifest this commit REPLACES. A miss means another writer
+      // committed a version without our planned input between our
+      // discovery and this commit — the Delta ConcurrentDeleteRead class:
+      // committing anyway would resurrect rows the other writer rewrote
+      // away, or bury its rewrite under our replacement files. The CAS
+      // rename serializes commits, so a lost race retries this loop,
+      // re-reads the WINNER's manifest, and the gate re-judges against it
+      // — the membership test is atomic with the commit. Callers exempt
+      // files no manifest had captured at plan time (freshly-attached
+      // loose files — nothing to membership-test); a pre-snapshot table
+      // (no manifest at all) skips the gate entirely.
+      if (displaced.nonEmpty) prevM.foreach { pm =>
+        val committed = pm.files.toMap
+        val lost = displaced.filterNot { case (p, l) =>
+          committed.get(p).contains(l) }
+        if (lost.nonEmpty)
+          throw new TsTable.ConcurrentRewriteException(
+            s"$action: concurrent rewrite conflict — version ${pm.version} " +
+              s"no longer lists ${lost.size} of this rewrite's planned " +
+              s"input file(s) (first: ${lost.head._1}); another writer " +
+              "displaced them after this verb's discovery. Retry the verb " +
+              "on a fresh handle to re-plan against the winner's state.")
+      }
       // Per-file ts spans: carry forward unchanged files' spans from the
       // previous manifest (path + length match — UUID part names make a
       // same-name-different-bytes collision a corruption signal, not a
@@ -2359,8 +2515,7 @@ final class TsTable private (
       // pages — the skip index stays cheap even at a 100 TB table size.
       val declaredBlooms = writeOptions.bloomCols
         .filter(storedSchema.fieldNames.contains).toSet
-      val (carried, carriedCols, carriedBlooms) = prevV.map { v =>
-        val pm = TsTable.readManifest(spark, path, v)
+      val (carried, carriedCols, carriedBlooms) = prevM.map { pm =>
         val prevLen = pm.files.toMap
         val nowLen = files.toMap
         def same(p: String) = nowLen.get(p).exists(l => prevLen.get(p).contains(l))
@@ -2375,7 +2530,7 @@ final class TsTable private (
         // a genuine re-harvest (the declareIndexing contract).
         val pb =
           if (writeOptions.bloomCols.isEmpty) TsTable.NoBlooms
-          else TsTable.readBloomSidecar(fs, path, v)
+          else TsTable.readBloomSidecar(fs, path, pm.version)
             .filter { case (p, _) => same(p) }
             .map { case (p, cols) =>
               p -> cols.filter { case (c, _) => declaredBlooms.contains(c) } }
@@ -3011,6 +3166,42 @@ object TsTable {
     ShortType -> Set[DataType](IntegerType, LongType, DoubleType),
     IntegerType -> Set[DataType](LongType, DoubleType),
     FloatType -> Set[DataType](DoubleType))
+
+  /** True when `from -> to` is a lossless widening [[TsTable.widenColumn]]
+    * accepts: the static primitive ladder, plus DECIMAL precision growth
+    * at the SAME scale — `decimal(p,s) -> decimal(p+k,s)` embeds every
+    * value exactly (the common money-column evolution), and Spark 4's
+    * parquet reader promotes the narrow physical encoding (INT32/INT64/
+    * BINARY decimals) to the wider declared type. Scale changes are NOT
+    * widenings: they change the physical integer representation, which
+    * reader-side promotion cannot re-derive. */
+  private[ts] def canWiden(from: DataType, to: DataType): Boolean =
+    WidenLadder.get(from).exists(_.contains(to)) || ((from, to) match {
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    })
+
+  /** A REWRITE verb (deleteWhere / updateWhere / mergeInto / compact /
+    * migrate) lost a semantic race: between its input discovery and its
+    * commit, another writer committed a version that no longer lists some
+    * file this rewrite displaced — proceeding would resurrect rows the
+    * winner rewrote away, or bury its rewrite under this verb's
+    * replacement files. The losing verb has ALREADY rolled its physical
+    * changes back (staged output dropped, archived inputs restored live),
+    * so the table equals the winner's committed state. RETRYABLE by
+    * construction: re-invoke the same verb on a fresh handle and it
+    * re-plans against the winner. */
+  final class ConcurrentRewriteException(msg: String)
+    extends RuntimeException(msg)
+
+  /** TEST SEAM (RewriteConflictSpec): invoked by every rewrite verb at
+    * "staged" (replacement files written to the invisible temp, nothing
+    * live touched) and "swapped" (live swap done, commit pending) with
+    * the verb's action name — the two windows a concurrent writer's
+    * commit must be detected in. Global because stale-handle delegation
+    * re-opens handles internally; a no-op outside tests. */
+  private[graft] var rewriteRaceHook: (String, String) => Unit = (_, _) => ()
 
   /** The facade's parquet reader — archive-resolving + foreign-file
     * name-fallback (see ArchiveResolvingParquetFileFormat). */

@@ -1,0 +1,182 @@
+package graft.ts
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic conflict detection between concurrent REWRITE verbs (the
+  * Delta ConcurrentDeleteRead class): two rewrites racing on overlapping
+  * files must produce one winner and one LOUD retryable conflict — never
+  * a silently-committed manifest that resurrects the winner's deleted
+  * rows or buries its rewrite. Interleavings are driven deterministically
+  * through `TsTable.rewriteRaceHook` (the two windows: "staged" = staging
+  * done, nothing live touched; "swapped" = live swap done, commit
+  * pending), so every case asserts the exact gate that must fire:
+  * pre-swap liveness, or the commit-CAS manifest-membership gate plus
+  * physical rollback. A concurrent APPEND is the negative control — no
+  * conflict, and its file must survive the compact swap untouched. */
+class RewriteConflictSpec extends graft.SparkSpec {
+
+  private def rows(h0: Int, h1: Int): DataFrame = {
+    import spark.implicits._
+    (h0 until h1).flatMap(h => (0 until 10).map(m =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00"),
+        (h * 100 + m).toLong)))
+      .toDF("ts", "v")
+  }
+
+  /** One day, TWO files: hours 0-5 then hours 6-11 (two monotonic
+    * appends) — so one verb can plan inputs another verb displaces. */
+  private def freshTable(): (String, TsTable) = {
+    val dir = java.nio.file.Files.createTempDirectory("rewrite_conflict").toString
+    val df1 = rows(0, 6)
+    val t = TsTable.create(spark, dir, df1.schema, tsCol = "ts")
+    t.append(df1)
+    t.append(rows(6, 12))
+    (dir, t)
+  }
+
+  /** Arm the race hook for ONE firing at (phase, action), run `f`, always
+    * disarm — the hook is global (stale-handle delegation re-opens
+    * handles), so the one-shot guard also keeps the verb run INSIDE the
+    * hook from re-entering it. */
+  private def withHook(phase: String, action: String)(body: => Unit)(
+      f: => Unit): Unit = {
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    TsTable.rewriteRaceHook = (p, a) =>
+      if (p == phase && a == action && fired.compareAndSet(false, true)) body
+    try { f; assert(fired.get(), s"race hook never fired at ($phase, $action)") }
+    finally TsTable.rewriteRaceHook = (_, _) => ()
+  }
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("pre-swap gate: deleteWhere staged, concurrent compact wins — loud " +
+      "retryable conflict, staging dropped, table equals the winner alone, " +
+      "retry lands both") {
+    val (dir, t) = freshTable()
+    val total = t.toDF.count()
+    val tB = TsTable.open(spark, dir)
+    withHook("staged", "delete") { assert(tB.compactAll(1).nonEmpty) } {
+      val e = intercept[TsTable.ConcurrentRewriteException] {
+        t.deleteWhere(col("v") % 2 === 0)
+      }
+      assert(e.getMessage.contains("displaced"), e.getMessage)
+    }
+    // winner alone: compaction preserves every row, the delete never landed
+    assert(TsTable.open(spark, dir).toDF.count() == total)
+    assert(t.snapshotVersions.last._2 == "compact")
+    assert(!fs(dir).exists(new Path(dir, "_delete_tmp")),
+      "loser's staging temp must be dropped")
+    // retry re-plans against the winner's layout and lands: serial both
+    val deleted = TsTable.open(spark, dir).deleteWhere(col("v") % 2 === 0)
+    assert(deleted > 0)
+    val healed = TsTable.open(spark, dir)
+    assert(healed.toDF.count() == total - deleted)
+    assert(healed.snapshotVersions.last._2 == "delete")
+  }
+
+  test("pre-swap gate, reversed: compact staged, concurrent deleteWhere " +
+      "wins — compact conflicts loudly, temp dropped, retry compacts the " +
+      "winner's layout") {
+    val (dir, t) = freshTable()
+    val total = t.toDF.count()
+    val tB = TsTable.open(spark, dir)
+    var del = -1L
+    // the delete hits only the FIRST file's rows, so the day still holds
+    // two files afterwards and the compact retry has real work
+    val pred = col("ts") < lit("2024-01-01 06:00:00").cast("timestamp") &&
+      col("v") % 3 === 0
+    withHook("staged", "compact") { del = tB.deleteWhere(pred) } {
+      intercept[TsTable.ConcurrentRewriteException] { t.compactAll(1) }
+    }
+    assert(del > 0)
+    assert(TsTable.open(spark, dir).toDF.count() == total - del)
+    assert(!fs(dir).exists(new Path(dir, "_compact_tmp_batch")),
+      "loser's staging temp must be dropped")
+    val retried = TsTable.open(spark, dir)
+    assert(retried.compactAll(1) == Seq("2024-01-01"))
+    assert(retried.toDF.count() == total - del, "compact retry lost rows")
+  }
+
+  test("commit gate + rollback: delete swapped, a second delete commits " +
+      "inside the window — loser rolls its swap back, table equals the " +
+      "winner, retry serializes both") {
+    val (dir, t) = freshTable()
+    val total = t.toDF.count()
+    val tB = TsTable.open(spark, dir)
+    val predA = col("ts") < lit("2024-01-01 06:00:00").cast("timestamp") &&
+      col("v") % 3 === 0
+    val predB = col("ts") >= lit("2024-01-01 06:00:00").cast("timestamp") &&
+      col("v") % 2 === 0
+    var bDeleted = -1L
+    withHook("swapped", "delete") { bDeleted = tB.deleteWhere(predB) } {
+      val e = intercept[TsTable.ConcurrentRewriteException] {
+        t.deleteWhere(predA)
+      }
+      assert(e.getMessage.contains("concurrent rewrite conflict"), e.getMessage)
+    }
+    assert(bDeleted > 0)
+    // rollback: A's replacement file deleted, A's archived input restored
+    // live — the table equals the winner's committed state exactly
+    val afterConflict = TsTable.open(spark, dir)
+    assert(afterConflict.toDF.count() == total - bDeleted,
+      "loser's rollback must leave exactly the winner's state")
+    assert(afterConflict.toDF.where(predA).count() > 0,
+      "the loser's deletions must NOT have landed")
+    // retry serializes: final state = serial execution of both deletes
+    val aDeleted = afterConflict.deleteWhere(predA)
+    assert(aDeleted > 0)
+    val healed = TsTable.open(spark, dir)
+    assert(healed.toDF.count() == total - bDeleted - aDeleted)
+    assert(healed.toDF.where(predA || predB).count() == 0)
+    // the healing commit re-listed the live truth: a fresh read through
+    // the CURRENT manifest's span index serves every surviving row
+    assert(healed.readRange(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 23:59:59")).count() ==
+      total - bDeleted - aDeleted)
+  }
+
+  test("negative control: a concurrent append is NO conflict — compact " +
+      "proceeds, the appended file survives the swap, no rows lost or " +
+      "duplicated") {
+    val (dir, t) = freshTable()
+    val total = t.toDF.count()
+    val tB = TsTable.open(spark, dir)
+    var appended = -1L
+    withHook("staged", "compact") {
+      val df = rows(12, 14); appended = df.count(); tB.append(df)
+    } {
+      assert(t.compactAll(1) == Seq("2024-01-01"))
+    }
+    assert(appended > 0)
+    val after = TsTable.open(spark, dir)
+    assert(after.toDF.count() == total + appended,
+      "append raced into a compact window must lose no rows and gain no dupes")
+    // exactly two live files: the compacted output + the appended file —
+    // compact archived EXACTLY its planned inputs, not a fresh listing
+    val dayDir = new Path(dir, "p_date=2024-01-01")
+    val live = fs(dir).listStatus(dayDir).filter(_.isFile)
+      .map(_.getPath.getName).filterNot(n => n.startsWith("_") || n.startsWith("."))
+    assert(live.length == 2, s"expected compacted + appended file, got ${live.toSeq}")
+    assert(after.toDF.where(col("ts") >= lit("2024-01-01 12:00:00")
+      .cast("timestamp")).count() == appended)
+  }
+
+  test("commitVersion displaced gate, unit: a planned input absent from " +
+      "the replaced manifest raises the retryable conflict; a matching set " +
+      "commits") {
+    val (dir, t) = freshTable()
+    val e = intercept[TsTable.ConcurrentRewriteException] {
+      t.commitVersion("gate-test",
+        displaced = Seq(("p_date=2024-01-01/bogus.parquet", 7L)))
+    }
+    assert(e.getMessage.contains("no longer lists"), e.getMessage)
+    // the real live set passes: same files, same lengths
+    val current = TsTable.readManifest(spark, dir, t.currentVersion.get).files
+    val v = t.commitVersion("gate-pass", displaced = current)
+    assert(TsTable.readManifest(spark, dir, v).action == "gate-pass")
+  }
+}
