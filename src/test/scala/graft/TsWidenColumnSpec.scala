@@ -132,6 +132,95 @@ class TsWidenColumnSpec extends SparkSpec {
     assert(wide.lookupEq("other_id", Seq(9002L)).count() == 1)
   }
 
+  test("widen decimal(9,2)->decimal(20,2) mid-history: narrow-decimal " +
+      "files promote value-identically across the INT32->bytes physical " +
+      "boundary, wide appends join, a pre-widen pin serves narrow") {
+    val dir = freshDir("decimal")
+    val decSchema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("user_id", IntegerType),
+      StructField("amount", DecimalType(9, 2))))
+    def mkDec(rows: Seq[(String, Int, String)]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        rows.map { case (ts0, u, a) =>
+          org.apache.spark.sql.Row(t(ts0), u, new java.math.BigDecimal(a)) }, 2),
+        decSchema)
+    val tab = TsTable.create(spark, dir, decSchema)
+    tab.append(mkDec(Seq(
+      ("2024-03-01 10:00:00", 1, "1234567.89"),
+      ("2024-03-01 11:00:00", 2, "-0.01"))))
+    val preWiden = tab.currentVersion.get
+    val wide = TsTable.open(spark, dir)
+      .widenColumn("amount", DecimalType(20, 2))
+    assert(wide.schema("amount").dataType == DecimalType(20, 2))
+    // a wide append exceeding the narrow precision joins the narrow files
+    wide.append(mkDec(Seq(("2024-03-02 09:00:00", 3, "0.00")))
+      .withColumn("amount",
+        lit("123456789012345678.99").cast(DecimalType(20, 2))))
+    val re = TsTable.open(spark, dir)
+    val got = re.toDF.orderBy("ts").collect()
+      .map(r => r.getDecimal(2).toPlainString).toSeq
+    assert(got == Seq("1234567.89", "-0.01", "123456789012345678.99"),
+      "narrow-decimal files must promote value-identically next to wide ones")
+    assert(re.readRange(t("2024-03-01 00:00:00"), t("2024-03-02 23:59:59"))
+      .count() == 3)
+    // the pre-widen pin serves the NARROW decimal (its own schema)
+    val pin = TsTable.openAt(spark, dir, preWiden)
+    assert(pin.schema("amount").dataType == DecimalType(9, 2))
+    assert(pin.toDF.collect().map(_.getDecimal(2).toPlainString).sorted.toSeq ==
+      Seq("-0.01", "1234567.89"))
+  }
+
+  test("a widened DECIMAL bloom column re-harvests under the wide type: " +
+      "probes prune and find narrow-era rows") {
+    val dir = freshDir("decbloom")
+    val decSchema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("amount", DecimalType(9, 2)),
+      StructField("value", FloatType)))
+    def mkDec(rows: Seq[(String, String, Float)]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        rows.map { case (ts0, a, v) =>
+          org.apache.spark.sql.Row(t(ts0), new java.math.BigDecimal(a), v) }, 2),
+        decSchema)
+    val tab = TsTable.create(spark, dir, decSchema,
+      writeOptions = TsWriteOptions(bloomCols = Seq("amount")))
+    tab.append(mkDec(Seq(("2024-03-01 10:00:00", "111.11", 1.0f))))
+    tab.append(mkDec(Seq(("2024-03-02 10:00:00", "222.22", 2.0f))))
+    val wide = TsTable.open(spark, dir)
+      .widenColumn("amount", DecimalType(20, 2))
+    assert(wide.snapshotVersions.last._2 == "indexing",
+      "the widen must re-harvest the column's bits under the wide type")
+    // probes hash decimal(20,2) now — rebuilt bits must prune AND find
+    // (compact-long vs byte-array decimals hash differently, the same
+    // trap as int/long)
+    val cands = wide.bloomCandidateFiles("amount",
+      Seq(new java.math.BigDecimal("222.22")))
+    assert(cands.isDefined && cands.get.length == 1 &&
+      cands.get.head.startsWith("p_date=2024-03-02/"),
+      s"post-widen probe must prune to the owning file, got $cands")
+    assert(wide.lookupEq("amount",
+      Seq(new java.math.BigDecimal("111.11"))).count() == 1,
+      "narrow-era row lost: stale narrow-type bits were carried forward")
+    assert(wide.bloomCandidateFiles("amount",
+      Seq(new java.math.BigDecimal("999.99"))).get.isEmpty)
+  }
+
+  test("decimal refusals: scale change, precision shrink, and " +
+      "cross-family moves are not widenings") {
+    val dir = freshDir("decrefuse")
+    val tab = TsTable.create(spark, dir, StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("amount", DecimalType(9, 2)))))
+    val e1 = intercept[IllegalArgumentException](
+      tab.widenColumn("amount", DecimalType(12, 4)))
+    assert(e1.getMessage.contains("not a"), e1.getMessage)
+    intercept[IllegalArgumentException](
+      tab.widenColumn("amount", DecimalType(7, 2)))
+    intercept[IllegalArgumentException](
+      tab.widenColumn("amount", DoubleType))
+  }
+
   test("refusals: lossy long->double, narrowing, unknown column, the ts axis") {
     val dir = freshDir("refuse")
     val tab = TsTable.create(spark, dir, StructType(Seq(
