@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -115,6 +116,36 @@ object Bench {
     // mistaken for a single cold pass.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
+    // ── Calibration probe ────────────────────────────────────────────────
+    // This host's throughput drifts ±30-50% across hours on identical code
+    // (r13, r17→r18), so raw cross-round totals conflate code changes with
+    // environment. The probe is a FIXED synthetic workload with zero
+    // TsTable/custom-format dependence — a pinned-size in-memory hash
+    // aggregate (CPU + shuffle-free codegen path) plus one full-decode
+    // fixture-parquet scan (file-open + decode path) — measured min-of-3
+    // with the same settle discipline as the queries and recorded as
+    // "calibration_sec" in both JSON lines. Cross-round comparisons divide
+    // each key by its run's calibration (tools/bench_diff.py), so host
+    // drift cancels and only genuine plan/code movement remains. The
+    // work is constant (64 fixed slices, fixed row count) regardless of
+    // SPARK_GRAFT_CPUS: a slower/busier host yields a proportionally
+    // larger calibration, which is exactly the point.
+    def calibrationProbe(): Unit = {
+      // double sums: an int64 sum of 48M hashes overflows under ANSI
+      spark.range(0, 96000000L, 1, 64)
+        .select(sum(xxhash64(col("id") * 2 + 1).cast("double")).as("h"))
+        .collect()
+      val li = spark.read.parquet(s"$warmDir/lineitem.parquet")
+      li.select(sum(xxhash64(li.columns.map(col).toSeq: _*).cast("double")).as("h"))
+        .collect()
+    }
+    calibrationProbe() // plan/codegen warm-up, outside the measured min
+    val calibration = (1 to 3).map { _ =>
+      settle()
+      val t0 = System.nanoTime()
+      calibrationProbe()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
     // A failed rep records +inf, NOT its truncated wall time — otherwise
     // min() would report a fast-crash (0.1 s exception) as the query's
@@ -149,7 +180,7 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errs.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val subset = if (only.isDefined) "\"subset\":true," else ""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subset"reps":$reps,"agg":"min","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subset"reps":$reps,"agg":"min","calibration_sec":${f3(calibration)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     // The per-query line grows with the registry (~25 B/query) and at 86
     // keys outgrew the ~2 kB output tail the driver archives — BENCH_r10
     // lost the line's HEAD, i.e. the "total" gate metric itself. Emit a
@@ -159,7 +190,7 @@ object Bench {
     // aggregating the full output by metric name never double-counts the
     // total — the marker flag is informative, not load-bearing.
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec",$subset"summary":true,"reps":$reps,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec",$subset"summary":true,"reps":$reps,"agg":"min","calibration_sec":${f3(calibration)},"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

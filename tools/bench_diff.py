@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Diff two graft.Bench artifacts in CALIBRATED units.
+
+Usage: python3 tools/bench_diff.py OLD.json NEW.json [--threshold 1.3]
+                                   [--abs-ms 150]
+
+Each artifact is the bench's stdout (or a saved BENCH_r*_local.json): the
+line carrying "queries" is parsed; "calibration_sec" (present since r19)
+normalizes per-key times so host-throughput drift divides out. A key's
+calibrated time is key_sec / calibration_sec (dimensionless multiples of
+the fixed probe workload); the mover test is the project's standing rule
+— ratio > threshold AND absolute growth > abs-ms, both measured in the
+OLD run's seconds (calibrated delta re-scaled by the OLD calibration), so
+"+150 ms" keeps meaning wall-clock milliseconds of the baseline round.
+Artifacts without calibration_sec (pre-r19) fall back to 1.0 and the
+report is marked UNCALIBRATED — interpret cross-round totals as
+environment samples, per the r13/r17 bench notes.
+"""
+import json
+import sys
+
+
+def load(path):
+    best = None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or '"queries"' not in line:
+                continue
+            # artifacts may embed the JSON line inside driver log noise
+            start = line.find('{"metric"')
+            if start < 0:
+                continue
+            try:
+                rec = json.loads(line[start:])
+            except json.JSONDecodeError:
+                continue
+            if "queries" in rec:
+                best = rec
+    if best is None:
+        sys.exit(f"error: no line with a \"queries\" record in {path}")
+    return best
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {a.split("=")[0]: a.split("=", 1)[1] if "=" in a else None
+            for a in sys.argv[1:] if a.startswith("--")}
+    if len(args) != 2:
+        sys.exit(__doc__)
+    threshold = float(opts.get("--threshold") or 1.3)
+    abs_s = float(opts.get("--abs-ms") or 150) / 1000.0
+    old, new = load(args[0]), load(args[1])
+    cal_o = old.get("calibration_sec")
+    cal_n = new.get("calibration_sec")
+    calibrated = cal_o is not None and cal_n is not None
+    co = cal_o if calibrated else 1.0
+    cn = cal_n if calibrated else 1.0
+    qo, qn = old["queries"], new["queries"]
+    common = sorted(set(qo) & set(qn))
+    only_o = sorted(set(qo) - set(qn))
+    only_n = sorted(set(qn) - set(qo))
+
+    print(f"mode: {'CALIBRATED' if calibrated else 'UNCALIBRATED (missing calibration_sec)'}")
+    if calibrated:
+        print(f"calibration: old={cal_o:.3f}s new={cal_n:.3f}s "
+              f"(host drift x{cal_n / cal_o:.3f})")
+    sum_o = sum(qo[k] for k in common if qo[k] >= 0)
+    sum_n = sum(qn[k] for k in common if qn[k] >= 0)
+    print(f"common keys: {len(common)}  raw totals: {sum_o:.2f}s -> {sum_n:.2f}s "
+          f"(x{sum_n / sum_o:.3f})" if sum_o else "")
+    if calibrated and sum_o:
+        print(f"calibrated totals: {sum_o / co:.2f} -> {sum_n / cn:.2f} probe-units "
+              f"(x{(sum_n / cn) / (sum_o / co):.3f})")
+
+    movers = []
+    for k in common:
+        to, tn = qo[k], qn[k]
+        if to < 0 or tn < 0:
+            movers.append((float("inf"), k, to, tn, "FAILED in one run"))
+            continue
+        co_t, cn_t = to / co, tn / cn
+        if co_t <= 0:
+            continue
+        ratio = cn_t / co_t
+        # absolute growth re-scaled into the OLD run's wall-clock seconds
+        delta_old_s = (cn_t - co_t) * co
+        if ratio > threshold and delta_old_s > abs_s:
+            movers.append((ratio, k, to, tn,
+                           f"x{ratio:.2f} (+{delta_old_s * 1000:.0f} ms cal.)"))
+        elif 1.0 / ratio > threshold and -delta_old_s > abs_s:
+            movers.append((ratio, k, to, tn,
+                           f"x{ratio:.2f} ({delta_old_s * 1000:.0f} ms cal.)"))
+    movers.sort(key=lambda m: -abs(m[0] - 1.0) if m[0] != float("inf") else -1e9)
+    if movers:
+        print(f"\nmovers (ratio > {threshold} and |delta| > {abs_s * 1000:.0f} ms, calibrated):")
+        for _, k, to, tn, note in movers:
+            print(f"  {k}: {to:.3f}s -> {tn:.3f}s  {note}")
+    else:
+        print(f"\nno movers past ratio {threshold} + {abs_s * 1000:.0f} ms (calibrated)")
+    if only_o:
+        print(f"\nremoved keys: {', '.join(only_o)}")
+    if only_n:
+        print(f"added keys: {', '.join(only_n)}")
+
+
+if __name__ == "__main__":
+    main()
