@@ -494,8 +494,8 @@ object TimeSeriesPack extends QueryPack {
 
   /** B1+ incrementally-synced rollup (`TsRollup.sync` — the materialized
     * hourly aggregate a dashboard serves instead of raw events): the
-    * source lands in THREE appends with a sync after each — the second
-    * cut splits an hour bucket, so the partial-bucket recompute path
+    * source lands in TWO appends with a sync after each — the cut splits
+    * an hour bucket, so the partial-bucket recompute path
     * runs, and each sync's read is bounded by the changed span (cursor in
     * the rollup's own commit log, changesBetween + mergeInto underneath).
     * The final rollup must hash-match the full per-hour aggregate
@@ -505,16 +505,17 @@ object TimeSeriesPack extends QueryPack {
   def rollupRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val store = StoreDirs.scratch(s, s"graft_tsroll_src_${StoreDirs.pathKey(dir)}")
     val roll = StoreDirs.scratch(s, s"graft_tsroll_dst_${StoreDirs.pathKey(dir)}")
-    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    // two days and two appends carry the whole story — the cut splits an
+    // hour bucket mid-way (partial-bucket recompute arm) and the second
+    // sync is incremental (cursor arm); more days/syncs only fatten the
+    // per-rep store build the bench pays, the q_ts_hour_compact trim rule
+    val hi = lit("2024-01-03 00:00:00").cast("timestamp")
     val ev = Tables.events(s, dir).where(col("ts") < hi)
     val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
-    val cut1 = lit("2024-01-02 12:30:00").cast("timestamp") // mid-bucket
-    val cut2 = lit("2024-01-03 12:30:00").cast("timestamp")
+    val cut1 = lit("2024-01-01 12:30:00").cast("timestamp") // mid-bucket
     t.append(ev.where(col("ts") < cut1))
     TsRollup.sync(t, roll, 3600L, "value")
-    t.append(ev.where(col("ts") >= cut1 && col("ts") < cut2))
-    TsRollup.sync(t, roll, 3600L, "value")
-    t.append(ev.where(col("ts") >= cut2))
+    t.append(ev.where(col("ts") >= cut1))
     TsRollup.sync(t, roll, 3600L, "value")
     TsTable.open(s, roll).toDF
       .select(unix_micros(col("ts")).as("ts_us"), col("n_rows"),
@@ -534,19 +535,21 @@ object TimeSeriesPack extends QueryPack {
   def rollupDmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val store = StoreDirs.scratch(s, s"graft_tsrolldml_src_${StoreDirs.pathKey(dir)}")
     val roll = StoreDirs.scratch(s, s"graft_tsrolldml_dst_${StoreDirs.pathKey(dir)}")
-    val hi = lit("2024-01-05 00:00:00").cast("timestamp")
+    // two days keep every lifecycle arm (append-sync, rewrite-sync via a
+    // cross-day DELETE, partial-day UPDATE) at half the store-build cost
+    val hi = lit("2024-01-03 00:00:00").cast("timestamp")
     val ev = Tables.events(s, dir).where(col("ts") < hi)
     val t = TsTable.create(s, store, ev.schema, tsCol = "ts")
-    val cut = lit("2024-01-02 12:30:00").cast("timestamp") // mid-bucket
+    val cut = lit("2024-01-01 12:30:00").cast("timestamp") // mid-bucket
     t.append(ev.where(col("ts") < cut))
     TsRollup.sync(t, roll, 3600L, "value")
     t.append(ev.where(col("ts") >= cut))
     TsRollup.sync(t, roll, 3600L, "value")
     t.deleteWhere(col("user_id") % 7 === 3 &&
-      col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
-      col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"))
+      col("ts") >= lit("2024-01-01 12:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-01-02 12:00:00").cast("timestamp"))
     t.updateWhere(col("user_id") % 5 === 1 &&
-        col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"),
+        col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"),
       Map("value" -> (col("value") * 2)))
     TsRollup.sync(t, roll, 3600L, "value")
     TsTable.open(s, roll).toDF
@@ -2136,7 +2139,7 @@ object TimeSeriesPack extends QueryPack {
         |  count(*) AS n_rows, min(value) AS v_min, max(value) AS v_max,
         |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v_sum
         |FROM events
-        |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+        |WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-03 00:00:00'
         |GROUP BY 1 ORDER BY ts_us""".stripMargin,
     // After the DML sync the rollup equals the hourly aggregate of the
     // final state: survivors of the delete, with the update's doubling
@@ -2146,14 +2149,14 @@ object TimeSeriesPack extends QueryPack {
       """WITH base AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts, value
         |  FROM events
-        |  WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-05 00:00:00'
+        |  WHERE date_trunc('microseconds', ts) < TIMESTAMP '2024-01-03 00:00:00'
         |), surv AS (
         |  SELECT user_id, ts,
-        |    CASE WHEN user_id % 5 = 1 AND ts < TIMESTAMP '2024-01-03 00:00:00'
+        |    CASE WHEN user_id % 5 = 1 AND ts < TIMESTAMP '2024-01-02 00:00:00'
         |      THEN value * 2 ELSE value END AS value
         |  FROM base
-        |  WHERE NOT (user_id % 7 = 3 AND ts >= TIMESTAMP '2024-01-02 00:00:00'
-        |    AND ts < TIMESTAMP '2024-01-04 00:00:00')
+        |  WHERE NOT (user_id % 7 = 3 AND ts >= TIMESTAMP '2024-01-01 12:00:00'
+        |    AND ts < TIMESTAMP '2024-01-02 12:00:00')
         |)
         |SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ts_us,
         |  count(*) AS n_rows, min(value) AS v_min, max(value) AS v_max,
