@@ -2237,18 +2237,18 @@ final class TsTable private (
     val target = snap.manifestFiles.map(_._1).toSet
     // resolve BEFORE mutating the live tree (validates sizes too)
     val resolved = snap.resolvedFiles
-    // 1. retire live files the target state does not contain
-    val liveNow = {
-      val rootFiles = fs.listStatus(root).iterator
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-        .map(_.getPath.getName).toSeq
-      rootFiles ++ partitionDates.flatMap { d =>
-        dataFiles(fs, new Path(root, s"$PartCol=$d"))
-          .map(f => s"$PartCol=$d/${f.getName}")
-      }
-    }
-    liveNow.filterNot(target.contains).foreach(archiveFile(fs, _))
+    // 1. retire live files the target state does not contain. The retired
+    // set is the restore's DISPLACED set for the commit conflict gate:
+    // restore races rewrite verbs like any of them, but has no physical
+    // rollback — it is CONVERGENT instead (re-running restore(v) enforces
+    // the target state, deliberately overriding the racing writer: that
+    // is the verb's declared semantic, and the user's call to make).
+    val retired = listLiveFiles(fs).filterNot { case (p, _) => target.contains(p) }
+    val guarded = currentVersion.map { v =>
+      val cm = TsTable.readManifest(spark, path, v).files.toMap
+      retired.filter { case (p, l) => cm.get(p).contains(l) }
+    }.getOrElse(Seq.empty[(String, Long)])
+    retired.foreach { case (p, _) => archiveFile(fs, p) }
     // 2. copy displaced target files back from the archive — executor-side
     // and parallel (see scaladoc cost model): the displaced list after a
     // big compaction can approach the whole table, and FileUtil.copy on
@@ -2299,9 +2299,10 @@ final class TsTable private (
     // Bloom bits under the pre-restore narrowing, leaving the resurrected
     // column declared in the descriptor but index-blind until the commit
     // after next
+    TsTable.rewriteRaceHook("swapped", "restore")
     new TsTable(spark, path, snap.tsCol, snap.schema, restoredOpts,
       tableChecks, restoredDropped, restoredNext)
-      .commitVersion("restore", Some(snap.schema))
+      .commitVersion("restore", Some(snap.schema), displaced = guarded)
   }
 
   /** Write options consistent with a restore/clone to `snap`'s schema.
@@ -3191,7 +3192,12 @@ object TsTable {
     * changes back (staged output dropped, archived inputs restored live),
     * so the table equals the winner's committed state. RETRYABLE by
     * construction: re-invoke the same verb on a fresh handle and it
-    * re-plans against the winner. */
+    * re-plans against the winner. One exception: a conflicted `restore`
+    * does not roll back — it is CONVERGENT instead: re-running
+    * `restore(v)` enforces the target state (deliberately overriding the
+    * racing writer, the verb's declared semantic), so recovery is the
+    * user's explicit choice between re-running and inspecting the
+    * winner's version first. */
   final class ConcurrentRewriteException(msg: String)
     extends RuntimeException(msg)
 

@@ -168,6 +168,27 @@ class GraftTsProceduresSpec extends SparkSpec {
       s"ALTER TABLE graft_ts.`$dir` ALTER COLUMN user_id TYPE DOUBLE"))
   }
 
+  test("ALTER COLUMN TYPE DECIMAL: precision growth at the same scale " +
+      "widens through SQL; a scale change refuses") {
+    val dir = freshDir()
+    val narrow = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("amount", org.apache.spark.sql.types.DecimalType(9, 2))))
+    val t = TsTable.create(spark, dir, narrow)
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        Timestamp.valueOf("2024-03-01 10:00:00"),
+        new java.math.BigDecimal("1234567.89"))), 1), narrow))
+    spark.sql(s"ALTER TABLE graft_ts.`$dir` ALTER COLUMN amount TYPE DECIMAL(20,2)")
+    val r = spark.sql(s"SELECT amount FROM graft_ts.`$dir`").head
+    assert(r.getDecimal(0).toPlainString == "1234567.89",
+      "the narrow-decimal file must promote value-identically through SQL")
+    assert(TsTable.open(spark, dir).schema("amount").dataType ==
+      org.apache.spark.sql.types.DecimalType(20, 2))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_ts.`$dir` ALTER COLUMN amount TYPE DECIMAL(24,4)"))
+  }
+
   test("CALL detail reports the one-row table summary, metadata-only") {
     val dir = freshDir()
     val t = TsTable.create(spark, dir, schema,

@@ -165,6 +165,38 @@ class RewriteConflictSpec extends graft.SparkSpec {
       .cast("timestamp")).count() == appended)
   }
 
+  test("restore races a rewrite: loud conflict at commit, and re-running " +
+      "restore CONVERGES to the target state (overriding the racing " +
+      "writer — the verb's declared semantic)") {
+    val dir = java.nio.file.Files.createTempDirectory("restore_conflict").toString
+    val df1 = rows(0, 6)
+    val t = TsTable.create(spark, dir, df1.schema, tsCol = "ts")
+    t.append(df1)                       // f1 — the target state
+    val targetV = t.currentVersion.get
+    val targetRows = t.toDF.count()
+    t.append(rows(6, 12))               // f2 — to be retired by the restore
+    val tB = TsTable.open(spark, dir)
+    // B's delete hits rows the restore KEEPS (f1), committing inside the
+    // restore's retire→commit window — the restore's retired file (f2) is
+    // then absent from the manifest its commit would replace
+    val predB = col("ts") < lit("2024-01-01 06:00:00").cast("timestamp") &&
+      col("v") % 2 === 0
+    var bDeleted = -1L
+    withHook("swapped", "restore") { bDeleted = tB.deleteWhere(predB) } {
+      intercept[TsTable.ConcurrentRewriteException] { t.restore(targetV) }
+    }
+    assert(bDeleted > 0)
+    // no rollback for restore: recovery is the user's call. Re-running
+    // converges to EXACTLY the target version's state, overriding B.
+    val v2 = TsTable.open(spark, dir).restore(targetV)
+    val healed = TsTable.open(spark, dir)
+    assert(healed.currentVersion.contains(v2))
+    assert(healed.toDF.count() == targetRows,
+      "re-run restore must serve exactly the target version's rows")
+    assert(healed.toDF.where(predB).count() > 0,
+      "the racing delete is deliberately overridden by the restore")
+  }
+
   test("commitVersion displaced gate, unit: a planned input absent from " +
       "the replaced manifest raises the retryable conflict; a matching set " +
       "commits") {

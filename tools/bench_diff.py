@@ -21,6 +21,16 @@ import sys
 
 
 def load(path):
+    # saved BENCH_r*_local.json artifacts are pretty-printed whole-file
+    # JSON; raw bench stdout is one record per line amid log noise
+    with open(path) as f:
+        text = f.read()
+    try:
+        rec = json.loads(text)
+        if "queries" in rec:
+            return rec
+    except json.JSONDecodeError:
+        pass
     best = None
     with open(path) as f:
         for line in f:
