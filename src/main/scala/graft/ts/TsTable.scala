@@ -839,11 +839,13 @@ final class TsTable private (
     * copy-on-write rewrite (the deleteWhere/updateWhere machinery with an
     * identity projection and the id-stamped writer) of exactly the live
     * files whose footers carry no field ids, committing a "migrate"
-    * version. The change feed treats it like any rewrite verb (file-diff
-    * reconstruction): a pure legacy upgrade cancels to zero emitted rows,
-    * while a migrate folding an ATTACHED foreign file into the governed
-    * store emits the attachment's rows as inserts — the first commit
-    * that can attribute them. Covers both refusal arms:
+    * version. Attachments no manifest has captured yet are first folded
+    * in by one listing "checkpoint" commit (the rewrite conflict gate
+    * refuses unmanifested dated inputs, and that checkpoint is then the
+    * first commit attributing the attachment's rows — the change feed
+    * emits them there); the migrate rewrite itself is content-preserving
+    * and cancels to zero emitted rows under file-diff reconstruction.
+    * Covers both refusal arms:
     *
     *   - a pre-field-id table (created before id stamping, or opened over
     *     an attached plain parquet dir): the descriptor schema is stamped
@@ -895,6 +897,19 @@ final class TsTable private (
       // pre-id descriptor) still needs its pinnable "migrate" version
       if (target ne this) target.commitVersion("migrate", Some(target.schema))
       return 0
+    }
+    // Attached foreign files typically postdate the last commit, and the
+    // rewrite conflict gate refuses to rewrite a dated file no manifest
+    // lists (guardDisplaced — indistinguishable from another rewrite's
+    // in-flight transient). Folding attachments in is exactly this verb's
+    // job, so capture them first with one listing checkpoint — which is
+    // then also the first commit attributing the attachment's rows to the
+    // governed history (the change feed emits them there; the identity
+    // rewrite below cancels to zero rows, like any migrate).
+    target.currentVersion.foreach { v =>
+      val cm = TsTable.readManifest(spark, path, v).files.toMap
+      if (idless.exists(r => r.contains("/") && !cm.contains(r)))
+        target.commitVersion("checkpoint")
     }
     target.cowExec(idless, "migrate", filesPerDay,
       inserts = None, insertDays = 0)(identity)
@@ -1289,8 +1304,19 @@ final class TsTable private (
     val hourly = cluster.isEmpty && writeOptions.fileSpan == "hour"
     val hourPressure: Map[String, Int] =
       if (hourly) manifestHourPressure() else Map.empty
+    // ONE listing pass serves both the skip filter and the displaced
+    // capture (object-store listings are the expensive metadata op here)
+    val dayFiles: Map[String, Seq[(String, Long)]] =
+      dates.distinct.sorted.map { d =>
+        val dir = new Path(root, s"$PartCol=$d")
+        d -> (if (!fs.exists(dir)) Seq.empty[(String, Long)]
+        else fs.listStatus(dir).iterator
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => (s"$PartCol=$d/${st.getPath.getName}", st.getLen))
+          .toSeq)
+      }.toMap
     val hit = dates.distinct.sorted.filter { d =>
-      val dir = new Path(root, s"$PartCol=$d")
       // bin-packing skips days already at target (for hourly tables: no
       // single hour bucket covered by more than targetFiles files, per the
       // manifest's exact spans — comparing TOTAL files to total covered
@@ -1298,13 +1324,11 @@ final class TsTable private (
       // forever; a span-less file makes the day qualify, and the rewrite
       // restores its span); RE-CLUSTERING is a re-sort, so any existing
       // day qualifies regardless of file count
-      fs.exists(dir) && {
-        val n = dataFiles(fs, dir).length
-        if (cluster.nonEmpty) n > 0
-        else if (hourly)
-          n > 0 && hourPressure.getOrElse(d, Int.MaxValue) > targetFiles
-        else n > targetFiles
-      }
+      val n = dayFiles(d).length
+      if (cluster.nonEmpty) n > 0
+      else if (hourly)
+        n > 0 && hourPressure.getOrElse(d, Int.MaxValue) > targetFiles
+      else n > targetFiles
     }
     if (hit.isEmpty) return Seq.empty
     // Plan-time displaced capture — the rewrite conflict gate's identity
@@ -1315,11 +1339,8 @@ final class TsTable private (
     // compact touches only what it planned, and the conflict gates
     // (pre-swap liveness + commit-time manifest membership) judge exactly
     // that set.
-    val (displaced, guarded) = captureDisplaced(fs,
-      hit.flatMap { d =>
-        dataFiles(fs, new Path(root, s"$PartCol=$d"))
-          .map(p => s"$PartCol=$d/${p.getName}")
-      }, "compact")
+    val displaced = hit.flatMap(dayFiles)
+    val (guarded, planV) = guardDisplaced(displaced, "compact")
     // Same µs-instant encoding rationale as appendValidated.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val tmp = new Path(root, "_compact_tmp_batch")
@@ -1401,23 +1422,33 @@ final class TsTable private (
     // swap: archive EXACTLY the planned inputs (never a fresh listing — a
     // concurrent append's new file must stay live), then move the
     // rewritten files in, recording each move for the conflict rollback
-    displaced.foreach { case (rel, _) => archiveFile(fs, rel) }
-    val movedIn = Seq.newBuilder[Path]
+    try displaced.foreach { case (rel, _) => archiveFile(fs, rel) }
+    catch { case _: java.io.FileNotFoundException =>
+      rollbackSwap(fs, displaced, Seq.empty)
+      fs.delete(tmp, true)
+      throw new TsTable.ConcurrentRewriteException(
+        "compact: a planned input vanished while archiving (concurrent " +
+          "rewrite); swap rolled back, staged output dropped — retry on a " +
+          "fresh handle")
+    }
+    val movedIn = Seq.newBuilder[String]
     hit.foreach { d =>
       val partDir = new Path(root, s"$PartCol=$d")
       val tmpDay = new Path(tmp, s"$PartCol=$d")
       if (fs.exists(tmpDay))
         dataFiles(fs, tmpDay).foreach { f =>
-          val dst = new Path(partDir, f.getName)
-          fs.rename(f, dst)
-          movedIn += dst
+          fs.rename(f, new Path(partDir, f.getName))
+          movedIn += s"$PartCol=$d/${f.getName}"
         }
     }
     fs.delete(tmp, true)
     TsTable.rewriteRaceHook("swapped", "compact")
-    try commitVersion("compact", displaced = guarded)
+    try commitVersion("compact", displaced = guarded,
+      displacedPlanVersion = planV)
     catch { case e: TsTable.ConcurrentRewriteException =>
-      rollbackSwap(fs, displaced, movedIn.result()); throw e
+      rollbackSwap(fs, displaced, movedIn.result())
+      commitVersion("checkpoint") // heal: re-list so the retry re-plans
+      throw e
     }
     hit
   }
@@ -1738,19 +1769,53 @@ final class TsTable private (
     }
   }
 
-  /** Plan-time capture for the rewrite conflict gate: (relpath, length)
-    * of every file this rewrite will displace, split into the full set
-    * (what the verb physically archives/restores) and the GUARDED subset
-    * the plan-time manifest lists — the membership-testable set
-    * [[commitVersion]]'s gate re-judges against the manifest the commit
-    * replaces. A freshly-attached loose file no manifest has captured yet
-    * cannot be membership-tested and is exempt from the commit gate (the
-    * pre-swap liveness gate still covers it). A planned input already
-    * MISSING here means another rewrite took it between discovery and
-    * staging — conflict, before any work. */
+  /** Plan-time guard for the rewrite conflict gate. Classifies this
+    * rewrite's displaced (relpath, length) set against the CURRENT
+    * committed manifest and returns (guarded subset, plan version):
+    *
+    *   - A DATED (engine-written, `p_date=`-dir) input the committed
+    *     manifest does not list is REFUSED outright: it is either another
+    *     rewrite's in-flight transient replacement — rewriting it would
+    *     fold that verb's uncommitted effects into ours and corrupt both
+    *     histories — or a crashed commit's orphan. Retry re-plans; a
+    *     persisting orphan is captured by [[checkpoint]] first.
+    *   - Root-level LOOSE files are the attach surface: legitimately
+    *     manifest-less until their first commit, so they are exempt from
+    *     the commit-time membership gate (the pre-swap liveness check
+    *     still covers them).
+    *   - The guarded subset (manifest-listed inputs) plus the plan
+    *     version feed [[commitVersion]]'s action-aware gate.
+    *
+    * Pre-snapshot tables (no manifest at all) skip both checks. */
+  private def guardDisplaced(displaced: Seq[(String, Long)],
+                             action: String)
+      : (Seq[(String, Long)], Option[Long]) = {
+    val planV = currentVersion
+    val planned = planV
+      .map(v => TsTable.readManifest(spark, path, v).files.toMap)
+      .getOrElse(Map.empty[String, Long])
+    if (planV.isDefined) {
+      val unmanifested = displaced.filter { case (p, l) =>
+        p.contains("/") && !planned.get(p).contains(l) }
+      if (unmanifested.nonEmpty)
+        throw new TsTable.ConcurrentRewriteException(
+          s"$action: planned input ${unmanifested.head._1} is not listed " +
+            s"by the committed manifest (v${planV.get}) — another " +
+            "rewrite's in-flight transient replacement, or a crashed " +
+            "commit's orphan. Retry the verb on a fresh handle; if the " +
+            "refusal persists, run checkpoint() to capture orphaned " +
+            "files into the manifest first.")
+    }
+    (displaced.filter { case (p, l) => planned.get(p).contains(l) }, planV)
+  }
+
+  /** [[guardDisplaced]] plus the stat collection for verbs holding only
+    * relative paths: a planned input already MISSING here means another
+    * rewrite took it between discovery and staging — conflict, before
+    * any work. */
   private def captureDisplaced(fs: org.apache.hadoop.fs.FileSystem,
                                hitRel: Seq[String], action: String)
-      : (Seq[(String, Long)], Seq[(String, Long)]) = {
+      : (Seq[(String, Long)], Seq[(String, Long)], Option[Long]) = {
     val displaced = hitRel.map { r =>
       val st = try fs.getFileStatus(new Path(path, r))
       catch { case _: java.io.FileNotFoundException =>
@@ -1760,10 +1825,8 @@ final class TsTable private (
       }
       r -> st.getLen
     }
-    val planned = currentVersion
-      .map(v => TsTable.readManifest(spark, path, v).files.toMap)
-      .getOrElse(Map.empty[String, Long])
-    (displaced, displaced.filter { case (p, l) => planned.get(p).contains(l) })
+    val (guarded, planV) = guardDisplaced(displaced, action)
+    (displaced, guarded, planV)
   }
 
   /** Pre-swap conflict gate — the cheapest point to lose the race: after
@@ -1787,18 +1850,23 @@ final class TsTable private (
       }
     }
 
-  /** Roll a completed swap back after a commit-time conflict: delete the
-    * replacement files this verb moved live, then restore its archived
-    * inputs (archive → live rename; the same-length-twin arm of
-    * [[archiveFile]] deleted the live copy, so restoring re-lives the
-    * archived twin — identical bytes by construction). After this the
-    * live tree equals the winner's committed state and older pinned
-    * readers keep resolving (resolution is live-first). Idempotent:
+  /** Roll a completed swap back after a commit-time conflict: ARCHIVE
+    * (never delete) the replacement files this verb moved live — an
+    * interleaved commit's listing-based manifest may have captured them,
+    * and archiving keeps that committed version resolvable
+    * (live-first-then-archive) until expireSnapshots reclaims it — then
+    * restore the verb's archived inputs (archive → live rename; the
+    * same-length-twin arm of [[archiveFile]] deleted the live copy, so
+    * restoring re-lives the archived twin — identical bytes by
+    * construction). After this the live tree equals the winner's
+    * committed state and older pinned readers keep resolving. Idempotent:
     * re-running skips files already in place. */
   private def rollbackSwap(fs: org.apache.hadoop.fs.FileSystem,
                            displaced: Seq[(String, Long)],
-                           movedIn: Seq[Path]): Unit = {
-    movedIn.foreach(p => if (fs.exists(p)) fs.delete(p, false))
+                           movedIn: Seq[String]): Unit = {
+    movedIn.foreach { rel =>
+      if (fs.exists(new Path(path, rel))) archiveFile(fs, rel)
+    }
     displaced.foreach { case (rel, _) =>
       val live = new Path(path, rel)
       if (!fs.exists(live)) {
@@ -1817,17 +1885,23 @@ final class TsTable private (
     * `filesPerDay > 1` (an upper bound on the insert-side day count).
     *
     * Concurrency: the displaced inputs are conflict-guarded end to end —
-    * captured with lengths at entry ([[captureDisplaced]]), re-checked
-    * live after staging ([[requireDisplacedLive]]), and membership-tested
-    * against the replaced manifest inside the commit CAS
-    * ([[commitVersion]]'s `displaced` gate); a commit-time conflict rolls
-    * the swap back ([[rollbackSwap]]) before rethrowing, so a losing verb
-    * leaves the table equal to the winner's state. Residual honesty: a
-    * listing-based manifest committed by a THIRD writer in the swap→commit
-    * window can still capture this verb's transient replacement files; the
-    * gate turns what was silent row resurrection/loss into a loud
-    * retryable abort, full serializability would need log-as-truth
-    * manifests. */
+    * captured with lengths at entry and refused if the committed manifest
+    * doesn't list them ([[captureDisplaced]]/[[guardDisplaced]]: an
+    * unmanifested dated file is another rewrite's in-flight transient or
+    * a crash orphan), re-checked live after staging
+    * ([[requireDisplacedLive]]), and judged inside the commit CAS by
+    * [[commitVersion]]'s action-aware gate (interleaved file-additive
+    * commits pass; an interleaved rewrite-family commit triggers the
+    * membership test). A commit-time conflict rolls the swap back
+    * ([[rollbackSwap]] — replacements ARCHIVED so any manifest that
+    * captured them stays resolvable, inputs re-lived) before rethrowing,
+    * so a losing verb leaves the table equal to the winner's state.
+    * Residual honesty: a listing-based manifest committed in the
+    * swap→commit window still captures this verb's transient replacement
+    * files (that version transiently serves the verb's uncommitted
+    * effects until the next commit re-lists); the gates turn what was
+    * silent row resurrection/loss into loud retryable aborts — full
+    * serializability would need log-as-truth manifests. */
   private def cowExec(hitRel: Seq[String], action: String, filesPerDay: Int,
                       inserts: Option[DataFrame], insertDays: Int,
                       enforceAfterRewrite: Boolean = false,
@@ -1835,7 +1909,7 @@ final class TsTable private (
       xform: DataFrame => DataFrame): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (displaced, guarded) = captureDisplaced(fs, hitRel, action)
+    val (displaced, guarded, planV) = captureDisplaced(fs, hitRel, action)
     // same µs-instant encoding rationale as appendValidated
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val (dated, loose) = hitRel.partition(_.contains("/"))
@@ -1903,33 +1977,48 @@ final class TsTable private (
     TsTable.rewriteRaceHook("staged", action)
     requireDisplacedLive(fs, displaced, action, staged = tmp)
     // 3. swap: archive the hit originals, move the rewritten files in
-    // (recording each move for the commit-conflict rollback)
-    hitRel.foreach(archiveFile(fs, _))
-    val movedIn = Seq.newBuilder[Path]
+    // (recording each move for the commit-conflict rollback). A file
+    // vanishing mid-archive is a rewrite that won the sub-gate window:
+    // re-live what this verb already archived, drop the staging, conflict.
+    try hitRel.foreach(archiveFile(fs, _))
+    catch { case _: java.io.FileNotFoundException =>
+      rollbackSwap(fs, displaced, Seq.empty)
+      fs.delete(tmp, true)
+      throw new TsTable.ConcurrentRewriteException(
+        s"$action: a planned input vanished while archiving (concurrent " +
+          "rewrite); swap rolled back, staged output dropped — retry the " +
+          "verb on a fresh handle")
+    }
+    val movedIn = Seq.newBuilder[String]
     val datedTmp = new Path(tmp, "dated")
     if (fs.exists(datedTmp)) {
       fs.listStatus(datedTmp).filter(_.isDirectory).foreach { d =>
         val liveDir = new Path(root, d.getPath.getName)
         fs.mkdirs(liveDir)
         dataFiles(fs, d.getPath).foreach { f =>
-          val dst = new Path(liveDir, f.getName)
-          fs.rename(f, dst)
-          movedIn += dst
+          fs.rename(f, new Path(liveDir, f.getName))
+          movedIn += s"${d.getPath.getName}/${f.getName}"
         }
       }
     }
     val looseTmp = new Path(tmp, "loose")
     if (fs.exists(looseTmp))
       dataFiles(fs, looseTmp).foreach { f =>
-        val dst = new Path(root, f.getName)
-        fs.rename(f, dst)
-        movedIn += dst
+        fs.rename(f, new Path(root, f.getName))
+        movedIn += f.getName
       }
     fs.delete(tmp, true)
     TsTable.rewriteRaceHook("swapped", action)
-    try commitVersion(action, meta = meta, displaced = guarded)
+    try commitVersion(action, meta = meta, displaced = guarded,
+      displacedPlanVersion = planV)
     catch { case e: TsTable.ConcurrentRewriteException =>
-      rollbackSwap(fs, displaced, movedIn.result()); throw e
+      rollbackSwap(fs, displaced, movedIn.result())
+      // the rollback's re-lived inputs are absent from the winner's
+      // manifest; a healing checkpoint re-lists the live truth so the
+      // verb's RETRY re-plans cleanly instead of tripping the
+      // unmanifested-input refusal
+      commitVersion("checkpoint")
+      throw e
     }
   }
 
@@ -2244,11 +2333,18 @@ final class TsTable private (
     // the target state, deliberately overriding the racing writer: that
     // is the verb's declared semantic, and the user's call to make).
     val retired = listLiveFiles(fs).filterNot { case (p, _) => target.contains(p) }
-    val guarded = currentVersion.map { v =>
-      val cm = TsTable.readManifest(spark, path, v).files.toMap
-      retired.filter { case (p, l) => cm.get(p).contains(l) }
-    }.getOrElse(Seq.empty[(String, Long)])
-    retired.foreach { case (p, _) => archiveFile(fs, p) }
+    val (guarded, planV) = guardDisplaced(retired, "restore")
+    TsTable.rewriteRaceHook("staged", "restore")
+    // a file vanishing while retiring is a rewrite winning the window —
+    // classify it as the retryable conflict (restore converges on re-run)
+    // instead of escaping as a raw filesystem error
+    try retired.foreach { case (p, _) => archiveFile(fs, p) }
+    catch { case _: java.io.FileNotFoundException =>
+      throw new TsTable.ConcurrentRewriteException(
+        s"restore: a live file vanished while retiring (concurrent " +
+          s"rewrite); re-run restore($version) to converge on the target " +
+          "state, or inspect the racing writer's version first")
+    }
     // 2. copy displaced target files back from the archive — executor-side
     // and parallel (see scaladoc cost model): the displaced list after a
     // big compaction can approach the whole table, and FileUtil.copy on
@@ -2302,7 +2398,8 @@ final class TsTable private (
     TsTable.rewriteRaceHook("swapped", "restore")
     new TsTable(spark, path, snap.tsCol, snap.schema, restoredOpts,
       tableChecks, restoredDropped, restoredNext)
-      .commitVersion("restore", Some(snap.schema), displaced = guarded)
+      .commitVersion("restore", Some(snap.schema), displaced = guarded,
+        displacedPlanVersion = planV)
   }
 
   /** Write options consistent with a restore/clone to `snap`'s schema.
@@ -2410,6 +2507,16 @@ final class TsTable private (
     t
   }
 
+  /** Commit the CURRENT live layout as a new version without moving any
+    * data — the explicit manifest CHECKPOINT: captures files no manifest
+    * lists yet (a crashed commit's orphans; freshly attached loose files)
+    * into the governed history, which re-arms the span/Bloom skip indexes
+    * and the rewrite conflict gate for them (guardDisplaced refuses to
+    * rewrite an unmanifested dated file until some commit captures it —
+    * this is that commit when no other mutation is pending).
+    * O(#partitions) listing + O(new files) footer metadata. */
+  def checkpoint(): Long = commitVersion("checkpoint")
+
   /** Reclaim history: keep the newest `keepLast` manifests, delete older
     * ones, and delete every ARCHIVED file no retained manifest references
     * (live-tree files are never touched — they belong to the current
@@ -2464,7 +2571,8 @@ final class TsTable private (
   private[graft] def commitVersion(action: String,
                                    schemaOverride: Option[StructType] = None,
                                    meta: Map[String, String] = Map.empty,
-                                   displaced: Seq[(String, Long)] = Seq.empty): Long = {
+                                   displaced: Seq[(String, Long)] = Seq.empty,
+                                   displacedPlanVersion: Option[Long] = None): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // CAS-retry loop: losing the rename race means another writer took the
@@ -2483,30 +2591,46 @@ final class TsTable private (
       next = prevV.getOrElse(0L) + 1
       val prevM = prevV.map(v => TsTable.readManifest(spark, path, v))
       // SEMANTIC conflict gate (rewrite verbs only — `displaced` is empty
-      // for append/DDL commits): every file this commit displaced must
-      // still be listed (path + length, the carry-forward identity) by
-      // the manifest this commit REPLACES. A miss means another writer
-      // committed a version without our planned input between our
-      // discovery and this commit — the Delta ConcurrentDeleteRead class:
-      // committing anyway would resurrect rows the other writer rewrote
-      // away, or bury its rewrite under our replacement files. The CAS
-      // rename serializes commits, so a lost race retries this loop,
-      // re-reads the WINNER's manifest, and the gate re-judges against it
-      // — the membership test is atomic with the commit. Callers exempt
-      // files no manifest had captured at plan time (freshly-attached
-      // loose files — nothing to membership-test); a pre-snapshot table
-      // (no manifest at all) skips the gate entirely.
+      // for append/DDL commits), judged atomically with the commit: the
+      // CAS rename serializes commits, so a lost race retries this loop,
+      // re-reads the WINNER's manifest, and the gate re-judges against
+      // it. Commits interleaved since the rewrite's PLAN version are
+      // classified by ACTION first: file-ADDITIVE commits (appends, DDL
+      // re-lists) never remove files, so the displaced files' absence
+      // from their listings is explained by OUR OWN in-flight swap — no
+      // conflict, and rewrites cannot starve under a high-frequency
+      // append sink. Any interleaved REWRITE-family commit (or an unknown
+      // action, conservatively — and always when the caller supplied no
+      // plan version) falls back to the membership test: every displaced
+      // file must still be listed (path + length, the carry-forward
+      // identity) by the manifest this commit replaces. A miss means the
+      // interleaved rewrite took our planned inputs — the Delta
+      // ConcurrentDeleteRead class: committing anyway would resurrect
+      // rows the winner rewrote away, or bury its rewrite under our
+      // replacement files. Callers exempt files no manifest had captured
+      // at plan time (freshly-attached loose files — nothing to
+      // membership-test; unmanifested DATED inputs were refused at plan
+      // time by guardDisplaced); a pre-snapshot table (no manifest at
+      // all) skips the gate entirely.
       if (displaced.nonEmpty) prevM.foreach { pm =>
-        val committed = pm.files.toMap
-        val lost = displaced.filterNot { case (p, l) =>
-          committed.get(p).contains(l) }
-        if (lost.nonEmpty)
-          throw new TsTable.ConcurrentRewriteException(
-            s"$action: concurrent rewrite conflict — version ${pm.version} " +
-              s"no longer lists ${lost.size} of this rewrite's planned " +
-              s"input file(s) (first: ${lost.head._1}); another writer " +
-              "displaced them after this verb's discovery. Retry the verb " +
-              "on a fresh handle to re-plan against the winner's state.")
+        val additiveOnly = displacedPlanVersion.exists { pv =>
+          TsTable.listVersions(spark, path)
+            .filter(v => v > pv && v <= pm.version)
+            .forall(v => TsTable.AdditiveActions.contains(
+              TsTable.readManifest(spark, path, v).action))
+        }
+        if (!additiveOnly) {
+          val prevFiles = pm.files.toMap
+          val lost = displaced.filterNot { case (p, l) =>
+            prevFiles.get(p).contains(l) }
+          if (lost.nonEmpty)
+            throw new TsTable.ConcurrentRewriteException(
+              s"$action: concurrent rewrite conflict — version ${pm.version} " +
+                s"no longer lists ${lost.size} of this rewrite's planned " +
+                s"input file(s) (first: ${lost.head._1}); another writer " +
+                "displaced them after this verb's discovery. Retry the verb " +
+                "on a fresh handle to re-plan against the winner's state.")
+        }
       }
       // Per-file ts spans: carry forward unchanged files' spans from the
       // previous manifest (path + length match — UUID part names make a
@@ -3200,6 +3324,16 @@ object TsTable {
     * winner's version first. */
   final class ConcurrentRewriteException(msg: String)
     extends RuntimeException(msg)
+
+  /** Commit actions that only ADD files or re-list the live layout —
+    * never remove live files. A rewrite's commit gate passes when every
+    * commit interleaved since its plan is in this set: the displaced
+    * files' absence from those listings is explained by the rewrite's
+    * own in-flight swap, not by a competing rewrite. Unknown actions are
+    * conservatively treated as rewrite-family (membership test fires). */
+  private[ts] val AdditiveActions = Set("create", "append", "backfill",
+    "evolve", "rename", "widen", "indexing", "constraint", "checkpoint",
+    "rollup", "clone")
 
   /** TEST SEAM (RewriteConflictSpec): invoked by every rewrite verb at
     * "staged" (replacement files written to the invisible temp, nothing

@@ -118,7 +118,13 @@ class RewriteConflictSpec extends graft.SparkSpec {
       assert(e.getMessage.contains("concurrent rewrite conflict"), e.getMessage)
     }
     assert(bDeleted > 0)
-    // rollback: A's replacement file deleted, A's archived input restored
+    // the winner's committed version captured A's transient replacement
+    // file in its listing; A's rollback ARCHIVES (never deletes) it, so
+    // that committed version stays fully resolvable
+    val bVersion = TsTable.open(spark, dir).currentVersion.get
+    assert(TsTable.openAt(spark, dir, bVersion).toDF.count() > 0,
+      "the interleaved winner's version must stay pinnable after rollback")
+    // rollback: A's replacement file archived, A's archived input restored
     // live — the table equals the winner's committed state exactly
     val afterConflict = TsTable.open(spark, dir)
     assert(afterConflict.toDF.count() == total - bDeleted,
@@ -163,6 +169,109 @@ class RewriteConflictSpec extends graft.SparkSpec {
     assert(live.length == 2, s"expected compacted + appended file, got ${live.toSeq}")
     assert(after.toDF.where(col("ts") >= lit("2024-01-01 12:00:00")
       .cast("timestamp")).count() == appended)
+  }
+
+  test("action-aware gate: an APPEND committing inside the swap-to-commit " +
+      "window is NO conflict — the rewrite commits, nothing starves, all " +
+      "rows accounted for") {
+    val (dir, t) = freshTable()
+    val total = t.toDF.count()
+    val tB = TsTable.open(spark, dir)
+    var appended = -1L
+    var deleted = -1L
+    withHook("swapped", "delete") {
+      val df = rows(12, 14); appended = df.count(); tB.append(df)
+    } {
+      deleted = t.deleteWhere(col("v") % 2 === 0)
+    }
+    assert(appended > 0 && deleted > 0,
+      "the delete must COMMIT through the interleaved append, not conflict")
+    val after = TsTable.open(spark, dir)
+    assert(after.toDF.count() == total - deleted + appended)
+    assert(after.snapshotVersions.takeRight(2).map(_._2) ==
+      Seq("append", "delete"), s"history: ${after.snapshotVersions}")
+  }
+
+  test("transient-input refusal: a rewrite planning another verb's " +
+      "UNCOMMITTED replacement file conflicts at plan time — its effects " +
+      "are never folded into a second history") {
+    val (dir, t) = freshTable()
+    val total = t.toDF.count()
+    val tB = TsTable.open(spark, dir)
+    val predA = col("ts") < lit("2024-01-01 06:00:00").cast("timestamp") &&
+      col("v") % 3 === 0
+    // B's predicate overlaps A's FILE (hours 0-5): B would plan A's
+    // in-flight replacement of it — a dated file no manifest lists
+    val predB = col("ts") < lit("2024-01-01 06:00:00").cast("timestamp") &&
+      col("v") % 2 === 0
+    var bRefused: Throwable = null
+    var aDeleted = -1L
+    withHook("swapped", "delete") {
+      bRefused = intercept[TsTable.ConcurrentRewriteException] {
+        tB.deleteWhere(predB)
+      }
+    } {
+      aDeleted = t.deleteWhere(predA) // proceeds: B never committed
+    }
+    assert(aDeleted > 0)
+    assert(bRefused.getMessage.contains("not listed"), bRefused.getMessage)
+    assert(TsTable.open(spark, dir).toDF.count() == total - aDeleted)
+    // B retried after A's commit re-plans against the manifested file
+    val bDeleted = TsTable.open(spark, dir).deleteWhere(predB)
+    assert(bDeleted > 0)
+    assert(TsTable.open(spark, dir).toDF.count() == total - aDeleted - bDeleted)
+  }
+
+  test("a crashed commit's orphan file blocks a rewrite with the " +
+      "checkpoint() guidance; checkpoint captures it and the retry lands") {
+    val (dir, t) = freshTable()
+    val f = fs(dir)
+    val dayDir = new Path(dir, "p_date=2024-01-01")
+    val src = f.listStatus(dayDir).filter(_.isFile)
+      .map(_.getPath).filterNot(p => p.getName.startsWith("_")).head
+    // simulate a crash between a commit's data move and its manifest
+    // write: a data file exists that no manifest lists
+    val orphan = new Path(dayDir, "part-orphan-crashed.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(f, src, f, orphan, false, true,
+      spark.sparkContext.hadoopConfiguration)
+    val e = intercept[TsTable.ConcurrentRewriteException] {
+      TsTable.open(spark, dir).deleteWhere(col("v") % 2 === 0)
+    }
+    assert(e.getMessage.contains("checkpoint()"), e.getMessage)
+    val tb = TsTable.open(spark, dir)
+    tb.checkpoint()
+    assert(tb.snapshotVersions.last._2 == "checkpoint")
+    val deleted = TsTable.open(spark, dir).deleteWhere(col("v") % 2 === 0)
+    assert(deleted > 0, "the retry after checkpoint must land")
+  }
+
+  test("restore retiring a file a racing rewrite just took classifies as " +
+      "the retryable conflict (not a raw filesystem error), and re-running " +
+      "converges") {
+    val dir = java.nio.file.Files.createTempDirectory("restore_fnfe").toString
+    val df1 = rows(0, 6)
+    val t = TsTable.create(spark, dir, df1.schema, tsCol = "ts")
+    t.append(df1)                       // f1 — the target state
+    val targetV = t.currentVersion.get
+    val targetRows = t.toDF.count()
+    t.append(rows(6, 12))               // f2 — retired by the restore
+    val tB = TsTable.open(spark, dir)
+    // B rewrites f2 between restore's live listing and its retire loop
+    val predB = col("ts") >= lit("2024-01-01 06:00:00").cast("timestamp") &&
+      col("v") % 2 === 0
+    var bDeleted = -1L
+    withHook("staged", "restore") { bDeleted = tB.deleteWhere(predB) } {
+      val e = intercept[TsTable.ConcurrentRewriteException] {
+        t.restore(targetV)
+      }
+      assert(e.getMessage.contains("vanished while retiring"), e.getMessage)
+    }
+    assert(bDeleted > 0)
+    val v2 = TsTable.open(spark, dir).restore(targetV)
+    val healed = TsTable.open(spark, dir)
+    assert(healed.currentVersion.contains(v2))
+    assert(healed.toDF.count() == targetRows,
+      "re-run restore must converge on exactly the target version's rows")
   }
 
   test("restore races a rewrite: loud conflict at commit, and re-running " +

@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
 """Diff two graft.Bench artifacts in CALIBRATED units.
 
-Usage: python3 tools/bench_diff.py OLD.json NEW.json [--threshold 1.3]
-                                   [--abs-ms 150]
+Usage: python3 tools/bench_diff.py OLD.json NEW.json [--threshold=1.3]
+                                   [--abs-ms=150]
 
 Each artifact is the bench's stdout (or a saved BENCH_r*_local.json): the
 line carrying "queries" is parsed; "calibration_sec" (present since r19)
@@ -90,7 +90,9 @@ def main():
             movers.append((float("inf"), k, to, tn, "FAILED in one run"))
             continue
         co_t, cn_t = to / co, tn / cn
-        if co_t <= 0:
+        # either side at 0.000 (f3-rounded sub-ms query) has no meaningful
+        # ratio — and 1/ratio below must never divide by zero
+        if co_t <= 0 or cn_t <= 0:
             continue
         ratio = cn_t / co_t
         # absolute growth re-scaled into the OLD run's wall-clock seconds
@@ -115,4 +117,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # piping into `head` is a normal way to read this
+        pass
