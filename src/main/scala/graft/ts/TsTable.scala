@@ -1222,7 +1222,7 @@ final class TsTable private (
     * append in place to ONE table per day — `[pub: tstables/tstable.py —
     * append]`); a Parquet table needs this explicit maintenance op instead.
     *
-    * Mechanics: rewrite the day into `_compact_tmp_<date>` under the table
+    * Mechanics: rewrite the day into a writer-unique `_compact_tmp_<uuid>` under the table
     * root (`_` prefix → invisible to Spark's file index), then swap: move
     * the old data files into `_ts_archive/` (NOT delete — a reader that
     * pinned an earlier version via `openAt` keeps resolving them there,
@@ -1252,7 +1252,7 @@ final class TsTable private (
     * slices, so the per-file contiguity invariant holds). Days already at
     * or under `targetFiles` are skipped; returns the dates rewritten.
     * Same crash discipline as the single-day path: the rewrite
-    * materializes into an invisible `_compact_tmp_batch` before any live
+    * materializes into an invisible writer-unique `_compact_tmp_<uuid>` before any live
     * file moves, replaced files are archived for pinned readers, and a
     * mid-swap crash leaves every archived file resolvable through the
     * previous manifest.
@@ -1343,8 +1343,9 @@ final class TsTable private (
     val (guarded, planV) = guardDisplaced(displaced, "compact")
     // Same µs-instant encoding rationale as appendValidated.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    val tmp = new Path(root, "_compact_tmp_batch")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // writer-unique staging — the cowExec rule (see its comment)
+    val tmp = new Path(root,
+      s"_compact_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     // explicit-file load with basePath: partition values (p_date) still
     // derive from the directory layout, exactly as cowExec's dated read
     val days = spark.read.format(TsTable.ReadFmt)
@@ -1518,7 +1519,7 @@ final class TsTable private (
     *      never rows.
     *   2. REWRITE: one distributed job reads only the hit files and writes
     *      each affected day's survivors back as `filesPerDay` ts-sorted
-    *      file(s) into an invisible `_delete_tmp` staging dir (a crash
+    *      file(s) into an invisible writer-unique `_delete_tmp_<uuid>` staging dir (a crash
     *      here leaves only re-runnable temp state).
     *   3. SWAP + COMMIT: hit originals are archived (pinned readers keep
     *      resolving them), survivor files move in, and the next version
@@ -1913,8 +1914,11 @@ final class TsTable private (
     // same µs-instant encoding rationale as appendValidated
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val (dated, loose) = hitRel.partition(_.contains("/"))
-    val tmp = new Path(root, "_delete_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // WRITER-UNIQUE staging (raced in RewriteConflictStressSpec): a shared
+    // name let one racer delete another's in-flight staging out from under
+    // its write job. A crashed run's temp is reclaimed by vacuumStaging.
+    val tmp = new Path(root,
+      s"_delete_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     // 2. rewrite of the hit files only (+ merge inserts), one job per
     //    layout family
     if (dated.nonEmpty || inserts.nonEmpty) {
@@ -2735,7 +2739,7 @@ final class TsTable private (
   }
 
   /** Reclaim crash leftovers — the janitor every staged-write design
-    * needs: a killed rewrite leaves `_delete_tmp`/`_compact_tmp_*`
+    * needs: a killed rewrite leaves `_delete_tmp*`/`_compact_tmp_*`
     * directories, a killed V2 write leaves `_tmp-*` files inside day
     * partitions. All are invisible to reads (the underscore rule) but
     * hold real bytes forever. Deletes those older than `olderThanMs`
@@ -2753,7 +2757,7 @@ final class TsTable private (
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory &&
-          (n == "_delete_tmp" || n.startsWith("_compact_tmp_")) &&
+          (n.startsWith("_delete_tmp") || n.startsWith("_compact_tmp_")) &&
           st.getModificationTime < cutoff) {
         fs.delete(st.getPath, true)
         removed += n

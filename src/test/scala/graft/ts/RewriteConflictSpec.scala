@@ -67,7 +67,8 @@ class RewriteConflictSpec extends graft.SparkSpec {
     // winner alone: compaction preserves every row, the delete never landed
     assert(TsTable.open(spark, dir).toDF.count() == total)
     assert(t.snapshotVersions.last._2 == "compact")
-    assert(!fs(dir).exists(new Path(dir, "_delete_tmp")),
+    assert(!fs(dir).listStatus(new Path(dir)).exists(
+      _.getPath.getName.startsWith("_delete_tmp")),
       "loser's staging temp must be dropped")
     // retry re-plans against the winner's layout and lands: serial both
     val deleted = TsTable.open(spark, dir).deleteWhere(col("v") % 2 === 0)
@@ -93,7 +94,8 @@ class RewriteConflictSpec extends graft.SparkSpec {
     }
     assert(del > 0)
     assert(TsTable.open(spark, dir).toDF.count() == total - del)
-    assert(!fs(dir).exists(new Path(dir, "_compact_tmp_batch")),
+    assert(!fs(dir).listStatus(new Path(dir)).exists(
+      _.getPath.getName.startsWith("_compact_tmp_")),
       "loser's staging temp must be dropped")
     val retried = TsTable.open(spark, dir)
     assert(retried.compactAll(1) == Seq("2024-01-01"))

@@ -1,0 +1,115 @@
+package graft.ts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The rewrite conflict machinery under REAL nondeterminism — two threads
+  * racing whole verbs with retry-on-conflict, no test seams: whatever
+  * interleaving the scheduler produces, the retry protocol must converge
+  * to the serial semantics (compact is row-preserving; the delete removes
+  * exactly its predicate's rows, once), the history must stay linear, and
+  * the final state must be servable through both the listing read and the
+  * manifest span index. Complements RewriteConflictSpec's deterministic
+  * hook-driven interleavings. */
+class RewriteConflictStressSpec extends graft.SparkSpec {
+
+  private def rows(day: Int, h0: Int, h1: Int): DataFrame = {
+    import spark.implicits._
+    (h0 until h1).flatMap(h => (0 until 8).map(m =>
+      (java.sql.Timestamp.valueOf(f"2024-02-0$day%d $h%02d:$m%02d:00"),
+        (day * 10000 + h * 100 + m).toLong)))
+      .toDF("ts", "v")
+  }
+
+  /** Run `verb` with retry-on-conflict on a FRESH handle per attempt (the
+    * exception's documented contract); returns attempts used. */
+  private def retrying(dir: String, max: Int)(verb: TsTable => Unit): Int = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= max, s"verb did not converge within $max attempts")
+      try { verb(TsTable.open(spark, dir)); done = true }
+      catch { case _: TsTable.ConcurrentRewriteException => () }
+    }
+    attempts
+  }
+
+  test("threaded compact-vs-delete race with retries: both converge, " +
+      "rows equal the serial semantics, history linear, span index " +
+      "serves the final state") {
+    val dir = java.nio.file.Files.createTempDirectory("rewrite_stress").toString
+    val df1 = rows(1, 0, 6)
+    val t = TsTable.create(spark, dir, df1.schema, tsCol = "ts")
+    t.append(df1)
+    t.append(rows(1, 6, 12))
+    t.append(rows(2, 0, 12)) // second day: keeps compact busy longer
+    val total = t.toDF.count()
+    val pred = col("v") % 3 === 0
+    val predCount = t.toDF.where(pred).count()
+    assert(predCount > 0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val compactor = new Thread(() => {
+      try { barrier.await(); retrying(dir, max = 8)(_.compactAll(1)) }
+      catch { case e: Throwable => errors.add(e) }
+    })
+    val deleter = new Thread(() => {
+      try { barrier.await(); retrying(dir, max = 8)(h => { h.deleteWhere(pred); () }) }
+      catch { case e: Throwable => errors.add(e) }
+    })
+    compactor.start(); deleter.start()
+    compactor.join(120000); deleter.join(120000)
+    import scala.jdk.CollectionConverters._
+    assert(errors.asScala.isEmpty,
+      s"a racer failed beyond the conflict protocol: ${errors.asScala.headOption}")
+    // serial semantics: compact preserves rows, the delete removed its
+    // predicate's rows exactly once — whatever interleaving happened
+    val healed = TsTable.open(spark, dir)
+    assert(healed.toDF.count() == total - predCount,
+      "rows must equal the serial execution (no loss, no resurrection, no dupes)")
+    assert(healed.toDF.where(pred).count() == 0)
+    // linear gapless history
+    val vs = healed.snapshotVersions.map(_._1)
+    assert(vs == (vs.head to vs.last), s"history not linear: $vs")
+    // the final commit's span index serves the full range (manifest
+    // route agrees with the listing route)
+    assert(healed.readRange(
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-02-02 23:59:59")).count() ==
+      total - predCount)
+    // the final version is pinnable and equals the live read
+    assert(TsTable.openAt(spark, dir, vs.last).toDF.count() == total - predCount)
+  }
+
+  test("threaded delete-vs-delete race on disjoint predicates: both land " +
+      "(with retries), both effects present exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("rewrite_stress2").toString
+    val df1 = rows(1, 0, 6)
+    val t = TsTable.create(spark, dir, df1.schema, tsCol = "ts")
+    t.append(df1)
+    t.append(rows(1, 6, 12))
+    val total = t.toDF.count()
+    val predA = col("v") % 4 === 0
+    val predB = col("v") % 4 === 1
+    val nA = t.toDF.where(predA).count()
+    val nB = t.toDF.where(predB).count()
+    assert(nA > 0 && nB > 0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val threads = Seq(predA, predB).map { p =>
+      new Thread(() => {
+        try { barrier.await(); retrying(dir, max = 8)(h => { h.deleteWhere(p); () }) }
+        catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    assert(errors.asScala.isEmpty, s"${errors.asScala.headOption}")
+    val healed = TsTable.open(spark, dir)
+    assert(healed.toDF.count() == total - nA - nB,
+      "both deletes must land exactly once across every interleaving")
+    assert(healed.toDF.where(predA || predB).count() == 0)
+  }
+}
