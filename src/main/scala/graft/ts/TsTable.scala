@@ -1363,6 +1363,10 @@ final class TsTable private (
     // trade is explicit: a clustered day's files are no longer
     // ts-contiguous, so the ts span index degrades to day granularity
     // for that day until a plain compact restores it.
+    // staging reads touch ONLY the planned inputs — a vanished table file
+    // (bounds/slot aggregates or the rewrite job) is a concurrent rewrite
+    // taking them: the retryable conflict, nothing live touched
+    try {
     val sorted = {
       val d = withFieldIds(days)
       if (cluster.nonEmpty) {
@@ -1418,6 +1422,13 @@ final class TsTable private (
       .option("compression", writeOptions.codec)
     writeOptions.rowGroupBytes.foreach(b => writer.option("parquet.block.size", b.toString))
     writer.partitionBy(PartCol).parquet(tmp.toString) // lands BEFORE any swap
+    } catch { case e: Throwable if stagingSwapRace(e) =>
+      fs.delete(tmp, true)
+      throw new TsTable.ConcurrentRewriteException(
+        "compact: a planned input vanished during the staging rewrite " +
+          "(concurrent rewrite); staged output dropped, live table " +
+          "untouched — retry on a fresh handle")
+    }
     TsTable.rewriteRaceHook("staged", "compact")
     requireDisplacedLive(fs, displaced, "compact", staged = tmp)
     // swap: archive EXACTLY the planned inputs (never a fresh listing — a
@@ -1830,6 +1841,22 @@ final class TsTable private (
     (displaced, guarded, planV)
   }
 
+  /** True when `e`'s causal chain is a missing/unreadable file UNDER THIS
+    * TABLE'S ROOT surfacing from a rewrite's staging read — the planned
+    * inputs are the only table files that read touches, so their
+    * disappearance mid-staging IS a concurrent rewrite taking them
+    * (PATH_NOT_FOUND at plan time, FAILED_READ_FILE at task time). The
+    * root-path guard keeps a genuinely missing USER file (merge's insert
+    * source) surfacing as its own error, never a retryable conflict. */
+  private def stagingSwapRace(e: Throwable): Boolean = {
+    val rootStr = new Path(path).toUri.getPath
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists { t =>
+      val m = Option(t.getMessage).getOrElse("")
+      (m.contains("PATH_NOT_FOUND") || m.contains("FAILED_READ_FILE")) &&
+        m.contains(rootStr)
+    }
+  }
+
   /** Pre-swap conflict gate — the cheapest point to lose the race: after
     * staging (all CPU spent, nothing live touched), every displaced file
     * must STILL be live at its planned length. A pure filesystem check,
@@ -1920,7 +1947,12 @@ final class TsTable private (
     val tmp = new Path(root,
       s"_delete_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     // 2. rewrite of the hit files only (+ merge inserts), one job per
-    //    layout family
+    //    layout family. The staging read touches ONLY the planned inputs,
+    //    so a missing table file here (plan-time PATH_NOT_FOUND or
+    //    task-time FAILED_READ) means a concurrent rewrite took them —
+    //    classified as the retryable conflict, staging dropped, live
+    //    table untouched.
+    try {
     if (dated.nonEmpty || inserts.nonEmpty) {
       val nDays =
         dated.map(_.split("/").init.mkString("/")).distinct.length + insertDays
@@ -1957,6 +1989,13 @@ final class TsTable private (
       writeOptions.rowGroupBytes.foreach(b =>
         writer.option("parquet.block.size", b.toString))
       writer.parquet(new Path(tmp, "loose").toString)
+    }
+    } catch { case e: Throwable if stagingSwapRace(e) =>
+      fs.delete(tmp, true)
+      throw new TsTable.ConcurrentRewriteException(
+        s"$action: a planned input vanished during the staging rewrite " +
+          "(concurrent rewrite); staged output dropped, live table " +
+          "untouched — retry the verb on a fresh handle")
     }
     // 2½. constraint gate on the STAGED output (update/merge can modify
     // rows into violation; delete can't and skips this): validating the
@@ -2982,8 +3021,18 @@ final class TsTable private (
       fs.delete(live, false)
     } else {
       fs.mkdirs(target.getParent)
-      require(fs.rename(live, target),
-        s"failed to archive $relPath into ${TsTable.ArchiveDir}")
+      if (!fs.rename(live, target)) {
+        // rename-to-missing-source returns false rather than throwing:
+        // a live file vanishing here is a concurrent rewrite taking it in
+        // the exists-check→rename sub-window — surface the same signal
+        // (FileNotFoundException) every rewrite verb's conflict handler
+        // already classifies as the retryable ConcurrentRewriteException
+        if (!fs.exists(live))
+          throw new java.io.FileNotFoundException(
+            s"$relPath vanished before archiving (concurrent rewrite)")
+        throw new IllegalArgumentException(
+          s"requirement failed: failed to archive $relPath into ${TsTable.ArchiveDir}")
+      }
     }
   }
 }

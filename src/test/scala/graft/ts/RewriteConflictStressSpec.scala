@@ -21,8 +21,19 @@ class RewriteConflictStressSpec extends graft.SparkSpec {
       .toDF("ts", "v")
   }
 
-  /** Run `verb` with retry-on-conflict on a FRESH handle per attempt (the
-    * exception's documented contract); returns attempts used. */
+  /** True for a live scan losing the documented race against a swap
+    * ("a maintenance pass moving its files mid-read surfaces as a read
+    * error whose recovery is to rebuild the frame" — TsTable scaladoc):
+    * on a CLUSTER, Spark's task retry re-opens and the archive-resolving
+    * format re-resolves, but local mode runs task.maxFailures=1, so the
+    * job surfaces the read error directly and the caller retries. */
+  private def isSwapReadRace(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("FAILED_READ_FILE")))
+
+  /** Run `verb` with retry on conflict (the exception's documented
+    * contract) or on a swap-read race, on a FRESH handle per attempt;
+    * returns attempts used. */
   private def retrying(dir: String, max: Int)(verb: TsTable => Unit): Int = {
     var attempts = 0
     var done = false
@@ -30,7 +41,10 @@ class RewriteConflictStressSpec extends graft.SparkSpec {
       attempts += 1
       require(attempts <= max, s"verb did not converge within $max attempts")
       try { verb(TsTable.open(spark, dir)); done = true }
-      catch { case _: TsTable.ConcurrentRewriteException => () }
+      catch {
+        case _: TsTable.ConcurrentRewriteException => ()
+        case e: Throwable if isSwapReadRace(e) => ()
+      }
     }
     attempts
   }
@@ -80,6 +94,63 @@ class RewriteConflictStressSpec extends graft.SparkSpec {
       total - predCount)
     // the final version is pinnable and equals the live read
     assert(TsTable.openAt(spark, dir, vs.last).toDF.count() == total - predCount)
+  }
+
+  test("three-way race — append + delete + compact on one table: the " +
+      "append never conflicts (action-aware gate), the rewrites retry to " +
+      "convergence, and the row accounting is exact") {
+    val dir = java.nio.file.Files.createTempDirectory("rewrite_stress3").toString
+    val df1 = rows(1, 0, 6)
+    val t = TsTable.create(spark, dir, df1.schema, tsCol = "ts")
+    t.append(df1)
+    t.append(rows(1, 6, 12))
+    val total = t.toDF.count()
+    // the delete predicate can never match appended rows (day 3 ⇒ v ≥ 30000),
+    // so the final count is exact whatever the interleaving order
+    val pred = col("v") % 3 === 0 && col("v") < lit(20000L)
+    val predCount = t.toDF.where(pred).count()
+    val appendDf = rows(3, 0, 4)
+    val appendCount = appendDf.count()
+    assert(predCount > 0 && appendCount > 0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(3)
+    val appender = new Thread(() => {
+      // appends are never conflict-gated — a ConcurrentRewriteException
+      // here fails the test. The monotonic guard's LIVE scan can still
+      // lose the documented read-vs-swap race (local task.maxFailures=1),
+      // so that one error retries like a cluster task would.
+      try {
+        barrier.await()
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          require(attempts <= 8, "append did not converge")
+          try { TsTable.open(spark, dir).append(appendDf); done = true }
+          catch { case e: Throwable if isSwapReadRace(e) => () }
+        }
+      }
+      catch { case e: Throwable => errors.add(e) }
+    })
+    val deleter = new Thread(() => {
+      try { barrier.await(); retrying(dir, max = 8)(h => { h.deleteWhere(pred); () }) }
+      catch { case e: Throwable => errors.add(e) }
+    })
+    val compactor = new Thread(() => {
+      try { barrier.await(); retrying(dir, max = 8)(_.compactAll(1)) }
+      catch { case e: Throwable => errors.add(e) }
+    })
+    Seq(appender, deleter, compactor).foreach(_.start())
+    Seq(appender, deleter, compactor).foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    assert(errors.asScala.isEmpty,
+      s"a racer failed beyond the conflict protocol: ${errors.asScala.headOption}")
+    val healed = TsTable.open(spark, dir)
+    assert(healed.toDF.count() == total + appendCount - predCount,
+      "exact row accounting: append once, delete once, compact row-preserving")
+    assert(healed.toDF.where(pred).count() == 0)
+    val vs = healed.snapshotVersions.map(_._1)
+    assert(vs == (vs.head to vs.last), s"history not linear: $vs")
   }
 
   test("threaded delete-vs-delete race on disjoint predicates: both land " +
