@@ -50,6 +50,7 @@ class SnapshotProps extends SparkSpec {
   private case object Rename extends Verb
   private case class ForeignMigrate(rows: Int) extends Verb
   private case object Widen extends Verb
+  private case object Checkpoint extends Verb
 
   private val verbGen: Gen[Verb] = Gen.frequency(
     6 -> (for {
@@ -63,7 +64,8 @@ class SnapshotProps extends SparkSpec {
     2 -> Gen.chooseNum(1, 3).map(MergeBackfill.apply),
     2 -> Gen.const(Rename),
     2 -> Gen.chooseNum(1, 2).map(ForeignMigrate.apply),
-    2 -> Gen.const(Widen))
+    2 -> Gen.const(Widen),
+    2 -> Gen.const(Checkpoint))
 
   private val scriptGen: Gen[List[Verb]] = for {
     n <- Gen.chooseNum(4, 7)
@@ -75,6 +77,7 @@ class SnapshotProps extends SparkSpec {
   test("model-based: every retained version serves exactly its committed " +
       "row multiset after arbitrary verb sequences; history stays ascending") {
     var renamesRun = 0
+    var checkpointsRun = 0
     var migratesRun = 0
     var widensRun = 0
     for (seed <- 1L to 6L) {
@@ -230,6 +233,15 @@ class SnapshotProps extends SparkSpec {
             record()
             migratesRun += 1
           }
+        case Checkpoint =>
+          // content-preserving manifest re-list (the orphan/attachment
+          // capture verb): one new version serving the unchanged multiset;
+          // changesBetween skips it, changeFeed's file-diff cancels to
+          // zero rows — the model just records the same multiset again
+          t.checkpoint()
+          assert(t.snapshotVersions.last._2 == "checkpoint")
+          checkpointsRun += 1
+          record()
         case Widen =>
           // content-preserving type promotion: int -> long once; every
           // later batch writes the wide type, pre-widen files promote at
@@ -304,6 +316,9 @@ class SnapshotProps extends SparkSpec {
     assert(widensRun > 0,
       "the seed range must exercise Widen at least once — regenerate " +
         "seeds if the generator drifts")
+    assert(checkpointsRun > 0,
+      "the seed range must exercise Checkpoint at least once — " +
+        "regenerate seeds if the generator drifts")
   }
 
   private def group(rows: Seq[(Long, Long)]): Map[Int, Seq[(Long, Long)]] =
