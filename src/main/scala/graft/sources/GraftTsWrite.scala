@@ -150,7 +150,17 @@ final class GraftTsBatchWrite(
           table.archiveFile(fs, s"$rel$n")
         }
       }
-      purge(root, "")
+      // a file vanishing mid-purge is a concurrent rewrite taking it
+      // (archiveFile's classified signal): like restore, an overwrite has
+      // no rollback and is CONVERGENT — re-running the INSERT OVERWRITE
+      // enforces the replacement semantics over the racing writer
+      try purge(root, "")
+      catch { case _: java.io.FileNotFoundException =>
+        throw new TsTable.ConcurrentRewriteException(
+          "overwrite: a live file vanished while retiring (concurrent " +
+            "rewrite); re-run the INSERT OVERWRITE to converge on the " +
+            "replacement state, or inspect the racing writer's version first")
+      }
     }
     messages.foreach {
       case GraftTsCommitMessage(files) => files.foreach { case (tmp, fin) =>
