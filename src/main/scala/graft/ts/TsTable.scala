@@ -1345,9 +1345,13 @@ final class TsTable private (
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // writer-unique staging — the cowExec rule (see its comment)
     val tmp = new Path(root,
-      s"_compact_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      s"_compact_tmp_${java.util.UUID.randomUUID().toString}")
     // explicit-file load with basePath: partition values (p_date) still
-    // derive from the directory layout, exactly as cowExec's dated read
+    // derive from the directory layout, exactly as cowExec's dated read.
+    // The load is EAGER about file existence (V1 DataSource checks at
+    // plan time), so it sits inside the staging-race try below with the
+    // aggregates and the rewrite job.
+    try {
     val days = spark.read.format(TsTable.ReadFmt)
       .option("basePath", path)
       .schema(withPartCol(storedSchema))
@@ -1364,9 +1368,9 @@ final class TsTable private (
     // ts-contiguous, so the ts span index degrades to day granularity
     // for that day until a plain compact restores it.
     // staging reads touch ONLY the planned inputs — a vanished table file
-    // (bounds/slot aggregates or the rewrite job) is a concurrent rewrite
-    // taking them: the retryable conflict, nothing live touched
-    try {
+    // (the eager load above, bounds/slot aggregates, or the rewrite job)
+    // is a concurrent rewrite taking them: the retryable conflict,
+    // nothing live touched
     val sorted = {
       val d = withFieldIds(days)
       if (cluster.nonEmpty) {
@@ -1427,7 +1431,7 @@ final class TsTable private (
       throw new TsTable.ConcurrentRewriteException(
         "compact: a planned input vanished during the staging rewrite " +
           "(concurrent rewrite); staged output dropped, live table " +
-          "untouched — retry on a fresh handle")
+          "untouched — retry on a fresh handle", e)
     }
     TsTable.rewriteRaceHook("staged", "compact")
     requireDisplacedLive(fs, displaced, "compact", staged = tmp)
@@ -1506,8 +1510,16 @@ final class TsTable private (
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dropped = partitionDates.filter(_ < date).sorted.map { d =>
       val rel = s"$PartCol=$d"
-      dataFiles(fs, new Path(root, rel))
+      // a file vanishing mid-archive is a rewrite racing retention —
+      // classify as the retryable conflict (re-running dropBefore
+      // converges: it re-lists and retires whatever is then live)
+      try dataFiles(fs, new Path(root, rel))
         .foreach(f => archiveFile(fs, s"$rel/${f.getName}"))
+      catch { case e: java.io.FileNotFoundException =>
+        throw new TsTable.ConcurrentRewriteException(
+          s"retention: a file in $rel vanished while archiving " +
+            "(concurrent rewrite); re-run dropBefore to converge", e)
+      }
       fs.delete(new Path(root, rel), true) // now holds only markers
       d
     }
@@ -1852,8 +1864,12 @@ final class TsTable private (
     val rootStr = new Path(path).toUri.getPath
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists { t =>
       val m = Option(t.getMessage).getOrElse("")
-      (m.contains("PATH_NOT_FOUND") || m.contains("FAILED_READ_FILE")) &&
-        m.contains(rootStr)
+      // ONLY missing-file shapes classify — a corrupt footer or codec
+      // error under FAILED_READ_FILE is a permanent failure that must
+      // surface as itself, never as a retryable conflict
+      val missing = t.isInstanceOf[java.io.FileNotFoundException] ||
+        m.contains("PATH_NOT_FOUND") || m.contains("FILE_NOT_EXIST")
+      missing && m.contains(rootStr)
     }
   }
 
@@ -1893,7 +1909,11 @@ final class TsTable private (
                            displaced: Seq[(String, Long)],
                            movedIn: Seq[String]): Unit = {
     movedIn.foreach { rel =>
-      if (fs.exists(new Path(path, rel))) archiveFile(fs, rel)
+      // a replacement vanishing in the exists→archive window means a
+      // third writer already took it — the goal (not live) is achieved,
+      // and the archive holds it for any manifest that captured it
+      try { if (fs.exists(new Path(path, rel))) archiveFile(fs, rel) }
+      catch { case _: java.io.FileNotFoundException => () }
     }
     displaced.foreach { case (rel, _) =>
       val live = new Path(path, rel)
@@ -1945,7 +1965,7 @@ final class TsTable private (
     // name let one racer delete another's in-flight staging out from under
     // its write job. A crashed run's temp is reclaimed by vacuumStaging.
     val tmp = new Path(root,
-      s"_delete_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      s"_delete_tmp_${java.util.UUID.randomUUID().toString}")
     // 2. rewrite of the hit files only (+ merge inserts), one job per
     //    layout family. The staging read touches ONLY the planned inputs,
     //    so a missing table file here (plan-time PATH_NOT_FOUND or
@@ -1995,7 +2015,7 @@ final class TsTable private (
       throw new TsTable.ConcurrentRewriteException(
         s"$action: a planned input vanished during the staging rewrite " +
           "(concurrent rewrite); staged output dropped, live table " +
-          "untouched — retry the verb on a fresh handle")
+          "untouched — retry the verb on a fresh handle", e)
     }
     // 2½. constraint gate on the STAGED output (update/merge can modify
     // rows into violation; delete can't and skips this): validating the
@@ -3375,8 +3395,8 @@ object TsTable {
     * racing writer, the verb's declared semantic), so recovery is the
     * user's explicit choice between re-running and inspecting the
     * winner's version first. */
-  final class ConcurrentRewriteException(msg: String)
-    extends RuntimeException(msg)
+  final class ConcurrentRewriteException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
 
   /** Commit actions that only ADD files or re-list the live layout —
     * never remove live files. A rewrite's commit gate passes when every
@@ -3462,7 +3482,7 @@ object TsTable {
       path: String, v: Long,
       blooms: Map[String, Map[String, Array[Byte]]]): Path = {
     val tmp = new Path(path,
-      bloomsName(v) + s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      bloomsName(v) + s".${java.util.UUID.randomUUID().toString}.tmp")
     val enc = java.util.Base64.getEncoder
     fs.mkdirs(new Path(path, VersionsDir))
     val out = fs.create(tmp, true)
@@ -3580,7 +3600,7 @@ object TsTable {
     // writer renames only its own fully-written bytes; the TARGET rename
     // below remains the CAS.
     val tmp = new Path(
-      target.toString + s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      target.toString + s".${java.util.UUID.randomUUID().toString}.tmp")
     // commitMs rides in the header so TIMESTAMP AS OF resolution survives
     // filesystem migrations that rewrite mtimes (readers that predate the
     // field fall back to the manifest file's own mtime)

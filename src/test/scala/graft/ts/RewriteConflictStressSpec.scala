@@ -74,6 +74,7 @@ class RewriteConflictStressSpec extends graft.SparkSpec {
     })
     compactor.start(); deleter.start()
     compactor.join(120000); deleter.join(120000)
+    assert(!compactor.isAlive && !deleter.isAlive, "a racer timed out")
     import scala.jdk.CollectionConverters._
     assert(errors.asScala.isEmpty,
       s"a racer failed beyond the conflict protocol: ${errors.asScala.headOption}")
@@ -142,6 +143,8 @@ class RewriteConflictStressSpec extends graft.SparkSpec {
     })
     Seq(appender, deleter, compactor).foreach(_.start())
     Seq(appender, deleter, compactor).foreach(_.join(120000))
+    assert(!Seq(appender, deleter, compactor).exists(_.isAlive),
+      "a racer timed out")
     import scala.jdk.CollectionConverters._
     assert(errors.asScala.isEmpty,
       s"a racer failed beyond the conflict protocol: ${errors.asScala.headOption}")
@@ -176,6 +179,7 @@ class RewriteConflictStressSpec extends graft.SparkSpec {
     }
     threads.foreach(_.start())
     threads.foreach(_.join(120000))
+    assert(!threads.exists(_.isAlive), "a racer timed out")
     import scala.jdk.CollectionConverters._
     assert(errors.asScala.isEmpty, s"${errors.asScala.headOption}")
     val healed = TsTable.open(spark, dir)
