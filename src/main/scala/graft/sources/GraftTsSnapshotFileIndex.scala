@@ -66,14 +66,27 @@ final class GraftTsSnapshotFileIndex(
   override def partitionSpec(): PartitionSpec = spec
 
   // skip indexes: manifest spans/colStats and the version's Bloom sidecar,
-  // keyed by the RESOLVED path each file serves from (UUID basenames are
-  // unique, so name-level matching is exact across the live/archive split)
-  private def resolveByName[A](byRel: Map[String, A]): Map[Path, A] = {
-    val byName = byRel.map { case (rel, a) => rel.split("/").last -> a }
-    statuses.flatMap { case (_, st) =>
-      byName.get(st.getPath.getName).map(st.getPath -> _)
-    }.toMap
+  // keyed by the RESOLVED path each file serves from. Resolution strips
+  // the table root (and the archive segment) back to the manifest's
+  // TABLE-RELATIVE key — never the basename: one write task landing in
+  // several day partitions gives every partition the SAME part-file name
+  // (part-00000-<jobUUID>), and basename keying collapsed those files
+  // onto one span, making the ts-span skip prune files that DO intersect
+  // the query range (silent row loss, caught when the V1 facade unified
+  // onto this index).
+  private def relOf(p: Path): String = {
+    val root = tablePath.toString
+    val s = p.toString
+    val archPrefix = s"$root/_ts_archive/"
+    if (s.startsWith(archPrefix)) s.substring(archPrefix.length)
+    else if (s.startsWith(root + "/")) s.substring(root.length + 1)
+    else p.getName // foreign layout: fall back, matching at worst nothing
   }
+
+  private def resolveByName[A](byRel: Map[String, A]): Map[Path, A] =
+    statuses.flatMap { case (_, st) =>
+      byRel.get(relOf(st.getPath)).map(st.getPath -> _)
+    }.toMap
 
   private lazy val spanByPath: Map[Path, (Long, Long)] =
     resolveByName(snapshot.fileTsSpans)

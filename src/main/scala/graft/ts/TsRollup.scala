@@ -64,9 +64,46 @@ object TsRollup {
   /** Create (if needed) and bring the rollup at `dstPath` up to date with
     * `src`. `bucketSeconds` is the bucket width, `valueCol` the source
     * column aggregated. Returns the rollup handle; a no-change sync
-    * commits nothing. */
+    * commits nothing.
+    *
+    * Conflict contract: a sync racing rewrites — of the SOURCE window it
+    * is reading (deleteWhere / compact swapping files mid-`readRange`) or
+    * of the ROLLUP itself (another sync or writer tripping the verbs'
+    * commit gate) — retries internally on the engine's two retryable
+    * shapes (`ConcurrentRewriteException`; a missing-file read under
+    * either table's root, the documented swap-read race) and converges,
+    * because every step is idempotent toward the target state: the span
+    * clear is a predicate delete, the re-fill a keyed upsert, and the
+    * cursor commit comes last — a retry simply re-reads the now-current
+    * source version and re-derives the span. Bounded at [[MaxAttempts]];
+    * a loss beyond that rethrows the last failure (nothing stale was
+    * committed: the cursor only advances on full success). */
   def sync(src: TsTable, dstPath: String, bucketSeconds: Long,
            valueCol: String): TsTable = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try return syncOnce(src, dstPath, bucketSeconds, valueCol)
+      catch {
+        case _: TsTable.ConcurrentRewriteException
+            if attempts < MaxAttempts => ()
+        case e: Throwable if attempts < MaxAttempts &&
+            TsTable.missingFileUnder(e, Seq(src.path, dstPath), Nil) => ()
+        // the pinned source version expired mid-sync (aggressive
+        // keepLast / auto-expire racing a slow sync): re-resolve — the
+        // retry pins the now-current version, or full-rebuilds when the
+        // cursor itself expired
+        case e: IllegalArgumentException if attempts < MaxAttempts &&
+            Option(e.getMessage).exists(_.contains("no snapshot version")) => ()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private val MaxAttempts = 8
+
+  private def syncOnce(src: TsTable, dstPath: String, bucketSeconds: Long,
+                       valueCol: String): TsTable = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val spark = src.spark
     val dst = {
@@ -79,6 +116,18 @@ object TsRollup {
     val curV = src.currentVersion.getOrElse(return dst)
     val cursor = dst.latestMeta(CursorKey).map(_.toLong)
     if (cursor.contains(curV)) return dst // already current
+    // Every data read below is PINNED to curV's snapshot, never the live
+    // tree: a live listing caught inside a concurrent rewrite's swap
+    // window (originals archived, replacements not yet moved in) serves
+    // NEITHER generation of the affected files — the re-aggregated span
+    // would silently lose those rows, the clear-first delete would erase
+    // the bucket, and the advanced cursor would never look back (raced in
+    // TsRollupSpec). The pinned manifest resolves each file live-first-
+    // then-archive with a size guard, so a mid-read swap is either
+    // invisible or LOUD (retryable) — never silently narrower. This also
+    // makes the cursor exact: the rollup IS the aggregate of version
+    // curV, not of whatever live state the read happened to catch.
+    val pinned = src.openAt(curV)
     val bucketUs = bucketSeconds * 1000000L
     def us(t: Timestamp) =
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
@@ -104,7 +153,7 @@ object TsRollup {
       val bhi = Math.floorDiv(sHi, bucketUs) * bucketUs + bucketUs - 1L
       if (clearFirst)
         dst.deleteWhere(col("ts").between(ts(blo), ts(bhi)))
-      val agg = bucketAgg(src.readRange(ts(blo), ts(bhi)))
+      val agg = bucketAgg(pinned.readRange(ts(blo), ts(bhi)))
       dst.mergeInto(agg, keys = Seq("ts"))
       ()
     }
@@ -142,12 +191,12 @@ object TsRollup {
           m.files.filterNot(f => prevSet(f._1)).foreach(f => absorb(m.stats, f._1))
           prev.files.filterNot(f => curSet(f._1)).foreach(f => absorb(prev.stats, f._1))
         }
-        if (unknown) fullRebuild(dst, bucketAgg(src.toDF))
+        if (unknown) fullRebuild(dst, bucketAgg(pinned.toDF))
         else if (lo <= hi) syncSpan(lo, hi, clearFirst = true)
         // lo > hi: every changing version was a no-file-change commit
       }
     } else {
-      fullRebuild(dst, bucketAgg(src.toDF))
+      fullRebuild(dst, bucketAgg(pinned.toDF))
     }
     // advance the cursor even for row-free syncs (maintenance-only
     // source commits): a metadata-only "rollup" version

@@ -132,8 +132,7 @@ final class TsTable private (
     * distributed scan it prunes. */
   private def spanPrunedRange(start: Timestamp,
                               end: Timestamp): Option[DataFrame] = {
-    val v = currentVersion.getOrElse(return None)
-    val m = TsTable.readManifest(spark, path, v)
+    val (_, m) = currentManifest.getOrElse(return None)
     if (m.files.isEmpty) return None
     if (m.schema != storedSchema) return None
     if (!m.files.forall(f => m.stats.contains(f._1))) return None
@@ -197,8 +196,7 @@ final class TsTable private (
     * one authority check covers both the pruning and the scan. */
   private[graft] def bloomCandidatesWithManifest(column: String,
       values: Seq[Any]): Option[(TsManifest, Seq[String])] = {
-    val v = currentVersion.getOrElse(return None)
-    val m = TsTable.readManifest(spark, path, v)
+    val (v, m) = currentManifest.getOrElse(return None)
     if (m.schema != storedSchema) return None
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (listLiveFiles(fs).toSet != m.files.toSet) return None
@@ -906,8 +904,8 @@ final class TsTable private (
     // then also the first commit attributing the attachment's rows to the
     // governed history (the change feed emits them there; the identity
     // rewrite below cancels to zero rows, like any migrate).
-    target.currentVersion.foreach { v =>
-      val cm = TsTable.readManifest(spark, path, v).files.toMap
+    target.currentManifest.foreach { case (_, m) =>
+      val cm = m.files.toMap
       if (idless.exists(r => r.contains("/") && !cm.contains(r)))
         target.commitVersion("checkpoint")
     }
@@ -1346,6 +1344,9 @@ final class TsTable private (
     // writer-unique staging — the cowExec rule (see its comment)
     val tmp = new Path(root,
       s"_compact_tmp_${java.util.UUID.randomUUID().toString}")
+    // in-flight marker before anything stages — the cowExec rule
+    val marker = writeInflightMarker(fs, tmp.getName, displaced.map(_._1))
+    try {
     // explicit-file load with basePath: partition values (p_date) still
     // derive from the directory layout, exactly as cowExec's dated read.
     // The load is EAGER about file existence (V1 DataSource checks at
@@ -1426,7 +1427,7 @@ final class TsTable private (
       .option("compression", writeOptions.codec)
     writeOptions.rowGroupBytes.foreach(b => writer.option("parquet.block.size", b.toString))
     writer.partitionBy(PartCol).parquet(tmp.toString) // lands BEFORE any swap
-    } catch { case e: Throwable if stagingSwapRace(e) =>
+    } catch { case e: Throwable if stagingSwapRace(e, displaced) =>
       fs.delete(tmp, true)
       throw new TsTable.ConcurrentRewriteException(
         "compact: a planned input vanished during the staging rewrite " +
@@ -1435,12 +1436,20 @@ final class TsTable private (
     }
     TsTable.rewriteRaceHook("staged", "compact")
     requireDisplacedLive(fs, displaced, "compact", staged = tmp)
+    TsTable.rewriteRaceHook("archiving", "compact")
     // swap: archive EXACTLY the planned inputs (never a fresh listing — a
     // concurrent append's new file must stay live), then move the
-    // rewritten files in, recording each move for the conflict rollback
-    try displaced.foreach { case (rel, _) => archiveFile(fs, rel) }
+    // rewritten files in, recording each move for the conflict rollback.
+    // The rollback set is what THIS verb archived so far — never the full
+    // plan: the file that FNF'd was archived by a concurrent winner's own
+    // in-flight swap, and re-living it would resurrect rows the winner
+    // rewrote away into its committed (or about-to-commit) manifest.
+    val archivedHere = Seq.newBuilder[(String, Long)]
+    try displaced.foreach { case d @ (rel, _) =>
+      archiveFile(fs, rel); archivedHere += d
+    }
     catch { case _: java.io.FileNotFoundException =>
-      rollbackSwap(fs, displaced, Seq.empty)
+      rollbackSwap(fs, archivedHere.result(), Seq.empty)
       fs.delete(tmp, true)
       throw new TsTable.ConcurrentRewriteException(
         "compact: a planned input vanished while archiving (concurrent " +
@@ -1467,6 +1476,7 @@ final class TsTable private (
       throw e
     }
     hit
+    } finally clearInflightMarker(fs, marker)
   }
 
   /** Per day, the MAX number of live files whose exact manifest ts spans
@@ -1479,8 +1489,7 @@ final class TsTable private (
     * they qualify for a rewrite, which restores spans). Metadata-only:
     * one manifest read, zero footers. */
   private def manifestHourPressure(): Map[String, Int] =
-    currentVersion.map { v =>
-      val m = TsTable.readManifest(spark, path, v)
+    currentManifest.map { case (_, m) =>
       m.files.map(_._1).filter(_.startsWith(s"$PartCol="))
         .groupBy(_.split("/").head.stripPrefix(s"$PartCol="))
         .map { case (d, fls) =>
@@ -1688,9 +1697,20 @@ final class TsTable private (
     val serving = TsTable.open(spark, path, tsCol)
     if (serving.schema != storedSchema)
       return serving.mergeInto(source, keys, updateCols, insert, filesPerDay)
+    // Materialize the source EXACTLY ONCE (the Delta MERGE materializeSource
+    // rule) — localCheckpoint truncates the plan to the computed rows, so
+    // the several passes below (cardinality check, MATCHED discovery,
+    // NOT-MATCHED projection, the rewrite xform) all see ONE consistent
+    // value. A lazy source would re-evaluate per pass, and persist() is
+    // NOT enough: a concurrent writer's commit to a path the source reads
+    // makes Spark recacheByPath — recompute the cache MID-MERGE — so a
+    // source reading this or another graft table during concurrent
+    // maintenance could silently flap between passes (rows lost from the
+    // insert set; raced in TsRollupSpec's sync-vs-rewrite stress).
+    val src0 = source.localCheckpoint()
     // SQL MERGE cardinality rule: at most one source row per key
     val keyCols = keys.map(col)
-    val dup = source.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+    val dup = src0.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
       .where(col("__n") > 1).limit(1).collect()
     require(dup.isEmpty,
       s"mergeInto: source has ${dup.headOption.map(_.getLong(keys.length)).getOrElse(0L)} rows " +
@@ -1704,7 +1724,7 @@ final class TsTable private (
         // input_file_name() must bind BELOW the join (it rejects
         // multi-source plans), so stamp each table row with its file first
         val hitAgg = raw.withColumn("__f", input_file_name())
-          .join(source.select(keyCols: _*), keys, "left_semi")
+          .join(src0.select(keyCols: _*), keys, "left_semi")
           .groupBy(col("__f").as("f")).agg(count(lit(1)).as("n"))
           .collect()
         (relativize(hitAgg.map(_.getString(0)).toSeq, "merge"),
@@ -1714,22 +1734,24 @@ final class TsTable private (
     val insOpt: Option[(DataFrame, Long, Int)] =
       if (!insert) None
       else {
-        val proj = source.join(raw.select(keyCols: _*), keys, "left_anti")
+        // localCheckpoint, not persist: the single-evaluation rule above —
+        // this frame is consumed by a validation count AND the staged
+        // write, and a mid-merge recache would desynchronize them
+        val proj = src0.join(raw.select(keyCols: _*), keys, "left_anti")
           .select(storedSchema.fields.map { f =>
             (if (srcCols.contains(f.name)) col(f.name).cast(f.dataType)
              else lit(null).cast(f.dataType)).as(f.name)
           }.toSeq: _*)
           .withColumn(PartCol, to_date(col(tsCol)))
-        proj.persist()
+          .localCheckpoint()
         val st = proj.agg(count(lit(1)), count(col(tsCol)),
           countDistinct(col(PartCol))).head
         val (n, nTs, nDays) = (st.getLong(0), st.getLong(1), st.getLong(2))
-        if (n == 0) { proj.unpersist(); None }
-        else if (n != nTs) {
-          proj.unpersist()
+        if (n == 0) None
+        else if (n != nTs)
           throw new IllegalArgumentException(
             s"mergeInto: ${n - nTs} insert row(s) carry a null '$tsCol'")
-        } else Some((proj, n, nDays.toInt))
+        else Some((proj, n, nDays.toInt))
       }
     if (hitRel.isEmpty && insOpt.isEmpty) return TsTable.MergeResult(0L, 0L)
     // a merge that rewrites NOTHING is pure insertion — file-additive, so
@@ -1737,22 +1759,20 @@ final class TsTable private (
     // readers (changesBetween serves backfill commits; a rewriting merge
     // stays row-free there because inserts share files with rewrites)
     val action = if (hitRel.isEmpty) "backfill" else "merge"
-    try {
-      cowExec(hitRel, action, filesPerDay,
-        inserts = insOpt.map(_._1), insertDays = insOpt.map(_._3).getOrElse(0),
-        enforceAfterRewrite = true) { df =>
-        val marked = source.select(
-          (keyCols ++ upd.map(c => col(c).as(s"__u_$c")) :+
-            lit(true).as("__matched")): _*)
-        df.join(marked, keys, "left")
-          .select(df.columns.map { c =>
-            if (upd.contains(c))
-              when(col("__matched"), col(s"__u_$c").cast(storedSchema(c).dataType))
-                .otherwise(col(c)).as(c)
-            else col(c)
-          }.toSeq: _*)
-      }
-    } finally insOpt.foreach(_._1.unpersist())
+    cowExec(hitRel, action, filesPerDay,
+      inserts = insOpt.map(_._1), insertDays = insOpt.map(_._3).getOrElse(0),
+      enforceAfterRewrite = true) { df =>
+      val marked = src0.select(
+        (keyCols ++ upd.map(c => col(c).as(s"__u_$c")) :+
+          lit(true).as("__matched")): _*)
+      df.join(marked, keys, "left")
+        .select(df.columns.map { c =>
+          if (upd.contains(c))
+            when(col("__matched"), col(s"__u_$c").cast(storedSchema(c).dataType))
+              .otherwise(col(c)).as(c)
+          else col(c)
+        }.toSeq: _*)
+    }
     TsTable.MergeResult(matched, insOpt.map(_._2).getOrElse(0L))
   }
 
@@ -1814,9 +1834,10 @@ final class TsTable private (
   private def guardDisplaced(displaced: Seq[(String, Long)],
                              action: String)
       : (Seq[(String, Long)], Option[Long]) = {
-    val planV = currentVersion
-    val planned = planV
-      .map(v => TsTable.readManifest(spark, path, v).files.toMap)
+    val cur = currentManifest
+    val planV = cur.map(_._1)
+    val planned = cur
+      .map(_._2.files.toMap)
       .getOrElse(Map.empty[String, Long])
     if (planV.isDefined) {
       val unmanifested = displaced.filter { case (p, l) =>
@@ -1859,19 +1880,16 @@ final class TsTable private (
     * disappearance mid-staging IS a concurrent rewrite taking them
     * (PATH_NOT_FOUND at plan time, FAILED_READ_FILE at task time). The
     * root-path guard keeps a genuinely missing USER file (merge's insert
-    * source) surfacing as its own error, never a retryable conflict. */
-  private def stagingSwapRace(e: Throwable): Boolean = {
-    val rootStr = new Path(path).toUri.getPath
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists { t =>
-      val m = Option(t.getMessage).getOrElse("")
-      // ONLY missing-file shapes classify — a corrupt footer or codec
-      // error under FAILED_READ_FILE is a permanent failure that must
-      // surface as itself, never as a retryable conflict
-      val missing = t.isInstanceOf[java.io.FileNotFoundException] ||
-        m.contains("PATH_NOT_FOUND") || m.contains("FILE_NOT_EXIST")
-      missing && m.contains(rootStr)
-    }
-  }
+    * source) surfacing as its own error, never a retryable conflict.
+    * Messages that carry a relative / URI-encoded / bare-filename path
+    * miss the root-path substring, so a missing-file shape ALSO matches
+    * against the planned inputs' basenames — UUID part names make a
+    * collision with a user file's name a non-event, and those are the
+    * only table files the staging read can touch. */
+  private[ts] def stagingSwapRace(e: Throwable,
+                                  displaced: Seq[(String, Long)]): Boolean =
+    TsTable.missingFileUnder(e, Seq(path),
+      displaced.iterator.map(_._1.split("/").last).filter(_.nonEmpty).toSeq)
 
   /** Pre-swap conflict gate — the cheapest point to lose the race: after
     * staging (all CPU spent, nothing live touched), every displaced file
@@ -1920,6 +1938,17 @@ final class TsTable private (
       if (!fs.exists(live)) {
         val arch = new Path(new Path(path, TsTable.ArchiveDir), rel)
         if (fs.exists(arch)) { fs.mkdirs(live.getParent); fs.rename(arch, live) }
+        else
+          // every rel here was archived by THIS verb moments ago (the
+          // callers pass only their own archive set), so absence means
+          // snapshot GC reclaimed the bytes inside the rollback window —
+          // the in-flight marker protects against that, making this a
+          // should-never-fire guard that turns silent row loss LOUD
+          throw new IllegalStateException(
+            s"rollback cannot restore $rel: neither live nor archived — " +
+              "its archived bytes were reclaimed mid-rewrite (snapshot GC " +
+              "racing this verb's rollback window); the file's rows are " +
+              "lost from the live tree — restore from a retained snapshot")
       }
     }
   }
@@ -1966,6 +1995,12 @@ final class TsTable private (
     // its write job. A crashed run's temp is reclaimed by vacuumStaging.
     val tmp = new Path(root,
       s"_delete_tmp_${java.util.UUID.randomUUID().toString}")
+    // In-flight marker BEFORE anything stages: from here until the commit
+    // lands (or the rollback completes), expireSnapshots must not reclaim
+    // the displaced files' archived bytes and vacuumStaging must not
+    // reclaim this staging dir — the conflict rollback depends on both.
+    val marker = writeInflightMarker(fs, tmp.getName, displaced.map(_._1))
+    try {
     // 2. rewrite of the hit files only (+ merge inserts), one job per
     //    layout family. The staging read touches ONLY the planned inputs,
     //    so a missing table file here (plan-time PATH_NOT_FOUND or
@@ -2010,7 +2045,7 @@ final class TsTable private (
         writer.option("parquet.block.size", b.toString))
       writer.parquet(new Path(tmp, "loose").toString)
     }
-    } catch { case e: Throwable if stagingSwapRace(e) =>
+    } catch { case e: Throwable if stagingSwapRace(e, displaced) =>
       fs.delete(tmp, true)
       throw new TsTable.ConcurrentRewriteException(
         s"$action: a planned input vanished during the staging rewrite " +
@@ -2039,13 +2074,19 @@ final class TsTable private (
     }
     TsTable.rewriteRaceHook("staged", action)
     requireDisplacedLive(fs, displaced, action, staged = tmp)
+    TsTable.rewriteRaceHook("archiving", action)
     // 3. swap: archive the hit originals, move the rewritten files in
     // (recording each move for the commit-conflict rollback). A file
     // vanishing mid-archive is a rewrite that won the sub-gate window:
-    // re-live what this verb already archived, drop the staging, conflict.
-    try hitRel.foreach(archiveFile(fs, _))
+    // re-live ONLY what this verb itself archived (the vanished file was
+    // archived by the winner — re-living it would resurrect rows the
+    // winner rewrote away into its manifest), drop the staging, conflict.
+    val archivedHere = Seq.newBuilder[(String, Long)]
+    try displaced.foreach { case d @ (rel, _) =>
+      archiveFile(fs, rel); archivedHere += d
+    }
     catch { case _: java.io.FileNotFoundException =>
-      rollbackSwap(fs, displaced, Seq.empty)
+      rollbackSwap(fs, archivedHere.result(), Seq.empty)
       fs.delete(tmp, true)
       throw new TsTable.ConcurrentRewriteException(
         s"$action: a planned input vanished while archiving (concurrent " +
@@ -2083,6 +2124,7 @@ final class TsTable private (
       commitVersion("checkpoint")
       throw e
     }
+    } finally clearInflightMarker(fs, marker)
   }
 
   /** Compact every day partition holding more than `targetFiles` data
@@ -2112,6 +2154,25 @@ final class TsTable private (
   def currentVersion: Option[Long] = {
     val vs = TsTable.listVersions(spark, path)
     if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** The newest version and its manifest, resilient to an expireSnapshots
+    * racing the two-step resolve: GC only ever deletes SUPERSEDED
+    * manifests, so losing the read to FileNotFound means a newer version
+    * exists — re-list and re-read until the pair is consistent. None for
+    * pre-snapshot tables. Every "serve/judge against the CURRENT state"
+    * path resolves through here; version-PINNED reads (openAt, history
+    * walks) stay loud on an expired version by design. */
+  private[ts] def currentManifest: Option[(Long, TsManifest)] = {
+    while (true) {
+      currentVersion match {
+        case None => return None
+        case Some(v) =>
+          try return Some(v -> TsTable.readManifest(spark, path, v))
+          catch { case _: java.io.FileNotFoundException => () } // GC raced
+      }
+    }
+    None // unreachable
   }
 
   /** Whether `version`'s manifest is still retained (not yet expired) —
@@ -2587,15 +2648,25 @@ final class TsTable private (
     * that keeps time travel honest at 100 TB: without expiry the archive
     * grows by one day-rewrite per compaction forever. O(#manifests +
     * #archived files) driver metadata work, no data reads. Returns the
-    * expired version numbers. */
+    * expired version numbers. Conflict-safe against live rewrites: files
+    * named by an in-flight marker ([[TsTable.InflightDir]]) are never
+    * reclaimed, so a racing verb's rollback always finds its archived
+    * inputs. */
   def expireSnapshots(keepLast: Int = 1): Seq[Long] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = TsTable.listVersions(spark, path).sorted
     val (expired, kept) = all.splitAt((all.length - keepLast).max(0))
     if (expired.isEmpty) return Seq.empty
+    // kept-manifest references PLUS every file an in-flight rewrite may
+    // still need to re-live on a conflict rollback: a loser's displaced
+    // files can be absent from every kept manifest (the winner's listing
+    // ran while they were archived), and reclaiming them inside the
+    // rollback window silently loses their rows — the marker makes GC a
+    // participant in the rewrite conflict protocol instead of a bypass.
     val referenced = kept
-      .flatMap(v => TsTable.readManifest(spark, path, v).files.map(_._1)).toSet
+      .flatMap(v => TsTable.readManifest(spark, path, v).files.map(_._1)).toSet ++
+      inflightProtectedRels(fs)
     val archRoot = new Path(path, TsTable.ArchiveDir)
     if (fs.exists(archRoot)) {
       // one listing per archived partition dir — metadata-scale
@@ -2648,11 +2719,22 @@ final class TsTable private (
     var lastBase = -1L // newest version observed on the previous attempt
     var stuck = 0
     var committed = false
+    // version → action for the additive-exemption walk, kept ACROSS CAS
+    // retries: a committed manifest is immutable (temp + rename install),
+    // so classification never changes — without the cache every retry
+    // re-reads one manifest per interleaved commit, O(interleaved) reads
+    // per attempt under exactly the high-frequency append-sink load the
+    // exemption exists to keep rewrites alive in.
+    val interleavedActions = scala.collection.mutable.Map.empty[Long, String]
     while (!committed) {
       val files = listLiveFiles(fs)
-      val prevV = currentVersion
+      // resolve (version, manifest) atomically vs a racing expireSnapshots
+      // (GC can delete the observed newest manifest only after a NEWER
+      // commit superseded it — currentManifest re-lists on that race)
+      val cur = currentManifest
+      val prevV = cur.map(_._1)
       next = prevV.getOrElse(0L) + 1
-      val prevM = prevV.map(v => TsTable.readManifest(spark, path, v))
+      val prevM = cur.map(_._2)
       // SEMANTIC conflict gate (rewrite verbs only — `displaced` is empty
       // for append/DDL commits), judged atomically with the commit: the
       // CAS rename serializes commits, so a lost race retries this loop,
@@ -2677,10 +2759,22 @@ final class TsTable private (
       // all) skips the gate entirely.
       if (displaced.nonEmpty) prevM.foreach { pm =>
         val additiveOnly = displacedPlanVersion.exists { pv =>
-          TsTable.listVersions(spark, path)
-            .filter(v => v > pv && v <= pm.version)
-            .forall(v => TsTable.AdditiveActions.contains(
-              TsTable.readManifest(spark, path, v).action))
+          // The exemption is only sound when the interleaved walk is
+          // COMPLETE: a manifest missing from (pv, pm.version] (an
+          // expireSnapshots racing this long rewrite reclaimed it) could
+          // be the very rewrite-family commit the walk exists to catch,
+          // so the range is walked GAPLESSLY — every version's manifest
+          // must be present and readable, or the exemption is refused
+          // and the conservative membership test below judges instead.
+          ((pv + 1) to pm.version).forall { v =>
+            interleavedActions.get(v).orElse {
+              val a =
+                try Some(TsTable.readManifest(spark, path, v).action)
+                catch { case _: Exception => None }
+              a.foreach(interleavedActions.update(v, _))
+              a
+            }.exists(TsTable.AdditiveActions.contains)
+          }
         }
         if (!additiveOnly) {
           val prevFiles = pm.files.toMap
@@ -2784,7 +2878,11 @@ final class TsTable private (
             lastBase = next - 1
             stuck = 0
           }
-      }
+      } finally
+        // every exit (installed, lost race, unexpected failure) ends the
+        // temp's liveness; an orphan left by a failure becomes ordinary
+        // vacuumStaging fodder instead of staying protected forever
+        bloomTmp.foreach(t => TsTable.liveCommitTmps.remove(t.getName))
     }
     // Bounded history (the Iceberg previous-versions-max rule): each
     // manifest lists the full live file set, so a streaming appendSink
@@ -2802,9 +2900,12 @@ final class TsTable private (
     * directories, a killed V2 write leaves `_tmp-*` files inside day
     * partitions. All are invisible to reads (the underscore rule) but
     * hold real bytes forever. Deletes those older than `olderThanMs`
-    * (mtime; default 24 h, so a CONCURRENTLY RUNNING writer's fresh
-    * staging is never yanked from under it) and returns the paths
-    * removed. Metadata-only: one listing pass, no data reads, no version
+    * (mtime; default 24 h) and returns the paths removed. A RUNNING
+    * rewrite is protected structurally, not by age: its in-flight marker
+    * ([[TsTable.InflightDir]]) shields its staging dir at ANY cutoff while
+    * the owner lives in this driver, and until the cutoff for foreign
+    * drivers; stale crash-orphan markers are reclaimed here too.
+    * Metadata-only: one listing pass, no data reads, no version
     * commit (nothing visible changed). */
   def vacuumStaging(olderThanMs: Long = 86400000L): Seq[String] = {
     require(olderThanMs >= 0, "olderThanMs must be >= 0")
@@ -2813,10 +2914,30 @@ final class TsTable private (
     val cutoff = System.currentTimeMillis() - olderThanMs
     val removed = Seq.newBuilder[String]
     if (!fs.exists(root)) return Seq.empty
+    // In-flight markers first: a marker whose rewrite is live in THIS
+    // driver (liveMarkers) protects its staging dir STRUCTURALLY — any
+    // cutoff, even 0, never yanks a running rewrite's staging. Foreign
+    // markers (another driver, or a crash orphan) protect until the age
+    // cutoff, then the stale marker itself is reclaimed and its staging
+    // dir falls through to the ordinary age test below.
+    val inflightDir = new Path(root, TsTable.InflightDir)
+    val protectedStaging = scala.collection.mutable.Set.empty[String]
+    if (fs.exists(inflightDir))
+      fs.listStatus(inflightDir).filter(_.isFile).foreach { st =>
+        val n = st.getPath.getName
+        val live = TsTable.liveMarkers.contains(n) ||
+          TsTable.liveMarkers.contains(n.stripSuffix(".tmp"))
+        if (!live && st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, false)
+          removed += s"${TsTable.InflightDir}/$n"
+        } else if (n.endsWith(".marker"))
+          protectedStaging += n.stripSuffix(".marker")
+      }
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory &&
           (n.startsWith("_delete_tmp") || n.startsWith("_compact_tmp_")) &&
+          !protectedStaging.contains(n) &&
           st.getModificationTime < cutoff) {
         fs.delete(st.getPath, true)
         removed += n
@@ -2829,10 +2950,12 @@ final class TsTable private (
           }
         }
       } else if (st.isDirectory && n == TsTable.VersionsDir) {
-        // bloom-sidecar temps orphaned by a lost commit race or a crash
-        // between manifest install and the sidecar rename
+        // manifest/bloom-sidecar temps orphaned by a lost commit race or a
+        // crash between manifest install and the sidecar rename — but
+        // NEVER a temp an in-flight commit in this driver still owns
         fs.listStatus(st.getPath).foreach { f =>
           if (f.isFile && f.getPath.getName.endsWith(".tmp") &&
+              !TsTable.liveCommitTmps.contains(f.getPath.getName) &&
               f.getModificationTime < cutoff) {
             fs.delete(f.getPath, false)
             removed += s"$n/${f.getPath.getName}"
@@ -2979,17 +3102,13 @@ final class TsTable private (
     * span) — the V2 scan's file-skip index. Empty when no version exists
     * or the manifest predates span stats. */
   private[graft] def currentFileTsSpans: Map[String, (Long, Long)] =
-    currentVersion
-      .map(v => TsTable.readManifest(spark, path, v).stats)
-      .getOrElse(Map.empty)
+    currentManifest.map(_._2.stats).getOrElse(Map.empty)
 
   /** The current manifest's per-file stats-column spans (relative path →
     * column → closed span) — the generic data-skipping index over
     * `writeOptions.statsCols`. */
   private[graft] def currentFileColSpans: Map[String, Map[String, ColSpan]] =
-    currentVersion
-      .map(v => TsTable.readManifest(spark, path, v).colStats)
-      .getOrElse(Map.empty)
+    currentManifest.map(_._2.colStats).getOrElse(Map.empty)
 
   /** The current version's bloom sidecar (relative path → column →
     * serialized filter bytes) — the V2 scan's equality-skip index over
@@ -3009,8 +3128,7 @@ final class TsTable private (
     * facade, statless footers) returns None and the edge-partition
     * aggregate answers instead. */
   private def statsEdge(last: Boolean): Option[Timestamp] = {
-    val v = currentVersion.getOrElse(return None)
-    val m = TsTable.readManifest(spark, path, v)
+    val (_, m) = currentManifest.getOrElse(return None)
     if (m.files.isEmpty) return None
     if (!m.files.forall(f => m.stats.contains(f._1))) return None
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -3020,6 +3138,69 @@ final class TsTable private (
       else m.stats.valuesIterator.map(_._1).min
     Some(Timestamp.from(
       org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToInstant(us)))
+  }
+
+  /** Declare a rewrite in flight (see [[TsTable.InflightDir]]): one marker
+    * file naming the verb's staging dir and its displaced rel paths,
+    * installed temp+rename so readers never see a torn marker (a torn
+    * read would under-protect). Registered in [[TsTable.liveMarkers]] so
+    * same-driver maintenance can tell a live writer from a crash orphan
+    * structurally, not by age. O(1) metadata. */
+  private def writeInflightMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                  stagingName: String,
+                                  rels: Seq[String]): Path = {
+    val dir = new Path(path, TsTable.InflightDir)
+    fs.mkdirs(dir)
+    val marker = new Path(dir, s"$stagingName.marker")
+    val tmp = new Path(dir, s"$stagingName.marker.tmp")
+    // register BEFORE the temp exists on disk: vacuumStaging protects the
+    // live name and its ".tmp" twin, so there is no window where another
+    // thread's zero-cutoff vacuum can reclaim the half-written marker
+    TsTable.liveMarkers.add(marker.getName)
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(
+        (s"staging=$stagingName\n" + rels.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      require(fs.rename(tmp, marker),
+        s"failed to install in-flight marker ${marker.getName}")
+    } catch { case e: Throwable =>
+      TsTable.liveMarkers.remove(marker.getName); throw e
+    }
+    marker
+  }
+
+  /** Drop this verb's in-flight marker — the rewrite either committed,
+    * rolled back, or aborted pre-swap; in every case the files it named
+    * are again governed by manifests alone. */
+  private def clearInflightMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                  marker: Path): Unit = {
+    TsTable.liveMarkers.remove(marker.getName)
+    try fs.delete(marker, false)
+    catch { case _: java.io.IOException => () } // next vacuumStaging reclaims
+  }
+
+  /** Every archived rel path named by ANY in-flight marker (whatever its
+    * age — reclaim correctness beats GC liveness; stale crash orphans are
+    * bounded by vacuumStaging's cutoff). One small read per marker, and
+    * markers exist only while rewrites are actually in flight. */
+  private def inflightProtectedRels(
+      fs: org.apache.hadoop.fs.FileSystem): Set[String] = {
+    val dir = new Path(path, TsTable.InflightDir)
+    if (!fs.exists(dir)) return Set.empty
+    fs.listStatus(dir).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".marker"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        val bytes =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+            buf.toByteArray
+          } finally in.close()
+        new String(bytes, "UTF-8").split("\n").iterator
+          .filter(l => l.nonEmpty && !l.startsWith("staging="))
+      }.toSet
   }
 
   /** Move a replaced/expired live data file into the archive, preserving
@@ -3176,26 +3357,29 @@ final class TsSnapshot private[ts] (
     * (the plan-vs-execute window) degrades to a same-bytes retry at the
     * mirrored path instead of FILE_NOT_EXIST — a pinned read or a
     * streaming microbatch survives concurrent maintenance outright. */
-  def raw: DataFrame = {
-    val fmt = TsTable.ReadFmt
-    val all = resolvedFiles
-    val withPart = TsTable.withPartColPublic(schema)
-    val (dated, undated) = all.partition(_._1.nonEmpty)
-    val (live, arch) = dated.partition(_._4)
-    val parts = Seq(tablePath -> live.map(_._2.toString),
-      new Path(tablePath, ArchiveDir).toString -> arch.map(_._2.toString))
-      .filter(_._2.nonEmpty)
-      .map { case (base, files) =>
-        spark.read.format(fmt).option("basePath", base).schema(withPart)
-          .load(files: _*)
-      } ++ (if (undated.isEmpty) Seq.empty else Seq(
-        spark.read.format(fmt).schema(schema)
-          .load(undated.map(_._2.toString): _*)
-          .withColumn(PartCol, lit(null).cast(DateType))))
-    parts.reduceOption(_.unionByName(_)).getOrElse(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withPart))
-  }
+  def raw: DataFrame =
+    // EXPLICIT snapshot file index (the V2 connector's time-travel
+    // backend, shared by this V1 facade): membership, sizes and partition
+    // values come from the manifest, resolved live-first-then-archive
+    // ONCE at frame construction — and NO directory listing happens at
+    // action time. That last property is load-bearing for readers racing
+    // maintenance: the previous explicit-path `spark.read.load(files: _*)`
+    // deferred its listing to EACH action (schema supplied = lazy
+    // InMemoryFileIndex), and Spark's listing SILENTLY SKIPS a path whose
+    // file a concurrent rewrite displaced in between ("was not found.
+    // Was it deleted very recently?" — warn and drop), so a pinned frame
+    // evaluated mid-maintenance came back quietly NARROWER (raced in
+    // TsRollupSpec's sync-vs-rewrite stress: the lost rows became
+    // permanently missing rollup buckets). Displacement AFTER planning
+    // is healed per-task by the archive-resolving format at open time;
+    // loose root-level files carry a null p_date (the live semantic);
+    // and the 100 TB bill improves too — zero per-action listing RPCs.
+    org.apache.spark.sql.graft.PlanBridge.fileIndexRelation(
+      spark,
+      new graft.sources.GraftTsSnapshotFileIndex(spark, new Path(tablePath), this),
+      StructType(Seq(StructField(PartCol, DateType, nullable = true))),
+      schema,
+      new org.apache.spark.sql.graft.ArchiveResolvingParquetFileFormat)
 
   /** Closed-interval time-range read over the pinned version — the same
     * two-level pruning contract as the live `readRange` (partition-value
@@ -3333,6 +3517,49 @@ object TsTable {
     * history (the `_compact_tmp_` rule). */
   private[ts] val VersionsDir = "_ts_versions"
   private[ts] val ArchiveDir = "_ts_archive"
+
+  /** In-flight rewrite intent markers — the seam that brings snapshot GC
+    * into the rewrite conflict protocol. A rewrite verb declares, BEFORE
+    * it stages or archives anything, which files it may need to re-live
+    * on a commit-conflict rollback (its displaced set) and which staging
+    * dir it owns; `expireSnapshots` then never reclaims a marked file's
+    * archived bytes mid-rewrite, and `vacuumStaging` never yanks a marked
+    * staging dir from under a live writer regardless of its age. The verb
+    * removes its marker in a finally; a crash orphan blocks GC only until
+    * `vacuumStaging`'s age cutoff reclaims the stale marker itself. */
+  private[ts] val InflightDir = "_ts_inflight"
+
+  /** True when `e`'s causal chain is a MISSING-FILE shape (never a corrupt
+    * footer / codec error, which must surface as itself) naming a path
+    * under one of `roots` or one of the planned-input basenames in
+    * `names` — the shared classifier behind every "a concurrent rewrite
+    * took my file mid-read" conflict: relative / URI-encoded / bare-name
+    * messages miss a root-path substring, which is what `names` covers
+    * (UUID part names make a user-file collision a non-event). */
+  private[ts] def missingFileUnder(e: Throwable, roots: Seq[String],
+                                   names: Seq[String]): Boolean = {
+    val rootStrs = roots.map(r => new Path(r).toUri.getPath)
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists { t =>
+      val m = Option(t.getMessage).getOrElse("")
+      val missing = t.isInstanceOf[java.io.FileNotFoundException] ||
+        m.contains("PATH_NOT_FOUND") || m.contains("FILE_NOT_EXIST")
+      missing && (rootStrs.exists(m.contains) || names.exists(m.contains))
+    }
+  }
+
+  /** Marker names whose owning rewrite is live in THIS driver JVM — the
+    * structural signal that lets `vacuumStaging` distinguish a running
+    * writer from a crash orphan without guessing from mtime (age still
+    * bounds markers left by OTHER crashed drivers). */
+  private[ts] val liveMarkers: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** `_ts_versions` temp names (manifest bodies, bloom sidecars) whose
+    * owning commit is live in THIS driver JVM — same contract as
+    * [[liveMarkers]]: `vacuumStaging` must never reclaim a temp an
+    * in-flight commit is about to CAS-install, at ANY age cutoff. */
+  private[ts] val liveCommitTmps: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val ManifestRe = "v(\\d{8})\\.manifest".r
   /** Default ceiling on retained snapshot versions (auto-expired at
     * commit; Iceberg's previous-versions-max default). Override with
@@ -3410,10 +3637,12 @@ object TsTable {
 
   /** TEST SEAM (RewriteConflictSpec): invoked by every rewrite verb at
     * "staged" (replacement files written to the invisible temp, nothing
-    * live touched) and "swapped" (live swap done, commit pending) with
-    * the verb's action name — the two windows a concurrent writer's
-    * commit must be detected in. Global because stale-handle delegation
-    * re-opens handles internally; a no-op outside tests. */
+    * live touched), "archiving" (pre-swap liveness passed, the archive
+    * loop about to start — the sub-gate window where a winner's swap can
+    * take a planned input mid-loop) and "swapped" (live swap done, commit
+    * pending) with the verb's action name — the windows a concurrent
+    * writer's effects must be detected in. Global because stale-handle
+    * delegation re-opens handles internally; a no-op outside tests. */
   private[graft] var rewriteRaceHook: (String, String) => Unit = (_, _) => ()
 
   /** The facade's parquet reader — archive-resolving + foreign-file
@@ -3483,6 +3712,8 @@ object TsTable {
       blooms: Map[String, Map[String, Array[Byte]]]): Path = {
     val tmp = new Path(path,
       bloomsName(v) + s".${java.util.UUID.randomUUID().toString}.tmp")
+    // live until the caller installs or discards it (commitVersion)
+    liveCommitTmps.add(tmp.getName)
     val enc = java.util.Base64.getEncoder
     fs.mkdirs(new Path(path, VersionsDir))
     val out = fs.create(tmp, true)
@@ -3601,6 +3832,8 @@ object TsTable {
     // below remains the CAS.
     val tmp = new Path(
       target.toString + s".${java.util.UUID.randomUUID().toString}.tmp")
+    liveCommitTmps.add(tmp.getName) // removed in the finally below
+    try {
     // commitMs rides in the header so TIMESTAMP AS OF resolution survives
     // filesystem migrations that rewrite mtimes (readers that predate the
     // field fall back to the manifest file's own mtime)
@@ -3654,6 +3887,7 @@ object TsTable {
       throw new IllegalArgumentException(
         s"concurrent commit detected: version ${m.version} already exists at $target")
     }
+    } finally liveCommitTmps.remove(tmp.getName)
   }
 
   private[ts] def readManifest(spark: SparkSession, path: String,

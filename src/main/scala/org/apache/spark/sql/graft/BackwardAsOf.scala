@@ -169,4 +169,28 @@ object PlanBridge {
 
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** V1 scan over an EXPLICIT [[FileIndex]] — how a manifest-pinned read
+    * serves exactly its recorded file set with ZERO action-time listing.
+    * The `spark.read.load(paths: _*)` alternative defers its listing to
+    * each action (schema supplied = lazy InMemoryFileIndex), and that
+    * listing SILENTLY DROPS a path whose file a concurrent rewrite just
+    * displaced ("was not found. Was it deleted very recently?" — warn,
+    * skip) — a pinned frame evaluated mid-maintenance would come back
+    * quietly narrower. An explicit index has nothing to list: membership
+    * and sizes come from the manifest, and displacement is healed
+    * per-task by the archive-resolving format at open time. Also the
+    * 100 TB cost rule: no O(#files) existence RPCs per action. */
+  def fileIndexRelation(
+      spark: SparkSession,
+      index: org.apache.spark.sql.execution.datasources.FileIndex,
+      partitionSchema: org.apache.spark.sql.types.StructType,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      format: org.apache.spark.sql.execution.datasources.FileFormat): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, partitionSchema, dataSchema, None, format, Map.empty)(classic)
+    Dataset.ofRows(classic,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+  }
 }

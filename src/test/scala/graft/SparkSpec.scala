@@ -12,8 +12,31 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = SparkSession.builder()
-    .master("local[4]")
+  @volatile private var current: SparkSession = _
+
+  /** The shared session — rebuilt if a suite that owns context-level
+    * settings (TaskRetrySpec needs task.maxFailures>=2, a master-string
+    * property) stopped the previous one. Suites run sequentially in the
+    * forked test JVM, so the handover is race-free. */
+  def session: SparkSession = synchronized {
+    if (current == null || current.sparkContext.isStopped)
+      current = build("local[4]")
+    current
+  }
+
+  /** Stop whatever session is live so a suite can create one with
+    * different SparkContext-level settings; the next `session` access
+    * rebuilds the shared default. */
+  def releaseSession(): Unit = synchronized {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(s =>
+      if (!s.sparkContext.isStopped) s.stop())
+    if (current != null && !current.sparkContext.isStopped) current.stop()
+    current = null
+  }
+
+  private[graft] def build(master: String): SparkSession = SparkSession.builder()
+    .master(master)
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

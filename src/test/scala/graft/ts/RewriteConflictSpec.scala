@@ -322,4 +322,132 @@ class RewriteConflictSpec extends graft.SparkSpec {
     val v = t.commitVersion("gate-pass", displaced = current)
     assert(TsTable.readManifest(spark, dir, v).action == "gate-pass")
   }
+
+  test("mid-archive conflict rolls back ONLY what this verb archived: the " +
+      "file a concurrent winner took stays the winner's — no resurrected " +
+      "rows, no duplicates — and the retry serializes both deletes") {
+    val (dir, t) = freshTable()
+    val total = t.toDF.count()
+    val tB = TsTable.open(spark, dir)
+    // A plans BOTH files; the winner (inside A's archiving window, after
+    // A's pre-swap liveness gate passed) rewrites only the second file,
+    // so A's archive loop succeeds on file 1 then hits the winner's
+    // archived original of file 2 (same-length twin, live copy gone): the
+    // FileNotFoundException conflict. A must re-live ONLY file 1 — re-
+    // living file 2 would resurrect the winner's deleted rows alongside
+    // its replacement file.
+    val predA = col("v") % 2 === 0
+    val predB = col("ts") >= lit("2024-01-01 06:00:00").cast("timestamp") &&
+      col("v") % 5 === 0
+    var bDeleted = -1L
+    withHook("archiving", "delete") { bDeleted = tB.deleteWhere(predB) } {
+      val e = intercept[TsTable.ConcurrentRewriteException] {
+        t.deleteWhere(predA)
+      }
+      assert(e.getMessage.contains("vanished while archiving"), e.getMessage)
+    }
+    assert(bDeleted > 0)
+    // exactly the winner's state: old code re-lived the winner's archived
+    // original of file 2, duplicating its survivors and resurrecting its
+    // deletions (count would exceed total - bDeleted)
+    val afterConflict = TsTable.open(spark, dir)
+    assert(afterConflict.toDF.count() == total - bDeleted,
+      "loser must restore exactly its own archives — nothing of the winner's")
+    assert(afterConflict.toDF.where(predB).count() == 0,
+      "the winner's deletions must stay deleted through the loser's rollback")
+    val aDeleted = afterConflict.deleteWhere(predA)
+    assert(aDeleted > 0)
+    assert(TsTable.open(spark, dir).toDF.count() == total - bDeleted - aDeleted)
+  }
+
+  test("snapshot GC inside the rollback window: expireSnapshots(keepLast=1) " +
+      "between the winner's commit and the loser's rollback — the in-flight " +
+      "marker keeps the loser's archived inputs, the rollback is clean, the " +
+      "retry lands") {
+    val (dir, t) = freshTable()
+    val total = t.toDF.count()
+    val tB = TsTable.open(spark, dir)
+    val predA = col("ts") < lit("2024-01-01 06:00:00").cast("timestamp") &&
+      col("v") % 3 === 0
+    val predB = col("ts") >= lit("2024-01-01 06:00:00").cast("timestamp") &&
+      col("v") % 2 === 0
+    var bDeleted = -1L
+    var expired: Seq[Long] = Seq.empty
+    withHook("swapped", "delete") {
+      bDeleted = tB.deleteWhere(predB) // interleaved rewrite: A will conflict
+      // GC right inside A's rollback window: the kept (winner's) manifest
+      // lists A's transient replacement, NOT A's archived input — without
+      // the in-flight marker this reclaims the exact bytes A's rollback
+      // is about to restore (silent row loss; now a loud guard)
+      expired = TsTable.open(spark, dir).expireSnapshots(keepLast = 1)
+    } {
+      intercept[TsTable.ConcurrentRewriteException] { t.deleteWhere(predA) }
+    }
+    assert(bDeleted > 0)
+    assert(expired.nonEmpty, "GC must have actually expired history")
+    // clean rollback THROUGH the GC: exactly the winner's state, the
+    // loser's input rows all present (neither lost to GC nor duplicated)
+    val afterConflict = TsTable.open(spark, dir)
+    assert(afterConflict.toDF.count() == total - bDeleted,
+      "rollback must restore the loser's archived input despite the GC")
+    assert(afterConflict.toDF.where(predA).count() > 0,
+      "the loser's deletions must NOT have landed")
+    val aDeleted = afterConflict.deleteWhere(predA)
+    assert(aDeleted > 0)
+    assert(TsTable.open(spark, dir).toDF.count() == total - bDeleted - aDeleted)
+    // markers are transient: every verb cleared its own on the way out
+    val inflight = new Path(dir, "_ts_inflight")
+    assert(!fs(dir).exists(inflight) ||
+      fs(dir).listStatus(inflight).isEmpty,
+      "in-flight markers must not outlive their verbs")
+  }
+
+  test("vacuumStaging(0) during a live rewrite: the in-flight marker " +
+      "shields the writer's staging dir at ANY cutoff — the verb completes " +
+      "untouched") {
+    val (dir, t) = freshTable()
+    val total = t.toDF.count()
+    var vacuumed: Seq[String] = Seq.empty
+    withHook("staged", "delete") {
+      vacuumed = TsTable.open(spark, dir).vacuumStaging(olderThanMs = 0L)
+    } {
+      assert(t.deleteWhere(col("v") % 2 === 0) > 0,
+        "the rewrite must complete — its staging was never reclaimed")
+    }
+    assert(!vacuumed.exists(_.startsWith("_delete_tmp")),
+      s"a LIVE rewrite's staging must never be vacuumed, got $vacuumed")
+    assert(TsTable.open(spark, dir).toDF.count() < total)
+  }
+
+  test("additive exemption demands a GAPLESS interleaved walk: a manifest " +
+      "missing from the window (expiry race) refuses the exemption and the " +
+      "conservative membership gate conflicts — retry converges") {
+    val (dir, t) = freshTable()
+    val total = t.toDF.count()
+    val tB = TsTable.open(spark, dir)
+    val predA = col("ts") < lit("2024-01-01 06:00:00").cast("timestamp") &&
+      col("v") % 3 === 0
+    var appended = 0L
+    withHook("swapped", "delete") {
+      // two interleaved appends, then the FIRST one's manifest vanishes
+      // (an expireSnapshots racing this rewrite): the walk over the
+      // interleaved range now has a hole that could hide a rewrite-family
+      // commit, so the exemption must NOT be granted on the survivors
+      val df1 = rows(12, 13); val df2 = rows(13, 14)
+      appended = df1.count() + df2.count()
+      tB.append(df1)
+      val gapV = tB.currentVersion.get
+      TsTable.open(spark, dir).append(df2)
+      fs(dir).delete(new Path(dir, TsTable.manifestName(gapV)), false)
+    } {
+      intercept[TsTable.ConcurrentRewriteException] { t.deleteWhere(predA) }
+    }
+    // conservative direction: rollback was clean, both appends' rows and
+    // the loser's input rows all present
+    val afterConflict = TsTable.open(spark, dir)
+    assert(afterConflict.toDF.count() == total + appended)
+    val aDeleted = afterConflict.deleteWhere(predA)
+    assert(aDeleted > 0)
+    assert(TsTable.open(spark, dir).toDF.count() == total + appended - aDeleted)
+  }
 }

@@ -156,6 +156,97 @@ class RewriteConflictStressSpec extends graft.SparkSpec {
     assert(vs == (vs.head to vs.last), s"history not linear: $vs")
   }
 
+  test("snapshot GC hammering live rewrites, 10/10 rounds: " +
+      "expireSnapshots(keepLast=1) + vacuumStaging(0) loop while " +
+      "delete-vs-delete races retry — exact accounting every round, no " +
+      "rollback ever fails for missing archive bytes, latest version " +
+      "stays pinnable") {
+    val dir = java.nio.file.Files.createTempDirectory("rewrite_gc").toString
+    val df0 = rows(1, 0, 2)
+    val t = TsTable.create(spark, dir, df0.schema, tsCol = "ts")
+    t.append(df0)
+    var expect = df0.count()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the GC thread runs the WHOLE session: every round's conflict
+    // rollback window is exposed to keepLast=1 expiry and zero-cutoff
+    // staging vacuum — the in-flight markers are all that protects a
+    // loser's archived inputs and a live writer's staging dir
+    val gc = new Thread(() => {
+      try {
+        val h = TsTable.open(spark, dir)
+        while (!stop.get()) {
+          h.expireSnapshots(keepLast = 1)
+          h.vacuumStaging(olderThanMs = 0L)
+          Thread.sleep(5)
+        }
+      } catch { case e: Throwable => errors.add(e) }
+    })
+    gc.start()
+    try {
+      for (round <- 2 to 11) { // 10 rounds
+        // each round owns a fresh two-hour window later than every prior
+        // one (append stays monotonic); the two racing deletes split it
+        val h0 = (round - 2) * 2 + 2
+        def tsAt(h: Int) =
+          java.sql.Timestamp.valueOf(f"2024-02-01 $h%02d:00:00")
+        val fresh = rows(1, h0, h0 + 2)
+        val n = fresh.count()
+        retryingAppend(dir, fresh, max = 8)
+        expect += n
+        val predA = col("ts") >= lit(tsAt(h0)) && col("ts") < lit(tsAt(h0 + 1))
+        val predB = col("ts") >= lit(tsAt(h0 + 1)) &&
+          col("ts") < lit(tsAt(h0 + 2))
+        val hh = TsTable.open(spark, dir)
+        val nA = hh.toDF.where(predA).count()
+        val nB = hh.toDF.where(predB).count()
+        assert(nA > 0 && nB > 0, s"round $round fixture must split")
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val threads = Seq(predA, predB).map { p =>
+          new Thread(() => {
+            try { barrier.await(); retrying(dir, max = 10)(h => { h.deleteWhere(p); () }) }
+            catch { case e: Throwable => errors.add(e) }
+          })
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join(120000))
+        assert(!threads.exists(_.isAlive), s"round $round: a racer timed out")
+        expect -= nA + nB
+        import scala.jdk.CollectionConverters._
+        assert(errors.asScala.isEmpty,
+          s"round $round: a racer or the GC failed beyond the conflict " +
+            s"protocol: ${errors.asScala.headOption}")
+        val healed = TsTable.open(spark, dir)
+        assert(healed.toDF.count() == expect,
+          s"round $round: exact accounting must survive the GC race")
+      }
+    } finally { stop.set(true); gc.join(30000) }
+    import scala.jdk.CollectionConverters._
+    assert(errors.asScala.isEmpty, s"${errors.asScala.headOption}")
+    // the newest version is pinnable through whatever the GC left behind,
+    // and no in-flight marker outlived its verb
+    val healed = TsTable.open(spark, dir)
+    assert(TsTable.openAt(spark, dir, healed.currentVersion.get)
+      .toDF.count() == expect)
+    val inflight = new org.apache.hadoop.fs.Path(dir, "_ts_inflight")
+    val hfs = inflight.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!hfs.exists(inflight) || hfs.listStatus(inflight).isEmpty,
+      "in-flight markers must not outlive their verbs")
+  }
+
+  /** Append with retry on the documented read-vs-swap race only (appends
+    * are never conflict-gated). */
+  private def retryingAppend(dir: String, df: DataFrame, max: Int): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= max, "append did not converge")
+      try { TsTable.open(spark, dir).append(df); done = true }
+      catch { case e: Throwable if isSwapReadRace(e) => () }
+    }
+  }
+
   test("threaded delete-vs-delete race on disjoint predicates: both land " +
       "(with retries), both effects present exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("rewrite_stress2").toString

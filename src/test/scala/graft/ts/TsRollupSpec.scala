@@ -39,6 +39,52 @@ class TsRollupSpec extends graft.SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
       .toSeq
 
+  test("sync racing base-table rewrites, 10 rounds: a continuously-syncing " +
+      "thread rides out deleteWhere/compact swaps of the synced window via " +
+      "sync's internal retry contract — no error escapes, and the final " +
+      "rollup equals the full aggregate exactly") {
+    val srcDir = freshDir(); val dstDir = freshDir()
+    val src = TsTable.create(spark, srcDir, schema)
+    src.append(mkRows(Seq(
+      ("2024-03-02 00:05:00", 1L, 1.0), ("2024-03-02 00:35:00", 2L, 2.0))))
+    TsRollup.sync(src, dstDir, 3600L, "value")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val syncer = new Thread(() => {
+      try while (!stop.get()) {
+        TsRollup.sync(TsTable.open(spark, srcDir), dstDir, 3600L, "value")
+        Thread.sleep(5)
+      } catch { case e: Throwable => errors.add(e) }
+    })
+    syncer.start()
+    try {
+      for (round <- 1 to 10) {
+        val h = f"$round%02d"
+        // append a fresh hour (monotonic), then rewrite INSIDE the synced
+        // window twice — a predicate delete and a compaction swap — while
+        // the syncer reads whatever state it catches
+        TsTable.open(spark, srcDir).append(mkRows(Seq(
+          (s"2024-03-02 $h:05:00", 1L, round + 0.25),
+          (s"2024-03-02 $h:20:00", 2L, round + 0.5),
+          (s"2024-03-02 $h:35:00", 3L, round + 0.75),
+          (s"2024-03-02 $h:50:00", 4L, round + 1.0))))
+        val hh = TsTable.open(spark, srcDir)
+        assert(hh.deleteWhere(col("ts") ===
+          Timestamp.valueOf(s"2024-03-02 $h:20:00")) == 1L)
+        hh.compactAll(1)
+      }
+    } finally { stop.set(true); syncer.join(120000) }
+    assert(!syncer.isAlive, "the syncer timed out")
+    import scala.jdk.CollectionConverters._
+    assert(errors.asScala.isEmpty,
+      s"sync must absorb every race internally: ${errors.asScala.headOption}")
+    // convergence: one quiescent sync lands the final state exactly
+    val srcFinal = TsTable.open(spark, srcDir)
+    val dst = TsRollup.sync(srcFinal, dstDir, 3600L, "value")
+    assert(actual(dst) == expected(srcFinal),
+      "the racing syncs must converge to the exact full aggregate")
+  }
+
   test("sync after each append keeps the rollup equal to the full " +
       "aggregate; partial buckets recompute; no-change syncs commit nothing") {
     val srcDir = freshDir(); val dstDir = freshDir()
