@@ -1347,16 +1347,16 @@ final class TsTable private (
     // in-flight marker before anything stages — the cowExec rule
     val marker = writeInflightMarker(fs, tmp.getName, displaced.map(_._1))
     try {
-    // explicit-file load with basePath: partition values (p_date) still
-    // derive from the directory layout, exactly as cowExec's dated read.
-    // The load is EAGER about file existence (V1 DataSource checks at
-    // plan time), so it sits inside the staging-race try below with the
-    // aggregates and the rewrite job.
+    // Partition values (p_date) derive from the manifest rel paths via
+    // the snapshot file index. Resolution is EAGER about file existence
+    // (frame construction), so it sits inside the staging-race try below
+    // with the aggregates and the rewrite job.
     try {
-    val days = spark.read.format(TsTable.ReadFmt)
-      .option("basePath", path)
-      .schema(withPartCol(storedSchema))
-      .load(displaced.map(d => new Path(root, d._1).toString): _*)
+    // synthetic-manifest snapshot read over the plan-time file set — the
+    // cowExec staging rule (explicit statuses, no lazy listing to
+    // silently narrow the compacted output)
+    val days = new TsSnapshot(spark, path, tsCol,
+      TsManifest(-1L, "staging", tsCol, storedSchema, displaced)).raw
     // targetFiles=1: hash by day — one task → one sorted file per day;
     // >1: range on (day, ts) — each heavy day splits into ~targetFiles
     // contiguous ts slices (the append filesPerDay rule).
@@ -2013,10 +2013,14 @@ final class TsTable private (
         dated.map(_.split("/").init.mkString("/")).distinct.length + insertDays
       val parts = Seq.newBuilder[DataFrame]
       if (dated.nonEmpty)
-        parts += xform(spark.read.format(TsTable.ReadFmt)
-          .option("basePath", path)
-          .schema(withPartCol(storedSchema))
-          .load(dated.map(r => new Path(root, r).toString): _*))
+        // synthetic-manifest snapshot read over EXACTLY the planned inputs
+        // (the changesBetween pattern): explicit file statuses, so the
+        // staging job can never be silently narrowed by a lazy listing
+        // that skips a just-displaced path — a vanished input surfaces
+        // loudly (resolution or open) and classifies as the conflict
+        parts += xform(new TsSnapshot(spark, path, tsCol,
+          TsManifest(-1L, "staging", tsCol, storedSchema,
+            displaced.filter(_._1.contains("/")))).raw)
       inserts.foreach(parts += _)
       val df = withFieldIds(parts.result().reduce(_.unionByName(_)))
       val placed =
@@ -2032,10 +2036,11 @@ final class TsTable private (
       writer.partitionBy(PartCol).parquet(new Path(tmp, "dated").toString)
     }
     if (loose.nonEmpty) { // attached plain/hybrid layouts: root-level files
-      val writer = withFieldIds(xform(spark.read.format(TsTable.ReadFmt)
-          .schema(storedSchema)
-          .load(loose.map(r => new Path(root, r).toString): _*)
-          .withColumn(PartCol, lit(null).cast(DateType))) // predicate may name it
+      // same synthetic-manifest read; raw already carries the null p_date
+      // the predicate may name (the live-read semantic for loose files)
+      val writer = withFieldIds(xform(new TsSnapshot(spark, path, tsCol,
+          TsManifest(-1L, "staging", tsCol, storedSchema,
+            displaced.filterNot(_._1.contains("/")))).raw)
         .drop(PartCol))
         .repartitionByRange(loose.length.max(1), col(tsCol))
         .sortWithinPartitions(col(tsCol))
@@ -2458,6 +2463,14 @@ final class TsTable private (
     // is the verb's declared semantic, and the user's call to make).
     val retired = listLiveFiles(fs).filterNot { case (p, _) => target.contains(p) }
     val (guarded, planV) = guardDisplaced(retired, "restore")
+    // in-flight marker: a concurrent expireSnapshots must reclaim NEITHER
+    // the archived sources the copy-back is about to read NOR the retirees
+    // just archived (a failed restore's manual recovery path) — restore
+    // has no staging dir, so the marker's name is its only handle
+    val marker = writeInflightMarker(fs,
+      s"_restore_${java.util.UUID.randomUUID().toString}",
+      (snap.manifestFiles.map(_._1) ++ retired.map(_._1)).distinct)
+    try {
     TsTable.rewriteRaceHook("staged", "restore")
     // a file vanishing while retiring is a rewrite winning the window —
     // classify it as the retryable conflict (restore converges on re-run)
@@ -2524,6 +2537,7 @@ final class TsTable private (
       tableChecks, restoredDropped, restoredNext)
       .commitVersion("restore", Some(snap.schema), displaced = guarded,
         displacedPlanVersion = planV)
+    } finally clearInflightMarker(fs, marker)
   }
 
   /** Write options consistent with a restore/clone to `snap`'s schema.
@@ -3542,7 +3556,11 @@ object TsTable {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists { t =>
       val m = Option(t.getMessage).getOrElse("")
       val missing = t.isInstanceOf[java.io.FileNotFoundException] ||
-        m.contains("PATH_NOT_FOUND") || m.contains("FILE_NOT_EXIST")
+        m.contains("PATH_NOT_FOUND") || m.contains("FILE_NOT_EXIST") ||
+        // the snapshot index's loud resolution failure — a planned/pinned
+        // file in neither the live tree nor the archive (a concurrent
+        // rewrite took it; for a pinned read, expiry): same conflict class
+        m.contains("is missing or was rewritten in place")
       missing && (rootStrs.exists(m.contains) || names.exists(m.contains))
     }
   }
