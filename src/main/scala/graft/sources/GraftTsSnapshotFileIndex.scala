@@ -130,6 +130,11 @@ final class GraftTsSnapshotFileIndex(
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
     val dirs = super.listFiles(partitionFilters, dataFilters)
+    // no data filters → nothing to skip on; return BEFORE forcing any of
+    // the lazy index state (declaredBloomCols costs a descriptor read per
+    // index instance — a plain unfiltered scan, e.g. a change-feed diff
+    // arm, must not pay it)
+    if (dataFilters.isEmpty) return dirs
     if (spanByPath.isEmpty && colByPath.isEmpty && declaredBloomCols.isEmpty)
       return dirs
     val (lo, hi) = GraftTsStatsFileIndex.tsBounds(dataFilters, snapshot.tsCol)
