@@ -122,14 +122,26 @@ object Bench {
     // environment. The probe is a FIXED synthetic workload with zero
     // TsTable/custom-format dependence — a pinned-size in-memory hash
     // aggregate (CPU + shuffle-free codegen path) plus one full-decode
-    // fixture-parquet scan (file-open + decode path) — measured min-of-3
-    // with the same settle discipline as the queries and recorded as
-    // "calibration_sec" in both JSON lines. Cross-round comparisons divide
-    // each key by its run's calibration (tools/bench_diff.py), so host
-    // drift cancels and only genuine plan/code movement remains. The
-    // work is constant (64 fixed slices, fixed row count) regardless of
-    // SPARK_GRAFT_CPUS: a slower/busier host yields a proportionally
-    // larger calibration, which is exactly the point.
+    // fixture-parquet scan (file-open + decode path) — with the same settle
+    // discipline as the queries. Cross-round comparisons divide each key by
+    // its run's calibration (tools/bench_diff.py), so host drift cancels
+    // and only genuine plan/code movement remains. The work is constant
+    // (64 fixed slices, fixed row count) regardless of SPARK_GRAFT_CPUS: a
+    // slower/busier host yields a proportionally larger calibration, which
+    // is exactly the point.
+    //
+    // r20 proved a SINGLE up-front min-of-3 insufficient: the probe itself
+    // swung ±35% across identical-code runs, and a pre-sweep sample cannot
+    // see drift that arrives DURING the 15-20 min sweep (the r20 artifact's
+    // 0.336→0.222 probe implied a 1.5× host swing its raw totals flatly
+    // contradicted). So the probe is now SAMPLED ≥5 times INTERLEAVED
+    // through the measured sweep — one sample before rep 1, then evenly
+    // spaced mid-rep samples plus one after each rep — and the artifact
+    // records the full VECTOR ("calibration_vec") next to its MEDIAN
+    // ("calibration_sec", name kept for bench_diff compatibility). The
+    // median of interleaved samples tracks the sweep's own environment;
+    // the vector's spread is the published noise bar (spread <10% = the
+    // run is trustworthy, per the r20 verdict's done-criterion).
     def calibrationProbe(): Unit = {
       // double sums: an int64 sum of 48M hashes overflows under ANSI
       spark.range(0, 96000000L, 1, 64)
@@ -139,20 +151,30 @@ object Bench {
       li.select(sum(xxhash64(li.columns.map(col).toSeq: _*).cast("double")).as("h"))
         .collect()
     }
-    calibrationProbe() // plan/codegen warm-up, outside the measured min
-    val calibration = (1 to 3).map { _ =>
+    calibrationProbe() // plan/codegen warm-up, outside every measured sample
+    val calSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleCalibration(): Unit = {
       settle()
       val t0 = System.nanoTime()
       calibrationProbe()
-      (System.nanoTime() - t0) / 1e9
-    }.min
+      calSamples += (System.nanoTime() - t0) / 1e9
+    }
+    // interior samples per rep, sized so 1 + reps*(interior+1) >= 5:
+    // reps=1 → 3 interior (5 samples), reps=2 → 1 (5), reps=3 → 1 (7)
+    val calInterior = math.max(1, math.ceil((5.0 - 1 - reps) / reps).toInt)
+    // interior sample positions, evenly spaced strictly inside the sweep
+    val calPositions: Set[Int] =
+      (1 to calInterior).map(j => names.size * j / (calInterior + 1))
+        .filter(p => p > 0 && p < names.size).toSet
+    sampleCalibration() // before rep 1
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
     // A failed rep records +inf, NOT its truncated wall time — otherwise
     // min() would report a fast-crash (0.1 s exception) as the query's
     // steady-state cost. All reps failed → the query reports -1 and the
     // error list carries the reason.
     val sweeps = (1 to reps).map { _ =>
-      names.map { name =>
+      val rep = names.zipWithIndex.map { case (name, i) =>
+        if (calPositions.contains(i)) sampleCalibration() // interleaved probe
         val fn = SparkEntry.queries(name)
         settle()
         val t0 = System.nanoTime()
@@ -164,7 +186,13 @@ object Bench {
         }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
       }.toMap
+      sampleCalibration() // after each rep
+      rep
     }
+    val calSorted = calSamples.sorted
+    val calibration =
+      if (calSorted.size % 2 == 1) calSorted(calSorted.size / 2)
+      else (calSorted(calSorted.size / 2 - 1) + calSorted(calSorted.size / 2)) / 2
     val results = names.map { n =>
       val best = sweeps.map(_(n)).min
       n -> (if (best.isInfinity) -1.0 else best)
@@ -180,7 +208,8 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errs.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val subset = if (only.isDefined) "\"subset\":true," else ""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subset"reps":$reps,"agg":"min","calibration_sec":${f3(calibration)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val calVec = calSamples.map(f3).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subset"reps":$reps,"agg":"min","calibration_sec":${f3(calibration)},"calibration_vec":$calVec,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     // The per-query line grows with the registry (~25 B/query) and at 86
     // keys outgrew the ~2 kB output tail the driver archives — BENCH_r10
     // lost the line's HEAD, i.e. the "total" gate metric itself. Emit a
@@ -190,7 +219,7 @@ object Bench {
     // aggregating the full output by metric name never double-counts the
     // total — the marker flag is informative, not load-bearing.
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec",$subset"summary":true,"reps":$reps,"agg":"min","calibration_sec":${f3(calibration)},"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec",$subset"summary":true,"reps":$reps,"agg":"min","calibration_sec":${f3(calibration)},"calibration_vec":$calVec,"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

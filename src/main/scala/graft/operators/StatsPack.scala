@@ -716,34 +716,45 @@ object StatsPack extends QueryPack {
   /** B4+ numeric data-profiling report — the pipeline-observability pass a
     * data engineer runs before trusting a new drop (pandas `describe()` /
     * DuckDB `SUMMARIZE`): per column, non-null count, null count, exact
-    * distinct count, min/max, and the DECIMAL-exact mean. ONE scan: all
-    * 24 aggregates evaluate in a single pass (the four exact distincts
-    * plan one Expand over the scan — still no second read), means
-    * accumulate in decimal per the Det discipline, and the wide 1-row
-    * result unpivots to long format with `stack` (plan-time literal
-    * column names). At 100 TB this is the shape you want: full map-side
-    * combine, aggregate state bounded by columns × distinct values. */
+    * distinct count, min/max, and the DECIMAL-exact mean.
+    *
+    * Shape: MELT-then-aggregate. `stack` turns each input row into one
+    * (col_name, v) row per profiled column (a Generate, pipelined in the
+    * scan stage — no extra pass), and a single `groupBy(col_name)` computes
+    * all six statistics per column. With exactly ONE distinct aggregate
+    * (`countDistinct(v)`) the planner emits the cheap two-level
+    * distinct plan — partial aggregate keyed (col_name, v) with map-side
+    * dedup, one exchange, final per-column merge. The previous wide form
+    * (24 aggregates over 4 columns in one `agg`) forced the
+    * multi-countDistinct rewrite: a 5-way Expand replica of the scan, a
+    * hash aggregate keyed on all four DOUBLE columns at once (each key
+    * NaN-normalized per row), then a 28-function `first(...) FILTER(gid)`
+    * merge — measured 3.8 s vs 2.1 s for this form on identical input
+    * (sf0.1, r21), with byte-identical results. Means accumulate in
+    * decimal per the Det discipline, per column exactly as before.
+    * At 100 TB this is still the shape you want: one scan, full map-side
+    * combine, aggregate state bounded by columns × distinct values — and
+    * the melt's row multiplication never materializes (Generate pipelines
+    * into the partial aggregate inside one codegen stage). One contract
+    * nuance, irrelevant to every fixture: on a ZERO-ROW input the wide
+    * form emitted 4 all-zero rows where this emits none (no groups).
+    *
+    * The rebalance: the melt + dedup pass is CPU-bound, so spread a
+    * compact single-row-group scan over the cores first (no-op at real
+    * scale, where the fact table plans >= cores partitions). */
   def profileNumeric(s: SparkSession, dir: String): DataFrame = {
-    val aggs = ProfileCols.flatMap { c =>
-      Seq(count(col(c)).as(s"${c}_n"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_nd"),
-        min(col(c)).as(s"${c}_min"),
-        max(col(c)).as(s"${c}_max"),
-        round(sum(col(c).cast("decimal(28,4)")).cast("double") /
-          count(col(c)), 6).as(s"${c}_mean"))
-    }
-    val fields = ProfileCols.map(c =>
-      s"'$c', ${c}_n, ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max, ${c}_mean")
-      .mkString(", ")
-    // the 24-aggregate + 5-way Expand pass is CPU-bound: spread a compact
-    // single-row-group scan over the cores first (no-op at real scale,
-    // where the fact table plans >= cores partitions)
+    val fields = ProfileCols.map(c => s"'$c', $c").mkString(", ")
     Compute.rebalance(
       Tables.lineitem(s, dir).select(ProfileCols.map(col): _*))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${ProfileCols.length}, $fields) AS " +
-        "(col_name, n, n_nulls, n_distinct, vmin, vmax, mean)"))
+      .select(expr(s"stack(${ProfileCols.length}, $fields) AS (col_name, v)"))
+      .groupBy(col("col_name"))
+      .agg(count(col("v")).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("vmin"),
+        max(col("v")).as("vmax"),
+        round(sum(col("v").cast("decimal(28,4)")).cast("double") /
+          count(col("v")), 6).as("mean"))
       .orderBy(col("col_name"))
   }
 

@@ -166,12 +166,34 @@ object TsRollup {
         .filterNot(x => ContentPreserving(manifests(x).action))
       val hasRewrite = changing.exists(x => !AppendFamily(manifests(x).action))
       if (!hasRewrite) {
-        // append-only window: the classic path — changed rows name the span
-        val changed = src.changesBetween(v0, curV)
-        val span = changed.agg(min(col(src.tsCol)), max(col(src.tsCol))).head
-        if (!span.isNullAt(0))
-          syncSpan(us(span.getAs[Timestamp](0)), us(span.getAs[Timestamp](1)),
-            clearFirst = false)
+        // append-only window: the span of the appended rows comes from
+        // MANIFEST METADATA — the union of the added files' recorded
+        // per-file ts spans, which are exact footer min/max (the same
+        // source the rewrite branch below already trusts) — so the
+        // steady-state sync reads no data at all to find its window.
+        // A span-less added file (foreign encoding, pre-stats manifest)
+        // falls back to the classic bounded read of the changed rows —
+        // one job, never staleness. Identical sync result either way:
+        // both spans cover exactly the appended rows.
+        var lo = Long.MaxValue; var hi = Long.MinValue; var unknown = false
+        changing.foreach { x =>
+          val m = manifests(x); val prev = manifests(x - 1)
+          val prevSet = prev.files.map(_._1).toSet
+          m.files.filterNot(f => prevSet(f._1)).foreach { f =>
+            m.stats.get(f._1) match {
+              case Some((a, b)) => lo = lo.min(a); hi = hi.max(b)
+              case None => unknown = true
+            }
+          }
+        }
+        if (unknown) {
+          val changed = src.changesBetween(v0, curV)
+          val span = changed.agg(min(col(src.tsCol)), max(col(src.tsCol))).head
+          if (!span.isNullAt(0))
+            syncSpan(us(span.getAs[Timestamp](0)), us(span.getAs[Timestamp](1)),
+              clearFirst = false)
+        } else if (lo <= hi) syncSpan(lo, hi, clearFirst = false)
+        // lo > hi: every changing version added no files — nothing to sync
       } else {
         // rewrite window: the affected span is the union of the manifest
         // span stats of every file a changing version added or removed —

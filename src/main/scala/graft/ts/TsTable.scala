@@ -1707,7 +1707,15 @@ final class TsTable private (
     // source reading this or another graft table during concurrent
     // maintenance could silently flap between passes (rows lost from the
     // insert set; raced in TsRollupSpec's sync-vs-rewrite stress).
-    val src0 = source.localCheckpoint()
+    // Tracked so the blocks are freed when the merge returns — every pass
+    // below is consumed inside this call, and un-freed checkpoints
+    // accumulate executor storage across a merge loop. Trade-off of the
+    // non-reliable checkpoint (unchanged by tracking): an executor loss
+    // mid-merge fails the merge instead of recomputing — acceptable,
+    // because a failed merge commits nothing and re-runs cleanly.
+    val (src0, freeSrc0) = TsTable.localCheckpointTracked(source)
+    val frees = scala.collection.mutable.ArrayBuffer[() => Unit](freeSrc0)
+    try {
     // SQL MERGE cardinality rule: at most one source row per key
     val keyCols = keys.map(col)
     val dup = src0.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
@@ -1737,13 +1745,14 @@ final class TsTable private (
         // localCheckpoint, not persist: the single-evaluation rule above —
         // this frame is consumed by a validation count AND the staged
         // write, and a mid-merge recache would desynchronize them
-        val proj = src0.join(raw.select(keyCols: _*), keys, "left_anti")
-          .select(storedSchema.fields.map { f =>
-            (if (srcCols.contains(f.name)) col(f.name).cast(f.dataType)
-             else lit(null).cast(f.dataType)).as(f.name)
-          }.toSeq: _*)
-          .withColumn(PartCol, to_date(col(tsCol)))
-          .localCheckpoint()
+        val (proj, freeProj) = TsTable.localCheckpointTracked(
+          src0.join(raw.select(keyCols: _*), keys, "left_anti")
+            .select(storedSchema.fields.map { f =>
+              (if (srcCols.contains(f.name)) col(f.name).cast(f.dataType)
+               else lit(null).cast(f.dataType)).as(f.name)
+            }.toSeq: _*)
+            .withColumn(PartCol, to_date(col(tsCol))))
+        frees += freeProj
         val st = proj.agg(count(lit(1)), count(col(tsCol)),
           countDistinct(col(PartCol))).head
         val (n, nTs, nDays) = (st.getLong(0), st.getLong(1), st.getLong(2))
@@ -1774,6 +1783,7 @@ final class TsTable private (
         }.toSeq: _*)
     }
     TsTable.MergeResult(matched, insOpt.map(_._2).getOrElse(0L))
+    } finally frees.foreach(_()) // free src0/proj checkpoint blocks
   }
 
   /** Shared copy-on-write discovery for [[deleteWhere]]/[[updateWhere]]:
@@ -2365,6 +2375,12 @@ final class TsTable private (
     val manifests = (fromVersion to toVersion)
       .map(v => v -> TsTable.readManifest(spark, path, v)).toMap
     val serving = manifests(toVersion)
+    // one live/archive listing per referenced directory for the WHOLE walk
+    // (the feed builds 2 snapshot indexes per rewrite version; un-shared,
+    // resolution re-listed every dir per index — O(versions × dirs) RPCs
+    // of pure plan-time overhead, the r20 q_ts_cdf regression's cost)
+    val feedDirCache = Some(scala.collection.mutable.Map
+      .empty[String, Map[String, Long]])
     val outSchema = serving.schema
       .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
       .add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false)
@@ -2383,7 +2399,8 @@ final class TsTable private (
         // null-fill stays reserved for genuinely-absent (evolved) columns
         val readSchema = TsTable.alignNamesByIds(m.schema, serving.schema)
         align(new TsSnapshot(spark, path, m.tsCol,
-          TsManifest(m.version, "cdf", m.tsCol, readSchema, files)).toDF)
+          TsManifest(m.version, "cdf", m.tsCol, readSchema, files),
+          feedDirCache).toDF)
       }
     val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
       val m = manifests(v)
@@ -3263,7 +3280,18 @@ final class TsSnapshot private[ts] (
     val spark: SparkSession,
     val tablePath: String,
     val tsCol: String,
-    manifest: TsManifest) {
+    manifest: TsManifest,
+    // Call-scoped live/archive listing cache (dir → name → size), shared
+    // across the MANY snapshot constructions of one logical read — the
+    // change feed builds 2 indexes per rewrite version over the same few
+    // directories, and without sharing each one re-lists every referenced
+    // dir (live + archive) at O(versions × dirs) RPCs. None (the default,
+    // every external construction) keeps the re-resolve-per-frame rule;
+    // a Some cache is ONLY sound within one plan-construction call, where
+    // the un-cached path would have raced maintenance across its walk just
+    // the same — and open-time re-resolution through the archive-resolving
+    // format heals displacement either way.
+    dirCache: Option[scala.collection.mutable.Map[String, Map[String, Long]]] = None) {
 
   import TsTable.{ArchiveDir, PartCol}
 
@@ -3311,10 +3339,14 @@ final class TsSnapshot private[ts] (
   private[graft] def resolvedFiles: Seq[(String, Path, Long, Boolean)] = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def sizesIn(dir: Path): Map[String, Long] =
+    def listDir(dir: Path): Map[String, Long] =
       if (!fs.exists(dir)) Map.empty
       else fs.listStatus(dir).iterator.filter(_.isFile)
         .map(st => st.getPath.getName -> st.getLen).toMap
+    def sizesIn(dir: Path): Map[String, Long] = dirCache match {
+      case Some(c) => c.getOrElseUpdate(dir.toString, listDir(dir))
+      case None => listDir(dir)
+    }
     val byDir = manifest.files.groupBy(f => f._1.split("/").init.mkString("/"))
     val out = Seq.newBuilder[(String, Path, Long, Boolean)]
     byDir.foreach { case (relDir, files) =>
@@ -3414,7 +3446,7 @@ final class TsSnapshot private[ts] (
     // isNull arm: loose root-level files carry a null p_date (attached
     // plain/hybrid layouts) — the live readRange rule; the span filter
     // above and the ts predicate bound what they contribute.
-    new TsSnapshot(spark, tablePath, tsCol, sub).raw
+    new TsSnapshot(spark, tablePath, tsCol, sub, dirCache).raw
       .where((col(PartCol).isNull ||
           col(PartCol).between(to_date(lit(start)), to_date(lit(end)))) &&
         col(tsCol).between(lit(start), lit(end)))
@@ -3520,6 +3552,24 @@ object TsTable {
   /** What a [[TsTable.mergeInto]] did: matched-row updates vs new-row
     * inserts (both 0 = nothing happened, no version committed). */
   final case class MergeResult(updated: Long, inserted: Long)
+
+  /** localCheckpoint with a handle that ACTUALLY frees the checkpoint
+    * blocks: `Dataset.unpersist()` is a no-op on checkpoint results (the
+    * materialized RDD persists outside the CacheManager that unpersist
+    * consults), so the freeing thunk unpersists the checkpointed RDD
+    * itself, taken straight from the result's LogicalRDD leaf — exact
+    * (never touches a concurrent caller's blocks, unlike an id-set diff)
+    * and BLOCKING, so the executor block-removal storm cannot land inside
+    * whatever runs next. Without this every mergeInto leaked its source
+    * frames until driver GC — a high-frequency merge loop (TsRollup.sync
+    * polling) accumulated executor storage without bound (r20 advice). */
+  private[ts] def localCheckpointTracked(df: DataFrame): (DataFrame, () => Unit) = {
+    val cp = df.localCheckpoint() // eager: materializes now
+    val rdds = cp.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    (cp, () => rdds.foreach(_.unpersist(blocking = true)))
+  }
 
   /** Hive partition column: one directory per UTC day, like the reference's
     * one HDF5 group per day (`yYYYY/mMM/dDD`). */

@@ -15,20 +15,36 @@ OLD run's seconds (calibrated delta re-scaled by the OLD calibration), so
 Artifacts without calibration_sec (pre-r19) fall back to 1.0 and the
 report is marked UNCALIBRATED — interpret cross-round totals as
 environment samples, per the r13/r17 bench notes.
+
+DRIVER artifacts (BENCH_r*.json written by the round driver) keep only a
+~2000-char "tail" of the bench stdout, which truncates the per-query
+record's HEAD — only the alphabetically-LAST keys survive, but the
+self-contained "total_summary" line always does (it is emitted last for
+exactly this reason). When a file parses as whole-file JSON carrying
+"tail" instead of "queries", the loader reconstructs a PARTIAL record:
+calibration and total from the total_summary line, per-query times from
+whatever `"name":sec` pairs survive in the tail. The report marks such
+inputs `partial(tail)` and the key count tells you the visible subset —
+per-key conclusions then apply to the tail-visible keys only, while the
+calibrated TOTAL comparison is complete.
 """
 import json
+import re
 import sys
 
 
 def load(path):
     # saved BENCH_r*_local.json artifacts are pretty-printed whole-file
-    # JSON; raw bench stdout is one record per line amid log noise
+    # JSON; raw bench stdout is one record per line amid log noise;
+    # driver BENCH_r*.json artifacts hold a truncated stdout "tail"
     with open(path) as f:
         text = f.read()
     try:
         rec = json.loads(text)
         if "queries" in rec:
             return rec
+        if "tail" in rec:
+            return load_driver_tail(rec, path)
     except json.JSONDecodeError:
         pass
     best = None
@@ -52,6 +68,29 @@ def load(path):
     return best
 
 
+def load_driver_tail(rec, path):
+    """Reconstruct a (partial) bench record from a driver artifact's
+    truncated stdout tail: total_summary line + surviving per-key pairs."""
+    tail = rec["tail"]
+    out = {"partial": True}
+    m = re.search(r'\{"metric":"total_summary".*?\}', tail)
+    if not m:
+        sys.exit(f"error: driver artifact {path} has no total_summary "
+                 "line in its tail — tail too short even for the summary")
+    summary = json.loads(m.group(0))
+    out.update({k: summary[k] for k in
+                ("value", "reps", "calibration_sec", "calibration_vec",
+                 "n_queries", "n_failed", "sf") if k in summary})
+    # per-key pairs from the (head-truncated) queries record: everything
+    # before the errors/closing section of the first JSON line in the tail
+    head = tail.split('"errors"')[0]
+    queries = {}
+    for name, sec in re.findall(r'"(q_[A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)', head):
+        queries[name] = float(sec)
+    out["queries"] = queries
+    return out
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     opts = {a.split("=")[0]: a.split("=", 1)[1] if "=" in a else None
@@ -71,10 +110,24 @@ def main():
     only_o = sorted(set(qo) - set(qn))
     only_n = sorted(set(qn) - set(qo))
 
-    print(f"mode: {'CALIBRATED' if calibrated else 'UNCALIBRATED (missing calibration_sec)'}")
+    mode = 'CALIBRATED' if calibrated else 'UNCALIBRATED (missing calibration_sec)'
+    parts = [p for p, r in (("old", old), ("new", new)) if r.get("partial")]
+    if parts:
+        mode += f" — partial(tail): {', '.join(parts)} (per-key rows cover tail-visible keys only)"
+    print(f"mode: {mode}")
     if calibrated:
         print(f"calibration: old={cal_o:.3f}s new={cal_n:.3f}s "
               f"(host drift x{cal_n / cal_o:.3f})")
+        for tag, r in (("old", old), ("new", new)):
+            vec = r.get("calibration_vec")
+            if vec:
+                spread = (max(vec) - min(vec)) / min(vec) * 100
+                print(f"  {tag} probe vector: n={len(vec)} "
+                      f"[{min(vec):.3f}..{max(vec):.3f}]s spread {spread:.0f}%")
+    for tag, r in (("old", old), ("new", new)):
+        if r.get("partial") and "value" in r:
+            print(f"  {tag} driver total_summary: {r['value']:.2f}s over "
+                  f"{r.get('n_queries', '?')} keys, {r.get('n_failed', '?')} failed")
     sum_o = sum(qo[k] for k in common if qo[k] >= 0)
     sum_n = sum(qn[k] for k in common if qn[k] >= 0)
     print(f"common keys: {len(common)}  raw totals: {sum_o:.2f}s -> {sum_n:.2f}s "
