@@ -54,14 +54,14 @@ object NearDedup {
     * spark.graft.dedup.materialize) and `sets` is computed exactly once
     * (persisted for the single eager evaluation, freed before return).
     *
-    * Below `maxBroadcastVocab` distinct shingles, the WHOLE df table is
-    * aggregated ONCE (a limit-bounded driver collect — same adaptive
-    * dispatch shape as SimilaritySearch.cosinePairs) and re-enters the
-    * plan as a driver-local relation under a broadcast hint: the big
-    * exploded side then never shuffles on the shingle key AT ALL, and the
-    * aggregate is not recomputed per branch. Skew is moot — no
-    * shingle-keyed exchange exists. NearDedupSpec asserts both plan shapes
-    * on a deliberately hot corpus. */
+    * Below `maxBroadcastVocab` distinct shingles (decided by one
+    * limit-bounded count — same adaptive dispatch shape as
+    * SimilaritySearch.cosinePairs), the WHOLE df table enters the plan
+    * under a broadcast hint: the big exploded side then never shuffles on
+    * the shingle key AT ALL, and no branch recomputes the aggregate more
+    * than the broadcast itself needs. Skew is moot — no shingle-keyed
+    * exchange exists. NearDedupSpec asserts both plan shapes on a
+    * deliberately hot corpus. */
   private[graft] def rankedByDf(sets: DataFrame, hotDf: Int,
                                 maxBroadcastVocab: Int = 500000): DataFrame = {
     val exploded = sets
@@ -72,12 +72,22 @@ object NearDedup {
       .groupBy("sh").agg(count(lit(1)).as("df"))
     val rn = row_number().over(
       Window.partitionBy(col("id")).orderBy(col("df"), col("sh")))
-    // one bounded job decides the branch AND feeds the broadcast
-    val vocab = df.limit(maxBroadcastVocab + 1).collect()
-    if (vocab.length <= maxBroadcastVocab) {
-      val local = sets.sparkSession.createDataFrame(
-        java.util.Arrays.asList(vocab: _*), df.schema)
-      exploded.join(broadcast(local), "sh").withColumn("rn", rn)
+    // one bounded job decides the branch (limit caps the decision job at
+    // maxBroadcastVocab+1 rows however large the true vocabulary); the
+    // broadcast then ships the aggregate DIRECTLY (BroadcastExchange
+    // collects internal rows and builds the hash relation once). The
+    // pre-r21 form collected the vocab to the driver as external Rows and
+    // re-entered it as a LocalRelation under a broadcast hint — paying the
+    // InternalRow→Row conversion AND a second serialization of the same
+    // bytes, both driver-serial and proportional to the vocab cap (500k
+    // rows ≈ tens of MB of heap churn at the cap). Same-session A/B at
+    // sf0.1 (27k vocab): old 0.63 s vs new 0.69 s — a local wash (the
+    // extra decision job ≈ the saved conversion at tiny vocab); the win
+    // is at the cap, where the aggregate re-run is distributed map-side
+    // work while the Row conversion it replaces is driver-serial.
+    val vocabCount = df.limit(maxBroadcastVocab + 1).count()
+    if (vocabCount <= maxBroadcastVocab) {
+      exploded.join(broadcast(df), "sh").withColumn("rn", rn)
     } else {
       val viaHead = exploded.join(broadcast(df.where(col("df") >= hotDf)), "sh")
       val viaTail = exploded.join(df.where(col("df") < hotDf), "sh")
@@ -291,13 +301,15 @@ object NearDedup {
       .select(col(idCol).as("id"), col(partCol).as("part"),
         col(textCol).as("text")))
       .withColumn("w", graft.functions.TextFns.tokens(col("text")))
-      // positional span keys: element i covers words [i, i+spanWords)
+      // positional span keys: element i covers words [i, i+spanWords).
+      // Native kernel (one md5 digest per window over reused buffers inside
+      // whole-stage codegen); the interpreted HOF formulation it replaces
+      // — a per-position slice + concat_ws rebuild + md5 under an
+      // interpreted transform lambda — is kept below as spanKeysHof for
+      // the NearDedupSpec parity pin. r21 measurement: the HOF strip pass
+      // burned 626 s of task CPU at sf0.1 (q_dedup_contain_clean).
       .withColumn("spans",
-        when(size(col("w")) >= spanWords,
-          transform(sequence(lit(0), size(col("w")) - spanWords),
-            i => substring(md5(concat_ws(" ",
-              slice(col("w"), i + 1, lit(spanWords)))), 1, 16)))
-          .otherwise(array().cast("array<string>")))
+        org.apache.spark.sql.graft.TextExprs.spanKeys(col("w"), spanWords))
 
   private def stripFromBase(base: DataFrame, spanWords: Int,
                             maxSpanMult: Int): DataFrame = {
@@ -318,14 +330,31 @@ object NearDedup {
     val hotGated = if (hot.count() <= limit) broadcast(hot) else hot
     val covered = occ.join(hotGated, "h")
       .groupBy(col("id")).agg(collect_set(col("pos")).as("starts"))
-    val span1 = lit(spanWords - 1)
     base.join(covered, Seq("id"), "left")
       .withColumn("starts",
         coalesce(col("starts"), array().cast("array<int>")))
-      .withColumn("clean_text", concat_ws(" ",
-        filter(col("w"), (w, i) =>
-          !exists(col("starts"), s => s <= i && i <= s + span1))))
+      // Native kernel: sorted sweep over (words, starts) — O(W + S log S)
+      // per doc vs the interpreted O(W × S) nested filter/exists lambda it
+      // replaces (kept below as residualWordsHof for the parity pin).
+      .withColumn("clean_text", org.apache.spark.sql.graft.TextExprs
+        .residualWords(col("w"), col("starts"), spanWords))
       .select(col("id"), col("part"), col("clean_text"))
+  }
+
+  /** Pre-r21 HOF formulations of the strip's two kernels — parity
+    * cross-checks only (NearDedupSpec asserts the native kernels match
+    * them row-for-row on the fixture and adversarial edges). */
+  private[graft] def spanKeysHof(w: Column, spanWords: Int): Column =
+    when(size(w) >= spanWords,
+      transform(sequence(lit(0), size(w) - spanWords),
+        i => substring(md5(concat_ws(" ", slice(w, i + 1, lit(spanWords)))), 1, 16)))
+      .otherwise(array().cast("array<string>"))
+
+  private[graft] def residualWordsHof(w: Column, starts: Column,
+                                      spanWords: Int): Column = {
+    val span1 = lit(spanWords - 1)
+    concat_ws(" ",
+      filter(w, (_, i) => !exists(starts, s => s <= i && i <= s + span1)))
   }
 
   /** Single-evaluation harness for the pair generators. The lazy pipeline

@@ -111,6 +111,157 @@ case class ShinglesN(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+object SpanKernel extends Serializable { // codegen reference object
+  private val Hex = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** Positional span keys: for every word window [i, i+spanWords) the first
+    * 16 hex chars of md5 over the space-joined window — bit-identical to
+    * the HOF formulation
+    * `transform(sequence(0, n-spanWords), i ->
+    *    substring(md5(concat_ws(" ", slice(w, i+1, spanWords))), 1, 16))`
+    * including concat_ws's skip-null semantics, but one digest per window
+    * over reused buffers instead of a per-position array slice + string
+    * rebuild + interpreted lambda (measured: the strip pass's dominant
+    * cost — see NearDedup.spanBase). Windows shorter than spanWords (docs
+    * with < spanWords tokens) produce an empty array, replicating the
+    * `when(size(w) >= spanWords, …).otherwise(array())` guard. */
+  def spanKeys(words: org.apache.spark.sql.catalyst.util.ArrayData,
+               spanWords: Int): Array[UTF8String] = {
+    val n = words.numElements()
+    if (n < spanWords) return Array.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[UTF8String](n - spanWords + 1)
+    var i = 0
+    while (i + spanWords <= n) {
+      md.reset()
+      var j = 0
+      var first = true
+      while (j < spanWords) {
+        val w = words.getUTF8String(i + j)
+        if (w != null) { // concat_ws skips nulls without a separator
+          if (!first) md.update(' '.toByte)
+          md.update(w.getBytes)
+          first = false
+        }
+        j += 1
+      }
+      val digest = md.digest()
+      val hex = new Array[Byte](16)
+      var k = 0
+      while (k < 8) {
+        hex(2 * k) = Hex((digest(k) >> 4) & 0xF)
+        hex(2 * k + 1) = Hex(digest(k) & 0xF)
+        k += 1
+      }
+      out(i) = UTF8String.fromBytes(hex)
+      i += 1
+    }
+    out
+  }
+
+  /** Words NOT covered by any hot-span start interval [s, s+spanWords),
+    * joined with single spaces — bit-identical to the HOF formulation
+    * `concat_ws(" ", filter(w, (w, i) -> !exists(starts, s ->
+    *    s <= i AND i <= s + spanWords - 1)))`
+    * but a sorted sweep: O(W + S log S) instead of the interpreted
+    * O(W × S) nested-lambda scan (the q_dedup_contain_clean CPU monster —
+    * 626 s of task time at sf0.1 before this kernel). */
+  def residualWords(words: org.apache.spark.sql.catalyst.util.ArrayData,
+                    starts: org.apache.spark.sql.catalyst.util.ArrayData,
+                    spanWords: Int): UTF8String = {
+    val nw = words.numElements()
+    val ns = starts.numElements()
+    val st = new Array[Int](ns)
+    var i = 0
+    while (i < ns) { st(i) = starts.getInt(i); i += 1 }
+    java.util.Arrays.sort(st)
+    val sb = new java.lang.StringBuilder
+    var p = 0
+    var coveredEnd = -1
+    i = 0
+    while (i < nw) {
+      while (p < ns && st(p) <= i) {
+        val e = st(p) + spanWords - 1
+        if (e > coveredEnd) coveredEnd = e
+        p += 1
+      }
+      if (i > coveredEnd) {
+        val w = words.getUTF8String(i)
+        if (w != null) { // concat_ws skips nulls without a separator
+          if (sb.length > 0) sb.append(' ')
+          sb.append(w.toString)
+        }
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Native positional span-key builder — see [[SpanKernel.spanKeys]]. One
+  * codegen'd pass per row; parity with the HOF formulation
+  * (NearDedup.spanKeysHof) asserted in NearDedupSpec. */
+case class SpanKeys(child: Expression, spanWords: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(spanWords >= 1, s"span width must be >= 1, got $spanWords")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_span_keys"
+
+  override def nullSafeEval(in: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      SpanKernel.spanKeys(
+        in.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        spanWords).asInstanceOf[Array[AnyRef]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val kernel = ctx.addReferenceObj("spanKernel", SpanKernel,
+        SpanKernel.getClass.getName)
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) $kernel.spanKeys($a, $spanWords));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SpanKeys =
+    copy(child = newChild)
+}
+
+/** Native residual-text rebuild — see [[SpanKernel.residualWords]]. Parity
+  * with the HOF formulation (NearDedup.residualWordsHof) asserted in
+  * NearDedupSpec. */
+case class ResidualWords(left: Expression, right: Expression, spanWords: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  require(spanWords >= 1, s"span width must be >= 1, got $spanWords")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_residual_words"
+
+  override def nullSafeEval(words: Any, starts: Any): Any =
+    SpanKernel.residualWords(
+      words.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      starts.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      spanWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val kernel = ctx.addReferenceObj("spanKernel", SpanKernel,
+        SpanKernel.getClass.getName)
+      s"${ev.value} = $kernel.residualWords($a, $b, $spanWords);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ResidualWords =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level face. */
 object NfcKernel extends Serializable { // codegen reference object
   /** Unicode NFC normalization (canonical composition). `isNormalized` is a
@@ -162,4 +313,9 @@ object TextExprs {
     ExpressionUtils.column(ShinglesN(ExpressionUtils.expression(text), n))
   def nfc(text: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
+  def spanKeys(words: Column, spanWords: Int): Column =
+    ExpressionUtils.column(SpanKeys(ExpressionUtils.expression(words), spanWords))
+  def residualWords(words: Column, starts: Column, spanWords: Int): Column =
+    ExpressionUtils.column(ResidualWords(ExpressionUtils.expression(words),
+      ExpressionUtils.expression(starts), spanWords))
 }

@@ -332,4 +332,73 @@ class NearDedupSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture should plant near-dup pairs")
     assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
   }
+
+  test("r21 strip kernels: SpanKeys / ResidualWords match the HOF formulations " +
+      "bit-for-bit on the fixture and adversarial edges") {
+    import org.apache.spark.sql.graft.TextExprs
+    val spanWords = 5
+    // fixture corpus + edges: < spanWords tokens, exactly spanWords,
+    // empty text, runs of whitespace (split keeps empty leading fields),
+    // and a doc that is pure repetition (self-repeated span)
+    val edges = Seq(
+      (9001L, "en", "one two three"), // shorter than a span
+      (9002L, "en", "a b c d e"), // exactly one span
+      (9003L, "en", ""), // empty
+      (9004L, "en", "  x   y\tz  w v u t  "), // whitespace runs
+      (9005L, "en", Array.fill(30)("rep").mkString(" ")) // self-repetition
+    ).toDF("doc_id", "lang", "text")
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .unionByName(edges)
+      .withColumn("w", graft.functions.TextFns.tokens(col("text")))
+
+    // (a) span keys: kernel vs HOF, every row
+    val spanDiff = docs.select(col("doc_id"),
+        TextExprs.spanKeys(col("w"), spanWords).as("k"),
+        NearDedup.spanKeysHof(col("w"), spanWords).as("h"))
+      .where(not(col("k") <=> col("h")))
+    assert(spanDiff.isEmpty, s"SpanKeys mismatch: ${spanDiff.collect().toSeq}")
+
+    // (b) residual rebuild: kernel vs HOF under planted start sets —
+    // empty, overlapping, out-of-order, covering-everything, past-the-end
+    val withStarts = docs.select(col("doc_id"), col("w"),
+      array(lit(3), lit(1), lit(4), lit(1), lit(12), lit(200)).as("starts"))
+    val resDiff = withStarts.select(col("doc_id"),
+        TextExprs.residualWords(col("w"), col("starts"), spanWords).as("k"),
+        NearDedup.residualWordsHof(col("w"), col("starts"), spanWords).as("h"))
+      .where(not(col("k") <=> col("h")))
+    assert(resDiff.isEmpty, s"ResidualWords mismatch: ${resDiff.collect().toSeq}")
+    val emptyDiff = docs.select(col("doc_id"),
+        TextExprs.residualWords(col("w"),
+          array().cast("array<int>"), spanWords).as("k"),
+        NearDedup.residualWordsHof(col("w"),
+          array().cast("array<int>"), spanWords).as("h"))
+      .where(not(col("k") <=> col("h")))
+    assert(emptyDiff.isEmpty,
+      s"ResidualWords empty-starts mismatch: ${emptyDiff.collect().toSeq}")
+
+    // (c) end-to-end: the strip output is unchanged by the kernel swap
+    // (stripRepeatedSpans now runs the kernels; rebuild the pre-r21 HOF
+    // pipeline inline and compare full frames)
+    val base = docs
+      .select(col("doc_id").as("id"), col("lang").as("part"), col("w"))
+      .withColumn("spans", NearDedup.spanKeysHof(col("w"), spanWords))
+    val occ = base.select(col("id"), posexplode(col("spans")).as(Seq("pos", "h")))
+    val hot = occ.groupBy(col("h")).agg(count(lit(1)).as("mult"))
+      .where(col("mult") > 8).select(col("h"))
+    val covered = occ.join(broadcast(hot), "h")
+      .groupBy(col("id")).agg(collect_set(col("pos")).as("starts"))
+    val hofStrip = base.join(covered, Seq("id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("clean_text",
+        NearDedup.residualWordsHof(col("w"), col("starts"), spanWords))
+      .select(col("id"), col("clean_text"))
+    val kernelStrip = NearDedup.stripRepeatedSpans(
+        docs.select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "text", "lang")
+      .select(col("id"), col("clean_text").as("k_clean"))
+    val e2eDiff = hofStrip.join(kernelStrip, "id")
+      .where(not(col("clean_text") <=> col("k_clean")))
+    assert(e2eDiff.isEmpty, s"strip e2e mismatch: ${e2eDiff.collect().toSeq}")
+  }
 }
