@@ -1,7 +1,7 @@
 package graft
 // Temporary measurement scaffold for the r21 optimization round — times
 // isolated pipeline stages with the noop sink (guide §1.4). Not registered
-// anywhere; deleted before the round closes.
+// anywhere; contents rotate per investigation.
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,8 +17,6 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.functions.TextFns
-    import graft.operators.{Compute, NearDedup}
 
     def settle(): Unit = { // the Bench settle barrier
       spark.sparkContext.parallelize(0 until cpus.toInt, cpus.toInt).count()
@@ -26,7 +24,6 @@ object Scratch {
       spark.sparkContext.parallelize(0 until cpus.toInt, cpus.toInt).count()
     }
     def time(label: String)(df: => DataFrame): Unit = {
-      // 1 warm (JIT/codegen) + min-of-3 with the settle barrier
       df.write.format("noop").mode("overwrite").save()
       val samples = (1 to 3).map { _ =>
         settle()
@@ -37,123 +34,6 @@ object Scratch {
       println(f"[scratch] $label%-40s min=${samples.min}%7.2fs " +
         f"samples=${samples.map(s => f"$s%.2f").mkString(",")}")
     }
-
-    val docs = Tables.documents(spark, sfDir)
-
-    // stage 1: tokenize only
-    time("tokens") {
-      docs.select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
-    }
-    // stage 2: shingles3 kernel
-    time("shingles3") {
-      docs.select(col("doc_id"), TextFns.shingles3(col("text")).as("sh"))
-    }
-    // stage 3: spanBase (tokens + positional md5 span keys, HOF transform)
-    val spanWords = 5
-    time("spanBase(transform+md5)") {
-      Compute.rebalance(docs
-        .select(col("doc_id").as("id"), col("lang").as("part"),
-          col("text")))
-        .withColumn("w", TextFns.tokens(col("text")))
-        .withColumn("spans",
-          when(size(col("w")) >= spanWords,
-            transform(sequence(lit(0), size(col("w")) - spanWords),
-              i => substring(md5(concat_ws(" ",
-                slice(col("w"), i + 1, lit(spanWords)))), 1, 16)))
-            .otherwise(array().cast("array<string>")))
-        .select(col("id"), col("part"), col("spans"))
-    }
-    // stage 4: full strip (spanBase + multiplicity + covered + residual HOF)
-    time("stripRepeatedSpans") {
-      NearDedup.stripRepeatedSpans(docs, "doc_id", "text", "lang")
-    }
-    // stage 5: rankedByDf path alone (shingle + df + window) — via prefix where
-    time("prefix(rankedByDf+bound)") {
-      val sets = Compute.rebalance(docs
-        .select(col("doc_id").as("id"), col("lang").as("part"), col("text")))
-        .select(col("id"), col("part"), TextFns.shingles3(col("text")).as("sh"))
-        .where(size(col("sh")) > 0)
-      NearDedup.rankedByDf(sets, 1024)
-    }
-    // stage 6: whole prefixFilter (dedup_near core)
-    time("prefixFilter(full)") {
-      NearDedup.prefixFilter(docs, "doc_id", "text", "lang", 0.8,
-        materialize = Some(true))
-    }
-    // stage 7: containmentPairs (dedup_contain core)
-    time("containmentPairs(full)") {
-      NearDedup.containmentPairs(docs, "doc_id", "text", "lang", 0.9,
-        materialize = Some(true))
-    }
-    // stage 8: containmentPairsClean (dedup_contain_clean core)
-    time("containmentPairsClean(full)") {
-      NearDedup.containmentPairsClean(docs, "doc_id", "text", "lang", 0.9,
-        materialize = Some(true))
-    }
-    // diagnostics: cardinalities inside prefixFilter
-    val sets = docs.select(col("doc_id").as("id"), col("lang").as("part"),
-        TextFns.shingles3(col("text")).as("sh"))
-      .where(size(col("sh")) > 0)
-      .persist()
-    println(s"[scratch] docs=${sets.count()}")
-    val exploded = sets.select(col("id"), col("part"), size(col("sh")).as("n"),
-      explode(col("sh")).as("sh"))
-    println(s"[scratch] exploded rows=${exploded.count()}")
-    println(s"[scratch] vocab=${exploded.select("sh").distinct().count()}")
-    val ranked = NearDedup.rankedByDf(sets, 1024)
-    val tau = 0.8
-    val prefix = ranked
-      .where(col("rn") <= col("n") - ceil(col("n") * lit(tau) - 1e-6) + 1)
-      .select(col("id"), col("part"), col("n"), col("sh"))
-    println(s"[scratch] prefix rows=${prefix.count()}")
-    val a = prefix.select(col("id").as("a_id"), col("part"),
-      col("n").as("a_n"), col("sh"))
-    val b = prefix.select(col("id").as("b_id"), col("part").as("b_part"),
-      col("n").as("b_n"), col("sh").as("b_sh"))
-    val cand0 = a.join(b,
-      col("sh") === col("b_sh") && col("part") === col("b_part") &&
-        col("a_id") < col("b_id") &&
-        col("b_n") >= ceil(col("a_n") * lit(tau) - 1e-6) &&
-        col("b_n") <= floor(col("a_n") / lit(tau) + 1e-6))
-    println(s"[scratch] candidates pre-distinct=${cand0.count()}")
-    println(s"[scratch] candidates post-distinct=${cand0.select("a_id", "b_id").distinct().count()}")
-    time("verify-only") {
-      val candD = cand0.select(col("a_id"), col("b_id")).distinct()
-      val aS = sets.select(col("id").as("a_id"), col("sh").as("a_sh"))
-      val bS = sets.select(col("id").as("b_id"), col("sh").as("b_sh"))
-      candD.join(aS, "a_id").join(bS, "b_id")
-        .withColumn("jaccard", TextFns.jaccard(col("a_sh"), col("b_sh")))
-        .where(col("jaccard") >= 0.8)
-        .select(col("a_id"), col("b_id"), col("jaccard"))
-    }
-    time("rankedByDf-only(sets persisted)") { NearDedup.rankedByDf(sets, 1024) }
-    // honest A/B: old collect+LocalRelation form vs new count+broadcast form
-    val rnW = org.apache.spark.sql.functions.row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id")).orderBy(col("df"), col("sh")))
-    val dfAgg = exploded.select(col("sh")).groupBy("sh").agg(count(lit(1)).as("df"))
-    time("rankedByDf-OLD(collect+local)") {
-      val vocab = dfAgg.limit(500001).collect()
-      val local = spark.createDataFrame(
-        java.util.Arrays.asList(vocab: _*), dfAgg.schema)
-      exploded.join(broadcast(local), "sh").withColumn("rn", rnW)
-    }
-    time("rankedByDf-NEW(count+broadcast)") {
-      val n = dfAgg.limit(500001).count()
-      require(n <= 500000)
-      exploded.join(broadcast(dfAgg), "sh").withColumn("rn", rnW)
-    }
-    time("window-only(broadcast df agg)") {
-      val df = exploded.select(col("sh")).groupBy("sh").agg(count(lit(1)).as("df"))
-      val rn = org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id")).orderBy(col("df"), col("sh")))
-      exploded.join(broadcast(df), "sh").withColumn("rn", rn)
-    }
-    // plan evidence for the strip-stage kernel swap (the query keys'
-    // executed plans are checkpoint-opaque): before = HOF formulation
-    // (kept as NearDedup.{spanKeysHof,residualWordsHof}), after = the
-    // production stripRepeatedSpans path with the native kernels.
     def dump(name: String, df: DataFrame): Unit = {
       val w = new java.io.PrintWriter(s"plans/r21/$name", "UTF-8")
       try w.write(df.queryExecution.explainString(
@@ -161,23 +41,93 @@ object Scratch {
       finally w.close()
       println(s"[scratch] wrote plans/r21/$name")
     }
-    val tokenized = docs
-      .select(col("doc_id").as("id"), col("lang").as("part"),
-        TextFns.tokens(col("text")).as("w"))
-    val hofBase = tokenized.withColumn("spans",
-      NearDedup.spanKeysHof(col("w"), 5))
-    val hofOcc = hofBase.select(col("id"), posexplode(col("spans")).as(Seq("pos", "h")))
-    val hofHot = hofOcc.groupBy(col("h")).agg(count(lit(1)).as("mult"))
-      .where(col("mult") > 8).select(col("h"))
-    val hofCovered = hofOcc.join(broadcast(hofHot), "h")
-      .groupBy(col("id")).agg(collect_set(col("pos")).as("starts"))
-    dump("strip_stage_before.txt", hofBase.join(hofCovered, Seq("id"), "left")
-      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
-      .withColumn("clean_text",
-        NearDedup.residualWordsHof(col("w"), col("starts"), 5))
-      .select(col("id"), col("part"), col("clean_text")))
-    dump("strip_stage_after.txt",
-      NearDedup.stripRepeatedSpans(docs, "doc_id", "text", "lang"))
+
+    // q_interval_overlap: does AQE reuse the duplicated session-build
+    // exchange at runtime?
+    val io = graft.operators.EventAnalyticsPack.queries("q_interval_overlap")
+    val df = io(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val executed = df.queryExecution.executedPlan.toString
+    val reused = executed.contains("ReusedExchange")
+    println(s"[scratch] interval_overlap executed plan has ReusedExchange=$reused")
+    println(s"[scratch] exchanges=${"Exchange".r.findAllIn(executed).size}")
+    time("q_interval_overlap") { io(spark, sfDir) }
+    time("q_embed_kmeans_iter(NEW)") {
+      graft.operators.LlmPack.queries("q_embed_kmeans_iter")(spark, sfDir)
+    }
+    // pre-r21 kmeans body, inlined for same-session A/B
+    def oldKmeans(): DataFrame = {
+      import graft.functions.VectorFns
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      var assign = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label").cast("int").as("cl"))
+      var scored: DataFrame = null
+      for (_ <- 1 to 3) {
+        val av = emb.join(assign, "vec_id")
+        val cb = av.select(col("cl").as("c_label"), posexplode(col("v")))
+          .groupBy(col("c_label"), col("pos"))
+          .agg(avg(col("col")).as("cv0"))
+          .groupBy(col("c_label"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv0")))),
+            x => round(x.getField("cv0"), 6)).as("cv"))
+        scored = graft.operators.Compute.materialize(av.crossJoin(broadcast(cb))
+          .select(col("vec_id"),
+            struct(round(VectorFns.cosine(col("v"), col("cv")), 6).as("sim"),
+              (-col("c_label")).as("neg")).as("cand"))
+          .groupBy(col("vec_id"))
+          .agg(max(col("cand")).as("best"))
+          .select(col("vec_id"), (-col("best.neg")).cast("int").as("cl"),
+            col("best.sim").as("sim")))
+        assign = scored.select(col("vec_id"), col("cl"))
+      }
+      scored.select(col("vec_id"), col("cl").as("cluster"), col("sim"))
+        .orderBy(col("vec_id"))
+    }
+    time("q_embed_kmeans_iter(OLD)") { oldKmeans() }
+    time("q_embed_kmeans_iter(NEW2)") {
+      graft.operators.LlmPack.queries("q_embed_kmeans_iter")(spark, sfDir)
+    }
+    time("q_dedup_semantic") {
+      graft.operators.LlmPack.queries("q_dedup_semantic")(spark, sfDir)
+    }
+    time("q_corpus_build") {
+      graft.operators.PipelinePack.queries("q_corpus_build")(spark, sfDir)
+    }
+    // plan evidence: one kmeans ROUND (the query's own executed plan is
+    // checkpoint-opaque). before = raw-scan join per round; after =
+    // vec_id-partitioned persisted vectors (join + argmax share the
+    // partitioning).
+    locally {
+      import graft.functions.VectorFns
+      def round1(emb: DataFrame): DataFrame = {
+        val assign = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("label").cast("int").as("cl"))
+        val av = emb.join(assign, "vec_id")
+        val cb = av.select(col("cl").as("c_label"), posexplode(col("v")))
+          .groupBy(col("c_label"), col("pos"))
+          .agg(avg(col("col")).as("cv0"))
+          .groupBy(col("c_label"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv0")))),
+            x => round(x.getField("cv0"), 6)).as("cv"))
+        av.crossJoin(broadcast(cb))
+          .select(col("vec_id"),
+            struct(round(VectorFns.cosine(col("v"), col("cv")), 6).as("sim"),
+              (-col("c_label")).as("neg")).as("cand"))
+          .groupBy(col("vec_id"))
+          .agg(max(col("cand")).as("best"))
+          .select(col("vec_id"), (-col("best.neg")).cast("int").as("cl"),
+            col("best.sim").as("sim"))
+      }
+      val rawEmb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      dump("kmeans_round_before.txt", round1(rawEmb))
+      val partEmb = rawEmb.repartition(col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      partEmb.count()
+      dump("kmeans_round_after.txt", round1(partEmb))
+      partEmb.unpersist(blocking = false)
+    }
     spark.stop()
   }
 }

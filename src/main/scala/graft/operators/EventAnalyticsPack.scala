@@ -151,9 +151,18 @@ object EventAnalyticsPack extends QueryPack {
       .groupBy(session_window(col("ts"), SessionGap), col("user_id"))
       .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
       .select(col("user_id"), col("st"), col("en"))
-    val bucketed = iv.withColumn("bucket",
+    // Materialize the bucketed session table ONCE before the self-join:
+    // both join sides reference it, and Spark re-computes the whole
+    // sessionization per reference (two events scans, two session-window
+    // exchanges, two MergingSessions — r21 measured the duplicated subtree
+    // in the executed plan, with AQE exchange reuse NOT firing across the
+    // broadcast boundary). The session table is the events stream folded
+    // to one row per (user, session) — orders of magnitude smaller than
+    // its input — so one materialization is cheaper than the second
+    // build at any scale (guide §3.3: materialize reused intermediates).
+    val bucketed = Compute.materialize(iv.withColumn("bucket",
       explode(sequence(date_trunc("hour", col("st")),
-        date_trunc("hour", col("en")), expr("interval 1 hour"))))
+        date_trunc("hour", col("en")), expr("interval 1 hour")))))
     val a = bucketed.select(col("bucket"), col("user_id").as("u1"),
       col("st").as("st1"), col("en").as("en1"))
     val b = bucketed.select(col("bucket"), col("user_id").as("u2"),

@@ -638,8 +638,22 @@ object LlmPack extends QueryPack {
     * state on a real cluster. The assignment join keys corpus and labels
     * by vec_id — co-partitioned after round 1's exchange. */
   def embedKmeansIter(s: SparkSession, dir: String): DataFrame = {
+    // The MLlib-style iteration layout (guide §2.4 — operations keyed the
+    // same way share one exchange): the feature vectors are hash-
+    // partitioned by vec_id ONCE and persisted; each round's assignment
+    // join then leaves the vector side unshuffled (the persisted
+    // InMemoryRelation keeps its outputPartitioning, unlike a checkpoint),
+    // and the argmax groupBy(vec_id) reuses the join's partitioning
+    // outright — the embedding payload never crosses an exchange after
+    // round 0. The pre-r21 shape re-joined the raw scan per round: the
+    // vector bytes re-shuffled (or re-broadcast) every iteration. The
+    // persist is freed before return — the final round's materialize is
+    // eager, so nothing downstream re-reads the cache.
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var assign = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label").cast("int").as("cl"))
     var scored: DataFrame = null
@@ -663,6 +677,7 @@ object LlmPack extends QueryPack {
     }
     scored.select(col("vec_id"), col("cl").as("cluster"), col("sim"))
       .orderBy(col("vec_id"))
+    } finally emb.unpersist(blocking = false)
   }
 
   /** B9 Unicode text normalization — the cleaning step every multilingual
