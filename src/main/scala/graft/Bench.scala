@@ -153,11 +153,21 @@ object Bench {
     }
     calibrationProbe() // plan/codegen warm-up, outside every measured sample
     val calSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // Each interleaved sample is itself a MIN-of-3 back-to-back probes:
+    // the r21 first sweep showed single-shot samples spanning 0.382–0.784 s
+    // (105% spread) while the queries around them moved uniformly — the
+    // probe was catching transient bursts (GC tails, compaction, scheduler
+    // hiccups) shorter than one probe run. The min over three consecutive
+    // runs filters bursts; the MEDIAN over the interleaved samples still
+    // tracks real drift arriving during the sweep (bursts and drift have
+    // different timescales — that is the whole design).
     def sampleCalibration(): Unit = {
       settle()
-      val t0 = System.nanoTime()
-      calibrationProbe()
-      calSamples += (System.nanoTime() - t0) / 1e9
+      calSamples += (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        calibrationProbe()
+        (System.nanoTime() - t0) / 1e9
+      }.min
     }
     // interior samples per rep, sized so 1 + reps*(interior+1) >= 5:
     // reps=1 → 3 interior (5 samples), reps=2 → 1 (5), reps=3 → 1 (7)

@@ -34,99 +34,21 @@ object Scratch {
       println(f"[scratch] $label%-40s min=${samples.min}%7.2fs " +
         f"samples=${samples.map(s => f"$s%.2f").mkString(",")}")
     }
-    def dump(name: String, df: DataFrame): Unit = {
-      val w = new java.io.PrintWriter(s"plans/r21/$name", "UTF-8")
-      try w.write(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-      finally w.close()
-      println(s"[scratch] wrote plans/r21/$name")
+    def execShape(label: String, df: DataFrame): Unit = {
+      df.collect() // same QueryExecution — the noop write would clone it
+      val p = df.queryExecution.executedPlan.toString
+      val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+      val re = "ReusedExchange".r.findAllIn(p).size
+      val stages = "ShuffleQueryStage ([0-9]+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+      val scans = "Scan parquet".r.findAllIn(p).size
+      println(s"[scratch] $label exchanges=$ex reused=$re parquetScans=$scans " +
+        s"stages=${stages.mkString(",")} distinctStages=${stages.distinct.size}")
     }
 
-    // q_interval_overlap: does AQE reuse the duplicated session-build
-    // exchange at runtime?
-    val io = graft.operators.EventAnalyticsPack.queries("q_interval_overlap")
-    val df = io(spark, sfDir)
-    df.write.format("noop").mode("overwrite").save()
-    val executed = df.queryExecution.executedPlan.toString
-    val reused = executed.contains("ReusedExchange")
-    println(s"[scratch] interval_overlap executed plan has ReusedExchange=$reused")
-    println(s"[scratch] exchanges=${"Exchange".r.findAllIn(executed).size}")
-    time("q_interval_overlap") { io(spark, sfDir) }
-    time("q_embed_kmeans_iter(NEW)") {
-      graft.operators.LlmPack.queries("q_embed_kmeans_iter")(spark, sfDir)
-    }
-    // pre-r21 kmeans body, inlined for same-session A/B
-    def oldKmeans(): DataFrame = {
-      import graft.functions.VectorFns
-      val emb = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      var assign = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("label").cast("int").as("cl"))
-      var scored: DataFrame = null
-      for (_ <- 1 to 3) {
-        val av = emb.join(assign, "vec_id")
-        val cb = av.select(col("cl").as("c_label"), posexplode(col("v")))
-          .groupBy(col("c_label"), col("pos"))
-          .agg(avg(col("col")).as("cv0"))
-          .groupBy(col("c_label"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv0")))),
-            x => round(x.getField("cv0"), 6)).as("cv"))
-        scored = graft.operators.Compute.materialize(av.crossJoin(broadcast(cb))
-          .select(col("vec_id"),
-            struct(round(VectorFns.cosine(col("v"), col("cv")), 6).as("sim"),
-              (-col("c_label")).as("neg")).as("cand"))
-          .groupBy(col("vec_id"))
-          .agg(max(col("cand")).as("best"))
-          .select(col("vec_id"), (-col("best.neg")).cast("int").as("cl"),
-            col("best.sim").as("sim")))
-        assign = scored.select(col("vec_id"), col("cl"))
-      }
-      scored.select(col("vec_id"), col("cl").as("cluster"), col("sim"))
-        .orderBy(col("vec_id"))
-    }
-    time("q_embed_kmeans_iter(OLD)") { oldKmeans() }
-    time("q_embed_kmeans_iter(NEW2)") {
-      graft.operators.LlmPack.queries("q_embed_kmeans_iter")(spark, sfDir)
-    }
-    time("q_dedup_semantic") {
-      graft.operators.LlmPack.queries("q_dedup_semantic")(spark, sfDir)
-    }
-    time("q_corpus_build") {
-      graft.operators.PipelinePack.queries("q_corpus_build")(spark, sfDir)
-    }
-    // plan evidence: one kmeans ROUND (the query's own executed plan is
-    // checkpoint-opaque). before = raw-scan join per round; after =
-    // vec_id-partitioned persisted vectors (join + argmax share the
-    // partitioning).
-    locally {
-      import graft.functions.VectorFns
-      def round1(emb: DataFrame): DataFrame = {
-        val assign = Tables.embeddings(spark, sfDir)
-          .select(col("vec_id"), col("label").cast("int").as("cl"))
-        val av = emb.join(assign, "vec_id")
-        val cb = av.select(col("cl").as("c_label"), posexplode(col("v")))
-          .groupBy(col("c_label"), col("pos"))
-          .agg(avg(col("col")).as("cv0"))
-          .groupBy(col("c_label"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv0")))),
-            x => round(x.getField("cv0"), 6)).as("cv"))
-        av.crossJoin(broadcast(cb))
-          .select(col("vec_id"),
-            struct(round(VectorFns.cosine(col("v"), col("cv")), 6).as("sim"),
-              (-col("c_label")).as("neg")).as("cand"))
-          .groupBy(col("vec_id"))
-          .agg(max(col("cand")).as("best"))
-          .select(col("vec_id"), (-col("best.neg")).cast("int").as("cl"),
-            col("best.sim").as("sim"))
-      }
-      val rawEmb = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      dump("kmeans_round_before.txt", round1(rawEmb))
-      val partEmb = rawEmb.repartition(col("vec_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      partEmb.count()
-      dump("kmeans_round_after.txt", round1(partEmb))
-      partEmb.unpersist(blocking = false)
+    for (k <- args) {
+      val fn = SparkEntry.queries(k)
+      execShape(k, fn(spark, sfDir))
+      time(k) { fn(spark, sfDir) }
     }
     spark.stop()
   }

@@ -413,7 +413,16 @@ object LlmPack extends QueryPack {
     val nTot = docs.agg(count(lit(1)).cast("double").as("_n_docs"))
     val tk = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
     val tf = tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = tk.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    // df derives from the doc-term matrix: tf already holds exactly one row
+    // per (doc, tok), so countDistinct(doc_id) over the RAW token stream is
+    // a plain count of tf rows per tok — bit-identical df. Honest r21
+    // measurement: a local WASH (the old single-distinct plan deduplicated
+    // on the same (tok, doc_id) key this count aggregates, so per-pass work
+    // is equivalent); kept because the distinct machinery drops out and
+    // both tf references now share one canonical exchange key order
+    // (hash(doc_id, tok)) — the precondition for exchange reuse the old
+    // hash(tok, doc_id) dedup arm could never meet.
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
     tf.join(df, "tok")
       .crossJoin(broadcast(nTot))
@@ -1245,7 +1254,7 @@ object LlmPack extends QueryPack {
     * `Compute.materialize(mutualKnn(knnEdges(...)))` — and with it the
     * localCheckpoint executor-loss caveat on these paths (parquet survives
     * anything short of losing the store dir). */
-  private def mutualEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def mutualEdges(s: SparkSession, dir: String): DataFrame = {
     val store = StoreDirs.stable(s, s"graft_knnedges_${StoreDirs.pathKey(dir)}")
     val fpFile = "_edges_fingerprint.txt"
     val fp = IvfIndex.inputFingerprint(s, s"$dir/embeddings.parquet") +
@@ -1341,8 +1350,18 @@ object LlmPack extends QueryPack {
       s: SparkSession, dir: String, iters: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val mutual = mutualEdges(s, dir).select(col("a_id"), col("b_id"))
+    // The edge list is STATIC across rounds; hash-partition it by src once
+    // and persist (the q_embed_kmeans_iter r21 layout — persist keeps
+    // outputPartitioning where a checkpoint would not), so each round's
+    // contrib join leaves the k·N edge payload in place and only the O(N)
+    // rank vector exchanges per round. Before: the directed-edge union
+    // re-read the edge store and re-shuffled by src EVERY round. Freed
+    // before return — the final round's materialize is eager.
     val edges = mutual.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(mutual.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = emb.select(col("vec_id"))
     // node-keyed (vec_id, degree) skeleton, carried through every round
@@ -1373,6 +1392,7 @@ object LlmPack extends QueryPack {
     }
     pr.select(col("vec_id"), col("degree"), col("pr").as("npr"))
       .orderBy(col("vec_id"))
+    } finally edges.unpersist(blocking = false)
   }
 
   /** B9+ triangle count + local clustering coefficient over the mutual-kNN

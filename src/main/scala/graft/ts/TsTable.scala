@@ -1943,6 +1943,13 @@ final class TsTable private (
       try { if (fs.exists(new Path(path, rel))) archiveFile(fs, rel) }
       catch { case _: java.io.FileNotFoundException => () }
     }
+    // Restore EVERYTHING restorable before reporting what is not: a
+    // mid-loop throw on the first unrestorable rel would leave every
+    // later displaced file still archived, compounding one reclaimed
+    // file into several missing-from-live files and complicating the
+    // documented manual recovery (r20 advice). One exception at the end
+    // names the full lost set.
+    val lost = Seq.newBuilder[String]
     displaced.foreach { case (rel, _) =>
       val live = new Path(path, rel)
       if (!fs.exists(live)) {
@@ -1954,13 +1961,17 @@ final class TsTable private (
           // snapshot GC reclaimed the bytes inside the rollback window —
           // the in-flight marker protects against that, making this a
           // should-never-fire guard that turns silent row loss LOUD
-          throw new IllegalStateException(
-            s"rollback cannot restore $rel: neither live nor archived — " +
-              "its archived bytes were reclaimed mid-rewrite (snapshot GC " +
-              "racing this verb's rollback window); the file's rows are " +
-              "lost from the live tree — restore from a retained snapshot")
+          lost += rel
       }
     }
+    val lostRels = lost.result()
+    if (lostRels.nonEmpty)
+      throw new IllegalStateException(
+        s"rollback cannot restore ${lostRels.mkString(", ")}: neither live " +
+          "nor archived — their archived bytes were reclaimed mid-rewrite " +
+          "(snapshot GC racing this verb's rollback window); these files' " +
+          "rows are lost from the live tree — restore from a retained " +
+          "snapshot (every other displaced file was restored)")
   }
 
   /** Copy-on-write staging + swap + commit, shared by the predicate verbs
@@ -2179,15 +2190,26 @@ final class TsTable private (
     * path resolves through here; version-PINNED reads (openAt, history
     * walks) stay loud on an expired version by design. */
   private[ts] def currentManifest: Option[(Long, TsManifest)] = {
-    while (true) {
+    // Bounded (r20 advice): on a healthy store one or two re-lists settle
+    // the race; a deleted manifest that KEEPS appearing in listings
+    // (list-after-delete eventual consistency) must fail loudly rather
+    // than spin a reader forever. Matches TsRollup's MaxAttempts pattern.
+    val MaxAttempts = 64
+    var last: java.io.FileNotFoundException = null
+    var attempt = 0
+    while (attempt < MaxAttempts) {
       currentVersion match {
         case None => return None
         case Some(v) =>
           try return Some(v -> TsTable.readManifest(spark, path, v))
-          catch { case _: java.io.FileNotFoundException => () } // GC raced
+          catch { case e: java.io.FileNotFoundException => last = e } // GC raced
       }
+      attempt += 1
     }
-    None // unreachable
+    throw new IllegalStateException(
+      s"currentManifest: newest listed manifest stayed unreadable across " +
+        s"$MaxAttempts re-lists — the store's listing appears inconsistent " +
+        "with its reads (list-after-delete eventual consistency?)", last)
   }
 
   /** Whether `version`'s manifest is still retained (not yet expired) —
@@ -2700,20 +2722,40 @@ final class TsTable private (
       inflightProtectedRels(fs)
     val archRoot = new Path(path, TsTable.ArchiveDir)
     if (fs.exists(archRoot)) {
+      // Two-phase delete closes the marker-scan race (r20 advice): FIRST
+      // list every delete candidate, THEN re-read the in-flight markers,
+      // then delete. A rewrite installs its marker BEFORE it archives
+      // anything (the cowExec rule), so a file archived after the
+      // candidate listing was never a candidate this pass, and a
+      // candidate whose marker landed after the first scan is caught by
+      // the re-read — the orderings compose to leave no window in which a
+      // racing loser's archived input can be reclaimed.
+      val candidates = Seq.newBuilder[(String, Path)]
       // one listing per archived partition dir — metadata-scale
-      fs.listStatus(archRoot).filter(_.isDirectory).foreach { d =>
+      val dirs = fs.listStatus(archRoot).filter(_.isDirectory)
+      dirs.foreach { d =>
         fs.listStatus(d.getPath).filter(_.isFile).foreach { f =>
           val rel = s"${d.getPath.getName}/${f.getPath.getName}"
-          if (!referenced.contains(rel)) fs.delete(f.getPath, false)
+          if (!referenced.contains(rel)) candidates += rel -> f.getPath
         }
-        if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
       }
       // loose ROOT-LEVEL archived files too (their manifest key is the bare
       // name): the overwrite purge and restore of unpartitioned/hybrid
       // layouts archive files directly under _ts_archive/ — skipping them
       // here would grow that portion of the archive unboundedly
       fs.listStatus(archRoot).filter(_.isFile).foreach { f =>
-        if (!referenced.contains(f.getPath.getName)) fs.delete(f.getPath, false)
+        if (!referenced.contains(f.getPath.getName))
+          candidates += f.getPath.getName -> f.getPath
+      }
+      val cands = candidates.result()
+      val lateProtected =
+        if (cands.nonEmpty) inflightProtectedRels(fs) else Set.empty[String]
+      cands.foreach { case (rel, p) =>
+        if (!lateProtected.contains(rel)) fs.delete(p, false)
+      }
+      dirs.foreach { d =>
+        if (fs.exists(d.getPath) && fs.listStatus(d.getPath).isEmpty)
+          fs.delete(d.getPath, false)
       }
     }
     expired.foreach { v =>

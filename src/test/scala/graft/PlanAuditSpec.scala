@@ -373,11 +373,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 2, s"expected user_id + sort exchanges, got $exchanges:\n$p")
   }
 
-  test("numeric profile: all 24 aggregates in ONE scan (the distincts share a single Expand)") {
+  test("numeric profile: ONE scan, melt pipelined into the aggregate, single " +
+      "distinct (no Expand replication of the scan)") {
     val p = plan(graft.operators.StatsPack.profileNumeric(spark, sf0001))
     assert("FileScan parquet".r.findAllIn(p).length == 1,
       s"profile re-reads the table:\n$p")
-    assert(p.contains("Expand"), s"distincts not planned via Expand:\n$p")
+    // r21 shape: stack() melts in a Generate that pipelines into the
+    // partial aggregate; the single countDistinct plans as the two-level
+    // (col_name, v)-keyed dedup aggregate — NO 5-way Expand replica of
+    // the scan (the pre-r21 24-wide-aggregate form's cost), no join.
+    assert(p.contains("Generate stack"), s"melt missing:\n$p")
+    assert(!p.contains("Expand"), s"Expand replication is back:\n$p")
+    assert(p.contains("partial_count"),
+      s"aggregate must combine map-side:\n$p")
     assert(!p.contains("Join"), p)
   }
 
