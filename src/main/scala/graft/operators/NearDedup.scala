@@ -54,14 +54,14 @@ object NearDedup {
     * spark.graft.dedup.materialize) and `sets` is computed exactly once
     * (persisted for the single eager evaluation, freed before return).
     *
-    * Below `maxBroadcastVocab` distinct shingles (decided by one
-    * limit-bounded count — same adaptive dispatch shape as
-    * SimilaritySearch.cosinePairs), the WHOLE df table enters the plan
-    * under a broadcast hint: the big exploded side then never shuffles on
-    * the shingle key AT ALL, and no branch recomputes the aggregate more
-    * than the broadcast itself needs. Skew is moot — no shingle-keyed
-    * exchange exists. NearDedupSpec asserts both plan shapes on a
-    * deliberately hot corpus. */
+    * Below `maxBroadcastVocab` distinct shingles, the WHOLE df table is
+    * aggregated ONCE (a limit-bounded driver collect — same adaptive
+    * dispatch shape as SimilaritySearch.cosinePairs) and re-enters the
+    * plan as a driver-local relation under a broadcast hint: the big
+    * exploded side then never shuffles on the shingle key AT ALL, and the
+    * aggregate is not recomputed per branch. Skew is moot — no
+    * shingle-keyed exchange exists. NearDedupSpec asserts both plan shapes
+    * on a deliberately hot corpus. */
   private[graft] def rankedByDf(sets: DataFrame, hotDf: Int,
                                 maxBroadcastVocab: Int = 500000): DataFrame = {
     val exploded = sets
@@ -72,22 +72,20 @@ object NearDedup {
       .groupBy("sh").agg(count(lit(1)).as("df"))
     val rn = row_number().over(
       Window.partitionBy(col("id")).orderBy(col("df"), col("sh")))
-    // one bounded job decides the branch (limit caps the decision job at
-    // maxBroadcastVocab+1 rows however large the true vocabulary); the
-    // broadcast then ships the aggregate DIRECTLY (BroadcastExchange
-    // collects internal rows and builds the hash relation once). The
-    // pre-r21 form collected the vocab to the driver as external Rows and
-    // re-entered it as a LocalRelation under a broadcast hint — paying the
-    // InternalRow→Row conversion AND a second serialization of the same
-    // bytes, both driver-serial and proportional to the vocab cap (500k
-    // rows ≈ tens of MB of heap churn at the cap). Same-session A/B at
-    // sf0.1 (27k vocab): old 0.63 s vs new 0.69 s — a local wash (the
-    // extra decision job ≈ the saved conversion at tiny vocab); the win
-    // is at the cap, where the aggregate re-run is distributed map-side
-    // work while the Row conversion it replaces is driver-serial.
-    val vocabCount = df.limit(maxBroadcastVocab + 1).count()
-    if (vocabCount <= maxBroadcastVocab) {
-      exploded.join(broadcast(df), "sh").withColumn("rn", rn)
+    // one bounded job decides the branch AND feeds the broadcast. r21
+    // tried the alternative — a limit-bounded count() for the decision
+    // plus broadcast(df) shipping the aggregate directly — and REVERTED
+    // it: the stage-level A/B was a wash (0.63 vs 0.69 s at sf0.1), but
+    // the extra decision job re-aggregated the vocabulary once more per
+    // query and showed up as the bench's only raw regression
+    // (q_dedup_contain ×1.16). The driver collect here is bounded by the
+    // cap (≤500k narrow rows) — the documented-bounded-collect policy —
+    // so the single-job form is not a scale bug, just one job.
+    val vocab = df.limit(maxBroadcastVocab + 1).collect()
+    if (vocab.length <= maxBroadcastVocab) {
+      val local = sets.sparkSession.createDataFrame(
+        java.util.Arrays.asList(vocab: _*), df.schema)
+      exploded.join(broadcast(local), "sh").withColumn("rn", rn)
     } else {
       val viaHead = exploded.join(broadcast(df.where(col("df") >= hotDf)), "sh")
       val viaTail = exploded.join(df.where(col("df") < hotDf), "sh")
