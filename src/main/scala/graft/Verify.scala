@@ -18,6 +18,8 @@ object Verify {
       .config("spark.sql.catalog.graft_ts", "graft.sources.GraftTsCatalog")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // codegen cache sized to the 196-plan workload (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
