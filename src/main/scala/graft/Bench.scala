@@ -230,14 +230,36 @@ object Bench {
     val subset = if (only.isDefined) "\"subset\":true," else ""
     val calVec = calSamples.map(f3).mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$subset"reps":$reps,"agg":"min","calibration_sec":${f3(calibration)},"calibration_vec":$calVec,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
-    // The per-query line grows with the registry (~25 B/query) and at 86
-    // keys outgrew the ~2 kB output tail the driver archives — BENCH_r10
-    // lost the line's HEAD, i.e. the "total" gate metric itself. Emit a
-    // compact summary LAST so any tail window ends with a self-contained
-    // parseable record, whatever the registry size. Distinct metric name
-    // ("total_summary", plus the "summary":true flag) so a consumer
-    // aggregating the full output by metric name never double-counts the
-    // total — the marker flag is informative, not load-bearing.
+    // The driver archives only a ~2-3 kB stdout TAIL, and the single
+    // 196-key "queries" line (~5 kB) loses its head there — BENCH_r{19,20,21}
+    // all came back `parsed: null` and PERF's per_query/scaling blocks were
+    // empty three rounds running (r21 verdict task 1). Restore per-query
+    // visibility with ADDITIONS ONLY (the full line above stays — the
+    // driver contract's ONE JSON line):
+    //  1. "queries_part" lines — the per-query map split into self-contained
+    //     ≤1.5 kB chunks (~15 keys each) with part indices, so ANY capture
+    //     window holds complete parseable records for the keys it covers
+    //     instead of a torn fragment;
+    //  2. ONE compact "queries_vec" line — every value in sorted-key order
+    //     (~1.3 kB at 196 keys), placed right before total_summary so the
+    //     FULL per-query vector survives inside the archived tail even when
+    //     the part lines overflow it. Key names are deliberately omitted
+    //     (names alone are ~3.5 kB — nothing carrying them fits the tail);
+    //     they are recoverable as the sorted key set of the same round's
+    //     registry (CORRECTNESS_r*.json / any full-stdout artifact), which
+    //     is exactly how tools/bench_diff.py reconstructs it (--names).
+    results.grouped(15).zipWithIndex.foreach { case (chunk, i) =>
+      val part = chunk.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries_part","part":${i + 1},"of":${(results.size + 14) / 15},$subset"reps":$reps,"agg":"min","queries":$part,"sf":"$sfDir"}""")
+    }
+    println(s"""{"metric":"queries_vec","order":"sorted_names","n":${results.size},$subset"reps":$reps,"agg":"min","values":${results.map(r => f3(r._2)).mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // Emit a compact summary LAST so any tail window ends with a
+    // self-contained parseable record, whatever the registry size. Distinct
+    // metric name ("total_summary", plus the "summary":true flag) so a
+    // consumer aggregating the full output by metric name never
+    // double-counts the total — the marker flag is informative, not
+    // load-bearing.
     val nFailed = results.count(_._2 < 0)
     println(s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec",$subset"summary":true,"reps":$reps,"agg":"min","calibration_sec":${f3(calibration)},"calibration_vec":$calVec,"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()

@@ -498,9 +498,12 @@ object IvfIndex {
     val paired =
       if (survivorBound <= MaxPushIds) {
         // materialize phase 1 once (it feeds both the id collect and the
-        // pairing join)
-        val survivors = SimilaritySearch.perProbeTopK(approx, rescoreK)
-          .select(col("probe_id"), col("vec_id")).localCheckpoint()
+        // pairing join); Compute.materialize = reliable checkpoint when a
+        // checkpoint dir is configured, localCheckpoint otherwise (r21
+        // verdict: close the executor-loss caveat where a DFS dir exists)
+        val survivors = Compute.materialize(
+          SimilaritySearch.perProbeTopK(approx, rescoreK)
+            .select(col("probe_id"), col("vec_id")))
         val ids = survivors.select("vec_id").distinct().collect().map(_.getLong(0))
         full0.where(col("vec_id").isin(ids: _*))
           .join(broadcast(survivors), "vec_id")

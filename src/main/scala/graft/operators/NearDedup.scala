@@ -56,12 +56,19 @@ object NearDedup {
     *
     * Below `maxBroadcastVocab` distinct shingles, the WHOLE df table is
     * aggregated ONCE (a limit-bounded driver collect — same adaptive
-    * dispatch shape as SimilaritySearch.cosinePairs) and re-enters the
-    * plan as a driver-local relation under a broadcast hint: the big
-    * exploded side then never shuffles on the shingle key AT ALL, and the
-    * aggregate is not recomputed per branch. Skew is moot — no
-    * shingle-keyed exchange exists. NearDedupSpec asserts both plan shapes
-    * on a deliberately hot corpus. */
+    * dispatch shape as SimilaritySearch.cosinePairs) and the ranking runs
+    * ARRAY-SIDE per document (RankShinglesByDf — the collected vocab
+    * broadcast as a hash map, each doc's shingle array sorted rarest-first
+    * inside one codegen'd pass): the exploded corpus never shuffles on the
+    * shingle key NOR on the doc id — the r21 plan still paid a corpus-wide
+    * id-keyed window exchange of every (doc, shingle, df) row for
+    * row_number(); now the first exchange any consumer sees is its own
+    * candidate join (guide §2.4). Skew is moot — no shingle-keyed exchange
+    * exists. Same single bounded job as r21 (the collect both decides the
+    * branch and feeds the broadcast — the r21-reverted count()+broadcast
+    * form's extra decision job is exactly what this must not re-add).
+    * NearDedupSpec asserts both plan shapes on a deliberately hot corpus
+    * and rank parity with the naive window formulation. */
   private[graft] def rankedByDf(sets: DataFrame, hotDf: Int,
                                 maxBroadcastVocab: Int = 500000): DataFrame = {
     val exploded = sets
@@ -70,23 +77,26 @@ object NearDedup {
     // Global shingle document-frequency — a vocabulary-bounded agg.
     val df = exploded.select(col("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
-    val rn = row_number().over(
-      Window.partitionBy(col("id")).orderBy(col("df"), col("sh")))
-    // one bounded job decides the branch AND feeds the broadcast. r21
-    // tried the alternative — a limit-bounded count() for the decision
-    // plus broadcast(df) shipping the aggregate directly — and REVERTED
-    // it: the stage-level A/B was a wash (0.63 vs 0.69 s at sf0.1), but
-    // the extra decision job re-aggregated the vocabulary once more per
-    // query and showed up as the bench's only raw regression
-    // (q_dedup_contain ×1.16). The driver collect here is bounded by the
-    // cap (≤500k narrow rows) — the documented-bounded-collect policy —
-    // so the single-job form is not a scale bug, just one job.
+    // one bounded job decides the branch AND feeds the broadcast (≤500k
+    // narrow rows — the documented-bounded-collect policy).
     val vocab = df.limit(maxBroadcastVocab + 1).collect()
     if (vocab.length <= maxBroadcastVocab) {
-      val local = sets.sparkSession.createDataFrame(
-        java.util.Arrays.asList(vocab: _*), df.schema)
-      exploded.join(broadcast(local), "sh").withColumn("rn", rn)
+      val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        java.lang.Long](vocab.length * 2)
+      vocab.foreach(r => m.put(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        java.lang.Long.valueOf(r.getLong(1))))
+      val bc = sets.sparkSession.sparkContext.broadcast(m)
+      // (sh, id, part, n, df, rn) — the exact schema and rank values the
+      // window formulation produced, from a pure map-side pass.
+      sets.select(col("id"), col("part"), size(col("sh")).as("n"),
+          posexplode(org.apache.spark.sql.graft.TextExprs
+            .rankByDf(col("sh"), bc)).as(Seq("rn0", "x")))
+        .select(col("x.sh").as("sh"), col("id"), col("part"), col("n"),
+          col("x.df").as("df"), (col("rn0") + 1).as("rn"))
     } else {
+      val rn = row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("sh")))
       val viaHead = exploded.join(broadcast(df.where(col("df") >= hotDf)), "sh")
       val viaTail = exploded.join(df.where(col("df") < hotDf), "sh")
       viaHead.unionByName(viaTail).withColumn("rn", rn)

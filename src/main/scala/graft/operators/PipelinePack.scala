@@ -111,7 +111,9 @@ object PipelinePack extends QueryPack {
           if (rank % k == 1) Some((r.doc_id, r.lang, r.n_chars)) else None
         }
       }.toDF("doc_id", "lang", charsCol)
-      out.localCheckpoint()
+      // reliable checkpoint when a dir is configured (r21 verdict), else
+      // executor-local — the Compute.materialize dispatch
+      Compute.materialize(out)
     } finally parted.unpersist(blocking = false)
   }
 
@@ -273,7 +275,9 @@ object PipelinePack extends QueryPack {
                                numPartitions: Int = 0): DataFrame = {
     val (out, free) = packSequencesPlanned(docs, idCol, langCol, textCol,
       budget, numPartitions)
-    try out.localCheckpoint() // eager: both phases resolve against ONE pinning
+    // eager: both phases resolve against ONE pinning; reliable checkpoint
+    // when a dir is configured (r21 verdict), else executor-local
+    try Compute.materialize(out)
     finally free()
   }
 

@@ -2205,6 +2205,12 @@ final class TsTable private (
           catch { case e: java.io.FileNotFoundException => last = e } // GC raced
       }
       attempt += 1
+      // Growing backoff (r21 advice): without it all 64 re-lists burn in
+      // milliseconds, so a consistency window longer than that threw where
+      // the old unbounded loop recovered. First retries stay immediate (a
+      // healthy store settles the race in one or two re-lists); later ones
+      // stretch the 64 attempts across ~20 s of wall clock.
+      if (attempt >= 3) Thread.sleep(math.min(10L * (attempt - 2), 500L))
     }
     throw new IllegalStateException(
       s"currentManifest: newest listed manifest stayed unreadable across " +

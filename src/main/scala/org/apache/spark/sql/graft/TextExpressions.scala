@@ -114,6 +114,14 @@ case class ShinglesN(child: Expression, n: Int)
 object SpanKernel extends Serializable { // codegen reference object
   private val Hex = "0123456789abcdef".getBytes("US-ASCII")
 
+  /** One MD5 instance per executor thread, reset per window — getInstance
+    * allocates (provider lookup + digest state) and was being paid once per
+    * ROW in the hottest kernel this file exists to speed up (r21 advice).
+    * Transient + lazy re-init: ThreadLocal is not serializable state, and
+    * the codegen reference object is shipped into generated classes. */
+  @transient private lazy val Md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   /** Positional span keys: for every word window [i, i+spanWords) the first
     * 16 hex chars of md5 over the space-joined window — bit-identical to
     * the HOF formulation
@@ -124,12 +132,16 @@ object SpanKernel extends Serializable { // codegen reference object
     * rebuild + interpreted lambda (measured: the strip pass's dominant
     * cost — see NearDedup.spanBase). Windows shorter than spanWords (docs
     * with < spanWords tokens) produce an empty array, replicating the
-    * `when(size(w) >= spanWords, …).otherwise(array())` guard. */
+    * `when(size(w) >= spanWords, …).otherwise(array())` guard. NULL input
+    * (null text upstream) null-propagates via the nullIntolerant
+    * expression where the HOF guard yields [] — a DOCUMENTED deviation
+    * (r21 advice), invisible past any size(sh) > 0 gate and pinned in
+    * NearDedupSpec's null-edges test. */
   def spanKeys(words: org.apache.spark.sql.catalyst.util.ArrayData,
                spanWords: Int): Array[UTF8String] = {
     val n = words.numElements()
     if (n < spanWords) return Array.empty
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val out = new Array[UTF8String](n - spanWords + 1)
     var i = 0
     while (i + spanWords <= n) {
@@ -170,11 +182,22 @@ object SpanKernel extends Serializable { // codegen reference object
                     starts: org.apache.spark.sql.catalyst.util.ArrayData,
                     spanWords: Int): UTF8String = {
     val nw = words.numElements()
-    val ns = starts.numElements()
-    val st = new Array[Int](ns)
+    val nsAll = starts.numElements()
+    // Skip NULL start elements (r21 advice): unreachable from stripFromBase
+    // (collect_set never emits nulls) but possible via the public
+    // TextExprs.residualWords column API, where getInt on a null slot would
+    // silently read 0 and strip the document head. A null start constrains
+    // nothing here; note the HOF formulation instead null-propagates its
+    // exists() and drops every non-covered word — pathological, not worth
+    // replicating (documented deviation, covered in NearDedupSpec).
+    var ns = 0
+    val st = new Array[Int](nsAll)
     var i = 0
-    while (i < ns) { st(i) = starts.getInt(i); i += 1 }
-    java.util.Arrays.sort(st)
+    while (i < nsAll) {
+      if (!starts.isNullAt(i)) { st(ns) = starts.getInt(i); ns += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(st, 0, ns)
     val sb = new java.lang.StringBuilder
     var p = 0
     var coveredEnd = -1
@@ -306,6 +329,96 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+object RankByDfKernel extends Serializable { // codegen reference object
+  /** A doc's shingles paired with their global document frequency, sorted
+    * rarest-first by (df, sh) — the array-side form of rankedByDf's
+    * window rank: `row_number() over (partition by id order by df, sh)`
+    * becomes `posexplode` position + 1 over this array, with NO id-keyed
+    * exchange of the exploded corpus (the r21 "not yet optimized" item).
+    * Shingles absent from the vocab are DROPPED, matching the window
+    * form's inner join on sh (unreachable from rankedByDf, whose vocab is
+    * aggregated over the same sets — public-API callers see join
+    * semantics). Null elements are dropped for the same reason (an
+    * explode'd null never matches the join key). UTF8String.compareTo is
+    * byte-wise unsigned — identical to the exchange's UTF8 binary string
+    * ordering, so ranks are bit-identical (NearDedupSpec parity). */
+  def rank(sh: org.apache.spark.sql.catalyst.util.ArrayData,
+           vocab: java.util.HashMap[UTF8String, java.lang.Long])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = sh.numElements()
+    val rows = new Array[org.apache.spark.sql.catalyst.InternalRow](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val s = sh.getUTF8String(i)
+      if (s != null) {
+        val d = vocab.get(s)
+        if (d != null) {
+          rows(m) = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](s, d.longValue()))
+          m += 1
+        }
+      }
+      i += 1
+    }
+    val trimmed = if (m == n) rows else java.util.Arrays.copyOf(rows, m)
+    java.util.Arrays.sort(trimmed, RowCmp)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      trimmed.asInstanceOf[Array[AnyRef]])
+  }
+
+  private object RowCmp
+      extends java.util.Comparator[org.apache.spark.sql.catalyst.InternalRow]
+      with Serializable {
+    override def compare(a: org.apache.spark.sql.catalyst.InternalRow,
+                         b: org.apache.spark.sql.catalyst.InternalRow): Int = {
+      val c = java.lang.Long.compare(a.getLong(1), b.getLong(1))
+      if (c != 0) c
+      else a.getUTF8String(0).compareTo(b.getUTF8String(0))
+    }
+  }
+}
+
+/** Native array-side df-rank — see [[RankByDfKernel.rank]]. Holds the
+  * broadcast vocabulary handle directly (Broadcast.toString is tiny, so
+  * plan strings stay readable; the map ships via the broadcast machinery,
+  * never the plan). Parity with the window formulation asserted in
+  * NearDedupSpec. */
+case class RankShinglesByDf(child: Expression,
+    vocab: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[UTF8String, java.lang.Long]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sh", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("df",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_rank_by_df"
+
+  override def nullSafeEval(in: Any): Any =
+    RankByDfKernel.rank(
+      in.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], vocab.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val kernel = ctx.addReferenceObj("rankByDfKernel", RankByDfKernel,
+        RankByDfKernel.getClass.getName)
+      val bc = ctx.addReferenceObj("vocabBc", vocab,
+        "org.apache.spark.broadcast.Broadcast")
+      s"""
+         |${ev.value} = $kernel.rank($a,
+         |  (java.util.HashMap) $bc.value());
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RankShinglesByDf =
+    copy(child = newChild)
+}
+
 object TextExprs {
   def shingles3(text: Column): Column =
     ExpressionUtils.column(Shingles3(ExpressionUtils.expression(text)))
@@ -318,4 +431,7 @@ object TextExprs {
   def residualWords(words: Column, starts: Column, spanWords: Int): Column =
     ExpressionUtils.column(ResidualWords(ExpressionUtils.expression(words),
       ExpressionUtils.expression(starts), spanWords))
+  def rankByDf(sh: Column, vocab: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[UTF8String, java.lang.Long]]): Column =
+    ExpressionUtils.column(RankShinglesByDf(ExpressionUtils.expression(sh), vocab))
 }

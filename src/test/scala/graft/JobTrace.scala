@@ -1,0 +1,52 @@
+package graft
+// Measurement scaffold (guide §1): per-query JOB attribution — which code
+// line launched each Spark job, how many jobs per call site. The lifecycle
+// capstones are job-count bound (q_ts_rollup_dml: 65 jobs, 1.9 s summed task
+// time vs 6.2 s wall in r21's Prof), so the optimization target is WHICH
+// driver-side actions run, not stage shape. Test-scoped like Scratch:
+//   sbt "Test/runMain graft.JobTrace <keys>"
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+object JobTrace {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: JobTrace <query...>")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.catalog.graft_ts", "graft.sources.GraftTsCatalog")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val cs = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .getOrElse("<unknown>")
+        sites.add(cs)
+      }
+    })
+    args.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      Thread.sleep(400)
+      sites.clear()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(400)
+      import scala.jdk.CollectionConverters._
+      val bySite = sites.asScala.toSeq.groupBy(identity)
+        .map { case (k, v) => (v.size, k) }.toSeq.sortBy(-_._1)
+      println(f"[jobtrace] $n: ${sites.size} jobs, wall=$wall%.2fs")
+      bySite.foreach { case (c, s) => println(f"[jobtrace]   $c%4d  $s") }
+    }
+    spark.stop()
+  }
+}

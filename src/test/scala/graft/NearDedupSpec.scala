@@ -199,14 +199,21 @@ class NearDedupSpec extends SparkSpec {
       s"broadcast build side is not the df>=hotDf head:\n${bhj.mkString("\n")}")
   }
 
-  test("rankedByDf: small vocabulary broadcasts whole — only broadcast joins in the plan") {
+  test("rankedByDf: small vocabulary ranks array-side — no join, no window, " +
+      "no exchange in the plan at all (r22: the id-keyed rank exchange is gone)") {
     val docs = skewed(100)
     val ranked = NearDedup.rankedByDf(sets(docs), hotDf = 10) // default: vocab fits
     ranked.collect()
-    val joins = collectJoins(ranked.queryExecution.executedPlan)
-    assert(joins.nonEmpty)
-    assert(joins.forall(_.isInstanceOf[BroadcastHashJoinExec]),
-      s"non-broadcast join in small-vocab plan:\n${joins.mkString("\n")}")
+    val plan = ranked.queryExecution.executedPlan
+    assert(collectJoins(plan).isEmpty,
+      s"small-vocab branch must not join at all:\n$plan")
+    val planStr = plan.toString
+    assert(planStr.contains("graft_rank_by_df"),
+      s"array-side rank kernel missing from plan:\n$planStr")
+    assert(!planStr.contains("Exchange hashpartitioning"),
+      s"small-vocab rank must be a pure map-side pass:\n$planStr")
+    assert(!planStr.contains("Window"),
+      s"small-vocab rank must not fall back to the window form:\n$planStr")
   }
 
   test("rankedByDf ranking is identical to the naive single-join formulation") {
@@ -400,5 +407,45 @@ class NearDedupSpec extends SparkSpec {
     val e2eDiff = hofStrip.join(kernelStrip, "id")
       .where(not(col("clean_text") <=> col("k_clean")))
     assert(e2eDiff.isEmpty, s"strip e2e mismatch: ${e2eDiff.collect().toSeq}")
+  }
+
+  test("null edges (r21 advice): null-text kernels null-propagate where the " +
+      "HOFs yield empty — documented deviation, invisible past the shingle " +
+      "gate; null START elements are skipped, not read as 0") {
+    import org.apache.spark.sql.graft.TextExprs
+    val spanWords = 5
+    // (a) null text: tokens() null-propagates; the nullIntolerant kernels
+    // then yield null spans / null clean_text where the HOF formulations
+    // yield []/"" (their when/concat_ws guards absorb the null). INTENTIONAL:
+    // both values shingle to an empty set, so every consumer that gates on
+    // size(sh) > 0 — all of them — sees identical results. Pinned here so
+    // the deviation cannot drift silently.
+    val nullDoc = Seq((9100L, "en")).toDF("doc_id", "lang")
+      .withColumn("text", lit(null).cast("string"))
+      .withColumn("w", graft.functions.TextFns.tokens(col("text")))
+    val r = nullDoc.select(
+      TextExprs.spanKeys(col("w"), spanWords).as("k"),
+      NearDedup.spanKeysHof(col("w"), spanWords).as("h"),
+      TextExprs.residualWords(col("w"), array().cast("array<int>"), spanWords).as("rk"),
+      NearDedup.residualWordsHof(col("w"), array().cast("array<int>"), spanWords).as("rh"),
+      graft.functions.TextFns.shingles3(col("text")).as("shNull")).head()
+    assert(r.isNullAt(0), "kernel spanKeys(null) should be null")
+    assert(r.getSeq[String](1).isEmpty, "HOF spanKeys(null) should be []")
+    assert(r.isNullAt(2), "kernel residualWords(null, []) should be null")
+    assert(r.getString(3) == "", "HOF residualWords(null, []) should be ''")
+    // invisible downstream: null text and "" both shingle to an empty set
+    assert(r.isNullAt(4) || r.getSeq[String](4).isEmpty)
+    // (b) null start elements (public column API only — collect_set never
+    // emits nulls): the kernel SKIPS them instead of reading 0/garbage;
+    // result equals the same call with the nulls absent.
+    val words = Seq((1L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")))
+      .toDF("id", "w")
+    val got = words.select(
+      TextExprs.residualWords(col("w"),
+        array(lit(null).cast("int"), lit(3), lit(null).cast("int")), spanWords).as("withNulls"),
+      TextExprs.residualWords(col("w"), array(lit(3)), spanWords).as("without")).head()
+    assert(got.getString(0) == got.getString(1),
+      s"null starts must strip nothing: '${got.getString(0)}' vs '${got.getString(1)}'")
+    assert(got.getString(1) == "a b c i j", "start=3, spanWords=5 covers words 3..7")
   }
 }

@@ -1,7 +1,9 @@
 package graft
-// Temporary measurement scaffold for the r21 optimization round — times
+// Temporary measurement scaffold for the optimization rounds — times
 // isolated pipeline stages with the noop sink (guide §1.4). Not registered
-// anywhere; contents rotate per investigation.
+// anywhere; contents rotate per investigation. Lives under src/test (r21
+// advice) so it never ships in the main jar: run with
+//   sbt "Test/runMain graft.Scratch <keys>"
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,7 +37,11 @@ object Scratch {
         f"samples=${samples.map(s => f"$s%.2f").mkString(",")}")
     }
     def execShape(label: String, df: DataFrame): Unit = {
-      df.collect() // same QueryExecution — the noop write would clone it
+      // Execute THIS QueryExecution (a noop write would clone it, leaving
+      // executedPlan pre-AQE) without collecting rows to the driver — the
+      // r21 scaffold collect()'d arbitrary registered queries, a driver
+      // OOM on corpus-sized results (r21 advice).
+      df.queryExecution.toRdd.foreach(_ => ())
       val p = df.queryExecution.executedPlan.toString
       val ex = "Exchange hashpartitioning".r.findAllIn(p).size
       val re = "ReusedExchange".r.findAllIn(p).size

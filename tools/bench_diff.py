@@ -2,7 +2,7 @@
 """Diff two graft.Bench artifacts in CALIBRATED units.
 
 Usage: python3 tools/bench_diff.py OLD.json NEW.json [--threshold=1.3]
-                                   [--abs-ms=150]
+                                   [--abs-ms=150] [--names=REGISTRY.json]
 
 Each artifact is the bench's stdout (or a saved BENCH_r*_local.json): the
 line carrying "queries" is parsed; "calibration_sec" (present since r19)
@@ -23,17 +23,27 @@ self-contained "total_summary" line always does (it is emitted last for
 exactly this reason). When a file parses as whole-file JSON carrying
 "tail" instead of "queries", the loader reconstructs a PARTIAL record:
 calibration and total from the total_summary line, per-query times from
-whatever `"name":sec` pairs survive in the tail. The report marks such
-inputs `partial(tail)` and the key count tells you the visible subset —
-per-key conclusions then apply to the tail-visible keys only, while the
-calibrated TOTAL comparison is complete.
+(in coverage order) the "queries_vec" value vector paired with --names,
+any complete "queries_part" lines in the tail, and whatever torn
+`"name":sec` pairs survive. The report marks such inputs `partial(tail)`
+and the key count tells you the visible subset — per-key conclusions
+then apply to the tail-visible keys only, while the calibrated TOTAL
+comparison is complete.
+
+--names=REGISTRY.json names the query keys for "queries_vec"
+reconstruction: any JSON object whose top-level keys are the round's
+query names (CORRECTNESS_r*.json is the canonical choice — the vec is
+the f3 values in sorted-key order, so the sorted registry keys ARE the
+positions). With --names and a tail that holds the vec line (it is
+emitted right before total_summary precisely so it survives), the
+reconstruction is COMPLETE, not partial.
 """
 import json
 import re
 import sys
 
 
-def load(path):
+def load(path, names=None):
     # saved BENCH_r*_local.json artifacts are pretty-printed whole-file
     # JSON; raw bench stdout is one record per line amid log noise;
     # driver BENCH_r*.json artifacts hold a truncated stdout "tail"
@@ -44,10 +54,11 @@ def load(path):
         if "queries" in rec:
             return rec
         if "tail" in rec:
-            return load_driver_tail(rec, path)
+            return load_driver_tail(rec, path, names)
     except json.JSONDecodeError:
         pass
     best = None
+    parts = {}
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -61,16 +72,21 @@ def load(path):
                 rec = json.loads(line[start:])
             except json.JSONDecodeError:
                 continue
-            if "queries" in rec:
+            if rec.get("metric") == "queries_part":
+                parts.update(rec["queries"])
+            elif "queries" in rec:
                 best = rec
+    if best is None and parts:
+        best = {"queries": parts, "partial": True}
     if best is None:
         sys.exit(f"error: no line with a \"queries\" record in {path}")
     return best
 
 
-def load_driver_tail(rec, path):
+def load_driver_tail(rec, path, names=None):
     """Reconstruct a (partial) bench record from a driver artifact's
-    truncated stdout tail: total_summary line + surviving per-key pairs."""
+    truncated stdout tail: total_summary line, then per-key coverage from
+    queries_vec (+--names), complete queries_part lines, torn pairs."""
     tail = rec["tail"]
     out = {"partial": True}
     m = re.search(r'\{"metric":"total_summary".*?\}', tail)
@@ -81,14 +97,29 @@ def load_driver_tail(rec, path):
     out.update({k: summary[k] for k in
                 ("value", "reps", "calibration_sec", "calibration_vec",
                  "n_queries", "n_failed", "sf") if k in summary})
-    # per-key pairs from the (head-truncated) queries record: everything
-    # before the errors/closing section of the first JSON line in the tail
-    head = tail.split('"errors"')[0]
     queries = {}
-    for name, sec in re.findall(r'"(q_[A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)', head):
+    # torn `"name":sec` pairs anywhere in the tail (head-truncated records,
+    # torn part lines) — complete records below override them
+    for name, sec in re.findall(r'"(q_[A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)', tail):
         queries[name] = float(sec)
-    out["queries"] = queries
-    return out
+    # complete self-contained queries_part lines override torn pairs
+    for pm in re.finditer(r'\{"metric":"queries_part"[^\n]*\}', tail):
+        try:
+            queries.update(json.loads(pm.group(0))["queries"])
+        except json.JSONDecodeError:
+            pass
+    # the compact value vector (sorted-key order) + --names completes it
+    vm = re.search(r'\{"metric":"queries_vec"[^\n]*\}', tail)
+    if vm and names:
+        vec = json.loads(vm.group(0))
+        keys = sorted(names)
+        if len(keys) == vec["n"] == len(vec["values"]):
+            queries.update(zip(keys, (float(v) for v in vec["values"])))
+            out["partial"] = False  # full per-query coverage reconstructed
+        else:
+            print(f"warn: queries_vec n={vec['n']} != {len(keys)} --names "
+                  f"keys — vec skipped for {path}", file=sys.stderr)
+    return {**out, "queries": queries}
 
 
 def main():
@@ -99,7 +130,11 @@ def main():
         sys.exit(__doc__)
     threshold = float(opts.get("--threshold") or 1.3)
     abs_s = float(opts.get("--abs-ms") or 150) / 1000.0
-    old, new = load(args[0]), load(args[1])
+    names = None
+    if opts.get("--names"):
+        with open(opts["--names"]) as f:
+            names = list(json.load(f).keys())
+    old, new = load(args[0], names), load(args[1], names)
     cal_o = old.get("calibration_sec")
     cal_n = new.get("calibration_sec")
     calibrated = cal_o is not None and cal_n is not None
