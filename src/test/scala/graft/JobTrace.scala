@@ -24,28 +24,46 @@ object JobTrace {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val execs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        val cs = Option(j.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short")))
-          .getOrElse("<unknown>")
-        sites.add(cs)
+        // SQL actions run their jobs inside the execution thread pool, so
+        // the stage callsite is the pool wrapper; non-SQL (RDD) actions
+        // keep a graft.* frame in the stage's creation-site details.
+        val det = j.stageInfos.sortBy(_.stageId).lastOption
+          .map(_.details).getOrElse("")
+        val frame = det.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("JobTrace"))
+          .map(_.trim).getOrElse("<sql-exec pool>")
+        sites.add(frame)
+      }
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        // one per Dataset action / command — `description` is the action's
+        // callsite short form ("count at TsTable.scala:NNN")
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execs.add(s.description)
+        case _ => ()
       }
     })
     args.foreach { n =>
       val fn = SparkEntry.queries(n)
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
       Thread.sleep(400)
-      sites.clear()
+      sites.clear(); execs.clear()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(400)
       import scala.jdk.CollectionConverters._
-      val bySite = sites.asScala.toSeq.groupBy(identity)
-        .map { case (k, v) => (v.size, k) }.toSeq.sortBy(-_._1)
-      println(f"[jobtrace] $n: ${sites.size} jobs, wall=$wall%.2fs")
-      bySite.foreach { case (c, s) => println(f"[jobtrace]   $c%4d  $s") }
+      def histo(q: java.util.concurrent.ConcurrentLinkedQueue[String]) =
+        q.asScala.toSeq.groupBy(identity).toSeq
+          .map { case (k, v) => (v.size, k) }.sortBy(t => (-t._1, t._2))
+      println(f"[jobtrace] $n: ${sites.size} jobs, ${execs.size} sql " +
+        f"executions, wall=$wall%.2fs")
+      histo(execs).foreach { case (c, s) => println(f"[jobtrace]   exec $c%4d  $s") }
+      histo(sites).filterNot(_._2 == "<sql-exec pool>")
+        .foreach { case (c, s) => println(f"[jobtrace]   rdd  $c%4d  $s") }
     }
     spark.stop()
   }

@@ -168,6 +168,43 @@ class TsRollupSpec extends graft.SparkSpec {
     assert(actual(dst).size == 1, "dropped days' buckets must be gone")
   }
 
+  test("provablyUniqueOn: aggregate-backed merge sources prove key " +
+      "uniqueness (dup-check job skipped); anything unprovable keeps it") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val raw = Seq((1L, "a", 1.0), (1L, "a", 2.0), (2L, "b", 3.0))
+      .toDF("k", "g", "v")
+    // grouped by the key → provably unique, through select/filter/sort/alias
+    val agg = raw.groupBy(col("k")).agg(sum(col("v")).as("s"))
+    assert(TsTable.provablyUniqueOn(agg, Seq("k")))
+    assert(TsTable.provablyUniqueOn(
+      agg.select(col("k").as("key"), col("s")).where(col("s") > 0)
+        .orderBy(col("key")), Seq("key")))
+    // grouping by an EXPRESSION exposed under an alias (the TsRollup
+    // bucketAgg shape: groupBy(timestamp_micros(...).as("ts")))
+    val exprAgg = raw.groupBy((col("k") * 2).as("k2"))
+      .agg(count(lit(1)).as("n"))
+    assert(TsTable.provablyUniqueOn(exprAgg, Seq("k2")))
+    // global aggregate: one row, unique on anything it outputs
+    assert(TsTable.provablyUniqueOn(
+      raw.agg(count(lit(1)).as("n")), Seq("n")))
+    // distinct over exactly the keys
+    assert(TsTable.provablyUniqueOn(
+      raw.select(col("k"), col("g")).distinct(), Seq("k", "g")))
+    // NOT provable: raw rows, a key SUBSET of the grouping set, a key
+    // computed AFTER the aggregate, distinct wider than the keys, a join
+    assert(!TsTable.provablyUniqueOn(raw, Seq("k")))
+    assert(!TsTable.provablyUniqueOn(
+      raw.groupBy(col("k"), col("g")).agg(sum(col("v")).as("s")), Seq("k")))
+    assert(!TsTable.provablyUniqueOn(
+      agg.select((col("k") % 2).as("k"), col("s")), Seq("k")))
+    assert(!TsTable.provablyUniqueOn(
+      raw.select(col("k"), col("g")).distinct(), Seq("k")))
+    assert(!TsTable.provablyUniqueOn(
+      agg.join(raw, Seq("k")), Seq("k")))
+  }
+
   test("an expired cursor degrades to a full rebuild, not staleness") {
     val srcDir = freshDir(); val dstDir = freshDir()
     val src = TsTable.create(spark, srcDir, schema)
