@@ -73,9 +73,19 @@ object PipelinePack extends QueryPack {
       else s.conf.get("spark.sql.shuffle.partitions").toInt
     val every = SampleEvery.toMap
     val defaultEvery = DefaultEvery
-    val parted = docs
+    // Pin the PROJECTED input before the range exchange (the
+    // packSequencesDistributed rule): repartitionByRange evaluates its
+    // child TWICE — once in the RangePartitioner's boundary-sampling job,
+    // once in the shuffle map stage — so an unpinned upstream runs end to
+    // end twice. For q_corpus_build that upstream is the whole quality
+    // gate + dedup anti-join, i.e. one extra corpus scan per build (r22
+    // JobTrace: two near-equal stages re-running the pruned pipeline).
+    // The projection is ~30 B/doc — bounded at any corpus size.
+    val projected = docs
       .select(col(idCol).cast("long").as("doc_id"), col(langCol).as("lang"),
         col(charsCol).cast("long").as("n_chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parted = projected
       .repartitionByRange(n, col("lang"), col("doc_id"))
       .sortWithinPartitions(col("lang"), col("doc_id"))
       .select(spark_partition_id().as("pid"), col("doc_id"), col("lang"),
@@ -114,7 +124,10 @@ object PipelinePack extends QueryPack {
       // reliable checkpoint when a dir is configured (r21 verdict), else
       // executor-local — the Compute.materialize dispatch
       Compute.materialize(out)
-    } finally parted.unpersist(blocking = false)
+    } finally {
+      parted.unpersist(blocking = false)
+      projected.unpersist(blocking = false)
+    }
   }
 
   /** q_sample_stratified_dist: the distributed systematic sampler over the
@@ -173,10 +186,14 @@ object PipelinePack extends QueryPack {
   }
 
   /** The quality gate's survivors with their signals, pre-sort — the
-    * shared core of corpusFilter and corpusBuild. */
+    * shared core of corpusFilter and corpusBuild. The gate is hash-bound
+    * per row (tokens, distinct tokens, shingles), so the compact doc scan
+    * is rebalanced over the cores first (no-op at corpus scale — the r22
+    * JobTrace showed the whole gate serializing into ONE 0.4 s task on
+    * the single-row-group fixture). */
   private def qualitySurvivors(s: SparkSession, dir: String): DataFrame =
-    qualityGate(Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("text")))
+    qualityGate(Compute.rebalance(Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))))
       .drop("text")
 
   /** B9+ the WHOLE corpus-construction pipeline as one declarative plan —

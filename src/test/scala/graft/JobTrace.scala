@@ -5,7 +5,7 @@ package graft
 // time vs 6.2 s wall in r21's Prof), so the optimization target is WHICH
 // driver-side actions run, not stage shape. Test-scoped like Scratch:
 //   sbt "Test/runMain graft.JobTrace <keys>"
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 object JobTrace {
@@ -25,6 +25,9 @@ object JobTrace {
     spark.sparkContext.setLogLevel("WARN")
     val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val execs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         // SQL actions run their jobs inside the execution thread pool, so
@@ -37,6 +40,18 @@ object JobTrace {
           .map(_.trim).getOrElse("<sql-exec pool>")
         sites.add(frame)
       }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) {
+          val q = stageTasks.computeIfAbsent(t.stageId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+          q.add(t.taskMetrics.executorRunTime)
+        }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stageNames.put(s.stageInfo.stageId,
+          s.stageInfo.name.take(40) + " | " +
+            s.stageInfo.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("JobTrace"))
+              .map(_.trim.take(80)).getOrElse(""))
       override def onOtherEvent(
           e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
         // one per Dataset action / command — `description` is the action's
@@ -50,7 +65,7 @@ object JobTrace {
       val fn = SparkEntry.queries(n)
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
       Thread.sleep(400)
-      sites.clear(); execs.clear()
+      sites.clear(); execs.clear(); stageTasks.clear(); stageNames.clear()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -64,6 +79,21 @@ object JobTrace {
       histo(execs).foreach { case (c, s) => println(f"[jobtrace]   exec $c%4d  $s") }
       histo(sites).filterNot(_._2 == "<sql-exec pool>")
         .foreach { case (c, s) => println(f"[jobtrace]   rdd  $c%4d  $s") }
+      // top stages by summed task time, with max-vs-median task skew
+      // (guide §2.5: max/median > 5-10x on a stage is worth fixing)
+      stageTasks.asScala.toSeq
+        .map { case (id, q) =>
+          val d = q.asScala.toSeq.sorted
+          (id, d.sum, d.size, d.lastOption.getOrElse(0L),
+            if (d.isEmpty) 0L else d(d.size / 2))
+        }
+        .sortBy(-_._2).take(6)
+        .foreach { case (id, sum, n, mx, med) =>
+          println(f"[jobtrace]   stage $id%4d sum=${sum / 1000.0}%7.2fs " +
+            f"tasks=$n%4d max=${mx}ms med=${med}ms skew=${
+              if (med > 0) f"${mx.toDouble / med}%.1f" else "inf"}x " +
+            stageNames.getOrDefault(id, ""))
+        }
     }
     spark.stop()
   }

@@ -105,11 +105,16 @@ class PlanAuditSpec extends SparkSpec {
       s"ts not pushed to parquet:\n$p")
   }
 
-  test("corpus filter is narrow: the only exchange is the determinism sort") {
+  test("corpus filter is narrow: the scan-rebalance round-robin plus the " +
+      "determinism sort are the only exchanges (r22: the hash-bound gate " +
+      "gets Compute.rebalance, a no-op at corpus scale)") {
     val p = plan(graft.operators.PipelinePack.corpusFilter(spark, sf0001))
     val exchanges = "Exchange ".r.findAllIn(p).length
-    assert(exchanges == 1, s"expected 1 exchange (final sort), got $exchanges:\n$p")
+    assert(exchanges == 2, s"expected rebalance + final sort, got $exchanges:\n$p")
     assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("RoundRobinPartitioning"), p)
+    // the gate itself stays shuffle-free: no hash exchange anywhere
+    assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
   test("stratified sampling/packing: one stratum-window shuffle plus the sort") {
