@@ -40,11 +40,29 @@ object Tables {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
   }
 
+  /** Per-process memo of each fixture file's parquet SCHEMA — the catalog
+    * metadata a metastore would hold. Every `spark.read.parquet` without an
+    * explicit schema pays a footer-inference pass per call (observed as one
+    * job per Tables.* load in the r22 JobTrace), and the query registry
+    * re-opens these immutable fixture files hundreds of times per sweep.
+    * METADATA ONLY: no rows, results, or intermediates are memoized — the
+    * data path is re-read from parquet on every query invocation — and the
+    * memo dies with the process (fixture files are immutable for a process
+    * lifetime; the driver regenerates them only across process runs). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]
+
+  private def readCached(spark: SparkSession, path: String): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
     else {
       init(spark)
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      readCached(spark, s"$sfDir/$name.parquet")
     }
 
   /** events.ts is format-adaptive: fixture generations have alternated
@@ -57,7 +75,7 @@ object Tables {
     * observed column type, not the fixture generation. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     init(spark)
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = readCached(spark, s"$sfDir/events.parquet")
     val tsIsLong = raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
     val withTs =
       if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
